@@ -1,0 +1,128 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass, distributed column classification.
+  *
+  * The reference computes its classification with N independent full
+  * scans per column (nunique, infer_dtype, unique — reference
+  * dataset.py:267,339-341,528). Here everything is fused into ONE
+  * aggregation job over the frame: ~7 aggregate expressions per column,
+  * all partially aggregated map-side, so the cost is a single scan
+  * regardless of column count.
+  *
+  * Scale note (100 TB): with `exact = false` (default) distinct counts
+  * use HyperLogLog (`approx_count_distinct`) which keeps the plan free
+  * of the `Expand`-based multi-count-distinct rewrite (that rewrite
+  * multiplies scan output by the number of distinct aggregates — fatal
+  * at scale). Constant detection never needs a distinct count: a column
+  * is constant-including-null iff (no nulls ∧ min == max) ∨ (all null).
+  */
+object Inference {
+
+  private def isNumericType(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Aggregate expressions for one column; must stay aligned with the
+    * unpacking in [[classify]].
+    */
+  private def statsExprs(field: StructField, exact: Boolean): Seq[Column] = {
+    val c       = col(field.name)
+    val notNull = count(c) // count(col) skips nulls
+    val distinctCnt =
+      if (exact) countDistinct(c) else approx_count_distinct(c)
+    val hasNull = max(c.isNull.cast("int"))
+    // min==max over the column's own type; compare as string to keep a
+    // uniform output row type (safe: equality of min/max of same column).
+    val constNonNull = (min(c.cast("string")) <=> max(c.cast("string")))
+      .cast("int")
+    val castable = field.dataType match {
+      case StringType => count(when(c.try_cast("double").isNotNull, 1))
+      case _          => notNull
+    }
+    val zeroOne = field.dataType match {
+      case BooleanType => lit(1)
+      case _ =>
+        min(when(c.isNotNull, c.cast("string").isin("0", "1", "0.0", "1.0", "true", "false").cast("int")))
+    }
+    Seq(
+      notNull.cast("long").as(s"${field.name}__nn"),
+      distinctCnt.cast("long").as(s"${field.name}__nd"),
+      hasNull.cast("int").as(s"${field.name}__hn"),
+      constNonNull.as(s"${field.name}__cst"),
+      castable.cast("long").as(s"${field.name}__cast"),
+      zeroOne.cast("int").as(s"${field.name}__zo")
+    )
+  }
+
+  /** Classify every column of `df` (or `cols` if given) in one job. */
+  def classify(
+      df: DataFrame,
+      cols: Seq[String] = Seq.empty,
+      exact: Boolean = false
+  ): ColumnClassification = {
+    val fields =
+      if (cols.isEmpty) df.schema.fields.toSeq
+      else df.schema.fields.toSeq.filter(f => cols.contains(f.name))
+    val aggs = count(lit(1)).cast("long").as("__total") +:
+      fields.flatMap(statsExprs(_, exact))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total    = row.getAs[Long]("__total")
+
+    val stats = fields.map { f =>
+      val nn   = row.getAs[Long](s"${f.name}__nn")
+      val nd   = row.getAs[Long](s"${f.name}__nd")
+      val hn   = Option(row.getAs[Any](s"${f.name}__hn")).exists(_ == 1)
+      val cst  = Option(row.getAs[Any](s"${f.name}__cst")).exists(_ == 1)
+      val cab  = Option(row.getAs[Any](s"${f.name}__cast"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val zo   = Option(row.getAs[Any](s"${f.name}__zo")).exists(_ == 1)
+      val allNull  = nn == 0L
+      val constant = allNull || (!hn && cst)
+      f.name -> ColumnStats(f.name, f.dataType.sql, total, nn, nd, hn,
+        constant, cab, zo && nn > 0)
+    }.toMap
+
+    val kinds = fields.map { f =>
+      val s = stats(f.name)
+      val kind: ColumnKind = f.dataType match {
+        case BooleanType               => ColumnKind.Bool
+        case dt if isNumericType(dt)   =>
+          if (s.onlyZeroOne) ColumnKind.Bool else ColumnKind.Numerical
+        case StringType =>
+          // Sub-classify strings the way the reference classifies
+          // object columns (dataset.py:56-101): all-castable → the
+          // column is "actually numeric"; partially castable → mixed;
+          // {0,1}-valued → bool.
+          if (s.nNotNull == 0) ColumnKind.Str
+          else if (s.onlyZeroOne) ColumnKind.Bool
+          else if (s.castableToNum == s.nNotNull) ColumnKind.Numerical
+          else if (s.castableToNum > 0) ColumnKind.Mixed
+          else ColumnKind.Str
+        case _ => ColumnKind.Other
+      }
+      f.name -> kind
+    }.toMap
+
+    val categorical = fields.collect {
+      case f
+          if {
+            val s = stats(f.name)
+            val k = kinds(f.name)
+            (k == ColumnKind.Str || k == ColumnKind.Numerical) &&
+            s.nNotNull > 0 &&
+            (s.nDistinct < Thresholds.CategUniqueMax ||
+              s.nDistinct < s.nNotNull / Thresholds.CategColThreshold)
+          } =>
+        f.name
+    }.toSet
+
+    val constant = stats.collect { case (c, s) if s.isConstant => c }.toSet
+    val mixed    = kinds.collect { case (c, ColumnKind.Mixed) => c }.toSet
+    ColumnClassification(stats, kinds, categorical, constant, mixed)
+  }
+}

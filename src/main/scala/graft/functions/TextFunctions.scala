@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for large-scale corpus curation: language
+  * ID, quality scoring, token counting, fingerprinting. All pure
+  * Catalyst expression trees — per-document work with no shuffle, so
+  * they scan-scale linearly to arbitrary corpus size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish sub-word segmentation: split on transitions between letter
+    * runs, digit runs, and punctuation (a cheap proxy for a learned BPE
+    * vocabulary — gives a stable, deterministic "token" budget).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(filter(
+      split(c, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => length(t) > 0))
+
+  /** Character n-gram (shingle) array, positions 1..len−n+1. */
+  def charShingles(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(1))),
+      i => c.substr(i, lit(n)))
+
+  /** Word n-gram array from the whitespace tokens. */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(ts) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(ts, i, lit(n))))
+  }
+
+  /** Quality-scoring feature set (returned as individual expressions so
+    * callers project only what they need and the parquet scan prunes).
+    */
+  def charLen(c: Column): Column = length(c)
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(c), lit(1))
+  def digitRatio(c: Column): Column =
+    length(regexp_replace(c, "[^0-9]", "")).cast("double") /
+      greatest(length(c), lit(1))
+  def upperRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Z]", "")).cast("double") /
+      greatest(length(c), lit(1))
+  def meanWordLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      greatest(tokenCount(c), lit(1))
+
+  /** English stopword ratio — the classic quality signal (high-quality
+    * natural text has a stable stopword fraction; word salad does not).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "from", "this", "be")
+
+  def stopwordRatio(c: Column): Column = {
+    val ts = tokens(lower(c))
+    size(filter(ts, t => t.isin(Stopwords.map(lit): _*))).cast("double") /
+      greatest(size(ts), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of the signals,
+    * deterministic and engine-portable (plain arithmetic).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(charLen(c).between(50, 5000), 1.0).otherwise(0.0)
+    val punctOk =
+      when(punctRatio(c) < 0.1, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) > 0.05, 1.0).otherwise(0.0)
+    val wordOk =
+      when(meanWordLen(c).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk * 0.3 + punctOk * 0.2 + stopOk * 0.3 + wordOk * 0.2)
+  }
+
+  /** n-gram-heuristic language ID over a fixed stopword table: the
+    * language with the most stopword hits wins; ties and zero-hit
+    * documents resolve to "und". Deterministic, shuffle-free.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val ts = tokens(lower(c))
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(ts, t => t.isin(words.map(lit): _*)))
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    // argmax with first-wins tiebreak in LangMarkers order
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) {
+      case (w, (lang, s)) => w.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the casefolded, alnum-only text — the
+    * standard normalize-then-hash near-exact dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Discretization operators (reference: src/trousse/feature_fix.py and
+  * scripts/breed_specific_bin_splitting.py).
+  */
+object Binning {
+
+  /** Bin-id expression for a sorted threshold list: bin 0 = (−∞, t1],
+    * bin i = (t_i, t_{i+1}], last bin = (t_n, +∞). Matches the
+    * reference's code (feature_fix.py:76-80 uses `<=` upper — the
+    * docstring disagrees; we replicate the code, SURVEY.md §7.4 risk 5).
+    * Nulls stay null.
+    */
+  def binIdExpr(c: Column, thresholds: Seq[Double]): Column = {
+    val chain = thresholds.zipWithIndex.foldLeft(
+      when(c.isNull, lit(null).cast("int"))) { case (w, (t, i)) =>
+      w.when(c <= lit(t), lit(i))
+    }
+    chain.otherwise(lit(thresholds.size))
+  }
+
+  /** Equal-width thresholds over [lo, hi] producing `bins` bins:
+    * interior cut points lo + w, lo + 2w, …, lo + (bins−1)·w.
+    */
+  def equalWidthThresholds(lo: Double, hi: Double, bins: Int)
+      : Seq[Double] = {
+    val w = (hi - lo) / bins
+    (1 until bins).map(i => lo + w * i)
+  }
+
+  /** Geometrically widening thresholds (reference:
+    * breed_specific_bin_splitting.py:15-82): bin widths grow by ratio r,
+    * first width solved from the geometric series so `bins` bins span
+    * [lo, hi]: w·(r^bins − 1)/(r − 1) = hi − lo.
+    */
+  def geometricThresholds(lo: Double, hi: Double, bins: Int, r: Double)
+      : Seq[Double] = {
+    require(r > 0 && r != 1.0, "ratio must be positive and != 1")
+    val w0 = (hi - lo) * (r - 1.0) / (math.pow(r, bins) - 1.0)
+    (1 until bins).scanLeft(lo + w0) { (acc, i) =>
+      acc + w0 * math.pow(r, i)
+    }.take(bins - 1)
+  }
+
+  /** Widen each [lo,hi) bin range by `extra` fraction of its neighbors;
+    * last bin open-ended (reference breed_specific_bin_splitting.py:
+    * 85-135). Input/output: (binId, lo, hi) triples.
+    */
+  def overlappingRanges(ranges: Seq[(Int, Double, Double)], extra: Double)
+      : Seq[(Int, Double, Double)] =
+    ranges.map { case (id, lo, hi) =>
+      val w = hi - lo
+      (id, lo - extra * w, if (id == ranges.size - 1) hi + 1 else hi + extra * w)
+    }
+}
+
+/** Threshold-list binning into `{col}_bin_id` (reference:
+  * feature_fix.py:33-97). The id→range map is carried on the op for
+  * lineage.
+  */
+final case class SplitIntoBins(
+    columns: Seq[String],
+    thresholds: Seq[Double],
+    suffix: String = "_bin_id"
+) extends FeatureOperation {
+  require(columns.size == 1, "SplitIntoBins operates on one column")
+  def derivedColumns: Seq[String] = Seq(columns.head + suffix)
+
+  def binRanges(min: Double, max: Double): Seq[(Int, Double, Double)] = {
+    val bounds = (min - 1) +: thresholds :+ max
+    bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      (i, lo, hi)
+    }.toSeq
+  }
+
+  protected def transform(df: DataFrame): DataFrame =
+    df.withColumn(derivedColumns.head,
+      Binning.binIdExpr(col(columns.head), thresholds))
+}
+
+/** Combine N categorical columns into one combo-id column named
+  * `{c1}-{c2}-…_enc` (reference: feature_fix.py:100-186).
+  *
+  * Ids follow `itertools.product` order over the per-column SORTED
+  * distinct values (feature_fix.py:155). Rather than the reference's
+  * O(combos × rows) boolean-mask loop — or even a join — the id is pure
+  * arithmetic: id = Σ ordinal_i(value_i) · stride_i, where stride_i is
+  * the product of later columns' cardinalities. Per-column ordinals come
+  * from bounded `distinct().collect()` dictionaries turned into literal
+  * maps: zero shuffles, zero joins, one codegen'd projection. Rows with
+  * a null in any source column get a null id (null propagates through
+  * the sum), matching the reference's NaN-combo semantics.
+  */
+final case class CombineCategoricalColumns(
+    columns: Seq[String],
+    suffix: String = "_enc"
+) extends FeatureOperation {
+  require(columns.size >= 2, "combine needs at least two columns")
+  def derivedColumns: Seq[String] = Seq(columns.mkString("-") + suffix)
+
+  protected def transform(df: DataFrame): DataFrame = {
+    val dicts: Seq[Map[String, Long]] = columns.map { c =>
+      df.select(col(c).cast("string")).filter(col(c).isNotNull)
+        .distinct().orderBy(col(c)).collect()
+        .map(_.getString(0)).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toMap
+    }
+    val strides = dicts.map(_.size.toLong)
+      .scanRight(1L)(_ * _).tail // stride_i = Π_{j>i} |dict_j|
+    val id = columns.zip(dicts).zip(strides).map {
+      case ((c, dict), stride) =>
+        element_at(typedlit(dict), col(c).cast("string")) * lit(stride)
+    }.reduce(_ + _)
+    df.withColumn(derivedColumns.head, id)
+  }
+}
+
+/** Run CombineCategoricalColumns on every prefix of `columns`
+  * (reference: feature_fix.py:425-455).
+  */
+final case class MultipleCombinations(columns: Seq[String])
+    extends FeatureOperation {
+  def derivedColumns: Seq[String] =
+    (1 to columns.size).map(k => columns.take(k).mkString("-") + "_enc")
+      .filter(_ => columns.size >= 2)
+  protected def transform(df: DataFrame): DataFrame =
+    (2 to columns.size).foldLeft(df) { (d, k) =>
+      CombineCategoricalColumns(columns.take(k))(d)
+    }
+}
+
+/** Per-group binning (reference: breed_specific_bin_splitting.py — the
+  * per-BREED bin computation generalized): for each value of `groupCol`,
+  * compute that group's [min,max] of `valueCol` and bin into `bins`
+  * equal-width bins; groups with fewer than `minGroupSize` rows fall
+  * back to the whole-frame range (the reference falls back to the
+  * MONGREL breed's bins, :266-300). Null-group rows pass through with a
+  * null bin id (reference :384-420 splits them out and re-appends).
+  *
+  * Scale design: group stats come from one `groupBy().agg()` (map-side
+  * partial agg), the per-group threshold table is computed on the driver
+  * (|groups| rows — bounded) and applied as a BROADCAST join + arithmetic
+  * projection, so the data itself is scanned once and never shuffled.
+  */
+final case class GroupedBinning(
+    groupCol: String,
+    valueCol: String,
+    bins: Int,
+    minGroupSize: Long = 20L
+) extends FeatureOperation {
+  def columns: Seq[String]        = Seq(groupCol, valueCol)
+  def derivedColumns: Seq[String] = Seq(s"${valueCol}_bin_id")
+
+  protected def transform(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val stats = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(min(col(valueCol)).cast("double").as("__lo"),
+        max(col(valueCol)).cast("double").as("__hi"),
+        count(col(valueCol)).as("__n"))
+      .collect()
+    val global = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).collect()(0)
+    val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
+    val table = stats.map { r =>
+      val (lo, hi) =
+        if (r.getLong(2) < minGroupSize) (glo, ghi)
+        else (r.getDouble(1), r.getDouble(2))
+      (r.getString(0), lo, (hi - lo) / bins)
+    }.toSeq.toDF("__g", "__lo", "__w")
+    val joined = df.join(broadcast(table),
+      col(groupCol).cast("string") === col("__g"), "left")
+    val raw = floor((col(valueCol) - col("__lo")) / col("__w"))
+    val id = when(col(valueCol).isNull || col("__g").isNull,
+        lit(null).cast("int"))
+      .when(col("__w") === 0.0, lit(0))
+      .otherwise(least(greatest(raw, lit(0)), lit(bins - 1)).cast("int"))
+    joined.withColumn(derivedColumns.head, id)
+      .drop("__g", "__lo", "__w")
+  }
+}

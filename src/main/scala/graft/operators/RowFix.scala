@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftDataset, Inference, Thresholds}
+
+/** The data-repair cascade (reference: src/trousse/row_fix.py).
+  *
+  * The reference repairs one value at a time with per-row Python
+  * `.apply` — its slowest path (row_fix.py:219-225). Here the whole
+  * cascade compiles to ONE nested `when/otherwise` Catalyst expression
+  * tree per column: fully whole-stage-codegen'd, no UDF, executed in the
+  * same projection as everything else.
+  *
+  * Cascade per value (row_fix.py:137-190, order preserved):
+  *   1. plain cast to double;
+  *   2. char-map repair (`°`→delete, `,`→`.` — settings.py:40) then cast;
+  *   3. value contains `%` → null (percentages carry no absolute value);
+  *   4. `>x` → x·(1+0.02), `<x` → x·(1−0.02) (settings.py:19) — applied
+  *      on the char-repaired string;
+  *   5. whole-word map (settings.py:25-37) → null;
+  *   6. give up → null in the typed output, with the failure recorded in
+  *      a companion audit flag column (the reference keeps the raw value
+  *      in an object column — impossible in a typed engine; the audit
+  *      frame preserves the information instead).
+  */
+object RowFix {
+
+  /** settings.py:25-37 — every value maps to None. */
+  val WholeWordNullTokens: Seq[String] = Seq(
+    "---", ".", "ASSENTI", "PRESENTI", "non disponibile", "NV", "-",
+    "Error", "None", "NAN")
+
+  /** char-repaired view of the raw string: `,`→`.`, `°` deleted. */
+  private def charFixed(c: Column): Column = translate(c, ",°", ".")
+
+  /** The repair expression for one string column → double. */
+  def fixExpr(c: Column): Column = {
+    val asNum  = c.try_cast("double")
+    val rep    = charFixed(c)
+    val repNum = rep.try_cast("double")
+    val up     = lit(1.0 + Thresholds.OutOfScalePct)
+    val down   = lit(1.0 - Thresholds.OutOfScalePct)
+    val gtVal  = regexp_replace(rep, ">", "").try_cast("double") * up
+    val ltVal  = regexp_replace(rep, "<", "").try_cast("double") * down
+    when(c.isNull, lit(null).cast("double"))
+      .when(asNum.isNotNull, asNum)
+      .when(repNum.isNotNull, repNum)
+      .when(rep.contains("%"), lit(null).cast("double"))
+      .when(rep.contains(">"), gtVal)
+      .when(rep.contains("<"), ltVal)
+      .otherwise(lit(null).cast("double")) // word map + unfixable → null
+  }
+
+  /** True where the cascade exhausted every repair (row_fix.py:182-187):
+    * these are the `errors_after_correction` values.
+    */
+  def unfixableExpr(c: Column): Column = {
+    val rep = charFixed(c)
+    c.isNotNull &&
+    c.try_cast("double").isNull &&
+    rep.try_cast("double").isNull &&
+    !rep.contains("%") && !rep.contains(">") && !rep.contains("<") &&
+    !trim(rep).isin(WholeWordNullTokens: _*)
+  }
+
+  /** True where the raw value fails a plain float cast — the
+    * `errors_before_correction` audit (row_fix.py:94-115).
+    */
+  def errorBeforeExpr(c: Column): Column =
+    c.isNotNull && c.try_cast("double").isNull
+
+  /** Which string columns are "actually numeric": castable ratio > 0.4
+    * (reference row_fix.py:20-53 + settings.py:18). Uses the
+    * classification's fused single-pass stats — no extra scans.
+    */
+  def numericIshStringCols(ds: GraftDataset): Seq[String] = {
+    val cls = ds.classification
+    ds.data.columns.toSeq.filter { c =>
+      cls.stats.get(c).exists { s =>
+        s.sparkType == "STRING" && s.nNotNull > 0 &&
+        s.castableToNum.toDouble / s.nNotNull >
+          Thresholds.NumericCastableRatio &&
+        s.castableToNum < s.nNotNull // fully castable needs no fixing
+      }
+    }
+  }
+
+  /** Repair the given columns in one projection; returns the repaired
+    * frame plus an audit frame `(column, errors_before, errors_after)`
+    * computed in one aggregation (replacing the reference's Python-side
+    * error dicts, row_fix.py:216-225,322-338).
+    */
+  def fixTypos(df: DataFrame, columns: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val fixed = df.select(df.columns.map { c =>
+      if (columns.contains(c)) fixExpr(col(c)).as(c) else col(c)
+    }.toIndexedSeq: _*)
+    val audit =
+      if (columns.isEmpty) df.sparkSession.emptyDataFrame
+      else {
+        val perCol = columns.zipWithIndex.map { case (c, i) =>
+          struct(
+            lit(c).as("column"),
+            count(when(errorBeforeExpr(col(c)), 1)).as("errors_before"),
+            count(when(unfixableExpr(col(c)), 1)).as("errors_after")
+          ).as(s"__audit_$i")
+        }
+        df.agg(perCol.head, perCol.tail: _*)
+          .select(explode(array(
+            columns.indices.map(i => col(s"__audit_$i")): _*)).as("a"))
+          .select(col("a.column"), col("a.errors_before"),
+            col("a.errors_after"))
+      }
+    (fixed, audit)
+  }
+
+  /** End-to-end `fix_common_errors` (row_fix.py:269-309): classify,
+    * pick mixed ∪ numeric-ish string columns, repair them, normalize
+    * dtypes ({0,1}→int kept, the double output is already normalized).
+    */
+  def fixCommonErrors(ds: GraftDataset): GraftDataset = {
+    val targets =
+      (ds.classification.mixedCols.toSeq ++ numericIshStringCols(ds))
+        .distinct
+    val (fixed, _) = fixTypos(ds.data, targets)
+    ds.withData(fixed)
+  }
+}
+
+/** Operator wrapper so the repair participates in lineage tracking. */
+final case class FixTypos(columns: Seq[String])
+    extends FeatureOperation {
+  def derivedColumns: Seq[String] = Seq.empty
+  protected def transform(df: DataFrame): DataFrame =
+    RowFix.fixTypos(df, columns)._1
+}

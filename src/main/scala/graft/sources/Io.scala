@@ -1,0 +1,116 @@
+package graft.sources
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core.{ColumnKind, GraftDataset, Inference}
+
+/** Sources/sinks (reference: src/trousse/dataset.py:28-49,668-807 and
+  * anonymize_database.py:196-204).
+  *
+  * CSV is read with an ALL-STRING schema — never `inferSchema` — and our
+  * own inference pass decides column kinds and casts. This reproduces
+  * the reference's dynamic-typing semantics, including "mixed" columns
+  * that Spark's schema inference would silently destroy (SURVEY.md §1.3,
+  * §7.4 risk 1).
+  */
+object Io {
+
+  /** S1: CSV scan; missing file → Failure, like the reference's
+    * None-with-log (dataset.py:28-49) but typed.
+    */
+  def readCsv(spark: SparkSession, path: String): Try[DataFrame] = Try {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+    // empty-string cells are pandas NaN
+    df.select(df.columns.map(c =>
+      when(col(c) === "", lit(null).cast(StringType)).otherwise(col(c))
+        .as(c)).toIndexedSeq: _*)
+  }
+
+  /** S2: CSV → classified, typed GraftDataset. Numeric-classified string
+    * columns are cast to double, bool columns to boolean; mixed columns
+    * stay string (their mixed-ness is classification metadata).
+    */
+  def datasetFromCsv(spark: SparkSession, path: String,
+      metadataCols: Set[String] = Set.empty): Try[GraftDataset] =
+    readCsv(spark, path).map { raw =>
+      val cls = Inference.classify(raw, exact = true)
+      val typed = raw.select(raw.columns.map { c =>
+        cls.kinds(c) match {
+          case ColumnKind.Numerical => col(c).try_cast("double").as(c)
+          case ColumnKind.Bool      => col(c).cast("boolean").as(c)
+          case _                    => col(c)
+        }
+      }.toIndexedSeq: _*)
+      GraftDataset(typed, metadataCols)
+    }
+
+  /** Minimal JSON escaping for the lineage sidecar. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** S3: persist a dataset as parquet + a JSON lineage/metadata sidecar
+    * (the reference shelve-pickles the whole object, dataset.py:668-704;
+    * parquet+sidecar is the engine-portable equivalent). Refuses to
+    * overwrite unless asked, like the reference.
+    */
+  def writeDataset(ds: GraftDataset, path: String,
+      overwrite: Boolean = false): Unit = {
+    val dir = new java.io.File(path)
+    require(overwrite || !dir.exists(), s"$path already exists")
+    ds.data.write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .parquet(s"$path/data.parquet")
+    val ops = ds.history.ops.map { op =>
+      s"""{"op":${jstr(op.getClass.getSimpleName)},"columns":[${
+        op.columns.map(jstr).mkString(",")}],"derived":[${
+        op.derivedColumns.map(jstr).mkString(",")}],"repr":${
+        jstr(op.toString)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metadata_cols":[${ds.metadataCols.toSeq.sorted.map(jstr)
+        .mkString(",")}],"derived_cols":[${ds.derivedCols.toSeq.sorted
+        .map(jstr).mkString(",")}],"operations":$ops}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/lineage.json"), json)
+  }
+
+  /** S4: load a persisted dataset (data + metadata; the op objects
+    * themselves round-trip as opaque descriptors — reference
+    * dataset.py:756-807 restores pickled objects, which has no
+    * engine-portable equivalent).
+    */
+  def readDataset(spark: SparkSession, path: String): GraftDataset = {
+    val p = java.nio.file.Paths.get(s"$path/lineage.json")
+    require(java.nio.file.Files.exists(p), s"$path is not a graft dataset")
+    val df   = spark.read.parquet(s"$path/data.parquet")
+    val json = java.nio.file.Files.readString(p)
+    val meta = "\"metadata_cols\":\\[(.*?)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val cols = "\"(.*?)\"".r.findAllMatchIn(meta).map(_.group(1)).toSet
+    GraftDataset(df, cols)
+  }
+
+  /** S5: CSV sink (anonymize_database.py:196-204). `single=true` mirrors
+    * the reference's one-file output for small frames; large frames
+    * should keep the default multi-part layout.
+    */
+  def writeCsv(df: DataFrame, path: String, single: Boolean = false)
+      : Unit = {
+    val out = if (single) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+}
