@@ -163,9 +163,14 @@ object SparkEntry {
       BoolToBinary(Seq("high_qty"))(li)
     }),
 
-    // ----- streaming-shape windowed aggregation (batch parity form)
+    // ----- streaming-shape windowed aggregation (batch parity form).
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    // rejects by default; read the raw int64 nanos
+    // (legacy.parquet.nanosAsLong) and truncate to micros.
     "q_events_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       StreamingOps.windowedEventStats(ev, "1 hour")
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
@@ -295,14 +300,27 @@ object SparkEntry {
            AS "l_returnflag-l_linestatus_enc"
          FROM lineitem""",
 
+    // Models the operator exactly: per-group [min,max] with the
+    // minGroupSize=20 fallback to the GLOBAL range, w=0 groups -> bin 0,
+    // null value or null group -> null bin id.
     "q_grouped_binning" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-         CAST(LEAST(GREATEST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 5)), 0), 4) AS INT)
-           AS l_extendedprice_bin_id
-         FROM (SELECT *,
-           MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,
-           MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx
-           FROM lineitem) s""",
+         CASE WHEN l_extendedprice IS NULL OR l_returnflag IS NULL THEN NULL
+              WHEN w = 0 THEN 0
+              ELSE CAST(LEAST(GREATEST(FLOOR((l_extendedprice - lo) / w), 0), 4) AS INT)
+         END AS l_extendedprice_bin_id
+         FROM (
+           SELECT *, CASE WHEN cnt < 20 THEN gmn ELSE mn END AS lo,
+             (CASE WHEN cnt < 20 THEN gmx ELSE mx END
+              - CASE WHEN cnt < 20 THEN gmn ELSE mn END) / 5 AS w
+           FROM (
+             SELECT *,
+               MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,
+               MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx,
+               COUNT(l_extendedprice) OVER (PARTITION BY l_returnflag) AS cnt,
+               MIN(l_extendedprice) OVER () AS gmn,
+               MAX(l_extendedprice) OVER () AS gmx
+             FROM lineitem) s1) s2""",
 
     "q_bool_to_binary" ->
       """SELECT l_orderkey, l_linenumber,

@@ -29,12 +29,17 @@ object Inference {
 
   /** Aggregate expressions for one column; must stay aligned with the
     * unpacking in [[classify]].
+    *
+    * The fused pass ALWAYS uses HLL for the distinct count: putting N
+    * exact `countDistinct`s in one agg triggers Catalyst's Expand-based
+    * multi-distinct rewrite, which multiplies scan output by N+1 —
+    * fatal at scale. Exact counts (when requested) run as separate
+    * per-column jobs instead, see [[classify]].
     */
-  private def statsExprs(field: StructField, exact: Boolean): Seq[Column] = {
-    val c       = col(field.name)
-    val notNull = count(c) // count(col) skips nulls
-    val distinctCnt =
-      if (exact) countDistinct(c) else approx_count_distinct(c)
+  private def statsExprs(field: StructField): Seq[Column] = {
+    val c           = col(field.name)
+    val notNull     = count(c) // count(col) skips nulls
+    val distinctCnt = approx_count_distinct(c)
     val hasNull = max(c.isNull.cast("int"))
     // min==max over the column's own type; compare as string to keep a
     // uniform output row type (safe: equality of min/max of same column).
@@ -59,7 +64,14 @@ object Inference {
     )
   }
 
-  /** Classify every column of `df` (or `cols` if given) in one job. */
+  /** Classify every column of `df` (or `cols` if given).
+    *
+    * One fused aggregation job computes every counter with HLL distinct
+    * counts. With `exact = true`, exact distinct counts are computed as
+    * one ADDITIONAL job per column, submitted concurrently: each job is
+    * a single-distinct two-phase aggregate over a column-pruned scan —
+    * N cheap parallel jobs instead of one Expand-multiplied scan.
+    */
   def classify(
       df: DataFrame,
       cols: Seq[String] = Seq.empty,
@@ -69,13 +81,28 @@ object Inference {
       if (cols.isEmpty) df.schema.fields.toSeq
       else df.schema.fields.toSeq.filter(f => cols.contains(f.name))
     val aggs = count(lit(1)).cast("long").as("__total") +:
-      fields.flatMap(statsExprs(_, exact))
+      fields.flatMap(statsExprs)
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val total    = row.getAs[Long]("__total")
 
+    val exactDistinct: Map[String, Long] =
+      if (!exact) Map.empty
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val futs = fields.map { f =>
+          Future(f.name ->
+            df.select(col(f.name)).agg(countDistinct(col(f.name)))
+              .collect()(0).getLong(0))
+        }
+        Await.result(Future.sequence(futs), Duration.Inf).toMap
+      }
+
     val stats = fields.map { f =>
       val nn   = row.getAs[Long](s"${f.name}__nn")
-      val nd   = row.getAs[Long](s"${f.name}__nd")
+      val nd   = exactDistinct.getOrElse(f.name,
+        row.getAs[Long](s"${f.name}__nd"))
       val hn   = Option(row.getAs[Any](s"${f.name}__hn")).exists(_ == 1)
       val cst  = Option(row.getAs[Any](s"${f.name}__cst")).exists(_ == 1)
       val cab  = Option(row.getAs[Any](s"${f.name}__cast"))

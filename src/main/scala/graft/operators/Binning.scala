@@ -167,8 +167,8 @@ final case class GroupedBinning(
     val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
     val table = stats.map { r =>
       val (lo, hi) =
-        if (r.getLong(2) < minGroupSize) (glo, ghi)
-        else (r.getDouble(1), r.getDouble(2))
+        if (r.getAs[Long]("__n") < minGroupSize) (glo, ghi)
+        else (r.getAs[Double]("__lo"), r.getAs[Double]("__hi"))
       (r.getString(0), lo, (hi - lo) / bins)
     }.toSeq.toDF("__g", "__lo", "__w")
     val joined = df.join(broadcast(table),
