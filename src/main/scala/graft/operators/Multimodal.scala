@@ -79,8 +79,11 @@ object Multimodal {
     */
   def fakeDecode(bytes: Array[Byte]): Seq[Any] = {
     val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
-    Seq((h % 1920 + 1).toInt, (h % 1080 + 1).toInt,
-      (bytes.length / 16 + 1))
+    // Seq[Any] on purpose: a bare Seq(Int, Int, Long) numerically
+    // widens every element to Long, breaking the declared IntegerType
+    // fields at encode time.
+    Seq[Any]((h % 1920 + 1).toInt, (h % 1080 + 1).toInt,
+      (bytes.length / 16 + 1).toLong)
   }
 
   val fakeDecodeSchema: StructType = StructType(Seq(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark and scala pipelines xyzzy")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per key with counts") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // docs 1,2 identical
+    assert(out(3L) == 1L)
+    assert(out(4L) == 1L)
+  }
+
+  test("fingerprint dedup groups case/punct variants") {
+    val df = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val out = Dedup.byFingerprint(df, "text", "doc_id")
+    assert(out.count() == 2)
+    assert(out.filter(col("n_dups") === 2).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("minhash: identical docs pair with est_jaccard 1.0") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 1.0)
+    // the unrelated doc 4 never pairs with anything
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val sig = docs.select(
+      Dedup.minhashSignature(col("text"), 16, 5).as("s"))
+    val a = sig.collect().map(_.getSeq[Long](0))
+    val b = sig.collect().map(_.getSeq[Long](0))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated far apart") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("hammingDistance counts differing bits") {
+    val df = Seq((0xffL, 0x0fL)).toDF("a", "b")
+    val d = df.select(Dedup.hammingDistance(col("a"), col("b")))
+      .collect()(0).getInt(0)
+    assert(d == 4)
+  }
+
+  test("ngram jaccard finds high-overlap pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // 1 vs 3 differ in one word -> some 3-grams differ
+    val p13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(p13.forall(p => p._3 < 1.0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

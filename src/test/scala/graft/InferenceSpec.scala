@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.{ColumnKind, Inference}
+
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kinds: numeric, bool, string, mixed, all-castable string") {
+    val df = Seq(
+      (1.0, true, "abc", "12", "1.5x"),
+      (2.0, false, "def", "34", "2.5")
+    ).toDF("num", "boo", "str", "numstr", "mix")
+    val c = Inference.classify(df)
+    assert(c.kinds("num") == ColumnKind.Numerical)
+    assert(c.kinds("boo") == ColumnKind.Bool)
+    assert(c.kinds("str") == ColumnKind.Str)
+    // all values castable -> the string column is "actually numeric"
+    assert(c.kinds("numstr") == ColumnKind.Numerical)
+    // partially castable -> mixed (the repair target)
+    assert(c.kinds("mix") == ColumnKind.Mixed)
+    assert(c.toBeFixedCols == Set("mix"))
+  }
+
+  test("{0,1}-valued columns promote to bool") {
+    val df = Seq((0, "1"), (1, "0"), (0, "1")).toDF("zeroone", "zos")
+    val c  = Inference.classify(df)
+    assert(c.kinds("zeroone") == ColumnKind.Bool)
+    assert(c.kinds("zos") == ColumnKind.Bool)
+  }
+
+  test("constant detection counts null as a value") {
+    val df = Seq(
+      (Some(5.0), Option.empty[Double], Some(5.0), Some(1.0)),
+      (Some(5.0), Option.empty[Double], Option.empty[Double], Some(2.0))
+    ).toDF("const", "allnull", "constWithNull", "varying")
+    val c = Inference.classify(df)
+    assert(c.constantCols.contains("const"))
+    assert(c.constantCols.contains("allnull"))
+    // 5.0 and null are TWO distinct values under nunique(dropna=False)
+    assert(!c.constantCols.contains("constWithNull"))
+    assert(!c.constantCols.contains("varying"))
+  }
+
+  test("categorical heuristic: nunique < 7 or < notnull/300") {
+    val few  = (1 to 100).map(i => ("cat" + (i % 3), i.toDouble))
+    val many = (1 to 100).map(i => ("val" + i, i.toDouble))
+    val cFew  = Inference.classify(few.toDF("c", "v"))
+    val cMany = Inference.classify(many.toDF("c", "v"))
+    assert(cFew.categoricalCols.contains("c"))
+    assert(!cMany.categoricalCols.contains("c"))
+  }
+
+  test("exact=true matches exact distinct counts without Expand") {
+    val df = Seq.tabulate(50)(i => (i % 7, i % 11, "s" + i % 13))
+      .toDF("a", "b", "c")
+    val cls = Inference.classify(df, exact = true)
+    assert(cls.stats("a").nDistinct == 7)
+    assert(cls.stats("b").nDistinct == 11)
+    assert(cls.stats("c").nDistinct == 13)
+  }
+}

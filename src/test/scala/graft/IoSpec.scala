@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.GraftDataset
+import graft.operators.FillNA
+import graft.sources.Io
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readCsv: all-string schema, empty cells -> null") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f   = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath, "a,b\n1,x\n,y\n2,\n")
+    val df = Io.readCsv(spark, f.getPath).get
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = df.collect().map(r =>
+      (Option(r.getString(0)), Option(r.getString(1))))
+    assert(rows.toSet == Set(Some("1") -> Some("x"), None -> Some("y"),
+      Some("2") -> None))
+  }
+
+  test("readCsv on a missing file is a Failure, not an exception") {
+    assert(Io.readCsv(spark, "/tmp/definitely_missing_xyz.csv")
+      .isFailure)
+  }
+
+  test("datasetFromCsv casts numeric-classified strings") {
+    val dir = Files.createTempDirectory("graft_csv2").toFile
+    val f   = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath, "num,mix,s\n1.5,x1,a\n2.5,2,b\n")
+    val ds = Io.datasetFromCsv(spark, f.getPath).get
+    assert(ds.data.schema("num").dataType.typeName == "double")
+    assert(ds.data.schema("mix").dataType.typeName == "string")
+  }
+
+  test("dataset round-trip preserves data, metadata cols and history") {
+    val dir = Files.createTempDirectory("graft_ds").toFile.getPath + "/out"
+    val ds  = FillNA(Seq("c"), "x")(
+      GraftDataset(Seq(Some("a"), None).toDF("c"), Set("c")))
+    Io.writeDataset(ds, dir)
+    val back = Io.readDataset(spark, dir)
+    assert(back.data.select("c").as[String].collect().sorted.toSeq ==
+      Seq("a", "x"))
+    assert(back.metadataCols == Set("c"))
+    // refuses to overwrite unless asked
+    intercept[IllegalArgumentException] { Io.writeDataset(ds, dir) }
+    Io.writeDataset(ds, dir, overwrite = true)
+  }
+
+  test("writeCsv single-file mode") {
+    val dir = Files.createTempDirectory("graft_out").toFile.getPath + "/csv"
+    Io.writeCsv(Seq(("a", 1)).toDF("c", "n"), dir, single = true)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, "spark pipelines"))
+    .toDF("doc_id", "text")
+
+  test("mediaFromText produces the canonical (id, content, meta) schema") {
+    val m = Multimodal.mediaFromText(docs, "doc_id", "text")
+    assert(m.columns.toSeq == Seq("media_id", "content", "meta"))
+    assert(m.schema("content").dataType.typeName == "binary")
+    val r = m.filter(col("media_id") === 1L).select("meta.byte_len")
+      .collect()(0).getLong(0)
+    assert(r == "hello world".getBytes("UTF-8").length)
+  }
+
+  test("contentFeatures: deterministic content id") {
+    val m = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val feats = Multimodal.contentFeatures(col("content"))
+    val out = m.select(feats.map { case (n, c) => c.as(n) }: _*)
+    val ids = out.select("content_id").as[String].collect()
+    assert(ids.distinct.length == 2)
+    assert(ids.forall(_.length == 64)) // sha-256 hex
+  }
+
+  test("decodeBatches appends decoder output columns per row") {
+    val m = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val out = Multimodal.decodeBatches(m, "content",
+      Multimodal.fakeDecodeSchema)(Multimodal.fakeDecode)
+    assert(out.count() == 2)
+    assert(out.columns.contains("dec_width"))
+    assert(out.select("n_frames").as[Long].collect().forall(_ >= 1))
+  }
+
+  test("sampleFrames explodes every stride-th frame with byte slices") {
+    val df = Seq((1L, Array.fill[Byte](32)(7))).toDF("id", "content")
+    val out = Multimodal.sampleFrames(df, "content", frameBytes = 8,
+      stride = 2)
+    // 4 frames, stride 2 -> frame_idx 0 and 2
+    assert(out.select("frame_idx").as[Int].collect().toSeq == Seq(0, 2))
+    val fb = out.select("frame_bytes").as[Array[Byte]].collect()
+    assert(fb.forall(_.length == 8))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal to 1
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineQ: identical vectors -> 1.0, orthogonal -> 0.0") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), Seq(-2.0f, 1.0f)))
+      .toDF("a", "b", "o")
+    val r = df.select(
+      Similarity.cosineQ(Similarity.quantize(col("a")),
+        Similarity.quantize(col("b"))).as("same"),
+      Similarity.cosineQ(Similarity.quantize(col("a")),
+        Similarity.quantize(col("o"))).as("orth")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 2L, 1))) // nearest is the near-dup
+    assert(!out.exists(_._2 == 1L)) // never itself
+  }
+
+  test("lshTopK: near-identical vectors share a bucket and rank first") {
+    val out = Similarity.lshTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      dim = 4, k = 2, planes = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // recall is approximate, but the near-dup MUST fall in the same
+    // bucket (identical up to 1% -> same side of every hyperplane
+    // with these margins) and rank first.
+    assert(out.exists(p => p._2 == 2L && p._3 == 1))
+  }
+
+  test("cosineDupPairs finds only the near-duplicate pair") {
+    val pairs = Similarity.cosineDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("quantized dot is exact int64 arithmetic") {
+    val df = Seq((Seq(0.001f, 0.002f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val d = df.select(Similarity.dotQ(Similarity.quantize(col("a")),
+      Similarity.quantize(col("b")))).collect()(0).getLong(0)
+    assert(d == 3000L) // (1 + 2) milli-units × 1000 milli-units
+  }
+}

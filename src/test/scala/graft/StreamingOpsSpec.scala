@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowedEventStats: hour windows equal date_trunc semantics") {
+    val df = Seq(
+      (ts(5), "click", 1.0), (ts(59), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:01:00"), "click", 3.0),
+      (ts(10), "view", 1.0)).toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedEventStats(df, "1 hour")
+      .select("win_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(out == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L)))
+  }
+
+  test("finalizeSessions splits on gaps > gapMs") {
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)),   // session 1
+      (1L, ts(30)), (1L, ts(31)),              // session 2 (28-min gap)
+      (2L, ts(0))                              // other user
+    ).toDF("user_id", "ts")
+    val out = StreamingOps.finalizeSessions(spark, df, gapMs = 5 * 60 * 1000)
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("sessionize (stateful streaming op) agrees with batch finalize") {
+    // Drive the actual flatMapGroupsWithState op through a memory
+    // stream — the same op a production readStream would run.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData((1L, ts(0)), (1L, ts(1)), (1L, ts(30)))
+    val sessions = StreamingOps.sessionize(spark,
+      mem.toDF().toDF("user_id", "ts"), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the first session (2 events) closes when the 10:30 event arrives
+      val done = spark.table("sess_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+      assert(done.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+}
