@@ -132,6 +132,15 @@ object SparkEntry {
         col("ID_OWNER"))
     }),
 
+    // ----- B7 encode_single_categorical_column: Nan category joins the
+    // dictionary, initcap case folding, original nulls restored
+    "q_encode_categorical" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      EncodeSingleCategorical("seg", "ordinal")(c)
+    }),
+
     // ----- B1 threshold binning
     "q_binning" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
@@ -282,6 +291,27 @@ object SparkEntry {
       s"""SELECT c_custkey, c_mktsegment,
          sha256('$noncePre' || c_name || '$nonceSuf') AS "ID_OWNER"
          FROM customer""",
+
+    // Dictionary = sorted distinct of the title-cased values plus the
+    // 'Nan' placeholder (single-word values: initcap ==
+    // upper(first)||lower(rest)); originally-null rows restore to null.
+    "q_encode_categorical" ->
+      """WITH src AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+           FROM customer),
+         norm AS (
+           SELECT c_custkey, seg,
+             CASE WHEN seg IS NULL THEN 'Nan'
+                  ELSE concat(upper(substring(seg, 1, 1)),
+                              lower(substring(seg, 2))) END AS t
+           FROM src),
+         dict AS (
+           SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS code
+           FROM (SELECT DISTINCT t FROM norm) u)
+         SELECT c_custkey, seg,
+           CASE WHEN seg IS NULL THEN NULL ELSE code END AS seg_enc
+         FROM norm JOIN dict USING (t)""",
 
     "q_binning" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,

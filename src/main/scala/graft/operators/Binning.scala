@@ -103,10 +103,8 @@ final case class CombineCategoricalColumns(
 
   protected def transform(df: DataFrame): DataFrame = {
     val dicts: Seq[Map[String, Long]] = columns.map { c =>
-      df.select(col(c).cast("string")).filter(col(c).isNotNull)
-        .distinct().orderBy(col(c)).collect()
-        .map(_.getString(0)).zipWithIndex
-        .map { case (v, i) => (v, i.toLong) }.toMap
+      DictionaryFit.sortedDistinct(df, col(c))
+        .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toMap
     }
     val strides = dicts.map(_.size.toLong)
       .scanRight(1L)(_ * _).tail // stride_i = Π_{j>i} |dict_j|

@@ -27,13 +27,7 @@ final case class OneHotEncoder(
     categoriesOut.map(cat => s"${columns.head}_$cat$derivedColumnSuffix")
 
   private def fit(df: DataFrame): Seq[String] =
-    df.select(col(columns.head).cast("string"))
-      .filter(col(columns.head).isNotNull)
-      .distinct()
-      .orderBy(col(columns.head))
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    DictionaryFit.sortedDistinct(df, col(columns.head))
 
   protected def transform(df: DataFrame): DataFrame = {
     val src  = columns.head
@@ -69,15 +63,8 @@ final case class OrdinalEncoder(
   require(columns.size == 1, "OrdinalEncoder operates on one column")
 
   private def fit(df: DataFrame): Seq[(String, Long)] =
-    df.select(col(columns.head).cast("string"))
-      .filter(col(columns.head).isNotNull)
-      .distinct()
-      .orderBy(col(columns.head))
-      .collect()
-      .map(_.getString(0))
-      .zipWithIndex
-      .map { case (v, i) => (v, i.toLong) }
-      .toSeq
+    DictionaryFit.sortedDistinct(df, col(columns.head))
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }
 
   protected def transform(df: DataFrame): DataFrame = {
     val src     = columns.head

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftDataset
+import graft.operators._
+
+class FeatureFixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(Some("RED"), Some("red"), Some("Blue"), None)
+    .toDF("c")
+
+  test("ordinal: Nan joins dictionary, case folds, nulls restored") {
+    val out = EncodeSingleCategorical("c", "ordinal")(df)
+    // title-cased dictionary: Blue=0, Nan=1, Red=2
+    val got = out.collect().map(r => (Option(r.getString(0)),
+      if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSet == Set(
+      (Some("RED"), Some(2L)), (Some("red"), Some(2L)),
+      (Some("Blue"), Some(0L)), (None, None)))
+  }
+
+  test("onehot: Nan-derived column dropped, null rows all-null") {
+    val out = EncodeSingleCategorical("c", "onehot")(df)
+    assert(out.columns.toSeq == Seq("c", "c_Blue_enc", "c_Red_enc"))
+    val nullRow = out.filter(col("c").isNull).collect()(0)
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
+    val red = out.filter(col("c") === "red").collect()(0)
+    assert(!red.getBoolean(1) && red.getBoolean(2))
+  }
+
+  test("case-sensitive mode keeps distinct capitalizations") {
+    val out = EncodeSingleCategorical("c", "ordinal",
+      caseSensitive = true)(df)
+    // dictionary: Blue=0, Nan=1, RED=2, red=3
+    val m = out.filter(col("c").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("Blue" -> 0L, "RED" -> 2L, "red" -> 3L))
+  }
+
+  test("skips numeric and already-encoded columns unless forced") {
+    val num = Seq(1.0, 2.0).toDF("c")
+    assert(EncodeSingleCategorical("c")(num).columns.toSeq == Seq("c"))
+    assert(EncodeSingleCategorical("c", force = true)(num)
+      .columns.contains("c_enc"))
+    val enc = Seq(("a", 0L)).toDF("c", "c_enc")
+    assert(EncodeSingleCategorical("c")(enc).columns.size == 2)
+  }
+
+  test("applied op records the encoded_values_map") {
+    val ds = GraftDataset(df)
+    val out = EncodeSingleCategorical("c", "ordinal")(ds)
+    val op = out.history(0).asInstanceOf[EncodeSingleCategorical]
+    assert(op.encodedValuesMap ==
+      Map(0L -> "Blue", 1L -> "Nan", 2L -> "Red"))
+  }
+
+  test("encodeMultiCategorical: defaults to string-categorical columns") {
+    val d = Seq(("a", "x", 1.0), ("b", "y", 2.0), ("a", "x", 3.0))
+      .toDF("c1", "c2", "num")
+    val out = FeatureFix.encodeMultiCategorical(GraftDataset(d))
+    assert(out.data.columns.contains("c1_enc"))
+    assert(out.data.columns.contains("c2_enc"))
+    assert(!out.data.columns.contains("num_enc"))
+    assert(out.history.size == 2)
+  }
+
+  test("encodeMultiCategorical rejects non-categorical requests") {
+    val d = (1 to 3000).map(i => ("v" + i, "x")).toDF("big", "small")
+    intercept[IllegalArgumentException] {
+      FeatureFix.encodeMultiCategorical(GraftDataset(d), Seq("big"))
+    }
+  }
+
+  test("dictionary fit refuses unbounded cardinality") {
+    val big = (1 to 20001).map(i => "v" + i).toDF("c")
+    intercept[IllegalArgumentException] {
+      OrdinalEncoder(Seq("c"))(big)
+    }
+  }
+}
