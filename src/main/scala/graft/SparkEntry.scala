@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftDataset, Inference}
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.operators._
 import graft.streaming.StreamingOps
 
@@ -210,6 +210,41 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ----- near-dup: MinHash + LSH banding over char shingles
+    "q_minhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashDupPairs(d, "doc_id", "text")
+    }),
+
+    // ----- near-dup: 60-bit SimHash with 15-bit chunk blocking
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxDist = 8)
+    }),
+
+    // ----- near-dup: word-3-gram Jaccard, df-capped inverted index
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.8)
+    }),
+
+    // ----- ANN: brute-force quantized-cosine top-10 over embeddings
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ----- near-dup: banded hyperplane-LSH cosine pairs (recall-tuned
+    // band shape for this corpus; scale defaults documented on the op)
+    "q_cosine_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineDupPairs(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.4, bands = 8, planesPerBand = 4)
     })
   )
 
@@ -384,5 +419,152 @@ object SparkEntry {
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents"""
+  ) ++ Map(
+    "q_minhash_pairs" -> minhashOracle,
+    "q_simhash_pairs" -> simhashOracle,
+    "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_ann_topk"      -> annTopKOracle,
+    "q_cosine_dup"    -> cosineDupOracle
   )
+
+  // ------------------------------------------------------------------
+  // Generated oracles for the LLM-pipeline queries. The library's
+  // hashing was built on md5 precisely so DuckDB can replicate it; the
+  // permutation/hyperplane constants are generated HERE from the same
+  // deterministic seeds the Spark operators use and embedded as SQL
+  // literals.
+  // ------------------------------------------------------------------
+
+  /** DuckDB mirror of HashFunctions.stableHash60: first 15 md5 hex chars
+    * base-16-decoded, as an expression over lambda variable `v`.
+    */
+  private def sqlHash60(v: String): String =
+    s"list_sum(list_transform(generate_series(1, 15), q -> " +
+    s"(strpos('0123456789abcdef', substring(md5($v), q, 1)) - 1)::BIGINT" +
+    s" << (4 * (15 - q))))"
+
+  /** Char 5-shingle hashes of `text` (mirrors TextFunctions.charShingles
+    * + stableHash60).
+    */
+  private def sqlShingleHashes: String =
+    "list_transform(list_transform(" +
+    "generate_series(1, greatest(length(text) - 4, 1)), " +
+    "i -> substring(text, i, 5)), s -> " + sqlHash60("s") + ")"
+
+  /** Whitespace-token hashes of `text`. */
+  private def sqlTokenHashes: String =
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), s -> " +
+      sqlHash60("s") + ")"
+
+  private def minhashOracle: String = {
+    val P = H.Prime
+    val sigEntries = H.permutationSeeds(16, 42L).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> ($a * (x % $P) + $b) % $P))"
+    }.mkString(",\n           ")
+    val bandExprs = (0 until 4).map { bi =>
+      s"md5(array_to_string(sig[${bi * 4 + 1}:${bi * 4 + 4}], ','))"
+    }.mkString(", ")
+    s"""WITH hashes AS (SELECT doc_id, $sqlShingleHashes AS h FROM documents),
+       sigs AS (SELECT doc_id, [$sigEntries] AS sig FROM hashes),
+       banded AS (SELECT doc_id, sig, [$bandExprs] AS bands FROM sigs)
+       SELECT id_a, id_b, est_jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+             / 16 AS est_jaccard
+         FROM banded a JOIN banded b
+           ON a.doc_id < b.doc_id AND list_has_any(a.bands, b.bands)) p
+       WHERE est_jaccard >= 0.5"""
+  }
+
+  private def simhashOracle: String = {
+    val shExpr =
+      "list_sum(list_transform(generate_series(0, 59), j -> " +
+      "CASE WHEN list_sum(list_transform(h, x -> " +
+      "CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+      "THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
+    val chunkCond = (0 until 4).map(i =>
+      s"((a.sh >> ${i * 15}) & 32767) = ((b.sh >> ${i * 15}) & 32767)")
+      .mkString(" OR ")
+    s"""WITH hashes AS (SELECT doc_id, $sqlTokenHashes AS h FROM documents),
+       sh AS (SELECT doc_id, $shExpr AS sh FROM hashes)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ($chunkCond)
+       WHERE bit_count(xor(a.sh, b.sh)) <= 8"""
+  }
+
+  private def ngramJaccardOracle: String =
+    """WITH toks AS (SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+       grams AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(tk) - 2, 1)),
+         i -> array_to_string(tk[i:i+2], ' '))) AS g FROM toks),
+       inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+       freq AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
+       kept AS (SELECT doc_id, gram FROM inv JOIN freq USING (gram)
+         WHERE df <= 1000),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b,
+           len(list_intersect(ga.g, gb.g))::DOUBLE /
+             (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+             AS jaccard
+         FROM cand JOIN grams ga ON ga.doc_id = cand.id_a
+                   JOIN grams gb ON gb.doc_id = cand.id_b) v
+       WHERE jaccard >= 0.8"""
+
+  /** Quantize mirror: milli-unit int64 vector. */
+  private def sqlQuantize(v: String): String =
+    s"list_transform($v, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT))"
+
+  private def sqlDotQ(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+
+  private def annTopKOracle: String = {
+    val dot = sqlDotQ("qv", "cv", 64)
+    val naa = sqlDotQ("qv", "qv", 64)
+    val nbb = sqlDotQ("cv", "cv", 64)
+    s"""WITH q AS (SELECT vec_id AS query_id,
+         ${sqlQuantize("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id, ${sqlQuantize("embedding")} AS cv
+         FROM embeddings),
+       scored AS (
+         SELECT query_id, vec_id AS neighbor_id,
+           $dot::DOUBLE / sqrt($naa::DOUBLE * $nbb::DOUBLE) AS cosine
+         FROM q JOIN c ON query_id <> vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) s
+       WHERE rank <= 10"""
+  }
+
+  private def cosineDupOracle: String = {
+    // mirror of the query's bands = 8, planesPerBand = 4 configuration:
+    // band bi uses planes bi*4 .. bi*4+3; bucket = Σ sign-bit << k
+    val bandExprs = (0 until 8).map { bi =>
+      val bits = (0 until 4).map { k =>
+        val weights = (0 until 64)
+          .map(j => Similarity.planeComponent(bi * 4 + k, j))
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> qv[i] * ($weights)[i])) >= 0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"concat('$bi', ':', ($bits)::VARCHAR)"
+    }.mkString(",\n         ")
+    val dot = sqlDotQ("a.qv", "b.qv", 64)
+    val naa = sqlDotQ("a.qv", "a.qv", 64)
+    val nbb = sqlDotQ("b.qv", "b.qv", 64)
+    s"""WITH q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+         FROM embeddings),
+       bucketed AS (SELECT vec_id, qv,
+         [$bandExprs] AS bkeys FROM q)
+       SELECT id_a, id_b, cosine FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           $dot::DOUBLE / sqrt($naa::DOUBLE * $nbb::DOUBLE) AS cosine
+         FROM bucketed a JOIN bucketed b
+           ON a.vec_id < b.vec_id AND list_has_any(a.bkeys, b.bkeys)) p
+       WHERE cosine >= 0.4"""
+  }
 }

@@ -70,19 +70,32 @@ object Dedup {
     *
     * Shuffle profile: explode of (band-key, id, sig) → group by band
     * key → within-bucket pairs. Documents themselves never shuffle.
+    *
+    * Scale bound: buckets larger than `maxBucket` are DROPPED from
+    * candidate generation (a degenerate band key — empty/boilerplate
+    * documents — would otherwise go quadratic: a band shared by 1% of
+    * a corpus creates (N/100)² candidate pairs). Within-bucket work is
+    * therefore ≤ maxBucket² per bucket, linear in bucket count. The cap
+    * is far above any honest near-dup cluster; raise it only with a
+    * matching increase in executor memory.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleLen: Int = 5, bands: Int = 4,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucket: Long = 10000L): DataFrame = {
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, shingleLen, seed).as("sig"))
     val exploded = withSig
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val a = exploded.select(col("band"), col("id").as("id_a"),
+    val keptKeys = exploded.groupBy("band")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket).select("band")
+    val kept = exploded.join(keptKeys, Seq("band"))
+    val a = kept.select(col("band"), col("id").as("id_a"),
       col("sig").as("sig_a"))
-    val b = exploded.select(col("band"), col("id").as("id_b"),
+    val b = kept.select(col("band"), col("id").as("id_b"),
       col("sig").as("sig_b"))
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
@@ -98,9 +111,13 @@ object Dedup {
 
   /** SimHash over whitespace tokens: bit j of the result is set iff the
     * sum over tokens of ±1 (by bit j of the token's hash) is positive.
-    * `bits` ≤ 60 keeps the value positive in an int64. Pure expression.
+    * Default 60 bits — the full usable width of a non-negative int64 —
+    * so chunk blocking gets 4×15-bit chunks (32,768 buckets each)
+    * instead of the 256 an 8-bit chunking would give: expected bucket
+    * size N/32768, which keeps within-bucket all-pairs sub-quadratic at
+    * corpus scale. Pure expression, no shuffle.
     */
-  def simhash(textCol: Column, bits: Int = 32): Column = {
+  def simhash(textCol: Column, bits: Int = 60): Column = {
     val hashes = transform(T.tokens(textCol), t => H.stableHash60(t))
     val bitCols = (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0L),
@@ -111,29 +128,36 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash values (bit-sparse popcount
-    * via the binary string — built-in expressions only).
-    */
+  /** Hamming distance between two simhash values (codegen'd popcount). */
   def hammingDistance(a: Column, b: Column): Column =
-    length(regexp_replace(bin(a.bitwiseXOR(b)), "0", ""))
+    bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs: block on the four 8-bit chunks of the
-    * 32-bit simhash (two near-dup docs differing in ≤ maxDist < 8 bits
-    * must agree on at least one chunk — the standard pigeonhole
-    * blocking), verify by Hamming distance.
+  /** SimHash near-dup pairs: block on the four 15-bit chunks of the
+    * 60-bit simhash (two docs differing in ≤ maxDist < 4 chunks' worth
+    * of bits must agree on at least one chunk — pigeonhole blocking),
+    * verify by Hamming distance.
+    *
+    * Scale bound: 4×2^15 = 131k buckets; buckets above `maxBucket` are
+    * dropped from candidate generation (see [[minhashDupPairs]]), so no
+    * stage is quadratic in corpus size.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       simhash(col(textCol)).as("sh"))
     val chunks = array((0 until 4).map(i =>
       concat_ws(":", lit(i),
-        (shiftright(col("sh"), i * 8) % 256).cast("string"))): _*)
+        (shiftright(col("sh"), i * 15).bitwiseAND(lit(32767L)))
+          .cast("string"))): _*)
     val exploded = withSh.select(col("id"), col("sh"),
       explode(chunks).as("chunk"))
-    val a = exploded.select(col("chunk"), col("id").as("id_a"),
+    val keptKeys = exploded.groupBy("chunk")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket).select("chunk")
+    val kept = exploded.join(keptKeys, Seq("chunk"))
+    val a = kept.select(col("chunk"), col("id").as("id_a"),
       col("sh").as("sh_a"))
-    val b = exploded.select(col("chunk"), col("id").as("id_b"),
+    val b = kept.select(col("chunk"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -145,28 +169,42 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram jaccard
 
-  /** Word-n-gram Jaccard near-dup pairs via the inverted-index join:
-    * explode distinct n-grams, self-join on the gram, count shared grams
-    * per pair, jaccard = shared / (|A| + |B| − shared). Never builds the
-    * full cross product — only pairs sharing ≥1 gram materialize.
+  /** Word-n-gram Jaccard near-dup pairs, candidate-generate-then-verify:
+    *
+    *  1. inverted index over distinct n-grams, PRUNED of grams with
+    *     document frequency > `dfCap` — an ungated index is the classic
+    *     quadratic blow-up (a boilerplate/stopword gram shared by 1% of
+    *     a 100 TB corpus creates a near-cartesian group). Per-gram work
+    *     is thus ≤ dfCap² and linear in gram count;
+    *  2. candidate pairs = ids sharing ≥ 1 surviving gram (ids only —
+    *     documents never shuffle in this stage);
+    *  3. EXACT verification: candidates join back to the (bounded)
+    *     per-doc gram arrays and jaccard = |A∩B| / |A∪B| is computed on
+    *     the full sets, so the cap can only lose candidates whose every
+    *     shared gram is corpus-common — never report a wrong score.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 1000L)
+      : DataFrame = {
     val grams = df.select(col(idCol).as("id"),
       array_distinct(T.wordNGrams(col(textCol), n)).as("grams"))
-    val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
     val inv = grams.select(col("id"), explode(col("grams")).as("gram"))
-    val shared = inv.as("x").join(inv.as("y"), Seq("gram"))
+    val keptGrams = inv.groupBy("gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("gram")
+    val kept = inv.join(keptGrams, Seq("gram"))
+    val cand = kept.as("x").join(kept.as("y"), Seq("gram"))
       .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_grams", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_grams", "n_b"), "id_b")
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("__ga"), col("__gb")))
+    cand
+      .join(grams.select(col("id").as("id_a"), col("grams").as("__ga")),
+        Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("__gb")),
+        Seq("id_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

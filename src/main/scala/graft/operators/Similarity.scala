@@ -70,31 +70,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits, each from a
-    * deterministic pseudo-random hyperplane (component j of plane p =
-    * (hash60(p:j) mod 2001 − 1000) — fixed by construction, no RNG
-    * state, identical on every engine).
+  /** Random-hyperplane LSH sign bits over the QUANTIZED vector with
+    * INTEGER plane weights: dot products are exact int64 arithmetic, so
+    * a bucket id is bit-identical on every engine and partitioning (a
+    * float dot near zero could flip sign under a different summation
+    * order — integer dots cannot). Plane p's bit occupies 1<<p of the
+    * result. `planeOffset` selects a disjoint plane family per band.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int,
+      planeOffset: Int = 0): Column = {
+    val qv = quantize(vec)
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(vec,
-          array((0 until dim).map(j =>
-            lit(planeComponent(p, j))): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), _ + _)
+      val w = array((0 until dim).map(j =>
+        lit(planeComponent(planeOffset + p, j))): _*)
+      val dot = aggregate(zip_with(qv, w, (x, ww) => x * ww),
+        lit(0L), _ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Deterministic hyperplane component in [−1000, 1000]. */
-  def planeComponent(plane: Int, j: Int): Double = {
+  /** Deterministic integer hyperplane component in [−1000, 1000]
+    * (md5 of "plane:j" — no RNG state, identical on every engine).
+    */
+  def planeComponent(plane: Int, j: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$plane:$j".getBytes("UTF-8"))
     val h = java.lang.Long.parseLong(
       md.take(7).map("%02x".format(_)).mkString, 16)
-    (h % 2001L - 1000L).toDouble
+    h % 2001L - 1000L
   }
 
   /** ANN via hyperplane buckets: candidates = corpus vectors in the
@@ -121,22 +125,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket both sides by the
-    * hyperplane LSH, all-pairs within buckets only, verify by exact
-    * quantized cosine ≥ threshold. (The near-dup variant of lshTopK.)
+  /** Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
+    * (multi-probe recall without giant buckets): `bands` independent
+    * plane families of `planesPerBand` bits each; docs sharing ANY
+    * band's bucket are candidates, verified by exact quantized cosine
+    * ≥ threshold, deduplicated.
+    *
+    * Scale bounds: expected bucket size is N/2^planesPerBand per band
+    * (4096 buckets at the default 12 bits — not the 64 of a single
+    * 6-bit bucketing); buckets above `maxBucket` are dropped from
+    * candidate generation, so no stage is quadratic in corpus size.
+    * Recall for a pair at angle θ is 1 − (1 − (1−θ/π)^planesPerBand)^bands.
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, planes: Int = 6): DataFrame = {
+      dim: Int, threshold: Double, bands: Int = 4,
+      planesPerBand: Int = 12, maxBucket: Long = 10000L): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("__bucket", hyperplaneBucket(col("v"), dim, planes))
-    val x = b.select(col("__bucket"), col("id").as("id_a"),
+    val bandKeys = array((0 until bands).map { bi =>
+      concat_ws(":", lit(bi),
+        hyperplaneBucket(col("v"), dim, planesPerBand,
+          planeOffset = bi * planesPerBand).cast("string"))
+    }: _*)
+    val exploded = b.withColumn("__bkey", explode(bandKeys))
+    val keptKeys = exploded.groupBy("__bkey")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket).select("__bkey")
+    val kept = exploded.join(keptKeys, Seq("__bkey"))
+    val x = kept.select(col("__bkey"), col("id").as("id_a"),
       col("v").as("va"))
-    val y = b.select(col("__bucket"), col("id").as("id_b"),
+    val y = kept.select(col("__bkey"), col("id").as("id_b"),
       col("v").as("vb"))
-    x.join(y, Seq("__bucket"))
+    x.join(y, Seq("__bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineQ(quantize(col("va")), quantize(col("vb"))).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }
