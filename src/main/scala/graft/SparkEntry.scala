@@ -38,6 +38,14 @@ object SparkEntry {
   // the reference's tests, anonymize_database.py:181).
   private val (noncePre, nonceSuf) = Anonymize.nonce(42L)
 
+  // Overlapped bins for q_overlap_binning: equal-width [0,120k) in 3
+  // bins widened by 10% of a neighbor width (Binning.overlappingRanges)
+  // — computed once here so the oracle embeds the identical literals.
+  private val OverlapRanges: Seq[(Int, Double, Double)] =
+    Binning.overlappingRanges(
+      Seq((0, 0.0, 40000.0), (1, 40000.0, 80000.0), (2, 80000.0, 120000.0)),
+      0.1)
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- A1-A8 aggregations / flagship
@@ -162,6 +170,22 @@ object SparkEntry {
         col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"))
       GroupedBinning("l_returnflag", "l_extendedprice", 5)(li)
+    }),
+
+    // ----- B4+B6: per-group GEOMETRIC binning (ratio 2 → threshold
+    // arithmetic is exact powers of two, portable across engines)
+    "q_grouped_binning_geo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      GroupedGeometricBinning("l_returnflag", "l_extendedprice", 5)(li)
+    }),
+
+    // ----- B5: row-duplicating overlapped-bins range join
+    "q_overlap_binning" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      OverlappingBinning(Seq("l_extendedprice"), OverlapRanges)(li)
     }),
 
     // ----- O7 bool→binary
@@ -386,6 +410,41 @@ object SparkEntry {
                MIN(l_extendedprice) OVER () AS gmn,
                MAX(l_extendedprice) OVER () AS gmx
              FROM lineitem) s1) s2""",
+
+    // Geometric (ratio-2) per-group bins: w0 = range/31 (2^5−1), bin =
+    // Σ (v > t_i) with thresholds built by the SAME left-associated
+    // accumulation as the driver (t_{i+1} = t_i + 2^i·w0) so the
+    // doubles match bit-for-bit.
+    "q_grouped_binning_geo" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         CASE WHEN l_extendedprice IS NULL OR l_returnflag IS NULL THEN NULL
+              ELSE (CASE WHEN l_extendedprice > lo + w THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice > lo + w + 2*w THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice > lo + w + 2*w + 4*w THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice > lo + w + 2*w + 4*w + 8*w THEN 1 ELSE 0 END)
+         END AS l_extendedprice_bin_id
+         FROM (
+           SELECT *, CASE WHEN cnt < 20 THEN gmn ELSE mn END AS lo,
+             (CASE WHEN cnt < 20 THEN gmx ELSE mx END
+              - CASE WHEN cnt < 20 THEN gmn ELSE mn END) * 1.0 / 31 AS w
+           FROM (
+             SELECT *,
+               MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,
+               MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx,
+               COUNT(l_extendedprice) OVER (PARTITION BY l_returnflag) AS cnt,
+               MIN(l_extendedprice) OVER () AS gmn,
+               MAX(l_extendedprice) OVER () AS gmx
+             FROM lineitem) s1) s2""",
+
+    "q_overlap_binning" -> {
+      val values = OverlapRanges.map { case (id, lo, hi) =>
+        s"($id, ${lo}, ${hi})"
+      }.mkString(", ")
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+         r.bin_id AS l_extendedprice_bin_id
+         FROM lineitem l JOIN (VALUES $values) r(bin_id, lo, hi)
+         ON l.l_extendedprice >= r.lo AND l.l_extendedprice <= r.hi"""
+    },
 
     "q_bool_to_binary" ->
       """SELECT l_orderkey, l_linenumber,

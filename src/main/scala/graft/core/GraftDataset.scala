@@ -40,6 +40,25 @@ final class GraftDataset(
     (c.numericalCols | c.boolCols) -- c.constantCols -- metadataCols
   }
 
+  /** P7 (reference dataset.py:576-593): positional ids → names. */
+  def columnNames(ids: Seq[Int]): Seq[String] = {
+    val cols = data.columns
+    ids.map { i =>
+      require(i >= 0 && i < cols.length,
+        s"column id $i out of range [0, ${cols.length})")
+      cols(i)
+    }
+  }
+
+  /** P8 (reference dataset.py:595-613): duplicated column names (Spark
+    * tolerates duplicates until a lookup becomes ambiguous — surface
+    * them eagerly).
+    */
+  def duplicatedColumns: Seq[String] =
+    data.columns.groupBy(identity).collect {
+      case (c, arr) if arr.length > 1 => c
+    }.toSeq.sorted
+
   def withData(newData: DataFrame): GraftDataset =
     new GraftDataset(newData, metadataCols, derivedCols, history,
       exactDistinct)

@@ -41,13 +41,16 @@ final case class OperationsList(
     forColumn(c).filter(_.columns.contains(c))
 
   /** Backward lineage; errors on 0 or >1 producers like the reference
-    * (operations_list.py:83-116).
+    * (operations_list.py:83-116, exceptions.py:4-35).
     */
   def originalColumnsFromDerived(c: String): Seq[String] = {
     val producers = operationsFromDerived(c)
-    require(producers.nonEmpty, s"no operation produced column '$c'")
-    require(producers.size == 1,
-      s"multiple operations produced column '$c'")
+    if (producers.isEmpty)
+      throw new OperationNotFoundException(
+        s"no operation produced column '$c'")
+    if (producers.size > 1)
+      throw new MultipleOperationsFoundException(
+        s"multiple operations produced column '$c'")
     producers.head.columns
   }
 

@@ -143,6 +143,87 @@ final case class MultipleCombinations(columns: Seq[String])
   * (|groups| rows — bounded) and applied as a BROADCAST join + arithmetic
   * projection, so the data itself is scanned once and never shuffled.
   */
+/** B4+B6 wired together: per-group binning on GEOMETRIC thresholds
+  * (reference breed_specific_bin_splitting.py:15-82 + :266-300 — the
+  * per-breed flow bins on geometrically widening bins with a fallback
+  * for small groups, not equal width). Same scale shape as
+  * [[GroupedBinning]]: one groupBy stats job, driver threshold table
+  * (|groups| × bins-1 doubles — bounded), broadcast join + a sum of
+  * codegen'd comparisons. Bin i covers (t_i, t_{i+1}]; values ≤ t_1 get
+  * bin 0, values > t_{bins-1} get bin bins−1.
+  */
+final case class GroupedGeometricBinning(
+    groupCol: String,
+    valueCol: String,
+    bins: Int,
+    ratio: Double = 2.0,
+    minGroupSize: Long = 20L
+) extends FeatureOperation {
+  def columns: Seq[String]        = Seq(groupCol, valueCol)
+  def derivedColumns: Seq[String] = Seq(s"${valueCol}_bin_id")
+
+  protected def transform(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val stats = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(min(col(valueCol)).cast("double").as("__lo"),
+        max(col(valueCol)).cast("double").as("__hi"),
+        count(col(valueCol)).as("__n"))
+      .collect()
+    val global = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).collect()(0)
+    val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
+    val table = stats.map { r =>
+      val (lo, hi) =
+        if (r.getAs[Long]("__n") < minGroupSize) (glo, ghi)
+        else (r.getAs[Double]("__lo"), r.getAs[Double]("__hi"))
+      val ts = Binning.geometricThresholds(lo, hi, bins, ratio)
+      (r.getString(0) +: ts.map(_.asInstanceOf[Any])).toSeq
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType) +:
+      (1 until bins).map(i => org.apache.spark.sql.types.StructField(
+        s"__t$i", org.apache.spark.sql.types.DoubleType)))
+    val tdf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(
+        table.toSeq.map(org.apache.spark.sql.Row.fromSeq)), schema)
+    val joined = df.join(broadcast(tdf),
+      col(groupCol).cast("string") === col("__g"), "left")
+    val id = when(col(valueCol).isNull || col("__g").isNull,
+        lit(null).cast("int"))
+      .otherwise((1 until bins).map(i =>
+        (col(valueCol) > col(s"__t$i")).cast("int")).reduce(_ + _))
+    joined.withColumn(derivedColumns.head, id)
+      .drop("__g" +: (1 until bins).map(i => s"__t$i"): _*)
+  }
+}
+
+/** B5 wired as the row-DUPLICATING overlapped-bins range join
+  * (reference breed_specific_bin_splitting.py:225-263,
+  * `create_df_with_overlapping_bins_single_breed`): each row lands in
+  * EVERY bin whose widened [lo, hi] range covers it — a deliberate
+  * explode. The ranges table is tiny and broadcast, so the fact side
+  * never shuffles; output size = Σ per-bin matches.
+  */
+final case class OverlappingBinning(
+    columns: Seq[String],
+    ranges: Seq[(Int, Double, Double)]
+) extends FeatureOperation {
+  require(columns.size == 1, "OverlappingBinning operates on one column")
+  def derivedColumns: Seq[String] = Seq(s"${columns.head}_bin_id")
+
+  protected def transform(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val c  = columns.head
+    val rt = ranges.toDF("__bin", "__lo", "__hi")
+    df.join(broadcast(rt),
+        col(c) >= col("__lo") && col(c) <= col("__hi"), "inner")
+      .withColumn(derivedColumns.head, col("__bin"))
+      .drop("__bin", "__lo", "__hi")
+  }
+}
+
 final case class GroupedBinning(
     groupCol: String,
     valueCol: String,

@@ -86,6 +86,40 @@ object RowFix {
     }
   }
 
+  /** A6 (reference row_fix.py:41-46): the DISTINCT values a plain
+    * numeric cast would lose — non-null before, null after. This is the
+    * set a data cleaner actually inspects; one column-pruned scan with
+    * a bounded-by-distinct aggregation.
+    */
+  def lostValues(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNotNull &&
+        col(column).try_cast("double").isNull)
+      .groupBy(col(column).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** R8 (reference row_fix.py:311-338): per-value error report — every
+    * offending value with its count, before ("before" = fails a plain
+    * cast) and after ("after" = survives the whole cascade unfixed)
+    * repair. One aggregation per phase per column, all column-pruned.
+    */
+  def errorReport(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "errorReport needs at least one column")
+    val frames = columns.flatMap { c =>
+      Seq(
+        df.filter(errorBeforeExpr(col(c)))
+          .groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(c).as("column"), lit("before").as("phase"),
+            col("value"), col("n")),
+        df.filter(unfixableExpr(col(c)))
+          .groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(c).as("column"), lit("after").as("phase"),
+            col("value"), col("n")))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Repair the given columns in one projection; returns the repaired
     * frame plus an audit frame `(column, errors_before, errors_after)`
     * computed in one aggregation (replacing the reference's Python-side

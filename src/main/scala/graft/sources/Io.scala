@@ -95,7 +95,9 @@ object Io {
     */
   def readDataset(spark: SparkSession, path: String): GraftDataset = {
     val p = java.nio.file.Paths.get(s"$path/lineage.json")
-    require(java.nio.file.Files.exists(p), s"$path is not a graft dataset")
+    if (!java.nio.file.Files.exists(p))
+      throw new graft.core.NotGraftDatasetException(
+        s"$path is not a graft dataset (no lineage.json)")
     val df   = spark.read.parquet(s"$path/data.parquet")
     val json = java.nio.file.Files.readString(p)
     val meta = "\"metadata_cols\":\\[(.*?)\\]".r
