@@ -18,6 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup pass: JVM/codegen/parquet-reader init would
+    // otherwise land entirely on whichever query runs first
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)", "count(distinct l_returnflag)")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val failures = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

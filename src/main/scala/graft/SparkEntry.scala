@@ -563,8 +563,9 @@ object SparkEntry {
        freq AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
        kept AS (SELECT doc_id, gram FROM inv JOIN freq USING (gram)
          WHERE df <= 1000),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id)
+       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3)
        SELECT id_a, id_b, jaccard FROM (
          SELECT id_a, id_b,
            len(list_intersect(ga.g, gb.g))::DOUBLE /

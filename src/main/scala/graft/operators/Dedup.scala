@@ -1,9 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Shared candidate-pair machinery for LSH-style bucketed dedup.
+  *
+  * The naive formulation — explode keys, self-join on the key — plans
+  * the (expensive) signature pipeline THREE times: once per join side
+  * and once for the bucket-size pre-count. Instead: one window count
+  * over the bucket key (same shuffle the groupBy needs, so ONE exchange
+  * total), filter to 2 ≤ size ≤ maxBucket, collect the bucket, and
+  * generate the in-bucket pairs with array expressions. Signatures are
+  * computed exactly once and only (key, id, payload) rows ever shuffle.
+  * The size filter runs BEFORE collect_list, so a degenerate bucket is
+  * dropped without ever materializing its array.
+  */
+private[operators] object BucketPairs {
+
+  /** All pairs (i < j in array order) of `arr`, as structs (a, b). */
+  def pairs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Bucket `df` by `key`, cap bucket size, and emit one row per
+    * in-bucket pair of `payload` structs (columns `a` and `b`).
+    */
+  def bucketedPairs(df: DataFrame, key: Column, payload: Column,
+      maxBucket: Long): DataFrame = {
+    val w = Window.partitionBy("__key")
+    df.select(key.as("__key"), payload.as("__p"))
+      .withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
+      .groupBy("__key").agg(collect_list(col("__p")).as("__ps"))
+      .select(explode(pairs(col("__ps"))).as("p"))
+  }
+}
 
 /** Deduplication operators for corpus curation at scale: exact,
   * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup. (Embedding-cosine
@@ -41,18 +76,30 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature as an array column: for each of the k
-    * permutations, the min permuted 60-bit hash over the document's
-    * character shingles. Pure expression — no shuffle.
+  /** Shingle-hash array for one document (the expensive md5 pass). */
+  def shingleHashes(textCol: Column, shingleLen: Int): Column =
+    transform(T.charShingles(textCol, shingleLen),
+      s => H.stableHash60(s))
+
+  /** MinHash signature from a PRE-COMPUTED hash array: for each of the
+    * k permutations, the min permuted hash. Callers should materialize
+    * [[shingleHashes]] in its own projection first — higher-order
+    * functions are interpreted (no codegen CSE), so inlining the hash
+    * pass here would recompute the md5s k times.
     */
-  def minhashSignature(textCol: Column, k: Int, shingleLen: Int,
-      seed: Long = 42L): Column = {
-    val shingles = T.charShingles(textCol, shingleLen)
-    val hashes   = transform(shingles, s => H.stableHash60(s))
+  def minhashSignatureFromHashes(hashes: Column, k: Int,
+      seed: Long = 42L): Column =
     array(H.permutationSeeds(k, seed).map { case (a, b) =>
       array_min(transform(hashes, h => H.permuted(h, a, b)))
     }: _*)
-  }
+
+  /** MinHash signature as one expression (convenience form — for hot
+    * paths prefer the two-step split, see [[minhashSignatureFromHashes]]).
+    */
+  def minhashSignature(textCol: Column, k: Int, shingleLen: Int,
+      seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashes(textCol, shingleLen), k,
+      seed)
 
   /** LSH banding: md5 key per band of `rowsPerBand` signature entries.
     * Docs sharing any band key are near-dup candidates.
@@ -84,25 +131,26 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L,
       maxBucket: Long = 10000L): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, shingleLen, seed).as("sig"))
+    // two projections on purpose: __h (the md5 pass) must materialize
+    // before the k permutations consume it (CollapseProject keeps them
+    // apart — __h is non-cheap and referenced k times)
+    val withSig = df
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("__h"))
+      .select(col("id"),
+        minhashSignatureFromHashes(col("__h"), k, seed).as("sig"))
     val exploded = withSig
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val keptKeys = exploded.groupBy("band")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucket).select("band")
-    val kept = exploded.join(keptKeys, Seq("band"))
-    val a = kept.select(col("band"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val b = kept.select(col("band"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
+    val p = BucketPairs.bucketedPairs(exploded, col("band"),
+      struct(col("id"), col("sig")), maxBucket)
+    val est = size(filter(zip_with(col("p.a.sig"), col("p.b.sig"),
       (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
       lit(k)
-    a.join(b, Seq("band"))
+    p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        est.as("est_jaccard"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
@@ -117,8 +165,15 @@ object Dedup {
     * size N/32768, which keeps within-bucket all-pairs sub-quadratic at
     * corpus scale. Pure expression, no shuffle.
     */
-  def simhash(textCol: Column, bits: Int = 60): Column = {
-    val hashes = transform(T.tokens(textCol), t => H.stableHash60(t))
+  def simhash(textCol: Column, bits: Int = 60): Column =
+    simhashFromHashes(
+      transform(T.tokens(textCol), t => H.stableHash60(t)), bits)
+
+  /** SimHash from a PRE-COMPUTED token-hash array (materialize the md5
+    * pass in its own projection first — see
+    * [[minhashSignatureFromHashes]] for why).
+    */
+  def simhashFromHashes(hashes: Column, bits: Int = 60): Column = {
     val bitCols = (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc +
@@ -127,6 +182,10 @@ object Dedup {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Token-hash array for one document. */
+  def tokenHashes(textCol: Column): Column =
+    transform(T.tokens(textCol), t => H.stableHash60(t))
 
   /** Hamming distance between two simhash values (codegen'd popcount). */
   def hammingDistance(a: Column, b: Column): Column =
@@ -143,26 +202,22 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Long = 10000L): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sh"))
+    val withSh = df
+      .select(col(idCol).as("id"),
+        tokenHashes(col(textCol)).as("__h"))
+      .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
     val chunks = array((0 until 4).map(i =>
       concat_ws(":", lit(i),
         (shiftright(col("sh"), i * 15).bitwiseAND(lit(32767L)))
           .cast("string"))): _*)
     val exploded = withSh.select(col("id"), col("sh"),
       explode(chunks).as("chunk"))
-    val keptKeys = exploded.groupBy("chunk")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucket).select("chunk")
-    val kept = exploded.join(keptKeys, Seq("chunk"))
-    val a = kept.select(col("chunk"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = kept.select(col("chunk"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("chunk"))
+    val p = BucketPairs.bucketedPairs(exploded, col("chunk"),
+      struct(col("id"), col("sh")), maxBucket)
+    p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        hammingDistance(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -176,35 +231,55 @@ object Dedup {
     *     quadratic blow-up (a boilerplate/stopword gram shared by 1% of
     *     a 100 TB corpus creates a near-cartesian group). Per-gram work
     *     is thus ≤ dfCap² and linear in gram count;
-    *  2. candidate pairs = ids sharing ≥ 1 surviving gram (ids only —
-    *     documents never shuffle in this stage);
+    *  2. candidate pairs = ids sharing ≥ `minShared` surviving grams
+    *     (ids only — documents never shuffle in this stage). The floor
+    *     prunes the long tail of pairs sharing one incidental phrase —
+    *     a jaccard-0.8 pair of normal-length documents shares dozens of
+    *     grams, so only documents with < n+minShared−1 tokens can be
+    *     missed, and those belong to exact/fingerprint dedup;
     *  3. EXACT verification: candidates join back to the (bounded)
     *     per-doc gram arrays and jaccard = |A∩B| / |A∪B| is computed on
     *     the full sets, so the cap can only lose candidates whose every
     *     shared gram is corpus-common — never report a wrong score.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 1000L)
-      : DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 1000L,
+      minShared: Int = 3): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
       array_distinct(T.wordNGrams(col(textCol), n)).as("grams"))
     val inv = grams.select(col("id"), explode(col("grams")).as("gram"))
-    val keptGrams = inv.groupBy("gram")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select("gram")
-    val kept = inv.join(keptGrams, Seq("gram"))
-    val cand = kept.as("x").join(kept.as("y"), Seq("gram"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val inter = size(array_intersect(col("__ga"), col("__gb")))
-    cand
-      .join(grams.select(col("id").as("id_a"), col("grams").as("__ga")),
-        Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("__gb")),
-        Seq("id_b"))
-      .withColumn("jaccard", inter.cast("double") /
-        (size(col("__ga")) + size(col("__gb")) - inter))
+    val cand = BucketPairs.bucketedPairs(inv, col("gram"),
+        struct(col("id")), dfCap)
+      .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ks"))
+      .filter(col("__ks") >= minShared)
+      .drop("__ks")
+    // Verify with ONE more gram pass, not two: explode each candidate
+    // pair into (pair-id, side, id) rows, join the grams frame once,
+    // regroup by pair-id. (Joining grams per side would recompute the
+    // whole n-gram pipeline twice — it is the dominant cost here.)
+    val withPid = cand.withColumn("__pid", monotonically_increasing_id())
+    val sides = withPid
+      .select(col("__pid"), col("id_a").as("id"), lit(0).as("__s"))
+      .unionByName(withPid
+        .select(col("__pid"), col("id_b").as("id"), lit(1).as("__s")))
+    val paired = sides.join(grams, Seq("id"))
+      .groupBy("__pid").agg(
+        max(when(col("__s") === 0, col("id"))).as("id_a"),
+        max(when(col("__s") === 1, col("id"))).as("id_b"),
+        first(when(col("__s") === 0, col("grams")), ignoreNulls = true)
+          .as("__ga"),
+        first(when(col("__s") === 1, col("grams")), ignoreNulls = true)
+          .as("__gb"))
+    paired
+      // separate projection: array_intersect is interpreted (no codegen
+      // CSE) — materialize it once, not twice inside the jaccard expr
+      .withColumn("__inter",
+        size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -50,20 +50,34 @@ object Similarity {
     * shuffled — only (query, candidate, score) rows reach the per-query
     * top-k, which AQE executes as a partial top-k (rank filter pushes
     * into the sort).
+    *
+    * Quantized vectors and their self-dot norms are computed ONCE per
+    * side before the join, so per-pair work is a single int64 dot
+    * product — not three dots plus two re-quantizations.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       quantized: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"))
-    val sim =
-      if (quantized)
-        cosineQ(quantize(col("__qv")), quantize(col(vecCol)))
-      else cosine(col("__qv"), col(vecCol))
-    val scored = corpus.join(broadcast(q),
-        col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        sim.as("cosine"))
+    val scored =
+      if (quantized) {
+        val cq = corpus.select(col(idCol),
+            quantize(col(vecCol)).as("__cv"))
+          .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
+        val qq = queries.select(col(idCol).as("query_id"),
+            quantize(col(vecCol)).as("__qv"))
+          .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
+        cq.join(broadcast(qq), col("query_id") =!= col(idCol))
+          .select(col("query_id"), col(idCol).as("neighbor_id"),
+            (dotQ(col("__qv"), col("__cv")).cast("double") /
+              sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+              .as("cosine"))
+      } else {
+        val q = queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("__qv"))
+        corpus.join(broadcast(q), col("query_id") =!= col(idCol))
+          .select(col("query_id"), col(idCol).as("neighbor_id"),
+            cosine(col("__qv"), col(vecCol)).as("cosine"))
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -78,8 +92,14 @@ object Similarity {
     * result. `planeOffset` selects a disjoint plane family per band.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int,
+      planeOffset: Int = 0): Column =
+    hyperplaneBucketQ(quantize(vec), dim, planes, planeOffset)
+
+  /** As [[hyperplaneBucket]] but over an ALREADY-quantized vector, so
+    * callers that reuse the quantized form don't re-quantize per plane.
+    */
+  def hyperplaneBucketQ(qv: Column, dim: Int, planes: Int,
       planeOffset: Int = 0): Column = {
-    val qv = quantize(vec)
     val bits = (0 until planes).map { p =>
       val w = array((0 until dim).map(j =>
         lit(planeComponent(planeOffset + p, j))): _*)
@@ -140,25 +160,25 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 4,
       planesPerBand: Int = 12, maxBucket: Long = 10000L): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b = df.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("__n", dotQ(col("qv"), col("qv")))
     val bandKeys = array((0 until bands).map { bi =>
       concat_ws(":", lit(bi),
-        hyperplaneBucket(col("v"), dim, planesPerBand,
+        hyperplaneBucketQ(col("qv"), dim, planesPerBand,
           planeOffset = bi * planesPerBand).cast("string"))
     }: _*)
     val exploded = b.withColumn("__bkey", explode(bandKeys))
-    val keptKeys = exploded.groupBy("__bkey")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucket).select("__bkey")
-    val kept = exploded.join(keptKeys, Seq("__bkey"))
-    val x = kept.select(col("__bkey"), col("id").as("id_a"),
-      col("v").as("va"))
-    val y = kept.select(col("__bkey"), col("id").as("id_b"),
-      col("v").as("vb"))
-    x.join(y, Seq("__bkey"))
+    val p = BucketPairs.bucketedPairs(exploded, col("__bkey"),
+      struct(col("id"), col("qv"), col("__n")), maxBucket)
+    // same value as cosineQ(quantize(va), quantize(vb)) — the dots are
+    // exact int64, just computed once per doc instead of per pair
+    p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        (dotQ(col("p.a.qv"), col("p.b.qv")).cast("double") /
+          sqrt(col("p.a.__n").cast("double") *
+               col("p.b.__n").cast("double"))).as("cosine"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosineQ(quantize(col("va")), quantize(col("vb"))).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
   }
