@@ -236,6 +236,42 @@ object SparkEntry {
       d.select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
     }),
 
+    // ----- batch sessionization (gap-based, window-lag formulation)
+    "q_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      StreamingOps.finalizeSessions(s, ev, gapMs = 30 * 60 * 1000)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+    }),
+
+    // ----- text analysis: n-gram-heuristic language ID
+    "q_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), T.langId(col("text")).as("lang_id"))
+    }),
+
+    // ----- text analysis: composite quality score
+    "q_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        T.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ----- multimodal: media wrap + content features (byte length +
+    // sha-256 content id; the crc32 stubs have no DuckDB analog and
+    // are covered by unit tests instead)
+    "q_media_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = Multimodal.mediaFromText(d, "doc_id", "text")
+      m.select(col("media_id"),
+        length(col("content")).cast("long").as("byte_len"),
+        sha2(col("content"), 256).as("content_id"))
+    }),
+
     // ----- near-dup: MinHash + LSH banding over char shingles
     "q_minhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -479,6 +515,52 @@ object SparkEntry {
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents"""
   ) ++ Map(
+    // Gap math in whole SECONDS on both sides (Spark's timestamp→long
+    // cast truncates to seconds; epoch_ns // 1e9 is the exact mirror);
+    // session bounds output as epoch micros so ns-vs-us precision can
+    // never skew the hash.
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts,
+           epoch_ns(ts) // 1000 AS us,
+           epoch_ns(ts) // 1000000000 AS sec FROM events),
+         w AS (SELECT *, lag(sec) OVER
+           (PARTITION BY user_id ORDER BY ts) AS prev_sec FROM e),
+         f AS (SELECT *, CASE WHEN prev_sec IS NULL
+             OR (sec - prev_sec) * 1000 > 1800000
+           THEN 1 ELSE 0 END AS new_s FROM w),
+         g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
+
+    "q_lang_id" -> langIdOracle,
+
+    // Mirrors TextFunctions.qualityScore: four 0/1 gates × weights,
+    // summed left-to-right. Every literal is cast to DOUBLE — a bare
+    // 1.0 is DECIMAL in DuckDB and decimal arithmetic would not
+    // reproduce Spark's double partial sums bit-for-bit.
+    "q_quality_score" ->
+      """SELECT doc_id,
+         (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
+         + (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) < 0.1::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+         + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'], t))) AS DOUBLE)
+              / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) > 0.05::DOUBLE
+            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
+         + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+              / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)
+              BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+         AS quality
+         FROM documents""",
+
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         sha256(text) AS content_id
+         FROM documents""",
+
     "q_minhash_pairs" -> minhashOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
@@ -514,6 +596,32 @@ object SparkEntry {
   private def sqlTokenHashes: String =
     "list_transform(regexp_split_to_array(trim(text), '\\s+'), s -> " +
       sqlHash60("s") + ")"
+
+  /** Mirrors TextFunctions.langId: per-language stopword hit counts,
+    * argmax with first-wins tiebreak in LangMarkers order. Generated
+    * from the SAME marker table the Spark expression uses.
+    */
+  private def langIdOracle: String = {
+    val scores = T.LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> s"len(list_filter(tk, t -> list_contains($list, t)))"
+    }
+    val scoreCols =
+      scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n         ")
+    val best = scores.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = scores
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString("\n           ")
+    s"""WITH tk AS (SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         FROM documents),
+       sc AS (SELECT doc_id, $scoreCols FROM tk),
+       b AS (SELECT *, $best AS best FROM sc)
+       SELECT doc_id, CASE WHEN best <= 0 THEN 'und'
+           $cases
+           ELSE 'und' END AS lang_id
+       FROM b"""
+  }
 
   private def minhashOracle: String = {
     val P = H.Prime
