@@ -64,9 +64,12 @@ object Io {
     } + "\""
 
   /** S3: persist a dataset as parquet + a JSON lineage/metadata sidecar
-    * (the reference shelve-pickles the whole object, dataset.py:668-704;
-    * parquet+sidecar is the engine-portable equivalent). Refuses to
-    * overwrite unless asked, like the reference.
+    * (the reference shelve-pickles the whole object, dataset.py:668-704).
+    * The sidecar carries BOTH a human/engine-readable descriptor per op
+    * AND a JVM-serialized copy of the op vector (`ops_jvm`, base64) —
+    * the exact analog of the reference's pickle — so [[readDataset]]
+    * restores the real operation objects, value-equal to the originals.
+    * Refuses to overwrite unless asked, like the reference.
     */
   def writeDataset(ds: GraftDataset, path: String,
       overwrite: Boolean = false): Unit = {
@@ -80,18 +83,26 @@ object Io {
         op.derivedColumns.map(jstr).mkString(",")}],"repr":${
         jstr(op.toString)}}"""
     }.mkString("[", ",", "]")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ds.history.ops)
+    oos.close()
+    val opsJvm = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     val json =
       s"""{"metadata_cols":[${ds.metadataCols.toSeq.sorted.map(jstr)
         .mkString(",")}],"derived_cols":[${ds.derivedCols.toSeq.sorted
-        .map(jstr).mkString(",")}],"operations":$ops}"""
+        .map(jstr).mkString(",")}],"operations":$ops,"ops_jvm":${
+        jstr(opsJvm)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/lineage.json"), json)
   }
 
-  /** S4: load a persisted dataset (data + metadata; the op objects
-    * themselves round-trip as opaque descriptors — reference
-    * dataset.py:756-807 restores pickled objects, which has no
-    * engine-portable equivalent).
+  /** S4: load a persisted dataset — data, metadata columns, and the
+    * REAL operation objects (deserialized from the sidecar's `ops_jvm`
+    * payload; reference dataset.py:756-807 restores pickled objects the
+    * same way). Sidecars written by other engines can omit `ops_jvm`,
+    * in which case history is empty and only the readable descriptors
+    * remain.
     */
   def readDataset(spark: SparkSession, path: String): GraftDataset = {
     val p = java.nio.file.Paths.get(s"$path/lineage.json")
@@ -100,10 +111,25 @@ object Io {
         s"$path is not a graft dataset (no lineage.json)")
     val df   = spark.read.parquet(s"$path/data.parquet")
     val json = java.nio.file.Files.readString(p)
-    val meta = "\"metadata_cols\":\\[(.*?)\\]".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    val cols = "\"(.*?)\"".r.findAllMatchIn(meta).map(_.group(1)).toSet
-    GraftDataset(df, cols)
+    def strSet(field: String): Set[String] = {
+      val body = ("\"" + field + "\":\\[(.*?)\\]").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      "\"(.*?)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    }
+    val history = "\"ops_jvm\":\"([A-Za-z0-9+/=]*)\"".r
+      .findFirstMatchIn(json).map(_.group(1)) match {
+      case Some(b64) if b64.nonEmpty =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val ops = ois.readObject()
+          .asInstanceOf[Vector[graft.operators.FeatureOperation]]
+        ois.close()
+        ops.foldLeft(graft.core.OperationsList())(_ :+ _)
+      case _ => graft.core.OperationsList()
+    }
+    new GraftDataset(df, strSet("metadata_cols"), strSet("derived_cols"),
+      history)
   }
 
   /** S5: CSV sink (anonymize_database.py:196-204). `single=true` mirrors

@@ -44,6 +44,10 @@ class IoSpec extends SparkSpec {
     assert(back.data.select("c").as[String].collect().sorted.toSeq ==
       Seq("a", "x"))
     assert(back.metadataCols == Set("c"))
+    // the REAL op objects round-trip, value-equal (S4)
+    assert(back.history.size == 1)
+    assert(back.history(0) == FillNA(Seq("c"), "x"))
+    assert(back.history.forColumn("c") == Vector(FillNA(Seq("c"), "x")))
     // refuses to overwrite unless asked
     intercept[IllegalArgumentException] { Io.writeDataset(ds, dir) }
     Io.writeDataset(ds, dir, overwrite = true)
