@@ -121,10 +121,50 @@ object Similarity {
     h % 2001L - 1000L
   }
 
+  /** ANN via BANDED hyperplane buckets (multi-probe): candidates =
+    * corpus vectors sharing ANY of `bands` independent bucket keys with
+    * the query, deduplicated, ranked by exact quantized cosine. Recall
+    * for a neighbor at angle θ is 1 − (1 − (1−θ/π)^planesPerBand)^bands
+    * — tune bands up for recall, planesPerBand up for bucket sparsity.
+    * The corpus never shuffles: bucket keys are per-row expressions and
+    * the join is an equi-join against the (small, broadcast) query side.
+    */
+  def lshBandedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, bands: Int = 4,
+      planesPerBand: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, id: Column, alias: String): DataFrame = {
+      val qv = quantize(col("__v"))
+      df.select(id.as(alias), col(vecCol).as("__v"))
+        .withColumn("__qv", qv)
+        .withColumn("__n", dotQ(col("__qv"), col("__qv")))
+        .withColumn("__bkey", explode(array((0 until bands).map { bi =>
+          concat_ws(":", lit(bi),
+            hyperplaneBucketQ(col("__qv"), dim, planesPerBand,
+              planeOffset = bi * planesPerBand).cast("string"))
+        }: _*)))
+        .drop("__v")
+    }
+    val cb = keyed(corpus, col(idCol), "neighbor_id")
+      .withColumnRenamed("__qv", "__cv").withColumnRenamed("__n", "__cn")
+    val qb = keyed(queries, col(idCol), "query_id")
+      .withColumnRenamed("__n", "__qn")
+    val cand = cb.join(broadcast(qb), Seq("__bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+          .as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via hyperplane buckets: candidates = corpus vectors in the
-    * query's bucket (single-probe), ranked by exact cosine. Trades
-    * recall for a corpus-partitionable plan: bucket assignment is a
-    * per-row expression, the join is an equi-join on bucket id.
+    * query's bucket (single-probe), ranked by exact cosine. Simplest
+    * plan shape; prefer [[lshBandedTopK]] when recall matters — a
+    * single probe misses any neighbor differing on one plane.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {

@@ -38,6 +38,12 @@ object StreamingOps {
     * `flatMapGroupsWithState` keyed by user, emitting a session when
     * `gapMs` of silence passes (reference has nothing comparable; this
     * is the canonical custom-state streaming op).
+    *
+    * Memory bound: each invocation sorts ONE user's events from the
+    * CURRENT micro-batch (not all history — state carries only the
+    * open session's 3 counters). Per-user-per-batch volume is the
+    * bound; a pathological single-user firehose should be pre-bucketed
+    * by (user, coarse time) upstream.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long)
       : Dataset[SessionOut] = {

@@ -47,6 +47,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(p => p._2 == 2L && p._3 == 1))
   }
 
+  test("lshBandedTopK: multi-probe recovers the near-dup neighbor") {
+    val out = Similarity.lshBandedTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      dim = 4, k = 2, bands = 4, planesPerBand = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.exists(p => p._2 == 2L && p._3 == 1))
+    assert(!out.exists(_._2 == 1L)) // never itself
+  }
+
   test("cosineDupPairs finds only the near-duplicate pair") {
     val pairs = Similarity.cosineDupPairs(vecs, "vec_id", "embedding",
       dim = 4, threshold = 0.99)

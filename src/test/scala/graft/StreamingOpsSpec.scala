@@ -36,6 +36,16 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
   }
 
+  test("withLateDataBound installs an event-time watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = StreamingOps.withLateDataBound(
+      mem.toDF().toDF("ts", "event_type", "value"), "10 minutes")
+    assert(df.queryExecution.analyzed.toString
+      .contains("EventTimeWatermark"))
+  }
+
   test("sessionize (stateful streaming op) agrees with batch finalize") {
     // Drive the actual flatMapGroupsWithState op through a memory
     // stream — the same op a production readStream would run.
