@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass kernels for the minhash / simhash signatures.
+  *
+  * The composed expression-tree forms (charShingles → md5 → conv →
+  * k × array_min(transform(...))) are semantically right but run in
+  * Catalyst's INTERPRETED higher-order-function path: per shingle they
+  * allocate a substring array element, format an md5 hex string, parse
+  * it back, and then walk the hash array once per permutation. These
+  * Expressions do the whole signature in one tight JVM loop per row —
+  * one MessageDigest reuse, no intermediate arrays, k mins updated in
+  * place. `CodegenFallback` costs one virtual call per ROW (noise),
+  * not per element like the HOF path.
+  *
+  * Semantics are BIT-IDENTICAL to the tree forms (verified by
+  * NativeHashSpec against the original expressions), so the DuckDB
+  * oracles are unchanged:
+  *  - shingles = substring(text, i, len) for i in 1..max(chars-len+1,1)
+  *    (code-point based, like SQL substring);
+  *  - hash60 = first 15 md5 hex chars parsed base-16 = top 60 bits of
+  *    the digest's big-endian first 8 bytes;
+  *  - minhash entry j = min over shingles of (a_j·(h mod P)+b_j) mod P;
+  *  - simhash bit j set iff Σ_tokens (±1 by hash bit j) > 0, tokens =
+  *    split(trim(text), "\\s+") with Spark's keep-trailing-empties
+  *    semantics.
+  */
+object NativeHash {
+  val Prime: Long = HashFunctions.Prime
+
+  /** Top 60 bits of md5 == conv(substring(md5hex, 1, 15), 16, 10). */
+  def hash60(bytes: Array[Byte], md: MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+
+  def minhashColumn(text: Column, k: Int, shingleLen: Int,
+      seed: Long = 42L): Column =
+    Bridge.column(
+      ShingleMinHash(Bridge.expression(text), k, shingleLen,
+        seed))
+
+  def simhashColumn(text: Column, bits: Int = 60): Column =
+    Bridge.column(
+      TokenSimHash(Bridge.expression(text), bits))
+}
+
+/** MinHash signature (array<long> of k entries) of a string column. */
+final case class ShingleMinHash(
+    child: Expression,
+    k: Int,
+    shingleLen: Int,
+    seed: Long
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash"
+
+  @transient private lazy val (as, bs) = {
+    val seeds = HashFunctions.permutationSeeds(k, seed)
+    (seeds.map(_._1).toArray, seeds.map(_._2).toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s   = input.asInstanceOf[UTF8String]
+    val cnt = math.max(s.numChars() - (shingleLen - 1), 1)
+    val md  = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < cnt) {
+      val sh = s.substringSQL(i + 1, shingleLen)
+      val hm = NativeHash.hash60(sh.getBytes, md) % NativeHash.Prime
+      var j = 0
+      while (j < k) {
+        val p = (as(j) * hm + bs(j)) % NativeHash.Prime
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** SimHash (long, low `bits` bits) of a string column. */
+final case class TokenSimHash(
+    child: Expression,
+    bits: Int
+) extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 60, "bits must be in (0, 60]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_simhash"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s      = input.asInstanceOf[UTF8String]
+    val tokens = ws.split(s.trim().toString, -1)
+    val md     = MessageDigest.getInstance("MD5")
+    val votes  = new Array[Int](bits)
+    var t = 0
+    while (t < tokens.length) {
+      val h = NativeHash.hash60(tokens(t).getBytes("UTF-8"), md)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sh = 0L
+    var j  = 0
+    while (j < bits) {
+      if (votes(j) > 0) sh |= 1L << j
+      j += 1
+    }
+    sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}

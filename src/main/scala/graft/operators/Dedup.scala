@@ -131,14 +131,12 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L,
       maxBucket: Long = 10000L): DataFrame = {
     val rowsPerBand = k / bands
-    // two projections on purpose: __h (the md5 pass) must materialize
-    // before the k permutations consume it (CollapseProject keeps them
-    // apart — __h is non-cheap and referenced k times)
-    val withSig = df
-      .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleLen).as("__h"))
-      .select(col("id"),
-        minhashSignatureFromHashes(col("__h"), k, seed).as("sig"))
+    // native single-pass kernel (bit-identical to minhashSignature —
+    // see NativeHash): one JVM loop per row instead of interpreted
+    // HOFs per shingle per permutation
+    val withSig = df.select(col(idCol).as("id"),
+      graft.functions.NativeHash
+        .minhashColumn(col(textCol), k, shingleLen, seed).as("sig"))
     val exploded = withSig
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
@@ -202,10 +200,8 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Long = 10000L): DataFrame = {
-    val withSh = df
-      .select(col(idCol).as("id"),
-        tokenHashes(col(textCol)).as("__h"))
-      .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
+    val withSh = df.select(col(idCol).as("id"),
+      graft.functions.NativeHash.simhashColumn(col(textCol)).as("sh"))
     val chunks = array((0 until 4).map(i =>
       concat_ws(":", lit(i),
         (shiftright(col("sh"), i * 15).bitwiseAND(lit(32767L)))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 hides the Expression↔Column conversions behind
+  * `private[sql]`; this two-line bridge (compiled into a subpackage of
+  * org.apache.spark.sql, the standard extension-library technique) is
+  * the only place the library crosses that boundary — needed to expose
+  * custom Catalyst Expressions as user-facing Columns.
+  */
+object Bridge {
+  def column(e: Expression): Column   = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
