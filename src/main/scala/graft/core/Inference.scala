@@ -41,18 +41,21 @@ object Inference {
     val notNull     = count(c) // count(col) skips nulls
     val distinctCnt = approx_count_distinct(c)
     val hasNull = max(c.isNull.cast("int"))
-    // min==max over the column's own type; compare as string to keep a
-    // uniform output row type (safe: equality of min/max of same column).
-    val constNonNull = (min(c.cast("string")) <=> max(c.cast("string")))
-      .cast("int")
+    // min==max on the column's NATIVE type — only the boolean survives
+    // into the row, so no uniform-type cast is needed, and no per-value
+    // double→string formatting (which dominated the pass at sf0.1).
+    val constNonNull = (min(c) <=> max(c)).cast("int")
     val castable = field.dataType match {
       case StringType => count(when(c.try_cast("double").isNotNull, 1))
       case _          => notNull
     }
     val zeroOne = field.dataType match {
       case BooleanType => lit(1)
+      case dt if isNumericType(dt) =>
+        min(when(c.isNotNull, (c === 0 || c === 1).cast("int")))
       case _ =>
-        min(when(c.isNotNull, c.cast("string").isin("0", "1", "0.0", "1.0", "true", "false").cast("int")))
+        min(when(c.isNotNull, c.cast("string")
+          .isin("0", "1", "0.0", "1.0", "true", "false").cast("int")))
     }
     Seq(
       notNull.cast("long").as(s"${field.name}__nn"),

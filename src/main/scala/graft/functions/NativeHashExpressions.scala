@@ -55,6 +55,57 @@ object NativeHash {
   def simhashColumn(text: Column, bits: Int = 60): Column =
     Bridge.column(
       TokenSimHash(Bridge.expression(text), bits))
+
+  def distinctWordNGramsColumn(text: Column, n: Int): Column =
+    Bridge.column(DistinctWordNGrams(Bridge.expression(text), n))
+}
+
+/** Distinct word n-grams (array<string>) of a string column — the
+  * native form of `array_distinct(TextFunctions.wordNGrams(c, n))`,
+  * matching it element-for-element including first-occurrence dedup
+  * order, slice truncation for docs shorter than n tokens, and Spark's
+  * keep-trailing-empties split semantics.
+  */
+final case class DistinctWordNGrams(
+    child: Expression,
+    n: Int
+) extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_word_ngrams"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s      = input.asInstanceOf[UTF8String]
+    val tokens = ws.split(s.trim().toString, -1)
+    val cnt    = math.max(tokens.length - (n - 1), 1)
+    val seen   = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, tokens.length)
+      val sb  = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      out(idx) = UTF8String.fromString(it.next()); idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** MinHash signature (array<long> of k entries) of a string column. */

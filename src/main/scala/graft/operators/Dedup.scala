@@ -242,7 +242,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8, dfCap: Long = 1000L,
       minShared: Int = 3): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-      array_distinct(T.wordNGrams(col(textCol), n)).as("grams"))
+      graft.functions.NativeHash
+        .distinctWordNGramsColumn(col(textCol), n).as("grams"))
     val inv = grams.select(col("id"), explode(col("grams")).as("gram"))
     val cand = BucketPairs.bucketedPairs(inv, col("gram"),
         struct(col("id")), dfCap)

@@ -33,6 +33,17 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("DistinctWordNGrams equals array_distinct(wordNGrams)") {
+    import graft.functions.{TextFunctions => T}
+    for (df <- Seq(tricky, docs)) {
+      val both = df.select(
+        NativeHash.distinctWordNGramsColumn(col("text"), 3).as("native"),
+        array_distinct(T.wordNGrams(col("text"), 3)).as("tree"))
+      val bad = both.filter(not(col("native") === col("tree"))).count()
+      assert(bad == 0)
+    }
+  }
+
   test("TokenSimHash equals the expression-tree simhash") {
     for (df <- Seq(tricky, docs)) {
       val both = df.select(
