@@ -58,6 +58,115 @@ object NativeHash {
 
   def distinctWordNGramsColumn(text: Column, n: Int): Column =
     Bridge.column(DistinctWordNGrams(Bridge.expression(text), n))
+
+  def quantizeColumn(vec: Column): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(vec)))
+
+  def dotQColumn(a: Column, b: Column): Column =
+    Bridge.column(DotQ(Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplaneBitsColumn(qv: Column, dim: Int, planes: Int,
+      planeOffset: Int): Column =
+    Bridge.column(
+      HyperplaneBits(Bridge.expression(qv), dim, planes, planeOffset))
+}
+
+/** Milli-unit quantization of a float/double vector — the native form
+  * of `transform(v, x -> round(x*1000).cast(long))`, using the same
+  * BigDecimal HALF_UP rounding as Spark's `round`.
+  */
+final case class QuantizeVec(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantize_vec"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    val n   = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case _ => throw new IllegalArgumentException(
+          s"quantize expects array<float|double>, got $elemType")
+      }
+      // valueOf (decimal-string repr), not new BigDecimal (exact binary)
+      // — Spark's Round works on the decimal representation
+      out(i) = java.math.BigDecimal.valueOf(d * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Exact int64 dot product of two quantized vectors — the native form
+  * of `aggregate(zip_with(a, b, _*_), 0L, _+_)` (integer arithmetic,
+  * order-independent, bit-identical).
+  */
+final case class DotQ(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hyperplane LSH sign bits of a quantized vector — the native form of
+  * [[graft.operators.Similarity.hyperplaneBucketQ]]'s expression tree:
+  * bit p of the result = (Σ_j qv(j)·w(planeOffset+p, j) ≥ 0), with the
+  * same deterministic integer weights.
+  */
+final case class HyperplaneBits(
+    child: Expression,
+    dim: Int,
+    planes: Int,
+    planeOffset: Int
+) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  @transient private lazy val weights: Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, j) =>
+      graft.operators.Similarity.planeComponent(planeOffset + p, j))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n  = math.min(qv.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      val w = weights(p)
+      var dot = 0L
+      var j = 0
+      while (j < n) { dot += qv.getLong(j) * w(j); j += 1 }
+      if (dot >= 0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Distinct word n-grams (array<string>) of a string column — the

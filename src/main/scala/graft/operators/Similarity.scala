@@ -19,13 +19,18 @@ import graft.functions.{HashFunctions => H}
   */
 object Similarity {
 
-  /** Round each float to an integer count of 1/1000 units. */
+  /** Round each float to an integer count of 1/1000 units. Native
+    * kernel, value-identical to
+    * `transform(v, x -> round(x.cast(double)*1000).cast(long))`.
+    */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
+    graft.functions.NativeHash.quantizeColumn(v)
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors (native kernel —
+    * same integer sum as aggregate(zip_with(a, b, _*_), 0L, _+_)).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    graft.functions.NativeHash.dotQColumn(a, b)
 
   /** Cosine similarity from quantized vectors (deterministic doubles:
     * integer dot/norms, one sqrt, one divide).
@@ -97,18 +102,12 @@ object Similarity {
 
   /** As [[hyperplaneBucket]] but over an ALREADY-quantized vector, so
     * callers that reuse the quantized form don't re-quantize per plane.
+    * Native kernel: all `planes` integer dots in one pass.
     */
   def hyperplaneBucketQ(qv: Column, dim: Int, planes: Int,
-      planeOffset: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val w = array((0 until dim).map(j =>
-        lit(planeComponent(planeOffset + p, j))): _*)
-      val dot = aggregate(zip_with(qv, w, (x, ww) => x * ww),
-        lit(0L), _ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+      planeOffset: Int = 0): Column =
+    graft.functions.NativeHash.hyperplaneBitsColumn(qv, dim, planes,
+      planeOffset)
 
   /** Deterministic integer hyperplane component in [−1000, 1000]
     * (md5 of "plane:j" — no RNG state, identical on every engine).

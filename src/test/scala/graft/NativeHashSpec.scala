@@ -44,6 +44,36 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("Quantize/DotQ/HyperplaneBits equal their expression trees") {
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding")).limit(200)
+    val treeQuant = transform(col("embedding"),
+      x => round(x.cast("double") * 1000, 0).cast("long"))
+    val treeDot = aggregate(
+      zip_with(col("nq"), col("nq"), (x, y) => x * y), lit(0L), _ + _)
+    val treeBits = (0 until 8).map { p =>
+      val w = array((0 until 64).map(j =>
+        lit(Similarity.planeComponent(3 + p, j))): _*)
+      when(aggregate(zip_with(col("nq"), w, (x, ww) => x * ww),
+        lit(0L), _ + _) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val staged = emb
+      .withColumn("nq", Similarity.quantize(col("embedding")))
+      .withColumn("tq", treeQuant)
+    val bad = staged
+      .withColumn("nd", graft.functions.NativeHash
+        .dotQColumn(col("nq"), col("nq")))
+      .withColumn("td", treeDot)
+      .withColumn("nb", Similarity.hyperplaneBucketQ(col("nq"), 64, 8, 3))
+      .withColumn("tb", treeBits)
+      .filter(not(col("nq") === col("tq")) ||
+        not(col("nd") === col("td")) || not(col("nb") === col("tb")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("TokenSimHash equals the expression-tree simhash") {
     for (df <- Seq(tricky, docs)) {
       val both = df.select(
