@@ -46,6 +46,32 @@ class StreamingOpsSpec extends SparkSpec {
       .contains("EventTimeWatermark"))
   }
 
+  test("windowedEventStats runs as a real stream with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 12:30:00"), "click", 3.0))
+    val agg = StreamingOps.windowedEventStats(
+      StreamingOps.withLateDataBound(
+        mem.toDF().toDF("ts", "event_type", "value"), "10 minutes"),
+      "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the watermark computed at the end of batch 0 (12:30 − 10 min)
+      // finalizes the 10:00 window; append emits it on the NEXT batch
+      mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val done = spark.table("win_out")
+        .select("win_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect()
+      assert(done.contains(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize (stateful streaming op) agrees with batch finalize") {
     // Drive the actual flatMapGroupsWithState op through a memory
     // stream — the same op a production readStream would run.
