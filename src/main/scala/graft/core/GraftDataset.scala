@@ -40,6 +40,23 @@ final class GraftDataset(
     (c.numericalCols | c.boolCols) -- c.constantCols -- metadataCols
   }
 
+  /** The classification as a queryable frame — the reference's
+    * `show_columns_type` (dataset.py:615-640) reified instead of
+    * printed: (column, kind, n_total, n_null, n_distinct, is_constant,
+    * is_categorical).
+    */
+  def classificationDf: DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val c = classification
+    data.columns.toSeq.sorted.map { name =>
+      val s = c.stats(name)
+      (name, c.kinds(name).toString, s.nRows, s.nNull, s.nDistinct,
+        s.isConstant, c.categoricalCols.contains(name))
+    }.toDF("column_name", "kind", "n_total", "n_null", "n_distinct",
+      "is_constant", "is_categorical")
+  }
+
   /** P7 (reference dataset.py:576-593): positional ids → names. */
   def columnNames(ids: Seq[Int]): Seq[String] = {
     val cols = data.columns

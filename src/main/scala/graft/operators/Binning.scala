@@ -172,6 +172,8 @@ final case class GroupedGeometricBinning(
       .collect()
     val global = df.agg(min(col(valueCol)).cast("double"),
       max(col(valueCol)).cast("double")).collect()(0)
+    require(!global.isNullAt(0),
+      s"GroupedGeometricBinning: '$valueCol' has no non-null values")
     val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
     val table = stats.map { r =>
       val (lo, hi) =
@@ -243,6 +245,8 @@ final case class GroupedBinning(
       .collect()
     val global = df.agg(min(col(valueCol)).cast("double"),
       max(col(valueCol)).cast("double")).collect()(0)
+    require(!global.isNullAt(0),
+      s"GroupedBinning: '$valueCol' has no non-null values")
     val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
     val table = stats.map { r =>
       val (lo, hi) =

@@ -50,6 +50,16 @@ class InferenceSpec extends SparkSpec {
     assert(!cMany.categoricalCols.contains("c"))
   }
 
+  test("classificationDf reifies show_columns_type as a frame") {
+    val ds = core.GraftDataset(
+      Seq((1.0, "a"), (2.0, "b"), (2.0, "a")).toDF("num", "cat"))
+    val rows = ds.classificationDf.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(6)))
+      .toMap
+    assert(rows("num")._1 == "Numerical")
+    assert(rows("cat") == (("Str", true)))
+  }
+
   test("exact=true matches exact distinct counts without Expand") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 11, "s" + i % 13))
       .toDF("a", "b", "c")
