@@ -30,16 +30,18 @@ object Inference {
   /** Aggregate expressions for one column; must stay aligned with the
     * unpacking in [[classify]].
     *
-    * The fused pass ALWAYS uses HLL for the distinct count: putting N
-    * exact `countDistinct`s in one agg triggers Catalyst's Expand-based
-    * multi-distinct rewrite, which multiplies scan output by N+1 —
-    * fatal at scale. Exact counts (when requested) run as separate
-    * per-column jobs instead, see [[classify]].
+    * NO distinct count here — on purpose, twice over: N exact
+    * `countDistinct`s in one agg trigger Catalyst's Expand-based
+    * multi-distinct rewrite (scan output × N+1 — fatal at scale), and
+    * even the HLL sketch is a TypedImperativeAggregate, which forces
+    * the WHOLE operator onto ObjectHashAggregate and knocks every other
+    * counter out of whole-stage codegen. Distinct counts run as their
+    * own concurrent job(s) — see [[classify]] — keeping this pass a
+    * fully codegen'd HashAggregate.
     */
   private def statsExprs(field: StructField): Seq[Column] = {
     val c           = col(field.name)
     val notNull     = count(c) // count(col) skips nulls
-    val distinctCnt = approx_count_distinct(c)
     val hasNull = max(c.isNull.cast("int"))
     // min==max on the column's NATIVE type — only the boolean survives
     // into the row, so no uniform-type cast is needed, and no per-value
@@ -59,7 +61,6 @@ object Inference {
     }
     Seq(
       notNull.cast("long").as(s"${field.name}__nn"),
-      distinctCnt.cast("long").as(s"${field.name}__nd"),
       hasNull.cast("int").as(s"${field.name}__hn"),
       constNonNull.as(s"${field.name}__cst"),
       castable.cast("long").as(s"${field.name}__cast"),
@@ -69,43 +70,52 @@ object Inference {
 
   /** Classify every column of `df` (or `cols` if given).
     *
-    * One fused aggregation job computes every counter with HLL distinct
-    * counts. With `exact = true`, exact distinct counts are computed as
-    * one ADDITIONAL job per column, submitted concurrently: each job is
-    * a single-distinct two-phase aggregate over a column-pruned scan —
-    * N cheap parallel jobs instead of one Expand-multiplied scan.
+    * Two jobs, submitted CONCURRENTLY: the fused codegen counter pass,
+    * and the distinct counts — one HLL-only aggregate when
+    * `exact = false` (isolating the ObjectHashAggregate the sketches
+    * force), or one cheap single-distinct job per column when
+    * `exact = true` (never the Expand-based multi-distinct rewrite).
     */
   def classify(
       df: DataFrame,
       cols: Seq[String] = Seq.empty,
       exact: Boolean = false
   ): ColumnClassification = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     val fields =
       if (cols.isEmpty) df.schema.fields.toSeq
       else df.schema.fields.toSeq.filter(f => cols.contains(f.name))
     val aggs = count(lit(1)).cast("long").as("__total") +:
       fields.flatMap(statsExprs)
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val total    = row.getAs[Long]("__total")
+    val mainF = Future(df.agg(aggs.head, aggs.tail: _*).collect()(0))
 
-    val exactDistinct: Map[String, Long] =
-      if (!exact) Map.empty
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val futs = fields.map { f =>
+    val distinctF: Future[Map[String, Long]] =
+      if (exact)
+        Future.sequence(fields.map { f =>
           Future(f.name ->
             df.select(col(f.name)).agg(countDistinct(col(f.name)))
               .collect()(0).getLong(0))
+        }).map(_.toMap)
+      else
+        Future {
+          val hlls = fields.map(f =>
+            approx_count_distinct(col(f.name)).cast("long")
+              .as(s"${f.name}__nd"))
+          val r = df.agg(hlls.head, hlls.tail: _*).collect()(0)
+          fields.map(f => f.name -> r.getAs[Long](s"${f.name}__nd"))
+            .toMap
         }
-        Await.result(Future.sequence(futs), Duration.Inf).toMap
-      }
+
+    val row: Row  = Await.result(mainF, Duration.Inf)
+    val distincts = Await.result(distinctF, Duration.Inf)
+    val total     = row.getAs[Long]("__total")
 
     val stats = fields.map { f =>
       val nn   = row.getAs[Long](s"${f.name}__nn")
-      val nd   = exactDistinct.getOrElse(f.name,
-        row.getAs[Long](s"${f.name}__nd"))
+      val nd   = distincts(f.name)
       val hn   = Option(row.getAs[Any](s"${f.name}__hn")).exists(_ == 1)
       val cst  = Option(row.getAs[Any](s"${f.name}__cst")).exists(_ == 1)
       val cab  = Option(row.getAs[Any](s"${f.name}__cast"))
