@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DistinctWordNGrams, DotQ, HyperplaneBits, QuantizeVec, ShingleMinHash, TokenSimHash}
+
+/** SQL surface for the native expressions: registers
+  * `graft_minhash(text, k, shingleLen, seed)`,
+  * `graft_simhash(text[, bits])`, `graft_ngrams(text, n)`,
+  * `graft_quantize(vec)`, `graft_dot_q(a, b)` and
+  * `graft_hyperplane_bits(qv, dim, planes, offset)` so the operators'
+  * kernels are reachable from `spark.sql(...)` as well as the Column
+  * API.
+  *
+  * Two installation paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) at session build;
+  *  - [[GraftFunctions.register]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_minhash",
+        info("graft_minhash",
+          "graft_minhash(text, k, shingleLen, seed) - minhash signature"),
+        (args: Seq[Expression]) => ShingleMinHash(args(0),
+          intArg(args(1), "k"), intArg(args(2), "shingleLen"),
+          longArg(args(3), "seed"))),
+      ("graft_simhash",
+        info("graft_simhash",
+          "graft_simhash(text[, bits]) - simhash of whitespace tokens"),
+        (args: Seq[Expression]) => TokenSimHash(args(0),
+          if (args.size > 1) intArg(args(1), "bits") else 60)),
+      ("graft_ngrams",
+        info("graft_ngrams",
+          "graft_ngrams(text, n) - distinct word n-grams"),
+        (args: Seq[Expression]) =>
+          DistinctWordNGrams(args(0), intArg(args(1), "n"))),
+      ("graft_quantize",
+        info("graft_quantize",
+          "graft_quantize(vec) - milli-unit int64 quantization"),
+        (args: Seq[Expression]) => QuantizeVec(args(0))),
+      ("graft_dot_q",
+        info("graft_dot_q",
+          "graft_dot_q(a, b) - exact int64 dot product"),
+        (args: Seq[Expression]) => DotQ(args(0), args(1))),
+      ("graft_hyperplane_bits",
+        info("graft_hyperplane_bits",
+          "graft_hyperplane_bits(qv, dim, planes, offset) - LSH sign bits"),
+        (args: Seq[Expression]) => HyperplaneBits(args(0),
+          intArg(args(1), "dim"), intArg(args(2), "planes"),
+          intArg(args(3), "offset")))
+    )
+
+  /** Register every graft function on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge
+        .registerFunction(spark, name, i, builder)
+    }
+}

