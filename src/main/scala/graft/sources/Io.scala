@@ -40,7 +40,10 @@ object Io {
   def datasetFromCsv(spark: SparkSession, path: String,
       metadataCols: Set[String] = Set.empty): Try[GraftDataset] =
     readCsv(spark, path).map { raw =>
-      val cls = Inference.classify(raw, exact = true)
+      // approx distinct counts: the kind/categorical heuristics only
+      // need cardinality ORDER, and exact per-column jobs would re-scan
+      // the whole CSV once per column (CSV cannot column-prune)
+      val cls = Inference.classify(raw)
       val typed = raw.select(raw.columns.map { c =>
         cls.kinds(c) match {
           case ColumnKind.Numerical => col(c).try_cast("double").as(c)
