@@ -131,6 +131,48 @@ object SparkEntry {
         RowFix.fixExpr(col("qty_raw")).as("qty_fixed"))
     }),
 
+    // ----- A9/R5/R8: repair audit counters as a frame
+    "q_rowfix_audit" -> ((s, dir) => {
+      val li  = t(s, dir, "lineitem")
+      val raw = col("l_quantity").cast("string")
+      val corrupted = when(col("l_orderkey") % 11 === 0,
+          regexp_replace(raw, "\\.", ","))
+        .when(col("l_orderkey") % 17 === 0, lit("---"))
+        .when(col("l_orderkey") % 23 === 0, lit("junk!"))
+        .otherwise(raw)
+      val df = li.select(corrupted.as("qty_raw"))
+      RowFix.fixTypos(df, Seq("qty_raw"))._2
+    }),
+
+    // ----- A6: lost-value sets (values a plain cast would null)
+    "q_lost_values" -> ((s, dir) => {
+      val li  = t(s, dir, "lineitem")
+      val raw = col("l_quantity").cast("string")
+      val corrupted = when(col("l_orderkey") % 11 === 0,
+          regexp_replace(raw, "\\.", ","))
+        .when(col("l_orderkey") % 17 === 0, lit("---"))
+        .otherwise(raw)
+      RowFix.lostValues(li.select(corrupted.as("qty_raw")), "qty_raw")
+    }),
+
+    // ----- near-exact dedup via normalized fingerprint GROUPING
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.byFingerprint(d, "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
+    // ----- B3: one combo column per prefix (third categorical derived
+    // from the quantity band — lineitem has only two string categoricals)
+    "q_multi_combine" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") / 10).cast("long").cast("string")
+          .as("qband"))
+      MultipleCombinations(
+        Seq("l_returnflag", "l_linestatus", "qband"))(li)
+    }),
+
     // ----- O8-O10 + J1: anonymization (nonce pinned at seed 42)
     "q_anonymize" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -381,6 +423,62 @@ object SparkEntry {
               WHEN l_orderkey % 23 = 0 THEN NULL
               ELSE l_quantity END AS qty_fixed
          FROM lineitem""",
+
+    "q_rowfix_audit" ->
+      """WITH src AS (SELECT
+           CASE WHEN l_orderkey % 11 = 0 THEN replace(CAST(l_quantity AS VARCHAR), '.', ',')
+                WHEN l_orderkey % 17 = 0 THEN '---'
+                WHEN l_orderkey % 23 = 0 THEN 'junk!'
+                ELSE CAST(l_quantity AS VARCHAR) END AS c
+           FROM lineitem)
+         SELECT 'qty_raw' AS "column",
+           COUNT(CASE WHEN c IS NOT NULL
+             AND TRY_CAST(c AS DOUBLE) IS NULL THEN 1 END) AS errors_before,
+           COUNT(CASE WHEN c IS NOT NULL
+             AND TRY_CAST(c AS DOUBLE) IS NULL
+             AND TRY_CAST(translate(c, ',°', '.') AS DOUBLE) IS NULL
+             AND strpos(translate(c, ',°', '.'), '%') = 0
+             AND strpos(translate(c, ',°', '.'), '>') = 0
+             AND strpos(translate(c, ',°', '.'), '<') = 0
+             AND trim(translate(c, ',°', '.')) NOT IN
+               ('---', '.', 'ASSENTI', 'PRESENTI', 'non disponibile',
+                'NV', '-', 'Error', 'None', 'NAN')
+             THEN 1 END) AS errors_after
+         FROM src""",
+
+    "q_lost_values" ->
+      """WITH src AS (SELECT
+           CASE WHEN l_orderkey % 11 = 0 THEN replace(CAST(l_quantity AS VARCHAR), '.', ',')
+                WHEN l_orderkey % 17 = 0 THEN '---'
+                ELSE CAST(l_quantity AS VARCHAR) END AS c
+           FROM lineitem)
+         SELECT c AS value, COUNT(*) AS n FROM src
+         WHERE c IS NOT NULL AND TRY_CAST(c AS DOUBLE) IS NULL
+         GROUP BY c""",
+
+    "q_dedup_fingerprint" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM documents
+         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))""",
+
+    "q_multi_combine" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_linestatus,
+           CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR) AS qband
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, qband,
+           (DENSE_RANK() OVER (ORDER BY l_returnflag) - 1)
+             * (SELECT COUNT(DISTINCT l_linestatus) FROM src)
+             + DENSE_RANK() OVER (ORDER BY l_linestatus) - 1
+             AS "l_returnflag-l_linestatus_enc",
+           (DENSE_RANK() OVER (ORDER BY l_returnflag) - 1)
+             * ((SELECT COUNT(DISTINCT l_linestatus) FROM src)
+                * (SELECT COUNT(DISTINCT qband) FROM src))
+             + (DENSE_RANK() OVER (ORDER BY l_linestatus) - 1)
+               * (SELECT COUNT(DISTINCT qband) FROM src)
+             + DENSE_RANK() OVER (ORDER BY qband) - 1
+             AS "l_returnflag-l_linestatus-qband_enc"
+         FROM src""",
 
     "q_anonymize" ->
       s"""SELECT c_custkey, c_mktsegment,
