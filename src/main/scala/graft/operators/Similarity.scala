@@ -184,6 +184,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nCentroids` inverted
+    * lists by nearest centroid, probe the query's `nProbe` closest
+    * lists, rank candidates by exact quantized cosine.
+    *
+    * Deterministic by construction: centroids are the corpus vectors
+    * with the `nCentroids` smallest ids (a fixed, engine-independent
+    * choice — no RNG, no iterative refinement whose float sums would
+    * depend on partitioning), assignment is argmax of the exact int64
+    * dot over quantized vectors with lowest-index tiebreak.
+    *
+    * Scale shape: centroids are collected once (bounded — nCentroids ≤
+    * a few thousand) and broadcast as literals; corpus assignment is a
+    * per-row expression (no shuffle); the probe join is an equi-join on
+    * list id against the broadcast query side. Expected candidates per
+    * query ≈ nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
+    val centroids: Array[Seq[Long]] = cq
+      .orderBy(col("neighbor_id")).limit(nCentroids)
+      .select(col("__cv")).collect().map(_.getSeq[Long](0))
+    require(centroids.nonEmpty, "corpus is empty")
+
+    // argmax of dot(v, centroid_i), lowest index wins ties
+    def nearestList(qv: Column): Column = {
+      val scores = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dotQ(qv, typedlit(c)).as("s"), lit(-i).as("negi"))
+      }
+      -greatest(scores: _*).getField("negi")
+    }
+    // indexes of the nProbe best centroids: sort (score, -idx) structs
+    // descending, take nProbe, extract idx
+    def probeLists(qv: Column): Column = {
+      val scores = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dotQ(qv, typedlit(c)).as("s"), lit(-i).as("negi"))
+      }: _*)
+      transform(
+        slice(reverse(array_sort(scores)), 1, math.min(nProbe,
+          centroids.length)),
+        s => -s.getField("negi"))
+    }
+
+    val corpusListed = cq.withColumn("__list", nearestList(col("__cv")))
+    val qq = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
+      .withColumn("__list", explode(probeLists(col("__qv"))))
+    val scored = corpusListed.join(broadcast(qq), Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
     * (multi-probe recall without giant buckets): `bands` independent
     * plane families of `planesPerBand` bits each; docs sharing ANY

@@ -57,6 +57,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._2 == 1L)) // never itself
   }
 
+  test("ivfTopK: probing every list reproduces brute force exactly") {
+    val brute = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 3,
+      nCentroids = 2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute) // nProbe == nCentroids -> full coverage
+  }
+
+  test("ivfTopK single-probe finds the near-dup neighbor") {
+    val out = Similarity.ivfTopK(vecs,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    // vec 2 (cosine ~1 with vec 1) must land in the same inverted list
+    assert(out.contains((2L, 1)))
+  }
+
   test("cosineDupPairs finds only the near-duplicate pair") {
     val pairs = Similarity.cosineDupPairs(vecs, "vec_id", "embedding",
       dim = 4, threshold = 0.99)
