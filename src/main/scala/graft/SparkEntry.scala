@@ -341,6 +341,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ----- ANN: IVF inverted lists, 4-of-16 probes, exact rerank
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ----- near-dup: banded hyperplane-LSH cosine pairs (recall-tuned
     // band shape for this corpus; scale defaults documented on the op)
     "q_cosine_dup" -> ((s, dir) => {
@@ -663,6 +671,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,
+    "q_ivf_topk"      -> ivfTopKOracle,
     "q_cosine_dup"    -> cosineDupOracle
   )
 
@@ -800,6 +809,41 @@ object SparkEntry {
          SELECT query_id, vec_id AS neighbor_id,
            $dot::DOUBLE / sqrt($naa::DOUBLE * $nbb::DOUBLE) AS cosine
          FROM q JOIN c ON query_id <> vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) s
+       WHERE rank <= 10"""
+  }
+
+  /** Mirrors Similarity.ivfTopK at nCentroids=16, nProbe=4: centroids
+    * are the 16 lowest-vec_id quantized vectors (data-derived on both
+    * sides), assignment/probes are argmax of exact int64 dots with
+    * lowest-index tiebreak.
+    */
+  private def ivfTopKOracle: String = {
+    val dotCV = sqlDotQ("qv", "cv", 64)
+    s"""WITH q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+         FROM embeddings),
+       cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+         qv AS cv FROM q ORDER BY vec_id LIMIT 16),
+       cdots AS (SELECT q.vec_id, cent.ci, $dotCV AS d
+         FROM q CROSS JOIN cent),
+       assign AS (SELECT vec_id, ci FROM (
+         SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY d DESC, ci) AS rn FROM cdots) a WHERE rn = 1),
+       probes AS (SELECT vec_id, ci FROM (
+         SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY d DESC, ci) AS rn FROM cdots) p
+         WHERE rn <= 4 AND vec_id < 5),
+       scored AS (
+         SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ${sqlDotQ("vq.qv", "vc.qv", 64)}::DOUBLE /
+             sqrt(${sqlDotQ("vq.qv", "vq.qv", 64)}::DOUBLE *
+                  ${sqlDotQ("vc.qv", "vc.qv", 64)}::DOUBLE) AS cosine
+         FROM probes p
+           JOIN assign a ON a.ci = p.ci AND a.vec_id <> p.vec_id
+           JOIN q vq ON vq.vec_id = p.vec_id
+           JOIN q vc ON vc.vec_id = a.vec_id)
        SELECT query_id, neighbor_id, cosine, rank FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) s
