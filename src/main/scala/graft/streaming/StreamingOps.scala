@@ -30,6 +30,20 @@ object StreamingOps {
   def withLateDataBound(df: DataFrame, delay: String): DataFrame =
     df.withWatermark("ts", delay)
 
+  /** Streaming exact/near-exact dedup: drop rows whose key columns were
+    * already seen, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * delay are suppressed, state for keys older than the watermark is
+    * evicted, so state size is bounded by the key arrival rate × delay
+    * window instead of growing forever). Key by
+    * [[graft.functions.TextFunctions.fingerprint]] of the text column
+    * for streaming near-exact document dedup.
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)

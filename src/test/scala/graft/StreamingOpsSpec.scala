@@ -72,6 +72,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream suppresses duplicate keys across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.dedupStream(
+      mem.toDF().toDF("ts", "k"), Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "a"), (ts(4), "c")) // 'a' still within delay
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select("k")
+        .as[String].collect().sorted
+      assert(keys.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("sessionize (stateful streaming op) agrees with batch finalize") {
     // Drive the actual flatMapGroupsWithState op through a memory
     // stream — the same op a production readStream would run.
