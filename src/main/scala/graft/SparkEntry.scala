@@ -59,6 +59,32 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // ----- multi-way star join: fact scanned once, all dims broadcast
+    "q_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      val re = t(s, dir, "region")
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          qsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ----- JSON property extraction over the event stream table
+    "q_events_props" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+
     // ----- §1.2/§2.4: the classification pass as a queryable frame
     "q_classify" -> ((s, dir) => {
       val li  = t(s, dir, "lineitem")
@@ -369,6 +395,22 @@ object SparkEntry {
          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT))::DOUBLE / 1000000 AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q_events_props" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(*) AS n
+         FROM events GROUP BY event_type""",
 
     "q_classify" ->
       """SELECT column_name, n_total, n_null, n_distinct, is_constant

@@ -91,6 +91,26 @@ object Multimodal {
     StructField("dec_height", IntegerType),
     StructField("n_frames", LongType)))
 
+  /** Resize plumbing: recompute the content payload and metadata for a
+    * target resolution. The BYTE TRANSFORM IS A STUB (real systems
+    * decode, scale, re-encode — no codecs in this container): payload
+    * is deterministically truncated/kept to the target byte budget
+    * (targetW·targetH/16). The Spark side is real: one projection,
+    * binary in/binary out, metadata struct rebuilt alongside.
+    */
+  def resizeStub(df: DataFrame, contentCol: String, metaCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val budget  = math.max(targetW * targetH / 16, 1)
+    val resized = col(contentCol)
+      .substr(lit(1), least(length(col(contentCol)), lit(budget)))
+    df.withColumn(contentCol, resized)
+      .withColumn(metaCol, struct(
+        col(s"$metaCol.format"),
+        length(resized).cast("long").as("byte_len"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height")))
+  }
+
   /** Frame sampling: explode a media row into every `stride`-th frame,
     * slicing the byte payload per frame (real videos would seek; the
     * slicing/partitioning shape is the same). Output grows by the frame

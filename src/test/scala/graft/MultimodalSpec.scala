@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("n_frames").as[Long].collect().forall(_ >= 1))
   }
 
+  test("resizeStub rewrites payload and metadata to the target size") {
+    val m = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val out = Multimodal.resizeStub(m, "content", "meta", 8, 8)
+    val r = out.filter(col("media_id") === 1L)
+      .select("meta.width", "meta.height", "meta.byte_len", "content")
+      .collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8)
+    assert(r.getLong(2) <= 4) // 8*8/16 byte budget
+    assert(r.getAs[Array[Byte]](3).length == r.getLong(2))
+  }
+
   test("sampleFrames explodes every stride-th frame with byte slices") {
     val df = Seq((1L, Array.fill[Byte](32)(7))).toDF("id", "content")
     val out = Multimodal.sampleFrames(df, "content", frameBytes = 8,
