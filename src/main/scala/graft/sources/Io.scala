@@ -33,26 +33,48 @@ object Io {
         .as(c)).toIndexedSeq: _*)
   }
 
-  /** S2: CSV → classified, typed GraftDataset. Numeric-classified string
-    * columns are cast to double, bool columns to boolean; mixed columns
+  /** Inference-driven casts shared by every text source: numeric-
+    * classified string columns → double, bool → boolean; mixed columns
     * stay string (their mixed-ness is classification metadata).
+    * Approximate distinct counts on purpose — the kind/categorical
+    * heuristics only need cardinality ORDER, and exact per-column jobs
+    * would re-scan a text source once per column (no column pruning).
     */
+  private def inferAndCast(raw: DataFrame,
+      metadataCols: Set[String]): GraftDataset = {
+    val cls = Inference.classify(raw)
+    val typed = raw.select(raw.columns.map { c =>
+      cls.kinds(c) match {
+        case ColumnKind.Numerical => col(c).try_cast("double").as(c)
+        case ColumnKind.Bool      => col(c).cast("boolean").as(c)
+        case _                    => col(c)
+      }
+    }.toIndexedSeq: _*)
+    GraftDataset(typed, metadataCols)
+  }
+
+  /** S2: CSV → classified, typed GraftDataset. */
   def datasetFromCsv(spark: SparkSession, path: String,
       metadataCols: Set[String] = Set.empty): Try[GraftDataset] =
-    readCsv(spark, path).map { raw =>
-      // approx distinct counts: the kind/categorical heuristics only
-      // need cardinality ORDER, and exact per-column jobs would re-scan
-      // the whole CSV once per column (CSV cannot column-prune)
-      val cls = Inference.classify(raw)
-      val typed = raw.select(raw.columns.map { c =>
-        cls.kinds(c) match {
-          case ColumnKind.Numerical => col(c).try_cast("double").as(c)
-          case ColumnKind.Bool      => col(c).cast("boolean").as(c)
-          case _                    => col(c)
-        }
-      }.toIndexedSeq: _*)
-      GraftDataset(typed, metadataCols)
-    }
+    readCsv(spark, path).map(inferAndCast(_, metadataCols))
+
+  /** JSON-lines source with the same dynamic-typing posture as CSV:
+    * `primitivesAsString` keeps every scalar a string so a column
+    * mixing numbers and text survives as a MIXED column for the repair
+    * cascade, then the classification decides the casts.
+    */
+  def readJson(spark: SparkSession, path: String): Try[DataFrame] = Try {
+    val df = spark.read
+      .option("primitivesAsString", "true")
+      .json(path)
+    df.select(df.columns.map(c =>
+      when(col(c) === "", lit(null).cast(StringType)).otherwise(col(c))
+        .as(c)).toIndexedSeq: _*)
+  }
+
+  def datasetFromJson(spark: SparkSession, path: String,
+      metadataCols: Set[String] = Set.empty): Try[GraftDataset] =
+    readJson(spark, path).map(inferAndCast(_, metadataCols))
 
   /** Minimal JSON escaping for the lineage sidecar. */
   private def jstr(s: String): String =
@@ -75,11 +97,14 @@ object Io {
     * Refuses to overwrite unless asked, like the reference.
     */
   def writeDataset(ds: GraftDataset, path: String,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     val dir = new java.io.File(path)
     require(overwrite || !dir.exists(), s"$path already exists")
-    ds.data.write.mode(if (overwrite) "overwrite" else "errorifexists")
-      .parquet(s"$path/data.parquet")
+    val writer = ds.data.write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(s"$path/data.parquet")
     val ops = ds.history.ops.map { op =>
       s"""{"op":${jstr(op.getClass.getSimpleName)},"columns":[${
         op.columns.map(jstr).mkString(",")}],"derived":[${

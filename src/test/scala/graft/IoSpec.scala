@@ -53,6 +53,31 @@ class IoSpec extends SparkSpec {
     Io.writeDataset(ds, dir, overwrite = true)
   }
 
+  test("datasetFromJson: primitives stay strings, mixed survives") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f   = new java.io.File(dir, "in.json")
+    Files.writeString(f.toPath,
+      """{"num": 1.5, "mix": "x1", "s": "a"}
+        |{"num": 2.5, "mix": 2, "s": "b"}
+        |""".stripMargin)
+    val ds = Io.datasetFromJson(spark, f.getPath).get
+    assert(ds.data.schema("num").dataType.typeName == "double")
+    assert(ds.data.schema("mix").dataType.typeName == "string")
+    assert(ds.classification.mixedCols == Set("mix"))
+  }
+
+  test("writeDataset partitionBy lays out hive-style directories") {
+    val dir = Files.createTempDirectory("graft_part").toFile.getPath +
+      "/out"
+    val ds = GraftDataset(
+      Seq(("a", 1), ("b", 2), ("a", 3)).toDF("part", "v"))
+    Io.writeDataset(ds, dir, partitionBy = Seq("part"))
+    val parts = new java.io.File(s"$dir/data.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.toSeq == Seq("part=a", "part=b"))
+    assert(Io.readDataset(spark, dir).data.count() == 3)
+  }
+
   test("writeCsv single-file mode") {
     val dir = Files.createTempDirectory("graft_out").toFile.getPath + "/csv"
     Io.writeCsv(Seq(("a", 1)).toDF("c", "n"), dir, single = true)
