@@ -22,6 +22,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores TIMESTAMP(NANOS); read the raw int64 nanos
+    * via the explicit-schema reader (NO session-conf mutation — see
+    * Io.readNanosAsLong) and convert to a micros timestamp.
+    */
+  private def readEvents(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Io.readNanosAsLong(s, s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
   /** Exact, portable sum of a double column with 2-decimal content. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -77,8 +85,7 @@ object SparkEntry {
 
     // ----- JSON property extraction over the event stream table
     "q_events_props" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
+      val ev = readEvents(s, dir)
       ev.select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
@@ -264,14 +271,9 @@ object SparkEntry {
       BoolToBinary(Seq("high_qty"))(li)
     }),
 
-    // ----- streaming-shape windowed aggregation (batch parity form).
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-    // rejects by default; read the raw int64 nanos
-    // (legacy.parquet.nanosAsLong) and truncate to micros.
+    // ----- streaming-shape windowed aggregation (batch parity form)
     "q_events_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val ev = readEvents(s, dir)
       StreamingOps.windowedEventStats(ev, "1 hour")
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
@@ -306,9 +308,7 @@ object SparkEntry {
 
     // ----- batch sessionization (gap-based, window-lag formulation)
     "q_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val ev = readEvents(s, dir)
       StreamingOps.finalizeSessions(s, ev, gapMs = 30 * 60 * 1000)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("start_us"),
@@ -346,7 +346,8 @@ object SparkEntry {
       Dedup.minhashDupPairs(d, "doc_id", "text")
     }),
 
-    // ----- near-dup: 60-bit SimHash with 15-bit chunk blocking
+    // ----- near-dup: 60-bit SimHash, pigeonhole blocking on
+    // maxDist+1 = 9 chunks (recall-lossless for hamming <= 8)
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.simhashDupPairs(d, "doc_id", "text", maxDist = 8)
@@ -669,12 +670,11 @@ object SparkEntry {
     // never skew the hash.
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts,
-           epoch_ns(ts) // 1000 AS us,
-           epoch_ns(ts) // 1000000000 AS sec FROM events),
-         w AS (SELECT *, lag(sec) OVER
-           (PARTITION BY user_id ORDER BY ts) AS prev_sec FROM e),
-         f AS (SELECT *, CASE WHEN prev_sec IS NULL
-             OR (sec - prev_sec) * 1000 > 1800000
+           epoch_ns(ts) // 1000 AS us FROM events),
+         w AS (SELECT *, lag(us) OVER
+           (PARTITION BY user_id ORDER BY ts) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR (us - prev_us) > 1800000000
            THEN 1 ELSE 0 END AS new_s FROM w),
          g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
@@ -799,9 +799,12 @@ object SparkEntry {
       "CASE WHEN list_sum(list_transform(h, x -> " +
       "CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
       "THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
-    val chunkCond = (0 until 4).map(i =>
-      s"((a.sh >> ${i * 15}) & 32767) = ((b.sh >> ${i * 15}) & 32767)")
-      .mkString(" OR ")
+    // blocking literals generated from the operator's own chunk table
+    // (maxDist = 8 -> 9 chunks) so query and oracle cannot drift
+    val chunkCond = Dedup.simhashChunks(9).map { case (off, w) =>
+      val mask = (1L << w) - 1
+      s"((a.sh >> $off) & $mask) = ((b.sh >> $off) & $mask)"
+    }.mkString(" OR ")
     s"""WITH hashes AS (SELECT doc_id, $sqlTokenHashes AS h FROM documents),
        sh AS (SELECT doc_id, $shExpr AS sh FROM hashes)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -19,3 +19,10 @@ class NotGraftDatasetException(msg: String)
   */
 class OperationNotFoundException(msg: String)
     extends IllegalArgumentException(msg)
+
+/** Raised when a dataset sidecar (lineage.json) exists but cannot be
+  * parsed — distinct from [[NotGraftDatasetException]] (no sidecar at
+  * all) so callers can tell corruption from absence.
+  */
+class MalformedSidecarException(msg: String)
+    extends IllegalArgumentException(msg)

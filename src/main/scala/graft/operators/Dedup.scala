@@ -189,23 +189,45 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs: block on the four 15-bit chunks of the
-    * 60-bit simhash (two docs differing in ≤ maxDist < 4 chunks' worth
-    * of bits must agree on at least one chunk — pigeonhole blocking),
-    * verify by Hamming distance.
+  /** Chunk boundaries for pigeonhole blocking: `numChunks` contiguous
+    * chunks covering the 60-bit hash, widths as equal as possible
+    * (the first `60 % numChunks` chunks get the extra bit). Returns
+    * (offset, width) per chunk.
+    */
+  private[graft] def simhashChunks(numChunks: Int)
+      : Seq[(Int, Int)] = {
+    val w = 60 / numChunks
+    val r = 60 % numChunks
+    (0 until numChunks).map { i =>
+      (i * w + math.min(i, r), w + (if (i < r) 1 else 0))
+    }
+  }
+
+  /** SimHash near-dup pairs, pigeonhole blocking on `maxDist + 1`
+    * contiguous chunks of the 60-bit simhash: two docs with Hamming
+    * distance ≤ maxDist have fewer differing bits than chunks, so they
+    * MUST agree exactly on at least one chunk — the blocking is
+    * recall-lossless for the declared radius. Verified by exact Hamming
+    * distance. (A fixed 4-chunk blocking would silently miss pairs for
+    * any maxDist ≥ 4 whose differing bits touch all four chunks.)
     *
-    * Scale bound: 4×2^15 = 131k buckets; buckets above `maxBucket` are
-    * dropped from candidate generation (see [[minhashDupPairs]]), so no
-    * stage is quadratic in corpus size.
+    * Scale bound: (maxDist+1) × 2^(60/(maxDist+1)) buckets; buckets
+    * above `maxBucket` are dropped from candidate generation (see
+    * [[minhashDupPairs]]), so no stage is quadratic in corpus size.
+    * maxDist is capped at 29 so every chunk keeps ≥ 2 bits.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 29,
+      s"maxDist must be in [0, 29], got $maxDist")
     val withSh = df.select(col(idCol).as("id"),
       graft.functions.NativeHash.simhashColumn(col(textCol)).as("sh"))
-    val chunks = array((0 until 4).map(i =>
-      concat_ws(":", lit(i),
-        (shiftright(col("sh"), i * 15).bitwiseAND(lit(32767L)))
-          .cast("string"))): _*)
+    val chunks = array(simhashChunks(maxDist + 1).zipWithIndex.map {
+      case ((off, width), i) =>
+        concat_ws(":", lit(i),
+          (shiftright(col("sh"), off)
+            .bitwiseAND(lit((1L << width) - 1))).cast("string"))
+    }: _*)
     val exploded = withSh.select(col("id"), col("sh"),
       explode(chunks).as("chunk"))
     val p = BucketPairs.bucketedPairs(exploded, col("chunk"),
@@ -254,18 +276,21 @@ object Dedup {
       .filter(col("__ks") >= minShared)
       .drop("__ks")
     // Verify with ONE more gram pass, not two: explode each candidate
-    // pair into (pair-id, side, id) rows, join the grams frame once,
-    // regroup by pair-id. (Joining grams per side would recompute the
-    // whole n-gram pipeline twice — it is the dominant cost here.)
-    val withPid = cand.withColumn("__pid", monotonically_increasing_id())
-    val sides = withPid
-      .select(col("__pid"), col("id_a").as("id"), lit(0).as("__s"))
-      .unionByName(withPid
-        .select(col("__pid"), col("id_b").as("id"), lit(1).as("__s")))
+    // pair into (id_a, id_b, side, id) rows, join the grams frame once,
+    // regroup by the pair key itself. (Joining grams per side would
+    // recompute the whole n-gram pipeline twice — it is the dominant
+    // cost here. A synthetic monotonically_increasing_id pair key would
+    // be NONDETERMINISTIC across re-evaluations of the candidate
+    // subtree after its shuffle — (id_a, id_b) is already unique.)
+    val sides = cand
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("id"), lit(0).as("__s")),
+          struct(col("id_b").as("id"), lit(1).as("__s")))).as("e"))
+      .select(col("id_a"), col("id_b"),
+        col("e.id").as("id"), col("e.__s").as("__s"))
     val paired = sides.join(grams, Seq("id"))
-      .groupBy("__pid").agg(
-        max(when(col("__s") === 0, col("id"))).as("id_a"),
-        max(when(col("__s") === 1, col("id"))).as("id_b"),
+      .groupBy("id_a", "id_b").agg(
         first(when(col("__s") === 0, col("grams")), ignoreNulls = true)
           .as("__ga"),
         first(when(col("__s") === 1, col("grams")), ignoreNulls = true)

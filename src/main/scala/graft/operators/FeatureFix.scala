@@ -17,11 +17,18 @@ import graft.core.GraftDataset
   * `limit(max+1)` (TakeOrderedAndProject — a bounded per-partition
   * top-k, never a full sort) and fails fast when the limit is hit.
   */
-private[operators] object DictionaryFit {
+private[graft] object DictionaryFit {
   val DefaultMaxCategories = 10000
+
+  /** Monotonic fit counter — lets specs pin the single-fit contract
+    * (one distinct-collect per encoder application) without depending
+    * on AQE-sensitive Spark job counts.
+    */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong
 
   def sortedDistinct(df: DataFrame, expr: Column,
       max: Int = DefaultMaxCategories): Seq[String] = {
+    fitCount.incrementAndGet()
     val vals = df.select(expr.cast("string").as("__v"))
       .filter(col("__v").isNotNull)
       .distinct().orderBy(col("__v"))
@@ -92,9 +99,16 @@ final case class EncodeSingleCategorical(
     coalesce(cased, lit(NanCategory))
   }
 
+  /** Skip when ANY encoded derivative of the column exists — the
+    * ordinal `{col}_enc` or any one-hot `{col}_{cat}_enc` — so a second
+    * application of either method is a no-op. (The reference's own skip
+    * check misses the one-hot shape, feature_fix.py:286-298; we follow
+    * the intended semantics, SURVEY §2.11.)
+    */
   private def shouldSkip(df: DataFrame): Boolean =
     !force && (
-      df.columns.contains(s"${column}_enc") ||
+      df.columns.exists(c =>
+        c.startsWith(s"${column}_") && c.endsWith("_enc")) ||
       df.schema(column).dataType.isInstanceOf[NumericType])
 
   private def fit(df: DataFrame): Seq[String] =

@@ -43,8 +43,13 @@ trait FeatureOperation extends Serializable with Product {
       require(ds.data.columns.contains(c),
         s"${getClass.getSimpleName}: column '$c' not in dataset")
     }
-    val out = transform(ds.data)
-    ds.trackHistory(applied(ds.data), out)
+    // Fit ONCE: `applied` runs any data-dependent fit and returns the op
+    // copy carrying its dictionary; transforming through that copy reuses
+    // it, so encoder ops run one distinct-collect job per application,
+    // not two (one for the history record, one for the output frame).
+    val fitted = applied(ds.data)
+    val out    = fitted.transform(ds.data)
+    ds.trackHistory(fitted, out)
   }
 
   def apply(df: DataFrame): DataFrame = transform(df)

@@ -61,15 +61,21 @@ object Io {
   /** JSON-lines source with the same dynamic-typing posture as CSV:
     * `primitivesAsString` keeps every scalar a string so a column
     * mixing numbers and text survives as a MIXED column for the repair
-    * cascade, then the classification decides the casts.
+    * cascade, then the classification decides the casts. Empty-string →
+    * null normalization applies only to STRING columns — nested
+    * object/array columns pass through unchanged (a `=== ""` comparison
+    * on a struct column would fail analysis).
     */
   def readJson(spark: SparkSession, path: String): Try[DataFrame] = Try {
     val df = spark.read
       .option("primitivesAsString", "true")
       .json(path)
-    df.select(df.columns.map(c =>
-      when(col(c) === "", lit(null).cast(StringType)).otherwise(col(c))
-        .as(c)).toIndexedSeq: _*)
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        when(col(f.name) === "", lit(null).cast(StringType))
+          .otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
   def datasetFromJson(spark: SparkSession, path: String,
@@ -125,39 +131,85 @@ object Io {
       java.nio.file.Paths.get(s"$path/lineage.json"), json)
   }
 
+  /** Deserialization allowlist for the `ops_jvm` payload: only graft's
+    * own op classes and the JDK/Scala types they are built from. Any
+    * other class in the stream — i.e. any gadget-chain attempt — is
+    * rejected before instantiation.
+    */
+  private val OpsJvmFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "graft.**;scala.**;java.lang.*;java.util.*;!*")
+
   /** S4: load a persisted dataset — data, metadata columns, and the
     * REAL operation objects (deserialized from the sidecar's `ops_jvm`
     * payload; reference dataset.py:756-807 restores pickled objects the
     * same way). Sidecars written by other engines can omit `ops_jvm`,
     * in which case history is empty and only the readable descriptors
     * remain.
+    *
+    * Safety: the sidecar is parsed with a real JSON parser (malformed →
+    * typed [[graft.core.MalformedSidecarException]]); `ops_jvm`
+    * deserialization runs under a strict [[java.io.ObjectInputFilter]]
+    * allowlist AND only when `trusted = true` — set it false for
+    * sidecars that did not come from your own [[writeDataset]] (the
+    * data and readable descriptors still load; only the executable op
+    * objects are skipped). The reference's pickle round-trip has the
+    * same trust model but no mitigation at all.
     */
-  def readDataset(spark: SparkSession, path: String): GraftDataset = {
+  def readDataset(spark: SparkSession, path: String,
+      trusted: Boolean = true): GraftDataset = {
     val p = java.nio.file.Paths.get(s"$path/lineage.json")
     if (!java.nio.file.Files.exists(p))
       throw new graft.core.NotGraftDatasetException(
         s"$path is not a graft dataset (no lineage.json)")
     val df   = spark.read.parquet(s"$path/data.parquet")
-    val json = java.nio.file.Files.readString(p)
-    def strSet(field: String): Set[String] = {
-      val body = ("\"" + field + "\":\\[(.*?)\\]").r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-      "\"(.*?)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    val side = MiniJson.parseObject(java.nio.file.Files.readString(p))
+    def strSet(field: String): Set[String] = side.get(field) match {
+      case Some(v: Vector[_]) => v.collect { case s: String => s }.toSet
+      case _                  => Set.empty
     }
-    val history = "\"ops_jvm\":\"([A-Za-z0-9+/=]*)\"".r
-      .findFirstMatchIn(json).map(_.group(1)) match {
-      case Some(b64) if b64.nonEmpty =>
-        val bytes = java.util.Base64.getDecoder.decode(b64)
+    val history = side.get("ops_jvm") match {
+      case Some(b64: String) if b64.nonEmpty && trusted =>
+        val bytes = try java.util.Base64.getDecoder.decode(b64)
+          catch { case e: IllegalArgumentException =>
+            throw new graft.core.MalformedSidecarException(
+              s"ops_jvm is not valid base64: ${e.getMessage}") }
         val ois = new java.io.ObjectInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val ops = ois.readObject()
-          .asInstanceOf[Vector[graft.operators.FeatureOperation]]
-        ois.close()
+        ois.setObjectInputFilter(OpsJvmFilter)
+        val ops = try {
+          try ois.readObject()
+            .asInstanceOf[Vector[graft.operators.FeatureOperation]]
+          catch { case e: java.io.InvalidClassException =>
+            throw new graft.core.MalformedSidecarException(
+              s"ops_jvm contains a class outside the graft/scala/JDK " +
+              s"allowlist (possible tampering): ${e.getMessage}") }
+        } finally ois.close()
         ops.foldLeft(graft.core.OperationsList())(_ :+ _)
       case _ => graft.core.OperationsList()
     }
     new GraftDataset(df, strSet("metadata_cols"), strSet("derived_cols"),
       history)
+  }
+
+  /** Read a parquet table containing TIMESTAMP(NANOS) columns, which
+    * Spark's reader rejects by default. The legacy `nanosAsLong` flag
+    * is set ONLY for the eager schema-inference read and restored
+    * immediately; the returned frame carries an explicit schema (nanos
+    * as BIGINT), so execution never depends on session conf — queries
+    * built on it cannot leak the flag to later reads in the session.
+    */
+  def readNanosAsLong(spark: SparkSession, path: String): DataFrame = {
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val schema =
+      try spark.read.parquet(path).schema
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    spark.read.schema(schema).parquet(path)
   }
 
   /** S5: CSV sink (anonymize_database.py:196-204). `single=true` mirrors

@@ -53,45 +53,75 @@ object StreamingOps {
     * `gapMs` of silence passes (reference has nothing comparable; this
     * is the canonical custom-state streaming op).
     *
+    * Idle-session finalization: state registers an EVENT-TIME timeout at
+    * `last + gapMs`; when the watermark passes it without a successor
+    * event, the open session is EMITTED and its state removed — an idle
+    * user neither holds state forever nor loses their last session
+    * (with `NoTimeout` both happened). Event-time timeouts are driven by
+    * the watermark, so on a streaming input the op installs one itself
+    * (`lateness` = how long out-of-order events are admitted).
+    *
     * Memory bound: each invocation sorts ONE user's events from the
     * CURRENT micro-batch (not all history — state carries only the
     * open session's 3 counters). Per-user-per-batch volume is the
     * bound; a pathological single-user firehose should be pre-bucketed
     * by (user, coarse time) upstream.
     */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long)
-      : Dataset[SessionOut] = {
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
     import spark.implicits._
-    val typed = events
-      .select(col("user_id").cast("long"),
+    val projected = events
+      .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"))
-      .as[(Long, Timestamp)]
+    // captured on the driver: batch runs have no watermark, so timeout
+    // registration must be skipped there (it would throw)
+    val isStreamingRun = events.isStreaming
+    val typed =
+      (if (isStreamingRun) projected.withWatermark("ts", lateness)
+       else projected).as[(Long, Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+        GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[(Long, Timestamp)],
             state: GroupState[SessionState]) => {
-          val times = rows.map(_._2.getTime).toSeq.sorted
-          var st = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          times.foreach { t =>
-            st match {
-              case Some(s) if t - s.last <= gapMs =>
-                st = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(user, new Timestamp(s.start),
-                  new Timestamp(s.last), s.n)
-                st = Some(SessionState(t, t, 1))
-              case None =>
-                st = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: flush the
+            // open session and drop the state
+            val closed = state.getOption.map(s =>
+              SessionOut(user, new Timestamp(s.start),
+                new Timestamp(s.last), s.n))
+            state.remove()
+            closed.iterator
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            times.foreach { t =>
+              st match {
+                case Some(s) if t - s.last <= gapMs =>
+                  st = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  st = Some(SessionState(t, t, 1))
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              if (isStreamingRun) state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
         })
   }
 
-  /** Drain any pending session state (batch-mode finalize). */
+  /** Drain any pending session state (batch-mode finalize). Gap
+    * detection runs at MICROsecond granularity (`unix_micros`) — a
+    * plain `cast("long")` truncates to seconds and silently rounds
+    * sub-second gaps.
+    */
   def finalizeSessions(spark: SparkSession, events: DataFrame,
       gapMs: Long): DataFrame = {
     import spark.implicits._
@@ -102,8 +132,8 @@ object StreamingOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          (col("ts").cast("long") - col("prev_ts").cast("long")) * 1000
-            > gapMs).cast("int"))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > gapMs * 1000L).cast("int"))
       .withColumn("session_id",
         sum(col("new_session")).over(
           w.rowsBetween(Long.MinValue, 0)))

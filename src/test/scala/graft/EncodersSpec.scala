@@ -50,3 +50,45 @@ class EncodersSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 }
+
+/** Single-fit contract: applying an encoder to a GraftDataset runs its
+  * dictionary fit exactly ONCE (the applied-op copy is reused for the
+  * output frame), and executing the result triggers no further fit —
+  * previously the history record and the transform each fit
+  * independently, doubling every distinct-collect job.
+  */
+class SingleFitSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators._
+
+  private def fitsDuring(body: => core.GraftDataset): Long = {
+    val before = DictionaryFit.fitCount.get()
+    val out    = body
+    out.data.collect() // transform must not re-fit at execution either
+    DictionaryFit.fitCount.get() - before
+  }
+
+  test("OrdinalEncoder fits once per dataset application") {
+    val ds = core.GraftDataset(Seq("b", "a", "b").toDF("c"))
+    assert(fitsDuring(OrdinalEncoder(Seq("c"), Seq("c_enc"))(ds)) == 1L)
+  }
+
+  test("OneHotEncoder fits once per dataset application") {
+    val ds = core.GraftDataset(Seq("b", "a", "b").toDF("c"))
+    assert(fitsDuring(OneHotEncoder(Seq("c"))(ds)) == 1L)
+  }
+
+  test("EncodeSingleCategorical fits once per dataset application") {
+    val ds = core.GraftDataset(Seq("b", "a", null).toDF("c"))
+    assert(fitsDuring(EncodeSingleCategorical("c")(ds)) == 1L)
+    assert(fitsDuring(EncodeSingleCategorical("c", method = "onehot",
+      force = true)(ds)) == 1L)
+  }
+
+  test("fitted op copy carries the dictionary into history") {
+    val ds  = core.GraftDataset(Seq("b", "a").toDF("c"))
+    val out = OrdinalEncoder(Seq("c"), Seq("c_enc"))(ds)
+    val op  = out.history(0).asInstanceOf[OrdinalEncoder]
+    assert(op.encodedValuesMap == Seq(("a", 0L), ("b", 1L)))
+  }
+}

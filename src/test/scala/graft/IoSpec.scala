@@ -86,3 +86,75 @@ class IoSpec extends SparkSpec {
     assert(parts.length == 1)
   }
 }
+
+/** Sidecar trust model: lineage.json is parsed with a real JSON parser
+  * (malformed input throws typed), and the executable `ops_jvm` payload
+  * only deserializes under a strict class allowlist AND when the caller
+  * declares the directory trusted.
+  */
+class SidecarSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.{GraftDataset, MalformedSidecarException}
+  import graft.operators.FillNA
+  import graft.sources.Io
+
+  private def freshDataset(): (String, GraftDataset) = {
+    val dir = Files.createTempDirectory("graft_side").toFile.getPath +
+      "/out"
+    val ds = FillNA(Seq("c"), "x")(
+      GraftDataset(Seq(Some("a"), None).toDF("c")))
+    Io.writeDataset(ds, dir)
+    (dir, ds)
+  }
+
+  private def rewriteSidecar(dir: String, body: String): Unit =
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/lineage.json"), body)
+
+  test("malformed sidecar JSON throws the typed exception") {
+    val (dir, _) = freshDataset()
+    rewriteSidecar(dir, """{"metadata_cols": [unclosed""")
+    intercept[MalformedSidecarException] { Io.readDataset(spark, dir) }
+  }
+
+  test("non-base64 ops_jvm throws the typed exception") {
+    val (dir, _) = freshDataset()
+    rewriteSidecar(dir,
+      """{"metadata_cols":[],"derived_cols":[],"ops_jvm":"!!!not-b64"}""")
+    intercept[MalformedSidecarException] { Io.readDataset(spark, dir) }
+  }
+
+  test("ops_jvm with a class outside the allowlist is rejected") {
+    val (dir, _) = freshDataset()
+    // a serialized java.io.File stands in for a gadget-chain payload:
+    // serializable, resolvable, NOT in the graft/scala/java.lang/util
+    // allowlist — must be rejected before instantiation
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.io.File("/tmp/gadget")); oos.close()
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    rewriteSidecar(dir,
+      s"""{"metadata_cols":[],"derived_cols":[],"ops_jvm":"$b64"}""")
+    val e = intercept[MalformedSidecarException] {
+      Io.readDataset(spark, dir)
+    }
+    assert(e.getMessage.contains("allowlist"))
+  }
+
+  test("trusted=false loads data but skips executable history") {
+    val (dir, _) = freshDataset()
+    val back = Io.readDataset(spark, dir, trusted = false)
+    assert(back.data.count() == 2)
+    assert(back.history.size == 0)
+  }
+
+  test("nested sidecar values parse instead of regex-misparsing") {
+    val (dir, _) = freshDataset()
+    rewriteSidecar(dir,
+      """{"metadata_cols":["mA"],"derived_cols":[],
+        |"extra":{"nested":["metadata_cols","decoy"]},"ops_jvm":""}"""
+        .stripMargin)
+    val back = Io.readDataset(spark, dir)
+    assert(back.metadataCols == Set("mA")) // escape decoded, decoy ignored
+  }
+}

@@ -110,4 +110,28 @@ class StreamingOpsSpec extends SparkSpec {
       assert(done.toSeq == Seq((1L, 2L)))
     } finally q.stop()
   }
+
+  test("sessionize flushes an idle user's session via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingOps.sessionize(spark,
+      mem.toDF().toDF("user_id", "ts"), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("idle_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(1))) // user 1 then goes idle
+      q.processAllAvailable()
+      assert(spark.table("idle_out").isEmpty) // session still open
+      // OTHER users' traffic advances the watermark past 10:01 + gap;
+      // user 1 never sends a successor event
+      mem.addData((2L, ts(40)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(41)))
+      q.processAllAvailable()
+      val flushed = spark.table("idle_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+      assert(flushed.contains((1L, 2L)))
+    } finally q.stop()
+  }
 }
