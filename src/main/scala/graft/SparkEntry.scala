@@ -860,25 +860,56 @@ object SparkEntry {
        WHERE rank <= 10"""
   }
 
-  /** Mirrors Similarity.ivfTopK at nCentroids=16, nProbe=4: centroids
-    * are the 16 lowest-vec_id quantized vectors (data-derived on both
-    * sides), assignment/probes are argmax of exact int64 dots with
-    * lowest-index tiebreak.
+  /** Mirrors Similarity.ivfTopK at nCentroids=16, nProbe=4,
+    * kmeansIters=2 — including the deterministic sampled k-means:
+    * seeds are the 16 smallest (md5(vec_id), vec_id) vectors, each
+    * iteration assigns by argmax of dot(v,c)/sqrt(dot(c,c)) (exact
+    * int64 dots, lowest-ci tiebreak) and replaces centroids with
+    * floor'd component means; empty lists keep their centroid. The
+    * iterations are unrolled into chained CTEs.
     */
   private def ivfTopKOracle: String = {
-    val dotCV = sqlDotQ("qv", "cv", 64)
+    val dim = 64
+    // score of vector qv against centroid cv (zero-norm guard matches
+    // the engine's Double.MinValue sentinel)
+    def score(qv: String, cv: String): String =
+      s"CASE WHEN ${sqlDotQ(cv, cv, dim)} = 0 " +
+      s"THEN -1.7976931348623157E308 " +
+      s"ELSE ${sqlDotQ(qv, cv, dim)}::DOUBLE / " +
+      s"sqrt(${sqlDotQ(cv, cv, dim)}::DOUBLE) END"
+    // one k-means iteration: assign to cent$t, recompute as cent${t+1}
+    def iterCtes(t: Int): String =
+      s"""sc$t AS (SELECT q.vec_id, c.ci,
+           ${score("q.qv", "c.cv")} AS s FROM q CROSS JOIN cent$t c),
+         a$t AS (SELECT vec_id, ci FROM (
+           SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY s DESC, ci) AS rn FROM sc$t) x WHERE rn = 1),
+         u$t AS (SELECT ci, list(cc ORDER BY idx) AS cv FROM (
+           SELECT a$t.ci, r.idx,
+             CAST(floor(SUM(q.qv[r.idx])::DOUBLE / COUNT(*)) AS BIGINT)
+               AS cc
+           FROM q JOIN a$t USING (vec_id)
+             CROSS JOIN range(1, ${dim + 1}) r(idx)
+           GROUP BY a$t.ci, r.idx) g GROUP BY ci),
+         cent${t + 1} AS (SELECT c.ci, COALESCE(u.cv, c.cv) AS cv
+           FROM cent$t c LEFT JOIN u$t u USING (ci)),"""
     s"""WITH q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
          FROM embeddings),
-       cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
-         qv AS cv FROM q ORDER BY vec_id LIMIT 16),
-       cdots AS (SELECT q.vec_id, cent.ci, $dotCV AS d
-         FROM q CROSS JOIN cent),
+       seeds AS (SELECT vec_id, qv FROM q
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       cent0 AS (SELECT ROW_NUMBER() OVER
+           (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+         qv AS cv FROM seeds),
+       ${iterCtes(0)}
+       ${iterCtes(1)}
+       cdots AS (SELECT q.vec_id, c.ci,
+         ${score("q.qv", "c.cv")} AS s FROM q CROSS JOIN cent2 c),
        assign AS (SELECT vec_id, ci FROM (
          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY d DESC, ci) AS rn FROM cdots) a WHERE rn = 1),
+           ORDER BY s DESC, ci) AS rn FROM cdots) a WHERE rn = 1),
        probes AS (SELECT vec_id, ci FROM (
          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY d DESC, ci) AS rn FROM cdots) p
+           ORDER BY s DESC, ci) AS rn FROM cdots) p
          WHERE rn <= 4 AND vec_id < 5),
        scored AS (
          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,

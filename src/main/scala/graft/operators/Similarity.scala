@@ -188,47 +188,39 @@ object Similarity {
     * lists by nearest centroid, probe the query's `nProbe` closest
     * lists, rank candidates by exact quantized cosine.
     *
-    * Deterministic by construction: centroids are the corpus vectors
-    * with the `nCentroids` smallest ids (a fixed, engine-independent
-    * choice — no RNG, no iterative refinement whose float sums would
-    * depend on partitioning), assignment is argmax of the exact int64
-    * dot over quantized vectors with lowest-index tiebreak.
+    * Centroids come from a deterministic sampled k-means: seeds are the
+    * `nCentroids` corpus vectors with the smallest `(md5(id), id)` key
+    * (a pseudo-random but engine-independent sample — NOT the lowest
+    * ids, which on a clustered corpus would put every seed in one
+    * region and degenerate the inverted lists toward brute force), then
+    * `kmeansIters` spherical-assignment iterations. Every step is
+    * engine-reproducible: assignment is argmax of
+    * `dot(v,c)/sqrt(dot(c,c))` over EXACT int64 dots (one correctly-
+    * rounded sqrt + divide — no float accumulation), means are exact
+    * int64 component sums floor-divided by the list size, ties go to
+    * the lowest centroid index.
     *
-    * Scale shape: centroids are collected once (bounded — nCentroids ≤
-    * a few thousand) and broadcast as literals; corpus assignment is a
-    * per-row expression (no shuffle); the probe join is an equi-join on
-    * list id against the broadcast query side. Expected candidates per
-    * query ≈ nProbe/nCentroids of the corpus.
+    * Scale shape: seeds are one bounded TakeOrdered collect; each
+    * k-means iteration is ONE map-side-combined aggregation producing
+    * `nCentroids` rows (count + `dim` component sums — no shuffle of
+    * vectors, no per-row state); centroids broadcast as literals;
+    * corpus assignment is a per-row expression (no shuffle); the probe
+    * join is an equi-join on list id against the broadcast query side.
+    * Expected candidates per query ≈ nProbe/nCentroids of the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4)
-      : DataFrame = {
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
     val cq = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(vecCol)).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
-    val centroids: Array[Seq[Long]] = cq
-      .orderBy(col("neighbor_id")).limit(nCentroids)
-      .select(col("__cv")).collect().map(_.getSeq[Long](0))
-    require(centroids.nonEmpty, "corpus is empty")
+    val centroids = fitCentroidsKMeans(cq, "neighbor_id", "__cv",
+      nCentroids, kmeansIters)
 
-    // argmax of dot(v, centroid_i), lowest index wins ties
-    def nearestList(qv: Column): Column = {
-      val scores = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dotQ(qv, typedlit(c)).as("s"), lit(-i).as("negi"))
-      }
-      -greatest(scores: _*).getField("negi")
-    }
-    // indexes of the nProbe best centroids: sort (score, -idx) structs
-    // descending, take nProbe, extract idx
-    def probeLists(qv: Column): Column = {
-      val scores = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dotQ(qv, typedlit(c)).as("s"), lit(-i).as("negi"))
-      }: _*)
-      transform(
-        slice(reverse(array_sort(scores)), 1, math.min(nProbe,
-          centroids.length)),
-        s => -s.getField("negi"))
-    }
+    def nearestList(qv: Column): Column =
+      IvfCentroids.nearestList(qv, centroids)
+    def probeLists(qv: Column): Column =
+      IvfCentroids.probeLists(qv, centroids, nProbe)
 
     val corpusListed = cq.withColumn("__list", nearestList(col("__cv")))
     val qq = queries.select(col(idCol).as("query_id"),
@@ -245,6 +237,49 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic sampled k-means over a quantized-vector column.
+    * Seeds: the `nCentroids` rows with the smallest `(md5(id), id)` —
+    * a fixed pseudo-random sample, identical on every engine and
+    * partitioning. Each iteration assigns every vector to its
+    * spherical-nearest centroid (exact int64 dot / sqrt of the exact
+    * centroid norm) and replaces each centroid with the floor'd
+    * component-wise mean of its list; a centroid whose list empties
+    * keeps its previous position. All arithmetic is exact-int or
+    * single correctly-rounded double ops, so the result is
+    * bit-reproducible (the DuckDB oracle replays it).
+    */
+  private[graft] def fitCentroidsKMeans(cq: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, iters: Int): Array[Seq[Long]] = {
+    var cents: Array[Seq[Long]] = cq
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
+      .select(col(vecCol)).collect().map(_.getSeq[Long](0))
+    require(cents.nonEmpty, "corpus is empty")
+    val dim = cents.head.length
+    for (_ <- 0 until iters) {
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col(vecCol), j + 1)).as(s"s$j"))
+      // ONE aggregation: partial (map-side) combine reduces every
+      // partition to <= nCentroids rows of (count, dim sums) before the
+      // exchange — the corpus vectors themselves never shuffle
+      val upd = cq
+        .withColumn("__list",
+          IvfCentroids.nearestList(col(vecCol), cents))
+        .groupBy("__list")
+        .agg(count(lit(1)).as("__cnt"), sums: _*)
+        .collect()
+      val next = cents.clone()
+      upd.foreach { r =>
+        val li = r.getAs[Int]("__list")
+        val n  = r.getAs[Long]("__cnt").toDouble
+        next(li) = (0 until dim).map(j =>
+          math.floor(r.getAs[Long](s"s$j") / n).toLong)
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
@@ -283,5 +318,43 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .distinct()
       .filter(col("cosine") >= threshold)
+  }
+}
+
+/** Centroid-scoring expressions shared by the IVF fit and probe paths.
+  * The score of vector v against centroid c is
+  * `dot(v,c) / sqrt(dot(c,c))` — v's own norm is constant within an
+  * argmax so it is dropped; dots are exact int64, the sqrt/divide are
+  * single correctly-rounded double ops, so the argmax (ties to the
+  * lowest index) is bit-reproducible across engines.
+  */
+private[graft] object IvfCentroids {
+  import org.apache.spark.sql.functions._
+  import graft.functions.NativeHash.dotQColumn
+
+  private def score(qv: Column, c: Seq[Long]): Column = {
+    val cn = c.map(x => x * x).sum
+    if (cn == 0L) lit(Double.MinValue) // empty/zero centroid never wins
+    else dotQColumn(qv, typedlit(c)).cast("double") /
+      lit(math.sqrt(cn.toDouble))
+  }
+
+  private def scored(qv: Column, cents: Array[Seq[Long]]): Seq[Column] =
+    cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(score(qv, c).as("s"), lit(-i).as("negi"))
+    }
+
+  /** Index of the best-scoring centroid (argmax, lowest index ties). */
+  def nearestList(qv: Column, cents: Array[Seq[Long]]): Column =
+    if (cents.length == 1) lit(0)
+    else -greatest(scored(qv, cents): _*).getField("negi")
+
+  /** Indices of the `nProbe` best centroids, best first. */
+  def probeLists(qv: Column, cents: Array[Seq[Long]], nProbe: Int)
+      : Column = {
+    val arr = array(scored(qv, cents): _*)
+    transform(
+      slice(reverse(array_sort(arr)), 1, math.min(nProbe, cents.length)),
+      s => -s.getField("negi"))
   }
 }

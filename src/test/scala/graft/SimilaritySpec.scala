@@ -92,4 +92,47 @@ class SimilaritySpec extends SparkSpec {
       Similarity.quantize(col("b")))).collect()(0).getLong(0)
     assert(d == 3000L) // (1 + 2) milli-units × 1000 milli-units
   }
+
+  test("k-means centroids spread over a skewed corpus (balanced lists)") {
+    // ids 0..15 are one tight cluster: seeding by LOWEST id would put
+    // every centroid inside it and degenerate the inverted lists. The
+    // md5-sampled k-means seeds must spread instead.
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i < 16) Seq(1.0f, 0.001f * i, 0.0f, 0.0f)
+        else {
+          val a = i % 4
+          Seq.tabulate(4)(j =>
+            (if (j == a) 1.0f else 0.0f) + 0.001f * ((i * 7 + j) % 5))
+        }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cq = df.select(col("vec_id").as("neighbor_id"),
+      Similarity.quantize(col("embedding")).as("__cv"))
+    val cents = Similarity.fitCentroidsKMeans(cq, "neighbor_id", "__cv",
+      nCentroids = 8, iters = 2)
+    val sizes = cq.withColumn("__list",
+        graft.operators.IvfCentroids.nearestList(col("__cv"), cents))
+      .groupBy("__list").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert(sizes.length >= 4, s"only ${sizes.length} non-empty lists")
+    assert(sizes.max <= n / 2,
+      s"one list holds ${sizes.max} of $n vectors - degenerate")
+  }
+
+  test("fitCentroidsKMeans is invariant to input partitioning") {
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 13 + j * 7) % 19 - 9) / 9.0f)))
+    def fit(parts: Int) = {
+      val cq = rows.toDF("vec_id", "embedding").repartition(parts)
+        .select(col("vec_id").as("neighbor_id"),
+          Similarity.quantize(col("embedding")).as("__cv"))
+      Similarity.fitCentroidsKMeans(cq, "neighbor_id", "__cv",
+        nCentroids = 4, iters = 2).toSeq
+    }
+    assert(fit(1) == fit(7)) // exact equality: int sums, floored means
+  }
 }
