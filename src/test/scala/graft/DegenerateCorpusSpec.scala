@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DictionaryFit, Similarity}
+
+/** Adversarial degenerate corpora — the inputs a 100 TB crawl actually
+  * contains (mass-duplicated boilerplate, template pages, constant
+  * embeddings, key-like "categoricals") — aimed at the scale guards:
+  * `maxBucket` on every LSH bucket, `dfCap` on the n-gram inverted
+  * index, the dictionary-fit cardinality cap. The reference's datasim
+  * tests (reference tests/datasim.py:59-488) inject known defects and
+  * assert the handling; these do the same for the guards, so the caps
+  * are verified behavior, not documentation.
+  *
+  * Contract verified for each pair operator:
+  *  1. the op COMPLETES on the degenerate corpus (no quadratic stage —
+  *     with the cap disabled the same corpus would materialize ~N²/2
+  *     pairs from one bucket);
+  *  2. the cap visibly engaged: pairs internal to the degenerate
+  *     cluster are dropped (the DOCUMENTED loss — mass duplicates are
+  *     exact-dedup's job, and [[Dedup.exact]] still catches them);
+  *  3. honest near-dup pairs OUTSIDE the degenerate bucket survive.
+  */
+class DegenerateCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** `n` byte-identical documents (every signature collides) plus one
+    * honest near-dup pair with unique long text.
+    */
+  private def identicalCorpus(n: Int): DataFrame = {
+    val boiler = (0 until n).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet the same page every time"))
+    val honestA = (9000L,
+      "a genuinely unique document about distributed query engines " +
+      "and the cost model of shuffle exchanges in analytical plans")
+    val honestB = (9001L,
+      "a genuinely unique document about distributed query engines " +
+      "and the cost model of shuffle exchanges in analytical planz")
+    (boiler :+ honestA :+ honestB).toDF("doc_id", "text")
+  }
+
+  test("minhash: degenerate band bucket is dropped, honest pair survives") {
+    val df = identicalCorpus(120)
+    val capped = Dedup.minhashDupPairs(df, "doc_id", "text",
+        maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // loss is exactly the identical cluster; the unique near-dups remain
+    assert(capped.toSeq == Seq((9000L, 9001L)))
+    // control: with the cap above the cluster size the same op reports
+    // the full quadratic cluster — what the cap is protecting against
+    val uncapped = Dedup.minhashDupPairs(df, "doc_id", "text",
+      maxBucket = 10000).count()
+    assert(uncapped == 120L * 119 / 2 + 1)
+  }
+
+  test("simhash: degenerate chunk bucket is dropped, honest pair survives") {
+    // the honest pair is byte-identical (hamming 0 — a one-word edit
+    // flips an unbounded number of simhash vote bits, so it would test
+    // recall, not the cap); the cluster of 120 shares every chunk
+    // bucket and must be dropped while the pair's size-2 bucket passes
+    val honest = "a genuinely unique document about distributed " +
+      "query engines and the cost model of shuffle exchanges"
+    val df = ((0 until 120).map(i =>
+        (i.toLong, "lorem ipsum dolor sit amet the same page every time"))
+      ++ Seq((9000L, honest), (9001L, honest))).toDF("doc_id", "text")
+    val capped = Dedup.simhashDupPairs(df, "doc_id", "text",
+        maxDist = 3, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.toSeq == Seq((9000L, 9001L)))
+    assert(Dedup.simhashDupPairs(df, "doc_id", "text", maxDist = 3,
+      maxBucket = 10000).count() == 120L * 119 / 2 + 1)
+  }
+
+  test("cosine dup: constant-embedding bucket is dropped, op completes") {
+    val constant = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(16)(0.5f)))
+    val pairA = (9000L, Seq.tabulate(16)(j => if (j == 0) 1.0f else 0.001f))
+    val pairB = (9001L, Seq.tabulate(16)(j => if (j == 0) 1.0f else 0.0011f))
+    val lonely = (9002L, Seq.tabulate(16)(j => if (j == 3) -1.0f else 0.0f))
+    val df = (constant :+ pairA :+ pairB :+ lonely)
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.cosineDupPairs(df, "vec_id", "embedding",
+        dim = 16, threshold = 0.99, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.toSeq == Seq((9000L, 9001L)))
+    assert(Similarity.cosineDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, maxBucket = 10000)
+      .count() == 150L * 149 / 2 + 1)
+  }
+
+  test("ngram: boilerplate gram above dfCap is pruned from the index") {
+    // every page carries the same footer; only two share real content.
+    // The footer grams' document frequency (120) exceeds dfCap (50), so
+    // the index drops them — no near-cartesian gram group is built and
+    // footer-only overlap produces NO candidate.
+    val footer = "subscribe to our newsletter for updates today"
+    val pages = (0 until 120).map(i =>
+      (i.toLong, s"page number $i content token${i}a token${i}b $footer"))
+    val dupA = (9000L,
+      s"the complete guide to columnar storage formats and encodings $footer")
+    val dupB = (9001L,
+      s"the complete guide to columnar storage formats and encoding $footer")
+    val df = (pages :+ dupA :+ dupB).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        threshold = 0.3, dfCap = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((9000L, 9001L)))
+  }
+
+  test("ngram: minShared floor prunes single-incidental-phrase pairs") {
+    // two documents sharing exactly ONE rare gram are never candidates
+    val df = Seq(
+      (1L, "alpha beta gamma unique one two three"),
+      (2L, "alpha beta gamma other four five six"),
+      (3L, "totally unrelated text seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      threshold = 0.0, dfCap = 100, minShared = 3)
+    assert(out.count() == 0) // docs 1,2 share one 3-gram < minShared
+  }
+
+  test("the documented loss is exact-dedup's catch: identical docs group") {
+    val df = identicalCorpus(120)
+    val groups = Dedup.exact(df, Seq("text"), "doc_id")
+      .select("n_dups").as[Long].collect().sorted
+    assert(groups.toSeq == Seq(1L, 1L, 120L))
+  }
+
+  test("dictionary fit refuses a 10k+-cardinality 'categorical'") {
+    // a key column smuggled in as a categorical: the DEFAULT guard
+    // (10000) must throw the typed error instead of collecting an
+    // unbounded dictionary to the driver
+    val df = (0 until DictionaryFit.DefaultMaxCategories + 1)
+      .map(i => s"key_$i").toDF("c")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.EncodeSingleCategorical("c")(df)
+    }
+    assert(e.getMessage.contains("not categorical"))
+  }
+}
