@@ -224,6 +224,16 @@ object SparkEntry {
       EncodeSingleCategorical("seg", "ordinal")(c)
     }),
 
+    // ----- B8: multi-column categorical encode through the dataset
+    // orchestrator (classification gates the requested columns, then
+    // B7 runs per column — one fit each, both recorded in history)
+    "q_encode_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+      FeatureFix.encodeMultiCategorical(GraftDataset(li),
+        Seq("l_returnflag", "l_linestatus")).data
+    }),
+
     // ----- B1 threshold binning
     "q_binning" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
@@ -539,6 +549,26 @@ object SparkEntry {
     // Dictionary = sorted distinct of the title-cased values plus the
     // 'Nan' placeholder (single-word values: initcap ==
     // upper(first)||lower(rest)); originally-null rows restore to null.
+    // mirrors FeatureFix.encodeMultiCategorical: per-column initcap
+    // normalization (single-word values, so DuckDB's first-letter
+    // formula equals Spark initcap), independent sorted dictionaries
+    "q_encode_multi" ->
+      """WITH norm AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_linestatus,
+           concat(upper(substring(l_returnflag, 1, 1)),
+                  lower(substring(l_returnflag, 2))) AS tr,
+           concat(upper(substring(l_linestatus, 1, 1)),
+                  lower(substring(l_linestatus, 2))) AS tl
+         FROM lineitem),
+       dr AS (SELECT tr, ROW_NUMBER() OVER (ORDER BY tr) - 1 AS cr
+         FROM (SELECT DISTINCT tr FROM norm) u),
+       dl AS (SELECT tl, ROW_NUMBER() OVER (ORDER BY tl) - 1 AS cl
+         FROM (SELECT DISTINCT tl FROM norm) u)
+       SELECT n.l_orderkey, n.l_linenumber, n.l_returnflag,
+         n.l_linestatus, dr.cr AS l_returnflag_enc,
+         dl.cl AS l_linestatus_enc
+       FROM norm n JOIN dr ON n.tr = dr.tr JOIN dl ON n.tl = dl.tl""",
+
     "q_encode_categorical" ->
       """WITH src AS (
            SELECT c_custkey,

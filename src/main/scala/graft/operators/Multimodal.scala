@@ -58,20 +58,25 @@ object Multimodal {
     * for wrapping any native decoder that amortizes setup per batch.
     * The decode kernel here is a deterministic fake (no codecs in the
     * container); swap `decodeStub` for a real implementation.
+    *
+    * Typed `Dataset.mapPartitions` with an explicit row encoder — NOT
+    * `df.rdd`: the plan stays a single Dataset operator (no RDD
+    * round-trip re-analyzing a hand-built frame) and the output schema
+    * preserves the source fields' nullability instead of re-deriving it.
     */
   def decodeBatches(df: DataFrame, contentCol: String,
       outSchema: StructType)(
       decodeStub: Array[Byte] => Seq[Any]): DataFrame = {
     val idx    = df.schema.fieldIndex(contentCol)
     val schema = StructType(df.schema.fields ++ outSchema.fields)
-    val rdd = df.rdd.mapPartitions { it =>
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
       // per-partition setup would open the codec once here
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         Row.fromSeq(r.toSeq ++ decodeStub(bytes))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(enc)
   }
 
   /** Deterministic fake decoder: "resolution" and "n_frames" derived

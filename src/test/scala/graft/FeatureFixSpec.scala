@@ -78,4 +78,23 @@ class FeatureFixSpec extends SparkSpec {
       OrdinalEncoder(Seq("c"))(big)
     }
   }
+
+  test("double application is a no-op for both encode methods") {
+    val df = Seq("a", "b", "a").toDF("c")
+    // ordinal: {c}_enc exists -> skip
+    val ord  = EncodeSingleCategorical("c", "ordinal")(df)
+    val ord2 = EncodeSingleCategorical("c", "ordinal")(ord)
+    assert(ord2.columns.toSeq == ord.columns.toSeq)
+    // one-hot: only {c}_{cat}_enc derivatives exist — the skip check
+    // must recognize them (the reference's own check misses this shape)
+    val oh  = EncodeSingleCategorical("c", "onehot")(df)
+    val oh2 = EncodeSingleCategorical("c", "onehot")(oh)
+    assert(oh2.columns.toSeq == oh.columns.toSeq)
+    // cross-method: a one-hot-encoded column is not re-encoded as
+    // ordinal either, and the dataset path records no history entry
+    val ds  = EncodeSingleCategorical("c", "onehot")(GraftDataset(df))
+    val ds2 = EncodeSingleCategorical("c", "ordinal")(ds)
+    assert(ds2.data.columns.toSeq == ds.data.columns.toSeq)
+    assert(ds2.history.size == ds.history.size)
+  }
 }

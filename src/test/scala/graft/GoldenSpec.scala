@@ -76,6 +76,16 @@ class GoldenSpec extends SparkSpec {
       "generic-one-hot-encoded-col3-enc")
   }
 
+  test("one-hot encoded col3 with the long _encoded suffix") {
+    assertGolden(OneHotEncoder(Seq("col3"), "_encoded")(generic),
+      "generic-one-hot-encoded-col3-encoded")
+  }
+
+  test("ordinal encoded col3 derived col4") {
+    assertGolden(OrdinalEncoder(Seq("col3"), Seq("col4"))(generic),
+      "generic-ordinal-encoded-col3-col4")
+  }
+
   test("one-hot encoded col0 (three categories, sorted)") {
     assertGolden(OneHotEncoder(Seq("col0"), "_enc")(generic),
       "generic-one-hot-encoded-col0-enc")

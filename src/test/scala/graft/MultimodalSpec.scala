@@ -36,6 +36,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("n_frames").as[Long].collect().forall(_ >= 1))
   }
 
+  test("decodeBatches preserves source schema incl. nullability") {
+    val m = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val out = Multimodal.decodeBatches(m, "content",
+      Multimodal.fakeDecodeSchema)(Multimodal.fakeDecode)
+    val expected = (m.schema.fields ++ Multimodal.fakeDecodeSchema.fields)
+      .map(f => (f.name, f.dataType, f.nullable)).toSeq
+    // the typed mapPartitions path must not re-derive nullability the
+    // way the old df.rdd round-trip did
+    assert(out.schema.fields
+      .map(f => (f.name, f.dataType, f.nullable)).toSeq == expected)
+  }
+
   test("resizeStub rewrites payload and metadata to the target size") {
     val m = Multimodal.mediaFromText(docs, "doc_id", "text")
     val out = Multimodal.resizeStub(m, "content", "meta", 8, 8)
