@@ -356,11 +356,35 @@ object SparkEntry {
       Dedup.minhashDupPairs(d, "doc_id", "text")
     }),
 
+    // ----- dedup cluster collapse: minhash pairs -> connected
+    // components -> one representative per document (the key a
+    // "keep one per cluster" delete actually uses)
+    "q_dedup_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // ----- deterministic train/val/test split by id hash (stable
+    // across engines, partitionings and corpus growth)
+    "q_det_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.deterministicSplit(d,
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+
     // ----- near-dup: 60-bit SimHash, pigeonhole blocking on
-    // maxDist+1 = 9 chunks (recall-lossless for hamming <= 8)
+    // maxDist+1 = 4 chunks of 15 bits (recall-lossless for hamming
+    // <= 3). Larger radii are supported but each extra chunk narrows
+    // every chunk's width — at maxDist = 8 the 6-7-bit chunks leave
+    // only ~100 buckets each and candidate generation inflates ~25x,
+    // so the headline query keeps the tight radius.
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.simhashDupPairs(d, "doc_id", "text", maxDist = 8)
+      Dedup.simhashDupPairs(d, "doc_id", "text", maxDist = 3)
     }),
 
     // ----- near-dup: word-3-gram Jaccard, df-capped inverted index
@@ -740,6 +764,10 @@ object SparkEntry {
          FROM documents""",
 
     "q_minhash_pairs" -> minhashOracle,
+
+    "q_dedup_components" -> dedupComponentsOracle,
+
+    "q_det_split" -> detSplitOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,
@@ -823,6 +851,46 @@ object SparkEntry {
        WHERE est_jaccard >= 0.5"""
   }
 
+  /** Recursive-CTE replay of Dedup.duplicateClusters over the minhash
+    * pairs: cluster_id = smallest doc_id reachable in the (symmetric)
+    * pair graph, singletons label themselves.
+    */
+  private def dedupComponentsOracle: String =
+    s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM (
+         $minhashOracle) mp),
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach(id, lab) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
+       SELECT id AS doc_id, MIN(lab) AS cluster_id
+       FROM reach GROUP BY id"""
+
+  /** Mirrors Sampling.deterministicSplit(train .8/val .1/test .1):
+    * score = int value of the first 15 md5 hex digits / 16^15, CASE on
+    * the same cut literals the engine computes (Double.toString embeds
+    * the exact doubles, so the boundary bits cannot drift).
+    */
+  private def detSplitOracle: String = {
+    val hexVal =
+      "list_sum(list_transform(generate_series(1, 15), i -> " +
+      "(strpos('0123456789abcdef', " +
+      "substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT" +
+      " * (1::BIGINT << (4 * (15 - i)))))"
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val total  = splits.map(_._2).sum
+    val cum    = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val whens  = splits.init.zip(cum.init).map { case ((n, _), c) =>
+      s"WHEN sc < $c THEN '$n'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+         ($hexVal)::DOUBLE / 1152921504606846976.0 AS sc
+       FROM documents)
+       SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
+       FROM s"""
+  }
+
   private def simhashOracle: String = {
     val shExpr =
       "list_sum(list_transform(generate_series(0, 59), j -> " +
@@ -830,8 +898,8 @@ object SparkEntry {
       "CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
       "THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
     // blocking literals generated from the operator's own chunk table
-    // (maxDist = 8 -> 9 chunks) so query and oracle cannot drift
-    val chunkCond = Dedup.simhashChunks(9).map { case (off, w) =>
+    // (maxDist = 3 -> 4 chunks) so query and oracle cannot drift
+    val chunkCond = Dedup.simhashChunks(4).map { case (off, w) =>
       val mask = (1L << w) - 1
       s"((a.sh >> $off) & $mask) = ((b.sh >> $off) & $mask)"
     }.mkString(" OR ")
@@ -840,7 +908,7 @@ object SparkEntry {
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ($chunkCond)
-       WHERE bit_count(xor(a.sh, b.sh)) <= 8"""
+       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
   }
 
   private def ngramJaccardOracle: String =

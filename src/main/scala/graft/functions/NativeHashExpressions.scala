@@ -69,6 +69,13 @@ object NativeHash {
       planeOffset: Int): Column =
     Bridge.column(
       HyperplaneBits(Bridge.expression(qv), dim, planes, planeOffset))
+
+  def stopwordRatioColumn(text: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordRatio(Bridge.expression(text), words))
+
+  def langIdColumn(text: Column,
+      markers: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdArgmax(Bridge.expression(text), markers))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -291,6 +298,106 @@ final case class TokenSimHash(
       j += 1
     }
     sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Stopword hit ratio — the native form of
+  * `size(filter(split(trim(c),"\\s+"), t -> t.isin(words))) /
+  *  greatest(size(split(trim(c),"\\s+")), 1)`.
+  * The tree form tokenizes TWICE (no CSE in the interpreted HOF path)
+  * and runs an |words|-way isin per token; this is one tokenize pass
+  * with a hash-set probe per token. Tokenization is bit-identical to
+  * Spark's: space-only trim (UTF8String.trim), then `\s+` split
+  * keeping trailing empties.
+  */
+final case class StopwordRatio(
+    child: Expression,
+    words: Seq[String]
+) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_stopword_ratio"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens =
+      ws.split(input.asInstanceOf[UTF8String].trim().toString, -1)
+    var hits = 0
+    var i = 0
+    while (i < tokens.length) {
+      if (set.contains(tokens(i))) hits += 1
+      i += 1
+    }
+    hits.toDouble / math.max(tokens.length, 1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Language-ID argmax — the native form of the langId tree: per
+  * language, hits = count of tokens in its marker set; result = first
+  * language (marker order) whose hits equal the maximum, or "und" when
+  * the maximum is 0. One tokenize pass, one hash-map probe per token —
+  * the tree form re-tokenizes per language and isin-scans per token.
+  */
+final case class LangIdArgmax(
+    child: Expression,
+    markers: Seq[(String, Seq[String])]
+) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val und: UTF8String =
+    UTF8String.fromString("und")
+  @transient private lazy val lookup
+      : java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    markers.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens =
+      ws.split(input.asInstanceOf[UTF8String].trim().toString, -1)
+    val hits = new Array[Int](markers.length)
+    var i = 0
+    while (i < tokens.length) {
+      val ls = lookup.get(tokens(i))
+      if (ls != null) {
+        var j = 0
+        while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var k = 0
+    while (k < hits.length) {
+      if (hits(k) > best) best = hits(k)
+      k += 1
+    }
+    if (best <= 0) und
+    else {
+      var idx = 0
+      while (hits(idx) != best) idx += 1
+      langs(idx)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -67,7 +67,14 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "from", "this", "be")
 
-  def stopwordRatio(c: Column): Column = {
+  def stopwordRatio(c: Column): Column =
+    NativeHash.stopwordRatioColumn(lower(c), Stopwords)
+
+  /** Composed-expression form of [[stopwordRatio]] — kept as the
+    * spec-verified reference for the native kernel (the tree tokenizes
+    * twice and isin-scans per token; the kernel is one pass).
+    */
+  private[graft] def stopwordRatioTree(c: Column): Column = {
     val ts = tokens(lower(c))
     size(filter(ts, t => t.isin(Stopwords.map(lit): _*))).cast("double") /
       greatest(size(ts), lit(1))
@@ -104,7 +111,14 @@ object TextFunctions {
     }
   }
 
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
+    NativeHash.langIdColumn(lower(c), LangMarkers)
+
+  /** Composed-expression form of [[langId]] — kept as the spec-verified
+    * reference for the native kernel (the tree re-tokenizes per
+    * language; the kernel is one pass with a marker-map probe).
+    */
+  private[graft] def langIdTree(c: Column): Column = {
     val scores = langScores(c)
     // argmax with first-wins tiebreak in LangMarkers order
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))

@@ -305,4 +305,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ---------------------------------------------------- cluster collapse
+
+  /** Collapse near-dup PAIRS into duplicate clusters: every node gets
+    * `cluster_id` = the smallest id reachable through the pair graph
+    * (its connected component's representative); nodes in no pair are
+    * their own singleton cluster. This is the step a dedup pipeline
+    * actually keys on — "keep one doc per cluster" — pairs alone
+    * under-delete transitive duplicates (a~b, b~c must drop TWO of
+    * {a,b,c}, not one per pair).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint —
+    * label(v) := min(label(v), min over neighbors' labels), converging
+    * in O(component diameter) rounds. Near-dup components are dense
+    * (bucket cliques), so diameters are small; `maxIter` bounds the
+    * worst case and the method fails loudly rather than return a
+    * half-merged labeling. Each round shuffles only (id, label) pairs.
+    * The label frame is `localCheckpoint`ed every round — iterative
+    * self-joins otherwise stack an exponentially growing lineage that
+    * kills the planner long before the data hurts.
+    */
+  def duplicateClusters(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // edges reused every round: cut the pair
+                         // operator's whole plan out of the loop
+    // only PAIR MEMBERS need propagation — on a typical corpus that is
+    // a tiny fraction of the nodes; everyone else is a singleton and
+    // labels itself without ever entering the loop
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_id")).as("__nbr_min"))
+      val next = labels.join(nbr, Seq("id"))
+        .select(col("id"),
+          least(col("cluster_id"), col("__nbr_min")).as("cluster_id"),
+          (col("__nbr_min") < col("cluster_id")).as("__chg"))
+        .localCheckpoint()
+      // convergence read off the materialized round itself — no extra
+      // old-vs-new join: a round that shrank no label is the fixpoint
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    require(converged,
+      s"duplicateClusters did not converge in $maxIter rounds - " +
+      "component diameter exceeds the bound; raise maxIter")
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    labels.unionByName(singletons)
+  }
 }

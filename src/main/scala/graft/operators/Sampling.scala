@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling/splitting for training-data
+  * pipelines. `rand()`-based sampling is neither reproducible across
+  * runs (without careful seeding per partitioning) nor portable across
+  * engines; keying on a cryptographic hash of a stable id is both: the
+  * same row lands in the same split on any engine, any partitioning,
+  * any day — and adding data never reshuffles existing assignments
+  * (the property that keeps train/test splits honest over time).
+  */
+object Sampling {
+
+  /** Uniform [0, 1) score from the md5 of the id's string form: the
+    * first 15 hex digits (60 bits, exactly what [[graft.functions
+    * .HashFunctions.stableHash60]] uses) divided by 16^15. Collision-
+    * free enough for splitting; identical in any engine with md5.
+    */
+  def hashScore(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double)
+      : DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    df.filter(hashScore(col(idCol)) < fraction)
+  }
+
+  /** Assign every row to a named split with the given weights
+    * (normalized), deterministically by id: split i gets the score
+    * interval [cum_{i-1}, cum_i). Appends `splitCol`.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split")
+      : DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val cuts  = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val score = hashScore(col(idCol))
+    // last split takes the remainder so score == 1.0 - eps rounds in
+    val expr = splits.init.zip(cuts.init)
+      .foldLeft(when(lit(false), lit(""))) { case (w, ((name, _), cut)) =>
+        w.when(score < cut, lit(name))
+      }.otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, expr)
+  }
+}

@@ -74,4 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(p13.forall(p => p._3 < 1.0))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("duplicateClusters collapses transitive chains to the min id") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // 1~2, 2~3 (transitive), 4~5; 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("duplicateClusters fails loudly when maxIter is too small") {
+    // a path graph needs O(diameter) rounds; with maxIter = 1 the
+    // labeling is incomplete and the op must throw, not return it
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(nodes, "id", pairs, maxIter = 1)
+    }
+  }
+
+  test("duplicateClusters labeling is partitioning-invariant") {
+    val nodes = (1L to 40L).toDF("id")
+    val pairs = (1L to 39L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def run(parts: Int) =
+      Dedup.duplicateClusters(nodes.repartition(parts), "id",
+        pairs.repartition(parts)).as[(Long, Long)].collect().toMap
+    assert(run(1) == run(7))
+  }
 }

@@ -83,4 +83,32 @@ class NativeHashSpec extends SparkSpec {
       assert(bad == 0)
     }
   }
+
+  test("StopwordRatio kernel equals the expression-tree ratio") {
+    import graft.functions.{TextFunctions => T}
+    val extra = Seq("the and of to", "THE The tHe", "el la de que y",
+      "word", "the").toDF("text")
+    for (df <- Seq(tricky, extra, docs)) {
+      val both = df.select(
+        T.stopwordRatio(col("text")).as("native"),
+        T.stopwordRatioTree(col("text")).as("tree"))
+      val bad = both.filter(not(col("native") === col("tree"))).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("LangIdArgmax kernel equals the expression-tree argmax") {
+    import graft.functions.{TextFunctions => T}
+    val extra = Seq("the and of to in is", "el la de que y en",
+      "der die und das nicht", "le la les des est et",
+      "\u7684 \u662f \u4e86 \u5728", "no markers here at all xyz",
+      "the el", "el the", "").toDF("text")
+    for (df <- Seq(tricky, extra, docs)) {
+      val both = df.select(
+        T.langId(col("text")).as("native"),
+        T.langIdTree(col("text")).as("tree"))
+      val bad = both.filter(not(col("native") === col("tree"))).count()
+      assert(bad == 0)
+    }
+  }
 }
