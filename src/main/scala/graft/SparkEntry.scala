@@ -86,8 +86,13 @@ object SparkEntry {
     // ----- JSON property extraction over the event stream table
     "q_events_props" -> ((s, dir) => {
       val ev = readEvents(s, dir)
+      // ONE Jackson parse per row via from_json + schema — with several
+      // extracted fields, per-field get_json_object would re-parse the
+      // document per field
       ev.select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     }),
@@ -337,6 +342,69 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
         T.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ----- text curation: PII redaction. The synthetic corpus has no
+    // PII, so the query plants engine-identically-constructed PII
+    // (derived from doc_id) and asserts the redaction chain strips it.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withPii = concat(col("text"),
+        lit(" reach user"), col("doc_id"),
+        lit("@mail.example.org or host "),
+        (col("doc_id") % 200) + 10,
+        lit(".20.30.40, tel +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      d.select(col("doc_id"), T.redactPii(withPii).as("clean"))
+    }),
+
+    // ----- text curation: repetition signals. Docs are single-line, so
+    // the line-dup signals run over a two-line doc built per-row (even
+    // ids repeat their text; odd ids append a unique tail) while the
+    // bigram signal runs over the raw text.
+    "q_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doc = concat(col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0, col("text")).otherwise(lit("tail")))
+      d.select(col("doc_id"),
+        round(T.duplicateLineFraction(doc), 6).as("dup_line_frac"),
+        round(T.duplicateLineCharFraction(doc), 6).as("dup_char_frac"),
+        round(T.topBigramCharFraction(col("text")), 6)
+          .as("top_bigram_frac"))
+    }),
+
+    // ----- text curation: composite keep/drop filter with per-rule
+    // reasons (Gopher-style heuristics)
+    "q_quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        T.qualityKeep(col("text")).as("keep"),
+        T.qualityReasons(col("text")).as("reasons"))
+    }),
+
+    // ----- corpus rebalancing: per-language deterministic sampling
+    "q_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.stratifiedSampleByHash(d, "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75), default = 1.0)
+        .select("doc_id", "lang")
+    }),
+
+    // ----- quality selection: best k docs per source (rank filter →
+    // WindowGroupLimit: per-task top-k heaps BEFORE the shuffle)
+    "q_topk_per_group" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.topKPerGroup(d.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", k = 5)
+    }),
+
+    // ----- tokenizer prep: overlapped token-window chunking
+    "q_chunk_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Chunking.chunkByTokens(d, "doc_id", "text",
+          maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id").cast("long"),
+          col("chunk_text"), col("chunk_tokens").cast("long"))
     }),
 
     // ----- multimodal: media wrap + content features (byte length +
@@ -768,6 +836,18 @@ object SparkEntry {
     "q_dedup_components" -> dedupComponentsOracle,
 
     "q_det_split" -> detSplitOracle,
+    "q_pii_redact" -> piiRedactOracle,
+    "q_repetition" -> repetitionOracle,
+    "q_quality_filter" -> qualityFilterOracle,
+    "q_stratified_sample" -> stratifiedSampleOracle,
+
+    // rank-filter top-k; DuckDB's QUALIFY is the same window predicate
+    "q_topk_per_group" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC) <= 5""",
+
+    "q_chunk_tokens" -> chunkTokensOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,
@@ -889,6 +969,149 @@ object SparkEntry {
        FROM documents)
        SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
        FROM s"""
+  }
+
+  /** DuckDB replica of [[Sampling.hashScore]] over an id expression. */
+  private def hashScoreSql(idExpr: String): String =
+    "(list_sum(list_transform(generate_series(1, 15), i -> " +
+    "(strpos('0123456789abcdef', " +
+    s"substring(md5(CAST($idExpr AS VARCHAR)), i, 1)) - 1)::BIGINT" +
+    " * (1::BIGINT << (4 * (15 - i))))))::DOUBLE" +
+    " / 1152921504606846976.0"
+
+  /** Whitespace tokens, the exact mirror of TextFunctions.tokens. */
+  private def tokensSql(expr: String): String =
+    s"regexp_split_to_array(trim($expr), '\\s+')"
+
+  /** Word-bigram list from a token-array expression (mirror of
+    * TextFunctions.wordNGrams(_, 2)).
+    */
+  private def bigramsSql(ts: String): String =
+    s"list_transform(generate_series(1, greatest(len($ts) - 1, 1)), " +
+    s"i -> array_to_string(list_slice($ts, i, i + 1), ' '))"
+
+  /** max over distinct repeated bigrams of count·len, 0 when nothing
+    * repeats (mirror of TextFunctions.topBigramCharFraction's
+    * numerator).
+    */
+  private def topBigramBestSql(grams: String): String =
+    s"list_max(list_transform(list_distinct($grams), " +
+    s"g -> CASE WHEN len(list_filter($grams, x -> x = g)) > 1 " +
+    s"THEN len(list_filter($grams, x -> x = g))::BIGINT * length(g) " +
+    s"ELSE 0::BIGINT END))"
+
+  private def stopwordsArraySql: String =
+    graft.functions.TextFunctions.Stopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The redaction chain is folded from [[graft.functions.TextFunctions
+    * .PiiPatterns]] itself — the oracle regexes cannot drift from the
+    * operator's (the patterns avoid every Java-vs-RE2 divergence:
+    * no backrefs, no lookarounds, no shorthand classes).
+    */
+  private def piiRedactOracle: String = {
+    val base =
+      "text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.org or host ' || " +
+      "CAST((doc_id % 200) + 10 AS VARCHAR) || " +
+      "'.20.30.40, tel +1 (555) 010-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val redacted = graft.functions.TextFunctions.PiiPatterns
+      .foldLeft(base) { case (e, (pat, tag)) =>
+        s"regexp_replace($e, '$pat', '$tag', 'g')"
+      }
+    s"SELECT doc_id, $redacted AS clean FROM documents"
+  }
+
+  private def repetitionOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH t0 AS (SELECT doc_id, text,
+         text || chr(10) ||
+           CASE WHEN doc_id % 2 = 0 THEN text ELSE 'tail' END AS doc,
+         $ts AS ts FROM documents),
+       t1 AS (SELECT doc_id, text, doc,
+         string_split(doc, chr(10)) AS ls,
+         ${bigramsSql("ts")} AS grams FROM t0)
+       SELECT doc_id,
+         ROUND((len(ls) - len(list_distinct(ls)))::DOUBLE
+           / greatest(len(ls), 1), 6) AS dup_line_frac,
+         ROUND(list_sum(list_transform(ls, l ->
+             CASE WHEN len(list_filter(ls, x -> x = l)) > 1
+               THEN length(l) ELSE 0 END))::DOUBLE
+           / greatest(length(doc), 1), 6) AS dup_char_frac,
+         ROUND((${topBigramBestSql("grams")})::DOUBLE
+           / greatest(length(text), 1), 6) AS top_bigram_frac
+       FROM t1"""
+  }
+
+  /** Mirrors TextFunctions.defaultQualityRules rule-for-rule; the rule
+    * names in the reasons string are the same literals in the same
+    * order.
+    */
+  private def qualityFilterOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH t0 AS (SELECT doc_id, text, $ts AS ts,
+         ${tokensSql("lower(text)")} AS lts FROM documents),
+       t1 AS (SELECT doc_id, text, ts,
+         ${bigramsSql("ts")} AS grams,
+         len(list_filter(lts, t ->
+           list_contains($stopwordsArraySql, t))) AS stop_hits
+         FROM t0),
+       t2 AS (SELECT doc_id,
+         len(ts) BETWEEN 5 AND 100000 AS ok_wc,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           / greatest(len(ts), 1)
+           BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE AS ok_mwl,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) < 0.3::DOUBLE AS ok_digit,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) < 0.3::DOUBLE AS ok_upper,
+         stop_hits > 0 AS ok_stop,
+         (${topBigramBestSql("grams")})::DOUBLE
+           / greatest(length(text), 1) < 0.2::DOUBLE AS ok_rep
+         FROM t1)
+       SELECT doc_id,
+         ok_wc AND ok_mwl AND ok_digit AND ok_upper AND ok_stop
+           AND ok_rep AS keep,
+         concat_ws(',',
+           CASE WHEN NOT ok_wc THEN 'word_count' END,
+           CASE WHEN NOT ok_mwl THEN 'mean_word_len' END,
+           CASE WHEN NOT ok_digit THEN 'digit_ratio' END,
+           CASE WHEN NOT ok_upper THEN 'upper_ratio' END,
+           CASE WHEN NOT ok_stop THEN 'stopword' END,
+           CASE WHEN NOT ok_rep THEN 'repetition' END) AS reasons
+       FROM t2"""
+  }
+
+  private def stratifiedSampleOracle: String = {
+    val cuts = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
+      .toSeq.sortBy(_._1)
+      .map { case (s, f) => s"WHEN '$s' THEN $f::DOUBLE" }
+      .mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+         ${hashScoreSql("doc_id")} AS sc FROM documents)
+       SELECT doc_id, lang FROM s
+       WHERE sc < CASE lang $cuts ELSE 1.0::DOUBLE END"""
+  }
+
+  /** Mirror of Chunking.chunkByTokens(maxTokens=64, overlap=16):
+    * stride 48, per-doc window list unnested recursively so the struct
+    * fields become columns.
+    */
+  private def chunkTokensOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH t0 AS (SELECT doc_id, $ts AS ts FROM documents),
+       t1 AS (SELECT doc_id, ts,
+         1 + CAST(ceil(GREATEST(len(ts) - 64, 0)::DOUBLE / 48) AS INT)
+           AS nc FROM t0)
+       SELECT doc_id, UNNEST(list_transform(generate_series(0, nc - 1),
+         i -> {'chunk_id': CAST(i AS BIGINT),
+               'chunk_text': array_to_string(
+                 list_slice(ts, i * 48 + 1, i * 48 + 64), ' '),
+               'chunk_tokens': CAST(len(
+                 list_slice(ts, i * 48 + 1, i * 48 + 64)) AS BIGINT)}),
+         recursive := true)
+       FROM t1"""
   }
 
   private def simhashOracle: String = {

@@ -76,6 +76,12 @@ object NativeHash {
   def langIdColumn(text: Column,
       markers: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangIdArgmax(Bridge.expression(text), markers))
+
+  def dupLineStatsColumn(doc: Column): Column =
+    Bridge.column(DupLineStats(Bridge.expression(doc)))
+
+  def repeatedNGramCharFracColumn(text: Column, n: Int): Column =
+    Bridge.column(RepeatedNGramCharFrac(Bridge.expression(text), n))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -398,6 +404,115 @@ final case class LangIdArgmax(
       while (hits(idx) != best) idx += 1
       langs(idx)
     }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Line-repetition stats — the native one-pass form of the
+  * `duplicateLineFraction` / `duplicateLineCharFraction` trees (which
+  * run an O(lines²) interpreted-HOF count that additionally re-derives
+  * the whole line ARRAY per element, O(lines³) in practice). One split,
+  * one hash-map count, both fractions from the same pass:
+  *  - dup_line_frac = (lines − distinct lines) / max(lines, 1)
+  *  - dup_char_frac = Σ chars of every occurrence of a line whose
+  *    count > 1, over max(chars(doc), 1)
+  * Lines split on "\n" keeping trailing empties; char counts are code
+  * points (= Spark `length`).
+  */
+final case class DupLineStats(
+    child: Expression
+) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_char_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_dup_line_stats"
+
+  @transient private lazy val nl: Pattern = Pattern.compile("\n")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val doc = input.asInstanceOf[UTF8String]
+    val lines = nl.split(doc.toString, -1)
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < lines.length) {
+      counts.merge(lines(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dupChars = 0L
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (counts.get(l) > 1)
+        dupChars += l.codePointCount(0, l.length)
+      i += 1
+    }
+    val nLines = lines.length
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    row.setDouble(0,
+      (nLines - counts.size).toDouble / math.max(nLines, 1))
+    row.setDouble(1,
+      dupChars.toDouble / math.max(doc.numChars(), 1))
+    row
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Repeated-n-gram char fraction — the native one-pass form of
+  * `topBigramCharFraction`'s tree (whose lambda re-derives the entire
+  * gram array per distinct gram: O(grams³) interpreted). Semantics are
+  * the tree's exactly: tokens = split(trim(text), "\s+") keeping
+  * trailing empties; grams = space-joined windows starting at
+  * 0..max(tokens−n, 0) (so a doc shorter than n tokens yields one
+  * truncated gram); result = max over grams with count ≥ 2 of
+  * count·chars(gram), divided by max(chars(text), 1) — 0 when nothing
+  * repeats.
+  */
+final case class RepeatedNGramCharFrac(
+    child: Expression,
+    n: Int
+) extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_repeated_ngram_char_frac"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String]
+    val tokens = ws.split(raw.trim().toString, -1)
+    val last = math.max(tokens.length - n, 0)
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, tokens.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > 1) {
+        val g = e.getKey
+        val v = c.toLong * g.codePointCount(0, g.length)
+        if (v > best) best = v
+      }
+    }
+    best.toDouble / math.max(raw.numChars(), 1)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -132,4 +132,116 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  // ------------------------------------------------------ PII redaction
+
+  /** PII patterns chosen to mean the same thing in Java regex and RE2
+    * (no backrefs, no lookarounds) so the engine and any SQL oracle
+    * redact identically. Order matters and is part of the contract:
+    * emails first (their local part can contain digits a later pass
+    * would chew on), then IPv4, then phone-ish digit runs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() .-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Mask emails, IPv4 addresses and phone-like digit runs. A chain of
+    * codegen'd `regexp_replace`s — per-row, shuffle-free, scan-scale.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (col, (pat, tag)) =>
+      regexp_replace(col, pat, tag)
+    }
+
+  // ------------------------------------- repetition signals (Gopher-ish)
+
+  /** Fraction of lines that are repeats of an earlier line (0 for a
+    * doc of unique lines, →1 for a doc of one line copied n times).
+    * One-pass native kernel; [[duplicateLineFractionTree]] is the
+    * spec-verified reference.
+    */
+  def duplicateLineFraction(c: Column): Column =
+    NativeHash.dupLineStatsColumn(c).getField("dup_line_frac")
+
+  /** Fraction of characters living in lines that occur more than once
+    * — the Gopher "fraction of characters in duplicate lines" signal.
+    * One-pass native kernel; [[duplicateLineCharFractionTree]] is the
+    * spec-verified reference.
+    */
+  def duplicateLineCharFraction(c: Column): Column =
+    NativeHash.dupLineStatsColumn(c).getField("dup_char_frac")
+
+  private[graft] def duplicateLineFractionTree(c: Column): Column = {
+    val lines = split(c, "\n")
+    (size(lines) - size(array_distinct(lines))).cast("double") /
+      greatest(size(lines), lit(1))
+  }
+
+  /** Tree reference for the kernel. The per-line occurrence count is a
+    * quadratic HOF whose lambda additionally re-derives the line array
+    * per element in the interpreted path — reference only, never the
+    * hot path.
+    */
+  private[graft] def duplicateLineCharFractionTree(c: Column): Column = {
+    val lines = split(c, "\n")
+    val dupChars = aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(size(filter(lines, x => x === l)) > 1, length(l))
+        .otherwise(lit(0)).cast("long"))
+    dupChars.cast("double") / greatest(length(c), lit(1))
+  }
+
+  /** Fraction of characters covered by the most repetitive word
+    * 2-gram: max over distinct REPEATED bigrams (count ≥ 2) of
+    * count(g)·len(g), divided by the doc length; 0 when no bigram
+    * repeats (a unique-bigram doc is not repetitive, however short).
+    * count·len is maximized directly — the max of a set of longs needs
+    * no tie-break.
+    */
+  def topBigramCharFraction(c: Column): Column =
+    NativeHash.repeatedNGramCharFracColumn(c, 2)
+
+  /** Tree reference for [[topBigramCharFraction]]'s kernel — the
+    * distinct×filter double loop re-derives the gram array per element
+    * in the interpreted path (O(grams³)); reference only.
+    */
+  private[graft] def topBigramCharFractionTree(c: Column): Column = {
+    val grams = wordNGrams(c, 2)
+    val best = array_max(transform(array_distinct(grams), g => {
+      val cnt = size(filter(grams, x => x === g))
+      when(cnt > 1, cnt * length(g)).otherwise(0).cast("long")
+    }))
+    best.cast("double") / greatest(length(c), lit(1))
+  }
+
+  // ------------------------------------------------- quality filtering
+
+  /** One rule of the composite filter: name + pass-predicate. */
+  final case class QualityRule(name: String, pass: Column => Column)
+
+  /** Gopher-style document filter rules (each encodes a published
+    * heuristic; thresholds are the classic defaults, callers override
+    * by passing their own rule list to [[qualityReasons]]).
+    */
+  def defaultQualityRules: Seq[QualityRule] = Seq(
+    QualityRule("word_count", c => tokenCount(c).between(5, 100000)),
+    QualityRule("mean_word_len", c => meanWordLen(c).between(2.0, 12.0)),
+    QualityRule("digit_ratio", c => digitRatio(c) < 0.3),
+    QualityRule("upper_ratio", c => upperRatio(c) < 0.3),
+    QualityRule("stopword", c => stopwordRatio(c) > 0.0),
+    QualityRule("repetition", c => topBigramCharFraction(c) < 0.2))
+
+  /** Comma-joined names of the rules a document FAILS (empty string =
+    * keep). A string, not an array, so the result is directly
+    * comparable in any SQL engine.
+    */
+  def qualityReasons(c: Column,
+      rules: Seq[QualityRule] = defaultQualityRules): Column =
+    concat_ws(",", rules.map(r =>
+      when(!r.pass(c), lit(r.name)).otherwise(lit(null))): _*)
+
+  /** Keep-flag form of [[qualityReasons]]. */
+  def qualityKeep(c: Column,
+      rules: Seq[QualityRule] = defaultQualityRules): Column =
+    rules.map(_.pass(c)).reduce(_ && _)
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document → training-chunk explosion: long documents become
+  * fixed-token-budget windows with optional overlap — the step between
+  * a curated corpus and a tokenizer's input. Pure per-row expression
+  * work (split + sequence + slice + explode): no shuffle, scan-scale,
+  * and the row expansion is bounded by tokens/stride per doc.
+  */
+object Chunking {
+
+  /** Split each document's whitespace tokens into windows of
+    * `maxTokens` advancing by `maxTokens - overlap`. Every token is
+    * covered; the final window may be shorter; a document shorter than
+    * `maxTokens` yields exactly itself as chunk 0. Output: idCol,
+    * `chunk_id` (0-based), `chunk_text`, `chunk_tokens`.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n  = size(ts)
+    // number of windows: 1 + ceil(max(n - maxTokens, 0) / stride)
+    val extra  = greatest(n - lit(maxTokens), lit(0))
+    val nChunk = lit(1) + ceil(extra.cast("double") / lit(stride))
+      .cast("int")
+    df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunk - lit(1)),
+        i => slice(ts, i * lit(stride) + lit(1), lit(maxTokens))))
+        .as(Seq("chunk_id", "__toks")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__toks")).as("chunk_text"),
+        size(col("__toks")).as("chunk_tokens"))
+  }
+}

@@ -49,4 +49,45 @@ object Sampling {
       }.otherwise(lit(splits.last._1))
     df.withColumn(splitCol, expr)
   }
+
+  /** Per-stratum deterministic sampling: each row keeps iff its hash
+    * score falls under its stratum's fraction (`default` for strata not
+    * in the map). One codegen'd filter — no shuffle, no per-stratum
+    * pass, unlike `df.stat.sampleBy` (which is rand()-based and not
+    * reproducible across partitionings anyway). The classic use is
+    * rebalancing a corpus by source/language while keeping membership
+    * stable as the corpus grows.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String,
+      stratumCol: String, fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ default)
+        .forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    // sorted for a deterministic when-chain (Map order is not stable)
+    val cut = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (w, (s, f)) =>
+        w.when(col(stratumCol) === s, lit(f))
+      }.otherwise(lit(default))
+    df.filter(hashScore(col(idCol)) < cut)
+  }
+
+  /** Keep the `k` best rows per group by `scoreCol` (descending),
+    * ties broken by ascending id so the selection is total-order
+    * deterministic. Spark ≥3.5 rewrites the rank-filter into
+    * WindowGroupLimit: each map task keeps a per-group top-k heap
+    * BEFORE the shuffle, so the exchange carries ≤ k·groups rows per
+    * task instead of the whole table — the same shape a hand-built
+    * per-partition heap would give, for free from the optimizer.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

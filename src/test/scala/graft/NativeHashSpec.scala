@@ -97,6 +97,36 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("DupLineStats kernel equals the line-fraction trees") {
+    import graft.functions.{TextFunctions => T}
+    val extra = Seq("a\nb\na\nc", "x", "", "\n\n", "a\na\na",
+      "one line\ntwo line\none line\n", "é\né\nz").toDF("text")
+    for (df <- Seq(tricky, extra, docs)) {
+      val both = df.select(
+        T.duplicateLineFraction(col("text")).as("n1"),
+        T.duplicateLineFractionTree(col("text")).as("t1"),
+        T.duplicateLineCharFraction(col("text")).as("n2"),
+        T.duplicateLineCharFractionTree(col("text")).as("t2"))
+      val bad = both.filter(
+        not(col("n1") === col("t1")) or not(col("n2") === col("t2")))
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("RepeatedNGramCharFrac kernel equals the bigram tree") {
+    import graft.functions.{TextFunctions => T}
+    val extra = Seq("x y x y x y a b c", "a", "", "  ", "a b",
+      "a b a b", "w1 w2 w3 w1 w2", "é z é z").toDF("text")
+    for (df <- Seq(tricky, extra, docs)) {
+      val both = df.select(
+        T.topBigramCharFraction(col("text")).as("native"),
+        T.topBigramCharFractionTree(col("text")).as("tree"))
+      val bad = both.filter(not(col("native") === col("tree"))).count()
+      assert(bad == 0)
+    }
+  }
+
   test("LangIdArgmax kernel equals the expression-tree argmax") {
     import graft.functions.{TextFunctions => T}
     val extra = Seq("the and of to in is", "el la de que y en",

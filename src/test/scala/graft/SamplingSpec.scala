@@ -45,6 +45,49 @@ class SamplingSpec extends SparkSpec {
     assert(small.forall { case (id, s) => big(id) == s })
   }
 
+  test("stratifiedSampleByHash applies per-stratum fractions") {
+    val df = ids.withColumn("g",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSampleByHash(df, "id", "g",
+      Map("a" -> 1.0, "b" -> 0.2))
+    val counts = out.groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("a") == 1000L) // fraction 1.0 keeps everything
+    assert(math.abs(counts.getOrElse("b", 0L) / 1000.0 - 0.2) < 0.05)
+    // membership is the same rows sampleByHash(0.2) would keep
+    val direct = Sampling.sampleByHash(
+      df.filter(col("g") === "b"), "id", 0.2).as[(Long, String)]
+      .collect().map(_._1).toSet
+    val strat = out.filter(col("g") === "b").as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(strat == direct)
+  }
+
+  test("stratifiedSampleByHash default drops unlisted strata at 0.0") {
+    val df = ids.withColumn("g", lit("zzz"))
+    assert(Sampling.stratifiedSampleByHash(df, "id", "g",
+      Map("a" -> 1.0)).isEmpty)
+  }
+
+  test("topKPerGroup keeps exactly k best with deterministic ties") {
+    val df = Seq(
+      (1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 30L),
+      (4L, "g1", 5L), (5L, "g2", 7L)).toDF("id", "g", "score")
+    val out = Sampling.topKPerGroup(df, "g", "score", "id", 2)
+      .as[(Long, String, Long)].collect().toSet
+    // g1 ties at 30 resolve to the smaller id first
+    assert(out == Set((2L, "g1", 30L), (3L, "g1", 30L), (5L, "g2", 7L)))
+  }
+
+  test("topKPerGroup rank filter compiles to WindowGroupLimit") {
+    val df = ids.withColumn("g", (col("id") % 7).cast("string"))
+      .withColumn("score", col("id") * 13 % 101)
+    val plan = Sampling.topKPerGroup(df, "g", "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("weights are normalized; non-positive weights rejected") {
     val out = Sampling.deterministicSplit(ids, "id",
       Seq("a" -> 8.0, "b" -> 2.0)) // same as .8/.2

@@ -67,4 +67,68 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.select(T.bpeishTokenCount(col("t"))).collect()(0)
       .getInt(0) == 4)
   }
+
+  test("redactPii masks emails, IPv4s and phone runs, in order") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.co.uk now",
+      "server at 192.168.001.42 down",
+      "call +1 (555) 010-9999 today",
+      "edge 999.999.999.999 still ip-shaped",
+      "clean text with no pii at all").toDF("t")
+    val got = df.select(T.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> down")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "edge <IP> still ip-shaped")
+    assert(got(4) == "clean text with no pii at all")
+  }
+
+  test("redactPii: email wins over phone on the digits it contains") {
+    // the local part is digit-heavy; a phone-first ordering would chew
+    // it — the contract fixes email first
+    val got = Seq("ref 0123456789@example.com end").toDF("t")
+      .select(T.redactPii(col("t"))).as[String].collect()(0)
+    assert(got == "ref <EMAIL> end")
+  }
+
+  test("repetition signals on crafted multi-line docs") {
+    val unique = "aa\nbb\ncc\ndd"          // no dup lines
+    val half   = "aa\nbb\naa\ncc"          // 'aa' twice: 4 lines, 3 distinct
+    val r = Seq((unique, half)).toDF("u", "h").select(
+      T.duplicateLineFraction(col("u")).as("du"),
+      T.duplicateLineFraction(col("h")).as("dh"),
+      T.duplicateLineCharFraction(col("h")).as("ch")).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 0.25) < 1e-9)
+    // dup chars = 2+2 of 11 total chars (incl 3 newlines)
+    assert(math.abs(r.getDouble(2) - 4.0 / 11.0) < 1e-9)
+  }
+
+  test("topBigramCharFraction flags a boilerplate-bigram doc") {
+    // "x y" appears 3x (len 3): best = 9 over 17 chars
+    val rep  = "x y x y x y a b c"
+    val uniq = "the quick brown fox jumps over a lazy dog"
+    val r = Seq((rep, uniq)).toDF("r", "u").select(
+      T.topBigramCharFraction(col("r")).as("fr"),
+      T.topBigramCharFraction(col("u")).as("fu")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 9.0 / 17.0) < 1e-9)
+    assert(r.getDouble(1) == 0.0) // nothing repeats -> not repetitive
+  }
+
+  test("qualityKeep/qualityReasons agree and name the failed rules") {
+    val good = "the quick brown fox jumps over the lazy dog again today"
+    val short = "tiny doc"                       // fails word_count
+    val salad = "zz zz zz zz zz zz"              // no stopwords + repetitive
+    val df = Seq(good, short, salad).toDF("t")
+    val rows = df.select(T.qualityKeep(col("t")).as("k"),
+      T.qualityReasons(col("t")).as("r")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).getString(1) == "")
+    assert(!rows(1).getBoolean(0))
+    assert(rows(1).getString(1).contains("word_count"))
+    assert(!rows(2).getBoolean(0))
+    assert(rows(2).getString(1).contains("stopword"))
+    assert(rows(2).getString(1).contains("repetition"))
+    // reasons non-empty exactly when keep is false
+    rows.foreach(r => assert(r.getBoolean(0) == r.getString(1).isEmpty))
+  }
 }
