@@ -398,6 +398,19 @@ object SparkEntry {
         "source", "n_chars", "doc_id", k = 5)
     }),
 
+    // ----- corpus-wide boilerplate scrub: drop segments occurring
+    // more than maxRepeats times across the WHOLE corpus (word-level
+    // here — the synthetic docs are single-paragraph)
+    "q_corpus_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusScrub.removeRepeatedSegments(d, "doc_id", "text",
+        sep = " ", maxRepeats = 1000L)
+    }),
+
+    // ----- corpus vocabulary: exact top-50 terms
+    "q_top_terms" -> ((s, dir) =>
+      CorpusScrub.topTerms(t(s, dir, "documents"), "text", 50)),
+
     // ----- tokenizer prep: overlapped token-window chunking
     "q_chunk_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -848,6 +861,13 @@ object SparkEntry {
            ORDER BY n_chars DESC, doc_id ASC) <= 5""",
 
     "q_chunk_tokens" -> chunkTokensOracle,
+    "q_corpus_scrub" -> corpusScrubOracle,
+
+    "q_top_terms" ->
+      """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
+           '\s+')) AS term FROM documents)
+         SELECT term, COUNT(*) AS term_count FROM t
+         GROUP BY term ORDER BY term_count DESC, term ASC LIMIT 50""",
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,
@@ -1113,6 +1133,31 @@ object SparkEntry {
          recursive := true)
        FROM t1"""
   }
+
+  /** Mirror of CorpusScrub.removeRepeatedSegments(sep=" ",
+    * maxRepeats=1000): word-level segments, corpus-wide md5 counts,
+    * order-preserving reassembly, empty-doc survival via left join.
+    */
+  private def corpusScrubOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ps
+         FROM documents),
+       segs AS (SELECT doc_id, UNNEST(list_transform(
+           generate_series(1, len(ps)),
+           i -> {'pos': i - 1, 'seg': ps[i]}), recursive := true)
+         FROM d),
+       freq AS (SELECT md5(seg) AS h, COUNT(*) AS n
+         FROM segs GROUP BY 1),
+       kept AS (SELECT s.doc_id, s.pos, s.seg
+         FROM segs s JOIN freq f ON md5(s.seg) = f.h
+         WHERE f.n <= 1000),
+       agg AS (SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_kept
+         FROM kept GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+         COALESCE(a.n_kept, 0) AS n_kept,
+         len(d.ps) - COALESCE(a.n_kept, 0) AS n_removed
+       FROM d LEFT JOIN agg a USING (doc_id)"""
 
   private def simhashOracle: String = {
     val shExpr =

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-WIDE text scrubbing — the steps that need global frequency,
+  * not per-document signals: removing boilerplate segments that repeat
+  * across the corpus (the C4/CCNet "drop duplicated paragraphs" rule)
+  * and building frequency vocabularies.
+  */
+object CorpusScrub {
+
+  /** Remove every segment (paragraph under `sep` = "\n\n", word under
+    * `sep` = " ") whose TOTAL occurrence count across the corpus
+    * exceeds `maxRepeats`, preserving the order of what survives.
+    *
+    * Scale shape, deliberately:
+    *  1. the frequency aggregation shuffles ONLY 32-byte md5 keys —
+    *     segment text is projected away before the exchange, so a
+    *     100 TB corpus shuffles gigabytes, not terabytes;
+    *  2. the over-frequent key set (count > maxRepeats) is by
+    *     construction ≤ corpusSegments / maxRepeats keys — small for
+    *     any useful threshold — so AQE broadcasts the left-anti join
+    *     and surviving segments never shuffle for the filter;
+    *  3. one content shuffle total: the groupBy(id) reassembly (order
+    *     restored via sort_array over (pos, segment), not by relying
+    *     on any shuffle ordering).
+    *
+    * Documents whose every segment is scrubbed survive with empty text
+    * (left join back to the id spine), so the op never drops rows.
+    * Output: idCol, `clean_text`, `n_kept`, `n_removed`.
+    */
+  def removeRepeatedSegments(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n\n", maxRepeats: Long = 1L)
+      : DataFrame = {
+    require(maxRepeats >= 1, s"maxRepeats must be >= 1, got $maxRepeats")
+    val segs = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern
+          .quote(sep))).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val overCap = segs.select("h")
+      .groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRepeats)
+      .select("h")
+    val kept = segs.join(overCap, Seq("h"), "left_anti")
+      .groupBy("id").agg(
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("__total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * exact counts, ties broken by token ascending so the cut is total-
+    * order deterministic. groupBy/count partial-aggregates map-side;
+    * the ordered limit runs as TakeOrderedAndProject (per-partition
+    * top-k heaps, never a full sort).
+    */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(graft.functions.TextFunctions
+        .tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term").asc)
+      .limit(k)
+  }
+}

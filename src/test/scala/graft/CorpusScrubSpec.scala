@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusScrub
+
+class CorpusScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeRepeatedSegments drops corpus-frequent paragraphs only") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique alpha\n\n$boiler\n\nunique beta"),
+      (2L, s"$boiler\n\nsomething else"),
+      (3L, s"all mine\n\nstill mine"),
+      (4L, boiler) // becomes empty, must survive as a row
+    ).toDF("doc_id", "text")
+    val out = CorpusScrub
+      .removeRepeatedSegments(df, "doc_id", "text", maxRepeats = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "unique alpha\n\nunique beta")
+    assert(out(1L)._3 == 2 && out(1L)._4 == 1)
+    assert(out(2L)._2 == "something else")
+    assert(out(3L)._2 == "all mine\n\nstill mine")
+    assert(out(3L)._4 == 0)
+    assert(out(4L)._2 == "" && out(4L)._3 == 0 && out(4L)._4 == 1)
+  }
+
+  test("removeRepeatedSegments preserves order under repartitioning") {
+    val df = (1L to 50L)
+      .map(i => (i, (0 until 20).map(j => s"w${(i * 7 + j) % 13}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = CorpusScrub
+      .removeRepeatedSegments(df.repartition(parts), "doc_id", "text",
+        sep = " ", maxRepeats = 60)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(11))
+    // kept segments keep their relative order
+    val r = run(4)
+    r.foreach { case (id, clean, kept, removed) =>
+      assert(kept + removed == 20)
+      if (clean.nonEmpty) {
+        val orig = df.filter(col("doc_id") === id)
+          .as[(Long, String)].collect()(0)._2.split(" ").toSeq
+        val keptSeq = clean.split(" ").toSeq
+        // subsequence check
+        var oi = 0
+        keptSeq.foreach { w =>
+          oi = orig.indexOf(w, oi)
+          assert(oi >= 0, s"$w out of order for doc $id")
+          oi += 1
+        }
+      }
+    }
+  }
+
+  test("topTerms returns exact counts with deterministic ties") {
+    val df = Seq("b a a", "c b a", "d c b a").toDF("text")
+    val out = CorpusScrub.topTerms(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 4L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("topTerms plan uses partial aggregation and a top-k sort") {
+    val df = Seq("a b c").toDF("text")
+    val plan = CorpusScrub.topTerms(df, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+}
