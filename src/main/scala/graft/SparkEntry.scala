@@ -411,6 +411,12 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       CorpusScrub.topTerms(t(s, dir, "documents"), "text", 50)),
 
+    // ----- embedding stats: exact per-label centroids (long form)
+    "q_group_centroids" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorStats.groupCentroids(e, "label", "embedding")
+    }),
+
     // ----- tokenizer prep: overlapped token-window chunking
     "q_chunk_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -862,6 +868,7 @@ object SparkEntry {
 
     "q_chunk_tokens" -> chunkTokensOracle,
     "q_corpus_scrub" -> corpusScrubOracle,
+    "q_group_centroids" -> groupCentroidsOracle,
 
     "q_top_terms" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
@@ -1200,6 +1207,21 @@ object SparkEntry {
          FROM cand JOIN grams ga ON ga.doc_id = cand.id_a
                    JOIN grams gb ON gb.doc_id = cand.id_b) v
        WHERE jaccard >= 0.8"""
+
+  /** Mirror of VectorStats.groupCentroids: quantized int64 per-dim
+    * sums, exact-integer division only at the end.
+    */
+  private def groupCentroidsOracle: String =
+    s"""WITH v AS (SELECT label,
+         ${sqlQuantize("embedding")} AS qv FROM embeddings),
+       p AS (SELECT label, UNNEST(list_transform(
+           generate_series(1, len(qv)),
+           i -> {'pos': CAST(i - 1 AS BIGINT), 'q': qv[i]}),
+         recursive := true) FROM v)
+       SELECT label, pos,
+         SUM(q)::DOUBLE / (COUNT(*) * 1000) AS centroid,
+         COUNT(*) AS n_vectors
+       FROM p GROUP BY label, pos"""
 
   /** Quantize mirror: milli-unit int64 vector. */
   private def sqlQuantize(v: String): String =
