@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DistinctWordNGrams, DotQ, HyperplaneBits, QuantizeVec, ShingleMinHash, TokenSimHash}
+import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
 
 /** SQL surface for the native expressions: registers
   * `graft_minhash(text, k, shingleLen, seed)`,
@@ -75,7 +75,30 @@ object GraftFunctions {
           "graft_hyperplane_bits(qv, dim, planes, offset) - LSH sign bits"),
         (args: Seq[Expression]) => HyperplaneBits(args(0),
           intArg(args(1), "dim"), intArg(args(2), "planes"),
-          intArg(args(3), "offset")))
+          intArg(args(3), "offset"))),
+      ("graft_stopword_ratio",
+        info("graft_stopword_ratio",
+          "graft_stopword_ratio(text) - stopword hit ratio over the " +
+          "library's English stopword table (tokens of the input as-is)"),
+        (args: Seq[Expression]) =>
+          StopwordRatio(args(0), TextFunctions.Stopwords)),
+      ("graft_lang_id",
+        info("graft_lang_id",
+          "graft_lang_id(text) - marker-table language ID ('und' on " +
+          "zero hits); tokens of the input as-is"),
+        (args: Seq[Expression]) =>
+          LangIdArgmax(args(0), TextFunctions.LangMarkers)),
+      ("graft_dup_line_stats",
+        info("graft_dup_line_stats",
+          "graft_dup_line_stats(doc) - struct(dup_line_frac, " +
+          "dup_char_frac) line-repetition signals"),
+        (args: Seq[Expression]) => DupLineStats(args(0))),
+      ("graft_repeated_ngram_frac",
+        info("graft_repeated_ngram_frac",
+          "graft_repeated_ngram_frac(text, n) - char fraction of the " +
+          "most repeated word n-gram"),
+        (args: Seq[Expression]) =>
+          RepeatedNGramCharFrac(args(0), intArg(args(1), "n")))
     )
 
   /** Register every graft function on an existing session. */

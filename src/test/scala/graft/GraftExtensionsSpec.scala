@@ -30,6 +30,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getLong(3) == viaCols.getLong(3))
   }
 
+  test("text-curation SQL functions match the Column API") {
+    import graft.functions.{TextFunctions => T}
+    GraftFunctions.register(spark)
+    Seq("the cat and the cat sat\nthe cat and the cat sat\nunique")
+      .toDF("text").createOrReplaceTempView("ext_txt")
+    val viaSql = spark.sql(
+      """SELECT graft_stopword_ratio(lower(text)) AS sr,
+         graft_lang_id(lower(text)) AS li,
+         graft_dup_line_stats(text).dup_line_frac AS dlf,
+         graft_dup_line_stats(text).dup_char_frac AS dcf,
+         graft_repeated_ngram_frac(text, 2) AS rnf
+         FROM ext_txt""").collect()(0)
+    val viaCols = spark.table("ext_txt").select(
+      T.stopwordRatio(col("text")).as("sr"),
+      T.langId(col("text")).as("li"),
+      T.duplicateLineFraction(col("text")).as("dlf"),
+      T.duplicateLineCharFraction(col("text")).as("dcf"),
+      T.topBigramCharFraction(col("text")).as("rnf")).collect()(0)
+    assert(viaSql.getDouble(0) == viaCols.getDouble(0))
+    assert(viaSql.getString(1) == viaCols.getString(1))
+    assert(viaSql.getDouble(2) == viaCols.getDouble(2))
+    assert(viaSql.getDouble(3) == viaCols.getDouble(3))
+    assert(viaSql.getDouble(4) == viaCols.getDouble(4))
+  }
+
   test("extensions path installs the same functions at session build") {
     // same JVM/context: a fresh session built with extensions
     val s2 = org.apache.spark.sql.SparkSession.builder()
