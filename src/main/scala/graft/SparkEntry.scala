@@ -411,6 +411,14 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       CorpusScrub.topTerms(t(s, dir, "documents"), "text", 50)),
 
+    // ----- per-doc characteristic terms (exact-rational idf variant —
+    // ln's last ulp is libm-specific, see topTfidfTerms)
+    "q_tfidf_terms" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusScrub.topTfidfTerms(d, "doc_id", "text", k = 3,
+        logIdf = false)
+    }),
+
     // ----- embedding stats: exact per-label centroids (long form)
     "q_group_centroids" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -452,6 +460,16 @@ object SparkEntry {
         .select("id_a", "id_b")
       Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // ----- the delete itself: minhash pairs -> clusters -> keep the
+    // smallest id per cluster, drop the rest
+    "q_dedup_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.dedupCorpus(d, "doc_id", pairs)
+        .select("doc_id", "source", "n_chars")
     }),
 
     // ----- deterministic train/val/test split by id hash (stable
@@ -854,6 +872,11 @@ object SparkEntry {
 
     "q_dedup_components" -> dedupComponentsOracle,
 
+    "q_dedup_clean" ->
+      s"""SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN ($dedupComponentsOracle) c
+           ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id""",
+
     "q_det_split" -> detSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_repetition" -> repetitionOracle,
@@ -875,6 +898,21 @@ object SparkEntry {
            '\s+')) AS term FROM documents)
          SELECT term, COUNT(*) AS term_count FROM t
          GROUP BY term ORDER BY term_count DESC, term ASC LIMIT 50""",
+
+    // exact-rational tf-idf: long product, ONE double division
+    "q_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+           UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf_count
+           FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS nn FROM documents)
+         SELECT doc_id, term, tf_count,
+           (tf_count * (nn + 1))::DOUBLE / (df_t + 1) AS score
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term ASC) <= 3""",
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,

@@ -73,4 +73,44 @@ object CorpusScrub {
       .orderBy(col("term_count").desc, col("term").asc)
       .limit(k)
   }
+
+  /** The `k` most characteristic terms per document by TF-IDF.
+    *
+    * `logIdf = true` (default) scores tf · (ln((N+1)/(df+1)) + 1) —
+    * the standard smoothed form. `logIdf = false` scores the exact
+    * rational tf · (N+1) / (df+1) (a steeper idf, so rankings can
+    * differ from the log form): the int64 product stays exact until
+    * one final division, so results are bit-identical across engines
+    * and partitionings — ln's last ulp is libm-specific, which is why
+    * the cross-engine verification query uses this variant.
+    *
+    * Shape: token explode → (doc, term) counts (map-side combined) →
+    * vocab-sized document frequencies (NOT broadcast-hinted — a web-
+    * scale vocabulary outgrows broadcast; AQE picks broadcast when it
+    * fits) → corpus size joined as a 1-row broadcast, never a driver
+    * action → rank filter (WindowGroupLimit).
+    */
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, logIdf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf_count"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val score =
+      if (logIdf)
+        col("tf_count") *
+          (log((col("__n") + lit(1L)).cast("double") /
+            (col("__df") + lit(1L))) + lit(1.0))
+      else
+        (col("tf_count") * (col("__n") + lit(1L))).cast("double") /
+          (col("__df") + lit(1L))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("id").as(idCol), col("term"), col("tf_count"),
+        score.as("score"))
+    Sampling.topKPerGroup(scored, idCol, "score", "term", k)
+  }
 }

@@ -367,4 +367,25 @@ object Dedup {
       .withColumn("cluster_id", col("id"))
     labels.unionByName(singletons)
   }
+
+  /** The delete itself: given near-dup pairs, keep exactly ONE document
+    * per duplicate cluster (the smallest id — deterministic on any
+    * engine) and drop the rest. Composes [[duplicateClusters]]'s
+    * transitive closure with the representative filter, so a~b, b~c
+    * correctly drops two of {a,b,c} where a pairwise delete would drop
+    * one per pair and leave a duplicate behind.
+    *
+    * Only ids flow through the clustering; the corpus joins once at the
+    * end against the (small) non-representative id set — at scale the
+    * join side is |pair members| − |clusters| rows, a tiny fraction of
+    * the corpus, so AQE broadcasts it and documents never shuffle.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val drop = duplicateClusters(df.select(col(idCol)), idCol, pairs,
+        maxIter)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -62,6 +62,37 @@ class CorpusScrubSpec extends SparkSpec {
     assert(out == Seq(("a", 4L), ("b", 3L), ("c", 2L)))
   }
 
+  test("topTfidfTerms surfaces rare terms over common ones") {
+    // 'rare' appears once in doc 1 only; 'common' is in every doc
+    // (df=4 of N=4 -> smoothed idf exactly 1 in the log form, 1.0 in
+    // the rational form, so rare's higher idf dominates equal tf and
+    // common's tf=2 dominates mid-df 'other')
+    val df = Seq(
+      (1L, "common rare"),
+      (2L, "common common other"),
+      (3L, "common other zz"),
+      (4L, "common zz yy")).toDF("doc_id", "text")
+    for (log <- Seq(true, false)) {
+      val top1 = CorpusScrub
+        .topTfidfTerms(df, "doc_id", "text", k = 1, logIdf = log)
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(top1(1L) == "rare", s"logIdf=$log")
+      assert(top1(2L) == "common", s"logIdf=$log") // tf 2 beats df-3 'other'
+    }
+  }
+
+  test("topTfidfTerms exact variant is partitioning-invariant") {
+    val df = (1L to 60L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i + j * j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = CorpusScrub
+      .topTfidfTerms(df.repartition(parts), "doc_id", "text", k = 3,
+        logIdf = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(run(1) == run(9))
+  }
+
   test("topTerms plan uses partial aggregation and a top-k sort") {
     val df = Seq("a b c").toDF("text")
     val plan = CorpusScrub.topTerms(df, "text", 10)
