@@ -128,6 +128,75 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(groups.toSeq == Seq(1L, 1L, 120L))
   }
 
+  test("cluster collapse recovers planted clusters exactly at 20k nodes") {
+    // 500 clusters of 8 planted as sparse PATH graphs — the worst
+    // diameter shape per edge count — among 16k singleton nodes
+    import graft.operators.Dedup
+    val nodes = (0L until 20000L).toDF("id")
+    val pairs = (0 until 500).flatMap { c =>
+      val base = c * 8L
+      (0 until 7).map(i => (base + i, base + i + 1))
+    }.toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 20000)
+    labels.foreach { case (id, cl) =>
+      val want = if (id < 4000L) id / 8 * 8 else id
+      assert(cl == want, s"node $id labeled $cl, want $want")
+    }
+  }
+
+  test("dedupCorpus keeps exactly one doc per planted cluster") {
+    import graft.operators.Dedup
+    val docs = (0L until 4000L).map(i => (i, s"text of ${i / 8}"))
+      .toDF("doc_id", "text") // 500 clusters of 8 by construction
+    // star pairs: each member linked to its cluster's min id
+    val expanded = docs.select(col("doc_id"),
+        (col("doc_id") - (col("doc_id") % 8)).as("rep"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    val clean = Dedup.dedupCorpus(docs, "doc_id", expanded)
+    assert(clean.count() == 500)
+    assert(clean.filter(col("doc_id") % 8 =!= 0).count() == 0)
+  }
+
+  test("corpus scrub: a 50k-occurrence segment stays a 1-key drop set") {
+    import graft.operators.CorpusScrub
+    val boiler = "subscribe now"
+    val docs = (0L until 25000L)
+      .map(i => (i, s"$boiler\n\nunique paragraph $i"))
+      .toDF("doc_id", "text")
+    val out = CorpusScrub.removeRepeatedSegments(docs, "doc_id",
+      "text", maxRepeats = 100)
+    val sample = out.filter(col("doc_id") === 7L)
+      .select("clean_text").as[String].collect()(0)
+    assert(sample == "unique paragraph 7")
+    assert(out.count() == 25000) // no doc dropped
+    assert(out.agg(sum("n_removed")).as[Long].collect()(0) == 25000)
+  }
+
+  test("chunking a 200k-token doc expands to the exact bound") {
+    import graft.operators.Chunking
+    val doc = (0 until 200000).map(i => "t").mkString(" ")
+    val out = Chunking.chunkByTokens(
+      Seq((1L, doc)).toDF("id", "text"), "id", "text",
+      maxTokens = 1024, overlap = 64)
+    // 1 + ceil((200000 - 1024) / 960) windows
+    assert(out.count() == 1 + (200000 - 1024 + 959) / 960)
+  }
+
+  test("tfidf on an all-identical corpus stays deterministic") {
+    import graft.operators.CorpusScrub
+    val docs = (0L until 2000L).map(i => (i, "same words every time"))
+      .toDF("doc_id", "text")
+    val out = CorpusScrub
+      .topTfidfTerms(docs, "doc_id", "text", k = 2, logIdf = false)
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.length == 4000)
+    // every doc gets the same deterministic (score desc, term asc) cut
+    assert(out.forall(r => r._2 == "every" || r._2 == "same"))
+  }
+
   test("dictionary fit refuses a 10k+-cardinality 'categorical'") {
     // a key column smuggled in as a categorical: the DEFAULT guard
     // (10000) must throw the typed error instead of collecting an
