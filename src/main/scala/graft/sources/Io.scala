@@ -221,4 +221,20 @@ object Io {
     val out = if (single) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** Bucketed table write — the layout that makes repeated big-to-big
+    * joins and aggregations on `keyCol` SHUFFLE-FREE: both sides
+    * bucketed into the same `buckets` on the same key join with zero
+    * Exchange (Spark trusts the on-disk hash layout), which at 100 TB
+    * converts every pipeline run's largest shuffle into a one-time
+    * write cost. Parquet + saveAsTable because bucket metadata lives in
+    * the catalog, not the files.
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

@@ -72,6 +72,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation functions run unchanged on a stream (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{TextFunctions => T}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "zz zz zz zz zz zz"),
+      (3L, "mail me at someone@example.com for the full details now ok"))
+    val out = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        T.qualityKeep(col("text")).as("keep"),
+        T.redactPii(col("text")).as("clean"))
+    val q = out.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("cur_out")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(true, false, true))
+    assert(rows(2)._3 ==
+      "mail me at <EMAIL> for the full details now ok")
+  }
+
   test("dedupStream suppresses duplicate keys across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
