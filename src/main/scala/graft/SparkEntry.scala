@@ -419,6 +419,12 @@ object SparkEntry {
         logIdf = false)
     }),
 
+    // ----- exact order statistics with engine-controlled interpolation
+    "q_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.exactQuantiles(li, "l_extendedprice", QuantilePs)
+    }),
+
     // ----- embedding stats: exact per-label centroids (long form)
     "q_group_centroids" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -892,6 +898,7 @@ object SparkEntry {
     "q_chunk_tokens" -> chunkTokensOracle,
     "q_corpus_scrub" -> corpusScrubOracle,
     "q_group_centroids" -> groupCentroidsOracle,
+    "q_quantiles" -> quantilesOracle,
 
     "q_top_terms" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
@@ -1245,6 +1252,33 @@ object SparkEntry {
          FROM cand JOIN grams ga ON ga.doc_id = cand.id_a
                    JOIN grams gb ON gb.doc_id = cand.id_b) v
        WHERE jaccard >= 0.8"""
+
+  private val QuantilePs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  /** Mirror of ColumnStats.exactQuantiles over l_extendedprice: the
+    * SAME value-count → running-cum → rank-range-join → interpolation
+    * formula, operation for operation, so the doubles agree bit-wise.
+    */
+  private def quantilesOracle: String = {
+    val pts = QuantilePs.map(p => s"($p::DOUBLE)").mkString(", ")
+    s"""WITH vals AS (SELECT l_extendedprice::DOUBLE AS v
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+       cumt AS (SELECT v, c, SUM(c) OVER (ORDER BY v
+         ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+       cc AS (SELECT v, cum - c AS lo_rank, cum FROM cumt),
+       nn AS (SELECT COUNT(*) AS n FROM vals),
+       pts AS (SELECT * FROM (VALUES $pts) AS t(p)),
+       ranked AS (SELECT p, n, p * (n - 1)::DOUBLE AS r,
+         CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_lo,
+         CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_hi
+         FROM pts CROSS JOIN nn),
+       lov AS (SELECT p, n, r, ri_lo, ri_hi, v AS v_lo FROM ranked
+         JOIN cc ON lo_rank <= ri_lo AND ri_lo < cum)
+       SELECT p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)
+           AS quantile, n
+       FROM lov JOIN cc ON cc.lo_rank <= ri_hi AND ri_hi < cc.cum"""
+  }
 
   /** Mirror of VectorStats.groupCentroids: quantized int64 per-dim
     * sums, exact-integer division only at the end.

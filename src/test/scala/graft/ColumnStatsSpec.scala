@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ColumnStats
+
+class ColumnStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactQuantiles matches hand-computed order statistics") {
+    // values 10,20,30,40 (n=4): median rank 1.5 -> 20 + (30-20)*0.5
+    val df = Seq(10.0, 30.0, 20.0, 40.0).toDF("x")
+    val q = ColumnStats
+      .exactQuantiles(df, "x", Seq(0.0, 0.5, 1.0))
+      .as[(Double, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(q(0.0) == 10.0)
+    assert(q(0.5) == 25.0)
+    assert(q(1.0) == 40.0)
+  }
+
+  test("exactQuantiles handles ties and nulls") {
+    val df = Seq[java.lang.Double](1.0, 1.0, 1.0, 2.0, null).toDF("x")
+    // n=4 (null excluded): p=0.5 -> rank 1.5 between 1.0 and 1.0
+    val q = ColumnStats.exactQuantiles(df, "x", Seq(0.5, 0.75))
+      .as[(Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(q(0.5) == ((1.0, 4L)))
+    assert(q(0.75) == ((1.0 + (2.0 - 1.0) * 0.25, 4L)))
+  }
+
+  test("exactQuantiles equals Spark's percentile on clean ranks") {
+    // integer ranks (p*(n-1) whole) dodge interpolation-arithmetic
+    // differences — there the two implementations must agree exactly
+    val df = (1 to 101).map(_.toDouble).toDF("x")
+    val q = ColumnStats
+      .exactQuantiles(df, "x", Seq(0.25, 0.5, 0.9))
+      .as[(Double, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val ref = df.select(
+      expr("percentile(x, array(0.25, 0.5, 0.9))")).collect()(0)
+      .getSeq[Double](0)
+    assert(q(0.25) == ref(0) && q(0.5) == ref(1) && q(0.9) == ref(2))
+  }
+
+  test("exactQuantiles is partitioning-invariant") {
+    val df = (1 to 5000).map(i => (i * 7919 % 1000) / 3.0).toDF("x")
+    def run(parts: Int) = ColumnStats
+      .exactQuantiles(df.repartition(parts), "x",
+        Seq(0.1, 0.5, 0.99))
+      .as[(Double, Double, Long)].collect().toSet
+    assert(run(1) == run(17))
+  }
+}
