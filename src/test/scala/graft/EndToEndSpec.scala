@@ -67,4 +67,61 @@ class EndToEndSpec extends SparkSpec {
     assert(back.history.size == anonymized.history.size)
     assert(back.history.ops.contains(op))
   }
+
+  test("corpus journey: quality -> redact -> dedup -> split -> chunk") {
+    import spark.implicits._
+    val spam = "buy now " * 8
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(14)(
+        rnd.alphanumeric.filter(_.isLetter).take(6).mkString.toLowerCase)
+      s"the ${words.take(7).mkString(" ")} and " +
+        s"the ${words.drop(7).mkString(" ")}"
+    }
+    val docs = ((1L to 40L).map(i => (i, body(i))) ++ Seq(
+      (100L, spam),                        // fails quality (repetition)
+      (101L, "tiny"),                      // fails quality (word_count)
+      (102L, "call me on +1 555 010 4455 about the pipeline design " +
+        "for the analytics engine we discussed the other day ok"),
+      (103L, body(7))))                    // byte-identical dup of 7
+      .toDF("doc_id", "text")
+
+    // 1. annotate + filter on quality
+    val kept = docs
+      .withColumn("keep", graft.functions.TextFunctions
+        .qualityKeep(col("text")))
+      .filter(col("keep")).drop("keep")
+    assert(kept.filter(col("doc_id").isin(100L, 101L)).isEmpty)
+    assert(kept.count() == 42) // the 40 clean docs + 102 + 103
+
+    // 2. redact PII
+    val clean = kept.withColumn("text",
+      graft.functions.TextFunctions.redactPii(col("text")))
+    assert(clean.filter(col("text").contains("555")).isEmpty)
+
+    // 3. near-dup delete (doc 103 duplicates doc 7 -> 103 dropped)
+    val pairs = Dedup.minhashDupPairs(clean, "doc_id", "text")
+      .select("id_a", "id_b")
+    val deduped = Dedup.dedupCorpus(clean, "doc_id", pairs)
+    assert(deduped.filter(col("doc_id") === 103L).isEmpty)
+    assert(!deduped.filter(col("doc_id") === 7L).isEmpty)
+
+    // 4. deterministic split, stable under repartitioning
+    val split = Sampling.deterministicSplit(deduped, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2))
+    val again = Sampling.deterministicSplit(
+      deduped.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2))
+    assert(split.select("doc_id", "split").as[(Long, String)]
+      .collect().toSet ==
+      again.select("doc_id", "split").as[(Long, String)]
+        .collect().toSet)
+
+    // 5. chunk for the tokenizer; every surviving doc is covered
+    val chunks = Chunking.chunkByTokens(split, "doc_id", "text",
+      maxTokens = 8, overlap = 2)
+    assert(chunks.select("doc_id").distinct().count() ==
+      split.count())
+    assert(chunks.filter(col("chunk_tokens") > 8).isEmpty)
+  }
 }
