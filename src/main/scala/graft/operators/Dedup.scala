@@ -337,9 +337,16 @@ object Dedup {
                          // operator's whole plan out of the loop
     // only PAIR MEMBERS need propagation — on a typical corpus that is
     // a tiny fraction of the nodes; everyone else is a singleton and
-    // labels itself without ever entering the loop
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // labels itself without ever entering the loop. The init fuses
+    // propagation round 1 into the same exchange a distinct-ids pass
+    // would cost: label(v) = min(v, neighbors(v)) — bucket cliques
+    // (the common near-dup component) then converge at init and the
+    // loop runs only its one confirming round.
+    var labels = edges
+      .select(col("dst").as("id"), col("src").as("cluster_id"))
+      .unionByName(edges
+        .select(col("src").as("id"), col("src").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
