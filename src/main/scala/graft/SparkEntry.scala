@@ -478,6 +478,17 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // ----- leakage-safe split: near-dup cluster members always land
+    // in the SAME split (a per-id split contaminates eval)
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
+        .select("id_a", "id_b")
+      Sampling.leakageSafeSplit(d, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+
     // ----- deterministic train/val/test split by id hash (stable
     // across engines, partitionings and corpus growth)
     "q_det_split" -> ((s, dir) => {
@@ -884,6 +895,7 @@ object SparkEntry {
            ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id""",
 
     "q_det_split" -> detSplitOracle,
+    "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_repetition" -> repetitionOracle,
     "q_quality_filter" -> qualityFilterOracle,
@@ -1018,6 +1030,25 @@ object SparkEntry {
          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
        SELECT id AS doc_id, MIN(lab) AS cluster_id
        FROM reach GROUP BY id"""
+
+  /** Mirror of Sampling.leakageSafeSplit: the component replay's
+    * cluster_id hashed with the same score/cut arithmetic as
+    * q_det_split.
+    */
+  private def leakageSafeSplitOracle: String = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val total  = splits.map(_._2).sum
+    val cum    = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val whens  = splits.init.zip(cum.init).map { case ((n, _), c) =>
+      s"WHEN sc < $c THEN '$n'"
+    }.mkString(" ")
+    s"""WITH comp AS (SELECT doc_id, cluster_id
+         FROM ($dedupComponentsOracle)),
+       scored AS (SELECT doc_id,
+         ${hashScoreSql("cluster_id")} AS sc FROM comp)
+       SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
+       FROM scored"""
+  }
 
   /** Mirrors Sampling.deterministicSplit(train .8/val .1/test .1):
     * score = int value of the first 15 md5 hex digits / 16^15, CASE on

@@ -72,6 +72,28 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < cut)
   }
 
+  /** Leakage-safe train/val/test assignment: split by DUPLICATE
+    * CLUSTER, not by document, so a pair of near-duplicates can never
+    * straddle train and test (the classic eval-contamination bug —
+    * a per-id split puts ~(1−Σwᵢ²) of duplicate pairs across the
+    * boundary). Composes [[graft.operators.Dedup.duplicateClusters]]
+    * over `pairs` with [[deterministicSplit]] keyed on the cluster
+    * representative: every member inherits its cluster's assignment,
+    * singletons hash on themselves, and the membership stays stable
+    * under corpus growth exactly like the per-id split.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      maxIter: Int = 20): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      df.select(col(idCol)), idCol, pairs, maxIter)
+    val assigned = deterministicSplit(
+      clusters.select(col("id").as(idCol), col("cluster_id")),
+      "cluster_id", splits, splitCol)
+      .drop("cluster_id")
+    df.join(assigned, Seq(idCol))
+  }
+
   /** Keep the `k` best rows per group by `scoreCol` (descending),
     * ties broken by ascending id so the selection is total-order
     * deterministic. Spark ≥3.5 rewrites the rank-filter into

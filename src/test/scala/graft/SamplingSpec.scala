@@ -88,6 +88,25 @@ class SamplingSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("leakageSafeSplit keeps near-dup clusters in one split") {
+    import graft.operators.Dedup
+    val docs = (0L until 900L).toDF("id")
+    // 300 clusters of 3 consecutive ids, linked as chains
+    val pairs = (0L until 900L by 3)
+      .flatMap(b => Seq((b, b + 1), (b + 1, b + 2)))
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 900)
+    // every member agrees with its cluster representative
+    (0L until 900L).foreach { id =>
+      assert(out(id) == out(id / 3 * 3), s"leak at id $id")
+    }
+    // both splits are actually populated
+    assert(out.values.toSet == Set("train", "test"))
+  }
+
   test("weights are normalized; non-positive weights rejected") {
     val out = Sampling.deterministicSplit(ids, "id",
       Seq("a" -> 8.0, "b" -> 2.0)) // same as .8/.2
