@@ -398,6 +398,15 @@ object SparkEntry {
         "source", "n_chars", "doc_id", k = 5)
     }),
 
+    // ----- benchmark decontamination: flag docs sharing a 5-gram with
+    // the simulated eval set (every 50th doc)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      Decontaminate.flagContaminated(d, "doc_id", "text",
+        bench, "text", n = 5)
+    }),
+
     // ----- corpus-wide boilerplate scrub: drop segments occurring
     // more than maxRepeats times across the WHOLE corpus (word-level
     // here — the synthetic docs are single-paragraph)
@@ -909,6 +918,7 @@ object SparkEntry {
 
     "q_chunk_tokens" -> chunkTokensOracle,
     "q_corpus_scrub" -> corpusScrubOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
     "q_quantiles" -> quantilesOracle,
 
@@ -1086,12 +1096,28 @@ object SparkEntry {
   private def tokensSql(expr: String): String =
     s"regexp_split_to_array(trim($expr), '\\s+')"
 
-  /** Word-bigram list from a token-array expression (mirror of
-    * TextFunctions.wordNGrams(_, 2)).
+  /** Word-n-gram list from a token-array expression (mirror of
+    * TextFunctions.wordNGrams(_, n), slice-truncation edge included).
     */
-  private def bigramsSql(ts: String): String =
-    s"list_transform(generate_series(1, greatest(len($ts) - 1, 1)), " +
-    s"i -> array_to_string(list_slice($ts, i, i + 1), ' '))"
+  private def ngramsSql(ts: String, n: Int): String =
+    s"list_transform(generate_series(1, greatest(len($ts) - ${n - 1}, 1)), " +
+    s"i -> array_to_string(list_slice($ts, i, i + ${n - 1}), ' '))"
+
+  private def bigramsSql(ts: String): String = ngramsSql(ts, 2)
+
+  /** Mirror of Decontaminate.flagContaminated(n=5) with the every-50th
+    * doc as the simulated benchmark; n_hits counts DISTINCT shared
+    * grams (both sides deduplicate their gram lists).
+    */
+  private def decontaminateOracle: String = {
+    val grams = ngramsSql(tokensSql("text"), 5)
+    s"""WITH bg AS (SELECT DISTINCT UNNEST(list_distinct($grams)) AS gram
+         FROM documents WHERE doc_id % 50 = 0),
+       dg AS (SELECT doc_id, UNNEST(list_distinct($grams)) AS gram
+         FROM documents)
+       SELECT doc_id, COUNT(*) AS n_hits
+       FROM dg JOIN bg USING (gram) GROUP BY doc_id"""
+  }
 
   /** max over distinct repeated bigrams of count·len, 0 when nothing
     * repeats (mirror of TextFunctions.topBigramCharFraction's
