@@ -113,4 +113,35 @@ object CorpusScrub {
         score.as("score"))
     Sampling.topKPerGroup(scored, idCol, "score", "term", k)
   }
+
+  /** Per-document mean token log-probability under the corpus's own
+    * add-one-smoothed unigram LM — the cheap stand-in for the CCNet/
+    * Wikipedia-LM perplexity filter: word salad and boilerplate score
+    * far below fluent text drawn from the corpus distribution. Higher
+    * (closer to 0) = more typical.
+    *
+    * Shape: one token-count aggregation builds the LM (vocab-sized,
+    * joined un-hinted so AQE broadcasts when it fits), one join scores
+    * every token map-side, one (doc, sum/count) aggregation. Returns
+    * (idCol, `n_tokens`, `mean_logprob`). Spec-verified only — ln's
+    * last ulp is libm-specific, so no cross-engine hash oracle (see
+    * [[topTfidfTerms]]).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+    val lm = toks.groupBy("term").agg(count(lit(1)).as("__tc"))
+    val nTotal = toks.agg(count(lit(1)).as("__n"))
+    val vocab  = lm.agg(count(lit(1)).as("__v"))
+    toks.join(lm, Seq("term"))
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("__tc") + lit(1L)).cast("double") /
+          (col("__n") + col("__v")).cast("double")))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("__lp")).as("mean_logprob"))
+  }
 }

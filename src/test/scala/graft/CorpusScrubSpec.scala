@@ -93,6 +93,18 @@ class CorpusScrubSpec extends SparkSpec {
     assert(run(1) == run(9))
   }
 
+  test("unigramLogProb ranks typical text above rare-token salad") {
+    val typical = "the engine runs the query over the data every day"
+    val salad   = "qqxz wvrk jjpl mmty zzbn hhgd"
+    val df = (1L to 20L).map(i => (i, typical)) :+ (99L, salad)
+    val out = CorpusScrub
+      .unigramLogProb(df.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) > out(99L)) // typical text closer to 0
+    assert(out(1L) == out(2L)) // identical docs score identically
+    assert(out.values.forall(_ < 0.0))
+  }
+
   test("topTerms plan uses partial aggregation and a top-k sort") {
     val df = Seq("a b c").toDF("text")
     val plan = CorpusScrub.topTerms(df, "text", 10)
