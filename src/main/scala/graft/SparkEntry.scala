@@ -1186,7 +1186,7 @@ object SparkEntry {
          len(list_filter(lts, t ->
            list_contains($stopwordsArraySql, t))) AS stop_hits
          FROM t0),
-       t2 AS (SELECT doc_id,
+       t2 AS (SELECT doc_id, text,
          len(ts) BETWEEN 5 AND 100000 AS ok_wc,
          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
            / greatest(len(ts), 1)
@@ -1202,13 +1202,13 @@ object SparkEntry {
        SELECT doc_id,
          ok_wc AND ok_mwl AND ok_digit AND ok_upper AND ok_stop
            AND ok_rep AS keep,
-         concat_ws(',',
+         CASE WHEN text IS NULL THEN NULL ELSE concat_ws(',',
            CASE WHEN NOT ok_wc THEN 'word_count' END,
            CASE WHEN NOT ok_mwl THEN 'mean_word_len' END,
            CASE WHEN NOT ok_digit THEN 'digit_ratio' END,
            CASE WHEN NOT ok_upper THEN 'upper_ratio' END,
            CASE WHEN NOT ok_stop THEN 'stopword' END,
-           CASE WHEN NOT ok_rep THEN 'repetition' END) AS reasons
+           CASE WHEN NOT ok_rep THEN 'repetition' END) END AS reasons
        FROM t2"""
   }
 
@@ -1229,7 +1229,8 @@ object SparkEntry {
     */
   private def chunkTokensOracle: String = {
     val ts = tokensSql("text")
-    s"""WITH t0 AS (SELECT doc_id, $ts AS ts FROM documents),
+    s"""WITH t0 AS (SELECT doc_id, $ts AS ts FROM documents
+         WHERE text IS NOT NULL),
        t1 AS (SELECT doc_id, ts,
          1 + CAST(ceil(GREATEST(len(ts) - 64, 0)::DOUBLE / 48) AS INT)
            AS nc FROM t0)

@@ -232,13 +232,15 @@ object TextFunctions {
     QualityRule("repetition", c => topBigramCharFraction(c) < 0.2))
 
   /** Comma-joined names of the rules a document FAILS (empty string =
-    * keep). A string, not an array, so the result is directly
-    * comparable in any SQL engine.
+    * keep, null in = null out — concat_ws alone would swallow the null
+    * into "", silently reading as "passed"). A string, not an array,
+    * so the result is directly comparable in any SQL engine.
     */
   def qualityReasons(c: Column,
       rules: Seq[QualityRule] = defaultQualityRules): Column =
-    concat_ws(",", rules.map(r =>
-      when(!r.pass(c), lit(r.name)).otherwise(lit(null))): _*)
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(",", rules.map(r =>
+        when(!r.pass(c), lit(r.name)).otherwise(lit(null))): _*))
 
   /** Keep-flag form of [[qualityReasons]]. */
   def qualityKeep(c: Column,

@@ -23,13 +23,16 @@ object Chunking {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
+    // null text yields no chunks (without the filter, size(null) = -1
+    // arithmetic would fabricate one garbage window per null doc)
+    val df0 = df.filter(col(textCol).isNotNull)
     val ts = split(trim(col(textCol)), "\\s+")
     val n  = size(ts)
     // number of windows: 1 + ceil(max(n - maxTokens, 0) / stride)
     val extra  = greatest(n - lit(maxTokens), lit(0))
     val nChunk = lit(1) + ceil(extra.cast("double") / lit(stride))
       .cast("int")
-    df.select(col(idCol), posexplode(transform(
+    df0.select(col(idCol), posexplode(transform(
         sequence(lit(0), nChunk - lit(1)),
         i => slice(ts, i * lit(stride) + lit(1), lit(maxTokens))))
         .as(Seq("chunk_id", "__toks")))
