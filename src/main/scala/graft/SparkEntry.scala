@@ -344,6 +344,15 @@ object SparkEntry {
         T.qualityScore(col("text")).as("quality"))
     }),
 
+    // ----- text curation: canonical normalization (control chars ->
+    // space, whitespace collapse, trim); tabs/newlines planted per-row
+    "q_normalize_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val messy = concat(lit("\t "), col("text"), lit("\u0001\n"),
+        col("source"), lit("  end "))
+      d.select(col("doc_id"), T.normalizeText(messy).as("norm"))
+    }),
+
     // ----- text curation: PII redaction. The synthetic corpus has no
     // PII, so the query plants engine-identically-constructed PII
     // (derived from doc_id) and asserts the redaction chain strips it.
@@ -906,6 +915,14 @@ object SparkEntry {
     "q_det_split" -> detSplitOracle,
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
+
+    // same regex chain, RE2 dialect-compatible by construction
+    "q_normalize_text" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+           chr(9) || ' ' || text || chr(1) || chr(10) || source
+             || '  end ',
+           '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+         FROM documents""",
     "q_repetition" -> repetitionOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,

@@ -133,6 +133,17 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
+  /** Canonical text normalization: control characters → space,
+    * whitespace runs collapsed to one space, ends trimmed. The regexes
+    * use only byte-class syntax valid in both Java regex and RE2, so
+    * a SQL oracle replays them verbatim. (Unicode NFC is deliberately
+    * NOT included here — pair with a normalizer kernel if the corpus
+    * needs it.)
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
   // ------------------------------------------------------ PII redaction
 
   /** PII patterns chosen to mean the same thing in Java regex and RE2

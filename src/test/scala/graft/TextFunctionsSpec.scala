@@ -68,6 +68,13 @@ class TextFunctionsSpec extends SparkSpec {
       .getInt(0) == 4)
   }
 
+  test("normalizeText collapses whitespace and strips control chars") {
+    val got = Seq("\t hello  world \r\n again  ")
+      .toDF("t").select(T.normalizeText(col("t"))).as[String]
+      .collect()(0)
+    assert(got == "hello world again")
+  }
+
   test("redactPii masks emails, IPv4s and phone runs, in order") {
     val df = Seq(
       "mail bob.smith+x@sub.example.co.uk now",
