@@ -41,9 +41,13 @@ object ColumnStats {
     // window runs over the COUNTS frame (|distinct| rows), never rows
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialize ONCE: cum is referenced by both rank joins and the
+    // total — without the checkpoint each reference re-evaluates the
+    // whole scan + count + single-partition window subtree
     val cum = counts.withColumn("cum", sum("c").over(w))
       .withColumn("lo_rank", col("cum") - col("c"))
-    val n = vals.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = cum.agg(sum("c").as("n"))
     // rank r = p*(n-1); straddling order statistics at floor/ceil(r)
     val ranked = ps.toDF("p").crossJoin(broadcast(n))
       .withColumn("r", col("p") * (col("n") - lit(1L)).cast("double"))

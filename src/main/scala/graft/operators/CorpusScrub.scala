@@ -132,8 +132,12 @@ object CorpusScrub {
     val toks = df.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as("term"))
+    // the LM is vocab-sized: pin it so the scoring join, the token
+    // total and the vocab size all read ONE materialization instead of
+    // re-exploding the corpus per reference
     val lm = toks.groupBy("term").agg(count(lit(1)).as("__tc"))
-    val nTotal = toks.agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val nTotal = lm.agg(sum("__tc").as("__n"))
     val vocab  = lm.agg(count(lit(1)).as("__v"))
     toks.join(lm, Seq("term"))
       .crossJoin(broadcast(nTotal)).crossJoin(broadcast(vocab))
