@@ -443,6 +443,13 @@ object SparkEntry {
       ColumnStats.exactQuantiles(li, "l_extendedprice", QuantilePs)
     }),
 
+    // ----- describe(): per-measure-column exact summary row
+    "q_describe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.describeNumeric(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // ----- embedding stats: exact per-label centroids (long form)
     "q_group_centroids" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -938,6 +945,7 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
     "q_quantiles" -> quantilesOracle,
+    "q_describe" -> describeOracle,
 
     "q_top_terms" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
@@ -1330,14 +1338,16 @@ object SparkEntry {
 
   private val QuantilePs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
 
-  /** Mirror of ColumnStats.exactQuantiles over l_extendedprice: the
-    * SAME value-count → running-cum → rank-range-join → interpolation
-    * formula, operation for operation, so the doubles agree bit-wise.
+  /** Mirror of ColumnStats.exactQuantiles: the SAME value-count →
+    * running-cum → rank-range-join → interpolation formula, operation
+    * for operation, so the doubles agree bit-wise. Parameterized per
+    * column so describe() reuses it as a scalar subquery.
     */
-  private def quantilesOracle: String = {
-    val pts = QuantilePs.map(p => s"($p::DOUBLE)").mkString(", ")
-    s"""WITH vals AS (SELECT l_extendedprice::DOUBLE AS v
-         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+  private def quantilesSqlFor(table: String, column: String,
+      ps: Seq[Double], selectList: String): String = {
+    val pts = ps.map(p => s"($p::DOUBLE)").mkString(", ")
+    s"""WITH vals AS (SELECT $column::DOUBLE AS v
+         FROM $table WHERE $column IS NOT NULL),
        counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
        cumt AS (SELECT v, c, SUM(c) OVER (ORDER BY v
          ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
@@ -1350,10 +1360,28 @@ object SparkEntry {
          FROM pts CROSS JOIN nn),
        lov AS (SELECT p, n, r, ri_lo, ri_hi, v AS v_lo FROM ranked
          JOIN cc ON lo_rank <= ri_lo AND ri_lo < cum)
-       SELECT p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)
-           AS quantile, n
+       SELECT $selectList
        FROM lov JOIN cc ON cc.lo_rank <= ri_hi AND ri_hi < cc.cum"""
   }
+
+  private def quantilesOracle: String =
+    quantilesSqlFor("lineitem", "l_extendedprice", QuantilePs,
+      "p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile, n")
+
+  /** Mirror of ColumnStats.describeNumeric: per column, the exact base
+    * aggregates plus the quantile CTE as a scalar median subquery.
+    */
+  private def describeOracle: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      val medianSub = quantilesSqlFor("lineitem", c, Seq(0.5),
+        "v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)")
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_total,
+          COUNT($c) AS n_nonnull,
+          MIN($c)::DOUBLE AS min_v, MAX($c)::DOUBLE AS max_v,
+          SUM(CAST($c AS DECIMAL(28,6)))::DOUBLE / COUNT($c) AS mean_v,
+          ($medianSub) AS median_v
+        FROM lineitem"""
+    }.mkString(" UNION ALL ")
 
   /** Mirror of VectorStats.groupCentroids: quantized int64 per-dim
     * sums, exact-integer division only at the end.

@@ -66,4 +66,29 @@ object ColumnStats {
           (col("r") - col("ri_lo").cast("double"))).as("quantile"),
         col("n"))
   }
+
+  /** describe() for measure columns — one tidy row per column with
+    * engine-portable arithmetic throughout: counts and min/max are
+    * exact, the mean sums in decimal (never an order-dependent double
+    * accumulation), the median comes from [[exactQuantiles]]. One
+    * base aggregation plus one quantile pass per column.
+    */
+  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeNumeric needs at least one column")
+    cols.map { c =>
+      val base = df.agg(
+        count(lit(1)).as("n_total"),
+        count(col(c)).as("n_nonnull"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        (sum(col(c).cast("decimal(28,6)")).cast("double") /
+          count(col(c))).as("mean_v"))
+      val med = exactQuantiles(df, c, Seq(0.5))
+        .select(col("quantile").as("median_v"))
+      base.crossJoin(med)
+        .select(lit(c).as("column_name"), col("n_total"),
+          col("n_nonnull"), col("min_v"), col("max_v"),
+          col("mean_v"), col("median_v"))
+    }.reduce(_ unionByName _)
+  }
 }

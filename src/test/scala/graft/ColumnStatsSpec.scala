@@ -42,6 +42,16 @@ class ColumnStatsSpec extends SparkSpec {
     assert(q(0.25) == ref(0) && q(0.5) == ref(1) && q(0.9) == ref(2))
   }
 
+  test("describeNumeric produces one exact summary row per column") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 60.0))
+      .toDF("a", "b")
+    val out = ColumnStats.describeNumeric(df, Seq("a", "b"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 3L, 3L, 1.0, 3.0, 2.0, 2.0)))
+    assert(out("b") == (("b", 3L, 3L, 10.0, 60.0, 30.0, 20.0)))
+  }
+
   test("exactQuantiles is partitioning-invariant") {
     val df = (1 to 5000).map(i => (i * 7919 % 1000) / 3.0).toDF("x")
     def run(parts: Int) = ColumnStats
