@@ -450,6 +450,18 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // ----- sequence packing: chunks -> ~256-token training packs,
+    // shard-parallel deterministic contiguous fill
+    "q_pack_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chunks = Chunking.chunkByTokens(d, "doc_id", "text",
+        maxTokens = 32)
+      Chunking.packChunks(chunks, "doc_id", "chunk_id",
+          "chunk_tokens", budgetTokens = 256, nShards = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long"),
+          col("shard"), col("pack_id"))
+    }),
+
     // ----- embedding stats: exact per-label centroids (long form)
     "q_group_centroids" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -941,6 +953,7 @@ object SparkEntry {
            ORDER BY n_chars DESC, doc_id ASC) <= 5""",
 
     "q_chunk_tokens" -> chunkTokensOracle,
+    "q_pack_chunks" -> packChunksOracle,
     "q_corpus_scrub" -> corpusScrubOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
@@ -1109,12 +1122,16 @@ object SparkEntry {
        FROM s"""
   }
 
+  /** DuckDB replica of HashFunctions.stableHash60 (top 60 md5 bits). */
+  private def hash60Sql(expr: String): String =
+    "list_sum(list_transform(generate_series(1, 15), i -> " +
+    "(strpos('0123456789abcdef', " +
+    s"substring(md5($expr), i, 1)) - 1)::BIGINT" +
+    " * (1::BIGINT << (4 * (15 - i)))))"
+
   /** DuckDB replica of [[Sampling.hashScore]] over an id expression. */
   private def hashScoreSql(idExpr: String): String =
-    "(list_sum(list_transform(generate_series(1, 15), i -> " +
-    "(strpos('0123456789abcdef', " +
-    s"substring(md5(CAST($idExpr AS VARCHAR)), i, 1)) - 1)::BIGINT" +
-    " * (1::BIGINT << (4 * (15 - i))))))::DOUBLE" +
+    s"(${hash60Sql(s"CAST($idExpr AS VARCHAR)")})::DOUBLE" +
     " / 1152921504606846976.0"
 
   /** Whitespace tokens, the exact mirror of TextFunctions.tokens. */
@@ -1293,6 +1310,36 @@ object SparkEntry {
          COALESCE(a.n_kept, 0) AS n_kept,
          len(d.ps) - COALESCE(a.n_kept, 0) AS n_removed
        FROM d LEFT JOIN agg a USING (doc_id)"""
+
+  /** Mirror of chunkByTokens(32,0) | packChunks(budget=256, shards=8):
+    * same chunk windows, md5-hash shard, per-shard running sum,
+    * identical floor arithmetic.
+    */
+  private def packChunksOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH t0 AS (SELECT doc_id, $ts AS ts FROM documents
+         WHERE text IS NOT NULL),
+       t1 AS (SELECT doc_id, ts,
+         1 + CAST(ceil(GREATEST(len(ts) - 32, 0)::DOUBLE / 32) AS INT)
+           AS nc FROM t0),
+       ch AS (SELECT doc_id, UNNEST(list_transform(
+           generate_series(0, nc - 1),
+           i -> {'chunk_id': CAST(i AS BIGINT),
+                 'chunk_tokens': CAST(len(
+                   list_slice(ts, i * 32 + 1, i * 32 + 32)) AS BIGINT)}),
+         recursive := true) FROM t1),
+       sh AS (SELECT doc_id, chunk_id, chunk_tokens,
+         CAST((${hash60Sql("CAST(doc_id AS VARCHAR)")}) % 8 AS BIGINT)
+           AS shard
+         FROM ch),
+       cm AS (SELECT *, SUM(chunk_tokens) OVER (PARTITION BY shard
+         ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS cum
+         FROM sh)
+       SELECT doc_id, chunk_id, shard,
+         CAST(floor((cum - chunk_tokens)::DOUBLE / 256) AS BIGINT)
+           AS pack_id
+       FROM cm"""
+  }
 
   private def simhashOracle: String = {
     val shExpr =

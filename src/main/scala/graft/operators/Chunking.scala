@@ -40,4 +40,41 @@ object Chunking {
         concat_ws(" ", col("__toks")).as("chunk_text"),
         size(col("__toks")).as("chunk_tokens"))
   }
+
+  /** Greedy contiguous sequence packing: assign chunks to training
+    * packs of ~`budgetTokens`, deterministically. Chunks are ordered by
+    * (`idCol`, `orderCol`) within `nShards` hash shards and filled
+    * contiguously: a chunk starts a new pack when the running total
+    * before it has crossed the budget, so a pack exceeds the budget by
+    * at most one chunk — `budgetTokens + maxChunkTokens` is the hard
+    * bound (no chunk is ever split).
+    *
+    * Shard-parallelism is the scale design: a single global running sum
+    * would be one partition over every chunk in the corpus; sharding by
+    * id hash keeps the window parallel while staying deterministic on
+    * any partitioning (the shard and the in-shard order are both pure
+    * functions of the data). Output adds `shard` and `pack_id`
+    * (unique within shard).
+    */
+  def packChunks(df: DataFrame, idCol: String, orderCol: String,
+      tokenCol: String, budgetTokens: Int,
+      nShards: Int = 256): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    // md5-keyed shard (not Murmur3 `hash`): engine-portable like every
+    // other deterministic key in the library
+    val shard = pmod(graft.functions.HashFunctions
+      .stableHash60(col(idCol).cast("string")), lit(nShards))
+    val w = Window.partitionBy("shard")
+      .orderBy(col(idCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") /
+          lit(budgetTokens)))
+      .drop("__cum")
+  }
 }

@@ -51,6 +51,35 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("packChunks fills contiguously with bounded overflow") {
+    val chunks = (0L until 50L).map(i => (1L, i, 40))
+      .toDF("id", "chunk_id", "chunk_tokens")
+    val packed = Chunking.packChunks(chunks, "id", "chunk_id",
+        "chunk_tokens", budgetTokens = 100, nShards = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "pack_id").as[(Long, Long)].collect()
+    // cum before chunk k = 40k; pack = floor(40k/100): 0,0,0,1,1,2,2,2...
+    packed.foreach { case (k, p) => assert(p == 40 * k / 100) }
+    // each pack holds <= budget + one chunk
+    val perPack = packed.groupBy(_._2).view.mapValues(_.length * 40)
+    assert(perPack.values.forall(_ <= 100 + 40))
+    // packs are contiguous chunk ranges
+    val byPack = packed.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+    byPack.values.foreach(ids =>
+      assert(ids.zip(ids.tail).forall(p => p._2 == p._1 + 1)))
+  }
+
+  test("packChunks is deterministic under repartitioning") {
+    val chunks = (0L until 300L).map(i => (i % 40, i / 40, 7 + (i % 5)))
+      .toDF("id", "chunk_id", "chunk_tokens")
+    def run(parts: Int) = Chunking.packChunks(
+        chunks.repartition(parts), "id", "chunk_id", "chunk_tokens",
+        budgetTokens = 30, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
+
   test("chunking is a shuffle-free scan (no Exchange in the plan)") {
     val df = Seq((1L, doc(100))).toDF("id", "text")
     val plan = Chunking.chunkByTokens(df, "id", "text", maxTokens = 16)
