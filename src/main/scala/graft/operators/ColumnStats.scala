@@ -70,62 +70,37 @@ object ColumnStats {
   /** describe() for measure columns — one tidy row per column with
     * engine-portable arithmetic throughout: counts and min/max are
     * exact, the mean sums in decimal (never an order-dependent double
-    * accumulation), medians by the [[exactQuantiles]] formula.
+    * accumulation), the median by the [[exactQuantiles]] formula.
     *
-    * ONE table scan total, however many columns: values stack into
-    * (column_name, v) rows, aggregate to per-column value counts
-    * (map-side combined), and every statistic — including the median's
-    * running cumulative, windowed PER COLUMN so the sort parallelizes
-    * across columns — derives from that materialized counts frame.
-    * All-null columns are absent from the output (no order statistics
-    * exist).
+    * Shape: ONE fused aggregation scan computes every column's base
+    * stats (column-pruned parquet reads each column once — a
+    * stacked/long layout was measured slower: it trades the cheap
+    * pruned scans for an all-values shuffle), then one value-count
+    * quantile pass per column. The 1-row base frame is pinned so its
+    * k projections don't re-run the scan. All-null columns are absent
+    * from the output (no order statistics exist).
     */
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describeNumeric needs at least one column")
-    val stackExpr = s"stack(${cols.size}, " +
-      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
-      ") AS (column_name, v)"
-    val counts = df.select(expr(stackExpr))
-      .groupBy("column_name", "v").agg(count(lit(1)).as("c"))
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c"),
+      (sum(col(c).cast("decimal(28,6)")).cast("double") /
+        count(col(c))).as(s"__mean_$c")))
+    val base = df
+      .agg(count(lit(1)).as("__n_total"), aggs: _*)
       .localCheckpoint()
-    val nulls = counts.filter(col("v").isNull)
-      .select(col("column_name"), col("c").as("__nnull"))
-    val base = counts.filter(col("v").isNotNull)
-      .groupBy("column_name").agg(
-        sum("c").as("n_nonnull"),
-        min("v").as("min_v"), max("v").as("max_v"),
-        (sum(col("v").cast("decimal(28,6)") * col("c")).cast("double")
-          / sum("c")).as("mean_v"))
-      .join(nulls, Seq("column_name"), "left")
-      .withColumn("n_total",
-        col("n_nonnull") + coalesce(col("__nnull"), lit(0L)))
-    val w = Window.partitionBy("column_name").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.filter(col("v").isNotNull)
-      .withColumn("cum", sum("c").over(w))
-      .withColumn("lo_rank", col("cum") - col("c"))
-    val ranked = base.select(col("column_name"), col("n_nonnull"))
-      .withColumn("r",
-        lit(0.5) * (col("n_nonnull") - lit(1L)).cast("double"))
-      .withColumn("ri_lo", floor(col("r")))
-      .withColumn("ri_hi", ceil(col("r")).cast("long"))
-    val lo = ranked
-      .join(cum.select(col("column_name"), col("v").as("v_lo"),
-        col("lo_rank"), col("cum")), Seq("column_name"))
-      .filter((col("lo_rank") <= col("ri_lo")) &&
-        (col("ri_lo") < col("cum")))
-      .select("column_name", "r", "ri_lo", "ri_hi", "v_lo")
-    val med = lo
-      .join(cum.select(col("column_name"), col("v").as("v_hi"),
-        col("lo_rank").as("lr2"), col("cum").as("cum2")),
-        Seq("column_name"))
-      .filter((col("lr2") <= col("ri_hi")) &&
-        (col("ri_hi") < col("cum2")))
-      .select(col("column_name"),
-        (col("v_lo") + (col("v_hi") - col("v_lo")) *
-          (col("r") - col("ri_lo").cast("double"))).as("median_v"))
-    base.join(med, Seq("column_name"))
-      .select(col("column_name"), col("n_total"), col("n_nonnull"),
-        col("min_v"), col("max_v"), col("mean_v"), col("median_v"))
+    cols.map { c =>
+      val med = exactQuantiles(df, c, Seq(0.5))
+        .select(col("quantile").as("median_v"))
+      base.select(lit(c).as("column_name"),
+          col("__n_total").as("n_total"),
+          col(s"__nn_$c").as("n_nonnull"),
+          col(s"__min_$c").as("min_v"),
+          col(s"__max_$c").as("max_v"),
+          col(s"__mean_$c").as("mean_v"))
+        .crossJoin(med)
+    }.reduce(_ unionByName _)
   }
 }
