@@ -353,6 +353,24 @@ object SparkEntry {
       d.select(col("doc_id"), T.normalizeText(messy).as("norm"))
     }),
 
+    // ----- text curation: URL -> registrable domain + blocklist flag
+    // (URLs planted engine-identically from doc_id, like q_pii_redact)
+    "q_url_domains" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withUrls = concat(col("text"),
+        lit(" see https://sub"), col("doc_id") % 7,
+        lit(".site"), col("doc_id") % 13,
+        lit(".org/page/"), col("doc_id"),
+        lit(" and http://ads"), col("doc_id") % 3,
+        lit(".example.net/x"))
+      d.select(col("doc_id"),
+          posexplode(T.urlDomains(withUrls))
+            .as(Seq("url_idx", "domain")))
+        .select(col("doc_id"), col("url_idx").cast("long"),
+          col("domain"),
+          col("domain").isin("site3.org", "site7.org").as("blocked"))
+    }),
+
     // ----- text curation: PII redaction. The synthetic corpus has no
     // PII, so the query plants engine-identically-constructed PII
     // (derived from doc_id) and asserts the redaction chain strips it.
@@ -934,6 +952,7 @@ object SparkEntry {
     "q_det_split" -> detSplitOracle,
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
+    "q_url_domains" -> urlDomainsOracle,
 
     // same regex chain, RE2 dialect-compatible by construction
     "q_normalize_text" ->
@@ -1192,6 +1211,36 @@ object SparkEntry {
         s"regexp_replace($e, '$pat', '$tag', 'g')"
       }
     s"SELECT doc_id, $redacted AS clean FROM documents"
+  }
+
+  /** Mirror of TextFunctions.extractUrls → urlDomains over the planted
+    * URLs; the regex literals come from UrlPattern (single quotes
+    * SQL-escaped) so query and oracle cannot drift.
+    */
+  private def urlDomainsOracle: String = {
+    val pat = graft.functions.TextFunctions.UrlPattern
+      .replace("'", "''")
+    s"""WITH u AS (SELECT doc_id, regexp_extract_all(
+         text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+           || '.site' || CAST(doc_id % 13 AS VARCHAR)
+           || '.org/page/' || CAST(doc_id AS VARCHAR)
+           || ' and http://ads' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example.net/x',
+         '$pat') AS urls FROM documents),
+       e AS (SELECT doc_id, UNNEST(list_transform(
+           generate_series(1, len(urls)),
+           i -> {'url_idx': CAST(i - 1 AS BIGINT), 'u': urls[i]}),
+         recursive := true) FROM u),
+       h AS (SELECT doc_id, url_idx,
+         regexp_replace(regexp_replace(lower(u), '^https?://', ''),
+           '[/:].*$$', '') AS host FROM e),
+       d AS (SELECT doc_id, url_idx,
+         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+              ELSE array_to_string(string_split(host, '.')[-2:], '.')
+         END AS domain FROM h)
+       SELECT doc_id, url_idx, domain,
+         domain IN ('site3.org', 'site7.org') AS blocked
+       FROM d"""
   }
 
   private def repetitionOracle: String = {

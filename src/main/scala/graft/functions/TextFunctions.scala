@@ -165,6 +165,31 @@ object TextFunctions {
       regexp_replace(col, pat, tag)
     }
 
+  /** URL pattern meaning the same thing in Java regex and RE2 (no
+    * lookarounds): scheme, host, optional path of non-space/non-quote
+    * characters.
+    */
+  val UrlPattern: String =
+    "https?://[A-Za-z0-9.-]+(/[^\\s\"'<>]*)?"
+
+  /** All URLs appearing in the text, in order (array<string>). */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit(UrlPattern), lit(0))
+
+  /** Registrable domains of the text's URLs: host lowercased and
+    * reduced to its last two labels ("sub.news.example.com" →
+    * "example.com" — the standard blocklist key; public-suffix nuance
+    * like .co.uk needs a suffix table and is out of scope).
+    */
+  def urlDomains(c: Column): Column =
+    transform(extractUrls(c), u => {
+      val host = regexp_replace(
+        regexp_replace(lower(u), "^https?://", ""), "[/:].*$", "")
+      val parts = split(host, "\\.")
+      when(size(parts) <= 2, host).otherwise(
+        concat_ws(".", slice(parts, -2, 2)))
+    })
+
   // ------------------------------------- repetition signals (Gopher-ish)
 
   /** Fraction of lines that are repeats of an earlier line (0 for a

@@ -75,6 +75,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == "hello world again")
   }
 
+  test("extractUrls and urlDomains reduce to registrable domains") {
+    val df = Seq(
+      "read https://sub.news.example.com/a/b and http://foo.org",
+      "bare host https://single or none",
+      "no urls at all here").toDF("t")
+    val got = df.select(T.urlDomains(col("t"))).as[Seq[String]]
+      .collect()
+    assert(got(0) == Seq("example.com", "foo.org"))
+    assert(got(1) == Seq("single"))
+    assert(got(2) == Seq.empty)
+  }
+
   test("redactPii masks emails, IPv4s and phone runs, in order") {
     val df = Seq(
       "mail bob.smith+x@sub.example.co.uk now",
