@@ -579,6 +579,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ----- exact Euclidean top-k: the whole ranking in int64 (no
+    // doubles at all — squared distances are exact)
+    "q_l2_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKL2(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ----- ANN: IVF inverted lists, 4-of-16 probes, exact rerank
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1002,6 +1011,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ann_topk"      -> annTopKOracle,
+    "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,
     "q_cosine_dup"    -> cosineDupOracle
   )
@@ -1500,6 +1510,28 @@ object SparkEntry {
 
   private def sqlDotQ(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+
+  /** Mirror of Similarity.bruteForceTopKL2: all-integer squared
+    * distances (list_sum's HUGEINT cast back to BIGINT).
+    */
+  private def l2TopKOracle: String = {
+    val dot = sqlDotQ("qv", "cv", 64)
+    val naa = sqlDotQ("qv", "qv", 64)
+    val nbb = sqlDotQ("cv", "cv", 64)
+    s"""WITH q AS (SELECT vec_id AS query_id,
+         ${sqlQuantize("embedding")} AS qv FROM embeddings
+         WHERE vec_id < 5),
+       c AS (SELECT vec_id, ${sqlQuantize("embedding")} AS cv
+         FROM embeddings),
+       scored AS (
+         SELECT query_id, vec_id AS neighbor_id,
+           CAST(($naa) + ($nbb) - 2 * ($dot) AS BIGINT) AS dist2_q
+         FROM q JOIN c ON query_id <> vec_id)
+       SELECT query_id, neighbor_id, dist2_q, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY dist2_q ASC, neighbor_id) AS rank FROM scored) s
+       WHERE rank <= 10"""
+  }
 
   private def annTopKOracle: String = {
     val dot = sqlDotQ("qv", "cv", 64)

@@ -319,6 +319,31 @@ object Similarity {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact Euclidean top-k: d² = ‖q‖² + ‖c‖² − 2·q·c entirely in
+    * int64 over the quantized vectors, so the distance — and therefore
+    * the ranking — is EXACT (no doubles anywhere, no accumulation
+    * order, no sqrt needed for an argmin). Same broadcast-queries
+    * plan shape as [[bruteForceTopK]]; output `dist2_q` is the squared
+    * distance in milli-unit² integers.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cq = corpus.select(col(idCol),
+        quantize(col(vecCol)).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
+    val qq = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
+    val scored = cq.join(broadcast(qq), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (col("__qn") + col("__cn") -
+          lit(2L) * dotQ(col("__qv"), col("__cv"))).as("dist2_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2_q").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Centroid-scoring expressions shared by the IVF fit and probe paths.

@@ -4,6 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
+
+  test("bruteForceTopKL2 ranks by exact squared distance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .bruteForceTopKL2(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "dist2_q").as[(Long, Long)].collect()
+    // milli-quantized: 1.0 -> 1000; d2(1)=1e6, d2(3)=4e6, d2(2)=9e6
+    assert(got.toSeq == Seq((1L, 1000000L), (3L, 4000000L),
+      (2L, 9000000L)))
+  }
+
   import spark.implicits._
 
   private val vecs = Seq(
