@@ -48,9 +48,14 @@ object CorpusScrub {
           sort_array(collect_list(struct(col("pos"), col("seg")))),
           s => s.getField("seg"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
+    // null textCol: split(null) is null so size() is null — coalesce to
+    // 0 so n_removed accounts 0 (not null) for null docs, consistent
+    // with clean_text='' / n_kept=0
     df.select(col(idCol).as("id"),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .cast("long").as("__total"))
+        coalesce(
+          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .cast("long"),
+          lit(0L)).as("__total"))
       .join(kept, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

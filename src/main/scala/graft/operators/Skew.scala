@@ -39,10 +39,11 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
       partials: Seq[(Column, String)],
-      merges: Seq[(Column => Column, String)]): DataFrame = {
+      merges: Seq[(Column => Column, String)],
+      seed: Long = 42L): DataFrame = {
     require(partials.size == merges.size, "one merge per partial")
     val salted = df.withColumn("__salt",
-      (rand(42L) * salt).cast("int"))
+      (rand(seed) * salt).cast("int"))
     val stage1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._1.as(partials.head._2),

@@ -198,17 +198,26 @@ object Io {
     * immediately; the returned frame carries an explicit schema (nanos
     * as BIGINT), so execution never depends on session conf — queries
     * built on it cannot leak the flag to later reads in the session.
+    *
+    * The set/read/restore window mutates SHARED session conf, so it is
+    * guarded by a monitor on the session: concurrent `readNanosAsLong`
+    * calls on the same session serialize instead of leaking the legacy
+    * flag into each other's unrelated reads. Callers running OTHER
+    * readers concurrently on the same session during this call can
+    * still observe the flag — schedule nanos reads before fanning out,
+    * or use a separate session.
     */
   def readNanosAsLong(spark: SparkSession, path: String): DataFrame = {
-    val key  = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val schema =
+    val schema = spark.synchronized {
+      val key  = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       try spark.read.parquet(path).schema
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
+    }
     spark.read.schema(schema).parquet(path)
   }
 

@@ -127,10 +127,12 @@ private[graft] object MiniJson {
               case 'u' =>
                 if (i + 4 >= s.length) fail("truncated \\u escape")
                 val hex = s.substring(i + 1, i + 5)
-                val cp = try Integer.parseInt(hex, 16)
-                  catch { case _: NumberFormatException =>
-                    fail(s"invalid \\u escape '$hex'") }
-                sb += cp.toChar
+                // Integer.parseInt accepts a leading sign ("+0ab"), which
+                // JSON forbids — require 4 strict hex digits
+                if (!hex.forall(c => (c >= '0' && c <= '9') ||
+                    (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                  fail(s"invalid \\u escape '$hex'")
+                sb += Integer.parseInt(hex, 16).toChar
                 i += 5
               case c => fail(s"invalid escape '\\$c'")
             }

@@ -99,7 +99,13 @@ object StreamingOps {
             times.foreach { t =>
               st match {
                 case Some(s) if t - s.last <= gapMs =>
-                  st = Some(s.copy(last = t, n = s.n + 1))
+                  // admitted out-of-order events (lateness > 0) must not
+                  // move the session end BACKWARDS (the event-time timeout
+                  // is registered at last+gap — a shrunken `last` would
+                  // flush the session early); pre-start stragglers extend
+                  // the session start instead
+                  st = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   out += SessionOut(user, new Timestamp(s.start),
                     new Timestamp(s.last), s.n)

@@ -26,6 +26,18 @@ class CorpusScrubSpec extends SparkSpec {
     assert(out(4L)._2 == "" && out(4L)._3 == 0 && out(4L)._4 == 1)
   }
 
+  test("removeRepeatedSegments: null text rows get consistent zero accounting") {
+    val df = Seq((1L, Some("keep me\n\nkeep me too")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = CorpusScrub
+      .removeRepeatedSegments(df, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // null doc: clean='' / n_kept=0 / n_removed=0 — not a null n_removed
+    assert(out(2L) == ((2L, "", 0L, 0L)))
+    assert(out(1L)._3 == 2L && out(1L)._4 == 0L)
+  }
+
   test("removeRepeatedSegments preserves order under repartitioning") {
     val df = (1L to 50L)
       .map(i => (i, (0 until 20).map(j => s"w${(i * 7 + j) % 13}")

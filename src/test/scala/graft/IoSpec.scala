@@ -117,6 +117,21 @@ class SidecarSpec extends SparkSpec {
     intercept[MalformedSidecarException] { Io.readDataset(spark, dir) }
   }
 
+  test("signed \\u escape (\\u+0ab) in sidecar is rejected, valid hex parses") {
+    val (dir, _) = freshDataset()
+    // Integer.parseInt(hex,16) accepts a leading sign — the parser must
+    // require 4 strict hex digits, not just "parseable"
+    // "\u" split across concat — the Scala lexer would otherwise treat
+    // it as a unicode escape even inside a triple-quoted literal
+    rewriteSidecar(dir,
+      """{"metadata_cols":["a\""" + """u+0ab"],"derived_cols":[]}""")
+    intercept[MalformedSidecarException] { Io.readDataset(spark, dir) }
+    rewriteSidecar(dir,
+      """{"metadata_cols":["c"],"derived_cols":[]}""")
+    assert(Io.readDataset(spark, dir, trusted = false)
+      .metadataCols == Set("c"))
+  }
+
   test("non-base64 ops_jvm throws the typed exception") {
     val (dir, _) = freshDataset()
     rewriteSidecar(dir,

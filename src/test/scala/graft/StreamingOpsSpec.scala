@@ -134,6 +134,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: admitted out-of-order event does not shrink session end") {
+    // lateness 10 min admits a cross-batch straggler EARLIER than the
+    // session's current end; the session end must stay at the max event
+    // time (a shrunken `last` would register a too-early timeout and
+    // flush the session prematurely with a wrong end timestamp)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingOps.sessionize(spark,
+      mem.toDF().toDF("user_id", "ts"), gapMs = 5 * 60 * 1000,
+      lateness = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("ooo_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10)), (1L, ts(12)))
+      q.processAllAvailable()
+      // straggler: 10:08 < session last 10:12, > watermark 10:02 — admitted
+      mem.addData((1L, ts(8)))
+      q.processAllAvailable()
+      // other-user traffic advances the watermark past 10:12 + gap
+      mem.addData((2L, ts(45)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(46)))
+      q.processAllAvailable()
+      val flushed = spark.table("ooo_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 == 1L)
+      assert(flushed.toSeq == Seq((1L, ts(8), ts(12), 3L)))
+    } finally q.stop()
+  }
+
   test("sessionize flushes an idle user's session via event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
