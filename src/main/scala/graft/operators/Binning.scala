@@ -55,6 +55,36 @@ object Binning {
       val w = hi - lo
       (id, lo - extra * w, if (id == ranges.size - 1) hi + 1 else hi + extra * w)
     }
+
+  /** Per-group (lo, hi, n) stats AND the global (lo, hi) in ONE scan +
+    * ONE driver action: a `rollup` on the group key emits the per-group
+    * rows plus a grand-total row, told apart from a genuine null group
+    * by `grouping(groupCol)` — the total row aggregates ALL rows
+    * (null-group included), exactly the semantics of a separate
+    * `df.agg(min, max)`. Collect is |groups|+2 rows — bounded.
+    * Null-group rows are dropped from the per-group table (they take
+    * the null bin downstream).
+    */
+  private[operators] def groupAndGlobalStats(df: DataFrame,
+      groupCol: String, valueCol: String, opName: String)
+      : (Seq[(String, Double, Double, Long)], Double, Double) = {
+    val g = col(groupCol).cast("string")
+    val rows = df.rollup(g.as("__g"))
+      .agg(min(col(valueCol)).cast("double").as("__lo"),
+        max(col(valueCol)).cast("double").as("__hi"),
+        count(col(valueCol)).as("__n"),
+        grouping_id().as("__tot"))
+      .collect()
+    val (totals, perGroup) = rows.partition(_.getAs[Long]("__tot") == 1L)
+    val global = totals.head
+    require(!global.isNullAt(1),
+      s"$opName: '$valueCol' has no non-null values")
+    val stats = perGroup.toSeq
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getAs[Double]("__lo"),
+        r.getAs[Double]("__hi"), r.getAs[Long]("__n")))
+    (stats, global.getDouble(1), global.getDouble(2))
+  }
 }
 
 /** Threshold-list binning into `{col}_bin_id` (reference:
@@ -164,23 +194,13 @@ final case class GroupedGeometricBinning(
 
   protected def transform(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    val stats = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(min(col(valueCol)).cast("double").as("__lo"),
-        max(col(valueCol)).cast("double").as("__hi"),
-        count(col(valueCol)).as("__n"))
-      .collect()
-    val global = df.agg(min(col(valueCol)).cast("double"),
-      max(col(valueCol)).cast("double")).collect()(0)
-    require(!global.isNullAt(0),
-      s"GroupedGeometricBinning: '$valueCol' has no non-null values")
-    val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
-    val table = stats.map { r =>
+    val (stats, glo, ghi) = Binning.groupAndGlobalStats(
+      df, groupCol, valueCol, "GroupedGeometricBinning")
+    val table = stats.map { case (g, slo, shi, n) =>
       val (lo, hi) =
-        if (r.getAs[Long]("__n") < minGroupSize) (glo, ghi)
-        else (r.getAs[Double]("__lo"), r.getAs[Double]("__hi"))
+        if (n < minGroupSize) (glo, ghi) else (slo, shi)
       val ts = Binning.geometricThresholds(lo, hi, bins, ratio)
-      (r.getString(0) +: ts.map(_.asInstanceOf[Any])).toSeq
+      (g +: ts.map(_.asInstanceOf[Any])).toSeq
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__g",
@@ -237,23 +257,13 @@ final case class GroupedBinning(
 
   protected def transform(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    val stats = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(min(col(valueCol)).cast("double").as("__lo"),
-        max(col(valueCol)).cast("double").as("__hi"),
-        count(col(valueCol)).as("__n"))
-      .collect()
-    val global = df.agg(min(col(valueCol)).cast("double"),
-      max(col(valueCol)).cast("double")).collect()(0)
-    require(!global.isNullAt(0),
-      s"GroupedBinning: '$valueCol' has no non-null values")
-    val (glo, ghi) = (global.getDouble(0), global.getDouble(1))
-    val table = stats.map { r =>
+    val (stats, glo, ghi) = Binning.groupAndGlobalStats(
+      df, groupCol, valueCol, "GroupedBinning")
+    val table = stats.map { case (g, slo, shi, n) =>
       val (lo, hi) =
-        if (r.getAs[Long]("__n") < minGroupSize) (glo, ghi)
-        else (r.getAs[Double]("__lo"), r.getAs[Double]("__hi"))
-      (r.getString(0), lo, (hi - lo) / bins)
-    }.toSeq.toDF("__g", "__lo", "__w")
+        if (n < minGroupSize) (glo, ghi) else (slo, shi)
+      (g, lo, (hi - lo) / bins)
+    }.toDF("__g", "__lo", "__w")
     val joined = df.join(broadcast(table),
       col(groupCol).cast("string") === col("__g"), "left")
     val raw = floor((col(valueCol) - col("__lo")) / col("__w"))

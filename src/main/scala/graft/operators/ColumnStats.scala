@@ -1,19 +1,70 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed order statistics. Built on the value-count shape:
   * one `groupBy(value).count()` pass (map-side combined — the shuffle
-  * carries distinct values, not rows), then a running cumulative over
-  * the DISTINCT-VALUE frame. That frame is the scale bound: exact
-  * quantiles cost O(distinct values) post-shuffle, which is the right
-  * trade for measure-like columns; key-like columns should use
+  * carries distinct values, not rows), then a range-partitioned
+  * cumulative over the DISTINCT-VALUE frame: local prefix sums per
+  * range partition plus driver-computed partition offsets (one row per
+  * partition), so no stage ever funnels the distinct frame through a
+  * single partition. Exact quantiles cost O(distinct values)
+  * post-shuffle SPREAD OVER the cluster, which is the right trade for
+  * measure-like columns; key-like columns should use
   * `approx_percentile` instead (the classify pass flags which is
   * which).
   */
 object ColumnStats {
+
+  /** The value-count frame with exact global cumulative counts:
+    * (`v`, `c`, `cum`, `lo_rank`), materialized (localCheckpoint) so
+    * downstream rank joins don't re-run the scan. Returns the frame
+    * and the total non-null count.
+    *
+    * Shape: groupBy(v).count → repartitionByRange(v) + in-partition
+    * sort → one-pass local running sums (mapPartitions — genuine
+    * per-partition sequential logic) → per-partition totals collected
+    * to the driver (bounded: one row PER PARTITION, never per value)
+    * → broadcast offset join. Range partitioning guarantees every
+    * value in partition i sorts before partition i+1, so
+    * global cum = partition offset + local running sum exactly.
+    */
+  private def cumulativeCounts(df: DataFrame, valueCol: String)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val local = counts
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (v, c) => run += c; (pid, v, c, run) }
+      }.toDF("pid", "v", "c", "lcum")
+      .localCheckpoint() // materialize ONCE; all later passes are cheap
+    // per-partition totals → prefix offsets, on the driver: |partitions|
+    // rows, a hard bound independent of data volume
+    val partTotals = local.groupBy("pid").agg(max("lcum").as("pc"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val totalN = partTotals.map(_._2).sum
+    val offsets = partTotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, pc)) => (pid, acc + pc) }
+      .init.zip(partTotals)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetDf =
+      if (offsets.isEmpty) Seq.empty[(Int, Long)].toDF("pid", "off")
+      else offsets.toSeq.toDF("pid", "off")
+    val cum = local.join(broadcast(offsetDf), "pid")
+      .select(col("v"), col("c"), (col("lcum") + col("off")).as("cum"))
+      .withColumn("lo_rank", col("cum") - col("c"))
+    (cum, totalN)
+  }
 
   /** Exact interpolated quantiles (SQL-standard `quantile_cont`
     * definition: rank = p·(n−1), linear interpolation between the two
@@ -34,22 +85,10 @@ object ColumnStats {
       "quantile points must be in [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("v"))
-    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
-    // running cumulative over distinct values — the single-partition
-    // window runs over the COUNTS frame (|distinct| rows), never rows
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialize ONCE: cum is referenced by both rank joins and the
-    // total — without the checkpoint each reference re-evaluates the
-    // whole scan + count + single-partition window subtree
-    val cum = counts.withColumn("cum", sum("c").over(w))
-      .withColumn("lo_rank", col("cum") - col("c"))
-      .localCheckpoint()
-    val n = cum.agg(sum("c").as("n"))
+    val (cum, totalN) = cumulativeCounts(df, valueCol)
     // rank r = p*(n-1); straddling order statistics at floor/ceil(r)
-    val ranked = ps.toDF("p").crossJoin(broadcast(n))
+    val ranked = ps.toDF("p")
+      .withColumn("n", lit(totalN))
       .withColumn("r", col("p") * (col("n") - lit(1L)).cast("double"))
       .withColumn("ri_lo", floor(col("r")).cast("long"))
       .withColumn("ri_hi", ceil(col("r")).cast("long"))
@@ -75,25 +114,36 @@ object ColumnStats {
     * Shape: ONE fused aggregation scan computes every column's base
     * stats (column-pruned parquet reads each column once — a
     * stacked/long layout was measured slower: it trades the cheap
-    * pruned scans for an all-values shuffle), then one value-count
-    * quantile pass per column. The 1-row base frame is pinned so its
-    * k projections don't re-run the scan. All-null columns are absent
-    * from the output (no order statistics exist).
+    * pruned scans for an all-values shuffle), and the per-column
+    * quantile passes run CONCURRENTLY (each is an independent job
+    * chain; the scheduler overlaps their scans and shuffles the same
+    * way Inference.classify overlaps its distinct counts). The 1-row
+    * base frame is pinned so its k projections don't re-run the scan.
+    * All-null columns are absent from the output (no order statistics
+    * exist).
     */
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describeNumeric needs at least one column")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
       min(col(c)).cast("double").as(s"__min_$c"),
       max(col(c)).cast("double").as(s"__max_$c"),
       (sum(col(c).cast("decimal(28,6)")).cast("double") /
         count(col(c))).as(s"__mean_$c")))
-    val base = df
+    val baseF = Future(df
       .agg(count(lit(1)).as("__n_total"), aggs: _*)
-      .localCheckpoint()
-    cols.map { c =>
-      val med = exactQuantiles(df, c, Seq(0.5))
-        .select(col("quantile").as("median_v"))
+      .localCheckpoint())
+    // exactQuantiles materializes its cumulative frame eagerly, so
+    // launching the calls from futures overlaps the k job chains
+    val medsF = cols.map(c => Future(
+      exactQuantiles(df, c, Seq(0.5))
+        .select(col("quantile").as("median_v"))))
+    val base = Await.result(baseF, Duration.Inf)
+    val meds = medsF.map(f => Await.result(f, Duration.Inf))
+    cols.zip(meds).map { case (c, med) =>
       base.select(lit(c).as("column_name"),
           col("__n_total").as("n_total"),
           col(s"__nn_$c").as("n_nonnull"),

@@ -350,20 +350,27 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    val sc = nodes.sparkSession.sparkContext
     while (!converged && iter < maxIter) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("__nbr_min"))
-      val next = labels.join(nbr, Seq("id"))
+      val joined = labels.join(nbr, Seq("id"))
         .select(col("id"),
           least(col("cluster_id"), col("__nbr_min")).as("cluster_id"),
           (col("__nbr_min") < col("cluster_id")).as("__chg"))
-        .localCheckpoint()
-      // convergence read off the materialized round itself — no extra
-      // old-vs-new join: a round that shrank no label is the fixpoint
-      converged = next.filter(col("__chg")).isEmpty
-      labels = next.drop("__chg")
+      // convergence comes out of the SAME job that materializes the
+      // round: an accumulator fed by a pass-through map stage inside
+      // the checkpointed plan — one job per round, not checkpoint +
+      // isEmpty. Task retries can only inflate a NONZERO count (a
+      // retried no-change task re-adds 0), so `== 0` stays exact.
+      val changed = sc.longAccumulator(s"graft_cc_changed_$iter")
+      val counted = joined.mapPartitions { it =>
+        it.map { r => if (r.getBoolean(2)) changed.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(joined.schema))
+      labels = counted.drop("__chg").localCheckpoint() // eager
+      converged = changed.value == 0L
       iter += 1
     }
     require(converged,

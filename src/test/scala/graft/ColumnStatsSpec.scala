@@ -52,6 +52,39 @@ class ColumnStatsSpec extends SparkSpec {
     assert(out("b") == (("b", 3L, 3L, 10.0, 60.0, 30.0, 20.0)))
   }
 
+  test("no job in the quantile chain moves data to a single partition") {
+    // the r3 implementation ran the cumulative as Window.orderBy with
+    // no partitioning — Exchange SinglePartition over the whole
+    // distinct-value frame. Capture every plan executed during the
+    // call and assert the shape is gone for good.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (1 to 20000).map(i => (i * 6101 % 9973) / 7.0).toDF("x")
+        .repartition(8)
+      ColumnStats.exactQuantiles(df, "x", Seq(0.5, 0.9)).collect()
+      // listener delivery is async; wait for the queue to go quiet
+      var seen = -1
+      while (plans.size != seen) { seen = plans.size; Thread.sleep(500) }
+      assert(seen > 0, "listener captured no plans")
+      val offending = plans.toArray(Array.empty[String])
+        .filter(p => p.contains("Exchange SinglePartition") ||
+          p.contains("WindowExec"))
+      assert(offending.isEmpty,
+        s"single-partition stage in quantile chain:\n" +
+          offending.headOption.getOrElse(""))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("exactQuantiles is partitioning-invariant") {
     val df = (1 to 5000).map(i => (i * 7919 % 1000) / 3.0).toDF("x")
     def run(parts: Int) = ColumnStats
