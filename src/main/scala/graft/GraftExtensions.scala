@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
+import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, NfcNormalize, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
 
 /** SQL surface for the native expressions: registers
   * `graft_minhash(text, k, shingleLen, seed)`,
@@ -98,7 +98,11 @@ object GraftFunctions {
           "graft_repeated_ngram_frac(text, n) - char fraction of the " +
           "most repeated word n-gram"),
         (args: Seq[Expression]) =>
-          RepeatedNGramCharFrac(args(0), intArg(args(1), "n")))
+          RepeatedNGramCharFrac(args(0), intArg(args(1), "n"))),
+      ("graft_nfc",
+        info("graft_nfc",
+          "graft_nfc(text) - Unicode NFC canonical composition"),
+        (args: Seq[Expression]) => NfcNormalize(args(0)))
     )
 
   /** Register every graft function on an existing session. */

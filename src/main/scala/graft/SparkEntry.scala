@@ -353,6 +353,19 @@ object SparkEntry {
       d.select(col("doc_id"), T.normalizeText(messy).as("norm"))
     }),
 
+    // ----- text curation: Unicode NFC composition. Decomposed accents
+    // (combining U+0301/U+0308) planted per-row; the kernel must
+    // compose them so the fingerprint of composed and decomposed
+    // spellings agrees. DuckDB nfc_normalize is the oracle.
+    "q_nfc_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val messy = concat(substring(col("text"), 1, 40),
+        lit(" cafe\u0301 touche\u0301 u\u0308ber")) // decomposed accents
+      d.select(col("doc_id"),
+        T.nfcNormalize(messy).as("norm"),
+        T.fingerprintNfc(messy).as("fp_nfc"))
+    }),
+
     // ----- text curation: URL -> registrable domain + blocklist flag
     // (URLs planted engine-identically from doc_id, like q_pii_redact)
     "q_url_domains" -> ((s, dir) => {
@@ -362,7 +375,9 @@ object SparkEntry {
         lit(".site"), col("doc_id") % 13,
         lit(".org/page/"), col("doc_id"),
         lit(" and http://ads"), col("doc_id") % 3,
-        lit(".example.net/x"))
+        lit(".example.net/x"),
+        lit(" plus https://shop.brand"), col("doc_id") % 5,
+        lit(".co.uk/p")) // exercises the public-suffix path
       d.select(col("doc_id"),
           posexplode(T.urlDomains(withUrls))
             .as(Seq("url_idx", "domain")))
@@ -970,6 +985,17 @@ object SparkEntry {
              || '  end ',
            '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
          FROM documents""",
+    // same decomposed plant via chr(); nfc_normalize = the kernel's
+    // canonical composition, then the standard fingerprint strip
+    "q_nfc_normalize" ->
+      """WITH m AS (SELECT doc_id,
+           substr(text, 1, 40) || ' cafe' || chr(769) || ' touche' ||
+             chr(769) || ' u' || chr(776) || 'ber' AS messy
+         FROM documents)
+         SELECT doc_id, nfc_normalize(messy) AS norm,
+           md5(regexp_replace(lower(nfc_normalize(messy)),
+             '[^a-z0-9]', '', 'g')) AS fp_nfc
+         FROM m""",
     "q_repetition" -> repetitionOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
@@ -1230,12 +1256,16 @@ object SparkEntry {
   private def urlDomainsOracle: String = {
     val pat = graft.functions.TextFunctions.UrlPattern
       .replace("'", "''")
+    val psl = graft.functions.TextFunctions.MultiPartSuffixes
+      .map("'" + _ + "'").mkString(", ")
     s"""WITH u AS (SELECT doc_id, regexp_extract_all(
          text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
            || '.site' || CAST(doc_id % 13 AS VARCHAR)
            || '.org/page/' || CAST(doc_id AS VARCHAR)
            || ' and http://ads' || CAST(doc_id % 3 AS VARCHAR)
-           || '.example.net/x',
+           || '.example.net/x'
+           || ' plus https://shop.brand' || CAST(doc_id % 5 AS VARCHAR)
+           || '.co.uk/p',
          '$pat') AS urls FROM documents),
        e AS (SELECT doc_id, UNNEST(list_transform(
            generate_series(1, len(urls)),
@@ -1244,10 +1274,14 @@ object SparkEntry {
        h AS (SELECT doc_id, url_idx,
          regexp_replace(regexp_replace(lower(u), '^https?://', ''),
            '[/:].*$$', '') AS host FROM e),
+       p AS (SELECT doc_id, url_idx, host,
+         string_split(host, '.') AS parts FROM h),
        d AS (SELECT doc_id, url_idx,
-         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-              ELSE array_to_string(string_split(host, '.')[-2:], '.')
-         END AS domain FROM h)
+         CASE WHEN len(parts) <= 2 THEN host
+              WHEN array_to_string(parts[-2:], '.') IN ($psl)
+                THEN array_to_string(parts[-3:], '.')
+              ELSE array_to_string(parts[-2:], '.')
+         END AS domain FROM p)
        SELECT doc_id, url_idx, domain,
          domain IN ('site3.org', 'site7.org') AS blocked
        FROM d"""

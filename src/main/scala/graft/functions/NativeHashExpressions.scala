@@ -82,6 +82,9 @@ object NativeHash {
 
   def repeatedNGramCharFracColumn(text: Column, n: Int): Column =
     Bridge.column(RepeatedNGramCharFrac(Bridge.expression(text), n))
+
+  def nfcColumn(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -513,6 +516,33 @@ final case class RepeatedNGramCharFrac(
       }
     }
     best.toDouble / math.max(raw.numChars(), 1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Unicode NFC normalization — canonical composition, so "café" typed
+  * as `e` + U+0301 (combining acute) and as precomposed U+00E9 hash,
+  * fingerprint and dedup identically. The kernel probes
+  * `Normalizer.isNormalized` first: for the common already-NFC (e.g.
+  * pure-ASCII) document it is a single scan with ZERO allocation, and
+  * only genuinely decomposed text pays the compose pass. Matches
+  * DuckDB's `nfc_normalize` (both implement Unicode canonical
+  * composition), so SQL oracles replay it directly.
+  */
+final case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC))
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -137,12 +137,27 @@ object TextFunctions {
     * whitespace runs collapsed to one space, ends trimmed. The regexes
     * use only byte-class syntax valid in both Java regex and RE2, so
     * a SQL oracle replays them verbatim. (Unicode NFC is deliberately
-    * NOT included here — pair with a normalizer kernel if the corpus
-    * needs it.)
+    * NOT included here — [[nfcNormalize]] composes with it when the
+    * corpus needs it.)
     */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
+  /** Unicode NFC (canonical composition) — multilingual corpora need
+    * it BEFORE fingerprinting/dedup: decomposed "café" (e + combining
+    * acute) and precomposed "café" are different byte strings until
+    * composed. Native kernel with an allocation-free already-normalized
+    * fast path; DuckDB's `nfc_normalize` is the oracle equivalent.
+    */
+  def nfcNormalize(c: Column): Column = NativeHash.nfcColumn(c)
+
+  /** [[fingerprint]] over NFC-composed text — the dedup key to use on
+    * multilingual corpora (the ASCII-only strip in [[fingerprint]]
+    * makes composed-vs-decomposed mismatches silent, not harmless:
+    * "café" two ways yields two different fingerprints).
+    */
+  def fingerprintNfc(c: Column): Column = fingerprint(nfcNormalize(c))
 
   // ------------------------------------------------------ PII redaction
 
@@ -176,18 +191,64 @@ object TextFunctions {
   def extractUrls(c: Column): Column =
     regexp_extract_all(c, lit(UrlPattern), lit(0))
 
-  /** Registrable domains of the text's URLs: host lowercased and
-    * reduced to its last two labels ("sub.news.example.com" →
-    * "example.com" — the standard blocklist key; public-suffix nuance
-    * like .co.uk needs a suffix table and is out of scope).
+  /** Multi-label public suffixes (curated subset of the Mozilla Public
+    * Suffix List's highest-traffic ccTLD families). A host whose last
+    * TWO labels are one of these registers at the THIRD label:
+    * "shop.brand.co.uk" → "brand.co.uk", never "co.uk" — a last-2
+    * reduction would collapse every UK/AU/JP site onto one blocklist
+    * key. Small by design: it rides into the expression as a literal
+    * in-set (effectively broadcast), no join, no UDF. Callers with a
+    * full PSL snapshot pass it to [[registrableDomain]] directly.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za",
+    "com.ar", "net.ar", "org.ar", "gob.ar",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "co.th", "or.th", "ac.th", "go.th",
+    "com.my", "org.my", "net.my", "gov.my", "edu.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.ua", "org.ua", "net.ua", "gov.ua", "edu.ua",
+    "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl",
+    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
+    "com.ph", "org.ph", "net.ph", "gov.ph", "edu.ph")
+
+  /** Public-suffix-aware registrable domain of a (lowercased) host:
+    * last two labels normally, last THREE when the last two are a
+    * multi-label public suffix. Pure codegen'd expression — the suffix
+    * set is a literal in-set probe.
+    */
+  def registrableDomain(host: Column,
+      suffixes: Seq[String] = MultiPartSuffixes): Column = {
+    val parts = split(host, "\\.")
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    when(size(parts) <= 2, host)
+      .when(last2.isin(suffixes.map(lit): _*) && size(parts) >= 3,
+        concat_ws(".", slice(parts, -3, 3)))
+      .otherwise(last2)
+  }
+
+  /** Registrable domains of the text's URLs: host lowercased, then
+    * [[registrableDomain]] (public-suffix aware — "shop.brand.co.uk"
+    * → "brand.co.uk", "sub.news.example.com" → "example.com").
     */
   def urlDomains(c: Column): Column =
     transform(extractUrls(c), u => {
       val host = regexp_replace(
         regexp_replace(lower(u), "^https?://", ""), "[/:].*$", "")
-      val parts = split(host, "\\.")
-      when(size(parts) <= 2, host).otherwise(
-        concat_ws(".", slice(parts, -2, 2)))
+      registrableDomain(host)
     })
 
   // ------------------------------------- repetition signals (Gopher-ish)

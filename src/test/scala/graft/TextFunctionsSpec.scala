@@ -79,12 +79,17 @@ class TextFunctionsSpec extends SparkSpec {
     val df = Seq(
       "read https://sub.news.example.com/a/b and http://foo.org",
       "bare host https://single or none",
-      "no urls at all here").toDF("t")
+      "no urls at all here",
+      // public-suffix path: co.uk registers at the THIRD label
+      "uk https://shop.brand.co.uk/p and https://bbc.co.uk/news",
+      "au http://www.example.com.au:8080/x").toDF("t")
     val got = df.select(T.urlDomains(col("t"))).as[Seq[String]]
       .collect()
     assert(got(0) == Seq("example.com", "foo.org"))
     assert(got(1) == Seq("single"))
     assert(got(2) == Seq.empty)
+    assert(got(3) == Seq("brand.co.uk", "bbc.co.uk"))
+    assert(got(4) == Seq("example.com.au"))
   }
 
   test("redactPii masks emails, IPv4s and phone runs, in order") {
@@ -132,6 +137,32 @@ class TextFunctionsSpec extends SparkSpec {
       T.topBigramCharFraction(col("u")).as("fu")).collect()(0)
     assert(math.abs(r.getDouble(0) - 9.0 / 17.0) < 1e-9)
     assert(r.getDouble(1) == 0.0) // nothing repeats -> not repetitive
+  }
+
+  test("nfcNormalize composes decomposed accents; fingerprints then agree") {
+    val composed   = "caf\u00e9 \u00fcber"
+    val decomposed = "cafe\u0301 u\u0308ber"
+    val df = Seq((1L, composed), (2L, decomposed), (3L, null))
+      .toDF("id", "t")
+    val rows = df.select(col("id"),
+        T.nfcNormalize(col("t")).as("n"),
+        T.fingerprintNfc(col("t")).as("fp"),
+        T.fingerprint(col("t")).as("fp_raw"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == rows(2L).getString(1))
+    assert(rows(1L).getString(1) == composed) // NFC of composed = itself
+    assert(rows(1L).getString(2) == rows(2L).getString(2))
+    // the raw fingerprint is exactly the trap NFC fixes: the combining
+    // mark strips but its base letter survives, so the forms diverge
+    assert(rows(1L).getString(3) != rows(2L).getString(3))
+    assert(rows(3L).getString(1) == null && rows(3L).getString(2) == null)
+  }
+
+  test("graft_nfc is reachable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS n").collect()(0)
+    assert(out.getString(0) == "caf\u00e9")
   }
 
   test("qualityKeep/qualityReasons agree and name the failed rules") {
