@@ -200,6 +200,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
+    // ----- dedup: exact substring (repeated-span) exposure — positional
+    // 8-gram inverted index, cross-doc repeats only
+    "q_substring_rep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SubstringDedup.repeatedSpanStats(d, "doc_id", "text", n = 8)
+    }),
+
+    // ----- dedup: the span DELETE — scrub every cross-doc repeated
+    // 8-gram from all but the smallest-id (keeper) document
+    "q_substring_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", n = 8)
+    }),
+
     // ----- B3: one combo column per prefix (third categorical derived
     // from the quantity band — lineitem has only two string categoricals)
     "q_multi_combine" -> ((s, dir) => {
@@ -747,6 +761,9 @@ object SparkEntry {
          FROM documents
          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))""",
 
+    "q_substring_rep" -> substringRepOracle,
+    "q_substring_scrub" -> substringScrubOracle,
+
     "q_multi_combine" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag,
            l_linestatus,
@@ -1214,6 +1231,65 @@ object SparkEntry {
          FROM documents)
        SELECT doc_id, COUNT(*) AS n_hits
        FROM dg JOIN bg USING (gram) GROUP BY doc_id"""
+  }
+
+  /** Positional 8-gram hash index over documents — mirror of
+    * SubstringDedup.positionalGrams(n=8): 0-based pos, slice-truncation
+    * edge for short docs, hash60 of the gram string.
+    */
+  private def substringGramsSql: String = {
+    val ts = tokensSql("text")
+    s"""SELECT doc_id, pos, ${hash60Sql("gram")} AS h FROM (
+         SELECT doc_id, UNNEST(list_transform(
+           generate_series(1, greatest(len(ts) - 7, 1)),
+           j -> {'pos': CAST(j - 1 AS BIGINT),
+                 'gram': array_to_string(list_slice(ts, j, j + 7), ' ')}),
+           recursive := true)
+         FROM (SELECT doc_id, $ts AS ts FROM documents))"""
+  }
+
+  /** Mirror of SubstringDedup.repeatedSpanStats(n=8, minDocs=2). */
+  private def substringRepOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH g AS ($substringGramsSql),
+       rep AS (SELECT h FROM g GROUP BY h
+         HAVING COUNT(DISTINCT doc_id) >= 2),
+       r AS (SELECT doc_id, COUNT(*) AS n_rep
+         FROM g JOIN rep USING (h) GROUP BY doc_id),
+       tot AS (SELECT doc_id,
+         CAST(greatest(len($ts) - 7, 1) AS BIGINT) AS n_grams
+         FROM documents)
+       SELECT tot.doc_id, n_grams,
+         CAST(COALESCE(n_rep, 0) AS BIGINT) AS n_rep,
+         COALESCE(n_rep, 0)::DOUBLE / n_grams AS rep_frac
+       FROM tot LEFT JOIN r USING (doc_id)"""
+  }
+
+  /** Mirror of SubstringDedup.removeRepeatedSpans(n=8, minDocs=2). */
+  private def substringScrubOracle: String = {
+    val ts = tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $ts AS ts FROM documents),
+       g AS ($substringGramsSql),
+       rep AS (SELECT h, MIN(doc_id) AS keeper FROM g GROUP BY h
+         HAVING COUNT(DISTINCT doc_id) >= 2),
+       cov AS (SELECT DISTINCT doc_id, tp FROM (
+         SELECT g.doc_id,
+           UNNEST(generate_series(g.pos, g.pos + 7)) AS tp
+         FROM g JOIN rep USING (h) WHERE g.doc_id <> rep.keeper)),
+       tok AS (SELECT doc_id, UNNEST(list_transform(
+           generate_series(1, len(ts)),
+           j -> {'tp': CAST(j - 1 AS BIGINT), 'tok': ts[j]}),
+         recursive := true) FROM t),
+       kept AS (SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+           COUNT(*) AS n_kept
+         FROM tok ANTI JOIN cov USING (doc_id, tp)
+         GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS total FROM t)
+       SELECT tot.doc_id, COALESCE(clean_text, '') AS clean_text,
+         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(total - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN kept USING (doc_id)"""
   }
 
   /** max over distinct repeated bigrams of count·len, 0 when nothing
