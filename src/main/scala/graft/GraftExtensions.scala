@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, NfcNormalize, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
+import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, NfcNormalize, PyTitle, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
 
 /** SQL surface for the native expressions: registers
   * `graft_minhash(text, k, shingleLen, seed)`,
@@ -102,7 +102,12 @@ object GraftFunctions {
       ("graft_nfc",
         info("graft_nfc",
           "graft_nfc(text) - Unicode NFC canonical composition"),
-        (args: Seq[Expression]) => NfcNormalize(args(0)))
+        (args: Seq[Expression]) => NfcNormalize(args(0))),
+      ("graft_py_title",
+        info("graft_py_title",
+          "graft_py_title(text) - Python str.title() semantics " +
+          "(titles at any non-letter boundary)"),
+        (args: Seq[Expression]) => PyTitle(args(0)))
     )
 
   /** Register every graft function on an existing session. */

@@ -85,6 +85,9 @@ object NativeHash {
 
   def nfcColumn(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
+
+  def pyTitleColumn(text: Column): Column =
+    Bridge.column(PyTitle(Bridge.expression(text)))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -543,6 +546,47 @@ final case class NfcNormalize(child: Expression)
         java.text.Normalizer.Form.NFC)) u
     else UTF8String.fromString(java.text.Normalizer
       .normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Python `str.title()` semantics: the first CASED character after any
+  * uncased character (string start, digit, punctuation — not just
+  * whitespace) titlecases; every other cased character lowercases. So
+  * "o'neil" → "O'Neil" and "foo-bar" → "Foo-Bar" where `initcap` gives
+  * "O'neil" / "Foo-bar". Cased = upper/lower/titlecase letter
+  * (Python's definition); code-point loop, surrogate-safe.
+  */
+final case class PyTitle(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_py_title"
+
+  private def isCased(cp: Int): Boolean =
+    Character.isUpperCase(cp) || Character.isLowerCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevCased = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isCased(cp)) {
+        sb.appendCodePoint(
+          if (prevCased) Character.toLowerCase(cp)
+          else Character.toTitleCase(cp))
+        prevCased = true
+      } else {
+        sb.appendCodePoint(cp)
+        prevCased = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -55,9 +55,10 @@ private[graft] object DictionaryFit {
   *    (feature_fix.py:15) so they participate in the category
   *    dictionary;
   *  - unless `caseSensitive`, values are title-cased first so
-  *    different capitalizations collapse (`.str.title()` ≈ Spark
-  *    `initcap`; exact parity holds for single-word values — Python
-  *    titles at any non-letter boundary, initcap at whitespace);
+  *    different capitalizations collapse — FULL `.str.title()`
+  *    semantics via the [[graft.functions.PyTitle]] kernel (titles at
+  *    any non-letter boundary: "o'neil" → "O'Neil", where `initcap`
+  *    would give "O'neil");
   *  - ordinal: `{col}_enc` = index in the sorted dictionary (which may
   *    include "Nan"); one-hot: one bool column per non-Nan category
   *    (the Nan-derived column is dropped, feature_fix.py:258-262);
@@ -95,7 +96,9 @@ final case class EncodeSingleCategorical(
 
   private def normExpr: Column = {
     val base  = col(column).cast("string")
-    val cased = if (caseSensitive) base else initcap(base)
+    val cased =
+      if (caseSensitive) base
+      else graft.functions.NativeHash.pyTitleColumn(base)
     coalesce(cased, lit(NanCategory))
   }
 

@@ -149,16 +149,64 @@ object RowFix {
     (fixed, audit)
   }
 
+  /** R2/R6 dtype completion: cast repaired DOUBLE columns back to the
+    * smallest integer type that represents every value exactly —
+    * ShortType / IntegerType / LongType — mirroring pandas' nullable
+    * Int16/Int32/Int64 down-conversion in the reference's dtype
+    * normalization (row_fix.py:56-91). A column stays double when any
+    * value has a fractional part (or is ±Inf/NaN — those fail the range
+    * gates), or when it is all-null (no evidence either way). One fused
+    * aggregation decides every column; one projection applies the
+    * casts.
+    */
+  def castBackIntegers(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val doubles = columns.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+    if (doubles.isEmpty) return df
+    val aggs = doubles.flatMap(c => Seq(
+      count(when(col(c) =!= floor(col(c)) || col(c).isNaN, 1))
+        .as(s"__frac_$c"),
+      min(col(c)).as(s"__min_$c"),
+      max(col(c)).as(s"__max_$c"),
+      count(col(c)).as(s"__n_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val target: Map[String, String] = doubles.flatMap { c =>
+      if (r.getAs[Long](s"__frac_$c") > 0 ||
+          r.getAs[Long](s"__n_$c") == 0L) None
+      else {
+        val lo = r.getAs[Double](s"__min_$c")
+        val hi = r.getAs[Double](s"__max_$c")
+        if (lo >= Short.MinValue && hi <= Short.MaxValue)
+          Some(c -> "smallint")
+        else if (lo >= Int.MinValue && hi <= Int.MaxValue)
+          Some(c -> "int")
+        // 2^53: beyond it a double no longer holds every integer
+        else if (lo >= -9007199254740992.0 && hi <= 9007199254740992.0)
+          Some(c -> "bigint")
+        else None
+      }
+    }.toMap
+    if (target.isEmpty) df
+    else df.select(df.columns.map { c =>
+      target.get(c) match {
+        case Some(t) => col(c).cast(t).as(c)
+        case None    => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** End-to-end `fix_common_errors` (row_fix.py:269-309): classify,
     * pick mixed ∪ numeric-ish string columns, repair them, normalize
-    * dtypes ({0,1}→int kept, the double output is already normalized).
+    * dtypes — {0,1}→int kept, and repaired columns whose values are all
+    * whole numbers cast back to the smallest exact integer type
+    * ([[castBackIntegers]], the reference's pandas Int16/Int32 path).
     */
   def fixCommonErrors(ds: GraftDataset): GraftDataset = {
     val targets =
       (ds.classification.mixedCols.toSeq ++ numericIshStringCols(ds))
         .distinct
     val (fixed, _) = fixTypos(ds.data, targets)
-    ds.withData(fixed)
+    ds.withData(castBackIntegers(fixed, targets))
   }
 }
 

@@ -5,6 +5,28 @@ import graft.core.GraftDataset
 import graft.operators._
 
 class FeatureFixSpec extends SparkSpec {
+
+  test("encode title-cases at ANY non-letter boundary (str.title parity)") {
+    import spark.implicits._
+    // initcap would collapse "o'neil" and "o'Neil" differently: Python
+    // .str.title() maps BOTH to "O'Neil" — one category, not two
+    val df = Seq((1L, "o'neil"), (2L, "O'NEIL"), (3L, "foo-bar"),
+        (4L, "FOO-BAR"), (5L, "3abc"))
+      .toDF("id", "name")
+    val enc = graft.operators
+      .EncodeSingleCategorical("name", "ordinal")(
+        graft.core.GraftDataset(df))
+    val codes = enc.data.select("id", "name_enc")
+      .as[(Long, Long)].collect().toMap
+    assert(codes(1L) == codes(2L)) // O'Neil
+    assert(codes(3L) == codes(4L)) // Foo-Bar
+    assert(Set(codes(1L), codes(3L), codes(5L)).size == 3)
+    val op = enc.history.ops.last
+      .asInstanceOf[graft.operators.EncodeSingleCategorical]
+    assert(op.categoriesOut.contains("O'Neil"))
+    assert(op.categoriesOut.contains("Foo-Bar"))
+    assert(op.categoriesOut.contains("3Abc"))
+  }
   import spark.implicits._
 
   private val df = Seq(Some("RED"), Some("red"), Some("Blue"), None)

@@ -71,6 +71,39 @@ class RowFixSpec extends SparkSpec {
     }
   }
 
+  test("castBackIntegers picks the smallest exact integer type") {
+    val df = Seq(
+      (1.0, 1.0, 40000.0, 3.0e12, 1.5, Double.NaN),
+      (2.0, -5.0, -40000.0, -3.0e12, 2.0, 1.0))
+      .toDF("small", "small2", "mid", "big", "frac", "nan")
+      .select(col("small"), col("small2"), col("mid"), col("big"),
+        col("frac"), col("nan"),
+        lit(null).cast("double").as("allnull"))
+    val out = RowFix.castBackIntegers(df,
+      Seq("small", "small2", "mid", "big", "frac", "nan", "allnull"))
+    def tpe(c: String) = out.schema(c).dataType.typeName
+    assert(tpe("small") == "short" && tpe("small2") == "short")
+    assert(tpe("mid") == "integer")
+    assert(tpe("big") == "long")
+    assert(tpe("frac") == "double")   // fractional part
+    assert(tpe("nan") == "double")    // NaN can't be integral
+    assert(tpe("allnull") == "double") // no evidence -> unchanged
+    val row = out.orderBy("small").collect()(0)
+    assert(row.getShort(0) == 1 && row.getInt(2) == 40000 &&
+      row.getLong(3) == 3000000000000L)
+  }
+
+  test("fixCommonErrors casts whole-number repaired columns to int") {
+    // "2,5"-style values repair to wholes here: 10 / 2 000 / null
+    val df = Seq(("10", "a"), ("2000,0", "b"), ("garbage", "c"))
+      .toDF("num_ish", "str")
+    val out = RowFix.fixCommonErrors(core.GraftDataset(df))
+    assert(out.data.schema("num_ish").dataType.typeName == "short")
+    val vals = out.data.select("num_ish").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getShort(0)))
+    assert(vals.toSet == Set(Some(10.toShort), Some(2000.toShort), None))
+  }
+
   test("fixCommonErrors repairs mixed columns end-to-end") {
     val df = Seq(("1.5", "a"), ("2,5", "b"), ("garbage", "c"))
       .toDF("num_ish", "str")
