@@ -1,18 +1,25 @@
 package graft
-// temporary plan audit — not part of the library surface
+
 import org.apache.spark.sql.SparkSession
 
+/** Temporary debug main: prints formatted physical plans of selected
+  * queries so shuffle/scan shapes can be audited by eye. Not part of
+  * the library surface.
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_substring_rep", "q_substring_scrub", "q_quantiles")
+    val spark = SparkSession.builder()
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- args) {
-      println(s"########## $q")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -24,6 +24,15 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   *
   * Gram hashes are [[HashFunctions.stableHash60]] of the gram STRING
   * (md5-based), so any engine replays them bit-identically.
+  *
+  * The positional-gram pipeline is deliberately RECOMPUTED where a plan
+  * references it twice (frequency derivation + position matching)
+  * rather than persisted: a second tokenize+md5 scan is a stateless
+  * map over the source, while caching a corpus-token-scale frame at
+  * 100 TB costs cluster memory/disk and a write barrier. (Collecting
+  * per-hash occurrence lists instead would compute grams once but
+  * builds unbounded arrays for boilerplate grams — the exact blow-up
+  * the pair ops cap against.)
   */
 object SubstringDedup {
 
