@@ -307,6 +307,21 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- event analytics: weekly cohort retention matrix
+    "q_retention" -> ((s, dir) => {
+      val ev = readEvents(s, dir)
+      EventOps.cohortRetention(ev, "user_id", "ts", "week")
+    }),
+
+    // ----- event analytics: ordered funnel (view -> click -> purchase),
+    // times compared as epoch micros for engine portability
+    "q_funnel" -> ((s, dir) => {
+      val ev = readEvents(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tsu"))
+      EventOps.funnel(ev, Seq("view", "click", "purchase"),
+        "user_id", "tsu")
+    }),
+
     // ----- dedup: exact on the documents table
     "q_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -912,6 +927,42 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
+
+    // distinct user-weeks, first-seen week per user, integer week offset
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+           date_trunc('week', ts) AS p FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       f AS (SELECT u, MIN(p) AS cohort FROM a GROUP BY u)
+       SELECT cohort,
+         CAST(date_diff('day', cohort, p) / 7 AS BIGINT) AS "offset",
+         COUNT(DISTINCT u) AS n_users
+       FROM a JOIN f USING (u) GROUP BY 1, 2""",
+
+    // greedy minimal-completion funnel over per-user sorted time lists;
+    // epoch micros (= the engine's ts DIV 1000) keep comparisons exact
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type,
+           epoch_ns(ts) // 1000 AS tsu FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       pu AS (SELECT u,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'view')) AS a0,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'click')) AS a1,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'purchase'))
+           AS a2
+         FROM e GROUP BY u),
+       t0s AS (SELECT u, a1, a2, list_min(a0) AS t0 FROM pu),
+       t1s AS (SELECT u, a2, t0,
+         list_min(list_filter(a1, x -> x > t0)) AS t1 FROM t0s),
+       t2s AS (SELECT u, t0, t1,
+         list_min(list_filter(a2, x -> x > t1)) AS t2 FROM t1s),
+       c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2
+         FROM t2s)
+       SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users FROM c
+       UNION ALL
+       SELECT 1, 'click', n1 FROM c
+       UNION ALL
+       SELECT 2, 'purchase', n2 FROM c""",
 
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

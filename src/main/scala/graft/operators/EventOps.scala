@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators: cohort retention and ordered
+  * funnels. (The reference has no event surface; these are the
+  * standard large-scale product/ops queries a curation cluster also
+  * serves, shaped for Spark's execution model.)
+  */
+object EventOps {
+
+  private val PeriodDays = Map("day" -> 1, "week" -> 7)
+
+  /** Cohort retention matrix: users are cohorted by the `period`
+    * truncation of their FIRST event; cell (cohort, offset) counts the
+    * distinct cohort users active `offset` periods later. Output:
+    * (`cohort` timestamp, `offset` long, `n_users` long) — offset 0 is
+    * the cohort itself, so each cohort's offset-0 row is its size.
+    *
+    * Shuffle profile, in decreasing row count: (1) distinct over
+    * (user, period) — map-side partial, collapses the event stream to
+    * user-period scale BEFORE anything wider; (2) one exchange on user
+    * for the first-seen window (whole-partition min, no sort-based
+    * frame); (3) the final (cohort, offset) aggregation with partial
+    * count-distinct. Events themselves are touched exactly once.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      period: String = "week"): DataFrame = {
+    val days = PeriodDays.getOrElse(period,
+      throw new IllegalArgumentException(
+        s"period must be one of ${PeriodDays.keys.mkString("/")}, got " +
+        period))
+    val active = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        date_trunc(period, col(tsCol)).as("p"))
+      .distinct()
+    val w = Window.partitionBy("u")
+    active
+      .withColumn("cohort", min("p").over(w))
+      .groupBy(col("cohort"),
+        (datediff(col("p"), col("cohort")) / days).cast("long")
+          .as("offset"))
+      .agg(count_distinct(col("u")).as("n_users"))
+  }
+
+  /** Ordered funnel: how many users completed steps 0..i IN ORDER
+    * (each step strictly after the previous one's earliest valid
+    * time — the standard "minimal completion time" greedy, which is
+    * optimal: taking the earliest valid time for each step can only
+    * admit more completions later). Returns one row per step:
+    * (`step_idx`, `step`, `n_users`).
+    *
+    * Single-shuffle shape: ONE groupBy(user) collects each user's
+    * per-step event times as sorted arrays (array size bounded by that
+    * user's event count — cap upstream for pathological users), the
+    * greedy fold over those arrays is a pure per-row expression, and
+    * the per-step counts come from one global aggregation. No joins,
+    * no per-step passes: events are read once regardless of funnel
+    * depth.
+    *
+    * `tsCol` may be any orderable type; pass epoch micros for
+    * engine-portable comparisons.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String,
+      tsCol: String, typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val aggs = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(
+        when(col(typeCol) === s, col(tsCol)))).as(s"__a$i")
+    }
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(aggs.head, aggs.tail: _*)
+    // greedy completion times: t0 = min(a0); t_i = min{x in a_i, x > t_(i-1)}
+    val times = steps.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
+      val t =
+        if (i == 0) array_min(col("__a0"))
+        else {
+          val prev = acc.last
+          array_min(filter(col(s"__a$i"), x => x > prev))
+        }
+      acc :+ t
+    }
+    val flags = perUser.select(times.zipWithIndex.map { case (t, i) =>
+      t.isNotNull.cast("long").as(s"__f$i") }: _*)
+    val countCols = steps.indices.map(i =>
+      sum(col(s"__f$i")).as(s"__n$i"))
+    flags.agg(countCols.head, countCols.tail: _*)
+      .select(explode(array(steps.indices.map(i =>
+        struct(lit(i).as("step_idx"), lit(steps(i)).as("step"),
+          coalesce(col(s"__n$i"), lit(0L)).as("n_users"))): _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 12): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("cohortRetention: first-seen cohorts, offsets, distinct users") {
+    // weeks: Jan 1 (Mon) and Jan 8. u1 active both weeks, u2 week 1
+    // only, u3 first seen week 2
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(3)), (1L, ts(10)),
+      (2L, ts(4)),
+      (3L, ts(9)), (3L, ts(11))
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(ev, "user_id", "ts", "week")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val w1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w2 = Timestamp.valueOf("2024-01-08 00:00:00")
+    assert(out == Set((w1, 0L, 2L), (w1, 1L, 1L), (w2, 0L, 1L)))
+  }
+
+  test("cohortRetention day period and null filtering") {
+    val ev = Seq(
+      (Some(1L), Some(ts(1))), (Some(1L), Some(ts(3))),
+      (None, Some(ts(1))), (Some(2L), None)
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(ev, "user_id", "ts", "day")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val d1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(out == Set((d1, 0L, 1L), (d1, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      EventOps.cohortRetention(ev, "user_id", "ts", "fortnight")
+    }
+  }
+
+  test("funnel: order matters and greedy picks earliest valid times") {
+    val ev = Seq(
+      // u1 completes A->B->C in order
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // u2 has all three but C BEFORE B: stops after B
+      (2L, "A", 10L), (2L, "C", 15L), (2L, "B", 20L),
+      // u3: B before any A — only A counts (via its later A)
+      (3L, "B", 5L), (3L, "A", 8L),
+      // u4: greedy must take the SECOND A (after noise) -- first A at 1,
+      // B at 2 works; then C at 3: completes
+      (4L, "A", 1L), (4L, "B", 2L), (4L, "C", 3L),
+      // u5: only B -- counts for nothing
+      (5L, "B", 9L)
+    ).toDF("user_id", "event_type", "tsu")
+    val out = EventOps.funnel(ev, Seq("A", "B", "C"), "user_id", "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "A", 4L), (1, "B", 3L), (2, "C", 2L)))
+  }
+
+  test("funnel: strictly-after semantics (ties do not advance)") {
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 10L), // tie: B not after A
+      (2L, "A", 10L), (2L, "B", 11L)
+    ).toDF("user_id", "event_type", "tsu")
+    val out = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "A", 2L), (1, "B", 1L)))
+  }
+
+  test("funnel on an empty frame returns zero counts") {
+    val ev = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "tsu")
+    val out = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "A", 0L), (1, "B", 0L)))
+  }
+
+  test("funnel reads events once: single shuffle, no joins") {
+    val ev = Seq((1L, "A", 1L)).toDF("user_id", "event_type", "tsu")
+    val plan = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+}
