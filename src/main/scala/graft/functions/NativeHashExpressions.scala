@@ -88,6 +88,9 @@ object NativeHash {
 
   def pyTitleColumn(text: Column): Column =
     Bridge.column(PyTitle(Bridge.expression(text)))
+
+  def wordGramHashesColumn(text: Column, n: Int): Column =
+    Bridge.column(WordGramHashes(Bridge.expression(text), n))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -587,6 +590,55 @@ final case class PyTitle(child: Expression)
       i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Positional word-n-gram hash60 array — the native form of
+  * `transform(TextFunctions.wordNGrams(c, n), g => stableHash60(g))`:
+  * entry i is the top-60-bit md5 of the gram starting at token i
+  * (tokens i..i+n-1 joined by one space; slice-truncated for docs
+  * shorter than n tokens, matching wordNGrams). One tokenize pass, one
+  * reused MessageDigest and StringBuilder — no gram-string array ever
+  * materializes, where the tree form allocates every gram through the
+  * interpreted HOF path and md5s it as a separate expression step.
+  * Bit-identical to the tree form (NativeHashSpec).
+  */
+final case class WordGramHashes(
+    child: Expression,
+    n: Int
+) extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s      = input.asInstanceOf[UTF8String]
+    val tokens = ws.split(s.trim().toString, -1)
+    val cnt    = math.max(tokens.length - (n - 1), 1)
+    val md     = MessageDigest.getInstance("MD5")
+    val sb     = new java.lang.StringBuilder
+    val out    = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      val end = math.min(i + n, tokens.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      out(i) = NativeHash.hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), md)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{TextFunctions => T}
 
 /** Exact substring (repeated-span) dedup — the RefinedWeb / "Deduplicating
   * Training Data Makes Language Models Better" companion to
@@ -38,13 +38,16 @@ object SubstringDedup {
 
   /** Positional gram-hash index: (`id`, `pos`, `h`), `pos` 0-based over
     * [[TextFunctions.wordNGrams]] (documents shorter than n tokens
-    * contribute their single truncated gram at pos 0).
+    * contribute their single truncated gram at pos 0). Hashing runs in
+    * the [[graft.functions.WordGramHashes]] one-pass kernel —
+    * bit-identical to `stableHash60(wordNGrams(...)(i))` but without
+    * materializing gram strings through the interpreted HOF path.
     */
   def positionalGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(T.wordNGrams(col(textCol), n)).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), H.stableHash60(col("gram")).as("h"))
+      posexplode(graft.functions.NativeHash
+        .wordGramHashesColumn(col(textCol), n)).as(Seq("pos", "h")))
 
   /** Gram hashes appearing in ≥ `minDocs` DISTINCT documents, with the
     * smallest containing id as `keeper` (the copy the delete keeps).

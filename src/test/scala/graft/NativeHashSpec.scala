@@ -44,6 +44,18 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("WordGramHashes equals stableHash60 over wordNGrams") {
+    import graft.functions.{HashFunctions => H, TextFunctions => T}
+    for (df <- Seq(tricky, docs); n <- Seq(2, 8)) {
+      val both = df.select(
+        NativeHash.wordGramHashesColumn(col("text"), n).as("native"),
+        transform(T.wordNGrams(col("text"), n),
+          g => H.stableHash60(g)).as("tree"))
+      val bad = both.filter(not(col("native") === col("tree"))).count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
   test("Quantize/DotQ/HyperplaneBits equal their expression trees") {
     import graft.operators.Similarity
     val emb = spark.read
