@@ -200,6 +200,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
+    // ----- dedup: incremental batch-vs-corpus (every-5th doc plays the
+    // incoming crawl increment; the rest is the standing corpus)
+    "q_dedup_increment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupIncrement(
+        d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ----- dedup: exact substring (repeated-span) exposure — positional
     // 8-gram inverted index, cross-doc repeats only
     "q_substring_rep" -> ((s, dir) => {
@@ -775,6 +785,17 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
          FROM documents
          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))""",
+
+    "q_dedup_increment" ->
+      """WITH np AS (SELECT doc_id, source, n_chars,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 = 0),
+       known AS (SELECT DISTINCT
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 <> 0)
+       SELECT doc_id, source, n_chars
+       FROM np ANTI JOIN known USING (fp)
+       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""",
 
     "q_substring_rep" -> substringRepOracle,
     "q_substring_scrub" -> substringScrubOracle,

@@ -74,6 +74,35 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup: of a NEW batch of documents, keep only those
+    * whose normalized-text fingerprint (1) does not already exist in
+    * the corpus and (2) is the batch's first occurrence (smallest id) —
+    * the daily-crawl-increment shape, where re-deduplicating the whole
+    * corpus per batch would be absurd. Returns the surviving new rows
+    * unchanged.
+    *
+    * Scale notes: the corpus side reduces to DISTINCT fingerprints
+    * before the anti-join (map-side combined; fingerprints, never
+    * documents, shuffle). For a standing pipeline, persist the corpus
+    * fingerprint set once with [[graft.sources.Io.writeBucketed]]
+    * keyed on the fingerprint — every increment then anti-joins with
+    * ZERO corpus-side shuffle and the (small) batch side repartitions
+    * to match. The within-batch keep-first runs as one window on the
+    * batch only.
+    */
+  def dedupIncrement(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val known = corpus
+      .select(T.fingerprint(col(textCol)).as("__fp")).distinct()
+    newDocs
+      .withColumn("__fp", T.fingerprint(col(textCol)))
+      .join(known, Seq("__fp"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Shingle-hash array for one document (the expensive md5 pass). */
