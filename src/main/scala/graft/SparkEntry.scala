@@ -317,6 +317,22 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- as-of join: each click matched with the user's latest
+    // at-or-before purchase (point-in-time lookup; epoch micros keep
+    // both engines' comparisons exact)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = readEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ptsu"),
+          unix_micros(col("ts")).as("purchase_tsu"),
+          col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, Seq("user_id"), "tsu", "ptsu",
+        Seq("purchase_tsu", "purchase_value"))
+    }),
+
     // ----- event analytics: weekly cohort retention matrix
     "q_retention" -> ((s, dir) => {
       val ev = readEvents(s, dir)
@@ -948,6 +964,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window form
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 AS tsu FROM events
+         WHERE event_type = 'click'),
+       p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ptsu, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.tsu,
+         p.ptsu AS purchase_tsu, p.value AS purchase_value
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.tsu >= p.ptsu""",
 
     // distinct user-weeks, first-seen week per user, integer week offset
     "q_retention" ->

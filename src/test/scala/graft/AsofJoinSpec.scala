@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val clicks = Seq(
+    (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L),
+    (4L, 200L, 50L), (5L, 300L, 10L)
+  ).toDF("click_id", "u", "t")
+
+  private lazy val purchases = Seq(
+    (100L, 10L, 1.0), (100L, 20L, 2.0),
+    (200L, 50L, 3.0) // exactly at the click time
+  ).toDF("u", "pt", "amount")
+
+  test("asof picks the latest right row at-or-before each left time") {
+    val out = AsofJoin.asof(clicks, purchases, Seq("u"), "t", "pt",
+        Seq("pt", "amount"))
+      .select("click_id", "pt", "amount")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((Some(10L), Some(1.0)))) // tie: <= matches
+    assert(out(2L) == ((Some(20L), Some(2.0)))) // latest of two
+    assert(out(3L) == ((None, None)))           // before any purchase
+    assert(out(4L) == ((Some(50L), Some(3.0)))) // equal time
+    assert(out(5L) == ((None, None)))           // user with no purchases
+  }
+
+  test("strict mode hides equal-time right rows") {
+    val out = AsofJoin.asof(clicks, purchases, Seq("u"), "t", "pt",
+        Seq("amount"), strict = true)
+      .select("click_id", "amount")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == None)       // pt=10 == t=10 now hidden
+    assert(out(4L) == None)       // pt=50 == t=50 hidden
+    assert(out(2L) == Some(2.0))  // 20 < 25 still matches
+  }
+
+  test("every left row survives exactly once; plan has no join") {
+    val joined = AsofJoin.asof(clicks, purchases, Seq("u"), "t", "pt",
+      Seq("amount"))
+    assert(joined.count() == clicks.count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("agrees with the quadratic reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong))
+    val r = (1 to 120).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong, i.toDouble))
+      // dedupe (key, time) so the match is unique and the reference
+      // comparison is well-defined
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val ld = l.toDF("id", "u", "t")
+    val rd = r.toDF("u", "pt", "v")
+    val got = AsofJoin.asof(ld, rd, Seq("u"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val byKey = r.groupBy(_._1)
+    l.foreach { case (id, u, t) =>
+      val want = byKey.getOrElse(u, Seq.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == want, s"id=$id u=$u t=$t")
+    }
+  }
+}
