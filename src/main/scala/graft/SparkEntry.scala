@@ -317,6 +317,20 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- big-x-big range join: which parts' ±1 retail-price band
+    // contains each lineitem's unit price (chunked candidate equi-join)
+    "q_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val iv = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") - 1.0).as("lo"),
+        (col("p_retailprice") + 1.0).as("hi"))
+      RangeJoin.pointInInterval(pts, iv, "unit_price", "lo", "hi",
+          chunkWidth = 2.0)
+        .select("l_orderkey", "l_linenumber", "p_partkey", "unit_price")
+    }),
+
     // ----- as-of join: each click matched with the user's latest
     // at-or-before purchase (point-in-time lookup; epoch micros keep
     // both engines' comparisons exact)
@@ -964,6 +978,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
+
+    // the chunking is internal candidate generation only — the oracle
+    // is the raw range predicate
+    "q_range_join" ->
+      """WITH pts AS (SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS unit_price FROM lineitem),
+       iv AS (SELECT p_partkey, p_retailprice - 1.0 AS lo,
+           p_retailprice + 1.0 AS hi FROM part)
+       SELECT l_orderkey, l_linenumber, p_partkey, unit_price
+       FROM pts JOIN iv ON unit_price >= lo AND unit_price <= hi""",
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window form
     "q_asof_join" ->
