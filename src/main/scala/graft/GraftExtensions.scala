@@ -20,10 +20,13 @@ import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, 
   *  - [[GraftFunctions.register]] on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // off until spark.graft.rangeJoin.chunkWidth is set — see the rule
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {
