@@ -110,7 +110,19 @@ object GraftFunctions {
         info("graft_py_title",
           "graft_py_title(text) - Python str.title() semantics " +
           "(titles at any non-letter boundary)"),
-        (args: Seq[Expression]) => PyTitle(args(0)))
+        (args: Seq[Expression]) => PyTitle(args(0))),
+      ("graft_word_gram_hashes",
+        info("graft_word_gram_hashes",
+          "graft_word_gram_hashes(text, n) - positional word-n-gram " +
+          "hash60 array"),
+        (args: Seq[Expression]) =>
+          graft.functions.WordGramHashes(args(0), intArg(args(1), "n"))),
+      ("graft_compression_ratio",
+        info("graft_compression_ratio",
+          "graft_compression_ratio(text) - deflate compressed/original " +
+          "byte ratio"),
+        (args: Seq[Expression]) =>
+          graft.functions.CompressionRatio(args(0)))
     )
 
   /** Register every graft function on an existing session. */

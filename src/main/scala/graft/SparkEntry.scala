@@ -317,6 +317,17 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- curation: quality-weighted Bernoulli downsampling — each
+    // doc keeps with its own probability (here a length-derived weight),
+    // deterministically by id
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("w", least(greatest(
+          col("n_chars").cast("double") / 1000.0, lit(0.1)), lit(1.0)))
+      Sampling.weightedSampleByHash(d, "doc_id", "w")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ----- big-x-big range join: which parts' ±1 retail-price band
     // contains each lineitem's unit price (chunked candidate equi-join)
     "q_range_join" -> ((s, dir) => {
@@ -1140,6 +1151,10 @@ object SparkEntry {
     "q_repetition" -> repetitionOracle,
     "q_quality_filter" -> qualityFilterOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         WHERE ${hashScoreSql("doc_id")} <
+           least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.1), 1.0)""",
 
     // rank-filter top-k; DuckDB's QUALIFY is the same window predicate
     "q_topk_per_group" ->

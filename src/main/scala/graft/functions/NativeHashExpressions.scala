@@ -91,6 +91,9 @@ object NativeHash {
 
   def wordGramHashesColumn(text: Column, n: Int): Column =
     Bridge.column(WordGramHashes(Bridge.expression(text), n))
+
+  def compressionRatioColumn(text: Column): Column =
+    Bridge.column(CompressionRatio(Bridge.expression(text)))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -639,6 +642,41 @@ final case class WordGramHashes(
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Deflate compression ratio of the text's UTF-8 bytes (zlib level 6,
+  * raw stream): compressed size / original size. The cheap
+  * information-density quality signal — boilerplate and template spam
+  * compress far below natural prose, catching repetition that n-gram
+  * signals at a fixed n miss. Deterministic for a given JVM zlib;
+  * NOT engine-portable (no SQL oracle), so it ships spec-verified
+  * like the other engine-internal ops. Empty and whitespace-only
+  * documents report 1.0 (no evidence of redundancy, not a divide by
+  * zero).
+  */
+final case class CompressionRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_compression_ratio"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / bytes.length
+      } finally d.end()
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -311,6 +311,15 @@ object TextFunctions {
     best.cast("double") / greatest(length(c), lit(1))
   }
 
+  /** Deflate compression ratio (compressed/original bytes) — the
+    * information-density signal: template spam compresses far below
+    * natural prose, catching long-period repetition that fixed-n
+    * n-gram signals miss. Engine-internal (no SQL oracle); see
+    * [[graft.functions.CompressionRatio]].
+    */
+  def compressionRatio(c: Column): Column =
+    NativeHash.compressionRatioColumn(c)
+
   // ------------------------------------------------- quality filtering
 
   /** One rule of the composite filter: name + pass-predicate. */

@@ -72,6 +72,19 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < cut)
   }
 
+  /** Per-ROW weighted Bernoulli sampling: keep each row with its OWN
+    * probability from `weightCol` (clamped to [0, 1]), deterministically
+    * by id — the quality-weighted corpus downsampling shape ("keep
+    * high-quality documents with p≈1, boilerplate with p≈0.1") that
+    * rebalances without hard cutoffs. One codegen'd filter, no shuffle,
+    * membership stable under corpus growth like every hash-keyed
+    * sampler here.
+    */
+  def weightedSampleByHash(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    df.filter(hashScore(col(idCol)) <
+      least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+
   /** Leakage-safe train/val/test assignment: split by DUPLICATE
     * CLUSTER, not by document, so a pair of near-duplicates can never
     * straddle train and test (the classic eval-contamination bug —

@@ -4,6 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
+
+  test("weightedSampleByHash keeps ~w fraction per weight level") {
+    import spark.implicits._
+    val df = (1L to 8000L)
+      .map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("id", "w")
+    val kept = graft.operators.Sampling
+      .weightedSampleByHash(df, "id", "w")
+      .groupBy("w").count()
+      .as[(Double, Long)].collect().toMap
+    assert(math.abs(kept(0.9) / 4000.0 - 0.9) < 0.05)
+    assert(math.abs(kept(0.1) / 4000.0 - 0.1) < 0.05)
+    // weights outside [0,1] clamp instead of misbehaving
+    val clamped = graft.operators.Sampling
+      .weightedSampleByHash(
+        Seq((1L, 7.0), (2L, -3.0)).toDF("id", "w"), "id", "w")
+      .as[(Long, Double)].collect().toSeq
+    assert(clamped == Seq((1L, 7.0))) // w>=1 always kept, w<=0 never
+  }
   import spark.implicits._
 
   private val ids = (0L until 2000L).toDF("id")

@@ -165,6 +165,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.getString(0) == "caf\u00e9")
   }
 
+  test("compressionRatio separates prose from template spam") {
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen magpies argue about breakfast near the old mill."
+    val spam = Seq.fill(40)("click here to subscribe now").mkString(" ")
+    val r = Seq((prose, spam, "", null: String))
+      .toDF("p", "s", "e", "n")
+      .select(T.compressionRatio(col("p")).as("rp"),
+        T.compressionRatio(col("s")).as("rs"),
+        T.compressionRatio(col("e")).as("re"),
+        T.compressionRatio(col("n")).as("rn")).collect()(0)
+    assert(r.getDouble(0) > 0.5)          // prose barely compresses
+    assert(r.getDouble(1) < 0.2)          // template spam collapses
+    assert(r.getDouble(0) > r.getDouble(1))
+    assert(r.getDouble(2) == 1.0)         // empty -> 1.0, no div by 0
+    assert(r.isNullAt(3))                 // null in, null out
+  }
+
   test("qualityKeep/qualityReasons agree and name the failed rules") {
     val good = "the quick brown fox jumps over the lazy dog again today"
     val short = "tiny doc"                       // fails word_count
