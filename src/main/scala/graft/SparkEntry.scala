@@ -317,6 +317,16 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- curation: mix the corpus to a target source recipe
+    // (50/30/20 over three sources, downsampling-only)
+    "q_mix_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.mixToTarget(d, "doc_id", "source",
+        scala.collection.immutable.ListMap(
+          "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ----- curation: quality-weighted Bernoulli downsampling — each
     // doc keeps with its own probability (here a length-derived weight),
     // deterministically by id
@@ -1155,6 +1165,29 @@ object SparkEntry {
       s"""SELECT doc_id, source, n_chars FROM documents
          WHERE ${hashScoreSql("doc_id")} <
            least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.1), 1.0)""",
+
+    // replays mixToTarget's arithmetic in the SAME IEEE operation
+    // order (share = w/total, nstar = min(n/share), frac =
+    // share*nstar/n) so the per-stratum cut doubles are bit-identical
+    "q_mix_corpus" ->
+      s"""WITH t AS (SELECT * FROM (VALUES
+           ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+           ('src2', 0.2::DOUBLE)) v(src, w)),
+       sh AS (SELECT src,
+           w / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE) AS share
+         FROM t),
+       c AS (SELECT source AS src, CAST(COUNT(*) AS DOUBLE) AS n
+         FROM documents WHERE source IN ('src0', 'src1', 'src2')
+         GROUP BY source),
+       ns AS (SELECT MIN(n / share) AS nstar
+         FROM c JOIN sh USING (src)),
+       f AS (SELECT src,
+           least(share * (SELECT nstar FROM ns) / n, 1.0::DOUBLE)
+             AS frac
+         FROM c JOIN sh USING (src))
+       SELECT doc_id, source FROM documents
+       JOIN f ON source = f.src
+       WHERE ${hashScoreSql("doc_id")} < frac""",
 
     // rank-filter top-k; DuckDB's QUALIFY is the same window predicate
     "q_topk_per_group" ->

@@ -72,6 +72,38 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < cut)
   }
 
+  /** Resample a corpus to a TARGET mix over a stratum column (the
+    * training-data "recipe": 30% web, 30% code, 40% books…): computes
+    * the largest total size N* at which every stratum can meet its
+    * target share by DOWNSAMPLING only (N* = min over strata of
+    * count_s / share_s, shares normalized), then keeps each stratum
+    * with probability share_s · N* / count_s via the deterministic hash
+    * filter. Strata absent from `targets` are dropped. One bounded
+    * aggregation (|strata| rows to the driver) + one codegen'd filter;
+    * no shuffle of the data itself, membership growth-stable.
+    */
+  def mixToTarget(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val total = targets.values.sum
+    val shares = targets.map { case (s, w) => s -> w / total }
+    val counts = df
+      .filter(col(stratumCol).isin(targets.keys.toSeq.map(lit): _*))
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.keys.find(s => counts.getOrElse(s, 0L) == 0L).foreach(s =>
+      throw new IllegalArgumentException(
+        s"stratum '$s' has a target share but no rows"))
+    val nStar = shares.map { case (s, sh) => counts(s) / sh }.min
+    val fractions = shares.map { case (s, sh) =>
+      s -> math.min(sh * nStar / counts(s), 1.0) }
+    stratifiedSampleByHash(df, idCol, stratumCol, fractions,
+      default = 0.0)
+  }
+
   /** Per-ROW weighted Bernoulli sampling: keep each row with its OWN
     * probability from `weightCol` (clamped to [0, 1]), deterministically
     * by id — the quality-weighted corpus downsampling shape ("keep

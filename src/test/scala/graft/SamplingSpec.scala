@@ -5,6 +5,35 @@ import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
 
+  test("mixToTarget downsamples to the target recipe, caps at 1.0") {
+    import spark.implicits._
+    // skewed corpus: a=6000, b=3000, c=1000; recipe 20/30/50 → c is
+    // the binding stratum (1000/0.5 = N*=2000): expect ~400/600/1000
+    val df = ((1L to 6000L).map(i => (i, "a")) ++
+      (6001L to 9000L).map(i => (i, "b")) ++
+      (9001L to 10000L).map(i => (i, "c"))).toDF("id", "s")
+    val out = graft.operators.Sampling
+      .mixToTarget(df, "id", "s", Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+    val kept = out.groupBy("s").count().as[(String, Long)]
+      .collect().toMap
+    assert(kept("c") == 1000L) // binding stratum keeps everything
+    assert(math.abs(kept("a") - 400.0) / 400.0 < 0.15)
+    assert(math.abs(kept("b") - 600.0) / 600.0 < 0.15)
+    // achieved mix ≈ recipe
+    val total = kept.values.sum.toDouble
+    assert(math.abs(kept("a") / total - 0.2) < 0.03)
+    // untargeted strata are dropped entirely
+    val out2 = graft.operators.Sampling
+      .mixToTarget(df, "id", "s", Map("a" -> 1.0))
+    assert(out2.select("s").distinct().as[String].collect()
+      .toSeq == Seq("a"))
+    // a target over an absent stratum fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.mixToTarget(df, "id", "s",
+        Map("nope" -> 1.0))
+    }
+  }
+
   test("weightedSampleByHash keeps ~w fraction per weight level") {
     import spark.implicits._
     val df = (1L to 8000L)
