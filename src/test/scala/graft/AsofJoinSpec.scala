@@ -47,6 +47,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("null times: left rows match nothing, right rows are ignored") {
+    val l = Seq((1L, 100L, Some(10L)), (2L, 100L, None))
+      .toDF("click_id", "u", "t")
+    val r = Seq((100L, Some(5L), 1.0), (100L, None, 99.0))
+      .toDF("u", "pt", "amount")
+    val out = AsofJoin.asof(l, r, Seq("u"), "t", "pt", Seq("amount"))
+      .select("click_id", "amount")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(1.0)) // null-ts right row never matches
+    assert(out(2L) == None)      // null-ts left row matches nothing
+  }
+
   test("agrees with the quadratic reference on random data") {
     val rnd = new scala.util.Random(7)
     val l = (1 to 300).map(i =>
