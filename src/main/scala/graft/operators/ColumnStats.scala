@@ -106,6 +106,33 @@ object ColumnStats {
         col("n"))
   }
 
+  /** Approximate quantiles for KEY-LIKE columns (billions of distinct
+    * values), where the exact value-count shape is the wrong trade:
+    * one pass, fixed memory (Greenwald-Khanna via `approx_percentile`),
+    * rank error ≤ 1/`accuracy`. Same output shape as
+    * [[exactQuantiles]] — (`p`, `quantile`, `n`) — so callers switch
+    * on the classify pass's distinct-count estimate without changing
+    * downstream code. Engine-specific internals (no SQL oracle; the
+    * exact variant is the hash-verified one).
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantile points must be in [0, 1]")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(
+        percentile_approx(col(valueCol).cast("double"),
+          array(ps.map(lit): _*), lit(accuracy)).as("qs"),
+        count(col(valueCol)).as("n"))
+      .collect()(0)
+    val qs = r.getSeq[Double](0)
+    val n  = r.getLong(1)
+    ps.zip(qs).map { case (p, q) => (p, q, n) }
+      .toDF("p", "quantile", "n")
+  }
+
   /** describe() for measure columns — one tidy row per column with
     * engine-portable arithmetic throughout: counts and min/max are
     * exact, the mean sums in decimal (never an order-dependent double

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{dotQ, quantize}
+
+/** Persistent IVF ANN index: build ONCE, query many times. The
+  * per-query [[Similarity.ivfTopK]] re-fits centroids and re-scans the
+  * whole corpus every call — right for ad-hoc use, wrong for a serving
+  * pattern. Here the inverted lists land on disk BUCKETED BY LIST ID,
+  * so a query reads only its probed lists' buckets (bucket pruning at
+  * the scan — at 100 TB, a 64-centroid/4-probe query touches ~6% of
+  * the index bytes, no shuffle, no re-fit).
+  *
+  * Layout: `<table>` = (neighbor_id, __cv quantized vector, __cn
+  * self-dot, __list) bucketed+sorted by __list;
+  * `<table>_centroids` = (list_id, vec) — the k-means result, a
+  * nCentroids-row table read back at query time. Centroid fitting and
+  * assignment reuse the deterministic exact-int64 arithmetic of
+  * [[Similarity.fitCentroidsKMeans]], so building twice over the same
+  * corpus yields byte-identical indexes.
+  */
+object IvfIndex {
+
+  /** Fit centroids and persist the inverted lists + centroid table.
+    * Overwrites both tables. `buckets` should be ≈ nCentroids (one
+    * bucket per list keeps pruning exact).
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, nCentroids: Int = 16, kmeansIters: Int = 2,
+      buckets: Int = 16): Unit = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
+    val cents = Similarity.fitCentroidsKMeans(cq, "neighbor_id", "__cv",
+      nCentroids, kmeansIters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("list_id", "vec")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    cq.withColumn("__list", IvfCentroids.nearestList(col("__cv"), cents))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "__list").sortBy("__list")
+      .saveAsTable(table)
+  }
+
+  /** Top-`k` neighbors per query row over a built index. Probed list
+    * ids are collected first (bounded by nCentroids — the hard cap on
+    * distinct lists) and pushed into the scan filter, so bucket
+    * pruning skips every unprobed list's files. Queries broadcast;
+    * output matches [[Similarity.ivfTopK]] exactly for the same
+    * parameters: (query_id, neighbor_id, cosine, rank).
+    */
+  def query(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    val cents: Array[Seq[Long]] = spark.table(s"${table}_centroids")
+      .orderBy("list_id").select("vec")
+      .as[Seq[Long]].collect().map(x => x: Seq[Long])
+    val qq = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
+      .withColumn("__list",
+        explode(IvfCentroids.probeLists(col("__qv"), cents, nProbe)))
+    val probed = qq.select("__list").distinct()
+      .as[Int].collect().toSeq.sorted // ≤ nCentroids values
+    val corpusListed = spark.table(table)
+      .filter(col("__list").isin(probed: _*))
+    val scored = corpusListed.join(broadcast(qq), Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -85,6 +85,20 @@ class ColumnStatsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("approxQuantiles tracks exactQuantiles within rank error") {
+    val df = (1 to 50000).map(_.toDouble).toDF("x")
+    val exact = ColumnStats.exactQuantiles(df, "x", Seq(0.1, 0.5, 0.9))
+      .as[(Double, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val approx = ColumnStats.approxQuantiles(df, "x", Seq(0.1, 0.5, 0.9))
+      .as[(Double, Double, Long)].collect()
+      .map(r => (r._1, r._2, r._3))
+    approx.foreach { case (p, q, n) =>
+      assert(n == 50000L)
+      // rank error <= n/accuracy = 5 ranks = 5.0 in value space here
+      assert(math.abs(q - exact(p)) <= 10.0, s"p=$p got $q")
+    }
+  }
+
   test("exactQuantiles is partitioning-invariant") {
     val df = (1 to 5000).map(i => (i * 7919 % 1000) / 3.0).toDF("x")
     def run(parts: Int) = ColumnStats

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("built index reproduces ivfTopK exactly and prunes buckets") {
+    val corpus  = randomVecs(600, 8, seed = 3)
+    val queries = corpus.filter(col("vec_id") % 97 === 0)
+    val t = "ivf_spec_idx"
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t,
+        nCentroids = 8, kmeansIters = 2, buckets = 8)
+      val viaIndex = IvfIndex.query(spark, t, queries,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val direct = Similarity.ivfTopK(corpus, queries,
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2,
+          kmeansIters = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaIndex == direct && viaIndex.nonEmpty)
+      // the probed-list filter must prune unread buckets at the scan
+      val plan = IvfIndex.query(spark, t, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    }
+  }
+
+  test("rebuilding over the same corpus is deterministic") {
+    val corpus = randomVecs(200, 6, seed = 9)
+    val (t1, t2) = ("ivf_spec_a", "ivf_spec_b")
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t1, nCentroids = 4)
+      IvfIndex.build(corpus.repartition(7), "vec_id", "embedding", t2,
+        nCentroids = 4)
+      val a = spark.table(s"${t1}_centroids")
+        .orderBy("list_id").as[(Int, Seq[Long])].collect().toSeq
+      val b = spark.table(s"${t2}_centroids")
+        .orderBy("list_id").as[(Int, Seq[Long])].collect().toSeq
+      assert(a == b)
+      val la = spark.table(t1).select("neighbor_id", "__list")
+        .as[(Long, Int)].collect().toSet
+      val lb = spark.table(t2).select("neighbor_id", "__list")
+        .as[(Long, Int)].collect().toSet
+      assert(la == lb)
+    } finally Seq(t1, t2).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    }
+  }
+}
