@@ -368,6 +368,26 @@ object SparkEntry {
         Seq("purchase_tsu", "purchase_value"))
     }),
 
+    // ----- per-group exact quantiles (window partitioned by group —
+    // the scale-safe grouped companion to q_quantiles)
+    "q_grouped_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.groupedExactQuantiles(li, "l_returnflag",
+          "l_quantity", Seq(0.25, 0.5, 0.9))
+        .withColumnRenamed("l_returnflag", "flag")
+    }),
+
+    // ----- forward-fill over the event stream (nulls planted per
+    // event_id, filled per user in (ts, event_id) order)
+    "q_forward_fill" -> ((s, dir) => {
+      val ev = readEvents(s, dir).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("tsu"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      EventOps.forwardFill(ev, Seq("user_id"),
+        Seq("tsu", "event_id"), Seq("value"))
+    }),
+
     // ----- event analytics: weekly cohort retention matrix
     "q_retention" -> ((s, dir) => {
       val ev = readEvents(s, dir)
@@ -1021,6 +1041,42 @@ object SparkEntry {
          p.ptsu AS purchase_tsu, p.value AS purchase_value
        FROM c ASOF LEFT JOIN p
          ON c.user_id = p.user_id AND c.tsu >= p.ptsu""",
+
+    // same rank/interpolation CTE as q_quantiles, partitioned by group
+    "q_grouped_quantiles" ->
+      """WITH vals AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+       counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY g, v),
+       cumt AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v
+         ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+       cc AS (SELECT g, v, cum - c AS lo_rank, cum FROM cumt),
+       nn AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
+       pts AS (SELECT * FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+         (0.9::DOUBLE)) t(p)),
+       ranked AS (SELECT g, p, n, p * (n - 1)::DOUBLE AS r,
+         CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_lo,
+         CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_hi
+         FROM nn CROSS JOIN pts),
+       lov AS (SELECT ranked.g, p, n, r, ri_lo, ri_hi, cc.v AS v_lo
+         FROM ranked JOIN cc ON ranked.g = cc.g
+           AND lo_rank <= ri_lo AND ri_lo < cum)
+       SELECT lov.g AS flag, p,
+         v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile, n
+       FROM lov JOIN cc ON lov.g = cc.g
+         AND cc.lo_rank <= ri_hi AND ri_hi < cc.cum""",
+
+    // last_value IGNORE NULLS over the same (ts, event_id) frame
+    "q_forward_fill" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 AS tsu,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         FROM events)
+       SELECT event_id, user_id, tsu,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY tsu, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       FROM e""",
 
     // distinct user-weeks, first-seen week per user, integer week offset
     "q_retention" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed order statistics. Built on the value-count shape:
@@ -104,6 +105,54 @@ object ColumnStats {
         (col("v_lo") + (col("v_hi") - col("v_lo")) *
           (col("r") - col("ri_lo").cast("double"))).as("quantile"),
         col("n"))
+  }
+
+  /** Exact interpolated quantiles PER GROUP — same rank/interpolation
+    * arithmetic as [[exactQuantiles]], but the cumulative window runs
+    * PARTITIONED BY the group, so it is scale-safe by construction
+    * (each group's distinct values cumulate inside that group's
+    * partition; a pathological single giant group degrades to that
+    * group's distinct count, like any per-group operator). Output one
+    * row per (group, p): (groupCol, `p`, `quantile`, `n`).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantile points must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    val counts = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialized once: referenced by both rank joins
+    val cum = counts.withColumn("cum", sum("c").over(w))
+      .withColumn("lo_rank", col("cum") - col("c"))
+      .localCheckpoint()
+    val ns = cum.groupBy("g").agg(sum("c").as("n"))
+    val ranked = ns.crossJoin(ps.toDF("p"))
+      .withColumn("r", col("p") * (col("n") - lit(1L)).cast("double"))
+      .withColumn("ri_lo", floor(col("r")).cast("long"))
+      .withColumn("ri_hi", ceil(col("r")).cast("long"))
+    val lo = ranked.join(cum.select(col("g").as("g1"),
+        col("v").as("v_lo"), col("lo_rank").as("lr1"),
+        col("cum").as("cum1")),
+        col("g") === col("g1") && col("lr1") <= col("ri_lo") &&
+          col("ri_lo") < col("cum1"))
+      .select(col("g"), col("p"), col("n"), col("r"), col("ri_lo"),
+        col("ri_hi"), col("v_lo"))
+    val both = lo.join(cum.select(col("g").as("g2"),
+        col("v").as("v_hi"), col("lo_rank").as("lr2"),
+        col("cum").as("cum2")),
+        col("g") === col("g2") && col("lr2") <= col("ri_hi") &&
+          col("ri_hi") < col("cum2"))
+    both.select(col("g").as(groupCol), col("p"),
+      (col("v_lo") + (col("v_hi") - col("v_lo")) *
+        (col("r") - col("ri_lo").cast("double"))).as("quantile"),
+      col("n"))
   }
 
   /** Approximate quantiles for KEY-LIKE columns (billions of distinct

@@ -46,6 +46,25 @@ object EventOps {
       .agg(count_distinct(col("u")).as("n_users"))
   }
 
+  /** Forward-fill (last observation carried forward): each null in
+    * `fillCols` takes the most recent non-null value within its key
+    * partition, ordered by `orderCols` — the gap-repair step before
+    * feature extraction over irregular event streams. All columns
+    * share ONE window spec, so the plan runs a single partition-sort
+    * regardless of how many columns fill. Leading nulls (nothing to
+    * carry) stay null.
+    */
+  def forwardFill(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], fillCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty && fillCols.nonEmpty,
+      "forwardFill needs keys, ordering and fill columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Ordered funnel: how many users completed steps 0..i IN ORDER
     * (each step strictly after the previous one's earliest valid
     * time — the standard "minimal completion time" greedy, which is

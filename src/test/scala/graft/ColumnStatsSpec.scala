@@ -85,6 +85,32 @@ class ColumnStatsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("groupedExactQuantiles matches per-group exactQuantiles") {
+    val df = Seq(
+      ("a", 10.0), ("a", 30.0), ("a", 20.0), ("a", 40.0),
+      ("b", 1.0), ("b", 2.0), ("b", 2.0), ("b", 100.0)
+    ).toDF("g", "x")
+    val out = ColumnStats
+      .groupedExactQuantiles(df, "g", "x", Seq(0.0, 0.5, 1.0))
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (g <- Seq("a", "b"); p <- Seq(0.0, 0.5, 1.0)) {
+      val want = ColumnStats
+        .exactQuantiles(df.filter(col("g") === g), "x", Seq(p))
+        .as[(Double, Double, Long)].collect()(0)._2
+      assert(out((g, p)) == want, s"g=$g p=$p")
+    }
+    // null group/value rows are excluded like the global form
+    val withNulls = df.unionByName(
+      Seq((null: String, 5.0), ("a", Double.NaN)).toDF("g", "x")
+        .filter(not(isnan(col("x")))) // keep the null-g row only
+    )
+    assert(ColumnStats
+      .groupedExactQuantiles(withNulls, "g", "x", Seq(0.5))
+      .select("g").distinct().as[String].collect().toSet ==
+        Set("a", "b"))
+  }
+
   test("approxQuantiles tracks exactQuantiles within rank error") {
     val df = (1 to 50000).map(_.toDouble).toDF("x")
     val exact = ColumnStats.exactQuantiles(df, "x", Seq(0.1, 0.5, 0.9))

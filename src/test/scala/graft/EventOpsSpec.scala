@@ -40,6 +40,23 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("forwardFill carries last non-null per key; leading nulls stay") {
+    val df = Seq(
+      (1L, 1L, None),         (1L, 2L, Some(10.0)),
+      (1L, 3L, None),         (1L, 4L, None),
+      (1L, 5L, Some(20.0)),
+      (2L, 1L, None)          // other key: never sees user 1's values
+    ).toDF("u", "seq", "v")
+    val out = EventOps.forwardFill(df, Seq("u"), Seq("seq"), Seq("v"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1L)) == None)       // leading null stays
+    assert(out((1L, 3L)) == Some(10.0))
+    assert(out((1L, 4L)) == Some(10.0))
+    assert(out((1L, 5L)) == Some(20.0)) // real values untouched
+    assert(out((2L, 1L)) == None)
+  }
+
   test("funnel: order matters and greedy picks earliest valid times") {
     val ev = Seq(
       // u1 completes A->B->C in order
