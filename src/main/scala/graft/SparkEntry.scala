@@ -377,6 +377,15 @@ object SparkEntry {
         .withColumnRenamed("l_returnflag", "flag")
     }),
 
+    // ----- per-group describe(): fused grouped base stats + grouped
+    // exact medians
+    "q_grouped_describe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.groupedDescribe(li, "l_returnflag",
+          Seq("l_quantity", "l_discount"))
+        .withColumnRenamed("l_returnflag", "flag")
+    }),
+
     // ----- forward-fill over the event stream (nulls planted per
     // event_id, filled per user in (ts, event_id) order)
     "q_forward_fill" -> ((s, dir) => {
@@ -1043,28 +1052,12 @@ object SparkEntry {
          ON c.user_id = p.user_id AND c.tsu >= p.ptsu""",
 
     // same rank/interpolation CTE as q_quantiles, partitioned by group
-    "q_grouped_quantiles" ->
-      """WITH vals AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v
-           FROM lineitem
-           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
-       counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY g, v),
-       cumt AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v
-         ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
-       cc AS (SELECT g, v, cum - c AS lo_rank, cum FROM cumt),
-       nn AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
-       pts AS (SELECT * FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
-         (0.9::DOUBLE)) t(p)),
-       ranked AS (SELECT g, p, n, p * (n - 1)::DOUBLE AS r,
-         CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_lo,
-         CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_hi
-         FROM nn CROSS JOIN pts),
-       lov AS (SELECT ranked.g, p, n, r, ri_lo, ri_hi, cc.v AS v_lo
-         FROM ranked JOIN cc ON ranked.g = cc.g
-           AND lo_rank <= ri_lo AND ri_lo < cum)
-       SELECT lov.g AS flag, p,
-         v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile, n
-       FROM lov JOIN cc ON lov.g = cc.g
-         AND cc.lo_rank <= ri_hi AND ri_hi < cc.cum""",
+    "q_grouped_quantiles" -> groupedQuantilesSqlFor("lineitem",
+      "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.9),
+      "lov.g AS flag, p, " +
+      "v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile, n"),
+
+    "q_grouped_describe" -> groupedDescribeOracle,
 
     // last_value IGNORE NULLS over the same (ts, event_id) frame
     "q_forward_fill" ->
@@ -1811,6 +1804,52 @@ object SparkEntry {
   private def quantilesOracle: String =
     quantilesSqlFor("lineitem", "l_extendedprice", QuantilePs,
       "p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile, n")
+
+  /** Group-partitioned variant of [[quantilesSqlFor]] — mirror of
+    * ColumnStats.groupedExactQuantiles.
+    */
+  private def groupedQuantilesSqlFor(table: String, groupCol: String,
+      column: String, ps: Seq[Double], selectList: String): String = {
+    val pts = ps.map(p => s"($p::DOUBLE)").mkString(", ")
+    s"""WITH vals AS (SELECT $groupCol AS g, $column::DOUBLE AS v
+         FROM $table
+         WHERE $groupCol IS NOT NULL AND $column IS NOT NULL),
+       counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY g, v),
+       cumt AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v
+         ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+       cc AS (SELECT g, v, cum - c AS lo_rank, cum FROM cumt),
+       nn AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
+       pts AS (SELECT * FROM (VALUES $pts) AS t(p)),
+       ranked AS (SELECT g, p, n, p * (n - 1)::DOUBLE AS r,
+         CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_lo,
+         CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) AS ri_hi
+         FROM nn CROSS JOIN pts),
+       lov AS (SELECT ranked.g, p, n, r, ri_lo, ri_hi, cc.v AS v_lo
+         FROM ranked JOIN cc ON ranked.g = cc.g
+           AND lo_rank <= ri_lo AND ri_lo < cum)
+       SELECT $selectList
+       FROM lov JOIN cc ON lov.g = cc.g
+         AND cc.lo_rank <= ri_hi AND ri_hi < cc.cum"""
+  }
+
+  /** Mirror of ColumnStats.groupedDescribe over l_returnflag. */
+  private def groupedDescribeOracle: String =
+    Seq("l_quantity", "l_discount").map { c =>
+      val med = groupedQuantilesSqlFor("lineitem", "l_returnflag", c,
+        Seq(0.5),
+        "lov.g AS g, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)" +
+        " AS median_v")
+      s"""SELECT b.g AS flag, '$c' AS column_name, n_total, n_nonnull,
+           min_v, max_v, mean_v, m.median_v
+         FROM (SELECT l_returnflag AS g, COUNT(*) AS n_total,
+             COUNT($c) AS n_nonnull,
+             MIN($c)::DOUBLE AS min_v, MAX($c)::DOUBLE AS max_v,
+             SUM(CAST($c AS DECIMAL(28,6)))::DOUBLE / COUNT($c)
+               AS mean_v
+           FROM lineitem WHERE l_returnflag IS NOT NULL
+           GROUP BY 1) b
+         LEFT JOIN ($med) m ON b.g = m.g"""
+    }.mkString(" UNION ALL ")
 
   /** Mirror of ColumnStats.describeNumeric: per column, the exact base
     * aggregates plus the quantile CTE as a scalar median subquery.

@@ -182,6 +182,50 @@ object ColumnStats {
       .toDF("p", "quantile", "n")
   }
 
+  /** describe() PER GROUP: one row per (group, column) with the same
+    * engine-portable arithmetic as [[describeNumeric]] (exact counts
+    * and min/max, decimal mean, [[groupedExactQuantiles]] median).
+    * ONE fused grouped scan computes every column's base stats; the
+    * per-column median passes run concurrently. Output: (groupCol,
+    * `column_name`, `n_total`, `n_nonnull`, `min_v`, `max_v`,
+    * `mean_v`, `median_v`). Groups whose column is all-null keep their
+    * base row with a null median.
+    */
+  def groupedDescribe(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "groupedDescribe needs at least one column")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c"),
+      (sum(col(c).cast("decimal(28,6)")).cast("double") /
+        count(col(c))).as(s"__mean_$c")))
+    val baseF = Future(df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n_total"), aggs: _*)
+      .localCheckpoint())
+    val medsF = cols.map(c => Future(
+      groupedExactQuantiles(df, groupCol, c, Seq(0.5))
+        .select(col(groupCol).cast("string").as("__g"),
+          col("quantile").as("median_v"))))
+    val base = Await.result(baseF, Duration.Inf)
+    val meds = medsF.map(f => Await.result(f, Duration.Inf))
+    cols.zip(meds).map { case (c, med) =>
+      base.select(col("__g"), lit(c).as("column_name"),
+          col("__n_total").as("n_total"),
+          col(s"__nn_$c").as("n_nonnull"),
+          col(s"__min_$c").as("min_v"),
+          col(s"__max_$c").as("max_v"),
+          col(s"__mean_$c").as("mean_v"))
+        .join(med, Seq("__g"), "left")
+        .withColumnRenamed("__g", groupCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** describe() for measure columns — one tidy row per column with
     * engine-portable arithmetic throughout: counts and min/max are
     * exact, the mean sums in decimal (never an order-dependent double

@@ -111,6 +111,21 @@ class ColumnStatsSpec extends SparkSpec {
         Set("a", "b"))
   }
 
+  test("groupedDescribe: one exact row per (group, column)") {
+    val df = Seq(
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 60.0),
+      ("b", 5.0, 100.0)
+    ).toDF("g", "x", "y")
+    val out = ColumnStats.groupedDescribe(df, "g", Seq("x", "y"))
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out(("a", "x")) == (("a", "x", 3L, 3L, 1.0, 3.0, 2.0, 2.0)))
+    assert(out(("a", "y")) ==
+      (("a", "y", 3L, 3L, 10.0, 60.0, 30.0, 20.0)))
+    assert(out(("b", "x")) == (("b", "x", 1L, 1L, 5.0, 5.0, 5.0, 5.0)))
+    assert(out.size == 4)
+  }
+
   test("approxQuantiles tracks exactQuantiles within rank error") {
     val df = (1 to 50000).map(_.toDouble).toDF("x")
     val exact = ColumnStats.exactQuantiles(df, "x", Seq(0.1, 0.5, 0.9))
