@@ -123,6 +123,47 @@ object StreamingOps {
         })
   }
 
+  final case class FillState(last: Double)
+  final case class FillOut(user_id: Long, ts: Timestamp,
+      value: java.lang.Double)
+
+  /** Streaming forward-fill (LOCF): each key's nulls take the most
+    * recent non-null value seen so far — state per key is ONE double,
+    * never history (8 bytes/key: state grows with key CARDINALITY
+    * only, so no timeout eviction is installed — a timeout would
+    * silently reset fills for quiet keys, which is worse than the
+    * memory it saves; bound pathological key spaces upstream). Within
+    * a micro-batch, rows fill in event-time order; ACROSS batches,
+    * fills follow arrival order (an out-of-order straggler arriving
+    * after a later batch cannot retroactively fill it — the inherent
+    * streaming-LOCF contract; the batch
+    * [[graft.operators.EventOps.forwardFill]] is the exact
+    * whole-history form).
+    */
+  def forwardFillStream(spark: SparkSession, events: DataFrame)
+      : Dataset[FillOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Timestamp, Option[Double])]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Timestamp, Option[Double])],
+            state: GroupState[FillState]) => {
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var last = state.getOption.map(_.last)
+          val out = sorted.map { case (_, ts, v) =>
+            last = v.orElse(last)
+            FillOut(user, ts, last.map(Double.box).orNull)
+          }
+          last.foreach(l => state.update(FillState(l)))
+          out.iterator
+        })
+  }
+
   /** Drain any pending session state (batch-mode finalize). Gap
     * detection runs at MICROsecond granularity (`unix_micros`) — a
     * plain `cast("long")` truncates to seconds and silently rounds

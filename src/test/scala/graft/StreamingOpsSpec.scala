@@ -114,6 +114,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forwardFillStream carries last non-null across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Option[Double])]
+    val filled = StreamingOps.forwardFillStream(spark,
+      mem.toDF().toDF("user_id", "ts", "value"))
+    val q = filled.writeStream.format("memory").queryName("ff_out")
+      .outputMode("append").start()
+    try {
+      // batch 0: null before any value stays null; fill within batch
+      mem.addData((1L, ts(0), None), (1L, ts(1), Some(5.0)),
+        (1L, ts(2), None))
+      q.processAllAvailable()
+      // batch 1: state carries 5.0 across the batch boundary; user 2
+      // has its own state
+      mem.addData((1L, ts(3), None), (2L, ts(3), None),
+        (1L, ts(4), Some(7.0)), (1L, ts(5), None))
+      q.processAllAvailable()
+      val rows = spark.table("ff_out")
+        .as[(Long, Timestamp, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(rows((1L, ts(0))) == None)
+      assert(rows((1L, ts(2))) == Some(5.0))
+      assert(rows((1L, ts(3))) == Some(5.0)) // across batches
+      assert(rows((1L, ts(5))) == Some(7.0))
+      assert(rows((2L, ts(3))) == None)      // keys are isolated
+    } finally q.stop()
+  }
+
   test("sessionize (stateful streaming op) agrees with batch finalize") {
     // Drive the actual flatMapGroupsWithState op through a memory
     // stream — the same op a production readStream would run.
