@@ -66,7 +66,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(p => col("__m").getField(p).as(p)): _*)
   }
 }
