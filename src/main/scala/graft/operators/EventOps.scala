@@ -14,10 +14,13 @@ object EventOps {
   private val PeriodDays = Map("day" -> 1, "week" -> 7)
 
   /** Cohort retention matrix: users are cohorted by the `period`
-    * truncation of their FIRST event; cell (cohort, offset) counts the
-    * distinct cohort users active `offset` periods later. Output:
-    * (`cohort` timestamp, `offset` long, `n_users` long) — offset 0 is
-    * the cohort itself, so each cohort's offset-0 row is its size.
+    * ("day"/"week"/"month") truncation of their FIRST event; cell
+    * (cohort, offset) counts the distinct cohort users active `offset`
+    * periods later. Output: (`cohort` timestamp, `offset` long,
+    * `n_users` long) — offset 0 is the cohort itself, so each cohort's
+    * offset-0 row is its size. Day/week offsets are day-count
+    * quotients; month offsets are calendar month differences (both
+    * sides are month-truncated, so the difference is exact).
     *
     * Shuffle profile, in decreasing row count: (1) distinct over
     * (user, period) — map-side partial, collapses the event stream to
@@ -28,21 +31,24 @@ object EventOps {
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       period: String = "week"): DataFrame = {
-    val days = PeriodDays.getOrElse(period,
-      throw new IllegalArgumentException(
-        s"period must be one of ${PeriodDays.keys.mkString("/")}, got " +
-        period))
+    require(period == "month" || PeriodDays.contains(period),
+      s"period must be one of day/week/month, got $period")
     val active = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("u"),
         date_trunc(period, col(tsCol)).as("p"))
       .distinct()
+    val offsetExpr =
+      if (period == "month")
+        ((year(col("p")) - year(col("cohort"))) * 12 +
+          (month(col("p")) - month(col("cohort")))).cast("long")
+      else
+        (datediff(col("p"), col("cohort")) / PeriodDays(period))
+          .cast("long")
     val w = Window.partitionBy("u")
     active
       .withColumn("cohort", min("p").over(w))
-      .groupBy(col("cohort"),
-        (datediff(col("p"), col("cohort")) / days).cast("long")
-          .as("offset"))
+      .groupBy(col("cohort"), offsetExpr.as("offset"))
       .agg(count_distinct(col("u")).as("n_users"))
   }
 

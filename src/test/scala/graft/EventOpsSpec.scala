@@ -40,6 +40,19 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention month period uses calendar month offsets") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-15 10:00:00")),
+      (1L, Timestamp.valueOf("2024-03-02 10:00:00")), // +2 months
+      (2L, Timestamp.valueOf("2024-02-28 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(ev, "user_id", "ts", "month")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val jan = Timestamp.valueOf("2024-01-01 00:00:00")
+    val feb = Timestamp.valueOf("2024-02-01 00:00:00")
+    assert(out == Set((jan, 0L, 1L), (jan, 2L, 1L), (feb, 0L, 1L)))
+  }
+
   test("forwardFill carries last non-null per key; leading nulls stay") {
     val df = Seq(
       (1L, 1L, None),         (1L, 2L, Some(10.0)),
