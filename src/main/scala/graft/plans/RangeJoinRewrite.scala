@@ -51,12 +51,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case a: Attribute => Some(a)
       case _            => None
     }
-    // normalize each comparison to (smaller, larger)
+    // normalize each comparison to (smaller, larger); strict bounds
+    // are fine — an open interval is a subset of the closed one the
+    // chunks cover, and the original predicate re-checks exactly
     val pairs = cond match {
       case And(c1, c2) =>
         Seq(c1, c2).map {
           case GreaterThanOrEqual(a, b) => (attr(b), attr(a))
+          case GreaterThan(a, b)        => (attr(b), attr(a))
           case LessThanOrEqual(a, b)    => (attr(a), attr(b))
+          case LessThan(a, b)           => (attr(a), attr(b))
           case _                        => (None, None)
         }
       case _ => Seq.empty

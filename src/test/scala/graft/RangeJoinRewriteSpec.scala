@@ -59,6 +59,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.WidthKey)
   }
 
+  test("strict bounds rewrite too, with exact semantics preserved") {
+    RangeJoinRewrite.install(spark)
+    try {
+      spark.conf.set(RangeJoinRewrite.WidthKey, "2.0")
+      val df = pts.join(ivs,
+        col("x") > col("lo") && col("x") < col("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"strict miss:\n$plan")
+      val got = df.select("pid", "iid").as[(Long, Long)].collect().toSet
+      spark.conf.unset(RangeJoinRewrite.WidthKey)
+      val want = pts.join(ivs,
+        col("x") > col("lo") && col("x") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.unset(RangeJoinRewrite.WidthKey)
+  }
+
   test("point and bounds may swap sides") {
     RangeJoinRewrite.install(spark)
     try {
