@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: rewrite an inner join whose ONLY condition is a
   * range containment — `lo ≤ p AND p ≤ hi` with the point on one side
@@ -42,6 +42,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       if (w > 0) Some(w) else None
     } catch { case _: NumberFormatException => None }
 
+  /** chunkOf relies on a meaningful Cast-to-Double: numerics and
+    * timestamps (epoch seconds) qualify; strings cast to null (the
+    * equi-join would silently return empty — WRONG results) and dates
+    * produce an invalid post-analysis Cast. Anything else must be left
+    * to Spark's own planner.
+    */
+  private def chunkable(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case TimestampType  => true
+    case _              => false
+  }
+
+  /** All three columns must be chunkable AND of one family (all
+    * numeric or all timestamp) so their chunk ids share a scale.
+    */
+  private def typesOk(p: Attribute, lo: Attribute, hi: Attribute): Boolean = {
+    val ts = Seq(p, lo, hi).map(_.dataType)
+    ts.forall(chunkable) &&
+      (ts.forall(_.isInstanceOf[NumericType]) || ts.forall(_ == TimestampType))
+  }
+
   /** (point, lo, hi) when `cond` is exactly the containment pair with
     * point attributes on one child and both bounds on the other.
     */
@@ -75,7 +96,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         // the point is the LARGER of one comparison and the SMALLER of
         // the other: s1 <= p <= l2 (p = l1 = s2) or s2 <= p <= l1
         val cands = Seq((l1, s2, s1, l2), (l2, s1, s2, l1)).flatMap {
-          case (p1, p2, lo, hi) if p1.semanticEquals(p2) =>
+          case (p1, p2, lo, hi)
+              if p1.semanticEquals(p2) && typesOk(p1, lo, hi) =>
             (side(p1), side(lo), side(hi)) match {
               case (Some(ps), Some(ls), Some(hs))
                   if ls == hs && ps != ls => Some((p1, lo, hi))
