@@ -646,6 +646,17 @@ object SparkEntry {
       Dedup.minhashDupPairs(d, "doc_id", "text")
     }),
 
+    // ----- near-dup INCREMENT: persistent band index over the standing
+    // corpus (doc_id % 5 != 0), new batch matched against it without
+    // recomputing a single corpus signature
+    "q_neardup_increment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      BandIndex.build(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "graft_band_idx")
+      BandIndex.neardupIncrement(s, "graft_band_idx",
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    }),
+
     // ----- dedup cluster collapse: minhash pairs -> connected
     // components -> one representative per document (the key a
     // "keep one per cluster" delete actually uses)
@@ -876,6 +887,12 @@ object SparkEntry {
        SELECT doc_id, source, n_chars
        FROM np ANTI JOIN known USING (fp)
        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""",
+
+    // full recompute over corpus∪batch, restricted to batch-touching
+    // pairs — exactly what the incremental index must reproduce
+    "q_neardup_increment" ->
+      s"""SELECT id_a, id_b, est_jaccard FROM ($minhashOracle)
+         WHERE id_a % 5 = 0 OR id_b % 5 = 0""",
 
     "q_substring_rep" -> substringRepOracle,
     "q_substring_scrub" -> substringScrubOracle,

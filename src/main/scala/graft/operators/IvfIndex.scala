@@ -38,6 +38,8 @@ object IvfIndex {
       nCentroids, kmeansIters)
     val spark = corpus.sparkSession
     import spark.implicits._
+    Seq(table, s"${table}_centroids")
+      .foreach(Warehouse.dropManaged(spark, _))
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("list_id", "vec")
       .write.mode("overwrite").format("parquet")
