@@ -654,9 +654,11 @@ final case class WordGramHashes(
   * compress far below natural prose, catching repetition that n-gram
   * signals at a fixed n miss. Deterministic for a given JVM zlib;
   * NOT engine-portable (no SQL oracle), so it ships spec-verified
-  * like the other engine-internal ops. Empty and whitespace-only
-  * documents report 1.0 (no evidence of redundancy, not a divide by
-  * zero).
+  * like the other engine-internal ops. Only byte-EMPTY documents
+  * report 1.0 (no evidence of redundancy, not a divide by zero); any
+  * non-empty input — including whitespace-only — is genuinely
+  * deflated, and very short inputs report ratios above 1.0 from
+  * stream overhead (an honest "incompressible" signal, not an error).
   */
 final case class CompressionRatio(child: Expression)
     extends UnaryExpression with CodegenFallback {

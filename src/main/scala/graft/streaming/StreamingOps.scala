@@ -96,14 +96,40 @@ object StreamingOps {
             val times = rows.map(_._2.getTime).toSeq.sorted
             var st = state.getOption
             val out = Seq.newBuilder[SessionOut]
-            times.foreach { t =>
+            // stragglers more than gapMs BEFORE the open session's start
+            // can never belong to it (merging would stretch the session
+            // start arbitrarily backward): sessionize them among
+            // themselves and emit closed — their gap to the open session
+            // exceeds gapMs by construction. Ancient stragglers split
+            // across micro-batches cannot merge with each other (the
+            // arrival-order streaming contract).
+            val (ancient, current) = st match {
+              case Some(s) => times.partition(_ < s.start - gapMs)
+              case None    => (Seq.empty[Long], times)
+            }
+            var past: Option[SessionState] = None
+            ancient.foreach { t =>
+              past match {
+                case Some(p) if t - p.last <= gapMs =>
+                  past = Some(p.copy(last = t, n = p.n + 1))
+                case Some(p) =>
+                  out += SessionOut(user, new Timestamp(p.start),
+                    new Timestamp(p.last), p.n)
+                  past = Some(SessionState(t, t, 1))
+                case None => past = Some(SessionState(t, t, 1))
+              }
+            }
+            past.foreach(p => out += SessionOut(user,
+              new Timestamp(p.start), new Timestamp(p.last), p.n))
+            current.foreach { t =>
               st match {
                 case Some(s) if t - s.last <= gapMs =>
                   // admitted out-of-order events (lateness > 0) must not
                   // move the session end BACKWARDS (the event-time timeout
                   // is registered at last+gap — a shrunken `last` would
-                  // flush the session early); pre-start stragglers extend
-                  // the session start instead
+                  // flush the session early); stragglers within gapMs of
+                  // the start extend the session start instead (anything
+                  // older was split off above)
                   st = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
@@ -129,38 +155,62 @@ object StreamingOps {
 
   /** Streaming forward-fill (LOCF): each key's nulls take the most
     * recent non-null value seen so far — state per key is ONE double,
-    * never history (8 bytes/key: state grows with key CARDINALITY
-    * only, so no timeout eviction is installed — a timeout would
-    * silently reset fills for quiet keys, which is worse than the
-    * memory it saves; bound pathological key spaces upstream). Within
-    * a micro-batch, rows fill in event-time order; ACROSS batches,
-    * fills follow arrival order (an out-of-order straggler arriving
-    * after a later batch cannot retroactively fill it — the inherent
-    * streaming-LOCF contract; the batch
+    * never history, so state grows with key CARDINALITY only. For an
+    * unbounded key universe (doc ids, session ids) even 8 bytes/key
+    * grows forever: set `idleTtlMs` > 0 to install watermark-driven
+    * eviction — a key idle past the TTL (by EVENT time) has its state
+    * removed, and a later event for it restarts LOCF cold (its leading
+    * nulls stay null — eviction trades exactly that for the bound;
+    * with the default 0 nothing ever evicts and fills never reset).
+    * `lateness` is the watermark delay used when eviction is on.
+    *
+    * Within a micro-batch, rows fill in event-time order; ACROSS
+    * batches, fills follow arrival order (an out-of-order straggler
+    * arriving after a later batch cannot retroactively fill it — the
+    * inherent streaming-LOCF contract; the batch
     * [[graft.operators.EventOps.forwardFill]] is the exact
     * whole-history form).
     */
-  def forwardFillStream(spark: SparkSession, events: DataFrame)
+  def forwardFillStream(spark: SparkSession, events: DataFrame,
+      idleTtlMs: Long = 0L, lateness: String = "0 seconds")
       : Dataset[FillOut] = {
     import spark.implicits._
-    val typed = events
+    // event-time timeouts are watermark-driven: only available (and
+    // only meaningful) on a streaming frame
+    val evict = idleTtlMs > 0 && events.isStreaming
+    val projected = events
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("value").cast("double").as("value"))
-      .as[(Long, Timestamp, Option[Double])]
+    val typed = (if (evict) projected.withWatermark("ts", lateness)
+      else projected).as[(Long, Timestamp, Option[Double])]
+    val timeoutConf = if (evict) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[(Long, Timestamp, Option[Double])],
             state: GroupState[FillState]) => {
-          val sorted = rows.toSeq.sortBy(_._2.getTime)
-          var last = state.getOption.map(_.last)
-          val out = sorted.map { case (_, ts, v) =>
-            last = v.orElse(last)
-            FillOut(user, ts, last.map(Double.box).orNull)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the 8 bytes; the key restarts
+            // cold on its next event
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var last = state.getOption.map(_.last)
+            val out = sorted.map { case (_, ts, v) =>
+              last = v.orElse(last)
+              FillOut(user, ts, last.map(Double.box).orNull)
+            }
+            last.foreach(l => state.update(FillState(l)))
+            if (evict && state.exists)
+              // never earlier than the current watermark (an admitted
+              // straggler's ts + TTL could already be behind it)
+              state.setTimeoutTimestamp(math.max(
+                sorted.last._2.getTime + idleTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          last.foreach(l => state.update(FillState(l)))
-          out.iterator
         })
   }
 

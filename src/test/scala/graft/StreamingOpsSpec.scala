@@ -143,6 +143,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forwardFillStream TTL evicts idle keys and restarts them cold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Option[Double])]
+    val filled = StreamingOps.forwardFillStream(spark,
+      mem.toDF().toDF("user_id", "ts", "value"),
+      idleTtlMs = 10 * 60 * 1000)
+    val q = filled.writeStream.format("memory").queryName("ffttl_out")
+      .outputMode("append").start()
+    try {
+      // both keys store a value; both hold state
+      mem.addData((1L, ts(0), Some(1.0)), (2L, ts(0), Some(2.0)))
+      q.processAllAvailable()
+      // key 1 stays active far past key 2's TTL; end-of-batch watermark
+      // moves to 10:40, beyond key 2's 10:10 timeout
+      mem.addData((1L, ts(40), Some(3.0)))
+      q.processAllAvailable()
+      // next batch processes the expired timeout: key 2's state drops
+      mem.addData((1L, ts(41), None))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).lastOption
+      assert(stateRows.contains(1L),
+        s"expected 1 state row after eviction, got $stateRows")
+      // key 2 restarts cold: its next null has no memory of 2.0
+      mem.addData((2L, ts(42), None))
+      q.processAllAvailable()
+      val rows = spark.table("ffttl_out")
+        .as[(Long, Timestamp, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(rows((1L, ts(41))) == Some(3.0)) // active key unaffected
+      assert(rows((2L, ts(42))) == None)      // evicted: cold restart
+    } finally q.stop()
+  }
+
   test("sessionize (stateful streaming op) agrees with batch finalize") {
     // Drive the actual flatMapGroupsWithState op through a memory
     // stream — the same op a production readStream would run.
@@ -192,6 +228,43 @@ class StreamingOpsSpec extends SparkSpec {
         .as[(Long, Timestamp, Timestamp, Long)].collect()
         .filter(_._1 == 1L)
       assert(flushed.toSeq == Seq((1L, ts(8), ts(12), 3L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: ancient stragglers form their own closed session " +
+      "instead of stretching the open one backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingOps.sessionize(spark,
+      mem.toDF().toDF("user_id", "ts"), gapMs = 5 * 60 * 1000,
+      lateness = "2 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("anc_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(30)), (1L, ts(31))) // open session 10:30-10:31
+      q.processAllAvailable()
+      // two stragglers > gapMs before the session start, within gap of
+      // each other: ONE closed session (10:08, 10:10, 2), open session
+      // untouched
+      mem.addData((1L, ts(8)), (1L, ts(10)))
+      q.processAllAvailable()
+      val early = spark.table("anc_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(early.toSeq == Seq((1L, ts(8), ts(10), 2L)))
+      // watermark advance flushes the open session with its ORIGINAL
+      // start — not one stretched back to 10:08
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:31:00")))
+      q.processAllAvailable()
+      val all = spark.table("anc_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 == 1L).toSet
+      assert(all == Set((1L, ts(8), ts(10), 2L),
+        (1L, ts(30), ts(31), 2L)))
     } finally q.stop()
   }
 
