@@ -33,11 +33,18 @@ object ColumnStats {
     */
   private def cumulativeCounts(df: DataFrame, valueCol: String)
       : (DataFrame, Long) = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("v"))
-    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
+    cumulativeFromCounts(vals.groupBy("v").agg(count(lit(1)).as("c")))
+  }
+
+  /** The range-partitioned cumulative over a PRE-AGGREGATED (`v`, `c`)
+    * value-count frame — see [[cumulativeCounts]] for the shape.
+    */
+  private def cumulativeFromCounts(counts: DataFrame)
+      : (DataFrame, Long) = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val local = counts
       .repartitionByRange(parts, col("v"))
@@ -84,9 +91,15 @@ object ColumnStats {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantile points must be in [0, 1]")
-    val spark = df.sparkSession
-    import spark.implicits._
     val (cum, totalN) = cumulativeCounts(df, valueCol)
+    quantilesFromCumulative(cum, totalN, ps)
+  }
+
+  /** Rank lookups + interpolation over a prepared cumulative frame. */
+  private def quantilesFromCumulative(cum: DataFrame, totalN: Long,
+      ps: Seq[Double]): DataFrame = {
+    val spark = cum.sparkSession
+    import spark.implicits._
     // rank r = p*(n-1); straddling order statistics at floor/ceil(r)
     val ranked = ps.toDF("p")
       .withColumn("n", lit(totalN))
@@ -108,28 +121,50 @@ object ColumnStats {
   }
 
   /** Exact interpolated quantiles PER GROUP — same rank/interpolation
-    * arithmetic as [[exactQuantiles]], but the cumulative window runs
-    * PARTITIONED BY the group, so it is scale-safe by construction
-    * (each group's distinct values cumulate inside that group's
-    * partition; a pathological single giant group degrades to that
-    * group's distinct count, like any per-group operator). Output one
-    * row per (group, p): (groupCol, `p`, `quantile`, `n`).
+    * arithmetic as [[exactQuantiles]], with the cumulative window
+    * PARTITIONED BY the group (each group's distinct values cumulate
+    * inside that group's partition). A group whose DISTINCT count
+    * exceeds `maxGroupDistinct` would re-create the single-task sort
+    * the global path eliminated — such giant groups are detected from
+    * the value-count frame (exact, no extra scan of the data) and
+    * REROUTED through the range-partitioned global path, one
+    * distributed chain per giant group (there can be at most
+    * |distinct values| / maxGroupDistinct of them, so the driver loop
+    * is bounded). Output one row per (group, p):
+    * (groupCol, `p`, `quantile`, `n`).
     */
   def groupedExactQuantiles(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[Double]): DataFrame = {
+      valueCol: String, ps: Seq[Double],
+      maxGroupDistinct: Long = 2000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantile points must be in [0, 1]")
+    require(maxGroupDistinct > 0, "maxGroupDistinct must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
+    // materialized once: referenced by the giant-group probe, both
+    // rank joins and any rerouted chains
     val counts = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val giants = counts.groupBy("g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxGroupDistinct)
+      .select("g").as[String].collect().toSeq
+    val grouped = if (giants.isEmpty) counts
+      else counts.filter(!col("g").isin(giants: _*))
+    val rerouted = giants.map { gv =>
+      val (cumG, nG) = cumulativeFromCounts(
+        counts.filter(col("g") === gv).select("v", "c"))
+      quantilesFromCumulative(cumG, nG, ps)
+        .select(lit(gv).as(groupCol), col("p"), col("quantile"),
+          col("n"))
+    }
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialized once: referenced by both rank joins
-    val cum = counts.withColumn("cum", sum("c").over(w))
+    // pinned too: the window runs once, not once per rank join
+    val cum = grouped.withColumn("cum", sum("c").over(w))
       .withColumn("lo_rank", col("cum") - col("c"))
       .localCheckpoint()
     val ns = cum.groupBy("g").agg(sum("c").as("n"))
@@ -149,10 +184,11 @@ object ColumnStats {
         col("cum").as("cum2")),
         col("g") === col("g2") && col("lr2") <= col("ri_hi") &&
           col("ri_hi") < col("cum2"))
-    both.select(col("g").as(groupCol), col("p"),
+    val windowed = both.select(col("g").as(groupCol), col("p"),
       (col("v_lo") + (col("v_hi") - col("v_lo")) *
         (col("r") - col("ri_lo").cast("double"))).as("quantile"),
       col("n"))
+    rerouted.foldLeft(windowed)(_ unionByName _)
   }
 
   /** Approximate quantiles for KEY-LIKE columns (billions of distinct

@@ -88,17 +88,30 @@ object EventOps {
     *
     * `tsCol` may be any orderable type; pass epoch micros for
     * engine-portable comparisons.
+    *
+    * `maxEventsPerUser` (0 = unlimited) bounds each user's per-step
+    * array to that step's EARLIEST `maxEventsPerUser` times, applied
+    * inside the aggregation — a bot user with 10M events then holds
+    * `steps × cap` entries instead of 10M and cannot OOM an executor.
+    * The greedy takes earliest valid times, so a cap only changes the
+    * answer for a user whose completion needs an event beyond their
+    * step's cap-earliest (deep alternation) — set it comfortably above
+    * the funnel depth.
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String,
-      tsCol: String, typeCol: String = "event_type"): DataFrame = {
+      tsCol: String, typeCol: String = "event_type",
+      maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "funnel steps must be distinct")
     val spark = events.sparkSession
     import spark.implicits._
     val aggs = steps.zipWithIndex.map { case (s, i) =>
-      sort_array(collect_list(
-        when(col(typeCol) === s, col(tsCol)))).as(s"__a$i")
+      val sorted = sort_array(collect_list(
+        when(col(typeCol) === s, col(tsCol))))
+      val capped = if (maxEventsPerUser > 0)
+        slice(sorted, 1, maxEventsPerUser) else sorted
+      capped.as(s"__a$i")
     }
     val perUser = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)

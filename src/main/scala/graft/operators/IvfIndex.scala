@@ -50,20 +50,45 @@ object IvfIndex {
       .saveAsTable(table)
   }
 
-  /** Top-`k` neighbors per query row over a built index. Probed list
-    * ids are collected first (bounded by nCentroids — the hard cap on
-    * distinct lists) and pushed into the scan filter, so bucket
-    * pruning skips every unprobed list's files. Queries broadcast;
-    * output matches [[Similarity.ivfTopK]] exactly for the same
-    * parameters: (query_id, neighbor_id, cosine, rank).
+  /** Open a built index for repeated serving: the centroid table is
+    * collected ONCE here (≤ nCentroids rows), so each query batch then
+    * costs exactly ONE driver action (its probed-list union — that one
+    * genuinely depends on the batch's vectors, so it cannot move to
+    * open time) before the result plan itself runs.
     */
-  def query(spark: SparkSession, table: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 4)
-      : DataFrame = {
+  def reader(spark: SparkSession, table: String): IvfReader = {
     import spark.implicits._
     val cents: Array[Seq[Long]] = spark.table(s"${table}_centroids")
       .orderBy("list_id").select("vec")
       .as[Seq[Long]].collect().map(x => x: Seq[Long])
+    new IvfReader(spark, table, cents)
+  }
+
+  /** One-shot form: open + one batch (two driver actions). Serving
+    * loops should hold a [[reader]] instead.
+    */
+  def query(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4)
+      : DataFrame =
+    reader(spark, table).query(queries, idCol, vecCol, k, nProbe)
+}
+
+/** Serving handle over a built [[IvfIndex]]: centroids pinned on the
+  * driver, one action per query batch. Output matches
+  * [[Similarity.ivfTopK]] exactly for the same parameters:
+  * (query_id, neighbor_id, cosine, rank).
+  */
+final class IvfReader private[operators] (spark: SparkSession,
+    table: String, cents: Array[Seq[Long]]) {
+  import spark.implicits._
+
+  /** Top-`k` neighbors per query row. Probed list ids are collected
+    * (bounded by nCentroids — the hard cap on distinct lists) and
+    * pushed into the scan filter, so bucket pruning skips every
+    * unprobed list's files. Queries broadcast.
+    */
+  def query(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
     val qq = queries.select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("__qv"))
       .withColumn("__qn", dotQ(col("__qv"), col("__qv")))

@@ -111,6 +111,51 @@ class ColumnStatsSpec extends SparkSpec {
         Set("a", "b"))
   }
 
+  test("giant group reroutes to the range-partitioned path and is " +
+      "excluded from every window stage") {
+    // group "big" holds ~99% of the distinct values; with the
+    // threshold below its distinct count it must flow through the
+    // global range-partitioned chain, never a per-group window task
+    val big   = (1 to 5000).map(i => ("big", i / 7.0))
+    val small = (1 to 40).map(i => ("small", i * 1.0))
+    val df = (big ++ small).toDF("g", "x").repartition(8)
+    val want = ColumnStats
+      .groupedExactQuantiles(df, "g", "x", Seq(0.1, 0.5, 0.9))
+      .as[(String, Double, Double, Long)].collect().toSet
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = ColumnStats
+        .groupedExactQuantiles(df, "g", "x", Seq(0.1, 0.5, 0.9),
+          maxGroupDistinct = 100L)
+        .as[(String, Double, Double, Long)].collect().toSet
+      assert(got == want) // reroute must not change a single bit
+      var seen = -1
+      while (plans.size != seen) { seen = plans.size; Thread.sleep(500) }
+      val all = plans.toArray(Array.empty[String]).toSeq
+      // the rerouted chain ran distributed (range partitioning) ...
+      assert(all.exists(_.contains("rangepartitioning")),
+        "no range-partitioned chain executed for the giant group")
+      // ... and no window stage ever saw the giant group: every plan
+      // with a group window also carries the NOT-IN(big) filter
+      val windowed = all.filter(_.contains("WindowGroupLimit")) ++
+        all.filter(p => p.contains("Window") && p.contains("lo_rank"))
+      windowed.foreach { p =>
+        assert(p.contains("NOT") && p.contains("big"),
+          s"window stage without the giant-group exclusion:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("groupedDescribe: one exact row per (group, column)") {
     val df = Seq(
       ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 60.0),

@@ -107,6 +107,33 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq((0, "A", 0L), (1, "B", 0L)))
   }
 
+  test("funnel: maxEventsPerUser bounds a pathological user's arrays " +
+      "without changing sane answers") {
+    val bot = (1 to 5000).map(i => (9L, "A", i.toLong)) ++
+      Seq((9L, "B", 6000L)) ++
+      Seq((1L, "A", 10L), (1L, "B", 20L))
+    val ev = bot.toDF("user_id", "event_type", "tsu")
+    val unlimited = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // cap 100: bot keeps its 100 earliest A times — earliest-valid
+    // greedy only ever needed the first one, so counts are unchanged
+    val capped = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu",
+      maxEventsPerUser = 100)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(capped == unlimited)
+    assert(capped == Seq((0, "A", 2L), (1, "B", 2L)))
+    // the documented trade: a completion whose qualifying event lies
+    // beyond the step's cap-earliest times is missed (B must be after
+    // A at 5; the only such B, at 10, is B's 3rd-earliest but cap = 2)
+    val deep = Seq((1L, "A", 5L), (1L, "B", 1L), (1L, "B", 2L),
+      (1L, "B", 10L)).toDF("user_id", "event_type", "tsu")
+    def run(cap: Int) = EventOps.funnel(deep, Seq("A", "B"), "user_id",
+      "tsu", maxEventsPerUser = cap)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(0) == Seq((0, "A", 1L), (1, "B", 1L)))
+    assert(run(2) == Seq((0, "A", 1L), (1, "B", 0L)))
+  }
+
   test("funnel reads events once: single shuffle, no joins") {
     val ev = Seq((1L, "A", 1L)).toDF("user_id", "event_type", "tsu")
     val plan = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")

@@ -42,6 +42,59 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("a held reader costs one driver action per query batch") {
+    val corpus  = randomVecs(300, 6, seed = 5)
+    val queries = corpus.filter(col("vec_id") % 57 === 0)
+    val t = "ivf_spec_reader"
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t,
+        nCentroids = 4, buckets = 4)
+      val r = IvfIndex.reader(spark, t)
+      // count ACTIONS (query executions), not Spark jobs — AQE splits
+      // one action into a job per materialized stage
+      def actionsDuring(body: => Unit): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = n.incrementAndGet()
+          override def onFailure(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+        spark.listenerManager.register(l)
+        try {
+          body
+          var seen = -1
+          while (n.get != seen) { seen = n.get; Thread.sleep(300) }
+          seen
+        } finally spark.listenerManager.unregister(l)
+      }
+      // building the batch plan runs exactly the probed-list action
+      val viaReader = actionsDuring {
+        r.query(queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      }
+      assert(viaReader == 1, s"reader.query ran $viaReader actions")
+      // the one-shot form pays the centroid readback every call
+      val oneShot = actionsDuring {
+        IvfIndex.query(spark, t, queries, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+      }
+      assert(oneShot == 2, s"one-shot query ran $oneShot actions")
+      // and the reader answers identically to the one-shot path
+      val a = r.query(queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val b = IvfIndex.query(spark, t, queries, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(a == b && a.nonEmpty)
+    } finally Seq(t, s"${t}_centroids").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+    }
+  }
+
   test("rebuilding over the same corpus is deterministic") {
     val corpus = randomVecs(200, 6, seed = 9)
     val (t1, t2) = ("ivf_spec_a", "ivf_spec_b")
