@@ -79,4 +79,61 @@ class AsofJoinSpec extends SparkSpec {
       assert(got(id) == want, s"id=$id u=$u t=$t")
     }
   }
+
+  test("left frames using internal working column names are rejected") {
+    val bad = clicks.withColumnRenamed("t", "__ts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(bad, purchases, Seq("u"), "__ts", "pt",
+        Seq("amount"))
+    }
+    assert(e.getMessage.contains("internal working columns"))
+  }
+
+  test("range-split matches the classic path on a single hot key " +
+      "and spreads it over multiple tasks") {
+    val rnd = new scala.util.Random(11)
+    // ONE key owns every row — the classic path serializes this into a
+    // single window task
+    val l = (1 to 2000).map(i =>
+      (i.toLong, 7L, rnd.nextInt(500).toLong))
+    val r = (1 to 400).map(i => (7L, rnd.nextInt(500).toLong, i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val ld = l.toDF("id", "u", "t").repartition(8)
+    val rd = r.toDF("u", "pt", "v").repartition(8)
+    val classic = AsofJoin.asof(ld, rd, Seq("u"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val split = AsofJoin.asof(ld, rd, Seq("u"), "t", "pt", Seq("v"),
+      splitParts = 8)
+    val splitRows = split.select("id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(splitRows == classic)
+    // the hot key's rows must flow through more than one task: the
+    // local-carry window partitions by range id, and the result keeps
+    // that partitioning through the narrow finishing ops
+    val nParts = split
+      .withColumn("__part", spark_partition_id())
+      .select("__part").distinct().count()
+    assert(nParts > 1, s"hot key still serialized: $nParts partition(s)")
+  }
+
+  test("range-split agrees with classic on multi-key random data " +
+      "(cross-partition carry, strict and non-strict)") {
+    val rnd = new scala.util.Random(23)
+    val l = (1 to 1500).map(i =>
+      (i.toLong, (rnd.nextInt(3) + 1).toLong, rnd.nextInt(400).toLong))
+    val r = (1 to 300).map(i =>
+      ((rnd.nextInt(3) + 1).toLong, rnd.nextInt(400).toLong, i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val ld = l.toDF("id", "u", "t").repartition(5)
+    val rd = r.toDF("u", "pt", "v").repartition(5)
+    for (strict <- Seq(false, true)) {
+      val classic = AsofJoin.asof(ld, rd, Seq("u"), "t", "pt",
+          Seq("v"), strict = strict)
+        .select("id", "v").as[(Long, Option[Double])].collect().toMap
+      val split = AsofJoin.asof(ld, rd, Seq("u"), "t", "pt",
+          Seq("v"), strict = strict, splitParts = 7)
+        .select("id", "v").as[(Long, Option[Double])].collect().toMap
+      assert(split == classic, s"strict=$strict")
+    }
+  }
 }
