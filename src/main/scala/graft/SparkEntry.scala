@@ -496,7 +496,9 @@ object SparkEntry {
         lit(" and http://ads"), col("doc_id") % 3,
         lit(".example.net/x"),
         lit(" plus https://shop.brand"), col("doc_id") % 5,
-        lit(".co.uk/p")) // exercises the public-suffix path
+        lit(".co.uk/p"), // exercises the 2-label public-suffix path
+        lit(" or https://www.dist"), col("doc_id") % 4,
+        lit(".k12.ca.us/home")) // 3-label suffix: registers at label 4
       d.select(col("doc_id"),
           posexplode(T.urlDomains(withUrls))
             .as(Seq("url_idx", "domain")))
@@ -1572,6 +1574,8 @@ object SparkEntry {
       .replace("'", "''")
     val psl = graft.functions.TextFunctions.MultiPartSuffixes
       .map("'" + _ + "'").mkString(", ")
+    val psl3 = graft.functions.TextFunctions.ThreePartSuffixes
+      .map("'" + _ + "'").mkString(", ")
     s"""WITH u AS (SELECT doc_id, regexp_extract_all(
          text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
            || '.site' || CAST(doc_id % 13 AS VARCHAR)
@@ -1579,7 +1583,9 @@ object SparkEntry {
            || ' and http://ads' || CAST(doc_id % 3 AS VARCHAR)
            || '.example.net/x'
            || ' plus https://shop.brand' || CAST(doc_id % 5 AS VARCHAR)
-           || '.co.uk/p',
+           || '.co.uk/p'
+           || ' or https://www.dist' || CAST(doc_id % 4 AS VARCHAR)
+           || '.k12.ca.us/home',
          '$pat') AS urls FROM documents),
        e AS (SELECT doc_id, UNNEST(list_transform(
            generate_series(1, len(urls)),
@@ -1592,6 +1598,9 @@ object SparkEntry {
          string_split(host, '.') AS parts FROM h),
        d AS (SELECT doc_id, url_idx,
          CASE WHEN len(parts) <= 2 THEN host
+              WHEN array_to_string(parts[-3:], '.') IN ($psl3)
+                AND len(parts) >= 4
+                THEN array_to_string(parts[-4:], '.')
               WHEN array_to_string(parts[-2:], '.') IN ($psl)
                 THEN array_to_string(parts[-3:], '.')
               ELSE array_to_string(parts[-2:], '.')

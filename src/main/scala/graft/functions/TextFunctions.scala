@@ -191,52 +191,51 @@ object TextFunctions {
   def extractUrls(c: Column): Column =
     regexp_extract_all(c, lit(UrlPattern), lit(0))
 
-  /** Multi-label public suffixes (curated subset of the Mozilla Public
-    * Suffix List's highest-traffic ccTLD families). A host whose last
+  /** Multi-label public suffixes, loaded from the bundled snapshot
+    * resource (`graft/public_suffixes.txt` — curated from the public
+    * Mozilla Public Suffix List's ICANN section; the file documents
+    * what an offline build can and cannot carry). A host whose last
     * TWO labels are one of these registers at the THIRD label:
     * "shop.brand.co.uk" → "brand.co.uk", never "co.uk" — a last-2
     * reduction would collapse every UK/AU/JP site onto one blocklist
-    * key. Small by design: it rides into the expression as a literal
-    * in-set (effectively broadcast), no join, no UDF. Callers with a
-    * full PSL snapshot pass it to [[registrableDomain]] directly.
+    * key. The set rides into the expression as a literal in-set
+    * (effectively broadcast), no join, no UDF. Callers with a newer
+    * snapshot pass their own lists to [[registrableDomain]] directly.
     */
-  val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.nz", "net.nz", "org.nz", "govt.nz",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
-    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
-    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
-    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
-    "co.za", "org.za", "net.za", "gov.za", "ac.za",
-    "com.ar", "net.ar", "org.ar", "gob.ar",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il",
-    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
-    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
-    "co.th", "or.th", "ac.th", "go.th",
-    "com.my", "org.my", "net.my", "gov.my", "edu.my",
-    "co.id", "or.id", "ac.id", "go.id", "web.id",
-    "com.ua", "org.ua", "net.ua", "gov.ua", "edu.ua",
-    "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl",
-    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
-    "com.ph", "org.ph", "net.ph", "gov.ph", "edu.ph")
+  lazy val PublicSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffixes.txt")
+    require(in != null, "graft/public_suffixes.txt resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toVector
+    finally in.close()
+  }
+
+  /** Two-label public suffixes (co.uk-class). */
+  lazy val MultiPartSuffixes: Seq[String] =
+    PublicSuffixes.filter(_.count(_ == '.') == 1)
+
+  /** Three-label public suffixes (k12.ca.us-class). */
+  lazy val ThreePartSuffixes: Seq[String] =
+    PublicSuffixes.filter(_.count(_ == '.') == 2)
 
   /** Public-suffix-aware registrable domain of a (lowercased) host:
     * last two labels normally, last THREE when the last two are a
-    * multi-label public suffix. Pure codegen'd expression — the suffix
-    * set is a literal in-set probe.
+    * multi-label public suffix, last FOUR when the last three are —
+    * longest-match-first, like the PSL algorithm. Pure codegen'd
+    * expression — the suffix sets are literal in-set probes.
     */
   def registrableDomain(host: Column,
-      suffixes: Seq[String] = MultiPartSuffixes): Column = {
+      suffixes: Seq[String] = MultiPartSuffixes,
+      suffixes3: Seq[String] = ThreePartSuffixes): Column = {
     val parts = split(host, "\\.")
     val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
     when(size(parts) <= 2, host)
+      .when(last3.isin(suffixes3.map(lit): _*) && size(parts) >= 4,
+        concat_ws(".", slice(parts, -4, 4)))
       .when(last2.isin(suffixes.map(lit): _*) && size(parts) >= 3,
-        concat_ws(".", slice(parts, -3, 3)))
+        last3)
       .otherwise(last2)
   }
 

@@ -82,7 +82,10 @@ class TextFunctionsSpec extends SparkSpec {
       "no urls at all here",
       // public-suffix path: co.uk registers at the THIRD label
       "uk https://shop.brand.co.uk/p and https://bbc.co.uk/news",
-      "au http://www.example.com.au:8080/x").toDF("t")
+      "au http://www.example.com.au:8080/x",
+      // 3-label suffixes: k12.ca.us registers at the FOURTH label
+      "us https://www.district.k12.ca.us/home and http://k12.ca.us/x",
+      "au3 https://www.school.nsw.edu.au/enrol").toDF("t")
     val got = df.select(T.urlDomains(col("t"))).as[Seq[String]]
       .collect()
     assert(got(0) == Seq("example.com", "foo.org"))
@@ -90,6 +93,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == Seq.empty)
     assert(got(3) == Seq("brand.co.uk", "bbc.co.uk"))
     assert(got(4) == Seq("example.com.au"))
+    assert(got(5) == Seq("district.k12.ca.us", "k12.ca.us"))
+    assert(got(6) == Seq("school.nsw.edu.au"))
+    // snapshot resource loaded and well-formed
+    assert(T.MultiPartSuffixes.size > 500 &&
+      T.ThreePartSuffixes.size > 100)
+    assert(T.PublicSuffixes.forall(s =>
+      s.count(_ == '.') >= 1 && s.count(_ == '.') <= 2))
   }
 
   test("redactPii masks emails, IPv4s and phone runs, in order") {
