@@ -37,7 +37,7 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          Some(name -> times.min)
+          Some(name -> times)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -45,12 +45,29 @@ object Bench {
             None
         }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
+    // per-rep timings: lets a reader separate plan cost (stable min)
+    // from scheduler/environment contention (wild rep spread)
+    val rs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = failures.result()
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.min).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"failed":$fs,"sf":"$sfDir"}"""
+    println(line)
+    // the artifact must survive log-tail truncation: also write it to a
+    // file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the cwd)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
