@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * evidence that no stage hides super-linear behavior that small-SF
   * correctness runs can't see.
   *
-  * The replicas get distinct ids AND per-replica character
-  * translation of the text (a rotation of the most frequent letters —
-  * an appended marker is NOT enough: MinHash signatures survive a
-  * short suffix, every doc then has 10 near-copies, and candidate
-  * pairs grow ~100× BY CONSTRUCTION of the data). The translation
-  * preserves each replica's INTERNAL duplicate structure while making
-  * replicas mutually dissimilar, so the measurement isolates the
-  * OPERATOR's scaling, not the dataset's.
+  * The replicas get distinct ids AND a per-replica FULL-ALPHABET
+  * char rotation. A bijection on characters maps char-shingle sets
+  * bijectively, so every within-replica Jaccard is preserved EXACTLY
+  * — each replica contributes precisely the 1× pair structure. And a
+  * full rotation (k ≠ 0) fixes no letter, so cross-replica shingles
+  * coincide only by accident and the LSH verify kills those. The
+  * alternatives fail measurably: a whole-document marker leaves every
+  * doc with 10 near-copies (~100× pairs by construction); a rotation
+  * of only the 9 most frequent letters leaves 17 letters' shingles
+  * intact and variance pushes thousands of cross-replica pairs past
+  * the verify threshold (measured: 63× pairs for 10× docs); a
+  * per-word suffix UNIFORMLY inflates within-replica similarity and
+  * explodes the base pair count itself (measured: 920× shuffle). The
+  * harness prints the pair count per scale so a contaminated
+  * construction is visible in the artifact, not inferred from ratios.
   *
   * Usage: `sbt "runMain graft.ScaleStress"` (env SPARK_GRAFT_SF_DIR
   * overrides the base dir). Writes the 10× set under
@@ -44,16 +51,43 @@ object ScaleStress {
     val stressDir = "stress_data"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1L
-    val alpha = "etaoinshr"
+    val abc = "abcdefghijklmnopqrstuvwxyz"
     (0 until 10).map { k =>
-      val rot = alpha.drop(k) + alpha.take(k)
       docs.withColumn("doc_id", col("doc_id") + lit(k * maxId))
-        .withColumn("text", concat(
-          translate(col("text"), alpha, rot),
-          lit(s" stressmarker$k end")))
+        .withColumn("text",
+          translate(col("text"), abc, abc.drop(k) + abc.take(k)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite")
       .parquet(s"$stressDir/documents.parquet")
+
+    // The pair structure does NOT replicate cleanly even though the
+    // bijection preserves every within-replica Jaccard EXACTLY: the
+    // synthetic corpus draws from a ~30-word vocabulary, so the char-
+    // shingle universe is tiny and shared — whichever permutations
+    // happen to hash a corpus-common shingle to the global minimum
+    // make EVERY document agree on those signature entries, and each
+    // rotation re-rolls that dice (measured per-replica pass counts:
+    // 513..62,182 on identical true-J structure; cross-replica pairs:
+    // exactly 0). That is a degeneracy of the synthetic data, not of
+    // the operator — so the linearity check below normalizes by the
+    // MEASURED pair inflation: clustering cost is linear in the
+    // (docs, pairs) input vector, and a linear operator satisfies
+    // S(10x) ≤ max(docs_ratio, pairs_ratio) · S(1x), while a
+    // quadratic pair stage would show ~pairs_ratio² and still trip.
+    val Seq(p1, p10) = Seq(sfDir, stressDir).map { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val np = graft.operators.Dedup
+        .minhashDupPairs(d, "doc_id", "text").count()
+      println(s"$dir docs=${d.count()} minhash_pairs=$np")
+      np
+    }
+    val pairRatio = p10.toDouble / math.max(p1, 1L)
+    // substring_scrub is gram-structured, not pair-structured: its
+    // driver replicates cleanly, so it keeps the plain 10x bound
+    val driverRatio = Map(
+      "q_dedup_clean" -> math.max(10.0, pairRatio),
+      "q_leakage_safe_split" -> math.max(10.0, pairRatio),
+      "q_substring_scrub" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate
@@ -73,6 +107,12 @@ object ScaleStress {
     def measure(name: String, dir: String): (Double, Long, Long) = {
       // warm the reader path so the first pipeline doesn't pay init
       spark.read.parquet(s"$dir/documents.parquet").count()
+      // warm the pipeline itself at 1x: JIT + codegen cache, so the
+      // measured 1x run isn't inflated relative to the 10x run that
+      // always executes after it (first-run effects once measured a
+      // 1x wall ABOVE the 10x wall)
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       written.set(0); read.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
@@ -93,13 +133,16 @@ object ScaleStress {
       val (w10, sw10, sr10) = measure(p, stressDir)
       println(f"$p%-22s    1x ${w1}%8.2f ${sw1}%12d ${sr1}%12d")
       println(f"$p%-22s   10x ${w10}%8.2f ${sw10}%12d ${sr10}%12d")
+      val dr = driverRatio(p)
       val ratio = f"wall ${w10 / w1}%.1fx  shufW ${
         sw10.toDouble / math.max(sw1, 1)}%.1fx  shufR ${
-        sr10.toDouble / math.max(sr1, 1)}%.1fx"
+        sr10.toDouble / math.max(sr1, 1)}%.1fx  (input-driver ${
+        dr}%.1fx)"
       println(s"$p RATIOS (10x data): $ratio")
-      (p, w10 / w1, sw10.toDouble / math.max(sw1, 1))
+      (p, w10 / w1, sw10.toDouble / math.max(sw1, 1), dr)
     }
-    val bad = rows.filter { case (_, w, s) => w > 20.0 || s > 15.0 }
+    val bad = rows.filter { case (_, w, s, dr) =>
+      w > 2.0 * dr || s > 1.5 * dr }
     if (bad.nonEmpty) {
       println(s"SUPER-LINEAR SUSPECTS: ${bad.map(_._1).mkString(", ")}")
       spark.stop(); sys.exit(1)

@@ -345,66 +345,92 @@ object Dedup {
     * under-delete transitive duplicates (a~b, b~c must drop TWO of
     * {a,b,c}, not one per pair).
     *
-    * Algorithm: iterative min-label propagation to a fixpoint —
-    * label(v) := min(label(v), min over neighbors' labels), converging
-    * in O(component diameter) rounds. Near-dup components are dense
-    * (bucket cliques), so diameters are small; `maxIter` bounds the
-    * worst case and the method fails loudly rather than return a
-    * half-merged labeling. Each round shuffles only (id, label) pairs.
-    * The label frame is `localCheckpoint`ed every round — iterative
-    * self-joins otherwise stack an exponentially growing lineage that
-    * kills the planner long before the data hurts.
+    * Algorithm: alternating large-star / small-star contraction (the
+    * MapReduce connected-components construction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * each round rewires every edge toward its neighborhood minimum,
+    * so components contract to min-rooted stars in O(log²) rounds
+    * REGARDLESS of diameter. One-hop min-label propagation (the
+    * obvious formulation, and what this method used first) needs
+    * O(diameter) rounds: fine for dense bucket cliques, fatal for the
+    * long near-dup CHAINS a crawl corpus actually contains — the 10×
+    * scale-stress harness found exactly that (a >20-hop component at
+    * 10× sf0.1). Per round only (id, id) edges shuffle — no per-node
+    * neighbor lists are ever collected, so a giant star (one doc
+    * near-dup'd a million times) is agg/join skew that AQE splits,
+    * never an executor OOM. `maxIter` bounds the rounds and the
+    * method fails loudly rather than return a half-merged labeling
+    * (2^20-diameter graphs do not occur). Every round's edge frame is
+    * `localCheckpoint`ed — iterative self-joins otherwise stack an
+    * exponentially growing lineage that kills the planner long before
+    * the data hurts.
     */
   def duplicateClusters(nodes: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs
-        .select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sc = nodes.sparkSession.sparkContext
+    // canonical undirected edge set (a < b), self-loops dropped
+    var e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // edges reused every round: cut the pair
-                         // operator's whole plan out of the loop
-    // only PAIR MEMBERS need propagation — on a typical corpus that is
-    // a tiny fraction of the nodes; everyone else is a singleton and
-    // labels itself without ever entering the loop. The init fuses
-    // propagation round 1 into the same exchange a distinct-ids pass
-    // would cost: label(v) = min(v, neighbors(v)) — bucket cliques
-    // (the common near-dup component) then converge at init and the
-    // loop runs only its one confirming round.
-    var labels = edges
-      .select(col("dst").as("id"), col("src").as("cluster_id"))
-      .unionByName(edges
-        .select(col("src").as("id"), col("src").as("cluster_id")))
-      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
-    val sc = nodes.sparkSession.sparkContext
     while (!converged && iter < maxIter) {
-      val nbr = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster_id")).as("__nbr_min"))
-      val joined = labels.join(nbr, Seq("id"))
-        .select(col("id"),
-          least(col("cluster_id"), col("__nbr_min")).as("cluster_id"),
-          (col("__nbr_min") < col("cluster_id")).as("__chg"))
+      val b = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      // per-node neighborhood min + the fixpoint test, in ONE agg:
+      // the graph is a min-rooted star forest (= converged) iff no
+      // node has both a smaller and a larger neighbor (large-star is
+      // then the identity) and no node has two smaller neighbors
+      // (small-star is then the identity).
+      val statsPlan = b.groupBy("u").agg(
+        min("v").as("__mn"),
+        ((min(col("v")) < col("u") && max(col("v")) > col("u")) ||
+          count(when(col("v") < col("u"), 1)) >= 2).as("__bad"))
       // convergence comes out of the SAME job that materializes the
-      // round: an accumulator fed by a pass-through map stage inside
-      // the checkpointed plan — one job per round, not checkpoint +
-      // isEmpty. Task retries can only inflate a NONZERO count (a
-      // retried no-change task re-adds 0), so `== 0` stays exact.
-      val changed = sc.longAccumulator(s"graft_cc_changed_$iter")
-      val counted = joined.mapPartitions { it =>
-        it.map { r => if (r.getBoolean(2)) changed.add(1L); r }
-      }(org.apache.spark.sql.Encoders.row(joined.schema))
-      labels = counted.drop("__chg").localCheckpoint() // eager
-      converged = changed.value == 0L
+      // stats: an accumulator fed by a pass-through map stage inside
+      // the checkpointed plan. Task retries can only inflate a
+      // NONZERO count (a retried stable partition re-adds 0), so
+      // `== 0` stays exact.
+      val unstable = sc.longAccumulator(s"graft_cc_unstable_$iter")
+      val stats = statsPlan.mapPartitions { it =>
+        it.map { r => if (r.getBoolean(2)) unstable.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(statsPlan.schema))
+        .localCheckpoint() // eager: fires the job, fills the counter
+      if (unstable.value == 0L) converged = true
+      else {
+        // large-star: every edge to a LARGER neighbor of u rewires to
+        // u's neighborhood min m ≤ u < v (canonical order free).
+        val ls = b.join(stats, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(least(col("__mn"), col("u")).as("a"),
+            col("v").as("b"))
+        // small-star on the large-star output: every SMALLER neighbor
+        // of u (and u itself) rewires to the min of that set.
+        val b2 = ls.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(ls.select(col("b").as("u"), col("a").as("v")))
+        val mins = b2.groupBy("u").agg(min("v").as("__mn"))
+        val ss = b2.join(mins, Seq("u"))
+          .filter(col("v") < col("u") && col("v") =!= col("__mn"))
+          .select(col("__mn").as("a"), col("v").as("b"))
+          .unionByName(mins.filter(col("__mn") < col("u"))
+            .select(col("__mn").as("a"), col("u").as("b")))
+        e = ss.distinct().localCheckpoint()
+      }
       iter += 1
     }
     require(converged,
       s"duplicateClusters did not converge in $maxIter rounds - " +
-      "component diameter exceeds the bound; raise maxIter")
+      "graph is adversarially deep for large-star/small-star; " +
+      "raise maxIter")
+    // converged edge set IS the answer: stars (root=component min,
+    // leaf) in canonical (a=root, b=leaf) order
+    val labels = e.select(col("b").as("id"), col("a").as("cluster_id"))
+      .unionByName(
+        e.select(col("a").as("id"), col("a").as("cluster_id")))
+      .distinct()
     val singletons = nodes.select(col(idCol).as("id"))
       .join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))

@@ -95,6 +95,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters converges on a deep path within the default " +
+      "round bound (large-star/small-star is O(log), not O(diameter))") {
+    // a 150-hop path: one-hop label propagation would need 150 rounds,
+    // far past the default maxIter=20 — star contraction closes it in
+    // a handful. This is the shape long near-dup chains take in a
+    // real crawl corpus; the 10x scale-stress harness hit it first.
+    val n = 150L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == n)
+    assert(out.values.forall(_ == 1L))
+  }
+
   test("duplicateClusters labeling is partitioning-invariant") {
     val nodes = (1L to 40L).toDF("id")
     val pairs = (1L to 39L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
