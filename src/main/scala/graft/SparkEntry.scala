@@ -691,6 +691,33 @@ object SparkEntry {
         .select("doc_id", "split")
     }),
 
+    // ----- cross-doc boilerplate removal: segments present in >= 50
+    // distinct docs (the planted footer hits every 3rd / 4th doc)
+    // vanish from ALL docs; text rebuilt in original order
+    "q_boilerplate_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"), concat(
+        regexp_replace(col("text"), " table ", "|"),
+        when(col("doc_id") % 3 === 0,
+          lit("|SUBSCRIBE NOW - weekly newsletter footer"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          lit("|(c) example corp - all rights reserved"))
+          .otherwise(lit(""))).as("t2"))
+      SegmentDedup.removeBoilerplate(planted, "doc_id", "t2", "|",
+        minDocs = 50L)
+    }),
+
+    // ----- corpus-wide keep-first segment dedup: only the globally
+    // first occurrence (by doc_id, then position) of each segment
+    // survives
+    "q_segment_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        regexp_replace(col("text"), " value ", "|").as("t2"))
+      SegmentDedup.dedupSegments(planted, "doc_id", "t2", "|")
+    }),
+
     // ----- deterministic train/val/test split by id hash (stable
     // across engines, partitionings and corpus growth)
     "q_det_split" -> ((s, dir) => {
@@ -1204,6 +1231,53 @@ object SparkEntry {
            ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id""",
 
     "q_det_split" -> detSplitOracle,
+
+    // same planted separators + footers; DF count over distinct
+    // (seg, doc) pairs; zipped unnests give (seg, 1-based pos)
+    "q_boilerplate_scrub" ->
+      """WITH m AS (SELECT doc_id,
+           replace(text, ' table ', '|')
+           || CASE WHEN doc_id % 3 = 0
+                THEN '|SUBSCRIBE NOW - weekly newsletter footer'
+                ELSE '' END
+           || CASE WHEN doc_id % 4 = 1
+                THEN '|(c) example corp - all rights reserved'
+                ELSE '' END AS t2
+         FROM documents),
+         segs AS (SELECT doc_id,
+           unnest(string_split(t2, '|')) AS seg,
+           unnest(generate_series(1, len(string_split(t2, '|'))))
+             AS pos
+         FROM m),
+         boiler AS (SELECT seg FROM (
+           SELECT seg, count(DISTINCT doc_id) AS df FROM segs
+           GROUP BY 1) WHERE df >= 50),
+         kept AS (SELECT * FROM segs
+           WHERE seg NOT IN (SELECT seg FROM boiler)),
+         rec AS (SELECT doc_id,
+           string_agg(seg, '|' ORDER BY pos) AS scrubbed
+         FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(r.scrubbed, '') AS scrubbed
+         FROM documents d LEFT JOIN rec r ON d.doc_id = r.doc_id""",
+
+    // keep-first = row_number() 1 over (segment, ordered by doc, pos)
+    "q_segment_dedup" ->
+      """WITH m AS (SELECT doc_id,
+           replace(text, ' value ', '|') AS t2 FROM documents),
+         segs AS (SELECT doc_id,
+           unnest(string_split(t2, '|')) AS seg,
+           unnest(generate_series(1, len(string_split(t2, '|'))))
+             AS pos
+         FROM m),
+         kept AS (SELECT doc_id, pos, seg FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs)
+           WHERE rn = 1),
+         rec AS (SELECT doc_id,
+           string_agg(seg, '|' ORDER BY pos) AS deduped
+         FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(r.deduped, '') AS deduped
+         FROM documents d LEFT JOIN rec r ON d.doc_id = r.doc_id""",
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_url_domains" -> urlDomainsOracle,
