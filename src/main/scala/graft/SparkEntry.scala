@@ -570,6 +570,17 @@ object SparkEntry {
         bench, "text", n = 5)
     }),
 
+    // ----- bloom-prefiltered decontamination: bit-identical to
+    // q_decontaminate (bloom has no false negatives; exact verify
+    // kills the false positives) but corpus grams are pruned MAP-SIDE
+    // before any exchange — the big-benchmark scale path
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      Decontaminate.flagContaminatedBloom(d, "doc_id", "text",
+        bench, "text", n = 5, expectedGrams = 1L << 16)
+    }),
+
     // ----- corpus-wide boilerplate scrub: drop segments occurring
     // more than maxRepeats times across the WHOLE corpus (word-level
     // here — the synthetic docs are single-paragraph)
@@ -1341,6 +1352,9 @@ object SparkEntry {
     "q_pack_chunks" -> packChunksOracle,
     "q_corpus_scrub" -> corpusScrubOracle,
     "q_decontaminate" -> decontaminateOracle,
+    // the bloom prefilter provably cannot change the result (no false
+    // negatives + exact verify), so the oracle IS the plain one
+    "q_bloom_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
     "q_quantiles" -> quantilesOracle,
     "q_describe" -> describeOracle,

@@ -1,7 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{
+  BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.
+  BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination — remove training documents that overlap
   * an evaluation set (the classic n-gram contamination rule: a doc
@@ -41,5 +47,69 @@ object Decontaminate {
     corpus.join(
       flagContaminated(corpus, idCol, textCol, bench, benchTextCol, n)
         .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[flagContaminated]] with a bloom-filter prefilter — same result
+    * (bit-for-bit), different scale regime. The plain path ships every
+    * corpus gram into a join; when the benchmark side is too big for a
+    * clean broadcast (a full eval-harness suite is tens of millions of
+    * grams), that join shuffles the CORPUS side — the one thing a
+    * 100 TB pipeline cannot afford. Here the benchmark grams fold into
+    * one Bloom filter via Spark's own `BloomFilterAggregate` (the
+    * codegen'd machinery behind runtime join filtering, partial-merged
+    * map-side, one binary blob to the driver), and the corpus grams
+    * are prefiltered MAP-SIDE by `BloomFilterMightContain` before any
+    * exchange: the ~`fpp` fraction of false positives plus the true
+    * hits are all that reach the exact verification join, which then
+    * removes the false positives. Correctness never depends on the
+    * filter — a Bloom filter has no false negatives, so the prefilter
+    * only discards grams the exact join would discard anyway.
+    *
+    * `expectedGrams` sizes the filter (~1.2 bytes/gram at fpp 0.03);
+    * an underestimate degrades fpp (more verify traffic), never the
+    * result. The serialized filter rides the plan as a literal, so it
+    * broadcasts to executors once per stage — at the default sizing
+    * that is a ~1 MB constant, far below any broadcast-join threshold.
+    */
+  def flagContaminatedBloom(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 8, expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(expectedGrams > 0, "expectedGrams must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = bench.select(explode(graft.functions.NativeHash
+        .distinctWordNGramsColumn(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2)))
+      .toLong
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("gram"))),
+        Literal(expectedGrams), Literal(numBits))
+      .toAggregateExpression())
+    val bytes = benchGrams.agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Bridge.expression(xxhash64(col("gram")))))
+    corpus.select(col(idCol), explode(graft.functions.NativeHash
+        .distinctWordNGramsColumn(col(textCol), n)).as("gram"))
+      .filter(mightContain) // map-side: no exchange above this line
+      .join(benchGrams, Seq("gram")) // exact: false positives die here
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The corpus with contaminated documents removed, bloom-prefiltered
+    * (same result as [[removeContaminated]] — see
+    * [[flagContaminatedBloom]] for when to prefer it).
+    */
+  def removeContaminatedBloom(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 8, expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame =
+    corpus.join(
+      flagContaminatedBloom(corpus, idCol, textCol, bench,
+        benchTextCol, n, expectedGrams, fpp).select(col(idCol)),
       Seq(idCol), "left_anti")
 }
