@@ -91,10 +91,48 @@ object BandIndex {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band").sortBy("band")
       .saveAsTable(s"${table}_stats")
-    Seq((k, shingleLen, bands, seed))
-      .toDF("k", "shingle_len", "bands", "seed")
+    Seq((k, shingleLen, bands, seed, buckets))
+      .toDF("k", "shingle_len", "bands", "seed", "buckets")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
+  }
+
+  /** Append a batch to the index: its band rows join the bucketed
+    * table in place (same bucket spec — no shuffle of the standing
+    * rows, the new files land in matching buckets) and its per-band
+    * counts append to the stats table, which readers SUM per band, so
+    * the degenerate-key cap keeps binding on the true combined size.
+    * This is what turns [[neardupIncrement]] into a rolling pipeline:
+    * accept a batch, append it, and the next batch dedups against
+    * corpus + all previously accepted batches.
+    *
+    * Replay caveat: appending the same batch twice (a retried job)
+    * double-counts its stats and duplicates its band rows. Duplicate
+    * rows do NOT change [[neardupIncrement]]'s pair set (it is
+    * `distinct` over (id_a, id_b, est)), but inflated stats make the
+    * `maxBucket` cap bind earlier — if the ingest layer can replay,
+    * key appends by batch id and deduplicate on rebuild.
+    */
+  def append(spark: SparkSession, table: String, newDocs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val meta = spark.table(s"${table}_meta").collect()(0)
+    val buckets = meta.getAs[Int]("buckets")
+    val rows = bandRows(newDocs, idCol, textCol, meta.getAs[Int]("k"),
+        meta.getAs[Int]("shingle_len"), meta.getAs[Int]("bands"),
+        meta.getAs[Long]("seed"))
+      .localCheckpoint() // two writes below: one signature pass
+    rows.write.mode("append").format("parquet")
+      .bucketBy(buckets, "band").sortBy("band").saveAsTable(table)
+    rows.groupBy("band").agg(count(lit(1)).as("cnt"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band").sortBy("band")
+      .saveAsTable(s"${table}_stats")
+    // the insert refreshes the WRITING session's relation cache, but
+    // `newDocs` may live in a clone (foreachBatch hands micro-batches
+    // from a cloned session): refresh in the CALLER's session too, or
+    // its next read serves the pre-append file listing
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_stats")
   }
 
   /** Near-dup pairs between a NEW batch and the indexed corpus (plus
@@ -119,9 +157,13 @@ object BandIndex {
       meta.getAs[Int]("shingle_len"), bands, meta.getAs[Long]("seed"))
     // combined bucket size = this batch's rows + indexed rows, so the
     // degenerate-key cap binds exactly as in the full recompute
+    // stats may hold several rows per band after appends: SUM them
+    // (bucketed by band, so the groupBy re-shuffles nothing)
+    val stats = spark.table(s"${table}_stats")
+      .groupBy("band").agg(sum("cnt").as("cnt"))
     val sized = batch
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band")))
-      .join(spark.table(s"${table}_stats"), Seq("band"), "left")
+      .join(stats, Seq("band"), "left")
       .withColumn("__bc", col("__bn") + coalesce(col("cnt"), lit(0L)))
       .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
       .select("band", "id", "sig")

@@ -214,6 +214,43 @@ object StreamingOps {
         })
   }
 
+  /** Streaming near-dup ingest against a persistent
+    * [[graft.operators.BandIndex]]: every micro-batch of documents is
+    * matched against the standing index (corpus signatures never
+    * recomputed, index side never shuffles — the bucketed batch-join
+    * machinery of `neardupIncrement`, reused verbatim through
+    * `foreachBatch`, the idiomatic way to run battle-tested batch
+    * logic inside a stream), its near-dup pairs handed to `sink`, and
+    * then — when `appendToIndex` — the batch's band rows are appended
+    * so LATER batches dedup against earlier ones, not just against
+    * the original corpus. This is the rolling crawl-ingest shape: the
+    * index is the pipeline's dedup memory, and its growth is one
+    * (band, id, sig) row per document band — independent of how many
+    * batches delivered the documents.
+    *
+    * Within-batch pairs are reported by the increment itself;
+    * cross-batch pairs exist precisely because of the append. The
+    * sink runs with at-least-once semantics on failure replay (the
+    * standard foreachBatch contract — key on `epoch` to make a
+    * downstream exactly-once); see [[graft.operators.BandIndex.append]]
+    * for the replay caveat on the index side.
+    */
+  def neardupIngest(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Long = 10000L,
+      appendToIndex: Boolean = true)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.operators.BandIndex.neardupIncrement(spark, table,
+          batch, idCol, textCol, threshold, maxBucket), epoch)
+        if (appendToIndex)
+          graft.operators.BandIndex.append(spark, table, batch,
+            idCol, textCol)
+      }
+      .start()
+
   /** Drain any pending session state (batch-mode finalize). Gap
     * detection runs at MICROsecond granularity (`unix_micros`) — a
     * plain `cast("long")` truncates to seconds and silently rounds

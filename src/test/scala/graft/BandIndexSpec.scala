@@ -135,4 +135,62 @@ class BandIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("append extends the index: increments see appended docs and " +
+      "the summed stats keep the cap exact") {
+    val t = "band_spec_append"
+    withIndex(t) {
+      BandIndex.build(corpus, "doc_id", "text", t)
+      val before = spark.table(t).count()
+      BandIndex.append(spark, t, batch, "doc_id", "text")
+      assert(spark.table(t).count() > before)
+      // after appending the batch, an increment of the SAME docs (new
+      // ids) must pair them against the appended copies
+      val again = batch.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      val inc = asSet(BandIndex.neardupIncrement(spark, t, again,
+        "doc_id", "text"))
+      val expected = asSet(touchesBatch(Dedup.minhashDupPairs(
+        docs.unionByName(again), "doc_id", "text"))
+        .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L))
+      assert(inc.filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+        == expected)
+      assert(inc.exists(p => p._2 >= 1000000L && p._3 == 1.0))
+    }
+  }
+
+  test("streaming ingest flags each micro-batch against the index " +
+      "and later epochs dedup against earlier ones") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = "band_spec_stream"
+    withIndex(t) {
+      BandIndex.build(corpus, "doc_id", "text", t)
+      val corpusDoc = corpus.orderBy("doc_id")
+        .select("doc_id", "text").as[(Long, String)].head()
+      implicit val sqlc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val got = new ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val q = graft.streaming.StreamingOps.neardupIngest(spark, t,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text") {
+        (pairs, _) =>
+          pairs.select("id_a", "id_b", "est_jaccard")
+            .as[(Long, Long, Double)].collect().foreach(got.add)
+      }
+      try {
+        // epoch 1: an exact copy of a corpus doc, under a fresh id
+        mem.addData((5000001L, corpusDoc._2))
+        q.processAllAvailable()
+        assert(got.stream().anyMatch(p =>
+          p._1 == corpusDoc._1 && p._2 == 5000001L && p._3 == 1.0))
+        got.clear()
+        // epoch 2: a copy of the EPOCH-1 doc — pairs only because the
+        // ingest appended epoch 1 to the index
+        mem.addData((5000002L, corpusDoc._2))
+        q.processAllAvailable()
+        assert(got.stream().anyMatch(p =>
+          p._1 == 5000001L && p._2 == 5000002L && p._3 == 1.0))
+      } finally q.stop()
+    }
+  }
 }
