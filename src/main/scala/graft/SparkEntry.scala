@@ -507,6 +507,27 @@ object SparkEntry {
           col("domain").isin("site3.org", "site7.org").as("blocked"))
     }),
 
+    // ----- URL canonicalization: mixed-case scheme/host, default
+    // ports, fragments and tracking params planted engine-identically
+    // from doc_id, then normalized to the dedup key form
+    "q_url_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://Sub"))
+          .otherwise(lit("HTTPS://Sub")),
+        col("doc_id") % 7, lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Article/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=news&id="), col("doc_id") % 13,
+            lit("&fbclid=abc")))
+          .when(col("doc_id") % 3 === 1, lit("?utm_campaign=x"))
+          .otherwise(lit("")),
+        lit("#Section"), col("doc_id") % 5)
+      d.select(col("doc_id"), url.as("url"),
+        T.normalizeUrl(url).as("canonical"))
+    }),
+
     // ----- text curation: PII redaction. The synthetic corpus has no
     // PII, so the query plants engine-identically-constructed PII
     // (derived from doc_id) and asserts the redaction chain strips it.
@@ -1292,6 +1313,42 @@ object SparkEntry {
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_url_domains" -> urlDomainsOracle,
+
+    // same plant, same RE2-compatible regexp chain (DuckDB backrefs
+    // are \1-style and need the 'g' flag for global replacement)
+    "q_url_normalize" ->
+      """WITH m AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Sub'
+                 ELSE 'HTTPS://Sub' END)
+           || (doc_id % 7)::VARCHAR || '.Example.COM'
+           || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+           || '/Article/' || doc_id::VARCHAR
+           || (CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=news&id=' || (doc_id % 13)::VARCHAR
+                      || '&fbclid=abc'
+               WHEN doc_id % 3 = 1 THEN '?utm_campaign=x'
+               ELSE '' END)
+           || '#Section' || (doc_id % 5)::VARCHAR AS url
+         FROM documents),
+         n AS (SELECT doc_id, url,
+           regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM m),
+         l AS (SELECT doc_id, url,
+           lower(regexp_extract(nofrag,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+           || regexp_replace(nofrag,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS low FROM n),
+         p AS (SELECT doc_id, url,
+           regexp_replace(regexp_replace(low,
+             '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
+             '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS noport
+         FROM l),
+         s AS (SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(noport,
+             '([?&])(?:utm_[^=&]*|gclid|fbclid)=[^&]*', '\1', 'g'),
+             '([?&])&+', '\1', 'g'),
+             '[?&]+$', '', 'g') AS canonical
+         FROM p)
+         SELECT doc_id, url, canonical FROM s""",
 
     // same regex chain, RE2 dialect-compatible by construction
     "q_normalize_text" ->

@@ -250,6 +250,38 @@ object TextFunctions {
       registrableDomain(host)
     })
 
+  /** Canonical URL for dedup keys and per-domain grouping: fragment
+    * dropped, scheme + authority lowercased (path/query case is
+    * significant and preserved), default ports (:80 http, :443 https)
+    * stripped, tracking parameters (utm_*, gclid, fbclid) removed
+    * with separators re-normalized. Non-absolute inputs (no
+    * `scheme://`) pass through untouched. Pure codegen'd
+    * regexp chain; every pattern is RE2-compatible (no lookaround, no
+    * backrefs) so an independent engine can replicate it verbatim —
+    * the q_url_normalize oracle does.
+    *
+    * Parameter ORDER is preserved, not sorted: `?a=1&b=2` and
+    * `?b=2&a=1` stay distinct. Sorting would canonicalize harder but
+    * silently merges URLs whose servers treat order as significant;
+    * callers who want it can split/sort the query themselves.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val schemeAuth = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, s"($schemeAuth)", 1)),
+      regexp_replace(noFrag, schemeAuth, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered,
+        "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "([?&])(?:utm_[^=&]*|gclid|fbclid)=[^&]*", "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val trimmed = regexp_replace(collapsed, "[?&]+$", "")
+    when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), trimmed).otherwise(u)
+  }
+
   // ------------------------------------- repetition signals (Gopher-ish)
 
   /** Fraction of lines that are repeats of an earlier line (0 for a

@@ -208,4 +208,33 @@ class TextFunctionsSpec extends SparkSpec {
     // reasons non-empty exactly when keep is false
     rows.foreach(r => assert(r.getBoolean(0) == r.getString(1).isEmpty))
   }
+
+  test("normalizeUrl canonicalizes case, ports, fragments, tracking") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved, :80 stripped
+      ("HTTP://WWW.Example.COM:80/Path/File?id=3#frag",
+        "http://www.example.com/Path/File?id=3"),
+      // :443 only strips for https
+      ("HTTPS://a.example.com:443/x", "https://a.example.com/x"),
+      ("http://a.example.com:443/x", "http://a.example.com:443/x"),
+      // non-default port survives
+      ("http://a.example.com:8080/x", "http://a.example.com:8080/x"),
+      // tracking-params removal renormalizes separators
+      ("http://e.com/p?utm_source=a&id=1&utm_campaign=b&q=2",
+        "http://e.com/p?id=1&q=2"),
+      ("http://e.com/p?utm_source=a&utm_medium=b", "http://e.com/p"),
+      ("http://e.com/p?id=1&fbclid=xyz", "http://e.com/p?id=1"),
+      ("http://e.com/p?gclid=1&id=2", "http://e.com/p?id=2"),
+      // parameter order preserved, never sorted
+      ("http://e.com/p?b=2&a=1", "http://e.com/p?b=2&a=1"),
+      // not an absolute URL: untouched
+      ("Not a URL at all", "Not a URL at all"),
+      ("/relative/path?utm_source=x", "/relative/path?utm_source=x"))
+    val out = cases.map(_._1).toDF("u")
+      .select(graft.functions.TextFunctions.normalizeUrl(col("u")))
+      .as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"for $in") }
+  }
 }
