@@ -615,6 +615,13 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       CorpusScrub.topTerms(t(s, dir, "documents"), "text", 50)),
 
+    // ----- sketch-based heavy hitters: one mergeable frequent-items
+    // state per partition instead of a term-keyed shuffle; EXACT while
+    // distinct terms fit the tracked capacity (they do here), so the
+    // oracle is the exact top-k
+    "q_top_terms_approx" -> ((s, dir) =>
+      Sketches.topTermsApprox(t(s, dir, "documents"), "text", 50)),
+
     // ----- per-doc characteristic terms (exact-rational idf variant —
     // ln's last ulp is libm-specific, see topTfidfTerms)
     "q_tfidf_terms" -> ((s, dir) => {
@@ -1417,6 +1424,14 @@ object SparkEntry {
     "q_describe" -> describeOracle,
 
     "q_top_terms" ->
+      """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
+           '\s+')) AS term FROM documents)
+         SELECT term, COUNT(*) AS term_count FROM t
+         GROUP BY term ORDER BY term_count DESC, term ASC LIMIT 50""",
+
+    // the sketch is exact under capacity (see Sketches.topTermsApprox),
+    // so the approx query's oracle IS the exact top-k
+    "q_top_terms_approx" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
            '\s+')) AS term FROM documents)
          SELECT term, COUNT(*) AS term_count FROM t

@@ -46,4 +46,40 @@ object Sketches {
     df.withColumn("n_distinct_est",
         hll_sketch_estimate(col(sketchCol)))
       .drop(sketchCol)
+
+  /** Approximate heavy hitters over whitespace terms (Spark's
+    * `approx_top_k` — a mergeable DataSketches frequent-items sketch):
+    * (`term`, `term_count`) for the `k` most frequent, ranked by
+    * count desc then term asc. The exact formulation
+    * ([[CorpusScrub.topTerms]]) shuffles one row per distinct term —
+    * the right call when terms fit a shuffle; at 100 TB the sketch
+    * version is one bounded-size state per partition, merged once, no
+    * term-keyed exchange at all. Guarantee: while distinct terms ≤
+    * `maxItemsTracked` the sketch is EXACT (the q_top_terms_approx
+    * oracle relies on this — the synthetic vocabulary is far under
+    * the bound); beyond it, counts are estimates with the standard
+    * frequent-items error bound (≤ n/maxItemsTracked over-count).
+    *
+    * The sketch is asked for every tracked item, and the top-k cut is
+    * applied OUTSIDE with a deterministic (count desc, term asc)
+    * order — the sketch's own k-boundary tie-breaking is
+    * implementation-defined, which an oracle-hashed surface cannot
+    * tolerate.
+    */
+  def topTermsApprox(df: DataFrame, textCol: String, k: Int,
+      maxItemsTracked: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxItemsTracked >= k,
+      s"maxItemsTracked ($maxItemsTracked) must be >= k ($k)")
+    val terms = df.select(explode(
+      graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+    terms
+      .agg(expr(s"approx_top_k(term, $maxItemsTracked, " +
+        s"$maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"),
+        col("e.count").as("term_count"))
+      .orderBy(col("term_count").desc, col("term").asc)
+      .limit(k)
+  }
 }

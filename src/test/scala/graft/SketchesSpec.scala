@@ -55,4 +55,19 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("partial_hll_sketch_agg"),
       s"expected map-side partial sketch agg in:\n$plan")
   }
+
+  test("topTermsApprox equals the exact top terms under capacity, " +
+      "on any partitioning") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val exact = graft.operators.CorpusScrub
+      .topTerms(docs, "text", 20).as[(String, Long)].collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      val approx = Sketches
+        .topTermsApprox(docs.repartition(parts), "text", 20)
+        .as[(String, Long)].collect().toSeq
+      assert(approx == exact, s"at $parts partitions")
+    }
+  }
 }
