@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValueColumn interleaves bits, column 0 most significant") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
+      (0L, 2L), (3L, 3L)).toDF("a", "b")
+    val z = df.select(Layout.zValueColumn(
+      Seq(col("a"), col("b")), bits = 2)).as[Long].collect().toSeq
+    // a=(a1 a0), b=(b1 b0) -> z = a1 b1 a0 b0
+    assert(z == Seq(0L, 2L, 1L, 3L, 8L, 4L, 15L))
+  }
+
+  test("zValueColumn rejects widths that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValueColumn(Seq(col("a"), col("b")), bits = 32)
+    }
+  }
+
+  test("z-order write clusters BOTH dimensions; linear sort only one") {
+    // a uniform 2-D grid: x and y carry independent information, the
+    // adversarial case for a linear layout
+    val n = 40000
+    val df = spark.range(n.toLong).select(
+      (col("id") % 200).cast("double").as("x"),
+      (col("id") / 200).cast("double").as("y"))
+    val zDir = "/tmp/graft_layout_z"
+    val linDir = "/tmp/graft_layout_lin"
+    Layout.zorderWrite(df, Seq("x", "y"), zDir, outPartitions = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-FILE spread of each dimension, as a fraction of its range:
+    // the number parquet min/max pruning actually sees
+    def spreads(dir: String): (Double, Double) = {
+      val byFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x")) / 199.0).as("sx"),
+          ((max("y") - min("y")) / (n / 200.0 - 1.0)).as("sy"))
+        .agg(avg("sx"), avg("sy")).head()
+      (byFile.getDouble(0), byFile.getDouble(1))
+    }
+    val (zx, zy) = spreads(zDir)
+    val (lx, ly) = spreads(linDir)
+    // linear: x razor-sharp, y useless (every file spans ~all of y)
+    assert(lx < 0.15, s"linear x spread $lx")
+    assert(ly > 0.85, s"linear y spread $ly")
+    // z-order: BOTH dimensions prunable — 16 files over a 2-D curve
+    // give per-file spreads well under half the range on each axis
+    assert(zx < 0.5, s"z x spread $zx")
+    assert(zy < 0.5, s"z y spread $zy")
+    // and the write is lossless
+    assert(spark.read.parquet(zDir).count() == n.toLong)
+    // exact integral sums — double-sum order differs across layouts
+    assert(spark.read.parquet(zDir)
+      .agg(sum(col("x").cast("long")), sum(col("y").cast("long")))
+      .head().toSeq ==
+      df.agg(sum(col("x").cast("long")), sum(col("y").cast("long")))
+        .head().toSeq)
+  }
+}
