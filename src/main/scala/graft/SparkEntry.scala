@@ -815,6 +815,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.cosineDupPairs(emb, "vec_id", "embedding", dim = 64,
         threshold = 0.4, bands = 8, planesPerBand = 4)
+    }),
+
+    // ----- semantic dedup (SemDeDup): k-means-cluster-scoped exact
+    // cosine pairs, then keep one id per connected component
+    "q_semantic_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4)
+    }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SemanticDedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.4).select("vec_id")
     })
   )
 
@@ -1456,7 +1469,9 @@ object SparkEntry {
     "q_ann_topk"      -> annTopKOracle,
     "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,
-    "q_cosine_dup"    -> cosineDupOracle
+    "q_cosine_dup"    -> cosineDupOracle,
+    "q_semantic_pairs" -> semanticPairsOracle,
+    "q_semantic_dedup" -> semanticDedupOracle
   )
 
   // ------------------------------------------------------------------
@@ -2122,19 +2137,27 @@ object SparkEntry {
     * floor'd component means; empty lists keep their centroid. The
     * iterations are unrolled into chained CTEs.
     */
-  private def ivfTopKOracle: String = {
-    val dim = 64
-    // score of vector qv against centroid cv (zero-norm guard matches
-    // the engine's Double.MinValue sentinel)
-    def score(qv: String, cv: String): String =
-      s"CASE WHEN ${sqlDotQ(cv, cv, dim)} = 0 " +
-      s"THEN -1.7976931348623157E308 " +
-      s"ELSE ${sqlDotQ(qv, cv, dim)}::DOUBLE / " +
-      s"sqrt(${sqlDotQ(cv, cv, dim)}::DOUBLE) END"
+  // score of vector qv against centroid cv (zero-norm guard matches
+  // the engine's Double.MinValue sentinel)
+  private def kmeansScoreSql(qv: String, cv: String,
+      dim: Int): String =
+    s"CASE WHEN ${sqlDotQ(cv, cv, dim)} = 0 " +
+    s"THEN -1.7976931348623157E308 " +
+    s"ELSE ${sqlDotQ(qv, cv, dim)}::DOUBLE / " +
+    s"sqrt(${sqlDotQ(cv, cv, dim)}::DOUBLE) END"
+
+  /** CTE chain replaying Similarity.fitCentroidsKMeans at
+    * nCentroids=16, kmeansIters=2 plus the final assignment: yields
+    * `q` (vec_id, qv quantized), `cdots` (vec_id, ci, score vs the
+    * final centroids) and `assign` (vec_id → argmax ci, lowest-ci
+    * tiebreak). Shared by the IVF and SemDeDup oracles.
+    */
+  private def kmeansAssignCtes(dim: Int): String = {
     // one k-means iteration: assign to cent$t, recompute as cent${t+1}
     def iterCtes(t: Int): String =
       s"""sc$t AS (SELECT q.vec_id, c.ci,
-           ${score("q.qv", "c.cv")} AS s FROM q CROSS JOIN cent$t c),
+           ${kmeansScoreSql("q.qv", "c.cv", dim)} AS s
+           FROM q CROSS JOIN cent$t c),
          a$t AS (SELECT vec_id, ci FROM (
            SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
              ORDER BY s DESC, ci) AS rn FROM sc$t) x WHERE rn = 1),
@@ -2147,7 +2170,7 @@ object SparkEntry {
            GROUP BY a$t.ci, r.idx) g GROUP BY ci),
          cent${t + 1} AS (SELECT c.ci, COALESCE(u.cv, c.cv) AS cv
            FROM cent$t c LEFT JOIN u$t u USING (ci)),"""
-    s"""WITH q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+    s"""q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
          FROM embeddings),
        seeds AS (SELECT vec_id, qv FROM q
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -2157,10 +2180,15 @@ object SparkEntry {
        ${iterCtes(0)}
        ${iterCtes(1)}
        cdots AS (SELECT q.vec_id, c.ci,
-         ${score("q.qv", "c.cv")} AS s FROM q CROSS JOIN cent2 c),
+         ${kmeansScoreSql("q.qv", "c.cv", dim)} AS s
+         FROM q CROSS JOIN cent2 c),
        assign AS (SELECT vec_id, ci FROM (
          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY s DESC, ci) AS rn FROM cdots) a WHERE rn = 1),
+           ORDER BY s DESC, ci) AS rn FROM cdots) a WHERE rn = 1)"""
+  }
+
+  private def ivfTopKOracle: String = {
+    s"""WITH ${kmeansAssignCtes(64)},
        probes AS (SELECT vec_id, ci FROM (
          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
            ORDER BY s DESC, ci) AS rn FROM cdots) p
@@ -2207,4 +2235,35 @@ object SparkEntry {
            ON a.vec_id < b.vec_id AND list_has_any(a.bkeys, b.bkeys)) p
        WHERE cosine >= 0.4"""
   }
+
+  /** Mirrors SemanticDedup.semanticDupPairs (threshold 0.4,
+    * nCentroids=16, kmeansIters=2): the shared k-means replay, then
+    * exact quantized cosine over same-cluster pairs.
+    */
+  private def semanticPairsOracle: String =
+    s"""WITH ${kmeansAssignCtes(64)},
+       prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${sqlDotQ("va.qv", "vb.qv", 64)}::DOUBLE /
+             sqrt(${sqlDotQ("va.qv", "va.qv", 64)}::DOUBLE *
+                  ${sqlDotQ("vb.qv", "vb.qv", 64)}::DOUBLE) AS cosine
+         FROM assign a JOIN assign b
+           ON a.ci = b.ci AND a.vec_id < b.vec_id
+           JOIN q va ON va.vec_id = a.vec_id
+           JOIN q vb ON vb.vec_id = b.vec_id)
+       SELECT id_a, id_b, cosine FROM prs WHERE cosine >= 0.4"""
+
+  /** Recursive-CTE replay of SemanticDedup.semanticDedup: kept ids =
+    * those whose smallest reachable id in the (symmetric) semantic
+    * pair graph is themselves.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM
+         ($semanticPairsOracle) sp),
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach(id, lab) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
+       SELECT id AS vec_id FROM reach GROUP BY id HAVING MIN(lab) = id"""
 }

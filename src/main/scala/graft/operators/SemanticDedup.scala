@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) deduplication — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus
+  * embeddings, then treat cosine-similar pairs WITHIN a cluster as
+  * duplicates and keep one representative per connected component.
+  *
+  * This complements the rest of the dedup family: exact/minhash/
+  * simhash/n-gram catch lexical overlap, [[Similarity.cosineDupPairs]]
+  * catches embedding-near pairs that happen to share an LSH bucket;
+  * SemDeDup scopes the exact-cosine check to a learned partition of
+  * the embedding space, which is the published recipe for semantic
+  * (paraphrase-level) dedup of web-scale corpora.
+  *
+  * Scale design:
+  *  - The k-means fit ([[Similarity.fitCentroidsKMeans]]) reduces each
+  *    partition map-side to ≤ nCentroids rows of component sums per
+  *    iteration; driver state is nCentroids × dim longs. Corpus
+  *    vectors never shuffle during the fit.
+  *  - Assignment is a per-row expression (no join, no shuffle); the
+  *    only data-sized shuffle is the ONE cluster-key exchange that
+  *    groups members for pairing.
+  *  - Within-cluster pairing is quadratic in CLUSTER size by design —
+  *    that is the SemDeDup trade. Size `nCentroids ≈ corpus/√target`
+  *    so the per-cluster work is bounded; `maxCluster` hard-caps
+  *    adversarial clusters (they are dropped from pair generation,
+  *    same bounded-recall contract as the LSH bucket caps).
+  *  - Pairs are unique by construction (each id lives in exactly one
+  *    cluster), so no distinct pass is needed — one fewer shuffle
+  *    than the multi-band LSH path.
+  */
+object SemanticDedup {
+
+  /** Within-cluster exact-cosine duplicate pairs `(id_a, id_b,
+    * cosine)` with `id_a < id_b` and cosine ≥ `threshold`. Cosine is
+    * computed on milli-unit quantized vectors (exact int64 dots, one
+    * correctly-rounded double divide) so it is bit-reproducible on
+    * any engine — the DuckDB oracle replays the fit and the scoring.
+    */
+  def semanticDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      maxCluster: Long = 100000L): DataFrame = {
+    val cq = df.select(col(idCol).as("id"),
+        Similarity.quantize(col(vecCol)).as("__cv"))
+      .withColumn("__cn", Similarity.dotQ(col("__cv"), col("__cv")))
+    val cents = Similarity.fitCentroidsKMeans(cq, "id", "__cv",
+      nCentroids, kmeansIters)
+    val listed = cq.withColumn("__list",
+      IvfCentroids.nearestList(col("__cv"), cents))
+    val p = BucketPairs.bucketedPairs(listed, col("__list"),
+      struct(col("id"), col("__cv"), col("__cn")), maxCluster)
+    p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        (Similarity.dotQ(col("p.a.__cv"), col("p.b.__cv"))
+          .cast("double") /
+          sqrt(col("p.a.__cn").cast("double") *
+               col("p.b.__cn").cast("double"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The delete: keep exactly one row per semantic-duplicate
+    * component (the smallest id — [[Dedup.dedupCorpus]] semantics).
+    * Components never span clusters, so they are small by the same
+    * bound that caps the pairing.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      maxCluster: Long = 100000L): DataFrame = {
+    val pairs = semanticDupPairs(df, idCol, vecCol, threshold,
+      nCentroids, kmeansIters, maxCluster).select("id_a", "id_b")
+    Dedup.dedupCorpus(df, idCol, pairs)
+  }
+}
