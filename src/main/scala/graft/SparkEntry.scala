@@ -338,6 +338,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // ----- absolute token budgets per source: hash-priority admission
+    // until each source's budget is met (crossing doc included)
+    "q_budget_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.budgetSample(d, "doc_id", "n_chars", "source",
+          budgetSampleBudgets)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ----- big-x-big range join: which parts' ±1 retail-price band
     // contains each lineitem's unit price (chunked candidate equi-join)
     "q_range_join" -> ((s, dir) => {
@@ -1396,6 +1405,8 @@ object SparkEntry {
          WHERE ${hashScoreSql("doc_id")} <
            least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.1), 1.0)""",
 
+    "q_budget_sample" -> budgetSampleOracle,
+
     // replays mixToTarget's arithmetic in the SAME IEEE operation
     // order (share = w/total, nstar = min(n/share), frac =
     // share*nstar/n) so the per-stratum cut doubles are bit-identical
@@ -1615,6 +1626,37 @@ object SparkEntry {
     "(strpos('0123456789abcdef', " +
     s"substring(md5($expr), i, 1)) - 1)::BIGINT" +
     " * (1::BIGINT << (4 * (15 - i)))))"
+
+  /** Budgets exercised by q_budget_sample: two partial sources, one
+    * single-doc admission (budget 1), one fully-kept source.
+    */
+  private val budgetSampleBudgets: Map[String, Long] = Map(
+    "src0" -> 4000L, "src1" -> 2000L, "src3" -> 1L,
+    "src7" -> 99999999L)
+
+  /** Window-sum replay of Sampling.budgetSample: a doc is kept iff
+    * the token mass strictly before it (hash-priority order within
+    * its source) is under the source's budget. The engine computes
+    * the same exclusive sums via the range-partitioned prefix path —
+    * same integers, different plan shape.
+    */
+  private def budgetSampleOracle: String = {
+    val bs = budgetSampleBudgets.toSeq.sortBy(_._1)
+    val inList = bs.map(b => s"'${b._1}'").mkString(", ")
+    val caseB = bs.map { case (s, b) => s"WHEN '$s' THEN $b" }
+      .mkString(" ")
+    s"""WITH s AS (SELECT doc_id, source, n_chars,
+         ${hashScoreSql("doc_id")} AS sc
+       FROM documents WHERE source IN ($inList)),
+     c AS (SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source
+           ORDER BY sc, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS excl
+       FROM s)
+     SELECT doc_id, source, n_chars FROM c
+     WHERE excl < CASE source $caseB ELSE 0 END"""
+  }
 
   /** DuckDB replica of [[Sampling.hashScore]] over an id expression. */
   private def hashScoreSql(idExpr: String): String =

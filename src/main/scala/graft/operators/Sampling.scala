@@ -139,6 +139,88 @@ object Sampling {
     df.join(assigned, Seq(idCol))
   }
 
+  /** Fill per-source TOKEN budgets: within each source (a key of
+    * `budgets`), documents are admitted in hash-priority order —
+    * ordered by (hashScore(id), id) — until the budget is reached. A
+    * document is kept iff the token total of the documents strictly
+    * before it is < the budget, so the crossing document is included:
+    * budgets are met, never undershot. Sources without a budget are
+    * dropped. This is the "assemble an N-token training mix from
+    * oversized corpora" shape — absolute token targets, where
+    * [[mixToTarget]] is the relative recipe.
+    *
+    * Scale: the corpus never shuffles — only the (source, score, id,
+    * tokens) projection does, through ONE range exchange on
+    * (source, score, id). Per-source running sums are sequential per
+    * partition (a source spans contiguous range partitions), the
+    * per-(partition, source) totals — at most partitions + |sources|
+    * rows, a bound independent of data volume — come to the driver
+    * for prefix offsets, and the kept-id set joins back by id. No
+    * per-source window partition, so one giant source cannot create
+    * the single straggler task the naive `sum() OVER (PARTITION BY
+    * source ...)` formulation degrades to.
+    */
+  def budgetSample(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      "budgets must be non-empty and non-negative")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df.select(
+        col(sourceCol).cast("string").as("__s"),
+        hashScore(col(idCol)).as("__sc"),
+        col(idCol).as("__id"),
+        col(tokenCol).cast("long").as("__t"))
+      .filter(col("__s").isin(budgets.keys.toSeq.sorted.map(lit): _*))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val outSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("__s", StringType),
+      StructField("__id", df.schema(idCol).dataType),
+      StructField("__excl", LongType, nullable = false),
+      StructField("__lrun", LongType, nullable = false)))
+    val local = proj
+      .repartitionByRange(parts, col("__s"), col("__sc"), col("__id"))
+      .sortWithinPartitions("__s", "__sc", "__id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var run = 0L
+        it.map { r =>
+          val s = r.getString(0)
+          if (s != cur) { cur = s; run = 0L }
+          val excl = run
+          run += r.getLong(3)
+          Row(pid, s, r.get(2), excl, run)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint() // materialize once: totals agg + final filter
+    val totals = local.groupBy("pid", "__s")
+      .agg(max("__lrun").as("__pt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val offs = sorted.map(_._3).scanLeft(0L)(_ + _).init
+      sorted.zip(offs).map { case ((pid, s, _), off) => (pid, s, off) }
+    }
+    val offDf =
+      if (offsets.isEmpty)
+        Seq.empty[(Int, String, Long)].toDF("pid", "__s", "__off")
+      else offsets.toDF("pid", "__s", "__off")
+    // deterministic when-chain (Map order is not stable)
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (w, (s, b)) =>
+        w.when(col("__s") === s, lit(b))
+      }.otherwise(lit(0L))
+    val keptIds = local.join(broadcast(offDf), Seq("pid", "__s"))
+      .filter(col("__excl") + col("__off") < budgetCol)
+      .select(col("__id").as(idCol))
+    df.join(keptIds, Seq(idCol), "left_semi")
+  }
+
   /** Keep the `k` best rows per group by `scoreCol` (descending),
     * ties broken by ascending id so the selection is total-order
     * deterministic. Spark ≥3.5 rewrites the rank-filter into
