@@ -6,8 +6,47 @@ import org.apache.spark.sql.SparkSession
   * sink (a bare `count()` would let Catalyst prune the projections and
   * time little more than a parquet row count). Failures are recorded as
   * failures — never as timings — and make the run exit non-zero.
+  *
+  * Regression gate: timings are compared against the newest
+  * `bench_r*.json` history file in the cwd (override with
+  * SPARK_GRAFT_BENCH_PREV). Any query slower than REGRESSION_FACTOR ×
+  * its historical min is RE-MEASURED with extra reps before it is
+  * called a regression — a single slow timing under a 32-thread local
+  * scheduler is usually machine contention, not a plan change (r5
+  * post-mortem: q_revenue_by_nation benched 3.0× slower with zero
+  * source change; isolated re-runs matched the old number exactly).
+  * Survivors are reported in the JSON as `"regressions"` and on
+  * stderr, but do not fail the run: the artifact is the record.
   */
 object Bench {
+  private val RegressionFactor = 1.5
+  // ignore sub-noise-floor drift: a 0.1 s → 0.2 s "2×" is scheduler
+  // jitter, not a plan regression worth re-measuring
+  private val RegressionMinSec = 0.5
+
+  /** Per-query historical bar: the element-wise MIN over every
+    * `bench_r*.json` in the cwd (or just the file SPARK_GRAFT_BENCH_PREV
+    * points at) — "best ever recorded" is the right regression bar; the
+    * newest round alone would reset the bar after any noisy round.
+    * Jackson ships in Spark's jars, so no extra dependency.
+    */
+  private def loadPrev(): Map[String, Double] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val paths = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      case Some(p) => Seq(Paths.get(p))
+      case None =>
+        val rx = "bench_r\\d+[a-z_]*\\.json".r
+        Files.list(Paths.get(".")).iterator().asScala
+          .filter(p => rx.matches(p.getFileName.toString)).toSeq
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    paths.filter(Files.exists(_)).flatMap { p =>
+      val qs = mapper.readTree(Files.readAllBytes(p)).path("queries")
+      qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble())
+    }.groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,35 +67,73 @@ object Bench {
     // under a 32-thread local scheduler swings several× on environment
     // noise; the min of N runs is the stable "cost of the plan" number
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // optional comma-separated query filter for single-query forensics
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failures = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try {
-          val times = (1 to reps).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }
-          Some(name -> times)
-        } catch {
+        try Some(name -> (1 to reps).map(_ => time(fn)))
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failures += name
             None
         }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    // regression gate vs the newest bench_r*.json: suspects get 2
+    // extra reps AFTER the full sweep (the end-of-run JVM is the
+    // quietest moment) so one noisy timing can't brand a plan
+    val prev = try loadPrev() catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not load history: $e")
+        Map.empty[String, Double]
+    }
+    val fnByName = selected
+    val gated = results.map { case (name, times) =>
+      val base = prev.get(name)
+      val suspect = base.exists(b =>
+        times.min > (b * RegressionFactor).max(RegressionMinSec))
+      if (!suspect) (name, times, false)
+      else {
+        val extra = (1 to 2).flatMap { _ =>
+          try Some(time(fnByName(name)))
+          catch { case _: Throwable => None }
+        }
+        val all = times ++ extra
+        val still = base.exists(b =>
+          all.min > (b * RegressionFactor).max(RegressionMinSec))
+        if (still) System.err.println(
+          f"[bench] REGRESSION $name: best ${all.min}%.2f s vs " +
+          f"history ${base.get}%.2f s (>${RegressionFactor}x, " +
+          "survived re-measurement)")
+        (name, all, still)
+      }
+    }
+    val qs = gated.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     // per-rep timings: lets a reader separate plan cost (stable min)
     // from scheduler/environment contention (wild rep spread)
-    val rs = results.map { case (k, v) =>
+    val rs = gated.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val regs = gated.collect { case (k, v, true) =>
+      s"\"" + k + "\":" + v.min }.mkString("{", ",", "}")
     val failed = failures.result()
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2.min).sum
+    val total = gated.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
     // the artifact must survive log-tail truncation: also write it to a
     // file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the cwd)

@@ -68,63 +68,170 @@ object Inference {
     )
   }
 
+  /** Monotonic counter of distinct-count JOBS submitted — lets specs
+    * pin the fused-exact contract (one distinct job per classify call,
+    * not one per column) without depending on AQE-sensitive Spark job
+    * counts.
+    */
+  private[graft] val distinctJobCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Raw per-column counters, produced by either scan strategy. */
+  private case class RawStats(total: Long, nn: Long, nd: Long,
+      hn: Boolean, cst: Boolean, cab: Long, zo: Boolean)
+
+  /** Approx strategy (default): two jobs, submitted CONCURRENTLY — the
+    * fused codegen counter pass ([[statsExprs]]) and one HLL-only
+    * aggregate for distinct counts (isolated because the HLL sketch is
+    * a TypedImperativeAggregate that would knock the counters out of
+    * whole-stage codegen). Neither job shuffles data-scale rows: both
+    * are map-side partial aggregates. This is the 100 TB path.
+    */
+  private def approxRawStats(df: DataFrame, fields: Seq[StructField])
+      : Map[String, RawStats] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aggs = count(lit(1)).cast("long").as("__total") +:
+      fields.flatMap(statsExprs)
+    val mainF = Future(df.agg(aggs.head, aggs.tail: _*).collect()(0))
+    val distinctF = Future {
+      distinctJobCount.incrementAndGet()
+      val hlls = fields.map(f =>
+        approx_count_distinct(col(f.name)).cast("long")
+          .as(s"${f.name}__nd"))
+      val r = df.agg(hlls.head, hlls.tail: _*).collect()(0)
+      fields.map(f => f.name -> r.getAs[Long](s"${f.name}__nd")).toMap
+    }
+    val row: Row  = Await.result(mainF, Duration.Inf)
+    val distincts = Await.result(distinctF, Duration.Inf)
+    val total     = row.getAs[Long]("__total")
+    fields.map { f =>
+      f.name -> RawStats(
+        total = total,
+        nn  = row.getAs[Long](s"${f.name}__nn"),
+        nd  = distincts(f.name),
+        hn  = Option(row.getAs[Any](s"${f.name}__hn")).exists(_ == 1),
+        cst = Option(row.getAs[Any](s"${f.name}__cst")).exists(_ == 1),
+        cab = Option(row.getAs[Any](s"${f.name}__cast"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L),
+        zo  = Option(row.getAs[Any](s"${f.name}__zo")).exists(_ == 1))
+    }.toMap
+  }
+
+  /** Exact strategy: ONE job, one scan, regardless of column count.
+    * Each row explodes to narrow (column ordinal, canonical string)
+    * pairs; a map-side partial aggregate collapses them to distinct
+    * (ordinal, value, multiplicity) triples before the shuffle; every
+    * counter classify needs — distinct count, null counts, constancy,
+    * castability, {0,1}-ness — then derives from one tiny second
+    * aggregate over those triples. Alternatives measured at sf0.1×11
+    * columns: Catalyst's Expand multi-distinct rewrite 2× slower
+    * (expanded rows carry the full N-column nullable schema; these
+    * carry two fields), N concurrent per-column jobs slightly faster
+    * at small N but N footer-reads + N job schedules — a 500-column
+    * table must not launch 500 jobs. Shuffle volume is the sum of
+    * per-column distinct counts: inherent to any exact formulation.
+    */
+  private def exactRawStats(df: DataFrame, fields: Seq[StructField])
+      : Map[String, RawStats] = {
+    distinctJobCount.incrementAndGet()
+    val keyed = fields.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        // string cast of raw bytes is lossy (invalid UTF-8 collapses
+        // to replacement chars); base64 is injective
+        case BinaryType => base64(c)
+        // +0.0 normalizes -0.0 (IEEE: -0.0 + 0.0 = +0.0) so the string
+        // key agrees with aggregate semantics, where
+        // NormalizeFloatingNumbers makes -0.0 == 0.0
+        case DoubleType => (c + lit(0d)).cast("string")
+        case FloatType  => (c + lit(0f)).cast("string")
+        // complex types: JSON per value (structs/arrays; maps are not
+        // group-able in Spark, matching countDistinct's own refusal)
+        case _: ArrayType | _: StructType | _: MapType =>
+          when(c.isNull, lit(null)).otherwise(to_json(struct(c)))
+        // atomic casts render one canonical string per value
+        case _ => c.cast("string")
+      }
+    }
+    val v = col("__v")
+    val castableNum = v.try_cast("double")
+    val perCol = df
+      .select(posexplode(array(keyed: _*)).as(Seq("__p", "__v")))
+      .groupBy(col("__p"), v).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__p")).agg(
+        sum(col("__cnt")).cast("long").as("total"),
+        coalesce(sum(when(v.isNotNull, col("__cnt"))), lit(0L))
+          .cast("long").as("nn"),
+        count(v).cast("long").as("nd"),
+        max(v.isNull.cast("int")).as("hn"),
+        coalesce(sum(when(castableNum.isNotNull, col("__cnt"))), lit(0L))
+          .cast("long").as("cab"),
+        // both {0,1} readings; the field's type picks one driver-side
+        min(when(v.isNotNull, castableNum.isin(0d, 1d).cast("int")))
+          .as("zo_num"),
+        min(when(v.isNotNull,
+          v.isin("0", "1", "0.0", "1.0", "true", "false").cast("int")))
+          .as("zo_str"))
+      .collect().map(r => r.getAs[Int]("__p") -> r).toMap
+    fields.zipWithIndex.map { case (f, i) =>
+      perCol.get(i) match {
+        case None => f.name -> RawStats(0L, 0L, 0L, hn = false,
+          cst = false, cab = 0L, zo = false) // empty frame
+        case Some(r) =>
+          val nn = r.getAs[Long]("nn")
+          val zo = f.dataType match {
+            case BooleanType             => nn > 0
+            case dt if isNumericType(dt) =>
+              Option(r.getAs[Any]("zo_num")).exists(_ == 1)
+            case _ =>
+              Option(r.getAs[Any]("zo_str")).exists(_ == 1)
+          }
+          f.name -> RawStats(
+            total = r.getAs[Long]("total"),
+            nn  = nn,
+            nd  = r.getAs[Long]("nd"),
+            hn  = Option(r.getAs[Any]("hn")).exists(_ == 1),
+            cst = r.getAs[Long]("nd") == 1L,
+            // castability-to-numeric only means something for string
+            // columns; others count every non-null as castable, the
+            // same contract as [[statsExprs]]
+            cab = f.dataType match {
+              case StringType => r.getAs[Long]("cab")
+              case _          => nn
+            },
+            zo = zo)
+      }
+    }.toMap
+  }
+
   /** Classify every column of `df` (or `cols` if given).
     *
-    * Two jobs, submitted CONCURRENTLY: the fused codegen counter pass,
-    * and the distinct counts — one HLL-only aggregate when
-    * `exact = false` (isolating the ObjectHashAggregate the sketches
-    * force), or one cheap single-distinct job per column when
-    * `exact = true` (never the Expand-based multi-distinct rewrite).
+    * `exact = false` (default) runs the two-concurrent-job approx
+    * strategy — shuffle-free, HLL distincts, the right shape at
+    * 100 TB. `exact = true` runs ONE narrow-pair job whose shuffle is
+    * the sum of per-column distinct counts — exact answers at the
+    * inherent exact price, but never N scans or N jobs for N columns.
     */
   def classify(
       df: DataFrame,
       cols: Seq[String] = Seq.empty,
       exact: Boolean = false
   ): ColumnClassification = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-
     val fields =
       if (cols.isEmpty) df.schema.fields.toSeq
       else df.schema.fields.toSeq.filter(f => cols.contains(f.name))
-    val aggs = count(lit(1)).cast("long").as("__total") +:
-      fields.flatMap(statsExprs)
-    val mainF = Future(df.agg(aggs.head, aggs.tail: _*).collect()(0))
-
-    val distinctF: Future[Map[String, Long]] =
-      if (exact)
-        Future.sequence(fields.map { f =>
-          Future(f.name ->
-            df.select(col(f.name)).agg(countDistinct(col(f.name)))
-              .collect()(0).getLong(0))
-        }).map(_.toMap)
-      else
-        Future {
-          val hlls = fields.map(f =>
-            approx_count_distinct(col(f.name)).cast("long")
-              .as(s"${f.name}__nd"))
-          val r = df.agg(hlls.head, hlls.tail: _*).collect()(0)
-          fields.map(f => f.name -> r.getAs[Long](s"${f.name}__nd"))
-            .toMap
-        }
-
-    val row: Row  = Await.result(mainF, Duration.Inf)
-    val distincts = Await.result(distinctF, Duration.Inf)
-    val total     = row.getAs[Long]("__total")
+    val raw =
+      if (exact) exactRawStats(df, fields)
+      else approxRawStats(df, fields)
 
     val stats = fields.map { f =>
-      val nn   = row.getAs[Long](s"${f.name}__nn")
-      val nd   = distincts(f.name)
-      val hn   = Option(row.getAs[Any](s"${f.name}__hn")).exists(_ == 1)
-      val cst  = Option(row.getAs[Any](s"${f.name}__cst")).exists(_ == 1)
-      val cab  = Option(row.getAs[Any](s"${f.name}__cast"))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val zo   = Option(row.getAs[Any](s"${f.name}__zo")).exists(_ == 1)
-      val allNull  = nn == 0L
-      val constant = allNull || (!hn && cst)
-      f.name -> ColumnStats(f.name, f.dataType.sql, total, nn, nd, hn,
-        constant, cab, zo && nn > 0)
+      val r = raw(f.name)
+      val allNull  = r.nn == 0L
+      val constant = allNull || (!r.hn && r.cst)
+      f.name -> ColumnStats(f.name, f.dataType.sql, r.total, r.nn, r.nd,
+        r.hn, constant, r.cab, r.zo && r.nn > 0)
     }.toMap
 
     val kinds = fields.map { f =>

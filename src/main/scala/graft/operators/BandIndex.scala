@@ -106,12 +106,18 @@ object BandIndex {
     * accept a batch, append it, and the next batch dedups against
     * corpus + all previously accepted batches.
     *
-    * Replay caveat: appending the same batch twice (a retried job)
-    * double-counts its stats and duplicates its band rows. Duplicate
-    * rows do NOT change [[neardupIncrement]]'s pair set (it is
-    * `distinct` over (id_a, id_b, est)), but inflated stats make the
-    * `maxBucket` cap bind earlier — if the ingest layer can replay,
-    * key appends by batch id and deduplicate on rebuild.
+    * Failure semantics: the two writes are not atomic, so the STATS
+    * write goes FIRST — a crash between them leaves stats
+    * over-counting (the `maxBucket` cap binds early, skipping a bucket
+    * it might have kept: a bounded recall loss), never under-counting
+    * (a degenerate bucket slipping past the cap into quadratic pair
+    * generation). Replay has the same safe direction: appending the
+    * same batch twice double-counts stats and duplicates band rows —
+    * duplicate rows do NOT change [[neardupIncrement]]'s pair set (it
+    * is `distinct` over (id_a, id_b, est)), and inflated stats only
+    * bind the cap earlier. If the ingest layer can replay or run
+    * CONCURRENT appends (also unguarded — parquet appends don't
+    * serialize), key appends by batch id and deduplicate on rebuild.
     */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
       idCol: String, textCol: String): Unit = {
@@ -121,12 +127,13 @@ object BandIndex {
         meta.getAs[Int]("shingle_len"), meta.getAs[Int]("bands"),
         meta.getAs[Long]("seed"))
       .localCheckpoint() // two writes below: one signature pass
-    rows.write.mode("append").format("parquet")
-      .bucketBy(buckets, "band").sortBy("band").saveAsTable(table)
+    // stats first — see failure semantics above
     rows.groupBy("band").agg(count(lit(1)).as("cnt"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band").sortBy("band")
       .saveAsTable(s"${table}_stats")
+    rows.write.mode("append").format("parquet")
+      .bucketBy(buckets, "band").sortBy("band").saveAsTable(table)
     // the insert refreshes the WRITING session's relation cache, but
     // `newDocs` may live in a clone (foreachBatch hands micro-batches
     // from a cloned session): refresh in the CALLER's session too, or

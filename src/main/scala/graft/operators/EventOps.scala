@@ -89,18 +89,20 @@ object EventOps {
     * `tsCol` may be any orderable type; pass epoch micros for
     * engine-portable comparisons.
     *
-    * `maxEventsPerUser` (0 = unlimited) bounds each user's per-step
-    * array to that step's EARLIEST `maxEventsPerUser` times, applied
-    * inside the aggregation — a bot user with 10M events then holds
-    * `steps × cap` entries instead of 10M and cannot OOM an executor.
-    * The greedy takes earliest valid times, so a cap only changes the
-    * answer for a user whose completion needs an event beyond their
-    * step's cap-earliest (deep alternation) — set it comfortably above
-    * the funnel depth.
+    * `maxEventsPerUser` bounds each user's per-step array to that
+    * step's EARLIEST `maxEventsPerUser` times, applied inside the
+    * aggregation — a bot user with 10M events then holds `steps × cap`
+    * entries instead of 10M and cannot OOM an executor. The greedy
+    * takes earliest valid times, so a cap only changes the answer for
+    * a user whose completion needs an event beyond their step's
+    * cap-earliest (deep alternation) — the 10,000 default is orders of
+    * magnitude above any real funnel depth. Pass 0 to opt OUT of the
+    * bound (unlimited `collect_list` — only safe when upstream already
+    * bounds per-user event counts).
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String,
       tsCol: String, typeCol: String = "event_type",
-      maxEventsPerUser: Int = 0): DataFrame = {
+      maxEventsPerUser: Int = 10000): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "funnel steps must be distinct")

@@ -134,6 +134,26 @@ class EventOpsSpec extends SparkSpec {
     assert(run(2) == Seq((0, "A", 1L), (1, "B", 0L)))
   }
 
+  test("funnel: the DEFAULT cap is finite (bot arrays bounded) and a " +
+      "beyond-cap bot still doesn't change a shallow funnel's counts") {
+    // default plan slices each per-step array; opting out (0) doesn't
+    val ev = Seq((1L, "A", 1L)).toDF("user_id", "event_type", "tsu")
+    val defPlan = EventOps.funnel(ev, Seq("A"), "user_id", "tsu")
+      .queryExecution.analyzed.toString
+    val unboundedPlan = EventOps.funnel(ev, Seq("A"), "user_id", "tsu",
+      maxEventsPerUser = 0).queryExecution.analyzed.toString
+    assert(defPlan.contains("slice"), s"default cap not applied:\n$defPlan")
+    assert(!unboundedPlan.contains("slice"))
+    // a bot holding 11k A-events (beyond the 10k default cap) still
+    // completes A->B: the greedy only ever needs the earliest valid time
+    val bot = (1 to 11000).map(i => (9L, "A", i.toLong)) ++
+      Seq((9L, "B", 20000L), (1L, "A", 10L), (1L, "B", 20L))
+    val out = EventOps.funnel(bot.toDF("user_id", "event_type", "tsu"),
+      Seq("A", "B"), "user_id", "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "A", 2L), (1, "B", 2L)))
+  }
+
   test("funnel reads events once: single shuffle, no joins") {
     val ev = Seq((1L, "A", 1L)).toDF("user_id", "event_type", "tsu")
     val plan = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu")

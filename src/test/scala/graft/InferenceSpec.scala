@@ -60,12 +60,16 @@ class InferenceSpec extends SparkSpec {
     assert(rows("cat") == (("Str", true)))
   }
 
-  test("exact=true matches exact distinct counts without Expand") {
+  test("exact=true: correct distinct counts from ONE fused distinct job") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 11, "s" + i % 13))
       .toDF("a", "b", "c")
+    val before = Inference.distinctJobCount.get()
     val cls = Inference.classify(df, exact = true)
     assert(cls.stats("a").nDistinct == 7)
     assert(cls.stats("b").nDistinct == 11)
     assert(cls.stats("c").nDistinct == 13)
+    // the exact path fuses all columns into one count_distinct agg —
+    // one distinct job per classify call, never one per column
+    assert(Inference.distinctJobCount.get() - before == 1L)
   }
 }
