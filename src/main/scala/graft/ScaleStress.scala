@@ -33,8 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  private val Pipelines =
-    Seq("q_dedup_clean", "q_substring_scrub", "q_leakage_safe_split")
+  /** Stress pipelines: most are the declared queries verbatim;
+    * semantic dedup runs the operator's AUTO-K default instead of the
+    * oracle's pinned k=16 — a fixed k at growing n is quadratic by
+    * construction (the very thing this harness exists to catch), and
+    * the auto path is what a 100 TB run would use.
+    */
+  private val Pipelines: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)] = Seq(
+    "q_dedup_clean" -> SparkEntry.queries("q_dedup_clean"),
+    "q_substring_scrub" -> SparkEntry.queries("q_substring_scrub"),
+    "q_leakage_safe_split" -> SparkEntry.queries("q_leakage_safe_split"),
+    "q_budget_sample" -> SparkEntry.queries("q_budget_sample"),
+    "q_boilerplate_scrub" -> SparkEntry.queries("q_boilerplate_scrub"),
+    "q_neardup_increment" -> SparkEntry.queries("q_neardup_increment"),
+    "semantic_dedup_auto" -> ((s, dir) =>
+      graft.operators.SemanticDedup.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.4,
+        targetClusterSize = 200L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -60,6 +78,30 @@ object ScaleStress {
       .write.mode("overwrite")
       .parquet(s"$stressDir/documents.parquet")
 
+    // Embeddings replicate under a per-replica DIMENSION PERMUTATION +
+    // SIGN FLIP — an orthogonal transform, so every within-replica dot
+    // product (hence cosine, hence the quantized scoring) is preserved
+    // EXACTLY, while cross-replica cosines scramble toward 0 and die at
+    // the threshold. Replica 0 is the identity: the 1× pair structure
+    // is embedded verbatim.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    (0 until 10).map { k =>
+      val rnd = new scala.util.Random(k)
+      val perm =
+        if (k == 0) (0 until dim).toArray
+        else rnd.shuffle((0 until dim).toVector).toArray
+      val sign = Array.fill(dim)(
+        if (k == 0) 1.0f else if (rnd.nextBoolean()) 1.0f else -1.0f)
+      val shuffled = array((0 until dim).map(j =>
+        element_at(col("embedding"), perm(j) + 1) * lit(sign(j))): _*)
+      emb.withColumn("vec_id", col("vec_id") + lit(k * maxVid))
+        .withColumn("embedding", shuffled)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite")
+      .parquet(s"$stressDir/embeddings.parquet")
+
     // The pair structure does NOT replicate cleanly even though the
     // bijection preserves every within-replica Jaccard EXACTLY: the
     // synthetic corpus draws from a ~30-word vocabulary, so the char-
@@ -81,13 +123,37 @@ object ScaleStress {
       println(s"$dir docs=${d.count()} minhash_pairs=$np")
       np
     }
-    val pairRatio = p10.toDouble / math.max(p1, 1L)
-    // substring_scrub is gram-structured, not pair-structured: its
-    // driver replicates cleanly, so it keeps the plain 10x bound
+    // semantic pairs have their own (embedding-driven) inflation: the
+    // k-means re-fits on the 10× mixture, so cluster scoping shifts
+    val Seq(s1, s10) = Seq(sfDir, stressDir).map { dir =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val np = graft.operators.SemanticDedup
+        .semanticDupPairs(e, "vec_id", "embedding", 0.4,
+          targetClusterSize = 200L).count()
+      println(s"$dir vecs=${e.count()} semantic_pairs=$np")
+      np
+    }
+    // The measured normalizer is CAPPED at 30: past that, a synthetic
+    // degeneracy would otherwise let a genuinely quadratic docs-driven
+    // stage (~100× wall at 10× docs) pass — pairs-driven stages with a
+    // real ratio above the cap fail loudly here, which is the correct
+    // response to a contaminated construction (fix the data, don't
+    // widen the gate).
+    def measured(r10: Long, r1: Long): Double =
+      math.max(10.0, math.min(r10.toDouble / math.max(r1, 1L), 30.0))
+    val pairRatio = measured(p10, p1)
+    val semRatio  = measured(s10, s1)
+    // substring_scrub / budget_sample / boilerplate_scrub are gram- or
+    // row-structured, not pair-structured: their drivers replicate
+    // cleanly, so they keep the plain 10x bound
     val driverRatio = Map(
-      "q_dedup_clean" -> math.max(10.0, pairRatio),
-      "q_leakage_safe_split" -> math.max(10.0, pairRatio),
-      "q_substring_scrub" -> 10.0)
+      "q_dedup_clean" -> pairRatio,
+      "q_leakage_safe_split" -> pairRatio,
+      "q_neardup_increment" -> pairRatio,
+      "semantic_dedup_auto" -> semRatio,
+      "q_substring_scrub" -> 10.0,
+      "q_budget_sample" -> 10.0,
+      "q_boilerplate_scrub" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate
@@ -104,19 +170,19 @@ object ScaleStress {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    def measure(name: String, dir: String): (Double, Long, Long) = {
+    def measure(fn: (SparkSession, String)
+        => org.apache.spark.sql.DataFrame, dir: String)
+        : (Double, Long, Long) = {
       // warm the reader path so the first pipeline doesn't pay init
       spark.read.parquet(s"$dir/documents.parquet").count()
       // warm the pipeline itself at 1x: JIT + codegen cache, so the
       // measured 1x run isn't inflated relative to the 10x run that
       // always executes after it (first-run effects once measured a
       // 1x wall ABOVE the 10x wall)
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       written.set(0); read.set(0)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener delivery is async: wait for the counters to go quiet
       var last = (-1L, -1L)
@@ -128,9 +194,9 @@ object ScaleStress {
 
     println(f"${"pipeline"}%-22s ${"scale"}%5s ${"wall_s"}%8s " +
       f"${"shuf_write"}%12s ${"shuf_read"}%12s")
-    val rows = Pipelines.map { p =>
-      val (w1, sw1, sr1)    = measure(p, sfDir)
-      val (w10, sw10, sr10) = measure(p, stressDir)
+    val rows = Pipelines.map { case (p, fn) =>
+      val (w1, sw1, sr1)    = measure(fn, sfDir)
+      val (w10, sw10, sr10) = measure(fn, stressDir)
       println(f"$p%-22s    1x ${w1}%8.2f ${sw1}%12d ${sr1}%12d")
       println(f"$p%-22s   10x ${w10}%8.2f ${sw10}%12d ${sr10}%12d")
       val dr = driverRatio(p)

@@ -828,15 +828,53 @@ object SparkEntry {
 
     // ----- semantic dedup (SemDeDup): k-means-cluster-scoped exact
     // cosine pairs, then keep one id per connected component
+    // explicit nCentroids: the DuckDB oracle replays the k-means fit
+    // bit-exactly, so k is part of the contract here (the operator's
+    // default is corpus-scaled auto-k)
     "q_semantic_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.4)
+        threshold = 0.4, nCentroids = 16)
     }),
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SemanticDedup.semanticDedup(emb, "vec_id", "embedding",
-        threshold = 0.4).select("vec_id")
+        threshold = 0.4, nCentroids = 16).select("vec_id")
+    }),
+
+    // ----- REAL image-header decode: PNG bytes are synthesized by hex
+    // CONCATENATION (signature + IHDR with planted dims — independent
+    // of the parser), decoded back via the batch-decode plumbing; the
+    // oracle recomputes the planted dims arithmetically, so the round
+    // trip proves the parser reads genuine PNG structure
+    "q_media_dims" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val wHex = lpad(hex((col("doc_id") % 1920 + 1).cast("int")), 8, "0")
+      val hHex = lpad(hex((col("doc_id") % 1080 + 1).cast("int")), 8, "0")
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A"),   // PNG signature
+        lit("0000000D49484452"),   // IHDR length 13 + type
+        wHex, hHex,                // width, height (BE u32)
+        lit("0802000000"),         // depth 8, color RGB, comp/filt/ilace
+        lit("00000000")))          // CRC (not validated by readers)
+      val media = d.select(col("doc_id"), png.as("content"))
+      Multimodal.decodeBatches(media, "content",
+          Multimodal.imageDimsSchema)(Multimodal.decodeImageDims)
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("channels"))
+    }),
+
+    // ----- Z-order clustered write, read back: the layout must be
+    // content-preserving (LayoutSpec separately proves the per-file
+    // range narrowing that makes the layout worth writing)
+    "q_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_zorder"
+      Layout.zorderWrite(li, Seq("l_partkey", "l_suppkey"), path,
+        outPartitions = 8)
+      s.read.parquet(path)
     })
   )
 
@@ -1482,7 +1520,22 @@ object SparkEntry {
     "q_ivf_topk"      -> ivfTopKOracle,
     "q_cosine_dup"    -> cosineDupOracle,
     "q_semantic_pairs" -> semanticPairsOracle,
-    "q_semantic_dedup" -> semanticDedupOracle
+    "q_semantic_dedup" -> semanticDedupOracle,
+
+    // z-order is a LAYOUT: the read-back content must equal the
+    // unclustered projection row-for-row (the compare sorts rows)
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         l_quantity FROM lineitem""",
+
+    // the parser must read back exactly the dims the hex construction
+    // planted — recomputed here arithmetically, no PNG anywhere
+    "q_media_dims" ->
+      """SELECT doc_id, 'png' AS format,
+         CAST(doc_id % 1920 + 1 AS INT) AS width,
+         CAST(doc_id % 1080 + 1 AS INT) AS height,
+         CAST(3 AS INT) AS channels
+         FROM documents"""
   )
 
   // ------------------------------------------------------------------

@@ -70,6 +70,15 @@ object Decontaminate {
     * result. The serialized filter rides the plan as a literal, so it
     * broadcasts to executors once per stage — at the default sizing
     * that is a ~1 MB constant, far below any broadcast-join threshold.
+    *
+    * Sizing bound: Spark SILENTLY clamps `BloomFilterAggregate`'s
+    * numItems/numBits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) and `...maxNumBits` (default 64M bits = 8 MB) — a clamped
+    * filter keeps the documented correctness (no false negatives) but
+    * quietly delivers a much worse fpp, ballooning verify-join
+    * traffic. So oversizing fails loudly here instead: raise those
+    * session confs to size past ~7M grams at fpp 0.03.
     */
   def flagContaminatedBloom(corpus: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String,
@@ -78,12 +87,29 @@ object Decontaminate {
     require(n >= 1, s"n must be >= 1, got $n")
     require(expectedGrams > 0, "expectedGrams must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val conf = corpus.sparkSession.conf
+    val maxNumItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        "4000000").toLong
+    val maxNumBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "67108864").toLong
+    require(expectedGrams <= maxNumItems,
+      s"expectedGrams ($expectedGrams) exceeds " +
+      s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems " +
+      s"($maxNumItems): Spark would silently clamp the filter and " +
+      "degrade its fpp — raise the session conf to size this filter")
     val benchGrams = bench.select(explode(graft.functions.NativeHash
         .distinctWordNGramsColumn(col(benchTextCol), n)).as("gram"))
       .distinct()
     val numBits = math.ceil(
       -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2)))
       .toLong
+    require(numBits <= maxNumBits,
+      s"requested fpp $fpp at $expectedGrams grams needs $numBits " +
+      s"bits, over spark.sql.optimizer.runtime.bloomFilter.maxNumBits " +
+      s"($maxNumBits): Spark would silently clamp and degrade the " +
+      "fpp — raise the session conf or accept a larger fpp")
     val bloomAgg = Bridge.column(new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("gram"))),
         Literal(expectedGrams), Literal(numBits))

@@ -25,9 +25,16 @@ object EventOps {
     * Shuffle profile, in decreasing row count: (1) distinct over
     * (user, period) — map-side partial, collapses the event stream to
     * user-period scale BEFORE anything wider; (2) one exchange on user
-    * for the first-seen window (whole-partition min, no sort-based
-    * frame); (3) the final (cohort, offset) aggregation with partial
-    * count-distinct. Events themselves are touched exactly once.
+    * for a HASH aggregate that takes the first-seen min and carries
+    * the user's period list along (then re-explodes it) — a plain
+    * `min().over(partitionBy(u))` window computes the same thing but
+    * WindowExec must SORT every partition by user first, a sort the
+    * aggregate provably doesn't need; (3) the final (cohort, offset)
+    * aggregation with partial count-distinct. Events themselves are
+    * touched exactly once. The carried list holds one entry per
+    * DISTINCT period the user was active — bounded by the calendar
+    * (a decade of daily activity is ~3.7k entries), not by event
+    * volume.
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       period: String = "week"): DataFrame = {
@@ -45,9 +52,10 @@ object EventOps {
       else
         (datediff(col("p"), col("cohort")) / PeriodDays(period))
           .cast("long")
-    val w = Window.partitionBy("u")
     active
-      .withColumn("cohort", min("p").over(w))
+      .groupBy(col("u"))
+      .agg(min(col("p")).as("cohort"), collect_list(col("p")).as("__ps"))
+      .select(col("u"), col("cohort"), explode(col("__ps")).as("p"))
       .groupBy(col("cohort"), offsetExpr.as("offset"))
       .agg(count_distinct(col("u")).as("n_users"))
   }

@@ -64,10 +64,12 @@ object Layout {
     * relative error — rank skew from the approximation costs pruning
     * sharpness, never correctness.
     *
-    * Cost shape: one approxQuantile pass per column (driver gets
-    * 2^bits−1 doubles each — bounded, never data-sized), then ONE
-    * range shuffle of the full frame. The z column is dropped before
-    * the write; the layout, not an extra column, carries the benefit.
+    * Cost shape: ONE fused approxQuantile pass for ALL columns (the
+    * multi-column overload — one job, one scan; the driver gets
+    * 2^bits−1 doubles per column — bounded, never data-sized), then
+    * ONE range shuffle of the full frame. The z column is dropped
+    * before the write; the layout, not an extra column, carries the
+    * benefit.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
       outPartitions: Int, bits: Int = 6,
@@ -75,8 +77,9 @@ object Layout {
     require(cols.nonEmpty, "zorderWrite needs at least one column")
     val probes = (1 until (1 << bits))
       .map(_.toDouble / (1 << bits)).toArray
-    val ranks = cols.map { c =>
-      val bnds = df.stat.approxQuantile(c, probes, quantileErr)
+    val bounds = df.stat.approxQuantile(cols.toArray, probes,
+      quantileErr)
+    val ranks = cols.zip(bounds).map { case (c, bnds) =>
       bucketRank(col(c), bnds)
     }
     df.withColumn("__z", zValueColumn(ranks, bits))

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus the batch-UDF plumbing a
   * real decoder would plug into.
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS are
-  * deterministic fakes (clearly marked). Everything Spark-side is real:
-  * the schema contract, the per-partition batch iteration (the Scala
-  * analog of `mapInPandas` — one Iterator[Row] per partition, streaming,
-  * no per-row serialization boundary), the frame-sampling explode, and
+  * IMAGE HEADER DECODE IS REAL: [[pngDims]]/[[jpegDims]] parse the
+  * PNG IHDR chunk and JPEG SOF markers byte-for-byte (no libraries) —
+  * width/height/channels, the metadata curation filters actually use.
+  * PIXEL-LEVEL kernels (perceptual hash, resize, frame extraction)
+  * remain deterministic fakes, clearly marked: the container has no
+  * pixel codecs. Everything Spark-side is real either way: the schema
+  * contract, the per-partition batch iteration (the Scala analog of
+  * `mapInPandas` — one Iterator[Row] per partition, streaming, no
+  * per-row serialization boundary), the frame-sampling explode, and
   * the partitioning behavior.
   */
 object Multimodal {
@@ -78,6 +82,108 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // Real image header codecs (no external libraries): PNG IHDR and
+  // JPEG SOF marker parsing — the metadata a curation pipeline filters
+  // on (drop tiny images, bucket by aspect ratio, channel checks)
+  // without ever decoding pixel data.
+  // ------------------------------------------------------------------
+
+  /** Parsed header dimensions. `channels` is derived from the color
+    * model (PNG color type / JPEG component count).
+    */
+  final case class ImageDims(format: String, width: Int, height: Int,
+      channels: Int)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private val PngSignature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+    0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (length 13, type
+    * "IHDR", width/height as big-endian u32, bit depth, color type).
+    * Channels by color type: 0 gray, 2 RGB, 3 palette (1 index
+    * channel), 4 gray+alpha, 6 RGBA. CRC is deliberately NOT checked —
+    * header extraction must survive payload corruption.
+    */
+  def pngDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 33) return None
+    if (!b.view.take(8).sameElements(PngSignature)) return None
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' ||
+      b(14) != 'D' || b(15) != 'R') return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => -1
+    }
+    if (w > 0 && h > 0 && channels > 0) Some(ImageDims("png", w, h,
+      channels))
+    else None
+  }
+
+  /** JPEG: SOI (FFD8), then marker segments — each FF + marker + u16
+    * big-endian length (standalone markers and fill bytes skipped) —
+    * until a start-of-frame (SOF0..15 except the non-frame C4/C8/CC)
+    * carrying precision(1) height(2) width(2) components(1). Returns
+    * None on truncation, misaligned markers, or scan/EOI before any
+    * SOF — malformed inputs classify as undecodable, never throw.
+    */
+  def jpegDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte before a marker
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no SOF
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length || len < 8) return None
+          val h  = be16(b, i + 5)
+          val w  = be16(b, i + 7)
+          val ch = b(i + 9) & 0xff
+          return if (w > 0 && h > 0 && ch > 0)
+            Some(ImageDims("jpeg", w, h, ch))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Sniff PNG then JPEG (each checks its own magic first). */
+  def imageDims(bytes: Array[Byte]): Option[ImageDims] =
+    pngDims(bytes).orElse(jpegDims(bytes))
+
+  val imageDimsSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Decode kernel for [[decodeBatches]]: real header parse, nulls for
+    * malformed/unrecognized content (a curation filter drops or
+    * quarantines those rows; the decode must not kill the job).
+    */
+  def decodeImageDims(bytes: Array[Byte]): Seq[Any] =
+    imageDims(bytes) match {
+      case Some(d) => Seq[Any](d.format, d.width, d.height, d.channels)
+      case None    => Seq[Any](null, null, null, null)
+    }
 
   /** Deterministic fake decoder: "resolution" and "n_frames" derived
     * from content bytes. STUB — replace with a real codec call.

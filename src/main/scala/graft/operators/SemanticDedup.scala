@@ -34,25 +34,50 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
+  /** Auto-sized centroid count: one cluster per `targetClusterSize`
+    * rows, so within-cluster candidate pairs stay ~n·target — LINEAR
+    * in the corpus (the 10× stress harness measured 74× shuffle growth
+    * at a FIXED k: same data, 10× rows, 100× candidate pairs). Capped
+    * at [[MaxAutoCentroids]]: centroid assignment is O(k) per row and
+    * driver state is k × dim, so past the cap the fit itself becomes
+    * the bottleneck — at that corpus scale, shard the corpus and run
+    * per-shard (or fit hierarchically) rather than growing flat k.
+    */
+  val DefaultTargetClusterSize = 1000L
+  val MaxAutoCentroids         = 65536
+
+  private def autoCentroids(n: Long, target: Long): Int =
+    math.max(1L, math.min(((n + target - 1) / target),
+      MaxAutoCentroids.toLong)).toInt
+
   /** Within-cluster exact-cosine duplicate pairs `(id_a, id_b,
     * cosine)` with `id_a < id_b` and cosine ≥ `threshold`. Cosine is
     * computed on milli-unit quantized vectors (exact int64 dots, one
     * correctly-rounded double divide) so it is bit-reproducible on
     * any engine — the DuckDB oracle replays the fit and the scoring.
+    *
+    * `nCentroids ≤ 0` (the default) auto-sizes the centroid count to
+    * the corpus — see [[autoCentroids]]; pass an explicit k only when
+    * an external contract (an oracle replay, a pre-fit index) pins it.
     */
   def semanticDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       kmeansIters: Int = 2,
-      maxCluster: Long = 100000L): DataFrame = {
+      maxCluster: Long = 100000L,
+      targetClusterSize: Long = DefaultTargetClusterSize): DataFrame = {
     val cq = df.select(col(idCol).as("id"),
         Similarity.quantize(col(vecCol)).as("__cv"))
       .withColumn("__cn", Similarity.dotQ(col("__cv"), col("__cv")))
+    // the fit is already eager (per-iteration jobs); one count more
+    val k =
+      if (nCentroids > 0) nCentroids
+      else autoCentroids(cq.count(), targetClusterSize)
     val cents = Similarity.fitCentroidsKMeans(cq, "id", "__cv",
-      nCentroids, kmeansIters)
+      k, kmeansIters)
     val listed = cq.withColumn("__list",
       IvfCentroids.nearestList(col("__cv"), cents))
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
@@ -76,11 +101,13 @@ object SemanticDedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       kmeansIters: Int = 2,
-      maxCluster: Long = 100000L): DataFrame = {
+      maxCluster: Long = 100000L,
+      targetClusterSize: Long = DefaultTargetClusterSize): DataFrame = {
     val pairs = semanticDupPairs(df, idCol, vecCol, threshold,
-      nCentroids, kmeansIters, maxCluster).select("id_a", "id_b")
+      nCentroids, kmeansIters, maxCluster, targetClusterSize)
+      .select("id_a", "id_b")
     Dedup.dedupCorpus(df, idCol, pairs)
   }
 }

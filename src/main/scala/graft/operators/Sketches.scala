@@ -54,11 +54,16 @@ object Sketches {
     * ([[CorpusScrub.topTerms]]) shuffles one row per distinct term —
     * the right call when terms fit a shuffle; at 100 TB the sketch
     * version is one bounded-size state per partition, merged once, no
-    * term-keyed exchange at all. Guarantee: while distinct terms ≤
-    * `maxItemsTracked` the sketch is EXACT (the q_top_terms_approx
-    * oracle relies on this — the synthetic vocabulary is far under
-    * the bound); beyond it, counts are estimates with the standard
-    * frequent-items error bound (≤ n/maxItemsTracked over-count).
+    * term-keyed exchange at all. Guarantee: while distinct terms stay
+    * COMFORTABLY under `maxItemsTracked` the sketch returns exact
+    * counts (the q_top_terms_approx oracle relies on this — the
+    * synthetic vocabulary is far under the bound). The precise
+    * exactness boundary is implementation-defined: the DataSketches
+    * ItemsSketch guarantees exactness only up to ~0.75× its internal
+    * map size, and Spark's maxItemsTracked→map-size mapping is not
+    * contractual — do not lean on the region near capacity. Beyond
+    * it, counts are estimates with the standard frequent-items error
+    * bound (≤ n/maxItemsTracked over-count).
     *
     * The sketch is asked for every tracked item, and the top-k cut is
     * applied OUTSIDE with a deterministic (count desc, term asc)

@@ -40,6 +40,14 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention plan: hash-agg first-seen, no window, no sort") {
+    val ev = Seq((1L, ts(2))).toDF("user_id", "ts")
+    val plan = EventOps.cohortRetention(ev, "user_id", "ts", "week")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Sort"), s"sort in plan:\n$plan")
+  }
+
   test("cohortRetention month period uses calendar month offsets") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-15 10:00:00")),

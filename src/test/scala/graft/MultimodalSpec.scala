@@ -48,6 +48,86 @@ class MultimodalSpec extends SparkSpec {
       .map(f => (f.name, f.dataType, f.nullable)).toSeq == expected)
   }
 
+  // ---- real header codecs ----
+
+  /** Minimal valid PNG: signature + IHDR with the given dims. */
+  private def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+    bb.putInt(0) // CRC, unvalidated
+    bb.array()
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to skip, fill byte, SOF0. */
+  private def jpegBytes(w: Int, h: Int, comps: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 4 + 1 + 2 + 2 + 8)
+    bb.put(0xff.toByte).put(0xd8.toByte)          // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte)          // APP0
+    bb.putShort(6.toShort).putInt(0x4a464946)     // len 6, "JFIF"
+    bb.put(0xff.toByte)                           // fill byte
+    bb.put(0xff.toByte).put(0xc0.toByte)          // SOF0
+    bb.putShort((8 + comps * 3).toShort)
+    bb.put(8.toByte)                              // precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(comps.toByte)
+    bb.array().take(2 + 4 + 4 + 1 + 2 + 2 + 1 + 2 + 2 + 1)
+  }
+
+  test("pngDims: golden headers across color types; malformed -> None") {
+    assert(Multimodal.pngDims(pngBytes(640, 480, 2)) ==
+      Some(Multimodal.ImageDims("png", 640, 480, 3)))
+    assert(Multimodal.pngDims(pngBytes(1, 1, 0)) ==
+      Some(Multimodal.ImageDims("png", 1, 1, 1)))
+    assert(Multimodal.pngDims(pngBytes(1920, 1080, 6)) ==
+      Some(Multimodal.ImageDims("png", 1920, 1080, 4)))
+    assert(Multimodal.pngDims(pngBytes(33, 7, 4)) ==
+      Some(Multimodal.ImageDims("png", 33, 7, 2)))
+    // malformed: truncated, corrupt signature, bad color type, 0-dim
+    assert(Multimodal.pngDims(pngBytes(640, 480, 2).take(20)).isEmpty)
+    val badSig = pngBytes(640, 480, 2); badSig(0) = 0x42
+    assert(Multimodal.pngDims(badSig).isEmpty)
+    assert(Multimodal.pngDims(pngBytes(640, 480, 5)).isEmpty)
+    assert(Multimodal.pngDims(pngBytes(0, 480, 2)).isEmpty)
+    assert(Multimodal.pngDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.pngDims(null).isEmpty)
+  }
+
+  test("jpegDims: SOF behind skipped segments; malformed -> None") {
+    assert(Multimodal.jpegDims(jpegBytes(800, 600, 3)) ==
+      Some(Multimodal.ImageDims("jpeg", 800, 600, 3)))
+    assert(Multimodal.jpegDims(jpegBytes(12, 34, 1)) ==
+      Some(Multimodal.ImageDims("jpeg", 12, 34, 1)))
+    // truncated before SOF payload, misaligned marker, bare SOI
+    assert(Multimodal.jpegDims(jpegBytes(800, 600, 3).dropRight(4))
+      .isEmpty)
+    val bad = jpegBytes(800, 600, 3); bad(2) = 0x00
+    assert(Multimodal.jpegDims(bad).isEmpty)
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+    assert(Multimodal.jpegDims("junk".getBytes).isEmpty)
+  }
+
+  test("decodeImageDims kernel: parsed rows and null-row for garbage") {
+    val rows = Seq(
+      (1L, pngBytes(320, 200, 2)),
+      (2L, jpegBytes(64, 32, 3)),
+      (3L, "garbage".getBytes)
+    ).toDF("id", "content")
+    val out = Multimodal.decodeBatches(rows, "content",
+        Multimodal.imageDimsSchema)(Multimodal.decodeImageDims)
+      .select("id", "format", "width", "height", "channels")
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some("png"), Some(320), Some(200), Some(3)),
+      (2L, Some("jpeg"), Some(64), Some(32), Some(3)),
+      (3L, None, None, None, None)))
+  }
+
   test("resizeStub rewrites payload and metadata to the target size") {
     val m = Multimodal.mediaFromText(docs, "doc_id", "text")
     val out = Multimodal.resizeStub(m, "content", "meta", 8, 8)

@@ -64,6 +64,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("auto-k scales the centroid count with the corpus") {
+    // 13 vectors at targetClusterSize 5 -> ceil(13/5) = 3 centroids:
+    // the auto default must reproduce the explicit k=3 pair set
+    val auto = SemanticDedup.semanticDupPairs(corpus, "vec_id",
+        "embedding", threshold = 0.99, targetClusterSize = 5L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pinned = SemanticDedup.semanticDupPairs(corpus, "vec_id",
+        "embedding", threshold = 0.99, nCentroids = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == pinned)
+    // and the sizing arithmetic: target >= n collapses to one cluster,
+    // the cap binds for absurd targets
+    assert(SemanticDedup.MaxAutoCentroids == 65536)
+  }
+
   test("matches brute-force cosine pairs restricted to shared cluster") {
     // independent reconstruction: brute-force all pairs with the
     // public cosine pieces; cluster scoping can only remove pairs
