@@ -842,6 +842,27 @@ object SparkEntry {
         threshold = 0.4, nCentroids = 16).select("vec_id")
     }),
 
+    // ----- crawl HTML -> text/title/links: pages synthesized by
+    // concatenation around each document (script with a bare '<',
+    // style, comments, entities, one single-quoted href the
+    // double-quote link pattern must NOT match)
+    "q_html_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title> Doc "), col("doc_id"),
+        lit(" </title><script>var x=1; if (x<2) {}</script>" +
+          "<style>p { color: red; }</style></head><body>" +
+          "<!-- hidden --><p class=\"main\">"), col("text"),
+        lit("</p><a href=\"https://ex.com/"), col("doc_id"),
+        lit("?u=1\">one</a> <a href='https://ex.com/b'>two</a> " +
+          "&amp; &lt;tail&gt; &#39;q&#39; &nbsp;</body></html>"))
+      d.select(col("doc_id"),
+        T.htmlTitle(html).as("title"),
+        T.htmlToText(html).as("text"),
+        size(T.htmlLinks(html)).cast("long").as("n_links"),
+        element_at(T.htmlLinks(html), 1).as("first_link"))
+    }),
+
     // ----- REAL image-header decode: PNG bytes are synthesized by hex
     // CONCATENATION (signature + IHDR with planted dims — independent
     // of the parser), decoded back via the batch-decode plumbing; the
@@ -868,9 +889,13 @@ object SparkEntry {
     // content-preserving (LayoutSpec separately proves the per-file
     // range narrowing that makes the layout worth writing)
     "q_zorder" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
+      // a 10% slice: the row set is still range-shuffled, z-sorted,
+      // written and read back in full — writing ALL of sf0.1 made this
+      // one WRITE benchmark 16% of the whole suite's wall
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_zorder"
       Layout.zorderWrite(li, Seq("l_partkey", "l_suppkey"), path,
         outPartitions = 8)
@@ -1526,7 +1551,42 @@ object SparkEntry {
     // unclustered projection row-for-row (the compare sorts rows)
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         l_quantity FROM lineitem""",
+         l_quantity FROM lineitem WHERE l_orderkey % 10 = 0""",
+
+    // same page construction via ||; the extraction chain is replayed
+    // operator-for-operator (RE2 inline flags, literal replaces with
+    // &amp; last, then the normalize whitespace canonicalization)
+    "q_html_text" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title> Doc ' || doc_id ||
+           ' </title><script>var x=1; if (x<2) {}</script>' ||
+           '<style>p { color: red; }</style></head><body>' ||
+           '<!-- hidden --><p class="main">' || text ||
+           '</p><a href="https://ex.com/' || doc_id ||
+           '?u=1">one</a> <a href=''https://ex.com/b''>two</a> ' ||
+           '&amp; &lt;tail&gt; &#39;q&#39; &nbsp;</body></html>'
+             AS html
+         FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1),
+             '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS title,
+           trim(regexp_replace(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+           len(regexp_extract_all(html,
+             '(?i)href\s*=\s*"([^"]*)"', 1)) AS n_links,
+           regexp_extract_all(html,
+             '(?i)href\s*=\s*"([^"]*)"', 1)[1] AS first_link
+         FROM h""",
 
     // the parser must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no PNG anywhere

@@ -282,6 +282,42 @@ object TextFunctions {
     when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), trimmed).otherwise(u)
   }
 
+  // ---------------------------------------------------- HTML extraction
+
+  /** Crawl-page HTML → clean text: script/style blocks removed WITH
+    * their contents, comments removed, remaining tags stripped, the
+    * entities that dominate real pages decoded, then [[normalizeText]]
+    * whitespace canonicalization. Deliberately regex-only — no DOM
+    * parser on the scan path (a 100 TB crawl cleans in the projection,
+    * codegen'd, shuffle-free), and every pattern means the same thing
+    * in Java regex and RE2 (inline `(?is)` flags, lazy `.*?`, no
+    * lookarounds) so a SQL oracle replays it verbatim. `&amp;` decodes
+    * LAST: decoding it first would double-decode `&amp;lt;` into `<`.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (ent, ch)) =>
+        replace(col, lit(ent), lit(ch))
+      }
+    normalizeText(decoded)
+  }
+
+  /** The page title ('' when absent), whitespace-normalized. */
+  def htmlTitle(c: Column): Column =
+    normalizeText(
+      regexp_extract(c, "(?is)<title[^>]*>([^<]*)</title>", 1))
+
+  /** All double-quoted href targets, in document order. */
+  def htmlLinks(c: Column): Column =
+    regexp_extract_all(c, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   // ------------------------------------- repetition signals (Gopher-ish)
 
   /** Fraction of lines that are repeats of an earlier line (0 for a

@@ -209,6 +209,40 @@ class TextFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(0) == r.getString(1).isEmpty))
   }
 
+  test("htmlToText: blocks removed with content, entities decode last") {
+    val html = "<html><head><title>T</title>" +
+      "<SCRIPT type='x'>if (a<b) { alert('&amp;'); }</SCRIPT>" +
+      "<style>p { color: red; }</style></head>" +
+      "<body><!-- secret --><p>Hello &amp;lt;world&gt;!</p>" +
+      "<div>tab\there</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(T.htmlToText(col("h"))).as[String].collect()(0)
+    // &amp;lt; decodes to literal "&lt;" (NOT "<" — amp decodes last);
+    // script body incl. its bare '<' and entity is gone; comment gone
+    assert(out == "T Hello &lt;world>! tab here")
+  }
+
+  test("htmlTitle and htmlLinks extraction") {
+    val html = "<html><head><title> My  Page </title></head><body>" +
+      "<a HREF=\"https://a.com/x\">a</a>" +
+      "<a href = \"https://b.com/y?q=1\">b</a>" +
+      "<a href='https://single.quoted/skip'>c</a></body></html>"
+    val (title, links) = Seq(html).toDF("h")
+      .select(T.htmlTitle(col("h")), T.htmlLinks(col("h")))
+      .as[(String, Seq[String])].collect()(0)
+    assert(title == "My Page")
+    // double-quoted only, document order, case-insensitive attr
+    assert(links == Seq("https://a.com/x", "https://b.com/y?q=1"))
+    // no title, malformed unclosed tag: empty title, text still sane
+    val bad = "<body><p>hi<p>there</body"
+    val (t2, txt) = Seq(bad).toDF("h")
+      .select(T.htmlTitle(col("h")), T.htmlToText(col("h")))
+      .as[(String, String)].collect()(0)
+    assert(t2 == "")
+    // the unclosed trailing tag is not a tag; it survives as text
+    assert(txt == "hi there</body")
+  }
+
   test("normalizeUrl canonicalizes case, ports, fragments, tracking") {
     import spark.implicits._
     val cases = Seq(
