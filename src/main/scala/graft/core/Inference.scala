@@ -48,7 +48,8 @@ object Inference {
     // double→string formatting (which dominated the pass at sf0.1).
     val constNonNull = (min(c) <=> max(c)).cast("int")
     val castable = field.dataType match {
-      case StringType => count(when(c.try_cast("double").isNotNull, 1))
+      case StringType =>
+        count(when(graft.functions.SafeCast.tryCastDouble(c).isNotNull, 1))
       case _          => notNull
     }
     val zeroOne = field.dataType match {
@@ -156,7 +157,7 @@ object Inference {
       }
     }
     val v = col("__v")
-    val castableNum = v.try_cast("double")
+    val castableNum = graft.functions.SafeCast.tryCastDouble(v)
     val perCol = df
       .select(posexplode(array(keyed: _*)).as(Seq("__p", "__v")))
       .groupBy(col("__p"), v).agg(count(lit(1)).as("__cnt"))

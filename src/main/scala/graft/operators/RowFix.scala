@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{GraftDataset, Inference, Thresholds}
+import graft.functions.SafeCast
 
 /** The data-repair cascade (reference: src/trousse/row_fix.py).
   *
@@ -36,13 +37,13 @@ object RowFix {
 
   /** The repair expression for one string column → double. */
   def fixExpr(c: Column): Column = {
-    val asNum  = c.try_cast("double")
+    val asNum  = SafeCast.tryCastDouble(c)
     val rep    = charFixed(c)
-    val repNum = rep.try_cast("double")
+    val repNum = SafeCast.tryCastDouble(rep)
     val up     = lit(1.0 + Thresholds.OutOfScalePct)
     val down   = lit(1.0 - Thresholds.OutOfScalePct)
-    val gtVal  = regexp_replace(rep, ">", "").try_cast("double") * up
-    val ltVal  = regexp_replace(rep, "<", "").try_cast("double") * down
+    val gtVal  = SafeCast.tryCastDouble(regexp_replace(rep, ">", "")) * up
+    val ltVal  = SafeCast.tryCastDouble(regexp_replace(rep, "<", "")) * down
     when(c.isNull, lit(null).cast("double"))
       .when(asNum.isNotNull, asNum)
       .when(repNum.isNotNull, repNum)
@@ -58,8 +59,8 @@ object RowFix {
   def unfixableExpr(c: Column): Column = {
     val rep = charFixed(c)
     c.isNotNull &&
-    c.try_cast("double").isNull &&
-    rep.try_cast("double").isNull &&
+    SafeCast.tryCastDouble(c).isNull &&
+    SafeCast.tryCastDouble(rep).isNull &&
     !rep.contains("%") && !rep.contains(">") && !rep.contains("<") &&
     !trim(rep).isin(WholeWordNullTokens: _*)
   }
@@ -68,7 +69,7 @@ object RowFix {
     * `errors_before_correction` audit (row_fix.py:94-115).
     */
   def errorBeforeExpr(c: Column): Column =
-    c.isNotNull && c.try_cast("double").isNull
+    c.isNotNull && SafeCast.tryCastDouble(c).isNull
 
   /** Which string columns are "actually numeric": castable ratio > 0.4
     * (reference row_fix.py:20-53 + settings.py:18). Uses the
@@ -93,7 +94,7 @@ object RowFix {
     */
   def lostValues(df: DataFrame, column: String): DataFrame =
     df.filter(col(column).isNotNull &&
-        col(column).try_cast("double").isNull)
+        SafeCast.tryCastDouble(col(column)).isNull)
       .groupBy(col(column).cast("string").as("value"))
       .agg(count(lit(1)).as("n"))
 

@@ -45,7 +45,8 @@ object Io {
     val cls = Inference.classify(raw)
     val typed = raw.select(raw.columns.map { c =>
       cls.kinds(c) match {
-        case ColumnKind.Numerical => col(c).try_cast("double").as(c)
+        case ColumnKind.Numerical =>
+          graft.functions.SafeCast.tryCastDouble(col(c)).as(c)
         case ColumnKind.Bool      => col(c).cast("boolean").as(c)
         case _                    => col(c)
       }
