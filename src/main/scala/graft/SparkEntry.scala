@@ -828,6 +828,15 @@ object SparkEntry {
 
     // ----- semantic dedup (SemDeDup): k-means-cluster-scoped exact
     // cosine pairs, then keep one id per connected component
+    // ----- kNN graph: every vector's 5 nearest by exact quantized
+    // cosine, IVF-probe-scoped self-join (pinned k-means, oracle
+    // replays the fit + probes + ranking)
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 2)
+    }),
+
     // explicit nCentroids: the DuckDB oracle replays the k-means fit
     // bit-exactly, so k is part of the contract here (the operator's
     // default is corpus-scaled auto-k)
@@ -1546,6 +1555,7 @@ object SparkEntry {
     "q_cosine_dup"    -> cosineDupOracle,
     "q_semantic_pairs" -> semanticPairsOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_knn_graph"      -> knnGraphOracle,
 
     // z-order is a LAYOUT: the read-back content must equal the
     // unclustered projection row-for-row (the compare sorts rows)
@@ -2406,6 +2416,33 @@ object SparkEntry {
            JOIN q va ON va.vec_id = a.vec_id
            JOIN q vb ON vb.vec_id = b.vec_id)
        SELECT id_a, id_b, cosine FROM prs WHERE cosine >= 0.4"""
+
+  /** Mirrors Similarity.knnGraph at k=5, nCentroids=16, nProbe=2:
+    * the shared k-means replay, each vector in its 2 highest-scoring
+    * centroid lists, DISTINCT same-list candidate pairs (both
+    * directions), exact quantized cosine, rank ≤ 5 per query with the
+    * engine's (cosine DESC, neighbor_id) tie-break.
+    */
+  private def knnGraphOracle: String =
+    s"""WITH ${kmeansAssignCtes(64)},
+       probes AS (SELECT vec_id, ci FROM (
+         SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY s DESC, ci) AS rn FROM cdots) p WHERE rn <= 2),
+       cand AS (SELECT DISTINCT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id
+         FROM probes a JOIN probes b
+           ON a.ci = b.ci AND a.vec_id <> b.vec_id),
+       scored AS (SELECT query_id, neighbor_id,
+           ${sqlDotQ("va.qv", "vb.qv", 64)}::DOUBLE /
+             sqrt(${sqlDotQ("va.qv", "va.qv", 64)}::DOUBLE *
+                  ${sqlDotQ("vb.qv", "vb.qv", 64)}::DOUBLE) AS cosine
+         FROM cand
+           JOIN q va ON va.vec_id = query_id
+           JOIN q vb ON vb.vec_id = neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) s
+       WHERE rank <= 5"""
 
   /** Recursive-CTE replay of SemanticDedup.semanticDedup: kept ids =
     * those whose smallest reachable id in the (symmetric) semantic

@@ -239,6 +239,68 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-nearest-neighbor GRAPH: every vector's `k` most cosine-similar
+    * neighbors in ONE pass over the corpus (queries = corpus — the
+    * primitive under semantic-dedup audits, embedding-cluster QA and
+    * graph-based curation). [[ivfTopK]] broadcasts a small query
+    * frame; a graph build can't (the query side IS the corpus), so
+    * candidates come from a SELF-join scoped to shared IVF probe
+    * lists: each vector enters its `nProbe` nearest centroid lists,
+    * vectors sharing a list pair up, and each id keeps its `k` best
+    * by exact quantized cosine. Output: (query_id, neighbor_id,
+    * cosine, rank ≤ k), both directions of every candidate pair.
+    *
+    * Scale shape: one exchange on list id; per-list pairing is
+    * quadratic in LIST size by design, kept bounded because
+    * `nCentroids ≤ 0` (default) auto-scales the centroid count to
+    * ~`n·nProbe/targetListSize` (the fixed-k-at-growing-n trap the
+    * stress harness caught on SemDeDup), with `maxList` hard-capping
+    * adversarial lists — the same bounded-recall contract as the LSH
+    * bucket caps. The final top-k cut is a rank-1..k window per
+    * query_id (WindowGroupLimit pre-filters map-side to k before the
+    * exchange). Recall: a true neighbor is missed only when its probe
+    * lists are disjoint from the query's — `nProbe` ≥ 2 keeps
+    * boundary vectors in their two nearest lists, the standard IVF
+    * trade.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 0, nProbe: Int = 2, kmeansIters: Int = 2,
+      maxList: Long = 100000L,
+      targetListSize: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cq = df.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = cq.count()
+        math.max(1L, math.min(
+          (n * nProbe + targetListSize - 1) / targetListSize,
+          65536L)).toInt
+      }
+    val cents = fitCentroidsKMeans(cq, "id", "__qv", nc, kmeansIters)
+    val listed = cq.withColumn("__list",
+      explode(IvfCentroids.probeLists(col("__qv"), cents,
+        math.min(nProbe, nc))))
+    val p = BucketPairs.bucketedPairs(listed, col("__list"),
+      struct(col("id"), col("__qv"), col("__qn")), maxList)
+    val cos = dotQ(col("p.a.__qv"), col("p.b.__qv")).cast("double") /
+      sqrt(col("p.a.__qn").cast("double") *
+        col("p.b.__qn").cast("double"))
+    val scored = p.select(col("p.a.id").as("query_id"),
+        col("p.b.id").as("neighbor_id"), cos.as("cosine"))
+    val sym = scored.unionByName(scored.select(
+      col("neighbor_id").as("query_id"), col("query_id")
+        .as("neighbor_id"), col("cosine")))
+      .distinct() // a pair sharing several probe lists scores once
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic sampled k-means over a quantized-vector column.
     * Seeds: the `nCentroids` rows with the smallest `(md5(id), id)` —
     * a fixed pseudo-random sample, identical on every engine and

@@ -89,6 +89,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute) // nProbe == nCentroids -> full coverage
   }
 
+  test("knnGraph: full-probe coverage reproduces brute force for " +
+      "EVERY vector at once") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id",
+        "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val knn = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2,
+        nCentroids = 2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(knn == brute) // nProbe == nCentroids -> full coverage
+    assert(!knn.exists(p => p._1 == p._2)) // never itself
+  }
+
+  test("knnGraph: single-probe still pairs the near-dup; auto-k " +
+      "collapses a small corpus to one list (= brute force)") {
+    val out = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 1,
+        nCentroids = 2, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.contains((1L, 2L)) && out.contains((2L, 1L)))
+    // auto-k: 4 vecs at the default targetListSize -> 1 centroid
+    val auto = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id",
+        "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == brute)
+  }
+
   test("ivfTopK single-probe finds the near-dup neighbor") {
     val out = Similarity.ivfTopK(vecs,
       vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 2,
