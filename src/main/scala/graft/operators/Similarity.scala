@@ -289,11 +289,16 @@ object Similarity {
     val cos = dotQ(col("p.a.__qv"), col("p.b.__qv")).cast("double") /
       sqrt(col("p.a.__qn").cast("double") *
         col("p.b.__qn").cast("double"))
-    val scored = p.select(col("p.a.id").as("query_id"),
-        col("p.b.id").as("neighbor_id"), cos.as("cosine"))
-    val sym = scored.unionByName(scored.select(
-      col("neighbor_id").as("query_id"), col("query_id")
-        .as("neighbor_id"), col("cosine")))
+    // both directions from ONE explode — a self-union of the scored
+    // frame would re-execute the whole pairing pipeline twice (the
+    // plan showed two full scan→window→collect_list subtrees)
+    val sym = p.select(explode(array(
+        struct(col("p.a.id").as("q"), col("p.b.id").as("n"),
+          cos.as("c")),
+        struct(col("p.b.id").as("q"), col("p.a.id").as("n"),
+          cos.as("c")))).as("e"))
+      .select(col("e.q").as("query_id"), col("e.n").as("neighbor_id"),
+        col("e.c").as("cosine"))
       .distinct() // a pair sharing several probe lists scores once
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
