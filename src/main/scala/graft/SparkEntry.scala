@@ -894,6 +894,42 @@ object SparkEntry {
           col("height"), col("channels"))
     }),
 
+    // ----- REAL audio-header decode: WAV bytes synthesized by hex
+    // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
+    // fields planted from doc_id), parsed back via the batch-decode
+    // plumbing; the oracle recomputes the planted values
+    "q_audio_meta" -> ((s, dir) => {
+      def le16(c: Column) = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(c: Column) = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int").as("__ch"),
+          (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+            .as("__rt"),
+          (col("doc_id") % 50 + 1).cast("int").as("__fr"))
+        .withColumn("__ba", col("__ch") * 2)
+        .withColumn("__dl", col("__fr") * col("__ba"))
+      val wav = unhex(concat(
+        lit("52494646"), le32(col("__dl") + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),
+        le16(col("__ch")), le32(col("__rt")),
+        le32(col("__rt") * col("__ba")), le16(col("__ba")),
+        lit("1000"), // 16 bits per sample, LE
+        lit("64617461"), le32(col("__dl")),
+        expr("repeat('00', __dl)")))
+      val media = d.select(col("doc_id"), wav.as("content"))
+      Multimodal.decodeBatches(media, "content",
+          Multimodal.audioMetaSchema)(Multimodal.decodeAudioMeta)
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_frames"))
+    }),
+
     // ----- Z-order clustered write, read back: the layout must be
     // content-preserving (LayoutSpec separately proves the per-file
     // range narrowing that makes the layout worth writing)
@@ -1597,6 +1633,16 @@ object SparkEntry {
            regexp_extract_all(html,
              '(?i)href\s*=\s*"([^"]*)"', 1)[1] AS first_link
          FROM h""",
+
+    // the parser must read back exactly the fields the hex
+    // construction planted — recomputed arithmetically, no WAV here
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+         CAST(16 AS INT) AS bits_per_sample,
+         CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
+         FROM documents""",
 
     // the parser must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no PNG anywhere

@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus the batch-UDF plumbing a
   * real decoder would plug into.
   *
-  * IMAGE HEADER DECODE IS REAL: [[pngDims]]/[[jpegDims]] parse the
-  * PNG IHDR chunk and JPEG SOF markers byte-for-byte (no libraries) —
-  * width/height/channels, the metadata curation filters actually use.
-  * PIXEL-LEVEL kernels (perceptual hash, resize, frame extraction)
-  * remain deterministic fakes, clearly marked: the container has no
-  * pixel codecs. Everything Spark-side is real either way: the schema
+  * HEADER DECODE IS REAL: [[pngDims]]/[[jpegDims]] parse the PNG IHDR
+  * chunk and JPEG SOF markers byte-for-byte, and [[wavMeta]] walks
+  * RIFF/WAVE chunks (no libraries) — width/height/channels and
+  * channels/rate/bits/frames, the metadata curation filters actually
+  * use. PIXEL/SAMPLE-LEVEL kernels (perceptual hash, resize, frame
+  * extraction) remain deterministic fakes, clearly marked: the
+  * container has no media codecs. Everything Spark-side is real either way: the schema
   * contract, the per-partition batch iteration (the Scala analog of
   * `mapInPandas` — one Iterator[Row] per partition, streaming, no
   * per-row serialization boundary), the frame-sampling explode, and
@@ -183,6 +184,74 @@ object Multimodal {
     imageDims(bytes) match {
       case Some(d) => Seq[Any](d.format, d.width, d.height, d.channels)
       case None    => Seq[Any](null, null, null, null)
+    }
+
+  /** Parsed WAV header metadata. `nFrames` = data bytes / block align
+    * (frame count; duration = nFrames / sampleRate seconds).
+    */
+  final case class AudioMeta(format: String, channels: Int,
+      sampleRate: Int, bitsPerSample: Int, nFrames: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** WAV (RIFF/WAVE): walk the chunk list for `fmt ` (channels,
+    * sample rate, block align, bits) and `data` (payload length) —
+    * little-endian fields, word-aligned chunks. Truncated, misaligned
+    * or nonsensical headers classify as undecodable, never throw.
+    */
+  def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F')
+      return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var i = 12
+    var channels = -1; var rate = -1L; var bits = -1
+    var blockAlign = -1; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val len = le32(b, i + 4)
+      if (len < 0 || len > b.length) return None
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length || len < 16) return None
+        channels   = le16(b, i + 10)
+        rate       = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits       = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a') {
+        dataLen = len
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0 &&
+      blockAlign > 0 && dataLen >= 0)
+      Some(AudioMeta("wav", channels, rate.toInt, bits,
+        dataLen / blockAlign))
+    else None
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType)))
+
+  /** Decode kernel for [[decodeBatches]]: real WAV header parse,
+    * nulls for malformed/unrecognized content.
+    */
+  def decodeAudioMeta(bytes: Array[Byte]): Seq[Any] =
+    wavMeta(bytes) match {
+      case Some(m) =>
+        Seq[Any](m.format, m.channels, m.sampleRate, m.bitsPerSample,
+          m.nFrames)
+      case None => Seq[Any](null, null, null, null, null)
     }
 
   /** Deterministic fake decoder: "resolution" and "n_frames" derived

@@ -111,6 +111,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDims("junk".getBytes).isEmpty)
   }
 
+  /** Minimal valid WAV: RIFF/WAVE + fmt (16-byte PCM) + data chunk.
+    * Optionally an extra LIST chunk before fmt to exercise skipping.
+    */
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      dataLen: Int, extraChunk: Boolean = false): Array[Byte] = {
+    val extra = if (extraChunk) 8 + 4 else 0
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * (bits / 8)
+    bb.put("RIFF".getBytes).putInt(36 + extra + dataLen)
+      .put("WAVE".getBytes)
+    if (extraChunk)
+      bb.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataLen)
+      .put(Array.fill[Byte](dataLen)(0))
+    bb.array()
+  }
+
+  test("wavMeta: goldens incl. skipped chunks; malformed -> None") {
+    assert(Multimodal.wavMeta(wavBytes(2, 44100, 16, 400)) ==
+      Some(Multimodal.AudioMeta("wav", 2, 44100, 16, 100L)))
+    assert(Multimodal.wavMeta(wavBytes(1, 8000, 8, 37)) ==
+      Some(Multimodal.AudioMeta("wav", 1, 8000, 8, 37L)))
+    // a LIST chunk before fmt must be skipped, not break the walk
+    assert(Multimodal.wavMeta(wavBytes(2, 22050, 16, 8,
+      extraChunk = true)) ==
+      Some(Multimodal.AudioMeta("wav", 2, 22050, 16, 2L)))
+    // malformed: truncated, wrong magic, no fmt/data, zero channels
+    assert(Multimodal.wavMeta(wavBytes(2, 44100, 16, 400).take(30))
+      .isEmpty)
+    val bad = wavBytes(2, 44100, 16, 4); bad(9) = 'X'
+    assert(Multimodal.wavMeta(bad).isEmpty)
+    assert(Multimodal.wavMeta(wavBytes(0, 44100, 16, 4)).isEmpty)
+    assert(Multimodal.wavMeta("RIFFxxxxWAVE but no chunks here padpad"
+      .getBytes).isEmpty)
+    assert(Multimodal.wavMeta(null).isEmpty)
+  }
+
   test("decodeImageDims kernel: parsed rows and null-row for garbage") {
     val rows = Seq(
       (1L, pngBytes(320, 200, 2)),
