@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, StringReplace, StringTrim}
 
 import graft.functions.{DistinctWordNGrams, DotQ, DupLineStats, HyperplaneBits, LangIdArgmax, NfcNormalize, PyTitle, QuantizeVec, RepeatedNGramCharFrac, ShingleMinHash, StopwordRatio, TokenSimHash, TextFunctions}
 
@@ -122,8 +122,49 @@ object GraftFunctions {
           "graft_compression_ratio(text) - deflate compressed/original " +
           "byte ratio"),
         (args: Seq[Expression]) =>
-          graft.functions.CompressionRatio(args(0)))
+          graft.functions.CompressionRatio(args(0))),
+      // composed-expression kernels: built as RESOLVED catalyst trees
+      // from the SAME pattern constants the Column API uses (a Column
+      // cannot convert to an expression inside an injected function —
+      // it stays an unresolvable ColumnNodeExpression); the spec pins
+      // SQL-vs-Column equality so the two chains cannot drift
+      ("graft_html_text",
+        info("graft_html_text",
+          "graft_html_text(html) - crawl-page HTML to clean text " +
+          "(script/style/comment removal, tag strip, entity decode, " +
+          "whitespace canonicalization)"),
+        (args: Seq[Expression]) => htmlTextExpr(args(0))),
+      ("graft_html_title",
+        info("graft_html_title",
+          "graft_html_title(html) - page title ('' when absent)"),
+        (args: Seq[Expression]) => normalizeExpr(
+          RegExpExtract(args(0), Literal(TextFunctions.HtmlTitlePattern),
+            Literal(1)))),
+      ("graft_html_links",
+        info("graft_html_links",
+          "graft_html_links(html) - double-quoted href targets in order"),
+        (args: Seq[Expression]) => RegExpExtractAll(args(0),
+          Literal(TextFunctions.HtmlHrefPattern), Literal(1)))
     )
+
+  private def rre(e: Expression, p: String, r: String): Expression =
+    RegExpReplace(e, Literal(p), Literal(r))
+
+  /** Catalyst form of [[TextFunctions.normalizeText]]. */
+  private def normalizeExpr(e: Expression): Expression =
+    StringTrim(rre(rre(e, TextFunctions.ControlCharPattern, " "),
+      TextFunctions.WsRunPattern, " "))
+
+  /** Catalyst form of [[TextFunctions.htmlToText]]. */
+  private def htmlTextExpr(h: Expression): Expression = {
+    val noBlocks = TextFunctions.HtmlBlockPatterns
+      .foldLeft(h)((e, p) => rre(e, p, " "))
+    val noTags = rre(noBlocks, TextFunctions.HtmlTagPattern, " ")
+    val decoded = TextFunctions.HtmlEntities.foldLeft(noTags) {
+      case (e, (ent, ch)) => StringReplace(e, Literal(ent), Literal(ch))
+    }
+    normalizeExpr(decoded)
+  }
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -294,29 +294,41 @@ object TextFunctions {
     * lookarounds) so a SQL oracle replays it verbatim. `&amp;` decodes
     * LAST: decoding it first would double-decode `&amp;lt;` into `<`.
     */
+  /** Shared by the Column chain and the `graft_html_*` SQL builders
+    * (which must construct RESOLVED catalyst trees — a Column cannot
+    * convert to an expression inside an injected function).
+    */
+  private[graft] val HtmlBlockPatterns: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+  private[graft] val HtmlTagPattern = "<[^>]+>"
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+  private[graft] val HtmlTitlePattern =
+    "(?is)<title[^>]*>([^<]*)</title>"
+  private[graft] val HtmlHrefPattern = "(?i)href\\s*=\\s*\"([^\"]*)\""
+  private[graft] val ControlCharPattern = "[\\x00-\\x1F\\x7F]"
+  private[graft] val WsRunPattern = "\\s+"
+
   def htmlToText(c: Column): Column = {
-    val noBlocks = regexp_replace(
-      regexp_replace(
-        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
-        "(?is)<style[^>]*>.*?</style>", " "),
-      "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (col, (ent, ch)) =>
-        replace(col, lit(ent), lit(ch))
-      }
+    val noBlocks = HtmlBlockPatterns.foldLeft(c)(
+      (col, p) => regexp_replace(col, p, " "))
+    val noTags = regexp_replace(noBlocks, HtmlTagPattern, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (col, (ent, ch)) => replace(col, lit(ent), lit(ch))
+    }
     normalizeText(decoded)
   }
 
   /** The page title ('' when absent), whitespace-normalized. */
   def htmlTitle(c: Column): Column =
-    normalizeText(
-      regexp_extract(c, "(?is)<title[^>]*>([^<]*)</title>", 1))
+    normalizeText(regexp_extract(c, HtmlTitlePattern, 1))
 
   /** All double-quoted href targets, in document order. */
   def htmlLinks(c: Column): Column =
-    regexp_extract_all(c, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    regexp_extract_all(c, lit(HtmlHrefPattern), lit(1))
 
   // ------------------------------------- repetition signals (Gopher-ish)
 

@@ -55,6 +55,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getDouble(4) == viaCols.getDouble(4))
   }
 
+  test("HTML SQL functions match the Column API") {
+    import graft.functions.{TextFunctions => T}
+    GraftFunctions.register(spark)
+    Seq("<html><head><title>T</title><script>no()</script></head>" +
+        "<body><p>Hi &amp; bye</p><a href=\"https://x.com/1\">l</a>" +
+        "</body></html>")
+      .toDF("h").createOrReplaceTempView("ext_html")
+    val viaSql = spark.sql(
+      """SELECT graft_html_text(h) AS t, graft_html_title(h) AS ti,
+         graft_html_links(h) AS ls FROM ext_html""").collect()(0)
+    val viaCols = spark.table("ext_html").select(
+      T.htmlToText(col("h")).as("t"), T.htmlTitle(col("h")).as("ti"),
+      T.htmlLinks(col("h")).as("ls")).collect()(0)
+    assert(viaSql.getString(0) == viaCols.getString(0))
+    assert(viaSql.getString(0) == "T Hi & bye l")
+    assert(viaSql.getString(1) == "T")
+    assert(viaSql.getSeq[String](2) == Seq("https://x.com/1"))
+    assert(viaSql.getSeq[String](2) == viaCols.getSeq[String](2))
+  }
+
   test("extensions path installs the same functions at session build") {
     // same JVM/context: a fresh session built with extensions
     val s2 = org.apache.spark.sql.SparkSession.builder()
