@@ -60,6 +60,42 @@ class InferenceSpec extends SparkSpec {
     assert(rows("cat") == (("Str", true)))
   }
 
+  test("exact=true: -0.0/0.0 collapse, binary and array columns") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (-0.0, Array[Byte](1, 2), Seq(1, 2)),
+      (0.0, Array[Byte](1, 2), Seq(1, 2)),
+      (1.5, Array[Byte](3), Seq(3))
+    ).toDF("d", "b", "arr")
+    val exact  = Inference.classify(df, exact = true)
+    // aggregate semantics: -0.0 == 0.0 (NormalizeFloatingNumbers),
+    // so the double column has TWO distinct values, not three
+    assert(exact.stats("d").nDistinct == 2)
+    // binary distinct via injective base64 keys
+    assert(exact.stats("b").nDistinct == 2)
+    // array distinct via per-value JSON
+    assert(exact.stats("arr").nDistinct == 2)
+    // and the approx path agrees on these tiny cardinalities
+    val approx = Inference.classify(df)
+    assert(approx.stats("d").nDistinct == 2)
+    assert(approx.stats("b").nDistinct == 2)
+  }
+
+  test("exact=true on a 200-column frame: one job, correct counts") {
+    import org.apache.spark.sql.functions._
+    val wide = (0 until 200).foldLeft(
+      spark.range(1000).toDF("id"))((d, i) =>
+      d.withColumn(s"c$i", pmod(col("id") * (i + 1), lit(i + 2))))
+    val before = Inference.distinctJobCount.get()
+    val cls = Inference.classify(wide, exact = true)
+    assert(Inference.distinctJobCount.get() - before == 1L)
+    // c_i = (id * (i+1)) mod (i+2): i+1 and i+2 are coprime, so the
+    // residues cycle through ALL of 0..i+1 -> exactly i+2 distinct
+    (0 until 200 by 37).foreach { i =>
+      assert(cls.stats(s"c$i").nDistinct == i + 2, s"column c$i")
+    }
+  }
+
   test("exact=true: correct distinct counts from ONE fused distinct job") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 11, "s" + i % 13))
       .toDF("a", "b", "c")
