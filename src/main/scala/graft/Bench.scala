@@ -18,17 +18,49 @@ import org.apache.spark.sql.SparkSession
   * Survivors are reported in the JSON as `"regressions"` and on
   * stderr, but do not fail the run: the artifact is the record.
   */
-object Bench {
-  private val RegressionFactor = 1.5
+/** The regression-gate arithmetic, separated from the Spark harness so
+  * BenchGateSpec can pin it: history merging (element-wise min across
+  * rounds) and the suspect test (factor over the bar, above the noise
+  * floor).
+  */
+object BenchGate {
+  val RegressionFactor = 1.5
   // ignore sub-noise-floor drift: a 0.1 s → 0.2 s "2×" is scheduler
   // jitter, not a plan regression worth re-measuring
-  private val RegressionMinSec = 0.5
+  val RegressionMinSec = 0.5
 
-  /** Per-query historical bar: the element-wise MIN over every
-    * `bench_r*.json` in the cwd (or just the file SPARK_GRAFT_BENCH_PREV
-    * points at) — "best ever recorded" is the right regression bar; the
-    * newest round alone would reset the bar after any noisy round.
-    * Jackson ships in Spark's jars, so no extra dependency.
+  /** A query is suspect iff its best timing exceeds the larger of
+    * factor × its historical bar and the noise floor. No history → no
+    * bar → never suspect (a NEW query cannot regress).
+    */
+  def suspect(best: Double, bar: Option[Double]): Boolean =
+    bar.exists(b => best > (b * RegressionFactor).max(RegressionMinSec))
+
+  /** Element-wise MIN across per-round query maps — "best ever
+    * recorded" is the right bar; the newest round alone would reset the
+    * bar after any noisy round.
+    */
+  def mergeHistory(rounds: Seq[Map[String, Double]])
+      : Map[String, Double] =
+    rounds.flatten.groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Parse one bench artifact's `queries` map (Jackson ships in
+    * Spark's jars, so no extra dependency).
+    */
+  def parseQueries(json: Array[Byte]): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).path("queries")
+    qs.properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  }
+}
+
+object Bench {
+  import BenchGate.{suspect, RegressionFactor}
+
+  /** Per-query historical bar over every `bench_r*.json` in the cwd
+    * (or just the file SPARK_GRAFT_BENCH_PREV points at).
     */
   private def loadPrev(): Map[String, Double] = {
     import java.nio.file.{Files, Paths}
@@ -40,11 +72,8 @@ object Bench {
         Files.list(Paths.get(".")).iterator().asScala
           .filter(p => rx.matches(p.getFileName.toString)).toSeq
     }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    paths.filter(Files.exists(_)).flatMap { p =>
-      val qs = mapper.readTree(Files.readAllBytes(p)).path("queries")
-      qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble())
-    }.groupMapReduce(_._1)(_._2)(math.min)
+    BenchGate.mergeHistory(paths.filter(Files.exists(_))
+      .map(p => BenchGate.parseQueries(Files.readAllBytes(p))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,17 +131,14 @@ object Bench {
     val fnByName = selected
     val gated = results.map { case (name, times) =>
       val base = prev.get(name)
-      val suspect = base.exists(b =>
-        times.min > (b * RegressionFactor).max(RegressionMinSec))
-      if (!suspect) (name, times, false)
+      if (!suspect(times.min, base)) (name, times, false)
       else {
         val extra = (1 to 2).flatMap { _ =>
           try Some(time(fnByName(name)))
           catch { case _: Throwable => None }
         }
         val all = times ++ extra
-        val still = base.exists(b =>
-          all.min > (b * RegressionFactor).max(RegressionMinSec))
+        val still = suspect(all.min, base)
         if (still) System.err.println(
           f"[bench] REGRESSION $name: best ${all.min}%.2f s vs " +
           f"history ${base.get}%.2f s (>${RegressionFactor}x, " +
