@@ -153,4 +153,32 @@ class NativeHashSpec extends SparkSpec {
       assert(bad == 0)
     }
   }
+
+  test("VecSumLong equals per-dim sums; nulls skipped; empty -> null") {
+    import spark.implicits._
+    import graft.functions.NativeHash
+    val df = Seq(
+      (0, Some(Seq(1L, 2L, 3L))),
+      (0, None),
+      (0, Some(Seq(10L, 20L, 30L))),
+      (1, Some(Seq(5L, 5L, 5L)))
+    ).toDF("g", "v").repartition(8) // exercise partial merge + serde
+    val got = df.groupBy("g")
+      .agg(NativeHash.vecSumColumn(col("v")).as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(0) == Seq(11L, 22L, 33L))
+    assert(got(1) == Seq(5L, 5L, 5L))
+    // all-null group yields null, not a zero vector
+    val empty = Seq((0, Option.empty[Seq[Long]]))
+      .toDF("g", "v").groupBy("g")
+      .agg(NativeHash.vecSumColumn(col("v")).as("s"))
+      .select("s").collect()(0)
+    assert(empty.isNullAt(0))
+    // ragged lengths fail loudly
+    val ragged = Seq((0, Seq(1L)), (0, Seq(1L, 2L))).toDF("g", "v")
+    intercept[Exception] {
+      ragged.groupBy("g").agg(NativeHash.vecSumColumn(col("v")))
+        .collect()
+    }
+  }
 }
