@@ -149,11 +149,14 @@ final case class QuantizeVec(child: Expression)
 
 /** Exact int64 dot product of two quantized vectors — the native form
   * of `aggregate(zip_with(a, b, _*_), 0L, _+_)` (integer arithmetic,
-  * order-independent, bit-identical).
+  * order-independent, bit-identical). Full codegen (not a
+  * CodegenFallback): this expression sits in the per-pair hot loop of
+  * every vector operator — brute/LSH/IVF top-k, cosine near-dup,
+  * semantic dedup, the kNN graph — where the interpreted eval's
+  * virtual-call-per-row overhead was measurable at bucket scale.
   */
 final case class DotQ(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_q"
 
@@ -166,6 +169,24 @@ final case class DotQ(left: Expression, right: Expression)
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n   = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i   = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
