@@ -851,6 +851,23 @@ object SparkEntry {
         threshold = 0.4, nCentroids = 16).select("vec_id")
     }),
 
+    // ----- Unicode script detection: non-Latin rows planted per
+    // doc_id class; the oracle counts the same \x{...} ranges and
+    // replays the first-match dominance chain
+    "q_script_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sample = when(col("doc_id") % 4 === 1,
+          lit("Привет мир, это проверка кириллицы"))
+        .when(col("doc_id") % 4 === 2, lit("你好世界这是中文测试文本"))
+        .when(col("doc_id") % 4 === 3,
+          lit("こんにちは世界 カタカナ テスト"))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+        T.scriptCount(sample, "latin").cast("long").as("n_latin"),
+        T.scriptCount(sample, "han").cast("long").as("n_han"),
+        T.dominantScript(sample).as("script"))
+    }),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one single-quoted href the
@@ -1598,6 +1615,43 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          l_quantity FROM lineitem WHERE l_orderkey % 10 = 0""",
+
+    // same plants; counts strip-and-measure the same \x{...} ranges;
+    // dominance is the same first-match CASE chain over all 9 scripts
+    "q_script_id" ->
+      """WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN 'Привет мир, это проверка кириллицы'
+                WHEN doc_id % 4 = 2 THEN '你好世界这是中文测试文本'
+                WHEN doc_id % 4 = 3 THEN 'こんにちは世界 カタカナ テスト'
+                ELSE text END AS s
+         FROM documents),
+       cnt AS (SELECT doc_id,
+         length(regexp_replace(s, '[^A-Za-z]', '', 'g')) AS n_latin,
+         length(regexp_replace(s, '[^\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+         length(regexp_replace(s, '[^\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+         length(regexp_replace(s, '[^\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+         length(regexp_replace(s, '[^\x{0590}-\x{05FF}]', '', 'g')) AS n_hebrew,
+         length(regexp_replace(s, '[^\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari,
+         length(regexp_replace(s, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_han,
+         length(regexp_replace(s, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+         length(regexp_replace(s, '[^\x{3040}-\x{30FF}]', '', 'g')) AS n_kana
+         FROM src)
+       SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+         CAST(n_han AS BIGINT) AS n_han,
+         CASE WHEN m = 0 THEN 'und'
+              WHEN n_latin = m THEN 'latin'
+              WHEN n_cyrillic = m THEN 'cyrillic'
+              WHEN n_greek = m THEN 'greek'
+              WHEN n_arabic = m THEN 'arabic'
+              WHEN n_hebrew = m THEN 'hebrew'
+              WHEN n_devanagari = m THEN 'devanagari'
+              WHEN n_han = m THEN 'han'
+              WHEN n_hangul = m THEN 'hangul'
+              WHEN n_kana = m THEN 'kana'
+              ELSE 'und' END AS script
+       FROM (SELECT *, GREATEST(n_latin, n_cyrillic, n_greek, n_arabic,
+         n_hebrew, n_devanagari, n_han, n_hangul, n_kana) AS m
+         FROM cnt) x""",
 
     // same page construction via ||; the extraction chain is replayed
     // operator-for-operator (RE2 inline flags, literal replaces with

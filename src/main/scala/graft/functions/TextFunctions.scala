@@ -330,6 +330,50 @@ object TextFunctions {
   def htmlLinks(c: Column): Column =
     regexp_extract_all(c, lit(HtmlHrefPattern), lit(1))
 
+  // ------------------------------------------------- script detection
+
+  /** BMP ranges per script, in PRIORITY order (ties in [[dominantScript]]
+    * resolve to the earlier entry). `\x{...}` escapes are valid in both
+    * Java regex and RE2, so a SQL oracle counts the same characters.
+    * Complements [[langId]]: marker words need tokenizable Latin-ish
+    * text; script ratios classify CJK/Cyrillic/Arabic content where
+    * whitespace tokenization or marker tables fail.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin"      -> "A-Za-z",
+    "cyrillic"   -> "\\x{0400}-\\x{04FF}",
+    "greek"      -> "\\x{0370}-\\x{03FF}",
+    "arabic"     -> "\\x{0600}-\\x{06FF}",
+    "hebrew"     -> "\\x{0590}-\\x{05FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "han"        -> "\\x{4E00}-\\x{9FFF}",
+    "hangul"     -> "\\x{AC00}-\\x{D7AF}",
+    "kana"       -> "\\x{3040}-\\x{30FF}")
+
+  /** Count of the column's characters inside one script's range —
+    * strip-and-measure, so an independent engine replays it exactly.
+    */
+  def scriptCount(c: Column, script: String): Column = {
+    val range = ScriptRanges.toMap.getOrElse(script,
+      throw new IllegalArgumentException(s"unknown script '$script'"))
+    length(regexp_replace(c, s"[^$range]", ""))
+  }
+
+  /** The script owning the most characters ('und' when no script
+    * character appears); ties go to the earlier [[ScriptRanges]]
+    * entry — the same first-match CASE chain a SQL oracle writes.
+    */
+  def dominantScript(c: Column): Column = {
+    val counts = ScriptRanges.map { case (name, _) =>
+      name -> scriptCount(c, name)
+    }
+    val m = greatest(counts.map(_._2): _*)
+    val chain = counts.foldLeft(when(m === 0, lit("und"))) {
+      case (w, (name, cnt)) => w.when(cnt === m, lit(name))
+    }
+    chain.otherwise(lit("und"))
+  }
+
   // ------------------------------------- repetition signals (Gopher-ish)
 
   /** Fraction of lines that are repeats of an earlier line (0 for a

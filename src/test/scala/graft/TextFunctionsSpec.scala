@@ -243,6 +243,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(txt == "hi there</body")
   }
 
+  test("dominantScript: per-script counts, ties, mixed text, und") {
+    val cases = Seq(
+      ("hello world", "latin"),
+      ("Привет мир", "cyrillic"),
+      ("你好世界", "han"),
+      ("こんにちは世界", "kana"), // 5 kana beat 2 han
+      ("안녕하세요", "hangul"),
+      ("مرحبا بالعالم", "arabic"),
+      ("שלום עולם", "hebrew"),
+      ("नमस्ते दुनिया", "devanagari"),
+      ("γεια σου κόσμε", "greek"),
+      ("12345 .,!?", "und"), // digits/punct belong to no script
+      ("", "und"),
+      ("ab Привет", "cyrillic"), // 6 cyrillic > 2 latin
+      ("abc где", "latin")) // 3-3 tie -> earlier range order wins
+    val out = cases.map(_._1).toDF("t")
+      .select(T.dominantScript(col("t"))).as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"for '$in'") }
+    // counts are per-range character counts
+    val n = Seq("ab 你好 cd").toDF("t").select(
+      T.scriptCount(col("t"), "latin"),
+      T.scriptCount(col("t"), "han")).collect()(0)
+    assert(n.getInt(0) == 4 && n.getInt(1) == 2)
+    intercept[IllegalArgumentException] {
+      T.scriptCount(col("t"), "klingon")
+    }
+  }
+
   test("normalizeUrl canonicalizes case, ports, fragments, tracking") {
     import spark.implicits._
     val cases = Seq(
