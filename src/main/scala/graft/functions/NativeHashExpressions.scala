@@ -203,7 +203,7 @@ final case class HyperplaneBits(
     dim: Int,
     planes: Int,
     planeOffset: Int
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_bits"
 
@@ -225,6 +225,36 @@ final case class HyperplaneBits(
       p += 1
     }
     bits
+  }
+
+  // full codegen (the per-row inner loop of LSH bucketing): the weight
+  // table rides along as a reference object, the generated loop is the
+  // interpreted one verbatim
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val w = ctx.addReferenceObj("hyperplaneWeights", weights,
+      "long[][]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      val n    = ctx.freshName("n")
+      val bits = ctx.freshName("bits")
+      val p    = ctx.freshName("p")
+      val dot  = ctx.freshName("dot")
+      val j    = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($qv.numElements(), $dim);
+         |long $bits = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  long $dot = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += $qv.getLong($j) * $w[$p][$j];
+         |  }
+         |  if ($dot >= 0) $bits |= 1L << $p;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression)
