@@ -69,8 +69,10 @@ object Bench {
       case Some(p) => Seq(Paths.get(p))
       case None =>
         val rx = "bench_r\\d+[a-z_]*\\.json".r
-        Files.list(Paths.get(".")).iterator().asScala
-          .filter(p => rx.matches(p.getFileName.toString)).toSeq
+        scala.util.Using.resource(Files.list(Paths.get("."))) { s =>
+          s.iterator().asScala
+            .filter(p => rx.matches(p.getFileName.toString)).toSeq
+        }
     }
     BenchGate.mergeHistory(paths.filter(Files.exists(_))
       .map(p => BenchGate.parseQueries(Files.readAllBytes(p))))

@@ -150,8 +150,18 @@ object Inference {
         case FloatType  => (c + lit(0f)).cast("string")
         // complex types: JSON per value (structs/arrays; maps are not
         // group-able in Spark, matching countDistinct's own refusal)
-        case _: ArrayType | _: StructType | _: MapType =>
+        case _: ArrayType | _: StructType =>
           when(c.isNull, lit(null)).otherwise(to_json(struct(c)))
+        // maps render entries in storage order, so logically-equal
+        // maps with different key order would count as distinct values;
+        // canonicalize by sorting entries on key first. (Maps nested
+        // INSIDE a struct/array keep storage order — same residual
+        // caveat as to_json itself.)
+        case _: MapType =>
+          val sorted = array_sort(map_entries(c), (l, r) =>
+            when(l("key") < r("key"), -1)
+              .when(l("key") > r("key"), 1).otherwise(0))
+          when(c.isNull, lit(null)).otherwise(to_json(struct(sorted)))
         // atomic casts render one canonical string per value
         case _ => c.cast("string")
       }

@@ -744,8 +744,12 @@ final case class WordGramHashes(
   * 1.24 s, >95% compilation). This TypedImperativeAggregate keeps one
   * long[] of state per group, forces the (tiny, ≤ nCentroids groups)
   * aggregate onto ObjectHashAggregate, and adds NOTHING to codegen.
-  * Null vectors are skipped; all-null/empty input yields null; ragged
-  * lengths fail loudly.
+  * Null vectors are skipped; a group with no non-null input yields
+  * null; ragged lengths fail loudly — including a zero-length array
+  * mixed with sized rows, and a group of all-EMPTY arrays sums to an
+  * empty array (not null). The buffer carries a leading seen-flag
+  * slot so "no input yet" (length 0) stays distinguishable from
+  * "saw empty vectors" (length 1).
   */
 final case class VecSumLong(
     child: Expression,
@@ -770,11 +774,14 @@ final case class VecSumLong(
     else {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val n   = arr.numElements()
-      val b   = if (buf.length == 0) new Array[Long](n) else buf
-      require(b.length == n,
-        s"graft_vec_sum: ragged vector lengths (${b.length} vs $n)")
+      // slot 0 is the seen flag; sums live in slots 1..n
+      val b   = if (buf.length == 0) {
+        val fresh = new Array[Long](n + 1); fresh(0) = 1L; fresh
+      } else buf
+      require(b.length == n + 1,
+        s"graft_vec_sum: ragged vector lengths (${b.length - 1} vs $n)")
       var i = 0
-      while (i < n) { b(i) += arr.getLong(i); i += 1 }
+      while (i < n) { b(i + 1) += arr.getLong(i); i += 1 }
       b
     }
   }
@@ -784,14 +791,16 @@ final case class VecSumLong(
     else if (b.length == 0) a
     else {
       require(a.length == b.length,
-        s"graft_vec_sum: ragged vector lengths (${a.length} vs ${b.length})")
-      var i = 0
+        s"graft_vec_sum: ragged vector lengths (${a.length - 1} vs ${b.length - 1})")
+      var i = 1
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
 
   override def eval(buf: Array[Long]): Any =
-    if (buf.length == 0) null else new GenericArrayData(buf)
+    if (buf.length == 0) null
+    else new GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 1, buf.length))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)

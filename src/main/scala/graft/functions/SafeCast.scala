@@ -31,7 +31,7 @@ object SafeCast {
     */
   val NumericShape: String =
     "^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?" +
-      "|[iI][nN][fF][iI][nN][iI][tT][yY]|[nN][aA][nN])\\s*$"
+      "|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])\\s*$"
 
   /** `try_cast(c AS double)` with the exception path fenced off. */
   def tryCastDouble(c: Column): Column =

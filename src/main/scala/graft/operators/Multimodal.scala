@@ -215,7 +215,10 @@ object Multimodal {
     var blockAlign = -1; var dataLen = -1L
     while (i + 8 <= b.length) {
       val len = le32(b, i + 4)
-      if (len < 0 || len > b.length) return None
+      // a declared length running past the payload actually present
+      // means a truncated file: classify as undecodable rather than
+      // trusting the declared length (e.g. a bogus data-chunk n_frames)
+      if (len < 0 || i + 8 + len > b.length) return None
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
         b(i + 3) == ' ') {
         if (i + 8 + 16 > b.length || len < 16) return None

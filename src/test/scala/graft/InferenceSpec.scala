@@ -108,4 +108,28 @@ class InferenceSpec extends SparkSpec {
     // one distinct job per classify call, never one per column
     assert(Inference.distinctJobCount.get() - before == 1L)
   }
+
+  test("exact=true: map columns keyed by sorted entries, not key order") {
+    // logically-equal maps with different key order must count as ONE
+    // distinct value (to_json alone renders storage order)
+    val df = Seq(
+      Map("a" -> 1, "b" -> 2),
+      Map("b" -> 2, "a" -> 1),
+      Map("c" -> 3)
+    ).toDF("m")
+    val cls = Inference.classify(df, exact = true)
+    assert(cls.stats("m").nDistinct == 2)
+  }
+
+  test("castability accepts inf/infinity/nan short special literals") {
+    // pandas.to_numeric, DuckDB TRY_CAST and Spark try_cast all parse
+    // these; the shape gate must not null them out
+    val df = Seq("inf", "+inf", "-Inf", "INFINITY", "nan", "NaN",
+      " -infinity ", "1.5", "notanumber").toDF("s")
+    val ok = df.select(graft.functions.SafeCast
+      .tryCastDouble(org.apache.spark.sql.functions.col("s")).as("d"))
+      .collect().map(r => !r.isNullAt(0))
+    assert(ok.toSeq == Seq(true, true, true, true, true, true,
+      true, true, false))
+  }
 }

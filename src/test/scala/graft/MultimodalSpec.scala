@@ -151,6 +151,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavMeta("RIFFxxxxWAVE but no chunks here padpad"
       .getBytes).isEmpty)
     assert(Multimodal.wavMeta(null).isEmpty)
+    // data chunk declaring more payload than is present = truncated
+    // file -> undecodable, NOT a frame count from the declared length
+    assert(Multimodal.wavMeta(wavBytes(2, 44100, 16, 400).dropRight(10))
+      .isEmpty)
   }
 
   test("decodeImageDims kernel: parsed rows and null-row for garbage") {

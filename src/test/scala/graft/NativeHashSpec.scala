@@ -180,5 +180,19 @@ class NativeHashSpec extends SparkSpec {
       ragged.groupBy("g").agg(NativeHash.vecSumColumn(col("v")))
         .collect()
     }
+    // all-EMPTY arrays: an empty-array result, distinguishable from
+    // the all-null group's null
+    val allEmpty = Seq((0, Seq.empty[Long]), (0, Seq.empty[Long]))
+      .toDF("g", "v").groupBy("g")
+      .agg(NativeHash.vecSumColumn(col("v")).as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(allEmpty(0) == Seq.empty[Long])
+    // an empty array mixed with sized rows is ragged, not a no-op
+    val mixed = Seq((0, Seq.empty[Long]), (0, Seq(1L, 2L)))
+      .toDF("g", "v").coalesce(1)
+    intercept[Exception] {
+      mixed.groupBy("g").agg(NativeHash.vecSumColumn(col("v")))
+        .collect()
+    }
   }
 }
