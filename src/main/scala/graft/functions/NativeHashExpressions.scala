@@ -110,6 +110,15 @@ object NativeHash {
 
   def compressionRatioColumn(text: Column): Column =
     Bridge.column(CompressionRatio(Bridge.expression(text)))
+
+  def nearestCentroidColumn(qv: Column,
+      cents: Seq[Seq[Long]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(qv), cents))
+
+  def probeCentroidsColumn(qv: Column, cents: Seq[Seq[Long]],
+      nProbe: Int): Column =
+    Bridge.column(
+      ProbeCentroids(Bridge.expression(qv), cents, nProbe))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -852,6 +861,157 @@ final case class CompressionRatio(child: Expression)
         compressed.toDouble / bytes.length
       } finally d.end()
     }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Static scoring loops shared by [[NearestCentroid]] and
+  * [[ProbeCentroids]] — top-level object so the generated code calls
+  * them through Scala's static forwarders (one method call per row,
+  * inside whole-stage codegen).
+  *
+  * score(v, c_i) = dot(v, c_i) / sqrt(dot(c_i, c_i)): exact int64
+  * dot, one correctly-rounded sqrt (precomputed per centroid) and one
+  * correctly-rounded divide — bit-identical to the replaced
+  * per-centroid literal expression tree, so every DuckDB oracle that
+  * replays the fit is unchanged. Zero-norm centroids score
+  * Double.MinValue (never win against any real score); ties go to the
+  * lowest centroid index.
+  */
+object CentroidKernel {
+
+  private def score(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      vn: Int, c: Array[Long], norm: Double): Double =
+    if (norm == 0d) Double.MinValue
+    else {
+      val m = math.min(vn, c.length)
+      var dot = 0L
+      var j = 0
+      while (j < m) { dot += v.getLong(j) * c(j); j += 1 }
+      dot.toDouble / norm
+    }
+
+  /** Index of the best-scoring centroid (argmax, ties → lowest). */
+  def argmax(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Long]], norms: Array[Double]): Int = {
+    val vn = v.numElements()
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = score(v, vn, cents(i), norms(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Indices of the `nProbe` best centroids, best first (score desc,
+    * index asc among equal scores) — a k-slot insertion pass, O(n·k)
+    * worst case but O(n) when most candidates miss the current top-k.
+    */
+  def topK(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Long]], norms: Array[Double], nProbe: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = math.min(nProbe, cents.length)
+    val idx = new Array[Int](k)
+    val sc  = new Array[Double](k)
+    var filled = 0
+    val vn = v.numElements()
+    var i = 0
+    while (i < cents.length) {
+      val s = score(v, vn, cents(i), norms(i))
+      if (filled < k) {
+        var p = filled
+        while (p > 0 && s > sc(p - 1)) {
+          sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1
+        }
+        sc(p) = s; idx(p) = i
+        filled += 1
+      } else if (s > sc(k - 1)) { // strict >: equal keeps lower index
+        var p = k - 1
+        while (p > 0 && s > sc(p - 1)) {
+          sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1
+        }
+        sc(p) = s; idx(p) = i
+      }
+      i += 1
+    }
+    new GenericArrayData(idx)
+  }
+}
+
+/** Index of the spherically-nearest centroid of a quantized vector —
+  * the native form of the per-centroid `greatest(struct(score, -i))`
+  * literal tree, whose expression size is O(nCentroids × dim)
+  * literals: analysis plus janino stopped compiling in the
+  * hundreds-to-low-thousands of centroids, far below the documented
+  * 65536 auto-k ceiling of the IVF/kNN-graph/SemDeDup fits. Here the
+  * centroid matrix rides along as ONE reference object and the argmax
+  * is a tight loop, so expression size is constant in nCentroids.
+  */
+final case class NearestCentroid(child: Expression,
+    centroids: Seq[Seq[Long]]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+      .toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernel.argmax(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, norms)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c  = ctx.addReferenceObj("centroidMatrix", cents, "long[][]")
+    val nm = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidKernel.argmax($v, $c, $nm);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Indices of the `nProbe` spherically-nearest centroids, best first —
+  * the native form of the `transform(slice(reverse(array_sort(...))))`
+  * literal tree; same constant-size-in-nCentroids story as
+  * [[NearestCentroid]].
+  */
+final case class ProbeCentroids(child: Expression,
+    centroids: Seq[Seq[Long]], nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_probe_centroids"
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+      .toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernel.topK(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, norms, nProbe)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c  = ctx.addReferenceObj("centroidMatrix", cents, "long[][]")
+    val nm = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidKernel.topK($v, $c, $nm, $nProbe);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -72,12 +72,18 @@ object SemanticDedup {
     val cq = df.select(col(idCol).as("id"),
         Similarity.quantize(col(vecCol)).as("__cv"))
       .withColumn("__cn", Similarity.dotQ(col("__cv"), col("__cv")))
-    // the fit is already eager (per-iteration jobs); one count more
-    val k =
-      if (nCentroids > 0) nCentroids
-      else autoCentroids(cq.count(), targetClusterSize)
-    val cents = Similarity.fitCentroidsKMeans(cq, "id", "__cv",
-      k, kmeansIters)
+    // persist BEFORE the auto-k count so the count and the fit's
+    // iters+1 jobs share one evaluation of the scan+quantize pipeline
+    val cached = cq.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try {
+        val k =
+          if (nCentroids > 0) nCentroids
+          else autoCentroids(cached.count(), targetClusterSize)
+        Similarity.fitCentroidsKMeans(cached, "id", "__cv",
+          k, kmeansIters, managePersist = false)
+      } finally cached.unpersist(blocking = false)
     val listed = cq.withColumn("__list",
       IvfCentroids.nearestList(col("__cv"), cents))
     val p = BucketPairs.bucketedPairs(listed, col("__list"),

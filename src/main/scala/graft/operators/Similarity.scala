@@ -272,18 +272,27 @@ object Similarity {
     val cq = df.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("__qv"))
       .withColumn("__qn", dotQ(col("__qv"), col("__qv")))
-    val nc =
-      if (nCentroids > 0) nCentroids
-      else {
-        val n = cq.count()
-        math.max(1L, math.min(
-          (n * nProbe + targetListSize - 1) / targetListSize,
-          65536L)).toInt
-      }
-    val cents = fitCentroidsKMeans(cq, "id", "__qv", nc, kmeansIters)
+    // persist BEFORE the auto-k count so the count and the fit's
+    // iters+1 jobs share one evaluation of the scan+quantize pipeline
+    // (the r6 plan audit flagged the count as a full extra pass)
+    val cached = cq.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try {
+        val nc =
+          if (nCentroids > 0) nCentroids
+          else {
+            val n = cached.count()
+            math.max(1L, math.min(
+              (n * nProbe + targetListSize - 1) / targetListSize,
+              65536L)).toInt
+          }
+        fitCentroidsKMeans(cached, "id", "__qv", nc, kmeansIters,
+          managePersist = false)
+      } finally cached.unpersist(blocking = false)
     val listed = cq.withColumn("__list",
       explode(IvfCentroids.probeLists(col("__qv"), cents,
-        math.min(nProbe, nc))))
+        math.min(nProbe, cents.length))))
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
       struct(col("id"), col("__qv"), col("__qn")), maxList)
     val cos = dotQ(col("p.a.__qv"), col("p.b.__qv")).cast("double") /
@@ -324,15 +333,18 @@ object Similarity {
     * bit-reproducible (the DuckDB oracle replays it).
     */
   private[graft] def fitCentroidsKMeans(cq: DataFrame, idCol: String,
-      vecCol: String, nCentroids: Int, iters: Int): Array[Seq[Long]] = {
+      vecCol: String, nCentroids: Int, iters: Int,
+      managePersist: Boolean = true): Array[Seq[Long]] = {
     // the fit runs iters+1 jobs over cq (seed sample + one per
     // iteration): persist the quantized frame for the fit's duration
     // so the scan+quantize pipeline evaluates once, not per job — the
     // standard iterative-fit cache (MEMORY_AND_DISK spills instead of
     // recomputing when executors are tight). Measured 3.9 s -> ~1 s on
-    // the sf0.1 embeddings fit.
-    val cached = cq.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sf0.1 embeddings fit. `managePersist = false` means the
+    // caller already persisted cq (the auto-k paths, which need a
+    // count of the same frame BEFORE the fit) and owns the unpersist.
+    val cached = if (managePersist) cq.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else cq
     try {
       var cents: Array[Seq[Long]] = cached
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -365,7 +377,7 @@ object Similarity {
         cents = next
       }
       cents
-    } finally cached.unpersist(blocking = false)
+    } finally if (managePersist) cached.unpersist(blocking = false)
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
@@ -441,12 +453,37 @@ object Similarity {
   */
 private[graft] object IvfCentroids {
   import org.apache.spark.sql.functions._
-  import graft.functions.NativeHash.dotQColumn
+  import graft.functions.NativeHash
+
+  /** Index of the best-scoring centroid (argmax, lowest index ties).
+    *
+    * Native [[graft.functions.NearestCentroid]] kernel: the previous
+    * per-centroid `greatest(struct(score, -i))` literal tree was
+    * O(nCentroids × dim) literals and stopped compiling (analysis +
+    * janino blowup) in the hundreds-to-low-thousands of centroids —
+    * far below the 65536 auto-k ceiling the IVF/kNN-graph/SemDeDup
+    * fits scale toward. The kernel carries the centroid matrix as one
+    * reference object, so expression size is constant in nCentroids.
+    * [[SimilaritySpec]] pins native == tree on randomized vectors.
+    */
+  def nearestList(qv: Column, cents: Array[Seq[Long]]): Column =
+    if (cents.length == 1) lit(0)
+    else NativeHash.nearestCentroidColumn(qv, cents.toIndexedSeq)
+
+  /** Indices of the `nProbe` best centroids, best first. */
+  def probeLists(qv: Column, cents: Array[Seq[Long]], nProbe: Int)
+      : Column =
+    NativeHash.probeCentroidsColumn(qv, cents.toIndexedSeq,
+      math.min(nProbe, cents.length))
+
+  // ---- the replaced expression-tree forms, kept ONLY as the spec's
+  // ---- independent semantics oracle (SimilaritySpec compares them
+  // ---- element-for-element against the native kernels)
 
   private def score(qv: Column, c: Seq[Long]): Column = {
     val cn = c.map(x => x * x).sum
     if (cn == 0L) lit(Double.MinValue) // empty/zero centroid never wins
-    else dotQColumn(qv, typedlit(c)).cast("double") /
+    else NativeHash.dotQColumn(qv, typedlit(c)).cast("double") /
       lit(math.sqrt(cn.toDouble))
   }
 
@@ -455,14 +492,13 @@ private[graft] object IvfCentroids {
       struct(score(qv, c).as("s"), lit(-i).as("negi"))
     }
 
-  /** Index of the best-scoring centroid (argmax, lowest index ties). */
-  def nearestList(qv: Column, cents: Array[Seq[Long]]): Column =
+  private[graft] def treeNearestList(qv: Column,
+      cents: Array[Seq[Long]]): Column =
     if (cents.length == 1) lit(0)
     else -greatest(scored(qv, cents): _*).getField("negi")
 
-  /** Indices of the `nProbe` best centroids, best first. */
-  def probeLists(qv: Column, cents: Array[Seq[Long]], nProbe: Int)
-      : Column = {
+  private[graft] def treeProbeLists(qv: Column,
+      cents: Array[Seq[Long]], nProbe: Int): Column = {
     val arr = array(scored(qv, cents): _*)
     transform(
       slice(reverse(array_sort(arr)), 1, math.min(nProbe, cents.length)),

@@ -14,9 +14,11 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.suspect(1.6, Some(1.0)))
     assert(!BenchGate.suspect(1.4, Some(1.0)))
     // sub-noise-floor drift is jitter, not regression: 0.1 -> 0.3 is
-    // "3x" but under the 0.5 s floor
+    // "3x" but under the 0.75 s floor (the r6 artifact flagged a
+    // 0.63 s timing that the next isolated run put back at 0.36 s)
     assert(!BenchGate.suspect(0.3, Some(0.1)))
-    assert(BenchGate.suspect(0.51, Some(0.1)))
+    assert(!BenchGate.suspect(0.63, Some(0.36)))
+    assert(BenchGate.suspect(0.76, Some(0.1)))
     // exactly at the threshold is NOT suspect (strict >)
     assert(!BenchGate.suspect(1.5, Some(1.0)))
   }

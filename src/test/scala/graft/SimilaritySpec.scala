@@ -185,4 +185,52 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(fit(1) == fit(7)) // exact equality: int sums, floored means
   }
+
+  test("native centroid kernels equal the expression-tree forms") {
+    import graft.operators.IvfCentroids
+    // deterministic pseudo-random vectors + centroids, incl. planted
+    // exact ties (duplicate centroids) and a zero centroid
+    val dim = 8
+    def vec(s: Int): Seq[Long] =
+      Seq.tabulate(dim)(j => ((s * 2654435761L + j * 40503L) % 2001L) - 1000L)
+    val cents: Array[Seq[Long]] =
+      (Array.tabulate(23)(vec) :+ vec(3)) :+ Seq.fill(dim)(0L)
+    val rows = (0 until 200).map(i => Tuple1(vec(i + 1000))).toDF("qv")
+    for (nProbe <- Seq(1, 3, 25 /* > nCentroids */ )) {
+      val both = rows.select(
+        IvfCentroids.nearestList(col("qv"), cents).as("nat_n"),
+        IvfCentroids.treeNearestList(col("qv"), cents).as("tree_n"),
+        IvfCentroids.probeLists(col("qv"), cents, nProbe).as("nat_p"),
+        IvfCentroids.treeProbeLists(col("qv"), cents, nProbe).as("tree_p"))
+      val bad = both.filter(not(col("nat_n") === col("tree_n")) ||
+        not(col("nat_p") === col("tree_p"))).count()
+      assert(bad == 0, s"kernel/tree divergence at nProbe=$nProbe")
+    }
+  }
+
+  test("centroid kernel scales past the literal-tree compile ceiling") {
+    // 8192 centroids x 16 dims: the replaced literal tree was
+    // O(nCentroids x dim) literals and died in analysis/janino far
+    // below this. The kernel must both run and stay an expression
+    // (constant plan size).
+    val dim = 16
+    val cents = Array.tabulate(8192)(i =>
+      Seq.tabulate(dim)(j => ((i * 31L + j * 17L) % 401L) - 200L))
+    val rows = (0 until 50).map(i =>
+      Tuple1(Seq.tabulate(dim)(j => ((i * 7L + j) % 401L) - 200L)))
+      .toDF("qv")
+    val got = rows.select(
+      graft.operators.IvfCentroids.nearestList(col("qv"), cents)
+        .as("n"),
+      graft.operators.IvfCentroids.probeLists(col("qv"), cents, 4)
+        .as("p"))
+      .collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val n = r.getInt(0)
+      val p = r.getSeq[Int](1)
+      assert(n >= 0 && n < 8192)
+      assert(p.length == 4 && p.head == n) // probe[0] IS the argmax
+    }
+  }
 }
