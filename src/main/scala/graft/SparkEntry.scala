@@ -911,6 +911,28 @@ object SparkEntry {
           col("height"), col("channels"))
     }),
 
+    // ----- REAL PNG PIXEL decode: per doc a genuine zlib-compressed
+    // grayscale PNG (Sub+Up filtered rows) is encoded with a planted
+    // checkerboard whose cells align with the 8x8 average-hash grid,
+    // then fully decoded (inflate + unfilter) and hashed. With cell
+    // colors a < b, exactly the b-parity cells exceed the mean, so the
+    // oracle predicts the 64-bit hash analytically — a plain-SQL check
+    // of a real pixel pipeline
+    "q_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"))
+      val png = Multimodal.synthCheckerPng(d, "__w", "__h", "__a",
+        "__b", "__p", "content")
+      Multimodal.decodeBatches(png, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- REAL audio-header decode: WAV bytes synthesized by hex
     // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
     // fields planted from doc_id), parsed back via the batch-decode
@@ -1705,6 +1727,16 @@ object SparkEntry {
          CAST(doc_id % 1920 + 1 AS INT) AS width,
          CAST(doc_id % 1080 + 1 AS INT) AS height,
          CAST(3 AS INT) AS channels
+         FROM documents""",
+
+    // the checkerboard construction makes the average hash analytic:
+    // colors a < b by >= 40 always, phase doc_id%2 selects which cell
+    // parity carries b, and bit 8*cy+cx is set iff the cell color is b
+    // -> 0x55AA..AA for phase 0, its complement for phase 1
+    "q_phash" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
          FROM documents"""
   )
 

@@ -170,6 +170,283 @@ object Multimodal {
   def imageDims(bytes: Array[Byte]): Option[ImageDims] =
     pngDims(bytes).orElse(jpegDims(bytes))
 
+  // ------------------------------------------------------------------
+  // Real PNG PIXEL decode (no external libraries): IDAT is a zlib
+  // stream (java.util.zip.Inflater) and row unfiltering is pure byte
+  // arithmetic, so a full decode of non-interlaced 8-bit PNGs needs no
+  // codec. This feeds the 8×8 average-hash — a REAL perceptual
+  // signature for image near-dup curation (phash_stub remains only for
+  // the fake text-as-media assets).
+  // ------------------------------------------------------------------
+
+  /** Decoded luma plane: width, height, one 0..255 value per pixel
+    * (row-major). Scope: bit depth 8, color types 0/2/4/6 (gray, RGB,
+    * gray+alpha, RGBA), interlace 0 — palette, 16-bit and Adam7
+    * classify as undecodable (None), as does anything truncated,
+    * oversized (> 2^24 px — a declared-size bomb must not allocate) or
+    * zlib-malformed. Luma: gray channels use the gray value; color use
+    * integer BT.601 `(77R + 150G + 29B + 128) >> 8`; alpha ignored.
+    */
+  def pngDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 33) return None
+    if (!b.view.take(8).sameElements(PngSignature)) return None
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' ||
+      b(14) != 'D' || b(15) != 'R') return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val depth     = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette (3) needs PLTE: out of scope
+    }
+    if (depth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > (1 << 24)) return None
+
+    // walk chunks, concatenating IDAT payloads
+    var i = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val isIdat = b(i + 4) == 'I' && b(i + 5) == 'D' &&
+        b(i + 6) == 'A' && b(i + 7) == 'T'
+      val isIend = b(i + 4) == 'I' && b(i + 5) == 'E' &&
+        b(i + 6) == 'N' && b(i + 7) == 'D'
+      if (isIdat) idat.write(b, i + 8, len)
+      if (isIend) sawEnd = true
+      i += 12 + len // len + type + data + crc (CRCs not validated)
+    }
+    if (idat.size() == 0) return None
+
+    val bpp    = channels // bytes per pixel at depth 8
+    val stride = w * bpp
+    val raw    = new Array[Byte](h * (stride + 1))
+    val inf    = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0) return None // truncated / needs-input / finished
+        off += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    // unfilter in place per row: a = left, b = up, c = upper-left
+    val prev = new Array[Int](stride)
+    val cur  = new Array[Int](stride)
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft   = raw(base) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(base + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val up = if (y > 0) prev(x) else 0
+        val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
+        cur(x) = ft match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + (a + up) / 2) & 0xff
+          case 4 =>
+            val p  = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) up else c
+            (v + pred) & 0xff
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * bpp
+        luma(y * w + px) = channels match {
+          case 1 | 2 => cur(o)
+          case _ =>
+            (77 * cur(o) + 150 * cur(o + 1) + 29 * cur(o + 2) + 128) >> 8
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((w, h, luma))
+  }
+
+  /** 8×8 average hash of a luma plane — bit `8·cy + cx` is set iff
+    * cell (cx, cy)'s mean luma ≥ the global mean. All comparisons are
+    * EXACT integer arithmetic (`cellSum · total pixels ≥ totalSum ·
+    * cell pixels` — no float rounding), so the hash is reproducible by
+    * any engine from the same pixels, and an analytic oracle can
+    * predict it for synthesized images. Cell (cx, cy) covers pixel
+    * columns `[⌊cx·w/8⌋, ⌊(cx+1)·w/8⌋)` (min 1 column) — images
+    * smaller than 8×8 repeat edge pixels rather than failing.
+    */
+  def averageHash64(luma: Array[Int], w: Int, h: Int): Long = {
+    val total = w.toLong * h
+    var totalSum = 0L
+    var i = 0
+    while (i < luma.length) { totalSum += luma(i); i += 1 }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8).min(h)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 8).min(w)
+        var cellSum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { cellSum += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        val cellPx = (y1 - y0).toLong * (x1 - x0)
+        if (cellSum * total >= totalSum * cellPx)
+          hash |= 1L << (8 * cy + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Real perceptual hash of a PNG: full pixel decode → 8×8 average
+    * hash. None for anything [[pngDecodeLuma]] classifies undecodable.
+    */
+  def pngAHash(b: Array[Byte]): Option[Long] =
+    pngDecodeLuma(b).map { case (w, h, luma) => averageHash64(luma, w, h) }
+
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("ahash", LongType)))
+
+  /** Decode kernel for [[decodeBatches]]: real pixel decode + average
+    * hash, null for undecodable content.
+    */
+  def decodeAHash(bytes: Array[Byte]): Seq[Any] =
+    pngAHash(bytes) match {
+      case Some(x) => Seq[Any](x)
+      case None    => Seq[Any](null)
+    }
+
+  /** Real PNG ENCODER for 8-bit grayscale (the synthesis side of the
+    * decode oracle and of deterministic test fixtures): IHDR/IDAT/IEND
+    * with true CRC32s and a zlib-deflated payload. Row 0 uses the Sub
+    * filter and every later row the Up filter, so a decoder must
+    * implement real unfiltering — filter-0-only bytes would let a
+    * decoder that ignores filtering pass.
+    */
+  def pngEncodeGray(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h,
+      s"pngEncodeGray: ${pix.length} pixels for ${w}x$h")
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      val base = y * (w + 1)
+      raw(base) = if (y == 0) 1 else 2 // Sub, then Up
+      var x = 0
+      while (x < w) {
+        val v = pix(y * w + x)
+        val pred =
+          if (y == 0) (if (x > 0) pix(y * w + x - 1) else 0)
+          else pix((y - 1) * w + x)
+        raw(base + 1 + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val idat =
+      try {
+        deflater.setInput(raw)
+        deflater.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!deflater.finished()) {
+          val n = deflater.deflate(tmp)
+          buf.write(tmp, 0, n)
+        }
+        buf.toByteArray
+      } finally deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature, 0, 8)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length), 0, 4)
+      val t = tpe.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t)
+      crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic checkerboard-PNG synthesizer: per row, a real
+    * grayscale PNG whose pixel (x, y) is `colorA` or `colorB` by the
+    * parity of its 8×8 cell index plus `phase`. With w and h multiples
+    * of 8, every hash cell is uniform, so [[pngAHash]] of the output
+    * is ANALYTICALLY predictable (colorA < colorB ⇒ exactly the
+    * B-parity cells set) — the construction that lets a plain-SQL
+    * oracle check a zlib decode. The encode runs in the same
+    * per-partition batch walk as the decode kernels.
+    */
+  def synthCheckerPng(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (8 * x / w) + (8 * y / h) + ph
+            pix(y * w + x) = if (cell % 2 == 0) a else b
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ pngEncodeGray(w, h, pix))
+      }
+    }(enc)
+  }
+
   val imageDimsSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),

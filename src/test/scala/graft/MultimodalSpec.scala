@@ -157,6 +157,126 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("PNG encode -> pixel decode round-trips exactly (Sub+Up rows)") {
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((1, 1), (7, 3), (16, 16), (63, 17))) {
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val png = Multimodal.pngEncodeGray(w, h, pix)
+      // the header parser agrees with the encoder
+      assert(Multimodal.pngDims(png) ==
+        Some(Multimodal.ImageDims("png", w, h, 1)))
+      val Some((dw, dh, luma)) = Multimodal.pngDecodeLuma(png)
+      assert((dw, dh) == ((w, h)))
+      assert(luma.toSeq == pix.toSeq)
+    }
+  }
+
+  test("PNG decode handles RGB with every filter type incl. Paeth") {
+    // hand-built 4x5 RGB PNG exercising filters 0..4, one per row
+    val w = 4; val h = 5; val bpp = 3
+    val rnd = new scala.util.Random(7)
+    val pixels = Array.fill(h, w * bpp)(rnd.nextInt(256))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(y) // filter type = row index: None,Sub,Up,Average,Paeth
+      for (x <- 0 until w * bpp) {
+        val v = pixels(y)(x)
+        val a = if (x >= bpp) pixels(y)(x - bpp) else 0
+        val b = if (y > 0) pixels(y - 1)(x) else 0
+        val c = if (x >= bpp && y > 0) pixels(y - 1)(x - bpp) else 0
+        val pred = y match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((v - pred) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) idat.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes); crc.update(data)
+      be(data.length) ++ t.getBytes ++ data ++ be(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // depth 8, color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array[Byte]())
+    val Some((dw, dh, luma)) = Multimodal.pngDecodeLuma(png)
+    assert((dw, dh) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = x * bpp
+      val expect = (77 * pixels(y)(o) + 150 * pixels(y)(o + 1) +
+        29 * pixels(y)(o + 2) + 128) >> 8
+      assert(luma(y * w + x) == expect, s"pixel ($x,$y)")
+    }
+  }
+
+  test("pngDecodeLuma: malformed inputs classify as undecodable") {
+    val ok = Multimodal.pngEncodeGray(16, 16,
+      Array.tabulate(256)(_ % 251))
+    assert(Multimodal.pngDecodeLuma(ok).isDefined)
+    // truncated IDAT (zlib stream cut short)
+    assert(Multimodal.pngDecodeLuma(ok.dropRight(30)).isEmpty)
+    // interlace flag set
+    val il = ok.clone(); il(28) = 1
+    assert(Multimodal.pngDecodeLuma(il).isEmpty)
+    // 16-bit depth
+    val d16 = ok.clone(); d16(24) = 16
+    assert(Multimodal.pngDecodeLuma(d16).isEmpty)
+    // palette color type (no PLTE support)
+    val pal = ok.clone(); pal(25) = 3
+    assert(Multimodal.pngDecodeLuma(pal).isEmpty)
+    // declared-size bomb: must refuse before allocating
+    val bomb = ok.clone()
+    bomb(16) = 0x7f; bomb(17) = 0xff.toByte // width ~2^31
+    assert(Multimodal.pngDecodeLuma(bomb).isEmpty)
+    assert(Multimodal.pngDecodeLuma(null).isEmpty)
+    assert(Multimodal.pngDecodeLuma("not a png at all".getBytes).isEmpty)
+  }
+
+  test("averageHash64: uniform -> all bits; checkerboard -> parity") {
+    // uniform: every cell equals the mean -> all 64 bits set
+    assert(Multimodal.averageHash64(Array.fill(64)(7), 8, 8) == -1L)
+    // 8x8 checkerboard, dark on even parity: odd-parity bits set
+    val pix = Array.tabulate(64)(i =>
+      if (((i % 8) + (i / 8)) % 2 == 0) 10 else 200)
+    assert(Multimodal.averageHash64(pix, 8, 8) == 6172840429334713770L)
+    // inverted phase -> complement
+    val inv = pix.map(v => if (v == 10) 200 else 10)
+    assert(Multimodal.averageHash64(inv, 8, 8) == -6172840429334713771L)
+  }
+
+  test("synthCheckerPng -> decodeAHash matches the analytic hash") {
+    val params = Seq((1L, 16, 24, 60, 180, 0), (2L, 56, 32, 50, 90, 1),
+      (3L, 8, 8, 0, 255, 0))
+      .toDF("id", "__w", "__h", "__a", "__b", "__p")
+    val png = Multimodal.synthCheckerPng(params, "__w", "__h", "__a",
+      "__b", "__p", "content")
+    val got = Multimodal.decodeBatches(png, "content",
+        Multimodal.aHashSchema)(Multimodal.decodeAHash)
+      .select(col("id"), col("ahash")).as[(Long, Long)]
+      .collect().toMap
+    assert(got(1L) == 6172840429334713770L)  // phase 0: odd cells = B
+    assert(got(2L) == -6172840429334713771L) // phase 1: complement
+    assert(got(3L) == 6172840429334713770L)
+  }
+
   test("decodeImageDims kernel: parsed rows and null-row for garbage") {
     val rows = Seq(
       (1L, pngBytes(320, 200, 2)),
