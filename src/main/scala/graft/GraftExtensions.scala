@@ -142,9 +142,23 @@ object GraftFunctions {
             Literal(1)))),
       ("graft_html_links",
         info("graft_html_links",
-          "graft_html_links(html) - double-quoted href targets in order"),
-        (args: Seq[Expression]) => RegExpExtractAll(args(0),
-          Literal(TextFunctions.HtmlHrefPattern), Literal(1)))
+          "graft_html_links(html) - href targets (both quote styles) " +
+            "in order"),
+        (args: Seq[Expression]) => {
+          // same quote-strip as TextFunctions.htmlLinks: the lambda
+          // variable resolves in the analyzer's ResolveLambdaVariables
+          // pass like any SQL-authored transform(...)
+          import org.apache.spark.sql.catalyst.expressions.{
+            ArrayTransform, LambdaFunction, Length, Subtract, Substring,
+            UnresolvedNamedLambdaVariable}
+          val s = UnresolvedNamedLambdaVariable(Seq("s"))
+          ArrayTransform(
+            RegExpExtractAll(args(0),
+              Literal(TextFunctions.HtmlHrefPattern), Literal(1)),
+            LambdaFunction(
+              Substring(s, Literal(2), Subtract(Length(s), Literal(2))),
+              Seq(s)))
+        })
     )
 
   private def rre(e: Expression, p: String, r: String): Expression =

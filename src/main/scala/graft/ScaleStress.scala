@@ -52,7 +52,15 @@ object ScaleStress {
       graft.operators.SemanticDedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.4,
-        targetClusterSize = 200L)))
+        targetClusterSize = 200L)),
+    // the kNN graph at its AUTO-K default (the oracle row pins k):
+    // the newest heavy operator, quadratic per probe list by design,
+    // kept linear by the auto-scaled centroid count
+    "knn_graph_auto" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8,
+        targetListSize = 200L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -856,11 +856,17 @@ object SparkEntry {
     // replays the first-match dominance chain
     "q_script_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sample = when(col("doc_id") % 4 === 1,
+      val sample = when(col("doc_id") % 7 === 1,
           lit("Привет мир, это проверка кириллицы"))
-        .when(col("doc_id") % 4 === 2, lit("你好世界这是中文测试文本"))
-        .when(col("doc_id") % 4 === 3,
+        .when(col("doc_id") % 7 === 2, lit("你好世界这是中文测试文本"))
+        .when(col("doc_id") % 7 === 3,
           lit("こんにちは世界 カタカナ テスト"))
+        .when(col("doc_id") % 7 === 4,
+          lit("안녕하세요 세계 한국어 텍스트"))
+        .when(col("doc_id") % 7 === 5,
+          lit("नमस्ते दुनिया यह हिंदी परीक्षण है"))
+        .when(col("doc_id") % 7 === 6,
+          lit("สวัสดีชาวโลก นี่คือข้อความภาษาไทย"))
         .otherwise(col("text"))
       d.select(col("doc_id"),
         T.scriptCount(sample, "latin").cast("long").as("n_latin"),
@@ -870,8 +876,8 @@ object SparkEntry {
 
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
-    // style, comments, entities, one single-quoted href the
-    // double-quote link pattern must NOT match)
+    // style, comments, entities, one double- and one single-quoted
+    // href — the link pattern must harvest BOTH quote styles)
     "q_html_text" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val html = concat(
@@ -1642,9 +1648,12 @@ object SparkEntry {
     // dominance is the same first-match CASE chain over all 9 scripts
     "q_script_id" ->
       """WITH src AS (SELECT doc_id,
-           CASE WHEN doc_id % 4 = 1 THEN 'Привет мир, это проверка кириллицы'
-                WHEN doc_id % 4 = 2 THEN '你好世界这是中文测试文本'
-                WHEN doc_id % 4 = 3 THEN 'こんにちは世界 カタカナ テスト'
+           CASE WHEN doc_id % 7 = 1 THEN 'Привет мир, это проверка кириллицы'
+                WHEN doc_id % 7 = 2 THEN '你好世界这是中文测试文本'
+                WHEN doc_id % 7 = 3 THEN 'こんにちは世界 カタカナ テスト'
+                WHEN doc_id % 7 = 4 THEN '안녕하세요 세계 한국어 텍스트'
+                WHEN doc_id % 7 = 5 THEN 'नमस्ते दुनिया यह हिंदी परीक्षण है'
+                WHEN doc_id % 7 = 6 THEN 'สวัสดีชาวโลก นี่คือข้อความภาษาไทย'
                 ELSE text END AS s
          FROM documents),
        cnt AS (SELECT doc_id,
@@ -1656,7 +1665,8 @@ object SparkEntry {
          length(regexp_replace(s, '[^\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari,
          length(regexp_replace(s, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_han,
          length(regexp_replace(s, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
-         length(regexp_replace(s, '[^\x{3040}-\x{30FF}]', '', 'g')) AS n_kana
+         length(regexp_replace(s, '[^\x{3040}-\x{30FF}]', '', 'g')) AS n_kana,
+         length(regexp_replace(s, '[^\x{0E00}-\x{0E7F}]', '', 'g')) AS n_thai
          FROM src)
        SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
          CAST(n_han AS BIGINT) AS n_han,
@@ -1670,9 +1680,10 @@ object SparkEntry {
               WHEN n_han = m THEN 'han'
               WHEN n_hangul = m THEN 'hangul'
               WHEN n_kana = m THEN 'kana'
+              WHEN n_thai = m THEN 'thai'
               ELSE 'und' END AS script
        FROM (SELECT *, GREATEST(n_latin, n_cyrillic, n_greek, n_arabic,
-         n_hebrew, n_devanagari, n_han, n_hangul, n_kana) AS m
+         n_hebrew, n_devanagari, n_han, n_hangul, n_kana, n_thai) AS m
          FROM cnt) x""",
 
     // same page construction via ||; the extraction chain is replayed
@@ -1705,9 +1716,10 @@ object SparkEntry {
                '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
              '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS text,
            len(regexp_extract_all(html,
-             '(?i)href\s*=\s*"([^"]*)"', 1)) AS n_links,
-           regexp_extract_all(html,
-             '(?i)href\s*=\s*"([^"]*)"', 1)[1] AS first_link
+             '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1)) AS n_links,
+           list_transform(regexp_extract_all(html,
+             '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1),
+             s -> s[2:-2])[1] AS first_link
          FROM h""",
 
     // the parser must read back exactly the fields the hex

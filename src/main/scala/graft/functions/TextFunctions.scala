@@ -308,7 +308,12 @@ object TextFunctions {
     "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
   private[graft] val HtmlTitlePattern =
     "(?is)<title[^>]*>([^<]*)</title>"
-  private[graft] val HtmlHrefPattern = "(?i)href\\s*=\\s*\"([^\"]*)\""
+  // the captured group INCLUDES the quotes (stripped per element
+  // afterwards): capturing both quote styles with one inner group
+  // would need a backreference, which RE2 — hence any SQL oracle —
+  // cannot replay
+  private[graft] val HtmlHrefPattern =
+    "(?i)href\\s*=\\s*(\"[^\"]*\"|'[^']*')"
   private[graft] val ControlCharPattern = "[\\x00-\\x1F\\x7F]"
   private[graft] val WsRunPattern = "\\s+"
 
@@ -326,9 +331,12 @@ object TextFunctions {
   def htmlTitle(c: Column): Column =
     normalizeText(regexp_extract(c, HtmlTitlePattern, 1))
 
-  /** All double-quoted href targets, in document order. */
+  /** All href targets — double- OR single-quoted (real crawl HTML
+    * uses both) — in document order, quotes stripped.
+    */
   def htmlLinks(c: Column): Column =
-    regexp_extract_all(c, lit(HtmlHrefPattern), lit(1))
+    transform(regexp_extract_all(c, lit(HtmlHrefPattern), lit(1)),
+      s => s.substr(lit(2), length(s) - 2))
 
   // ------------------------------------------------- script detection
 
@@ -348,7 +356,8 @@ object TextFunctions {
     "devanagari" -> "\\x{0900}-\\x{097F}",
     "han"        -> "\\x{4E00}-\\x{9FFF}",
     "hangul"     -> "\\x{AC00}-\\x{D7AF}",
-    "kana"       -> "\\x{3040}-\\x{30FF}")
+    "kana"       -> "\\x{3040}-\\x{30FF}",
+    "thai"       -> "\\x{0E00}-\\x{0E7F}")
 
   /** Count of the column's characters inside one script's range —
     * strip-and-measure, so an independent engine replays it exactly.

@@ -226,13 +226,17 @@ class TextFunctionsSpec extends SparkSpec {
     val html = "<html><head><title> My  Page </title></head><body>" +
       "<a HREF=\"https://a.com/x\">a</a>" +
       "<a href = \"https://b.com/y?q=1\">b</a>" +
-      "<a href='https://single.quoted/skip'>c</a></body></html>"
+      "<a href='https://single.quoted/also'>c</a>" +
+      "<a href=\"it's\">mixed-quote content stays intact</a>" +
+      "</body></html>"
     val (title, links) = Seq(html).toDF("h")
       .select(T.htmlTitle(col("h")), T.htmlLinks(col("h")))
       .as[(String, Seq[String])].collect()(0)
     assert(title == "My Page")
-    // double-quoted only, document order, case-insensitive attr
-    assert(links == Seq("https://a.com/x", "https://b.com/y?q=1"))
+    // BOTH quote styles, document order, case-insensitive attr name,
+    // quotes stripped, opposite-style quote inside a value preserved
+    assert(links == Seq("https://a.com/x", "https://b.com/y?q=1",
+      "https://single.quoted/also", "it's"))
     // no title, malformed unclosed tag: empty title, text still sane
     val bad = "<body><p>hi<p>there</body"
     val (t2, txt) = Seq(bad).toDF("h")
@@ -254,6 +258,8 @@ class TextFunctionsSpec extends SparkSpec {
       ("שלום עולם", "hebrew"),
       ("नमस्ते दुनिया", "devanagari"),
       ("γεια σου κόσμε", "greek"),
+      ("สวัสดีชาวโลก", "thai"),
+      ("abc สวัสดี", "thai"), // 6 thai > 3 latin
       ("12345 .,!?", "und"), // digits/punct belong to no script
       ("", "und"),
       ("ab Привет", "cyrillic"), // 6 cyrillic > 2 latin
