@@ -924,6 +924,36 @@ object SparkEntry {
     // colors a < b, exactly the b-parity cells exceed the mean, so the
     // oracle predicts the 64-bit hash analytically — a plain-SQL check
     // of a real pixel pipeline
+    // ----- image near-dup end to end: each doc pair (2g, 2g+1) gets
+    // pattern PNGs whose planted perceptual hashes differ by g%5 bits
+    // (md5-spread base pattern, so hash bands stay small); the real
+    // decode+hash feeds banded candidate generation, and the oracle
+    // brute-forces popcount hamming over the same planted hashes —
+    // banding must find EXACTLY the brute-force pairs (pigeonhole
+    // completeness, g%5 = 4 pairs excluded)
+    "q_image_dup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        expr("doc_id DIV 2").as("__g"))
+      val base = graft.functions.HashFunctions
+        .stableHash60(col("__g").cast("string")).bitwiseOR(lit(1L))
+      val mask = expr(
+        "shiftleft(shiftleft(CAST(1 AS BIGINT), CAST(__g % 5 AS INT))" +
+          " - 1, CAST(__g % 50 + 1 AS INT))")
+      val patt = when(col("doc_id") % 2 === 1, base.bitwiseXOR(mask))
+        .otherwise(base)
+      val params = d.select(col("doc_id"),
+        lit(32).as("__w"), lit(32).as("__h"),
+        (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 60).cast("int").as("__b"),
+        patt.as("__patt"))
+      val png = Multimodal.synthPatternPng(params, "__w", "__h",
+        "__a", "__b", "__patt", "content")
+      val hashes = Multimodal.decodeBatches(png, "content",
+        Multimodal.aHashSchema)(Multimodal.decodeAHash)
+      Multimodal.imageDupPairs(hashes, "doc_id", "ahash",
+        maxHamming = 3)
+    }),
+
     "q_phash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
@@ -1749,7 +1779,26 @@ object SparkEntry {
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
-         FROM documents"""
+         FROM documents""",
+
+    // brute-force popcount hamming over the same planted hashes; the
+    // md5-based base pattern replays via the hash60 mirror
+    "q_image_dup" -> {
+      val h60 = sqlHash60("CAST(gg AS VARCHAR)")
+      s"""WITH g AS (SELECT doc_id, doc_id // 2 AS gg FROM documents),
+         b AS (SELECT doc_id, gg, ($h60) | 1 AS base FROM g),
+         p AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1
+             THEN xor(base,
+               ((CAST(1 AS BIGINT) << CAST(gg % 5 AS INT)) - 1)
+                 << CAST(gg % 50 + 1 AS INT))
+             ELSE base END AS h
+           FROM b)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3"""
+    }
   )
 
   // ------------------------------------------------------------------

@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * chunk and JPEG SOF markers byte-for-byte, and [[wavMeta]] walks
   * RIFF/WAVE chunks (no libraries) — width/height/channels and
   * channels/rate/bits/frames, the metadata curation filters actually
-  * use. PIXEL/SAMPLE-LEVEL kernels (perceptual hash, resize, frame
-  * extraction) remain deterministic fakes, clearly marked: the
-  * container has no media codecs. Everything Spark-side is real either way: the schema
-  * contract, the per-partition batch iteration (the Scala analog of
-  * `mapInPandas` — one Iterator[Row] per partition, streaming, no
-  * per-row serialization boundary), the frame-sampling explode, and
-  * the partitioning behavior.
+  * use. PNG PIXEL DECODE IS ALSO REAL: [[pngDecodeLuma]] inflates
+  * IDAT (zlib ships in the JDK) and unfilters rows, feeding a true
+  * 8×8 average hash ([[pngAHash]]) for image near-dup curation.
+  * The remaining fakes are the paths that genuinely need external
+  * codecs — JPEG entropy decode, resample/resize, video frame decode
+  * — and stay clearly marked stubs. Everything Spark-side is real
+  * either way: the schema contract, the per-partition batch iteration
+  * (the Scala analog of `mapInPandas` — one Iterator[Row] per
+  * partition, streaming, no per-row serialization boundary), the
+  * frame-sampling explode, and the partitioning behavior.
   */
 object Multimodal {
 
@@ -417,6 +420,89 @@ object Multimodal {
     * oracle check a zlib decode. The encode runs in the same
     * per-partition batch walk as the decode kernels.
     */
+  /** Deterministic pattern-PNG synthesizer: like [[synthCheckerPng]]
+    * but the 8×8 cell colors follow an arbitrary 64-bit `pattern` —
+    * cell (cx, cy) is `colorB` iff bit `8·cy + cx` is set. With
+    * colorA < colorB and BOTH colors present (pattern not 0 / not all
+    * ones), [[pngAHash]] of the output IS the pattern verbatim: the
+    * construction that plants arbitrary, analytically-known perceptual
+    * hashes for the image near-dup oracle.
+    */
+  def synthPatternPng(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, patternCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(patternCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val pattern = r.getLong(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = 8 * (8 * y / h) + (8 * x / w)
+            pix(y * w + x) =
+              if ((pattern >>> bit & 1L) != 0L) b else a
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ pngEncodeGray(w, h, pix))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash BANDING: split the
+    * 64-bit hash into `maxHamming + 1` disjoint bit bands — two hashes
+    * within `maxHamming` differing bits must agree EXACTLY on at least
+    * one band (pigeonhole), so banding is candidate-complete, not
+    * probabilistic: the result equals brute force. Candidates sharing
+    * any (band, bits) bucket verify by exact popcount hamming.
+    * Output: (id_a < id_b, hamming ≤ maxHamming), each pair once.
+    *
+    * Scale shape: one explode to `maxHamming + 1` rows per image, one
+    * exchange on the band key, in-bucket pairing capped by `maxBucket`
+    * (the standard bounded-recall contract — a degenerate bucket means
+    * a degenerate hash, e.g. all-white thumbnails, and those pairs are
+    * not "near-dups" worth the quadratic cost). The hash column comes
+    * from [[pngAHash]] or any other 64-bit perceptual hash.
+    */
+  def imageDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nb = maxHamming + 1
+    val width = 64 / nb
+    val bands = array((0 until nb).map { i =>
+      val w = if (i == nb - 1) 64 - i * width else width
+      val bits =
+        if (w == 64) col("__h")
+        else shiftrightunsigned(col("__h"), i * width)
+          .bitwiseAND(lit((1L << w) - 1L))
+      struct(lit(i).as("band"), bits.as("bits"))
+    }: _*)
+    val exploded = df
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .withColumn("__b", explode(bands))
+    val p = BucketPairs.bucketedPairs(exploded,
+      concat_ws(":", col("__b.band"), col("__b.bits")),
+      struct(col("__id"), col("__h")), maxBucket)
+    p.select(
+        least(col("p.a.__id"), col("p.b.__id")).as("id_a"),
+        greatest(col("p.a.__id"), col("p.b.__id")).as("id_b"),
+        bit_count(col("p.a.__h").bitwiseXOR(col("p.b.__h")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may agree on several bands
+  }
+
   def synthCheckerPng(df: DataFrame, wCol: String, hCol: String,
       aCol: String, bCol: String, phaseCol: String,
       outCol: String): DataFrame = {

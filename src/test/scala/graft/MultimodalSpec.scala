@@ -262,6 +262,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.averageHash64(inv, 8, 8) == -6172840429334713771L)
   }
 
+  test("synthPatternPng plants an arbitrary hash verbatim") {
+    val pattern = 0x0123456789ABCDEFL & ~(1L << 63) | 1L
+    val params = Seq((9L, 32, 40, 30, 220, pattern))
+      .toDF("id", "__w", "__h", "__a", "__b", "__patt")
+    val png = Multimodal.synthPatternPng(params, "__w", "__h", "__a",
+      "__b", "__patt", "content")
+    val got = Multimodal.decodeBatches(png, "content",
+        Multimodal.aHashSchema)(Multimodal.decodeAHash)
+      .select(col("ahash")).as[Long].collect()(0)
+    assert(got == pattern)
+  }
+
+  test("imageDupPairs: banding finds exactly the brute-force pairs") {
+    val h0 = 0x5555555555555555L
+    val hashes = Seq(
+      (1L, h0),
+      (2L, h0 ^ 1L),                     // hamming 1 from 1
+      (3L, h0 ^ ((1L << 0) | (1L << 17) | (1L << 35))), // 3 bits in
+                                         // THREE different bands
+      (4L, h0 ^ 0x0FL),                  // hamming 4: excluded vs 1
+      (5L, 0x0123456789ABCDEFL)          // far from everything
+    ).toDF("img_id", "ahash")
+    val got = Multimodal.imageDupPairs(hashes, "img_id", "ahash",
+        maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // brute force over the 5 hashes
+    val hs = Map(1L -> h0, 2L -> (h0 ^ 1L),
+      3L -> (h0 ^ ((1L << 0) | (1L << 17) | (1L << 35))),
+      4L -> (h0 ^ 0x0FL), 5L -> 0x0123456789ABCDEFL)
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 3L, 3))) // the cross-band case is live
+    assert(!want.exists { case (a, b, _) => (a, b) == ((1L, 4L)) })
+  }
+
   test("synthCheckerPng -> decodeAHash matches the analytic hash") {
     val params = Seq((1L, 16, 24, 60, 180, 0), (2L, 56, 32, 50, 90, 1),
       (3L, 8, 8, 0, 255, 0))
