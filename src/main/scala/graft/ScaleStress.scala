@@ -159,6 +159,9 @@ object ScaleStress {
       "q_leakage_safe_split" -> pairRatio,
       "q_neardup_increment" -> pairRatio,
       "semantic_dedup_auto" -> semRatio,
+      // the kNN graph's candidate mass is probe-list-pair-structured,
+      // scoped by the same embedding clustering as semantic dedup
+      "knn_graph_auto" -> semRatio,
       "q_substring_scrub" -> 10.0,
       "q_budget_sample" -> 10.0,
       "q_boilerplate_scrub" -> 10.0)

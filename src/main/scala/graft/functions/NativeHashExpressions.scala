@@ -119,6 +119,11 @@ object NativeHash {
       nProbe: Int): Column =
     Bridge.column(
       ProbeCentroids(Bridge.expression(qv), cents, nProbe))
+
+  def groupedNearestCentroidColumn(qv: Column, group: Column,
+      cents: Seq[Seq[Seq[Long]]]): Column =
+    Bridge.column(GroupedNearestCentroid(Bridge.expression(qv),
+      Bridge.expression(group), cents))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -941,6 +946,62 @@ object CentroidKernel {
     }
     new GenericArrayData(idx)
   }
+}
+
+/** [[CentroidKernel.argmax]] against a PER-GROUP centroid matrix —
+  * the assignment step of the two-level (hierarchical) IVF fit, where
+  * each top-level cluster owns its own sub-centroid matrix. Returns
+  * the best sub-index WITHIN group `g`; a group with no centroids
+  * (a top cluster that owns no rows) returns 0 — no row can carry
+  * that group index at assignment time.
+  */
+object GroupedCentroidKernel {
+  def argmax(v: org.apache.spark.sql.catalyst.util.ArrayData, g: Int,
+      matrices: Array[Array[Array[Long]]],
+      norms: Array[Array[Double]]): Int =
+    if (g < 0 || g >= matrices.length || matrices(g).length == 0) 0
+    else CentroidKernel.argmax(v, matrices(g), norms(g))
+}
+
+/** Sub-centroid argmax within the group selected by the second child —
+  * the per-row assignment of the two-level fit ([[Similarity
+  * .fitCentroidsTwoLevel]]): O(k₂·dim) per row instead of the flat
+  * O(k₁·k₂·dim). The full nested matrix rides along as one reference
+  * object, so plan size stays constant in the total centroid count.
+  */
+final case class GroupedNearestCentroid(vec: Expression,
+    group: Expression, centroids: Seq[Seq[Seq[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = group
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_grouped_nearest_centroid"
+
+  @transient private lazy val mats: Array[Array[Array[Long]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val norms: Array[Array[Double]] =
+    centroids.map(_.map(c =>
+      math.sqrt(c.map(x => x * x).sum.toDouble)).toArray).toArray
+
+  override protected def nullSafeEval(v: Any, g: Any): Any =
+    GroupedCentroidKernel.argmax(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      g.asInstanceOf[Int], mats, norms)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val m  = ctx.addReferenceObj("groupedCentroids", mats, "long[][][]")
+    val nm = ctx.addReferenceObj("groupedNorms", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, g) =>
+      s"${ev.value} = graft.functions.GroupedCentroidKernel" +
+        s".argmax($v, $g, $m, $nm);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, group = newRight)
 }
 
 /** Index of the spherically-nearest centroid of a quantized vector —

@@ -76,16 +76,25 @@ object SemanticDedup {
     // iters+1 jobs share one evaluation of the scan+quantize pipeline
     val cached = cq.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents =
+    val listCol: org.apache.spark.sql.Column =
       try {
         val k =
           if (nCentroids > 0) nCentroids
           else autoCentroids(cached.count(), targetClusterSize)
-        Similarity.fitCentroidsKMeans(cached, "id", "__cv",
-          k, kmeansIters, managePersist = false)
+        if (k <= Similarity.FlatKCeiling)
+          IvfCentroids.nearestList(col("__cv"),
+            Similarity.fitCentroidsKMeans(cached, "id", "__cv",
+              k, kmeansIters, managePersist = false))
+        else {
+          // past the flat ceiling the auto path goes hierarchical —
+          // same bounded cluster sizes, O(2sqrt(k)·dim) assignment
+          val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+          IvfCentroids.nearestListTwoLevel(col("__cv"),
+            Similarity.fitCentroidsTwoLevel(cached, "id", "__cv",
+              k1, k1, kmeansIters, managePersist = false))
+        }
       } finally cached.unpersist(blocking = false)
-    val listed = cq.withColumn("__list",
-      IvfCentroids.nearestList(col("__cv"), cents))
+    val listed = cq.withColumn("__list", listCol)
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
       struct(col("id"), col("__cv"), col("__cn")), maxCluster)
     p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),

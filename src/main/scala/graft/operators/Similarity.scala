@@ -277,7 +277,7 @@ object Similarity {
     // (the r6 plan audit flagged the count as a full extra pass)
     val cached = cq.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents =
+    val probeCol: Column =
       try {
         val nc =
           if (nCentroids > 0) nCentroids
@@ -287,12 +287,22 @@ object Similarity {
               (n * nProbe + targetListSize - 1) / targetListSize,
               65536L)).toInt
           }
-        fitCentroidsKMeans(cached, "id", "__qv", nc, kmeansIters,
-          managePersist = false)
+        if (nc <= FlatKCeiling) {
+          val cents = fitCentroidsKMeans(cached, "id", "__qv", nc,
+            kmeansIters, managePersist = false)
+          IvfCentroids.probeLists(col("__qv"), cents,
+            math.min(nProbe, cents.length))
+        } else {
+          // past the flat ceiling the auto path goes hierarchical:
+          // same bounded list sizes, assignment cost O(2sqrt(k)·dim)
+          val k1 = math.ceil(math.sqrt(nc.toDouble)).toInt
+          val tl = fitCentroidsTwoLevel(cached, "id", "__qv", k1, k1,
+            kmeansIters, managePersist = false)
+          IvfCentroids.probeListsTwoLevel(col("__qv"), tl,
+            math.min(nProbe, k1))
+        }
       } finally cached.unpersist(blocking = false)
-    val listed = cq.withColumn("__list",
-      explode(IvfCentroids.probeLists(col("__qv"), cents,
-        math.min(nProbe, cents.length))))
+    val listed = cq.withColumn("__list", explode(probeCol))
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
       struct(col("id"), col("__qv"), col("__qn")), maxList)
     val cos = dotQ(col("p.a.__qv"), col("p.b.__qv")).cast("double") /
@@ -377,6 +387,90 @@ object Similarity {
         cents = next
       }
       cents
+    } finally if (managePersist) cached.unpersist(blocking = false)
+  }
+
+  /** Largest centroid count the FLAT fit should carry: past this, the
+    * per-row assignment cost O(k·dim) dominates the fit and the
+    * listing scan itself (at k = 65536, dim = 64 that is 4M multiplies
+    * per row). The auto-k paths switch to [[fitCentroidsTwoLevel]]
+    * above it: assignment falls to O((k₁+k₂)·dim) = O(2√k·dim), a
+    * 128× cut at the 65536 cap.
+    */
+  val FlatKCeiling = 4096
+
+  /** Two-level centroid hierarchy: `subs(t)` are the sub-centroids
+    * owned by top-level centroid `t`; global list ids are
+    * `offsets(t) + s`, contiguous with empty top clusters skipped.
+    */
+  final case class TwoLevelCentroids(tops: Array[Seq[Long]],
+      subs: Array[Array[Seq[Long]]]) {
+    val offsets: Array[Int] =
+      subs.map(_.length).scanLeft(0)(_ + _).init
+    def nLists: Int = subs.map(_.length).sum
+    private[graft] def subsSeq: Seq[Seq[Seq[Long]]] =
+      subs.toSeq.map(_.toSeq)
+  }
+
+  /** Hierarchical (two-level) k-means: a flat `k1` fit picks top
+    * clusters, then each top cluster fits its own `k2` sub-centroids
+    * — the scale path past [[FlatKCeiling]], where the flat fit's
+    * O(k·dim)-per-row assignment becomes the wall. Same deterministic
+    * construction as the flat fit at both levels (md5-keyed seeds,
+    * exact int64 dots, floored means, ties to the lowest index), so
+    * the result is partitioning- and engine-independent; sub-seeds
+    * are the k2 smallest (md5(id), id) rows WITHIN each top cluster
+    * (one window rank, no per-cluster jobs), and each sub-iteration
+    * is ONE grouped aggregation over all clusters at once — the
+    * hierarchy never launches per-cluster Spark jobs.
+    */
+  private[graft] def fitCentroidsTwoLevel(cq: DataFrame, idCol: String,
+      vecCol: String, k1: Int, k2: Int, iters: Int,
+      managePersist: Boolean = true): TwoLevelCentroids = {
+    require(k1 >= 1 && k2 >= 1, s"k1/k2 must be >= 1, got $k1/$k2")
+    val cached = if (managePersist) cq.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else cq
+    try {
+      val tops = fitCentroidsKMeans(cached, idCol, vecCol, k1, iters,
+        managePersist = false)
+      val withT = cached.withColumn("__t",
+        IvfCentroids.nearestList(col(vecCol), tops))
+      val w = Window.partitionBy("__t")
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      val seedRows = withT
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k2)
+        .select(col("__t"), col("__r"), col(vecCol)).collect()
+      val subs: Array[Array[Seq[Long]]] =
+        Array.fill(k1)(Array.empty[Seq[Long]])
+      seedRows.groupBy(_.getInt(0)).foreach { case (t, rows) =>
+        subs(t) = rows.sortBy(_.getInt(1)).map(_.getSeq[Long](2))
+      }
+      for (_ <- 0 until iters) {
+        // snapshot: the expression must not see this round's updates
+        val snap = subs.map(_.toSeq).toSeq
+        val upd = withT
+          .withColumn("__s", graft.functions.NativeHash
+            .groupedNearestCentroidColumn(col(vecCol), col("__t"),
+              snap))
+          .groupBy("__t", "__s")
+          .agg(count(lit(1)).as("__cnt"),
+            graft.functions.NativeHash.vecSumColumn(col(vecCol))
+              .as("__sums"))
+          .collect()
+        val next = subs.map(_.clone())
+        upd.foreach { r =>
+          val t  = r.getAs[Int]("__t")
+          val si = r.getAs[Int]("__s")
+          val n  = r.getAs[Long]("__cnt").toDouble
+          if (t >= 0 && t < k1 && si >= 0 && si < next(t).length)
+            next(t)(si) = r.getSeq[Long](r.fieldIndex("__sums"))
+              .map(x => math.floor(x / n).toLong)
+        }
+        var t = 0
+        while (t < k1) { subs(t) = next(t); t += 1 }
+      }
+      TwoLevelCentroids(tops, subs)
     } finally if (managePersist) cached.unpersist(blocking = false)
   }
 
@@ -475,6 +569,30 @@ private[graft] object IvfCentroids {
       : Column =
     NativeHash.probeCentroidsColumn(qv, cents.toIndexedSeq,
       math.min(nProbe, cents.length))
+
+  /** Global list id under a TWO-LEVEL hierarchy: nearest top centroid,
+    * then nearest sub-centroid within it — O((k₁+k₂)·dim) per row vs
+    * the flat O(k·dim).
+    */
+  def nearestListTwoLevel(qv: Column,
+      tl: Similarity.TwoLevelCentroids): Column = {
+    val t = nearestList(qv, tl.tops)
+    element_at(typedlit(tl.offsets.toIndexedSeq), t + 1) +
+      NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq)
+  }
+
+  /** Two-level probing: the `nProbe` nearest TOP clusters, entering
+    * the single best sub-list inside each — the standard coarse/fine
+    * IVF probe trade (recall comes from spanning top-cluster
+    * boundaries, which is where near neighbors get separated).
+    */
+  def probeListsTwoLevel(qv: Column,
+      tl: Similarity.TwoLevelCentroids, nProbe: Int): Column = {
+    val off = typedlit(tl.offsets.toIndexedSeq)
+    transform(probeLists(qv, tl.tops, nProbe), t =>
+      element_at(off, t + 1) +
+        NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq))
+  }
 
   // ---- the replaced expression-tree forms, kept ONLY as the spec's
   // ---- independent semantics oracle (SimilaritySpec compares them
