@@ -1008,6 +1008,70 @@ object SparkEntry {
     // ----- Z-order clustered write, read back: the layout must be
     // content-preserving (LayoutSpec separately proves the per-file
     // range narrowing that makes the layout worth writing)
+    // ----- skew mitigation: two-stage salted aggregation — row- and
+    // value-identical to the plain groupBy (the salt only changes the
+    // partitioning), so the oracle IS the plain aggregate
+    "q_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Skew.saltedAgg(li, Seq("l_returnflag"), salt = 16,
+        partials = Seq(
+          (count(lit(1)), "__pc"),
+          (sum(col("l_quantity").cast("decimal(18,2)")), "__ps")),
+        merges = Seq(
+          ((c: Column) => sum(c).cast("long"), "n_rows"),
+          ((c: Column) => sum(c).cast("double"), "sum_qty")))
+    }),
+
+    // ----- bucketed write + read-back: the co-location surface gets a
+    // value oracle on top of BucketingSpec's zero-Exchange plan proof
+    // (10% slice — like q_zorder, this is deliberately write-bound)
+    "q_bucketed_readback" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      graft.sources.Io.writeBucketed(li, "g_q_bucketed",
+        "l_orderkey", buckets = 8, sortCol = Some("l_orderkey"))
+      s.table("g_q_bucketed").groupBy("l_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // ----- persistent IVF index: build (inverted lists bucketed by
+    // list id + centroid table) then serve — the reader must
+    // reproduce ivfTopK exactly, so the oracle is the same fit+probe
+    // replay as q_ivf_topk
+    "q_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb, "vec_id", "embedding", "g_q_ivf_index",
+        nCentroids = 16, kmeansIters = 2, buckets = 16)
+      IvfIndex.query(s, "g_q_ivf_index",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ----- lineage-tracked curation ops composed as ONE Pipeline
+    // (RedactPii -> AnnotateQuality -> AssignSplit): the ops fold into
+    // a single Catalyst plan, and the oracle is the three ops'
+    // existing replays joined on doc_id
+    "q_curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withPii = d.withColumn("pii_text", concat(col("text"),
+        lit(" reach user"), col("doc_id"),
+        lit("@mail.example.org or host "),
+        (col("doc_id") % 200) + 10,
+        lit(".20.30.40, tel +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      val pipe = Pipeline(
+        RedactPii(Seq("pii_text"), Seq("clean")),
+        AnnotateQuality(Seq("text")),
+        AssignSplit(Seq("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      pipe(withPii).select(col("doc_id"), col("clean"),
+        col("text_keep"), col("text_reasons"), col("split"))
+    }),
+
     "q_zorder" -> ((s, dir) => {
       // a 10% slice: the row set is still range-shuffled, z-sorted,
       // written and read back in full — writing ALL of sf0.1 made this
@@ -1780,6 +1844,29 @@ object SparkEntry {
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",
+
+    // the salt only changes partitioning: the oracle is the plain agg
+    "q_salted_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1""",
+
+    // bucketing only changes layout: the oracle aggregates the source
+    "q_bucketed_readback" ->
+      """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1""",
+
+    // the served index must reproduce ivfTopK exactly -> same replay
+    "q_ivf_index" -> ivfTopKOracle,
+
+    // the Pipeline composition = the three ops' replays joined by id
+    "q_curation_pipeline" ->
+      s"""SELECT r.doc_id, r.clean, q.keep AS text_keep,
+           q.reasons AS text_reasons, s.split
+         FROM ($piiRedactOracle) r
+         JOIN ($qualityFilterOracle) q ON r.doc_id = q.doc_id
+         JOIN ($detSplitOracle) s ON r.doc_id = s.doc_id""",
 
     // brute-force popcount hamming over the same planted hashes; the
     // md5-based base pattern replays via the hash60 mirror

@@ -37,11 +37,13 @@ object SemanticDedup {
   /** Auto-sized centroid count: one cluster per `targetClusterSize`
     * rows, so within-cluster candidate pairs stay ~n·target — LINEAR
     * in the corpus (the 10× stress harness measured 74× shuffle growth
-    * at a FIXED k: same data, 10× rows, 100× candidate pairs). Capped
-    * at [[MaxAutoCentroids]]: centroid assignment is O(k) per row and
-    * driver state is k × dim, so past the cap the fit itself becomes
-    * the bottleneck — at that corpus scale, shard the corpus and run
-    * per-shard (or fit hierarchically) rather than growing flat k.
+    * at a FIXED k: same data, 10× rows, 100× candidate pairs). Up to
+    * [[Similarity.FlatKCeiling]] the fit is flat; past it the auto
+    * path fits a two-level hierarchy (assignment O(2√k·dim) per row).
+    * Capped at [[MaxAutoCentroids]]: the remaining k-proportional
+    * cost is DRIVER state — k × dim int64 centroids broadcast as one
+    * reference object (33 MB at the cap for dim 64). Past that,
+    * shard the corpus and run per-shard.
     */
   val DefaultTargetClusterSize = 1000L
   val MaxAutoCentroids         = 65536

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * an earlier process. Dropping both the catalog entry and the physical
   * location makes index builds idempotent across sessions.
   */
-private[operators] object Warehouse {
+private[graft] object Warehouse {
 
   def dropManaged(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")

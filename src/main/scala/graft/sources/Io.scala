@@ -243,6 +243,10 @@ object Io {
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
       buckets: Int, sortCol: Option[String] = None): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // overwrite-mode saveAsTable can't clear an orphaned warehouse dir
+    // left by a previous PROCESS (fresh catalog doesn't know the
+    // table) — drop both catalog entry and location first
+    graft.operators.Warehouse.dropManaged(df.sparkSession, table)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keyCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
