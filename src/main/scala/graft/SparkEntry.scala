@@ -670,6 +670,14 @@ object SparkEntry {
       VectorStats.groupCentroids(e, "label", "embedding")
     }),
 
+    // ----- the distributed half of PCA: the corpus reduces to ONE
+    // d(d+1)/2-long gram buffer (all-integer, partitioning-proof);
+    // the eigen solve on it is driver-trivial (PcaSpec)
+    "q_gram_matrix" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorStats.gramMatrix(e, "embedding")
+    }),
+
     // ----- tokenizer prep: overlapped token-window chunking
     "q_chunk_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1691,6 +1699,16 @@ object SparkEntry {
     // negatives + exact verify), so the oracle IS the plain one
     "q_bloom_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
+
+    // exact integer gram over the quantized vectors, upper triangle
+    "q_gram_matrix" ->
+      s"""WITH q AS (SELECT ${sqlQuantize("embedding")} AS qv
+           FROM embeddings)
+         SELECT i, j, CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS s
+         FROM q
+           CROSS JOIN generate_series(1, 64) t1(i)
+           CROSS JOIN generate_series(1, 64) t2(j)
+         WHERE j >= i GROUP BY i, j""",
     "q_quantiles" -> quantilesOracle,
     "q_describe" -> describeOracle,
 

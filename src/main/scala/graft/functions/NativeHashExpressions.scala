@@ -68,6 +68,10 @@ object NativeHash {
     Bridge.column(
       VecSumLong(Bridge.expression(vec)).toAggregateExpression())
 
+  def vecOuterSumColumn(vec: Column): Column =
+    Bridge.column(
+      VecOuterSumLong(Bridge.expression(vec)).toAggregateExpression())
+
   def simhashColumn(text: Column, bits: Int = 60): Column =
     Bridge.column(
       TokenSimHash(Bridge.expression(text), bits))
@@ -833,6 +837,99 @@ final case class VecSumLong(
       : VecSumLong = copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression)
       : VecSumLong = copy(child = newChild)
+}
+
+/** One-pass upper-triangle gram matrix Σ v·vᵀ over quantized int64
+  * vectors: the distributed half of PCA (and any covariance-driven
+  * fit). For dim d the buffer is d(d+1)/2 sums — 2 080 longs at
+  * d = 64 — merged associatively, so 100 TB of vectors reduce to ONE
+  * tiny driver object in a single map-side-combined aggregation; the
+  * eigen solve on that d×d matrix is then driver-trivial. All-integer
+  * accumulation keeps the result bit-identical across partitionings
+  * and engines (the DuckDB oracle replays it as SUM(qv[i]*qv[j])).
+  * Same contracts as [[VecSumLong]]: null vectors skipped, no input →
+  * null, ragged lengths (including empty-vs-sized) fail loudly; slot 0
+  * carries the dimension so "no input" (length 0 buffer) stays
+  * distinguishable from "saw zero-length vectors" (slot 0 = 0).
+  */
+final case class VecOuterSumLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_outer_sum"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.emptyLongArray
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n   = arr.numElements()
+      // slot 0 is the dimension; sums live row-major i<=j in 1..
+      val b = if (buf.length == 0) {
+        val fresh = new Array[Long](1 + n * (n + 1) / 2)
+        fresh(0) = n.toLong; fresh
+      } else buf
+      require(b(0) == n.toLong,
+        s"graft_vec_outer_sum: ragged vector lengths (${b(0)} vs $n)")
+      val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) { vs(i) = arr.getLong(i); i += 1 }
+      var k = 1
+      i = 0
+      while (i < n) {
+        val vi = vs(i)
+        var j = i
+        while (j < n) { b(k) += vi * vs(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.length == 0) b
+    else if (b.length == 0) a
+    else {
+      require(a(0) == b(0),
+        s"graft_vec_outer_sum: ragged vector lengths (${a(0)} vs ${b(0)})")
+      var i = 1
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length == 0) null
+    else new GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 1, buf.length))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : VecOuterSumLong = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : VecOuterSumLong = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : VecOuterSumLong = copy(child = newChild)
 }
 
 /** Deflate compression ratio of the text's UTF-8 bytes (zlib level 6,
