@@ -128,6 +128,15 @@ object NativeHash {
       cents: Seq[Seq[Seq[Long]]]): Column =
     Bridge.column(GroupedNearestCentroid(Bridge.expression(qv),
       Bridge.expression(group), cents))
+
+  def pqEncodeColumn(qv: Column, codebook: Seq[Seq[Seq[Long]]])
+      : Column =
+    Bridge.column(PqEncode(Bridge.expression(qv), codebook))
+
+  def pqAdcDistColumn(qv: Column, codes: Column,
+      codebook: Seq[Seq[Seq[Long]]]): Column =
+    Bridge.column(PqAdcDistance(Bridge.expression(qv),
+      Bridge.expression(codes), codebook))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -1174,4 +1183,152 @@ final case class ProbeCentroids(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** Static loops shared by [[PqEncode]] and [[PqAdcDistance]] — the
+  * product-quantization half of the ANN surface. All distances are
+  * exact int64 squared-L2 over the milli-unit quantized vectors, so
+  * codes and ADC rankings are bit-identical on any partitioning and
+  * replayable by an independent SQL engine. `codebook(s)(j)` is the
+  * j-th centroid of subspace `s`; subvector `s` of a d-long vector is
+  * elements [s·dsub, (s+1)·dsub).
+  */
+object PqKernel {
+
+  private def subDist2(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      off: Int, c: Array[Long]): Long = {
+    var d2 = 0L
+    var i = 0
+    while (i < c.length) {
+      val diff = v.getLong(off + i) - c(i)
+      d2 += diff * diff
+      i += 1
+    }
+    d2
+  }
+
+  /** Per-subspace argmin of exact squared L2 (ties → lowest code).
+    * A vector shorter than the codebook's m·dsub fails loudly — a
+    * silently padded code would poison every downstream distance.
+    */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebook: Array[Array[Array[Long]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = codebook.length
+    val codes = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      val dsub  = cents(0).length
+      require(off + dsub <= v.numElements(),
+        s"graft_pq_encode: vector length ${v.numElements()} < " +
+          s"codebook span ${off + dsub}")
+      var best  = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val d2 = subDist2(v, off, cents(j))
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric distance: exact Σ_s ‖q_s − c_{s,code_s}‖² between a
+    * full query vector and a corpus row's codes.
+    */
+  def adcDist2(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebook: Array[Array[Array[Long]]]): Long = {
+    require(codes.numElements() == codebook.length,
+      s"graft_pq_adc: ${codes.numElements()} codes for " +
+        s"${codebook.length} subspaces")
+    var d2 = 0L
+    var off = 0
+    var s = 0
+    while (s < codebook.length) {
+      val cents = codebook(s)
+      val code  = codes.getInt(s)
+      require(code >= 0 && code < cents.length,
+        s"graft_pq_adc: code $code out of range [0, ${cents.length})")
+      d2 += subDist2(q, off, cents(code))
+      off += cents(0).length
+      s += 1
+    }
+    d2
+  }
+}
+
+/** Product-quantization codes of a quantized vector: `m` bytes-worth
+  * of per-subspace nearest-centroid indices replace m·dsub·8 bytes of
+  * raw vector — the compressed-domain corpus representation that
+  * makes 100 TB ANN memory-resident. The codebook rides along as ONE
+  * reference object (constant plan size in m·ksub·dsub, same story as
+  * [[NearestCentroid]]); the argmin loop runs inside whole-stage
+  * codegen.
+  */
+final case class PqEncode(child: Expression,
+    codebook: Seq[Seq[Seq[Long]]]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernel.encode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cb)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernel.encode($v, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Exact asymmetric (query-to-code) squared distance — the scoring
+  * half of PQ search: the corpus side stays compressed (codes only),
+  * the query side stays full-precision. Int64 throughout, so the
+  * ranking an oracle computes from the same codes is identical.
+  */
+final case class PqAdcDistance(left: Expression, right: Expression,
+    codebook: Seq[Seq[Seq[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_adc_dist2"
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    PqKernel.adcDist2(
+      q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cb)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (q, codes) =>
+      s"${ev.value} = graft.functions.PqKernel.adcDist2($q, $codes, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
