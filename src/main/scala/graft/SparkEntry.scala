@@ -652,6 +652,13 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // ----- Pearson correlation matrix: one aggregation, exact
+    // decimal sums, one exact int->double conversion per sum
+    "q_feature_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.correlationMatrix(li, corrCols)
+    }),
+
     // ----- sequence packing: chunks -> ~256-token training packs,
     // shard-parallel deterministic contiguous fill
     "q_pack_chunks" -> ((s, dir) => {
@@ -823,6 +830,28 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ----- PQ: compress each vector to 4 subspace codes (pinned
+    // codebook so the oracle replays the argmin), exploded to one
+    // (vec_id, subspace, code) row per cell
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ProductQuant.pqEncode(emb, "vec_id", "embedding", pinnedPq)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("__s", "__c")))
+        .select(col("vec_id"),
+          (col("__s") + 1).cast("long").as("subspace"),
+          col("__c").cast("long").as("code"))
+    }),
+
+    // ----- PQ: asymmetric-distance top-10 — full-precision queries
+    // against the code-compressed corpus, exact int64 distances
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ProductQuant.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", pinnedPq, k = 10)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -1711,6 +1740,7 @@ object SparkEntry {
          WHERE j >= i GROUP BY i, j""",
     "q_quantiles" -> quantilesOracle,
     "q_describe" -> describeOracle,
+    "q_feature_corr" -> featureCorrOracle,
 
     "q_top_terms" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
@@ -1745,6 +1775,8 @@ object SparkEntry {
     "q_ann_topk"      -> annTopKOracle,
     "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,
+    "q_pq_encode"     -> pqEncodeOracle,
+    "q_pq_topk"       -> pqTopKOracle,
     "q_cosine_dup"    -> cosineDupOracle,
     "q_semantic_pairs" -> semanticPairsOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
@@ -2530,6 +2562,44 @@ object SparkEntry {
         FROM lineitem"""
     }.mkString(" UNION ALL ")
 
+  /** (column, integer-grid scale) pairs for q_feature_corr: dollar
+    * grid for the big measure, percent grid for the small rates —
+    * chosen so every exact sum stays under 2^53 at sf0.1 and beyond.
+    */
+  private val corrCols: Seq[(String, Int)] = Seq(
+    "l_quantity" -> 1, "l_extendedprice" -> 1,
+    "l_discount" -> 100, "l_tax" -> 100)
+
+  /** Mirror of ColumnStats.correlationMatrix: same integer grid, the
+    * engine's exact HUGEINT sums converted to double once (values
+    * < 2^53, so conversion is value-exact), then the identical fixed
+    * shape of IEEE ops — bit-identical correlations.
+    */
+  private def featureCorrOracle: String = {
+    val names = corrCols.map(_._1)
+    val quant = corrCols.zipWithIndex.map { case ((c, sc), i) =>
+      s"CAST(round($c * $sc, 0) AS BIGINT) AS c$i"
+    }.mkString(", ")
+    val notNull = names.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val sums = names.indices.map(i =>
+      s"CAST(SUM(c$i) AS DOUBLE) AS s$i") ++
+      (for { i <- names.indices; j <- i until names.length }
+        yield s"CAST(SUM(c$i*c$j) AS DOUBLE) AS p${i}_$j")
+    val cells = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      val (num, da, db) = (s"(n*p${i}_$j - s$i*s$j)",
+        s"(n*p${i}_$i - s$i*s$i)", s"(n*p${j}_$j - s$j*s$j)")
+      s"""SELECT '${names(i)}' AS col_x, '${names(j)}' AS col_y,
+          CASE WHEN $da > 0 AND $db > 0
+            THEN $num / (sqrt($da) * sqrt($db)) END AS corr FROM s"""
+    }
+    s"""WITH f AS (SELECT $quant FROM lineitem WHERE $notNull),
+       s AS (SELECT COUNT(*)::DOUBLE AS n, ${sums.mkString(", ")}
+         FROM f)
+       ${cells.mkString(" UNION ALL ")}"""
+  }
+
   /** Mirror of VectorStats.groupCentroids: quantized int64 per-dim
     * sums, exact-integer division only at the end.
     */
@@ -2573,6 +2643,60 @@ object SparkEntry {
            ORDER BY dist2_q ASC, neighbor_id) AS rank FROM scored) s
        WHERE rank <= 10"""
   }
+
+  /** Pinned PQ codebook for the oracle rows: 4 subspaces × 16 dims ×
+    * 4 constant-valued centroids. Constants chosen so all four codes
+    * win on real subvectors (milli-unit components span roughly
+    * ±500, mean ≈ 0); constant vectors keep the replayed SQL to one
+    * `(x - c)²` lambda per centroid instead of 16 literals each.
+    * Fitted codebooks (ProductQuant.pqFit) are exercised by PqSpec —
+    * a fit replay would pin the k-means, which ivfTopKOracle already
+    * covers.
+    */
+  private val pinnedPqConsts = Seq(-80L, -25L, 25L, 80L)
+  private lazy val pinnedPq: ProductQuant.PqCodebook =
+    ProductQuant.PqCodebook(Seq.fill(4)(
+      pinnedPqConsts.map(c => Seq.fill(16)(c))))
+
+  /** Shared CTE body: per-(vector, subspace, centroid) exact int64
+    * squared distance `d2` against the pinned constant centroids.
+    */
+  private def pqDistCte: String = {
+    val cbVals = pinnedPqConsts.zipWithIndex
+      .map { case (c, j) => s"($j, $c)" }.mkString(", ")
+    s"""q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+         FROM embeddings),
+       d AS (SELECT vec_id, s, j,
+         list_sum(list_transform(qv[(s-1)*16+1:s*16],
+           x -> (x - c)*(x - c))) AS d2
+         FROM q
+         CROSS JOIN generate_series(1, 4) ts(s)
+         CROSS JOIN (VALUES $cbVals) cb(j, c)),
+       codes AS (SELECT vec_id, s, j AS code FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, j) AS rn FROM d) z
+         WHERE rn = 1)"""
+  }
+
+  private def pqEncodeOracle: String =
+    s"""WITH $pqDistCte
+       SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+         CAST(code AS BIGINT) AS code
+       FROM codes"""
+
+  private def pqTopKOracle: String =
+    s"""WITH $pqDistCte,
+       qd AS (SELECT vec_id AS query_id, s, j, d2 FROM d
+         WHERE vec_id < 5),
+       pair AS (SELECT qd.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(qd.d2) AS BIGINT) AS adist2
+         FROM codes c JOIN qd
+           ON qd.s = c.s AND qd.j = c.code AND qd.query_id <> c.vec_id
+         GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, adist2, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adist2 ASC, neighbor_id) AS rank FROM pair) z
+       WHERE rank <= 10"""
 
   private def annTopKOracle: String = {
     val dot = sqlDotQ("qv", "cv", 64)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,5 +308,77 @@ object ColumnStats {
           col(s"__mean_$c").as("mean_v"))
         .crossJoin(med)
     }.reduce(_ unionByName _)
+  }
+
+  /** Exact-arithmetic Pearson correlation matrix over numeric columns
+    * — the feature-redundancy screen of a curation pipeline (which
+    * quality signals move together) and the classic pre-PCA
+    * diagnostic.
+    *
+    * Engine-portable by construction: each column is quantized to an
+    * integer grid (`round(x·scale)`, the same milli-unit discipline
+    * as the vector ops), every Σx / Σxy accumulates EXACTLY in
+    * decimal, and each exact sum converts to double ONCE — guarded to
+    * |sum| ≤ 2⁵³ so the conversion is value-exact, failing loudly
+    * with a "raise the shift/lower the scale" message past it. All
+    * arithmetic after the conversions is single IEEE ops in a fixed
+    * shape, so an independent engine replaying the formula gets
+    * bit-identical doubles (q_feature_corr's DuckDB oracle does).
+    *
+    * ONE aggregation computes all p + p(p+1)/2 sums (map-side
+    * combined: the shuffle carries one small row per task regardless
+    * of corpus size) and the pair explosion happens on the single
+    * result row — no driver collect, no second scan. Rows with a
+    * null in ANY listed column are dropped first (complete-case, the
+    * standard matrix semantics — pairwise deletion would make each
+    * cell a different population).
+    *
+    * Zero-variance columns yield null correlations (undefined, not
+    * ±Inf/NaN).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Int)])
+      : DataFrame = {
+    require(cols.length >= 2,
+      "correlationMatrix needs at least two columns")
+    require(cols.map(_._1).distinct.length == cols.length,
+      "correlationMatrix: duplicate column names")
+    val names = cols.map(_._1)
+    val complete = df.na.drop(names)
+    val qc: Seq[(String, Column)] = cols.map { case (n, scale) =>
+      n -> round(col(n) * scale).cast("decimal(20,0)")
+    }
+    val pairs = for {
+      i <- names.indices; j <- i until names.length
+    } yield (names(i), names(j))
+    val aggs =
+      qc.map { case (n, e) => sum(e).as(s"__s_$n") } ++
+      pairs.map { case (a, b) =>
+        val ea = qc.find(_._1 == a).get._2
+        val eb = qc.find(_._1 == b).get._2
+        sum((ea * eb).cast("decimal(38,0)")).as(s"__p_${a}__$b")
+      }
+    val one = complete.agg(count(lit(1)).as("__n"), aggs: _*)
+    // exact-conversion guard: 2^53 is the last long every double holds
+    def toD(c: Column, label: String): Column =
+      when(abs(c) <= lit(9007199254740992L), c.cast("double"))
+        .otherwise(raise_error(lit(
+          s"correlationMatrix: |sum| for $label exceeds 2^53 — " +
+            "lower the column's scale (or pre-shift the column) so " +
+            "exact sums stay double-representable")))
+    val n = col("__n").cast("double")
+    def s(a: String)           = toD(col(s"__s_$a"), a)
+    def p(a: String, b: String) = toD(col(s"__p_${a}__$b"), s"$a*$b")
+    def corr(a: String, b: String): Column = {
+      val num  = n * p(a, b) - s(a) * s(b)
+      val denA = n * p(a, a) - s(a) * s(a)
+      val denB = n * p(b, b) - s(b) * s(b)
+      when(denA > 0 && denB > 0, num / (sqrt(denA) * sqrt(denB)))
+    }
+    val out = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield struct(lit(names(i)).as("col_x"),
+      lit(names(j)).as("col_y"),
+      corr(names(i), names(j)).as("corr"))
+    one.select(explode(array(out: _*)).as("__p")).select(col("__p.*"))
   }
 }

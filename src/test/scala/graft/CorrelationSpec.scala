@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.ColumnStats
+
+class CorrelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cells(df: org.apache.spark.sql.DataFrame)
+      : Map[(String, String), Option[Double]] =
+    df.collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+
+  test("perfect linear relationships hit exactly +-1") {
+    val df = (1 to 20).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i))
+      .toDF("x", "y", "z")
+    val got = cells(ColumnStats.correlationMatrix(df,
+      Seq("x" -> 1, "y" -> 1, "z" -> 1)))
+    assert(got(("x", "y")) == Some(1.0))
+    assert(got(("x", "z")) == Some(-1.0))
+    assert(got(("y", "z")) == Some(-1.0))
+  }
+
+  test("matches a driver-side exact-integer reference") {
+    val data = (0 until 50).map { i =>
+      (((i * 7) % 13).toDouble, ((i * 11) % 17).toDouble)
+    }
+    val got = cells(ColumnStats.correlationMatrix(
+      data.toDF("a", "b"), Seq("a" -> 1, "b" -> 1)))(("a", "b")).get
+    val n  = data.length.toDouble
+    val sa = data.map(_._1).sum
+    val sb = data.map(_._2).sum
+    val paa = data.map(d => d._1 * d._1).sum
+    val pbb = data.map(d => d._2 * d._2).sum
+    val pab = data.map(d => d._1 * d._2).sum
+    val want = (n * pab - sa * sb) /
+      (math.sqrt(n * paa - sa * sa) * math.sqrt(n * pbb - sb * sb))
+    assert(got == want)
+  }
+
+  test("zero-variance column yields null, not NaN/Inf") {
+    val df = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("x", "c")
+    val got = cells(ColumnStats.correlationMatrix(df,
+      Seq("x" -> 1, "c" -> 1)))
+    assert(got(("x", "c")).isEmpty)
+  }
+
+  test("complete-case: a null in any column drops the whole row") {
+    val withNull = Seq((1.0, 1.0, Some(9.0)), (2.0, 2.0, None),
+      (3.0, 3.0, Some(1.0)), (4.0, 4.0, Some(5.0)))
+      .toDF("x", "y", "z")
+    val clean = Seq((1.0, 1.0, 9.0), (3.0, 3.0, 1.0), (4.0, 4.0, 5.0))
+      .toDF("x", "y", "z")
+    val a = cells(ColumnStats.correlationMatrix(withNull,
+      Seq("x" -> 1, "y" -> 1, "z" -> 1)))
+    val b = cells(ColumnStats.correlationMatrix(clean,
+      Seq("x" -> 1, "y" -> 1, "z" -> 1)))
+    assert(a == b)
+  }
+
+  test("scale is applied before rounding to the integer grid") {
+    // 0.04 vs 0.05: identical at scale 1 (both round to 0), distinct
+    // at scale 100
+    val df = Seq((1.0, 0.04), (2.0, 0.05), (3.0, 0.04), (4.0, 0.10))
+      .toDF("x", "r")
+    val coarse = cells(ColumnStats.correlationMatrix(df,
+      Seq("x" -> 1, "r" -> 1)))(("x", "r"))
+    val fine = cells(ColumnStats.correlationMatrix(df,
+      Seq("x" -> 1, "r" -> 100)))(("x", "r"))
+    assert(coarse.isEmpty) // all-zero grid: zero variance
+    assert(fine.nonEmpty)
+  }
+
+  test("one aggregation: a single shuffle in the plan") {
+    val df = (1 to 20).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("x", "y")
+    val plan = ColumnStats.correlationMatrix(df,
+      Seq("x" -> 1, "y" -> 1)).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <= 1 shuffle, plan:\n$plan")
+  }
+
+  test("a sum past 2^53 fails loudly instead of losing precision") {
+    val big = (1 to 4).map(_ => 9.0e15).toDF("x")
+      .selectExpr("x", "x AS y")
+    val e = intercept[Exception] {
+      ColumnStats.correlationMatrix(big, Seq("x" -> 1, "y" -> 1))
+        .collect()
+    }
+    assert(e.getMessage.contains("2^53") ||
+      e.getCause != null && e.getCause.getMessage.contains("2^53"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("duplicate or too-few columns are rejected") {
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      ColumnStats.correlationMatrix(df, Seq("x" -> 1))
+    }
+    intercept[IllegalArgumentException] {
+      ColumnStats.correlationMatrix(df, Seq("x" -> 1, "x" -> 1))
+    }
+  }
+}
