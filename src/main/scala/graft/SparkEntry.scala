@@ -1006,6 +1006,32 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL pixel resize: checker PNGs (multiple-of-8 dims, so
+    // the 8×8 nearest-neighbor result is an exact 8×8 checkerboard)
+    // -> decode+resample+re-encode -> RE-decode the resized bytes ->
+    // average hash; the oracle predicts the two parity constants
+    // analytically, the same bit construction as q_phash
+    "q_media_resize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"))
+      val png = Multimodal.synthCheckerPng(d, "__w", "__h", "__a",
+        "__b", "__p", "content")
+      val resized = Multimodal.pngResize(png, "content", 8, 8)
+        .select(col("doc_id"), col("resized").as("content"),
+          col("resized_width"), col("resized_height"))
+      Multimodal.decodeBatches(resized, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"),
+          col("resized_width").cast("long").as("rw"),
+          col("resized_height").cast("long").as("rh"),
+          col("ahash"))
+    }),
+
     // ----- REAL audio-header decode: WAV bytes synthesized by hex
     // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
     // fields planted from doc_id), parsed back via the batch-decode
@@ -1891,6 +1917,16 @@ object SparkEntry {
     // -> 0x55AA..AA for phase 0, its complement for phase 1
     "q_phash" ->
       """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
+         FROM documents""",
+
+    // source dims are multiples of 8, so nearest-neighbor sampling
+    // lands exactly on pattern-cell boundaries: the resized plane IS
+    // the 8x8 checkerboard and its hash is the same parity constant
+    // pair as q_phash (bit 8*cy+cx set iff (cx+cy+phase) odd)
+    "q_media_resize" ->
+      """SELECT doc_id, CAST(8 AS BIGINT) AS rw, CAST(8 AS BIGINT) AS rh,
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",

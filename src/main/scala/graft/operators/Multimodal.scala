@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * channels/rate/bits/frames, the metadata curation filters actually
   * use. PNG PIXEL DECODE IS ALSO REAL: [[pngDecodeLuma]] inflates
   * IDAT (zlib ships in the JDK) and unfilters rows, feeding a true
-  * 8×8 average hash ([[pngAHash]]) for image near-dup curation.
-  * The remaining fakes are the paths that genuinely need external
-  * codecs — JPEG entropy decode, resample/resize, video frame decode
-  * — and stay clearly marked stubs. Everything Spark-side is real
+  * 8×8 average hash ([[pngAHash]]) for image near-dup curation, and
+  * a REAL RESIZE ([[pngResize]]): nearest-neighbor resample of the
+  * decoded luma plane, re-encoded through the real grayscale PNG
+  * encoder. The remaining fakes are the paths that genuinely need
+  * external codecs — JPEG entropy decode, video frame decode — and
+  * stay clearly marked stubs. Everything Spark-side is real
   * either way: the schema contract, the per-partition batch iteration
   * (the Scala analog of `mapInPandas` — one Iterator[Row] per
   * partition, streaming, no per-row serialization boundary), the
@@ -637,12 +639,70 @@ object Multimodal {
     StructField("dec_height", IntegerType),
     StructField("n_frames", LongType)))
 
-  /** Resize plumbing: recompute the content payload and metadata for a
-    * target resolution. The BYTE TRANSFORM IS A STUB (real systems
-    * decode, scale, re-encode — no codecs in this container): payload
-    * is deterministically truncated/kept to the target byte budget
-    * (targetW·targetH/16). The Spark side is real: one projection,
-    * binary in/binary out, metadata struct rebuilt alongside.
+  /** Nearest-neighbor resample of a luma plane: target pixel (x, y)
+    * takes source pixel (⌊x·w/tw⌋, ⌊y·h/th⌋). Pure integer
+    * arithmetic (the long widening keeps x·w exact for any plausible
+    * dimensions), so the resampled plane — and everything derived
+    * from it — is engine-replayable.
+    */
+  def resizeLumaNearest(luma: Array[Int], w: Int, h: Int, tw: Int,
+      th: Int): Array[Int] = {
+    require(tw > 0 && th > 0, s"target dims must be positive ($tw×$th)")
+    require(luma.length == w * h, "luma plane does not match dims")
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = luma(sy * w + (x.toLong * w / tw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("resized", BinaryType),
+    StructField("resized_width", IntegerType),
+    StructField("resized_height", IntegerType)))
+
+  /** Decode kernel for [[decodeBatches]]: REAL resize — inflate +
+    * unfilter the PNG ([[pngDecodeLuma]]), nearest-neighbor resample
+    * ([[resizeLumaNearest]]), re-encode through the real grayscale
+    * PNG encoder ([[pngEncodeGray]]). Undecodable content → all-null
+    * fields, never a throw (quarantine, don't kill the job).
+    */
+  def decodeResize(tw: Int, th: Int)(bytes: Array[Byte]): Seq[Any] =
+    pngDecodeLuma(bytes) match {
+      case Some((w, h, luma)) => Seq[Any](
+        pngEncodeGray(tw, th, resizeLumaNearest(luma, w, h, tw, th)),
+        tw, th)
+      case None => Seq[Any](null, null, null)
+    }
+
+  /** Real PNG resize over the media frame: one map-only
+    * per-partition batch pass (no shuffle, binary in / binary out) —
+    * the Spark shape a 100 TB thumbnail/normalize stage runs, with
+    * the codec real for non-interlaced 8-bit PNG.
+    */
+  def pngResize(df: DataFrame, contentCol: String, targetW: Int,
+      targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive ($targetW×$targetH)")
+    decodeBatches(df, contentCol, resizeSchema)(
+      decodeResize(targetW, targetH))
+  }
+
+  /** Resize plumbing for formats WITHOUT an in-container codec (JPEG
+    * entropy decode): recompute the content payload and metadata for
+    * a target resolution. The BYTE TRANSFORM IS A STUB — payload is
+    * deterministically truncated/kept to the target byte budget
+    * (targetW·targetH/16). PNG content has the real path:
+    * [[pngResize]]. The Spark side is real either way: one
+    * projection, binary in/binary out, metadata struct rebuilt
+    * alongside.
     */
   def resizeStub(df: DataFrame, contentCol: String, metaCol: String,
       targetW: Int, targetH: Int): DataFrame = {

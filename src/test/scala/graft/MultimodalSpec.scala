@@ -333,6 +333,42 @@ class MultimodalSpec extends SparkSpec {
       (3L, None, None, None, None)))
   }
 
+  test("resizeLumaNearest: identity, downsample and upsample agree " +
+      "with the floor-sampling reference") {
+    def ref(luma: Array[Int], w: Int, h: Int, tw: Int, th: Int) =
+      Array.tabulate(tw * th) { k =>
+        val (x, y) = (k % tw, k / tw)
+        luma((y.toLong * h / th).toInt * w + (x.toLong * w / tw).toInt)
+      }
+    val w = 13; val h = 7
+    val src = Array.tabulate(w * h)(i => (i * 37) % 251)
+    for ((tw, th) <- Seq((13, 7), (8, 8), (5, 3), (26, 14), (1, 1)))
+      assert(Multimodal.resizeLumaNearest(src, w, h, tw, th).toSeq ==
+        ref(src, w, h, tw, th).toSeq, s"$tw x $th")
+    assert(Multimodal.resizeLumaNearest(src, w, h, w, h).toSeq ==
+      src.toSeq)
+  }
+
+  test("pngResize round-trips: re-decoding the resized bytes yields " +
+      "the resampled plane; garbage yields nulls") {
+    val w = 20; val h = 12
+    val pix = Array.tabulate(w * h)(i => (i * 31 + 5) % 256)
+    val rows = Seq(
+      (1L, Multimodal.pngEncodeGray(w, h, pix)),
+      (2L, "not a png".getBytes)).toDF("id", "content")
+    val out = Multimodal.pngResize(rows, "content", 6, 9)
+      .select("id", "resized", "resized_width", "resized_height")
+      .collect().sortBy(_.getLong(0))
+    val ok = out(0)
+    assert(ok.getInt(2) == 6 && ok.getInt(3) == 9)
+    val back = Multimodal.pngDecodeLuma(ok.getAs[Array[Byte]](1)).get
+    assert(back._1 == 6 && back._2 == 9)
+    assert(back._3.toSeq ==
+      Multimodal.resizeLumaNearest(pix, w, h, 6, 9).toSeq)
+    val bad = out(1)
+    assert(bad.isNullAt(1) && bad.isNullAt(2) && bad.isNullAt(3))
+  }
+
   test("resizeStub rewrites payload and metadata to the target size") {
     val m = Multimodal.mediaFromText(docs, "doc_id", "text")
     val out = Multimodal.resizeStub(m, "content", "meta", 8, 8)
