@@ -855,6 +855,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ----- IVF-PQ: coarse-list pruning (same deterministic k-means
+    // as q_ivf_topk) + ADC scoring over the probed lists' codes
+    "q_ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ProductQuant.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", pinnedPq, k = 10, nCentroids = 16,
+          nProbe = 4, kmeansIters = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ----- near-dup: banded hyperplane-LSH cosine pairs (recall-tuned
     // band shape for this corpus; scale defaults documented on the op)
     "q_cosine_dup" -> ((s, dir) => {
@@ -1803,6 +1813,7 @@ object SparkEntry {
     "q_ivf_topk"      -> ivfTopKOracle,
     "q_pq_encode"     -> pqEncodeOracle,
     "q_pq_topk"       -> pqTopKOracle,
+    "q_ivf_pq_topk"   -> ivfPqTopKOracle,
     "q_cosine_dup"    -> cosineDupOracle,
     "q_semantic_pairs" -> semanticPairsOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
@@ -2694,15 +2705,14 @@ object SparkEntry {
     ProductQuant.PqCodebook(Seq.fill(4)(
       pinnedPqConsts.map(c => Seq.fill(16)(c))))
 
-  /** Shared CTE body: per-(vector, subspace, centroid) exact int64
-    * squared distance `d2` against the pinned constant centroids.
+  /** CTE fragment assuming `q(vec_id, qv)` exists: per-(vector,
+    * subspace, centroid) exact int64 squared distance `d2` against
+    * the pinned constant centroids, plus the argmin `codes`.
     */
-  private def pqDistCte: String = {
+  private def pqCodeCtes: String = {
     val cbVals = pinnedPqConsts.zipWithIndex
       .map { case (c, j) => s"($j, $c)" }.mkString(", ")
-    s"""q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
-         FROM embeddings),
-       d AS (SELECT vec_id, s, j,
+    s"""d AS (SELECT vec_id, s, j,
          list_sum(list_transform(qv[(s-1)*16+1:s*16],
            x -> (x - c)*(x - c))) AS d2
          FROM q
@@ -2713,6 +2723,12 @@ object SparkEntry {
              ORDER BY d2, j) AS rn FROM d) z
          WHERE rn = 1)"""
   }
+
+  /** Shared CTE body: quantize + [[pqCodeCtes]]. */
+  private def pqDistCte: String =
+    s"""q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+         FROM embeddings),
+       $pqCodeCtes"""
 
   private def pqEncodeOracle: String =
     s"""WITH $pqDistCte
@@ -2809,6 +2825,32 @@ object SparkEntry {
          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
            ORDER BY s DESC, ci) AS rn FROM cdots) a WHERE rn = 1)"""
   }
+
+  /** IVF-PQ: the coarse k-means replay's `assign`/`cdots` CTEs pick
+    * each query's 4 probe lists, the pinned-codebook `codes` CTE
+    * compresses the corpus, and the ranking sums the query's
+    * per-(subspace, code) distances over each probed neighbor's
+    * codes — exact int64 end to end.
+    */
+  private def ivfPqTopKOracle: String =
+    s"""WITH ${kmeansAssignCtes(64)},
+       $pqCodeCtes,
+       probes AS (SELECT vec_id, ci FROM (
+         SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY s DESC, ci) AS rn FROM cdots) p
+         WHERE rn <= 4 AND vec_id < 5),
+       pair AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(SUM(qd.d2) AS BIGINT) AS adist2
+         FROM probes p
+           JOIN assign a ON a.ci = p.ci AND a.vec_id <> p.vec_id
+           JOIN codes cs ON cs.vec_id = a.vec_id
+           JOIN d qd ON qd.vec_id = p.vec_id AND qd.s = cs.s
+             AND qd.j = cs.code
+         GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, adist2, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adist2 ASC, neighbor_id) AS rank FROM pair) z
+       WHERE rank <= 10"""
 
   private def ivfTopKOracle: String = {
     s"""WITH ${kmeansAssignCtes(64)},

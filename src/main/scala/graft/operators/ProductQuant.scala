@@ -137,6 +137,52 @@ object ProductQuant {
     pqTopKEncoded(pqEncode(corpus, idCol, vecCol, cb), queries,
       idCol, vecCol, cb, k)
 
+  /** IVF-PQ: coarse inverted-list pruning composed with ADC scoring
+    * over codes — the standard big-corpus ANN architecture (Jégou et
+    * al. 2011 §V): the corpus is stored as (coarse list, m codes) —
+    * bytes per row — queries probe their `nProbe` nearest coarse
+    * lists and score ONLY those lists' codes, so search cost is
+    * probed-fraction × compressed-scan. Same deterministic coarse
+    * quantizer as [[Similarity.ivfTopK]] (md5-seeded spherical
+    * k-means, exact int64 scores, lowest-index ties) and the same
+    * non-residual codes as [[pqEncode]] (one codebook shared across
+    * lists, so the code column is independent of the coarse k;
+    * residual encoding would buy recall at the cost of re-encoding
+    * whenever the coarse quantizer changes — the classic trade,
+    * documented not taken).
+    *
+    * Scale shape: corpus scanned once (assign + encode in the same
+    * projection), broadcast query probes, one per-query top-k window
+    * (WindowGroupLimit pre-filters map-side). With `nProbe` =
+    * `nCentroids` every list is probed and the ranking equals
+    * [[pqTopK]] exactly (PqSpec pins this).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebook, k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.quantize(col(vecCol)).as("__cv"))
+    val cents = Similarity.fitCentroidsKMeans(cq, "neighbor_id",
+      "__cv", nCentroids, kmeansIters)
+    val listed = cq.select(col("neighbor_id"),
+      NativeHash.nearestCentroidColumn(col("__cv"), cents)
+        .as("__list"),
+      NativeHash.pqEncodeColumn(col("__cv"), cb.codebook).as("codes"))
+    val qq = queries.select(col(idCol).as("query_id"),
+        Similarity.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__list", explode(NativeHash.probeCentroidsColumn(
+        col("__qv"), cents, math.min(nProbe, cents.length))))
+    val scored = listed.join(broadcast(qq), Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        NativeHash.pqAdcDistColumn(col("__qv"), col("codes"),
+          cb.codebook).as("adist2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** [[pqTopK]] over a pre-encoded corpus `(idCol, codes)` — the
     * standing-index form: at scale the encode runs once at ingest and
     * searches touch ONLY the code column (8-ish bytes a row), never

@@ -131,6 +131,44 @@ class PqSpec extends SparkSpec {
     assert(d3 <= d0, s"distortion grew: $d0 -> $d3")
   }
 
+  test("ivfPqTopK with every list probed equals pqTopK exactly") {
+    val full = ProductQuant.pqTopK(corpus,
+        corpus.filter(col("vec_id") < 3), "vec_id", "embedding",
+        pinned, k = 5)
+      .select("query_id", "neighbor_id", "adist2", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    val ivf = ProductQuant.ivfPqTopK(corpus,
+        corpus.filter(col("vec_id") < 3), "vec_id", "embedding",
+        pinned, k = 5, nCentroids = 4, nProbe = 4, kmeansIters = 1)
+      .select("query_id", "neighbor_id", "adist2", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivf.toSeq == full.toSeq)
+  }
+
+  test("ivfPqTopK partial probe returns correctly-ADC-scored rows " +
+      "ranked without gaps") {
+    val rows = ProductQuant.ivfPqTopK(corpus,
+        corpus.filter(col("vec_id") < 3), "vec_id", "embedding",
+        pinned, k = 5, nCentroids = 4, nProbe = 2, kmeansIters = 1)
+      .select("query_id", "neighbor_id", "adist2", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    val data  = synth()
+    val codes = data.map { case (id, v) =>
+      id -> refEncode(refQuantize(v), pinned)
+    }.toMap
+    rows.foreach { case (q, n, d2, _) =>
+      assert(d2 == refAdc(refQuantize(data(q.toInt)._2), codes(n),
+        pinned), s"ADC mismatch for ($q, $n)")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length).toSeq,
+        s"rank gaps for query $q")
+      // ranks follow (adist2, neighbor_id) order within the survivors
+      val byRank = rs.sortBy(_._4).map(r => (r._3, r._2)).toSeq
+      assert(byRank == byRank.sorted, s"rank order broken for $q")
+    }
+  }
+
   test("short vector fails loudly instead of padding codes") {
     val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
