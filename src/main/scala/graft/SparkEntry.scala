@@ -434,6 +434,18 @@ object SparkEntry {
       d.select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // ----- feature hashing: model-free text embedding, nonzero
+    // coordinates exploded so the oracle replays buckets and signs
+    "q_hash_vectorize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(T.hashingVector(col("text"), 256))
+            .as(Seq("__b", "__w")))
+        .filter(col("__w") =!= 0)
+        .select(col("doc_id"), col("__b").cast("long").as("bucket"),
+          col("__w").as("weight"))
+    }),
+
     // ----- text analysis: quality scoring
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1542,6 +1554,23 @@ object SparkEntry {
       """SELECT doc_id,
          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
          FROM documents""",
+
+    // same trim + \s+ token discipline as the simhash oracle; bucket
+    // and sign replay the hash60 arithmetic exactly
+    "q_hash_vectorize" -> {
+      val h = sqlHash60("tok")
+      s"""WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM documents),
+         hb AS (SELECT doc_id, ($h) AS h FROM toks),
+         w AS (SELECT doc_id, h % 256 AS bucket,
+             SUM(CASE WHEN (h // 256) % 2 = 1 THEN -1 ELSE 1 END)
+               AS weight
+           FROM hb GROUP BY 1, 2)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(weight AS BIGINT) AS weight
+         FROM w WHERE weight <> 0"""
+    },
 
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,

@@ -137,6 +137,9 @@ object NativeHash {
       codebook: Seq[Seq[Seq[Long]]]): Column =
     Bridge.column(PqAdcDistance(Bridge.expression(qv),
       Bridge.expression(codes), codebook))
+
+  def hashingVectorizeColumn(text: Column, dim: Int): Column =
+    Bridge.column(HashingVectorize(Bridge.expression(text), dim))
 }
 
 /** Milli-unit quantization of a float/double vector — the native form
@@ -1331,4 +1334,48 @@ final case class PqAdcDistance(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Feature-hashing ("hashing trick") count vector of a document's
+  * whitespace tokens: token t contributes `sign(t)` at coordinate
+  * `bucket(t)`, with `bucket = hash60 mod dim` and `sign = +1/−1 by
+  * the next hash bit` (`(hash60 / dim) mod 2` — independent of the
+  * bucket bits for any dim, the unbiased-inner-product construction
+  * of Weinberger et al. 2009). Token hashing is the same
+  * md5/hash60 + trim + `\s+` split discipline as [[TokenSimHash]],
+  * so a SQL engine replays the vector exactly from the documents —
+  * this is how a corpus gets embedding-shaped WITHOUT a model, in
+  * one map-only pass, feeding PCA / ANN / PQ directly. All-integer
+  * output: partitioning- and engine-invariant.
+  */
+final case class HashingVectorize(
+    child: Expression,
+    dim: Int
+) extends UnaryExpression with CodegenFallback {
+  require(dim > 0, s"dim must be positive, got $dim")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashing_vectorize"
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s      = input.asInstanceOf[UTF8String]
+    val tokens = ws.split(s.trim().toString, -1)
+    val md     = MessageDigest.getInstance("MD5")
+    val out    = new Array[Long](dim)
+    var t = 0
+    while (t < tokens.length) {
+      val h = NativeHash.hash60(tokens(t).getBytes("UTF-8"), md)
+      val bucket = (h % dim).toInt // h >= 0: top-60-bit hash
+      val sign   = if (((h / dim) & 1L) == 1L) -1L else 1L
+      out(bucket) += sign
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }

@@ -16,6 +16,16 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Feature-hashing count vector (dim int64 coordinates) of the
+    * whitespace tokens — embedding-shaped text WITHOUT a model, in
+    * one map-only kernel pass ([[graft.functions.HashingVectorize]]):
+    * bucket = hash60(token) mod dim, sign = ±1 by the next hash bit.
+    * Exact integers, engine-replayable; feeds PCA / ANN / PQ
+    * directly.
+    */
+  def hashingVector(c: Column, dim: Int): Column =
+    graft.functions.NativeHash.hashingVectorizeColumn(c, dim)
+
   /** BPE-ish sub-word segmentation: split on transitions between letter
     * runs, digit runs, and punctuation (a cheap proxy for a learned BPE
     * vocabulary — gives a stable, deterministic "token" budget).

@@ -306,4 +306,40 @@ class TextFunctionsSpec extends SparkSpec {
     out.zip(cases).foreach { case (got, (in, want)) =>
       assert(got == want, s"for $in") }
   }
+
+  test("hashingVector matches the driver-side hash60 reference") {
+    val dim = 32
+    def refVec(text: String): Seq[Long] = {
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Long](dim)
+      text.trim.split("\\s+", -1).foreach { tok =>
+        val h = graft.functions.NativeHash
+          .hash60(tok.getBytes("UTF-8"), md)
+        val sign = if (((h / dim) & 1L) == 1L) -1L else 1L
+        out((h % dim).toInt) += sign
+      }
+      out.toSeq
+    }
+    val texts = Seq("the quick brown fox", "the the the",
+      "  padded   whitespace  ", "", "one", "ünïcode tökens")
+    val got = texts.toDF("text")
+      .select(graft.functions.TextFunctions
+        .hashingVector(col("text"), dim))
+      .as[Seq[Long]].collect()
+    got.zip(texts).foreach { case (g, t) =>
+      assert(g == refVec(t), s"for '$t'") }
+  }
+
+  test("hashingVector: total |weight| mass never exceeds the token " +
+      "count and repeated tokens accumulate") {
+    val df = Seq("a b a b a").toDF("text")
+    val v = df.select(graft.functions.TextFunctions
+        .hashingVector(col("text"), 64))
+      .as[Seq[Long]].collect()(0)
+    assert(v.map(math.abs).sum <= 5)
+    // 'a' appears 3 times, 'b' twice: the two nonzero coordinates
+    // carry |3| and |2| (distinct buckets for this dim) or a merged
+    // residue if they collide — either way mass parity holds
+    assert(v.map(math.abs).max >= 2)
+  }
 }
