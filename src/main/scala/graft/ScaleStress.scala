@@ -60,7 +60,10 @@ object ScaleStress {
       graft.operators.Similarity.knnGraph(
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8,
-        targetListSize = 200L)))
+        targetListSize = 200L)),
+    // IVF-PQ search: fixed coarse k and probe count, so the probed
+    // compressed scan must scale linearly with list size
+    "q_ivf_pq_topk" -> SparkEntry.queries("q_ivf_pq_topk"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -164,7 +167,10 @@ object ScaleStress {
       "knn_graph_auto" -> semRatio,
       "q_substring_scrub" -> 10.0,
       "q_budget_sample" -> 10.0,
-      "q_boilerplate_scrub" -> 10.0)
+      "q_boilerplate_scrub" -> 10.0,
+      // row-structured: fixed coarse k and probes, queries pinned —
+      // the probed compressed scan grows with list size only
+      "q_ivf_pq_topk" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate
@@ -205,7 +211,13 @@ object ScaleStress {
 
     println(f"${"pipeline"}%-22s ${"scale"}%5s ${"wall_s"}%8s " +
       f"${"shuf_write"}%12s ${"shuf_read"}%12s")
-    val rows = Pipelines.map { case (p, fn) =>
+    // SPARK_GRAFT_STRESS_ONLY=name,name runs a subset (new-pipeline
+    // iteration without re-measuring the whole table)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").toSet)
+    val rows = Pipelines
+      .filter { case (p, _) => only.forall(_.contains(p)) }
+      .map { case (p, fn) =>
       val (w1, sw1, sr1)    = measure(fn, sfDir)
       val (w10, sw10, sr10) = measure(fn, stressDir)
       println(f"$p%-22s    1x ${w1}%8.2f ${sw1}%12d ${sr1}%12d")

@@ -139,6 +139,21 @@ object VectorStats {
     df.select(col(idCol) +: projCols: _*)
   }
 
+  /** [[pcaProject]] with the projections as ONE `array<double>`
+    * column `proj` — the shape the vector operators (ANN / PQ /
+    * centroids) consume, so "embed → reduce → index" composes
+    * without a reshape: `pcaProjectVec(...)` feeds
+    * `Similarity.bruteForceTopK(..., quantized = true)` or
+    * `ProductQuant.pqFit/pqTopK` directly. Map-only, like
+    * [[pcaProject]].
+    */
+  def pcaProjectVec(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val projected = pcaProject(df, idCol, vecCol, model)
+    projected.select(col(idCol),
+      array((1 to model.k).map(c => col(s"pc$c")): _*).as("proj"))
+  }
+
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvectors-as-columns). Deterministic: fixed
     * sweep order, converges when the off-diagonal Frobenius mass

@@ -136,6 +136,35 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end in-engine embedding pipeline: hashingVector -> " +
+      "PCA -> PQ search runs and ranks sanely") {
+    import org.apache.spark.sql.functions._
+    // corpus with two obvious topic clusters
+    val docs = ((0 until 20).map(i => (i.toLong,
+        s"spark shuffle partition executor stage task $i")) ++
+      (20 until 40).map(i => (i.toLong,
+        s"banana apple orange grape melon fruit $i")))
+      .toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashingVector(col("text"), 32)
+        .cast("array<double>").as("emb"))
+    val model = graft.operators.VectorStats
+      .pcaFit(emb, "emb", k = 8)
+    val proj = graft.operators.VectorStats
+      .pcaProjectVec(emb, "doc_id", "emb", model)
+    assert(proj.schema("proj").dataType.typeName == "array")
+    val cb = graft.operators.ProductQuant
+      .pqFit(proj, "doc_id", "proj", m = 2, ksub = 4, iters = 2)
+    val hits = graft.operators.ProductQuant
+      .pqTopK(proj, proj.filter(col("doc_id") === 0L), "doc_id",
+        "proj", cb, k = 5)
+      .select("neighbor_id").as[Long].collect()
+    // doc 0 is a "spark" doc: its PQ neighbors should be mostly from
+    // the spark cluster (ids < 20)
+    assert(hits.count(_ < 20L) >= 3,
+      s"expected spark-cluster neighbors, got ${hits.toSeq}")
+  }
+
   test("pcaProject is map-only (no shuffle)") {
     val df = (1 to 50).map(i =>
       (i.toLong, Array.tabulate(4)(j => (i + j) / 10.0f))).toDF("id", "v")
