@@ -671,6 +671,23 @@ object SparkEntry {
       ColumnStats.correlationMatrix(li, corrCols)
     }),
 
+    // ----- the same exact-sum correlations PER GROUP (one keyed
+    // aggregation; cells explode from each group's row)
+    "q_grouped_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.groupedCorrelationMatrix(li, "l_returnflag",
+        corrCols)
+    }),
+
+    // ----- winsorize: clip l_extendedprice to its exact [p05, p95];
+    // thresholds from the distributed quantile path, map-only clip
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.winsorize(li, "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("w_price"))
+    }),
+
     // ----- sequence packing: chunks -> ~256-token training packs,
     // shard-parallel deterministic contiguous fill
     "q_pack_chunks" -> ((s, dir) => {
@@ -1806,6 +1823,23 @@ object SparkEntry {
     "q_quantiles" -> quantilesOracle,
     "q_describe" -> describeOracle,
     "q_feature_corr" -> featureCorrOracle,
+    "q_grouped_corr" -> groupedCorrOracle,
+
+    // thresholds replay through the exact-quantile CTEs; the clip is
+    // comparisons only, so no new float arithmetic to match
+    "q_winsorize" -> {
+      val qcte = quantilesSqlFor("lineitem", "l_extendedprice",
+        Seq(0.05, 0.95),
+        "p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile")
+      s"""WITH qs AS ($qcte),
+         lo AS (SELECT quantile AS lo_v FROM qs WHERE p = 0.05),
+         hi AS (SELECT quantile AS hi_v FROM qs WHERE p = 0.95)
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice IS NULL THEN NULL
+             ELSE least(greatest(l_extendedprice::DOUBLE, lo_v), hi_v)
+           END AS w_price
+         FROM lineitem CROSS JOIN lo CROSS JOIN hi"""
+    },
 
     "q_top_terms" ->
       """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text),
@@ -2673,6 +2707,37 @@ object SparkEntry {
     s"""WITH f AS (SELECT $quant FROM lineitem WHERE $notNull),
        s AS (SELECT COUNT(*)::DOUBLE AS n, ${sums.mkString(", ")}
          FROM f)
+       ${cells.mkString(" UNION ALL ")}"""
+  }
+
+  /** [[featureCorrOracle]] keyed by l_returnflag — mirror of
+    * ColumnStats.groupedCorrelationMatrix.
+    */
+  private def groupedCorrOracle: String = {
+    val names = corrCols.map(_._1)
+    val quant = corrCols.zipWithIndex.map { case ((c, sc), i) =>
+      s"CAST(round($c * $sc, 0) AS BIGINT) AS c$i"
+    }.mkString(", ")
+    val notNull = names.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val sums = names.indices.map(i =>
+      s"CAST(SUM(c$i) AS DOUBLE) AS s$i") ++
+      (for { i <- names.indices; j <- i until names.length }
+        yield s"CAST(SUM(c$i*c$j) AS DOUBLE) AS p${i}_$j")
+    val cells = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      val (num, da, db) = (s"(n*p${i}_$j - s$i*s$j)",
+        s"(n*p${i}_$i - s$i*s$i)", s"(n*p${j}_$j - s$j*s$j)")
+      s"""SELECT l_returnflag, '${names(i)}' AS col_x,
+          '${names(j)}' AS col_y,
+          CASE WHEN $da > 0 AND $db > 0
+            THEN $num / (sqrt($da) * sqrt($db)) END AS corr FROM s"""
+    }
+    s"""WITH f AS (SELECT l_returnflag, $quant FROM lineitem
+         WHERE $notNull),
+       s AS (SELECT l_returnflag, COUNT(*)::DOUBLE AS n,
+           ${sums.mkString(", ")}
+         FROM f GROUP BY l_returnflag)
        ${cells.mkString(" UNION ALL ")}"""
   }
 

@@ -381,4 +381,85 @@ object ColumnStats {
       corr(names(i), names(j)).as("corr"))
     one.select(explode(array(out: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** [[correlationMatrix]] PER GROUP: the same exact-sum formula with
+    * the single aggregation keyed by `groupCol` — still one map-side-
+    * combined scan (the shuffle carries ≤ |groups| small sum rows per
+    * task), and the pair cells explode from each group's row with no
+    * driver involvement, so group count is unbounded. Output one row
+    * per (group, pair): (groupCol, col_x, col_y, corr).
+    */
+  def groupedCorrelationMatrix(df: DataFrame, groupCol: String,
+      cols: Seq[(String, Int)]): DataFrame = {
+    require(cols.length >= 2,
+      "groupedCorrelationMatrix needs at least two columns")
+    require(cols.map(_._1).distinct.length == cols.length,
+      "groupedCorrelationMatrix: duplicate column names")
+    require(!cols.exists(_._1 == groupCol),
+      "groupedCorrelationMatrix: the group column cannot be a measure")
+    val names = cols.map(_._1)
+    val complete = df.na.drop(names)
+    val qc: Seq[(String, Column)] = cols.map { case (n, scale) =>
+      n -> round(col(n) * scale).cast("decimal(20,0)")
+    }
+    val pairs = for {
+      i <- names.indices; j <- i until names.length
+    } yield (names(i), names(j))
+    val aggs =
+      qc.map { case (n, e) => sum(e).as(s"__s_$n") } ++
+      pairs.map { case (a, b) =>
+        val ea = qc.find(_._1 == a).get._2
+        val eb = qc.find(_._1 == b).get._2
+        sum((ea * eb).cast("decimal(38,0)")).as(s"__p_${a}__$b")
+      }
+    val grouped = complete.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    def toD(c: Column, label: String): Column =
+      when(abs(c) <= lit(9007199254740992L), c.cast("double"))
+        .otherwise(raise_error(lit(
+          s"groupedCorrelationMatrix: |sum| for $label exceeds 2^53 " +
+            "— lower the column's scale so exact sums stay " +
+            "double-representable")))
+    val n = col("__n").cast("double")
+    def s(a: String)            = toD(col(s"__s_$a"), a)
+    def p(a: String, b: String) = toD(col(s"__p_${a}__$b"), s"$a*$b")
+    def corr(a: String, b: String): Column = {
+      val num  = n * p(a, b) - s(a) * s(b)
+      val denA = n * p(a, a) - s(a) * s(a)
+      val denB = n * p(b, b) - s(b) * s(b)
+      when(denA > 0 && denB > 0, num / (sqrt(denA) * sqrt(denB)))
+    }
+    val out = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield struct(lit(names(i)).as("col_x"),
+      lit(names(j)).as("col_y"),
+      corr(names(i), names(j)).as("corr"))
+    grouped.select(col(groupCol),
+        explode(array(out: _*)).as("__p"))
+      .select(col(groupCol), col("__p.*"))
+  }
+
+  /** Winsorization (quantile clipping): values below the `pLo`
+    * quantile rise to it, values above `pHi` fall to it — the
+    * standard outlier cap before means/correlations on heavy-tailed
+    * measures. The two thresholds come from the exact distributed
+    * quantile path ([[exactQuantiles]] — range-partitioned, no
+    * single-partition stage) and the lookup collected to the driver
+    * is TWO rows; the clip itself is one map-only projection
+    * (comparisons only, no arithmetic), so the corpus never shuffles
+    * and the clipped values are bit-identical on any engine whose
+    * quantile replay matches (q_quantiles pins that).
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val qs = exactQuantiles(df, valueCol, Seq(pLo, pHi))
+      .orderBy("p").select("quantile").collect().map(_.getDouble(0))
+    val (lo, hi) = (qs(0), qs(1))
+    df.withColumn(valueCol,
+      when(col(valueCol).isNull, lit(null))
+        .otherwise(least(greatest(col(valueCol).cast("double"),
+          lit(lo)), lit(hi))))
+  }
 }

@@ -93,6 +93,56 @@ class CorrelationSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("groupedCorrelationMatrix equals per-group correlationMatrix") {
+    val df = (0 until 60).map { i =>
+      (s"g${i % 3}", i.toDouble, ((i * i) % 37).toDouble)
+    }.toDF("g", "x", "y")
+    val cols = Seq("x" -> 1, "y" -> 1)
+    val grouped = ColumnStats.groupedCorrelationMatrix(df, "g", cols)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val single = cells(ColumnStats.correlationMatrix(
+        df.filter($"g" === g), cols))(("x", "y"))
+      assert(grouped(g) == single, s"group $g")
+    }
+  }
+
+  test("groupedCorrelationMatrix: one shuffle, group column rejected " +
+      "as a measure") {
+    val df = (1 to 20).map(i => ("g", i.toDouble, (i * 2).toDouble))
+      .toDF("g", "x", "y")
+    val plan = ColumnStats.groupedCorrelationMatrix(df, "g",
+      Seq("x" -> 1, "y" -> 1)).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+    intercept[IllegalArgumentException] {
+      ColumnStats.groupedCorrelationMatrix(df, "g",
+        Seq("g" -> 1, "x" -> 1))
+    }
+  }
+
+  test("winsorize clips to the exact interpolated quantiles and " +
+      "keeps nulls") {
+    val df = ((1 to 99).map(_.toDouble) :+ 1000.0)
+      .map(Option(_)).:+(None: Option[Double]).toDF("v")
+    val out = ColumnStats.winsorize(df, "v", 0.1, 0.9)
+      .select("v").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.contains(None)) // null preserved
+    val vals = out.flatten
+    // exact p10/p90 over the 100 non-null values: r = p*(n-1) = 9.9
+    // -> 10.9 + 0.9*(11.9-10.9)... values are 1..99,1000: sorted(k)
+    val sorted = ((1 to 99).map(_.toDouble) :+ 1000.0).sorted
+    def q(p: Double): Double = {
+      val r = p * 99; val lo = r.toInt; val hi = math.ceil(r).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (r - lo)
+    }
+    assert(vals.min == q(0.1) && vals.max == q(0.9))
+    assert(vals.forall(v => v >= q(0.1) && v <= q(0.9)))
+    // interior values untouched
+    assert(vals.count(_ == 50.0) == 1)
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
