@@ -688,6 +688,15 @@ object SparkEntry {
           col("l_extendedprice").as("w_price"))
     }),
 
+    // ----- robust z-score: (x - median) / MAD, both thresholds from
+    // the exact quantile path (heavy-tail-safe outlier score)
+    "q_robust_z" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.robustZScore(li, "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("robust_z"))
+    }),
+
     // ----- sequence packing: chunks -> ~256-token training packs,
     // shard-parallel deterministic contiguous fill
     "q_pack_chunks" -> ((s, dir) => {
@@ -1839,6 +1848,27 @@ object SparkEntry {
              ELSE least(greatest(l_extendedprice::DOUBLE, lo_v), hi_v)
            END AS w_price
          FROM lineitem CROSS JOIN lo CROSS JOIN hi"""
+    },
+
+    // median and MAD both replay through the exact-quantile CTEs; the
+    // deviation table derives from the bit-identical median, so the
+    // second quantile chain replays too
+    "q_robust_z" -> {
+      val medSql = quantilesSqlFor("lineitem", "l_extendedprice",
+        Seq(0.5),
+        "v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile")
+      val devTable = "(SELECT abs(l_extendedprice::DOUBLE - " +
+        "(SELECT med_v FROM med)) AS dev FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL) dt"
+      val madSql = quantilesSqlFor(devTable, "dev", Seq(0.5),
+        "v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile")
+      s"""WITH med AS (SELECT quantile AS med_v FROM ($medSql) z),
+         mad AS (SELECT quantile AS mad_v FROM ($madSql) z)
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice IS NOT NULL AND mad_v > 0
+             THEN (l_extendedprice::DOUBLE - med_v) / mad_v
+           END AS robust_z
+         FROM lineitem CROSS JOIN med CROSS JOIN mad"""
     },
 
     "q_top_terms" ->

@@ -450,6 +450,29 @@ object ColumnStats {
     * and the clipped values are bit-identical on any engine whose
     * quantile replay matches (q_quantiles pins that).
     */
+  /** Robust z-score: `(x − median) / MAD` with MAD =
+    * median(|x − median|) — the outlier score that heavy tails can't
+    * drag (mean/std move with the outliers they're supposed to
+    * flag). Two exact distributed quantile chains (median, then the
+    * deviation median — two stat passes are inherent to MAD) collect
+    * ONE row each; the score is a map-only projection of single IEEE
+    * ops on bit-identical thresholds, so it replays exactly. A
+    * zero/degenerate MAD (≥ half the values identical) yields null —
+    * undefined, not ±Inf; null values score null.
+    */
+  def robustZScore(df: DataFrame, valueCol: String,
+      outCol: String = "robust_z"): DataFrame = {
+    val med = exactQuantiles(df, valueCol, Seq(0.5))
+      .select("quantile").head().getDouble(0)
+    val devs = df.filter(col(valueCol).isNotNull)
+      .select(abs(col(valueCol).cast("double") - lit(med)).as("__dev"))
+    val mad = exactQuantiles(devs, "__dev", Seq(0.5))
+      .select("quantile").head().getDouble(0)
+    df.withColumn(outCol,
+      when(col(valueCol).isNotNull && lit(mad) > 0,
+        (col(valueCol).cast("double") - lit(med)) / lit(mad)))
+  }
+
   def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
       pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,

@@ -143,6 +143,29 @@ class CorrelationSpec extends SparkSpec {
     assert(vals.count(_ == 50.0) == 1)
   }
 
+  test("robustZScore centers on the median and scales by MAD; " +
+      "degenerate MAD and nulls yield null") {
+    // values 1..9 plus an outlier: median 5.5? n=10 values 1..9,100:
+    // r = 0.5*9 = 4.5 -> between sorted(4)=5 and sorted(5)=6 -> 5.5
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(Option(_))
+      .:+(None: Option[Double]).toDF("v")
+    val out = ColumnStats.robustZScore(df, "v").select("v", "robust_z")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(None).isEmpty) // null value -> null score
+    // MAD: deviations |x-5.5| = 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,
+    // 94.5 -> sorted, median = 2.5
+    val (med, mad) = (5.5, 2.5)
+    assert(out(Some(1.0)) == Some((1.0 - med) / mad))
+    assert(out(Some(100.0)) == Some((100.0 - med) / mad))
+    // constant column: MAD 0 -> null scores
+    val const = (1 to 8).map(_ => 3.0).toDF("v")
+    val cz = ColumnStats.robustZScore(const, "v")
+      .select("robust_z").collect()
+    assert(cz.forall(_.isNullAt(0)))
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
