@@ -123,6 +123,18 @@ object GraftFunctions {
           "byte ratio"),
         (args: Seq[Expression]) =>
           graft.functions.CompressionRatio(args(0))),
+      ("graft_hash_vector",
+        info("graft_hash_vector",
+          "graft_hash_vector(text, dim) - feature-hashing count " +
+          "vector (hash60 bucket + sign bit, exact int64)"),
+        (args: Seq[Expression]) =>
+          graft.functions.HashingVectorize(args(0),
+            intArg(args(1), "dim"))),
+      ("graft_script_count",
+        info("graft_script_count",
+          "graft_script_count(text, script) - characters inside the " +
+          "named Unicode script's ranges"),
+        (args: Seq[Expression]) => scriptCountExpr(args(0), args(1))),
       // composed-expression kernels: built as RESOLVED catalyst trees
       // from the SAME pattern constants the Column API uses (a Column
       // cannot convert to an expression inside an injected function —
@@ -163,6 +175,23 @@ object GraftFunctions {
 
   private def rre(e: Expression, p: String, r: String): Expression =
     RegExpReplace(e, Literal(p), Literal(r))
+
+  /** Catalyst form of [[TextFunctions.scriptCount]] — the script name
+    * must be a literal so the range resolves at function-build time.
+    */
+  private def scriptCountExpr(text: Expression, script: Expression)
+      : Expression = {
+    val name = script match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"script must be a string literal, got $other")
+    }
+    val range = TextFunctions.ScriptRanges.toMap.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown script '$name'"))
+    org.apache.spark.sql.catalyst.expressions.Length(
+      rre(text, s"[^$range]", ""))
+  }
 
   /** Catalyst form of [[TextFunctions.normalizeText]]. */
   private def normalizeExpr(e: Expression): Expression =

@@ -697,6 +697,15 @@ object SparkEntry {
           col("robust_z"))
     }),
 
+    // ----- equal-frequency binning: exact quartile thresholds, the
+    // same <=-upper bin chain as q_binning
+    "q_eqfreq_binning" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Binning.equalFrequencyBins(li, "l_extendedprice", bins = 4)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("bin_id").cast("int").as("bin_id"))
+    }),
+
     // ----- sequence packing: chunks -> ~256-token training packs,
     // shard-parallel deterministic contiguous fill
     "q_pack_chunks" -> ((s, dir) => {
@@ -1869,6 +1878,26 @@ object SparkEntry {
              THEN (l_extendedprice::DOUBLE - med_v) / mad_v
            END AS robust_z
          FROM lineitem CROSS JOIN med CROSS JOIN mad"""
+    },
+
+    // quartile thresholds replay through the quantile CTEs; the bin
+    // chain is the same <=-upper CASE as q_binning
+    "q_eqfreq_binning" -> {
+      val qcte = quantilesSqlFor("lineitem", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75),
+        "p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile")
+      s"""WITH qs AS ($qcte),
+         t AS (SELECT
+           (SELECT quantile FROM qs WHERE p = 0.25) AS t1,
+           (SELECT quantile FROM qs WHERE p = 0.5)  AS t2,
+           (SELECT quantile FROM qs WHERE p = 0.75) AS t3)
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice IS NULL THEN NULL
+                WHEN l_extendedprice::DOUBLE <= t1 THEN 0
+                WHEN l_extendedprice::DOUBLE <= t2 THEN 1
+                WHEN l_extendedprice::DOUBLE <= t3 THEN 2
+                ELSE 3 END AS bin_id
+         FROM lineitem CROSS JOIN t"""
     },
 
     "q_top_terms" ->

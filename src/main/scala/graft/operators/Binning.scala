@@ -45,6 +45,28 @@ object Binning {
     }.take(bins - 1)
   }
 
+  /** Equal-FREQUENCY (quantile) binning: thresholds are the exact
+    * interior quantiles p = i/bins of the column itself, so every bin
+    * holds ~1/bins of the rows no matter how skewed the distribution
+    * — the partner to [[equalWidthThresholds]], which a heavy tail
+    * collapses into one giant bin. Thresholds come from the
+    * range-partitioned exact quantile path
+    * ([[ColumnStats.exactQuantiles]], bins−1 driver rows); the
+    * assignment is the same `<=`-upper [[binIdExpr]] chain as every
+    * other binning op (map-only, comparisons on bit-identical
+    * thresholds — engine-replayable).
+    */
+  def equalFrequencyBins(df: DataFrame, valueCol: String, bins: Int,
+      outCol: String = "bin_id"): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val ths = ColumnStats.exactQuantiles(df, valueCol, ps)
+      .orderBy("p").select("quantile").collect()
+      .map(_.getDouble(0)).toSeq
+    df.withColumn(outCol,
+      binIdExpr(col(valueCol).cast("double"), ths).cast("short"))
+  }
+
   /** Widen each [lo,hi) bin range by `extra` fraction of its neighbors;
     * last bin open-ended (reference breed_specific_bin_splitting.py:
     * 85-135). Input/output: (binId, lo, hi) triples.

@@ -97,4 +97,27 @@ class BinningSpec extends SparkSpec {
     assert(out.columns.contains("c1-c2_enc"))
     assert(out.columns.contains("c1-c2-c3_enc"))
   }
+
+  test("equalFrequencyBins balances counts on skewed data and keeps " +
+      "null bins null") {
+    import spark.implicits._
+    // heavy tail: 1..80 plus 20 huge outliers — equal-WIDTH would put
+    // 80% of rows in bin 0; equal-frequency must balance 4 x 25
+    val vals = ((1 to 80).map(_.toDouble) ++
+      (1 to 20).map(i => 1.0e6 + i)).map(Option(_)) :+
+      (None: Option[Double])
+    val df = vals.toDF("v")
+    val out = Binning.equalFrequencyBins(df, "v", bins = 4)
+      .select("v", "bin_id").collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getShort(1))))
+    assert(out.collect { case (None, b) => b }.head.isEmpty)
+    val counts = out.collect { case (Some(_), Some(b)) => b }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set(0.toShort, 1.toShort, 2.toShort,
+      3.toShort))
+    // quantile thresholds -> near-equal occupancy (interpolated cuts
+    // allow +-1)
+    assert(counts.values.forall(c => c >= 24 && c <= 26), counts)
+  }
 }

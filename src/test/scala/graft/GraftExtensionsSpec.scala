@@ -75,6 +75,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[String](2) == viaCols.getSeq[String](2))
   }
 
+  test("graft_hash_vector and graft_script_count match the Column " +
+      "API") {
+    import graft.functions.{TextFunctions => T}
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox", "Привет мир")
+      .toDF("t").createOrReplaceTempView("ext_hv")
+    val viaSql = spark.sql(
+      """SELECT graft_hash_vector(t, 32) AS v,
+         graft_script_count(t, 'cyrillic') AS cy FROM ext_hv""")
+      .collect()
+    val viaCols = spark.table("ext_hv").select(
+      T.hashingVector(col("t"), 32).as("v"),
+      T.scriptCount(col("t"), "cyrillic").as("cy")).collect()
+    viaSql.zip(viaCols).foreach { case (a, b) =>
+      assert(a.getSeq[Long](0) == b.getSeq[Long](0))
+      assert(a.getInt(1) == b.getInt(1))
+    }
+    assert(viaSql(1).getInt(1) == 9) // 'Привет мир' minus the space
+    intercept[Exception] {
+      spark.sql("SELECT graft_script_count('x', 'klingon')").collect()
+    }
+  }
+
   test("extensions path installs the same functions at session build") {
     // same JVM/context: a fresh session built with extensions
     val s2 = org.apache.spark.sql.SparkSession.builder()
