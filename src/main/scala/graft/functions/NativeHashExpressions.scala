@@ -1211,22 +1211,29 @@ object PqKernel {
   }
 
   /** Per-subspace argmin of exact squared L2 (ties → lowest code).
-    * A vector shorter than the codebook's m·dsub fails loudly — a
-    * silently padded code would poison every downstream distance.
+    * A vector whose length is not EXACTLY the codebook's m·dsub fails
+    * loudly — a silently padded code would poison every downstream
+    * distance, and silently IGNORED trailing dimensions would make
+    * two different vectors encode identically with no error.
     */
   def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
       codebook: Array[Array[Array[Long]]])
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val m = codebook.length
+    val span = {
+      var t = 0; var i = 0
+      while (i < m) { t += codebook(i)(0).length; i += 1 }
+      t
+    }
+    require(v.numElements() == span,
+      s"graft_pq_encode: vector length ${v.numElements()} != " +
+        s"codebook span $span")
     val codes = new Array[Int](m)
     var off = 0
     var s = 0
     while (s < m) {
       val cents = codebook(s)
       val dsub  = cents(0).length
-      require(off + dsub <= v.numElements(),
-        s"graft_pq_encode: vector length ${v.numElements()} < " +
-          s"codebook span ${off + dsub}")
       var best  = 0
       var bestD = Long.MaxValue
       var j = 0
@@ -1243,7 +1250,9 @@ object PqKernel {
   }
 
   /** Asymmetric distance: exact Σ_s ‖q_s − c_{s,code_s}‖² between a
-    * full query vector and a corpus row's codes.
+    * full query vector and a corpus row's codes. Query length must
+    * match the codebook span exactly (same no-silent-truncation
+    * contract as [[encode]]).
     */
   def adcDist2(q: org.apache.spark.sql.catalyst.util.ArrayData,
       codes: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -1251,6 +1260,14 @@ object PqKernel {
     require(codes.numElements() == codebook.length,
       s"graft_pq_adc: ${codes.numElements()} codes for " +
         s"${codebook.length} subspaces")
+    val span = {
+      var t = 0; var i = 0
+      while (i < codebook.length) { t += codebook(i)(0).length; i += 1 }
+      t
+    }
+    require(q.numElements() == span,
+      s"graft_pq_adc: query length ${q.numElements()} != " +
+        s"codebook span $span")
     var d2 = 0L
     var off = 0
     var s = 0

@@ -479,6 +479,8 @@ object ColumnStats {
       s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
     val qs = exactQuantiles(df, valueCol, Seq(pLo, pHi))
       .orderBy("p").select("quantile").collect().map(_.getDouble(0))
+    require(qs.length == 2,
+      s"winsorize: no non-null values in '$valueCol'")
     val (lo, hi) = (qs(0), qs(1))
     df.withColumn(valueCol,
       when(col(valueCol).isNull, lit(null))

@@ -169,13 +169,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("short vector fails loudly instead of padding codes") {
-    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
-    val e = intercept[Exception] {
-      ProductQuant.pqEncode(bad, "vec_id", "embedding", pinned)
+  test("length-mismatched vectors fail loudly: no padded codes, no " +
+      "silently ignored trailing dims") {
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      ProductQuant.pqEncode(short, "vec_id", "embedding", pinned)
         .collect()
     }
-    assert(e.getMessage != null)
+    val long = Seq((1L, Seq.fill(12)(1.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      ProductQuant.pqEncode(long, "vec_id", "embedding", pinned)
+        .collect()
+    }
   }
 
   test("codebook constructor rejects ragged shapes") {
