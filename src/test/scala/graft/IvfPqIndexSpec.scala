@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPqIndex, ProductQuant}
+import graft.operators.ProductQuant.PqCodebook
+
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private val cb = PqCodebook(Seq.fill(2)(
+    Seq(-800L, -200L, 200L, 800L).map(c => Seq.fill(4)(c))))
+
+  test("built index reproduces ivfPqTopK exactly, prunes buckets, " +
+      "and stores codes only") {
+    val corpus  = randomVecs(600, 8, seed = 11)
+    val queries = corpus.filter(col("vec_id") % 97 === 0)
+    val t = "ivfpq_spec_idx"
+    try {
+      IvfPqIndex.build(corpus, "vec_id", "embedding", t, cb,
+        nCentroids = 8, kmeansIters = 2, buckets = 8)
+      val viaIndex = IvfPqIndex.query(spark, t, queries,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val direct = ProductQuant.ivfPqTopK(corpus, queries,
+          "vec_id", "embedding", cb, k = 5, nCentroids = 8,
+          nProbe = 2, kmeansIters = 2)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(viaIndex == direct && viaIndex.nonEmpty)
+      // compressed on disk: the index table carries codes, never the
+      // raw or quantized vectors
+      val cols = spark.table(t).columns.toSet
+      assert(cols == Set("neighbor_id", "codes", "__list"), cols)
+      // probed-list filter prunes unread buckets at the scan
+      val plan = IvfPqIndex.query(spark, t, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$plan")
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebook")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
+  test("reader round-trips the codebook from disk and full probe " +
+      "equals flat pqTopK") {
+    val corpus  = randomVecs(200, 8, seed = 23)
+    val queries = corpus.filter(col("vec_id") <= 3)
+    val t = "ivfpq_spec_cb"
+    try {
+      IvfPqIndex.build(corpus, "vec_id", "embedding", t, cb,
+        nCentroids = 4, kmeansIters = 1, buckets = 4)
+      val r = IvfPqIndex.reader(spark, t)
+      assert(r.codebook == cb)
+      val full = r.query(queries, "vec_id", "embedding", k = 4,
+          nProbe = 4)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val flat = ProductQuant.pqTopK(corpus, queries, "vec_id",
+          "embedding", cb, k = 4)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(full == flat && full.nonEmpty)
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebook")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+}
