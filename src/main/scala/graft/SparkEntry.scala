@@ -968,6 +968,24 @@ object SparkEntry {
         T.dominantScript(sample).as("script"))
     }),
 
+    // ----- encoding damage: plant U+FFFD / UTF-8-as-Latin-1
+    // digraphs on some docs, clean accents on others (must NOT
+    // count); oracle replays the strip-and-measure fraction
+    "q_mojibake" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(MojiPlants(0))))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(MojiPlants(1))))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(MojiPlants(2))))
+        .when(col("doc_id") % 5 === 4,
+          concat(col("text"), lit(MojiPlants(3))))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+        round(T.mojibakeCharFraction(planted), 9).as("moji_frac"))
+    }),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one double- and one single-quoted
@@ -1589,6 +1607,22 @@ object SparkEntry {
       """SELECT doc_id,
          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
          FROM documents""",
+
+    // plants injected from the SAME MojiPlants constants; RE2 reads
+    // the \x{...} pattern identically to Java regex
+    "q_mojibake" -> {
+      val p = graft.functions.TextFunctions.MojibakePattern
+      s"""SELECT doc_id,
+         round((length(t2) - length(regexp_replace(t2, '$p', '', 'g')))
+             ::DOUBLE / greatest(length(t2), 1), 9) AS moji_frac
+         FROM (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 1 THEN '${MojiPlants(0)}'
+                  WHEN doc_id % 5 = 2 THEN '${MojiPlants(1)}'
+                  WHEN doc_id % 5 = 3 THEN '${MojiPlants(2)}'
+                  WHEN doc_id % 5 = 4 THEN '${MojiPlants(3)}'
+                  ELSE '' END AS t2
+           FROM documents) z"""
+    },
 
     // same trim + \s+ token discipline as the simhash oracle; bucket
     // and sign replay the hash60 arithmetic exactly
@@ -2730,6 +2764,18 @@ object SparkEntry {
           ($medianSub) AS median_v
         FROM lineitem"""
     }.mkString(" UNION ALL ")
+
+  /** q_mojibake plants, explicit code points so the oracle replays
+    * byte-for-byte: (0) UTF-8-as-Latin-1 'é' ('Ã'+U+00A9), (1) a
+    * replacement char, (2) mis-decoded smart quotes
+    * ('â'+U+0080+U+0099/9C/9D), (3) CLEAN accents that must NOT
+    * count.
+    */
+  private val MojiPlants: Seq[String] = Seq(
+    " caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9",
+    " bad\ufffdchar",
+    " it\u00e2\u0080\u0099s \u00e2\u0080\u009cquoted\u00e2\u0080\u009d",
+    " caf\u00e9 r\u00e9sum\u00e9 na\u00efve")
 
   /** (column, integer-grid scale) pairs for q_feature_corr: dollar
     * grid for the big measure, percent grid for the small rates —

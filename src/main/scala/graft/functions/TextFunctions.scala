@@ -327,6 +327,28 @@ object TextFunctions {
   private[graft] val ControlCharPattern = "[\\x00-\\x1F\\x7F]"
   private[graft] val WsRunPattern = "\\s+"
 
+  /** Encoding-damage signatures: the U+FFFD replacement character
+    * (decoder already gave up) plus the classic UTF-8-read-as-Latin-1
+    * digraphs — 'Ã'/'Â' followed by a Latin-1 continuation-range
+    * char (how every 2-byte UTF-8 sequence mis-decodes) and the
+    * 'â€¦'-family (mis-decoded smart punctuation). `\x{...}` escapes
+    * are valid in both Java regex and RE2, so a SQL oracle counts the
+    * same characters. Legitimate accented text ('é', 'ü') never
+    * matches — the signatures need the mis-decoded LEAD byte first.
+    */
+  private[graft] val MojibakePattern: String =
+    "\\x{FFFD}|[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00FF}]|" +
+      "\\x{00E2}\\x{0080}[\\x{0080}-\\x{00FF}\\x{0153}\\x{2122}]"
+
+  /** Fraction of the text's characters inside mojibake sequences —
+    * strip-and-measure ((len − len(stripped)) / len), one regex pass,
+    * one divide: the cheap "this document was decoded with the wrong
+    * charset" curation signal, engine-replayable.
+    */
+  def mojibakeCharFraction(c: Column): Column =
+    (length(c) - length(regexp_replace(c, MojibakePattern, "")))
+      .cast("double") / greatest(length(c), lit(1))
+
   def htmlToText(c: Column): Column = {
     val noBlocks = HtmlBlockPatterns.foldLeft(c)(
       (col, p) => regexp_replace(col, p, " "))

@@ -36,8 +36,12 @@ object IvfPqIndex {
       "__cv", nCentroids, kmeansIters)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(table, s"${table}_centroids", s"${table}_codebook")
+    Seq(table, s"${table}_centroids", s"${table}_codebook",
+        s"${table}_meta")
       .foreach(Warehouse.dropManaged(spark, _))
+    Seq((buckets, nCentroids)).toDF("buckets", "n_centroids")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("list_id", "vec")
       .write.mode("overwrite").format("parquet")
@@ -82,6 +86,34 @@ object IvfPqIndex {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4)
       : DataFrame =
     reader(spark, table).query(queries, idCol, vecCol, k, nProbe)
+
+  /** Append a new batch WITHOUT refitting: assign + encode with the
+    * STORED centroids and codebook, insert into the same bucket
+    * layout. The standing corpus is never re-read or re-encoded —
+    * index maintenance cost is O(batch), the property that makes a
+    * rolling 100 TB corpus affordable. (Coarse lists drift as the
+    * distribution moves; rebuild when recall audits say so — the
+    * non-residual codes survive a coarse refit unchanged.)
+    */
+  def append(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val r = reader(spark, table)
+    val buckets = spark.table(s"${table}_meta").collect()(0)
+      .getAs[Int]("buckets")
+    batch.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__cv"))
+      .select(col("neighbor_id"),
+        NativeHash.pqEncodeColumn(col("__cv"), r.codebook.codebook)
+          .as("codes"),
+        NativeHash.nearestCentroidColumn(col("__cv"),
+          r.centroids.toSeq).as("__list"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "__list").sortBy("__list")
+      .saveAsTable(table)
+    // refresh the CALLER's relation cache (micro-batch clones — same
+    // failure mode as BandIndex.append)
+    spark.catalog.refreshTable(table)
+  }
 }
 
 /** Serving handle over a built [[IvfPqIndex]]: centroids + codebook
@@ -94,6 +126,7 @@ final class IvfPqReader private[operators] (spark: SparkSession,
   import spark.implicits._
 
   def codebook: PqCodebook = cb
+  private[operators] def centroids: Array[Seq[Long]] = cents
 
   /** Top-`k` per query row by exact asymmetric distance. Probed list
     * ids are collected (≤ nCentroids) and pushed into the scan

@@ -46,7 +46,39 @@ class IvfPqIndexSpec extends SparkSpec {
       assert(plan.contains("SelectedBucketsCount"),
         s"no bucket pruning in:\n$plan")
     } finally {
-      Seq(t, s"${t}_centroids", s"${t}_codebook")
+      Seq(t, s"${t}_centroids", s"${t}_codebook", s"${t}_meta")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
+  test("append encodes with the stored quantizers: index equals a " +
+      "from-scratch build over the union") {
+    val base  = randomVecs(200, 8, seed = 31)
+    val batch = randomVecs(80, 8, seed = 37)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val queries = base.filter(col("vec_id") <= 3)
+    val t = "ivfpq_spec_app"
+    try {
+      IvfPqIndex.build(base, "vec_id", "embedding", t, cb,
+        nCentroids = 4, kmeansIters = 1, buckets = 4)
+      IvfPqIndex.append(spark, t, batch, "vec_id", "embedding")
+      assert(spark.table(t).count() == 280)
+      // appended rows must rank identically to direct ivfPqTopK over
+      // the union WITH THE BASE-FITTED quantizer: reproduce it by
+      // encoding the union through the stored reader state
+      val got = IvfPqIndex.query(spark, t, queries, "vec_id",
+          "embedding", k = 6, nProbe = 4)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val r = IvfPqIndex.reader(spark, t)
+      val want = ProductQuant.pqTopK(base.unionByName(batch), queries,
+          "vec_id", "embedding", r.codebook, k = 6)
+        .select("query_id", "neighbor_id", "adist2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      // nProbe = nCentroids -> every list probed -> equals flat PQ
+      assert(got == want && got.nonEmpty)
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebook", s"${t}_meta")
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
     }
   }
@@ -71,7 +103,7 @@ class IvfPqIndexSpec extends SparkSpec {
         .as[(Long, Long, Long, Int)].collect().toSet
       assert(full == flat && full.nonEmpty)
     } finally {
-      Seq(t, s"${t}_centroids", s"${t}_codebook")
+      Seq(t, s"${t}_centroids", s"${t}_codebook", s"${t}_meta")
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
     }
   }

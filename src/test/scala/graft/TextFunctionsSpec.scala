@@ -307,6 +307,27 @@ class TextFunctionsSpec extends SparkSpec {
       assert(got == want, s"for $in") }
   }
 
+  test("mojibakeCharFraction flags damage, never clean accents") {
+    val cases = Seq(
+      // UTF-8 'é' read as Latin-1: Ã + ©  (4 damaged chars of 8)
+      ("caf\u00c3\u00a9\u00c3\u00a9", 4.0 / 7),
+      // replacement character
+      ("ab\ufffdcd", 1.0 / 5),
+      // mis-decoded right smart quote: â + U+0080 + U+0099
+      ("itâs", 3.0 / 6),
+      // legitimate accents and real smart quotes: clean
+      ("caf\u00e9 r\u00e9sum\u00e9 na\u00efve", 0.0),
+      ("it\u2019s \u201cquoted\u201d", 0.0),
+      ("plain ascii", 0.0),
+      ("", 0.0))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions
+        .mojibakeCharFraction(col("t")))
+      .as[Double].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"for '$in'") }
+  }
+
   test("hashingVector matches the driver-side hash60 reference") {
     val dim = 32
     def refVec(text: String): Seq[Long] = {
