@@ -358,9 +358,13 @@ object ColumnStats {
         sum((ea * eb).cast("decimal(38,0)")).as(s"__p_${a}__$b")
       }
     val one = complete.agg(count(lit(1)).as("__n"), aggs: _*)
-    // exact-conversion guard: 2^53 is the last long every double holds
+    // exact-conversion guard: 2^53 is the last long every double
+    // holds. A NULL sum (zero surviving rows) propagates null — it
+    // must not trip the guard (an empty frame is degenerate, not
+    // overflowing).
     def toD(c: Column, label: String): Column =
-      when(abs(c) <= lit(9007199254740992L), c.cast("double"))
+      when(c.isNull, lit(null).cast("double"))
+        .when(abs(c) <= lit(9007199254740992L), c.cast("double"))
         .otherwise(raise_error(lit(
           s"correlationMatrix: |sum| for $label exceeds 2^53 — " +
             "lower the column's scale (or pre-shift the column) so " +
@@ -415,7 +419,8 @@ object ColumnStats {
     val grouped = complete.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"), aggs: _*)
     def toD(c: Column, label: String): Column =
-      when(abs(c) <= lit(9007199254740992L), c.cast("double"))
+      when(c.isNull, lit(null).cast("double"))
+        .when(abs(c) <= lit(9007199254740992L), c.cast("double"))
         .otherwise(raise_error(lit(
           s"groupedCorrelationMatrix: |sum| for $label exceeds 2^53 " +
             "— lower the column's scale so exact sums stay " +

@@ -197,6 +197,49 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(out.forall(r => r._2 == "every" || r._2 == "same"))
   }
 
+  test("PCA on a constant corpus: zero variance everywhere, fit " +
+      "still deterministic") {
+    import spark.implicits._
+    val const = (1 to 50).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.VectorStats.pcaFit(const, "embedding", 2)
+    assert(m.variance.forall(v => math.abs(v) < 1e-9))
+    // projections of a constant corpus are all identical
+    val proj = graft.operators.VectorStats
+      .pcaProjectVec(const, "vec_id", "embedding", m)
+      .select("proj").collect().map(_.getSeq[Double](0))
+    assert(proj.distinct.length == 1)
+  }
+
+  test("PQ fit on a constant corpus converges to one honest code") {
+    import spark.implicits._
+    val const = (1 to 40).map(i => (i.toLong, Seq.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.operators.ProductQuant.pqFit(const, "vec_id",
+      "embedding", m = 2, ksub = 4, iters = 2)
+    // every centroid collapses onto the constant subvector; encode
+    // then picks code 0 (lowest-index tie) for every row
+    val codes = graft.operators.ProductQuant
+      .pqEncode(const, "vec_id", "embedding", cb)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_ == Seq(0, 0)))
+  }
+
+  test("correlation on a two-row frame and an all-null column " +
+      "degrades to null, never throws") {
+    import spark.implicits._
+    val tiny = Seq((1.0, 2.0), (2.0, 4.0)).toDF("x", "y")
+    val got = graft.operators.ColumnStats
+      .correlationMatrix(tiny, Seq("x" -> 1, "y" -> 1)).collect()(0)
+    assert(!got.isNullAt(2) && got.getDouble(2) == 1.0)
+    val nulls = Seq((Some(1.0), None: Option[Double]),
+      (Some(2.0), None)).toDF("x", "y")
+    // complete-case drop leaves zero rows -> null corr, no throw
+    val gn = graft.operators.ColumnStats
+      .correlationMatrix(nulls, Seq("x" -> 1, "y" -> 1)).collect()(0)
+    assert(gn.isNullAt(2))
+  }
+
   test("dictionary fit refuses a 10k+-cardinality 'categorical'") {
     // a key column smuggled in as a categorical: the DEFAULT guard
     // (10000) must throw the typed error instead of collecting an
