@@ -251,6 +251,34 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ANN ingest over a persistent [[graft.operators
+    * .IvfPqIndex]]: each micro-batch is searched against the standing
+    * compressed index (top-k by exact asymmetric distance — dedup
+    * checks, link-to-existing, recommendation backfill), then
+    * appended with the STORED quantizers, so the index stays current
+    * without ever re-reading or re-encoding the standing corpus.
+    * Epoch cost is O(batch × probed lists); batches also see every
+    * PREVIOUSLY accepted batch because the append lands before the
+    * next epoch's search. The reader handle is re-opened per epoch
+    * (two tiny table reads) so an external rebuild between epochs is
+    * picked up automatically.
+    */
+  def annIngest(spark: SparkSession, table: String, vecs: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      appendToIndex: Boolean = true)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val hits = graft.operators.IvfPqIndex.query(spark, table,
+          batch, idCol, vecCol, k, nProbe)
+        sink(hits, epoch)
+        if (appendToIndex)
+          graft.operators.IvfPqIndex.append(spark, table, batch,
+            idCol, vecCol)
+      }
+      .start()
+
   /** Drain any pending session state (batch-mode finalize). Gap
     * detection runs at MICROsecond granularity (`unix_micros`) — a
     * plain `cast("long")` truncates to seconds and silently rounds

@@ -83,6 +83,58 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN ingest: each epoch searches the standing " +
+      "index and later epochs see earlier appends") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = randomVecs(100, 8, seed = 41)
+    val probe = base.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].head()
+    val t = "ivfpq_spec_stream"
+    try {
+      IvfPqIndex.build(base, "vec_id", "embedding", t, cb,
+        nCentroids = 4, kmeansIters = 1, buckets = 4)
+      implicit val sqlc = spark.sqlContext
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val got = new ConcurrentLinkedQueue[(Long, Long, Int)]()
+      // k >= corpus size: every probed row ranks, so tie classes
+      // (ADC cannot separate same-code rows) never hide a hit
+      val q = graft.streaming.StreamingOps.annIngest(spark, t,
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id",
+        "embedding", k = 200, nProbe = 4) { (hits, _) =>
+        hits.select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().foreach(got.add)
+      }
+      try {
+        // epoch 1: the stream's search must equal a direct one-shot
+        // query of the same batch against the same index
+        mem.addData((9001L, probe))
+        q.processAllAvailable()
+        val epoch1 = got.stream().toArray.toSeq
+          .map(_.asInstanceOf[(Long, Long, Int)]).toSet
+        val want = IvfPqIndex.query(spark, t,
+            Seq((9001L, probe)).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", k = 200, nProbe = 4)
+          .select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        // NOTE: the direct query runs AFTER the epoch-1 append, so it
+        // also sees row 9001 itself — exclude self-pairs both sides
+        assert(epoch1 == want.filter(_._2 != 9001L) && epoch1.nonEmpty)
+        got.clear()
+        // epoch 2: the epoch-1 append must be visible
+        mem.addData((9002L, probe))
+        q.processAllAvailable()
+        val hits2 = got.stream().toArray.toSeq
+          .map(_.asInstanceOf[(Long, Long, Int)])
+        assert(hits2.exists(p => p._1 == 9002L && p._2 == 9001L),
+          s"epoch-1 append invisible to epoch 2 (${hits2.size} hits)")
+      } finally q.stop()
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebook", s"${t}_meta")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
   test("reader round-trips the codebook from disk and full probe " +
       "equals flat pqTopK") {
     val corpus  = randomVecs(200, 8, seed = 23)
