@@ -697,6 +697,15 @@ object SparkEntry {
           col("robust_z"))
     }),
 
+    // ----- exact percentile rank (cume_dist semantics) from the
+    // range-partitioned cumulative frame — no global window
+    "q_pct_rank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.percentileRank(li, "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pct_rank"))
+    }),
+
     // ----- equal-frequency binning: exact quartile thresholds, the
     // same <=-upper bin chain as q_binning
     "q_eqfreq_binning" -> ((s, dir) => {
@@ -1913,6 +1922,23 @@ object SparkEntry {
            END AS robust_z
          FROM lineitem CROSS JOIN med CROSS JOIN mad"""
     },
+
+    // cume_dist = count(<=)/n, replayed through the same
+    // distinct-value cumulative construction the operator uses (a
+    // value join — row-key joins would multiply on non-unique keys)
+    "q_pct_rank" ->
+      """WITH n AS (SELECT COUNT(l_extendedprice) AS nn
+           FROM lineitem),
+         counts AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         cumv AS (SELECT v, SUM(c) OVER (ORDER BY v
+           ROWS UNBOUNDED PRECEDING) AS cum FROM counts)
+         SELECT l.l_orderkey, l.l_linenumber,
+           cumv.cum::DOUBLE / n.nn AS pct_rank
+         FROM lineitem l
+           LEFT JOIN cumv ON l.l_extendedprice = cumv.v
+           CROSS JOIN n""",
 
     // quartile thresholds replay through the quantile CTEs; the bin
     // chain is the same <=-upper CASE as q_binning

@@ -455,6 +455,27 @@ object ColumnStats {
     * and the clipped values are bit-identical on any engine whose
     * quantile replay matches (q_quantiles pins that).
     */
+  /** Exact percentile rank of every row: `count(v' ≤ v) / n` over
+    * the non-null values — SQL `cume_dist` semantics, computed from
+    * the same range-partitioned cumulative value-count frame as the
+    * quantiles (never a global single-partition window, which is how
+    * `cume_dist() OVER (ORDER BY v)` executes at corpus scale). The
+    * fact side joins the distinct-value frame on the value — one
+    * shuffle (or a broadcast when the distinct frame is small) — and
+    * the rank is ONE divide of exact integers: bit-identical to any
+    * engine's cume_dist. Null values rank null.
+    */
+  def percentileRank(df: DataFrame, valueCol: String,
+      outCol: String = "pct_rank"): DataFrame = {
+    val (cum, totalN) = cumulativeCounts(df, valueCol)
+    val ranks = cum.select(col("v").as("__v"),
+      (col("cum").cast("double") / lit(totalN).cast("double"))
+        .as(outCol))
+    df.join(ranks, col(valueCol).cast("double") === col("__v"),
+        "left")
+      .drop("__v")
+  }
+
   /** Robust z-score: `(x − median) / MAD` with MAD =
     * median(|x − median|) — the outlier score that heavy tails can't
     * drag (mean/std move with the outliers they're supposed to

@@ -166,6 +166,20 @@ class CorrelationSpec extends SparkSpec {
     assert(cz.forall(_.isNullAt(0)))
   }
 
+  test("percentileRank is cume_dist: ties share count(<=)/n, nulls " +
+      "rank null") {
+    val df = Seq(Some(10.0), Some(20.0), Some(20.0), Some(30.0), None)
+      .toDF("v")
+    val got = ColumnStats.percentileRank(df, "v")
+      .select("v", "pct_rank").collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    // n = 4 non-null: 10 -> 1/4; the tied 20s both -> 3/4; 30 -> 1
+    assert(got == Set(
+      (Some(10.0), Some(0.25)), (Some(20.0), Some(0.75)),
+      (Some(30.0), Some(1.0)), (None, None)))
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
