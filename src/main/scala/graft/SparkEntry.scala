@@ -697,6 +697,17 @@ object SparkEntry {
           col("robust_z"))
     }),
 
+    // ----- drift report between two corpus snapshots (split by ship
+    // date): one fused agg per side, exact-decimal-sum means
+    "q_drift_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = "1998-06-01"
+      ColumnStats.driftReport(
+        li.filter(col("l_shipdate") < lit(cut)),
+        li.filter(col("l_shipdate") >= lit(cut)),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // ----- exact percentile rank (cume_dist semantics) from the
     // range-partitioned cumulative frame — no global window
     "q_pct_rank" -> ((s, dir) => {
@@ -1921,6 +1932,31 @@ object SparkEntry {
              THEN (l_extendedprice::DOUBLE - med_v) / mad_v
            END AS robust_z
          FROM lineitem CROSS JOIN med CROSS JOIN mad"""
+    },
+
+    // same decimal-sum mean shape as the describe oracle, one divide
+    // per ratio, delta as one subtraction
+    "q_drift_report" -> {
+      def sideSql(pred: String, tag: String): String = {
+        val cells = Seq("l_quantity", "l_extendedprice", "l_discount")
+          .map { c =>
+            s"""SELECT '$c' AS column_name, n AS n_$tag,
+              (n - nn_$c)::DOUBLE / greatest(n, 1) AS null_frac_$tag,
+              s_$c::DOUBLE / nn_$c AS mean_$tag FROM agg_$tag"""
+          }.mkString(" UNION ALL ")
+        s"""agg_$tag AS (SELECT COUNT(*) AS n,
+             ${Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+               s"COUNT($c) AS nn_$c, " +
+               s"SUM(CAST($c AS DECIMAL(28,6))) AS s_$c").mkString(", ")}
+           FROM lineitem WHERE $pred),
+           side_$tag AS ($cells)"""
+      }
+      s"""WITH ${sideSql("l_shipdate < '1998-06-01'", "old")},
+         ${sideSql("l_shipdate >= '1998-06-01'", "new")}
+         SELECT o.column_name, o.n_old, o.null_frac_old, o.mean_old,
+           nn.n_new, nn.null_frac_new, nn.mean_new,
+           nn.mean_new - o.mean_old AS mean_delta
+         FROM side_old o JOIN side_new nn USING (column_name)"""
     },
 
     // cume_dist = count(<=)/n, replayed through the same

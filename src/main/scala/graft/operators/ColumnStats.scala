@@ -455,6 +455,38 @@ object ColumnStats {
     * and the clipped values are bit-identical on any engine whose
     * quantile replay matches (q_quantiles pins that).
     */
+  /** Per-column drift report between two corpus snapshots — the
+    * data-quality gate a recurring ingest runs before accepting a new
+    * drop: row counts, null fractions and exact-decimal-sum means
+    * side by side with their delta. ONE fused aggregation per side
+    * (all columns in a single scan each, map-side combined), the
+    * per-column reshape exploding from the two one-row aggregates —
+    * no driver collect. Every ratio is a single divide of exact
+    * inputs (the same DECIMAL(28,6)-sum mean shape as
+    * [[describeNumeric]]), so the report replays bit-identically.
+    */
+  def driftReport(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "driftReport needs at least one column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        sum(col(c).cast("decimal(28,6)")).as(s"__s_$c")))
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("column_name"),
+          col("__n").as(s"n_$tag"),
+          ((col("__n") - col(s"__nn_$c")).cast("double") /
+            greatest(col("__n"), lit(1L))).as(s"null_frac_$tag"),
+          (col(s"__s_$c").cast("double") / col(s"__nn_$c"))
+            .as(s"mean_$tag"))
+      }
+      one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+    }
+    side(oldDf, "old").join(side(newDf, "new"), Seq("column_name"))
+      .withColumn("mean_delta", col("mean_new") - col("mean_old"))
+  }
+
   /** Exact percentile rank of every row: `count(v' ≤ v) / n` over
     * the non-null values — SQL `cume_dist` semantics, computed from
     * the same range-partitioned cumulative value-count frame as the

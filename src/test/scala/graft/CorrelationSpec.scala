@@ -180,6 +180,23 @@ class CorrelationSpec extends SparkSpec {
       (Some(30.0), Some(1.0)), (None, None)))
   }
 
+  test("driftReport: exact means, null fractions and deltas; empty " +
+      "side degrades to null means") {
+    val oldDf = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x")
+    val newDf = Seq(Some(4.0), Some(6.0)).toDF("x")
+    val r = ColumnStats.driftReport(oldDf, newDf, Seq("x")).collect()(0)
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n_old") == 4L && m("n_new") == 2L)
+    assert(m("null_frac_old") == 0.25 && m("null_frac_new") == 0.0)
+    assert(m("mean_old") == 2.0 && m("mean_new") == 5.0)
+    assert(m("mean_delta") == 3.0)
+    // an empty snapshot yields null mean/delta, never a throw
+    val e = ColumnStats.driftReport(oldDf.limit(0), newDf,
+      Seq("x")).collect()(0)
+    assert(e.isNullAt(e.fieldIndex("mean_old")) &&
+      e.isNullAt(e.fieldIndex("mean_delta")))
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
