@@ -708,6 +708,17 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // ----- categorical drift: per-(column, category) frequency
+    // shift across the same ship-date split
+    "q_cat_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = "1998-06-01"
+      ColumnStats.categoricalDriftReport(
+        li.filter(col("l_shipdate") < lit(cut)),
+        li.filter(col("l_shipdate") >= lit(cut)),
+        Seq("l_returnflag", "l_linestatus"))
+    }),
+
     // ----- exact percentile rank (cume_dist semantics) from the
     // range-partitioned cumulative frame — no global window
     "q_pct_rank" -> ((s, dir) => {
@@ -1957,6 +1968,40 @@ object SparkEntry {
            nn.n_new, nn.null_frac_new, nn.mean_new,
            nn.mean_new - o.mean_old AS mean_delta
          FROM side_old o JOIN side_new nn USING (column_name)"""
+    },
+
+    // per-category counts and single-divide frequencies, full outer
+    // across sides with absent categories at frequency 0
+    "q_cat_drift" -> {
+      def sideSql(pred: String, tag: String): String =
+        s"""c_$tag AS (
+           SELECT column_name, category, COUNT(*) AS cnt_$tag
+           FROM (SELECT unnest([
+               {'column_name': 'l_returnflag',
+                'category': l_returnflag::VARCHAR},
+               {'column_name': 'l_linestatus',
+                'category': l_linestatus::VARCHAR}],
+             recursive := true)
+             FROM lineitem WHERE $pred) z
+           GROUP BY 1, 2),
+         t_$tag AS (SELECT column_name, SUM(cnt_$tag) AS tot_$tag
+           FROM c_$tag GROUP BY 1),
+         s_$tag AS (SELECT c.column_name, c.category, c.cnt_$tag,
+             c.cnt_$tag::DOUBLE / t.tot_$tag::DOUBLE AS freq_$tag
+           FROM c_$tag c JOIN t_$tag t USING (column_name))"""
+      s"""WITH ${sideSql("l_shipdate < '1998-06-01'", "old")},
+         ${sideSql("l_shipdate >= '1998-06-01'", "new")}
+         SELECT COALESCE(o.column_name, nn.column_name) AS column_name,
+           COALESCE(o.category, nn.category) AS category,
+           COALESCE(o.cnt_old, 0) AS cnt_old,
+           COALESCE(nn.cnt_new, 0) AS cnt_new,
+           COALESCE(o.freq_old, 0.0) AS freq_old,
+           COALESCE(nn.freq_new, 0.0) AS freq_new,
+           COALESCE(nn.freq_new, 0.0) - COALESCE(o.freq_old, 0.0)
+             AS freq_delta
+         FROM s_old o FULL OUTER JOIN s_new nn
+           ON o.column_name = nn.column_name
+             AND o.category IS NOT DISTINCT FROM nn.category"""
     },
 
     // cume_dist = count(<=)/n, replayed through the same

@@ -487,6 +487,53 @@ object ColumnStats {
       .withColumn("mean_delta", col("mean_new") - col("mean_old"))
   }
 
+  /** Categorical companion to [[driftReport]]: per-(column, category)
+    * frequency comparison between two snapshots, one row per category
+    * including one-sided categories (full outer join; a category
+    * absent from a side reports frequency 0). PER-CATEGORY rows
+    * instead of a single distance number on purpose: a
+    * total-variation sum would need a cross-category float
+    * accumulation (engine-order-dependent) AND hides WHICH category
+    * moved — the thing the gate's operator actually asks. One
+    * stacked-column aggregation per side (the shuffle carries
+    * (column, category) keys, never rows); frequencies are single
+    * divides of exact counts.
+    */
+  def categoricalDriftReport(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty,
+      "categoricalDriftReport needs at least one column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val stacked = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            col(c).cast("string").as("category"))): _*)).as("__p"))
+        .select(col("__p.*"))
+      val counts = stacked.groupBy("column_name", "category")
+        .agg(count(lit(1)).as(s"cnt_$tag"))
+      val totals = counts.groupBy("column_name")
+        .agg(sum(s"cnt_$tag").as(s"tot_$tag"))
+      counts.join(broadcast(totals), Seq("column_name"))
+        .withColumn(s"freq_$tag",
+          col(s"cnt_$tag").cast("double") /
+            col(s"tot_$tag").cast("double"))
+        .select("column_name", "category", s"cnt_$tag", s"freq_$tag")
+    }
+    val o = side(oldDf, "old")
+    val n = side(newDf, "new")
+    // null-safe equality on category: a genuine null category is one
+    // category, not a per-side orphan pair (SQL USING-joins split it)
+    o.join(n, o("column_name") === n("column_name") &&
+        (o("category") <=> n("category")), "full_outer")
+      .select(
+        coalesce(o("column_name"), n("column_name")).as("column_name"),
+        coalesce(o("category"), n("category")).as("category"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),
+        coalesce(col("freq_old"), lit(0.0d)).as("freq_old"),
+        coalesce(col("freq_new"), lit(0.0d)).as("freq_new"))
+      .withColumn("freq_delta", col("freq_new") - col("freq_old"))
+  }
+
   /** Exact percentile rank of every row: `count(v' ≤ v) / n` over
     * the non-null values — SQL `cume_dist` semantics, computed from
     * the same range-partitioned cumulative value-count frame as the

@@ -197,6 +197,23 @@ class CorrelationSpec extends SparkSpec {
       e.isNullAt(e.fieldIndex("mean_delta")))
   }
 
+  test("categoricalDriftReport: exact frequencies, one-sided " +
+      "categories at 0, null category is ONE category") {
+    val oldDf = Seq(Some("a"), Some("a"), Some("b"), None)
+      .toDF("c")
+    val newDf = Seq(Some("a"), Some("x"), None, None).toDF("c")
+    val got = ColumnStats.categoricalDriftReport(oldDf, newDf,
+        Seq("c")).collect()
+      .map(r => (Option(r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(Some("a")) == (2L, 1L, 0.5, 0.25))
+    assert(got(Some("b")) == (1L, 0L, 0.25, 0.0))   // one-sided old
+    assert(got(Some("x")) == (0L, 1L, 0.0, 0.25))   // one-sided new
+    assert(got(None) == (1L, 2L, 0.25, 0.5))        // null = one row
+    assert(got.size == 4)
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
