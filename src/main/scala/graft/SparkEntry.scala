@@ -688,6 +688,16 @@ object SparkEntry {
           col("l_extendedprice").as("w_price"))
     }),
 
+    // ----- per-group winsorize: each return-flag's prices clip to
+    // that group's own exact [p05, p95]
+    "q_grouped_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.groupedWinsorize(li, "l_returnflag",
+          "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice").as("w_price"))
+    }),
+
     // ----- robust z-score: (x - median) / MAD, both thresholds from
     // the exact quantile path (heavy-tail-safe outlier score)
     "q_robust_z" -> ((s, dir) => {
@@ -1922,6 +1932,26 @@ object SparkEntry {
              ELSE least(greatest(l_extendedprice::DOUBLE, lo_v), hi_v)
            END AS w_price
          FROM lineitem CROSS JOIN lo CROSS JOIN hi"""
+    },
+
+    // per-group thresholds replay through the grouped-quantile CTEs;
+    // both engines' least/greatest skip nulls, so null-group rows
+    // pass through unclipped identically
+    "q_grouped_winsorize" -> {
+      val qcte = groupedQuantilesSqlFor("lineitem", "l_returnflag",
+        "l_extendedprice", Seq(0.05, 0.95),
+        "lov.g AS g, p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)" +
+          " AS quantile")
+      s"""WITH qs AS ($qcte),
+         th AS (SELECT g,
+           MIN(CASE WHEN p = 0.05 THEN quantile END) AS lo_v,
+           MIN(CASE WHEN p = 0.95 THEN quantile END) AS hi_v
+           FROM qs GROUP BY g)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN l_extendedprice IS NULL THEN NULL
+             ELSE least(greatest(l_extendedprice::DOUBLE, lo_v), hi_v)
+           END AS w_price
+         FROM lineitem LEFT JOIN th ON l_returnflag = th.g"""
     },
 
     // median and MAD both replay through the exact-quantile CTEs; the

@@ -555,6 +555,35 @@ object ColumnStats {
       .drop("__v")
   }
 
+  /** [[winsorize]] PER GROUP: each group's values clip to that
+    * group's own exact [pLo, pHi] quantiles — per-domain outlier
+    * capping (one domain's heavy tail must not set another's
+    * thresholds). Thresholds come from
+    * [[groupedExactQuantiles]] (giant groups reroute through the
+    * range-partitioned path automatically), pivot to one (group, lo,
+    * hi) row each, and broadcast-join back — the corpus itself never
+    * shuffles. Rows whose group is null (no thresholds exist) pass
+    * through unclipped; null values stay null.
+    */
+  def groupedWinsorize(df: DataFrame, groupCol: String,
+      valueCol: String, pLo: Double = 0.01, pHi: Double = 0.99)
+      : DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val th = groupedExactQuantiles(df, groupCol, valueCol,
+        Seq(pLo, pHi))
+      .groupBy(groupCol).agg(
+        min(when(col("p") === pLo, col("quantile"))).as("__lo"),
+        min(when(col("p") === pHi, col("quantile"))).as("__hi"))
+    df.join(broadcast(th), Seq(groupCol), "left")
+      .withColumn(valueCol,
+        when(col(valueCol).isNull || col("__lo").isNull,
+          col(valueCol).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"),
+            col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Robust z-score: `(x − median) / MAD` with MAD =
     * median(|x − median|) — the outlier score that heavy tails can't
     * drag (mean/std move with the outliers they're supposed to

@@ -214,6 +214,31 @@ class CorrelationSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("groupedWinsorize clips per group; null-group rows pass " +
+      "through unclipped") {
+    val df = ((1 to 20).map(i => (Some("a"), i.toDouble)) ++
+      (1 to 20).map(i => (Some("b"), i * 100.0)) :+
+      ((None: Option[String]), 1.0e9)).toDF("g", "v")
+    val out = ColumnStats.groupedWinsorize(df, "g", "v", 0.1, 0.9)
+      .select("g", "v").collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1)))
+    val a = out.collect { case (Some("a"), v) => v }
+    val b = out.collect { case (Some("b"), v) => v }
+    // group a clips to ITS OWN [p10, p90] — expectations via the
+    // operator's exact interpolation formula (decimal literals like
+    // 2.9 differ in the last ulp from 2 + 0.9*(3-2))
+    def interp(vLo: Double, vHi: Double, r: Double): Double =
+      vLo + (vHi - vLo) * (r - math.floor(r))
+    val (rLo, rHi) = (0.1 * 19, 0.9 * 19)
+    assert(a.min == interp(2.0, 3.0, rLo) &&
+      a.max == interp(18.0, 19.0, rHi))
+    // group b's thresholds are 100x — a's tail must not leak in
+    assert(b.min == interp(200.0, 300.0, rLo) &&
+      b.max == interp(1800.0, 1900.0, rHi))
+    // null group: untouched
+    assert(out.collect { case (None, v) => v }.head == 1.0e9)
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
