@@ -406,6 +406,18 @@ object SparkEntry {
         Seq("tsu", "event_id"), Seq("value"))
     }),
 
+    // ----- resample: per-user daily grid, last observation at or
+    // before each tick carried forward (null value = no measurement)
+    "q_resample" -> ((s, dir) => {
+      val day = 86400000000L
+      val ev = readEvents(s, dir).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("tsu"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      EventOps.resample(ev, Seq("user_id"), "tsu", "event_id",
+        "value", stepMicros = day)
+    }),
+
     // ----- event analytics: weekly cohort retention matrix
     "q_retention" -> ((s, dir) => {
       val ev = readEvents(s, dir)
@@ -1603,6 +1615,30 @@ object SparkEntry {
            ORDER BY tsu, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
        FROM e""",
+
+    // bucket arg-max via QUALIFY (ties ts desc, id desc), grid via
+    // generate_series over per-user bounds, IGNORE NULLS carry
+    "q_resample" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 AS tsu,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       b AS (SELECT user_id, tsu // 86400000000 AS tick, v AS bv
+         FROM e QUALIFY row_number() OVER (
+           PARTITION BY user_id, tsu // 86400000000
+           ORDER BY tsu DESC, event_id DESC) = 1),
+       bounds AS (SELECT user_id, MIN(tsu // 86400000000) AS lo,
+           MAX(tsu // 86400000000) AS hi
+         FROM e GROUP BY user_id),
+       g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS tick
+         FROM bounds)
+       SELECT g.user_id, g.tick,
+         last_value(b.bv IGNORE NULLS) OVER (PARTITION BY g.user_id
+           ORDER BY g.tick
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       FROM g LEFT JOIN b
+         ON g.user_id = b.user_id AND g.tick = b.tick""",
 
     // distinct user-weeks, first-seen week per user, integer week offset
     "q_retention" ->

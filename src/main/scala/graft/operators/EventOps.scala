@@ -147,4 +147,58 @@ object EventOps {
           coalesce(col(s"__n$i"), lit(0L)).as("n_users"))): _*)).as("s"))
       .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
   }
+  /** Resample each key's event series onto a fixed-step time grid:
+    * one row per (key, tick) from the key's first to last event
+    * bucket, carrying the last observation at-or-before each tick
+    * forward — the regularization step before windowed features or
+    * model-ready sequences over irregular event streams. Tick `t`
+    * covers `[t·step, (t+1)·step)`; a bucket's observation is its
+    * LAST event's value (ties on the timestamp break by `tieCol`
+    * descending — deterministic on any partitioning), and a null
+    * observation means "no measurement" (the previous non-null
+    * carries, matching [[forwardFill]]).
+    *
+    * Scale shape: bucket reduction is one keyed aggregation
+    * (row_number inside (key, tick) — WindowGroupLimit prunes
+    * map-side); the grid explodes from the |keys|-row bounds frame,
+    * bounded by `maxTicksPerKey` — a key spanning more ticks than
+    * that fails LOUDLY (a silent 3e7-row explode from one stuck
+    * device is how resamples kill clusters). Null-key rows are
+    * dropped (no grid to pin them to).
+    */
+  def resample(df: DataFrame, keyCols: Seq[String],
+      tsMicrosCol: String, tieCol: String, valueCol: String,
+      stepMicros: Long, maxTicksPerKey: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "resample needs at least one key column")
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    require(maxTicksPerKey > 0, "maxTicksPerKey must be positive")
+    val keys = keyCols.map(col)
+    val clean = df.na.drop(keyCols :+ tsMicrosCol)
+      .withColumn("__tick", expr(s"$tsMicrosCol DIV $stepMicros"))
+    val bucketW = Window
+      .partitionBy((keys :+ col("__tick")): _*)
+      .orderBy(col(tsMicrosCol).desc, col(tieCol).desc)
+    val buckets = clean
+      .withColumn("__rn", row_number().over(bucketW))
+      .filter(col("__rn") === 1)
+      .select((keys :+ col("__tick") :+ col(valueCol).as("__bv")): _*)
+    val bounds = clean.groupBy(keys: _*)
+      .agg(min("__tick").as("__lo"), max("__tick").as("__hi"))
+    val worst = bounds
+      .agg(max(col("__hi") - col("__lo") + 1).as("m")).head()
+    if (!worst.isNullAt(0))
+      require(worst.getLong(0) <= maxTicksPerKey,
+        s"resample: a key spans ${worst.getLong(0)} ticks " +
+          s"(> maxTicksPerKey=$maxTicksPerKey) — widen stepMicros " +
+          "or raise the cap explicitly")
+    val grid = bounds.select((keys :+
+      explode(sequence(col("__lo"), col("__hi"))).as("__tick")): _*)
+    val fillW = Window.partitionBy(keys: _*).orderBy("__tick")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, keyCols :+ "__tick", "left")
+      .withColumn(valueCol,
+        last(col("__bv"), ignoreNulls = true).over(fillW))
+      .drop("__bv")
+      .withColumnRenamed("__tick", "tick")
+  }
 }

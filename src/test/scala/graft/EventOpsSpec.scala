@@ -168,4 +168,39 @@ class EventOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
+
+  test("resample fills gaps, breaks bucket ties by tieCol, treats " +
+      "null values as no-measurement") {
+    // step 10: user 1 events at t=5 (v=1), t=12&15 same bucket
+    // (later id wins), t=47 null value, nothing in ticks 2-3
+    val ev = Seq(
+      (1L, 5L, 1L, Some(1.0)),
+      (2L, 15L, 1L, Some(2.0)),
+      (3L, 15L, 1L, Some(3.0)),   // same ts: higher id wins
+      (4L, 47L, 1L, None: Option[Double]),
+      (5L, 8L, 2L, Some(9.0))
+    ).toDF("event_id", "tsu", "user_id", "value")
+    val got = EventOps.resample(ev, Seq("user_id"), "tsu",
+        "event_id", "value", stepMicros = 10L)
+      .select("user_id", "tick", "value").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, 0L)) == Some(1.0))
+    assert(got((1L, 1L)) == Some(3.0)) // tie at ts 15 -> event_id 3
+    assert(got((1L, 2L)) == Some(3.0)) // gap carries
+    assert(got((1L, 3L)) == Some(3.0))
+    assert(got((1L, 4L)) == Some(3.0)) // null measurement: carry
+    assert(got((2L, 0L)) == Some(9.0))
+    assert(got.size == 6) // user 2: single tick
+  }
+
+  test("resample fails loudly past maxTicksPerKey") {
+    val ev = Seq((1L, 0L, 1L, 1.0), (2L, 1000L, 1L, 2.0))
+      .toDF("event_id", "tsu", "user_id", "value")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.resample(ev, Seq("user_id"), "tsu", "event_id",
+        "value", stepMicros = 1L, maxTicksPerKey = 100L)
+    }
+    assert(e.getMessage.contains("maxTicksPerKey"))
+  }
 }
