@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeHash
+
+/** Deterministic distributed logistic regression — the in-engine
+  * trainer for rule-seeded quality classifiers (fastText-style
+  * quality filters: label a seed set with [[graft.functions
+  * .TextFunctions.qualityKeep]]-like rules, featurize with
+  * [[graft.functions.TextFunctions.hashingVector]] /
+  * [[VectorStats.pcaProjectVec]], fit here, score the corpus).
+  *
+  * The fit applies the library's reproducibility discipline to
+  * gradient descent: each row's gradient contribution is computed in
+  * double (identical per row on any engine), QUANTIZED to integer
+  * micro-units (the same BigDecimal HALF_UP as [[Similarity
+  * .quantize]]), and summed EXACTLY via the native
+  * [[graft.functions.VecSumLong]] aggregate — so the per-iteration
+  * gradient, and hence the fitted weights, are bit-identical across
+  * partitionings and cluster sizes. Float-summed gradients (every
+  * stock distributed LR) drift with partition order; this one does
+  * not, which is what makes a refit auditable.
+  *
+  * Scale shape: one map-side-combined aggregation per iteration
+  * (buffer = dim+2 longs), the corpus persisted once for the fit's
+  * duration; scoring is map-only.
+  */
+object Classifier {
+
+  final case class LrModel(weights: Array[Double], bias: Double) {
+    def dim: Int = weights.length
+  }
+
+  private val GradScale = 1e6
+
+  /** σ(w·x + b) as a Column — fixed expression shape, one exp. */
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  private def margin(x: Column, w: Array[Double], b: Double): Column =
+    aggregate(zip_with(x, typedLit(w.toSeq), (xi, wi) => xi * wi),
+      lit(0.0d), _ + _) + lit(b)
+
+  /** Fit by batch gradient descent: `iters` passes, each ONE
+    * aggregation. `labelCol` must be 0/1 (checked); rows with a null
+    * label or feature vector are dropped; ragged feature lengths fail
+    * loudly inside the vector-sum aggregate.
+    */
+  def lrFit(df: DataFrame, featuresCol: String, labelCol: String,
+      iters: Int = 20, learningRate: Double = 0.5,
+      l2: Double = 0.0): LrModel = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(learningRate > 0, "learningRate must be positive")
+    require(l2 >= 0, "l2 must be non-negative")
+    val clean = df
+      .filter(col(featuresCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featuresCol).cast("array<double>").as("__x"),
+        col(labelCol).cast("double").as("__y"))
+    val cached = clean.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = cached.select(col("__x"), col("__y")).head()
+      val dim = head.getSeq[Double](0).length
+      val badLabel = cached
+        .filter(col("__y") =!= 0.0 && col("__y") =!= 1.0).limit(1)
+        .count()
+      require(badLabel == 0, "lrFit: labels must be exactly 0 or 1")
+      var w = new Array[Double](dim)
+      var b = 0.0
+      for (_ <- 0 until iters) {
+        val p = sigmoid(margin(col("__x"), w, b))
+        val err = p - col("__y") // per-row residual, fixed shape
+        // quantize each gradient component to micro-units; exact sum
+        val gq = transform(col("__x"),
+          xi => NativeHash.quantizeColumn(array(xi * err * lit(1000.0)))
+            .getItem(0))
+        val row = cached.agg(
+          NativeHash.vecSumColumn(gq).as("g"),
+          sum(NativeHash.quantizeColumn(array(err * lit(1000.0)))
+            .getItem(0)).as("gb"),
+          count(lit(1)).as("n")).head()
+        val n = row.getLong(2).toDouble
+        val g = row.getSeq[Long](0).toArray
+        val gb = row.getLong(1).toDouble
+        var j = 0
+        while (j < dim) {
+          w(j) -= learningRate * (g(j) / (n * GradScale) + l2 * w(j))
+          j += 1
+        }
+        b -= learningRate * (gb / (n * GradScale))
+      }
+      LrModel(w, b)
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Map-only scoring: `score` = σ(w·x + b), `predicted` at 0.5.
+    * Broadcast-literal weights, fixed expression shape — a score is
+    * reproducible wherever the row lands.
+    */
+  def lrPredict(df: DataFrame, featuresCol: String, model: LrModel)
+      : DataFrame = {
+    val s = sigmoid(margin(col(featuresCol).cast("array<double>"),
+      model.weights, model.bias))
+    df.withColumn("score", s)
+      .withColumn("predicted", (col("score") >= 0.5).cast("int"))
+  }
+}
