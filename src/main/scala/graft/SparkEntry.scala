@@ -777,6 +777,13 @@ object SparkEntry {
       VectorStats.groupCentroids(e, "label", "embedding")
     }),
 
+    // ----- embedding outliers: vectors far from their own label's
+    // centroid, thresholded at the label's p95 distance quantile
+    "q_centroid_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorStats.centroidOutliers(e, "label", "embedding", p = 0.95)
+    }),
+
     // ----- the distributed half of PCA: the corpus reduces to ONE
     // d(d+1)/2-long gram buffer (all-integer, partitioning-proof);
     // the eigen solve on it is driver-trivial (PcaSpec)
@@ -1939,6 +1946,7 @@ object SparkEntry {
     // negatives + exact verify), so the oracle IS the plain one
     "q_bloom_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
+    "q_centroid_outliers" -> centroidOutliersOracle,
 
     // exact integer gram over the quantized vectors, upper triangle
     "q_gram_matrix" ->
@@ -3017,6 +3025,40 @@ object SparkEntry {
            ${sums.mkString(", ")}
          FROM f GROUP BY l_returnflag)
        ${cells.mkString(" UNION ALL ")}"""
+  }
+
+  /** Composed replay for q_centroid_outliers: re-quantized per-label
+    * centroids (one double divide + HALF_UP round per component),
+    * exact int64 squared distances, grouped-quantile threshold.
+    */
+  private def centroidOutliersOracle: String = {
+    val distCtes =
+      s"""v AS (SELECT vec_id, label,
+           ${sqlQuantize("embedding")} AS qv FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         pp AS (SELECT label, UNNEST(list_transform(
+             generate_series(1, len(qv)),
+             i -> {'pos': i, 'q': qv[i]}),
+           recursive := true) FROM v),
+         cs AS (SELECT label, pos,
+             CAST(round(SUM(q)::DOUBLE / COUNT(*), 0) AS BIGINT) AS qc
+           FROM pp GROUP BY label, pos),
+         d AS (SELECT v.vec_id, v.label,
+             CAST(SUM((qv[pos] - qc) * (qv[pos] - qc)) AS BIGINT)
+               AS dist2
+           FROM v JOIN cs ON v.label = cs.label
+           GROUP BY 1, 2)"""
+    val distTable =
+      s"(WITH $distCtes SELECT vec_id, label, dist2 FROM d) ddt"
+    val thSql = groupedQuantilesSqlFor(distTable, "label", "dist2",
+      Seq(0.95),
+      "lov.g AS g, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)" +
+        " AS quantile")
+    s"""WITH $distCtes,
+       th AS (SELECT g, quantile FROM ($thSql) z)
+       SELECT d.vec_id, d.label, d.dist2,
+         d.dist2::DOUBLE > th.quantile AS is_outlier
+       FROM d JOIN th ON d.label = th.g"""
   }
 
   /** Mirror of VectorStats.groupCentroids: quantized int64 per-dim

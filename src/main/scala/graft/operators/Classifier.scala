@@ -61,8 +61,11 @@ object Classifier {
     val cached = clean.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val head = cached.select(col("__x"), col("__y")).head()
-      val dim = head.getSeq[Double](0).length
+      val first = cached.select(col("__x"), col("__y")).limit(1)
+        .collect()
+      require(first.nonEmpty,
+        "lrFit: no rows with non-null features AND label")
+      val dim = first(0).getSeq[Double](0).length
       val badLabel = cached
         .filter(col("__y") =!= 0.0 && col("__y") =!= 1.0).limit(1)
         .count()

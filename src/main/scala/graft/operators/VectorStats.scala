@@ -154,6 +154,47 @@ object VectorStats {
       array((1 to model.k).map(c => col(s"pc$c")): _*).as("proj"))
   }
 
+  /** Embedding-space outlier detection: flag vectors unusually far
+    * from their OWN group's centroid — mislabeled rows, junk
+    * embeddings, domain drift inside a label. Composed from the
+    * library's replayable pieces so the whole thing stays
+    * engine-portable: per-group quantized-integer centroid sums
+    * (re-quantized to milli-units with one double divide + HALF_UP
+    * round each), EXACT int64 squared distances to the own-group
+    * centroid, and a per-group [[ColumnStats.groupedExactQuantiles]]
+    * threshold at `p` — `is_outlier` = dist² strictly above the
+    * group's p-quantile. Two keyed aggregations + one broadcast
+    * centroid join + the quantile chain; the corpus shuffles once (on
+    * the group key inside the quantile's value-count reduction —
+    * distances themselves stay put).
+    */
+  def centroidOutliers(df: DataFrame, labelCol: String,
+      vecCol: String, p: Double = 0.95): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val v = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col("vec_id"), col(labelCol).as("__g"),
+        Similarity.quantize(col(vecCol)).as("__qv"))
+    val cents = v.groupBy("__g")
+      .agg(graft.functions.NativeHash.vecSumColumn(col("__qv"))
+        .as("__s"), count(lit(1)).as("__n"))
+      .select(col("__g"), transform(col("__s"),
+        s => round(s.cast("double") / col("__n"), 0).cast("long"))
+        .as("__qc"))
+    val dists = v.join(broadcast(cents), Seq("__g"))
+      .select(col("vec_id"), col("__g"),
+        aggregate(zip_with(col("__qv"), col("__qc"),
+          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist2"))
+    val th = ColumnStats.groupedExactQuantiles(dists, "__g", "dist2",
+        Seq(p))
+      .select(col("__g").cast("string").as("__gs"),
+        col("quantile").as("__th"))
+    dists
+      .join(broadcast(th), col("__g").cast("string") === col("__gs"))
+      .select(col("vec_id"), col("__g").as(labelCol), col("dist2"),
+        (col("dist2").cast("double") > col("__th")).as("is_outlier"))
+  }
+
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvectors-as-columns). Deterministic: fixed
     * sweep order, converges when the off-diagonal Frobenius mass

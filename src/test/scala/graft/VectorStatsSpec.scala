@@ -35,4 +35,29 @@ class VectorStatsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1,
       s"expected exactly one shuffle in:\n$plan")
   }
+
+  test("centroidOutliers flags the planted far point, not the " +
+      "cluster; null labels drop") {
+    import spark.implicits._
+    // 39 points near (1,0), one planted at (9,9); second label's own
+    // tight cluster must not be polluted by label 1's threshold
+    val rows = (1 to 39).map(i =>
+        (i.toLong, Some(1), Seq(1.0f + i * 0.001f, 0.0f))) ++
+      Seq((40L, Some(1), Seq(9.0f, 9.0f))) ++
+      (41 to 60).map(i => (i.toLong, Some(2),
+        Seq(-5.0f, -5.0f + i * 0.001f))) ++
+      Seq((99L, None: Option[Int], Seq(0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = VectorStats
+      .centroidOutliers(df, "label", "embedding", p = 0.9)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got(40L), "planted far point not flagged")
+    assert(!got.contains(99L), "null-label row should drop")
+    // a p-quantile threshold flags ~(1-p) of each group: the planted
+    // point plus at most the cluster's thin tail, never the bulk
+    assert(got.count { case (id, o) => id <= 40L && o } <= 5)
+    assert(got.count { case (id, o) => id >= 41L && o } <= 2)
+    assert(got.size == 60)
+  }
 }
