@@ -496,6 +496,17 @@ object SparkEntry {
         T.qualityScore(col("text")).as("quality"))
     }),
 
+    // ----- operating-point selection: exact confusion counts for
+    // the rule label vs the quality score at pinned thresholds
+    "q_threshold_metrics" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        T.qualityScore(col("text")).as("score"),
+        T.qualityKeep(col("text")).cast("double").as("label"))
+      Classifier.thresholdMetrics(scored, "score", "label",
+        Seq(0.2, 0.45, 0.7, 0.95))
+    }),
+
     // ----- text curation: canonical normalization (control chars ->
     // space, whitespace collapse, trim); tabs/newlines planted per-row
     "q_normalize_text" -> ((s, dir) => {
@@ -1763,20 +1774,7 @@ object SparkEntry {
     // summed left-to-right. Every literal is cast to DOUBLE — a bare
     // 1.0 is DECIMAL in DuckDB and decimal arithmetic would not
     // reproduce Spark's double partial sums bit-for-bit.
-    "q_quality_score" ->
-      """SELECT doc_id,
-         (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
-         + (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-              / GREATEST(length(text), 1) < 0.1::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-         + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-               t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'], t))) AS DOUBLE)
-              / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) > 0.05::DOUBLE
-            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
-         + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-              / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)
-              BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-         AS quality
-         FROM documents""",
+    "q_quality_score" -> qualityScoreOracle,
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,
@@ -1901,6 +1899,7 @@ object SparkEntry {
          FROM m""",
     "q_repetition" -> repetitionOracle,
     "q_quality_filter" -> qualityFilterOracle,
+    "q_threshold_metrics" -> thresholdMetricsOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars FROM documents
@@ -2689,6 +2688,52 @@ object SparkEntry {
     * names in the reasons string are the same literals in the same
     * order.
     */
+  /** Confusion counts at the pinned thresholds, over the replayed
+    * score and keep label; ratios as single divides with 0/0 → null.
+    */
+  private def thresholdMetricsOracle: String = {
+    val ts = Seq(0.2, 0.45, 0.7, 0.95)
+    val aggs = ts.zipWithIndex.flatMap { case (t, i) => Seq(
+      s"SUM(CASE WHEN s >= $t AND y = 1.0 THEN 1 ELSE 0 END) AS tp$i",
+      s"SUM(CASE WHEN s >= $t AND y = 0.0 THEN 1 ELSE 0 END) AS fp$i",
+      s"SUM(CASE WHEN s < $t AND y = 1.0 THEN 1 ELSE 0 END) AS fn$i",
+      s"SUM(CASE WHEN s < $t AND y = 0.0 THEN 1 ELSE 0 END) AS tn$i")
+    }.mkString(", ")
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      s"""SELECT $t::DOUBLE AS threshold,
+         CAST(tp$i AS BIGINT) AS tp, CAST(fp$i AS BIGINT) AS fp,
+         CAST(fn$i AS BIGINT) AS fn, CAST(tn$i AS BIGINT) AS tn,
+         CASE WHEN tp$i + fp$i > 0
+           THEN tp$i::DOUBLE / (tp$i + fp$i)::DOUBLE END AS precision,
+         CASE WHEN tp$i + fn$i > 0
+           THEN tp$i::DOUBLE / (tp$i + fn$i)::DOUBLE END AS recall
+         FROM a"""
+    }.mkString(" UNION ALL ")
+    s"""WITH sc AS ($qualityScoreOracle),
+       kp AS (SELECT doc_id, keep FROM ($qualityFilterOracle) z),
+       j AS (SELECT sc.quality AS s,
+           CASE WHEN keep THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+         FROM sc JOIN kp USING (doc_id)
+         WHERE sc.quality IS NOT NULL AND keep IS NOT NULL),
+       a AS (SELECT $aggs FROM j)
+       $rows"""
+  }
+
+  private def qualityScoreOracle: String =
+    """SELECT doc_id,
+         (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
+         + (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) < 0.1::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+         + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'], t))) AS DOUBLE)
+              / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) > 0.05::DOUBLE
+            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.3::DOUBLE
+         + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+              / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)
+              BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+         AS quality
+         FROM documents"""
+
   private def qualityFilterOracle: String = {
     val ts = tokensSql("text")
     s"""WITH t0 AS (SELECT doc_id, text, $ts AS ts,

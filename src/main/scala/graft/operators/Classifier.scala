@@ -98,6 +98,46 @@ object Classifier {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Exact confusion counts and precision/recall at pinned
+    * thresholds — the evaluation half of the filter loop (pick the
+    * operating point BEFORE unleashing a filter on 100 TB). ONE
+    * aggregation computes all 4·|thresholds| counters (map-side
+    * combined); the per-threshold rows explode from the single
+    * aggregate row, and every ratio is one divide of exact integer
+    * counts — engine-replayable. A threshold with no positive
+    * predictions yields null precision (undefined, not 0/0);
+    * `label` must be 0/1, null-labeled or null-scored rows drop.
+    */
+  def thresholdMetrics(df: DataFrame, scoreCol: String,
+      labelCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val clean = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y"))
+    def cnt(pred: Column): Column =
+      sum(when(pred, 1L).otherwise(0L))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      cnt(col("__s") >= t && col("__y") === 1.0).as(s"__tp$i"),
+      cnt(col("__s") >= t && col("__y") === 0.0).as(s"__fp$i"),
+      cnt(col("__s") < t && col("__y") === 1.0).as(s"__fn$i"),
+      cnt(col("__s") < t && col("__y") === 0.0).as(s"__tn$i"))
+    }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn) = (col(s"__tp$i"), col(s"__fp$i"),
+        col(s"__fn$i"))
+      struct(lit(t).as("threshold"),
+        tp.as("tp"), fp.as("fp"), fn.as("fn"),
+        col(s"__tn$i").as("tn"),
+        when(tp + fp > 0, tp.cast("double") /
+          (tp + fp).cast("double")).as("precision"),
+        when(tp + fn > 0, tp.cast("double") /
+          (tp + fn).cast("double")).as("recall"))
+    }
+    one.select(explode(array(rows: _*)).as("__m")).select(col("__m.*"))
+  }
+
   /** Map-only scoring: `score` = σ(w·x + b), `predicted` at 0.5.
     * Broadcast-literal weights, fixed expression shape — a score is
     * reproducible wherever the row lands.

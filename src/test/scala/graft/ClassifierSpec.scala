@@ -72,6 +72,24 @@ class ClassifierSpec extends SparkSpec {
     assert(m.dim == 2) // fit ran on the two clean rows
   }
 
+  test("thresholdMetrics: exact confusion counts, undefined " +
+      "precision -> null, null rows drop") {
+    val df = Seq(
+      (0.9, Some(1.0)), (0.8, Some(0.0)), (0.6, Some(1.0)),
+      (0.4, Some(0.0)), (0.2, Some(1.0)), (0.1, Some(0.0)),
+      (0.5, None: Option[Double])).toDF("score", "label")
+    val got = Classifier.thresholdMetrics(df, "score", "label",
+        Seq(0.5, 0.99)).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    val at05 = got(0.5)
+    assert((at05.getLong(1), at05.getLong(2), at05.getLong(3),
+      at05.getLong(4)) == ((2L, 1L, 1L, 2L))) // tp fp fn tn
+    assert(at05.getDouble(5) == 2.0 / 3 && at05.getDouble(6) == 2.0 / 3)
+    val at99 = got(0.99)
+    assert(at99.getLong(1) == 0L && at99.isNullAt(5)) // no preds
+    assert(at99.getDouble(6) == 0.0) // recall defined: 0/3... 0/(0+3)
+  }
+
   test("in-engine pipeline: rule-labeled seed -> hashingVector " +
       "features -> fit -> corpus scoring recovers the rule") {
     val docs = ((0 until 60).map(i => (i.toLong,
