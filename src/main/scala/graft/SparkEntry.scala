@@ -926,6 +926,14 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // ----- asymmetric containment: |A∩B|/min(|A|,|B|) — the
+    // short-doc-quoted-in-long-doc catch Jaccard misses
+    "q_ngram_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.ngramContainmentPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.8)
+    }),
+
     // ----- ANN: brute-force quantized-cosine top-10 over embeddings
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2144,6 +2152,7 @@ object SparkEntry {
            ORDER BY score DESC, term ASC) <= 3""",
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_ngram_containment" -> ngramContainmentOracle,
     "q_ann_topk"      -> annTopKOracle,
     "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,
@@ -2897,6 +2906,34 @@ object SparkEntry {
          FROM cand JOIN grams ga ON ga.doc_id = cand.id_a
                    JOIN grams gb ON gb.doc_id = cand.id_b) v
        WHERE jaccard >= 0.8"""
+
+  /** Same candidate construction as the Jaccard replay; containment
+    * normalizes by the smaller gram set and names the contained side
+    * (smaller set; ties to the lower id).
+    */
+  private def ngramContainmentOracle: String =
+    """WITH toks AS (SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+       grams AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(tk) - 2, 1)),
+         i -> array_to_string(tk[i:i+2], ' '))) AS g FROM toks),
+       inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+       freq AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
+       kept AS (SELECT doc_id, gram FROM inv JOIN freq USING (gram)
+         WHERE df <= 1000),
+       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+       SELECT id_a, id_b, containment,
+         CASE WHEN la < lb THEN id_a
+              WHEN lb < la THEN id_b ELSE id_a END AS contained_id
+       FROM (
+         SELECT id_a, id_b, len(ga.g) AS la, len(gb.g) AS lb,
+           len(list_intersect(ga.g, gb.g))::DOUBLE /
+             least(len(ga.g), len(gb.g))::DOUBLE AS containment
+         FROM cand JOIN grams ga ON ga.doc_id = cand.id_a
+                   JOIN grams gb ON gb.doc_id = cand.id_b) v
+       WHERE containment >= 0.8"""
 
   private val QuantilePs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
 

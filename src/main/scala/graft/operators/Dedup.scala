@@ -335,6 +335,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ASYMMETRIC near-dup pairs by n-gram CONTAINMENT:
+    * |A∩B| / min(|A|, |B|) ≥ threshold — the partial-duplication
+    * catch symmetric Jaccard misses (a short doc fully quoted inside
+    * a long one scores J ≈ |short|/|long| → invisible at any usable
+    * Jaccard threshold, but containment ≈ 1). Same candidate shape as
+    * [[ngramJaccardPairs]]: df-capped bucketed inverted index,
+    * minShared floor, ONE gram pass for the exact verify. Output adds
+    * which side is the contained one (`contained_id` — the smaller
+    * gram set; ties to the lower id), since downstream curation drops
+    * the CONTAINED doc, not an arbitrary pair member.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      dfCap: Long = 1000L, minShared: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      graft.functions.NativeHash
+        .distinctWordNGramsColumn(col(textCol), n).as("grams"))
+    val inv = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val cand = BucketPairs.bucketedPairs(inv, col("gram"),
+        struct(col("id")), dfCap)
+      .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ks"))
+      .filter(col("__ks") >= minShared)
+      .drop("__ks")
+    val sides = cand
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("id"), lit(0).as("__s")),
+          struct(col("id_b").as("id"), lit(1).as("__s")))).as("e"))
+      .select(col("id_a"), col("id_b"),
+        col("e.id").as("id"), col("e.__s").as("__s"))
+    val paired = sides.join(grams, Seq("id"))
+      .groupBy("id_a", "id_b").agg(
+        first(when(col("__s") === 0, col("grams")), ignoreNulls = true)
+          .as("__ga"),
+        first(when(col("__s") === 1, col("grams")), ignoreNulls = true)
+          .as("__gb"))
+    paired
+      .withColumn("__inter",
+        size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("containment", col("__inter").cast("double") /
+        least(size(col("__ga")), size(col("__gb"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(size(col("__ga")) < size(col("__gb")), col("id_a"))
+          .when(size(col("__gb")) < size(col("__ga")), col("id_b"))
+          .otherwise(col("id_a")))
+      .select("id_a", "id_b", "containment", "contained_id")
+  }
+
   // ---------------------------------------------------- cluster collapse
 
   /** Collapse near-dup PAIRS into duplicate clusters: every node gets

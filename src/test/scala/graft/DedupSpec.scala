@@ -75,6 +75,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram containment catches the quoted-short-doc case Jaccard " +
+      "misses, and names the contained side") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 60)
+      .map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs2 = Seq((1L, short), (2L, long),
+      (3L, "completely different text with no shared phrases here " +
+        "at all and nothing else in common")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs2, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(cont.exists(p => p._1 == 1L && p._2 == 2L &&
+      p._3 == 1.0 && p._4 == 1L), cont.toSeq.toString)
+    // the same pair is invisible to Jaccard at any usable threshold
+    val jac = Dedup.ngramJaccardPairs(docs2, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!jac.contains((1L, 2L)))
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("duplicateClusters collapses transitive chains to the min id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // 1~2, 2~3 (transitive), 4~5; 9 is a singleton
