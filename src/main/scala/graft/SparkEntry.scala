@@ -446,6 +446,26 @@ object SparkEntry {
       d.select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // ----- composite language ID: marker words where they speak,
+    // else und-<Script> from script detection (same plants as
+    // q_script_id so every branch is exercised)
+    "q_lang_full" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sample = when(col("doc_id") % 7 === 1,
+          lit("Привет мир, это проверка кириллицы"))
+        .when(col("doc_id") % 7 === 2, lit("你好世界这是中文测试文本"))
+        .when(col("doc_id") % 7 === 3,
+          lit("こんにちは世界 カタカナ テスト"))
+        .when(col("doc_id") % 7 === 4,
+          lit("안녕하세요 세계 한국어 텍스트"))
+        .when(col("doc_id") % 7 === 5,
+          lit("नमस्ते दुनिया यह हिंदी परीक्षण है"))
+        .when(col("doc_id") % 7 === 6,
+          lit("สวัสดีชาวโลก นี่คือข้อความภาษาไทย"))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), T.langIdFull(sample).as("lang_full"))
+    }),
+
     // ----- feature hashing: model-free text embedding, nonzero
     // coordinates exploded so the oracle replays buckets and signs
     "q_hash_vectorize" -> ((s, dir) => {
@@ -1777,6 +1797,7 @@ object SparkEntry {
          FROM g GROUP BY user_id, sid""",
 
     "q_lang_id" -> langIdOracle,
+    "q_lang_full" -> langFullOracle,
 
     // Mirrors TextFunctions.qualityScore: four 0/1 gates × weights,
     // summed left-to-right. Every literal is cast to DOUBLE — a bare
@@ -2363,6 +2384,61 @@ object SparkEntry {
     * argmax with first-wins tiebreak in LangMarkers order. Generated
     * from the SAME marker table the Spark expression uses.
     */
+  /** Composite replay: marker scores over the planted sample, script
+    * counts over the same, und-<Subtag> fallback generated from the
+    * SAME ScriptSubtags table the Column API uses.
+    */
+  private def langFullOracle: String = {
+    val scores = T.LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> s"len(list_filter(tk, t -> list_contains($list, t)))"
+    }
+    val scoreCols =
+      scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = scores.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val baseCases = scores
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString(" ")
+    val cntCols = T.ScriptRanges.map { case (name, range) =>
+      s"length(regexp_replace(s, '[^$range]', '', 'g')) AS n_$name"
+    }.mkString(", ")
+    val m = T.ScriptRanges.map(r => s"n_${r._1}")
+      .mkString("GREATEST(", ", ", ")")
+    val scriptCases = T.ScriptRanges
+      .map { case (name, _) => s"WHEN n_$name = m THEN '$name'" }
+      .mkString(" ")
+    val tagCases = T.ScriptSubtags.filter(_._1 != "latin")
+      .map { case (name, tag) => s"WHEN script = '$name' " +
+        s"THEN 'und-$tag'" }
+      .mkString(" ")
+    s"""WITH src AS (SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN 'Привет мир, это проверка кириллицы'
+              WHEN doc_id % 7 = 2 THEN '你好世界这是中文测试文本'
+              WHEN doc_id % 7 = 3 THEN 'こんにちは世界 カタカナ テスト'
+              WHEN doc_id % 7 = 4 THEN '안녕하세요 세계 한국어 텍스트'
+              WHEN doc_id % 7 = 5 THEN 'नमस्ते दुनिया यह हिंदी परीक्षण है'
+              WHEN doc_id % 7 = 6 THEN 'สวัสดีชาวโลก นี่คือข้อความภาษาไทย'
+              ELSE text END AS s
+       FROM documents),
+       tkn AS (SELECT doc_id, s,
+         regexp_split_to_array(trim(lower(s)), '\\s+') AS tk FROM src),
+       sc AS (SELECT doc_id, s, $scoreCols FROM tkn),
+       b AS (SELECT *, $best AS best FROM sc),
+       base AS (SELECT doc_id, s,
+         CASE WHEN best <= 0 THEN 'und' $baseCases ELSE 'und' END
+           AS lang FROM b),
+       cnt AS (SELECT doc_id, lang, $cntCols FROM base),
+       scr AS (SELECT doc_id, lang,
+         CASE WHEN m = 0 THEN 'und' $scriptCases ELSE 'und' END
+           AS script
+         FROM (SELECT *, $m AS m FROM cnt) x)
+       SELECT doc_id,
+         CASE WHEN lang <> 'und' THEN lang
+              $tagCases
+              ELSE 'und' END AS lang_full
+       FROM scr"""
+  }
+
   private def langIdOracle: String = {
     val scores = T.LangMarkers.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ",", "]")

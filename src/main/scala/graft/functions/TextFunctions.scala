@@ -415,6 +415,34 @@ object TextFunctions {
     chain.otherwise(lit("und"))
   }
 
+  /** BCP-47 script subtag per [[ScriptRanges]] name. */
+  val ScriptSubtags: Seq[(String, String)] = Seq(
+    "latin" -> "Latn", "cyrillic" -> "Cyrl", "greek" -> "Grek",
+    "arabic" -> "Arab", "hebrew" -> "Hebr", "devanagari" -> "Deva",
+    "han" -> "Hani", "hangul" -> "Hang", "kana" -> "Kana",
+    "thai" -> "Thai")
+
+  /** Composite language classification: the marker-word [[langId]]
+    * where it can speak, else a BCP-47-style `und-<Script>` tag from
+    * [[dominantScript]] — so Chinese/Korean/Thai/Russian content gets
+    * 'und-Hani'/'und-Hang'/'und-Thai'/'und-Cyrl' instead of a bare
+    * 'und' (honest: language unknown, script known — a script tag is
+    * exactly what routing to per-script pipelines needs). Latin-script
+    * text the marker table cannot place stays 'und' — claiming a
+    * script there adds nothing (the marker table IS the Latin-script
+    * classifier).
+    */
+  def langIdFull(c: Column): Column = {
+    val base = langId(c)
+    val script = dominantScript(c)
+    val scriptTag = ScriptSubtags
+      .filter(_._1 != "latin")
+      .foldLeft(when(lit(false), lit(""))) { case (w, (name, tag)) =>
+        w.when(script === name, lit(s"und-$tag"))
+      }.otherwise(lit("und"))
+    when(base =!= "und", base).otherwise(scriptTag)
+  }
+
   // ------------------------------------- repetition signals (Gopher-ish)
 
   /** Fraction of lines that are repeats of an earlier line (0 for a

@@ -307,6 +307,23 @@ class TextFunctionsSpec extends SparkSpec {
       assert(got == want, s"for $in") }
   }
 
+  test("langIdFull: markers win, scripts fill the und gap, Latin " +
+      "stays honest und") {
+    val cases = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("你好世界测试", "und-Hani"),
+      ("Привет мир",
+        "und-Cyrl"),
+      ("สวัสดี", "und-Thai"),
+      ("xqzzqx bvkwpl ncrtmd", "und"), // latin but unplaceable
+      ("12345 67890", "und"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions.langIdFull(col("t")))
+      .as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"for '$in'") }
+  }
+
   test("mojibakeCharFraction flags damage, never clean accents") {
     val cases = Seq(
       // UTF-8 'é' read as Latin-1: Ã + ©  (4 damaged chars of 8)
