@@ -781,6 +781,16 @@ object SparkEntry {
           col("pct_rank"))
     }),
 
+    // ----- per-group robust z: each flag's prices score against
+    // that flag's own median/MAD
+    "q_grouped_robust_z" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnStats.groupedRobustZScore(li, "l_returnflag",
+          "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("robust_z"))
+    }),
+
     // ----- equal-frequency binning: exact quartile thresholds, the
     // same <=-upper bin chain as q_binning
     "q_eqfreq_binning" -> ((s, dir) => {
@@ -2122,6 +2132,34 @@ object SparkEntry {
          FROM lineitem l
            LEFT JOIN cumv ON l.l_extendedprice = cumv.v
            CROSS JOIN n""",
+
+    // per-group median and MAD through the grouped-quantile CTEs;
+    // the deviation table derives from the bit-identical medians
+    "q_grouped_robust_z" -> {
+      val medSql = groupedQuantilesSqlFor("lineitem", "l_returnflag",
+        "l_extendedprice", Seq(0.5),
+        "lov.g AS g, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)" +
+          " AS quantile")
+      val devTable = s"""(WITH md AS ($medSql)
+        SELECT l.l_returnflag,
+          abs(l.l_extendedprice::DOUBLE - md.quantile) AS dev
+        FROM lineitem l JOIN md ON l.l_returnflag = md.g
+        WHERE l.l_extendedprice IS NOT NULL) ddt"""
+      val madSql = groupedQuantilesSqlFor(devTable, "l_returnflag",
+        "dev", Seq(0.5),
+        "lov.g AS g, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE)" +
+          " AS quantile")
+      s"""WITH md AS ($medSql), mad AS ($madSql)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN l.l_extendedprice IS NOT NULL
+               AND mad.quantile > 0
+             THEN (l.l_extendedprice::DOUBLE - md.quantile)
+               / mad.quantile
+           END AS robust_z
+         FROM lineitem l
+           LEFT JOIN md ON l.l_returnflag = md.g
+           LEFT JOIN mad ON l.l_returnflag = mad.g"""
+    },
 
     // quartile thresholds replay through the quantile CTEs; the bin
     // chain is the same <=-upper CASE as q_binning

@@ -444,6 +444,38 @@ object ColumnStats {
       .select(col(groupCol), col("__p.*"))
   }
 
+  /** [[robustZScore]] PER GROUP: each value scores against its OWN
+    * group's median and MAD — cross-domain corpora mix scales, and a
+    * global MAD would flag every row of the wide domain. Two grouped
+    * quantile chains (median, then per-group deviation median), both
+    * pivoted to |groups|-row threshold frames and broadcast back;
+    * the score is one subtraction and one divide on bit-identical
+    * thresholds. Null-group rows score null (no population), as do
+    * degenerate-MAD groups and null values.
+    */
+  def groupedRobustZScore(df: DataFrame, groupCol: String,
+      valueCol: String, outCol: String = "robust_z"): DataFrame = {
+    val med = groupedExactQuantiles(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol).cast("string").as("__g"),
+        col("quantile").as("__med"))
+    val gKey = col(groupCol).cast("string")
+    val devs = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(med), gKey === col("__g"))
+      .select(col(groupCol),
+        abs(col(valueCol).cast("double") - col("__med")).as("__dev"))
+    val mad = groupedExactQuantiles(devs, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol).cast("string").as("__g2"),
+        col("quantile").as("__mad"))
+    df.join(broadcast(med), gKey === col("__g"), "left")
+      .join(broadcast(mad), gKey === col("__g2"), "left")
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull && col("__mad") > 0,
+          (col(valueCol).cast("double") - col("__med")) /
+            col("__mad")))
+      .drop("__g", "__med", "__g2", "__mad")
+  }
+
   /** Winsorization (quantile clipping): values below the `pLo`
     * quantile rise to it, values above `pHi` fall to it — the
     * standard outlier cap before means/correlations on heavy-tailed

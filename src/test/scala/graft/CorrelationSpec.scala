@@ -239,6 +239,25 @@ class CorrelationSpec extends SparkSpec {
     assert(out.collect { case (None, v) => v }.head == 1.0e9)
   }
 
+  test("groupedRobustZScore scores against the OWN group's " +
+      "median/MAD; null groups and degenerate MAD score null") {
+    val df = (Seq.tabulate(9)(i => (Some("a"), (i + 1).toDouble)) ++
+      Seq((Some("a"), 100.0)) ++
+      Seq.tabulate(8)(_ => (Some("b"), 7.0)) :+
+      ((None: Option[String]), 5.0)).toDF("g", "v")
+    val got = ColumnStats.groupedRobustZScore(df, "g", "v")
+      .select("g", "v", "robust_z").collect().map(r =>
+        ((Option(r.getString(0)), r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // group a mirrors the global robustZScore fixture: med 5.5, MAD 2.5
+    assert(got((Some("a"), 1.0)) == Some((1.0 - 5.5) / 2.5))
+    assert(got((Some("a"), 100.0)) == Some((100.0 - 5.5) / 2.5))
+    // constant group b: MAD 0 -> null, a's spread must not leak in
+    assert(got((Some("b"), 7.0)).isEmpty)
+    // null group: no population
+    assert(got((None, 5.0)).isEmpty)
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
