@@ -434,13 +434,23 @@ object TextFunctions {
     */
   def langIdFull(c: Column): Column = {
     val base = langId(c)
-    val script = dominantScript(c)
-    val scriptTag = ScriptSubtags
-      .filter(_._1 != "latin")
-      .foldLeft(when(lit(false), lit(""))) { case (w, (name, tag)) =>
-        w.when(script === name, lit(s"und-$tag"))
-      }.otherwise(lit("und"))
-    when(base =!= "und", base).otherwise(scriptTag)
+    // one counts chain emitting tags DIRECTLY — routing through
+    // dominantScript would re-evaluate its whole 10-regex expression
+    // once per mapping branch (measured 23 s vs 0.6 s on the bench
+    // corpus); same first-match priority as dominantScript, with the
+    // latin branch mapping to the honest 'und'
+    val tagMap = ScriptSubtags.toMap
+    val counts = ScriptRanges.map { case (name, _) =>
+      name -> scriptCount(c, name)
+    }
+    val m = greatest(counts.map(_._2): _*)
+    val fallback = counts.foldLeft(when(m === 0, lit("und"))) {
+      case (w, (name, cnt)) =>
+        w.when(cnt === m,
+          if (name == "latin") lit("und")
+          else lit(s"und-${tagMap(name)}"))
+    }.otherwise(lit("und"))
+    when(base =!= "und", base).otherwise(fallback)
   }
 
   // ------------------------------------- repetition signals (Gopher-ish)
