@@ -964,6 +964,14 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    // ----- the delete half: drop each pair's CONTAINED side
+    "q_scrub_contained" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.scrubContained(d, "doc_id", "text", n = 3,
+          threshold = 0.8)
+        .select("doc_id")
+    }),
+
     // ----- ANN: brute-force quantized-cosine top-10 over embeddings
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2212,6 +2220,13 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
+
+    // survivors = documents minus the pairs' contained sides
+    "q_scrub_contained" ->
+      s"""SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (
+           SELECT DISTINCT contained_id
+           FROM ($ngramContainmentOracle) z)""",
     "q_ann_topk"      -> annTopKOracle,
     "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,

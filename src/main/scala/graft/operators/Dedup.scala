@@ -387,6 +387,25 @@ object Dedup {
       .select("id_a", "id_b", "containment", "contained_id")
   }
 
+  /** The delete half of [[ngramContainmentPairs]]: drop every doc
+    * named as a CONTAINED side of a qualifying pair (the quoted copy
+    * goes, the quoting original stays). The drop set is the distinct
+    * `contained_id` column — bounded by the pair count, anti-joined
+    * back; a doc contained in several others drops once. Note this
+    * is deliberately NOT a cluster collapse: containment is not
+    * transitive the way near-equality is (A⊂B and B⊂C says A⊂C, but
+    * B≈C says nothing about either containing A), so the pairwise
+    * contained-side drop is the correct semantics.
+    */
+  def scrubContained(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 1000L,
+      minShared: Int = 3): DataFrame = {
+    val drop = ngramContainmentPairs(df, idCol, textCol, n,
+        threshold, dfCap, minShared)
+      .select(col("contained_id").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- cluster collapse
 
   /** Collapse near-dup PAIRS into duplicate clusters: every node gets

@@ -97,6 +97,20 @@ class DedupSpec extends SparkSpec {
     assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("scrubContained drops the quoted copy, keeps the quoting " +
+      "original") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 60)
+      .map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs2 = Seq((1L, short), (2L, long),
+      (3L, "completely different text with no shared phrases here " +
+        "at all and nothing else in common")).toDF("doc_id", "text")
+    val kept = Dedup.scrubContained(docs2, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
   test("duplicateClusters collapses transitive chains to the min id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // 1~2, 2~3 (transitive), 4~5; 9 is a singleton
