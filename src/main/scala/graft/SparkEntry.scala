@@ -781,6 +781,18 @@ object SparkEntry {
           col("pct_rank"))
     }),
 
+    // ----- Tukey fences: outliers outside [Q1-1.5*IQR, Q3+1.5*IQR];
+    // prices are near-uniform (no tail), so spikes are planted on
+    // 1-in-997 rows — the flag must catch exactly those
+    "q_iqr_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("__v",
+        when(col("l_orderkey") % 997 === 0,
+          col("l_extendedprice") * 50).otherwise(col("l_extendedprice")))
+      ColumnStats.iqrOutliers(li, "__v", k = 1.5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("is_outlier"))
+    }),
+
     // ----- per-group robust z: each flag's prices score against
     // that flag's own median/MAD
     "q_grouped_robust_z" -> ((s, dir) => {
@@ -2140,6 +2152,28 @@ object SparkEntry {
          FROM lineitem l
            LEFT JOIN cumv ON l.l_extendedprice = cumv.v
            CROSS JOIN n""",
+
+    // quartiles through the quantile CTEs over the SAME planted
+    // column; fences and flags are single IEEE ops / comparisons on
+    // bit-identical quartiles
+    "q_iqr_outliers" -> {
+      val planted = "(SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 50 " +
+        "ELSE l_extendedprice END AS v FROM lineitem) pl"
+      val qcte = quantilesSqlFor(planted, "v",
+        Seq(0.25, 0.75),
+        "p, v_lo + (cc.v - v_lo) * (r - ri_lo::DOUBLE) AS quantile")
+      s"""WITH qs AS ($qcte),
+         f AS (SELECT
+           (SELECT quantile FROM qs WHERE p = 0.25) AS q1,
+           (SELECT quantile FROM qs WHERE p = 0.75) AS q3)
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN v IS NOT NULL THEN
+             v::DOUBLE < q1 - 1.5 * (q3 - q1)
+             OR v::DOUBLE > q3 + 1.5 * (q3 - q1)
+           END AS is_outlier
+         FROM $planted CROSS JOIN f"""
+    },
 
     // per-group median and MAD through the grouped-quantile CTEs;
     // the deviation table derives from the bit-identical medians

@@ -476,6 +476,28 @@ object ColumnStats {
       .drop("__g", "__med", "__g2", "__mad")
   }
 
+  /** Tukey-fence outlier flags: a value is an outlier when it falls
+    * outside [Q1 − k·IQR, Q3 + k·IQR] (k = 1.5 classic, 3.0 "far
+    * out") — the box-plot rule, sturdier than mean±3σ on heavy tails
+    * and cheaper than MAD (ONE quantile chain, not two). Fences are
+    * single IEEE ops on the exact interpolated quartiles, the flag a
+    * comparison — engine-replayable. Null values flag null.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, k: Double = 1.5,
+      outCol: String = "is_outlier"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qs = exactQuantiles(df, valueCol, Seq(0.25, 0.75))
+      .orderBy("p").select("quantile").collect().map(_.getDouble(0))
+    require(qs.length == 2,
+      s"iqrOutliers: no non-null values in '$valueCol'")
+    val (q1, q3) = (qs(0), qs(1))
+    val (lo, hi) = (q1 - k * (q3 - q1), q3 + k * (q3 - q1))
+    df.withColumn(outCol,
+      when(col(valueCol).isNotNull,
+        col(valueCol).cast("double") < lo ||
+          col(valueCol).cast("double") > hi))
+  }
+
   /** Winsorization (quantile clipping): values below the `pLo`
     * quantile rise to it, values above `pHi` fall to it — the
     * standard outlier cap before means/correlations on heavy-tailed

@@ -258,6 +258,23 @@ class CorrelationSpec extends SparkSpec {
     assert(got((None, 5.0)).isEmpty)
   }
 
+  test("iqrOutliers flags the planted tail, not the bulk; nulls " +
+      "flag null") {
+    // 1..100 uniform plus two spikes; Q1=25.75, Q3=75.25, IQR=49.5:
+    // fences [-48.5, 149.5] -> only the spikes are out
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(1000.0, -500.0))
+      .map(Option(_)).:+(None: Option[Double]).toDF("v")
+    val out = ColumnStats.iqrOutliers(df, "v").select("v", "is_outlier")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out(Some(1000.0)) == Some(true))
+    assert(out(Some(-500.0)) == Some(true))
+    assert(out(Some(50.0)) == Some(false))
+    assert(out(Some(1.0)) == Some(false)) // inside the low fence
+    assert(out(None).isEmpty)
+  }
+
   test("duplicate or too-few columns are rejected") {
     val df = Seq((1.0, 2.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
