@@ -1102,14 +1102,16 @@ object SparkEntry {
     // count); oracle replays the strip-and-measure fraction
     "q_mojibake" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val planted = when(col("doc_id") % 5 === 1,
+      val planted = when(col("doc_id") % 6 === 1,
           concat(col("text"), lit(MojiPlants(0))))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 6 === 2,
           concat(col("text"), lit(MojiPlants(1))))
-        .when(col("doc_id") % 5 === 3,
+        .when(col("doc_id") % 6 === 3,
           concat(col("text"), lit(MojiPlants(2))))
-        .when(col("doc_id") % 5 === 4,
+        .when(col("doc_id") % 6 === 4,
           concat(col("text"), lit(MojiPlants(3))))
+        .when(col("doc_id") % 6 === 5,
+          concat(col("text"), lit(MojiPlants(4))))
         .otherwise(col("text"))
       d.select(col("doc_id"),
         round(T.mojibakeCharFraction(planted), 9).as("moji_frac"))
@@ -1769,10 +1771,11 @@ object SparkEntry {
          round((length(t2) - length(regexp_replace(t2, '$p', '', 'g')))
              ::DOUBLE / greatest(length(t2), 1), 9) AS moji_frac
          FROM (SELECT doc_id, text ||
-             CASE WHEN doc_id % 5 = 1 THEN '${MojiPlants(0)}'
-                  WHEN doc_id % 5 = 2 THEN '${MojiPlants(1)}'
-                  WHEN doc_id % 5 = 3 THEN '${MojiPlants(2)}'
-                  WHEN doc_id % 5 = 4 THEN '${MojiPlants(3)}'
+             CASE WHEN doc_id % 6 = 1 THEN '${MojiPlants(0)}'
+                  WHEN doc_id % 6 = 2 THEN '${MojiPlants(1)}'
+                  WHEN doc_id % 6 = 3 THEN '${MojiPlants(2)}'
+                  WHEN doc_id % 6 = 4 THEN '${MojiPlants(3)}'
+                  WHEN doc_id % 6 = 5 THEN '${MojiPlants(4)}'
                   ELSE '' END AS t2
            FROM documents) z"""
     },
@@ -3193,15 +3196,18 @@ object SparkEntry {
 
   /** q_mojibake plants, explicit code points so the oracle replays
     * byte-for-byte: (0) UTF-8-as-Latin-1 'é' ('Ã'+U+00A9), (1) a
-    * replacement char, (2) mis-decoded smart quotes
+    * replacement char, (2) Latin-1 mis-decoded smart quotes
     * ('â'+U+0080+U+0099/9C/9D), (3) CLEAN accents that must NOT
-    * count.
+    * count, (4) cp1252 mis-decoded ellipsis/left-quote —
+    * 'â'+U+20AC+U+00A6 and 'â'+U+20AC+U+0153 (bytes E2 80 A6 /
+    * E2 80 9C read as Windows-1252).
     */
   private val MojiPlants: Seq[String] = Seq(
     " caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9",
     " bad\ufffdchar",
     " it\u00e2\u0080\u0099s \u00e2\u0080\u009cquoted\u00e2\u0080\u009d",
-    " caf\u00e9 r\u00e9sum\u00e9 na\u00efve")
+    " caf\u00e9 r\u00e9sum\u00e9 na\u00efve",
+    " wait\u00e2\u20ac\u00a6 \u00e2\u20ac\u0153ok")
 
   /** (column, integer-grid scale) pairs for q_feature_corr: dollar
     * grid for the big measure, percent grid for the small rates —

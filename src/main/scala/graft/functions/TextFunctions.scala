@@ -327,18 +327,40 @@ object TextFunctions {
   private[graft] val ControlCharPattern = "[\\x00-\\x1F\\x7F]"
   private[graft] val WsRunPattern = "\\s+"
 
+  /** The cp1252 decodings of bytes 0x80–0x9F that DIFFER from
+    * Latin-1 (which maps that range to control characters): the
+    * smart-punctuation/currency block every Windows-mojibake digraph
+    * lands in ('€' for 0x80, '™' for 0x99, 'œ' for 0x9C, …). Bytes
+    * 0x81/0x8D/0x8F/0x90/0x9D are undefined in cp1252 and omitted.
+    */
+  private val Cp1252HighChars: String =
+    "\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}\\x{2020}\\x{2021}" +
+      "\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}\\x{017D}" +
+      "\\x{2018}\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}" +
+      "\\x{2014}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}" +
+      "\\x{017E}\\x{0178}"
+
   /** Encoding-damage signatures: the U+FFFD replacement character
-    * (decoder already gave up) plus the classic UTF-8-read-as-Latin-1
-    * digraphs — 'Ã'/'Â' followed by a Latin-1 continuation-range
-    * char (how every 2-byte UTF-8 sequence mis-decodes) and the
-    * 'â€¦'-family (mis-decoded smart punctuation). `\x{...}` escapes
-    * are valid in both Java regex and RE2, so a SQL oracle counts the
-    * same characters. Legitimate accented text ('é', 'ü') never
-    * matches — the signatures need the mis-decoded LEAD byte first.
+    * (decoder already gave up) plus the classic
+    * UTF-8-read-as-single-byte digraphs under BOTH common wrong
+    * decoders — Latin-1 (continuation bytes become U+0080–U+00FF)
+    * and cp1252 (bytes 0x80–0x9F become the smart-punctuation block,
+    * [[Cp1252HighChars]]): 'Ã'/'Â' followed by a continuation-range
+    * char (how every 2-byte UTF-8 sequence mis-decodes, e.g. 'Ã©'
+    * and cp1252's 'Ã˜') and 'â' followed by TWO continuation-range
+    * chars (3-byte sequences — Latin-1's 'â'+U+0080+… and cp1252's
+    * 'â€¦'/'â€œ' family). `\x{...}` escapes are valid in both Java
+    * regex and RE2, so a SQL oracle counts the same characters.
+    * Legitimate accented text ('é', 'ü') never matches — the
+    * signatures need the mis-decoded LEAD byte first, and the 'â'
+    * alternative needs two consecutive continuation-class chars
+    * after it, which no natural orthography produces.
     */
   private[graft] val MojibakePattern: String =
-    "\\x{FFFD}|[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00FF}]|" +
-      "\\x{00E2}\\x{0080}[\\x{0080}-\\x{00FF}\\x{0153}\\x{2122}]"
+    "\\x{FFFD}" +
+      s"|[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00FF}$Cp1252HighChars]" +
+      s"|\\x{00E2}[\\x{0080}-\\x{00BF}$Cp1252HighChars]" +
+      s"[\\x{0080}-\\x{00FF}$Cp1252HighChars]"
 
   /** Fraction of the text's characters inside mojibake sequences —
     * strip-and-measure ((len − len(stripped)) / len), one regex pass,

@@ -73,13 +73,19 @@ object Classifier {
       var w = new Array[Double](dim)
       var b = 0.0
       for (_ <- 0 until iters) {
-        val p = sigmoid(margin(col("__x"), w, b))
-        val err = p - col("__y") // per-row residual, fixed shape
+        // the O(d) margin+sigmoid evaluates ONCE per row in its own
+        // projection step; the per-element gradient lambda reads the
+        // scalar residual instead of re-deriving it for every vector
+        // element (O(d), not O(d²), work per row per iteration —
+        // same value, so the fit stays bit-identical)
+        val withErr = cached.select(col("__x"),
+          (sigmoid(margin(col("__x"), w, b)) - col("__y")).as("__e"))
+        val err = col("__e") // per-row residual, fixed shape
         // quantize each gradient component to micro-units; exact sum
         val gq = transform(col("__x"),
           xi => NativeHash.quantizeColumn(array(xi * err * lit(1000.0)))
             .getItem(0))
-        val row = cached.agg(
+        val row = withErr.agg(
           NativeHash.vecSumColumn(gq).as("g"),
           sum(NativeHash.quantizeColumn(array(err * lit(1000.0)))
             .getItem(0)).as("gb"),

@@ -498,17 +498,6 @@ object ColumnStats {
           col(valueCol).cast("double") > hi))
   }
 
-  /** Winsorization (quantile clipping): values below the `pLo`
-    * quantile rise to it, values above `pHi` fall to it — the
-    * standard outlier cap before means/correlations on heavy-tailed
-    * measures. The two thresholds come from the exact distributed
-    * quantile path ([[exactQuantiles]] — range-partitioned, no
-    * single-partition stage) and the lookup collected to the driver
-    * is TWO rows; the clip itself is one map-only projection
-    * (comparisons only, no arithmetic), so the corpus never shuffles
-    * and the clipped values are bit-identical on any engine whose
-    * quantile replay matches (q_quantiles pins that).
-    */
   /** Per-column drift report between two corpus snapshots — the
     * data-quality gate a recurring ingest runs before accepting a new
     * drop: row counts, null fractions and exact-decimal-sum means
@@ -661,6 +650,17 @@ object ColumnStats {
         (col(valueCol).cast("double") - lit(med)) / lit(mad)))
   }
 
+  /** Winsorization (quantile clipping): values below the `pLo`
+    * quantile rise to it, values above `pHi` fall to it — the
+    * standard outlier cap before means/correlations on heavy-tailed
+    * measures. The two thresholds come from the exact distributed
+    * quantile path ([[exactQuantiles]] — range-partitioned, no
+    * single-partition stage) and the lookup collected to the driver
+    * is TWO rows; the clip itself is one map-only projection
+    * (comparisons only, no arithmetic), so the corpus never shuffles
+    * and the clipped values are bit-identical on any engine whose
+    * quantile replay matches (q_quantiles pins that).
+    */
   def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
       pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,

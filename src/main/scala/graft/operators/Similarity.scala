@@ -572,27 +572,61 @@ private[graft] object IvfCentroids {
 
   /** Global list id under a TWO-LEVEL hierarchy: nearest top centroid,
     * then nearest sub-centroid within it — O((k₁+k₂)·dim) per row vs
-    * the flat O(k·dim).
+    * the flat O(k·dim). Top clusters that own NO sub-centroids (they
+    * attracted no fit rows, so they have no lists) are excluded from
+    * the argmax outright: a query landing near one would otherwise
+    * resolve to `offsets(t) + 0`, which aliases the NEXT non-empty
+    * cluster's first global list — a silently foreign assignment.
     */
   def nearestListTwoLevel(qv: Column,
       tl: Similarity.TwoLevelCentroids): Column = {
-    val t = nearestList(qv, tl.tops)
-    element_at(typedlit(tl.offsets.toIndexedSeq), t + 1) +
-      NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq)
+    val off = typedlit(tl.offsets.toIndexedSeq)
+    val ne = nonEmptyTops(tl)
+    if (ne.length == tl.tops.length) {
+      val t = nearestList(qv, tl.tops)
+      element_at(off, t + 1) +
+        NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq)
+    } else {
+      val mapBack = typedlit(ne.toIndexedSeq)
+      val t = element_at(mapBack,
+        nearestList(qv, ne.map(tl.tops).toArray) + 1)
+      element_at(off, t + 1) +
+        NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq)
+    }
   }
 
   /** Two-level probing: the `nProbe` nearest TOP clusters, entering
     * the single best sub-list inside each — the standard coarse/fine
     * IVF probe trade (recall comes from spanning top-cluster
-    * boundaries, which is where near neighbors get separated).
+    * boundaries, which is where near neighbors get separated). Empty
+    * top clusters are excluded from the probe ranking (same aliasing
+    * hazard as [[nearestListTwoLevel]]), so every probed id is a
+    * genuine list of the probed cluster and `nProbe` non-empty
+    * clusters are still reached.
     */
   def probeListsTwoLevel(qv: Column,
       tl: Similarity.TwoLevelCentroids, nProbe: Int): Column = {
     val off = typedlit(tl.offsets.toIndexedSeq)
-    transform(probeLists(qv, tl.tops, nProbe), t =>
-      element_at(off, t + 1) +
-        NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq))
+    val ne = nonEmptyTops(tl)
+    if (ne.length == tl.tops.length)
+      transform(probeLists(qv, tl.tops, nProbe), t =>
+        element_at(off, t + 1) +
+          NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq))
+    else {
+      val mapBack = typedlit(ne.toIndexedSeq)
+      transform(probeLists(qv, ne.map(tl.tops).toArray, nProbe),
+        tne => {
+          val t = element_at(mapBack, tne + 1)
+          element_at(off, t + 1) +
+            NativeHash.groupedNearestCentroidColumn(qv, t, tl.subsSeq)
+        })
+    }
   }
+
+  /** Indices of top clusters that own at least one sub-centroid. */
+  private def nonEmptyTops(tl: Similarity.TwoLevelCentroids)
+      : IndexedSeq[Int] =
+    tl.subs.indices.filter(t => tl.subs(t).nonEmpty)
 
   // ---- the replaced expression-tree forms, kept ONLY as the spec's
   // ---- independent semantics oracle (SimilaritySpec compares them

@@ -166,14 +166,18 @@ object VectorStats {
     * group's p-quantile. Two keyed aggregations + one broadcast
     * centroid join + the quantile chain; the corpus shuffles once (on
     * the group key inside the quantile's value-count reduction —
-    * distances themselves stay put).
+    * distances themselves stay put). `idCol` names the row
+    * identifier carried through to the output (default "vec_id") —
+    * frames keyed differently pass their own instead of being forced
+    * to rename.
     */
   def centroidOutliers(df: DataFrame, labelCol: String,
-      vecCol: String, p: Double = 0.95): DataFrame = {
+      vecCol: String, p: Double = 0.95,
+      idCol: String = "vec_id"): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
     val v = df
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
-      .select(col("vec_id"), col(labelCol).as("__g"),
+      .select(col(idCol), col(labelCol).as("__g"),
         Similarity.quantize(col(vecCol)).as("__qv"))
     val cents = v.groupBy("__g")
       .agg(graft.functions.NativeHash.vecSumColumn(col("__qv"))
@@ -182,7 +186,7 @@ object VectorStats {
         s => round(s.cast("double") / col("__n"), 0).cast("long"))
         .as("__qc"))
     val dists = v.join(broadcast(cents), Seq("__g"))
-      .select(col("vec_id"), col("__g"),
+      .select(col(idCol), col("__g"),
         aggregate(zip_with(col("__qv"), col("__qc"),
           (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist2"))
     val th = ColumnStats.groupedExactQuantiles(dists, "__g", "dist2",
@@ -191,7 +195,7 @@ object VectorStats {
         col("quantile").as("__th"))
     dists
       .join(broadcast(th), col("__g").cast("string") === col("__gs"))
-      .select(col("vec_id"), col("__g").as(labelCol), col("dist2"),
+      .select(col(idCol), col("__g").as(labelCol), col("dist2"),
         (col("dist2").cast("double") > col("__th")).as("is_outlier"))
   }
 

@@ -245,6 +245,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level probe/assign skip EMPTY top clusters instead of " +
+    "aliasing the next cluster's first list") {
+    import graft.operators.IvfCentroids
+    // hand-built hierarchy: top 1 owns NO sub-centroids. Its global
+    // probe result used to be offsets(1)+0 = 1, which is top 2's
+    // first (and only) list — a silently foreign id.
+    val tl = Similarity.TwoLevelCentroids(
+      tops = Array(Seq(1000L, 0L), Seq(0L, 1000L), Seq(-1000L, 0L)),
+      subs = Array(
+        Array(Seq(1000L, 0L)),           // top 0 -> global list 0
+        Array.empty[Seq[Long]],          // top 1 -> EMPTY
+        Array(Seq(-1000L, 0L))))         // top 2 -> global list 1
+    assert(tl.nLists == 2 && tl.offsets.toSeq == Seq(0, 1, 1))
+    // a query sitting exactly on the empty top's centroid must NOT
+    // resolve to list 1 (top 2's list) via the offset alias — its
+    // best NON-EMPTY top is 0 (dot 0) or 2 (dot 0); ties to the
+    // lowest index = top 0 = list 0
+    val q = Seq((0L, Seq(0L, 1000L))).toDF("id", "__qv")
+    val got = q.select(
+        IvfCentroids.nearestListTwoLevel(col("__qv"), tl).as("n"),
+        IvfCentroids.probeListsTwoLevel(col("__qv"), tl, 3).as("p"))
+      .head()
+    assert(got.getInt(0) == 0, "nearest must skip the empty top")
+    // probing all 3 tops yields exactly the two REAL lists, the
+    // empty top contributing nothing
+    assert(got.getSeq[Int](1) == Seq(0, 1))
+    // full-rank hierarchies take the unchanged fast path: same
+    // answers as before the guard
+    val full = Similarity.TwoLevelCentroids(
+      tops = Array(Seq(1000L, 0L), Seq(-1000L, 0L)),
+      subs = Array(Array(Seq(1000L, 0L)), Array(Seq(-1000L, 0L))))
+    val g2 = Seq((0L, Seq(900L, 10L))).toDF("id", "__qv")
+      .select(IvfCentroids.nearestListTwoLevel(col("__qv"), full)
+        .as("n")).head()
+    assert(g2.getInt(0) == 0)
+  }
+
   test("knnGraph auto-k past the flat ceiling stays correct (tiny " +
     "targetListSize forces the two-level path)") {
     // 120 vectors with targetListSize=1 -> auto k = min(240, 65536)
