@@ -26,16 +26,20 @@ object IvfIndex {
 
   /** Fit centroids and persist the inverted lists + centroid table.
     * Overwrites both tables. `buckets` should be ≈ nCentroids (one
-    * bucket per list keeps pruning exact).
+    * bucket per list keeps pruning exact); `buckets = 0` takes one
+    * per list. `nCentroids = 0` auto-scales to ~`n / targetListSize`
+    * lists, going two-level past [[Similarity.FlatKCeiling]]
+    * ([[Similarity.fitIndexCentroids]]) — stored flat either way.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       table: String, nCentroids: Int = 16, kmeansIters: Int = 2,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, targetListSize: Long = 1000L): Unit = {
     val cq = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(vecCol)).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv")))
-    val cents = Similarity.fitCentroidsKMeans(cq, "neighbor_id", "__cv",
-      nCentroids, kmeansIters)
+    val (cents, assign) = Similarity.fitIndexCentroids(cq,
+      "neighbor_id", "__cv", nCentroids, kmeansIters, targetListSize)
+    val nBuckets = if (buckets > 0) buckets else cents.length
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq(table, s"${table}_centroids")
@@ -44,9 +48,9 @@ object IvfIndex {
       .toDF("list_id", "vec")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
-    cq.withColumn("__list", IvfCentroids.nearestList(col("__cv"), cents))
+    cq.withColumn("__list", assign)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "__list").sortBy("__list")
+      .bucketBy(nBuckets, "__list").sortBy("__list")
       .saveAsTable(table)
   }
 

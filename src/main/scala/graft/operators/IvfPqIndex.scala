@@ -25,21 +25,29 @@ import graft.operators.Similarity.quantize
 object IvfPqIndex {
 
   /** Fit the coarse quantizer, encode the corpus, persist all three
-    * tables (overwrites). `buckets` ≈ nCentroids keeps pruning exact.
+    * tables (overwrites). `buckets` ≈ nCentroids keeps pruning exact;
+    * `buckets = 0` takes one bucket per list. `nCentroids = 0`
+    * auto-scales the list count to ~`n / targetListSize` and, past
+    * [[Similarity.FlatKCeiling]], fits through the two-level
+    * hierarchy ([[Similarity.fitIndexCentroids]]) — the stored layout
+    * is the same flat (list_id, vec) table either way, so serving,
+    * append and readers are fit-agnostic.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       table: String, cb: PqCodebook, nCentroids: Int = 16,
-      kmeansIters: Int = 2, buckets: Int = 16): Unit = {
+      kmeansIters: Int = 2, buckets: Int = 16,
+      targetListSize: Long = 1000L): Unit = {
     val cq = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("__cv"))
-    val cents = Similarity.fitCentroidsKMeans(cq, "neighbor_id",
-      "__cv", nCentroids, kmeansIters)
+    val (cents, assign) = Similarity.fitIndexCentroids(cq,
+      "neighbor_id", "__cv", nCentroids, kmeansIters, targetListSize)
+    val nBuckets = if (buckets > 0) buckets else cents.length
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq(table, s"${table}_centroids", s"${table}_codebook",
         s"${table}_meta")
       .foreach(Warehouse.dropManaged(spark, _))
-    Seq((buckets, nCentroids)).toDF("buckets", "n_centroids")
+    Seq((nBuckets, cents.length)).toDF("buckets", "n_centroids")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -55,10 +63,9 @@ object IvfPqIndex {
     cq.select(col("neighbor_id"),
         NativeHash.pqEncodeColumn(col("__cv"), cb.codebook)
           .as("codes"),
-        NativeHash.nearestCentroidColumn(col("__cv"), cents.toSeq)
-          .as("__list"))
+        assign.as("__list"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "__list").sortBy("__list")
+      .bucketBy(nBuckets, "__list").sortBy("__list")
       .saveAsTable(table)
   }
 

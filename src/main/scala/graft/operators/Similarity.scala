@@ -399,6 +399,58 @@ object Similarity {
     */
   val FlatKCeiling = 4096
 
+  /** Centroid fit for PERSISTENT index builds ([[IvfIndex]],
+    * [[IvfPqIndex]]): a pinned `nCentroids > 0` keeps the flat fit
+    * (the caller chose its k — small serving indexes, oracle
+    * queries); `nCentroids = 0` auto-scales the list count to
+    * ~`n / targetListSize` (capped at 65536) and, past
+    * [[FlatKCeiling]], routes through [[fitCentroidsTwoLevel]] so the
+    * per-row assignment cost stays O(2√k·dim) in the BUILD path too —
+    * the hierarchy is then flattened to global (list_id, vec) order,
+    * which is exactly the layout the serving side already reads, so
+    * readers never know which fit produced the index. The corpus
+    * frame is persisted across the auto-k count and the fit
+    * (one scan+quantize evaluation, the r6 plan-audit rule).
+    *
+    * Returns (flat centroids in global list order, per-row
+    * list-assignment column for `vecCol`). Deterministic end to end,
+    * so build-twice stays byte-identical.
+    */
+  private[operators] def fitIndexCentroids(cq: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int, iters: Int,
+      targetListSize: Long): (Array[Seq[Long]], Column) = {
+    require(nCentroids >= 0,
+      s"nCentroids must be >= 0 (0 = auto), got $nCentroids")
+    require(targetListSize >= 1,
+      s"targetListSize must be >= 1, got $targetListSize")
+    if (nCentroids > 0) {
+      val cents = fitCentroidsKMeans(cq, idCol, vecCol, nCentroids,
+        iters)
+      (cents, IvfCentroids.nearestList(col(vecCol), cents))
+    } else {
+      val cached = cq.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = cached.count()
+        val nc = math.max(1L, math.min(
+          (n + targetListSize - 1) / targetListSize, 65536L)).toInt
+        if (nc <= FlatKCeiling) {
+          val cents = fitCentroidsKMeans(cached, idCol, vecCol, nc,
+            iters, managePersist = false)
+          (cents, IvfCentroids.nearestList(col(vecCol), cents))
+        } else {
+          val k1 = math.ceil(math.sqrt(nc.toDouble)).toInt
+          val tl = fitCentroidsTwoLevel(cached, idCol, vecCol, k1, k1,
+            iters, managePersist = false)
+          // flatten in global list order: top 0's sub-lists first,
+          // empties contributing nothing — matches tl.offsets
+          val flat = tl.subs.flatten
+          (flat, IvfCentroids.nearestListTwoLevel(col(vecCol), tl))
+        }
+      } finally cached.unpersist(blocking = false)
+    }
+  }
+
   /** Two-level centroid hierarchy: `subs(t)` are the sub-centroids
     * owned by top-level centroid `t`; global list ids are
     * `offsets(t) + s`, contiguous with empty top clusters skipped.

@@ -42,6 +42,31 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("auto-k below the flat ceiling equals the pinned flat build") {
+    // 600 rows / targetListSize 100 -> auto k = 6, still the flat
+    // fit — auto mode must be a pure superset, not a behavior change
+    val corpus = randomVecs(600, 8, seed = 61)
+    val (tA, tP) = ("ivf_spec_autoflat", "ivf_spec_pinflat")
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", tA,
+        nCentroids = 0, kmeansIters = 2, buckets = 6,
+        targetListSize = 100L)
+      IvfIndex.build(corpus, "vec_id", "embedding", tP,
+        nCentroids = 6, kmeansIters = 2, buckets = 6)
+      val ca = spark.table(s"${tA}_centroids")
+        .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+      val cp = spark.table(s"${tP}_centroids")
+        .as[(Int, Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(ca == cp)
+      val la = spark.table(tA).select("neighbor_id", "__list")
+        .as[(Long, Int)].collect().toSet
+      val lp = spark.table(tP).select("neighbor_id", "__list")
+        .as[(Long, Int)].collect().toSet
+      assert(la == lp && la.size == 600)
+    } finally Seq(tA, s"${tA}_centroids", tP, s"${tP}_centroids")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("a held reader costs one driver action per query batch") {
     val corpus  = randomVecs(300, 6, seed = 5)
     val queries = corpus.filter(col("vec_id") % 57 === 0)

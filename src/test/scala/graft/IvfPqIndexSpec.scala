@@ -51,6 +51,48 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("auto-k build routes past the flat ceiling through the " +
+      "two-level fit: >4096 stored lists, serving still prunes") {
+    // targetListSize=1 over 6000 rows -> auto k = 6000 > FlatKCeiling
+    // = 4096, so the BUILD takes the hierarchical fit — the exact
+    // path a 100 TB index needs; the stored layout stays the flat
+    // (list_id, vec) table, so the reader is oblivious. (Stored list
+    // count lands below the 6000 target — tops own at most k2 seed
+    // slots — but must still clear the ceiling no flat fit crosses.)
+    val corpus  = randomVecs(6000, 8, seed = 53)
+    val queries = corpus.filter(col("vec_id") % 997 === 0)
+    val t = "ivfpq_spec_auto"
+    try {
+      IvfPqIndex.build(corpus, "vec_id", "embedding", t, cb,
+        nCentroids = 0, kmeansIters = 1, buckets = 32,
+        targetListSize = 1L)
+      val nLists = spark.table(s"${t}_centroids").count()
+      assert(nLists > graft.operators.Similarity.FlatKCeiling,
+        s"auto fit stayed flat-sized: $nLists lists")
+      val meta = spark.table(s"${t}_meta").collect()(0)
+      assert(meta.getAs[Int]("n_centroids") == nLists.toInt)
+      // every stored assignment is a REAL list id of the hierarchy
+      val range = spark.table(t)
+        .agg(min("__list"), max("__list")).collect()(0)
+      assert(range.getInt(0) >= 0 && range.getInt(1) < nLists)
+      val res = IvfPqIndex.query(spark, t, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+      val rows = res.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (q, nb, r) => q != nb && r <= 3 })
+      // bucket pruning survives the auto-k layout
+      val plan = IvfPqIndex.query(spark, t, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$plan")
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebook", s"${t}_meta")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
   test("append encodes with the stored quantizers: index equals a " +
       "from-scratch build over the union") {
     val base  = randomVecs(200, 8, seed = 31)
