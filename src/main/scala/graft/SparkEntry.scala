@@ -1212,6 +1212,28 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL JPEG pixel decode: 64×64 baseline JPEGs whose 8×8
+    // blocks plant an md5-derived 64-bit pattern (uniform blocks ->
+    // every AC quantizes to 0 -> EXACT decode), the container layout
+    // (gray / 4:4:4 / 4:2:0, restart intervals 0-3) cycling per row
+    // so one query drives every supported Huffman+IDCT path; the
+    // oracle replays the planted pattern arithmetically
+    "q_jpeg_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
+        (lit(120) + col("doc_id") % 100).cast("int").as("__b"),
+        graft.functions.HashFunctions
+          .stableHash60(col("doc_id").cast("string"))
+          .bitwiseOR(lit(1L)).as("__patt"),
+        (col("doc_id") % 3).cast("int").as("__mode"),
+        (col("doc_id") % 4).cast("int").as("__ri"))
+      val jpg = Multimodal.synthPatternJpeg(d, "__a", "__b",
+        "__patt", "__mode", "__ri", "content")
+      Multimodal.decodeBatches(jpg, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- REAL pixel resize: checker PNGs (multiple-of-8 dims, so
     // the 8×8 nearest-neighbor result is an exact 8×8 checkerboard)
     // -> decode+resample+re-encode -> RE-decode the resized bytes ->
@@ -2387,6 +2409,14 @@ object SparkEntry {
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",
+
+    // uniform 8x8 blocks decode exactly, so the perceptual hash of
+    // the synthesized JPEG IS the planted md5-derived pattern — the
+    // hash60 mirror replays it without touching a single pixel
+    "q_jpeg_phash" -> {
+      val h60 = sqlHash60("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, ($h60) | 1 AS ahash FROM documents"""
+    },
 
     // source dims are multiples of 8, so nearest-neighbor sampling
     // lands exactly on pattern-cell boundaries: the resized plane IS

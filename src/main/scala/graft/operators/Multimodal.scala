@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
   * 8×8 average hash ([[pngAHash]]) for image near-dup curation, and
   * a REAL RESIZE ([[pngResize]]): nearest-neighbor resample of the
   * decoded luma plane, re-encoded through the real grayscale PNG
-  * encoder. The remaining fakes are the paths that genuinely need
-  * external codecs — JPEG entropy decode, video frame decode — and
+  * encoder. JPEG PIXEL DECODE IS REAL TOO: [[jpegDecodeLuma]] is a
+  * full baseline sequential decoder (marker walk, canonical Huffman,
+  * dequant, IDCT, restart markers, 4:4:4/4:2:0 layouts) feeding the
+  * same hash/resize/near-dup stages — so the majority crawl format is
+  * covered. The remaining fakes are the paths that genuinely need
+  * external codecs — progressive JPEG, video frame decode — and
   * stay clearly marked stubs. Everything Spark-side is real
   * either way: the schema contract, the per-partition batch iteration
   * (the Scala analog of `mapInPandas` — one Iterator[Row] per
@@ -54,14 +58,14 @@ object Multimodal {
   }
 
   /** Expression-level feature extraction from a binary column: byte
-    * length, sha-256 content id, and a STUB perceptual signature (crc32
-    * of the bytes — a real system would put pHash here; the Spark
-    * plumbing is identical).
+    * length and sha-256 content id (pure expressions, codegen'd). The
+    * PERCEPTUAL signature is not a stub anymore — it needs a pixel
+    * decode, so it lives in the batch path: [[decodeAHash]] over
+    * [[imageAHash]] (real PNG and baseline-JPEG decodes).
     */
   def contentFeatures(content: Column): Seq[(String, Column)] = Seq(
     "byte_len"   -> length(content).cast("long"),
-    "content_id" -> sha2(content, 256),
-    "phash_stub" -> crc32(content))
+    "content_id" -> sha2(content, 256))
 
   /** Batch decode API — the Scala analog of `mapInPandas`: one lazy
     * iterator per partition, output schema declared up front, suitable
@@ -180,8 +184,7 @@ object Multimodal {
   // stream (java.util.zip.Inflater) and row unfiltering is pure byte
   // arithmetic, so a full decode of non-interlaced 8-bit PNGs needs no
   // codec. This feeds the 8×8 average-hash — a REAL perceptual
-  // signature for image near-dup curation (phash_stub remains only for
-  // the fake text-as-media assets).
+  // signature for image near-dup curation.
   // ------------------------------------------------------------------
 
   /** Decoded luma plane: width, height, one 0..255 value per pixel
@@ -335,14 +338,702 @@ object Multimodal {
   def pngAHash(b: Array[Byte]): Option[Long] =
     pngDecodeLuma(b).map { case (w, h, luma) => averageHash64(luma, w, h) }
 
+  // ------------------------------------------------------------------
+  // Real JPEG PIXEL decode (no external libraries): baseline
+  // sequential DCT with Huffman entropy coding — DQT/DHT/SOF0/SOF1/
+  // DRI/SOS marker parse, bit-stuffed entropy read, canonical Huffman
+  // decode (ITU T.81 F.2.2.3), dequant, separable float IDCT. The
+  // luma plane IS the Y component (JFIF Y is BT.601 luma), so chroma
+  // blocks are entropy-decoded only to advance the bitstream — no
+  // upsampling needed. Progressive (SOF2), arithmetic coding,
+  // hierarchical, 12-bit precision and fractional-sampling layouts
+  // classify as undecodable (None) — never a throw.
+  // ------------------------------------------------------------------
+
+  /** Internal control-flow signal for the JPEG decoder: any malformed
+    * structure (bad marker, truncated entropy, over-long Huffman
+    * code, coefficient overrun) lands here and surfaces as None.
+    */
+  private object JpegFail
+    extends Exception("jpeg-undecodable") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Zigzag scan position → natural (row-major) coefficient index. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** a(u, x) = C(u)/2 · cos((2x+1)uπ/16) — the separable DCT basis;
+    * fixed double-precision table, so decode is deterministic on any
+    * JVM (strict FP) and an analytic oracle can predict DC-only
+    * blocks exactly (error ≪ the rounding step).
+    */
+  private val DctBasis: Array[Array[Double]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+
+  /** Canonical Huffman table in the spec's decode form: per code
+    * length 1..16 the smallest/largest code and the offset into the
+    * symbol list (ITU T.81 F.2.2.3 DECODE).
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr  = new Array[Int](17)
+    val symbols: Array[Byte] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) throw JpegFail
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment: 0xFF00 is
+    * an escaped literal 0xFF; any other marker mid-read means the
+    * stream ended early (fail). Restart markers are consumed by the
+    * MCU loop via [[restart]], never here.
+    */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def nextBit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) throw JpegFail
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw JpegFail
+          if ((b(pos) & 0xff) != 0x00) throw JpegFail // real marker
+          pos += 1
+        }
+        acc = v
+        n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTm marker. */
+    def restart(m: Int): Unit = {
+      n = 0
+      if (pos + 1 >= b.length) throw JpegFail
+      if ((b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != (0xd0 + m)) throw JpegFail
+      pos += 2
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit()
+      var l = 1
+      while (code > t.maxCode(l)) {
+        if (l >= 16) throw JpegFail
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      t.symbols(t.valPtr(l) + code - t.minCode(l)) & 0xff
+    }
+  }
+
+  private def jpegExtend(v: Int, cat: Int): Int =
+    if (cat == 0) 0
+    else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+    else v
+
+  /** Decoded luma plane of a BASELINE sequential JPEG: width, height,
+    * one 0..255 value per pixel (row-major). The Y component must
+    * carry the frame's maximum sampling factors (every standard
+    * 4:4:4 / 4:2:2 / 4:2:0 layout does), so Y lands at full
+    * resolution and chroma never needs upsampling for a luma-only
+    * decode. Undecodable (progressive, arithmetic, 12-bit, truncated,
+    * corrupt entropy, > 2^24 px) → None, never a throw.
+    */
+  def jpegDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try decodeBaselineLuma(b)
+    catch {
+      case JpegFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def decodeBaselineLuma(b: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var restartInterval = 0
+    // frame state
+    var w = 0; var h = 0
+    var nComp = 0
+    val compId = new Array[Int](4)
+    val compH  = new Array[Int](4)
+    val compV  = new Array[Int](4)
+    val compQ  = new Array[Int](4)
+
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) throw JpegFail
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) { i += 1 }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9) return None // EOI before SOS
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) throw JpegFail
+        val seg = i + 4          // first payload byte
+        val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3) throw JpegFail
+              if (pq != 0) return None // 16-bit tables: 12-bit JPEG
+              if (p + 1 + 64 > segEnd) throw JpegFail
+              qt(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more (tc/th, bits, vals) tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) throw JpegFail
+              if (p + 17 > segEnd) throw JpegFail
+              val bits = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+              val nv = bits.sum
+              if (nv == 0 || nv > 256 || p + 17 + nv > segEnd)
+                throw JpegFail
+              val vals = java.util.Arrays.copyOfRange(b, p + 17,
+                p + 17 + nv)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + nv
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+            if ((b(seg) & 0xff) != 8) return None // 12-bit precision
+            h = be16(b, seg + 1)
+            w = be16(b, seg + 3)
+            nComp = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
+            if (w.toLong * h > (1 << 24)) return None // size bomb
+            if (seg + 6 + 3 * nComp > segEnd) throw JpegFail
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(seg + 6 + 3 * c) & 0xff
+              val hv = b(seg + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4
+              compV(c) = hv & 0x0f
+              compQ(c) = b(seg + 8 + 3 * c) & 0xff
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                compV(c) > 4 || compQ(c) > 3) return None
+              c += 1
+            }
+          case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+              x != 0xcc =>
+            return None // progressive/arithmetic/lossless/hierarchical
+          case 0xdd => // DRI
+            if (len != 4) throw JpegFail
+            restartInterval = be16(b, seg)
+          case 0xda => // SOS: scan header, then entropy data
+            if (w == 0) return None // scan before frame
+            val ns = b(seg) & 0xff
+            if (ns != nComp) return None // multi-scan: not baseline
+            if (seg + 1 + 2 * ns + 3 > segEnd) throw JpegFail
+            val scanDc = new Array[HuffTable](nComp)
+            val scanAc = new Array[HuffTable](nComp)
+            var s = 0
+            while (s < ns) {
+              val cs = b(seg + 1 + 2 * s) & 0xff
+              val c = compId.indexWhere(_ == cs)
+              if (c < 0 || c >= nComp) throw JpegFail
+              val tt = b(seg + 2 + 2 * s) & 0xff
+              val dct = dcTabs(tt >> 4)
+              val act = acTabs(tt & 0x0f)
+              if (dct == null || act == null) throw JpegFail
+              scanDc(c) = dct
+              scanAc(c) = act
+              s += 1
+            }
+            return decodeScan(b, segEnd, w, h, nComp, compH, compV,
+              compQ, qt, scanDc, scanAc, restartInterval)
+          case _ => () // APPn/COM/unknown: skip
+        }
+        i += 2 + len
+      }
+    }
+    None // ran out of markers without a scan
+  }
+
+  /** Entropy-decode every MCU, keeping only the Y component's IDCT
+    * output (chroma blocks advance the bitstream and stop).
+    */
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      nComp: Int, compH: Array[Int], compV: Array[Int],
+      compQ: Array[Int], qt: Array[Array[Int]],
+      scanDc: Array[HuffTable], scanAc: Array[HuffTable],
+      ri: Int): Option[(Int, Int, Array[Int])] = {
+    val hmax = (0 until nComp).map(compH).max
+    val vmax = (0 until nComp).map(compV).max
+    // luma-only contract: Y at full resolution
+    if (compH(0) != hmax || compV(0) != vmax) return None
+    if (hmax * vmax > 10) return None
+    (0 until nComp).foreach(c => if (qt(compQ(c)) == null)
+      throw JpegFail)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val pw = mcusX * hmax * 8
+    val ph = mcusY * vmax * 8
+    if (pw.toLong * ph > (1L << 26)) return None
+    val yPlane = new Array[Int](pw * ph)
+    val bits = new JpegBits(b, start)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var rstCount = 0
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        bits.restart(rstCount % 8)
+        rstCount += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var c = 0
+      while (c < nComp) {
+        val q = qt(compQ(c))
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            // DC
+            val dcCat = bits.decodeHuff(scanDc(c))
+            if (dcCat > 11) throw JpegFail
+            pred(c) += jpegExtend(bits.receive(dcCat), dcCat)
+            if (c == 0) {
+              java.util.Arrays.fill(coef, 0)
+              coef(0) = pred(c) * q(0)
+            }
+            // AC run-length (decoded for every component — the bits
+            // must advance — but only Y keeps coefficients)
+            var k = 1
+            while (k < 64) {
+              val rs = bits.decodeHuff(scanAc(c))
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64          // EOB
+              } else {
+                k += r
+                if (k > 63) throw JpegFail
+                val v = jpegExtend(bits.receive(sz), sz)
+                if (c == 0) coef(ZigZag(k)) = v * q(k)
+                k += 1
+              }
+            }
+            if (c == 0) {
+              // separable IDCT: rows over u, then columns over v
+              var v2 = 0
+              while (v2 < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    val cv = coef(v2 * 8 + u)
+                    if (cv != 0) s += DctBasis(u)(x) * cv
+                    u += 1
+                  }
+                  tmp(v2)(x) = s
+                  x += 1
+                }
+                v2 += 1
+              }
+              val x0 = (mx * compH(0) + bx) * 8
+              val y0 = (my * compV(0) + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var v3 = 0
+                  while (v3 < 8) {
+                    s += DctBasis(v3)(y) * tmp(v3)(x)
+                    v3 += 1
+                  }
+                  val px = math.round(s + 128.0).toInt
+                  yPlane((y0 + y) * pw + x0 + x) =
+                    if (px < 0) 0 else if (px > 255) 255 else px
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // crop the padded plane to the declared dimensions
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(yPlane, y * pw, luma, y * w, w)
+      y += 1
+    }
+    Some((w, h, luma))
+  }
+
+  /** Real perceptual hash of a baseline JPEG: full pixel decode →
+    * 8×8 average hash; None for anything [[jpegDecodeLuma]]
+    * classifies undecodable.
+    */
+  def jpegAHash(b: Array[Byte]): Option[Long] =
+    jpegDecodeLuma(b).map { case (w, h, l) => averageHash64(l, w, h) }
+
+  /** Format-sniffing pixel decode: PNG then JPEG (each checks its own
+    * magic first); the shared luma contract feeds every downstream
+    * hash/resize/near-dup stage identically for both formats.
+    */
+  def imageDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pngDecodeLuma(b).orElse(jpegDecodeLuma(b))
+
+  /** Unified perceptual hash over the decodable formats. */
+  def imageAHash(b: Array[Byte]): Option[Long] =
+    imageDecodeLuma(b).map { case (w, h, l) => averageHash64(l, w, h) }
+
+  // ------------------------------------------------------------------
+  // Real baseline JPEG ENCODER (the synthesis side of the decode
+  // oracle): float FDCT, flat quant table of 8s, custom canonical
+  // Huffman tables (12 DC categories at 4 bits; EOB at 2 bits and all
+  // other run/size symbols at 9), byte stuffing, optional restart
+  // markers, grayscale or YCbCr 4:4:4 / 4:2:0 layouts. For an image
+  // whose 8×8 blocks are each a uniform gray value, every AC
+  // coefficient quantizes to exactly 0 and the DC to exactly
+  // (v − 128), so the decoded pixels equal the source EXACTLY and
+  // [[jpegAHash]] is analytically predictable — the same
+  // plain-SQL-oracle construction as the checkerboard PNGs.
+  // ------------------------------------------------------------------
+
+  private val EncDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcVals: Array[Byte] =
+    Array.tabulate(12)(_.toByte)
+  // EOB ('00') at length 2; ZRL and every (run 0..15, size 1..10)
+  // symbol at length 9 — 161 codes, canonical, far from all-ones
+  private val EncAcVals: Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte](0x00)
+    buf += 0xf0.toByte // ZRL
+    for (r <- 0 to 15; s <- 1 to 10) buf += ((r << 4) | s).toByte
+    buf.toArray
+  }
+  private val EncAcBits: Array[Int] =
+    Array(0, 1, 0, 0, 0, 0, 0, 0, EncAcVals.length - 1,
+      0, 0, 0, 0, 0, 0, 0)
+
+  /** (code, length) for every symbol of a canonical table. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Byte])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) {
+        m((vals(k) & 0xff)) = (code, l)
+        code += 1
+        k += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+  private lazy val EncDcCodes = canonicalCodes(EncDcBits, EncDcVals)
+  private lazy val EncAcCodes = canonicalCodes(EncAcBits, EncAcVals)
+
+  private final class JpegBitWriter(
+      out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0
+          n = 0
+        }
+        i -= 1
+      }
+    }
+    def pad(): Unit = while (n != 0) write(1, 1)
+  }
+
+  private def jpegCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode one level-shifted 8×8 block (values −128..127 in natural
+    * order): float FDCT, quantize by 8 (`math.round` — half toward
+    * +∞; uniform blocks quantize to DC-only exactly), DC diff + AC
+    * run-length through the custom tables. Returns the new DC
+    * predictor.
+    */
+  private def encodeBlock(bw: JpegBitWriter, block: Array[Double],
+      pred: Int): Int = {
+    val tmp = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) { // rows: g(x, y) → over x
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += DctBasis(u)(x) * block(y * 8 + x); x += 1 }
+        tmp(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val q = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += DctBasis(v)(y) * tmp(u2)(y); y += 1 }
+        q(v * 8 + u2) = math.round(s / 8.0).toInt
+        u2 += 1
+      }
+      v += 1
+    }
+    // DC
+    val diff = q(0) - pred
+    val cat = jpegCat(diff)
+    val (dcCode, dcLen) = EncDcCodes(cat)
+    bw.write(dcCode, dcLen)
+    if (cat > 0)
+      bw.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+    // AC in zigzag order
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val c = q(ZigZag(k))
+      if (c == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (z, zl) = EncAcCodes(0xf0)
+          bw.write(z, zl)
+          run -= 16
+        }
+        val sz = jpegCat(c)
+        if (sz > 10) throw new IllegalArgumentException(
+          s"AC coefficient $c too large for the encoder's tables")
+        val (ac, al) = EncAcCodes((run << 4) | sz)
+        bw.write(ac, al)
+        bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) {
+      val (e, el) = EncAcCodes(0x00)
+      bw.write(e, el)
+    }
+    q(0)
+  }
+
+  /** Baseline JPEG encoder. `mode`: 0 grayscale, 1 YCbCr 4:4:4,
+    * 2 YCbCr 4:2:0 (w and h multiples of 16); chroma is neutral
+    * (Cb = Cr = 128), so the pixel array IS the Y plane.
+    * `restartInterval` > 0 emits DRI + RSTn markers every that many
+    * MCUs. Dimensions must be block-aligned (multiples of 8; 16 for
+    * mode 2) — the synthesizer's scope, not a general partial-block
+    * encoder.
+    */
+  def jpegEncodeGray(w: Int, h: Int, pix: Array[Int], mode: Int = 0,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(mode >= 0 && mode <= 2, s"mode must be 0..2, got $mode")
+    val align = if (mode == 2) 16 else 8
+    require(w > 0 && h > 0 && w % align == 0 && h % align == 0,
+      s"dims must be positive multiples of $align, got ${w}x$h")
+    require(pix.length == w * h,
+      s"jpegEncodeGray: ${pix.length} pixels for ${w}x$h")
+    require(restartInterval >= 0, "restartInterval must be >= 0")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: table 0, flat 8s (zigzag order — uniform)
+    u16(2 + 1 + 64)
+    u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    val nComp = if (mode == 0) 1 else 3
+    marker(0xc0) // SOF0
+    u16(8 + 3 * nComp)
+    u8(8); u16(h); u16(w); u8(nComp)
+    for (c <- 0 until nComp) {
+      u8(c + 1)
+      u8(if (mode == 2 && c == 0) 0x22 else 0x11)
+      u8(0)
+    }
+    marker(0xc4) // DHT: DC table 0
+    u16(2 + 1 + 16 + EncDcVals.length)
+    u8(0x00)
+    EncDcBits.foreach(u8)
+    EncDcVals.foreach(v => u8(v & 0xff))
+    marker(0xc4) // DHT: AC table 0
+    u16(2 + 1 + 16 + EncAcVals.length)
+    u8(0x10)
+    EncAcBits.foreach(u8)
+    EncAcVals.foreach(v => u8(v & 0xff))
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      u16(4)
+      u16(restartInterval)
+    }
+    marker(0xda) // SOS
+    u16(6 + 2 * nComp)
+    u8(nComp)
+    for (c <- 0 until nComp) { u8(c + 1); u8(0x00) }
+    u8(0); u8(63); u8(0)
+
+    val bw = new JpegBitWriter(out)
+    val yFactor = if (mode == 2) 2 else 1
+    val mcusX = w / (8 * yFactor)
+    val mcusY = h / (8 * yFactor)
+    val totalMcus = mcusX * mcusY
+    val pred = new Array[Int](nComp)
+    val block = new Array[Double](64)
+    val zeroBlock = new Array[Double](64) // chroma: 128 − 128
+    var rstCount = 0
+    var mcu = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 &&
+        mcu % restartInterval == 0) {
+        bw.pad()
+        marker(0xd0 + rstCount % 8)
+        rstCount += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var by = 0
+      while (by < yFactor) {
+        var bx = 0
+        while (bx < yFactor) {
+          val x0 = (mx * yFactor + bx) * 8
+          val y0 = (my * yFactor + by) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              block(y * 8 + x) = pix((y0 + y) * w + x0 + x) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          pred(0) = encodeBlock(bw, block, pred(0))
+          bx += 1
+        }
+        by += 1
+      }
+      var c = 1
+      while (c < nComp) {
+        pred(c) = encodeBlock(bw, zeroBlock, pred(c))
+        c += 1
+      }
+      mcu += 1
+    }
+    bw.pad()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic pattern-JPEG synthesizer — the JPEG twin of
+    * [[synthPatternPng]]: 64×64 images whose 8×8 blocks map one-to-one
+    * onto aHash cells, cell (cx, cy) colored `colorB` iff pattern bit
+    * `8·cy + cx` is set. Uniform blocks decode EXACTLY (all AC
+    * quantize to zero), so with colorA < colorB, [[jpegAHash]] of the
+    * output IS the pattern verbatim — analytic plain-SQL oracle for a
+    * full Huffman+IDCT decode. `modeCol` (0 gray / 1 4:4:4 / 2 4:2:0)
+    * and `riCol` (restart interval) vary the container per row so one
+    * query exercises every layout the decoder supports.
+    */
+  def synthPatternJpeg(df: DataFrame, aCol: String, bCol: String,
+      patternCol: String, modeCol: String, riCol: String,
+      outCol: String): DataFrame = {
+    val (ai, bi, pi, mi, ri) = (df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(patternCol),
+      df.schema.fieldIndex(modeCol), df.schema.fieldIndex(riCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val pattern = r.getLong(pi)
+        val mode = r.getInt(mi); val rst = r.getInt(ri)
+        val w = 64; val h = 64
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = 8 * (y / 8) + (x / 8)
+            pix(y * w + x) =
+              if ((pattern >>> bit & 1L) != 0L) b else a
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ jpegEncodeGray(w, h, pix, mode, rst))
+      }
+    }(enc)
+  }
+
   val aHashSchema: StructType = StructType(Seq(
     StructField("ahash", LongType)))
 
-  /** Decode kernel for [[decodeBatches]]: real pixel decode + average
-    * hash, null for undecodable content.
+  /** Decode kernel for [[decodeBatches]]: real pixel decode (PNG or
+    * baseline JPEG) + average hash, null for undecodable content.
     */
   def decodeAHash(bytes: Array[Byte]): Seq[Any] =
-    pngAHash(bytes) match {
+    imageAHash(bytes) match {
       case Some(x) => Seq[Any](x)
       case None    => Seq[Any](null)
     }
@@ -675,7 +1366,7 @@ object Multimodal {
     * fields, never a throw (quarantine, don't kill the job).
     */
   def decodeResize(tw: Int, th: Int)(bytes: Array[Byte]): Seq[Any] =
-    pngDecodeLuma(bytes) match {
+    imageDecodeLuma(bytes) match {
       case Some((w, h, luma)) => Seq[Any](
         pngEncodeGray(tw, th, resizeLumaNearest(luma, w, h, tw, th)),
         tw, th)
@@ -695,14 +1386,14 @@ object Multimodal {
       decodeResize(targetW, targetH))
   }
 
-  /** Resize plumbing for formats WITHOUT an in-container codec (JPEG
-    * entropy decode): recompute the content payload and metadata for
-    * a target resolution. The BYTE TRANSFORM IS A STUB — payload is
-    * deterministically truncated/kept to the target byte budget
-    * (targetW·targetH/16). PNG content has the real path:
-    * [[pngResize]]. The Spark side is real either way: one
-    * projection, binary in/binary out, metadata struct rebuilt
-    * alongside.
+  /** Resize plumbing for formats WITHOUT an in-container codec
+    * (progressive JPEG, video): recompute the content payload and
+    * metadata for a target resolution. The BYTE TRANSFORM IS A STUB —
+    * payload is deterministically truncated/kept to the target byte
+    * budget (targetW·targetH/16). PNG and baseline JPEG content have
+    * the real path: [[pngResize]]/[[decodeResize]]. The Spark side is
+    * real either way: one projection, binary in/binary out, metadata
+    * struct rebuilt alongside.
     */
   def resizeStub(df: DataFrame, contentCol: String, metaCol: String,
       targetW: Int, targetH: Int): DataFrame = {

@@ -389,4 +389,131 @@ class MultimodalSpec extends SparkSpec {
     val fb = out.select("frame_bytes").as[Array[Byte]].collect()
     assert(fb.forall(_.length == 8))
   }
+
+  // ----------------------------------------------------------- JPEG
+
+  /** 64×64 plane whose 8×8 blocks follow a 64-bit pattern. */
+  private def patternPix(pattern: Long, a: Int, b: Int): Array[Int] = {
+    val pix = new Array[Int](64 * 64)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val bit = 8 * (y / 8) + (x / 8)
+      pix(y * 64 + x) = if ((pattern >>> bit & 1L) != 0L) b else a
+    }
+    pix
+  }
+
+  test("JPEG encode -> decode round-trips uniform blocks EXACTLY " +
+      "across gray / 4:4:4 / 4:2:0 / restart-marker layouts") {
+    val pattern = 0x5a3cc3a5f00f1e87L
+    val pix = patternPix(pattern, 40, 200)
+    for (mode <- 0 to 2; ri <- Seq(0, 1, 3)) {
+      val bytes = Multimodal.jpegEncodeGray(64, 64, pix, mode, ri)
+      val dims = Multimodal.jpegDims(bytes)
+      assert(dims.contains(Multimodal.ImageDims("jpeg", 64, 64,
+        if (mode == 0) 1 else 3)), s"dims wrong for mode=$mode")
+      val got = Multimodal.jpegDecodeLuma(bytes)
+      assert(got.isDefined, s"undecodable at mode=$mode ri=$ri")
+      val (w, h, luma) = got.get
+      assert(w == 64 && h == 64)
+      assert(luma.sameElements(pix),
+        s"pixel mismatch at mode=$mode ri=$ri")
+    }
+  }
+
+  test("JPEG decode reconstructs a pure high-frequency basis block " +
+      "(ZRL path) and smooth gradients within quantization error") {
+    // one (7,7) basis component per block: 62 zigzag zeros before the
+    // final coefficient forces the ZRL (16-zero-run) symbols
+    val basisPix = new Array[Int](64 * 64)
+    def a(u: Int, x: Int): Double = {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = 128.0 + 400.0 * a(7, y % 8) * a(7, x % 8)
+      basisPix(y * 64 + x) = math.round(v).toInt
+    }
+    val bBytes = Multimodal.jpegEncodeGray(64, 64, basisPix)
+    val bGot = Multimodal.jpegDecodeLuma(bBytes)
+    assert(bGot.isDefined)
+    val bDiff = bGot.get._3.zip(basisPix).map {
+      case (g, p) => math.abs(g - p) }.max
+    assert(bDiff <= 2, s"basis-block max error $bDiff")
+
+    // smooth diagonal gradient: many small AC terms, error bounded by
+    // the flat quant step
+    val gradPix = Array.tabulate(64 * 64) { i =>
+      val y = i / 64; val x = i % 64
+      math.min(255, 2 * ((x + y) / 2))
+    }
+    val gBytes = Multimodal.jpegEncodeGray(64, 64, gradPix)
+    val gGot = Multimodal.jpegDecodeLuma(gBytes)
+    assert(gGot.isDefined)
+    val gDiff = gGot.get._3.zip(gradPix).map {
+      case (g, p) => math.abs(g - p) }.max
+    assert(gDiff <= 8, s"gradient max error $gDiff")
+  }
+
+  test("jpegDecodeLuma: malformed inputs classify as undecodable, " +
+      "never throw") {
+    val pix = patternPix(0x0123456789abcdefL, 60, 180)
+    val good = Multimodal.jpegEncodeGray(64, 64, pix)
+    assert(Multimodal.jpegDecodeLuma(good).isDefined)
+    // progressive flag: patch SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = good.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.jpegDecodeLuma(prog).isEmpty)
+    // truncation mid-entropy
+    assert(Multimodal.jpegDecodeLuma(
+      good.take(good.length / 2)).isEmpty)
+    // a bare non-stuffed marker inside the entropy segment
+    val sosEnd = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xda).get + 14
+    val corrupt = good.clone()
+    corrupt(sosEnd + 20) = 0xff.toByte
+    corrupt(sosEnd + 21) = 0x23.toByte
+    assert(Multimodal.jpegDecodeLuma(corrupt).isEmpty)
+    // declared-size bomb: dims patched huge must refuse to allocate
+    val bomb = good.clone()
+    bomb(sof + 5) = 0xff.toByte; bomb(sof + 6) = 0xff.toByte
+    bomb(sof + 7) = 0xff.toByte; bomb(sof + 8) = 0xff.toByte
+    assert(Multimodal.jpegDecodeLuma(bomb).isEmpty)
+    // wrong format entirely
+    assert(Multimodal.jpegDecodeLuma(
+      Multimodal.pngEncodeGray(8, 8, Array.fill(64)(7))).isEmpty)
+    assert(Multimodal.jpegDecodeLuma(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.jpegDecodeLuma(null).isEmpty)
+  }
+
+  test("synthPatternJpeg plants the hash verbatim; decodeAHash " +
+      "sniffs both formats and nulls garbage") {
+    val rows = Seq(
+      (1L, 40, 120, 0x00000000000000a5L, 0, 0),
+      (2L, 50, 200, 0x7fedcba987654321L, 1, 0),
+      (3L, 30, 90, -4611686018427387905L, 2, 2), // high bits set
+      (4L, 10, 250, 0x0f0f0f0f0f0f0f0fL, 1, 1))
+      .toDF("id", "__a", "__b", "__patt", "__mode", "__ri")
+    val jpg = Multimodal.synthPatternJpeg(rows, "__a", "__b",
+      "__patt", "__mode", "__ri", "content")
+    val hashed = Multimodal.decodeBatches(jpg, "content",
+      Multimodal.aHashSchema)(Multimodal.decodeAHash)
+      .select("id", "ahash").as[(Long, Long)].collect().toMap
+    val want = rows.select("id", "__patt").as[(Long, Long)]
+      .collect().toMap
+    assert(hashed == want)
+    // the same kernel still decodes PNG and nulls garbage
+    val mixed = Seq((1L, Multimodal.pngEncodeGray(16, 16,
+        Array.fill(256)(9))),
+        (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val mh = Multimodal.decodeBatches(mixed, "content",
+      Multimodal.aHashSchema)(Multimodal.decodeAHash)
+      .select(col("id"), col("ahash")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(mh(1L).contains(-1L)) // uniform -> all 64 bits set
+    assert(mh(2L).isEmpty)
+  }
 }
