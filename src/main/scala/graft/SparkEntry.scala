@@ -22,13 +22,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS); read the raw int64 nanos
-    * via the explicit-schema reader (NO session-conf mutation — see
-    * Io.readNanosAsLong) and convert to a micros timestamp.
+  /** Schema-adaptive events reader. The driver has shipped
+    * events.parquet with `ts` as both TIMESTAMP(NANOS) — unreadable by
+    * vanilla Spark, so routed through Io.readNanosAsLong which yields a
+    * raw int64 nanos column — and TIMESTAMP(MICROS), which Spark reads
+    * natively (as TIMESTAMP_NTZ under the default NTZ inference).
+    * Branch on the actual `ts` type: a long gets the nanos → micros
+    * conversion; any timestamp flavor is cast to session-local
+    * TimestampType (identity wall-clock under the UTC session tz all
+    * entry points pin) so every downstream event operator sees one
+    * stable type regardless of how the data was generated.
     */
-  private def readEvents(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Io.readNanosAsLong(s, s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private[graft] def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val df = graft.sources.Io.readNanosAsLong(s, s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Exact, portable sum of a double column with 2-decimal content. */
   private def dsum(c: Column): Column =
@@ -2413,9 +2426,12 @@ object SparkEntry {
     // uniform 8x8 blocks decode exactly, so the perceptual hash of
     // the synthesized JPEG IS the planted md5-derived pattern — the
     // hash60 mirror replays it without touching a single pixel
+    // CAST AS BIGINT is load-bearing: DuckDB's list_sum returns HUGEINT
+    // and the driver's fetchdf() turns HUGEINT into float64, shredding
+    // the low bits of the 60-bit hash — cast before it leaves SQL
     "q_jpeg_phash" -> {
       val h60 = sqlHash60("CAST(doc_id AS VARCHAR)")
-      s"""SELECT doc_id, ($h60) | 1 AS ahash FROM documents"""
+      s"""SELECT doc_id, CAST(($h60) | 1 AS BIGINT) AS ahash FROM documents"""
     },
 
     // source dims are multiples of 8, so nearest-neighbor sampling

@@ -68,13 +68,24 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("a held reader costs one driver action per query batch") {
-    val corpus  = randomVecs(300, 6, seed = 5)
+    // Isolated child session: suites run in PARALLEL on the shared
+    // TestSpark session, and this test counts QueryExecution events —
+    // a sibling suite's concurrent action would inflate the count.
+    // newSession() shares the catalog (the index table is visible)
+    // but has its own ExecutionListenerManager, so only THIS test's
+    // actions reach the listener.
+    val s = spark.newSession()
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (1 to 300).map(i =>
+        (i.toLong, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") % 57 === 0)
     val t = "ivf_spec_reader"
     try {
       IvfIndex.build(corpus, "vec_id", "embedding", t,
         nCentroids = 4, buckets = 4)
-      val r = IvfIndex.reader(spark, t)
+      val r = IvfIndex.reader(s, t)
       // count ACTIONS (query executions), not Spark jobs — AQE splits
       // one action into a job per materialized stage
       def actionsDuring(body: => Unit): Int = {
@@ -87,13 +98,13 @@ class IvfIndexSpec extends SparkSpec {
               qe: org.apache.spark.sql.execution.QueryExecution,
               e: Exception): Unit = ()
         }
-        spark.listenerManager.register(l)
+        s.listenerManager.register(l)
         try {
           body
           var seen = -1
           while (n.get != seen) { seen = n.get; Thread.sleep(300) }
           seen
-        } finally spark.listenerManager.unregister(l)
+        } finally s.listenerManager.unregister(l)
       }
       // building the batch plan runs exactly the probed-list action
       val viaReader = actionsDuring {
@@ -102,7 +113,7 @@ class IvfIndexSpec extends SparkSpec {
       assert(viaReader == 1, s"reader.query ran $viaReader actions")
       // the one-shot form pays the centroid readback every call
       val oneShot = actionsDuring {
-        IvfIndex.query(spark, t, queries, "vec_id", "embedding",
+        IvfIndex.query(s, t, queries, "vec_id", "embedding",
           k = 3, nProbe = 2)
       }
       assert(oneShot == 2, s"one-shot query ran $oneShot actions")
@@ -110,13 +121,13 @@ class IvfIndexSpec extends SparkSpec {
       val a = r.query(queries, "vec_id", "embedding", k = 3, nProbe = 2)
         .select("query_id", "neighbor_id", "rank")
         .as[(Long, Long, Int)].collect().toSet
-      val b = IvfIndex.query(spark, t, queries, "vec_id", "embedding",
+      val b = IvfIndex.query(s, t, queries, "vec_id", "embedding",
           k = 3, nProbe = 2)
         .select("query_id", "neighbor_id", "rank")
         .as[(Long, Long, Int)].collect().toSet
       assert(a == b && a.nonEmpty)
     } finally Seq(t, s"${t}_centroids").foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n")
+      s.sql(s"DROP TABLE IF EXISTS $n")
     }
   }
 
