@@ -1247,6 +1247,27 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL PROGRESSIVE JPEG pixel decode: the same planted
+    // 64-bit patterns as q_jpeg_phash but emitted as multi-scan SOF2
+    // streams (DC + spectral-selection AC + successive-approximation
+    // refinement scans), so the hash only matches if the full
+    // progressive coefficient accumulation is bit-exact
+    "q_progressive_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(35) + col("doc_id") % 70).cast("int").as("__a"),
+        (lit(115) + col("doc_id") % 110).cast("int").as("__b"),
+        graft.functions.HashFunctions
+          .stableHash60(concat(lit("prog:"),
+            col("doc_id").cast("string")))
+          .bitwiseOR(lit(1L)).as("__patt"),
+        (col("doc_id") % 2).cast("int").as("__mode"))
+      val jpg = Multimodal.synthPatternJpegProgressive(d, "__a",
+        "__b", "__patt", "__mode", "content")
+      Multimodal.decodeBatches(jpg, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- REAL pixel resize: checker PNGs (multiple-of-8 dims, so
     // the 8×8 nearest-neighbor result is an exact 8×8 checkerboard)
     // -> decode+resample+re-encode -> RE-decode the resized bytes ->
@@ -2431,6 +2452,14 @@ object SparkEntry {
     // the low bits of the 60-bit hash — cast before it leaves SQL
     "q_jpeg_phash" -> {
       val h60 = sqlHash60("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, CAST(($h60) | 1 AS BIGINT) AS ahash FROM documents"""
+    },
+
+    // successive-approximation scans rebuild the planted coefficients
+    // exactly, so the progressive oracle is the same hash60 replay
+    // (distinct 'prog:' salt keeps it independent of q_jpeg_phash)
+    "q_progressive_phash" -> {
+      val h60 = sqlHash60("'prog:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, CAST(($h60) | 1 AS BIGINT) AS ahash FROM documents"""
     },
 

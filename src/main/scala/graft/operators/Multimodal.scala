@@ -342,10 +342,14 @@ object Multimodal {
   // Real JPEG PIXEL decode (no external libraries): baseline
   // sequential DCT with Huffman entropy coding — DQT/DHT/SOF0/SOF1/
   // DRI/SOS marker parse, bit-stuffed entropy read, canonical Huffman
-  // decode (ITU T.81 F.2.2.3), dequant, separable float IDCT. The
-  // luma plane IS the Y component (JFIF Y is BT.601 luma), so chroma
-  // blocks are entropy-decoded only to advance the bitstream — no
-  // upsampling needed. Progressive (SOF2), arithmetic coding,
+  // decode (ITU T.81 F.2.2.3), dequant, separable float IDCT — plus
+  // PROGRESSIVE (SOF2) frames: spectral-selection and successive-
+  // approximation scans (ITU T.81 G.2) accumulate Y coefficients
+  // across scans and the IDCT runs once at EOI. The luma plane IS the
+  // Y component (JFIF Y is BT.601 luma), so chroma blocks are
+  // entropy-decoded only to advance the bitstream (interleaved DC
+  // scans) or skipped wholesale by marker search (chroma-only
+  // progressive scans) — no upsampling needed. Arithmetic coding,
   // hierarchical, 12-bit precision and fractional-sampling layouts
   // classify as undecodable (None) — never a throw.
   // ------------------------------------------------------------------
@@ -462,13 +466,13 @@ object Multimodal {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
-  /** Decoded luma plane of a BASELINE sequential JPEG: width, height,
-    * one 0..255 value per pixel (row-major). The Y component must
-    * carry the frame's maximum sampling factors (every standard
-    * 4:4:4 / 4:2:2 / 4:2:0 layout does), so Y lands at full
+  /** Decoded luma plane of a BASELINE sequential or PROGRESSIVE JPEG:
+    * width, height, one 0..255 value per pixel (row-major). The Y
+    * component must carry the frame's maximum sampling factors (every
+    * standard 4:4:4 / 4:2:2 / 4:2:0 layout does), so Y lands at full
     * resolution and chroma never needs upsampling for a luma-only
-    * decode. Undecodable (progressive, arithmetic, 12-bit, truncated,
-    * corrupt entropy, > 2^24 px) → None, never a throw.
+    * decode. Undecodable (arithmetic, 12-bit, truncated, corrupt
+    * entropy, > 2^24 px) → None, never a throw.
     */
   def jpegDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 4) return None
@@ -494,6 +498,17 @@ object Multimodal {
     val compH  = new Array[Int](4)
     val compV  = new Array[Int](4)
     val compQ  = new Array[Int](4)
+    // progressive state: Y coefficients in natural order per 64-entry
+    // block, MCU-padded raster layout, accumulated across scans and
+    // IDCT'd once at EOI
+    var progressive = false
+    var coefY: Array[Int] = null
+    var pMcusX = 0; var pMcusY = 0; var pBwY = 0
+    var sawYScan = false
+
+    def finishProgressive(): Option[(Int, Int, Array[Int])] =
+      if (!sawYScan || coefY == null) None
+      else progressiveIdct(w, h, pBwY, coefY, qt(compQ(0)))
 
     var i = 2
     while (i + 3 < b.length) {
@@ -501,12 +516,18 @@ object Multimodal {
       val m = b(i + 1) & 0xff
       if (m == 0xff) { i += 1 }
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
-      else if (m == 0xd9) return None // EOI before SOS
+      else if (m == 0xd9) {
+        return if (progressive) finishProgressive()
+        else None // EOI before SOS
+      }
       else {
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) throw JpegFail
         val seg = i + 4          // first payload byte
         val segEnd = i + 2 + len
+        // progressive SOS cases advance past their entropy data by
+        // overriding this; every other marker steps over its payload
+        var nextI = i + 2 + len
         m match {
           case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
             var p = seg
@@ -536,7 +557,8 @@ object Multimodal {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               p += 17 + nv
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+          case 0xc0 | 0xc1 | 0xc2 => // sequential Huffman / progressive
+            progressive = m == 0xc2
             if ((b(seg) & 0xff) != 8) return None // 12-bit precision
             h = be16(b, seg + 1)
             w = be16(b, seg + 3)
@@ -555,13 +577,13 @@ object Multimodal {
                 compV(c) > 4 || compQ(c) > 3) return None
               c += 1
             }
-          case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
               x != 0xcc =>
-            return None // progressive/arithmetic/lossless/hierarchical
+            return None // arithmetic/lossless/hierarchical
           case 0xdd => // DRI
             if (len != 4) throw JpegFail
             restartInterval = be16(b, seg)
-          case 0xda => // SOS: scan header, then entropy data
+          case 0xda if !progressive => // SOS: scan header, entropy data
             if (w == 0) return None // scan before frame
             val ns = b(seg) & 0xff
             if (ns != nComp) return None // multi-scan: not baseline
@@ -583,12 +605,96 @@ object Multimodal {
             }
             return decodeScan(b, segEnd, w, h, nComp, compH, compV,
               compQ, qt, scanDc, scanAc, restartInterval)
+          case 0xda => // progressive SOS: one of many partial scans
+            if (w == 0) return None // scan before frame
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > nComp || seg + 1 + 2 * ns + 3 > segEnd)
+              throw JpegFail
+            val hmax = (0 until nComp).map(compH).max
+            val vmax = (0 until nComp).map(compV).max
+            // luma-only contract, as in the baseline path
+            if (compH(0) != hmax || compV(0) != vmax) return None
+            if (hmax * vmax > 10) return None
+            if (coefY == null) {
+              pMcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              pMcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              pBwY = pMcusX * compH(0)
+              val pBhY = pMcusY * compV(0)
+              if (pBwY.toLong * pBhY * 64 > (1L << 26)) return None
+              coefY = new Array[Int](pBwY * pBhY * 64)
+            }
+            val scanComp = new Array[Int](ns)
+            val sDc = new Array[HuffTable](ns)
+            val sAc = new Array[HuffTable](ns)
+            var s = 0
+            while (s < ns) {
+              val cs = b(seg + 1 + 2 * s) & 0xff
+              val c = compId.indexWhere(_ == cs)
+              if (c < 0 || c >= nComp) throw JpegFail
+              scanComp(s) = c
+              val tt = b(seg + 2 + 2 * s) & 0xff
+              sDc(s) = dcTabs(tt >> 4)
+              sAc(s) = acTabs(tt & 0x0f)
+              s += 1
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4
+            val al = ahal & 0x0f
+            if (ss > 63 || se > 63 || se < ss || al > 13) throw JpegFail
+            if (ns > 1 && (ss != 0 || se != 0)) throw JpegFail
+            if (scanComp.contains(0)) {
+              sawYScan = true
+              // tables actually used must exist: DC-first needs every
+              // scan component's DC table; AC scans need Y's AC table
+              if (ss == 0 && ah == 0) {
+                var j = 0
+                while (j < ns) {
+                  if (sDc(j) == null) throw JpegFail
+                  j += 1
+                }
+              }
+              if (ss > 0 && sAc(scanComp.indexOf(0)) == null)
+                throw JpegFail
+              val endPos = progressiveScan(b, segEnd, scanComp, sDc,
+                sAc, ss, se, ah, al, restartInterval, compH, compV,
+                pMcusX, pMcusY, pBwY, w, h, coefY)
+              nextI = nextMarkerPos(b, endPos)
+            } else {
+              // chroma-only scan: the Y plane is unaffected — skip the
+              // entropy bytes wholesale by searching the next marker
+              nextI = nextMarkerPos(b, segEnd)
+            }
           case _ => () // APPn/COM/unknown: skip
         }
-        i += 2 + len
+        i = nextI
       }
     }
-    None // ran out of markers without a scan
+    // progressive streams whose EOI sits in the final bytes exit the
+    // marker loop (the loop needs 4 lookahead bytes) — finalize only
+    // if that EOI is really there; a truncated stream stays None
+    if (progressive && i + 1 < b.length && (b(i) & 0xff) == 0xff &&
+      (b(i + 1) & 0xff) == 0xd9) finishProgressive()
+    else None // ran out of markers without a scan / truncated
+  }
+
+  /** Position of the next real marker (0xFF + non-stuffing, non-RST
+    * byte) at or after `from` — how progressive scans whose entropy
+    * data we either fully consumed or deliberately skipped re-join
+    * the marker walk.
+    */
+  private def nextMarkerPos(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (true) {
+      if (p + 1 >= b.length) return b.length // truncated: loop exits
+      if ((b(p) & 0xff) == 0xff) {
+        val mm = b(p + 1) & 0xff
+        if (mm != 0x00 && !(mm >= 0xd0 && mm <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    p
   }
 
   /** Entropy-decode every MCU, keeping only the Y component's IDCT
@@ -716,6 +822,231 @@ object Multimodal {
     Some((w, h, luma))
   }
 
+  /** One progressive scan containing the Y component (ITU T.81 G.2):
+    * entropy-decode into `coefY` — DC first/refinement for interleaved
+    * and single-component scans, AC first/refinement with EOB-run
+    * bookkeeping for single-component Y scans. Chroma blocks inside
+    * interleaved DC scans are decoded to advance the bitstream only;
+    * chroma-only scans never reach here (skipped by marker search).
+    * Returns the stream position just past the scan's entropy data.
+    */
+  private def progressiveScan(b: Array[Byte], start: Int,
+      scanComp: Array[Int], scanDc: Array[HuffTable],
+      scanAc: Array[HuffTable], ss: Int, se: Int, ah: Int, al: Int,
+      ri: Int, compH: Array[Int], compV: Array[Int], mcusX: Int,
+      mcusY: Int, bwY: Int, w: Int, h: Int, coefY: Array[Int]): Int = {
+    val bits = new JpegBits(b, start)
+    val bit = 1 << al
+    val pred = new Array[Int](scanComp.length)
+    var eobrun = 0
+    var rstCount = 0
+
+    def refine(z: Int): Unit =
+      if (bits.nextBit() == 1 && (coefY(z) & bit) == 0)
+        coefY(z) += (if (coefY(z) >= 0) bit else -bit)
+
+    if (scanComp.length > 1) {
+      // interleaved scan: progressive allows these only for DC
+      // (validated by the caller) — MCU walk as in baseline
+      val totalMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          bits.restart(rstCount % 8)
+          rstCount += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var s = 0
+        while (s < scanComp.length) {
+          val c = scanComp(s)
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              val base = if (c == 0)
+                ((my * compV(0) + by) * bwY + mx * compH(0) + bx) * 64
+              else -1
+              if (ah == 0) {
+                val cat = bits.decodeHuff(scanDc(s))
+                if (cat > 11) throw JpegFail
+                pred(s) += jpegExtend(bits.receive(cat), cat)
+                if (base >= 0) coefY(base) = pred(s) << al
+              } else if (bits.nextBit() == 1 && base >= 0)
+                coefY(base) |= bit
+              bx += 1
+            }
+            by += 1
+          }
+          s += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan over Y: one block per data unit in
+      // component raster order (Y sampling = max → comp dims = frame)
+      val sIdx = 0
+      val blocksW = (w + 7) / 8
+      val blocksH = (h + 7) / 8
+      val total = blocksW * blocksH
+      var blk = 0
+      while (blk < total) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) {
+          bits.restart(rstCount % 8)
+          rstCount += 1
+          pred(0) = 0
+          eobrun = 0
+        }
+        val base = ((blk / blocksW) * bwY + blk % blocksW) * 64
+        if (ss == 0) {
+          if (ah == 0) {
+            val cat = bits.decodeHuff(scanDc(sIdx))
+            if (cat > 11) throw JpegFail
+            pred(0) += jpegExtend(bits.receive(cat), cat)
+            coefY(base) = pred(0) << al
+          } else if (bits.nextBit() == 1) coefY(base) |= bit
+        } else if (ah == 0) {
+          // AC first scan (G.2.1): run/size with EOB-run extension
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = bits.decodeHuff(scanAc(sIdx))
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += bits.receive(r)
+                  k = 64 // end of this block's band
+                }
+              } else {
+                k += r
+                if (k > se) throw JpegFail
+                coefY(base + ZigZag(k)) =
+                  jpegExtend(bits.receive(sz), sz) * bit
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement scan (G.2.2): correction bits for history-
+          // nonzero coefficients, ±1·2^Al insertions at zero history
+          var k = ss
+          if (eobrun == 0) {
+            var inBand = true
+            while (inBand && k <= se) {
+              val rs = bits.decodeHuff(scanAc(sIdx))
+              var r = rs >> 4
+              val sz = rs & 0x0f
+              var newVal = 0
+              if (sz != 0) {
+                if (sz != 1) throw JpegFail
+                newVal = if (bits.nextBit() == 1) bit else -bit
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += bits.receive(r)
+                inBand = false
+              }
+              if (inBand) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val z = base + ZigZag(k)
+                  if (coefY(z) != 0) refine(z)
+                  else if (r == 0) {
+                    if (newVal != 0) coefY(z) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                // ZRL (sz == 0, r == 15) lands here too after its 16
+                // zero-history positions are consumed
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // block is inside an EOB run: only correction bits for
+            // the coefficients already nonzero in this band
+            while (k <= se) {
+              val z = base + ZigZag(k)
+              if (coefY(z) != 0) refine(z)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        blk += 1
+      }
+    }
+    bits.pos
+  }
+
+  /** Finalize a progressive decode: dequantize the accumulated Y
+    * coefficients and IDCT every visible block into the cropped luma
+    * plane — one pass, after all scans.
+    */
+  private def progressiveIdct(w: Int, h: Int, bwY: Int,
+      coefY: Array[Int], q: Array[Int]): Option[(Int, Int, Array[Int])] = {
+    if (q == null) return None // no quant table ever arrived
+    val blocksW = (w + 7) / 8
+    val blocksH = (h + 7) / 8
+    val luma = new Array[Int](w * h)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var by = 0
+    while (by < blocksH) {
+      var bx = 0
+      while (bx < blocksW) {
+        val base = (by * bwY + bx) * 64
+        var k = 0
+        while (k < 64) { // q is in zigzag order, coefY in natural
+          coef(ZigZag(k)) = coefY(base + ZigZag(k)) * q(k)
+          k += 1
+        }
+        var v2 = 0
+        while (v2 < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              val cv = coef(v2 * 8 + u)
+              if (cv != 0) s += DctBasis(u)(x) * cv
+              u += 1
+            }
+            tmp(v2)(x) = s
+            x += 1
+          }
+          v2 += 1
+        }
+        val x0 = bx * 8
+        val y0 = by * 8
+        var y = 0
+        while (y < 8 && y0 + y < h) {
+          var x = 0
+          while (x < 8 && x0 + x < w) {
+            var s = 0.0
+            var v3 = 0
+            while (v3 < 8) {
+              s += DctBasis(v3)(y) * tmp(v3)(x)
+              v3 += 1
+            }
+            val px = math.round(s + 128.0).toInt
+            luma((y0 + y) * w + x0 + x) =
+              if (px < 0) 0 else if (px > 255) 255 else px
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, luma))
+  }
+
   /** Real perceptual hash of a baseline JPEG: full pixel decode →
     * 8×8 average hash; None for anything [[jpegDecodeLuma]]
     * classifies undecodable.
@@ -812,8 +1143,11 @@ object Multimodal {
     * run-length through the custom tables. Returns the new DC
     * predictor.
     */
-  private def encodeBlock(bw: JpegBitWriter, block: Array[Double],
-      pred: Int): Int = {
+  /** Float FDCT + quantize-by-8 of one level-shifted block (natural
+    * order in, natural order out) — shared by the baseline and
+    * progressive encoders so both emit identical coefficients.
+    */
+  private def fdctQuant(block: Array[Double]): Array[Int] = {
     val tmp = Array.ofDim[Double](8, 8)
     var u = 0
     while (u < 8) { // rows: g(x, y) → over x
@@ -840,6 +1174,12 @@ object Multimodal {
       }
       v += 1
     }
+    q
+  }
+
+  private def encodeBlock(bw: JpegBitWriter, block: Array[Double],
+      pred: Int): Int = {
+    val q = fdctQuant(block)
     // DC
     val diff = q(0) - pred
     val cat = jpegCat(diff)
@@ -984,6 +1324,296 @@ object Multimodal {
     out.toByteArray
   }
 
+  // Progressive AC table: the sequential table's symbols PLUS the
+  // EOBn run codes 0x10..0xE0 (progressive encodes runs of all-EOB
+  // blocks as one symbol + extension bits). EOB1 (0x00) at 2 bits,
+  // everything else at 9 — canonical, Kraft sum 1/4 + 175/512 < 1.
+  private val EncAcProgVals: Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte](0x00)
+    for (r <- 1 to 14) buf += (r << 4).toByte // EOBn
+    buf += 0xf0.toByte                        // ZRL
+    for (r <- 0 to 15; s <- 1 to 10) buf += ((r << 4) | s).toByte
+    buf.toArray
+  }
+  private val EncAcProgBits: Array[Int] =
+    Array(0, 1, 0, 0, 0, 0, 0, 0, EncAcProgVals.length - 1,
+      0, 0, 0, 0, 0, 0, 0)
+  private lazy val EncAcProgCodes =
+    canonicalCodes(EncAcProgBits, EncAcProgVals)
+
+  /** Progressive JPEG encoder (SOF2; grayscale or YCbCr 4:4:4 with
+    * neutral chroma) — the synthesis side of the progressive decode
+    * path, emitting the classic spectral-selection + successive-
+    * approximation ladder:
+    *
+    *   1. DC            Ss=0 Se=0  Ah=0 Al=1  (interleaved if color)
+    *   2. Y  AC 1..5    Ah=0 Al=1
+    *   3. Y  AC 6..63   Ah=0 Al=1
+    *   4. Cb/Cr AC 1..63 Al=1 (color only — pure EOB runs)
+    *   5. DC refinement Ah=1 Al=0  (raw bits, no Huffman)
+    *   6. Y  AC 1..5    Ah=1 Al=0  (refinement)
+    *   7. Y  AC 6..63   Ah=1 Al=0
+    *   8. Cb/Cr AC refinements (color only)
+    *
+    * Coefficients come from the same [[fdctQuant]] as the baseline
+    * encoder, so a progressive and a baseline encoding of the same
+    * pixels MUST decode to identical luma — the spec's golden check.
+    * AC first/refinement scans follow T.81 G.1.2.2-G.1.2.3 with
+    * EOB-run accumulation and buffered correction bits.
+    */
+  def jpegEncodeGrayProgressive(w: Int, h: Int, pix: Array[Int],
+      mode: Int = 0): Array[Byte] = {
+    require(mode == 0 || mode == 1, s"mode must be 0|1, got $mode")
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dims must be positive multiples of 8, got ${w}x$h")
+    require(pix.length == w * h,
+      s"jpegEncodeGrayProgressive: ${pix.length} pixels for ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: table 0, flat 8s
+    u16(2 + 1 + 64)
+    u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    val nComp = if (mode == 0) 1 else 3
+    marker(0xc2) // SOF2: progressive DCT, Huffman
+    u16(8 + 3 * nComp)
+    u8(8); u16(h); u16(w); u8(nComp)
+    for (c <- 0 until nComp) { u8(c + 1); u8(0x11); u8(0) }
+    marker(0xc4) // DHT: DC table 0
+    u16(2 + 1 + 16 + EncDcVals.length)
+    u8(0x00)
+    EncDcBits.foreach(u8)
+    EncDcVals.foreach(v => u8(v & 0xff))
+    marker(0xc4) // DHT: AC table 0 (progressive symbols)
+    u16(2 + 1 + 16 + EncAcProgVals.length)
+    u8(0x10)
+    EncAcProgBits.foreach(u8)
+    EncAcProgVals.foreach(v => u8(v & 0xff))
+
+    // quantized Y blocks in raster order; chroma blocks are all-zero
+    val blocksW = w / 8
+    val blocksH = h / 8
+    val block = new Array[Double](64)
+    val yCoef = Array.tabulate(blocksW * blocksH) { bi =>
+      val x0 = (bi % blocksW) * 8
+      val y0 = (bi / blocksW) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          block(y * 8 + x) = pix((y0 + y) * w + x0 + x) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      fdctQuant(block)
+    }
+    val zero64 = new Array[Int](64)
+
+    def scanHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int,
+        al: Int): Unit = {
+      marker(0xda)
+      u16(6 + 2 * comps.length)
+      u8(comps.length)
+      comps.foreach { c => u8(c + 1); u8(0x00) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    // ---- scan 1: DC first, Al=1, all components interleaved.
+    // 4:4:4 MCUs are one block per component in raster order, so the
+    // MCU walk IS the block walk.
+    scanHeader(0 until nComp, 0, 0, 0, 1)
+    locally {
+      val bw = new JpegBitWriter(out)
+      val pred = new Array[Int](nComp)
+      var bi = 0
+      while (bi < yCoef.length) {
+        var c = 0
+        while (c < nComp) {
+          val dc = if (c == 0) yCoef(bi)(0) >> 1 else 0
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val cat = jpegCat(diff)
+          val (code, clen) = EncDcCodes(cat)
+          bw.write(code, clen)
+          if (cat > 0)
+            bw.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+          c += 1
+        }
+        bi += 1
+      }
+      bw.pad()
+    }
+
+    /** AC first scan over one component's blocks (T.81 G.1.2.2):
+      * magnitudes point-transformed by Al, trailing zeros folded into
+      * cross-block EOB runs.
+      */
+    def acFirstScan(comp: Int, coefs: Array[Array[Int]], ss: Int,
+        se: Int, al: Int): Unit = {
+      scanHeader(Seq(comp), ss, se, 0, al)
+      val bw = new JpegBitWriter(out)
+      var eobRun = 0
+      def flushEob(): Unit = if (eobRun > 0) {
+        var nbits = 0
+        var t = eobRun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        val (code, clen) = EncAcProgCodes(nbits << 4)
+        bw.write(code, clen)
+        if (nbits > 0) bw.write(eobRun, nbits)
+        eobRun = 0
+      }
+      var bi = 0
+      while (bi < coefs.length) {
+        val q = coefs(bi)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v = q(ZigZag(k))
+          val t = if (v >= 0) v >> al else -((-v) >> al)
+          if (t == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) {
+              val (z, zl) = EncAcProgCodes(0xf0)
+              bw.write(z, zl)
+              r -= 16
+            }
+            val sz = jpegCat(t)
+            if (sz > 10) throw new IllegalArgumentException(
+              s"AC coefficient $t too large for the encoder's tables")
+            val (code, clen) = EncAcProgCodes((r << 4) | sz)
+            bw.write(code, clen)
+            bw.write(if (t < 0) t + (1 << sz) - 1 else t, sz)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) {
+          eobRun += 1
+          if (eobRun == 0x7fff) flushEob()
+        }
+        bi += 1
+      }
+      flushEob()
+      bw.pad()
+    }
+
+    /** AC refinement scan (T.81 G.1.2.3, the IJG encode_mcu_AC_refine
+      * control flow): history-nonzero coefficients contribute buffered
+      * correction bits, newly-nonzero ones emit (run, 1) + sign, and
+      * all-EOB tails fold into cross-block EOB runs whose pending
+      * correction bits flush right after the EOBn symbol.
+      */
+    def acRefineScan(comp: Int, coefs: Array[Array[Int]], ss: Int,
+        se: Int, al: Int): Unit = {
+      scanHeader(Seq(comp), ss, se, al + 1, al)
+      val bw = new JpegBitWriter(out)
+      var eobRun = 0
+      val bePend = scala.collection.mutable.ArrayBuffer[Int]()
+      def flushEob(): Unit = {
+        if (eobRun > 0) {
+          var nbits = 0
+          var t = eobRun
+          while ({ t >>= 1; t != 0 }) nbits += 1
+          val (code, clen) = EncAcProgCodes(nbits << 4)
+          bw.write(code, clen)
+          if (nbits > 0) bw.write(eobRun, nbits)
+          eobRun = 0
+        }
+        bePend.foreach(bw.write(_, 1))
+        bePend.clear()
+      }
+      var bi = 0
+      while (bi < coefs.length) {
+        val q = coefs(bi)
+        // index of the last newly-nonzero coefficient in the band:
+        // ZRLs beyond it fold into the EOB run
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= se) {
+          val m = math.abs(q(ZigZag(k))) >> al
+          if (m == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val brPend = scala.collection.mutable.ArrayBuffer[Int]()
+        k = ss
+        while (k <= se) {
+          val v = q(ZigZag(k))
+          val m = math.abs(v) >> al
+          if (m == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (z, zl) = EncAcProgCodes(0xf0)
+              bw.write(z, zl)
+              r -= 16
+              brPend.foreach(bw.write(_, 1))
+              brPend.clear()
+            }
+            if (m > 1) brPend += (m & 1) // correction bit only
+            else {
+              flushEob()
+              val (code, clen) = EncAcProgCodes((r << 4) | 1)
+              bw.write(code, clen)
+              bw.write(if (v < 0) 0 else 1, 1)
+              brPend.foreach(bw.write(_, 1))
+              brPend.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || brPend.nonEmpty) {
+          eobRun += 1
+          bePend ++= brPend
+          if (eobRun == 0x7fff) flushEob()
+        }
+        bi += 1
+      }
+      flushEob()
+      bw.pad()
+    }
+
+    val chroma = Array.fill(blocksW * blocksH)(zero64)
+    // ---- scans 2-4: AC first, Al=1
+    acFirstScan(0, yCoef, 1, 5, 1)
+    acFirstScan(0, yCoef, 6, 63, 1)
+    if (mode == 1) {
+      acFirstScan(1, chroma, 1, 63, 1)
+      acFirstScan(2, chroma, 1, 63, 1)
+    }
+    // ---- scan 5: DC refinement, Al=0 — one raw bit per block per
+    // component, interleaved, no Huffman decode involved
+    scanHeader(0 until nComp, 0, 0, 1, 0)
+    locally {
+      val bw = new JpegBitWriter(out)
+      var bi = 0
+      while (bi < yCoef.length) {
+        var c = 0
+        while (c < nComp) {
+          bw.write(if (c == 0) yCoef(bi)(0) & 1 else 0, 1)
+          c += 1
+        }
+        bi += 1
+      }
+      bw.pad()
+    }
+    // ---- scans 6-8: AC refinement, Al=0
+    acRefineScan(0, yCoef, 1, 5, 0)
+    acRefineScan(0, yCoef, 6, 63, 0)
+    if (mode == 1) {
+      acRefineScan(1, chroma, 1, 63, 0)
+      acRefineScan(2, chroma, 1, 63, 0)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Deterministic pattern-JPEG synthesizer — the JPEG twin of
     * [[synthPatternPng]]: 64×64 images whose 8×8 blocks map one-to-one
     * onto aHash cells, cell (cx, cy) colored `colorB` iff pattern bit
@@ -1022,6 +1652,46 @@ object Multimodal {
           y += 1
         }
         Row.fromSeq(r.toSeq :+ jpegEncodeGray(w, h, pix, mode, rst))
+      }
+    }(enc)
+  }
+
+  /** Progressive twin of [[synthPatternJpeg]]: the same 64×64
+    * pattern-block construction, emitted as a multi-scan SOF2 stream
+    * (`modeCol` 0 gray / 1 YCbCr 4:4:4). Uniform blocks survive the
+    * successive-approximation ladder exactly, so [[jpegAHash]] of the
+    * output IS the planted pattern — the analytic plain-SQL oracle
+    * now covers the progressive decode path end-to-end.
+    */
+  def synthPatternJpegProgressive(df: DataFrame, aCol: String,
+      bCol: String, patternCol: String, modeCol: String,
+      outCol: String): DataFrame = {
+    val (ai, bi, pi, mi) = (df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(patternCol),
+      df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val pattern = r.getLong(pi)
+        val mode = r.getInt(mi)
+        val w = 64; val h = 64
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = 8 * (y / 8) + (x / 8)
+            pix(y * w + x) =
+              if ((pattern >>> bit & 1L) != 0L) b else a
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+
+          jpegEncodeGrayProgressive(w, h, pix, mode))
       }
     }(enc)
   }

@@ -487,6 +487,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDecodeLuma(null).isEmpty)
   }
 
+  test("progressive JPEG decodes to the SAME luma as a baseline " +
+      "encoding of the same pixels (random content, gray + 4:4:4)") {
+    // both encoders share fdctQuant, so the decoded planes must be
+    // bit-identical — this drives every progressive path: DC first +
+    // refinement, AC first in two spectral bands, AC refinement with
+    // newly-nonzero insertions, correction bits and EOB runs
+    val rnd = new scala.util.Random(77)
+    for (mode <- 0 to 1; (w, h) <- Seq((8, 8), (24, 16), (64, 64))) {
+      val pix = Array.fill(w * h)(rnd.nextInt(256))
+      val base = Multimodal.jpegDecodeLuma(
+        Multimodal.jpegEncodeGray(w, h, pix,
+          if (mode == 0) 0 else 1))
+      val prog = Multimodal.jpegDecodeLuma(
+        Multimodal.jpegEncodeGrayProgressive(w, h, pix, mode))
+      assert(base.isDefined && prog.isDefined,
+        s"undecodable at mode=$mode ${w}x$h")
+      assert(prog.get._1 == w && prog.get._2 == h)
+      assert(prog.get._3.sameElements(base.get._3),
+        s"progressive != baseline at mode=$mode ${w}x$h")
+    }
+    // smooth + sparse contents hit the long-EOB-run and ZRL branches
+    val grad = Array.tabulate(64 * 64) { i =>
+      math.min(255, ((i % 64) + (i / 64)) * 2) }
+    val sparse = Array.tabulate(64 * 64) { i =>
+      if (i == 64 * 33 + 7) 255 else 128 }
+    for (pix <- Seq(grad, sparse)) {
+      val base = Multimodal.jpegDecodeLuma(
+        Multimodal.jpegEncodeGray(64, 64, pix))
+      val prog = Multimodal.jpegDecodeLuma(
+        Multimodal.jpegEncodeGrayProgressive(64, 64, pix))
+      assert(prog.isDefined &&
+        prog.get._3.sameElements(base.get._3))
+    }
+  }
+
+  test("progressive JPEG: uniform pattern blocks decode exactly; " +
+      "truncation classifies as undecodable") {
+    val pattern = 0x5a3cc3a5f00f1e87L
+    val pix = patternPix(pattern, 40, 200)
+    for (mode <- 0 to 1) {
+      val bytes = Multimodal.jpegEncodeGrayProgressive(64, 64, pix,
+        mode)
+      val got = Multimodal.jpegDecodeLuma(bytes)
+      assert(got.isDefined, s"undecodable at mode=$mode")
+      assert(got.get._3.sameElements(pix),
+        s"pixel mismatch at mode=$mode")
+      assert(Multimodal.jpegAHash(bytes).contains(pattern))
+      // cut inside the entropy data (drop EOI + tail): must be None,
+      // not a partial render or a throw
+      val cut = java.util.Arrays.copyOfRange(bytes, 0,
+        bytes.length - 12)
+      assert(Multimodal.jpegDecodeLuma(cut).isEmpty)
+    }
+  }
+
   test("synthPatternJpeg plants the hash verbatim; decodeAHash " +
       "sniffs both formats and nulls garbage") {
     val rows = Seq(
