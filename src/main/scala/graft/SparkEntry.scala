@@ -1298,6 +1298,29 @@ object SparkEntry {
     // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
     // fields planted from doc_id), parsed back via the batch-decode
     // plumbing; the oracle recomputes the planted values
+    // ----- REAL MP4 container parse: per-row synthesized ISO-BMFF
+    // boxes (ftyp + moov/mvhd + tkhd tracks, genuine lengths and
+    // 16.16 fixed-point dims; every other doc gets a 0×0 audio-style
+    // lead track the walk must skip) -> mp4Meta box walk; the oracle
+    // replays the planted fields arithmetically
+    "q_video_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("isom"))
+          .when(col("doc_id") % 3 === 1, lit("mp42"))
+          .otherwise(lit("avc1")).as("__brand"),
+        (lit(160) + (col("doc_id") % 12) * 160).cast("int").as("__w"),
+        (lit(90) + (col("doc_id") % 12) * 90).cast("int").as("__h"),
+        ((col("doc_id") % 600 + 1) * 1000).cast("long").as("__dur"),
+        (col("doc_id") % 2 + 1).cast("int").as("__nt"))
+      val mp4 = Multimodal.synthMp4(d, "__brand", "__w", "__h",
+        "__dur", "__nt", "content")
+      Multimodal.decodeBatches(mp4, "content",
+          Multimodal.videoMetaSchema)(Multimodal.decodeVideoMeta)
+        .select(col("doc_id"), col("format"), col("brand"),
+          col("width"), col("height"), col("duration_ms"),
+          col("n_tracks"))
+    }),
+
     "q_audio_meta" -> ((s, dir) => {
       def le16(c: Column) = {
         val h = lpad(hex(c), 4, "0")
@@ -2414,6 +2437,18 @@ object SparkEntry {
              '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1),
              s -> s[2:-2])[1] AS first_link
          FROM h""",
+
+    // every box length / fixed-point field the synthesizer planted is
+    // recomputed arithmetically — no MP4 bytes anywhere in the oracle
+    "q_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+         CASE WHEN doc_id % 3 = 0 THEN 'isom'
+              WHEN doc_id % 3 = 1 THEN 'mp42' ELSE 'avc1' END AS brand,
+         CAST(160 + (doc_id % 12) * 160 AS INT) AS width,
+         CAST(90 + (doc_id % 12) * 90 AS INT) AS height,
+         CAST((doc_id % 600 + 1) * 1000 AS BIGINT) AS duration_ms,
+         CAST(doc_id % 2 + 1 AS INT) AS n_tracks
+         FROM documents""",
 
     // the parser must read back exactly the fields the hex
     // construction planted — recomputed arithmetically, no WAV here

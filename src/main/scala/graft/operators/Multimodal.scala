@@ -1983,6 +1983,215 @@ object Multimodal {
       case None => Seq[Any](null, null, null, null, null)
     }
 
+  /** Parsed MP4 (ISO-BMFF) container metadata: major brand from
+    * `ftyp`, movie timescale/duration from `moov/mvhd`, presentation
+    * dimensions from the first visual `moov/trak/tkhd` (16.16 fixed
+    * point), and the track count. `durationMs` is duration scaled to
+    * milliseconds. Frame PIXELS stay out of scope — that is the
+    * honest [[fakeDecode]] stub; the container walk here is real byte
+    * parsing, same contract as [[wavMeta]]/[[pngDims]].
+    */
+  final case class VideoMeta(format: String, brand: String,
+      width: Int, height: Int, durationMs: Long, nTracks: Int)
+
+  private def be32u(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32u(b, o) << 32) | be32u(b, o + 4)
+
+  private def fourCC(b: Array[Byte], o: Int): String =
+    new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** MP4/ISO-BMFF box walk (ISO 14496-12): size+type headers with
+    * 64-bit largesize and size-0 (to end) handled; descends into
+    * `moov` and each `trak` only — every other box is skipped by its
+    * declared size. Truncated or structurally nonsensical boxes
+    * classify as undecodable, never throw.
+    */
+  def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+    if (b == null || b.length < 16) return None
+    // the first box must be ftyp — the ISO-BMFF signature
+    if (fourCC(b, 4) != "ftyp") return None
+    var brand: String = null
+    var timescale = 0L
+    var duration = -1L
+    var width = 0
+    var height = 0
+    var nTracks = 0
+
+    /** Walk one box list in [from, to); returns false on corruption. */
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        var size = be32u(b, p.toInt)
+        val typ = fourCC(b, p.toInt + 4)
+        var hdr = 8L
+        if (size == 1) {
+          if (p + 16 > to) return false
+          size = be64(b, p.toInt + 8)
+          hdr = 16L
+        } else if (size == 0) size = to - p // box runs to the end
+        if (size < hdr || p + size > to) return false
+        val body = p + hdr
+        typ match {
+          case "ftyp" =>
+            if (size < hdr + 4) return false
+            brand = fourCC(b, body.toInt)
+          case "moov" =>
+            if (depth == 0 && !walk(body, p + size, 1)) return false
+          case "trak" =>
+            if (depth == 1) {
+              nTracks += 1
+              if (!walk(body, p + size, 2)) return false
+            }
+          case "mvhd" if depth == 1 =>
+            val v = b(body.toInt) & 0xff
+            if (v == 1) {
+              if (size < hdr + 4 + 8 + 8 + 4 + 8) return false
+              timescale = be32u(b, body.toInt + 20)
+              duration = be64(b, body.toInt + 24)
+            } else {
+              if (size < hdr + 4 + 4 + 4 + 4 + 4) return false
+              timescale = be32u(b, body.toInt + 12)
+              duration = be32u(b, body.toInt + 16)
+            }
+          case "tkhd" if depth == 2 =>
+            val v = b(body.toInt) & 0xff
+            // width offset from the version byte: flags+times+id+
+            // reserved+duration (24 v0 / 36 v1) + reserved/layer/
+            // volume (16) + matrix (36)
+            val whOff = if (v == 1) 88 else 76
+            if (size < hdr + whOff + 8) return false
+            val tw = (be32u(b, body.toInt + whOff) >> 16).toInt
+            val th = (be32u(b, body.toInt + whOff + 4) >> 16).toInt
+            if (width == 0 && tw > 0 && th > 0) { // first visual trak
+              width = tw
+              height = th
+            }
+          case _ => () // mdat/free/udta/...: skip by size
+        }
+        p += size
+      }
+      true
+    }
+
+    if (!walk(0L, b.length.toLong, 0)) return None
+    if (brand == null || timescale <= 0 || duration < 0) return None
+    Some(VideoMeta("mp4", brand, width, height,
+      duration * 1000L / timescale, nTracks))
+  }
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("brand", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType)))
+
+  /** Decode kernel for [[decodeBatches]]: real MP4 box walk, nulls
+    * for malformed/unrecognized content.
+    */
+  def decodeVideoMeta(bytes: Array[Byte]): Seq[Any] =
+    mp4Meta(bytes) match {
+      case Some(m) => Seq[Any](m.format, m.brand, m.width, m.height,
+        m.durationMs, m.nTracks)
+      case None => Seq[Any](null, null, null, null, null, null)
+    }
+
+  /** Minimal-but-real MP4 synthesizer (the oracle side of
+    * [[mp4Meta]]): ftyp + moov(mvhd, one tkhd trak per entry) + a
+    * stub mdat. Every box length and fixed-point field is genuine
+    * ISO-BMFF layout, so the parser must walk structure — not pattern
+    * match on offsets.
+    */
+  def mp4EncodeMeta(brand: String, timescale: Int, duration: Long,
+      tracks: Seq[(Int, Int)], mdatLen: Int = 16): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: $brand")
+    require(timescale > 0 && duration >= 0 && mdatLen >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      u32(0); tag(typ) // size backpatched below
+      body
+      val bytes = out.toByteArray
+      val size = bytes.length - mark
+      bytes(mark) = ((size >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((size >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((size >> 8) & 0xff).toByte
+      bytes(mark + 3) = (size & 0xff).toByte
+      out.reset()
+      out.write(bytes, 0, bytes.length)
+    }
+    box("ftyp") { tag(brand); u32(0); tag("isom"); tag(brand) }
+    box("moov") {
+      box("mvhd") {
+        u32(0) // version 0 + flags
+        u32(0); u32(0) // ctime, mtime
+        u32(timescale); u32(duration)
+        u32(0x00010000); u32(0x01000000) // rate 1.0, volume+reserved
+        (0 until 2).foreach(_ => u32(0)) // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(v => u32(v.toLong)) // identity matrix
+        (0 until 6).foreach(_ => u32(0)) // pre_defined
+        u32(tracks.length + 1L) // next_track_ID
+      }
+      tracks.zipWithIndex.foreach { case ((tw, th), ti) =>
+        box("trak") {
+          box("tkhd") {
+            u32(7) // version 0, flags: enabled|in_movie|in_preview
+            u32(0); u32(0) // ctime, mtime
+            u32(ti + 1L); u32(0) // track_ID, reserved
+            u32(duration)
+            u32(0); u32(0) // reserved
+            u32(0); u32(0) // layer+alternate_group, volume+reserved
+            Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+              .foreach(v => u32(v.toLong)) // identity matrix
+            u32(tw.toLong << 16); u32(th.toLong << 16) // 16.16 fixed
+          }
+        }
+      }
+    }
+    box("mdat") { (0 until mdatLen).foreach(_ => out.write(0)) }
+    out.toByteArray
+  }
+
+  /** Deterministic MP4 synthesizer for the container-metadata oracle:
+    * one ISO-BMFF stream per row from planted (brand, width, height,
+    * durationMs, nTracks) columns; timescale is pinned at 1000 so
+    * `duration_ms` reads back the planted value verbatim. nTracks = 2
+    * prepends a 0×0 (audio-style) track, forcing the parser to skip
+    * to the first VISUAL track while still counting both.
+    */
+  def synthMp4(df: DataFrame, brandCol: String, wCol: String,
+      hCol: String, durMsCol: String, tracksCol: String,
+      outCol: String): DataFrame = {
+    val (bi, wi, hi, di, ti) = (df.schema.fieldIndex(brandCol),
+      df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol),
+      df.schema.fieldIndex(durMsCol), df.schema.fieldIndex(tracksCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val dims = (r.getInt(wi), r.getInt(hi))
+        val tracks =
+          if (r.getInt(ti) == 2) Seq((0, 0), dims) else Seq(dims)
+        Row.fromSeq(r.toSeq :+ mp4EncodeMeta(r.getString(bi),
+          timescale = 1000, duration = r.getLong(di), tracks))
+      }
+    }(enc)
+  }
+
   /** Deterministic fake decoder: "resolution" and "n_frames" derived
     * from content bytes. STUB — replace with a real codec call.
     */

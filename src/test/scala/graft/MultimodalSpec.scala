@@ -487,6 +487,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDecodeLuma(null).isEmpty)
   }
 
+  test("mp4Meta walks real ISO-BMFF boxes: goldens, multi-track, " +
+      "64-bit sizes, malformed -> None") {
+    val b = Multimodal.mp4EncodeMeta("mp42", timescale = 1000,
+      duration = 7500, tracks = Seq((640, 360)))
+    assert(Multimodal.mp4Meta(b).contains(
+      Multimodal.VideoMeta("mp4", "mp42", 640, 360, 7500, 1)))
+
+    // audio-style track (0x0 dims) first: parser must keep walking to
+    // the first VISUAL track and still count both
+    val two = Multimodal.mp4EncodeMeta("isom", timescale = 90000,
+      duration = 90000L * 61, tracks = Seq((0, 0), (1920, 1080)))
+    assert(Multimodal.mp4Meta(two).contains(
+      Multimodal.VideoMeta("mp4", "isom", 1920, 1080, 61000, 2)))
+
+    // 64-bit largesize on mdat: splice an 8-byte header variant in
+    val base = Multimodal.mp4EncodeMeta("avc1", 600, 1200,
+      Seq((320, 240)), mdatLen = 0)
+    val withLarge = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, base.length - 8) // drop the empty mdat box
+      // size=1 + 'mdat' + 64-bit largesize covering a 4-byte payload
+      out.write(Array[Byte](0, 0, 0, 1))
+      "mdat".foreach(c => out.write(c.toInt))
+      out.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 20))
+      out.write(Array[Byte](9, 9, 9, 9))
+      out.toByteArray
+    }
+    assert(Multimodal.mp4Meta(withLarge).contains(
+      Multimodal.VideoMeta("mp4", "avc1", 320, 240, 2000, 1)))
+
+    // malformed: truncation mid-moov, a lying box size, not-BMFF
+    assert(Multimodal.mp4Meta(
+      java.util.Arrays.copyOfRange(b, 0, 40)).isEmpty)
+    val lying = b.clone()
+    lying(0) = 0x7f.toByte // ftyp size far past the payload
+    assert(Multimodal.mp4Meta(lying).isEmpty)
+    assert(Multimodal.mp4Meta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(null).isEmpty)
+
+    // kernel shape: parsed row and all-null row
+    val rows = Seq((1L, b), (2L, "garbage".getBytes))
+      .toDF("id", "content")
+    val parsed = Multimodal.decodeBatches(rows, "content",
+      Multimodal.videoMetaSchema)(Multimodal.decodeVideoMeta)
+      .select("id", "brand", "width", "duration_ms")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(parsed(1L) == "mp42" && parsed(2L) == null)
+  }
+
   test("progressive JPEG decodes to the SAME luma as a baseline " +
       "encoding of the same pixels (random content, gray + 4:4:4)") {
     // both encoders share fdctQuant, so the decoded planes must be
