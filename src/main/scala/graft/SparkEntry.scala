@@ -2561,6 +2561,14 @@ object SparkEntry {
 
   /** DuckDB mirror of HashFunctions.stableHash60: first 15 md5 hex chars
     * base-16-decoded, as an expression over lambda variable `v`.
+    *
+    * TYPING RULE: `list_sum` returns HUGEINT, and the driver's pandas
+    * `fetchdf()` converts HUGEINT to float64 — which shreds the low
+    * bits of any value ≥ 2^53. Comparisons, joins and GROUP BYs over
+    * the raw value are safe (they stay inside DuckDB), but any oracle
+    * that EMITS the hash in its SELECT list MUST wrap it in
+    * `CAST(... AS BIGINT)` (see q_jpeg_phash / q_progressive_phash —
+    * the r8 q_jpeg_phash hash_match failure was exactly this).
     */
   private def sqlHash60(v: String): String =
     s"list_sum(list_transform(generate_series(1, 15), q -> " +

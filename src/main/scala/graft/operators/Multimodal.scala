@@ -17,13 +17,16 @@ import org.apache.spark.sql.types._
   * 8×8 average hash ([[pngAHash]]) for image near-dup curation, and
   * a REAL RESIZE ([[pngResize]]): nearest-neighbor resample of the
   * decoded luma plane, re-encoded through the real grayscale PNG
-  * encoder. JPEG PIXEL DECODE IS REAL TOO: [[jpegDecodeLuma]] is a
-  * full baseline sequential decoder (marker walk, canonical Huffman,
-  * dequant, IDCT, restart markers, 4:4:4/4:2:0 layouts) feeding the
-  * same hash/resize/near-dup stages — so the majority crawl format is
-  * covered. The remaining fakes are the paths that genuinely need
-  * external codecs — progressive JPEG, video frame decode — and
-  * stay clearly marked stubs. Everything Spark-side is real
+  * encoder. JPEG PIXEL DECODE IS REAL TOO: [[jpegDecodeLuma]] handles
+  * both baseline sequential frames (marker walk, canonical Huffman,
+  * dequant, IDCT, restart markers, 4:4:4/4:2:0 layouts) and
+  * progressive SOF2 frames (spectral-selection + successive-
+  * approximation scan accumulation), feeding the same
+  * hash/resize/near-dup stages — so the dominant crawl formats are
+  * covered, and [[mp4Meta]] walks real ISO-BMFF boxes for video
+  * container metadata. The remaining fake is the one path that
+  * genuinely needs an external codec — video FRAME decode — and
+  * stays a clearly marked stub. Everything Spark-side is real
   * either way: the schema contract, the per-partition batch iteration
   * (the Scala analog of `mapInPandas` — one Iterator[Row] per
   * partition, streaming, no per-row serialization boundary), the
@@ -2266,7 +2269,7 @@ object Multimodal {
   }
 
   /** Resize plumbing for formats WITHOUT an in-container codec
-    * (progressive JPEG, video): recompute the content payload and
+    * (video): recompute the content payload and
     * metadata for a target resolution. The BYTE TRANSFORM IS A STUB —
     * payload is deterministically truncated/kept to the target byte
     * budget (targetW·targetH/16). PNG and baseline JPEG content have
