@@ -1321,6 +1321,27 @@ object SparkEntry {
           col("n_tracks"))
     }),
 
+    // ----- REAL VIDEO FRAME decode (MJPEG-in-MP4): per-row synthetic
+    // containers with genuine stsc×stco×stsz sample tables (one chunk
+    // per frame) whose frames are planted pattern JPEGs; the operator
+    // walks the table, slices each frame, runs the real JPEG decoder
+    // and hashes — one row per frame, map-only
+    "q_video_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        lit(40).as("__a"), lit(200).as("__b"),
+        transform(
+          sequence(lit(0), (col("doc_id") % 3).cast("int")),
+          i => graft.functions.HashFunctions.stableHash60(
+            concat(lit("vf:"), col("doc_id").cast("string"),
+              lit(":"), i.cast("string"))).bitwiseOR(lit(1L)))
+          .as("__patterns"))
+      val mp4 = Multimodal.synthMjpeg(d, "__patterns", "__a", "__b",
+        "content")
+      Multimodal.mp4FrameHashes(mp4, "doc_id", "content")
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("ahash"))
+    }),
+
     "q_audio_meta" -> ((s, dir) => {
       def le16(c: Column) = {
         val h = lpad(hex(c), 4, "0")
@@ -2437,6 +2458,19 @@ object SparkEntry {
              '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1),
              s -> s[2:-2])[1] AS first_link
          FROM h""",
+
+    // per-frame hash60 replay: each frame's aHash IS its planted
+    // pattern (uniform blocks decode exactly), cast to BIGINT per the
+    // sqlHash60 emission rule
+    "q_video_frames" -> {
+      val h60 = sqlHash60(
+        "'vf:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)")
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+         CAST(($h60) | 1 AS BIGINT) AS ahash
+         FROM documents, LATERAL unnest(generate_series(0,
+           CAST(doc_id % 3 AS INT))) AS t(f)"""
+    },
 
     // every box length / fixed-point field the synthesizer planted is
     // recomputed arithmetically — no MP4 bytes anywhere in the oracle

@@ -2168,6 +2168,304 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One media sample (frame) located by the MP4 sample table:
+    * absolute byte offset + size inside the container.
+    */
+  final case class Mp4Sample(offset: Long, size: Int)
+
+  /** Sample-table walk for the first trak whose `stsd` declares a
+    * motion-JPEG codec (`jpeg`/`mjpa`/`mjpb`): descends
+    * moov/trak/mdia/minf/stbl, then resolves every sample's absolute
+    * byte range from `stsc` (samples per chunk) × `stco` (chunk
+    * offsets) × `stsz` (sample sizes) exactly as ISO 14496-12
+    * prescribes — no assumption that samples are contiguous or that
+    * chunks hold one sample. Returns None when no MJPEG track exists
+    * or the table is malformed/truncated, never throws.
+    */
+  def mp4MjpegSamples(b: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    if (b == null || b.length < 16 || fourCC(b, 4) != "ftyp")
+      return None
+    try mjpegSampleWalk(b)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def mjpegSampleWalk(b: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    // collect each trak's stbl sub-boxes, then resolve the first
+    // MJPEG one; box walk mirrors mp4Meta's (sizes validated, skip by
+    // declared length)
+    var result: Option[Seq[Mp4Sample]] = None
+
+    def children(from: Long, to: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return Seq.empty
+        var size = be32u(b, p.toInt)
+        val typ = fourCC(b, p.toInt + 4)
+        var hdr = 8L
+        if (size == 1) {
+          if (p + 16 > to) return Seq.empty
+          size = be64(b, p.toInt + 8)
+          hdr = 16L
+        } else if (size == 0) size = to - p
+        if (size < hdr || p + size > to) return Seq.empty
+        out += ((typ, p + hdr, p + size))
+        p += size
+      }
+      out.result()
+    }
+
+    def find(boxes: Seq[(String, Long, Long)], typ: String) =
+      boxes.find(_._1 == typ)
+
+    val top = children(0L, b.length.toLong)
+    for ((_, moovB, moovE) <- find(top, "moov")) {
+      val moov = children(moovB, moovE)
+      for ((t, trakB, trakE) <- moov if t == "trak" if result.isEmpty) {
+        val stblOpt = for {
+          (_, mdiaB, mdiaE) <- find(children(trakB, trakE), "mdia")
+          (_, minfB, minfE) <- find(children(mdiaB, mdiaE), "minf")
+          (_, stblB, stblE) <- find(children(minfB, minfE), "stbl")
+        } yield children(stblB, stblE)
+        for (stbl <- stblOpt) {
+          val codec = find(stbl, "stsd").flatMap { case (_, s, e) =>
+            // version/flags + entry_count, then first entry:
+            // size(4) + data_format(4)
+            if (s + 16 > e) None else Some(fourCC(b, s.toInt + 12))
+          }
+          if (codec.exists(c => c == "jpeg" || c == "mjpa" ||
+              c == "mjpb")) {
+            result = for {
+              (_, szS, szE) <- find(stbl, "stsz")
+              (_, scS, scE) <- find(stbl, "stsc")
+              (_, coS, coE) <- find(stbl, "stco")
+              samples <- resolveSamples(b, szS, szE, scS, scE, coS, coE)
+            } yield samples
+          }
+        }
+      }
+    }
+    result
+  }
+
+  /** stsc × stco × stsz → absolute (offset, size) per sample. */
+  private def resolveSamples(b: Array[Byte], szS: Long, szE: Long,
+      scS: Long, scE: Long, coS: Long, coE: Long)
+      : Option[Seq[Mp4Sample]] = {
+    // stsz: version/flags, uniform sample_size, sample_count[, sizes]
+    if (szS + 12 > szE) return None
+    val uniform = be32u(b, szS.toInt + 4)
+    val nSamples = be32u(b, szS.toInt + 8).toInt
+    if (nSamples < 0 || nSamples > (1 << 20)) return None
+    if (uniform == 0 && szS + 12 + 4L * nSamples > szE) return None
+    def sampleSize(i: Int): Long =
+      if (uniform != 0) uniform else be32u(b, szS.toInt + 12 + 4 * i)
+    // stco: version/flags, entry_count, offsets
+    if (coS + 8 > coE) return None
+    val nChunks = be32u(b, coS.toInt + 4).toInt
+    if (nChunks <= 0 || coS + 8 + 4L * nChunks > coE) return None
+    def chunkOffset(c: Int): Long = be32u(b, coS.toInt + 8 + 4 * c)
+    // stsc: version/flags, entry_count, (first_chunk, samples/chunk,
+    // desc_idx) — runs apply until the next entry's first_chunk
+    if (scS + 8 > scE) return None
+    val nRuns = be32u(b, scS.toInt + 4).toInt
+    if (nRuns <= 0 || scS + 8 + 12L * nRuns > scE) return None
+    def runFirst(r: Int): Int = be32u(b, scS.toInt + 8 + 12 * r).toInt
+    def runPer(r: Int): Int = be32u(b, scS.toInt + 12 + 12 * r).toInt
+    val out = Seq.newBuilder[Mp4Sample]
+    var s = 0
+    var run = 0
+    var chunk = 1 // 1-based chunk index
+    while (s < nSamples && chunk <= nChunks) {
+      while (run + 1 < nRuns && runFirst(run + 1) <= chunk) run += 1
+      val per = runPer(run)
+      if (per <= 0) return None
+      var off = chunkOffset(chunk - 1)
+      var j = 0
+      while (j < per && s < nSamples) {
+        val sz = sampleSize(s)
+        if (sz <= 0 || sz > Int.MaxValue ||
+          off + sz > b.length) return None
+        out += Mp4Sample(off, sz.toInt)
+        off += sz
+        s += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    if (s != nSamples) return None
+    Some(out.result())
+  }
+
+  /** REAL video frame decode for motion-JPEG MP4s: sample-table walk
+    * → per-frame byte slice → the real JPEG pixel decoder → 8×8
+    * average hash. One output row per frame: (frame_idx, width,
+    * height, ahash); rows with undecodable frames carry null hash;
+    * containers without an MJPEG track produce no rows. Map-only —
+    * each task explodes its own rows, nothing shuffles.
+    */
+  def mp4FrameHashes(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        val bytes = r.getAs[Array[Byte]](ci)
+        mp4MjpegSamples(bytes).toSeq.flatMap(_.zipWithIndex.map {
+          case (smp, idx) =>
+            val frame = java.util.Arrays.copyOfRange(bytes,
+              smp.offset.toInt, smp.offset.toInt + smp.size)
+            jpegDecodeLuma(frame) match {
+              case Some((w, h, luma)) => Row(id, idx, w, h,
+                averageHash64(luma, w, h))
+              case None => Row(id, idx, null, null, null)
+            }
+        })
+      }
+    }(enc)
+  }
+
+  /** MJPEG-in-MP4 synthesizer (the oracle side of [[mp4FrameHashes]]):
+    * real ftyp/mdat/moov layout with a genuine sample table — one
+    * chunk PER FRAME (stco lists every frame's absolute offset, stsc
+    * is one run of 1-sample chunks) so the reader must actually
+    * resolve stsc×stco×stsz rather than slice contiguously.
+    */
+  def mp4EncodeMjpeg(frames: Seq[Array[Byte]],
+      timescale: Int = 1000): Array[Byte] = {
+    require(frames.nonEmpty, "mp4EncodeMjpeg: no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      u32(0); tag(typ)
+      body
+      val bytes = out.toByteArray
+      val size = bytes.length - mark
+      bytes(mark) = ((size >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((size >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((size >> 8) & 0xff).toByte
+      bytes(mark + 3) = (size & 0xff).toByte
+      out.reset()
+      out.write(bytes, 0, bytes.length)
+    }
+    box("ftyp") { tag("mp42"); u32(0); tag("isom"); tag("mp42") }
+    val mdatPayload = out.size() + 8L // frame 0 lands right here
+    box("mdat") { frames.foreach(f => out.write(f, 0, f.length)) }
+    val offsets = frames.scanLeft(mdatPayload)(_ + _.length)
+    box("moov") {
+      box("mvhd") {
+        u32(0); u32(0); u32(0)
+        u32(timescale.toLong); u32(frames.length.toLong) // 1 tick/frame
+        u32(0x00010000); u32(0x01000000)
+        (0 until 2).foreach(_ => u32(0))
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(v => u32(v.toLong))
+        (0 until 6).foreach(_ => u32(0))
+        u32(2)
+      }
+      box("trak") {
+        box("tkhd") {
+          u32(7); u32(0); u32(0); u32(1); u32(0)
+          u32(frames.length.toLong)
+          u32(0); u32(0); u32(0); u32(0)
+          Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            .foreach(v => u32(v.toLong))
+          u32(64L << 16); u32(64L << 16)
+        }
+        box("mdia") {
+          box("mdhd") {
+            u32(0); u32(0); u32(0)
+            u32(timescale.toLong); u32(frames.length.toLong)
+            u32(0x55c40000L) // language 'und' + pre_defined
+          }
+          box("minf") {
+            box("stbl") {
+              box("stsd") {
+                u32(0); u32(1) // one entry
+                box("jpeg") { // data_format fourcc IS the box type
+                  (0 until 2).foreach(_ => u32(0)) // reserved+index
+                }
+              }
+              box("stts") {
+                u32(0); u32(1)
+                u32(frames.length.toLong); u32(1) // each 1 tick
+              }
+              box("stsc") {
+                u32(0); u32(1)
+                u32(1); u32(1); u32(1) // every chunk: 1 sample
+              }
+              box("stsz") {
+                u32(0); u32(0) // non-uniform
+                u32(frames.length.toLong)
+                frames.foreach(f => u32(f.length.toLong))
+              }
+              box("stco") {
+                u32(0); u32(frames.length.toLong)
+                offsets.init.foreach(u32)
+              }
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG-MP4 synthesizer over a DataFrame: one
+    * container per row whose frames are 64×64 pattern JPEGs planted
+    * from `patternsCol` (array&lt;long&gt;, one 64-bit pattern per
+    * frame). Uniform pattern blocks decode exactly, so each frame's
+    * aHash IS its planted pattern — the analytic oracle for the full
+    * sample-table + JPEG frame decode chain.
+    */
+  def synthMjpeg(df: DataFrame, patternsCol: String, aCol: String,
+      bCol: String, outCol: String): DataFrame = {
+    val (pi, ai, bi) = (df.schema.fieldIndex(patternsCol),
+      df.schema.fieldIndex(aCol), df.schema.fieldIndex(bCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val patterns = r.getSeq[Long](pi)
+        val frames = patterns.map { pattern =>
+          val w = 64; val h = 64
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = 8 * (y / 8) + (x / 8)
+              pix(y * w + x) =
+                if ((pattern >>> bit & 1L) != 0L) b else a
+              x += 1
+            }
+            y += 1
+          }
+          jpegEncodeGray(w, h, pix)
+        }
+        Row.fromSeq(r.toSeq :+ mp4EncodeMjpeg(frames))
+      }
+    }(enc)
+  }
+
   /** Deterministic MP4 synthesizer for the container-metadata oracle:
     * one ISO-BMFF stream per row from planted (brand, width, height,
     * durationMs, nTracks) columns; timescale is pinned at 1000 so

@@ -537,6 +537,57 @@ class MultimodalSpec extends SparkSpec {
     assert(parsed(1L) == "mp42" && parsed(2L) == null)
   }
 
+  test("mp4MjpegSamples + mp4FrameHashes: real sample-table frame " +
+      "decode; non-MJPEG and malformed -> no rows / None") {
+    val patterns = Seq(0x55aa55aa55aa55aaL, -1L, 0x0f0f0f0f0f0f0f0fL)
+    val frames = patterns.map(p =>
+      Multimodal.jpegEncodeGray(64, 64, patternPix(p, 40, 200)))
+    val mp4 = Multimodal.mp4EncodeMjpeg(frames)
+
+    // the sample table must resolve each frame's exact byte range
+    val samples = Multimodal.mp4MjpegSamples(mp4).get
+    assert(samples.length == 3)
+    assert(samples.map(_.size) == frames.map(_.length))
+    samples.zip(frames).foreach { case (smp, f) =>
+      val sliced = java.util.Arrays.copyOfRange(mp4,
+        smp.offset.toInt, smp.offset.toInt + smp.size)
+      assert(sliced.sameElements(f))
+    }
+    // metadata walk still reads the same container
+    assert(Multimodal.mp4Meta(mp4).exists(m =>
+      m.width == 64 && m.nTracks == 1))
+
+    // frame decode end-to-end: every planted pattern hash comes back
+    val rows = Seq((7L, mp4)).toDF("id", "content")
+    val hashed = Multimodal.mp4FrameHashes(rows, "id", "content")
+      .select("id", "frame_idx", "ahash")
+      .as[(Long, Int, Long)].collect().sortBy(_._2).toSeq
+    assert(hashed == patterns.zipWithIndex.map {
+      case (p, i) => (7L, i, p) })
+
+    // a metadata-only mp4 (no MJPEG track) produces zero rows
+    val plain = Multimodal.mp4EncodeMeta("isom", 1000, 1000,
+      Seq((320, 240)))
+    assert(Multimodal.mp4MjpegSamples(plain).isEmpty)
+    val none = Multimodal.mp4FrameHashes(
+      Seq((1L, plain)).toDF("id", "content"), "id", "content")
+    assert(none.count() == 0)
+    // truncated container: the lying sample range classifies as None
+    assert(Multimodal.mp4MjpegSamples(
+      java.util.Arrays.copyOfRange(mp4, 0, mp4.length / 2)).isEmpty)
+    // a corrupted frame inside a valid table -> null hash, no throw
+    val broken = mp4.clone()
+    val s1 = samples(1)
+    broken(s1.offset.toInt) = 0 // kill frame 1's SOI marker
+    val partial = Multimodal.mp4FrameHashes(
+        Seq((9L, broken)).toDF("id", "content"), "id", "content")
+      .select("frame_idx", "ahash").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(partial(0).contains(patterns(0)) && partial(1).isEmpty &&
+      partial(2).contains(patterns(2)))
+  }
+
   test("progressive JPEG decodes to the SAME luma as a baseline " +
       "encoding of the same pixels (random content, gray + 4:4:4)") {
     // both encoders share fdctQuant, so the decoded planes must be
