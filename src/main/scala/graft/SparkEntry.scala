@@ -1298,6 +1298,21 @@ object SparkEntry {
     // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
     // fields planted from doc_id), parsed back via the batch-decode
     // plumbing; the oracle recomputes the planted values
+    // ----- corpus-fitted char-bigram LM quality score: the fit is
+    // one alphabet-bounded aggregation, the scoring pass is map-only
+    // with the counts broadcast — integer micro-probabilities keep
+    // it bit-replayable (no cross-libm ln)
+    "q_char_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = CharLm.fit(d, "text")
+      CharLm.score(d.select(col("doc_id"), col("text")), "doc_id",
+          "text", model)
+        .withColumn("avg_p",
+          round(col("sum_micro_p") / col("n_positions") / 1e9, 9))
+        .select(col("doc_id"), col("n_positions"),
+          col("sum_micro_p"), col("avg_p"))
+    }),
+
     // ----- REAL MP4 container parse: per-row synthesized ISO-BMFF
     // boxes (ftyp + moov/mvhd + tkhd tracks, genuine lengths and
     // 16.16 fixed-point dims; every other doc gets a 0×0 audio-style
@@ -2458,6 +2473,35 @@ object SparkEntry {
              '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1),
              s -> s[2:-2])[1] AS first_link
          FROM h""",
+
+    // the same add-one-smoothed integer micro-probabilities, built
+    // from scratch in SQL: bigram counts, per-prefix totals, V =
+    // distinct next-chars + 1, truncating integer division
+    "q_char_lm_score" ->
+      """WITH bg AS (
+           SELECT doc_id, substring(text, i, 1) AS p,
+             substring(text, i + 1, 1) AS c
+           FROM documents,
+             LATERAL unnest(generate_series(1, length(text) - 1))
+               AS t(i)
+           WHERE length(text) >= 2),
+         cnt AS (SELECT p, c, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+         tot AS (SELECT p, SUM(n) AS tn FROM cnt GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT c) + 1 AS vv FROM bg),
+         mp AS (SELECT b.doc_id,
+             ((cnt.n + 1) * 1000000000) // (tot.tn + v.vv) AS m
+           FROM bg b
+           JOIN cnt ON b.p = cnt.p AND b.c = cnt.c
+           JOIN tot ON b.p = tot.p
+           CROSS JOIN v),
+         agg AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(SUM(m) AS BIGINT) AS sum_micro_p
+           FROM mp GROUP BY 1)
+         SELECT d.doc_id, a.n_positions, a.sum_micro_p,
+           ROUND(CAST(a.sum_micro_p AS DOUBLE) / a.n_positions / 1e9,
+             9) AS avg_p
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
 
     // per-frame hash60 replay: each frame's aHash IS its planted
     // pattern (uniform blocks decode exactly), cast to BIGINT per the
