@@ -1260,7 +1260,7 @@ object SparkEntry {
           .stableHash60(concat(lit("prog:"),
             col("doc_id").cast("string")))
           .bitwiseOR(lit(1L)).as("__patt"),
-        (col("doc_id") % 2).cast("int").as("__mode"))
+        (col("doc_id") % 3).cast("int").as("__mode"))
       val jpg = Multimodal.synthPatternJpegProgressive(d, "__a",
         "__b", "__patt", "__mode", "content")
       Multimodal.decodeBatches(jpg, "content",

@@ -1344,10 +1344,10 @@ object Multimodal {
   private lazy val EncAcProgCodes =
     canonicalCodes(EncAcProgBits, EncAcProgVals)
 
-  /** Progressive JPEG encoder (SOF2; grayscale or YCbCr 4:4:4 with
-    * neutral chroma) — the synthesis side of the progressive decode
-    * path, emitting the classic spectral-selection + successive-
-    * approximation ladder:
+  /** Progressive JPEG encoder (SOF2; grayscale, YCbCr 4:4:4 or
+    * YCbCr 4:2:0 with neutral chroma) — the synthesis side of the
+    * progressive decode path, emitting the classic spectral-selection
+    * + successive-approximation ladder:
     *
     *   1. DC            Ss=0 Se=0  Ah=0 Al=1  (interleaved if color)
     *   2. Y  AC 1..5    Ah=0 Al=1
@@ -1362,13 +1362,17 @@ object Multimodal {
     * encoder, so a progressive and a baseline encoding of the same
     * pixels MUST decode to identical luma — the spec's golden check.
     * AC first/refinement scans follow T.81 G.1.2.2-G.1.2.3 with
-    * EOB-run accumulation and buffered correction bits.
+    * EOB-run accumulation and buffered correction bits. Mode 2
+    * (4:2:0, dims multiples of 16) interleaves 2×2 Y blocks + Cb +
+    * Cr per MCU in the DC scans — the layout most real progressive
+    * crawl JPEGs use.
     */
   def jpegEncodeGrayProgressive(w: Int, h: Int, pix: Array[Int],
       mode: Int = 0): Array[Byte] = {
-    require(mode == 0 || mode == 1, s"mode must be 0|1, got $mode")
-    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
-      s"dims must be positive multiples of 8, got ${w}x$h")
+    require(mode >= 0 && mode <= 2, s"mode must be 0..2, got $mode")
+    val align = if (mode == 2) 16 else 8
+    require(w > 0 && h > 0 && w % align == 0 && h % align == 0,
+      s"dims must be positive multiples of $align, got ${w}x$h")
     require(pix.length == w * h,
       s"jpegEncodeGrayProgressive: ${pix.length} pixels for ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
@@ -1384,7 +1388,8 @@ object Multimodal {
     marker(0xc2) // SOF2: progressive DCT, Huffman
     u16(8 + 3 * nComp)
     u8(8); u16(h); u16(w); u8(nComp)
-    for (c <- 0 until nComp) { u8(c + 1); u8(0x11); u8(0) }
+    for (c <- 0 until nComp)
+      { u8(c + 1); u8(if (mode == 2 && c == 0) 0x22 else 0x11); u8(0) }
     marker(0xc4) // DHT: DC table 0
     u16(2 + 1 + 16 + EncDcVals.length)
     u8(0x00)
@@ -1426,28 +1431,46 @@ object Multimodal {
     }
 
     // ---- scan 1: DC first, Al=1, all components interleaved.
-    // 4:4:4 MCUs are one block per component in raster order, so the
-    // MCU walk IS the block walk.
+    // MCU walk: yF×yF Y blocks then one block per chroma component
+    // (gray and 4:4:4 collapse to one Y block per MCU).
+    val yF = if (mode == 2) 2 else 1
+    val mcusX = blocksW / yF
+    val mcusY = blocksH / yF
+    def dcScanMcuWalk(perYBlock: (Int, Int) => Unit, // (blockIdx, comp)
+        perChroma: Int => Unit): Unit = {
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var by = 0
+        while (by < yF) {
+          var bx = 0
+          while (bx < yF) {
+            perYBlock((my * yF + by) * blocksW + (mx * yF + bx), 0)
+            bx += 1
+          }
+          by += 1
+        }
+        var c = 1
+        while (c < nComp) { perChroma(c); c += 1 }
+        mcu += 1
+      }
+    }
     scanHeader(0 until nComp, 0, 0, 0, 1)
     locally {
       val bw = new JpegBitWriter(out)
       val pred = new Array[Int](nComp)
-      var bi = 0
-      while (bi < yCoef.length) {
-        var c = 0
-        while (c < nComp) {
-          val dc = if (c == 0) yCoef(bi)(0) >> 1 else 0
-          val diff = dc - pred(c)
-          pred(c) = dc
-          val cat = jpegCat(diff)
-          val (code, clen) = EncDcCodes(cat)
-          bw.write(code, clen)
-          if (cat > 0)
-            bw.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-          c += 1
-        }
-        bi += 1
+      def emitDc(c: Int, dc: Int): Unit = {
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val cat = jpegCat(diff)
+        val (code, clen) = EncDcCodes(cat)
+        bw.write(code, clen)
+        if (cat > 0)
+          bw.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
       }
+      dcScanMcuWalk((bi, c) => emitDc(c, yCoef(bi)(0) >> 1),
+        c => emitDc(c, 0))
       bw.pad()
     }
 
@@ -1582,7 +1605,8 @@ object Multimodal {
       bw.pad()
     }
 
-    val chroma = Array.fill(blocksW * blocksH)(zero64)
+    val chroma = Array.fill(
+      if (mode == 2) mcusX * mcusY else blocksW * blocksH)(zero64)
     // ---- scans 2-4: AC first, Al=1
     acFirstScan(0, yCoef, 1, 5, 1)
     acFirstScan(0, yCoef, 6, 63, 1)
@@ -1595,15 +1619,8 @@ object Multimodal {
     scanHeader(0 until nComp, 0, 0, 1, 0)
     locally {
       val bw = new JpegBitWriter(out)
-      var bi = 0
-      while (bi < yCoef.length) {
-        var c = 0
-        while (c < nComp) {
-          bw.write(if (c == 0) yCoef(bi)(0) & 1 else 0, 1)
-          c += 1
-        }
-        bi += 1
-      }
+      dcScanMcuWalk((bi, _) => bw.write(yCoef(bi)(0) & 1, 1),
+        _ => bw.write(0, 1))
       bw.pad()
     }
     // ---- scans 6-8: AC refinement, Al=0
@@ -1661,7 +1678,9 @@ object Multimodal {
 
   /** Progressive twin of [[synthPatternJpeg]]: the same 64×64
     * pattern-block construction, emitted as a multi-scan SOF2 stream
-    * (`modeCol` 0 gray / 1 YCbCr 4:4:4). Uniform blocks survive the
+    * (`modeCol` 0 gray / 1 YCbCr 4:4:4 / 2 YCbCr 4:2:0 — the last
+    * being what real progressive crawl JPEGs overwhelmingly use).
+    * Uniform blocks survive the
     * successive-approximation ladder exactly, so [[jpegAHash]] of the
     * output IS the planted pattern — the analytic plain-SQL oracle
     * now covers the progressive decode path end-to-end.

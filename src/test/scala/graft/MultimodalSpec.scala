@@ -589,17 +589,20 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("progressive JPEG decodes to the SAME luma as a baseline " +
-      "encoding of the same pixels (random content, gray + 4:4:4)") {
+      "encoding of the same pixels (random content, gray/4:4:4/4:2:0)") {
     // both encoders share fdctQuant, so the decoded planes must be
     // bit-identical — this drives every progressive path: DC first +
     // refinement, AC first in two spectral bands, AC refinement with
     // newly-nonzero insertions, correction bits and EOB runs
     val rnd = new scala.util.Random(77)
-    for (mode <- 0 to 1; (w, h) <- Seq((8, 8), (24, 16), (64, 64))) {
+    val cases = Seq(
+      (0, 8, 8), (0, 24, 16), (0, 64, 64),
+      (1, 8, 8), (1, 24, 16), (1, 64, 64),
+      (2, 16, 16), (2, 32, 16), (2, 64, 64)) // 4:2:0: 16-aligned
+    for ((mode, w, h) <- cases) {
       val pix = Array.fill(w * h)(rnd.nextInt(256))
       val base = Multimodal.jpegDecodeLuma(
-        Multimodal.jpegEncodeGray(w, h, pix,
-          if (mode == 0) 0 else 1))
+        Multimodal.jpegEncodeGray(w, h, pix, mode))
       val prog = Multimodal.jpegDecodeLuma(
         Multimodal.jpegEncodeGrayProgressive(w, h, pix, mode))
       assert(base.isDefined && prog.isDefined,
@@ -627,7 +630,7 @@ class MultimodalSpec extends SparkSpec {
       "truncation classifies as undecodable") {
     val pattern = 0x5a3cc3a5f00f1e87L
     val pix = patternPix(pattern, 40, 200)
-    for (mode <- 0 to 1) {
+    for (mode <- 0 to 2) {
       val bytes = Multimodal.jpegEncodeGrayProgressive(64, 64, pix,
         mode)
       val got = Multimodal.jpegDecodeLuma(bytes)
