@@ -59,6 +59,16 @@ object SparkEntry {
   // the reference's tests, anonymize_database.py:181).
   private val (noncePre, nonceSuf) = Anonymize.nonce(42L)
 
+  // Pinned BPE merge table for q_bpe_encode (order IS the rank;
+  // later merges consume earlier ones' outputs — "t"+"h" → "th",
+  // then "th"+"e" → "the"; the final merge's space-bearing token
+  // pins whitespace handling on both engines).
+  private val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("i", "t"), ("i", "s"),
+    ("e", "s"), ("a", "l"), ("o", "u"), ("s", "t"), ("the", " "))
+
   // Overlapped bins for q_overlap_binning: equal-width [0,120k) in 3
   // bins widened by 10% of a neighbor width (Binning.overlappingRanges)
   // — computed once here so the oracle embeds the identical literals.
@@ -1298,6 +1308,16 @@ object SparkEntry {
     // concatenation (RIFF/WAVE + fmt/data chunks, little-endian
     // fields planted from doc_id), parsed back via the batch-decode
     // plumbing; the oracle recomputes the planted values
+    // ----- real greedy BPE encode with a pinned merge table: the
+    // whole pass is one codegen'd projection of chained literal
+    // replaces over the SEP-bracketed stream (Bpe.scala) — the
+    // oracle rebuilds the identical stream with DuckDB's replace
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.encode(d, "text", BpeFixedMerges)
+        .select(col("doc_id"), col("token_stream"), col("n_tokens"))
+    }),
+
     // ----- corpus-fitted char-bigram LM quality score: the fit is
     // one alphabet-bounded aggregation, the scoring pass is map-only
     // with the counts broadcast — integer micro-probabilities keep
@@ -2473,6 +2493,58 @@ object SparkEntry {
              '(?i)href\s*=\s*("[^"]*"|''[^'']*'')', 1),
              s -> s[2:-2])[1] AS first_link
          FROM h""",
+
+    // an INDEPENDENT greedy-BPE derivation: token rows + one window
+    // stage per merge rank. Greedy left-to-right pairing = mark
+    // candidate positions (tok=a, next=b), group CONSECUTIVE
+    // candidates into runs (only possible when a=b), take the odd
+    // positions within each run, merge takers and drop their right
+    // partners, renumber. 20 unrolled stages — nothing shared with
+    // the Spark kernel's scan loop.
+    "q_bpe_encode" -> {
+      def tk(t: String) = "'" + t.replace("'", "''") + "'"
+      val p0 =
+        """p0 AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+           substring(txt, CAST(t.i AS INT), 1) AS tok
+           FROM (SELECT doc_id, replace(COALESCE(text, ''), chr(1),
+             '') AS txt FROM documents) d,
+           LATERAL unnest(generate_series(1, length(txt))) AS t(i))"""
+      val stages = BpeFixedMerges.zipWithIndex.map {
+        case ((a, b), n) =>
+          s"""c$n AS (SELECT doc_id, pos, tok,
+             CASE WHEN tok = ${tk(a)} AND lead(tok) OVER
+               (PARTITION BY doc_id ORDER BY pos) = ${tk(b)}
+             THEN 1 ELSE 0 END AS cand
+             FROM p$n),
+           g$n AS (SELECT doc_id, pos, tok, cand,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, cand
+               ORDER BY pos) AS grp
+             FROM c$n),
+           k$n AS (SELECT doc_id, pos, tok, cand,
+             CASE WHEN cand = 1 AND ROW_NUMBER() OVER
+               (PARTITION BY doc_id, cand, grp ORDER BY pos) % 2 = 1
+             THEN 1 ELSE 0 END AS tkn
+             FROM g$n),
+           m$n AS (SELECT doc_id, pos,
+             CASE WHEN tkn = 1 THEN ${tk(a + b)} ELSE tok END AS tok,
+             COALESCE(lag(tkn) OVER (PARTITION BY doc_id
+               ORDER BY pos), 0) AS dropped
+             FROM k$n),
+           p${n + 1} AS (SELECT doc_id, ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+             FROM m$n WHERE dropped = 0)"""
+      }
+      val last = s"p${BpeFixedMerges.length}"
+      s"""WITH $p0,
+         ${stages.mkString(",\n")}
+         SELECT d.doc_id, COALESCE(a.stream, '') AS token_stream,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens
+         FROM documents d LEFT JOIN (
+           SELECT doc_id,
+             string_agg(tok, chr(1) ORDER BY pos) AS stream,
+             COUNT(*) AS n
+           FROM $last GROUP BY 1) a ON d.doc_id = a.doc_id"""
+    },
 
     // the same add-one-smoothed integer micro-probabilities, built
     // from scratch in SQL: bigram counts, per-prefix totals, V =

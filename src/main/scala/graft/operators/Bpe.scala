@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenization — the merge-table side of an LLM
+  * data pipeline's token accounting (length budgeting, packing,
+  * per-token pricing).
+  *
+  * Encode semantics are CLASSIC greedy BPE: merges apply in rank
+  * order, one left-to-right non-overlapping pass per rank ("aaaa"
+  * with (a,a) → [aa, aa]; the merged token never re-merges within
+  * its own rank, but later ranks see it). The pass is a per-document
+  * JVM loop inside `mapPartitions` — map-only, zero shuffle, zero
+  * driver state, O(ranks × chars) per document — because no chain of
+  * string `replace`s can express greedy pairing (a literal
+  * replacement consumes the boundary its right neighbor needs, so
+  * alternating pairs go unmerged; the window-function oracle in
+  * SparkEntry re-derives greedy pairing independently via the
+  * odd-position-within-candidate-run rule).
+  *
+  * 100 TB shape: encode scans each partition once. Training is
+  * `numMerges` small aggregations whose shuffle is O(distinct
+  * adjacent token pairs) after map-side combine — alphabet-bounded,
+  * not corpus-bounded.
+  */
+object Bpe {
+
+  /** Token separator in the emitted stream; scrubbed from input. */
+  val Sep = "\u0001"
+
+  /** One greedy left-to-right merge pass of rank (a, b). */
+  private def mergePass(toks: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b)
+        i += 2
+      } else {
+        out += toks(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Greedy-encode one text against an ordered merge table: code-
+    * point symbols (astral chars stay single tokens, matching SQL
+    * substring semantics), then one merge pass per rank.
+    */
+  def encodeText(text: String, merges: Seq[(String, String)])
+      : Array[String] = {
+    val scrubbed =
+      if (text == null) "" else text.replace(Sep, "")
+    var toks = scrubbed.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    merges.foreach { case (a, b) => toks = mergePass(toks, a, b) }
+    toks
+  }
+
+  val encodeSchema: StructType = StructType(Seq(
+    StructField("token_stream", StringType),
+    StructField("n_tokens", LongType)))
+
+  /** Encode `textCol`: appends the SEP-joined token stream (engine-
+    * replayable verbatim) and the token count. Map-only.
+    */
+  def encode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ti = df.schema.fieldIndex(textCol)
+    val schema = StructType(df.schema.fields ++ encodeSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val toks = encodeText(r.getString(ti), merges)
+        Row.fromSeq(r.toSeq ++
+          Seq(toks.mkString(Sep), toks.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Train a merge table: `numMerges` rounds of "count adjacent token
+    * pairs, take the most frequent" (ties broken lexicographically —
+    * deterministic and partitioning-invariant). Each round re-encodes
+    * with the merges so far and runs one partially-aggregated count;
+    * rounds stop early when no pair reaches `minCount`.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0 && minCount >= 1)
+    val merges = Seq.newBuilder[(String, String)]
+    var current = Seq.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < numMerges && !exhausted) {
+      val toks = split(col("token_stream"), Sep)
+      val best = encode(df.select(col(textCol)), textCol, current)
+        .select(toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case Some(r) if r.getLong(2) >= minCount =>
+          val m = (r.getString(0), r.getString(1))
+          merges += m
+          current = current :+ m
+        case _ => exhausted = true
+      }
+      rounds += 1
+    }
+    merges.result()
+  }
+}
