@@ -2257,11 +2257,16 @@ object Multimodal {
           }
           if (codec.exists(c => c == "jpeg" || c == "mjpa" ||
               c == "mjpb")) {
+            // chunk offsets arrive as stco (32-bit) or co64 (64-bit —
+            // what >4 GB containers use); accept either
+            val chunkBox = find(stbl, "stco").map((_, false))
+              .orElse(find(stbl, "co64").map((_, true)))
             result = for {
               (_, szS, szE) <- find(stbl, "stsz")
               (_, scS, scE) <- find(stbl, "stsc")
-              (_, coS, coE) <- find(stbl, "stco")
-              samples <- resolveSamples(b, szS, szE, scS, scE, coS, coE)
+              ((_, coS, coE), wide) <- chunkBox
+              samples <- resolveSamples(b, szS, szE, scS, scE, coS,
+                coE, wide)
             } yield samples
           }
         }
@@ -2270,9 +2275,9 @@ object Multimodal {
     result
   }
 
-  /** stsc × stco × stsz → absolute (offset, size) per sample. */
+  /** stsc × stco/co64 × stsz → absolute (offset, size) per sample. */
   private def resolveSamples(b: Array[Byte], szS: Long, szE: Long,
-      scS: Long, scE: Long, coS: Long, coE: Long)
+      scS: Long, scE: Long, coS: Long, coE: Long, wide: Boolean)
       : Option[Seq[Mp4Sample]] = {
     // stsz: version/flags, uniform sample_size, sample_count[, sizes]
     if (szS + 12 > szE) return None
@@ -2282,11 +2287,15 @@ object Multimodal {
     if (uniform == 0 && szS + 12 + 4L * nSamples > szE) return None
     def sampleSize(i: Int): Long =
       if (uniform != 0) uniform else be32u(b, szS.toInt + 12 + 4 * i)
-    // stco: version/flags, entry_count, offsets
+    // stco/co64: version/flags, entry_count, 32/64-bit offsets
     if (coS + 8 > coE) return None
+    val offBytes = if (wide) 8 else 4
     val nChunks = be32u(b, coS.toInt + 4).toInt
-    if (nChunks <= 0 || coS + 8 + 4L * nChunks > coE) return None
-    def chunkOffset(c: Int): Long = be32u(b, coS.toInt + 8 + 4 * c)
+    if (nChunks <= 0 ||
+      coS + 8 + offBytes.toLong * nChunks > coE) return None
+    def chunkOffset(c: Int): Long =
+      if (wide) be64(b, coS.toInt + 8 + 8 * c)
+      else be32u(b, coS.toInt + 8 + 4 * c)
     // stsc: version/flags, entry_count, (first_chunk, samples/chunk,
     // desc_idx) — runs apply until the next entry's first_chunk
     if (scS + 8 > scE) return None
@@ -2357,12 +2366,19 @@ object Multimodal {
 
   /** MJPEG-in-MP4 synthesizer (the oracle side of [[mp4FrameHashes]]):
     * real ftyp/mdat/moov layout with a genuine sample table — one
-    * chunk PER FRAME (stco lists every frame's absolute offset, stsc
-    * is one run of 1-sample chunks) so the reader must actually
-    * resolve stsc×stco×stsz rather than slice contiguously.
+    * chunk PER FRAME (chunk offsets list every frame's absolute
+    * position, stsc is one run of 1-sample chunks) so the reader must
+    * actually resolve stsc×stco×stsz rather than slice contiguously.
+    * `wideOffsets` emits co64 (64-bit offsets — the >4 GB layout);
+    * `uniformSize` emits the compact constant-sample-size stsz
+    * (requires equal-length frames).
     */
   def mp4EncodeMjpeg(frames: Seq[Array[Byte]],
-      timescale: Int = 1000): Array[Byte] = {
+      timescale: Int = 1000, wideOffsets: Boolean = false,
+      uniformSize: Boolean = false): Array[Byte] = {
+    require(!uniformSize ||
+      frames.map(_.length).distinct.lengthCompare(1) == 0,
+      "uniformSize requires equal-length frames")
     require(frames.nonEmpty, "mp4EncodeMjpeg: no frames")
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
@@ -2430,11 +2446,20 @@ object Multimodal {
                 u32(1); u32(1); u32(1) // every chunk: 1 sample
               }
               box("stsz") {
-                u32(0); u32(0) // non-uniform
-                u32(frames.length.toLong)
-                frames.foreach(f => u32(f.length.toLong))
+                u32(0)
+                if (uniformSize) {
+                  u32(frames.head.length.toLong)
+                  u32(frames.length.toLong)
+                } else {
+                  u32(0) // non-uniform: explicit size list
+                  u32(frames.length.toLong)
+                  frames.foreach(f => u32(f.length.toLong))
+                }
               }
-              box("stco") {
+              if (wideOffsets) box("co64") {
+                u32(0); u32(frames.length.toLong)
+                offsets.init.foreach { o => u32(o >> 32); u32(o) }
+              } else box("stco") {
                 u32(0); u32(frames.length.toLong)
                 offsets.init.foreach(u32)
               }

@@ -565,6 +565,18 @@ class MultimodalSpec extends SparkSpec {
     assert(hashed == patterns.zipWithIndex.map {
       case (p, i) => (7L, i, p) })
 
+    // co64 (64-bit chunk offsets, the >4 GB layout) + uniform stsz:
+    // identical frames -> constant sample size, offsets still exact
+    val same = Seq(frames.head, frames.head, frames.head)
+    val wide = Multimodal.mp4EncodeMjpeg(same, wideOffsets = true,
+      uniformSize = true)
+    val wideSamples = Multimodal.mp4MjpegSamples(wide).get
+    assert(wideSamples.map(_.size) == same.map(_.length))
+    val wideHashes = Multimodal.mp4FrameHashes(
+        Seq((3L, wide)).toDF("id", "content"), "id", "content")
+      .select("ahash").as[Long].collect().toSeq
+    assert(wideHashes == Seq.fill(3)(patterns.head))
+
     // a metadata-only mp4 (no MJPEG track) produces zero rows
     val plain = Multimodal.mp4EncodeMeta("isom", 1000, 1000,
       Seq((320, 240)))
