@@ -1318,6 +1318,16 @@ object SparkEntry {
         .select(col("doc_id"), col("token_stream"), col("n_tokens"))
     }),
 
+    // ----- token-budgeted chunking: documents split into windows of
+    // at most 64 BPE tokens — the unit a training pipeline actually
+    // packs by; chunk text is the exact token concatenation
+    "q_bpe_chunk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.chunk(d, "doc_id", "text", BpeFixedMerges, maxTokens = 64)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))
+    }),
+
     // ----- corpus-fitted char-bigram LM quality score: the fit is
     // one alphabet-bounded aggregation, the scoring pass is map-only
     // with the counts broadcast — integer micro-probabilities keep
@@ -2502,41 +2512,8 @@ object SparkEntry {
     // partners, renumber. 20 unrolled stages — nothing shared with
     // the Spark kernel's scan loop.
     "q_bpe_encode" -> {
-      def tk(t: String) = "'" + t.replace("'", "''") + "'"
-      val p0 =
-        """p0 AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-           substring(txt, CAST(t.i AS INT), 1) AS tok
-           FROM (SELECT doc_id, replace(COALESCE(text, ''), chr(1),
-             '') AS txt FROM documents) d,
-           LATERAL unnest(generate_series(1, length(txt))) AS t(i))"""
-      val stages = BpeFixedMerges.zipWithIndex.map {
-        case ((a, b), n) =>
-          s"""c$n AS (SELECT doc_id, pos, tok,
-             CASE WHEN tok = ${tk(a)} AND lead(tok) OVER
-               (PARTITION BY doc_id ORDER BY pos) = ${tk(b)}
-             THEN 1 ELSE 0 END AS cand
-             FROM p$n),
-           g$n AS (SELECT doc_id, pos, tok, cand,
-             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, cand
-               ORDER BY pos) AS grp
-             FROM c$n),
-           k$n AS (SELECT doc_id, pos, tok, cand,
-             CASE WHEN cand = 1 AND ROW_NUMBER() OVER
-               (PARTITION BY doc_id, cand, grp ORDER BY pos) % 2 = 1
-             THEN 1 ELSE 0 END AS tkn
-             FROM g$n),
-           m$n AS (SELECT doc_id, pos,
-             CASE WHEN tkn = 1 THEN ${tk(a + b)} ELSE tok END AS tok,
-             COALESCE(lag(tkn) OVER (PARTITION BY doc_id
-               ORDER BY pos), 0) AS dropped
-             FROM k$n),
-           p${n + 1} AS (SELECT doc_id, ROW_NUMBER() OVER
-               (PARTITION BY doc_id ORDER BY pos) AS pos, tok
-             FROM m$n WHERE dropped = 0)"""
-      }
-      val last = s"p${BpeFixedMerges.length}"
-      s"""WITH $p0,
-         ${stages.mkString(",\n")}
+      val (ctes, last) = bpeSqlStages
+      s"""WITH $ctes
          SELECT d.doc_id, COALESCE(a.stream, '') AS token_stream,
            CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens
          FROM documents d LEFT JOIN (
@@ -2544,6 +2521,20 @@ object SparkEntry {
              string_agg(tok, chr(1) ORDER BY pos) AS stream,
              COUNT(*) AS n
            FROM $last GROUP BY 1) a ON d.doc_id = a.doc_id"""
+    },
+
+    // the same independent greedy derivation, then windows of 64
+    // tokens: chunk id = (pos-1) // 64, chunk text = in-order token
+    // concatenation
+    "q_bpe_chunk" -> {
+      val (ctes, last) = bpeSqlStages
+      s"""WITH $ctes
+         SELECT doc_id,
+           CAST((pos - 1) // 64 AS INT) AS chunk_id,
+           string_agg(tok, '' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM $last
+         GROUP BY doc_id, (pos - 1) // 64"""
     },
 
     // the same add-one-smoothed integer micro-probabilities, built
@@ -2708,6 +2699,49 @@ object SparkEntry {
   // deterministic seeds the Spark operators use and embedded as SQL
   // literals.
   // ------------------------------------------------------------------
+
+  /** The INDEPENDENT greedy-BPE derivation shared by the q_bpe_*
+    * oracles: per-character token rows, then one window stage per
+    * merge rank (candidate marking, consecutive-run grouping,
+    * odd-parity take, partner drop, renumber). Returns (CTE text,
+    * final-stage name); the final stage holds (doc_id, pos, tok).
+    */
+  private def bpeSqlStages: (String, String) = {
+    def tk(t: String) = "'" + t.replace("'", "''") + "'"
+    val p0 =
+      """p0 AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         substring(txt, CAST(t.i AS INT), 1) AS tok
+         FROM (SELECT doc_id, replace(COALESCE(text, ''), chr(1),
+           '') AS txt FROM documents) d,
+         LATERAL unnest(generate_series(1, length(txt))) AS t(i))"""
+    val stages = BpeFixedMerges.zipWithIndex.map {
+      case ((a, b), n) =>
+        s"""c$n AS (SELECT doc_id, pos, tok,
+           CASE WHEN tok = ${tk(a)} AND lead(tok) OVER
+             (PARTITION BY doc_id ORDER BY pos) = ${tk(b)}
+           THEN 1 ELSE 0 END AS cand
+           FROM p$n),
+         g$n AS (SELECT doc_id, pos, tok, cand,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id, cand
+             ORDER BY pos) AS grp
+           FROM c$n),
+         k$n AS (SELECT doc_id, pos, tok, cand,
+           CASE WHEN cand = 1 AND ROW_NUMBER() OVER
+             (PARTITION BY doc_id, cand, grp ORDER BY pos) % 2 = 1
+           THEN 1 ELSE 0 END AS tkn
+           FROM g$n),
+         m$n AS (SELECT doc_id, pos,
+           CASE WHEN tkn = 1 THEN ${tk(a + b)} ELSE tok END AS tok,
+           COALESCE(lag(tkn) OVER (PARTITION BY doc_id
+             ORDER BY pos), 0) AS dropped
+           FROM k$n),
+         p${n + 1} AS (SELECT doc_id, ROW_NUMBER() OVER
+             (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+           FROM m$n WHERE dropped = 0)"""
+    }
+    (p0 + ",\n" + stages.mkString(",\n"),
+      s"p${BpeFixedMerges.length}")
+  }
 
   /** DuckDB mirror of HashFunctions.stableHash60: first 15 md5 hex chars
     * base-16-decoded, as an expression over lambda variable `v`.

@@ -82,6 +82,38 @@ object Bpe {
     }(enc)
   }
 
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("chunk_id", IntegerType),
+    StructField("chunk_text", StringType),
+    StructField("n_tokens", LongType)))
+
+  /** Token-budgeted chunking: split each document into consecutive
+    * windows of at most `maxTokens` BPE tokens (the unit a training
+    * pipeline actually packs by, unlike character windows). Chunk
+    * text is the exact concatenation of its tokens, so chunks
+    * partition the scrubbed document verbatim. Documents with no
+    * tokens produce no rows. Map-only explode — each task fans out
+    * its own rows.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val (ii, ti) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol))
+    val schema = StructType(Seq(df.schema.fields(ii)) ++
+      chunkSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        Bpe.encodeText(r.getString(ti), merges)
+          .grouped(maxTokens).zipWithIndex.map { case (w, ci) =>
+            Row(id, ci, w.mkString(""), w.length.toLong)
+          }
+      }
+    }(enc)
+  }
+
   /** Train a merge table: `numMerges` rounds of "count adjacent token
     * pairs, take the most frequent" (ties broken lexicographically —
     * deterministic and partitioning-invariant). Each round re-encodes

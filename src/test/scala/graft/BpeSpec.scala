@@ -55,6 +55,25 @@ class BpeSpec extends SparkSpec {
     assert(plan.toString.contains("MapPartitions"))
   }
 
+  test("chunk windows tokens and reassembles text exactly") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the the cat"), (2L, ""), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = Bpe.chunk(df, "doc_id", "text", merges, maxTokens = 3)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().toSet
+    // doc 1 tokens: [the, ' ', the, ' ', c, a, t] -> windows of 3
+    assert(got == Set(
+      (1L, 0, "the the", 3L),
+      (1L, 1, " ca", 3L),
+      (1L, 2, "t", 1L),
+      (3L, 0, "ab", 2L))) // doc 2 (empty) produces no rows
+    // chunks partition the document verbatim
+    val whole = got.toSeq.filter(_._1 == 1L).sortBy(_._2)
+      .map(_._3).mkString("")
+    assert(whole == "the the cat")
+  }
+
   test("train recovers planted merges deterministically") {
     val corpus = Seq.fill(8)("ababab").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
