@@ -1318,6 +1318,29 @@ object SparkEntry {
         .select(col("doc_id"), col("token_stream"), col("n_tokens"))
     }),
 
+    // ----- duplicate-frame detection ACROSS videos: per-group base
+    // patterns with one distinct high-bit flip per frame, so every
+    // same-group frame pair sits within hamming 2 and cross-group
+    // pairs are md5-far; the full chain runs sample-table walk ->
+    // JPEG decode -> aHash -> banded near-dup pairing
+    "q_video_frame_dup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        lit(40).as("__a"), lit(200).as("__b"),
+        expr("""transform(sequence(0, CAST(doc_id % 3 AS INT)), f ->
+          (CAST(conv(substring(md5(concat('vd:',
+             CAST(doc_id DIV 2 AS STRING))), 1, 15), 16, 10)
+             AS BIGINT) | 1)
+          ^ shiftleft(CAST(1 AS BIGINT),
+              50 + CAST(doc_id % 2 AS INT) * 3 + f))""")
+          .as("__patterns"))
+      val mp4 = Multimodal.synthMjpeg(d, "__patterns", "__a", "__b",
+        "content")
+      val hashes = Multimodal.mp4FrameHashes(mp4, "doc_id", "content")
+        .select((col("doc_id") * 4 + col("frame_idx")).as("fid"),
+          col("ahash"))
+      Multimodal.imageDupPairs(hashes, "fid", "ahash", maxHamming = 3)
+    }),
+
     // ----- token-budgeted chunking: documents split into windows of
     // at most 64 BPE tokens — the unit a training pipeline actually
     // packs by; chunk text is the exact token concatenation
@@ -2521,6 +2544,25 @@ object SparkEntry {
              string_agg(tok, chr(1) ORDER BY pos) AS stream,
              COUNT(*) AS n
            FROM $last GROUP BY 1) a ON d.doc_id = a.doc_id"""
+    },
+
+    // brute-force hamming over the arithmetically replayed frame
+    // hashes — banding is recall-complete at maxHamming 3, so the
+    // banded pairs must equal the quadratic reference exactly
+    "q_video_frame_dup" -> {
+      val h60 = sqlHash60(
+        "'vd:' || CAST(doc_id // 2 AS VARCHAR)")
+      s"""WITH fr AS (
+           SELECT CAST(doc_id * 4 + t.f AS BIGINT) AS fid,
+             xor(($h60) | 1, CAST(1 AS BIGINT) <<
+               CAST(50 + (doc_id % 2) * 3 + t.f AS INT)) AS h
+           FROM documents,
+             LATERAL unnest(generate_series(0,
+               CAST(doc_id % 3 AS INT))) AS t(f))
+         SELECT a.fid AS id_a, b.fid AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM fr a JOIN fr b ON a.fid < b.fid
+         WHERE bit_count(xor(a.h, b.h)) <= 3"""
     },
 
     // the same independent greedy derivation, then windows of 64
