@@ -1351,6 +1351,20 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // ----- per-source token budget: the mixture-design accounting
+    // report — BPE token mass, document count and character mass per
+    // source, one map-only encode + one small aggregation
+    "q_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Bpe.encode(d, "text", BpeFixedMerges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(length(regexp_replace(col("text"), Bpe.Sep, ""))
+            .cast("long")).as("total_chars"))
+    }),
+
     // ----- corpus-fitted char-bigram LM quality score: the fit is
     // one alphabet-bounded aggregation, the scoring pass is map-only
     // with the counts broadcast — integer micro-probabilities keep
@@ -2544,6 +2558,22 @@ object SparkEntry {
              string_agg(tok, chr(1) ORDER BY pos) AS stream,
              COUNT(*) AS n
            FROM $last GROUP BY 1) a ON d.doc_id = a.doc_id"""
+    },
+
+    // the greedy derivation again, aggregated to the per-source
+    // budget report
+    "q_token_budget" -> {
+      val (ctes, last) = bpeSqlStages
+      s"""WITH $ctes,
+         perdoc AS (SELECT doc_id, COUNT(*) AS n
+           FROM $last GROUP BY 1)
+         SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(replace(COALESCE(d.text, ''), chr(1),
+             ''))) AS BIGINT) AS total_chars
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         GROUP BY d.source"""
     },
 
     // brute-force hamming over the arithmetically replayed frame
