@@ -1032,6 +1032,30 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ----- SQ8: per-dimension uniform byte grid fitted on the exact
+    // milli-unit representation — all-integer fit + encode, one byte
+    // per dimension
+    "q_sq8_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = ScalarQuant.fit(emb, "embedding")
+      ScalarQuant.encode(emb, "vec_id", "embedding", m)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("__d", "__c")))
+        .select(col("vec_id"),
+          (col("__d") + 1).cast("long").as("dim"),
+          col("__c").as("code"))
+    }),
+
+    // ----- SQ8 serving: integer code-dot candidate scan, exact
+    // quantized-cosine rerank over the candidate set only
+    "q_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = ScalarQuant.fit(emb, "embedding")
+      ScalarQuant.topK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", m, k = 10, rerank = 50)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ----- PQ: compress each vector to 4 subspace codes (pinned
     // codebook so the oracle replays the argmin), exploded to one
     // (vec_id, subspace, code) row per cell
@@ -2447,6 +2471,8 @@ object SparkEntry {
            SELECT DISTINCT contained_id
            FROM ($ngramContainmentOracle) z)""",
     "q_ann_topk"      -> annTopKOracle,
+    "q_sq8_encode"    -> sq8EncodeOracle,
+    "q_sq8_topk"      -> sq8TopKOracle,
     "q_l2_topk"       -> l2TopKOracle,
     "q_ivf_topk"      -> ivfTopKOracle,
     "q_pq_encode"     -> pqEncodeOracle,
@@ -3707,6 +3733,57 @@ object SparkEntry {
 
   private def sqlDotQ(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+
+  /** Shared SQ8 grid CTEs: per-dimension exact milli-unit min/span
+    * rebuilt from scratch, then all-integer byte codes
+    * `((q_i − min_i) · 255) // span_i` (both engines' integer
+    * division truncates; operands are non-negative).
+    */
+  private def sq8GridCtes: String =
+    s"""qv AS (SELECT vec_id, ${sqlQuantize("embedding")} AS q
+         FROM embeddings),
+       dm AS (SELECT t.i AS i, MIN(q[t.i]) AS mn, MAX(q[t.i]) AS mx
+         FROM qv, LATERAL unnest(generate_series(1, 64)) AS t(i)
+         GROUP BY t.i),
+       g AS (SELECT list(mn ORDER BY i) AS mins,
+           list(mx - mn ORDER BY i) AS spans FROM dm),
+       codes AS (SELECT vec_id, q,
+           list_transform(generate_series(1, 64), i ->
+             CASE WHEN spans[i] = 0 THEN 0
+             ELSE ((q[i] - mins[i]) * 255) // spans[i] END) AS cc
+         FROM qv, g)"""
+
+  private def sq8EncodeOracle: String =
+    s"""WITH $sq8GridCtes
+       SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+         CAST(cc[t.i] AS BIGINT) AS code
+       FROM codes, LATERAL unnest(generate_series(1, 64)) AS t(i)"""
+
+  private def sq8TopKOracle: String = {
+    val cdot = sqlDotQ("qc", "c.cc", 64)
+    val dot = sqlDotQ("qv2", "cv", 64)
+    val naa = sqlDotQ("qv2", "qv2", 64)
+    val nbb = sqlDotQ("cv", "cv", 64)
+    s"""WITH $sq8GridCtes,
+       qq AS (SELECT vec_id AS query_id, cc AS qc, q AS qv2
+         FROM codes WHERE vec_id < 5),
+       coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
+           CAST(($cdot) AS BIGINT) AS cdot, qv2, c.q AS cv
+         FROM qq JOIN codes c ON query_id <> c.vec_id),
+       cand AS (SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cdot DESC, neighbor_id) AS crank FROM coarse) z
+         WHERE crank <= 50),
+       rer AS (SELECT query_id, neighbor_id,
+           ($dot)::DOUBLE / sqrt(($naa)::DOUBLE * ($nbb)::DOUBLE)
+             AS cosine
+         FROM cand)
+       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT)
+         AS rank
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id) AS rank FROM rer) s
+       WHERE rank <= 10"""
+  }
 
   /** Mirror of Similarity.bruteForceTopKL2: all-integer squared
     * distances (list_sum's HUGEINT cast back to BIGINT).
