@@ -853,6 +853,15 @@ object SparkEntry {
       VectorStats.groupCentroids(e, "label", "embedding")
     }),
 
+    // ----- embedding-space drift between two pseudo-snapshots (the
+    // vec_id parity halves): per-dimension exact mean shift
+    "q_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorStats.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     // ----- embedding outliers: vectors far from their own label's
     // centroid, thresholded at the label's p95 distance quantile
     "q_centroid_outliers" -> ((s, dir) => {
@@ -2213,6 +2222,7 @@ object SparkEntry {
     // negatives + exact verify), so the oracle IS the plain one
     "q_bloom_decontaminate" -> decontaminateOracle,
     "q_group_centroids" -> groupCentroidsOracle,
+    "q_embedding_drift" -> embeddingDriftOracle,
     "q_centroid_outliers" -> centroidOutliersOracle,
 
     // exact integer gram over the quantized vectors, upper triangle
@@ -3726,6 +3736,28 @@ object SparkEntry {
          SUM(q)::DOUBLE / (COUNT(*) * 1000) AS centroid,
          COUNT(*) AS n_vectors
        FROM p GROUP BY label, pos"""
+
+  /** Per-dimension exact sums of the parity-half snapshots, then the
+    * same int-sum → double mean arithmetic as the Spark side.
+    */
+  private def embeddingDriftOracle: String = {
+    def half(name: String, parity: Int) =
+      s"""$name AS (SELECT pos, SUM(q) AS sq, COUNT(*) AS n FROM (
+         SELECT UNNEST(list_transform(generate_series(1, len(qv)),
+           i -> {'pos': CAST(i - 1 AS BIGINT), 'q': qv[i]}),
+           recursive := true)
+         FROM (SELECT ${sqlQuantize("embedding")} AS qv
+           FROM embeddings WHERE vec_id % 2 = $parity) v) p
+         GROUP BY pos)"""
+    s"""WITH ${half("sa", 0)}, ${half("sb", 1)}
+       SELECT sa.pos, CAST(sa.n AS BIGINT) AS n_a,
+         CAST(sb.n AS BIGINT) AS n_b,
+         sa.sq::DOUBLE / (sa.n * 1000) AS mean_a,
+         sb.sq::DOUBLE / (sb.n * 1000) AS mean_b,
+         sa.sq::DOUBLE / (sa.n * 1000) -
+           sb.sq::DOUBLE / (sb.n * 1000) AS shift
+       FROM sa JOIN sb ON sa.pos = sb.pos"""
+  }
 
   /** Quantize mirror: milli-unit int64 vector. */
   private def sqlQuantize(v: String): String =

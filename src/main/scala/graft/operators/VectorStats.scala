@@ -35,6 +35,32 @@ object VectorStats {
           .as("centroid"),
         col("n_vectors"))
 
+  /** Embedding-space drift between two corpus snapshots: per-
+    * dimension exact milli-unit sums → deterministic means and their
+    * shift. The scalar drift family (PSI, KS, category drift) watches
+    * columns; this watches the VECTOR space — an embedding-model or
+    * upstream-distribution change moves per-dimension means long
+    * before any scalar column notices. Two partial-aggregated sums,
+    * one tiny join: shuffle is O(dim), never corpus-sized.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String)
+      : DataFrame = {
+    def sums(df: DataFrame, tag: String) =
+      df.select(posexplode(Similarity.quantize(col(vecCol)))
+          .as(Seq("pos", "q")))
+        .groupBy(col("pos"))
+        .agg(sum("q").as(s"__sq_$tag"),
+          count(lit(1)).as(s"n_$tag"))
+    sums(a, "a").join(sums(b, "b"), "pos")
+      .select(col("pos").cast("long").as("pos"),
+        col("n_a"), col("n_b"),
+        (col("__sq_a").cast("double") / (col("n_a") * 1000))
+          .as("mean_a"),
+        (col("__sq_b").cast("double") / (col("n_b") * 1000))
+          .as("mean_b"))
+      .withColumn("shift", col("mean_a") - col("mean_b"))
+  }
+
   /** Exact upper-triangle gram matrix Σ v·vᵀ of the QUANTIZED vectors,
     * one row per (i, j) with 1-based i ≤ j. ONE aggregation: the
     * native [[graft.functions.VecOuterSumLong]] buffer (d(d+1)/2
