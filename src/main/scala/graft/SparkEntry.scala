@@ -1489,6 +1489,53 @@ object SparkEntry {
           col("sample_rate"), col("bits_per_sample"), col("n_frames"))
     }),
 
+    // ----- PCM16 signal features: the WAV data chunk carries REAL
+    // samples — u(i) = (doc_id·7919 + i·104729 + 32768) % 65536, the
+    // unsigned two's-complement form of s(i) = (…% 65536) − 32768 —
+    // written LE by the same hex construction as q_audio_meta. The
+    // kernel decodes the samples and produces exact integer
+    // energy/silence/clip sums; the oracle recomputes them
+    // arithmetically from the same formula — no WAV on the SQL side
+    "q_audio_features" -> ((s, dir) => {
+      def le16(c: Column) = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(c: Column) = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int").as("__ch"),
+          (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+            .as("__rt"),
+          (col("doc_id") % 100 + 1).cast("int").as("__fr"))
+        .withColumn("__ba", col("__ch") * 2)
+        .withColumn("__ns", col("__fr") * col("__ch"))
+        .withColumn("__dl", col("__ns") * 2)
+      val dataHex = array_join(
+        transform(sequence(lit(0), col("__ns") - 1), i => {
+          val u = (col("doc_id") * 7919 + i.cast("long") * 104729
+            + 32768) % 65536
+          val h = lpad(hex(u), 4, "0")
+          concat(substring(h, 3, 2), substring(h, 1, 2))
+        }), "")
+      val wav = unhex(concat(
+        lit("52494646"), le32(col("__dl") + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),
+        le16(col("__ch")), le32(col("__rt")),
+        le32(col("__rt") * col("__ba")), le16(col("__ba")),
+        lit("1000"),
+        lit("64617461"), le32(col("__dl")), dataHex))
+      val media = d.select(col("doc_id"), wav.as("content"))
+      Multimodal.decodeBatches(media, "content",
+          Multimodal.audioFeatureSchema)(Multimodal.decodeAudioFeatures)
+        .select(col("doc_id"), col("n_samples"), col("sum_abs"),
+          col("sum_sq"), col("peak"), col("n_silence"),
+          col("n_clipped"), col("duration_us"))
+    }),
+
     // ----- Z-order clustered write, read back: the layout must be
     // content-preserving (LayoutSpec separately proves the per-file
     // range narrowing that makes the layout worth writing)
@@ -2708,6 +2755,33 @@ object SparkEntry {
          CAST(16 AS INT) AS bits_per_sample,
          CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
          FROM documents""",
+
+    // the PCM16 kernel must recover the exact planted samples
+    // s(i) = ((doc_id*7919 + i*104729) % 65536) - 32768 — every sum
+    // is recomputed here from the formula in exact integer arithmetic
+    "q_audio_features" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 100 + 1 AS frames,
+                  doc_id % 2 + 1 AS ch,
+                  8000 + (doc_id % 8) * 4000 AS rate
+           FROM documents),
+         smp AS (
+           SELECT p.doc_id, p.frames, p.rate,
+                  ((p.doc_id * 7919 + t.i * 104729) % 65536) - 32768
+                    AS v
+           FROM p CROSS JOIN generate_series(0, 199) AS t(i)
+           WHERE t.i < p.frames * p.ch)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(sum(CASE WHEN abs(v) <= 327 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_silence,
+           CAST(sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped,
+           CAST(frames * 1000000 // rate AS BIGINT) AS duration_us
+         FROM smp GROUP BY doc_id, frames, rate""",
 
     // the parser must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no PNG anywhere

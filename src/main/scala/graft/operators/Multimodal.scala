@@ -2005,6 +2005,99 @@ object Multimodal {
       case None => Seq[Any](null, null, null, null, null)
     }
 
+  /** Exact-integer PCM signal features over one WAV payload — the
+    * audio-curation analogue of the text quality signals: energy
+    * (sum |s|, sum s²), dynamic range (peak), dead-air fraction
+    * (`nSilence` / `nSamples`), and clipping damage (`nClipped`),
+    * plus an exact integer duration. Every field is integer
+    * arithmetic over the raw 16-bit samples — no float accumulation,
+    * so results are bit-identical on any partitioning and replayable
+    * by any SQL engine. sum s² is safe in int64 up to ~2×10⁹ samples
+    * (32767² ≈ 2³⁰ per sample) — beyond any RIFF payload, whose
+    * 32-bit chunk length caps data at 4 GiB ≈ 2×10⁹ samples.
+    */
+  final case class AudioFeatures(nSamples: Long, sumAbs: Long,
+      sumSq: Long, peak: Int, nSilence: Long, nClipped: Long,
+      durationUs: Long)
+
+  /** PCM16 feature pass: one sequential read of the `data` chunk.
+    * Only uncompressed (`audioFormat == 1`) 16-bit payloads qualify —
+    * anything else (compressed, 8/24-bit, truncated, misaligned
+    * block sizes, odd data length) classifies as undecodable rather
+    * than producing silently-wrong sums. `silenceThreshold` /
+    * `clipThreshold` compare against |s| (inclusive at the silence
+    * top, inclusive at the clip bottom).
+    */
+  def wavPcm16Features(b: Array[Byte], silenceThreshold: Int = 327,
+      clipThreshold: Int = 32760): Option[AudioFeatures] = {
+    if (b == null || b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F')
+      return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var i = 12
+    var fmt = -1; var channels = -1; var rate = -1L; var bits = -1
+    var blockAlign = -1; var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        b(i + 3) == ' ') {
+        if (len < 16) return None
+        fmt        = le16(b, i + 8)
+        channels   = le16(b, i + 10)
+        rate       = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits       = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a') {
+        dataOff = i + 8; dataLen = len
+      }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (fmt != 1 || bits != 16 || channels <= 0 || rate <= 0 ||
+      rate > Int.MaxValue || dataOff < 0 || dataLen < 0 ||
+      blockAlign != channels * 2 || dataLen % blockAlign != 0)
+      return None
+    val n = (dataLen / 2).toInt
+    var k = 0
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0
+    var nSil = 0L; var nClip = 0L
+    while (k < n) {
+      val o = dataOff + 2 * k
+      val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+      val a = if (s < 0) -s else s // |-32768| = 32768, exact in Int
+      sumAbs += a; sumSq += a.toLong * a
+      if (a > peak) peak = a
+      if (a <= silenceThreshold) nSil += 1
+      if (a >= clipThreshold) nClip += 1
+      k += 1
+    }
+    val frames = dataLen / blockAlign
+    Some(AudioFeatures(n.toLong, sumAbs, sumSq, peak, nSil, nClip,
+      frames * 1000000L / rate))
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType),
+    StructField("n_silence", LongType),
+    StructField("n_clipped", LongType),
+    StructField("duration_us", LongType)))
+
+  /** Decode kernel for [[decodeBatches]]: real PCM16 feature pass,
+    * nulls for malformed/non-PCM16 content.
+    */
+  def decodeAudioFeatures(bytes: Array[Byte]): Seq[Any] =
+    wavPcm16Features(bytes) match {
+      case Some(f) =>
+        Seq[Any](f.nSamples, f.sumAbs, f.sumSq, f.peak, f.nSilence,
+          f.nClipped, f.durationUs)
+      case None => Seq[Any](null, null, null, null, null, null, null)
+    }
+
   /** Parsed MP4 (ISO-BMFF) container metadata: major brand from
     * `ftyp`, movie timescale/duration from `moov/mvhd`, presentation
     * dimensions from the first visual `moov/trak/tkhd` (16.16 fixed

@@ -157,6 +157,61 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
   }
 
+  /** PCM16 WAV with explicit samples (LE two's complement). */
+  private def wavPcm(channels: Int, rate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16.toShort)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("wavPcm16Features: exact integer sums, thresholds inclusive") {
+    val smp = Array[Short](0, 100, -32768, 32767, -327, 328, 32760,
+      -5000)
+    val f = Multimodal.wavPcm16Features(wavPcm(1, 8000, smp)).get
+    val abs = smp.map(s => math.abs(s.toInt).toLong)
+    assert(f.nSamples == 8L)
+    assert(f.sumAbs == abs.sum)
+    assert(f.sumSq == abs.map(a => a * a).sum)
+    assert(f.peak == 32768) // |-32768| must not wrap
+    assert(f.nSilence == 3L) // 0, 100, -327 (<= 327 inclusive)
+    assert(f.nClipped == 3L) // -32768, 32767, 32760 (>= 32760)
+    assert(f.durationUs == 1000L) // 8 frames / 8000 Hz
+    // stereo: same samples = 4 frames; per-sample sums unchanged
+    val g = Multimodal.wavPcm16Features(wavPcm(2, 8000, smp)).get
+    assert(g.nSamples == 8L && g.sumAbs == f.sumAbs &&
+      g.durationUs == 500L)
+    // empty data chunk: all-zero features, still decodable
+    val e = Multimodal.wavPcm16Features(
+      wavPcm(1, 44100, Array.empty[Short])).get
+    assert(e == Multimodal.AudioFeatures(0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("wavPcm16Features: non-PCM16 / malformed classify as None") {
+    // 8-bit payloads have no 16-bit samples to sum
+    assert(Multimodal.wavPcm16Features(wavBytes(1, 8000, 8, 37))
+      .isEmpty)
+    // compressed audioFormat
+    val comp = wavPcm(1, 8000, Array[Short](1, 2)); comp(20) = 2
+    assert(Multimodal.wavPcm16Features(comp).isEmpty)
+    // data length not a whole number of frames (stereo, 3 samples)
+    assert(Multimodal.wavPcm16Features(
+      wavPcm(2, 8000, Array[Short](1, 2, 3))).isEmpty)
+    // truncated + null
+    assert(Multimodal.wavPcm16Features(
+      wavPcm(1, 8000, Array[Short](1, 2)).dropRight(1)).isEmpty)
+    assert(Multimodal.wavPcm16Features(null).isEmpty)
+  }
+
   test("PNG encode -> pixel decode round-trips exactly (Sub+Up rows)") {
     val rnd = new scala.util.Random(42)
     for ((w, h) <- Seq((1, 1), (7, 3), (16, 16), (63, 17))) {
