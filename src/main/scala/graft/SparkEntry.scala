@@ -1173,6 +1173,20 @@ object SparkEntry {
         round(T.mojibakeCharFraction(planted), 9).as("moji_frac"))
     }),
 
+    // ----- encoding REPAIR (the fix to q_mojibake's detect): damage
+    // is DERIVED from the clean probe by the same byte mapping the
+    // repair table inverts — the oracle asserts the semantic result
+    // (fixed == clean) rather than replaying the replace chain, so a
+    // wrong repair pair cannot cancel out on both sides
+    "q_fix_encoding" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val damaged = concat(col("text"), lit(FixProbeDamaged))
+      val fixed = T.fixEncoding(damaged)
+      d.select(col("doc_id"), fixed.as("fixed"),
+        round(T.mojibakeCharFraction(damaged), 9).as("frac_before"),
+        round(T.mojibakeCharFraction(fixed), 9).as("frac_after"))
+    }),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one double- and one single-quoted
@@ -2039,6 +2053,22 @@ object SparkEntry {
                   WHEN doc_id % 6 = 4 THEN '${MojiPlants(3)}'
                   WHEN doc_id % 6 = 5 THEN '${MojiPlants(4)}'
                   ELSE '' END AS t2
+           FROM documents) z"""
+    },
+
+    // fixed == text + the CLEAN probe (semantic assertion); both
+    // fractions replay the shared strip-and-measure regex on the
+    // damaged / repaired strings
+    "q_fix_encoding" -> {
+      val p = graft.functions.TextFunctions.MojibakePattern
+      def frac(x: String) =
+        s"""round((length($x) - length(regexp_replace($x, '$p', '',
+           'g')))::DOUBLE / greatest(length($x), 1), 9)"""
+      s"""SELECT doc_id, t3 AS fixed,
+         ${frac("t2")} AS frac_before,
+         ${frac("t3")} AS frac_after
+         FROM (SELECT doc_id, text || '$FixProbeDamaged' AS t2,
+             text || '$FixProbeFixed' AS t3
            FROM documents) z"""
     },
 
@@ -3692,6 +3722,28 @@ object SparkEntry {
     " it\u00e2\u0080\u0099s \u00e2\u0080\u009cquoted\u00e2\u0080\u009d",
     " caf\u00e9 r\u00e9sum\u00e9 na\u00efve",
     " wait\u00e2\u20ac\u00a6 \u00e2\u20ac\u0153ok")
+
+  /** q_fix_encoding probe: clean text covering 2-byte accents, smart
+    * punctuation (3-byte UTF-8), cp1252 2-byte ('š'), and the
+    * undefined-cp1252-byte digraph (right double quote, byte 0x9D).
+    * No ASCII quote characters — the string embeds verbatim in a SQL
+    * literal on the oracle side.
+    */
+  private val FixProbeClean: String =
+    " café naïve – it’s “quoted”" +
+      " wait… €9.99 škola"
+
+  /** The probe mis-decoded by the same byte mapping
+    * [[graft.functions.TextFunctions.MojibakeRepairs]] inverts, plus
+    * a DOUBLY-damaged 'é' pinning the one-pass nested-repair order.
+    */
+  private val FixProbeDamaged: String =
+    FixProbeClean.flatMap(ch =>
+      if (ch < 0x80) ch.toString else T.mojibakeOf(ch)) +
+      " " + T.mojibakeOf('é').flatMap(T.mojibakeOf)
+
+  /** What fixEncoding must produce from [[FixProbeDamaged]]. */
+  private val FixProbeFixed: String = FixProbeClean + " é"
 
   /** (column, integer-grid scale) pairs for q_feature_corr: dollar
     * grid for the big measure, percent grid for the small rates —

@@ -371,6 +371,78 @@ object TextFunctions {
     (length(c) - length(regexp_replace(c, MojibakePattern, "")))
       .cast("double") / greatest(length(c), lit(1))
 
+  /** cp1252 decodings of bytes 0x80–0x9F (the ones that differ from
+    * Latin-1). Bytes undefined in cp1252 (0x81/8D/8F/90/9D) are
+    * absent — [[sloppyChar]] falls back to the Latin-1 C1 control,
+    * which is what real-world "sloppy cp1252" decoders (and hence
+    * real mojibake) produce for them.
+    */
+  private val Cp1252Decode: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ',
+    0x84 -> '„', 0x85 -> '…', 0x86 -> '†',
+    0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰',
+    0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•',
+    0x96 -> '–', 0x97 -> '—', 0x98 -> '˜',
+    0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  /** How one byte of a UTF-8 sequence surfaces when the stream is
+    * mis-decoded by the common single-byte decoders: 0x80–0x9F via
+    * cp1252 (with the sloppy C1 fallback), everything else via
+    * Latin-1 (identity to the code point).
+    */
+  private def sloppyChar(b: Int): Char =
+    if (b >= 0x80 && b <= 0x9F) Cp1252Decode.getOrElse(b, b.toChar)
+    else b.toChar
+
+  /** The mis-decoded (mojibake) form of one character: its UTF-8
+    * bytes re-read through [[sloppyChar]]. Exposed for tests and the
+    * damage-synthesis side of oracle queries.
+    */
+  private[graft] def mojibakeOf(ch: Char): String =
+    ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => sloppyChar(b & 0xff)).mkString
+
+  /** (mojibake digraph → intended char) repair table, generated from
+    * the same byte mapping the damage performs — never hand-typed.
+    * Coverage: the cp1252 smart-punctuation block (every char in
+    * [[Cp1252HighChars]]) and the printable Latin-1 supplement
+    * U+00A1–U+00FF — the entire range 2-byte UTF-8 mojibake lands
+    * in. Ordering is load-bearing for a single sequential pass:
+    * longest patterns first (3-byte before 2-byte so no short repair
+    * bites a long digraph), then ascending target code point — which
+    * makes one pass also repair DOUBLY-damaged 2-byte chars ('é' →
+    * 'Ã©' → 'ÃƒÂ©': the 'Â©'→'©' repair at U+00A9 runs before
+    * 'Ãƒ'→'Ã' at U+00C3, which runs before 'Ã©'→'é' at U+00E9).
+    */
+  val MojibakeRepairs: Seq[(String, String)] = {
+    val high: Seq[Char] = Cp1252Decode.values.toSeq
+    val targets = high ++ (0xA1 to 0xFF).map(_.toChar)
+    val pairs = targets.map(ch => (mojibakeOf(ch), ch.toString))
+    val (three, two) = pairs.partition(_._1.length == 3)
+    three.sortBy(_._2) ++ two.sortBy(_._2)
+  }
+
+  /** ftfy-style encoding repair: undo UTF-8 text mis-decoded as
+    * Latin-1/cp1252 by replacing each mojibake digraph with the
+    * character it encodes — a literal sequential replace chain
+    * (order documented on [[MojibakeRepairs]]), no regex, map-only,
+    * SQL-replayable as the identical nested `replace` chain. One
+    * pass repairs singly-damaged text of any mix plus doubly-damaged
+    * 2-byte sequences; `passes = 2` also unwinds doubly-damaged
+    * smart punctuation. Clean text is untouched — every pattern
+    * needs a mis-decoded lead byte ('Ã','Â','Å','â','Ã¢',…) followed
+    * by continuation-range chars, which no natural orthography
+    * produces ([[MojibakePattern]]'s premise, shared here).
+    */
+  def fixEncoding(c: Column, passes: Int = 1): Column =
+    (1 to passes).foldLeft(c)((acc, _) =>
+      MojibakeRepairs.foldLeft(acc) { case (cc, (m, t)) =>
+        replace(cc, lit(m), lit(t))
+      })
+
   def htmlToText(c: Column): Column = {
     val noBlocks = HtmlBlockPatterns.foldLeft(c)(
       (col, p) => regexp_replace(col, p, " "))

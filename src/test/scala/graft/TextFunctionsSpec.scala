@@ -345,6 +345,49 @@ class TextFunctionsSpec extends SparkSpec {
       assert(g == want, s"for '$in'") }
   }
 
+  test("fixEncoding repairs Latin-1/cp1252 mojibake, leaves clean text") {
+    def fix(s: String, passes: Int = 1): String =
+      Seq(s).toDF("t")
+        .select(T.fixEncoding(col("t"), passes)).as[String].collect()(0)
+    // 2-byte accents, 3-byte smart punctuation, cp1252 2-byte, and
+    // the undefined-cp1252-byte quote (U+201D -> â + € + U+009D)
+    assert(fix("cafÃ© naÃ¯ve") == "café naïve")
+    assert(fix("itâ€™s â€œq" +
+      "â€") == "it’s “q”")
+    assert(fix("â€¦ Å¡kola " +
+      "â‚¬5") == "… škola €5")
+    // clean text — accents, real smart quotes, ascii — untouched
+    for (s <- Seq("café résumé naïve", "it’s “quoted”",
+        "plain ascii", ""))
+      assert(fix(s) == s)
+    // doubly-damaged 2-byte char repairs in ONE pass (order property)
+    assert(fix("ÃƒÂ©") == "é")
+    // doubly-damaged smart punctuation needs the second pass
+    val dd = "â€™".flatMap(T.mojibakeOf) // '’' twice
+    assert(fix(dd, 1) == "â€™")
+    assert(fix(dd, 2) == "’")
+    // repaired text no longer reads as damaged
+    val moj = "waitâ€¦ cafÃ©"
+    val frac = Seq(moj).toDF("t")
+      .select(T.mojibakeCharFraction(T.fixEncoding(col("t"))))
+      .as[Double].collect()(0)
+    assert(frac == 0.0)
+  }
+
+  test("MojibakeRepairs is generated, complete, and well-ordered") {
+    val rep = T.MojibakeRepairs
+    assert(rep.size == 27 + 95) // cp1252 high block + U+00A1..U+00FF
+    assert(rep.toMap.apply("Ã©") == "é")
+    assert(rep.forall { case (m, t) =>
+      (m.length == 2 || m.length == 3) && t.length == 1 })
+    // all long patterns strictly before all short ones
+    val firstTwo = rep.indexWhere(_._1.length == 2)
+    assert(rep.take(firstTwo).forall(_._1.length == 3) &&
+      rep.drop(firstTwo).forall(_._1.length == 2))
+    // derivation round-trip: every pair is (mojibakeOf(t), t)
+    assert(rep.forall { case (m, t) => T.mojibakeOf(t(0)) == m })
+  }
+
   test("hashingVector matches the driver-side hash60 reference") {
     val dim = 32
     def refVec(text: String): Seq[Long] = {
