@@ -1187,6 +1187,21 @@ object SparkEntry {
         round(T.mojibakeCharFraction(fixed), 9).as("frac_after"))
     }),
 
+    // ----- domain link-graph PageRank: a 37-node graph synthesized
+    // from doc_id arithmetic — sources span d0..d30 only, so d31..d36
+    // exercise the dangling/no-out-edge path; 5 exact-integer
+    // iterations, every one unrolled as a CTE on the oracle side
+    "q_domain_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def node(c: Column) = concat(lit("d"), c.cast("string"))
+      val e1 = d.select(node(col("doc_id") % 31).as("src"),
+        node((col("doc_id") * 13 + 5) % 37).as("dst"))
+      val e2 = d.select(node(col("doc_id") % 31).as("src"),
+        node((col("doc_id") * 29 + 11) % 37).as("dst"))
+      val edges = e1.union(e2).filter(col("src") =!= col("dst"))
+      LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
+    }),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one double- and one single-quoted
@@ -2070,6 +2085,35 @@ object SparkEntry {
          FROM (SELECT doc_id, text || '$FixProbeDamaged' AS t2,
              text || '$FixProbeFixed' AS t3
            FROM documents) z"""
+    },
+
+    // the exact-integer PageRank recurrence unrolled: one CTE per
+    // iteration, '//' (floor) == Spark's DIV on the all-positive ranks
+    "q_domain_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node,
+             150000 + (85 * COALESCE(c.s, 0)) // 100 AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(p.r // od.od) AS s
+             FROM e JOIN od ON e.src = od.src
+                    JOIN r${k - 1} p ON p.node = e.src
+             GROUP BY e.dst) c ON n.node = c.node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (
+           SELECT src, dst FROM (
+             SELECT 'd' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                    'd' || CAST((doc_id * 13 + 5) % 37 AS VARCHAR)
+                      AS dst FROM documents
+             UNION
+             SELECT 'd' || CAST(doc_id % 31 AS VARCHAR),
+                    'd' || CAST((doc_id * 29 + 11) % 37 AS VARCHAR)
+             FROM documents) u
+           WHERE src <> dst),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+         $iters
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5"""
     },
 
     // same trim + \s+ token discipline as the simhash oracle; bucket

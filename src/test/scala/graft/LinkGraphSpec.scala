@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinkGraph
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent exact-integer PageRank reference (map-based). */
+  private def ref(edges: Seq[(String, String)],
+      iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val c = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((u, v) <- e) c(v) += r(u) / od(u)
+      r = nodes.map(n => n -> (150000L + 85L * c(n) / 100L)).toMap
+    }
+    r
+  }
+
+  private val g = Seq("A" -> "B", "A" -> "C", "B" -> "C", "C" -> "A",
+    "B" -> "D") // D: dangling (receives, never emits)
+
+  test("pageRank matches the map reference incl. dangling + dup edges") {
+    // a duplicated input edge must NOT double its contribution
+    val in = (g :+ ("A" -> "B")).toDF("s", "d")
+    val got = LinkGraph.pageRank(in, "s", "d", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == ref(g, 5))
+    // D ends above base (it has an in-edge), A's rank flowed from C
+    assert(got("D") > 150000L && got.values.forall(_ >= 150000L))
+  }
+
+  test("pageRank: zero iterations = uniform unit mass; invariant under repartitioning") {
+    val in = g.toDF("s", "d")
+    val r0 = LinkGraph.pageRank(in, "s", "d", iterations = 0)
+      .as[(String, Long)].collect().toMap
+    assert(r0.values.toSet == Set(1000000L) && r0.size == 4)
+    val skewed = LinkGraph.pageRank(in.repartition(7), "s", "d",
+      iterations = 5).as[(String, Long)].collect().toMap
+    assert(skewed == ref(g, 5))
+  }
+
+  test("domainEdges: extraction, dedup, self-link drop") {
+    val df = Seq(("a.com",
+      "see http://b.com/x https://a.com/self http://c.net/y " +
+        "http://b.com/z")).toDF("source", "text")
+    val e = LinkGraph.domainEdges(df, "source", "text")
+      .as[(String, String)].collect().toSet
+    assert(e == Set("a.com" -> "b.com", "a.com" -> "c.net"))
+  }
+}
