@@ -1202,6 +1202,12 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
     }),
 
+    // ----- collocation mining: integer counts, one fixed-shape
+    // double ratio (no logs), deterministic top-k by total order
+    "q_collocations" -> ((s, dir) =>
+      Collocations.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 100)),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one double- and one single-quoted
@@ -2115,6 +2121,35 @@ object SparkEntry {
          $iters
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5"""
     },
+
+    // same \s+ token discipline as the hashing oracles; adjacency via
+    // 1-based list indexing; the lift ratio is the identical fixed
+    // shape of exact-int→double conversions and IEEE ops
+    "q_collocations" ->
+      """WITH toksarr AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+             AS a
+           FROM documents),
+         uni AS (
+           SELECT tok, COUNT(*) AS c
+           FROM (SELECT unnest(a) AS tok FROM toksarr) z GROUP BY tok),
+         bg AS (
+           SELECT a[i] AS w1, a[i + 1] AS w2, COUNT(*) AS pair_count
+           FROM toksarr,
+             LATERAL unnest(generate_series(1, len(a) - 1)) AS t(i)
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT bg.w1, bg.w2, bg.pair_count, u1.c AS c1, u2.c AS c2,
+             CAST(bg.pair_count AS DOUBLE) * 1e12 /
+               (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+               AS lift_score
+           FROM bg JOIN uni u1 ON bg.w1 = u1.tok
+                   JOIN uni u2 ON bg.w2 = u2.tok
+           WHERE bg.pair_count >= 5)
+         SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           lift_score
+         FROM sc ORDER BY lift_score DESC, w1, w2 LIMIT 100""",
 
     // same trim + \s+ token discipline as the simhash oracle; bucket
     // and sign replay the hash60 arithmetic exactly
