@@ -1208,6 +1208,23 @@ object SparkEntry {
       Collocations.collocations(t(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
+    // ----- mergeable histogram quantile sketch: the query fits TWO
+    // disjoint half-sketches and merges them — the oracle computes
+    // the single-pass full histogram, so the hash match IS the proof
+    // that increment-merge == full recompute
+    "q_hist_quantile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("v",
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      val width = 100000L // $1,000 buckets on the cent grid
+      val sk = HistogramSketch.merge(Seq(
+        HistogramSketch.fit(li.filter(col("l_orderkey") % 2 === 0),
+          "v", Seq("l_returnflag"), width),
+        HistogramSketch.fit(li.filter(col("l_orderkey") % 2 === 1),
+          "v", Seq("l_returnflag"), width)), Seq("l_returnflag"))
+      HistogramSketch.quantileEstimate(sk, Seq("l_returnflag"), width,
+        Seq(500000L, 900000L, 990000L))
+    }),
+
     // ----- crawl HTML -> text/title/links: pages synthesized by
     // concatenation around each document (script with a bare '<',
     // style, comments, entities, one double- and one single-quoted
@@ -2150,6 +2167,30 @@ object SparkEntry {
            CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
            lift_score
          FROM sc ORDER BY lift_score DESC, w1, w2 LIMIT 100""",
+
+    // single-pass full histogram + ceil-rank pick — the Spark side
+    // built it as two merged half-sketches, so equality proves the
+    // merge path; '//' == DIV on the all-positive cent grid
+    "q_hist_quantile" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100000
+               AS bucket
+           FROM lineitem),
+         h AS (SELECT l_returnflag, bucket, COUNT(*) AS cnt
+               FROM q GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, bucket,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag
+                   ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+               FROM h),
+         x AS (SELECT l_returnflag, p.p_micro, bucket
+               FROM c CROSS JOIN (VALUES (500000), (900000),
+                 (990000)) p(p_micro)
+               WHERE cum >= (p.p_micro * n + 999999) // 1000000)
+         SELECT l_returnflag, CAST(p_micro AS BIGINT) AS p_micro,
+           CAST(min(bucket) * 100000 AS BIGINT) AS est_micro
+         FROM x GROUP BY 1, 2""",
 
     // same trim + \s+ token discipline as the simhash oracle; bucket
     // and sign replay the hash60 arithmetic exactly
