@@ -629,6 +629,24 @@ object SparkEntry {
       d.select(col("doc_id"), T.redactPii(withPii).as("clean"))
     }),
 
+    // ----- Luhn-validated card redaction: industry test numbers
+    // (checksum-valid) must become <CARD>; the one-digit-off
+    // near-miss must NOT — it falls through to the phone pass, which
+    // is exactly the claimed semantic (regexes can't tell cards from
+    // long numbers; the checksum can)
+    "q_redact_cards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" pay 4111 1111 1111 1111 now"))
+          .when(col("doc_id") % 3 === 1,
+            lit(" amex 378282246310005 ok"))
+          .otherwise(lit(" card 5555-5555-5555-4444 used")),
+        lit(" order 4111 1111 1111 1112 kept," +
+          " ip 10.1.2.3, mail a@b.io"))
+      d.select(col("doc_id"), T.redactPiiFull(planted).as("clean"))
+    }),
+
     // ----- text curation: repetition signals. Docs are single-line, so
     // the line-dup signals run over a two-line doc built per-row (even
     // ids repeat their text; odd ids append a unique tail) while the
@@ -2315,6 +2333,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN rec r ON d.doc_id = r.doc_id""",
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
+    "q_redact_cards" -> redactCardsOracle,
     "q_url_domains" -> urlDomainsOracle,
 
     // same plant, same RE2-compatible regexp chain (DuckDB backrefs
@@ -3425,6 +3444,46 @@ object SparkEntry {
         s"regexp_replace($e, '$pat', '$tag', 'g')"
       }
     s"SELECT doc_id, $redacted AS clean FROM documents"
+  }
+
+  /** Mirror of TextFunctions.redactPiiFull: email pass, then the
+    * Luhn-filtered candidate replace fold (list_prepend + list_reduce
+    * replays Spark's aggregate-with-init), then IPv4 + phone. The
+    * candidate pattern and chain order come from the operator's own
+    * constants.
+    */
+  private def redactCardsOracle: String = {
+    val pats = graft.functions.TextFunctions.PiiPatterns
+    val cardPat = graft.functions.TextFunctions.CardCandidatePattern
+    val base =
+      """text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' pay 4111 1111 1111 1111 now'
+             WHEN doc_id % 3 = 1 THEN ' amex 378282246310005 ok'
+             ELSE ' card 5555-5555-5555-4444 used' END ||
+        ' order 4111 1111 1111 1112 kept, ip 10.1.2.3, mail a@b.io'"""
+    val t1 =
+      s"regexp_replace($base, '${pats(0)._1}', '${pats(0)._2}', 'g')"
+    val dg = "regexp_replace(x, '[^0-9]', '', 'g')"
+    def digit(i: String) =
+      s"CAST(substr($dg, length($dg) - $i + 1, 1) AS INT)"
+    val luhn =
+      s"""list_sum(list_transform(generate_series(1, length($dg)),
+         i -> CASE WHEN i % 2 = 0
+           THEN CASE WHEN ${digit("i")} * 2 > 9
+             THEN ${digit("i")} * 2 - 9 ELSE ${digit("i")} * 2 END
+           ELSE ${digit("i")} END))"""
+    val valid =
+      s"""list_filter(list_distinct(regexp_extract_all(t1,
+         '$cardPat')), x -> length($dg) BETWEEN 13 AND 19
+         AND $luhn % 10 = 0)"""
+    val carded =
+      s"""list_reduce(list_prepend(t1, $valid),
+         (acc, x) -> replace(acc, x, '<CARD>'))"""
+    val full = pats.tail.foldLeft(carded) { case (e, (p, tag)) =>
+      s"regexp_replace($e, '$p', '$tag', 'g')"
+    }
+    s"""SELECT doc_id, $full AS clean
+       FROM (SELECT doc_id, $t1 AS t1 FROM documents) z"""
   }
 
   /** Mirror of TextFunctions.extractUrls → urlDomains over the planted

@@ -190,6 +190,60 @@ object TextFunctions {
       regexp_replace(col, pat, tag)
     }
 
+  /** Payment-card candidates: digit-bounded runs of 12–23 digits /
+    * spaces / dashes. A regex alone cannot tell a card from any other
+    * long number — candidates are VALIDATED by [[luhnSum]] before
+    * redaction, so order IDs and timestamps survive while real card
+    * numbers (which must Luhn-check) do not.
+    */
+  private[graft] val CardCandidatePattern: String =
+    "[0-9][0-9 -]{10,21}[0-9]"
+
+  /** Luhn checksum of a digit string: from the right, every second
+    * digit doubles (minus 9 when > 9); valid numbers sum ≡ 0 mod 10.
+    * Pure integer expression tree over substr/cast — replayable as
+    * the identical list_transform/list_sum in any SQL engine.
+    */
+  private def luhnSum(digits: Column): Column = {
+    val n = length(digits)
+    aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = digits.substr(n - i + lit(1), lit(1)).cast("int")
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+  }
+
+  /** Redact Luhn-valid card numbers (13–19 digits, separators
+    * allowed) to `<CARD>`: extract candidates, keep the checksum
+    * survivors, literal-replace each — all inside one expression
+    * tree, map-only, no UDF. Invalid-checksum numbers are left for
+    * later passes to interpret (a 16-digit non-card run may still be
+    * a phone). Null in → null out.
+    */
+  def redactCards(c: Column): Column = {
+    val cands = array_distinct(
+      regexp_extract_all(c, lit(CardCandidatePattern), lit(0)))
+    val valid = filter(cands, cand => {
+      val digits = regexp_replace(cand, "[^0-9]", "")
+      length(digits).between(13, 19) && luhnSum(digits) % 10 === 0
+    })
+    aggregate(valid, c, (acc, x) => replace(acc, x, lit("<CARD>")))
+  }
+
+  /** Full redaction chain with cards: emails first (the documented
+    * [[PiiPatterns]] order contract), then Luhn-validated cards
+    * (BEFORE the phone pass, which would otherwise swallow separated
+    * card runs as phone numbers), then IPv4 + phones.
+    */
+  def redactPiiFull(c: Column): Column = {
+    val (emailPat, emailTag) = PiiPatterns.head
+    val afterCards =
+      redactCards(regexp_replace(c, emailPat, emailTag))
+    PiiPatterns.tail.foldLeft(afterCards) {
+      case (cc, (p, tag)) => regexp_replace(cc, p, tag)
+    }
+  }
+
   /** URL pattern meaning the same thing in Java regex and RE2 (no
     * lookarounds): scheme, host, optional path of non-space/non-quote
     * characters.

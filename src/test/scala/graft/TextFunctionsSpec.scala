@@ -345,6 +345,34 @@ class TextFunctionsSpec extends SparkSpec {
       assert(g == want, s"for '$in'") }
   }
 
+  test("redactCards: Luhn gate separates cards from long numbers") {
+    def red(s: String): String = Seq(s).toDF("t")
+      .select(T.redactCards(col("t"))).as[String].collect()(0)
+    // industry test numbers, three separator styles
+    assert(red("pay 4111 1111 1111 1111 now") == "pay <CARD> now")
+    assert(red("mc 5555-5555-5555-4444 used") == "mc <CARD> used")
+    assert(red("amex 378282246310005 ok") == "amex <CARD> ok")
+    // checksum near-miss survives
+    assert(red("order 4111 1111 1111 1112 kept") ==
+      "order 4111 1111 1111 1112 kept")
+    // length gate: Luhn-valid but 12 digits = not a card; 13 is
+    assert(red("ref 000000000000 x") == "ref 000000000000 x")
+    assert(red("ref 0000000000000 x") == "ref <CARD> x")
+    // two cards in one doc, plus null passthrough
+    assert(red("a 4111111111111111 b 378282246310005 c") ==
+      "a <CARD> b <CARD> c")
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(T.redactCards(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("redactPiiFull: cards redact BEFORE the phone pass") {
+    val got = Seq("call +1 (555) 010-1234 or pay" +
+      " 4111 1111 1111 1111 from 10.1.2.3 mail a@b.io").toDF("t")
+      .select(T.redactPiiFull(col("t"))).as[String].collect()(0)
+    assert(got == "call <PHONE> or pay <CARD> from <IP> mail <EMAIL>")
+  }
+
   test("fixEncoding repairs Latin-1/cp1252 mojibake, leaves clean text") {
     def fix(s: String, passes: Int = 1): String =
       Seq(s).toDF("t")
