@@ -22,6 +22,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Derived eval set for the semantic-decontamination queries: every
+    * 50th vector is an eval item; every 100th swaps in its
+    * SUCCESSOR's embedding — a train-side member, so those eval items
+    * are planted exact-copy contamination (cosine exactly 1.0: the
+    * quantized dot and both norms are the same integer, and the
+    * norm product stays under 2^53 so its sqrt is exact).
+    */
+  private def semanticEvalSet(emb: DataFrame): DataFrame = {
+    val ids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"),
+        when(col("vec_id") % 100 === 0, col("vec_id") + 1)
+          .otherwise(col("vec_id")).as("__src"))
+    ids.join(emb, ids("__src") === emb("vec_id"))
+      .select(col("eval_id"), col("embedding"))
+  }
+
   /** Schema-adaptive events reader. The driver has shipped
     * events.parquet with `ts` as both TIMESTAMP(NANOS) — unreadable by
     * vanilla Spark, so routed through Io.readNanosAsLong which yields a
@@ -1146,6 +1162,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SemanticDedup.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.4, nCentroids = 16).select("vec_id")
+    }),
+
+    // ----- semantic decontamination: eval = every 50th vector, with
+    // every 100th eval item REPLACED by its successor's embedding (a
+    // train member → planted cosine exactly 1.0); natural eval-train
+    // max cosines sit at 0.33-0.43 on this corpus, so threshold 0.8
+    // flags exactly the plants. Oracle replays the brute-force scan.
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticOverlap(
+        emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
+        semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
+    }),
+    "q_semantic_scrub" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticScrubTrain(
+        emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
+        semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
+        .select("vec_id")
     }),
 
     // ----- Unicode script detection: non-Latin rows planted per
@@ -2707,6 +2742,8 @@ object SparkEntry {
     "q_cosine_dup"    -> cosineDupOracle,
     "q_semantic_pairs" -> semanticPairsOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_semantic_decontaminate" -> semanticDeconOracle,
+    "q_semantic_scrub" -> semanticScrubOracle,
     "q_knn_graph"      -> knnGraphOracle,
 
     // z-order is a LAYOUT: the read-back content must equal the
@@ -4411,4 +4448,55 @@ object SparkEntry {
          UNION
          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
        SELECT id AS vec_id FROM reach GROUP BY id HAVING MIN(lab) = id"""
+
+  /** Shared CTE body for the semantic-decontamination oracles: the
+    * derived eval set (every 50th id; every 100th swaps in its
+    * successor's embedding — a train member), the train side, and the
+    * brute-force exact quantized cosine scan, zero-norm sides
+    * excluded on both engines.
+    */
+  private def semanticDeconCtes: String = {
+    val dot = sqlDotQ("evn.qv", "trn.cv", 64)
+    s"""ev AS (SELECT e1.vec_id AS eval_id,
+         ${sqlQuantize("e2.embedding")} AS qv
+         FROM embeddings e1 JOIN embeddings e2
+           ON e2.vec_id = CASE WHEN e1.vec_id % 100 = 0
+             THEN e1.vec_id + 1 ELSE e1.vec_id END
+         WHERE e1.vec_id % 50 = 0),
+       evn AS (SELECT eval_id, qv,
+           ${sqlDotQ("qv", "qv", 64)} AS nn FROM ev),
+       tr AS (SELECT vec_id AS train_id,
+           ${sqlQuantize("embedding")} AS cv
+         FROM embeddings WHERE vec_id % 50 <> 0),
+       trn AS (SELECT train_id, cv,
+           ${sqlDotQ("cv", "cv", 64)} AS nn FROM tr),
+       scored AS (SELECT eval_id, train_id,
+           ($dot)::DOUBLE / sqrt(evn.nn::DOUBLE * trn.nn::DOUBLE)
+             AS cosine
+         FROM evn CROSS JOIN trn
+         WHERE evn.nn > 0 AND trn.nn > 0)"""
+  }
+
+  /** Mirrors Decontaminate.semanticOverlap at threshold 0.8 over the
+    * derived eval set: per-eval max cosine, argmax train id with the
+    * smallest-id tie-break, ≥-threshold flag.
+    */
+  private def semanticDeconOracle: String =
+    s"""WITH $semanticDeconCtes
+       SELECT eval_id, train_id, max_cosine, contaminated FROM (
+         SELECT eval_id, train_id, cosine AS max_cosine,
+           cosine >= 0.8 AS contaminated,
+           ROW_NUMBER() OVER (PARTITION BY eval_id
+             ORDER BY cosine DESC, train_id) AS rn
+         FROM scored) z WHERE rn = 1"""
+
+  /** Mirrors Decontaminate.semanticScrubTrain at threshold 0.8: train
+    * ids surviving the ≥-threshold delete.
+    */
+  private def semanticScrubOracle: String =
+    s"""WITH $semanticDeconCtes
+       SELECT t.vec_id FROM embeddings t
+       WHERE t.vec_id % 50 <> 0 AND NOT EXISTS (
+         SELECT 1 FROM scored s
+         WHERE s.train_id = t.vec_id AND s.cosine >= 0.8)"""
 }

@@ -138,4 +138,95 @@ object Decontaminate {
       flagContaminatedBloom(corpus, idCol, textCol, bench,
         benchTextCol, n, expectedGrams, fpp).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------
+  // Embedding-space (semantic) contamination — the overlap the
+  // n-gram rule cannot see: paraphrases, translations, reformatted
+  // copies of benchmark items share no 8-gram with the original but
+  // sit next to it in embedding space.
+  // ---------------------------------------------------------------
+
+  /** Per-evaluation-item contamination report: `(eval_id, train_id,
+    * max_cosine, contaminated)` — the maximum exact quantized cosine
+    * any training vector reaches against the eval item, the training
+    * row that attains it (ties broken to the smallest train id, so
+    * the argmax is deterministic on any engine), and the
+    * `>= threshold` flag.
+    *
+    * Scale shape: eval sets are thousands of items against billions
+    * of training rows, so the QUANTIZED eval side broadcasts
+    * (|eval| × dim int64, megabytes) and the training corpus is
+    * scanned exactly once, map-only: each task folds its partition
+    * into |eval| partial (cosine, id) maxima via partial aggregation,
+    * and the ONLY exchange is that |eval|-sized max table. Training
+    * vectors never shuffle. The scan is the exact-answer baseline —
+    * O(|train|·|eval|·dim) work; when that product is too hot, scope
+    * the train side first with [[Similarity.ivfTopK]]-style probing
+    * and accept approximate recall.
+    *
+    * Cosine is computed on milli-unit quantized vectors (exact int64
+    * dot and norms, one sqrt, one divide — the
+    * [[Similarity.cosineQ]] shape), so every score is bit-reproducible
+    * and the DuckDB oracle replays it. Zero-norm vectors (cosine
+    * undefined) are excluded on both sides: a zero-norm eval item
+    * yields no report row.
+    */
+  def semanticOverlap(train: DataFrame, trainIdCol: String,
+      evalDf: DataFrame, evalIdCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val scored = semanticScores(train, trainIdCol, evalDf, evalIdCol,
+      vecCol)
+    scored
+      .select(col("eval_id"),
+        struct(col("__cos").as("c"), (-col("train_id")).as("nid"))
+          .as("__m"))
+      .groupBy("eval_id")
+      .agg(max(col("__m")).as("__m"))
+      .select(col("eval_id"),
+        (-col("__m.nid")).as("train_id"),
+        col("__m.c").as("max_cosine"),
+        (col("__m.c") >= threshold).as("contaminated"))
+  }
+
+  /** The training corpus with semantically contaminated rows removed:
+    * any training vector within `threshold` cosine of ANY eval item
+    * is dropped (the direction that keeps a benchmark valid — the
+    * benchmark stays fixed, the training set gives way).
+    *
+    * Same broadcast-eval scan as [[semanticOverlap]], but the
+    * threshold filter runs MAP-SIDE on the scored pairs, so only the
+    * (small) contaminated-id set reaches the distinct + anti-join —
+    * at scale AQE broadcasts it and the corpus never shuffles.
+    */
+  def semanticScrubTrain(train: DataFrame, trainIdCol: String,
+      evalDf: DataFrame, evalIdCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val hit = semanticScores(train, trainIdCol, evalDf, evalIdCol,
+        vecCol)
+      .filter(col("__cos") >= threshold)
+      .select(col("train_id").as(trainIdCol))
+      .distinct()
+    train.join(hit, Seq(trainIdCol), "left_anti")
+  }
+
+  /** Shared scan: every (train, eval) pair with its exact quantized
+    * cosine as `__cos` — train side streamed, eval side broadcast.
+    */
+  private def semanticScores(train: DataFrame, trainIdCol: String,
+      evalDf: DataFrame, evalIdCol: String, vecCol: String)
+      : DataFrame = {
+    def quantized(df: DataFrame, id: String, idAs: String,
+        vAs: String): DataFrame =
+      df.select(col(id).as(idAs),
+          Similarity.quantize(col(vecCol)).as(vAs))
+        .withColumn(s"${vAs}_n", Similarity.dotQ(col(vAs), col(vAs)))
+        .filter(col(s"${vAs}_n") > 0)
+    val ev = quantized(evalDf, evalIdCol, "eval_id", "__ev")
+    val tr = quantized(train, trainIdCol, "train_id", "__tv")
+    tr.crossJoin(broadcast(ev))
+      .withColumn("__cos",
+        Similarity.dotQ(col("__ev"), col("__tv")).cast("double") /
+          sqrt(col("__ev_n").cast("double") *
+               col("__tv_n").cast("double")))
+  }
 }

@@ -90,4 +90,79 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast join in:\n$plan")
   }
+
+  // ---- semantic (embedding-space) decontamination ----
+
+  private def vdf(rows: (Long, Seq[Float])*) =
+    rows.toDF("id", "vec")
+
+  test("semanticOverlap: max cosine, argmax id, threshold flag") {
+    val train = vdf(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.6f, 0.8f, 0f)))
+    val ev = vdf(
+      (100L, Seq(2f, 0f, 0f)),   // exact direction of train 1 → 1.0
+      (101L, Seq(0f, 0f, 1f)))   // orthogonal to everything → 0.0
+    val out = Decontaminate.semanticOverlap(train, "id", ev, "id",
+        "vec", threshold = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L) == ((1L, 1.0, true)))
+    assert(out(101L)._1 == 1L) // all cosines 0.0 → smallest train id
+    assert(out(101L)._2 == 0.0 && !out(101L)._3)
+  }
+
+  test("semanticOverlap ties break to the smallest train id") {
+    val train = vdf(
+      (7L, Seq(1f, 0f)), (4L, Seq(2f, 0f)), (9L, Seq(3f, 0f)))
+    val ev = vdf((100L, Seq(5f, 0f)))
+    val out = Decontaminate.semanticOverlap(train, "id", ev, "id",
+      "vec", 0.5).as[(Long, Long, Double, Boolean)].collect()
+    assert(out.toSeq == Seq((100L, 4L, 1.0, true)))
+  }
+
+  test("semanticOverlap excludes zero-norm vectors on both sides") {
+    val train = vdf((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)))
+    val ev = vdf((100L, Seq(0f, 0f)), (101L, Seq(1f, 1f)))
+    val out = Decontaminate.semanticOverlap(train, "id", ev, "id",
+      "vec", 0.9).as[(Long, Long, Double, Boolean)].collect()
+    // eval 100 (zero-norm) yields no row; train 1 never scores
+    assert(out.map(_._1).toSeq == Seq(101L))
+    assert(out.head._2 == 2L)
+  }
+
+  test("semanticScrubTrain drops exactly the >=-threshold rows and " +
+      "keeps zero-norm rows") {
+    val train = vdf(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 0f)), // zero-norm: unscoreable, must survive
+      (4L, Seq(0.7f, 0.7f, 0f))) // cosine ≈ 0.707: below threshold
+    val ev = vdf((100L, Seq(1f, 0f, 0f)))
+    val kept = Decontaminate.semanticScrubTrain(train, "id", ev, "id",
+        "vec", threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("semanticOverlap plan: eval broadcast, train never shuffles " +
+      "before the |eval|-sized aggregation") {
+    val train = vdf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val ev = vdf((100L, Seq(1f, 1f)))
+    val plan = Decontaminate.semanticOverlap(train, "id", ev, "id",
+      "vec", 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop join in:\n$plan")
+    // partial aggregation must sit UNDER the exchange (map-side fold
+    // to |eval| rows): a partial_max below the first Exchange line
+    // (struct-max forces SortAggregate — still partial-merged)
+    val lines = plan.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange"))
+    val aggBelow = lines.drop(ex + 1)
+      .exists(_.contains("partial_max"))
+    assert(ex >= 0 && aggBelow,
+      s"expected a map-side partial aggregate below the exchange " +
+      s"in:\n$plan")
+  }
 }
