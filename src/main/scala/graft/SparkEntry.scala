@@ -969,6 +969,17 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // ----- quality-ranked canonical selection: same minhash
+    // clusters, but keep the LONGEST member (n_chars, ties → smallest
+    // doc_id) instead of the arbitrary smallest id
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.dedupCorpusKeepBest(d, "doc_id", "n_chars", pairs)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // ----- leakage-safe split: near-dup cluster members always land
     // in the SAME split (a per-id split contaminates eval)
     "q_leakage_safe_split" -> ((s, dir) => {
@@ -2317,6 +2328,19 @@ object SparkEntry {
       s"""SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN ($dedupComponentsOracle) c
            ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id""",
+
+    // keep-best replay: per-component argmax on (n_chars DESC NULLS
+    // LAST, doc_id ASC) over the same component labels
+    "q_dedup_keep_best" ->
+      s"""WITH comp AS ($dedupComponentsOracle),
+         memb AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+           FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         keep AS (SELECT doc_id FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+             FROM memb) z WHERE rn = 1)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN keep k ON k.doc_id = d.doc_id""",
 
     "q_det_split" -> detSplitOracle,
 

@@ -528,4 +528,40 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Quality-ranked canonical selection: keep the HIGHEST-`qualityCol`
+    * member of each duplicate cluster instead of [[dedupCorpus]]'s
+    * arbitrary smallest id — the production rule ("keep the longest /
+    * cleanest / best-scored copy") for near-dup collapse. Ties break
+    * to the smallest id; a null quality loses to any non-null one; an
+    * all-null cluster falls back to the smallest id. Both rules ride
+    * one deterministic `max(struct(quality, -id))` per cluster, so the
+    * survivor set is engine-independent.
+    *
+    * Scale shape: only PAIR MEMBER ids flow through the clustering
+    * (the [[duplicateClusters]] O(log n) star contraction); the corpus
+    * contributes quality values through one join against that small
+    * member set (AQE broadcasts it — the corpus never shuffles), and
+    * the final delete is the same small-side anti join as
+    * [[dedupCorpus]]. Per-cluster argmax is a partial-aggregated
+    * |clusters|-sized exchange of the member table only.
+    */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String,
+      qualityCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val members = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+    val labels = duplicateClusters(members, "id", pairs, maxIter)
+    val qual = df
+      .select(col(idCol).as("id"), col(qualityCol).as("__q"))
+      .join(members, Seq("id")) // members is small: broadcast, map-side
+    val keep = labels.join(qual, Seq("id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__q").as("q"), (-col("id")).as("nid")))
+        .as("__m"))
+      .select((-col("__m.nid")).as("id"))
+    val drop = members.join(keep, Seq("id"), "left_anti")
+    df.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
 }

@@ -154,4 +154,44 @@ class DedupSpec extends SparkSpec {
         pairs.repartition(parts)).as[(Long, Long)].collect().toMap
     assert(run(1) == run(7))
   }
+
+  test("dedupCorpusKeepBest keeps the highest-quality member per " +
+      "transitive cluster, not the smallest id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 99L), (3L, "c", 50L), // chain 1~2~3
+      (4L, "d", 5L)                                   // singleton
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusKeepBest(docs, "doc_id", "quality",
+      pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L)) // 2 has quality 99; 4 untouched
+  }
+
+  test("dedupCorpusKeepBest: quality ties break to the smallest id, " +
+      "nulls lose, all-null clusters fall back to smallest id") {
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(7L)),
+      (2L, java.lang.Long.valueOf(7L)),   // tie with 1 → keep 1
+      (5L, null.asInstanceOf[java.lang.Long]),
+      (6L, java.lang.Long.valueOf(1L)),   // null(5) loses to 1(6)
+      (8L, null.asInstanceOf[java.lang.Long]),
+      (9L, null.asInstanceOf[java.lang.Long]) // all-null → keep 8
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (5L, 6L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusKeepBest(docs, "doc_id", "quality",
+      pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L, 8L))
+  }
+
+  test("dedupCorpusKeepBest equals dedupCorpus when quality is the " +
+      "negated id") {
+    val docs = (1L to 20L).map(i => (i, -i)).toDF("doc_id", "negid")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val best = Dedup.dedupCorpusKeepBest(docs, "doc_id", "negid",
+      pairs).select("doc_id").as[Long].collect().toSet
+    val plain = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == plain)
+  }
 }
