@@ -829,6 +829,29 @@ object SparkEntry {
         Seq("l_returnflag", "l_linestatus"))
     }),
 
+    // ----- row-level snapshot content diff: old = all but doc_id%10
+    // == 3, new = all but %10 == 7 with every %5 == 0 text amended —
+    // so added/removed/changed/unchanged all appear; the operator
+    // compares 8-byte fingerprints, the oracle compares raw text
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Snapshot.contentDiff(
+        d.filter(col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+        "doc_id", Seq("text"))
+    }),
+    "q_snapshot_diff_summary" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Snapshot.contentDiffSummary(
+        d.filter(col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+        "doc_id", Seq("text"))
+    }),
+
     // ----- exact percentile rank (cume_dist semantics) from the
     // range-partitioned cumulative frame — no global window
     "q_pct_rank" -> ((s, dir) => {
@@ -2570,6 +2593,31 @@ object SparkEntry {
            END AS robust_z
          FROM lineitem CROSS JOIN med CROSS JOIN mad"""
     },
+
+    // snapshot diff replay: same derived old/new sides, status from
+    // raw-text comparison (the operator compares xxhash64
+    // fingerprints — equal iff the text is, modulo 2^-64 collisions)
+    "q_snapshot_diff" -> s"""WITH $snapshotDiffCtes
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+
+    "q_snapshot_diff_summary" -> s"""WITH $snapshotDiffCtes,
+       st AS (SELECT
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       SELECT count(CASE WHEN status = 'added' THEN 1 END) AS n_added,
+         count(CASE WHEN status = 'removed' THEN 1 END) AS n_removed,
+         count(CASE WHEN status = 'changed' THEN 1 END) AS n_changed,
+         count(CASE WHEN status = 'unchanged' THEN 1 END)
+           AS n_unchanged
+       FROM st""",
 
     // same decimal-sum mean shape as the describe oracle, one divide
     // per ratio, delta as one subtraction
@@ -4472,6 +4520,17 @@ object SparkEntry {
          UNION
          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
        SELECT id AS vec_id FROM reach GROUP BY id HAVING MIN(lab) = id"""
+
+  /** Shared snapshot sides for the content-diff oracles — mirrors the
+    * q_snapshot_diff query's derivation exactly.
+    */
+  private def snapshotDiffCtes: String =
+    s"""o AS (SELECT doc_id, text FROM documents
+         WHERE doc_id % 10 <> 3),
+       n AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+             AS text
+         FROM documents WHERE doc_id % 10 <> 7)"""
 
   /** Shared CTE body for the semantic-decontamination oracles: the
     * derived eval set (every 50th id; every 100th swaps in its
