@@ -751,6 +751,20 @@ object SparkEntry {
         logIdf = false)
     }),
 
+    // ----- ranked retrieval: fixed-point BM25 (rational idf — see
+    // Retrieval), queries = first 6 tokens of docs 0-2, top 10 docs
+    // per query; the source doc itself must surface
+    "q_bm25_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val qs = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 6))
+            .as("qtext"))
+      Retrieval.bm25TopK(d, "doc_id", "text", qs, "query_id",
+        "qtext", k = 10)
+    }),
+
     // ----- exact order statistics with engine-controlled interpolation
     "q_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2793,6 +2807,7 @@ object SparkEntry {
          FROM tf JOIN dfq USING (term) CROSS JOIN n
          QUALIFY row_number() OVER (PARTITION BY doc_id
            ORDER BY score DESC, term ASC) <= 3""",
+    "q_bm25_topk" -> bm25Oracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
@@ -4520,6 +4535,42 @@ object SparkEntry {
          UNION
          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
        SELECT id AS vec_id FROM reach GROUP BY id HAVING MIN(lab) = id"""
+
+  /** From-scratch replay of Retrieval.bm25TopK at k1=1200, b=750,
+    * k=10 over the derived 6-token queries from docs 0-2: every
+    * fixed-point step rebuilt in DuckDB's `//` (floor division ==
+    * Spark's DIV on these non-negative operands), ranking replayed
+    * with the same (score DESC, doc_id ASC) tie-break.
+    */
+  private def bm25Oracle: String =
+    s"""WITH docs AS (SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS ts
+         FROM documents),
+       tot AS (SELECT COUNT(*)::BIGINT AS nd,
+         SUM(len(ts))::BIGINT AS tt FROM docs),
+       qterms AS (SELECT DISTINCT doc_id AS query_id,
+           UNNEST(ts[1:6]) AS term
+         FROM docs WHERE doc_id < 3),
+       qvocab AS (SELECT DISTINCT term FROM qterms),
+       tok AS (SELECT doc_id, len(ts)::BIGINT AS dl, UNNEST(ts) AS term
+         FROM docs),
+       tf AS (SELECT t.doc_id, t.term, COUNT(*)::BIGINT AS tf,
+           MAX(t.dl) AS dl
+         FROM tok t JOIN qvocab v ON v.term = t.term GROUP BY 1, 2),
+       dft AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+       sc AS (SELECT f.doc_id, f.term,
+           ((2 * (tot.nd - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf,
+           (f.tf * 2200 * 1000) // (f.tf * 1000 +
+             (1200 * (250 + (750 * f.dl * tot.nd) // tot.tt)) // 1000)
+             AS tfw
+         FROM tf f JOIN dft d ON d.term = f.term CROSS JOIN tot),
+       per AS (SELECT q.query_id, s.doc_id,
+           SUM(s.idf * s.tfw) AS score_micro
+         FROM sc s JOIN qterms q ON q.term = s.term GROUP BY 1, 2)
+       SELECT query_id, doc_id, score_micro, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id) AS rank FROM per) z
+       WHERE rank <= 10"""
 
   /** Shared snapshot sides for the content-diff oracles — mirrors the
     * q_snapshot_diff query's derivation exactly.
