@@ -663,6 +663,23 @@ object SparkEntry {
       d.select(col("doc_id"), T.redactPiiFull(planted).as("clean"))
     }),
 
+    // ----- mod-97-validated IBAN redaction: real (checksum-valid)
+    // IBANs — compact and print-spaced — become <IBAN>; the
+    // one-digit-off near-miss and the short invoice code survive
+    "q_redact_iban" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" acct DE89370400440532013000 eom"))
+          .when(col("doc_id") % 4 === 1,
+            lit(" acct GB29 NWBK 6016 1331 9268 19 eom"))
+          .when(col("doc_id") % 4 === 2,
+            lit(" near DE89370400440532013001 eom"))
+          .otherwise(lit(" wire FR1420041010050500013M02606 eom")),
+        lit(" ref AB12CDEF kept"))
+      d.select(col("doc_id"), T.redactIbans(planted).as("clean"))
+    }),
+
     // ----- text curation: repetition signals. Docs are single-line, so
     // the line-dup signals run over a two-line doc built per-row (even
     // ids repeat their text; odd ids append a unique tail) while the
@@ -2430,6 +2447,7 @@ object SparkEntry {
     "q_leakage_safe_split" -> leakageSafeSplitOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_redact_cards" -> redactCardsOracle,
+    "q_redact_iban" -> redactIbanOracle,
     "q_url_domains" -> urlDomainsOracle,
 
     // same plant, same RE2-compatible regexp chain (DuckDB backrefs
@@ -3608,6 +3626,46 @@ object SparkEntry {
     }
     s"""SELECT doc_id, $full AS clean
        FROM (SELECT doc_id, $t1 AS t1 FROM documents) z"""
+  }
+
+  /** Mirror of TextFunctions.redactIbans over the planted IBANs:
+    * the candidate regex comes from IbanCandidatePattern, the mod-97
+    * fold is replayed as an ENCODED list_reduce — each char maps to
+    * `multiplier·1000 + value` (digits → 10·1000+d, letters →
+    * 100·1000+(A=10…Z=35)) and the fold is
+    * `(acc · (x // 1000) + x % 1000) % 97` from a prepended 0, the
+    * exact per-step reduction the Column tree does.
+    */
+  private def redactIbanOracle: String = {
+    // DuckDB default strings are not backslash-escaped, so the Java/
+    // RE2-shared pattern embeds verbatim
+    val pat = graft.functions.TextFunctions.IbanCandidatePattern
+    val base =
+      """text ||
+        CASE WHEN doc_id % 4 = 0 THEN ' acct DE89370400440532013000 eom'
+             WHEN doc_id % 4 = 1
+               THEN ' acct GB29 NWBK 6016 1331 9268 19 eom'
+             WHEN doc_id % 4 = 2 THEN ' near DE89370400440532013001 eom'
+             ELSE ' wire FR1420041010050500013M02606 eom' END ||
+        ' ref AB12CDEF kept'"""
+    val compact = "replace(x, ' ', '')"
+    val r = s"(substr($compact, 5) || substr($compact, 1, 4))"
+    val ch = s"ascii(substr($r, i, 1))"
+    val enc =
+      s"""list_transform(generate_series(1, length($r)),
+         i -> CASE WHEN $ch BETWEEN 48 AND 57
+           THEN 10 * 1000 + ($ch - 48)
+           ELSE 100 * 1000 + ($ch - 55) END)"""
+    val residue =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $enc),
+         (acc, e) -> (acc * (e // 1000) + e % 1000) % 97)"""
+    val valid =
+      s"""list_filter(list_distinct(regexp_extract_all(b, '$pat')),
+         x -> length($compact) BETWEEN 15 AND 34 AND $residue = 1)"""
+    s"""SELECT doc_id,
+       list_reduce(list_prepend(b, $valid),
+         (acc, x) -> replace(acc, x, '<IBAN>')) AS clean
+       FROM (SELECT doc_id, $base AS b FROM documents) z"""
   }
 
   /** Mirror of TextFunctions.extractUrls → urlDomains over the planted

@@ -244,6 +244,53 @@ object TextFunctions {
     }
   }
 
+  /** IBAN candidates: country code + 2 check digits + 11–30 more
+    * alphanumerics, single spaces allowed between characters (the
+    * print grouping), word-bounded. Shape alone is not identity —
+    * candidates are VALIDATED by the ISO 13616 [[ibanMod97]] checksum
+    * before redaction, so invoice codes and near-miss strings
+    * survive.
+    */
+  private[graft] val IbanCandidatePattern: String =
+    "\\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]){11,30}\\b"
+
+  /** ISO 13616 mod-97 residue of a rearranged IBAN (first four chars
+    * moved to the end): digits fold as `acc·10 + d`, letters as
+    * `acc·100 + (A=10…Z=35)`, reduced mod 97 at every step so the
+    * accumulator never exceeds 9 634 — a pure integer expression
+    * tree over substr/ascii, no UDF, replayable as the identical
+    * encoded list_reduce in any SQL engine. Valid IBANs leave
+    * residue 1.
+    */
+  private def ibanMod97(rearranged: Column): Column =
+    aggregate(sequence(lit(1), length(rearranged)), lit(0L),
+      (acc, i) => {
+        val ch = ascii(rearranged.substr(i, lit(1)))
+        when(ch.between(48, 57), (acc * 10 + (ch - 48)) % 97)
+          .otherwise((acc * 100 + (ch - 55)) % 97)
+      })
+
+  /** Redact mod-97-valid IBANs (15–34 chars compact, print spacing
+    * allowed) to `<IBAN>`: extract candidates, keep the checksum
+    * survivors, literal-replace each — one expression tree, map-only,
+    * no UDF; the [[redactCards]] recipe for the bank-account PII
+    * class. Invalid-checksum candidates are left untouched. In a
+    * full chain, run BEFORE the phone pass — a spaced IBAN's digit
+    * tail is phone-shaped and would otherwise be half-swallowed.
+    * Null in → null out.
+    */
+  def redactIbans(c: Column): Column = {
+    val cands = array_distinct(
+      regexp_extract_all(c, lit(IbanCandidatePattern), lit(0)))
+    val valid = filter(cands, cand => {
+      val compact = regexp_replace(cand, " ", "")
+      val r = concat(compact.substr(lit(5), length(compact) - 4),
+        compact.substr(lit(1), lit(4)))
+      length(compact).between(15, 34) && ibanMod97(r) === 1
+    })
+    aggregate(valid, c, (acc, x) => replace(acc, x, lit("<IBAN>")))
+  }
+
   /** URL pattern meaning the same thing in Java regex and RE2 (no
     * lookarounds): scheme, host, optional path of non-space/non-quote
     * characters.

@@ -366,6 +366,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("redactIbans: mod-97 gate separates IBANs from shaped codes") {
+    def red(s: String): String = Seq(s).toDF("t")
+      .select(T.redactIbans(col("t"))).as[String].collect()(0)
+    // valid IBANs: compact, print-spaced, letter-bearing BBANs
+    assert(red("acct DE89370400440532013000 e") == "acct <IBAN> e")
+    assert(red("acct GB29 NWBK 6016 1331 9268 19 e") ==
+      "acct <IBAN> e")
+    assert(red("wire FR1420041010050500013M02606 e") ==
+      "wire <IBAN> e")
+    assert(red("nl NL91ABNA0417164300 e") == "nl <IBAN> e")
+    // one-digit-off near-miss survives (checksum, not shape)
+    assert(red("near DE89370400440532013001 e") ==
+      "near DE89370400440532013001 e")
+    // transposition (the error class mod-97 exists to catch)
+    assert(red("x DE89370400440532031000 y") ==
+      "x DE89370400440532031000 y")
+    // too short for any IBAN even if it matched the shape
+    assert(red("ref AB12CDEF kept") == "ref AB12CDEF kept")
+    // two in one doc + null passthrough
+    assert(red("a DE89370400440532013000 b NL91ABNA0417164300 c") ==
+      "a <IBAN> b <IBAN> c")
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(T.redactIbans(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("redactPiiFull: cards redact BEFORE the phone pass") {
     val got = Seq("call +1 (555) 010-1234 or pay" +
       " 4111 1111 1111 1111 from 10.1.2.3 mail a@b.io").toDF("t")
