@@ -1320,6 +1320,21 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
     }),
 
+    // ----- weak components over a deliberately DISCONNECTED link
+    // graph: 10 islands of ≤4 nodes each from doc_id arithmetic —
+    // no cross-island edges by construction, so the component map
+    // must recover exactly the islands' internal connectivity
+    "q_domain_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def node(c: Column) = concat(lit("n"), c.cast("string"))
+      val g = col("doc_id") % 10
+      val edges = d.select(
+          node(g * 4 + col("doc_id") % 4).as("src"),
+          node(g * 4 + expr("doc_id DIV 4") % 4).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      LinkGraph.weakComponents(edges, "src", "dst")
+    }),
+
     // ----- collocation mining: integer counts, one fixed-shape
     // double ratio (no logs), deterministic top-k by total order
     "q_collocations" -> ((s, dir) =>
@@ -2256,6 +2271,27 @@ object SparkEntry {
          $iters
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5"""
     },
+
+    // weak-component replay: same doc_id-arithmetic edges, recursive
+    // reachability over the symmetric closure, label = MIN reachable
+    // node (binary string ordering on both engines)
+    "q_domain_components" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT 'n' || CAST((doc_id % 10) * 4 +
+               doc_id % 4 AS VARCHAR) AS src,
+             'n' || CAST((doc_id % 10) * 4 +
+               (doc_id // 4) % 4 AS VARCHAR) AS dst
+           FROM documents),
+         e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         e AS (SELECT src, dst FROM e1
+               UNION SELECT dst, src FROM e1),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+         SELECT node, MIN(lab) AS component
+         FROM reach GROUP BY node""",
 
     // same \s+ token discipline as the hashing oracles; adjacency via
     // 1-based list indexing; the lift ratio is the identical fixed

@@ -98,4 +98,31 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** Weakly connected components of the (directed) link graph:
+    * `(node, component)` with component = the smallest node label
+    * reachable ignoring edge direction — the crawl-partitioning /
+    * per-site-sharding primitive (every island of interlinked domains
+    * lands in one component, so per-component work never crosses
+    * shards).
+    *
+    * Rides [[Dedup.duplicateClusters]]' large-star/small-star
+    * contraction unchanged — O(log n) rounds, only the edge list
+    * shuffles — because an undirected duplicate graph and a
+    * direction-ignored link graph are the same object. Labels compare
+    * with the column type's own ordering (binary for strings on both
+    * engines). Isolated nodes only exist here if self-linked rows
+    * were dropped upstream; every node appearing in `edges` gets a
+    * component.
+    */
+  def weakComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 20): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+    Dedup.duplicateClusters(nodes, "node",
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+        maxIter)
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+  }
 }

@@ -53,4 +53,29 @@ class LinkGraphSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(e == Set("a.com" -> "b.com", "a.com" -> "c.net"))
   }
+
+  test("weakComponents: direction ignored, islands stay separate, " +
+      "label = smallest node") {
+    val edges = Seq(
+      ("b.com", "a.com"),   // direction reversed: still one component
+      ("b.com", "c.net"),
+      ("x.org", "y.org")    // second island
+    ).toDF("src", "dst")
+    val out = LinkGraph.weakComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a.com" -> "a.com", "b.com" -> "a.com",
+      "c.net" -> "a.com", "x.org" -> "x.org", "y.org" -> "x.org"))
+  }
+
+  test("weakComponents is partitioning-invariant and handles " +
+      "duplicate edges") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("c", "d"))
+      .toDF("src", "dst")
+    def run(parts: Int) =
+      LinkGraph.weakComponents(edges.repartition(parts), "src", "dst")
+        .as[(String, String)].collect().toMap
+    assert(run(1) == run(5))
+    assert(run(1) == Map("a" -> "a", "b" -> "a", "c" -> "c",
+      "d" -> "c"))
+  }
 }
