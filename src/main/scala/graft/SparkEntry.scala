@@ -356,6 +356,14 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n_events"))
     }),
 
+    // ----- per-user event-rate spikes: daily counts vs 2.0× the
+    // user's own exact lower-median active day, all-integer flag
+    "q_rate_spikes" -> ((s, dir) => {
+      val ev = readEvents(s, dir)
+      EventOps.rateSpikes(ev, "user_id", "ts", "day",
+        factorDeci = 20L)
+    }),
+
     // ----- curation: mix the corpus to a target source recipe
     // (50/30/20 over three sources, downsampling-only)
     "q_mix_corpus" -> ((s, dir) => {
@@ -2098,6 +2106,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
+
+    // rate-spike replay: the lower median is the rank-⌈n/2⌉ count in
+    // sorted order — value is tie-order-independent; integer flag
+    "q_rate_spikes" ->
+      """WITH b AS (SELECT user_id,
+           date_trunc('day', ts) AS bucket_start,
+           COUNT(*)::BIGINT AS n_events
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT user_id, n_events,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY n_events, bucket_start) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         FROM b),
+       med AS (SELECT user_id, n_events AS median_n FROM m
+         WHERE rn = (cnt + 1) // 2)
+       SELECT b.user_id, b.bucket_start, b.n_events, med.median_n,
+         b.n_events * 10 > 20 * med.median_n AS spike
+       FROM b JOIN med ON b.user_id = med.user_id""",
 
     // the chunking is internal candidate generation only — the oracle
     // is the raw range predicate

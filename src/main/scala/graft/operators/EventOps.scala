@@ -201,4 +201,42 @@ object EventOps {
       .drop("__bv")
       .withColumnRenamed("__tick", "tick")
   }
+
+  /** Per-key event-rate spike detection — the ingest-monitoring rule
+    * "flag any bucket running hotter than `factorDeci`/10 × the key's
+    * own typical bucket": per-(key, time-bucket) counts, each key's
+    * exact lower median over its ACTIVE buckets (rank ⌈n/2⌉ of the
+    * sorted counts — a key is compared against its own typical active
+    * period, so sparse keys aren't drowned by empty hours), and an
+    * all-integer flag `n·10 > factorDeci·median` — no doubles
+    * anywhere, bit-identical on any engine.
+    *
+    * Shuffle profile: one (key, bucket) partial-aggregated count
+    * collapse of the event stream, then one key-partitioned window
+    * over each key's bucket rows — bounded by the calendar (a year of
+    * hourly buckets is 8.8k rows/key), not event volume. Returns
+    * (`keyCol`, `bucket_start`, `n_events`, `median_n`, `spike`).
+    */
+  def rateSpikes(events: DataFrame, keyCol: String, tsCol: String,
+      bucket: String = "hour", factorDeci: Long = 30L): DataFrame = {
+    require(factorDeci > 0, s"factorDeci must be positive: $factorDeci")
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol))
+        .as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(keyCol))
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_events"), col("bucket_start"))
+    val withMedian = counts
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__cnt", count(lit(1)).over(w))
+    val medians = withMedian
+      .filter(col("__rn") === expr("(__cnt + 1) DIV 2"))
+      .select(col(keyCol), col("n_events").as("median_n"))
+    counts.join(medians, Seq(keyCol))
+      .select(col(keyCol), col("bucket_start"), col("n_events"),
+        col("median_n"),
+        (col("n_events") * 10 > lit(factorDeci) * col("median_n"))
+          .as("spike"))
+  }
 }

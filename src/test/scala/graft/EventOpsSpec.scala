@@ -203,4 +203,40 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxTicksPerKey"))
   }
+
+  test("rateSpikes: per-key lower median over ACTIVE buckets, " +
+      "integer threshold flag") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:01")
+    // user 1: hours with counts 1,1,4 → median 1; 4 > 3×1 spikes
+    // user 2: counts 2,2 → median 2; nothing exceeds 3×2
+    val rows =
+      Seq.fill(1)(1L -> ts(1, 0)) ++ Seq.fill(1)(1L -> ts(1, 5)) ++
+      Seq.fill(4)(1L -> ts(2, 7)) ++
+      Seq.fill(2)(2L -> ts(1, 0)) ++ Seq.fill(2)(2L -> ts(3, 9))
+    val ev = rows.toDF("user_id", "ts")
+    val out = EventOps.rateSpikes(ev, "user_id", "ts", "hour",
+        factorDeci = 30L)
+      .as[(Long, Timestamp, Long, Long, Boolean)].collect()
+    val byKey = out.groupBy(_._1)
+    assert(byKey(1L).map(_._4).toSet == Set(1L)) // median 1
+    assert(byKey(2L).map(_._4).toSet == Set(2L)) // median 2
+    assert(out.filter(_._5).map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 4L)))
+  }
+
+  test("rateSpikes: even bucket counts take the LOWER median; " +
+      "factor boundary is strict >") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:01")
+    // user 1 daily counts sorted: 1,3 → lower median (rank ⌈2/2⌉=1)
+    // is 1; with factorDeci=30, 3 > 3×1 is FALSE (strict >)
+    val rows = Seq.fill(1)(1L -> ts(1)) ++ Seq.fill(3)(1L -> ts(2))
+    val out = EventOps.rateSpikes(rows.toDF("user_id", "ts"),
+        "user_id", "ts", "day", factorDeci = 30L)
+      .as[(Long, Timestamp, Long, Long, Boolean)].collect()
+    assert(out.forall(_._4 == 1L))
+    assert(out.forall(!_._5))
+  }
 }
