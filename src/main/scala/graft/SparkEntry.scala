@@ -1031,6 +1031,20 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // ----- cross-source contamination matrix: every 17th doc's text
+    // becomes one of 7 shared boilerplate variants, so sources
+    // mirror each other through those fingerprints; natural text
+    // never collides across sources at this SF
+    "q_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = when(col("doc_id") % 17 === 0,
+          concat(lit("Shared boilerplate block "),
+            (col("doc_id") % 7).cast("string")))
+        .otherwise(col("text"))
+      Dedup.fingerprintOverlap(
+        d.withColumn("text", planted), "source", "text")
+    }),
+
     // ----- quality-ranked canonical selection: same minhash
     // clusters, but keep the LONGEST member (n_chars, ties → smallest
     // doc_id) instead of the arbitrary smallest id
@@ -2401,7 +2415,26 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-         FROM documents"""
+         FROM documents""",
+
+    // overlap replay: same plant, distinct (fingerprint, source),
+    // pairwise count by fingerprint self-join (== the sorted-set
+    // pair explosion: both enumerate a<b source pairs per shared fp)
+    "q_source_overlap" ->
+      """WITH pl AS (SELECT source,
+           CASE WHEN doc_id % 17 = 0
+             THEN 'Shared boilerplate block ' ||
+               CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+         FROM documents),
+       fp AS (SELECT DISTINCT
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             AS f, source
+         FROM pl)
+       SELECT a.source AS group_a, b.source AS group_b,
+         COUNT(*)::BIGINT AS n_shared
+       FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+       GROUP BY 1, 2"""
   ) ++ Map(
     // Gap math in whole SECONDS on both sides (Spark's timestamp→long
     // cast truncates to seconds; epoch_ns // 1e9 is the exact mirror);

@@ -529,6 +529,33 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-group contamination matrix: for every pair of `groupCol`
+    * values (sources, snapshots, shards), how many DISTINCT normalized
+    * fingerprints they share — the corpus-forensics report that shows
+    * which feeds mirror each other before any pairwise dedup work is
+    * scheduled. Returns `(group_a, group_b, n_shared)` with
+    * group_a < group_b; pairs sharing nothing are absent.
+    *
+    * Scale shape: one distinct over (fingerprint, group) — map-side
+    * partial, fingerprints not documents shuffle — then one
+    * aggregation to a per-fingerprint sorted group SET. The pair
+    * explosion is bounded by |groups|² per fingerprint (groups are
+    * dozens, not documents), so no bucket cap is needed; the final
+    * (group_a, group_b) count table is |groups|²-sized.
+    */
+  def fingerprintOverlap(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val fp = df.select(T.fingerprint(col(textCol)).as("__fp"),
+        col(groupCol).as("__g"))
+      .distinct()
+    fp.groupBy("__fp")
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .filter(size(col("__gs")) >= 2)
+      .select(explode(BucketPairs.pairs(col("__gs"))).as("p"))
+      .groupBy(col("p.a").as("group_a"), col("p.b").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Quality-ranked canonical selection: keep the HIGHEST-`qualityCol`
     * member of each duplicate cluster instead of [[dedupCorpus]]'s
     * arbitrary smallest id — the production rule ("keep the longest /

@@ -184,6 +184,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 6L, 8L))
   }
 
+  test("fingerprintOverlap counts DISTINCT shared fingerprints per " +
+      "source pair, a<b, no-overlap pairs absent") {
+    val docs = Seq(
+      ("s1", "Hello, World!"), ("s2", "hello world"), // same fp
+      ("s1", "shared twice"), ("s2", "Shared Twice"),
+      ("s2", "shared twice"),  // within-source dup counts ONCE
+      ("s3", "Hello world"),   // fp in all three sources
+      ("s1", "only in s1"), ("s3", "only in s3")
+    ).toDF("source", "text")
+    val out = Dedup.fingerprintOverlap(docs, "source", "text")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("s1", "s2") -> 2L, ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 1L))
+  }
+
   test("dedupCorpusKeepBest equals dedupCorpus when quality is the " +
       "negated id") {
     val docs = (1L to 20L).map(i => (i, -i)).toDF("doc_id", "negid")
