@@ -4718,7 +4718,7 @@ object SparkEntry {
              AS tfw
          FROM tf f JOIN dft d ON d.term = f.term CROSS JOIN tot),
        per AS (SELECT q.query_id, s.doc_id,
-           SUM(s.idf * s.tfw) AS score_micro
+           CAST(SUM(s.idf * s.tfw) AS BIGINT) AS score_micro
          FROM sc s JOIN qterms q ON q.term = s.term GROUP BY 1, 2)
        SELECT query_id, doc_id, score_micro, rank FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
