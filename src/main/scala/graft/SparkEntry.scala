@@ -768,6 +768,13 @@ object SparkEntry {
     "q_top_terms_approx" -> ((s, dir) =>
       Sketches.topTermsApprox(t(s, dir, "documents"), "text", 50)),
 
+    // ----- per-doc OOV rate vs the corpus's own df>=50 vocabulary:
+    // word-salad/off-domain screen, exact integer milli fraction
+    "q_oov_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusScrub.oovRate(d, "doc_id", "text", minDf = 50L)
+    }),
+
     // ----- per-doc characteristic terms (exact-rational idf variant —
     // ln's last ulp is libm-specific, see topTfidfTerms)
     "q_tfidf_terms" -> ((s, dir) => {
@@ -2905,6 +2912,25 @@ object SparkEntry {
            '\s+')) AS term FROM documents)
          SELECT term, COUNT(*) AS term_count FROM t
          GROUP BY term ORDER BY term_count DESC, term ASC LIMIT 50""",
+
+    // OOV replay: vocabulary from distinct (doc, term) df counts,
+    // in-vocab token count joined back, integer milli fraction
+    "q_oov_rate" ->
+      """WITH tokarr AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS ts
+         FROM documents),
+       tok AS (SELECT doc_id, UNNEST(ts) AS term FROM tokarr),
+       vocab AS (SELECT term FROM (
+           SELECT term, COUNT(DISTINCT doc_id) AS df
+           FROM tok GROUP BY 1) z
+         WHERE df >= 50),
+       inv AS (SELECT t.doc_id, COUNT(*)::BIGINT AS n_inv
+         FROM tok t JOIN vocab v ON v.term = t.term GROUP BY 1)
+       SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
+         len(a.ts)::BIGINT - COALESCE(i.n_inv, 0) AS n_oov,
+         (len(a.ts)::BIGINT - COALESCE(i.n_inv, 0)) * 1000
+           // len(a.ts) AS oov_milli
+       FROM tokarr a LEFT JOIN inv i ON a.doc_id = i.doc_id""",
 
     // exact-rational tf-idf: long product, ONE double division
     "q_tfidf_terms" ->

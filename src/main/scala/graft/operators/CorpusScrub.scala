@@ -119,6 +119,42 @@ object CorpusScrub {
     Sampling.topKPerGroup(scored, idCol, "score", "term", k)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * frequency vocabulary (terms appearing in ≥ `minDf` documents) —
+    * high OOV flags word salad, encoding damage, and off-domain text
+    * in one integer signal: (`idCol`, `n_tokens`, `n_oov`,
+    * `oov_milli` = n_oov·1000 DIV n_tokens, exact).
+    *
+    * Scale shape: the vocabulary (the SMALL side — frequent terms are
+    * few; rare terms, the majority, never materialize as a set) is a
+    * df-filtered aggregate and joins the token stream inner-side, so
+    * AQE broadcasts it at realistic `minDf`; OOV counts fall out as
+    * `n_tokens − n_in_vocab` without ever joining against the huge
+    * OOV term set. Two aggregations + one map-only token count.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val T = graft.functions.TextFunctions
+    val base = df.select(col(idCol).as("id"),
+      T.tokens(col(textCol)).as("__ts"))
+    val toks = base.select(col("id"), explode(col("__ts")).as("term"))
+    val vocab = toks.distinct()
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("term")
+    val nTok = base.select(col("id"),
+      size(col("__ts")).cast("long").as("n_tokens"))
+    val inVocab = toks.join(vocab, Seq("term"))
+      .groupBy("id").agg(count(lit(1)).as("__inv"))
+    nTok.join(inVocab, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__inv"), lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_milli", expr("n_oov * 1000 DIV n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Per-document mean token log-probability under the corpus's own
     * add-one-smoothed unigram LM — the cheap stand-in for the CCNet/
     * Wikipedia-LM perplexity filter: word salad and boilerplate score

@@ -88,4 +88,53 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Per-file layout listing of a parquet directory tree: `(file,
+    * bytes)` for every data file (hidden/_SUCCESS metadata skipped) —
+    * recursive Hadoop-FS walk through whatever partition directories
+    * exist. The list is file-count-sized (driver-safe: a healthy
+    * 100 TB table is ~10⁵ files, and an UNHEALTHY one is exactly what
+    * [[fileAudit]] exists to catch before it grows).
+    */
+  def fileList(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => (st.getPath.toString, st.getLen))
+      .toSeq
+    import spark.implicits._
+    rows.toDF("file", "bytes")
+  }
+
+  /** Small-file audit of a parquet table — the layout pathology that
+    * quietly kills 100 TB scans (per-file open cost, starved scan
+    * parallelism, NameNode/manifest pressure): one summary row
+    * `(n_files, total_bytes, min_bytes, max_bytes, mean_bytes,
+    * n_small, small_frac_milli)` where a file is small under
+    * `smallBytes` (default 32 MiB; healthy parquet targets 128 MiB–
+    * 1 GiB). `small_frac_milli` is the exact integer
+    * `n_small·1000 DIV n_files`. Wire it to the snapshot-diff /
+    * drift gates: compaction is due when small_frac climbs.
+    */
+  def fileAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, smallBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    require(smallBytes > 0, "smallBytes must be positive")
+    fileList(spark, path).agg(
+      count(lit(1)).as("n_files"),
+      sum("bytes").as("total_bytes"),
+      min("bytes").as("min_bytes"),
+      max("bytes").as("max_bytes"),
+      expr("sum(bytes) DIV greatest(count(1), 1)").as("mean_bytes"),
+      count(when(col("bytes") < smallBytes, 1)).as("n_small"),
+      expr(s"count(CASE WHEN bytes < $smallBytes THEN 1 END) * 1000" +
+        " DIV greatest(count(1), 1)").as("small_frac_milli"))
+  }
 }

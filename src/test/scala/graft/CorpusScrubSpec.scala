@@ -124,4 +124,24 @@ class CorpusScrubSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("oovRate: df-threshold vocabulary, token repeats count per " +
+      "occurrence, all-OOV doc hits 1000 milli") {
+    // 'the' df=3, 'cat' df=2, 'dog'/'zx'/'qq' df=1
+    val docs = Seq(
+      (1L, "the cat the cat"),      // all in vocab at minDf=2
+      (2L, "the dog"),              // dog OOV -> 1/2
+      (3L, "zx qq cat the")         // 2/4 OOV
+    ).toDF("doc_id", "text")
+    val out = CorpusScrub.oovRate(docs, "doc_id", "text", minDf = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)))
+    assert(out(2L) == ((2L, 1L, 500L)))
+    assert(out(3L) == ((4L, 2L, 500L)))
+    // minDf above every df: everything OOV, exact 1000
+    val all = CorpusScrub.oovRate(docs, "doc_id", "text", minDf = 9L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(all.forall(r => r._3 == r._2 && r._4 == 1000L))
+  }
 }

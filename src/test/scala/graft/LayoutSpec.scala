@@ -62,4 +62,26 @@ class LayoutSpec extends SparkSpec {
       df.agg(sum(col("x").cast("long")), sum(col("y").cast("long")))
         .head().toSeq)
   }
+
+  test("fileAudit counts data files, skips metadata, flags small " +
+      "files with the exact milli fraction") {
+    val dir = "/tmp/graft_layout_audit"
+    spark.range(1000L).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val files = Layout.fileList(spark, dir)
+      .as[(String, Long)].collect()
+    assert(files.length == 4)
+    assert(files.forall(f => f._1.endsWith(".parquet") && f._2 > 0))
+    // every file here is far below 32 MiB -> all small
+    val a = Layout.fileAudit(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(a._1 == 4 && a._2 == files.map(_._2).sum)
+    assert(a._3 == files.map(_._2).min && a._4 == files.map(_._2).max)
+    assert(a._5 == a._2 / 4)
+    assert(a._6 == 4 && a._7 == 1000L)
+    // with a 1-byte threshold nothing is small
+    val b = Layout.fileAudit(spark, dir, smallBytes = 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(b._6 == 0 && b._7 == 0L)
+  }
 }
