@@ -394,6 +394,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // ----- temperature mixing (α=½): sources are artificially
+    // imbalanced 1:20 by the doc_id-vs-suffix filter, then sampled
+    // under sqrt-mass budgets — small sources keep proportionally
+    // more than their mass share
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 <=
+          expr("CAST(substring(source, 4) AS INT)"))
+      Sampling.temperatureMix(d, "doc_id", "n_chars", "source",
+          totalBudget = 30000L, alphaQuarters = 2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ----- big-x-big range join: which parts' ±1 retail-price band
     // contains each lineitem's unit price (chunked candidate equi-join)
     "q_range_join" -> ((s, dir) => {
@@ -2616,6 +2629,7 @@ object SparkEntry {
            least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.1), 1.0)""",
 
     "q_budget_sample" -> budgetSampleOracle,
+    "q_temperature_mix" -> temperatureMixOracle,
 
     // replays mixToTarget's arithmetic in the SAME IEEE operation
     // order (share = w/total, nstar = min(n/share), frac =
@@ -3584,6 +3598,34 @@ object SparkEntry {
      SELECT doc_id, source, n_chars FROM c
      WHERE excl < CASE source $caseB ELSE 0 END"""
   }
+
+  /** Mirrors Sampling.temperatureMix(α=½, budget 30000) over the
+    * imbalanced derivation: sqrt-mass weights, Σw as a LEFT fold in
+    * source order (list_reduce == the driver's foldLeft), floor'd
+    * budgets, then the same hashed-prefix-sum selection as
+    * q_budget_sample with the budgets JOINED instead of inlined.
+    */
+  private def temperatureMixOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 20 <= CAST(substring(source, 4) AS INT)),
+       m AS (SELECT source, SUM(n_chars)::BIGINT AS mm FROM d
+         GROUP BY 1 HAVING SUM(n_chars) > 0),
+       w AS (SELECT source, sqrt(mm::DOUBLE) AS ww FROM m),
+       sw AS (SELECT list_reduce(list(ww ORDER BY source),
+           (a, b) -> a + b) AS s FROM w),
+       b AS (SELECT w.source,
+           CAST(floor(30000 * w.ww / sw.s) AS BIGINT) AS bud
+         FROM w, sw),
+       sdf AS (SELECT doc_id, source, n_chars,
+           ${hashScoreSql("doc_id")} AS sc FROM d),
+       c AS (SELECT doc_id, source, n_chars,
+           COALESCE(SUM(n_chars) OVER (PARTITION BY source
+             ORDER BY sc, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS excl
+         FROM sdf)
+       SELECT c.doc_id, c.source, c.n_chars
+       FROM c JOIN b ON b.source = c.source WHERE c.excl < b.bud"""
 
   /** DuckDB replica of [[Sampling.hashScore]] over an id expression. */
   private def hashScoreSql(idExpr: String): String =

@@ -229,6 +229,58 @@ object Sampling {
     * task instead of the whole table — the same shape a hand-built
     * per-partition heap would give, for free from the optimizer.
     */
+  /** Temperature-based mixture sampling — the published multilingual/
+    * data-mixing recipe (sample source i ∝ massᵢ^α): per-source token
+    * budgets `floor(totalBudget · wᵢ / Σw)` with `wᵢ = massᵢ^α`, then
+    * the [[budgetSample]] deterministic hashed-prefix selection under
+    * those budgets. α < 1 flattens the mixture toward small sources
+    * (α = 1 is proportional, i.e. no reweighting).
+    *
+    * α is restricted to quarters (`alphaQuarters`/4 ∈ {¼, ½, ¾, 1})
+    * so every weight is a composition of IEEE-correctly-rounded
+    * `sqrt`/`·` — `m^¼ = √√m`, `m^¾ = √m·√√m` — bit-reproducible on
+    * any engine, where a libm `pow` is not (same trade as the
+    * rational-idf/lift operators). Σw folds left in source order.
+    *
+    * A source whose budget exceeds its mass just keeps everything
+    * (no waterfilling redistribution of the slack — the leftover
+    * budget is reported by comparing the output's mass, not silently
+    * reallocated; document pipelines re-run with a higher budget).
+    *
+    * Driver state: one (source, mass) row per source — the same
+    * bounded-dictionary collect the binning/centroid fits use.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, totalBudget: Long,
+      alphaQuarters: Int = 2): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be > 0: $totalBudget")
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be in 1..4, got $alphaQuarters")
+    val masses = df
+      .filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(sum(col(tokenCol).cast("long")).as("__m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L)
+      .sortBy(_._1)
+    def weight(m: Long): Double = {
+      val d = m.toDouble
+      alphaQuarters match {
+        case 1 => math.sqrt(math.sqrt(d))
+        case 2 => math.sqrt(d)
+        case 3 => math.sqrt(d) * math.sqrt(math.sqrt(d))
+        case _ => d
+      }
+    }
+    val ws = masses.map { case (s, m) => s -> weight(m) }
+    val sw = ws.foldLeft(0.0)(_ + _._2) // left fold in source order
+    val budgets = ws.map { case (s, w) =>
+      s -> math.floor(totalBudget.toDouble * w / sw).toLong
+    }.toMap
+    budgetSample(df, idCol, tokenCol, sourceCol, budgets)
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

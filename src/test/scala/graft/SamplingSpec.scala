@@ -165,4 +165,51 @@ class SamplingSpec extends SparkSpec {
       Sampling.deterministicSplit(ids, "id", Seq("a" -> 0.0))
     }
   }
+
+  test("temperatureMix flattens toward small sources at α=1/2 and is " +
+      "proportional at α=1") {
+    import spark.implicits._
+    // big source: 900 docs of 10 tokens; small: 100 docs of 10
+    val df = spark.range(1000L).select(col("id"),
+      when(col("id") < 900, lit("big")).otherwise(lit("small"))
+        .as("src"),
+      lit(10L).as("tok"))
+    def keptMass(alphaQ: Int): Map[String, Long] =
+      Sampling.temperatureMix(df, "id", "tok", "src",
+          totalBudget = 2000L, alphaQuarters = alphaQ)
+        .groupBy("src").agg(sum("tok").cast("long").as("m"))
+        .as[(String, Long)].collect().toMap
+    val prop = keptMass(4)
+    // α=1: budgets proportional to mass (9:1) → small's budget is
+    // exactly 200 tokens = 20 docs (10-token docs divide it evenly)
+    assert(prop("small") == 200L)
+    val flat = keptMass(2)
+    // α=1/2: weights 3:1 → small's budget = 2000/4 = 500
+    assert(flat("small") == 500L)
+    assert(flat("small") > prop("small"))
+    // total stays within budget (+ at most one doc of boundary spill
+    // per source — the prefix rule keeps the doc that CROSSES the
+    // budget line)
+    assert(prop.values.sum <= 2010L && flat.values.sum <= 2010L)
+  }
+
+  test("temperatureMix is deterministic across partitionings and " +
+      "rejects bad α") {
+    import spark.implicits._
+    val df = spark.range(300L).select(col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("src"),
+      (col("id") % 7 + 1).cast("long").as("tok"))
+    def ids(parts: Int) =
+      Sampling.temperatureMix(df.repartition(parts), "id", "tok",
+        "src", totalBudget = 100L)
+        .select("id").as[Long].collect().toSet
+    assert(ids(1) == ids(7))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "id", "tok", "src", 100L,
+        alphaQuarters = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "id", "tok", "src", 0L)
+    }
+  }
 }
