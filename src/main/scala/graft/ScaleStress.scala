@@ -63,7 +63,16 @@ object ScaleStress {
         targetListSize = 200L)),
     // IVF-PQ search: fixed coarse k and probe count, so the probed
     // compressed scan must scale linearly with list size
-    "q_ivf_pq_topk" -> SparkEntry.queries("q_ivf_pq_topk"))
+    "q_ivf_pq_topk" -> SparkEntry.queries("q_ivf_pq_topk"),
+    // BM25 retrieval: the token explosion and the query-vocab hit
+    // shuffle must both scale with the corpus while the query set
+    // stays fixed — the map-side vocab prune is what keeps the
+    // (doc, term) aggregation from growing past the hits
+    "q_bm25_topk" -> SparkEntry.queries("q_bm25_topk"),
+    // keep-best canonicalization rides the same minhash pair pipeline
+    // as q_dedup_clean plus the member-scoped quality join — the join
+    // side must stay member-sized, not corpus-sized
+    "q_dedup_keep_best" -> SparkEntry.queries("q_dedup_keep_best"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -170,7 +179,15 @@ object ScaleStress {
       "q_boilerplate_scrub" -> 10.0,
       // row-structured: fixed coarse k and probes, queries pinned —
       // the probed compressed scan grows with list size only
-      "q_ivf_pq_topk" -> 10.0)
+      "q_ivf_pq_topk" -> 10.0,
+      // retrieval shuffle is QUERY-HIT-bounded, not corpus-bounded
+      // (the vocab prune runs map-side): stress replicas rotate the
+      // alphabet, so base-query hits stay ~1x while the scan grows —
+      // sub-linear shuffle is the designed behavior, bound stays 10x
+      "q_bm25_topk" -> 10.0,
+      // keep-best rides the same minhash pair machinery as
+      // q_dedup_clean plus a member-bounded quality join
+      "q_dedup_keep_best" -> pairRatio)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate

@@ -1611,6 +1611,16 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // ----- sliding-window chunking: 64-token windows every 48
+    // tokens — consecutive chunks share 16 tokens of context
+    "q_bpe_chunk_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.chunkOverlap(d, "doc_id", "text", BpeFixedMerges,
+          maxTokens = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"), col("start_token"))
+    }),
+
     // ----- per-source token budget: the mixture-design accounting
     // report — BPE token mass, document count and character mass per
     // source, one map-only encode + one small aggregation
@@ -3136,6 +3146,24 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_tokens
          FROM $last
          GROUP BY doc_id, (pos - 1) // 64"""
+    },
+
+    // overlap replay: token q=pos-1 belongs to window w iff
+    // w·48 ≤ q < w·48+64 → w ∈ [ceil((q−63)/48), q//48]; the ceil is
+    // the floor-division identity (q−63+47)//48, clamped at 0
+    "q_bpe_chunk_overlap" -> {
+      val (ctes, last) = bpeSqlStages
+      s"""WITH $ctes,
+         tw AS (SELECT doc_id, pos, tok, t.w AS w
+           FROM $last,
+           LATERAL unnest(generate_series(
+             GREATEST(0, (pos - 1 - 16) // 48),
+             (pos - 1) // 48)) AS t(w))
+         SELECT doc_id, CAST(w AS INT) AS chunk_id,
+           string_agg(tok, '' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(w * 48 AS BIGINT) AS start_token
+         FROM tw GROUP BY doc_id, w"""
     },
 
     // the same add-one-smoothed integer micro-probabilities, built

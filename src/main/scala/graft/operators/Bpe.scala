@@ -87,6 +87,43 @@ object Bpe {
     StructField("chunk_text", StringType),
     StructField("n_tokens", LongType)))
 
+  /** Sliding-window chunking with context overlap: windows of up to
+    * `maxTokens` BPE tokens starting at every multiple of `stride`
+    * (< document length) — `stride < maxTokens` makes consecutive
+    * chunks share `maxTokens − stride` tokens of context, the
+    * standard RAG-indexing / long-document-training shape where a
+    * fact straddling a hard cut would otherwise be unlearnable in
+    * either chunk. `stride = maxTokens` degenerates to [[chunk]]'s
+    * partition (plus the explicit `start_token` column). Map-only
+    * per-partition kernel like [[chunk]]; output grows by
+    * ~`maxTokens/stride`×. Returns (`idCol`, `chunk_id` =
+    * start/stride, `chunk_text`, `n_tokens`, `start_token`); tail
+    * windows are shorter, empty documents emit no rows.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int,
+      stride: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in 1..maxTokens, got $stride")
+    val (ii, ti) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol))
+    val schema = StructType(Seq(df.schema.fields(ii)) ++
+      chunkSchema.fields :+ StructField("start_token", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        val toks = Bpe.encodeText(r.getString(ti), merges)
+        (0 until toks.length by stride).iterator.map { s =>
+          val w = toks.slice(s, math.min(s + maxTokens, toks.length))
+          Row(id, s / stride, w.mkString(""), w.length.toLong,
+            s.toLong)
+        }
+      }
+    }(enc)
+  }
+
   /** Token-budgeted chunking: split each document into consecutive
     * windows of at most `maxTokens` BPE tokens (the unit a training
     * pipeline actually packs by, unlike character windows). Chunk

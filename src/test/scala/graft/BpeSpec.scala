@@ -74,6 +74,38 @@ class BpeSpec extends SparkSpec {
     assert(whole == "the the cat")
   }
 
+  test("chunkOverlap: strided windows share context; stride == " +
+      "maxTokens degenerates to chunk") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the the cat"), (2L, ""))
+      .toDF("doc_id", "text")
+    // doc 1 tokens: [the, ' ', the, ' ', c, a, t] (7 tokens)
+    val got = Bpe.chunkOverlap(df, "doc_id", "text", merges,
+        maxTokens = 4, stride = 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens",
+        "start_token")
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "the the ", 4L, 0L),
+      (1L, 1, "the ca", 4L, 2L),
+      (1L, 2, "cat", 3L, 4L),
+      (1L, 3, "t", 1L, 6L))) // empty doc 2: no rows
+    // consecutive windows share maxTokens - stride = 2 tokens
+    val w0 = "the the "; val w1 = "the ca"
+    assert(w0.endsWith("the ") && w1.startsWith("the "))
+    // degenerate stride: identical to chunk (modulo start_token)
+    val degen = Bpe.chunkOverlap(df, "doc_id", "text", merges, 3, 3)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().toSet
+    val plain = Bpe.chunk(df, "doc_id", "text", merges, 3)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(degen == plain)
+    intercept[IllegalArgumentException] {
+      Bpe.chunkOverlap(df, "doc_id", "text", merges, 3, 4)
+    }
+  }
+
   test("train recovers planted merges deterministically") {
     val corpus = Seq.fill(8)("ababab").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
