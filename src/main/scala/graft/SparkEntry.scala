@@ -810,6 +810,22 @@ object SparkEntry {
         "qtext", k = 10)
     }),
 
+    // ----- the same retrieval through the PERSISTENT inverted index
+    // (build bucketed-by-term postings, then serve): the oracle is
+    // q_bm25_topk's VERBATIM — the hash match proves serve == scan
+    "q_text_index_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextIndex.build(d, "doc_id", "text", "g_q_text_index",
+        buckets = 16)
+      val qs = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 6))
+            .as("qtext"))
+      TextIndex.query(s, "g_q_text_index", qs, "query_id", "qtext",
+        k = 10)
+    }),
+
     // ----- exact order statistics with engine-controlled interpolation
     "q_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2971,6 +2987,9 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY doc_id
            ORDER BY score DESC, term ASC) <= 3""",
     "q_bm25_topk" -> bm25Oracle,
+    // serve == scan: the index query must reproduce the direct
+    // BM25 oracle bit-for-bit
+    "q_text_index_topk" -> bm25Oracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_ngram_containment" -> ngramContainmentOracle,

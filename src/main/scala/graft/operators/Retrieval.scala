@@ -75,10 +75,26 @@ object Retrieval {
       .groupBy("__doc", "term")
       .agg(count(lit(1)).as("__tf"), max("__dl").as("__dl"))
     val dft = hits.groupBy("term").agg(count(lit(1)).as("__df"))
-    val scored = hits
-      .join(dft, Seq("term")) // vocab-sized: AQE broadcasts
-      .crossJoin(broadcast(totals))
-      .withColumn("__dlnorm", lit(1000L - bMilli) +
+    val scored = withBm25Cols(
+      hits
+        .join(dft, Seq("term")) // vocab-sized: AQE broadcasts
+        .crossJoin(broadcast(totals)),
+      k1Milli, bMilli)
+    val perDoc = scored.join(broadcast(qterms), Seq("term"))
+      .groupBy("__qid", "__doc")
+      .agg(sum(col("__idf") * col("__tfw")).as("score_micro"))
+    rankTopK(perDoc, k)
+      .select(col("__qid").as(qidCol), col("__doc").as(idCol),
+        col("score_micro"), col("rank"))
+  }
+
+  /** The fixed-point scoring columns, shared verbatim by the direct
+    * path and [[TextIndex.query]] so serve == scan bit-for-bit:
+    * requires `__tf, __dl, __df, __nd, __tt`; appends `__tfw, __idf`.
+    */
+  private[operators] def withBm25Cols(df: DataFrame, k1Milli: Long,
+      bMilli: Long): DataFrame =
+    df.withColumn("__dlnorm", lit(1000L - bMilli) +
         expr(s"($bMilli * __dl * __nd) DIV __tt"))
       .withColumn("__denom", col("__tf") * lit(1000L) +
         expr(s"($k1Milli * __dlnorm) DIV 1000"))
@@ -86,14 +102,16 @@ object Retrieval {
         expr(s"(__tf * ${k1Milli + 1000L} * 1000) DIV __denom"))
       .withColumn("__idf",
         expr("((2 * (__nd - __df) + 1) * 1000) DIV (2 * __df + 1)"))
-    val perDoc = scored.join(broadcast(qterms), Seq("term"))
-      .groupBy("__qid", "__doc")
-      .agg(sum(col("__idf") * col("__tfw")).as("score_micro"))
+
+  /** Shared (score DESC, doc ASC) rank-≤-k window over a
+    * `(__qid, __doc, score_micro)` table; `rank` comes back long.
+    */
+  private[operators] def rankTopK(perDoc: DataFrame, k: Int)
+      : DataFrame = {
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score_micro").desc, col("__doc").asc)
     perDoc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("__qid").as(qidCol), col("__doc").as(idCol),
-        col("score_micro"), col("rank").cast("long").as("rank"))
+      .withColumn("rank", col("rank").cast("long"))
   }
 }

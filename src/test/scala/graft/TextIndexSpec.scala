@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, TextIndex}
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "quantum flux capacitor design notes and measurements"),
+    (2L, "cooking pasta with garlic and olive oil at home"),
+    (3L, "the quantum capacitor flux paper quantum quantum"),
+    (4L, "garlic garlic garlic garlic garlic garlic garlic"),
+    (5L, "unrelated text about medieval castle architecture")
+  ).toDF("doc_id", "text")
+  private val queries = Seq(
+    (100L, "quantum capacitor"), (101L, "garlic oil"),
+    (102L, "medieval and")).toDF("query_id", "qtext")
+
+  test("index serve equals the direct BM25 scan bit-for-bit") {
+    val t = "graft_test_text_index"
+    TextIndex.build(corpus, "doc_id", "text", t, buckets = 4)
+    try {
+      val served = TextIndex.query(spark, t, queries, "query_id",
+          "qtext", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val direct = Retrieval.bm25TopK(corpus, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(served == direct && served.nonEmpty)
+    } finally Seq(t, s"${t}_stats")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("postings carry denormalized df and dl; stats hold corpus " +
+      "totals") {
+    val t = "graft_test_text_index2"
+    TextIndex.build(corpus, "doc_id", "text", t, buckets = 2)
+    try {
+      val posts = spark.table(t)
+        .select("term", "doc_id", "tf", "dl", "df")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val garlic = posts.filter(_._1 == "garlic")
+      assert(garlic.map(_._2).toSet == Set(2L, 4L))
+      assert(garlic.forall(_._5 == 2L)) // df = 2 on every posting
+      assert(garlic.find(_._2 == 4L).get._3 == 7L) // tf in doc 4
+      assert(garlic.find(_._2 == 4L).get._4 == 7L) // dl of doc 4
+      val (nd, tt) = spark.table(s"${t}_stats")
+        .as[(Long, Long)].head()
+      assert(nd == 5L && tt == posts.filter(_._3 > 0)
+        .groupBy(_._2).map(_._2.head._4).sum)
+    } finally Seq(t, s"${t}_stats")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("serving scan is bucket-pruned to the query terms; no-match " +
+      "query yields no rows") {
+    val t = "graft_test_text_index3"
+    TextIndex.build(corpus, "doc_id", "text", t, buckets = 4)
+    try {
+      val q = Seq((1L, "quantum")).toDF("query_id", "qtext")
+      val plan = TextIndex.query(spark, t, q, "query_id", "qtext", 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$plan")
+      val none = TextIndex.query(spark, t,
+        Seq((1L, "zzzz yyyy")).toDF("query_id", "qtext"),
+        "query_id", "qtext", 5)
+      assert(none.count() == 0L)
+    } finally Seq(t, s"${t}_stats")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+}
