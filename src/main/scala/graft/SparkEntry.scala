@@ -421,6 +421,24 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "p_partkey", "unit_price")
     }),
 
+    // ----- interval-overlap join: even parts' ±1.0 price bands vs
+    // odd parts' ±0.5 bands — chunked equi-join, each overlapping
+    // pair emitted once (in its overlap-start chunk)
+    "q_interval_overlap" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("a_key"),
+          (col("p_retailprice") - 1.0).as("a_lo"),
+          (col("p_retailprice") + 1.0).as("a_hi"))
+      val b = p.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey").as("b_key"),
+          (col("p_retailprice") - 0.5).as("b_lo"),
+          (col("p_retailprice") + 0.5).as("b_hi"))
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          chunkWidth = 2.0)
+        .select("a_key", "b_key")
+    }),
+
     // ----- as-of join: each click matched with the user's latest
     // at-or-before purchase (point-in-time lookup; epoch micros keep
     // both engines' comparisons exact)
@@ -2194,6 +2212,18 @@ object SparkEntry {
            p_retailprice + 1.0 AS hi FROM part)
        SELECT l_orderkey, l_linenumber, p_partkey, unit_price
        FROM pts JOIN iv ON unit_price >= lo AND unit_price <= hi""",
+
+    // chunking + start-chunk dedup are internal; the oracle is the
+    // raw closed-interval overlap predicate
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT p_partkey AS a_key,
+           p_retailprice - 1.0 AS a_lo, p_retailprice + 1.0 AS a_hi
+         FROM part WHERE p_partkey % 2 = 0),
+       b AS (SELECT p_partkey AS b_key,
+           p_retailprice - 0.5 AS b_lo, p_retailprice + 0.5 AS b_hi
+         FROM part WHERE p_partkey % 2 = 1)
+       SELECT a_key, b_key FROM a JOIN b
+         ON a_lo <= b_hi AND b_lo <= a_hi""",
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window form
     "q_asof_join" ->

@@ -48,4 +48,39 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__chunk")
   }
+
+  /** Inner-join two INTERVAL tables on closed-interval overlap
+    * (`[llo, lhi] ∩ [rlo, rhi] ≠ ∅`), optionally under equi-`keys` —
+    * the big×big interval-intersection primitive (time-range overlap,
+    * span conflicts, genomic-style range intersection) that raw SQL
+    * plans as a nested-loop disaster. Both sides explode to their
+    * chunks and join on the chunk id; a pair overlapping several
+    * chunks is emitted EXACTLY ONCE — only in the chunk containing
+    * `max(llo, rlo)`, the overlap's start — so no distinct pass is
+    * needed (the dedup is a per-row filter, not a shuffle).
+    *
+    * Column names must not collide across the two frames. Null bounds
+    * and empty intervals (lo > hi) never match. Cost: each side
+    * explodes by ⌈width/chunkWidth⌉ + 1 — pick `chunkWidth` near the
+    * typical interval width, as with [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lloCol: String, lhiCol: String, rloCol: String, rhiCol: String,
+      chunkWidth: Double, keys: Seq[String] = Seq.empty): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth must be > 0, got $chunkWidth")
+    def chunked(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+          col(lo) <= col(hi))
+        .withColumn("__chunk", explode(sequence(
+          floor(col(lo) / chunkWidth).cast("long"),
+          floor(col(hi) / chunkWidth).cast("long"))))
+    chunked(left, lloCol, lhiCol)
+      .join(chunked(right, rloCol, rhiCol), keys :+ "__chunk")
+      .filter(col(lloCol) <= col(rhiCol) &&
+        col(rloCol) <= col(lhiCol) &&
+        col("__chunk") ===
+          floor(greatest(col(lloCol), col(rloCol)) / chunkWidth)
+            .cast("long"))
+      .drop("__chunk")
+  }
 }

@@ -60,4 +60,49 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"nested-loop shape in:\n$plan")
   }
+
+  test("intervalOverlap: closed-bound overlap incl. touching " +
+      "endpoints; multi-chunk pairs emitted exactly once") {
+    val a = Seq(
+      (1L, 0.0, 10.0),   // spans many 1.0-chunks
+      (2L, 20.0, 21.0),
+      (3L, 30.0, 30.0)   // degenerate point-interval
+    ).toDF("a_key", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 4.0, 6.0),   // inside 1 -> one pair despite 3 shared chunks
+      (11L, 10.0, 12.0), // touches 1's hi endpoint -> overlap (closed)
+      (12L, 21.0, 25.0), // touches 2
+      (13L, 30.0, 31.0), // contains 3's point
+      (14L, 50.0, 60.0)  // overlaps nothing
+    ).toDF("b_key", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", chunkWidth = 1.0)
+      .select("a_key", "b_key").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 12L),
+      (3L, 13L)))
+  }
+
+  test("intervalOverlap equals the brute-force predicate on dense " +
+      "data and drops null/empty intervals") {
+    val a = (0L until 60L).map(i =>
+      (i, i * 0.7, i * 0.7 + 2.0)).toDF("a_key", "a_lo", "a_hi")
+    val b = (0L until 60L).map(i =>
+      (i, i * 1.1, i * 1.1 + 1.5)).toDF("b_key", "b_lo", "b_hi")
+    val fast = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", chunkWidth = 2.0)
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    val brute = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    assert(fast == brute && fast.nonEmpty)
+    // null and inverted bounds never match
+    val bad = Seq((9L, null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(5.0)),
+      (8L, java.lang.Double.valueOf(7.0),
+        java.lang.Double.valueOf(3.0)))
+      .toDF("a_key", "a_lo", "a_hi")
+    assert(RangeJoin.intervalOverlap(bad, b, "a_lo", "a_hi",
+      "b_lo", "b_hi", 2.0).count() == 0L)
+  }
 }
