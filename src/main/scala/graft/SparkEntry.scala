@@ -799,6 +799,23 @@ object SparkEntry {
     "q_top_terms_approx" -> ((s, dir) =>
       Sketches.topTermsApprox(t(s, dir, "documents"), "text", 50)),
 
+    // ----- per-doc language mix over paragraph segments: planted
+    // second paragraphs in fr/de/es; dominance ties (1 seg vs 1 seg)
+    // break to the lexicographically smallest tag
+    "q_lang_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n\nle chat est sur une table et les autres"))
+          .when(col("doc_id") % 4 === 1,
+            lit("\n\nder hund und die katze ist nicht ein zu"))
+          .when(col("doc_id") % 4 === 2,
+            lit("\n\nel perro y la casa de los del que"))
+          .otherwise(lit("")))
+      CorpusScrub.langMix(d.withColumn("text", planted), "doc_id",
+        "text")
+    }),
+
     // ----- per-doc OOV rate vs the corpus's own df>=50 vocabulary:
     // word-salad/off-domain screen, exact integer milli fraction
     "q_oov_rate" -> ((s, dir) => {
@@ -2531,6 +2548,7 @@ object SparkEntry {
          FROM g GROUP BY user_id, sid""",
 
     "q_lang_id" -> langIdOracle,
+    "q_lang_mix" -> langMixOracle,
     "q_lang_full" -> langFullOracle,
 
     // Mirrors TextFunctions.qualityScore: four 0/1 gates × weights,
@@ -3556,6 +3574,59 @@ object SparkEntry {
            $cases
            ELSE 'und' END AS lang_id
        FROM b"""
+  }
+
+  /** Mirrors CorpusScrub.langMix over the planted second paragraphs:
+    * the SAME marker-score CASE as langIdOracle, applied per
+    * `\n\n`-segment, then (doc, lang) counts, dominance by
+    * (count DESC, lang ASC).
+    */
+  private def langMixOracle: String = {
+    val scores = T.LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> s"len(list_filter(tk, t -> list_contains($list, t)))"
+    }
+    val scoreCols =
+      scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n         ")
+    val best = scores.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = scores
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString("\n           ")
+    s"""WITH base AS (SELECT doc_id, text ||
+         CASE WHEN doc_id % 4 = 0
+             THEN chr(10) || chr(10) ||
+               'le chat est sur une table et les autres'
+           WHEN doc_id % 4 = 1
+             THEN chr(10) || chr(10) ||
+               'der hund und die katze ist nicht ein zu'
+           WHEN doc_id % 4 = 2
+             THEN chr(10) || chr(10) ||
+               'el perro y la casa de los del que'
+           ELSE '' END AS text
+         FROM documents),
+       seg AS (SELECT doc_id, t.s AS seg FROM base,
+         LATERAL unnest(string_split(text, chr(10) || chr(10)))
+           AS t(s)
+         WHERE trim(t.s) <> ''),
+       tkt AS (SELECT doc_id,
+         regexp_split_to_array(trim(lower(seg)), '\\s+') AS tk
+         FROM seg),
+       sc AS (SELECT doc_id, $scoreCols FROM tkt),
+       b AS (SELECT *, $best AS best FROM sc),
+       lid AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und'
+           $cases
+           ELSE 'und' END AS lang FROM b),
+       pl AS (SELECT doc_id, lang, COUNT(*)::BIGINT AS c
+         FROM lid GROUP BY 1, 2),
+       agg AS (SELECT doc_id, SUM(c)::BIGINT AS n_segments,
+         COUNT(*)::BIGINT AS n_langs FROM pl GROUP BY 1),
+       dom AS (SELECT doc_id, lang AS dominant_lang, c FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, lang) AS rn FROM pl) z
+         WHERE rn = 1)
+       SELECT a.doc_id, a.n_segments, a.n_langs, d.dominant_lang,
+         d.c * 1000 // a.n_segments AS dominant_milli
+       FROM agg a JOIN dom d ON a.doc_id = d.doc_id"""
   }
 
   private def minhashOracle: String = {

@@ -119,6 +119,40 @@ object CorpusScrub {
     Sampling.topKPerGroup(scored, idCol, "score", "term", k)
   }
 
+  /** Per-document language-mix report over paragraph segments
+    * (`\n\n`-separated): a single doc-level language id mislabels
+    * mixed documents — boilerplate quotes, code-switched pages,
+    * translated appendices — so segment first, id each segment with
+    * the marker-word [[graft.functions.TextFunctions.langId]], then
+    * aggregate: (`idCol`, `n_segments`, `n_langs`, `dominant_lang`,
+    * `dominant_milli` = dominant-segment-count·1000 DIV n_segments).
+    * Dominance ties break to the lexicographically smallest language
+    * tag (one deterministic `min(struct(−count, lang))`). Blank
+    * segments are dropped before counting.
+    *
+    * Scale shape: the explode is map-side; two keyed aggregations
+    * ((doc, lang) then doc) over segment-count-sized rows — bounded
+    * by paragraphs, never tokens.
+    */
+  def langMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val T = graft.functions.TextFunctions
+    val segs = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n\n")).as("seg"))
+      .filter(trim(col("seg")) =!= "")
+      .select(col("id"), T.langId(col("seg")).as("lang"))
+    val perLang = segs.groupBy("id", "lang")
+      .agg(count(lit(1)).as("__c"))
+    perLang.groupBy("id")
+      .agg(sum("__c").as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("lang").as("l")))
+          .as("__m"))
+      .select(col("id").as(idCol), col("n_segments"),
+        col("n_langs"), col("__m.l").as("dominant_lang"),
+        expr("(-__m.nc) * 1000 DIV n_segments").as("dominant_milli"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * frequency vocabulary (terms appearing in ≥ `minDf` documents) —
     * high OOV flags word salad, encoding damage, and off-domain text

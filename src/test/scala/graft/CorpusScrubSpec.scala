@@ -125,6 +125,28 @@ class CorpusScrubSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("langMix: per-segment id, dominance with lexicographic " +
+      "tie-break, blank segments dropped") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in of that for\n\n" +
+        "el perro y la casa de los del que\n\n" +
+        "the end of the story and that is that"),
+      (2L, "der hund und die katze ist nicht ein zu\n\n\n\n" +
+        "le chat est sur une table et les autres"),
+      (3L, "zzz qqq vvv")
+    ).toDF("doc_id", "text")
+    val out = CorpusScrub.langMix(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: en, es, en -> dominant en at 2/3
+    assert(out(1L) == ((3L, 2L, "en", 666L)))
+    // doc 2: de + fr, 1 each -> tie breaks to 'de'; the \n\n\n\n gap
+    // yields a blank segment that must not count
+    assert(out(2L) == ((2L, 2L, "de", 500L)))
+    // doc 3: no markers -> und at 1000
+    assert(out(3L) == ((1L, 1L, "und", 1000L)))
+  }
+
   test("oovRate: df-threshold vocabulary, token repeats count per " +
       "occurrence, all-OOV doc hits 1000 milli") {
     // 'the' df=3, 'cat' df=2, 'dog'/'zx'/'qq' df=1
