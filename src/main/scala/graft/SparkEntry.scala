@@ -1821,7 +1821,7 @@ object SparkEntry {
           Multimodal.audioFeatureSchema)(Multimodal.decodeAudioFeatures)
         .select(col("doc_id"), col("n_samples"), col("sum_abs"),
           col("sum_sq"), col("peak"), col("n_silence"),
-          col("n_clipped"), col("duration_us"))
+          col("n_clipped"), col("n_zero_cross"), col("duration_us"))
     }),
 
     // ----- Z-order clustered write, read back: the layout must be
@@ -3307,12 +3307,19 @@ object SparkEntry {
                   8000 + (doc_id % 8) * 4000 AS rate
            FROM documents),
          smp AS (
-           SELECT p.doc_id, p.frames, p.rate,
+           SELECT p.doc_id, p.frames, p.rate, p.ch, t.i AS i,
                   ((p.doc_id * 7919 + t.i * 104729) % 65536) - 32768
                     AS v
            FROM p CROSS JOIN generate_series(0, 199) AS t(i)
-           WHERE t.i < p.frames * p.ch)
-         SELECT doc_id,
+           WHERE t.i < p.frames * p.ch),
+         zc AS (
+           SELECT doc_id,
+             SUM(CASE WHEN prev IS NOT NULL AND
+                 ((v >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS nzc
+           FROM (SELECT doc_id, v, lag(v) OVER
+               (PARTITION BY doc_id, i % ch ORDER BY i) AS prev
+             FROM smp) q GROUP BY doc_id)
+         SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
            CAST(sum(v * v) AS BIGINT) AS sum_sq,
@@ -3321,8 +3328,10 @@ object SparkEntry {
              AS BIGINT) AS n_silence,
            CAST(sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_clipped,
+           CAST(zc.nzc AS BIGINT) AS n_zero_cross,
            CAST(frames * 1000000 // rate AS BIGINT) AS duration_us
-         FROM smp GROUP BY doc_id, frames, rate""",
+         FROM smp s JOIN zc ON s.doc_id = zc.doc_id
+         GROUP BY s.doc_id, frames, rate, zc.nzc""",
 
     // the parser must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no PNG anywhere

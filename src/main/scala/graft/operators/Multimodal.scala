@@ -2018,7 +2018,7 @@ object Multimodal {
     */
   final case class AudioFeatures(nSamples: Long, sumAbs: Long,
       sumSq: Long, peak: Int, nSilence: Long, nClipped: Long,
-      durationUs: Long)
+      nZeroCross: Long, durationUs: Long)
 
   /** PCM16 feature pass: one sequential read of the `data` chunk.
     * Only uncompressed (`audioFormat == 1`) 16-bit payloads qualify —
@@ -2026,7 +2026,12 @@ object Multimodal {
     * block sizes, odd data length) classifies as undecodable rather
     * than producing silently-wrong sums. `silenceThreshold` /
     * `clipThreshold` compare against |s| (inclusive at the silence
-    * top, inclusive at the clip bottom).
+    * top, inclusive at the clip bottom). `nZeroCross` counts
+    * PER-CHANNEL sign boundary crossings (sample k vs the same
+    * channel's previous frame; "non-negative vs negative" so zero
+    * sits on the non-negative side — a frequency-content proxy that
+    * interleaving would corrupt if counted stream-wise), summed over
+    * channels.
     */
   def wavPcm16Features(b: Array[Byte], silenceThreshold: Int = 327,
       clipThreshold: Int = 32760): Option[AudioFeatures] = {
@@ -2062,7 +2067,9 @@ object Multimodal {
     val n = (dataLen / 2).toInt
     var k = 0
     var sumAbs = 0L; var sumSq = 0L; var peak = 0
-    var nSil = 0L; var nClip = 0L
+    var nSil = 0L; var nClip = 0L; var nZc = 0L
+    val prevNonNeg = new Array[Int](channels) // -1 none, 0 neg, 1 ≥0
+    java.util.Arrays.fill(prevNonNeg, -1)
     while (k < n) {
       val o = dataOff + 2 * k
       val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
@@ -2071,11 +2078,15 @@ object Multimodal {
       if (a > peak) peak = a
       if (a <= silenceThreshold) nSil += 1
       if (a >= clipThreshold) nClip += 1
+      val ch = k % channels
+      val nn = if (s >= 0) 1 else 0
+      if (prevNonNeg(ch) >= 0 && prevNonNeg(ch) != nn) nZc += 1
+      prevNonNeg(ch) = nn
       k += 1
     }
     val frames = dataLen / blockAlign
     Some(AudioFeatures(n.toLong, sumAbs, sumSq, peak, nSil, nClip,
-      frames * 1000000L / rate))
+      nZc, frames * 1000000L / rate))
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(
@@ -2085,6 +2096,7 @@ object Multimodal {
     StructField("peak", IntegerType),
     StructField("n_silence", LongType),
     StructField("n_clipped", LongType),
+    StructField("n_zero_cross", LongType),
     StructField("duration_us", LongType)))
 
   /** Decode kernel for [[decodeBatches]]: real PCM16 feature pass,
@@ -2094,8 +2106,9 @@ object Multimodal {
     wavPcm16Features(bytes) match {
       case Some(f) =>
         Seq[Any](f.nSamples, f.sumAbs, f.sumSq, f.peak, f.nSilence,
-          f.nClipped, f.durationUs)
-      case None => Seq[Any](null, null, null, null, null, null, null)
+          f.nClipped, f.nZeroCross, f.durationUs)
+      case None =>
+        Seq[Any](null, null, null, null, null, null, null, null)
     }
 
   /** Parsed MP4 (ISO-BMFF) container metadata: major brand from

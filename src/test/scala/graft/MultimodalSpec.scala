@@ -186,14 +186,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f.nSilence == 3L) // 0, 100, -327 (<= 327 inclusive)
     assert(f.nClipped == 3L) // -32768, 32767, 32760 (>= 32760)
     assert(f.durationUs == 1000L) // 8 frames / 8000 Hz
-    // stereo: same samples = 4 frames; per-sample sums unchanged
+    // mono sign stream ≥0: [1,1,0,1,0,1,1,0] -> 5 boundary crossings
+    assert(f.nZeroCross == 5L)
+    // stereo: same samples = 4 frames; per-sample sums unchanged;
+    // crossings count within each channel's own frame sequence:
+    // ch0 [0,-32768,-327,32760] -> ≥0 [1,0,0,1] = 2
+    // ch1 [100,32767,328,-5000] -> ≥0 [1,1,1,0] = 1
     val g = Multimodal.wavPcm16Features(wavPcm(2, 8000, smp)).get
     assert(g.nSamples == 8L && g.sumAbs == f.sumAbs &&
       g.durationUs == 500L)
+    assert(g.nZeroCross == 3L)
     // empty data chunk: all-zero features, still decodable
     val e = Multimodal.wavPcm16Features(
       wavPcm(1, 44100, Array.empty[Short])).get
-    assert(e == Multimodal.AudioFeatures(0, 0, 0, 0, 0, 0, 0))
+    assert(e == Multimodal.AudioFeatures(0, 0, 0, 0, 0, 0, 0, 0))
   }
 
   test("wavPcm16Features: non-PCM16 / malformed classify as None") {
