@@ -1413,6 +1413,20 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
     }),
 
+    // ----- TrustRank: the same 37-node graph with all teleport mass
+    // on seeds d0/d5 — unreachable nodes decay to exactly 0
+    "q_trust_rank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def node(c: Column) = concat(lit("d"), c.cast("string"))
+      val e1 = d.select(node(col("doc_id") % 31).as("src"),
+        node((col("doc_id") * 13 + 5) % 37).as("dst"))
+      val e2 = d.select(node(col("doc_id") % 31).as("src"),
+        node((col("doc_id") * 29 + 11) % 37).as("dst"))
+      val edges = e1.union(e2).filter(col("src") =!= col("dst"))
+      LinkGraph.trustRank(edges, "src", "dst", Seq("d0", "d5"),
+        iterations = 5)
+    }),
+
     // ----- weak components over a deliberately DISCONNECTED link
     // graph: 10 islands of ≤4 nodes each from doc_id arithmetic —
     // no cross-island edges by construction, so the component map
@@ -2401,6 +2415,40 @@ object SparkEntry {
          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+         $iters
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5"""
+    },
+
+    // TrustRank replay: the pagerank CTE ladder with the seed-gated
+    // base term — r0 and every iteration's teleport mass CASE on the
+    // seed set
+    "q_trust_rank" -> {
+      val seedIn = "IN ('d0', 'd5')"
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node,
+             CASE WHEN n.node $seedIn THEN 150000 ELSE 0 END
+               + (85 * COALESCE(c.s, 0)) // 100 AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(p.r // od.od) AS s
+             FROM e JOIN od ON e.src = od.src
+                    JOIN r${k - 1} p ON p.node = e.src
+             GROUP BY e.dst) c ON n.node = c.node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (
+           SELECT src, dst FROM (
+             SELECT 'd' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                    'd' || CAST((doc_id * 13 + 5) % 37 AS VARCHAR)
+                      AS dst FROM documents
+             UNION
+             SELECT 'd' || CAST(doc_id % 31 AS VARCHAR),
+                    'd' || CAST((doc_id * 29 + 11) % 37 AS VARCHAR)
+             FROM documents) u
+           WHERE src <> dst),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         r0 AS (SELECT node,
+           CAST(CASE WHEN node $seedIn THEN 1000000 ELSE 0 END
+             AS BIGINT) AS r FROM n),
          $iters
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5"""
     },

@@ -54,6 +54,45 @@ class LinkGraphSpec extends SparkSpec {
     assert(e == Set("a.com" -> "b.com", "a.com" -> "c.net"))
   }
 
+  test("trustRank: mass reaches only seed-reachable nodes; " +
+      "closeness to the seed orders ranks") {
+    // chain s -> a -> b, plus an island x -> y the seed cannot reach
+    val edges = Seq(("s", "a"), ("a", "b"), ("x", "y"))
+      .toDF("src", "dst")
+    val r = LinkGraph.trustRank(edges, "src", "dst", Seq("s"),
+        iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(r("x") == 0L && r("y") == 0L) // unreachable: exactly 0
+    assert(r("s") > r("a") && r("a") > r("b") && r("b") > 0L)
+  }
+
+  test("trustRank is partition-invariant and matches an independent " +
+      "integer reference on a small graph") {
+    val edges = Seq(("s", "a"), ("s", "b"), ("a", "b"), ("b", "s"))
+      .toDF("src", "dst")
+    def run(parts: Int) =
+      LinkGraph.trustRank(edges.repartition(parts), "src", "dst",
+        Seq("s"), iterations = 3)
+        .as[(String, Long)].collect().toMap
+    val got = run(1)
+    assert(got == run(5))
+    // reference: same recurrence in a Map fold
+    val out = Map("s" -> Seq("a", "b"), "a" -> Seq("b"),
+      "b" -> Seq("s"))
+    var rk = Map("s" -> 1000000L, "a" -> 0L, "b" -> 0L)
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs)
+        contrib(v) += rk(u) / vs.length
+      rk = rk.keys.map { v =>
+        v -> ((if (v == "s") 150000L else 0L) +
+          85L * contrib(v) / 100L)
+      }.toMap
+    }
+    assert(got == rk)
+  }
+
   test("weakComponents: direction ignored, islands stay separate, " +
       "label = smallest node") {
     val edges = Seq(
