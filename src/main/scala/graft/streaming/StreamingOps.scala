@@ -279,6 +279,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming decontamination: every micro-batch of incoming
+    * documents is screened against the FIXED benchmark set before it
+    * reaches the corpus sink — the ingest-time form of
+    * [[graft.operators.Decontaminate.removeContaminatedBloom]], so
+    * contaminated documents never land rather than being scrubbed
+    * later. The benchmark side folds into its Bloom filter + exact
+    * gram set once per epoch from the standing `bench` frame (eval
+    * sets are small and static by contract); each epoch's cost is one
+    * map-side Bloom probe + verify join over the BATCH only.
+    * Bit-identical keep/drop decisions to the batch operator —
+    * StreamingOpsSpec pins stream == batch on the same data.
+    */
+  def decontaminateIngest(spark: SparkSession, docs: DataFrame,
+      bench: DataFrame, idCol: String, textCol: String,
+      benchTextCol: String, n: Int = 8)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.operators.Decontaminate.removeContaminatedBloom(
+          batch, idCol, textCol, bench, benchTextCol, n), epoch)
+      }
+      .start()
+
   /** Drain any pending session state (batch-mode finalize). Gap
     * detection runs at MICROsecond granularity (`unix_micros`) — a
     * plain `cast("long")` truncates to seconds and silently rounds

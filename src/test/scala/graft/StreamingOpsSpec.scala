@@ -291,4 +291,36 @@ class StreamingOpsSpec extends SparkSpec {
       assert(flushed.contains((1L, 2L)))
     } finally q.stop()
   }
+
+  test("decontaminateIngest drops contaminated docs at ingest, " +
+      "identical to the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "what is the capital city of france exactly"))
+      .toDF("q", "t")
+    val rows = Seq(
+      (10L, "discussion about the capital city of france and what " +
+        "is the capital city of france exactly you may wonder"),
+      (11L, "a completely clean document about cooking pasta well"),
+      (12L, "another clean one mentioning nothing relevant at all"))
+    val mem = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.decontaminateIngest(spark,
+        mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+        "t", n = 5) { (df, _) =>
+      kept ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val batchKept = graft.operators.Decontaminate
+        .removeContaminatedBloom(rows.toDF("doc_id", "text"),
+          "doc_id", "text", bench, "t", n = 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.toSet == batchKept)
+      assert(kept.toSet == Set(11L, 12L))
+    } finally q.stop()
+  }
 }
