@@ -1560,6 +1560,23 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- dHash (gradient signature): 9-band stripe PNGs whose
+    // bands coincide with the 9-column cell grid — analytic hash,
+    // phase 0 → 0x5555…55, phase 1 → 0xAAAA…AA (a < b always)
+    "q_dhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(9) * (lit(2) + col("doc_id") % 5)).cast("int").as("__w"),
+        (lit(8) + (col("doc_id") % 3) * 4).cast("int").as("__h"),
+        (lit(40) + col("doc_id") % 50).cast("int").as("__a"),
+        (lit(120) + col("doc_id") % 80).cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"))
+      val png = Multimodal.synthStripePng(d, "__w", "__h", "__a",
+        "__b", "__p", "content")
+      Multimodal.decodeBatches(png, "content",
+          Multimodal.dHashSchema)(Multimodal.decodeDHash)
+        .select(col("doc_id"), col("dhash"))
+    }),
+
     // ----- REAL JPEG pixel decode: 64×64 baseline JPEGs whose 8×8
     // blocks plant an md5-derived 64-bit pattern (uniform blocks ->
     // every AC quantizes to 0 -> EXACT decode), the container layout
@@ -3398,6 +3415,15 @@ object SparkEntry {
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
+         FROM documents""",
+
+    // stripes align with the 9-column dHash cells (w ≡ 0 mod 9), so
+    // every row compares a<b alternately: phase 0 sets even bit
+    // positions (0x5555…), phase 1 the odd ones (0xAAAA…)
+    "q_dhash" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6148914691236517205
+              ELSE -6148914691236517206 END AS dhash
          FROM documents""",
 
     // uniform 8x8 blocks decode exactly, so the perceptual hash of

@@ -341,6 +341,71 @@ object Multimodal {
   def pngAHash(b: Array[Byte]): Option[Long] =
     pngDecodeLuma(b).map { case (w, h, luma) => averageHash64(luma, w, h) }
 
+  /** 64-bit DIFFERENCE hash (dHash): a 9×8 grid of cell means, bit
+    * `8·cy+cx` set iff the mean of cell (cx+1, cy) STRICTLY exceeds
+    * the mean of cell (cx, cy) — the horizontal-gradient signature,
+    * which survives global brightness/contrast shifts that move
+    * [[averageHash64]]'s global mean. Mean comparison is the exact
+    * cross-multiplication `sumB·pxA > sumA·pxB` (no division, no
+    * rounding), same discipline as the average hash, so an analytic
+    * oracle predicts it for synthesized images. Equal means (flat
+    * regions) leave the bit 0. Cell partitioning floors like
+    * [[averageHash64]]'s (min 1 column/row, edge repeat below 9×8).
+    */
+  def differenceHash64(luma: Array[Int], w: Int, h: Int): Long = {
+    val sums = new Array[Long](9)
+    val pxs  = new Array[Long](9)
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8).min(h)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 9).min(w)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(cx) = s
+        pxs(cx)  = (y1 - y0).toLong * (x1 - x0)
+        cx += 1
+      }
+      var c = 0
+      while (c < 8) {
+        if (sums(c + 1) * pxs(c) > sums(c) * pxs(c + 1))
+          hash |= 1L << (8 * cy + c)
+        c += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** dHash over any decodable image (PNG or baseline/progressive
+    * JPEG), None for undecodable content.
+    */
+  def imageDHash(b: Array[Byte]): Option[Long] =
+    imageDecodeLuma(b).map { case (w, h, l) =>
+      differenceHash64(l, w, h)
+    }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("dhash", LongType)))
+
+  /** Decode kernel for [[decodeBatches]]: real pixel decode + dHash,
+    * null for undecodable content.
+    */
+  def decodeDHash(bytes: Array[Byte]): Seq[Any] =
+    imageDHash(bytes) match {
+      case Some(x) => Seq[Any](x)
+      case None    => Seq[Any](null)
+    }
+
   // ------------------------------------------------------------------
   // Real JPEG PIXEL decode (no external libraries): baseline
   // sequential DCT with Huffman entropy coding — DQT/DHT/SOF0/SOF1/
@@ -1909,6 +1974,43 @@ object Multimodal {
           while (x < w) {
             val cell = (8 * x / w) + (8 * y / h) + ph
             pix(y * w + x) = if (cell % 2 == 0) a else b
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ pngEncodeGray(w, h, pix))
+      }
+    }(enc)
+  }
+
+  /** Synthesize a VERTICAL-STRIPE grayscale PNG per row: 9 column
+    * bands `⌊9x/w⌋` alternating colors a/b with `phase` — when `w` is
+    * a multiple of 9 the bands coincide exactly with
+    * [[differenceHash64]]'s 9-column cell partition, so every cell is
+    * uniform and the dHash is analytic (a<b, phase 0 → 0x5555…55,
+    * phase 1 → 0xAAAA…AA, every row identical).
+    */
+  def synthStripePng(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) =
+              if ((9 * x / w + ph) % 2 == 0) a else b
             x += 1
           }
           y += 1

@@ -174,6 +174,33 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  test("differenceHash64: gradient direction, strict-> ties, " +
+      "brightness invariance") {
+    // 9 columns ascending: every adjacent comparison > -> all 64 bits
+    val w = 9; val h = 8
+    def img(f: Int => Int) =
+      Array.tabulate(w * h)(i => f(i % w))
+    assert(Multimodal.differenceHash64(img(c => c * 10), w, h) == -1L)
+    // descending -> no bits; flat -> no bits (strict >)
+    assert(Multimodal.differenceHash64(img(c => 90 - c * 10), w, h)
+      == 0L)
+    assert(Multimodal.differenceHash64(img(_ => 77), w, h) == 0L)
+    // alternating low/high: even-position bits per row = 0x55 pattern
+    assert(Multimodal.differenceHash64(
+      img(c => if (c % 2 == 0) 30 else 130), w, h)
+      == 0x5555555555555555L)
+    // global brightness shift leaves the dHash unchanged (the aHash
+    // changes when the shift crosses cell means over the global mean)
+    val base = img(c => c * 7 + 11)
+    val brighter = base.map(_ + 40)
+    assert(Multimodal.differenceHash64(base, w, h) ==
+      Multimodal.differenceHash64(brighter, w, h))
+    // end-to-end through the real PNG codec
+    val png = Multimodal.pngEncodeGray(w, h, img(c => c * 10))
+    assert(Multimodal.imageDHash(png).contains(-1L))
+    assert(Multimodal.imageDHash("junk".getBytes).isEmpty)
+  }
+
   test("wavPcm16Features: exact integer sums, thresholds inclusive") {
     val smp = Array[Short](0, 100, -32768, 32767, -327, 328, 32760,
       -5000)
