@@ -114,6 +114,35 @@ object Layout {
     rows.toDF("file", "bytes")
   }
 
+  /** Compact a parquet table to ~`targetBytes` files: re-read,
+    * repartition to ⌈total/target⌉ output files, rewrite — the
+    * remediation [[fileAudit]] triggers. Round-robin repartition
+    * (no column) keeps sizes uniform; pass `sortCols` to restore a
+    * clustered layout in the same pass (range partition + in-file
+    * sort — min/max pruning survives the compaction). Returns the
+    * output partition count actually used.
+    *
+    * Sizing uses the CURRENT on-disk bytes (compressed), so the
+    * rewritten files land near `targetBytes` at similar compression —
+    * exact file sizes are codec-dependent, the audit is the check.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val total = fileList(spark, inPath).agg(sum("bytes"))
+      .head().getLong(0)
+    val parts = math.max(1L,
+      (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.isEmpty) df.repartition(parts)
+      else df.repartitionByRange(parts, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    out.write.mode("overwrite").parquet(outPath)
+    parts
+  }
+
   /** Small-file audit of a parquet table — the layout pathology that
     * quietly kills 100 TB scans (per-file open cost, starved scan
     * parallelism, NameNode/manifest pressure): one summary row

@@ -84,4 +84,32 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
     assert(b._6 == 0 && b._7 == 0L)
   }
+
+  test("compact rewrites a fragmented table to the computed file " +
+      "count, preserving content; sortCols restore clustering") {
+    val in = "/tmp/graft_layout_frag"
+    val out = "/tmp/graft_layout_compacted"
+    spark.range(20000L).select(col("id"),
+        (col("id") % 97).as("k"))
+      .repartition(50).write.mode("overwrite").parquet(in)
+    val total = Layout.fileList(spark, in)
+      .agg(sum("bytes")).as[Long].head()
+    // target half the table -> exactly 2 output files
+    val parts = Layout.compact(spark, in, out,
+      targetBytes = (total + 1) / 2)
+    assert(parts == 2)
+    assert(Layout.fileList(spark, out).count() == 2L)
+    assert(spark.read.parquet(out).agg(sum("id")).as[Long].head()
+      == spark.read.parquet(in).agg(sum("id")).as[Long].head())
+    // sorted compaction: each output file covers a disjoint k-range
+    val outS = "/tmp/graft_layout_compacted_sorted"
+    Layout.compact(spark, in, outS, (total + 1) / 2, Seq("k"))
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val ranges = spark.read.parquet(outS)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 2)
+    assert(ranges(0)._3 <= ranges(1)._2) // disjoint min/max -> pruning
+  }
 }
