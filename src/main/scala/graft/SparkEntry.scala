@@ -703,7 +703,9 @@ object SparkEntry {
     }),
 
     // ----- mod-97-validated IBAN redaction: real (checksum-valid)
-    // IBANs — compact and print-spaced — become <IBAN>; the
+    // IBANs — compact and print-spaced, one followed by a shaped
+    // uppercase token the greedy regex swallows (the prefix search
+    // must still redact the IBAN and keep REF7) — become <IBAN>; the
     // one-digit-off near-miss and the short invoice code survive
     "q_redact_iban" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -711,7 +713,7 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0,
           lit(" acct DE89370400440532013000 eom"))
           .when(col("doc_id") % 4 === 1,
-            lit(" acct GB29 NWBK 6016 1331 9268 19 eom"))
+            lit(" acct GB29 NWBK 6016 1331 9268 19 REF7 eom"))
           .when(col("doc_id") % 4 === 2,
             lit(" near DE89370400440532013001 eom"))
           .otherwise(lit(" wire FR1420041010050500013M02606 eom")),
@@ -4038,26 +4040,40 @@ object SparkEntry {
       """text ||
         CASE WHEN doc_id % 4 = 0 THEN ' acct DE89370400440532013000 eom'
              WHEN doc_id % 4 = 1
-               THEN ' acct GB29 NWBK 6016 1331 9268 19 eom'
+               THEN ' acct GB29 NWBK 6016 1331 9268 19 REF7 eom'
              WHEN doc_id % 4 = 2 THEN ' near DE89370400440532013001 eom'
              ELSE ' wire FR1420041010050500013M02606 eom' END ||
         ' ref AB12CDEF kept'"""
-    val compact = "replace(x, ' ', '')"
-    val r = s"(substr($compact, 5) || substr($compact, 1, 4))"
-    val ch = s"ascii(substr($r, i, 1))"
-    val enc =
-      s"""list_transform(generate_series(1, length($r)),
-         i -> CASE WHEN $ch BETWEEN 48 AND 57
-           THEN 10 * 1000 + ($ch - 48)
-           ELSE 100 * 1000 + ($ch - 55) END)"""
-    val residue =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $enc),
+    def compact(v: String)  = s"replace($v, ' ', '')"
+    def rr(v: String) =
+      s"(substr(${compact(v)}, 5) || substr(${compact(v)}, 1, 4))"
+    def chx(v: String) = s"ascii(substr(${rr(v)}, i, 1))"
+    def enc(v: String) =
+      s"""list_transform(generate_series(1, length(${rr(v)})),
+         i -> CASE WHEN ${chx(v)} BETWEEN 48 AND 57
+           THEN 10 * 1000 + (${chx(v)} - 48)
+           ELSE 100 * 1000 + (${chx(v)} - 55) END)"""
+    def residue(v: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), ${enc(v)}),
          (acc, e) -> (acc * (e // 1000) + e % 1000) % 97)"""
-    val valid =
-      s"""list_filter(list_distinct(regexp_extract_all(b, '$pat')),
-         x -> length($compact) BETWEEN 15 AND 34 AND $residue = 1)"""
+    // space-boundary prefixes of a candidate x, longest valid one
+    // (DuckDB's l[-1] on an empty list is NULL, pruned below)
+    val prefixes =
+      s"""list_transform(generate_series(1,
+           len(string_split(x, ' '))),
+         k -> array_to_string(
+           list_slice(string_split(x, ' '), 1, k), ' '))"""
+    val validList =
+      s"""list_filter($prefixes,
+         p -> length(${compact("p")}) BETWEEN 15 AND 34
+           AND ${residue("p")} = 1)"""
+    val bests =
+      s"""list_distinct(list_filter(
+         list_transform(list_distinct(regexp_extract_all(b, '$pat')),
+           x -> ($validList)[-1]),
+         v -> v IS NOT NULL))"""
     s"""SELECT doc_id,
-       list_reduce(list_prepend(b, $valid),
+       list_reduce(list_prepend(b, $bests),
          (acc, x) -> replace(acc, x, '<IBAN>')) AS clean
        FROM (SELECT doc_id, $base AS b FROM documents) z"""
   }

@@ -274,21 +274,38 @@ object TextFunctions {
     * allowed) to `<IBAN>`: extract candidates, keep the checksum
     * survivors, literal-replace each — one expression tree, map-only,
     * no UDF; the [[redactCards]] recipe for the bank-account PII
-    * class. Invalid-checksum candidates are left untouched. In a
-    * full chain, run BEFORE the phone pass — a spaced IBAN's digit
-    * tail is phone-shaped and would otherwise be half-swallowed.
-    * Null in → null out.
+    * class. Invalid-checksum candidates are left untouched.
+    *
+    * The greedy candidate regex can swallow FOLLOWING shaped tokens
+    * ("GB29 … 19 REF7" matches as one candidate whose checksum then
+    * fails — a silent leak of the real IBAN). Shaped junk can only
+    * attach across spaces (`\b` blocks gluing), so each candidate is
+    * re-validated at every SPACE-BOUNDARY PREFIX and the LONGEST
+    * checksum-valid prefix is what gets redacted; trailing tokens
+    * stay in place.
+    *
+    * In a full chain, run BEFORE the phone pass — a spaced IBAN's
+    * digit tail is phone-shaped and would otherwise be
+    * half-swallowed. Null in → null out.
     */
   def redactIbans(c: Column): Column = {
     val cands = array_distinct(
       regexp_extract_all(c, lit(IbanCandidatePattern), lit(0)))
-    val valid = filter(cands, cand => {
-      val compact = regexp_replace(cand, " ", "")
-      val r = concat(compact.substr(lit(5), length(compact) - 4),
-        compact.substr(lit(1), lit(4)))
-      length(compact).between(15, 34) && ibanMod97(r) === 1
-    })
-    aggregate(valid, c, (acc, x) => replace(acc, x, lit("<IBAN>")))
+    def validPrefix(cand: Column): Column = {
+      val toks = split(cand, " ")
+      val prefixes = transform(sequence(lit(1), size(toks)),
+        k => array_join(slice(toks, lit(1), k), " "))
+      val valid = filter(prefixes, p => {
+        val compact = regexp_replace(p, " ", "")
+        val r = concat(compact.substr(lit(5), length(compact) - 4),
+          compact.substr(lit(1), lit(4)))
+        length(compact).between(15, 34) && ibanMod97(r) === 1
+      })
+      when(size(valid) > 0, element_at(valid, -1)) // longest or null
+    }
+    val bests = array_distinct(filter(
+      transform(cands, validPrefix(_)), _.isNotNull))
+    aggregate(bests, c, (acc, x) => replace(acc, x, lit("<IBAN>")))
   }
 
   /** URL pattern meaning the same thing in Java regex and RE2 (no

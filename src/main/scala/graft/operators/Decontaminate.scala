@@ -174,6 +174,16 @@ object Decontaminate {
   def semanticOverlap(train: DataFrame, trainIdCol: String,
       evalDf: DataFrame, evalIdCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // the single-pass argmax negates the train id inside a struct
+    // max; a non-numeric id would cast to null and break both the
+    // reported train_id and the tie-break — fail loudly instead (a
+    // two-phase argmax would be type-generic but costs a SECOND full
+    // train scan, the one thing this operator exists to avoid)
+    require(train.schema(trainIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticOverlap needs a numeric train id column; " +
+      s"'$trainIdCol' is ${train.schema(trainIdCol).dataType} — " +
+      "map string ids to a numeric surrogate first")
     val scored = semanticScores(train, trainIdCol, evalDf, evalIdCol,
       vecCol)
     scored

@@ -545,8 +545,12 @@ object Dedup {
     */
   def fingerprintOverlap(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
+    // null texts fingerprint to null — Spark's groupBy would treat
+    // them as one shared key and report phantom cross-source
+    // contamination (SQL join-on-equality semantics never match null)
     val fp = df.select(T.fingerprint(col(textCol)).as("__fp"),
         col(groupCol).as("__g"))
+      .filter(col("__fp").isNotNull)
       .distinct()
     fp.groupBy("__fp")
       .agg(sort_array(collect_set(col("__g"))).as("__gs"))
@@ -561,9 +565,10 @@ object Dedup {
     * arbitrary smallest id — the production rule ("keep the longest /
     * cleanest / best-scored copy") for near-dup collapse. Ties break
     * to the smallest id; a null quality loses to any non-null one; an
-    * all-null cluster falls back to the smallest id. Both rules ride
-    * one deterministic `max(struct(quality, -id))` per cluster, so the
-    * survivor set is engine-independent.
+    * all-null cluster falls back to the smallest id. The argmax is a
+    * two-phase per-cluster max-quality + min-id-among-ties (works for
+    * ANY orderable id/quality types), so the survivor set is
+    * engine-independent.
     *
     * Scale shape: only PAIR MEMBER ids flow through the clustering
     * (the [[duplicateClusters]] O(log n) star contraction); the corpus
@@ -583,12 +588,18 @@ object Dedup {
     val qual = df
       .select(col(idCol).as("id"), col(qualityCol).as("__q"))
       .join(members, Seq("id")) // members is small: broadcast, map-side
-    val keep = labels.join(qual, Seq("id"))
-      .groupBy("cluster_id")
-      .agg(max(struct(col("__q").as("q"), (-col("id")).as("nid")))
-        .as("__m"))
-      .select((-col("__m.nid")).as("id"))
-    val drop = members.join(keep, Seq("id"), "left_anti")
+    // two-phase argmax instead of max(struct(q, -id)): a negated id
+    // only orders NUMERIC ids (string ids would cast to null and
+    // silently drop every member) — per-cluster max quality, then the
+    // smallest id among the (null-safe) quality ties. All frames here
+    // are member-sized, so the extra join is small-side.
+    val scored = labels.join(qual, Seq("id")).localCheckpoint()
+    val best = scored.groupBy("cluster_id")
+      .agg(max(col("__q")).as("__mq"))
+    val keep = scored.join(best, Seq("cluster_id"))
+      .filter(col("__q") <=> col("__mq")) // all-null cluster: null<=>null
+      .groupBy("cluster_id").agg(min(col("id")).as("id"))
+    val drop = members.join(keep.select("id"), Seq("id"), "left_anti")
     df.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 }

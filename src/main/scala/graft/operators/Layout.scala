@@ -101,13 +101,24 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
+    // hidden check must cover ANCESTOR components too (Spark's own
+    // listing semantics): a crashed/concurrent write leaves
+    // _temporary/.../part-*.parquet whose LEAF name looks like data —
+    // listing it would let Incremental ingest uncommitted bytes
+    def hiddenUnderBase(path: Path): Boolean = {
+      var q = path
+      while (q != null && q.toString != base) {
+        val n = q.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        q = q.getParent
+      }
+      false
+    }
     val it = fs.listFiles(p, true)
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
-      .filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+      .filter(st => !hiddenUnderBase(st.getPath))
       .map(st => (st.getPath.toString, st.getLen))
       .toSeq
     import spark.implicits._
@@ -130,8 +141,11 @@ object Layout {
       outPath: String, targetBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Seq.empty): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val total = fileList(spark, inPath).agg(sum("bytes"))
+    val total = fileList(spark, inPath)
+      .agg(coalesce(sum("bytes"), lit(0L)))
       .head().getLong(0)
+    require(total > 0,
+      s"nothing to compact: no data files under $inPath")
     val parts = math.max(1L,
       (total + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)

@@ -36,8 +36,13 @@ import org.apache.spark.sql.functions._
   * (no corpus-sized length join), df is a vocab-sized aggregate of the
   * hit table, and the final per-(query, doc) sum + top-k ranks with a
   * rank-pushdown window (WindowGroupLimit keeps k rows per query per
-  * partition before the exchange). The full corpus is scanned exactly
-  * once.
+  * partition before the exchange). The corpus is tokenized in TWO
+  * passes — one |corpus|-collapsing stats aggregate (N, total
+  * tokens) and one hit-pruning explode; caching the tokenized corpus
+  * to dodge the second pass would materialize token arrays at corpus
+  * scale, which is worse than re-scanning. Amortize repeated queries
+  * through [[TextIndex]] instead, which pays the tokenization once at
+  * build.
   */
 object Retrieval {
 

@@ -221,14 +221,6 @@ object Sampling {
     df.join(keptIds, Seq(idCol), "left_semi")
   }
 
-  /** Keep the `k` best rows per group by `scoreCol` (descending),
-    * ties broken by ascending id so the selection is total-order
-    * deterministic. Spark ≥3.5 rewrites the rank-filter into
-    * WindowGroupLimit: each map task keeps a per-group top-k heap
-    * BEFORE the shuffle, so the exchange carries ≤ k·groups rows per
-    * task instead of the whole table — the same shape a hand-built
-    * per-partition heap would give, for free from the optimizer.
-    */
   /** Temperature-based mixture sampling — the published multilingual/
     * data-mixing recipe (sample source i ∝ massᵢ^α): per-source token
     * budgets `floor(totalBudget · wᵢ / Σw)` with `wᵢ = massᵢ^α`, then
@@ -281,6 +273,14 @@ object Sampling {
     budgetSample(df, idCol, tokenCol, sourceCol, budgets)
   }
 
+  /** Keep the `k` best rows per group by `scoreCol` (descending),
+    * ties broken by ascending id so the selection is total-order
+    * deterministic. Spark ≥3.5 rewrites the rank-filter into
+    * WindowGroupLimit: each map task keeps a per-group top-k heap
+    * BEFORE the shuffle, so the exchange carries ≤ k·groups rows per
+    * task instead of the whole table — the same shape a hand-built
+    * per-partition heap would give, for free from the optimizer.
+    */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

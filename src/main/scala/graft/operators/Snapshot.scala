@@ -23,10 +23,12 @@ object Snapshot {
   /** `(idCol, status)` for every id in either snapshot, with status ∈
     * {added, removed, changed, unchanged}: added = only in `newDf`,
     * removed = only in `oldDf`, changed = in both with differing
-    * `contentCols` fingerprints. The fingerprint is Spark's
-    * null-skipping `xxhash64` over `contentCols` in the given order —
-    * an all-null row fingerprints to the seed and compares unchanged
-    * against another all-null row.
+    * `contentCols` fingerprints. The fingerprint interleaves each
+    * column with its null flag before `xxhash64` — plain xxhash64
+    * SKIPS null inputs, so `(x, null)` and `(null, x)` would hash
+    * identically and a value moving between columns would escape as
+    * "unchanged"; the flags make null POSITIONS part of the hash
+    * while all-null rows still compare unchanged against each other.
     *
     * Ids must be unique per snapshot (a keyed corpus contract — the
     * same contract every dedup/join operator here relies on);
@@ -37,7 +39,8 @@ object Snapshot {
     require(contentCols.nonEmpty, "contentCols must be non-empty")
     def fp(df: DataFrame, fpAs: String): DataFrame =
       df.select(col(idCol).as("id"),
-        xxhash64(contentCols.map(col): _*).as(fpAs))
+        xxhash64(contentCols.flatMap(c =>
+          Seq(col(c), col(c).isNull)): _*).as(fpAs))
     fp(oldDf, "__ofp")
       .join(fp(newDf, "__nfp"), Seq("id"), "full_outer")
       .select(col("id").as(idCol),

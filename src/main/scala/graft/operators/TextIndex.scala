@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Tokenize once, persist postings + stats. Overwrites both
-    * tables. `buckets` bounds the per-query read fan-in; term-hash
-    * buckets stay balanced because no single term dominates DISTINCT
-    * (term, doc) postings.
+  /** Persist postings + stats (overwrites both tables). The corpus
+    * is tokenized twice — once for the one-row stats aggregate, once
+    * for the postings — same trade as [[Retrieval.bm25TopK]]
+    * (materializing the tokenized corpus to save a pass costs more
+    * than the pass); the build price is paid once and amortized over
+    * every query after it. `buckets` bounds the per-query read
+    * fan-in; term-hash buckets stay balanced because no single term
+    * dominates DISTINCT (term, doc) postings.
     */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {

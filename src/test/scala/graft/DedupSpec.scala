@@ -200,6 +200,27 @@ class DedupSpec extends SparkSpec {
       ("s2", "s3") -> 1L))
   }
 
+  test("dedupCorpusKeepBest works with STRING ids (the argmax must " +
+      "not negate the id)") {
+    val docs = Seq(
+      ("a", 10L), ("b", 99L), ("c", 50L), ("z", 5L)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusKeepBest(docs, "doc_id", "quality",
+      pairs).select("doc_id").as[String].collect().toSet
+    assert(kept == Set("b", "z"))
+  }
+
+  test("fingerprintOverlap ignores null-text documents (no phantom " +
+      "shared fingerprint)") {
+    val docs = Seq(("s1", null.asInstanceOf[String]),
+      ("s2", null.asInstanceOf[String]), ("s1", "shared"),
+      ("s2", "shared")).toDF("source", "text")
+    val out = Dedup.fingerprintOverlap(docs, "source", "text")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(("s1", "s2", 1L)))
+  }
+
   test("dedupCorpusKeepBest equals dedupCorpus when quality is the " +
       "negated id") {
     val docs = (1L to 20L).map(i => (i, -i)).toDF("doc_id", "negid")

@@ -85,6 +85,31 @@ class LayoutSpec extends SparkSpec {
     assert(b._6 == 0 && b._7 == 0L)
   }
 
+  test("fileList skips files under HIDDEN ancestor directories " +
+      "(uncommitted _temporary writes never ingest)") {
+    val dir = "/tmp/graft_layout_hidden"
+    spark.range(10L).coalesce(1).write.mode("overwrite").parquet(dir)
+    // simulate a crashed writer's leftover: a data-looking leaf under
+    // a _temporary ancestor
+    val tmp = new java.io.File(s"$dir/_temporary/0/task_1")
+    tmp.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_temporary/0/task_1/" +
+        "part-00000.parquet"),
+      Array.fill(64)(7.toByte))
+    val files = Layout.fileList(spark, dir)
+      .as[(String, Long)].collect()
+    assert(files.length == 1)
+    assert(!files.head._1.contains("_temporary"))
+    // empty input: compact refuses loudly instead of NPE
+    val empty = "/tmp/graft_layout_empty"
+    new java.io.File(empty).mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, empty, "/tmp/graft_layout_empty_out")
+    }
+    assert(e.getMessage.contains("nothing to compact"))
+  }
+
   test("compact rewrites a fragmented table to the computed file " +
       "count, preserving content; sortCols restore clustering") {
     val in = "/tmp/graft_layout_frag"

@@ -43,6 +43,21 @@ class SnapshotSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("a value MOVING between content columns via nulls is " +
+      "'changed' (null positions are part of the fingerprint)") {
+    val a = Seq((1L, "x", null.asInstanceOf[String]))
+      .toDF("id", "title", "body")
+    val b = Seq((1L, null.asInstanceOf[String], "x"))
+      .toDF("id", "title", "body")
+    val st = Snapshot.contentDiff(a, b, "id", Seq("title", "body"))
+      .as[(Long, String)].head()._2
+    assert(st == "changed")
+    // same null positions on both sides stay unchanged
+    val same = Snapshot.contentDiff(a, a, "id", Seq("title", "body"))
+      .as[(Long, String)].head()._2
+    assert(same == "unchanged")
+  }
+
   test("multi-column fingerprint: change in any listed column flags " +
       "changed; unlisted columns are ignored") {
     val a = Seq((1L, "t", "en", 9L)).toDF("id", "text", "lang", "extra")

@@ -387,6 +387,16 @@ class TextFunctionsSpec extends SparkSpec {
     // two in one doc + null passthrough
     assert(red("a DE89370400440532013000 b NL91ABNA0417164300 c") ==
       "a <IBAN> b <IBAN> c")
+    // the greedy-swallow case: a following shaped token (uppercase /
+    // digits) extends the regex match, but the space-boundary prefix
+    // search still finds and redacts the real IBAN
+    assert(red("acct GB29 NWBK 6016 1331 9268 19 REF7 eom") ==
+      "acct <IBAN> REF7 eom")
+    assert(red("pay DE89370400440532013000 2024 now") ==
+      "pay <IBAN> 2024 now")
+    // ...and a shaped-but-invalid run stays fully untouched
+    assert(red("id GB00 AAAA 0000 0000 0000 00 X9 v") ==
+      "id GB00 AAAA 0000 0000 0000 00 X9 v")
     val n = Seq((1, null: String)).toDF("i", "t")
       .select(T.redactIbans(col("t"))).collect()(0)
     assert(n.isNullAt(0))
