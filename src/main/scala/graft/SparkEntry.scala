@@ -1118,6 +1118,25 @@ object SparkEntry {
         d.withColumn("text", planted), "source", "text")
     }),
 
+    // ----- edit-distance entity resolution: 40 md5-derived entity
+    // names, four deterministic typo variants (deletion / insertion /
+    // substitution / clean) — within-entity variants pair at ed ≤ 2,
+    // cross-entity names don't; trigram blocking is recall-complete
+    // here (len ≥ 9 > 3·2+2, no gram over the cap)
+    "q_edit_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = concat(lit("e-"),
+        substring(md5((col("doc_id") % 40).cast("string")), 1, 8))
+      val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
+        .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
+        .when(col("doc_id") % 7 === 2,
+          concat(substring(b, 1, 4), lit("z"), substring(b, 6, 5)))
+        .otherwise(b)
+      Dedup.editDistancePairs(
+        d.select(col("doc_id"), name.as("name")),
+        "doc_id", "name", maxDist = 2)
+    }),
+
     // ----- quality-ranked canonical selection: same minhash
     // clusters, but keep the LONGEST member (n_chars, ties → smallest
     // doc_id) instead of the arbitrary smallest id
@@ -2576,6 +2595,24 @@ object SparkEntry {
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents""",
+
+    // blocking is internal candidate generation (recall-complete at
+    // this length/cap); the oracle is the brute-force DP predicate
+    "q_edit_pairs" ->
+      """WITH nm AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN substr(b, 1, 9)
+                WHEN doc_id % 7 = 1 THEN b || 'x'
+                WHEN doc_id % 7 = 2
+                  THEN substr(b, 1, 4) || 'z' || substr(b, 6, 5)
+                ELSE b END AS name
+         FROM (SELECT doc_id,
+             'e-' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 8)
+               AS b
+           FROM documents) z)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+       FROM nm a JOIN nm b ON a.doc_id < b.doc_id
+       WHERE levenshtein(a.name, b.name) <= 2""",
 
     // overlap replay: same plant, distinct (fingerprint, source),
     // pairwise count by fingerprint self-join (== the sorted-set

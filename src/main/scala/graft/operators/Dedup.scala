@@ -529,6 +529,53 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-identical SHORT-FIELD pairs by edit distance — the entity-
+    * resolution primitive (author names, domains, product codes with
+    * typos) that token/shingle similarity can't see at field length:
+    * `(id_a, id_b, edit_dist)` for every pair with
+    * `levenshtein ≤ maxDist` (classic DP — identical integers on any
+    * engine).
+    *
+    * Candidates come from a df-capped CHARACTER-trigram inverted
+    * index; the pigeonhole bound makes that recall-complete below the
+    * cap: `maxDist` edits destroy at most `3·maxDist` of a string's
+    * `len−2` trigrams, so any pair within `maxDist` of a string
+    * longer than `3·maxDist + 2` still shares one INTACT trigram.
+    * Shorter fields (and pairs whose every shared trigram is a capped
+    * hub) are the same bounded-recall contract as the other df-capped
+    * candidate generators. Null fields never pair.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2, dfCap: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val s = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull)
+    // distinct char trigrams; guard the sequence — Spark's
+    // sequence(1, 0) steps BACKWARD instead of being empty
+    val grams = when(length(col("__t")) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(col("__t")) - 2),
+        i => col("__t").substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val inv = s.select(col("id"), col("__t"),
+        explode(grams).as("gram"))
+    BucketPairs.bucketedPairs(inv, col("gram"),
+        struct(col("id"), col("__t")), dfCap)
+      .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        when(col("p.a.id") <= col("p.b.id"), col("p.a.__t"))
+          .otherwise(col("p.b.__t")).as("__ta"),
+        when(col("p.a.id") <= col("p.b.id"), col("p.b.__t"))
+          .otherwise(col("p.a.__t")).as("__tb"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .filter(abs(length(col("__ta")) - length(col("__tb")))
+        <= maxDist) // cheap length gate before the DP
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   /** Cross-group contamination matrix: for every pair of `groupCol`
     * values (sources, snapshots, shards), how many DISTINCT normalized
     * fingerprints they share — the corpus-forensics report that shows

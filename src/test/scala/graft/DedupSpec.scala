@@ -184,6 +184,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 6L, 8L))
   }
 
+  test("editDistancePairs: typo classes pair, distinct fields don't, " +
+      "equals brute force at an uncapped df") {
+    val rows = Seq(
+      (1L, "jonathan-smith"), (2L, "jonathan-smyth"),  // sub: 1
+      (3L, "jonathan-smithx"),                         // ins: 1 vs 1
+      (4L, "jonathan-smit"),                           // del: 1 vs 1
+      (5L, "margaret-jones"),                          // far from all
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(rows, "id", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val brute = rows.as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val want = (for {
+      (a, ta) <- brute; (b, tb) <- brute if a < b
+      d = {
+        // reference Levenshtein DP
+        val dp = Array.tabulate(ta.length + 1, tb.length + 1) {
+          (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to ta.length; j <- 1 to tb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1,
+            dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+        dp(ta.length)(tb.length)
+      }
+      if d <= 2
+    } yield (a, b) -> d).toMap
+    assert(got == want && got.nonEmpty)
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("fingerprintOverlap counts DISTINCT shared fingerprints per " +
       "source pair, a<b, no-overlap pairs absent") {
     val docs = Seq(
