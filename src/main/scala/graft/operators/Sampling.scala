@@ -265,6 +265,7 @@ object Sampling {
         case _ => d
       }
     }
+    if (masses.isEmpty) return df.limit(0) // nothing with mass: empty
     val ws = masses.map { case (s, m) => s -> weight(m) }
     val sw = ws.foldLeft(0.0)(_ + _._2) // left fold in source order
     val budgets = ws.map { case (s, w) =>

@@ -251,4 +251,41 @@ class DegenerateCorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not categorical"))
   }
+
+  test("round-9 operators on empty/degenerate inputs: empty results, " +
+      "not crashes") {
+    import graft.operators.{Dedup, EventOps, Retrieval, Sampling,
+      Snapshot}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    val someDocs  = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("id", "text")
+    val qs = Seq((1L, "alpha")).toDF("qid", "qt")
+    // BM25: empty corpus, and queries matching nothing
+    assert(Retrieval.bm25TopK(emptyDocs, "id", "text", qs, "qid",
+      "qt", 5).count() == 0L)
+    assert(Retrieval.bm25TopK(someDocs, "id", "text",
+      Seq((1L, "zzz")).toDF("qid", "qt"), "qid", "qt", 5)
+      .count() == 0L)
+    // temperature mix on an empty frame: empty, not an exception
+    val emptyTok = Seq.empty[(Long, String, Long)]
+      .toDF("id", "src", "tok")
+    assert(Sampling.temperatureMix(emptyTok, "id", "tok", "src",
+      100L).count() == 0L)
+    // rate spikes with a single event: one bucket, its own median
+    val oneEv = Seq((1L,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val rs = EventOps.rateSpikes(oneEv, "user_id", "ts")
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)].collect()
+    assert(rs.length == 1 && rs.head._3 == 1L && rs.head._4 == 1L &&
+      !rs.head._5)
+    // snapshot diff where one side is empty: all added / all removed
+    val st = Snapshot.contentDiff(emptyDocs, someDocs, "id",
+      Seq("text")).select("status").as[String].collect()
+    assert(st.toSet == Set("added") && st.length == 2)
+    // edit pairs on sub-trigram-length fields: no candidates at all
+    assert(Dedup.editDistancePairs(
+      Seq((1L, "ab"), (2L, "ac")).toDF("id", "t"), "id", "t")
+      .count() == 0L)
+  }
 }
