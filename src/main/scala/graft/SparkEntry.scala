@@ -1137,6 +1137,26 @@ object SparkEntry {
         "doc_id", "name", maxDist = 2)
     }),
 
+    // ----- the full entity-resolution compose: edit-distance pairs
+    // → star-contraction components → every record labeled with its
+    // entity cluster (the same machinery as document dedup, on a
+    // field)
+    "q_entity_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = concat(lit("e-"),
+        substring(md5((col("doc_id") % 40).cast("string")), 1, 8))
+      val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
+        .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
+        .when(col("doc_id") % 7 === 2,
+          concat(substring(b, 1, 4), lit("z"), substring(b, 6, 5)))
+        .otherwise(b)
+      val named = d.select(col("doc_id"), name.as("name"))
+      val pairs = Dedup.editDistancePairs(named, "doc_id", "name",
+        maxDist = 2).select("id_a", "id_b")
+      Dedup.duplicateClusters(named.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // ----- quality-ranked canonical selection: same minhash
     // clusters, but keep the LONGEST member (n_chars, ties → smallest
     // doc_id) instead of the arbitrary smallest id
@@ -2595,6 +2615,31 @@ object SparkEntry {
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents""",
+
+    // entity clusters: recursive reachability over the brute-force
+    // edit-pair graph, label = min reachable doc_id, singletons self
+    "q_entity_clusters" ->
+      """WITH RECURSIVE nm AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN substr(b, 1, 9)
+                WHEN doc_id % 7 = 1 THEN b || 'x'
+                WHEN doc_id % 7 = 2
+                  THEN substr(b, 1, 4) || 'z' || substr(b, 6, 5)
+                ELSE b END AS name
+         FROM (SELECT doc_id,
+             'e-' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 8)
+               AS b
+           FROM documents) z),
+       pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM nm a JOIN nm b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.name, b.name) <= 2),
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach(id, lab) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
+       SELECT id AS doc_id, MIN(lab) AS cluster_id
+       FROM reach GROUP BY id""",
 
     // blocking is internal candidate generation (recall-complete at
     // this length/cap); the oracle is the brute-force DP predicate
