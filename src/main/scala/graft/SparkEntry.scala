@@ -1118,7 +1118,7 @@ object SparkEntry {
         d.withColumn("text", planted), "source", "text")
     }),
 
-    // ----- edit-distance entity resolution: 40 md5-derived entity
+    // ----- edit-distance entity resolution: 200 md5-derived entity
     // names, four deterministic typo variants (deletion / insertion /
     // substitution / clean) — within-entity variants pair at ed ≤ 2,
     // cross-entity names don't; trigram blocking is recall-complete
@@ -1126,7 +1126,7 @@ object SparkEntry {
     "q_edit_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val b = concat(lit("e-"),
-        substring(md5((col("doc_id") % 40).cast("string")), 1, 8))
+        substring(md5((col("doc_id") % 200).cast("string")), 1, 8))
       val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
         .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
         .when(col("doc_id") % 7 === 2,
@@ -1144,7 +1144,7 @@ object SparkEntry {
     "q_entity_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val b = concat(lit("e-"),
-        substring(md5((col("doc_id") % 40).cast("string")), 1, 8))
+        substring(md5((col("doc_id") % 200).cast("string")), 1, 8))
       val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
         .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
         .when(col("doc_id") % 7 === 2,
@@ -2626,7 +2626,7 @@ object SparkEntry {
                   THEN substr(b, 1, 4) || 'z' || substr(b, 6, 5)
                 ELSE b END AS name
          FROM (SELECT doc_id,
-             'e-' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 8)
+             'e-' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 8)
                AS b
            FROM documents) z),
        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2651,7 +2651,7 @@ object SparkEntry {
                   THEN substr(b, 1, 4) || 'z' || substr(b, 6, 5)
                 ELSE b END AS name
          FROM (SELECT doc_id,
-             'e-' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 8)
+             'e-' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 8)
                AS b
            FROM documents) z)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,

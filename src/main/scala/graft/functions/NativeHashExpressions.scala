@@ -106,6 +106,9 @@ object NativeHash {
   def nfcColumn(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
 
+  def redactIbansColumn(text: Column): Column =
+    Bridge.column(RedactIbans(Bridge.expression(text)))
+
   def pyTitleColumn(text: Column): Column =
     Bridge.column(PyTitle(Bridge.expression(text)))
 
@@ -1395,4 +1398,85 @@ final case class HashingVectorize(
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** Native form of [[TextFunctions.redactIbansTree]]: candidate
+  * extraction with a precompiled java.util.regex pattern (the same
+  * engine Spark's regexp_extract_all uses, so matches are identical),
+  * the ISO 13616 mod-97 fold as a tight integer loop, and the
+  * longest-checksum-valid space-boundary-prefix search — one JVM pass
+  * per row instead of the interpreted nested-HOF ladder.
+  * [[graft.TextFunctionsSpec]] pins native == tree on the adversarial
+  * cases (greedy-swallowed candidates, near-misses, multi-IBAN docs).
+  */
+final case class RedactIbans(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_redact_ibans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      RedactIbans.redact(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RedactIbans {
+  private lazy val CandPattern =
+    Pattern.compile(TextFunctions.IbanCandidatePattern)
+
+  /** Mod-97 residue of the REARRANGED compact IBAN (first four chars
+    * cycled to the end): digits fold ·10, letters ·100 with A=10…Z=35
+    * — same per-step reduction as the expression tree, accumulator
+    * bounded under 9 634.
+    */
+  private def mod97(compact: String): Int = {
+    val n = compact.length
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      val i = k + 4
+      val ch = compact.charAt(if (i >= n) i - n else i)
+      if (ch >= '0' && ch <= '9') acc = (acc * 10 + (ch - '0')) % 97
+      else acc = (acc * 100 + (ch - 55)) % 97
+      k += 1
+    }
+    acc.toInt
+  }
+
+  /** Longest space-boundary prefix of `cand` that is length-valid
+    * (15–34 compact) and checksum-valid, or null. Matches the tree's
+    * `element_at(valid, -1)` longest-wins semantics.
+    */
+  private def bestPrefix(cand: String): String = {
+    val toks = cand.split(" ")
+    var k = toks.length
+    while (k >= 1) {
+      val pref = toks.take(k).mkString(" ")
+      val compact = pref.replace(" ", "")
+      if (compact.length >= 15 && compact.length <= 34 &&
+        mod97(compact) == 1) return pref
+      k -= 1
+    }
+    null
+  }
+
+  def redact(s: String): String = {
+    val m = CandPattern.matcher(s)
+    // first-occurrence order, like array_distinct over the extracts
+    val bests = scala.collection.mutable.LinkedHashSet.empty[String]
+    val seen  = scala.collection.mutable.HashSet.empty[String]
+    while (m.find()) {
+      val c = m.group()
+      if (seen.add(c)) {
+        val b = bestPrefix(c)
+        if (b != null) bests += b
+      }
+    }
+    var out = s
+    val it = bests.iterator
+    while (it.hasNext) out = out.replace(it.next(), "<IBAN>")
+    out
+  }
 }

@@ -288,23 +288,42 @@ object TextFunctions {
     * digit tail is phone-shaped and would otherwise be
     * half-swallowed. Null in → null out.
     */
-  def redactIbans(c: Column): Column = {
+  def redactIbans(c: Column): Column =
+    NativeHash.redactIbansColumn(c)
+
+  /** The composed expression-tree form of [[redactIbans]], kept as
+    * the semantics oracle the spec pins the native kernel against
+    * (nested HOFs run interpreted — the kernel does the same work in
+    * one JVM pass per row).
+    */
+  private[graft] def redactIbansTree(c: Column): Column = {
     val cands = array_distinct(
       regexp_extract_all(c, lit(IbanCandidatePattern), lit(0)))
+    def checksumOk(p: Column): Column = {
+      val compact = regexp_replace(p, " ", "")
+      val r = concat(compact.substr(lit(5), length(compact) - 4),
+        compact.substr(lit(1), lit(4)))
+      length(compact).between(15, 34) && ibanMod97(r) === 1
+    }
     def validPrefix(cand: Column): Column = {
       val toks = split(cand, " ")
-      val prefixes = transform(sequence(lit(1), size(toks)),
+      // PROPER prefixes only — the full candidate is handled by the
+      // fast path below, so the common clean-IBAN case costs exactly
+      // one checksum fold (HOFs are interpreted, not codegen'd: the
+      // prefix ladder only runs when junk actually extended the
+      // match). Guard the sequence: Spark's sequence(1, 0) steps
+      // BACKWARD instead of being empty.
+      val ks = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      val prefixes = transform(ks,
         k => array_join(slice(toks, lit(1), k), " "))
-      val valid = filter(prefixes, p => {
-        val compact = regexp_replace(p, " ", "")
-        val r = concat(compact.substr(lit(5), length(compact) - 4),
-          compact.substr(lit(1), lit(4)))
-        length(compact).between(15, 34) && ibanMod97(r) === 1
-      })
+      val valid = filter(prefixes, checksumOk(_))
       when(size(valid) > 0, element_at(valid, -1)) // longest or null
     }
     val bests = array_distinct(filter(
-      transform(cands, validPrefix(_)), _.isNotNull))
+      transform(cands, cand =>
+        when(checksumOk(cand), cand).otherwise(validPrefix(cand))),
+      _.isNotNull))
     aggregate(bests, c, (acc, x) => replace(acc, x, lit("<IBAN>")))
   }
 

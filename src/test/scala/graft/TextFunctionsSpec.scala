@@ -397,6 +397,22 @@ class TextFunctionsSpec extends SparkSpec {
     // ...and a shaped-but-invalid run stays fully untouched
     assert(red("id GB00 AAAA 0000 0000 0000 00 X9 v") ==
       "id GB00 AAAA 0000 0000 0000 00 X9 v")
+    // native kernel == expression tree on every case above plus the
+    // adversarial ones (the tree is the pinned semantics oracle)
+    val probes = Seq(
+      "acct DE89370400440532013000 e",
+      "acct GB29 NWBK 6016 1331 9268 19 e",
+      "acct GB29 NWBK 6016 1331 9268 19 REF7 eom",
+      "near DE89370400440532013001 e",
+      "a DE89370400440532013000 b NL91ABNA0417164300 c",
+      "pay DE89370400440532013000 2024 now",
+      "id GB00 AAAA 0000 0000 0000 00 X9 v",
+      "ref AB12CDEF kept", "")
+    val both = probes.toDF("t")
+      .select(T.redactIbans(col("t")),
+        T.redactIbansTree(col("t")))
+      .as[(String, String)].collect()
+    assert(both.forall(p => p._1 == p._2))
     val n = Seq((1, null: String)).toDF("i", "t")
       .select(T.redactIbans(col("t"))).collect()(0)
     assert(n.isNullAt(0))
