@@ -22,6 +22,49 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared synthesized-WAV frame for the audio queries: per-doc
+    * PCM16 WAV with planted LCG samples —
+    * u(i) = (doc_id·7919 + i·104729 + 32768) % 65536, the unsigned
+    * two's-complement form of s(i) = (… % 65536) − 32768 — channels
+    * doc_id%2+1, rate 8000+(doc_id%8)·4000, frames doc_id%100+1, all
+    * written little-endian by hex construction, no binary literal
+    * anywhere. Returns (doc_id, content).
+    */
+  private def synthWavs(docs: DataFrame): DataFrame = {
+    def le16(c: Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(c: Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val d = docs.select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("int").as("__ch"),
+        (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+          .as("__rt"),
+        (col("doc_id") % 100 + 1).cast("int").as("__fr"))
+      .withColumn("__ba", col("__ch") * 2)
+      .withColumn("__ns", col("__fr") * col("__ch"))
+      .withColumn("__dl", col("__ns") * 2)
+    val dataHex = array_join(
+      transform(sequence(lit(0), col("__ns") - 1), i => {
+        val u = (col("doc_id") * 7919 + i.cast("long") * 104729
+          + 32768) % 65536
+        val h = lpad(hex(u), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }), "")
+    val wav = unhex(concat(
+      lit("52494646"), le32(col("__dl") + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16(col("__ch")), le32(col("__rt")),
+      le32(col("__rt") * col("__ba")), le16(col("__ba")),
+      lit("1000"),
+      lit("64617461"), le32(col("__dl")), dataHex))
+    d.select(col("doc_id"), wav.as("content"))
+  }
+
   /** Derived eval set for the semantic-decontamination queries: every
     * 50th vector is an eval item; every 100th swaps in its
     * SUCCESSOR's embedding — a train-side member, so those eval items
@@ -1857,43 +1900,24 @@ object SparkEntry {
     // energy/silence/clip sums; the oracle recomputes them
     // arithmetically from the same formula — no WAV on the SQL side
     "q_audio_features" -> ((s, dir) => {
-      def le16(c: Column) = {
-        val h = lpad(hex(c), 4, "0")
-        concat(substring(h, 3, 2), substring(h, 1, 2))
-      }
-      def le32(c: Column) = {
-        val h = lpad(hex(c), 8, "0")
-        concat(substring(h, 7, 2), substring(h, 5, 2),
-          substring(h, 3, 2), substring(h, 1, 2))
-      }
-      val d = t(s, dir, "documents").select(col("doc_id"),
-          (col("doc_id") % 2 + 1).cast("int").as("__ch"),
-          (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
-            .as("__rt"),
-          (col("doc_id") % 100 + 1).cast("int").as("__fr"))
-        .withColumn("__ba", col("__ch") * 2)
-        .withColumn("__ns", col("__fr") * col("__ch"))
-        .withColumn("__dl", col("__ns") * 2)
-      val dataHex = array_join(
-        transform(sequence(lit(0), col("__ns") - 1), i => {
-          val u = (col("doc_id") * 7919 + i.cast("long") * 104729
-            + 32768) % 65536
-          val h = lpad(hex(u), 4, "0")
-          concat(substring(h, 3, 2), substring(h, 1, 2))
-        }), "")
-      val wav = unhex(concat(
-        lit("52494646"), le32(col("__dl") + 36), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"),
-        le16(col("__ch")), le32(col("__rt")),
-        le32(col("__rt") * col("__ba")), le16(col("__ba")),
-        lit("1000"),
-        lit("64617461"), le32(col("__dl")), dataHex))
-      val media = d.select(col("doc_id"), wav.as("content"))
+      val media = synthWavs(t(s, dir, "documents"))
       Multimodal.decodeBatches(media, "content",
           Multimodal.audioFeatureSchema)(Multimodal.decodeAudioFeatures)
         .select(col("doc_id"), col("n_samples"), col("sum_abs"),
           col("sum_sq"), col("peak"), col("n_silence"),
           col("n_clipped"), col("n_zero_cross"), col("duration_us"))
+    }),
+
+    // ----- 60-bit windowed energy-profile signature over the SAME
+    // synthesized WAVs: 15 windows × 4-bit volume-normalized levels,
+    // the first-pass audio dedup key; oracle recomputes the LCG
+    // samples arithmetically — no WAV on the SQL side
+    "q_audio_signature" -> ((s, dir) => {
+      val media = synthWavs(t(s, dir, "documents"))
+      Multimodal.decodeBatches(media, "content",
+          Multimodal.audioSignatureSchema)(
+          Multimodal.decodeAudioSignature)
+        .select(col("doc_id"), col("audio_sig"))
     }),
 
     // ----- Z-order clustered write, read back: the layout must be
@@ -3481,6 +3505,38 @@ object SparkEntry {
            CAST(frames * 1000000 // rate AS BIGINT) AS duration_us
          FROM smp s JOIN zc ON s.doc_id = zc.doc_id
          GROUP BY s.doc_id, frames, rate, zc.nzc""",
+
+    // signature replay: same LCG samples, floored balanced windows
+    // (i·15)//ns, truncating means, LEAST-15 levels packed at 4-bit
+    // positions — bits stay below 60 so BIGINT shifts cannot overflow
+    "q_audio_signature" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 100 + 1 AS frames,
+                  doc_id % 2 + 1 AS ch
+           FROM documents),
+         smp AS (
+           SELECT p.doc_id, p.frames * p.ch AS ns, t.i AS i,
+                  abs(((p.doc_id * 7919 + t.i * 104729) % 65536)
+                    - 32768) AS a
+           FROM p CROSS JOIN generate_series(0, 199) AS t(i)
+           WHERE t.i < p.frames * p.ch),
+         wins AS (
+           SELECT doc_id, ns, (i * 15) // ns AS w,
+                  SUM(a)::BIGINT AS ws, COUNT(*)::BIGINT AS wc
+           FROM smp GROUP BY 1, 2, 3),
+         tot AS (
+           SELECT doc_id, SUM(ws)::BIGINT AS ts, MAX(ns)::BIGINT AS n
+           FROM wins GROUP BY 1),
+         lv AS (
+           SELECT w.doc_id, w.w,
+                  CASE WHEN (t.ts // t.n) = 0 THEN 0
+                       ELSE LEAST(15, ((w.ws // w.wc) * 8)
+                         // (t.ts // t.n)) END AS lvl
+           FROM wins w JOIN tot t ON w.doc_id = t.doc_id)
+         SELECT doc_id,
+           CAST(SUM(lvl * (CAST(1 AS BIGINT)
+             << CAST(4 * w AS INT))) AS BIGINT) AS audio_sig
+         FROM lv GROUP BY doc_id""",
 
     // the parser must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no PNG anywhere

@@ -2191,6 +2191,86 @@ object Multimodal {
       nZc, frames * 1000000L / rate))
   }
 
+  /** 60-bit audio ENERGY-PROFILE signature: 15 windows of 4-bit
+    * loudness levels over the PCM16 stream — the coarse shape a
+    * re-encoded / slightly-trimmed copy of the same recording keeps,
+    * so exact-signature grouping is the first-pass audio dedup key
+    * (the aHash idea applied to the time axis; 60 bits keeps the
+    * value positive, the hash60 width discipline every replaying
+    * engine shares). Window w covers samples `⌊k·15/n⌋ = w` (floored
+    * balanced split); its level is
+    *
+    *   level_w = min(15, (winMean · 8) DIV max(globalMean, 1))
+    *
+    * with both means the TRUNCATING integer `sum|s| DIV count` — the
+    * global-mean normalization makes the signature volume-scale
+    * tolerant, every step exact int64 so any engine replays it.
+    * Silence (globalMean 0) signs as 0. Same decode gate as
+    * [[wavPcm16Features]]: non-PCM16/malformed → None.
+    */
+  def wavAudioSignature(b: Array[Byte]): Option[Long] =
+    wavPcm16Windows(b, 15).map { case (winSums, winCounts, n) =>
+      var totalSum = 0L
+      var w = 0
+      while (w < 15) { totalSum += winSums(w); w += 1 }
+      val gMean = if (n == 0L) 0L else totalSum / n
+      var sig = 0L
+      w = 0
+      while (w < 15) {
+        val lvl =
+          if (winCounts(w) == 0L || gMean == 0L) 0L
+          else math.min(15L,
+            (winSums(w) / winCounts(w)) * 8L / gMean)
+        sig |= lvl << (4 * w)
+        w += 1
+      }
+      sig
+    }
+
+  /** Shared window pass: per-window sum|s| and counts over the data
+    * chunk (same parse/validity gate as [[wavPcm16Features]]).
+    */
+  private def wavPcm16Windows(b: Array[Byte], nWindows: Int)
+      : Option[(Array[Long], Array[Long], Long)] = {
+    if (wavPcm16Features(b).isEmpty) return None // same validity gate
+    // re-walk the data chunk for the windowed sums (the gate above
+    // guarantees a well-formed PCM16 layout)
+    var i = 12
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val len = le32(b, i + 4)
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a') { dataOff = i + 8; dataLen = len }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    val n = (dataLen / 2).toInt
+    val sums = new Array[Long](nWindows)
+    val counts = new Array[Long](nWindows)
+    if (n == 0) return Some((sums, counts, 0L))
+    var k = 0
+    while (k < n) {
+      val o = dataOff + 2 * k
+      val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+      val a = if (s < 0) -s else s
+      val w = (k.toLong * nWindows / n).toInt
+      sums(w) += a; counts(w) += 1
+      k += 1
+    }
+    Some((sums, counts, n.toLong))
+  }
+
+  val audioSignatureSchema: StructType = StructType(Seq(
+    StructField("audio_sig", LongType)))
+
+  /** Decode kernel for [[decodeBatches]]: real windowed-energy
+    * signature, null for undecodable content.
+    */
+  def decodeAudioSignature(bytes: Array[Byte]): Seq[Any] =
+    wavAudioSignature(bytes) match {
+      case Some(x) => Seq[Any](x)
+      case None    => Seq[Any](null)
+    }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("n_samples", LongType),
     StructField("sum_abs", LongType),

@@ -229,6 +229,39 @@ class MultimodalSpec extends SparkSpec {
     assert(e == Multimodal.AudioFeatures(0, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("wavAudioSignature: windowed levels match the documented " +
+      "formula; silence and empty data sign as 0; malformed -> None") {
+    // 30 mono samples, window w (2 samples each) at constant 100·w
+    val smp = Array.tabulate[Short](30)(k => (100 * (k / 2)).toShort)
+    val got = Multimodal.wavAudioSignature(wavPcm(1, 8000, smp)).get
+    // independent reference from the documented formula
+    val n = smp.length
+    val sums = new Array[Long](15); val cnts = new Array[Long](15)
+    for (k <- 0 until n) {
+      val w = k * 15 / n
+      sums(w) += math.abs(smp(k).toInt); cnts(w) += 1
+    }
+    val gMean = sums.sum / n
+    var want = 0L
+    for (w <- 0 until 15) {
+      val lvl = if (cnts(w) == 0 || gMean == 0) 0L
+        else math.min(15L, sums(w) / cnts(w) * 8 / gMean)
+      want |= lvl << (4 * w)
+    }
+    assert(got == want && got != 0L)
+    // flat loudness -> every level 8 exactly
+    val flat = Array.fill[Short](30)(500)
+    val f = Multimodal.wavAudioSignature(wavPcm(1, 8000, flat)).get
+    assert((0 until 15).forall(w => ((f >> (4 * w)) & 0xf) == 8))
+    // all-zero (silence) and empty payloads sign as 0, still Some
+    assert(Multimodal.wavAudioSignature(
+      wavPcm(1, 8000, Array.fill[Short](30)(0))).contains(0L))
+    assert(Multimodal.wavAudioSignature(
+      wavPcm(1, 44100, Array.empty[Short])).contains(0L))
+    // malformed / non-PCM16 stays None (same gate as the features)
+    assert(Multimodal.wavAudioSignature("RIFFjunk".getBytes).isEmpty)
+  }
+
   test("wavPcm16Features: non-PCM16 / malformed classify as None") {
     // 8-bit payloads have no 16-bit samples to sum
     assert(Multimodal.wavPcm16Features(wavBytes(1, 8000, 8, 37))
