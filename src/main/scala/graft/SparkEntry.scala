@@ -1908,6 +1908,30 @@ object SparkEntry {
           col("n_clipped"), col("n_zero_cross"), col("duration_us"))
     }),
 
+    // ----- EXIF orientation: real APP1/TIFF parse over synthesized
+    // pattern JPEGs with a spliced orientation tag — both byte
+    // orders exercised; every 9th doc carries NO EXIF → null
+    "q_exif_orientation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
+        (lit(120) + col("doc_id") % 100).cast("int").as("__b"),
+        graft.functions.HashFunctions
+          .stableHash60(col("doc_id").cast("string"))
+          .bitwiseOR(lit(1L)).as("__patt"),
+        (col("doc_id") % 3).cast("int").as("__mode"),
+        (col("doc_id") % 4).cast("int").as("__ri"),
+        when(col("doc_id") % 9 =!= 0,
+          (col("doc_id") % 8 + 1).cast("int")).as("__or"),
+        (col("doc_id") % 2).cast("int").as("__be"))
+      val jpg = Multimodal.synthPatternJpeg(d, "__a", "__b",
+        "__patt", "__mode", "__ri", "content")
+      val withExif = Multimodal.spliceExif(jpg, "content", "__or",
+        "__be")
+      Multimodal.decodeBatches(withExif, "content",
+          Multimodal.exifSchema)(Multimodal.decodeExifOrientation)
+        .select(col("doc_id"), col("orientation"))
+    }),
+
     // ----- 60-bit windowed energy-profile signature over the SAME
     // synthesized WAVs: 15 windows × 4-bit volume-normalized levels,
     // the first-pass audio dedup key; oracle recomputes the LCG
@@ -3505,6 +3529,15 @@ object SparkEntry {
            CAST(frames * 1000000 // rate AS BIGINT) AS duration_us
          FROM smp s JOIN zc ON s.doc_id = zc.doc_id
          GROUP BY s.doc_id, frames, rate, zc.nzc""",
+
+    // the parser must read back exactly the planted orientation —
+    // byte order is transparent to the value; every 9th doc has no
+    // APP1 and must come back null
+    "q_exif_orientation" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN NULL
+              ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation
+         FROM documents""",
 
     // signature replay: same LCG samples, floored balanced windows
     // (i·15)//ns, truncating means, LEAST-15 levels packed at 4-bit

@@ -2293,6 +2293,145 @@ object Multimodal {
         Seq[Any](null, null, null, null, null, null, null, null)
     }
 
+  /** EXIF orientation (TIFF tag 0x0112) from a JPEG's APP1 segment —
+    * the metadata that decides whether decoded pixels need a
+    * rotate/flip before hashing (two byte-identical photos at
+    * orientations 1 and 6 hash differently if the flag is ignored).
+    * Real byte parsing, same contract as [[wavMeta]]/[[mp4Meta]]:
+    * marker walk to APP1 `Exif\0\0`, TIFF header in EITHER byte
+    * order (`II`/`MM`, magic 42), IFD0 scan for the SHORT-typed
+    * orientation entry. Missing APP1 / no orientation tag /
+    * malformed structure → None, never a guess.
+    */
+  def exifOrientation(b: Array[Byte]): Option[Int] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var p = 2
+    while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+        marker == 0x01) { p += 2 }
+      else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI
+      else {
+        val len = be16(b, p + 2)
+        if (len < 2 || p + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 2 + 6 + 8 + 2 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+          return parseTiffOrientation(b, p + 10, p + 2 + len)
+        }
+        p += 2 + len
+      }
+    }
+    None
+  }
+
+  private def parseTiffOrientation(b: Array[Byte], tiff: Int,
+      end: Int): Option[Int] = {
+    if (tiff + 8 > end) return None
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return None
+    def r16(o: Int): Int =
+      if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def r32(o: Int): Long =
+      if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (r16(tiff + 2) != 42) return None
+    val ifd0 = r32(tiff + 4)
+    if (ifd0 < 8 || tiff + ifd0 + 2 > end) return None
+    val base = tiff + ifd0.toInt
+    val n = r16(base)
+    var e = 0
+    while (e < n && base + 2 + 12 * (e + 1) <= end) {
+      val off = base + 2 + 12 * e
+      if (r16(off) == 0x0112 && r16(off + 2) == 3 &&
+        r32(off + 4) == 1L) {
+        val v = r16(off + 8) // SHORT value sits in the field's bytes
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      e += 1
+    }
+    None
+  }
+
+  /** Splice a minimal Exif APP1 (one IFD0 entry: orientation) right
+    * after SOI — the synthesis side of [[exifOrientation]] for
+    * oracle/test fixtures, writable in either byte order.
+    */
+  def withExifApp1(jpeg: Array[Byte], orientation: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"orientation must be 1..8, got $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
+    val tiff = new Array[Byte](26)
+    def w16(o: Int, v: Int): Unit =
+      if (bigEndian) { tiff(o) = (v >> 8).toByte; tiff(o + 1) = v.toByte }
+      else { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit =
+      if (bigEndian) {
+        tiff(o) = (v >>> 24).toByte; tiff(o + 1) = (v >>> 16).toByte
+        tiff(o + 2) = (v >>> 8).toByte; tiff(o + 3) = v.toByte
+      } else {
+        tiff(o) = v.toByte; tiff(o + 1) = (v >>> 8).toByte
+        tiff(o + 2) = (v >>> 16).toByte; tiff(o + 3) = (v >>> 24).toByte
+      }
+    tiff(0) = (if (bigEndian) 'M' else 'I').toByte
+    tiff(1) = tiff(0)
+    w16(2, 42); w32(4, 8)    // magic, IFD0 at offset 8
+    w16(8, 1)                // one entry
+    w16(10, 0x0112); w16(12, 3); w32(14, 1)
+    w16(18, orientation)     // SHORT value, field-left-aligned
+    // bytes 20-21 (value pad) and 22-25 (next-IFD offset) stay 0
+    val data = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = 2 + data.length
+    val out = new Array[Byte](jpeg.length + 2 + len)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+    out(2) = 0xff.toByte; out(3) = 0xe1.toByte
+    out(4) = (len >> 8).toByte; out(5) = len.toByte
+    System.arraycopy(data, 0, out, 6, data.length)
+    System.arraycopy(jpeg, 2, out, 6 + data.length, jpeg.length - 2)
+    out
+  }
+
+  val exifSchema: StructType = StructType(Seq(
+    StructField("orientation", IntegerType)))
+
+  /** Decode kernel for [[decodeBatches]]: real EXIF orientation
+    * parse, null when absent/malformed.
+    */
+  def decodeExifOrientation(bytes: Array[Byte]): Seq[Any] =
+    exifOrientation(bytes) match {
+      case Some(x) => Seq[Any](x)
+      case None    => Seq[Any](null)
+    }
+
+  /** Per-row APP1 splicer for synthesized fixtures: orientation from
+    * `orientCol` (null → leave the JPEG without EXIF), byte order
+    * from `beCol` (0 little / 1 big).
+    */
+  def spliceExif(df: DataFrame, contentCol: String, orientCol: String,
+      beCol: String): DataFrame = {
+    val (ci, oi, bi) = (df.schema.fieldIndex(contentCol),
+      df.schema.fieldIndex(orientCol), df.schema.fieldIndex(beCol))
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(oi)) r
+        else {
+          val spliced = withExifApp1(r.getAs[Array[Byte]](ci),
+            r.getInt(oi), r.getInt(bi) == 1)
+          Row.fromSeq(r.toSeq.updated(ci, spliced))
+        }
+      }
+    }(enc)
+  }
+
   /** Parsed MP4 (ISO-BMFF) container metadata: major brand from
     * `ftyp`, movie timescale/duration from `moov/mvhd`, presentation
     * dimensions from the first visual `moov/trak/tkhd` (16.16 fixed

@@ -229,6 +229,28 @@ class MultimodalSpec extends SparkSpec {
     assert(e == Multimodal.AudioFeatures(0, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("exifOrientation: round-trips both byte orders, leaves " +
+      "pixels decodable, malformed -> None") {
+    val w = 16; val h = 16
+    val pix = Array.tabulate(w * h)(i => 60 + (i % 7) * 20)
+    val jpeg = Multimodal.jpegEncodeGray(w, h, pix)
+    assert(Multimodal.exifOrientation(jpeg).isEmpty) // no APP1 yet
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val tagged = Multimodal.withExifApp1(jpeg, o, be)
+      assert(Multimodal.exifOrientation(tagged).contains(o),
+        s"orientation $o bigEndian=$be")
+      // the APP1 must not disturb pixel decode
+      assert(Multimodal.imageAHash(tagged) ==
+        Multimodal.imageAHash(jpeg))
+    }
+    // corrupt the TIFF byte-order marker: parse refuses, no guessing
+    val bad = Multimodal.withExifApp1(jpeg, 6, bigEndian = false)
+    bad(12) = 0x7f // the 'II'/'MM' marker's first byte
+    assert(Multimodal.exifOrientation(bad).isEmpty)
+    assert(Multimodal.exifOrientation("nope".getBytes).isEmpty)
+    assert(Multimodal.exifOrientation(null).isEmpty)
+  }
+
   test("wavAudioSignature: windowed levels match the documented " +
       "formula; silence and empty data sign as 0; malformed -> None") {
     // 30 mono samples, window w (2 samples each) at constant 100·w
