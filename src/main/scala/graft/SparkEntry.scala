@@ -22,6 +22,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared entity-name synthesis for the entity-resolution queries:
+    * 200 md5-derived base names, four deterministic typo variants
+    * (deletion / insertion / substitution / clean) keyed by
+    * doc_id % 7. Both DuckDB oracles replay this construction
+    * verbatim — change it in all four places or the pair/cluster
+    * queries diverge.
+    */
+  private def entityNames(docs: DataFrame): DataFrame = {
+    val b = concat(lit("e-"),
+      substring(md5((col("doc_id") % 200).cast("string")), 1, 8))
+    val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
+      .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
+      .when(col("doc_id") % 7 === 2,
+        concat(substring(b, 1, 4), lit("z"), substring(b, 6, 5)))
+      .otherwise(b)
+    docs.select(col("doc_id"), name.as("name"))
+  }
+
   /** Shared synthesized-WAV frame for the audio queries: per-doc
     * PCM16 WAV with planted LCG samples —
     * u(i) = (doc_id·7919 + i·104729 + 32768) % 65536, the unsigned
@@ -1166,34 +1184,16 @@ object SparkEntry {
     // substitution / clean) — within-entity variants pair at ed ≤ 2,
     // cross-entity names don't; trigram blocking is recall-complete
     // here (len ≥ 9 > 3·2+2, no gram over the cap)
-    "q_edit_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val b = concat(lit("e-"),
-        substring(md5((col("doc_id") % 200).cast("string")), 1, 8))
-      val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
-        .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
-        .when(col("doc_id") % 7 === 2,
-          concat(substring(b, 1, 4), lit("z"), substring(b, 6, 5)))
-        .otherwise(b)
-      Dedup.editDistancePairs(
-        d.select(col("doc_id"), name.as("name")),
-        "doc_id", "name", maxDist = 2)
-    }),
+    "q_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(entityNames(t(s, dir, "documents")),
+        "doc_id", "name", maxDist = 2)),
 
     // ----- the full entity-resolution compose: edit-distance pairs
     // → star-contraction components → every record labeled with its
     // entity cluster (the same machinery as document dedup, on a
     // field)
     "q_entity_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val b = concat(lit("e-"),
-        substring(md5((col("doc_id") % 200).cast("string")), 1, 8))
-      val name = when(col("doc_id") % 7 === 0, substring(b, 1, 9))
-        .when(col("doc_id") % 7 === 1, concat(b, lit("x")))
-        .when(col("doc_id") % 7 === 2,
-          concat(substring(b, 1, 4), lit("z"), substring(b, 6, 5)))
-        .otherwise(b)
-      val named = d.select(col("doc_id"), name.as("name"))
+      val named = entityNames(t(s, dir, "documents"))
       val pairs = Dedup.editDistancePairs(named, "doc_id", "name",
         maxDist = 2).select("id_a", "id_b")
       Dedup.duplicateClusters(named.select("doc_id"), "doc_id", pairs)

@@ -2135,8 +2135,12 @@ object Multimodal {
     * interleaving would corrupt if counted stream-wise), summed over
     * channels.
     */
-  def wavPcm16Features(b: Array[Byte], silenceThreshold: Int = 327,
-      clipThreshold: Int = 32760): Option[AudioFeatures] = {
+  /** Validated PCM16 layout: (dataOff, dataLen, channels, rate) —
+    * the ONE chunk walk + gate both sample-pass kernels share, so
+    * their accept/reject behavior can never diverge.
+    */
+  private def wavPcm16Layout(b: Array[Byte])
+      : Option[(Int, Long, Int, Long)] = {
     if (b == null || b.length < 44) return None
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F')
       return None
@@ -2166,6 +2170,13 @@ object Multimodal {
       rate > Int.MaxValue || dataOff < 0 || dataLen < 0 ||
       blockAlign != channels * 2 || dataLen % blockAlign != 0)
       return None
+    Some((dataOff, dataLen, channels, rate))
+  }
+
+  def wavPcm16Features(b: Array[Byte], silenceThreshold: Int = 327,
+      clipThreshold: Int = 32760): Option[AudioFeatures] = {
+    val (dataOff, dataLen, channels, rate) =
+      wavPcm16Layout(b).getOrElse(return None)
     val n = (dataLen / 2).toInt
     var k = 0
     var sumAbs = 0L; var sumSq = 0L; var peak = 0
@@ -2186,7 +2197,7 @@ object Multimodal {
       prevNonNeg(ch) = nn
       k += 1
     }
-    val frames = dataLen / blockAlign
+    val frames = dataLen / (channels * 2)
     Some(AudioFeatures(n.toLong, sumAbs, sumSq, peak, nSil, nClip,
       nZc, frames * 1000000L / rate))
   }
@@ -2232,17 +2243,8 @@ object Multimodal {
     */
   private def wavPcm16Windows(b: Array[Byte], nWindows: Int)
       : Option[(Array[Long], Array[Long], Long)] = {
-    if (wavPcm16Features(b).isEmpty) return None // same validity gate
-    // re-walk the data chunk for the windowed sums (the gate above
-    // guarantees a well-formed PCM16 layout)
-    var i = 12
-    var dataOff = -1; var dataLen = -1L
-    while (i + 8 <= b.length) {
-      val len = le32(b, i + 4)
-      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
-        b(i + 3) == 'a') { dataOff = i + 8; dataLen = len }
-      i += 8 + len.toInt + (len.toInt & 1)
-    }
+    val (dataOff, dataLen, _, _) =
+      wavPcm16Layout(b).getOrElse(return None) // one parse, one gate
     val n = (dataLen / 2).toInt
     val sums = new Array[Long](nWindows)
     val counts = new Array[Long](nWindows)
@@ -2309,7 +2311,9 @@ object Multimodal {
     var p = 2
     while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
       val marker = b(p + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+      if (marker == 0xff) { p += 1 } // T.81 B.1.1.2 fill byte
+      else if (marker == 0xd8 ||
+        (marker >= 0xd0 && marker <= 0xd7) ||
         marker == 0x01) { p += 2 }
       else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI
       else {
@@ -2413,7 +2417,7 @@ object Multimodal {
 
   /** Per-row APP1 splicer for synthesized fixtures: orientation from
     * `orientCol` (null → leave the JPEG without EXIF), byte order
-    * from `beCol` (0 little / 1 big).
+    * from `beCol` (0 or null → little-endian, 1 → big-endian).
     */
   def spliceExif(df: DataFrame, contentCol: String, orientCol: String,
       beCol: String): DataFrame = {
@@ -2424,8 +2428,9 @@ object Multimodal {
       it.map { r =>
         if (r.isNullAt(oi)) r
         else {
+          val be = !r.isNullAt(bi) && r.getInt(bi) == 1
           val spliced = withExifApp1(r.getAs[Array[Byte]](ci),
-            r.getInt(oi), r.getInt(bi) == 1)
+            r.getInt(oi), be)
           Row.fromSeq(r.toSeq.updated(ci, spliced))
         }
       }

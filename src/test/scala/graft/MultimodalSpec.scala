@@ -243,6 +243,12 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.imageAHash(tagged) ==
         Multimodal.imageAHash(jpeg))
     }
+    // T.81 fill bytes (extra 0xFF padding before a marker) must not
+    // hide the APP1
+    val tagged6 = Multimodal.withExifApp1(jpeg, 6, bigEndian = true)
+    val filled = Array[Byte](tagged6(0), tagged6(1),
+      0xff.toByte, 0xff.toByte) ++ tagged6.drop(2)
+    assert(Multimodal.exifOrientation(filled).contains(6))
     // corrupt the TIFF byte-order marker: parse refuses, no guessing
     val bad = Multimodal.withExifApp1(jpeg, 6, bigEndian = false)
     bad(12) = 0x7f // the 'II'/'MM' marker's first byte
