@@ -1950,6 +1950,14 @@ object SparkEntry {
     // ----- skew mitigation: two-stage salted aggregation — row- and
     // value-identical to the plain groupBy (the salt only changes the
     // partitioning), so the oracle IS the plain aggregate
+    // ----- pre-shuffle skew diagnosis: heaviest order keys in
+    // lineitem with exact counts and milli shares — the report that
+    // decides whether a key needs salting before the job hot-spots
+    "q_skew_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Skew.keyProfile(li, Seq("l_suppkey"), k = 20)
+    }),
+
     "q_salted_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       Skew.saltedAgg(li, Seq("l_returnflag"), salt = 16,
@@ -3627,6 +3635,17 @@ object SparkEntry {
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",
+
+    // skew profile replay: counts + integer milli shares, the same
+    // (count DESC, key ASC) total order, top 20
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*)::BIGINT AS n_rows
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT COUNT(*)::BIGINT AS total FROM lineitem)
+       SELECT l_suppkey, n_rows,
+         n_rows * 1000 // GREATEST(t.total, 1) AS share_milli
+       FROM c, t
+       ORDER BY n_rows DESC, l_suppkey LIMIT 20""",
 
     // the salt only changes partitioning: the oracle is the plain agg
     "q_salted_agg" ->

@@ -54,4 +54,33 @@ object Skew {
           m(col(pn)).as(n)
         }: _*)
   }
+
+  /** Pre-shuffle skew diagnosis: the top-`k` heaviest join/agg keys
+    * with exact row counts and `share_milli = n·1000 DIV total` —
+    * the report that decides whether a key needs [[saltedJoin]]/
+    * [[saltedAgg]] (or AQE skew handling) BEFORE the job that would
+    * have hot-spotted. One partial-aggregated count collapse plus a
+    * deterministic TakeOrdered top-k (count DESC, then the key
+    * columns ascending — total order, engine-independent); the
+    * single-row total rides a broadcast join. Null keys count as a
+    * key like any other (they hash to one partition too — null-heavy
+    * columns are the classic surprise skew) and sort LAST within a
+    * count tie (`asc_nulls_last` — SQL engines' default ASC order, so
+    * the top-k cut replays identically everywhere).
+    */
+  def keyProfile(df: DataFrame, keyCols: Seq[String], k: Int = 20)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "keyProfile needs at least one key col")
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    val ordered = counts.crossJoin(broadcast(total))
+      .withColumn("share_milli",
+        expr("n_rows * 1000 DIV greatest(__total, 1)"))
+      .drop("__total")
+      .orderBy(col("n_rows").desc +:
+        keyCols.map(col(_).asc_nulls_last): _*)
+    ordered.limit(k)
+  }
 }

@@ -31,4 +31,23 @@ class SkewSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSet
     assert(salted == plain)
   }
+
+  test("keyProfile: heavy keys first with exact milli shares, null " +
+      "keys counted, deterministic tie order, top-k cut") {
+    import spark.implicits._
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      Seq.fill(20)(null.asInstanceOf[String]) ++
+      Seq("c1", "c2", "c3") // three singleton ties
+    val df = rows.toDF("k")
+    val prof = Skew.keyProfile(df, Seq("k"), k = 4)
+      .as[(String, Long, Long)].collect()
+    assert(prof.length == 4)
+    assert(prof(0) == (("hot", 60L, 60L * 1000 / rows.length)))
+    // 20-count tie: "warm" vs null — nulls sort LAST in the tie
+    // (SQL engines' ASC default, so the cut replays identically)
+    assert(prof(1)._2 == 20L && prof(2)._2 == 20L)
+    assert(prof(1)._1 == "warm" && prof(2)._1 == null)
+    // the 4th slot is the lexicographically first singleton
+    assert(prof(3) == (("c1", 1L, 1000L / rows.length)))
+  }
 }
