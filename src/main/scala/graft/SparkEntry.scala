@@ -572,6 +572,15 @@ object SparkEntry {
         "user_id", "tsu")
     }),
 
+    // ----- the same funnel under a 1-day per-step conversion
+    // deadline (first-touch greedy — see EventOps.funnel)
+    "q_funnel_windowed" -> ((s, dir) => {
+      val ev = readEvents(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tsu"))
+      EventOps.funnel(ev, Seq("view", "click", "purchase"),
+        "user_id", "tsu", maxStepGap = 86400000000L)
+    }),
+
     // ----- dedup: exact on the documents table
     "q_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2454,6 +2463,33 @@ object SparkEntry {
          list_min(list_filter(a1, x -> x > t0)) AS t1 FROM t0s),
        t2s AS (SELECT u, t0, t1,
          list_min(list_filter(a2, x -> x > t1)) AS t2 FROM t1s),
+       c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2
+         FROM t2s)
+       SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users FROM c
+       UNION ALL
+       SELECT 1, 'click', n1 FROM c
+       UNION ALL
+       SELECT 2, 'purchase', n2 FROM c""",
+
+    // windowed replay: the same greedy ladder with the 1-day (in
+    // micros) deadline folded into each step's filter
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id AS u, event_type,
+           epoch_ns(ts) // 1000 AS tsu FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       pu AS (SELECT u,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'view')) AS a0,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'click')) AS a1,
+         list_sort(list(tsu) FILTER (WHERE event_type = 'purchase'))
+           AS a2
+         FROM e GROUP BY u),
+       t0s AS (SELECT u, a1, a2, list_min(a0) AS t0 FROM pu),
+       t1s AS (SELECT u, a2, t0,
+         list_min(list_filter(a1, x -> x > t0
+           AND x <= t0 + 86400000000)) AS t1 FROM t0s),
+       t2s AS (SELECT u, t0, t1,
+         list_min(list_filter(a2, x -> x > t1
+           AND x <= t1 + 86400000000)) AS t2 FROM t1s),
        c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2
          FROM t2s)
        SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users FROM c

@@ -97,6 +97,13 @@ object EventOps {
     * `tsCol` may be any orderable type; pass epoch micros for
     * engine-portable comparisons.
     *
+    * `maxStepGap > 0` adds a per-step conversion DEADLINE: step i
+    * must land within `maxStepGap` (same units as `tsCol`) of the
+    * step i−1 match. Note the greedy's optimality claim below holds
+    * only for the unbounded funnel — with a deadline, first-touch
+    * greedy is the deliberate semantics (the industry rule), not the
+    * maximum-completion assignment.
+    *
     * `maxEventsPerUser` bounds each user's per-step array to that
     * step's EARLIEST `maxEventsPerUser` times, applied inside the
     * aggregation — a bot user with 10M events then holds `steps × cap`
@@ -110,7 +117,8 @@ object EventOps {
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String,
       tsCol: String, typeCol: String = "event_type",
-      maxEventsPerUser: Int = 10000): DataFrame = {
+      maxEventsPerUser: Int = 10000,
+      maxStepGap: Long = 0L): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "funnel steps must be distinct")
@@ -127,13 +135,21 @@ object EventOps {
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(userCol).as("u"))
       .agg(aggs.head, aggs.tail: _*)
-    // greedy completion times: t0 = min(a0); t_i = min{x in a_i, x > t_(i-1)}
+    // greedy completion times: t0 = min(a0); t_i = min{x in a_i,
+    // x > t_(i-1)}, bounded by t_(i-1) + maxStepGap when a gap is set
+    // (first-touch conversion-window semantics: a user failing the
+    // deadline on the greedy path does not convert, even if a later
+    // attempt chain would have — the industry-standard funnel rule)
     val times = steps.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
       val t =
         if (i == 0) array_min(col("__a0"))
         else {
           val prev = acc.last
-          array_min(filter(col(s"__a$i"), x => x > prev))
+          val inWindow: Column => Column =
+            if (maxStepGap > 0L)
+              x => x > prev && x <= prev + lit(maxStepGap)
+            else x => x > prev
+          array_min(filter(col(s"__a$i"), inWindow))
         }
       acc :+ t
     }

@@ -97,6 +97,29 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq((0, "A", 4L), (1, "B", 3L), (2, "C", 2L)))
   }
 
+  test("funnel with maxStepGap: deadline is inclusive, first-touch " +
+      "greedy does not retry from a later start") {
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 15L),   // within gap 5 (inclusive)
+      (2L, "A", 10L), (2L, "B", 16L),   // misses gap 5 by 1
+      // u3: B at 14 converts from the FIRST A (10); a second A at 20
+      // exists but greedy never restarts from it
+      (3L, "A", 10L), (3L, "B", 14L), (3L, "A", 20L),
+      // u4: only a late B — the first-touch A at 10 can't reach it,
+      // even though A at 30 would (first-touch semantics)
+      (4L, "A", 10L), (4L, "A", 30L), (4L, "B", 33L)
+    ).toDF("user_id", "event_type", "tsu")
+    val out = EventOps.funnel(ev, Seq("A", "B"), "user_id", "tsu",
+        maxStepGap = 5L)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "A", 4L), (1, "B", 2L)))
+    // gap 0 = unbounded: u2 and u4 convert too
+    val unbounded = EventOps.funnel(ev, Seq("A", "B"), "user_id",
+        "tsu")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(unbounded == Seq((0, "A", 4L), (1, "B", 4L)))
+  }
+
   test("funnel: strictly-after semantics (ties do not advance)") {
     val ev = Seq(
       (1L, "A", 10L), (1L, "B", 10L), // tie: B not after A
