@@ -888,6 +888,19 @@ object SparkEntry {
         "text")
     }),
 
+    // ----- templated-ness: every 6th doc gains a common boilerplate
+    // tail, so its grams' corpus df jumps; originals stay near
+    // df 1 — mean-df and shared-fraction in exact integer milli
+    "q_template_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit(" standard footer boilerplate block common to many" +
+            " pages")).otherwise(lit("")))
+      CorpusScrub.templateScore(
+        d.withColumn("text", planted), "doc_id", "text", n = 3)
+    }),
+
     // ----- per-doc OOV rate vs the corpus's own df>=50 vocabulary:
     // word-salad/off-domain screen, exact integer milli fraction
     "q_oov_rate" -> ((s, dir) => {
@@ -3241,6 +3254,29 @@ object SparkEntry {
            '\s+')) AS term FROM documents)
          SELECT term, COUNT(*) AS term_count FROM t
          GROUP BY term ORDER BY term_count DESC, term ASC LIMIT 50""",
+
+    // template replay: same plant, distinct 3-grams per doc, df over
+    // docs, integer milli ratios
+    "q_template_score" -> {
+      val grams = ngramsSql(tokensSql("text"), 3)
+      s"""WITH pl AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 6 = 0
+             THEN ' standard footer boilerplate block common to' ||
+               ' many pages'
+             ELSE '' END AS text
+         FROM documents),
+       dg AS (SELECT doc_id, UNNEST(list_distinct($grams)) AS gram
+         FROM pl),
+       dfT AS (SELECT gram, COUNT(*)::BIGINT AS df FROM dg
+         GROUP BY 1)
+       SELECT d.doc_id, COUNT(*)::BIGINT AS n_grams,
+         CAST(SUM(f.df) * 1000 // COUNT(*) AS BIGINT)
+           AS mean_df_milli,
+         CAST(COUNT(CASE WHEN f.df >= 2 THEN 1 END) * 1000
+           // COUNT(*) AS BIGINT) AS shared_frac_milli
+       FROM dg d JOIN dfT f ON d.gram = f.gram
+       GROUP BY d.doc_id"""
+    },
 
     // OOV replay: vocabulary from distinct (doc, term) df counts,
     // in-vocab token count joined back, integer milli fraction

@@ -119,6 +119,40 @@ object CorpusScrub {
     Sampling.topKPerGroup(scored, idCol, "score", "term", k)
   }
 
+  /** Per-document templated-ness score against the REST of the
+    * corpus: how common are this document's word n-grams elsewhere?
+    * Boilerplate-assembled pages (shop listings, mirror shells,
+    * generated spam) score high while original prose scores low —
+    * the cross-document complement of the within-document repetition
+    * signals. Returns (`idCol`, `n_grams` distinct, `mean_df_milli` =
+    * Σdf·1000 DIV n_grams where df counts DOCUMENTS containing the
+    * gram incl. this one, `shared_frac_milli` = grams-with-df≥2 ·
+    * 1000 DIV n_grams). Documents shorter than one n-gram emit the
+    * single truncated gram the extractor produces (same convention
+    * as the dedup family). All integer — engine-replayable.
+    *
+    * Shape: one distinct-gram explode, one gram-keyed df aggregate
+    * (vocab-sized, map-side combined), one join back, one per-doc
+    * aggregation — the standard inverted-index build cost, nothing
+    * quadratic.
+    */
+  def templateScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol).as("id"),
+      explode(graft.functions.NativeHash
+        .distinctWordNGramsColumn(col(textCol), n)).as("gram"))
+    val dfT = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    grams.join(dfT, Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("__df").as("__sum_df"),
+        count(when(col("__df") >= 2, 1)).as("__shared"))
+      .select(col("id").as(idCol), col("n_grams"),
+        expr("__sum_df * 1000 DIV n_grams").as("mean_df_milli"),
+        expr("__shared * 1000 DIV n_grams").as("shared_frac_milli"))
+  }
+
   /** Per-document language-mix report over paragraph segments
     * (`\n\n`-separated): a single doc-level language id mislabels
     * mixed documents — boilerplate quotes, code-switched pages,

@@ -125,6 +125,25 @@ class CorpusScrubSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("templateScore: boilerplate-heavy docs score high, original " +
+      "prose low; exact milli arithmetic") {
+    val docs = Seq(
+      (1L, "one two three four unique ending alpha"),
+      (2L, "one two three four unique ending beta"),
+      (3L, "completely different words nowhere else found here")
+    ).toDF("doc_id", "text")
+    val out = CorpusScrub.templateScore(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1/2: 5 distinct 3-grams each; only the final gram
+    // ('unique ending alpha/beta') diverges — 4 shared at df 2,
+    // 1 at df 1: mean_df = 9/5 = 1800 milli, shared 4/5 = 800
+    assert(out(1L) == ((5L, 1800L, 800L)))
+    assert(out(2L) == ((5L, 1800L, 800L)))
+    // doc 3: every gram unique -> mean_df exactly 1000, shared 0
+    assert(out(3L) == ((5L, 1000L, 0L)))
+  }
+
   test("langMix: per-segment id, dominance with lexicographic " +
       "tie-break, blank segments dropped") {
     val docs = Seq(
