@@ -106,6 +106,12 @@ object GraftFunctions {
         info("graft_nfc",
           "graft_nfc(text) - Unicode NFC canonical composition"),
         (args: Seq[Expression]) => NfcNormalize(args(0))),
+      ("graft_redact_ibans",
+        info("graft_redact_ibans",
+          "graft_redact_ibans(text) - mask mod-97-valid IBANs as " +
+          "<IBAN> (checksum-gated, prefix-searched)"),
+        (args: Seq[Expression]) =>
+          graft.functions.RedactIbans(args(0))),
       ("graft_py_title",
         info("graft_py_title",
           "graft_py_title(text) - Python str.title() semantics " +

@@ -55,6 +55,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getDouble(4) == viaCols.getDouble(4))
   }
 
+  test("graft_redact_ibans SQL function matches the Column API") {
+    import graft.functions.{TextFunctions => T}
+    GraftFunctions.register(spark)
+    Seq("acct GB29 NWBK 6016 1331 9268 19 REF7 eom",
+      "near DE89370400440532013001 kept")
+      .toDF("text").createOrReplaceTempView("ext_iban")
+    val viaSql = spark.sql(
+      "SELECT graft_redact_ibans(text) AS c FROM ext_iban")
+      .as[String].collect().toSeq
+    val viaCols = spark.table("ext_iban")
+      .select(T.redactIbans(col("text")).as("c"))
+      .as[String].collect().toSeq
+    assert(viaSql == viaCols)
+    assert(viaSql(0) == "acct <IBAN> REF7 eom")
+    assert(viaSql(1) == "near DE89370400440532013001 kept")
+  }
+
   test("HTML SQL functions match the Column API") {
     import graft.functions.{TextFunctions => T}
     GraftFunctions.register(spark)
