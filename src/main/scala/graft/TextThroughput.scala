@@ -41,9 +41,14 @@ object TextThroughput {
     val buildS = (System.nanoTime() - t0) / 1e9
 
     // query batches: 6-token prefixes of rotating document slices —
-    // every epoch a different slice so nothing is result-cached
+    // every epoch a different slice so nothing is result-cached.
+    // slices floors at 1 (tiny corpora: divisor 0 would null-filter
+    // everything) and the rotation modulus never exceeds the slice
+    // count (aliasing guard).
+    val slices = math.max(1L, nDocs / batch)
+    val rotation = math.min(7L, slices).toInt
     def batchDf(epoch: Int) = docs
-      .filter(col("doc_id") % lit(nDocs / batch) === epoch)
+      .filter(col("doc_id") % lit(slices) === (epoch % rotation))
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(
           graft.functions.TextFunctions.tokens(col("text")), 1, 6))

@@ -63,7 +63,10 @@ object Incremental {
     val paths = fresh.select("file")
       .collect().map(_.getString(0)).sorted
     if (paths.nonEmpty) {
-      process(spark.read.parquet(paths: _*))
+      // basePath keeps Hive-style partition columns (dir=value) that
+      // an explicit leaf-path read would otherwise silently drop
+      process(spark.read.option("basePath", dataPath)
+        .parquet(paths: _*))
       markProcessed(spark, fresh, manifestTable, batchTag)
     }
     paths.length

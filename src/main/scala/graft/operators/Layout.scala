@@ -141,6 +141,17 @@ object Layout {
       outPath: String, targetBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Seq.empty): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // overwrite-mode deletes outPath BEFORE the lazy read of inPath
+    // runs — an in-place compaction would destroy the source table
+    locally {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(inPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.makeQualified(new Path(inPath)) !=
+          fs.makeQualified(new Path(outPath)),
+        s"compact cannot run in place: outPath == inPath ($inPath); " +
+          "write to a temp dir and swap")
+    }
     val total = fileList(spark, inPath)
       .agg(coalesce(sum("bytes"), lit(0L)))
       .head().getLong(0)

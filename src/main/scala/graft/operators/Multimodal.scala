@@ -386,11 +386,13 @@ object Multimodal {
     hash
   }
 
-  /** dHash over any decodable image (PNG or baseline/progressive
-    * JPEG), None for undecodable content.
+  /** dHash over any decodable image (PNG, baseline/progressive JPEG,
+    * GIF), None for undecodable content. Orientation-normalized like
+    * [[imageAHash]] (the gradient signature is even MORE
+    * rotation-sensitive than the average hash).
     */
   def imageDHash(b: Array[Byte]): Option[Long] =
-    imageDecodeLuma(b).map { case (w, h, l) =>
+    imageDecodeLumaOriented(b).map { case (w, h, l) =>
       differenceHash64(l, w, h)
     }
 
@@ -1122,16 +1124,73 @@ object Multimodal {
   def jpegAHash(b: Array[Byte]): Option[Long] =
     jpegDecodeLuma(b).map { case (w, h, l) => averageHash64(l, w, h) }
 
-  /** Format-sniffing pixel decode: PNG then JPEG (each checks its own
-    * magic first); the shared luma contract feeds every downstream
-    * hash/resize/near-dup stage identically for both formats.
+  /** Format-sniffing pixel decode: PNG, JPEG, then GIF (each checks
+    * its own magic first); the shared luma contract feeds every
+    * downstream hash/resize/near-dup stage identically for all
+    * formats. Raw stored-pixel order — no EXIF normalization (see
+    * [[imageDecodeLumaOriented]] for the display-normalized decode
+    * the hash paths use).
     */
   def imageDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    pngDecodeLuma(b).orElse(jpegDecodeLuma(b))
+    pngDecodeLuma(b).orElse(jpegDecodeLuma(b)).orElse(gifDecodeLuma(b))
 
-  /** Unified perceptual hash over the decodable formats. */
+  /** Apply an EXIF orientation (1..8) to a decoded luma plane — the
+    * display normalization that makes a rotated/flipped copy hash
+    * identically to its upright twin. Follows TIFF/EXIF display
+    * semantics (e.g. 6 = stored image needs a 90° CW rotation for
+    * display); transforms 5–8 swap width and height. Pure index
+    * remap, no resampling — exact-integer like every hash input here.
+    */
+  def applyOrientation(luma: Array[Int], w: Int, h: Int, o: Int)
+      : (Int, Int, Array[Int]) = {
+    require(o >= 1 && o <= 8, s"orientation must be 1..8, got $o")
+    if (o == 1) return (w, h, luma)
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var sx = 0; var sy = 0
+        (o: @annotation.switch) match {
+          case 2 => sx = w - 1 - x; sy = y
+          case 3 => sx = w - 1 - x; sy = h - 1 - y
+          case 4 => sx = x;         sy = h - 1 - y
+          case 5 => sx = y;         sy = x
+          case 6 => sx = y;         sy = h - 1 - x
+          case 7 => sx = w - 1 - y; sy = h - 1 - x
+          case 8 => sx = w - 1 - y; sy = x
+        }
+        out(y * ow + x) = luma(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Format-sniffing decode with EXIF display normalization applied:
+    * the stored orientation's transform runs on the decoded luma
+    * before anything downstream sees it, so two byte-identical photos
+    * stored at orientations 1 and 6 produce the SAME plane. Images
+    * without EXIF (PNG/GIF always, most JPEGs) pass through untouched.
+    */
+  def imageDecodeLumaOriented(b: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
+    imageDecodeLuma(b).map { case (w, h, l) =>
+      applyOrientation(l, w, h, exifOrientation(b).getOrElse(1))
+    }
+
+  /** Unified perceptual hash over the decodable formats —
+    * ORIENTATION-NORMALIZED: rotated copies land at hamming 0 of
+    * their upright twins, so [[imageDupPairs]] finds them.
+    */
   def imageAHash(b: Array[Byte]): Option[Long] =
-    imageDecodeLuma(b).map { case (w, h, l) => averageHash64(l, w, h) }
+    imageDecodeLumaOriented(b).map { case (w, h, l) =>
+      averageHash64(l, w, h)
+    }
 
   // ------------------------------------------------------------------
   // Real baseline JPEG ENCODER (the synthesis side of the decode
@@ -1861,6 +1920,317 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Real GIF decode (no external libraries): GIF87a/89a header walk,
+  // global/local color tables, full LZW decompression (variable code
+  // width, clear/EOI, deferred-clear dictionary freeze) and 4-pass
+  // interlace — frame 0 indices through the palette to the shared
+  // luma contract. GIF is the third crawl image format after JPEG and
+  // PNG; without it those rows fell to the hash paths' null branch.
+  // ------------------------------------------------------------------
+
+  private object GifFail extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private def gifLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Decode frame 0 of a GIF to a luma plane: (width, height, luma)
+    * of the FRAME (not the logical screen — curation hashes content,
+    * and frame 0 is the content). None for non-GIF magic, truncated
+    * streams, missing color table, or corrupt LZW data.
+    */
+  def gifDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 13) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    try {
+      val packed = b(10) & 0xff
+      var p = 13
+      var gct: Array[Int] = null // packed 0xRRGGBB per index
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 0x07) + 1)
+        gct = readColorTable(b, p, n)
+        p += 3 * n
+      }
+      while (p < b.length) {
+        (b(p) & 0xff) match {
+          case 0x3b => return None // trailer before any image data
+          case 0x21 =>             // extension: label + sub-blocks
+            p += 2
+            while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+            p += 1
+          case 0x2c =>
+            val w = gifLe16(b, p + 5)
+            val h = gifLe16(b, p + 7)
+            if (w <= 0 || h <= 0 || w.toLong * h > 268435456L)
+              throw GifFail
+            val ip = b(p + 9) & 0xff
+            val interlaced = (ip & 0x40) != 0
+            p += 10
+            var table = gct
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 0x07) + 1)
+              table = readColorTable(b, p, n)
+              p += 3 * n
+            }
+            if (table == null) throw GifFail
+            val minCode = b(p) & 0xff
+            if (minCode < 2 || minCode > 8) throw GifFail
+            p += 1
+            // concatenate the data sub-blocks
+            val buf = new java.io.ByteArrayOutputStream()
+            while ((b(p) & 0xff) != 0) {
+              val len = b(p) & 0xff
+              if (p + 1 + len > b.length) throw GifFail
+              buf.write(b, p + 1, len)
+              p += 1 + len
+            }
+            val indices = lzwDecode(buf.toByteArray, minCode, w * h)
+            val luma = new Array[Int](w * h)
+            var k = 0
+            val rowOrder =
+              if (!interlaced) null else interlaceRows(h)
+            while (k < w * h) {
+              val y = if (rowOrder == null) k / w else rowOrder(k / w)
+              val c = table(indices(k) % table.length)
+              luma(y * w + k % w) =
+                (77 * ((c >> 16) & 0xff) + 150 * ((c >> 8) & 0xff) +
+                  29 * (c & 0xff) + 128) >> 8
+              k += 1
+            }
+            return Some((w, h, luma))
+          case _ => throw GifFail
+        }
+      }
+      None
+    } catch {
+      case GifFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def readColorTable(b: Array[Byte], off: Int, n: Int)
+      : Array[Int] = {
+    if (off + 3 * n > b.length) throw GifFail
+    Array.tabulate(n) { i =>
+      ((b(off + 3 * i) & 0xff) << 16) |
+        ((b(off + 3 * i + 1) & 0xff) << 8) |
+        (b(off + 3 * i + 2) & 0xff)
+    }
+  }
+
+  /** GIF's 4-pass interlace: the k-th transmitted row's real y. */
+  private def interlaceRows(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) { order(k) = y; k += 1; y += step }
+    }
+    order
+  }
+
+  /** GIF-variant LZW decode (LSB-first bit packing, variable width up
+    * to 12 bits, clear resets, deferred-clear freeze when the table
+    * fills): exactly `nPixels` palette indices or GifFail.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      nPixels: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefix code, appended index) pairs
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var bp = 0
+    val seq = new Array[Int](4096)
+    def emit(code: Int): Int = { // writes the code's sequence, returns first index
+      var c = code
+      var n = 0
+      while (c >= clear) { // clear/eoi never stored; stop at literals
+        seq(n) = suffix(c); n += 1
+        c = prefix(c)
+        if (n > 4096) throw GifFail
+      }
+      val first = c
+      if (outN + n + 1 > nPixels) throw GifFail
+      out(outN) = first; outN += 1
+      var i = n - 1
+      while (i >= 0) { out(outN) = seq(i); outN += 1; i -= 1 }
+      first
+    }
+    while (outN < nPixels) {
+      while (accBits < width) {
+        if (bp >= data.length) throw GifFail
+        acc |= (data(bp) & 0xffL) << accBits
+        accBits += 8; bp += 1
+      }
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        if (outN != nPixels) throw GifFail
+      } else if (prev == -1) {
+        if (code >= clear) throw GifFail
+        out(outN) = code; outN += 1
+        prev = code
+      } else {
+        var first = 0
+        if (code < next && code != eoi && code != clear) {
+          first = emit(code)
+        } else if (code == next) { // KwKwK case
+          // first index of prev's sequence
+          var c = prev
+          while (c >= clear) c = prefix(c)
+          if (outN + 1 > nPixels) throw GifFail
+          first = c
+          val mark = outN
+          emitSeqWithTail(prev, first, out, mark, clear, prefix,
+            suffix, seq, nPixels)
+          outN = mark + seqLen(prev, clear, prefix) + 1
+        } else throw GifFail
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (outN != nPixels) throw GifFail
+    out
+  }
+
+  private def seqLen(code: Int, clear: Int,
+      prefix: Array[Int]): Int = {
+    var c = code; var n = 0
+    while (c >= clear) { n += 1; c = prefix(c) }
+    n + 1
+  }
+
+  private def emitSeqWithTail(code: Int, tail: Int, out: Array[Int],
+      at: Int, clear: Int, prefix: Array[Int], suffix: Array[Int],
+      seq: Array[Int], nPixels: Int): Unit = {
+    val n = seqLen(code, clear, prefix)
+    if (at + n + 1 > nPixels) throw GifFail
+    var c = code
+    var i = n - 1
+    while (c >= clear) { seq(i) = suffix(c); i -= 1; c = prefix(c) }
+    seq(i) = c // leading literal lands at i == 0
+    var k = 0
+    while (k < n) { out(at + k) = seq(k); k += 1 }
+    out(at + n) = tail
+  }
+
+  /** Real GIF ENCODER for 8-bit grayscale (the synthesis side of the
+    * decode oracle): GIF89a, a 256-entry grayscale global palette
+    * (index i = gray i), one image block, genuine LZW bit packing at
+    * a constant 9-bit width maintained by emitting a CLEAR every 254
+    * literals (width never grows — valid GIF, and the decoder's
+    * clear-reset path gets exercised on every fixture). `interlaced`
+    * writes rows in the 4-pass interlace order with the flag set.
+    */
+  def gifEncodeGray(w: Int, h: Int, pix: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h,
+      s"gifEncodeGray: ${pix.length} pixels for ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    w8(0xf7) // GCT present, 8-bit color res, 256 entries
+    w8(0); w8(0)
+    var i = 0
+    while (i < 256) { w8(i); w8(i); w8(i); i += 1 }
+    w8(0x2c) // image descriptor
+    w16(0); w16(0); w16(w); w16(h)
+    w8(if (interlaced) 0x40 else 0x00)
+    w8(8) // LZW min code size
+    // 9-bit LSB-first literal stream with periodic clears
+    val body = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0x1ff) << accBits
+      accBits += 9
+      while (accBits >= 8) {
+        body.write((acc & 0xff).toInt)
+        acc >>>= 8; accBits -= 8
+      }
+    }
+    putCode(256) // initial clear
+    val rowOrder = if (interlaced) interlaceRows(h) else null
+    var sinceClear = 0
+    var k = 0
+    while (k < w * h) {
+      val y = if (rowOrder == null) k / w else rowOrder(k / w)
+      putCode(pix(y * w + k % w) & 0xff)
+      sinceClear += 1
+      if (sinceClear == 254 && k != w * h - 1) {
+        putCode(256); sinceClear = 0
+      }
+      k += 1
+    }
+    putCode(257) // EOI
+    if (accBits > 0) body.write((acc & 0xff).toInt)
+    val bytes = body.toByteArray
+    var o = 0
+    while (o < bytes.length) {
+      val len = math.min(255, bytes.length - o)
+      w8(len)
+      out.write(bytes, o, len)
+      o += len
+    }
+    w8(0)    // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic checkerboard-GIF synthesizer — [[synthCheckerPng]]
+    * for the GIF path: cell parity plus `phase` picks colorA/colorB,
+    * and `ilaceCol` (0/1) toggles the interlaced encoding so both
+    * decoder row paths face the oracle.
+    */
+  def synthCheckerGif(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String, ilaceCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi, ii) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol),
+      df.schema.fieldIndex(ilaceCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (8 * x / w) + (8 * y / h) + ph
+            pix(y * w + x) = if (cell % 2 == 0) a else b
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+
+          gifEncodeGray(w, h, pix, r.getInt(ii) == 1))
+      }
+    }(enc)
+  }
+
   /** Deterministic checkerboard-PNG synthesizer: per row, a real
     * grayscale PNG whose pixel (x, y) is `colorA` or `colorB` by the
     * parity of its 8×8 cell index plus `phase`. With w and h multiples
@@ -1952,6 +2322,26 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may agree on several bands
   }
+
+  /** Audio near-duplicate pairs by signature banding: the consumer of
+    * [[wavAudioSignature]]'s 60-bit energy profile (a signature with
+    * no pairing stage is a dead end — this closes it). Same
+    * pigeonhole-complete machinery as [[imageDupPairs]]: `maxHamming
+    * + 1` disjoint bit bands over the 64-bit value (the top 4 bits of
+    * a 60-bit signature are constant 0, which only makes band
+    * agreement easier — completeness is untouched), exact popcount
+    * verify, each pair once as (id_a < id_b, hamming). A re-encoded /
+    * volume-shifted / lightly-trimmed copy keeps most 4-bit window
+    * levels, so it lands within a few bits of its source.
+    *
+    * Scale shape: identical to the image path — one explode, one
+    * exchange on the band key, capped buckets (degenerate buckets =
+    * degenerate signatures, e.g. silence-only clips, excluded from
+    * the quadratic by the same bounded-recall contract).
+    */
+  def audioDupPairs(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 4, maxBucket: Long = 100000L): DataFrame =
+    imageDupPairs(df, idCol, sigCol, maxHamming, maxBucket)
 
   def synthCheckerPng(df: DataFrame, wCol: String, hCol: String,
       aCol: String, bCol: String, phaseCol: String,
@@ -2965,6 +3355,258 @@ object Multimodal {
           if (r.getInt(ti) == 2) Seq((0, 0), dims) else Seq(dims)
         Row.fromSeq(r.toSeq :+ mp4EncodeMeta(r.getString(bi),
           timescale = 1000, duration = r.getLong(di), tracks))
+      }
+    }(enc)
+  }
+
+  /** Per-track timing/keyframe metadata — the curation-triage slice
+    * of the sample table that needs NO entropy decoder: codec fourcc
+    * from `stsd`, sample count and media-tick duration from `stts`
+    * (run-length (count, delta) pairs summed exactly), media timescale
+    * from `mdhd`, sync-sample (keyframe) count and first keyframe from
+    * `stss` — an ABSENT stss means every sample is a sync sample (ISO
+    * 14496-12 §8.6.2: `syncAll` true). `fpsMilli` is the exact integer
+    * `nSamples · timescale · 1000 DIV durationTicks`.
+    */
+  final case class VideoTiming(codec: String, nSamples: Long,
+      timescale: Long, durationTicks: Long, fpsMilli: Long,
+      nKeyframes: Long, firstKeyframe: Long, syncAll: Boolean)
+
+  /** Timing walk for the FIRST trak carrying an `stts` box (bare
+    * header-only tracks — hint tracks, the 0×0 metadata track — are
+    * skipped). None for non-MP4 magic or malformed/truncated tables.
+    */
+  def mp4Timing(b: Array[Byte]): Option[VideoTiming] = {
+    if (b == null || b.length < 16 || fourCC(b, 4) != "ftyp")
+      return None
+    try timingWalk(b)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def timingWalk(b: Array[Byte]): Option[VideoTiming] = {
+    def children(from: Long, to: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return Seq.empty
+        var size = be32u(b, p.toInt)
+        val typ = fourCC(b, p.toInt + 4)
+        var hdr = 8L
+        if (size == 1) {
+          if (p + 16 > to) return Seq.empty
+          size = be64(b, p.toInt + 8)
+          hdr = 16L
+        } else if (size == 0) size = to - p
+        if (size < hdr || p + size > to) return Seq.empty
+        out += ((typ, p + hdr, p + size))
+        p += size
+      }
+      out.result()
+    }
+    def find(boxes: Seq[(String, Long, Long)], typ: String) =
+      boxes.find(_._1 == typ)
+
+    val top = children(0L, b.length.toLong)
+    for ((_, moovB, moovE) <- find(top, "moov")) {
+      val moov = children(moovB, moovE)
+      for ((t, trakB, trakE) <- moov if t == "trak") {
+        val parsed = for {
+          (_, mdiaB, mdiaE) <- find(children(trakB, trakE), "mdia")
+          mdia = children(mdiaB, mdiaE)
+          (_, mhS, mhE) <- find(mdia, "mdhd")
+          (_, minfB, minfE) <- find(mdia, "minf")
+          (_, stblB, stblE) <- find(children(minfB, minfE), "stbl")
+          stbl = children(stblB, stblE)
+          (_, ttS, ttE) <- find(stbl, "stts")
+          timing <- parseTiming(b, mhS, mhE, ttS, ttE,
+            find(stbl, "stsd"), find(stbl, "stss"))
+        } yield timing
+        if (parsed.isDefined) return parsed
+      }
+    }
+    None
+  }
+
+  private def parseTiming(b: Array[Byte], mhS: Long, mhE: Long,
+      ttS: Long, ttE: Long, stsd: Option[(String, Long, Long)],
+      stss: Option[(String, Long, Long)]): Option[VideoTiming] = {
+    // mdhd: version decides field widths ahead of the timescale
+    if (mhS + 4 > mhE) return None
+    val mv = b(mhS.toInt) & 0xff
+    val tsOff = if (mv == 1) 4 + 8 + 8 else 4 + 4 + 4
+    if (mhS + tsOff + 4 > mhE) return None
+    val timescale = be32u(b, (mhS + tsOff).toInt)
+    if (timescale <= 0) return None
+    // stts: run-length (sample_count, sample_delta) pairs
+    if (ttS + 8 > ttE) return None
+    val nRuns = be32u(b, ttS.toInt + 4).toInt
+    if (nRuns < 0 || ttS + 8 + 8L * nRuns > ttE) return None
+    var nSamples = 0L
+    var durTicks = 0L
+    var r = 0
+    while (r < nRuns) {
+      val cnt = be32u(b, (ttS + 8 + 8L * r).toInt)
+      val delta = be32u(b, (ttS + 12 + 8L * r).toInt)
+      nSamples += cnt
+      durTicks += cnt * delta
+      r += 1
+    }
+    val codec = stsd.flatMap { case (_, s, e) =>
+      if (s + 16 > e) None else Some(fourCC(b, s.toInt + 12))
+    }.getOrElse("none")
+    val (nKey, firstKey, syncAll) = stss match {
+      case Some((_, s, e)) =>
+        if (s + 8 > e) return None
+        val n = be32u(b, s.toInt + 4).toInt
+        if (n < 0 || s + 8 + 4L * n > e) return None
+        val first = if (n == 0) 0L else be32u(b, s.toInt + 8)
+        (n.toLong, first, false)
+      case None =>
+        (nSamples, if (nSamples > 0) 1L else 0L, true)
+    }
+    val fpsMilli =
+      if (durTicks <= 0) 0L
+      else nSamples * timescale * 1000L / durTicks
+    Some(VideoTiming(codec, nSamples, timescale, durTicks, fpsMilli,
+      nKey, firstKey, syncAll))
+  }
+
+  val videoTimingSchema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("n_samples", LongType),
+    StructField("timescale", LongType),
+    StructField("duration_ticks", LongType),
+    StructField("fps_milli", LongType),
+    StructField("n_keyframes", LongType),
+    StructField("first_keyframe", LongType),
+    StructField("sync_all", BooleanType)))
+
+  /** Decode kernel for [[decodeBatches]]: real stts/stss/mdhd walk,
+    * nulls for malformed content.
+    */
+  def decodeVideoTiming(bytes: Array[Byte]): Seq[Any] =
+    mp4Timing(bytes) match {
+      case Some(t) => Seq[Any](t.codec, t.nSamples, t.timescale,
+        t.durationTicks, t.fpsMilli, t.nKeyframes, t.firstKeyframe,
+        t.syncAll)
+      case None =>
+        Seq[Any](null, null, null, null, null, null, null, null)
+    }
+
+  /** Timing-focused MP4 synthesizer (the oracle side of
+    * [[mp4Timing]]): real ftyp/moov layout with a full
+    * mdia/mdhd/minf/stbl chain — parameterized stts runs, optional
+    * stss, a codec-fourcc stsd entry — plus an optional LEADING bare
+    * track (tkhd only, no sample table) the walk must skip.
+    */
+  def mp4EncodeTimed(codec: String, timescale: Int,
+      sttsRuns: Seq[(Long, Long)], stss: Option[Seq[Long]],
+      leadingBareTrack: Boolean): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars: $codec")
+    require(timescale > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      u32(0); tag(typ)
+      body
+      val bytes = out.toByteArray
+      val size = bytes.length - mark
+      bytes(mark) = ((size >> 24) & 0xff).toByte
+      bytes(mark + 1) = ((size >> 16) & 0xff).toByte
+      bytes(mark + 2) = ((size >> 8) & 0xff).toByte
+      bytes(mark + 3) = (size & 0xff).toByte
+      out.reset()
+      out.write(bytes, 0, bytes.length)
+    }
+    val durTicks = sttsRuns.map { case (c, d) => c * d }.sum
+    def tkhd(id: Long): Unit = box("tkhd") {
+      u32(7); u32(0); u32(0); u32(id); u32(0)
+      u32(durTicks)
+      u32(0); u32(0); u32(0); u32(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(v => u32(v.toLong))
+      u32(64L << 16); u32(64L << 16)
+    }
+    box("ftyp") { tag("mp42"); u32(0); tag("isom"); tag("mp42") }
+    box("moov") {
+      box("mvhd") {
+        u32(0); u32(0); u32(0)
+        u32(timescale.toLong); u32(durTicks)
+        u32(0x00010000); u32(0x01000000)
+        (0 until 2).foreach(_ => u32(0))
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(v => u32(v.toLong))
+        (0 until 6).foreach(_ => u32(0))
+        u32(3)
+      }
+      if (leadingBareTrack) box("trak") { tkhd(1) }
+      box("trak") {
+        tkhd(2)
+        box("mdia") {
+          box("mdhd") {
+            u32(0); u32(0); u32(0)
+            u32(timescale.toLong); u32(durTicks)
+            u32(0x55c40000L)
+          }
+          box("minf") {
+            box("stbl") {
+              box("stsd") {
+                u32(0); u32(1)
+                box(codec) { (0 until 2).foreach(_ => u32(0)) }
+              }
+              box("stts") {
+                u32(0); u32(sttsRuns.length.toLong)
+                sttsRuns.foreach { case (c, d) => u32(c); u32(d) }
+              }
+              stss.foreach { keys =>
+                box("stss") {
+                  u32(0); u32(keys.length.toLong)
+                  keys.foreach(u32)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    box("mdat") { (0 until 8).foreach(_ => out.write(0)) }
+    out.toByteArray
+  }
+
+  /** Per-row timed-MP4 synthesizer for the q_video_timing fixtures:
+    * two stts runs (`n1`×`d1`, `n2`×`d2`), keyframe stride `kf`
+    * (0 → no stss box), codec by `codecCol` index into
+    * jpeg/avc1/hvc1/vp09, `bare`=1 prepends the sample-table-less
+    * track the walk must skip.
+    */
+  def synthTimedMp4(df: DataFrame, tsCol: String, n1Col: String,
+      d1Col: String, n2Col: String, d2Col: String, kfCol: String,
+      codecCol: String, bareCol: String, outCol: String): DataFrame = {
+    val codecs = Array("jpeg", "avc1", "hvc1", "vp09")
+    val idx = Seq(tsCol, n1Col, d1Col, n2Col, d2Col, kfCol, codecCol,
+      bareCol).map(df.schema.fieldIndex)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val Seq(ts, n1, d1, n2, d2, kf, ci, bare) =
+          idx.map(r.getInt)
+        val runs = Seq((n1.toLong, d1.toLong), (n2.toLong, d2.toLong))
+        val n = n1 + n2
+        val keys =
+          if (kf == 0) None
+          else Some((1L to n.toLong by kf.toLong).toSeq)
+        Row.fromSeq(r.toSeq :+ mp4EncodeTimed(codecs(ci % 4), ts,
+          runs, keys, bare == 1))
       }
     }(enc)
   }

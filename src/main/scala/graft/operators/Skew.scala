@@ -74,7 +74,10 @@ object Skew {
     require(k > 0, s"k must be positive, got $k")
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
-    val total = df.agg(count(lit(1)).as("__total"))
+    // total from the (key-cardinality-sized) counts frame — a second
+    // df.agg(count) would re-scan the full input just for one number
+    val total = counts
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("__total"))
     val ordered = counts.crossJoin(broadcast(total))
       .withColumn("share_milli",
         expr("n_rows * 1000 DIV greatest(__total, 1)"))

@@ -12,22 +12,30 @@ import org.apache.spark.sql.functions._
   * no shuffle, no re-tokenization, the corpus text never read again).
   *
   * Layout: `<table>` = (term, doc_id, tf, dl, df) bucketed+sorted by
-  * term — df is denormalized onto every posting (8 bytes/row) so
-  * serving needs no second per-term join; `<table>_stats` = one row
-  * (n_docs, total_tokens). Scoring reuses
+  * term; `<table>_stats` = one row (n_docs, total_tokens); and after
+  * any [[appendDocs]], `<table>_delta` = same posting schema, plain
+  * parquet, O(batch) per append. The stored `df` column is a build
+  * artifact: SERVING recomputes df from the pruned scan itself (one
+  * window count over query-hit-bounded rows), which is what makes an
+  * exact O(batch) append possible at all — df is corpus-global, so
+  * any append changes every affected term's idf, and recomputing it
+  * from base ∪ delta at serve time is the designed answer (the r9
+  * review's "delta postings + stats merge"). Scoring reuses
   * [[Retrieval.withBm25Cols]] VERBATIM, so for the same corpus and
   * parameters `query` returns exactly what the direct scan returns,
-  * bit-for-bit (TextIndexSpec pins the equality).
+  * bit-for-bit, appends included (TextIndexSpec pins both
+  * equalities).
   *
-  * Stats (df, N, total tokens) are corpus-global, so there is no
-  * cheap append: adding documents changes every term's idf. Rebuild
-  * on ingest boundaries (the index build is one token-explode pass —
-  * the same cost as a single direct query, amortized over every query
-  * after it).
+  * Append contract: appended doc_ids are NEW documents (same as
+  * [[BandIndex]]'s incremental contract — re-appending an id double
+  * counts it). Deltas accumulate one parquet append per batch;
+  * [[compact]] folds them into the bucketed base — postings only, no
+  * re-tokenization — once delta size starts to dent bucket pruning.
   */
 object TextIndex {
 
-  /** Persist postings + stats (overwrites both tables). The corpus
+  /** Persist postings + stats (overwrites all three tables — a fresh
+    * build clears any delta from a previous index life). The corpus
     * is tokenized twice — once for the one-row stats aggregate, once
     * for the postings — same trade as [[Retrieval.bm25TopK]]
     * (materializing the tokenized corpus to save a pass costs more
@@ -39,22 +47,12 @@ object TextIndex {
   def build(corpus: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val T = graft.functions.TextFunctions
     val spark = corpus.sparkSession
-    val toks = corpus.select(col(idCol).as("doc_id"),
-      T.tokens(col(textCol)).as("__ts"))
-    val posts = toks
-      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
-        explode(col("__ts")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      // df rides the SAME term-keyed exchange the bucketed write
-      // needs anyway — no extra corpus pass
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("term")))
+    val toks = tokenized(corpus, idCol, textCol)
+    val posts = postings(toks)
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("__ts")).cast("long")).as("total_tokens"))
-    Seq(table, s"${table}_stats")
+    Seq(table, s"${table}_stats", s"${table}_delta")
       .foreach(Warehouse.dropManaged(spark, _))
     stats.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_stats")
@@ -63,13 +61,89 @@ object TextIndex {
       .saveAsTable(table)
   }
 
+  private def tokenized(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val T = graft.functions.TextFunctions
+    corpus.select(col(idCol).as("doc_id"),
+      T.tokens(col(textCol)).as("__ts"))
+  }
+
+  /** (term, doc_id, tf, dl, df) — df is the batch-local window count
+    * (rides the term exchange the write needs anyway; serving
+    * recomputes the global value from the pruned scan).
+    */
+  private def postings(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+
+  /** O(batch) exact append: the batch's postings land in
+    * `<table>_delta` (plain parquet append — no base rewrite), and
+    * the one-row stats table merges by addition. Serving recomputes
+    * per-term df over base ∪ delta, so `query` after an append equals
+    * a from-scratch rebuild over the union corpus bit-for-bit.
+    * Returns the number of appended documents.
+    */
+  def appendDocs(batch: DataFrame, idCol: String, textCol: String,
+      table: String): Long = {
+    val spark = batch.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"appendDocs: index table $table does not exist — build first")
+    val toks = tokenized(batch, idCol, textCol)
+    postings(toks).write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_delta")
+    // one-row read-merge-overwrite: collect BEFORE overwriting (the
+    // lazy read would otherwise see its own truncation)
+    val batchRow = toks.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("__ts")).cast("long")), lit(0L)).as("t"))
+      .head()
+    val cur = spark.table(s"${table}_stats").head()
+    import spark.implicits._
+    Seq((cur.getLong(0) + batchRow.getLong(0),
+        cur.getLong(1) + batchRow.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+    batchRow.getLong(0)
+  }
+
+  /** Fold accumulated deltas into the bucketed base: postings only —
+    * no corpus re-tokenization — written to a side table and swapped
+    * in, then the delta dropped. No-op when no delta exists. Restores
+    * full bucket pruning for every term the deltas touched.
+    */
+  def compact(spark: SparkSession, table: String,
+      buckets: Int = 64): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_delta")) return
+    val merged = spark.table(table)
+      .unionByName(spark.table(s"${table}_delta"))
+      .drop("df")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      .select("term", "doc_id", "tf", "dl", "df")
+    val tmp = s"${table}_compacting"
+    Warehouse.dropManaged(spark, tmp)
+    merged.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(tmp)
+    Seq(table, s"${table}_delta")
+      .foreach(Warehouse.dropManaged(spark, _))
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Top-`k` documents per query over the built index:
     * `(query_id, doc_id, score_micro, rank)` — identical to
-    * [[Retrieval.bm25TopK]] on the indexed corpus. The query
-    * vocabulary is collected (bounded by the query batch's distinct
-    * terms — serving batches are small by contract) and pushed into
-    * the scan filter, so bucket pruning skips every other term's
-    * files.
+    * [[Retrieval.bm25TopK]] on the indexed corpus (appends included).
+    * The query vocabulary is collected (bounded by the query batch's
+    * distinct terms — serving batches are small by contract) and
+    * pushed into the scan filter, so bucket pruning skips every other
+    * term's files; the delta table (when present) takes the same
+    * filter as a plain scan. df comes from ONE window count over the
+    * pruned rows — query-hit-bounded, exact under any append history.
     */
   def query(spark: SparkSession, table: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
@@ -83,11 +157,19 @@ object TextIndex {
       .as[String].collect().toSeq.sorted
     // an empty vocabulary leaves isin() ≡ false: the scan prunes to
     // nothing and the result is empty with the right schema
-    val posts = spark.table(table)
-      .filter(col("term").isin(vocab: _*)) // bucket-pruned scan
+    def pruned(t: String) = spark.table(t)
+      .filter(col("term").isin(vocab: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val base = pruned(table) // bucket-pruned scan
+    val scan =
+      if (spark.catalog.tableExists(s"${table}_delta"))
+        base.unionByName(pruned(s"${table}_delta"))
+      else base
+    val posts = scan
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy("term")))
       .select(col("term"), col("doc_id").as("__doc"),
-        col("tf").as("__tf"), col("dl").as("__dl"),
-        col("df").as("__df"))
+        col("tf").as("__tf"), col("dl").as("__dl"), col("__df"))
     val stats = spark.table(s"${table}_stats")
       .select(col("n_docs").as("__nd"),
         col("total_tokens").as("__tt"))

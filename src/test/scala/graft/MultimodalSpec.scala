@@ -239,9 +239,18 @@ class MultimodalSpec extends SparkSpec {
       val tagged = Multimodal.withExifApp1(jpeg, o, be)
       assert(Multimodal.exifOrientation(tagged).contains(o),
         s"orientation $o bigEndian=$be")
-      // the APP1 must not disturb pixel decode
-      assert(Multimodal.imageAHash(tagged) ==
-        Multimodal.imageAHash(jpeg))
+      // the APP1 must not disturb the RAW pixel decode (imageAHash
+      // now orientation-NORMALIZES on top — GifOrientationSpec pins
+      // that; here we pin that the stored pixels are untouched)
+      assert(Multimodal.imageDecodeLuma(tagged).get._3
+        .sameElements(Multimodal.imageDecodeLuma(jpeg).get._3),
+        s"orientation $o bigEndian=$be decode")
+      // and the oriented hash equals applying the transform manually
+      val (tw, th, tl) = Multimodal.applyOrientation(
+        Multimodal.imageDecodeLuma(jpeg).get._3, w, h, o)
+      assert(Multimodal.imageAHash(tagged)
+        .contains(Multimodal.averageHash64(tl, tw, th)),
+        s"orientation $o bigEndian=$be hash")
     }
     // T.81 fill bytes (extra 0xFF padding before a marker) must not
     // hide the APP1

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** stts/stss/mdhd timing walk: exact run sums, sync-sample semantics
+  * (absent stss = every sample a keyframe), bare-track skipping, and
+  * malformed-input classification.
+  */
+class VideoTimingSpec extends SparkSpec {
+
+  test("mp4Timing reads back planted stts runs and stss exactly") {
+    val bytes = Multimodal.mp4EncodeTimed("avc1", 1200,
+      Seq((10L, 2L), (5L, 4L)), Some(Seq(1L, 4L, 7L, 10L, 13L)),
+      leadingBareTrack = false)
+    val t = Multimodal.mp4Timing(bytes).get
+    assert(t.codec == "avc1")
+    assert(t.nSamples == 15L)
+    assert(t.timescale == 1200L)
+    assert(t.durationTicks == 40L)
+    assert(t.fpsMilli == 15L * 1200 * 1000 / 40)
+    assert(t.nKeyframes == 5L)
+    assert(t.firstKeyframe == 1L)
+    assert(!t.syncAll)
+  }
+
+  test("absent stss means every sample is a sync sample") {
+    val bytes = Multimodal.mp4EncodeTimed("vp09", 1000,
+      Seq((7L, 3L)), None, leadingBareTrack = false)
+    val t = Multimodal.mp4Timing(bytes).get
+    assert(t.syncAll)
+    assert(t.nKeyframes == 7L)
+    assert(t.firstKeyframe == 1L)
+  }
+
+  test("a leading bare track (no sample table) is skipped") {
+    val withBare = Multimodal.mp4EncodeTimed("hvc1", 900,
+      Seq((4L, 5L)), Some(Seq(1L, 3L)), leadingBareTrack = true)
+    val without = Multimodal.mp4EncodeTimed("hvc1", 900,
+      Seq((4L, 5L)), Some(Seq(1L, 3L)), leadingBareTrack = false)
+    assert(Multimodal.mp4Timing(withBare) ==
+      Multimodal.mp4Timing(without))
+  }
+
+  test("first keyframe need not be sample 1") {
+    val bytes = Multimodal.mp4EncodeTimed("jpeg", 1000,
+      Seq((8L, 1L)), Some(Seq(3L, 6L)), leadingBareTrack = false)
+    val t = Multimodal.mp4Timing(bytes).get
+    assert(t.firstKeyframe == 3L && t.nKeyframes == 2L)
+  }
+
+  test("malformed inputs classify as None") {
+    assert(Multimodal.mp4Timing(null).isEmpty)
+    assert(Multimodal.mp4Timing("nope".getBytes).isEmpty)
+    val good = Multimodal.mp4EncodeTimed("avc1", 1000,
+      Seq((3L, 2L)), None, leadingBareTrack = false)
+    assert(Multimodal.mp4Timing(good.take(60)).isEmpty)
+    // meta-only container (no stts anywhere) -> None, not a guess
+    val metaOnly = Multimodal.mp4EncodeMeta("mp42", 1000, 500L,
+      Seq((64, 48)))
+    assert(Multimodal.mp4Timing(metaOnly).isEmpty)
+  }
+}
