@@ -72,7 +72,20 @@ object ScaleStress {
     // keep-best canonicalization rides the same minhash pair pipeline
     // as q_dedup_clean plus the member-scoped quality join — the join
     // side must stay member-sized, not corpus-sized
-    "q_dedup_keep_best" -> SparkEntry.queries("q_dedup_keep_best"))
+    "q_dedup_keep_best" -> SparkEntry.queries("q_dedup_keep_best"),
+    // codec rows: the multimodal decode paths claim "map-only,
+    // linear" — measure it like everything else. Each synthesizes
+    // real containers per doc (JPEG encode+decode+hash, WAV
+    // signature, GIF LZW decode) so 10x docs must cost ~10x wall
+    // with ~no shuffle growth
+    "q_jpeg_phash" -> SparkEntry.queries("q_jpeg_phash"),
+    "q_audio_signature" -> SparkEntry.queries("q_audio_signature"),
+    "q_gif_phash" -> SparkEntry.queries("q_gif_phash"))
+    // (q_edit_pairs is deliberately absent: stress replicas repeat
+    // the 200 entity-name values, so its OUTPUT pair set grows
+    // ~|group|² — a data artifact, not an operator pathology; the
+    // value-level blocking itself is |values|²-bounded and the CC
+    // machinery it feeds is covered by q_entity-style rows above)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -187,7 +200,11 @@ object ScaleStress {
       "q_bm25_topk" -> 10.0,
       // keep-best rides the same minhash pair machinery as
       // q_dedup_clean plus a member-bounded quality join
-      "q_dedup_keep_best" -> pairRatio)
+      "q_dedup_keep_best" -> pairRatio,
+      // map-only codec scans: no pair structure at all
+      "q_jpeg_phash" -> 10.0,
+      "q_audio_signature" -> 10.0,
+      "q_gif_phash" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate

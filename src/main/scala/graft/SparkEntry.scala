@@ -2075,6 +2075,27 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL WebP (VP8L) decode: the same checkerboards through
+    // the lossless-WebP bitstream — doc_id%3 cycles the encoder
+    // layout (subtract-green / predictor transform / delta-coded
+    // palette with sub-byte pixel bundling), so the full huffman +
+    // transform decode chain faces one analytic oracle
+    "q_webp_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val webp = Multimodal.synthCheckerWebp(d, "__w", "__h", "__a",
+        "__b", "__p", "__m", "content")
+      Multimodal.decodeBatches(webp, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- EXIF orientation APPLIED: pattern JPEGs tagged with all 8
     // orientations (every 9th doc untagged); the hash path must
     // rotate/flip the decoded luma before hashing, so the oracle is
@@ -3958,6 +3979,14 @@ object SparkEntry {
     // the GIF path decodes through palette+LZW to the same uniform
     // cells as the PNG checkerboards -> identical analytic constants
     "q_gif_phash" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
+         FROM documents""",
+
+    // three VP8L layouts decode to the same uniform cells -> the PNG
+    // checkerboard constants verbatim
+    "q_webp_phash" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash

@@ -537,19 +537,29 @@ object Dedup {
     * engine).
     *
     * Candidates come from a df-capped CHARACTER-trigram inverted
-    * index; the pigeonhole bound makes that recall-complete below the
-    * cap: `maxDist` edits destroy at most `3·maxDist` of a string's
-    * `len−2` trigrams, so any pair within `maxDist` of a string
-    * longer than `3·maxDist + 2` still shares one INTACT trigram.
-    * Shorter fields (and pairs whose every shared trigram is a capped
-    * hub) are the same bounded-recall contract as the other df-capped
-    * candidate generators. Null fields never pair.
+    * index over the DISTINCT field values — entity fields repeat
+    * heavily (many documents share one author spelling), so the
+    * quadratic blocking cost is |values|² per bucket, not |docs|²,
+    * and each Levenshtein DP runs once per VALUE pair. Doc pairs then
+    * come from two equi-joins back to the id table: same-value doc
+    * pairs at distance 0 plus value-pair expansion — output-sized
+    * work, no candidate blow-up. The pigeonhole bound makes blocking
+    * recall-complete below the cap: `maxDist` edits destroy at most
+    * `3·maxDist` of a string's `len−2` trigrams, so any pair within
+    * `maxDist` of a string longer than `3·maxDist + 2` still shares
+    * one INTACT trigram. Shorter fields (and value pairs whose every
+    * shared trigram is a capped hub — dfCap counts distinct VALUES
+    * now) are the same bounded-recall contract as the other df-capped
+    * candidate generators. Null fields never pair. The DP itself is
+    * the banded threshold form (`levenshtein(l, r, maxDist)`) —
+    * O(len·maxDist) per pair, same integers.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 2, dfCap: Long = 1000L): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val s = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(col("__t").isNotNull)
+    val vals = s.select("__t").distinct()
     // distinct char trigrams; guard the sequence — Spark's
     // sequence(1, 0) steps BACKWARD instead of being empty
     val grams = when(length(col("__t")) >= 3,
@@ -557,22 +567,33 @@ object Dedup {
         sequence(lit(1), length(col("__t")) - 2),
         i => col("__t").substr(i, lit(3)))))
       .otherwise(array().cast("array<string>"))
-    val inv = s.select(col("id"), col("__t"),
-        explode(grams).as("gram"))
-    BucketPairs.bucketedPairs(inv, col("gram"),
-        struct(col("id"), col("__t")), dfCap)
-      .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        when(col("p.a.id") <= col("p.b.id"), col("p.a.__t"))
-          .otherwise(col("p.b.__t")).as("__ta"),
-        when(col("p.a.id") <= col("p.b.id"), col("p.b.__t"))
-          .otherwise(col("p.a.__t")).as("__tb"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val inv = vals.select(col("__t"), explode(grams).as("gram"))
+    val valPairs = BucketPairs.bucketedPairs(inv, col("gram"),
+        col("__t"), dfCap)
+      .select(least(col("p.a"), col("p.b")).as("__ta"),
+        greatest(col("p.a"), col("p.b")).as("__tb"))
+      .distinct() // a value pair may share several grams
       .filter(abs(length(col("__ta")) - length(col("__tb")))
         <= maxDist) // cheap length gate before the DP
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 1 && col("edit_dist") <= maxDist)
+    // same-value doc pairs: distance 0 by definition
+    val sameVal = s.select(col("id").as("id_a"), col("__t"))
+      .join(s.select(col("id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("edit_dist"))
+    // cross-value expansion: each doc pair has exactly one canonical
+    // (ta, tb) value pair, so no dedup is needed
+    val crossVal = valPairs
+      .join(s.select(col("id").as("__ia"), col("__t").as("__ta")),
+        Seq("__ta"))
+      .join(s.select(col("id").as("__ib"), col("__t").as("__tb")),
+        Seq("__tb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("edit_dist"))
+    sameVal.unionByName(crossVal)
       .select("id_a", "id_b", "edit_dist")
   }
 

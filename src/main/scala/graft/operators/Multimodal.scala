@@ -1124,15 +1124,16 @@ object Multimodal {
   def jpegAHash(b: Array[Byte]): Option[Long] =
     jpegDecodeLuma(b).map { case (w, h, l) => averageHash64(l, w, h) }
 
-  /** Format-sniffing pixel decode: PNG, JPEG, then GIF (each checks
-    * its own magic first); the shared luma contract feeds every
-    * downstream hash/resize/near-dup stage identically for all
-    * formats. Raw stored-pixel order — no EXIF normalization (see
-    * [[imageDecodeLumaOriented]] for the display-normalized decode
-    * the hash paths use).
+  /** Format-sniffing pixel decode: PNG, JPEG, GIF, then lossless
+    * WebP (each checks its own magic first); the shared luma contract
+    * feeds every downstream hash/resize/near-dup stage identically
+    * for all formats. Raw stored-pixel order — no EXIF normalization
+    * (see [[imageDecodeLumaOriented]] for the display-normalized
+    * decode the hash paths use).
     */
   def imageDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     pngDecodeLuma(b).orElse(jpegDecodeLuma(b)).orElse(gifDecodeLuma(b))
+      .orElse(WebP.decodeLuma(b))
 
   /** Apply an EXIF orientation (1..8) to a decoded luma plane — the
     * display normalization that makes a rotated/flipped copy hash
@@ -2227,6 +2228,48 @@ object Multimodal {
         }
         Row.fromSeq(r.toSeq :+
           gifEncodeGray(w, h, pix, r.getInt(ii) == 1))
+      }
+    }(enc)
+  }
+
+  /** Deterministic checkerboard-WebP synthesizer — [[synthCheckerPng]]
+    * for the VP8L path: `modeCol` (0/1/2) picks the encoder layout
+    * (subtract-green / predictor / palette+bundling), so one query
+    * drives all three decoder transform paths against the same
+    * analytic hash constants.
+    */
+  def synthCheckerWebp(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String, modeCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi, mi) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol),
+      df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (8 * x / w) + (8 * y / h) + ph
+            pix(y * w + x) = if (cell % 2 == 0) a else b
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = r.getInt(mi) % 3 match {
+          case 0 => WebP.encodeGraySubtractGreen(w, h, pix)
+          case 1 => WebP.encodeGrayPredictor(w, h, pix)
+          case _ => WebP.encodeGrayPalette(w, h, pix)
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
       }
     }(enc)
   }

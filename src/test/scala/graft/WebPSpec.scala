@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Multimodal, WebP}
+
+/** VP8L round-trips through all three encoder layouts (subtract-green,
+  * predictor, palette+bundling), malformed classification, and the
+  * unified image-hash path.
+  */
+class WebPSpec extends SparkSpec {
+
+  private def grad(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => (i * 7 + 13) % 256)
+
+  test("subtract-green layout round-trips pixels exactly") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (16, 16), (40, 30), (64, 64))) {
+      val pix = grad(w, h)
+      val bytes = WebP.encodeGraySubtractGreen(w, h, pix)
+      val Some((dw, dh, luma)) = WebP.decodeLuma(bytes)
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      assert(luma.sameElements(pix), s"pixels for ${w}x$h")
+    }
+  }
+
+  test("predictor layout round-trips for every predictor mode") {
+    val (w, h) = (17, 9) // odd width exercises the TR wraparound
+    val pix = grad(w, h)
+    for (mode <- 1 to 13) {
+      val bytes = WebP.encodeGrayPredictor(w, h, pix, mode)
+      val got = WebP.decodeLuma(bytes)
+      assert(got.exists(_._3.sameElements(pix)), s"mode $mode")
+    }
+  }
+
+  test("palette layout round-trips at every bundling width") {
+    // 2, 4, 16 and 17 levels -> 1-, 2-, 4-bit bundling and none
+    for (nLevels <- Seq(2, 4, 16, 17, 160)) {
+      val (w, h) = (21, 6) // width not a multiple of any bundle size
+      val pix = Array.tabulate(w * h)(i => (i * 31 + 5) % nLevels * 1)
+      val levels = pix.map(v => 30 + v * (220 / nLevels))
+      val bytes = WebP.encodeGrayPalette(w, h, levels)
+      val got = WebP.decodeLuma(bytes)
+      assert(got.exists(_._3.sameElements(levels)),
+        s"palette size $nLevels")
+    }
+  }
+
+  test("malformed / unsupported inputs classify as None") {
+    assert(WebP.decodeLuma(null).isEmpty)
+    assert(WebP.decodeLuma("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(WebP.decodeLuma("not a webp at all".getBytes).isEmpty)
+    val good = WebP.encodeGraySubtractGreen(8, 8, grad(8, 8))
+    assert(WebP.decodeLuma(good.take(24)).isEmpty)     // truncated
+    assert(WebP.decodeLuma(good.dropRight(6)).isEmpty) // cut bitstream
+    // a lossy VP8 chunk tag must not be claimed
+    val lossy = good.clone()
+    lossy(12) = 'V'; lossy(13) = 'P'; lossy(14) = '8'; lossy(15) = ' '
+    assert(WebP.decodeLuma(lossy).isEmpty)
+    // PNG/GIF magic untouched by the webp sniffer
+    assert(WebP.decodeLuma(
+      Multimodal.gifEncodeGray(8, 8, grad(8, 8))).isEmpty)
+  }
+
+  test("unified hash path covers webp; all three layouts of the same " +
+      "pixels hash identically") {
+    val pix = Array.tabulate(16 * 16) { i =>
+      if (((i % 16) / 2 + (i / 16) / 2) % 2 == 0) 60 else 200
+    }
+    val a = Multimodal.imageAHash(
+      WebP.encodeGraySubtractGreen(16, 16, pix))
+    val b = Multimodal.imageAHash(
+      WebP.encodeGrayPredictor(16, 16, pix, mode = 2))
+    val c = Multimodal.imageAHash(WebP.encodeGrayPalette(16, 16, pix))
+    val png = Multimodal.imageAHash(
+      Multimodal.pngEncodeGray(16, 16, pix))
+    assert(a.isDefined && a == b && b == c && c == png,
+      s"a=$a b=$b c=$c png=$png")
+  }
+}
