@@ -1599,15 +1599,42 @@ object SparkEntry {
     // trip proves the parser reads genuine PNG structure
     "q_media_dims" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val wHex = lpad(hex((col("doc_id") % 1920 + 1).cast("int")), 8, "0")
-      val hHex = lpad(hex((col("doc_id") % 1080 + 1).cast("int")), 8, "0")
-      val png = unhex(concat(
+      val w = (col("doc_id") % 1920 + 1).cast("int")
+      val h = (col("doc_id") % 1080 + 1).cast("int")
+      val wHex = lpad(hex(w), 8, "0")
+      val hHex = lpad(hex(h), 8, "0")
+      val png = concat(
         lit("89504E470D0A1A0A"),   // PNG signature
         lit("0000000D49484452"),   // IHDR length 13 + type
         wHex, hHex,                // width, height (BE u32)
         lit("0802000000"),         // depth 8, color RGB, comp/filt/ilace
-        lit("00000000")))          // CRC (not validated by readers)
-      val media = d.select(col("doc_id"), png.as("content"))
+        lit("00000000"))           // CRC (not validated by readers)
+      def le16hex(c: Column) = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val gif = concat(
+        lit("474946383961"),       // "GIF89a"
+        le16hex(w), le16hex(h),    // logical screen (LE u16)
+        lit("000000"))             // packed/bg/aspect (no GCT needed)
+      // VP8L header: 0x2f then 28 bits LSB-first: (w-1) | (h-1)<<14,
+      // alpha 0, version 0 — assembled as a LE u32
+      val v = (w - 1).cast("long") +
+        (h - 1).cast("long") * lit(16384L)
+      val vHex = {
+        val x = lpad(hex(v), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val webp = concat(
+        lit("52494646"), lit("12000000"), // RIFF, size 18 LE
+        lit("57454250"),                  // WEBP
+        lit("5650384C"), lit("06000000"), // VP8L, len 6 LE
+        lit("2F"), vHex, lit("00"))       // sig, header, pad
+      val media = d.select(col("doc_id"), unhex(
+        when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, gif)
+          .otherwise(webp)).as("content"))
       Multimodal.decodeBatches(media, "content",
           Multimodal.imageDimsSchema)(Multimodal.decodeImageDims)
         .select(col("doc_id"), col("format"), col("width"),
@@ -2075,6 +2102,58 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL ZIP central-directory walk: per doc a genuine ZIP
+    // (local headers + central dir + EOCD, true CRC32s, stored and
+    // deflated members mixed) listed back entry by entry — the
+    // archive-unwrap step crawl ingest needs before text ops can run
+    "q_zip_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val zips = Archive.synthZips(d, "doc_id", "__t", "__n",
+        "content")
+      Archive.zipEntryRows(zips, "doc_id", "content")
+        .select(col("doc_id"), col("entry_name"), col("method"),
+          col("u_size"))
+    }),
+
+    // ----- REAL gzip member decode: header flag walk (FNAME), raw
+    // inflate, CRC32 + ISIZE trailer verification — the text must
+    // come back byte-identical or the row nulls
+    "q_gzip_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val gz = Archive.synthGzips(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(gz, "content",
+          Archive.gunzipTextSchema)(Archive.decodeGunzipText)
+        .select(col("doc_id"), col("gz_text"))
+    }),
+
+    // ----- REAL WARC parse (ISO 28500, the web-crawl interchange
+    // format): request+response record pairs per doc — version line,
+    // header block, Content-Length-delimited payload — with the
+    // response's HTTP envelope split into status + body; every 2nd
+    // doc ships as .warc.gz (one gzip member per record, the
+    // seekability layout), so the concatenated-member splitter runs
+    // against the same oracle
+    "q_warc_records" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 2).cast("int").as("__gz"))
+      val warcs = Archive.synthWarcs(d, "doc_id", "__t", "__gz",
+        "content")
+      val plain = Archive.warcRecordRows(
+        warcs.filter(col("__gz") === 0), "doc_id", "content",
+        gzipped = false)
+      val gz = Archive.warcRecordRows(
+        warcs.filter(col("__gz") === 1), "doc_id", "content",
+        gzipped = true)
+      plain.unionByName(gz)
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("http_status"), col("body_text"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -2217,18 +2296,23 @@ object SparkEntry {
         concat(substring(h, 7, 2), substring(h, 5, 2),
           substring(h, 3, 2), substring(h, 1, 2))
       }
+      // nonneg samples with PER-WINDOW amplitude (gg+w)%4 — varied
+      // window levels give the 60-bit signatures real entropy, so
+      // band buckets stay tiny (flat ~level-8 profiles once made the
+      // banding quadratic: 4.8 s at sf0.1). All divisions are on
+      // nonnegative ints, so Spark's truncation == DuckDB's floor.
       val dataHex = array_join(
         transform(sequence(lit(0), col("__ns") - 1), i => {
-          val s0 = (col("__g") * 7919 + i.cast("long") * 104729) %
-            16000 - 8000
           val w = floor(i.cast("long") * 15 / col("__ns"))
+          val base = (col("__g") * 7919 + i.cast("long") * 104729) %
+            8000
+          val s0 = floor(base * (lit(1) + (col("__g") + w) % 4) / 4)
           val sv = when(col("__odd") === 1 && col("__pert") === 1,
               s0 * 2)
             .when(col("__odd") === 1 && col("__pert") === 2 &&
               w === 14, s0 + 4000)
             .otherwise(s0)
-          val u = (sv + 65536) % 65536
-          val h = lpad(hex(u), 4, "0")
+          val h = lpad(hex(sv), 4, "0")
           concat(substring(h, 3, 2), substring(h, 1, 2))
         }), "")
       val wav = unhex(concat(
@@ -3866,10 +3950,14 @@ object SparkEntry {
              << CAST(4 * w AS INT))) AS BIGINT) AS audio_sig
          FROM lv GROUP BY doc_id""",
 
-    // the parser must read back exactly the dims the hex construction
-    // planted — recomputed here arithmetically, no PNG anywhere
+    // the parsers must read back exactly the dims the hex construction
+    // planted — recomputed here arithmetically, no image bytes
+    // anywhere; format cycles png/gif/webp by doc_id%3 (all three
+    // header codecs behind one row)
     "q_media_dims" ->
-      """SELECT doc_id, 'png' AS format,
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+              ELSE 'webp' END AS format,
          CAST(doc_id % 1920 + 1 AS INT) AS width,
          CAST(doc_id % 1080 + 1 AS INT) AS height,
          CAST(3 AS INT) AS channels
@@ -3984,6 +4072,48 @@ object SparkEntry {
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",
 
+    // the directory walk must read back exactly the planted entry
+    // set: names, methods (odd deflated), and byte sizes
+    "q_zip_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           'f' || t.j || '.txt' AS entry_name,
+           CAST(CASE WHEN t.j % 2 = 1 THEN 8 ELSE 0 END AS INT)
+             AS method,
+           CAST(strlen('e' || t.j || ':' || txt) AS BIGINT) AS u_size
+         FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // inflate + trailer verification must reproduce the text exactly
+    "q_gzip_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') AS gz_text FROM documents""",
+
+    // the WARC walk must read back the planted record structure:
+    // request payloads pass through whole (not an HTTP response),
+    // response payloads split at the first CRLFCRLF into 200 + body;
+    // content lengths are the exact synthesized byte counts
+    "q_warc_records" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt
+           FROM documents),
+         req AS (SELECT doc_id,
+           'GET /doc/' || doc_id || ' HTTP/1.1' || chr(13) || chr(10)
+             || 'Host: example.test' || chr(13) || chr(10)
+             || chr(13) || chr(10) AS body
+           FROM p)
+         SELECT p.doc_id, CAST(0 AS INT) AS rec_idx,
+           'request' AS warc_type,
+           'http://example.test/doc/' || p.doc_id AS target_uri,
+           CAST(strlen(req.body) AS BIGINT) AS content_length,
+           CAST(NULL AS INT) AS http_status,
+           req.body AS body_text
+         FROM p JOIN req ON p.doc_id = req.doc_id
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INT), 'response',
+           'http://example.test/doc/' || doc_id,
+           CAST(45 + strlen(txt) AS BIGINT),
+           CAST(200 AS INT), txt
+         FROM p""",
+
     // three VP8L layouts decode to the same uniform cells -> the PNG
     // checkerboard constants verbatim
     "q_webp_phash" ->
@@ -4080,7 +4210,8 @@ object SparkEntry {
            FROM p),
          smp AS (
            SELECT doc_id, ns, t.i AS i, odd, pert,
-                  ((gg * 7919 + t.i * 104729) % 16000) - 8000 AS s0
+                  (((gg * 7919 + t.i * 104729) % 8000)
+                    * (1 + (gg + (t.i * 15) // ns) % 4)) // 4 AS s0
            FROM q CROSS JOIN generate_series(0, 199) AS t(i)
            WHERE t.i < ns),
          sp AS (

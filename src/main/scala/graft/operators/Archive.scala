@@ -1,0 +1,636 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Archive container codecs — the ingest-side reality that crawl
+  * payloads arrive WRAPPED (zips of documents, gzipped pages):
+  * real byte-level ZIP central-directory and gzip member parsing, no
+  * external libraries beyond `java.util.zip.Inflater`/`CRC32` (the
+  * same JDK primitives the PNG path uses). Same contract as the media
+  * codecs: malformed/unsupported → None/null rows, never a thrown
+  * task.
+  *
+  * Scale shape: both operators are map-only flatMap/map passes —
+  * entry listing is archive-local, extraction touches only the
+  * requested member's bytes, nothing shuffles.
+  */
+object Archive {
+
+  /** One central-directory entry: `method` 0 = stored, 8 = deflate. */
+  final case class ZipEntryMeta(name: String, method: Int,
+      compressedSize: Long, uncompressedSize: Long, crc32: Long,
+      localHeaderOffset: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Central-directory listing via the end-of-central-directory
+    * record (scanned backward through a possible trailing comment,
+    * the spec-prescribed approach): entry name, method,
+    * compressed/uncompressed sizes, CRC32, local-header offset.
+    * None for non-ZIP bytes, truncation, or a corrupt directory —
+    * ZIP64 (>4 GB / >64k entries) is out of scope and classifies as
+    * None via its 0xffffffff sentinels failing the bounds checks.
+    */
+  def zipEntries(b: Array[Byte]): Option[Seq[ZipEntryMeta]] = {
+    if (b == null || b.length < 22) return None
+    // EOCD: 0x06054b50 within the last 64k+22 bytes
+    var eocd = -1
+    var p = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (p >= stop && eocd < 0) {
+      if ((b(p) & 0xff) == 0x50 && (b(p + 1) & 0xff) == 0x4b &&
+        (b(p + 2) & 0xff) == 0x05 && (b(p + 3) & 0xff) == 0x06)
+        eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return None
+    val nEntries = le16(b, eocd + 10)
+    val cdSize = le32(b, eocd + 12)
+    val cdOff = le32(b, eocd + 16)
+    if (cdOff + cdSize > eocd || nEntries > 65535) return None
+    val out = Seq.newBuilder[ZipEntryMeta]
+    var q = cdOff.toInt
+    var i = 0
+    try {
+      while (i < nEntries) {
+        if (q + 46 > eocd || le32(b, q) != 0x02014b50L) return None
+        val method = le16(b, q + 10)
+        val crc = le32(b, q + 16)
+        val csize = le32(b, q + 20)
+        val usize = le32(b, q + 24)
+        val nameLen = le16(b, q + 28)
+        val extraLen = le16(b, q + 30)
+        val commentLen = le16(b, q + 32)
+        val lho = le32(b, q + 42)
+        if (q + 46 + nameLen > eocd) return None
+        val name = new String(b, q + 46, nameLen, "UTF-8")
+        out += ZipEntryMeta(name, method, csize, usize, crc, lho)
+        q += 46 + nameLen + extraLen + commentLen
+        i += 1
+      }
+      Some(out.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Extract one entry's bytes through its LOCAL header (whose name/
+    * extra lengths differ from the central directory's — the classic
+    * offset mistake): stored copied verbatim, deflate through a raw
+    * `Inflater`, output CRC32-verified against the directory. None
+    * for unsupported methods, bad data, or a CRC mismatch.
+    */
+  def zipExtract(b: Array[Byte], e: ZipEntryMeta)
+      : Option[Array[Byte]] = {
+    try {
+      val p = e.localHeaderOffset.toInt
+      if (p + 30 > b.length || le32(b, p) != 0x04034b50L) return None
+      val nameLen = le16(b, p + 26)
+      val extraLen = le16(b, p + 28)
+      val dataOff = p + 30 + nameLen + extraLen
+      if (dataOff + e.compressedSize > b.length) return None
+      if (e.uncompressedSize > 268435456L) return None // 256 MB bomb guard
+      val data: Array[Byte] = e.method match {
+        case 0 =>
+          if (e.compressedSize != e.uncompressedSize) return None
+          java.util.Arrays.copyOfRange(b, dataOff,
+            dataOff + e.compressedSize.toInt)
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          try {
+            inf.setInput(b, dataOff, e.compressedSize.toInt)
+            val out = new Array[Byte](e.uncompressedSize.toInt)
+            var done = 0
+            while (done < out.length && !inf.finished()) {
+              val n = inf.inflate(out, done, out.length - done)
+              if (n == 0 && inf.needsInput()) return None
+              done += n
+            }
+            if (done != out.length) return None
+            out
+          } finally inf.end()
+        case _ => return None
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      if (crc.getValue != e.crc32) None else Some(data)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** One gzip member to its bytes: magic/method/flag parse (FEXTRA /
+    * FNAME / FCOMMENT / FHCRC skipped per RFC 1952), raw-deflate
+    * inflate, then BOTH trailer checks — CRC32 and ISIZE mod 2³². A
+    * wrong trailer means truncated/corrupt content: None, not a
+    * partial document.
+    */
+  def gunzip(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length < 18) return None
+    if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    if ((b(2) & 0xff) != 8) return None // deflate only
+    val flg = b(3) & 0xff
+    try {
+      var p = 10
+      if ((flg & 0x04) != 0) p += 2 + le16(b, p) // FEXTRA
+      if ((flg & 0x08) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 0x10) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p + 8 >= b.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      val out = new java.io.ByteArrayOutputStream()
+      try {
+        inf.setInput(b, p, b.length - p - 8)
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(tmp)
+          // a 0-byte return can also mean "finished on this call"
+          // (empty streams) — only starvation is an error
+          if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary()))
+            return None
+          out.write(tmp, 0, n)
+          if (out.size() > 268435456) return None // bomb guard
+        }
+      } finally inf.end()
+      val data = out.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val tOff = b.length - 8
+      if (le32(b, tOff) != crc.getValue) return None
+      if (le32(b, tOff + 4) != (data.length.toLong & 0xffffffffL))
+        return None
+      Some(data)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DataFrame surface
+  // ------------------------------------------------------------------
+
+  /** One row per archive entry: (id, entry_name, method, c_size,
+    * u_size) — map-only flatMap, non-ZIP content yields no rows.
+    */
+  def zipEntryRows(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("entry_name", StringType),
+      StructField("method", IntegerType),
+      StructField("c_size", LongType),
+      StructField("u_size", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        zipEntries(r.getAs[Array[Byte]](ci)).toSeq.flatten.map { e =>
+          Row(id, e.name, e.method, e.compressedSize,
+            e.uncompressedSize)
+        }
+      }
+    }(enc)
+  }
+
+  /** One row per TEXT entry with its extracted UTF-8 content — the
+    * nested-document unwrap a zipped crawl drop needs before any text
+    * operator can run. Entries that fail extraction (bad method, CRC
+    * mismatch) carry a null text, keeping failures visible.
+    */
+  def zipExtractTextRows(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("entry_name", StringType),
+      StructField("entry_text", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        val bytes = r.getAs[Array[Byte]](ci)
+        zipEntries(bytes).toSeq.flatten.map { e =>
+          Row(id, e.name, zipExtract(bytes, e)
+            .map(new String(_, "UTF-8")).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  val gunzipTextSchema: StructType = StructType(Seq(
+    StructField("gz_text", StringType)))
+
+  /** Decode kernel for [[Multimodal.decodeBatches]]: gzip member →
+    * UTF-8 text, null when malformed.
+    */
+  def decodeGunzipText(bytes: Array[Byte]): Seq[Any] =
+    gunzip(bytes) match {
+      case Some(d) => Seq[Any](new String(d, "UTF-8"))
+      case None    => Seq[Any](null)
+    }
+
+  // ------------------------------------------------------------------
+  // WARC (ISO 28500) — the web-crawl interchange format
+  // ------------------------------------------------------------------
+
+  /** One WARC record: headers are case-insensitively matched; absent
+    * optional headers surface as null.
+    */
+  final case class WarcRecord(warcType: String, targetUri: String,
+      date: String, contentType: String, contentLength: Long,
+      payload: Array[Byte])
+
+  /** Parse concatenated WARC records (the plain-.warc layout):
+    * version line, CRLF header block, Content-Length-delimited
+    * payload, double-CRLF separator. None for non-WARC bytes or a
+    * structurally corrupt stream — a stream that starts well and
+    * truncates mid-record is corrupt, not partially usable (the
+    * record boundary cannot be trusted past the break).
+    */
+  def warcRecords(b: Array[Byte]): Option[Seq[WarcRecord]] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' &&
+      b(4) == '/')) return None
+    val out = Seq.newBuilder[WarcRecord]
+    var p = 0
+    try {
+      while (p < b.length) {
+        // skip trailing separators between/after records
+        while (p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n')
+          p += 2
+        if (p >= b.length) return Some(out.result())
+        def line(from: Int): (String, Int) = {
+          var q = from
+          while (q + 1 < b.length && !(b(q) == '\r' && b(q + 1) == '\n'))
+            q += 1
+          if (q + 1 >= b.length) throw new ArrayIndexOutOfBoundsException
+          (new String(b, from, q - from, "UTF-8"), q + 2)
+        }
+        val (version, afterV) = line(p)
+        if (!version.startsWith("WARC/")) return None
+        var q = afterV
+        var wType: String = null
+        var uri: String = null
+        var date: String = null
+        var cType: String = null
+        var cLen = -1L
+        var done = false
+        while (!done) {
+          val (l, nq) = line(q)
+          q = nq
+          if (l.isEmpty) done = true
+          else {
+            val i = l.indexOf(':')
+            if (i <= 0) return None
+            val k = l.substring(0, i).trim.toLowerCase
+            val v = l.substring(i + 1).trim
+            k match {
+              case "warc-type" => wType = v
+              case "warc-target-uri" => uri = v
+              case "warc-date" => date = v
+              case "content-type" => cType = v
+              case "content-length" =>
+                cLen = try v.toLong catch {
+                  case _: NumberFormatException => return None
+                }
+              case _ => ()
+            }
+          }
+        }
+        if (cLen < 0 || q + cLen > b.length) return None
+        val payload = java.util.Arrays.copyOfRange(b, q,
+          q + cLen.toInt)
+        out += WarcRecord(wType, uri, date, cType, cLen, payload)
+        p = q + cLen.toInt
+      }
+      Some(out.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Split CONCATENATED gzip members (the .warc.gz layout — one
+    * member per record, the seekability trick): each member fully
+    * inflated and trailer-verified like [[gunzip]]. None if any
+    * member is corrupt.
+    */
+  def gunzipMembers(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (b == null || b.length < 18) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var p = 0
+    try {
+      while (p < b.length) {
+        if ((b(p) & 0xff) != 0x1f || (b(p + 1) & 0xff) != 0x8b ||
+          (b(p + 2) & 0xff) != 8) return None
+        val flg = b(p + 3) & 0xff
+        var q = p + 10
+        if ((flg & 0x04) != 0) q += 2 + le16(b, q)
+        if ((flg & 0x08) != 0) { while (b(q) != 0) q += 1; q += 1 }
+        if ((flg & 0x10) != 0) { while (b(q) != 0) q += 1; q += 1 }
+        if ((flg & 0x02) != 0) q += 2
+        val inf = new java.util.zip.Inflater(true)
+        val buf = new java.io.ByteArrayOutputStream()
+        try {
+          inf.setInput(b, q, b.length - q)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(tmp)
+            if (n == 0 && !inf.finished() &&
+              (inf.needsInput() || inf.needsDictionary())) return None
+            buf.write(tmp, 0, n)
+            if (buf.size() > 268435456) return None
+          }
+          val data = buf.toByteArray
+          val crc = new java.util.zip.CRC32()
+          crc.update(data)
+          val tOff = q + inf.getBytesRead.toInt
+          if (tOff + 8 > b.length) return None
+          if (le32(b, tOff) != crc.getValue) return None
+          if (le32(b, tOff + 4) != (data.length.toLong & 0xffffffffL))
+            return None
+          out += data
+          p = tOff + 8
+        } finally inf.end()
+      }
+      Some(out.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  /** HTTP response payload split: (status code, body bytes) — the
+    * header/body boundary is the first CRLFCRLF; a payload that is
+    * not an HTTP response yields (null status, whole payload).
+    */
+  private def httpSplit(payload: Array[Byte])
+      : (Integer, Array[Byte]) = {
+    val isHttp = payload.length >= 8 && payload(0) == 'H' &&
+      payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P' &&
+      payload(4) == '/'
+    if (!isHttp) return (null, payload)
+    var i = 0
+    var boundary = -1
+    while (boundary < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        boundary = i
+      i += 1
+    }
+    val statusLineEnd = {
+      var q = 0
+      while (q + 1 < payload.length &&
+        !(payload(q) == '\r' && payload(q + 1) == '\n')) q += 1
+      q
+    }
+    val parts = new String(payload, 0, statusLineEnd, "UTF-8")
+      .split(" ")
+    val status: Integer =
+      if (parts.length >= 2)
+        try Integer.valueOf(parts(1).toInt)
+        catch { case _: NumberFormatException => null }
+      else null
+    val body =
+      if (boundary < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(payload, boundary + 4,
+        payload.length)
+    (status, body)
+  }
+
+  /** One row per WARC record — the crawl-ingest explode: (id,
+    * rec_idx, warc_type, target_uri, content_length, http_status,
+    * body_text). `gzipped` selects the .warc.gz member-per-record
+    * layout. HTTP response payloads split into status + body; other
+    * record types carry the raw payload as body_text. Non-WARC
+    * content yields no rows. Map-only.
+    */
+  def warcRecordRows(df: DataFrame, idCol: String,
+      contentCol: String, gzipped: Boolean): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("rec_idx", IntegerType),
+      StructField("warc_type", StringType),
+      StructField("target_uri", StringType),
+      StructField("content_length", LongType),
+      StructField("http_status", IntegerType),
+      StructField("body_text", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        val raw = r.getAs[Array[Byte]](ci)
+        val plain: Option[Array[Byte]] =
+          if (!gzipped) Option(raw)
+          else gunzipMembers(raw).map(_.foldLeft(
+            new java.io.ByteArrayOutputStream()) { (acc, m) =>
+              acc.write(m, 0, m.length); acc
+            }.toByteArray)
+        plain.flatMap(warcRecords).toSeq.flatten.zipWithIndex.map {
+          case (rec, idx) =>
+            val (status, body) = httpSplit(rec.payload)
+            Row(id, idx, rec.warcType, rec.targetUri,
+              rec.contentLength, status,
+              new String(body, "UTF-8"))
+        }
+      }
+    }(enc)
+  }
+
+  /** WARC writer for fixtures: records as (type, uri, payload);
+    * `gzipped` emits one gzip member per record.
+    */
+  def warcWrite(records: Seq[(String, String, Array[Byte])],
+      gzipped: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((wType, uri, payload) <- records) {
+      val rec = new java.io.ByteArrayOutputStream()
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $wType\r\n")
+      if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
+      hdr.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+        .append(s"Content-Length: ${payload.length}\r\n")
+        .append("\r\n")
+      rec.write(hdr.toString.getBytes("UTF-8"))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes("UTF-8"))
+      val bytes = rec.toByteArray
+      if (gzipped) {
+        val gz = gzipWrite(bytes, "rec")
+        out.write(gz, 0, gz.length)
+      } else out.write(bytes, 0, bytes.length)
+    }
+    out.toByteArray
+  }
+
+  /** Per-row WARC synthesizer: request + response record pairs, the
+    * response wrapping an HTTP 200 with the doc text as body.
+    * `gzCol` = 1 emits the member-per-record .warc.gz layout.
+    */
+  def synthWarcs(df: DataFrame, idCol: String, textCol: String,
+      gzCol: String, outCol: String): DataFrame = {
+    val (ii, ti, gi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(gzCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii)
+        val text = Option(r.getString(ti)).getOrElse("")
+        val uri = s"http://example.test/doc/$id"
+        val req = s"GET /doc/$id HTTP/1.1\r\nHost: example.test\r\n\r\n"
+          .getBytes("UTF-8")
+        val resp = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          "\r\n" + text).getBytes("UTF-8")
+        val bytes = warcWrite(Seq(
+          ("request", uri, req), ("response", uri, resp)),
+          gzipped = r.getInt(gi) == 1)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture encoders
+  // ------------------------------------------------------------------
+
+  /** Real ZIP writer for fixtures: local headers + central directory
+    * + EOCD with true CRC32s; per-entry `deflate` flag picks method 8
+    * (raw Deflater) or 0 (stored).
+    */
+  def zipWrite(entries: Seq[(String, Array[Byte], Boolean)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val metas = entries.map { case (name, data, deflate) =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val payload =
+        if (!deflate) data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(data); d.finish()
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+            buf.toByteArray
+          } finally d.end()
+        }
+      val nameB = name.getBytes("UTF-8")
+      val off = out.size()
+      w32(0x04034b50L); w16(20); w16(0)
+      w16(if (deflate) 8 else 0)
+      w16(0); w16(0) // time/date
+      w32(crc.getValue); w32(payload.length.toLong)
+      w32(data.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(payload)
+      (nameB, if (deflate) 8 else 0, crc.getValue,
+        payload.length.toLong, data.length.toLong, off.toLong)
+    }
+    val cdOff = out.size()
+    metas.foreach { case (nameB, method, crc, csize, usize, off) =>
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(method)
+      w16(0); w16(0)
+      w32(crc); w32(csize); w32(usize)
+      w16(nameB.length); w16(0); w16(0)
+      w16(0); w16(0); w32(0)
+      w32(off)
+      out.write(nameB)
+    }
+    val cdSize = out.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(metas.length); w16(metas.length)
+    w32(cdSize.toLong); w32(cdOff.toLong)
+    w16(0)
+    out.toByteArray
+  }
+
+  /** Real gzip writer for fixtures (FNAME flag set so the decoder's
+    * header-skip path runs): JDK Deflater raw stream + RFC 1952
+    * header/trailer by hand.
+    */
+  def gzipWrite(data: Array[Byte], name: String = "doc"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1f); out.write(0x8b); out.write(8)
+    out.write(0x08) // FNAME
+    (0 until 6).foreach(_ => out.write(0)) // mtime/xfl/os
+    out.write(name.getBytes("UTF-8")); out.write(0)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(data); d.finish()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    } finally d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(crc.getValue)
+    w32(data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Per-row ZIP synthesizer for fixtures: `nCol` entries per doc,
+    * entry j named `f<j>.txt` holding `prefix<j>:` + the doc text,
+    * odd entries deflated, even stored.
+    */
+  def synthZips(df: DataFrame, idCol: String, textCol: String,
+      nCol: String, outCol: String): DataFrame = {
+    val (ii, ti, ni) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(nCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val n = r.getInt(ni)
+        val entries = (0 until n).map { j =>
+          (s"f$j.txt", (s"e$j:" + text).getBytes("UTF-8"), j % 2 == 1)
+        }
+        Row.fromSeq(r.toSeq :+ zipWrite(entries))
+      }
+    }(enc)
+  }
+
+  /** Per-row gzip synthesizer: the doc text gzipped (FNAME path). */
+  def synthGzips(df: DataFrame, idCol: String, textCol: String,
+      outCol: String): DataFrame = {
+    val (ti) = df.schema.fieldIndex(textCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+ gzipWrite(text.getBytes("UTF-8")))
+      }
+    }(enc)
+  }
+}

@@ -649,10 +649,16 @@ object Dedup {
   def dedupCorpusKeepBest(df: DataFrame, idCol: String,
       qualityCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val members = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
+    // pin the pair pipeline ONCE: members reads it twice (both union
+    // branches) and the clustering once more — without the pin the
+    // upstream signature pipeline (minhash/banding) re-executes for
+    // each, which dominated this operator's wall
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val members = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id")))
       .distinct()
-    val labels = duplicateClusters(members, "id", pairs, maxIter)
+      .localCheckpoint() // reused by the quality join AND the delete
+    val labels = duplicateClusters(members, "id", p, maxIter)
     val qual = df
       .select(col(idCol).as("id"), col(qualityCol).as("__q"))
       .join(members, Seq("id")) // members is small: broadcast, map-side

@@ -179,8 +179,52 @@ object Multimodal {
   }
 
   /** Sniff PNG then JPEG (each checks its own magic first). */
+  /** GIF header dims from the logical screen descriptor — palette
+    * images report 3 channels (RGB color table entries).
+    */
+  def gifDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 13) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val w = gifLe16(b, 6)
+    val h = gifLe16(b, 8)
+    if (w > 0 && h > 0) Some(ImageDims("gif", w, h, 3)) else None
+  }
+
+  /** WebP (VP8L) header dims: 14-bit width−1/height−1 straight out of
+    * the lossless bitstream header; channels follow the alpha hint.
+    * Lossy VP8 chunks classify as None (consistent with the pixel
+    * path's scope).
+    */
+  def webpDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 26) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+      return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val tag = new String(Array(b(p), b(p + 1), b(p + 2), b(p + 3)),
+        "US-ASCII")
+      val len = le32(b, p + 4)
+      if (len < 0 || p + 8 + len > b.length) return None
+      if (tag == "VP8L") {
+        if (len < 6 || (b(p + 8) & 0xff) != 0x2f) return None
+        // 28 header bits LSB-first after the signature byte
+        val v = (b(p + 9) & 0xffL) | ((b(p + 10) & 0xffL) << 8) |
+          ((b(p + 11) & 0xffL) << 16) | ((b(p + 12) & 0xffL) << 24)
+        val w = ((v & 0x3fff) + 1).toInt
+        val h = (((v >> 14) & 0x3fff) + 1).toInt
+        val alpha = ((v >> 28) & 1L) == 1L
+        return Some(ImageDims("webp", w, h, if (alpha) 4 else 3))
+      }
+      p += 8 + len.toInt + (len.toInt & 1)
+    }
+    None
+  }
+
   def imageDims(bytes: Array[Byte]): Option[ImageDims] =
-    pngDims(bytes).orElse(jpegDims(bytes))
+    pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
+      .orElse(webpDims(bytes))
 
   // ------------------------------------------------------------------
   // Real PNG PIXEL decode (no external libraries): IDAT is a zlib

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Archive
+
+/** ZIP central-directory walk + extraction and gzip member decode:
+  * round-trips, CRC enforcement, malformed classification.
+  */
+class ArchiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloads = Seq(
+    ("a.txt", "hello archive world".getBytes("UTF-8"), false),
+    ("dir/b.bin", Array.tabulate[Byte](5000)(i => (i * 7).toByte), true),
+    ("c.txt", "x".getBytes("UTF-8"), true))
+
+  test("zipWrite -> zipEntries lists the planted directory exactly") {
+    val z = Archive.zipWrite(payloads)
+    val es = Archive.zipEntries(z).get
+    assert(es.map(_.name) == payloads.map(_._1))
+    assert(es.map(_.method) == Seq(0, 8, 8))
+    assert(es.map(_.uncompressedSize) ==
+      payloads.map(_._2.length.toLong))
+  }
+
+  test("zipExtract round-trips stored and deflated members, " +
+      "verifies CRC") {
+    val z = Archive.zipWrite(payloads)
+    val es = Archive.zipEntries(z).get
+    for ((e, (_, data, _)) <- es.zip(payloads))
+      assert(Archive.zipExtract(z, e).exists(_.sameElements(data)),
+        e.name)
+    // corrupt one data byte of the stored member: CRC must refuse
+    val bad = z.clone()
+    val off = es.head.localHeaderOffset.toInt + 30 +
+      es.head.name.length
+    bad(off) = (bad(off) ^ 0x5a).toByte
+    assert(Archive.zipExtract(bad, es.head).isEmpty)
+  }
+
+  test("zipEntries: malformed inputs classify as None") {
+    assert(Archive.zipEntries(null).isEmpty)
+    assert(Archive.zipEntries("not a zip".getBytes).isEmpty)
+    val z = Archive.zipWrite(payloads)
+    assert(Archive.zipEntries(z.take(z.length - 10)).isEmpty)
+  }
+
+  test("gunzip round-trips through the FNAME header path and " +
+      "enforces the trailer") {
+    val data = ("some document text " * 50).getBytes("UTF-8")
+    val gz = Archive.gzipWrite(data, "name.txt")
+    assert(Archive.gunzip(gz).exists(_.sameElements(data)))
+    // corrupt the ISIZE trailer
+    val bad = gz.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    assert(Archive.gunzip(bad).isEmpty)
+    // corrupt the CRC trailer
+    val bad2 = gz.clone()
+    bad2(bad2.length - 6) = (bad2(bad2.length - 6) ^ 1).toByte
+    assert(Archive.gunzip(bad2).isEmpty)
+    assert(Archive.gunzip("garbage".getBytes).isEmpty)
+    assert(Archive.gunzip(null).isEmpty)
+    // empty payload round-trips
+    assert(Archive.gunzip(Archive.gzipWrite(Array.emptyByteArray))
+      .exists(_.isEmpty))
+  }
+
+  test("warcRecords parses concatenated records; truncation and " +
+      "junk classify as None") {
+    val recs = Seq(
+      ("warcinfo", null, "software: graft\r\n".getBytes("UTF-8")),
+      ("response", "http://x.test/a",
+        "HTTP/1.1 404 Not Found\r\n\r\nmissing".getBytes("UTF-8")))
+    val bytes = Archive.warcWrite(recs, gzipped = false)
+    val got = Archive.warcRecords(bytes).get
+    assert(got.map(_.warcType) == Seq("warcinfo", "response"))
+    assert(got(0).targetUri == null)
+    assert(got(1).targetUri == "http://x.test/a")
+    assert(got(1).contentLength == recs(1)._3.length.toLong)
+    assert(new String(got(1).payload, "UTF-8")
+      .endsWith("missing"))
+    assert(Archive.warcRecords(bytes.take(30)).isEmpty)
+    assert(Archive.warcRecords("HTTP/1.1 200 OK".getBytes).isEmpty)
+    assert(Archive.warcRecords(null).isEmpty)
+  }
+
+  test("gunzipMembers splits member-per-record streams exactly") {
+    val a = "first".getBytes("UTF-8")
+    val b = "second member".getBytes("UTF-8")
+    val cat = Archive.gzipWrite(a, "a") ++ Archive.gzipWrite(b, "b")
+    val ms = Archive.gunzipMembers(cat).get
+    assert(ms.length == 2)
+    assert(ms(0).sameElements(a) && ms(1).sameElements(b))
+    // a corrupt second member poisons the whole stream
+    val bad = cat.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    assert(Archive.gunzipMembers(bad).isEmpty)
+  }
+
+  test("warcRecordRows: http split, request passthrough, gz parity") {
+    val docs = Seq((7L, "the body text")).toDF("doc_id", "text")
+    def rows(gz: Int) = {
+      val d = docs.withColumn("__gz", lit(gz))
+      Archive.warcRecordRows(
+        Archive.synthWarcs(d, "doc_id", "text", "__gz", "content"),
+        "doc_id", "content", gzipped = gz == 1)
+        .select("doc_id", "rec_idx", "warc_type", "http_status",
+          "body_text")
+        .as[(Long, Int, String, Option[Int], String)].collect().toSet
+    }
+    val plain = rows(0)
+    assert(plain.exists { case (_, _, t, st, b) =>
+      t == "response" && st.contains(200) && b == "the body text" })
+    assert(plain.exists { case (_, _, t, st, b) =>
+      t == "request" && st.isEmpty && b.startsWith("GET /doc/7") })
+    assert(rows(1) == plain) // gz layout parses to identical rows
+  }
+
+  test("zipEntryRows / zipExtractTextRows explode archives map-only") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .withColumn("__n", lit(2))
+    val zips = Archive.synthZips(docs, "doc_id", "text", "__n",
+      "content")
+    val rows = Archive.zipEntryRows(zips, "doc_id", "content")
+      .select("doc_id", "entry_name", "method")
+      .as[(Long, String, Int)].collect().toSet
+    assert(rows == Set((1L, "f0.txt", 0), (1L, "f1.txt", 8),
+      (2L, "f0.txt", 0), (2L, "f1.txt", 8)))
+    val texts = Archive.zipExtractTextRows(zips, "doc_id", "content")
+      .select("doc_id", "entry_name", "entry_text")
+      .as[(Long, String, String)].collect().toSet
+    assert(texts == Set((1L, "f0.txt", "e0:alpha"),
+      (1L, "f1.txt", "e1:alpha"), (2L, "f0.txt", "e0:beta"),
+      (2L, "f1.txt", "e1:beta")))
+  }
+}

@@ -60,6 +60,17 @@ class WebPSpec extends SparkSpec {
       Multimodal.gifEncodeGray(8, 8, grad(8, 8))).isEmpty)
   }
 
+  test("header dims cover gif and webp alongside png/jpeg") {
+    val webp = WebP.encodeGraySubtractGreen(33, 21, grad(33, 21))
+    assert(Multimodal.imageDims(webp).contains(
+      Multimodal.ImageDims("webp", 33, 21, 3)))
+    val gif = Multimodal.gifEncodeGray(19, 7, grad(19, 7))
+    assert(Multimodal.imageDims(gif).contains(
+      Multimodal.ImageDims("gif", 19, 7, 3)))
+    assert(Multimodal.webpDims("RIFF1234WAVE".getBytes).isEmpty)
+    assert(Multimodal.gifDims("GIF8".getBytes).isEmpty)
+  }
+
   test("unified hash path covers webp; all three layouts of the same " +
       "pixels hash identically") {
     val pix = Array.tabulate(16 * 16) { i =>
