@@ -80,7 +80,11 @@ object ScaleStress {
     // with ~no shuffle growth
     "q_jpeg_phash" -> SparkEntry.queries("q_jpeg_phash"),
     "q_audio_signature" -> SparkEntry.queries("q_audio_signature"),
-    "q_gif_phash" -> SparkEntry.queries("q_gif_phash"))
+    "q_gif_phash" -> SparkEntry.queries("q_gif_phash"),
+    // archive unwrap: same map-only contract as the codecs — the
+    // explode output grows with docs, nothing shuffles
+    "q_warc_records" -> SparkEntry.queries("q_warc_records"),
+    "q_zip_entries" -> SparkEntry.queries("q_zip_entries"))
     // (q_edit_pairs is deliberately absent: stress replicas repeat
     // the 200 entity-name values, so its OUTPUT pair set grows
     // ~|group|² — a data artifact, not an operator pathology; the
@@ -204,7 +208,9 @@ object ScaleStress {
       // map-only codec scans: no pair structure at all
       "q_jpeg_phash" -> 10.0,
       "q_audio_signature" -> 10.0,
-      "q_gif_phash" -> 10.0)
+      "q_gif_phash" -> 10.0,
+      "q_warc_records" -> 10.0,
+      "q_zip_entries" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate

@@ -2129,6 +2129,52 @@ object SparkEntry {
         .select(col("doc_id"), col("gz_text"))
     }),
 
+    // ----- end-to-end crawl ingest: WARC unwrap → HTTP body → the
+    // Gopher-style quality filter → fingerprint dedup — the wrapped
+    // bytes must feed the text stack LOSSLESSLY (the oracle runs the
+    // same filter + grouping on the documents table directly, so any
+    // byte damage in the unwrap breaks the hash)
+    "q_crawl_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 2).cast("int").as("__gz"))
+      val warcs = Archive.synthWarcs(d, "doc_id", "__t", "__gz",
+        "content")
+      val rows = Archive.warcRecordRows(
+          warcs.filter(col("__gz") === 0), "doc_id", "content",
+          gzipped = false)
+        .unionByName(Archive.warcRecordRows(
+          warcs.filter(col("__gz") === 1), "doc_id", "content",
+          gzipped = true))
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("body_text").as("text"))
+      val kept = rows.filter(T.qualityKeep(col("text")))
+      Dedup.byFingerprint(kept, "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
+    // ----- REAL ustar walk: per-doc tar (checksum-verified 512-byte
+    // headers, two-zero-block terminator), every 2nd doc shipped as
+    // .tar.gz through the gzip composition — both layouts against
+    // one arithmetic oracle
+    "q_tar_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"),
+        (col("doc_id") % 2).cast("int").as("__gz"))
+      val tars = Archive.synthTars(d, "doc_id", "__t", "__n", "__gz",
+        "content")
+      val plain = Archive.tarEntryRows(
+        tars.filter(col("__gz") === 0), "doc_id", "content",
+        gzipped = false)
+      val gz = Archive.tarEntryRows(
+        tars.filter(col("__gz") === 1), "doc_id", "content",
+        gzipped = true)
+      plain.unionByName(gz)
+        .select(col("doc_id"), col("entry_name"), col("typeflag"),
+          col("u_size"))
+    }),
+
     // ----- REAL WARC parse (ISO 28500, the web-crawl interchange
     // format): request+response record pairs per doc — version line,
     // header block, Content-Length-delimited payload — with the
@@ -4087,6 +4133,31 @@ object SparkEntry {
     // inflate + trailer verification must reproduce the text exactly
     "q_gzip_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') AS gz_text FROM documents""",
+
+    // the unwrap must be lossless: the same quality filter +
+    // fingerprint grouping over the documents table directly — any
+    // byte damage through the WARC/gzip path shifts a fingerprint
+    // and breaks the hash
+    "q_crawl_curate" ->
+      s"""WITH k AS (SELECT doc_id FROM ($qualityFilterOracle)
+           WHERE keep),
+         d AS (SELECT doc_id, COALESCE(text, '') AS text
+           FROM documents WHERE doc_id IN (SELECT doc_id FROM k))
+         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM d
+         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+           'g'))""",
+
+    // the ustar walk must read back the planted member set through
+    // both the plain and the gunzip-composed path
+    "q_tar_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           'm' || t.j || '.txt' AS entry_name,
+           '0' AS typeflag,
+           CAST(strlen('t' || t.j || ':' || txt) AS BIGINT) AS u_size
+         FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
 
     // the WARC walk must read back the planted record structure:
     // request payloads pass through whole (not an HTTP response),

@@ -243,6 +243,180 @@ object Archive {
     }
 
   // ------------------------------------------------------------------
+  // TAR (POSIX ustar) — the other half of the archive-wrapped world
+  // ------------------------------------------------------------------
+
+  /** One tar entry: `typeflag` '0' = regular file, '5' = directory
+    * (other flags pass through for the caller to filter).
+    */
+  final case class TarEntry(name: String, size: Long, typeflag: Char,
+      dataOffset: Long)
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    // skip leading spaces/NULs, stop at the first terminator
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0')
+      i += 1
+    }
+    v
+  }
+
+  /** Walk 512-byte ustar blocks: name (prefix-joined), size, type,
+    * data offset per entry; every header's checksum is verified (sum
+    * of header bytes with the chksum field as spaces). Ends at the
+    * two-zero-block terminator or clean EOF. None for non-tar bytes,
+    * checksum mismatches, or a size running past the buffer.
+    */
+  def tarEntries(b: Array[Byte]): Option[Seq[TarEntry]] = {
+    if (b == null || b.length < 512) return None
+    val out = Seq.newBuilder[TarEntry]
+    var p = 0
+    var sawOne = false
+    try {
+      while (p + 512 <= b.length) {
+        var allZero = true
+        var z = 0
+        while (allZero && z < 512) {
+          if (b(p + z) != 0) allZero = false
+          z += 1
+        }
+        if (allZero) return if (sawOne) Some(out.result()) else None
+        // checksum: unsigned byte sum, chksum field (148..155) as ' '
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+            else b(p + i) & 0xff)
+          i += 1
+        }
+        if (octal(b, p + 148, 8) != sum) return None
+        def str(off: Int, len: Int): String = {
+          var n = 0
+          while (n < len && b(p + off + n) != 0) n += 1
+          new String(b, p + off, n, "UTF-8")
+        }
+        val magic = str(257, 6)
+        if (magic != "ustar" && magic != "ustar ") return None
+        val prefix = str(345, 155)
+        val name0 = str(0, 100)
+        val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
+        val size = octal(b, p + 124, 12)
+        val tf = (b(p + 156) & 0xff).toChar
+        val dataOff = p + 512L
+        val blocks = (size + 511) / 512
+        if (dataOff + size > b.length) return None
+        out += TarEntry(name, size,
+          if (tf == 0) '0' else tf, dataOff)
+        sawOne = true
+        p += 512 + (blocks * 512L).toInt
+      }
+      if (sawOne) Some(out.result()) else None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Entry bytes (regular files): a plain slice at the recorded
+    * offset — tar stores uncompressed.
+    */
+  def tarExtract(b: Array[Byte], e: TarEntry): Option[Array[Byte]] =
+    if (e.dataOffset + e.size > b.length || e.size > 268435456L) None
+    else Some(java.util.Arrays.copyOfRange(b, e.dataOffset.toInt,
+      (e.dataOffset + e.size).toInt))
+
+  /** One row per tar entry, with `.tar.gz` handled by composing
+    * [[gunzip]] (`gzipped`): (id, entry_name, typeflag, u_size).
+    * Map-only; non-tar content yields no rows.
+    */
+  def tarEntryRows(df: DataFrame, idCol: String, contentCol: String,
+      gzipped: Boolean): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("entry_name", StringType),
+      StructField("typeflag", StringType),
+      StructField("u_size", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        val raw = r.getAs[Array[Byte]](ci)
+        val plain = if (gzipped) gunzip(raw) else Option(raw)
+        plain.flatMap(tarEntries).toSeq.flatten.map { e =>
+          Row(id, e.name, e.typeflag.toString, e.size)
+        }
+      }
+    }(enc)
+  }
+
+  /** ustar writer for fixtures: correct checksums, prefix unused,
+    * two-zero-block terminator.
+    */
+  def tarWrite(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, data) <- entries) {
+      val h = new Array[Byte](512)
+      val nameB = name.getBytes("UTF-8")
+      require(nameB.length <= 100, s"name too long: $name")
+      System.arraycopy(nameB, 0, h, 0, nameB.length)
+      def oct(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off,
+          len - 1)
+      }
+      oct(100, 8, 420) // mode 0644
+      oct(108, 8, 0); oct(116, 8, 0)
+      oct(124, 12, data.length.toLong)
+      oct(136, 12, 0)
+      h(156) = '0'
+      System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h, 257, 6)
+      System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (i <- 0 until 512) sum += h(i) & 0xff
+      oct(148, 8, sum)
+      h(155) = ' '
+      out.write(h, 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      (0 until pad).foreach(_ => out.write(0))
+    }
+    (0 until 1024).foreach(_ => out.write(0))
+    out.toByteArray
+  }
+
+  /** Per-row tar synthesizer: `nCol` members per doc, member j named
+    * `m<j>.txt` holding `t<j>:` + the doc text; `gzCol` = 1 wraps the
+    * whole tar in one gzip member (.tar.gz).
+    */
+  def synthTars(df: DataFrame, idCol: String, textCol: String,
+      nCol: String, gzCol: String, outCol: String): DataFrame = {
+    val (ti, ni, gi) = (df.schema.fieldIndex(textCol),
+      df.schema.fieldIndex(nCol), df.schema.fieldIndex(gzCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val n = r.getInt(ni)
+        val tar = tarWrite((0 until n).map { j =>
+          (s"m$j.txt", (s"t$j:" + text).getBytes("UTF-8"))
+        })
+        val bytes = if (r.getInt(gi) == 1) gzipWrite(tar, "a.tar")
+          else tar
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // WARC (ISO 28500) — the web-crawl interchange format
   // ------------------------------------------------------------------
 

@@ -65,6 +65,30 @@ class ArchiveSpec extends SparkSpec {
       .exists(_.isEmpty))
   }
 
+  test("tarWrite -> tarEntries round-trips members, checksums " +
+      "enforced, tgz composes") {
+    val members = Seq(
+      ("one.txt", "first file".getBytes("UTF-8")),
+      ("dir-two.bin", Array.tabulate[Byte](1300)(i => (i * 3).toByte)))
+    val tar = Archive.tarWrite(members)
+    val es = Archive.tarEntries(tar).get
+    assert(es.map(_.name) == members.map(_._1))
+    assert(es.map(_.size) == members.map(_._2.length.toLong))
+    assert(es.forall(_.typeflag == '0'))
+    for ((e, (_, data)) <- es.zip(members))
+      assert(Archive.tarExtract(tar, e).exists(_.sameElements(data)))
+    // flipped header byte -> checksum refuses
+    val bad = tar.clone()
+    bad(3) = (bad(3) ^ 1).toByte
+    assert(Archive.tarEntries(bad).isEmpty)
+    assert(Archive.tarEntries("not a tar".getBytes).isEmpty)
+    assert(Archive.tarEntries(null).isEmpty)
+    // tgz: gunzip composes
+    val tgz = Archive.gzipWrite(tar, "a.tar")
+    assert(Archive.gunzip(tgz).flatMap(Archive.tarEntries)
+      .exists(_.map(_.name) == members.map(_._1)))
+  }
+
   test("warcRecords parses concatenated records; truncation and " +
       "junk classify as None") {
     val recs = Seq(

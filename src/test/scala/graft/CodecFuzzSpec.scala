@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Archive, Multimodal, WebP}
+
+/** Adversarial-byte robustness for every decoder that faces untrusted
+  * crawl content: seeded random mutations (bit flips, truncations,
+  * splices) of VALID streams must come back as None/Some — never a
+  * thrown exception, which would kill the Spark task instead of
+  * quarantining the document. Each decoder also re-proves it never
+  * claims another format's magic.
+  */
+class CodecFuzzSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(0xC0DEC5L)
+
+  private def grad(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => (i * 7 + 13) % 256)
+
+  /** Mutations: n single-byte flips, a truncation, a mid splice. */
+  private def mutants(valid: Array[Byte], n: Int)
+      : Iterator[Array[Byte]] = {
+    val flips = Iterator.fill(n) {
+      val m = valid.clone()
+      val k = 1 + rnd.nextInt(3)
+      for (_ <- 0 until k) {
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      m
+    }
+    val truncs = Iterator.fill(n / 2) {
+      valid.take(1 + rnd.nextInt(math.max(valid.length - 1, 1)))
+    }
+    val splices = Iterator.fill(n / 2) {
+      val at = rnd.nextInt(valid.length)
+      val junk = Array.fill[Byte](1 + rnd.nextInt(16))(
+        rnd.nextInt(256).toByte)
+      valid.take(at) ++ junk ++ valid.drop(at)
+    }
+    flips ++ truncs ++ splices
+  }
+
+  private def assertTotal[T](name: String, valid: Array[Byte],
+      decode: Array[Byte] => Option[T], n: Int = 60): Unit = {
+    assert(decode(valid).isDefined, s"$name: valid input must decode")
+    var i = 0
+    for (m <- mutants(valid, n)) {
+      try decode(m)
+      catch {
+        case e: Throwable =>
+          fail(s"$name mutant #$i threw ${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}")
+      }
+      i += 1
+    }
+  }
+
+  test("png decoder is total under mutation") {
+    assertTotal("png", Multimodal.pngEncodeGray(24, 16, grad(24, 16)),
+      Multimodal.pngDecodeLuma)
+  }
+
+  test("jpeg decoder is total under mutation") {
+    assertTotal("jpeg", Multimodal.jpegEncodeGray(32, 24, grad(32, 24)),
+      Multimodal.jpegDecodeLuma)
+  }
+
+  test("gif decoder is total under mutation") {
+    assertTotal("gif", Multimodal.gifEncodeGray(24, 16, grad(24, 16),
+      interlaced = true), Multimodal.gifDecodeLuma)
+  }
+
+  test("webp decoder is total under mutation (all three layouts)") {
+    assertTotal("webp/sg",
+      WebP.encodeGraySubtractGreen(24, 16, grad(24, 16)),
+      WebP.decodeLuma)
+    assertTotal("webp/pred",
+      WebP.encodeGrayPredictor(24, 16, grad(24, 16), mode = 11),
+      WebP.decodeLuma)
+    assertTotal("webp/pal",
+      WebP.encodeGrayPalette(24, 16,
+        Array.tabulate(24 * 16)(i => 40 + (i % 3) * 60)),
+      WebP.decodeLuma)
+  }
+
+  test("wav feature/signature decoders are total under mutation") {
+    // a valid little WAV via the hex layout the queries use
+    val smp = Array.tabulate[Short](64)(k => (k * 251 - 8000).toShort)
+    val data = smp.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes); hdr.putInt(36 + data.length)
+    hdr.put("WAVE".getBytes); hdr.put("fmt ".getBytes)
+    hdr.putInt(16); hdr.putShort(1); hdr.putShort(1)
+    hdr.putInt(8000); hdr.putInt(16000); hdr.putShort(2)
+    hdr.putShort(16); hdr.put("data".getBytes)
+    hdr.putInt(data.length)
+    val wav = hdr.array() ++ data
+    assertTotal("wav/features", wav,
+      (b: Array[Byte]) => Multimodal.wavPcm16Features(b))
+    assertTotal("wav/signature", wav, Multimodal.wavAudioSignature)
+  }
+
+  test("mp4 meta/timing/sample decoders are total under mutation") {
+    assertTotal("mp4/meta",
+      Multimodal.mp4EncodeMeta("mp42", 1000, 700L, Seq((64, 48))),
+      Multimodal.mp4Meta)
+    assertTotal("mp4/timing",
+      Multimodal.mp4EncodeTimed("avc1", 1000, Seq((10L, 2L)),
+        Some(Seq(1L, 5L)), leadingBareTrack = true),
+      Multimodal.mp4Timing)
+    val frames = Seq(Multimodal.jpegEncodeGray(16, 16, grad(16, 16)))
+    assertTotal("mp4/mjpeg", Multimodal.mp4EncodeMjpeg(frames),
+      Multimodal.mp4MjpegSamples)
+  }
+
+  test("exif parser is total under mutation") {
+    val jpeg = Multimodal.withExifApp1(
+      Multimodal.jpegEncodeGray(16, 16, grad(16, 16)), 6,
+      bigEndian = true)
+    assertTotal("exif", jpeg, Multimodal.exifOrientation)
+  }
+
+  test("archive decoders are total under mutation") {
+    val zip = Archive.zipWrite(Seq(
+      ("a.txt", "stored entry".getBytes, false),
+      ("b.txt", ("deflated " * 40).getBytes, true)))
+    assertTotal("zip/entries", zip, Archive.zipEntries)
+    // extraction over mutated directories: list then extract each
+    for (m <- mutants(zip, 40)) {
+      try Archive.zipEntries(m).foreach(_.foreach(e =>
+        Archive.zipExtract(m, e)))
+      catch {
+        case e: Throwable =>
+          fail(s"zip extract threw ${e.getClass.getSimpleName}")
+      }
+    }
+    assertTotal("gzip", Archive.gzipWrite("payload text".getBytes),
+      Archive.gunzip)
+    val tar = Archive.tarWrite(Seq(
+      ("a.txt", ("tar member " * 30).getBytes)))
+    assertTotal("tar", tar, Archive.tarEntries)
+    val warc = Archive.warcWrite(Seq(
+      ("response", "http://x.test/a",
+        "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)), gzipped = false)
+    assertTotal("warc", warc, Archive.warcRecords)
+    val warcGz = Archive.warcWrite(Seq(
+      ("response", "http://x.test/a",
+        "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)), gzipped = true)
+    assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
+  }
+}
