@@ -2129,6 +2129,15 @@ object SparkEntry {
         .select(col("doc_id"), col("gz_text"))
     }),
 
+    // ----- one-row corpus health report: the summary a curation run
+    // opens with — doc/null/token counts, language count, near-exact
+    // duplicate mass, quality-fail rate — all exact integers in ONE
+    // aggregation pass, so two runs diff meaningfully
+    "q_corpus_report" -> ((s, dir) => {
+      CorpusScrub.corpusReport(t(s, dir, "documents"), "doc_id",
+        "text", "lang")
+    }),
+
     // ----- end-to-end crawl ingest: WARC unwrap → HTTP body → the
     // Gopher-style quality filter → fingerprint dedup — the wrapped
     // bytes must feed the text stack LOSSLESSLY (the oracle runs the
@@ -4133,6 +4142,32 @@ object SparkEntry {
     // inflate + trailer verification must reproduce the text exactly
     "q_gzip_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') AS gz_text FROM documents""",
+
+    // report replay: every field recomputed from the same documents
+    // table with the same exact-integer arithmetic
+    "q_corpus_report" -> {
+      s"""WITH q AS (SELECT doc_id, keep
+           FROM ($qualityFilterOracle) z),
+         agg AS (SELECT
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_text,
+           COALESCE(SUM(CASE WHEN d.text IS NOT NULL
+             THEN len(${tokensSql("d.text")}) END), 0)::BIGINT
+             AS total_tokens,
+           COUNT(DISTINCT d.lang)::BIGINT AS n_langs,
+           COUNT(DISTINCT md5(regexp_replace(lower(d.text),
+             '[^a-z0-9]', '', 'g')))::BIGINT AS fp,
+           SUM(CASE WHEN q.keep THEN 1 ELSE 0 END)::BIGINT AS nkeep
+           FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         SELECT n_docs, n_null_text, total_tokens, n_langs,
+           n_docs - n_null_text - fp AS dup_docs,
+           (n_docs - n_null_text - fp) * 1000
+             // GREATEST(n_docs - n_null_text, 1) AS dup_frac_milli,
+           (n_docs - nkeep) * 1000 // GREATEST(n_docs, 1)
+             AS quality_fail_milli
+         FROM agg"""
+    },
 
     // the unwrap must be lossless: the same quality filter +
     // fingerprint grouping over the documents table directly — any

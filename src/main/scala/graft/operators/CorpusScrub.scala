@@ -257,4 +257,41 @@ object CorpusScrub {
       .agg(count(lit(1)).as("n_tokens"),
         avg(col("__lp")).as("mean_logprob"))
   }
+
+  /** One-row corpus HEALTH REPORT — the summary a curation run opens
+    * with and gates on: doc/null counts, total whitespace tokens,
+    * language count, near-exact duplicate mass (docs beyond their
+    * fingerprint group's first), and the quality-filter fail rate —
+    * every field an exact integer (`DIV` milli fractions), so the
+    * report replays bit-identically on any engine and two runs
+    * diff meaningfully.
+    *
+    * Scale shape: ONE aggregation pass (the exact count-distincts
+    * expand the scan 3× map-side — the standard exact-distinct
+    * trade; swap for HLL upstream if ±2% is acceptable), no joins,
+    * no driver loops. The quality rules are [[graft.functions
+    * .TextFunctions.qualityKeep]]'s expression tree inline — null
+    * text counts as a fail (it IS unusable), not a skip.
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val T = graft.functions.TextFunctions
+    val text = col(textCol)
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        count(when(text.isNull, 1)).as("n_null_text"),
+        coalesce(sum(when(text.isNotNull,
+          T.tokenCount(text).cast("long"))), lit(0L))
+          .as("total_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        countDistinct(T.fingerprint(text)).as("__fp"),
+        count(when(T.qualityKeep(text) === true, 1)).as("__keep"))
+      .withColumn("dup_docs",
+        col("n_docs") - col("n_null_text") - col("__fp"))
+      .withColumn("dup_frac_milli", expr(
+        "dup_docs * 1000 DIV greatest(n_docs - n_null_text, 1)"))
+      .withColumn("quality_fail_milli", expr(
+        "(n_docs - __keep) * 1000 DIV greatest(n_docs, 1)"))
+      .drop("__fp", "__keep")
+  }
 }

@@ -185,4 +185,34 @@ class CorpusScrubSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(all.forall(r => r._3 == r._2 && r._4 == 1000L))
   }
+
+  test("corpusReport: exact counts on a hand corpus (dups, nulls, " +
+      "langs, quality fails)") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "keeps running for a while longer across the field " +
+      "with steady calm strides toward the distant river " +
+      "bank where it finally rests in the warm afternoon sun " +
+      "and watches the water flow gently past the old stones")
+    val docs = Seq(
+      (1L, good, "en"),
+      (2L, good + "!", "en"),            // same fingerprint as 1 (punct)
+      (3L, "x 1 2 3", "de"),             // fails quality (word count)
+      (4L, null.asInstanceOf[String], "en"), // null text
+      (5L, good + " unique tail words", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = CorpusScrub.corpusReport(docs, "doc_id", "text", "lang")
+      .collect()(0)
+    def f(n: String) = r.getLong(r.fieldIndex(n))
+    assert(f("n_docs") == 5L)
+    assert(f("n_null_text") == 1L)
+    assert(f("n_langs") == 3L)
+    assert(f("dup_docs") == 1L)          // doc 2 duplicates doc 1
+    assert(f("dup_frac_milli") == 250L)  // 1 of 4 non-null
+    // null text and the degenerate doc fail; rest pass
+    assert(f("quality_fail_milli") == 2L * 1000L / 5L)
+    val tok = docs.filter($"text".isNotNull)
+      .select(sum(size(split(trim($"text"), "\\s+"))))
+      .collect()(0).getLong(0)
+    assert(f("total_tokens") == tok)
+  }
 }
