@@ -2129,6 +2129,42 @@ object SparkEntry {
         .select(col("doc_id"), col("gz_text"))
     }),
 
+    // ----- REAL MP3 frame walk: valid MPEG-1 Layer III headers
+    // behind an ID3v2 tag — every frame's sync/bitrate/rate checked,
+    // frame count and exact integer duration read back
+    "q_mp3_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        lit(0).cast("int").as("__f"),
+        (col("doc_id") % 20 + 5).cast("int").as("__a"),
+        (col("doc_id") % 14 + 1).cast("int").as("__b"),
+        (col("doc_id") % 3).cast("int").as("__c"),
+        (col("doc_id") % 2).cast("int").as("__d"))
+      val mp3 = Multimodal.synthAudioMeta(d, "__f", "__a", "__b",
+        "__c", "__d", "content")
+      Multimodal.decodeBatches(mp3, "content",
+          Multimodal.mp3MetaSchema)(Multimodal.decodeMp3Meta)
+        .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+          col("kbps"), col("mono"), col("duration_us"))
+    }),
+
+    // ----- REAL FLAC STREAMINFO parse: 20/3/5/36-bit field layout
+    // straight off the bytes — rate/channels/bits/samples planted
+    "q_flac_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        lit(1).cast("int").as("__f"),
+        (col("doc_id") % 100).cast("int").as("__a"),
+        (col("doc_id") % 8 + 1).cast("int").as("__b"),
+        (col("doc_id") % 9).cast("int").as("__c"),
+        (col("doc_id") % 50 + 1).cast("int").as("__d"))
+      val flac = Multimodal.synthAudioMeta(d, "__f", "__a", "__b",
+        "__c", "__d", "content")
+      Multimodal.decodeBatches(flac, "content",
+          Multimodal.flacMetaSchema)(Multimodal.decodeFlacMeta)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("total_samples"),
+          col("duration_us"))
+    }),
+
     // ----- one-row corpus health report: the summary a curation run
     // opens with — doc/null/token counts, language count, near-exact
     // duplicate mass, quality-fail rate — all exact integers in ONE
@@ -4142,6 +4178,40 @@ object SparkEntry {
     // inflate + trailer verification must reproduce the text exactly
     "q_gzip_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') AS gz_text FROM documents""",
+
+    // the frame walk must read back the planted header fields and
+    // count every frame; duration is the exact integer form
+    "q_mp3_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 20 + 5 AS BIGINT) AS fr,
+           doc_id % 14 + 1 AS bi, doc_id % 3 AS si,
+           doc_id % 2 AS mn FROM documents)
+         SELECT doc_id, fr AS n_frames,
+           CAST(CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST(CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                WHEN 13 THEN 256 ELSE 320 END AS INT) AS kbps,
+           (mn = 1) AS mono,
+           CAST(fr * 1152 * 1000000 // (CASE si WHEN 0 THEN 44100
+             WHEN 1 THEN 48000 ELSE 32000 END) AS BIGINT)
+             AS duration_us
+         FROM p""",
+
+    // the STREAMINFO bit layout must read back the planted fields
+    "q_flac_meta" ->
+      """WITH p AS (SELECT doc_id,
+           8000 + (doc_id % 100) * 100 AS rt,
+           doc_id % 8 + 1 AS ch, doc_id % 9 + 8 AS bps,
+           (doc_id % 50 + 1) * 977 AS smp FROM documents)
+         SELECT doc_id, CAST(rt AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(bps AS INT) AS bits_per_sample,
+           CAST(smp AS BIGINT) AS total_samples,
+           CAST(smp * 1000000 // rt AS BIGINT) AS duration_us
+         FROM p""",
 
     // report replay: every field recomputed from the same documents
     // table with the same exact-integer arithmetic

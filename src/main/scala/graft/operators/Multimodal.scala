@@ -2914,6 +2914,212 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // MP3 frame walk + FLAC STREAMINFO — the two dominant crawl audio
+  // formats beyond WAV, parsed for the metadata curation filters on
+  // (duration, rate, channels) without any entropy decode.
+  // ------------------------------------------------------------------
+
+  /** Parsed MP3 stream metadata (MPEG-1 Layer III): frame count from
+    * a full header walk, first-frame bitrate, sample rate, mono flag,
+    * and the exact integer duration `frames · 1152 · 10⁶ DIV rate`.
+    */
+  final case class Mp3Meta(nFrames: Long, sampleRate: Int,
+      kbps: Int, mono: Boolean, durationUs: Long)
+
+  private val Mp3Bitrates: Array[Int] = Array(0, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates: Array[Int] = Array(44100, 48000, 32000, 0)
+
+  /** Walk every frame header: sync + MPEG-1 + Layer III checked per
+    * frame, frame length `144·bitrate DIV rate + padding`. An ID3v2
+    * tag (syncsafe length) is skipped. None for non-MP3 bytes, free
+    * bitrate, reserved rates, or a frame running past the buffer —
+    * a TRUNCATED stream is corrupt, not short.
+    */
+  def mp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    var p = 0
+    // ID3v2: "ID3" major minor flags + 4 syncsafe size bytes
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      p = 10 + size
+    }
+    var nFrames = 0L
+    var rate = 0
+    var kbps0 = 0
+    var mono = false
+    try {
+      while (p + 4 <= b.length) {
+        if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0)
+          return None
+        val versionId = (b(p + 1) >> 3) & 0x03
+        val layer = (b(p + 1) >> 1) & 0x03
+        if (versionId != 3 || layer != 1) return None // MPEG-1 L3 only
+        val brIdx = (b(p + 2) >> 4) & 0x0f
+        val srIdx = (b(p + 2) >> 2) & 0x03
+        val padding = (b(p + 2) >> 1) & 0x01
+        val kbps = Mp3Bitrates(brIdx)
+        val sr = Mp3Rates(srIdx)
+        if (kbps == 0 || sr == 0) return None // free/bad = unsupported
+        if (nFrames == 0L) {
+          rate = sr; kbps0 = kbps
+          mono = ((b(p + 3) >> 6) & 0x03) == 3
+        }
+        val frameLen = 144 * (kbps * 1000) / sr + padding
+        if (frameLen < 4 || p + frameLen > b.length) return None
+        nFrames += 1
+        p += frameLen
+      }
+      if (nFrames == 0L) None
+      else Some(Mp3Meta(nFrames, rate, kbps0, mono,
+        nFrames * 1152L * 1000000L / rate))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  val mp3MetaSchema: StructType = StructType(Seq(
+    StructField("n_frames", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("kbps", IntegerType),
+    StructField("mono", BooleanType),
+    StructField("duration_us", LongType)))
+
+  def decodeMp3Meta(bytes: Array[Byte]): Seq[Any] =
+    mp3Meta(bytes) match {
+      case Some(m) => Seq[Any](m.nFrames, m.sampleRate, m.kbps,
+        m.mono, m.durationUs)
+      case None => Seq[Any](null, null, null, null, null)
+    }
+
+  /** MP3 synthesizer for fixtures: `frames` valid MPEG-1 Layer III
+    * headers with zeroed payloads at the given bitrate/rate indices,
+    * preceded by an ID3v2 tag (so the skip path always runs).
+    */
+  def mp3Encode(frames: Int, brIdx: Int, srIdx: Int,
+      mono: Boolean): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    require(frames > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 tag with a 17-byte body of zeros
+    out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0)
+    out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(17)
+    (0 until 17).foreach(_ => out.write(0))
+    val kbps = Mp3Bitrates(brIdx)
+    val sr = Mp3Rates(srIdx)
+    val frameLen = 144 * (kbps * 1000) / sr
+    for (_ <- 0 until frames) {
+      out.write(0xff); out.write(0xfb) // sync, MPEG-1, L3, no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // no padding
+      out.write(if (mono) 0xc0 else 0x00)
+      (4 until frameLen).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  /** Parsed FLAC STREAMINFO: sample rate, channels, bits/sample,
+    * total samples, exact integer duration.
+    */
+  final case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, durationUs: Long)
+
+  /** `fLaC` magic + the mandatory first STREAMINFO block (type 0,
+    * length 34): 20-bit rate, 3-bit channels−1, 5-bit bps−1, 36-bit
+    * total samples, straight off the bit layout. None for non-FLAC
+    * magic, a wrong first block, or zero rate.
+    */
+  def flacMeta(b: Array[Byte]): Option[FlacMeta] = {
+    if (b == null || b.length < 4 + 4 + 34) return None
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be type 0
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) |
+      (b(7) & 0xff)
+    if (len != 34) return None
+    val o = 8
+    val rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) |
+      ((b(o + 12) & 0xf0) >> 4)
+    if (rate == 0) return None
+    val channels = ((b(o + 12) >> 1) & 0x07) + 1
+    val bps = (((b(o + 12) & 0x01) << 4) |
+      ((b(o + 13) & 0xf0) >> 4)) + 1
+    val samples = ((b(o + 13) & 0x0fL) << 32) |
+      ((b(o + 14) & 0xffL) << 24) | ((b(o + 15) & 0xffL) << 16) |
+      ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+    Some(FlacMeta(rate, channels, bps, samples,
+      samples * 1000000L / rate))
+  }
+
+  val flacMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("total_samples", LongType),
+    StructField("duration_us", LongType)))
+
+  def decodeFlacMeta(bytes: Array[Byte]): Seq[Any] =
+    flacMeta(bytes) match {
+      case Some(m) => Seq[Any](m.sampleRate, m.channels,
+        m.bitsPerSample, m.totalSamples, m.durationUs)
+      case None => Seq[Any](null, null, null, null, null)
+    }
+
+  /** FLAC header synthesizer for fixtures: magic + STREAMINFO with
+    * the planted fields (no audio frames — metadata only, which is
+    * all the parser reads).
+    */
+  def flacEncodeMeta(rate: Int, channels: Int, bps: Int,
+      samples: Long): Array[Byte] = {
+    require(rate > 0 && rate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bps >= 4 && bps <= 32)
+    require(samples >= 0 && samples < (1L << 36))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80) // last block, type 0
+    out.write(0); out.write(0); out.write(34)
+    // min/max blocksize, min/max framesize
+    out.write(0x10); out.write(0); out.write(0x10); out.write(0)
+    (0 until 6).foreach(_ => out.write(0))
+    out.write((rate >> 12) & 0xff)
+    out.write((rate >> 4) & 0xff)
+    out.write(((rate & 0x0f) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4))
+    out.write((((bps - 1) & 0x0f) << 4) |
+      ((samples >> 32) & 0x0f).toInt)
+    out.write(((samples >> 24) & 0xff).toInt)
+    out.write(((samples >> 16) & 0xff).toInt)
+    out.write(((samples >> 8) & 0xff).toInt)
+    out.write((samples & 0xff).toInt)
+    (0 until 16).foreach(_ => out.write(0)) // md5 of audio (unused)
+    out.toByteArray
+  }
+
+  /** Per-row MP3/FLAC synthesizer: `fmtCol` 0 → MP3 (frames/brIdx/
+    * srIdx/mono planted), 1 → FLAC (rate/channels/bps/samples).
+    */
+  def synthAudioMeta(df: DataFrame, fmtCol: String, aCol: String,
+      bCol: String, cCol: String, dCol: String,
+      outCol: String): DataFrame = {
+    val idx = Seq(fmtCol, aCol, bCol, cCol, dCol)
+      .map(df.schema.fieldIndex)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val Seq(fmt, a, bb, c, d) = idx.map(r.getInt)
+        val bytes =
+          if (fmt == 0) mp3Encode(a, bb, c, d == 1)
+          else flacEncodeMeta(8000 + a * 100, bb, c + 8, d.toLong * 977L)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
   /** Parsed MP4 (ISO-BMFF) container metadata: major brand from
     * `ftyp`, movie timescale/duration from `moov/mvhd`, presentation
     * dimensions from the first visual `moov/trak/tkhd` (16.16 fixed

@@ -115,6 +115,13 @@ class CodecFuzzSpec extends SparkSpec {
       Multimodal.mp4MjpegSamples)
   }
 
+  test("mp3/flac metadata parsers are total under mutation") {
+    assertTotal("mp3", Multimodal.mp3Encode(6, brIdx = 9, srIdx = 0,
+      mono = false), Multimodal.mp3Meta)
+    assertTotal("flac", Multimodal.flacEncodeMeta(44100, 2, 16,
+      88200L), Multimodal.flacMeta)
+  }
+
   test("exif parser is total under mutation") {
     val jpeg = Multimodal.withExifApp1(
       Multimodal.jpegEncodeGray(16, 16, grad(16, 16)), 6,

@@ -48,6 +48,36 @@ class VideoTimingSpec extends SparkSpec {
     assert(t.firstKeyframe == 3L && t.nKeyframes == 2L)
   }
 
+  test("mp3 frame walk: counts, first-frame fields, ID3 skip, " +
+      "truncation refused") {
+    val b = Multimodal.mp3Encode(7, brIdx = 9, srIdx = 1, mono = true)
+    val m = Multimodal.mp3Meta(b).get
+    assert(m.nFrames == 7L && m.sampleRate == 48000 &&
+      m.kbps == 128 && m.mono)
+    assert(m.durationUs == 7L * 1152 * 1000000L / 48000)
+    // truncated mid-frame: corrupt, not short
+    assert(Multimodal.mp3Meta(b.dropRight(10)).isEmpty)
+    assert(Multimodal.mp3Meta("ID3junk".getBytes).isEmpty)
+    assert(Multimodal.mp3Meta(null).isEmpty)
+    // MPEG-2 version bits -> unsupported, None not a wrong guess
+    val v2 = b.clone()
+    val off = b.length - (144 * 128000 / 48000) * 7 // first frame
+    v2(off + 1) = 0xf3.toByte // version 10 = MPEG-2
+    assert(Multimodal.mp3Meta(v2).isEmpty)
+  }
+
+  test("flac STREAMINFO: planted bit fields read back exactly") {
+    val b = Multimodal.flacEncodeMeta(96000, 6, 24, (1L << 35) + 5L)
+    val m = Multimodal.flacMeta(b).get
+    assert(m.sampleRate == 96000 && m.channels == 6 &&
+      m.bitsPerSample == 24)
+    assert(m.totalSamples == (1L << 35) + 5L)
+    assert(m.durationUs == ((1L << 35) + 5L) * 1000000L / 96000)
+    assert(Multimodal.flacMeta("fLaX0000".getBytes).isEmpty)
+    assert(Multimodal.flacMeta(b.take(20)).isEmpty)
+    assert(Multimodal.flacMeta(null).isEmpty)
+  }
+
   test("malformed inputs classify as None") {
     assert(Multimodal.mp4Timing(null).isEmpty)
     assert(Multimodal.mp4Timing("nope".getBytes).isEmpty)
