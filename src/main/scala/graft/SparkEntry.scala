@@ -2129,6 +2129,25 @@ object SparkEntry {
         .select(col("doc_id"), col("gz_text"))
     }),
 
+    // ----- REAL BMP decode: paletted 8-bit checkerboards with true
+    // 4-byte row padding, every 3rd doc top-down (negative height) —
+    // a fifth raster codec behind the same analytic constants
+    "q_bmp_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"),
+        (col("doc_id") % 3 === 0).cast("int").as("__td"))
+      val bmp = Multimodal.synthCheckerBmp(d, "__w", "__h", "__a",
+        "__b", "__p", "__td", "content")
+      Multimodal.decodeBatches(bmp, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- REAL MP3 frame walk: valid MPEG-1 Layer III headers
     // behind an ID3v2 tag — every frame's sync/bitrate/rate checked,
     // frame count and exact integer duration read back
@@ -4178,6 +4197,14 @@ object SparkEntry {
     // inflate + trailer verification must reproduce the text exactly
     "q_gzip_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') AS gz_text FROM documents""",
+
+    // both BMP row orders decode to the same uniform cells -> the
+    // PNG checkerboard constants verbatim
+    "q_bmp_phash" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
+         FROM documents""",
 
     // the frame walk must read back the planted header fields and
     // count every frame; duration is the exact integer form

@@ -224,7 +224,7 @@ object Multimodal {
 
   def imageDims(bytes: Array[Byte]): Option[ImageDims] =
     pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
-      .orElse(webpDims(bytes))
+      .orElse(webpDims(bytes)).orElse(bmpDims(bytes))
 
   // ------------------------------------------------------------------
   // Real PNG PIXEL decode (no external libraries): IDAT is a zlib
@@ -1177,7 +1177,7 @@ object Multimodal {
     */
   def imageDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     pngDecodeLuma(b).orElse(jpegDecodeLuma(b)).orElse(gifDecodeLuma(b))
-      .orElse(WebP.decodeLuma(b))
+      .orElse(WebP.decodeLuma(b)).orElse(bmpDecodeLuma(b))
 
   /** Apply an EXIF orientation (1..8) to a decoded luma plane — the
     * display normalization that makes a rotated/flipped copy hash
@@ -2910,6 +2910,173 @@ object Multimodal {
             r.getInt(oi), be)
           Row.fromSeq(r.toSeq.updated(ci, spliced))
         }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // BMP decode — uncompressed BI_RGB, the remaining common raster
+  // format: BITMAPFILEHEADER + BITMAPINFOHEADER, 8-bit paletted or
+  // 24/32-bit truecolor, 4-byte row padding, bottom-up (positive
+  // height) AND top-down (negative height) row orders.
+  // ------------------------------------------------------------------
+
+  /** Decode a BMP to the shared luma contract. Scope: header size 40
+    * (BITMAPINFOHEADER), compression 0, bpp 8 (palette) / 24 / 32;
+    * anything else — RLE, 1/4-bit, V4/V5 headers — classifies as
+    * None, as do truncated pixels or a palette shorter than the
+    * largest index... which cannot be checked per-index cheaply, so
+    * out-of-range indices read as 0 like the GIF path.
+    */
+  def bmpDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 54) return None
+    if (b(0) != 'B' || b(1) != 'M') return None
+    try {
+      val dataOff = le32(b, 10)
+      if (le32(b, 14) != 40L) return None // BITMAPINFOHEADER only
+      val w = le32(b, 18).toInt
+      val hRaw = le32(b, 22).toInt
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bpp = le16(b, 28)
+      if (le32(b, 30) != 0L) return None // BI_RGB only
+      if (w <= 0 || h <= 0 || w.toLong * h > 268435456L) return None
+      if (bpp != 8 && bpp != 24 && bpp != 32) return None
+      val palette: Array[Int] =
+        if (bpp != 8) null
+        else {
+          val n = {
+            val declared = le32(b, 46).toInt
+            if (declared == 0) 256 else declared
+          }
+          if (54 + 4L * n > b.length) return None
+          Array.tabulate(n) { i =>
+            val o = 54 + 4 * i // BGRA order
+            (77 * (b(o + 2) & 0xff) + 150 * (b(o + 1) & 0xff) +
+              29 * (b(o) & 0xff) + 128) >> 8
+          }
+        }
+      val bytesPerPx = bpp / 8
+      val stride = (w * bytesPerPx + 3) & ~3
+      if (dataOff + stride.toLong * h > b.length) return None
+      val luma = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        val y = if (topDown) row else h - 1 - row
+        val base = dataOff.toInt + row * stride
+        var x = 0
+        while (x < w) {
+          luma(y * w + x) =
+            if (bpp == 8) {
+              val idx = b(base + x) & 0xff
+              if (idx < palette.length) palette(idx) else 0
+            } else {
+              val o = base + x * bytesPerPx // BGR(A)
+              (77 * (b(o + 2) & 0xff) + 150 * (b(o + 1) & 0xff) +
+                29 * (b(o) & 0xff) + 128) >> 8
+            }
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, luma))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** BMP header dims (shares [[bmpDecodeLuma]]'s scope checks). */
+  def bmpDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return None
+    if (le32(b, 14) != 40L) return None
+    val w = le32(b, 18).toInt
+    val h = math.abs(le32(b, 22).toInt)
+    val bpp = le16(b, 28)
+    if (w <= 0 || h == 0) return None
+    val ch = bpp match {
+      case 8 => 1; case 24 => 3; case 32 => 4; case _ => -1
+    }
+    if (ch < 0) None else Some(ImageDims("bmp", w, h, ch))
+  }
+
+  /** Real 8-bit grayscale BMP encoder (gray palette, bottom-up rows
+    * unless `topDown`, true 4-byte row padding) for fixtures.
+    */
+  def bmpEncodeGray(w: Int, h: Int, pix: Array[Int],
+      topDown: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h)
+    val stride = (w + 3) & ~3
+    val dataOff = 54 + 4 * 256
+    val size = dataOff + stride * h
+    val out = new Array[Byte](size)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, dataOff)
+    w32(14, 40); w32(18, w)
+    w32(22, if (topDown) -h else h)
+    w16(26, 1); w16(28, 8)
+    w32(30, 0); w32(34, stride * h)
+    w32(46, 256)
+    var i = 0
+    while (i < 256) { // gray BGRA palette
+      out(54 + 4 * i) = i.toByte
+      out(54 + 4 * i + 1) = i.toByte
+      out(54 + 4 * i + 2) = i.toByte
+      i += 1
+    }
+    var row = 0
+    while (row < h) {
+      val y = if (topDown) row else h - 1 - row
+      var x = 0
+      while (x < w) {
+        out(dataOff + row * stride + x) = pix(y * w + x).toByte
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Deterministic checkerboard-BMP synthesizer ([[synthCheckerPng]]
+    * for the BMP path; `tdCol` toggles top-down row order so both
+    * row paths face the oracle).
+    */
+  def synthCheckerBmp(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String, tdCol: String,
+      outCol: String): DataFrame = {
+    val (wi, hi, ai, bi, pi, ti) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol),
+      df.schema.fieldIndex(tdCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi)
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (8 * x / w) + (8 * y / h) + ph
+            pix(y * w + x) = if (cell % 2 == 0) a else b
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+
+          bmpEncodeGray(w, h, pix, r.getInt(ti) == 1))
       }
     }(enc)
   }

@@ -70,6 +70,11 @@ class CodecFuzzSpec extends SparkSpec {
       interlaced = true), Multimodal.gifDecodeLuma)
   }
 
+  test("bmp decoder is total under mutation") {
+    assertTotal("bmp", Multimodal.bmpEncodeGray(24, 16, grad(24, 16)),
+      Multimodal.bmpDecodeLuma)
+  }
+
   test("webp decoder is total under mutation (all three layouts)") {
     assertTotal("webp/sg",
       WebP.encodeGraySubtractGreen(24, 16, grad(24, 16)),

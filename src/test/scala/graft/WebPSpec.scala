@@ -60,6 +60,30 @@ class WebPSpec extends SparkSpec {
       Multimodal.gifEncodeGray(8, 8, grad(8, 8))).isEmpty)
   }
 
+  test("bmp round-trips both row orders and non-multiple-of-4 " +
+      "widths; malformed classify as None") {
+    for ((w, h) <- Seq((5, 3), (16, 16), (21, 9));
+         td <- Seq(false, true)) {
+      val pix = grad(w, h)
+      val bmp = Multimodal.bmpEncodeGray(w, h, pix, topDown = td)
+      val got = Multimodal.bmpDecodeLuma(bmp)
+      assert(got.exists(_._3.sameElements(pix)),
+        s"${w}x$h topDown=$td")
+      assert(got.get._1 == w && got.get._2 == h)
+    }
+    assert(Multimodal.bmpDecodeLuma("BMjunk".getBytes).isEmpty)
+    assert(Multimodal.bmpDecodeLuma(null).isEmpty)
+    val good = Multimodal.bmpEncodeGray(8, 8, grad(8, 8))
+    assert(Multimodal.bmpDecodeLuma(good.take(60)).isEmpty)
+    // and the unified hash path covers it, equal to the PNG hash
+    val pix = grad(16, 16)
+    assert(Multimodal.imageAHash(
+      Multimodal.bmpEncodeGray(16, 16, pix)) ==
+      Multimodal.imageAHash(Multimodal.pngEncodeGray(16, 16, pix)))
+    assert(Multimodal.imageDims(good).contains(
+      Multimodal.ImageDims("bmp", 8, 8, 1)))
+  }
+
   test("header dims cover gif and webp alongside png/jpeg") {
     val webp = WebP.encodeGraySubtractGreen(33, 21, grad(33, 21))
     assert(Multimodal.imageDims(webp).contains(
