@@ -1631,10 +1631,35 @@ object SparkEntry {
         lit("57454250"),                  // WEBP
         lit("5650384C"), lit("06000000"), // VP8L, len 6 LE
         lit("2F"), vHex, lit("00"))       // sig, header, pad
+      def le32hex(c: Column) = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val bmp = concat(
+        lit("424D"), lit("36000000"), lit("00000000"),
+        lit("36000000"),                  // data offset
+        lit("28000000"),                  // BITMAPINFOHEADER
+        le32hex(w), le32hex(h),
+        lit("0100"), lit("1800"),         // planes, 24 bpp
+        lit("00000000"),                  // BI_RGB
+        lit("00000000"), lit("00000000"), lit("00000000"),
+        lit("00000000"), lit("00000000")) // sizes/res/colors
+      val tiff = concat(
+        lit("49492A00"), lit("08000000"), // II, magic, IFD at 8
+        lit("0300"),                      // 3 entries
+        lit("0001"), lit("0400"), lit("01000000"), le32hex(w),
+        lit("0101"), lit("0300"), lit("01000000"), le16hex(h),
+        lit("0000"),
+        lit("1501"), lit("0300"), lit("01000000"), lit("0300"),
+        lit("0000"),
+        lit("00000000"))                  // next-IFD terminator
       val media = d.select(col("doc_id"), unhex(
-        when(col("doc_id") % 3 === 0, png)
-          .when(col("doc_id") % 3 === 1, gif)
-          .otherwise(webp)).as("content"))
+        when(col("doc_id") % 5 === 0, png)
+          .when(col("doc_id") % 5 === 1, gif)
+          .when(col("doc_id") % 5 === 2, webp)
+          .when(col("doc_id") % 5 === 3, bmp)
+          .otherwise(tiff)).as("content"))
       Multimodal.decodeBatches(media, "content",
           Multimodal.imageDimsSchema)(Multimodal.decodeImageDims)
         .select(col("doc_id"), col("format"), col("width"),
@@ -4062,12 +4087,13 @@ object SparkEntry {
 
     // the parsers must read back exactly the dims the hex construction
     // planted — recomputed here arithmetically, no image bytes
-    // anywhere; format cycles png/gif/webp by doc_id%3 (all three
-    // header codecs behind one row)
+    // anywhere; format cycles png/gif/webp/bmp/tiff by doc_id%5
+    // (all five header codecs behind one row)
     "q_media_dims" ->
       """SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-              ELSE 'webp' END AS format,
+         CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+              WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp'
+              ELSE 'tiff' END AS format,
          CAST(doc_id % 1920 + 1 AS INT) AS width,
          CAST(doc_id % 1080 + 1 AS INT) AS height,
          CAST(3 AS INT) AS channels

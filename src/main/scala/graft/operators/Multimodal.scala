@@ -222,9 +222,90 @@ object Multimodal {
     None
   }
 
+  /** TIFF header dims: `II`/`MM` byte-order magic 42, IFD0 scan for
+    * ImageWidth (256) / ImageLength (257) / SamplesPerPixel (277,
+    * default 1) — SHORT or LONG typed, per the spec. Scans and faxes
+    * ship as TIFF; dims-level triage needs no strip decode.
+    */
+  def tiffDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 8) return None
+    val little =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
+        false
+      else return None
+    def r16(o: Int): Int =
+      if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def r32(o: Int): Long =
+      if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    try {
+      val ifd0 = r32(4)
+      if (ifd0 < 8 || ifd0 + 2 > b.length) return None
+      val base = ifd0.toInt
+      val n = r16(base)
+      var w = -1L; var h = -1L; var spp = 1L
+      var e = 0
+      while (e < n) {
+        val off = base + 2 + 12 * e
+        if (off + 12 > b.length) return None
+        val tag = r16(off)
+        val typ = r16(off + 2)
+        if (tag == 256 || tag == 257 || tag == 277) {
+          // value-in-field for count 1: SHORT reads 2, LONG reads 4
+          val v: Long =
+            if (typ == 3) r16(off + 8).toLong
+            else if (typ == 4) r32(off + 8)
+            else return None
+          if (tag == 256) w = v
+          else if (tag == 257) h = v
+          else spp = v
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0 && w * h <= 268435456L && spp >= 1)
+        Some(ImageDims("tiff", w.toInt, h.toInt, spp.toInt))
+      else None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Minimal TIFF header synthesizer for fixtures (either byte
+    * order): IFD0 with width/height/samples entries, no image data.
+    */
+  def tiffEncodeDims(w: Int, h: Int, spp: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](8 + 2 + 3 * 12 + 4)
+    def w16(o: Int, v: Int): Unit =
+      if (bigEndian) { out(o) = (v >> 8).toByte; out(o + 1) = v.toByte }
+      else { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit =
+      if (bigEndian) {
+        out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+        out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      } else {
+        out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+        out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+      }
+    out(0) = (if (bigEndian) 'M' else 'I').toByte
+    out(1) = out(0)
+    w16(2, 42); w32(4, 8)
+    w16(8, 3) // three entries
+    // width as LONG, height as SHORT — both typed reads exercised
+    w16(10, 256); w16(12, 4); w32(14, 1); w32(18, w)
+    w16(22, 257); w16(24, 3); w32(26, 1); w16(30, h)
+    w16(34, 277); w16(36, 3); w32(38, 1); w16(42, spp)
+    out
+  }
+
   def imageDims(bytes: Array[Byte]): Option[ImageDims] =
     pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
       .orElse(webpDims(bytes)).orElse(bmpDims(bytes))
+      .orElse(tiffDims(bytes))
 
   // ------------------------------------------------------------------
   // Real PNG PIXEL decode (no external libraries): IDAT is a zlib

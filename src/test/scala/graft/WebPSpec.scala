@@ -93,6 +93,14 @@ class WebPSpec extends SparkSpec {
       Multimodal.ImageDims("gif", 19, 7, 3)))
     assert(Multimodal.webpDims("RIFF1234WAVE".getBytes).isEmpty)
     assert(Multimodal.gifDims("GIF8".getBytes).isEmpty)
+    // tiff: both byte orders, SHORT and LONG typed fields
+    for (be <- Seq(false, true)) {
+      val t = Multimodal.tiffEncodeDims(1234, 88, 3, be)
+      assert(Multimodal.imageDims(t).contains(
+        Multimodal.ImageDims("tiff", 1234, 88, 3)), s"be=$be")
+    }
+    assert(Multimodal.tiffDims("II*x".getBytes).isEmpty)
+    assert(Multimodal.tiffDims(null).isEmpty)
   }
 
   test("unified hash path covers webp; all three layouts of the same " +
