@@ -266,7 +266,8 @@ object Multimodal {
         }
         e += 1
       }
-      if (w > 0 && h > 0 && w * h <= 268435456L && spp >= 1)
+      if (w > 0 && h > 0 && w <= (1L << 30) && h <= (1L << 30) &&
+          w * h <= 268435456L && spp >= 1)
         Some(ImageDims("tiff", w.toInt, h.toInt, spp.toInt))
       else None
     } catch {
@@ -3200,6 +3201,14 @@ object Multimodal {
     var mono = false
     try {
       while (p + 4 <= b.length) {
+        // Real-world MP3s carry an ID3v1 trailer (128-byte 'TAG'
+        // block after the last frame); stop the walk there instead
+        // of classifying the whole file as undecodable.
+        if (b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' &&
+            b(p + 2) == 'G' && nFrames > 0L) {
+          return Some(Mp3Meta(nFrames, rate, kbps0, mono,
+            nFrames * 1152L * 1000000L / rate))
+        }
         if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0)
           return None
         val versionId = (b(p + 1) >> 3) & 0x03
@@ -3988,11 +3997,17 @@ object Multimodal {
     var nSamples = 0L
     var durTicks = 0L
     var r = 0
+    // Sane-cap the accumulators: adversarial stts runs can push
+    // nSamples/durTicks past what `nSamples * timescale * 1000L`
+    // survives in a Long; past the cap we classify, never overflow.
+    val SaneCap = 1L << 40
     while (r < nRuns) {
       val cnt = be32u(b, (ttS + 8 + 8L * r).toInt)
       val delta = be32u(b, (ttS + 12 + 8L * r).toInt)
       nSamples += cnt
+      if (cnt > 0 && delta > SaneCap / cnt) return None
       durTicks += cnt * delta
+      if (nSamples > SaneCap || durTicks > SaneCap) return None
       r += 1
     }
     val codec = stsd.flatMap { case (_, s, e) =>
@@ -4008,6 +4023,8 @@ object Multimodal {
       case None =>
         (nSamples, if (nSamples > 0) 1L else 0L, true)
     }
+    if (timescale > (1L << 32) || nSamples > Long.MaxValue /
+        (1000L * math.max(1L, timescale))) return None
     val fpsMilli =
       if (durTicks <= 0) 0L
       else nSamples * timescale * 1000L / durTicks

@@ -130,9 +130,21 @@ object TextIndex {
     merged.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(tmp)
-    Seq(table, s"${table}_delta")
-      .foreach(Warehouse.dropManaged(spark, _))
+    // Swap via rename-first so a crash never leaves the index with
+    // no serving table: the old base survives under `_retired` until
+    // the new base is in place. The only unreadable window is the
+    // metadata gap between the two renames; a crash there is
+    // manually recoverable (rename `_retired` or `_compacting` back
+    // in). Single-writer contract — concurrent appends during
+    // compact() are not supported.
+    val retired = s"${table}_retired"
+    Warehouse.dropManaged(spark, retired)
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // delta first: once the new base (which folded the delta in) is
+    // serving, a lingering delta would double-count its postings
+    Seq(s"${table}_delta", retired)
+      .foreach(Warehouse.dropManaged(spark, _))
   }
 
   /** Top-`k` documents per query over the built index:

@@ -78,6 +78,30 @@ class VideoTimingSpec extends SparkSpec {
     assert(Multimodal.flacMeta(null).isEmpty)
   }
 
+  test("adversarial stts counts/deltas classify, never overflow") {
+    // one run whose count*delta product blows any Long accumulator
+    val huge = Multimodal.mp4EncodeTimed("avc1", 1000,
+      Seq((0xffffffffL, 0xffffffffL)), None, leadingBareTrack = false)
+    assert(Multimodal.mp4Timing(huge).isEmpty)
+    // many max-count runs: nSamples alone passes the sane cap
+    val manyRuns = Multimodal.mp4EncodeTimed("avc1", 1000,
+      Seq.fill(300)((0xffffffffL, 1L)), None, leadingBareTrack = false)
+    assert(Multimodal.mp4Timing(manyRuns).isEmpty)
+  }
+
+  test("mp3 walk tolerates a trailing ID3v1 'TAG' block") {
+    val frames = Multimodal.mp3Encode(5, brIdx = 9, srIdx = 1,
+      mono = false)
+    val tag = new Array[Byte](128)
+    tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+    val m = Multimodal.mp3Meta(frames ++ tag).get
+    assert(m.nFrames == 5L && m.sampleRate == 48000)
+    // a TAG block with no frames ahead of it is still not an mp3
+    assert(Multimodal.mp3Meta(tag).isEmpty)
+    // 127 trailing bytes starting with TAG: corrupt, not a trailer
+    assert(Multimodal.mp3Meta(frames ++ tag.take(127)).isEmpty)
+  }
+
   test("malformed inputs classify as None") {
     assert(Multimodal.mp4Timing(null).isEmpty)
     assert(Multimodal.mp4Timing("nope".getBytes).isEmpty)

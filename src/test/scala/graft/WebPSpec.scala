@@ -101,6 +101,12 @@ class WebPSpec extends SparkSpec {
     }
     assert(Multimodal.tiffDims("II*x".getBytes).isEmpty)
     assert(Multimodal.tiffDims(null).isEmpty)
+    // unsigned-32 dims whose product wraps Long negative and slides
+    // under the pixel cap: must classify None, not emit bogus dims
+    val evil = Multimodal.tiffEncodeDims(-1, 0, 1, bigEndian = false)
+    evil(24) = 4 // retype the height entry SHORT -> LONG
+    evil(30) = -1; evil(31) = -1; evil(32) = -1; evil(33) = -1
+    assert(Multimodal.tiffDims(evil).isEmpty)
   }
 
   test("unified hash path covers webp; all three layouts of the same " +
