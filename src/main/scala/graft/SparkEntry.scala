@@ -2242,6 +2242,46 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
+    // ----- REAL PDF text extraction: per doc a genuine PDF (xref
+    // table / xref stream / compressed-ObjStm layouts cycled, content
+    // streams through none/Flate/ASCIIHex/ASCII85/chained filters,
+    // literal+hex strings, TJ kerning spaces) — the extracted text
+    // must equal the planted documents.text byte for byte
+    "q_pdf_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 5).cast("int").as("__v"),
+        (col("doc_id") % 3).cast("int").as("__x"))
+      val pdfs = Pdf.synthPdfs(d, "__t", "__v", "__x", "content")
+      Multimodal.decodeBatches(pdfs, "content",
+          Pdf.pdfTextSchema)(Pdf.decodePdfText)
+        .select(col("doc_id"), col("pdf_text"), col("n_pages"))
+    }),
+
+    // ----- crawl ingest for PDF payloads: WARC response bodies with
+    // Content-Type application/pdf (every 2nd doc .warc.gz) → HTTP
+    // body split → the full PDF extractor → quality filter →
+    // fingerprint dedup — the path q_crawl_curate used to drop on
+    // the floor; the oracle runs the same filter + grouping over
+    // documents.text directly, so ANY byte damage through
+    // warc→gzip→http→pdf breaks the hash
+    "q_crawl_pdf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 5).cast("int").as("__v"),
+        (col("doc_id") % 3).cast("int").as("__x"),
+        (col("doc_id") % 2).cast("int").as("__gz"))
+      val pdfs = Pdf.synthPdfs(d, "__t", "__v", "__x", "__pdf")
+      val warcs = Pdf.synthPdfWarcs(pdfs, "doc_id", "__pdf", "__gz",
+        "content")
+      val rows = Multimodal.decodeBatches(warcs, "content",
+          Pdf.warcPdfTextSchema)(Pdf.decodeWarcPdfText)
+        .select(col("doc_id"), col("pdf_text").as("text"))
+      val kept = rows.filter(T.qualityKeep(col("text")))
+      Dedup.byFingerprint(kept, "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
     // ----- REAL ustar walk: per-doc tar (checksum-verified 512-byte
     // headers, two-zero-block terminator), every 2nd doc shipped as
     // .tar.gz through the gzip composition — both layouts against
@@ -4297,6 +4337,27 @@ object SparkEntry {
     // byte damage through the WARC/gzip path shifts a fingerprint
     // and breaks the hash
     "q_crawl_curate" ->
+      s"""WITH k AS (SELECT doc_id FROM ($qualityFilterOracle)
+           WHERE keep),
+         d AS (SELECT doc_id, COALESCE(text, '') AS text
+           FROM documents WHERE doc_id IN (SELECT doc_id FROM k))
+         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM d
+         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+           'g'))""",
+
+    // the full PDF stack (xref/ObjStm layouts, five content
+    // encodings) must hand back the planted text EXACTLY — the
+    // oracle is the documents table itself
+    "q_pdf_text" ->
+      """SELECT doc_id, COALESCE(text, '') AS pdf_text,
+           CAST(1 AS INT) AS n_pages
+         FROM documents""",
+
+    // pdf-through-warc crawl ingest must be lossless end to end:
+    // same quality filter + fingerprint grouping as q_crawl_curate,
+    // over documents.text directly
+    "q_crawl_pdf" ->
       s"""WITH k AS (SELECT doc_id FROM ($qualityFilterOracle)
            WHERE keep),
          d AS (SELECT doc_id, COALESCE(text, '') AS text

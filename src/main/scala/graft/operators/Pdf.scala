@@ -1,0 +1,1359 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, StandardCharsets}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** From-scratch PDF text extraction — the biggest remaining content
+  * gap for crawl curation: a large share of the highest-quality crawl
+  * tokens ship as `application/pdf`, and until now those bytes had no
+  * path into the text operators. (The reference pipeline is
+  * pandas-era and has no PDF surface at all; this is beyond-parity
+  * curation machinery, same family as [[Archive]].)
+  *
+  * Coverage, all hand-rolled on the JDK only (`Inflater` for Flate,
+  * exactly like the PNG path at Multimodal.scala):
+  *  - classic `xref` tables AND cross-reference streams (PDF 1.5+),
+  *    `/Prev` chains and hybrid `/XRefStm`, first-seen-wins merge;
+  *  - compressed object streams (`/Type /ObjStm`, type-2 xref
+  *    entries) — the layout most real-world PDFs use;
+  *  - stream filters: `/FlateDecode` (with PNG predictors 10-15),
+  *    `/ASCIIHexDecode`, `/ASCII85Decode`, and filter chains;
+  *  - page-tree walk with depth/page caps, `/Contents` single or
+  *    array form;
+  *  - content-stream text operators `Tj`, `'`, `"`, `TJ` (with the
+  *    standard kerning space heuristic: an adjustment ≤ -180
+  *    thousandths of an em reads as a word space), `T*`/`Td`/`TD`/
+  *    `Tm` line breaks, inline-image (`BI…ID…EI`) skipping.
+  *
+  * Contract matches every other untrusted-byte decoder in the repo:
+  * encrypted (`/Encrypt`), unsupported-filter, or malformed inputs
+  * classify as None — a task must never die on one corrupt document.
+  * Bomb guards: 64 MB inflate cap per stream, 64 MB total text cap,
+  * 10k pages, 32-deep xref chains, 64-deep resolution recursion.
+  *
+  * Scale shape: pure map-only decode (one pass per document, no
+  * shuffle); the synthesizers below make the oracle exact — the
+  * extracted text must equal the planted `documents.text` byte for
+  * byte through every filter/xref/layout variant.
+  */
+object Pdf {
+
+  private val MaxInflate  = 64 << 20
+  private val MaxText     = 64 << 20
+  private val MaxPages    = 10000
+  private val MaxXrefs    = 32
+  private val MaxDepth    = 64
+  private val MaxObjStmN  = 65536
+
+  /** Classification failure — internal control flow only; the public
+    * surface turns it into None.
+    */
+  private final case class PdfFail(why: String)
+    extends RuntimeException(why, null, false, false)
+  private def fail(why: String): Nothing = throw PdfFail(why)
+
+  // ------------------------------------------------------------------
+  // object model
+  // ------------------------------------------------------------------
+
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(s: String) extends PVal
+  private final case class PStr(bytes: Array[Byte]) extends PVal
+  private final case class PArr(items: Vector[PVal]) extends PVal
+  private final case class PDict(m: Map[String, PVal]) extends PVal
+  private final case class PRef(num: Int, gen: Int) extends PVal
+  private final case class PStream(dict: PDict, raw: Array[Byte])
+    extends PVal
+  private final case class PBool(v: Boolean) extends PVal
+  private case object PNull extends PVal
+
+  private def isWs(c: Int): Boolean =
+    c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+      c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+  private def isRegular(c: Int): Boolean = !isWs(c) && !isDelim(c)
+
+  /** Byte-walk lexer/parser; one instance per byte array (the file
+    * itself, a decoded ObjStm, or a content stream).
+    */
+  private final class Lex(val b: Array[Byte], var pos: Int) {
+    def atEnd: Boolean = pos >= b.length
+    def peek: Int = if (atEnd) -1 else b(pos) & 0xff
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going) {
+        while (!atEnd && isWs(peek)) pos += 1
+        if (peek == '%') { // comment to EOL
+          while (!atEnd && peek != 10 && peek != 13) pos += 1
+        } else going = false
+      }
+    }
+
+    /** Regular-character run (operator/keyword). Empty at delims. */
+    def keyword(): String = {
+      val s = pos
+      while (!atEnd && isRegular(peek)) pos += 1
+      new String(b, s, pos - s, StandardCharsets.ISO_8859_1)
+    }
+
+    def expect(kw: String): Unit = {
+      skipWs()
+      if (keyword() != kw) fail(s"expected $kw")
+    }
+
+    def int(): Long = {
+      skipWs()
+      val s = pos
+      if (peek == '+' || peek == '-') pos += 1
+      val d0 = pos
+      while (!atEnd && peek >= '0' && peek <= '9') pos += 1
+      if (pos == d0) fail("expected integer")
+      java.lang.Long.parseLong(
+        new String(b, s, pos - s, StandardCharsets.ISO_8859_1))
+    }
+
+    private def number(): PVal = {
+      val s = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      while (!atEnd && peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      if (peek == '.') {
+        pos += 1
+        while (!atEnd && peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      }
+      if (!digits) fail("bad number")
+      PNum(java.lang.Double.parseDouble(
+        new String(b, s, pos - s, StandardCharsets.ISO_8859_1)))
+    }
+
+    private def name(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (!atEnd && isRegular(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < b.length) {
+          val h = Character.digit(b(pos + 1) & 0xff, 16)
+          val l = Character.digit(b(pos + 2) & 0xff, 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(c.toChar); pos += 1 }
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    /** Literal string: balanced parens, backslash escapes, octal,
+      * line continuations, raw-EOL normalization to LF.
+      */
+    private def litString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (atEnd) fail("unterminated string")
+        val c = peek; pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case '\\' =>
+            if (atEnd) fail("dangling escape")
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case 13 => if (peek == 10) pos += 1 // \CRLF continuation
+              case 10 => () // \LF continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && peek >= '0' && peek <= '7') {
+                  v = (v << 3) | (peek - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case 13 => // raw CR or CRLF -> LF
+            if (peek == 10) pos += 1
+            out.write('\n')
+          case other => out.write(other)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    /** Hex string `<…>`: whitespace ignored, odd nibble padded. */
+    private def hexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (atEnd) fail("unterminated hex string")
+        val c = peek; pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4)
+          done = true
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail("bad hex digit")
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    /** One PDF value. Integers are checked for the `n g R` indirect
+      * reference form by lookahead with rollback.
+      */
+    def value(depth: Int): PVal = {
+      if (depth > MaxDepth) fail("value nesting")
+      skipWs()
+      peek match {
+        case -1 => fail("eof")
+        case '<' =>
+          if (pos + 1 < b.length && (b(pos + 1) & 0xff) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PVal]
+            var done = false
+            while (!done) {
+              skipWs()
+              if (peek == '>') {
+                if (pos + 1 >= b.length || (b(pos + 1) & 0xff) != '>')
+                  fail("bad dict close")
+                pos += 2; done = true
+              } else {
+                if (peek != '/') fail("dict key must be a name")
+                val PName(k) = name(): @unchecked
+                m += k -> value(depth + 1)
+              }
+            }
+            PDict(m.result())
+          } else hexString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (peek == ']') { pos += 1; done = true }
+            else items += value(depth + 1)
+          }
+          PArr(items.result())
+        case '(' => litString()
+        case '/' => name()
+        case c if c == '+' || c == '-' || c == '.' ||
+            (c >= '0' && c <= '9') =>
+          val save = pos
+          val n = number()
+          // reference lookahead: int int R
+          n match {
+            case PNum(v) if v >= 0 && v == math.floor(v) &&
+                v <= Int.MaxValue =>
+              val afterNum = pos
+              try {
+                skipWs()
+                val gSave = pos
+                var g = 0L
+                var digits = false
+                while (!atEnd && peek >= '0' && peek <= '9') {
+                  g = g * 10 + (peek - '0'); pos += 1; digits = true
+                }
+                if (digits && g <= 65535) {
+                  skipWs()
+                  if (peek == 'R' && (pos + 1 >= b.length ||
+                      !isRegular(b(pos + 1) & 0xff))) {
+                    pos += 1
+                    return PRef(v.toInt, g.toInt)
+                  }
+                }
+                pos = afterNum; n
+              } catch { case PdfFail(_) => pos = afterNum; n }
+            case _ => n
+          }
+        case c if isRegular(c) =>
+          keyword() match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case other   => fail(s"unexpected keyword $other")
+          }
+        case other => fail(s"unexpected byte $other")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // stream filters
+  // ------------------------------------------------------------------
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(data.length * 4 + 64, 1 << 16))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException =>
+            fail("bad deflate") }
+        if (n == 0 && inf.needsInput()) fail("truncated deflate")
+        out.write(buf, 0, n)
+        if (out.size > MaxInflate) fail("inflate bomb")
+      }
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** PNG row un-prediction for Flate `/Predictor` ≥ 10 — what
+    * real-world xref streams almost always use.
+    */
+  private def pngUnpredict(data: Array[Byte], colors: Int, bpc: Int,
+      columns: Int): Array[Byte] = {
+    if (colors < 1 || colors > 64 || bpc < 1 || bpc > 16 ||
+      columns < 1 || columns > (1 << 24)) fail("bad predictor parms")
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = (colors.toLong * bpc * columns + 7).toInt / 8
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0)
+      fail("predictor row misalignment")
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => fail(s"bad png filter $ft")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') { if (hi >= 0) out.write(hi << 4); done = true }
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) fail("bad ascii-hex byte")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (!done) { if (hi >= 0) out.write(hi << 4) } // EOD optional
+    out.toByteArray
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+      if (v > 0xffffffffL) fail("ascii85 group overflow")
+      var shift = 24
+      var m = 0
+      while (m < count - 1) {
+        out.write(((v >> shift) & 0xff).toInt); shift -= 8; m += 1
+      }
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= data.length || (data(i + 1) & 0xff) != '>')
+          fail("bad ascii85 EOD")
+        done = true
+      } else if (c == 'z') {
+        if (n != 0) fail("z inside ascii85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        if (c < '!' || c > 'u') fail("bad ascii85 byte")
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (n == 1) fail("lone ascii85 digit")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // document
+  // ------------------------------------------------------------------
+
+  private sealed trait Loc
+  private final case class InFile(offset: Long) extends Loc
+  private final case class InObjStm(stm: Int, idx: Int) extends Loc
+
+  private final class Doc(b: Array[Byte]) {
+    private val xref = mutable.Map[Int, Loc]()
+    private val cache = mutable.Map[Int, PVal]()
+    private var root: Option[PVal] = None
+    private var encrypted = false
+
+    /** `startxref` within the file tail, per spec. */
+    private def startXref(): Long = {
+      val tail = math.max(0, b.length - 2048)
+      val pat = "startxref".getBytes(StandardCharsets.ISO_8859_1)
+      var found = -1
+      var i = b.length - pat.length
+      while (i >= tail && found < 0) {
+        var j = 0
+        while (j < pat.length && b(i + j) == pat(j)) j += 1
+        if (j == pat.length) found = i
+        i -= 1
+      }
+      if (found < 0) fail("no startxref")
+      new Lex(b, found + pat.length).int()
+    }
+
+    private def put(num: Int, loc: Loc): Unit =
+      if (!xref.contains(num)) xref(num) = loc // newest section wins
+
+    private def loadClassicXref(lex: Lex): PDict = {
+      var trailer: PDict = null
+      while (trailer == null) {
+        lex.skipWs()
+        if (lex.peek >= '0' && lex.peek <= '9') {
+          val start = lex.int()
+          val count = lex.int()
+          if (count < 0 || count > 1000000) fail("xref count")
+          var i = 0L
+          while (i < count) {
+            val off = lex.int()
+            val gen = lex.int()
+            lex.skipWs()
+            val flag = lex.peek; lex.pos += 1
+            if (flag == 'n') put((start + i).toInt, InFile(off))
+            else if (flag != 'f') fail("bad xref flag")
+            i += 1
+          }
+        } else {
+          lex.expect("trailer")
+          lex.value(0) match {
+            case d: PDict => trailer = d
+            case _ => fail("trailer not a dict")
+          }
+        }
+      }
+      trailer
+    }
+
+    private def loadXrefStream(lex: Lex): PDict = {
+      parseIndirect(lex, resolveLength = false) match {
+        case PStream(dict, raw) =>
+          if (dict.m.get("Type") != Some(PName("XRef")))
+            fail("not an xref stream")
+          val data = decodeStream(dict, raw)
+          val w = dict.m.get("W") match {
+            case Some(PArr(ws)) if ws.length == 3 =>
+              ws.map { case PNum(v) if v >= 0 && v <= 8 => v.toInt
+                       case _ => fail("bad W") }
+            case _ => fail("missing W")
+          }
+          val size = numVal(dict.m.getOrElse("Size", fail("no Size")))
+            .toInt
+          val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+            case Some(PArr(items)) =>
+              if (items.length % 2 != 0) fail("odd Index")
+              items.grouped(2).map {
+                case Vector(PNum(s), PNum(c)) => (s.toInt, c.toInt)
+                case _ => fail("bad Index")
+              }.toSeq
+            case None => Seq((0, size))
+            case _ => fail("bad Index")
+          }
+          val esz = w.sum
+          if (esz <= 0) fail("empty entry width")
+          var p = 0
+          for ((start, count) <- index) {
+            if (count < 0 || count > 1000000) fail("xref count")
+            var i = 0
+            while (i < count) {
+              if (p + esz > data.length) fail("xref stream short")
+              def field(width: Int): Long = {
+                var v = 0L
+                var k = 0
+                while (k < width) { v = (v << 8) | (data(p + k) & 0xffL); k += 1 }
+                p += width
+                v
+              }
+              val t = if (w(0) == 0) 1L else field(w(0))
+              val f2 = field(w(1))
+              val f3 = field(w(2))
+              t match {
+                case 0 => () // free
+                case 1 => put(start + i, InFile(f2))
+                case 2 => put(start + i, InObjStm(f2.toInt, f3.toInt))
+                case _ => () // spec: treat unknown types as null refs
+              }
+              i += 1
+            }
+          }
+          dict
+        case _ => fail("xref offset not a stream")
+      }
+    }
+
+    private def loadXrefs(): Unit = {
+      val visited = mutable.Set[Long]()
+      var queue = List(startXref())
+      while (queue.nonEmpty) {
+        val off = queue.head
+        queue = queue.tail
+        if (!visited.contains(off)) {
+          visited += off
+          if (visited.size > MaxXrefs) fail("xref chain too long")
+          if (off < 0 || off >= b.length) fail("xref offset oob")
+          val lex = new Lex(b, off.toInt)
+          lex.skipWs()
+          val save = lex.pos
+          val kw = lex.keyword()
+          val trailer =
+            if (kw == "xref") loadClassicXref(lex)
+            else { lex.pos = save; loadXrefStream(lex) }
+          if (root.isEmpty) root = trailer.m.get("Root")
+          if (trailer.m.contains("Encrypt")) encrypted = true
+          // hybrid files: /XRefStm before /Prev (spec precedence)
+          trailer.m.get("XRefStm") match {
+            case Some(PNum(v)) => queue = v.toLong :: queue
+            case _ => ()
+          }
+          trailer.m.get("Prev") match {
+            case Some(PNum(v)) => queue = queue :+ v.toLong
+            case _ => ()
+          }
+        }
+      }
+    }
+
+    private def numVal(v: PVal): Long = v match {
+      case PNum(d) => d.toLong
+      case r: PRef => resolve(r, 0) match {
+        case PNum(d) => d.toLong
+        case _ => fail("length ref not a number")
+      }
+      case _ => fail("not a number")
+    }
+
+    /** `N G obj … endobj`, stream-aware. `/Length` may be an
+      * indirect reference except inside xref streams (spec).
+      */
+    private def parseIndirect(lex: Lex,
+        resolveLength: Boolean = true): PVal = {
+      lex.int() // object number (lenient: not cross-checked)
+      lex.int() // generation
+      lex.expect("obj")
+      val v = lex.value(0)
+      lex.skipWs()
+      val save = lex.pos
+      if (lex.keyword() == "stream") {
+        val dict = v match {
+          case d: PDict => d
+          case _ => fail("stream without dict")
+        }
+        // keyword then CRLF or LF
+        if (lex.peek == 13) lex.pos += 1
+        if (lex.peek != 10) fail("missing stream EOL")
+        lex.pos += 1
+        val len = dict.m.get("Length") match {
+          case Some(PNum(d)) => d.toLong
+          case Some(r: PRef) if resolveLength => numVal(r)
+          case _ => fail("missing Length")
+        }
+        if (len < 0 || lex.pos + len > b.length) fail("stream oob")
+        val raw = java.util.Arrays.copyOfRange(b, lex.pos,
+          lex.pos + len.toInt)
+        lex.pos += len.toInt
+        lex.expect("endstream")
+        PStream(dict, raw)
+      } else { lex.pos = save; v }
+    }
+
+    /** Filter chain application, `/DecodeParms` honored for Flate
+      * predictors; any unknown filter classifies the document.
+      */
+    def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val filters: Seq[PVal] = dict.m.get("Filter") match {
+        case None => Seq.empty
+        case Some(n: PName) => Seq(n)
+        case Some(PArr(items)) => items
+        case Some(r: PRef) => resolve(r, 0) match {
+          case n: PName => Seq(n)
+          case PArr(items) => items
+          case _ => fail("bad Filter")
+        }
+        case _ => fail("bad Filter")
+      }
+      val parms: Seq[PVal] = dict.m.get("DecodeParms")
+        .orElse(dict.m.get("DP")) match {
+        case None => Seq.fill(filters.length)(PNull)
+        case Some(d: PDict) => Seq(d)
+        case Some(PArr(items)) => items
+        case _ => Seq.fill(filters.length)(PNull)
+      }
+      var data = raw
+      var i = 0
+      while (i < filters.length) {
+        val parm = if (i < parms.length) parms(i) else PNull
+        filters(i) match {
+          case PName("FlateDecode") | PName("Fl") =>
+            data = inflate(data)
+            parm match {
+              case PDict(pm) =>
+                val pred = pm.get("Predictor").collect {
+                  case PNum(v) => v.toInt }.getOrElse(1)
+                if (pred >= 10) {
+                  val colors = pm.get("Colors").collect {
+                    case PNum(v) => v.toInt }.getOrElse(1)
+                  val bpc = pm.get("BitsPerComponent").collect {
+                    case PNum(v) => v.toInt }.getOrElse(8)
+                  val cols = pm.get("Columns").collect {
+                    case PNum(v) => v.toInt }.getOrElse(1)
+                  data = pngUnpredict(data, colors, bpc, cols)
+                } else if (pred != 1) fail(s"predictor $pred")
+              case _ => ()
+            }
+          case PName("ASCIIHexDecode") | PName("AHx") =>
+            data = asciiHexDecode(data)
+          case PName("ASCII85Decode") | PName("A85") =>
+            data = ascii85Decode(data)
+          case PName(other) => fail(s"unsupported filter $other")
+          case _ => fail("filter not a name")
+        }
+        i += 1
+      }
+      data
+    }
+
+    def resolve(v: PVal, depth: Int): PVal = {
+      if (depth > MaxDepth) fail("resolution depth")
+      v match {
+        case PRef(num, _) =>
+          val r = cache.get(num) match {
+            case Some(x) => x
+            case None =>
+              if (cache.size > 100000) fail("object bomb")
+              val loaded = xref.get(num) match {
+                case Some(InFile(off)) =>
+                  if (off < 0 || off >= b.length) fail("obj offset oob")
+                  parseIndirect(new Lex(b, off.toInt))
+                case Some(InObjStm(stm, idx)) =>
+                  loadObjStm(stm, depth); cache.getOrElse(num, PNull)
+                case None => PNull // dangling ref reads as null (spec)
+              }
+              cache(num) = loaded
+              loaded
+          }
+          r match {
+            case inner: PRef => resolve(inner, depth + 1)
+            case other => other
+          }
+        case other => other
+      }
+    }
+
+    /** Compressed object stream: `/N` pairs of (objnum, offset) in
+      * the first `/First` bytes, then the objects themselves. All
+      * members parse and cache in one pass.
+      */
+    private def loadObjStm(stm: Int, depth: Int): Unit = {
+      resolve(PRef(stm, 0), depth + 1) match {
+        case PStream(dict, raw) =>
+          if (dict.m.get("Type") != Some(PName("ObjStm")))
+            fail("not an ObjStm")
+          val data = decodeStream(dict, raw)
+          val n = numVal(dict.m.getOrElse("N", fail("no N"))).toInt
+          val first = numVal(dict.m.getOrElse("First", fail("no First")))
+            .toInt
+          if (n < 0 || n > MaxObjStmN || first < 0 ||
+            first > data.length) fail("bad ObjStm header")
+          val hdr = new Lex(data, 0)
+          val pairs = (0 until n).map { _ =>
+            (hdr.int().toInt, hdr.int().toInt)
+          }
+          for ((num, off) <- pairs) {
+            if (off < 0 || first + off >= data.length)
+              fail("ObjStm member oob")
+            if (!cache.contains(num))
+              cache(num) = new Lex(data, first + off).value(0)
+          }
+        case _ => fail("ObjStm target not a stream")
+      }
+    }
+
+    // ----------------------------------------------------------------
+    // page tree + text
+    // ----------------------------------------------------------------
+
+    private def pageContents(page: PDict): Array[Byte] = {
+      page.m.get("Contents") match {
+        case None => Array.emptyByteArray
+        case Some(c) => resolve(c, 0) match {
+          case PStream(d, raw) => decodeStream(d, raw)
+          case PArr(items) =>
+            val out = new java.io.ByteArrayOutputStream()
+            for (it <- items) resolve(it, 0) match {
+              case PStream(d, raw) =>
+                if (out.size > 0) out.write('\n')
+                out.write(decodeStream(d, raw))
+              case _ => fail("contents member not a stream")
+            }
+            out.toByteArray
+          case _ => fail("contents not a stream")
+        }
+      }
+    }
+
+    private def walkPages(node: PVal, depth: Int,
+        out: mutable.ArrayBuffer[PDict]): Unit = {
+      if (depth > MaxDepth || out.length > MaxPages)
+        fail("page tree bomb")
+      resolve(node, 0) match {
+        case d @ PDict(m) =>
+          m.get("Type") match {
+            case Some(PName("Page")) => out += d
+            case _ => m.get("Kids") match {
+              case Some(k) => resolve(k, 0) match {
+                case PArr(kids) =>
+                  for (kid <- kids) walkPages(kid, depth + 1, out)
+                case _ => fail("Kids not an array")
+              }
+              case None => fail("page node without Type or Kids")
+            }
+          }
+        case _ => fail("page node not a dict")
+      }
+    }
+
+    def extract(): PdfText = {
+      loadXrefs()
+      if (encrypted) fail("encrypted")
+      val cat = resolve(root.getOrElse(fail("no Root")), 0) match {
+        case d: PDict => d
+        case _ => fail("Root not a dict")
+      }
+      val pagesRoot = cat.m.getOrElse("Pages", fail("no Pages"))
+      val pages = mutable.ArrayBuffer[PDict]()
+      walkPages(pagesRoot, 0, pages)
+      // per-page buffers: the leading-newline suppression in the
+      // operator walk is a page-local rule, pages join with one \n
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < pages.length) {
+        val pb = new java.lang.StringBuilder
+        appendContentText(pageContents(pages(i)), pb)
+        if (i > 0) sb.append('\n')
+        sb.append(pb)
+        if (sb.length > MaxText) fail("text bomb")
+        i += 1
+      }
+      PdfText(sb.toString, pages.length)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // content-stream text operators
+  // ------------------------------------------------------------------
+
+  /** Kerning threshold (thousandths of an em): a TJ adjustment at or
+    * below -180 reads as a word space — the standard heuristic
+    * (typical space widths sit around 250-300).
+    */
+  private val KernSpace = -180.0
+
+  private def strText(bytes: Array[Byte]): String =
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+      dec.decode(ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: CharacterCodingException =>
+        new String(bytes, StandardCharsets.ISO_8859_1)
+    }
+
+  private def appendContentText(data: Array[Byte],
+      sb: java.lang.StringBuilder): Unit = {
+    val lex = new Lex(data, 0)
+    val operands = mutable.ArrayBuffer[PVal]()
+    def newline(): Unit = if (sb.length > 0) sb.append('\n')
+    def lastStr: Option[Array[Byte]] =
+      operands.reverseIterator.collectFirst { case PStr(s) => s }
+    def show(s: Array[Byte]): Unit = {
+      sb.append(strText(s))
+      if (sb.length > MaxText) fail("text bomb")
+    }
+    while ({ lex.skipWs(); !lex.atEnd }) {
+      val c = lex.peek
+      if (c == '<' || c == '[' || c == '(' || c == '/' || c == '+' ||
+        c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        operands += lex.value(0)
+      } else if (isRegular(c) || c == '\'' || c == '"') {
+        val op = lex.keyword()
+        op match {
+          case "Tj" => lastStr.foreach(show)
+          case "'" => newline(); lastStr.foreach(show)
+          case "\"" => newline(); lastStr.foreach(show)
+          case "TJ" =>
+            operands.lastOption match {
+              case Some(PArr(items)) =>
+                for (it <- items) it match {
+                  case PStr(s) => show(s)
+                  case PNum(v) if v <= KernSpace => sb.append(' ')
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case "T*" => newline()
+          case "Td" | "TD" =>
+            operands.lastOption match {
+              case Some(PNum(ty)) if ty != 0 => newline()
+              case _ => ()
+            }
+          case "Tm" => newline()
+          case "BI" => // inline image: skip to whitespace-delimited EI
+            var p = lex.pos
+            var end = -1
+            while (end < 0 && p + 2 < data.length) {
+              if (isWs(data(p) & 0xff) && data(p + 1) == 'E' &&
+                data(p + 2) == 'I' && (p + 3 >= data.length ||
+                  !isRegular(data(p + 3) & 0xff))) end = p + 3
+              p += 1
+            }
+            if (end < 0) fail("unterminated inline image")
+            lex.pos = end
+          case _ => () // every other operator: graphics state etc.
+        }
+        operands.clear()
+      } else fail(s"unexpected content byte $c")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // public surface
+  // ------------------------------------------------------------------
+
+  /** Extraction result: full text (pages joined by newline) and the
+    * page count.
+    */
+  final case class PdfText(text: String, nPages: Int)
+
+  /** The decoder: None for anything that is not a well-formed,
+    * unencrypted PDF whose streams use supported filters.
+    */
+  def pdfText(b: Array[Byte]): Option[PdfText] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
+      b(4) == '-')) return None
+    try Some(new Doc(b).extract())
+    catch {
+      case PdfFail(_) => None
+      case _: IndexOutOfBoundsException => None
+      case _: NumberFormatException => None
+      case NonFatal(_) => None
+    }
+  }
+
+  val pdfTextSchema: StructType = StructType(Seq(
+    StructField("pdf_text", StringType),
+    StructField("n_pages", IntegerType)))
+
+  /** Decode kernel for `Multimodal.decodeBatches`. */
+  def decodePdfText(bytes: Array[Byte]): Seq[Any] =
+    pdfText(bytes) match {
+      case Some(PdfText(t, n)) => Seq[Any](t, n)
+      case None => Seq[Any](null, null)
+    }
+
+  // ------------------------------------------------------------------
+  // fixture writer — the oracle side: the text planted here must come
+  // back IDENTICAL through every variant
+  // ------------------------------------------------------------------
+
+  private def litEscape(s: String): String = {
+    val sb = new StringBuilder("(")
+    s.foreach {
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\\' => sb.append("\\\\")
+      case c => sb.append(c)
+    }
+    sb.append(')').toString
+  }
+
+  private def hexStr(s: String): String =
+    "<" + s.getBytes(StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString + ">"
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xffL); k += 1 }
+      if (v == 0) out.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        out.appendAll(cs)
+      }
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < rem) data(i + k) & 0xffL else 0L)
+        k += 1
+      }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      out.appendAll(cs.take(rem + 1))
+    }
+    out.append("~>").toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02X").mkString + ">")
+      .getBytes(StandardCharsets.ISO_8859_1)
+
+  /** Content-stream ops for one page of `text`, by variant:
+    * 0 = one literal-string Tj;
+    * 1 = TJ array, hex-string words with -278 kerning for spaces;
+    * 2 = consecutive Tj chunks (37 chars) with no moves between;
+    * 3 = TJ array, literal-string words with kerning spaces;
+    * 4 = one hex-string Tj.
+    * All five reconstruct to exactly `text`.
+    */
+  private def contentOps(text: String, variant: Int): String = {
+    val body = variant match {
+      case 0 => s"${litEscape(text)} Tj"
+      case 1 =>
+        text.split(" ", -1).map(hexStr).mkString("[", " -278 ", "] TJ")
+      case 2 =>
+        if (text.isEmpty) ""
+        else text.grouped(37).map(c => s"${litEscape(c)} Tj")
+          .mkString(" ")
+      case 3 =>
+        text.split(" ", -1).map(litEscape)
+          .mkString("[", " -278 ", "] TJ")
+      case _ => s"${hexStr(text)} Tj"
+    }
+    s"BT /F1 12 Tf 72 720 Td $body ET"
+  }
+
+  /** Filtered content-stream payload + the /Filter clause, by
+    * variant: none / Flate / ASCIIHex / ASCII85 / ASCII85∘Flate.
+    */
+  private def encodeContent(ops: String, variant: Int)
+      : (Array[Byte], String) = {
+    val raw = ops.getBytes(StandardCharsets.UTF_8)
+    variant match {
+      case 0 => (raw, "")
+      case 1 => (deflate(raw), " /Filter /FlateDecode")
+      case 2 => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
+      case 3 => (ascii85Encode(raw), " /Filter /ASCII85Decode")
+      case _ => (ascii85Encode(deflate(raw)),
+        " /Filter [/ASCII85Decode /FlateDecode]")
+    }
+  }
+
+  /** Real single-page PDF synthesizer. `variant` (mod 5) picks the
+    * content encoding above; `xrefKind` (mod 3) picks the file
+    * skeleton: 0 = classic xref table with an indirect /Length,
+    * 1 = cross-reference stream (PDF 1.5), 2 = xref stream +
+    * compressed object stream holding the catalog/pages/page/font
+    * (type-2 entries — the dominant real-world layout). Objects are
+    * written in scrambled physical order so only true offset use
+    * parses them.
+    */
+  def pdfWrite(text: String, variant: Int, xrefKind: Int)
+      : Array[Byte] =
+    pdfWritePages(Seq(text), variant, xrefKind)
+
+  /** Multi-page variant of [[pdfWrite]]: one content stream per page
+    * under a shared /Pages node; extraction joins pages with \n.
+    */
+  def pdfWritePages(pages: Seq[String], variant: Int, xrefKind: Int)
+      : Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val v = math.floorMod(variant, 5)
+    val kind = math.floorMod(xrefKind, 3)
+    val n = pages.length
+    // numbering: 1 catalog, 2 pages, 3..(2+n) page nodes,
+    // (3+n)..(2+2n) content streams, 3+2n font, then kind extras
+    val fontNum = 3 + 2 * n
+    def pageNum(i: Int) = 3 + i
+    def contNum(i: Int) = 3 + n + i
+    val contents = pages.zipWithIndex.map { case (t, i) =>
+      encodeContent(contentOps(t, v), v)
+    }
+
+    val objs = mutable.LinkedHashMap[Int, Array[Byte]]()
+    def obj(num: Int, body: String): Unit =
+      objs(num) = s"$num 0 obj\n$body\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Unit = {
+      val head = s"$num 0 obj\n$dict\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      val tail = "\nendstream\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      objs(num) = head ++ data ++ tail
+    }
+
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${
+      (0 until n).map(i => s"${pageNum(i)} 0 R").mkString(" ")
+    }] /Count $n >>")
+    for (i <- 0 until n)
+      obj(pageNum(i), s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> " +
+        s"/Contents ${contNum(i)} 0 R >>")
+    obj(fontNum, "<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >>")
+    val lenNum = fontNum + 1 // classic kind: indirect /Length of page 0
+    for (i <- 0 until n) {
+      val (data, filter) = contents(i)
+      val lenClause =
+        if (kind == 0 && i == 0) s"/Length $lenNum 0 R"
+        else s"/Length ${data.length}"
+      streamObj(contNum(i), s"<< $lenClause$filter >>", data)
+    }
+    if (kind == 0) obj(lenNum, contents(0)._1.length.toString)
+
+    val header = (if (kind == 0) "%PDF-1.4\n" else "%PDF-1.5\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    val offsets = mutable.Map[Int, Long]()
+
+    kind match {
+      case 0 =>
+        // scrambled physical order; classic xref tolerates any
+        val order = objs.keys.toSeq.sortBy(k => (k * 7 + 3) % 11)
+        for (k <- order) {
+          offsets(k) = out.size.toLong
+          out.write(objs(k), 0, objs(k).length)
+        }
+        val size = objs.keys.max + 1
+        val xrefOff = out.size.toLong
+        val sb = new StringBuilder(s"xref\n0 $size\n")
+        sb.append("0000000000 65535 f \n")
+        for (i <- 1 until size)
+          sb.append(f"${offsets.getOrElse(i, 0L)}%010d 00000 n \n")
+        sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\n")
+        sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+        val tb = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+        out.write(tb, 0, tb.length)
+
+      case 1 =>
+        val xrefNum = fontNum + 1
+        val order = objs.keys.toSeq.sortBy(k => (k * 5 + 2) % 13)
+        for (k <- order) {
+          offsets(k) = out.size.toLong
+          out.write(objs(k), 0, objs(k).length)
+        }
+        val size = xrefNum + 1
+        val xrefOff = out.size.toLong
+        offsets(xrefNum) = xrefOff
+        // W [1 4 2]; Flate-compress the table itself on odd variants
+        val entries = new java.io.ByteArrayOutputStream()
+        def entry(t: Int, f2: Long, f3: Int): Unit = {
+          entries.write(t)
+          entries.write(((f2 >> 24) & 0xff).toInt)
+          entries.write(((f2 >> 16) & 0xff).toInt)
+          entries.write(((f2 >> 8) & 0xff).toInt)
+          entries.write((f2 & 0xff).toInt)
+          entries.write((f3 >> 8) & 0xff)
+          entries.write(f3 & 0xff)
+        }
+        entry(0, 0, 65535)
+        for (i <- 1 until size) entry(1, offsets.getOrElse(i, 0L), 0)
+        val (xdata, xfilter) =
+          if (v % 2 == 1) (deflate(entries.toByteArray),
+            " /Filter /FlateDecode")
+          else (entries.toByteArray, "")
+        val dict = s"<< /Type /XRef /Size $size /W [1 4 2] " +
+          s"/Root 1 0 R /Length ${xdata.length}$xfilter >>"
+        val head = s"$xrefNum 0 obj\n$dict\nstream\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+        out.write(head, 0, head.length)
+        out.write(xdata, 0, xdata.length)
+        val tail =
+          s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n"
+            .getBytes(StandardCharsets.ISO_8859_1)
+        out.write(tail, 0, tail.length)
+
+      case _ =>
+        // catalog/pages/page/font live compressed inside an ObjStm;
+        // content streams stay top-level (streams cannot nest)
+        val stmNum = fontNum + 1
+        val xrefNum = fontNum + 2
+        val packed = (Seq(1, 2) ++ (0 until n).map(pageNum) :+
+          fontNum).sorted
+        val bodies = packed.map { k =>
+          // strip the "N 0 obj\n" head and "\nendobj\n" tail
+          val full = new String(objs(k), StandardCharsets.ISO_8859_1)
+          val s = full.indexOf("obj\n") + 4
+          val e = full.lastIndexOf("\nendobj")
+          full.substring(s, e)
+        }
+        val offs = bodies.scanLeft(0)((acc, s) => acc + s.length + 1)
+        val hdr = packed.zip(offs).map { case (k, o) => s"$k $o" }
+          .mkString(" ") + "\n"
+        val stmData = (hdr + bodies.mkString("\n") + "\n")
+          .getBytes(StandardCharsets.ISO_8859_1)
+        val first = hdr.length
+        val (sdata, sfilter) =
+          if (v % 2 == 0) (deflate(stmData), " /Filter /FlateDecode")
+          else (stmData, "")
+        val stmBody =
+          (s"$stmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} " +
+            s"/First $first /Length ${sdata.length}$sfilter >>\n" +
+            "stream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+            sdata ++
+            "\nendstream\nendobj\n"
+              .getBytes(StandardCharsets.ISO_8859_1)
+        // write content streams + the ObjStm, scrambled
+        val top = (0 until n).map(contNum) :+ stmNum
+        for (k <- top.sortBy(k => (k * 3 + 1) % 7)) {
+          offsets(k) = out.size.toLong
+          val bytes = if (k == stmNum) stmBody else objs(k)
+          out.write(bytes, 0, bytes.length)
+        }
+        val size = xrefNum + 1
+        val xrefOff = out.size.toLong
+        val entries = new java.io.ByteArrayOutputStream()
+        def entry(t: Int, f2: Long, f3: Int): Unit = {
+          entries.write(t)
+          entries.write(((f2 >> 24) & 0xff).toInt)
+          entries.write(((f2 >> 16) & 0xff).toInt)
+          entries.write(((f2 >> 8) & 0xff).toInt)
+          entries.write((f2 & 0xff).toInt)
+          entries.write((f3 >> 8) & 0xff)
+          entries.write(f3 & 0xff)
+        }
+        entry(0, 0, 65535)
+        for (i <- 1 until size) {
+          val idx = packed.indexOf(i)
+          if (idx >= 0) entry(2, stmNum.toLong, idx)
+          else if (offsets.contains(i)) entry(1, offsets(i), 0)
+          else entry(0, 0, 0)
+        }
+        val xdata = deflate(entries.toByteArray)
+        val dict = s"<< /Type /XRef /Size $size /W [1 4 2] " +
+          s"/Root 1 0 R /Length ${xdata.length} " +
+          "/Filter /FlateDecode >>"
+        val head = s"$xrefNum 0 obj\n$dict\nstream\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+        out.write(head, 0, head.length)
+        out.write(xdata, 0, xdata.length)
+        val tail =
+          s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n"
+            .getBytes(StandardCharsets.ISO_8859_1)
+        out.write(tail, 0, tail.length)
+    }
+    out.toByteArray
+  }
+
+  /** Spec hook: classic single-page PDF around caller-supplied raw
+    * content-stream operators — pins the text-operator semantics
+    * (`'`/`"`/`T*`/`Td`/`Tm` line breaks, TJ kerning) directly.
+    */
+  def pdfWriteOps(ops: String): Array[Byte] = {
+    val data = ops.getBytes(StandardCharsets.UTF_8)
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >>"))
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = mutable.Map[Int, Long]()
+    val hdr = "%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1)
+    out.write(hdr, 0, hdr.length)
+    for ((n, body) <- objs) {
+      offsets(n) = out.size.toLong
+      val ob = s"$n 0 obj\n$body\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      out.write(ob, 0, ob.length)
+    }
+    offsets(4) = out.size.toLong
+    val sb = (s"4 0 obj\n<< /Length ${data.length} >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1)) ++ data ++
+      "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    out.write(sb, 0, sb.length)
+    val xrefOff = out.size.toLong
+    val xb = new StringBuilder("xref\n0 5\n0000000000 65535 f \n")
+    for (i <- 1 to 4) xb.append(f"${offsets(i)}%010d 00000 n \n")
+    xb.append("trailer\n<< /Size 5 /Root 1 0 R >>\n")
+    xb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val tb = xb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(tb, 0, tb.length)
+    out.toByteArray
+  }
+
+  /** Encrypted-PDF fixture: a structurally valid file whose trailer
+    * carries /Encrypt — extraction must refuse (None), never emit
+    * garbage plaintext.
+    */
+  def pdfWriteEncrypted(text: String): Array[Byte] = {
+    val plain = pdfWrite(text, 0, 0)
+    val s = new String(plain, StandardCharsets.ISO_8859_1)
+    val patched = s.replace("/Size", "/Encrypt 99 0 R /Size")
+    patched.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  // ------------------------------------------------------------------
+  // Spark plumbing
+  // ------------------------------------------------------------------
+
+  /** Per-row PDF synthesizer: text + variant/xref-kind ints →
+    * `outCol` binary. Same mapPartitions idiom as every other
+    * fixture encoder — map-only, no shuffle.
+    */
+  def synthPdfs(df: DataFrame, textCol: String, variantCol: String,
+      xrefCol: String, outCol: String): DataFrame = {
+    val (ti, vi, xi) = (df.schema.fieldIndex(textCol),
+      df.schema.fieldIndex(variantCol), df.schema.fieldIndex(xrefCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val bytes = pdfWrite(text, r.getInt(vi), r.getInt(xi))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  /** Crawl composition: wrap each row's PDF bytes in a WARC
+    * request/response pair whose response is an HTTP 200 with
+    * `Content-Type: application/pdf` — the shape Common-Crawl PDF
+    * payloads actually arrive in. `gzCol` = 1 uses the
+    * member-per-record .warc.gz layout.
+    */
+  def synthPdfWarcs(df: DataFrame, idCol: String, pdfCol: String,
+      gzCol: String, outCol: String): DataFrame = {
+    val (ii, pi, gi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(pdfCol), df.schema.fieldIndex(gzCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii)
+        val pdf = r.getAs[Array[Byte]](pi)
+        val uri = s"http://example.test/doc/$id.pdf"
+        val req =
+          s"GET /doc/$id.pdf HTTP/1.1\r\nHost: example.test\r\n\r\n"
+            .getBytes(StandardCharsets.UTF_8)
+        val resp = ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: application/pdf\r\n\r\n")
+          .getBytes(StandardCharsets.UTF_8) ++ pdf
+        val bytes = Archive.warcWrite(Seq(
+          ("request", uri, req), ("response", uri, resp)),
+          gzipped = r.getInt(gi) == 1)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  val warcPdfTextSchema: StructType = StructType(Seq(
+    StructField("pdf_text", StringType)))
+
+  /** Decode kernel: WARC (plain or .warc.gz) → response record →
+    * HTTP body bytes (split at the first CRLFCRLF) → [[pdfText]].
+    * Null for anything that fails at any stage — the crawl path must
+    * classify, not crash, on damaged payloads.
+    */
+  def decodeWarcPdfText(bytes: Array[Byte]): Seq[Any] = {
+    val text: Option[String] =
+      for {
+        plain <-
+          if (bytes != null && bytes.length > 2 &&
+            (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+            Archive.gunzipMembers(bytes)
+              .map(ms => ms.foldLeft(Array.emptyByteArray)(_ ++ _))
+          else Option(bytes)
+        recs <- Archive.warcRecords(plain)
+        resp <- recs.find(_.warcType == "response")
+        body <- httpBody(resp.payload)
+        pt <- pdfText(body)
+      } yield pt.text
+    Seq[Any](text.orNull)
+  }
+
+  /** HTTP payload split: bytes after the first CRLFCRLF. */
+  private def httpBody(b: Array[Byte]): Option[Array[Byte]] = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n')
+        return Some(java.util.Arrays.copyOfRange(b, i + 4, b.length))
+      i += 1
+    }
+    None
+  }
+}

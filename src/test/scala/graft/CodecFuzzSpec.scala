@@ -162,4 +162,21 @@ class CodecFuzzSpec extends SparkSpec {
         "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)), gzipped = true)
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
   }
+
+  test("pdf extractor is total under mutation (all layouts)") {
+    val text = "planted pdf words " * 8
+    // classic xref / xref stream / ObjStm, across content filters
+    assertTotal("pdf/classic",
+      graft.operators.Pdf.pdfWrite(text, 0, 0),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/xrefstream",
+      graft.operators.Pdf.pdfWrite(text, 1, 1),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/objstm",
+      graft.operators.Pdf.pdfWrite(text, 3, 2),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/a85+flate",
+      graft.operators.Pdf.pdfWrite(text, 4, 2),
+      graft.operators.Pdf.pdfText)
+  }
 }
