@@ -2018,6 +2018,27 @@ object SparkEntry {
         .select(col("doc_id"), col("audio_sig"))
     }),
 
+    // ----- REAL FLAC decode to PCM: the same planted LCG samples as
+    // the WAV fixtures, re-encoded through genuinely compressed
+    // frames (fixed/LPC predictors + Rice residuals, stereo
+    // decorrelation cycled by doc_id) — the decoded stream must sign
+    // IDENTICALLY to the WAV, so the q_audio_signature oracle
+    // arithmetic transfers verbatim
+    "q_flac_signature" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 100 + 1).cast("int").as("__f"),
+        (col("doc_id") % 2 + 1).cast("int").as("__c"),
+        (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+          .as("__r"),
+        (col("doc_id") % 5).cast("int").as("__v"),
+        (col("doc_id") % 4).cast("int").as("__m"))
+      val flacs = Flac.synthFlacs(d, "doc_id", "__f", "__c", "__r",
+        "__v", "__m", "content")
+      Multimodal.decodeBatches(flacs, "content",
+          Flac.flacSignatureSchema)(Flac.decodeFlacSignature)
+        .select(col("doc_id"), col("audio_sig"))
+    }),
+
     // ----- Z-order clustered write, read back: the layout must be
     // content-preserving (LayoutSpec separately proves the per-file
     // range narrowing that makes the layout worth writing)
@@ -4097,6 +4118,39 @@ object SparkEntry {
     // (i·15)//ns, truncating means, LEAST-15 levels packed at 4-bit
     // positions — bits stay below 60 so BIGINT shifts cannot overflow
     "q_audio_signature" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 100 + 1 AS frames,
+                  doc_id % 2 + 1 AS ch
+           FROM documents),
+         smp AS (
+           SELECT p.doc_id, p.frames * p.ch AS ns, t.i AS i,
+                  abs(((p.doc_id * 7919 + t.i * 104729) % 65536)
+                    - 32768) AS a
+           FROM p CROSS JOIN generate_series(0, 199) AS t(i)
+           WHERE t.i < p.frames * p.ch),
+         wins AS (
+           SELECT doc_id, ns, (i * 15) // ns AS w,
+                  SUM(a)::BIGINT AS ws, COUNT(*)::BIGINT AS wc
+           FROM smp GROUP BY 1, 2, 3),
+         tot AS (
+           SELECT doc_id, SUM(ws)::BIGINT AS ts, MAX(ns)::BIGINT AS n
+           FROM wins GROUP BY 1),
+         lv AS (
+           SELECT w.doc_id, w.w,
+                  CASE WHEN (t.ts // t.n) = 0 THEN 0
+                       ELSE LEAST(15, ((w.ws // w.wc) * 8)
+                         // (t.ts // t.n)) END AS lvl
+           FROM wins w JOIN tot t ON w.doc_id = t.doc_id)
+         SELECT doc_id,
+           CAST(SUM(lvl * (CAST(1 AS BIGINT)
+             << CAST(4 * w AS INT))) AS BIGINT) AS audio_sig
+         FROM lv GROUP BY doc_id""",
+
+    // the FLAC chain (predictors + Rice + decorrelation) must hand
+    // back the exact planted PCM, so the signature arithmetic is the
+    // SAME as q_audio_signature — lossless means the container
+    // cannot change the answer
+    "q_flac_signature" ->
       """WITH p AS (
            SELECT doc_id, doc_id % 100 + 1 AS frames,
                   doc_id % 2 + 1 AS ch

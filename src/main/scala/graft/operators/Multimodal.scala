@@ -2820,6 +2820,41 @@ object Multimodal {
     Some((sums, counts, n.toLong))
   }
 
+  /** The same 15-window 4-bit-level signature over ALREADY-DECODED
+    * interleaved PCM — the container-agnostic core of
+    * [[wavAudioSignature]], shared by the FLAC path so a WAV
+    * original and its lossless FLAC re-encode sign identically.
+    * Arithmetic is bit-for-bit the byte-walk version above (the
+    * cross-container spec pins the equality).
+    */
+  def signatureFromPcm(samples: Array[Int]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](15)
+    val counts = new Array[Long](15)
+    var k = 0
+    while (k < n) {
+      val s = samples(k)
+      val a = if (s < 0) -s else s
+      val w = (k.toLong * 15 / n).toInt
+      sums(w) += a; counts(w) += 1
+      k += 1
+    }
+    var totalSum = 0L
+    var w = 0
+    while (w < 15) { totalSum += sums(w); w += 1 }
+    val gMean = if (n == 0) 0L else totalSum / n
+    var sig = 0L
+    w = 0
+    while (w < 15) {
+      val lvl =
+        if (counts(w) == 0L || gMean == 0L) 0L
+        else math.min(15L, (sums(w) / counts(w)) * 8L / gMean)
+      sig |= lvl << (4 * w)
+      w += 1
+    }
+    sig
+  }
+
   val audioSignatureSchema: StructType = StructType(Seq(
     StructField("audio_sig", LongType)))
 

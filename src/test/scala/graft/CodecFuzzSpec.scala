@@ -163,6 +163,15 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
   }
 
+  test("flac pcm decoder is total under mutation (all codings)") {
+    val samples = Array.tabulate(300)(i =>
+      (((7 * 7919 + i.toLong * 104729) % 65536).toInt - 32768))
+    for ((v, m) <- Seq((1, 0), (3, 3), (4, 1)))
+      assertTotal(s"flac/v$v/m$m",
+        graft.operators.Flac.encode(samples, 2, 16000L, v, m, 64),
+        graft.operators.Flac.decodePcm16)
+  }
+
   test("pdf extractor is total under mutation (all layouts)") {
     val text = "planted pdf words " * 8
     // classic xref / xref stream / ObjStm, across content filters
