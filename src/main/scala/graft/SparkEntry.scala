@@ -2194,6 +2194,27 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- REAL TIFF strip decode: the same checkerboards through
+    // strips (none/LZW-with-predictor/PackBits cycled, both byte
+    // orders, multi-strip layout, one WhiteIsZero variant) — the
+    // sixth raster codec behind the same analytic hash constants
+    "q_tiff_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"),
+        (col("doc_id") % 3).cast("int").as("__c"),
+        (col("doc_id") % 2).cast("int").as("__be"))
+      val tif = Tiff.synthCheckerTiff(d, "__w", "__h", "__a", "__b",
+        "__p", "__c", "__be", "content")
+      Multimodal.decodeBatches(tif, "content",
+          Multimodal.aHashSchema)(Multimodal.decodeAHash)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     // ----- REAL MP3 frame walk: valid MPEG-1 Layer III headers
     // behind an ID3v2 tag — every frame's sync/bitrate/rate checked,
     // frame count and exact integer duration read back
@@ -4297,6 +4318,15 @@ object SparkEntry {
     // the GIF path decodes through palette+LZW to the same uniform
     // cells as the PNG checkerboards -> identical analytic constants
     "q_gif_phash" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
+         FROM documents""",
+
+    // the strip walk (LZW early-change, PackBits, predictor, both
+    // byte orders, WhiteIsZero) must land on the same checkerboard
+    // constants as the other five raster codecs
+    "q_tiff_phash" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash

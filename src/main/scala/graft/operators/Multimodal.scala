@@ -1260,6 +1260,7 @@ object Multimodal {
   def imageDecodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     pngDecodeLuma(b).orElse(jpegDecodeLuma(b)).orElse(gifDecodeLuma(b))
       .orElse(WebP.decodeLuma(b)).orElse(bmpDecodeLuma(b))
+      .orElse(Tiff.decodeLuma(b))
 
   /** Apply an EXIF orientation (1..8) to a decoded luma plane — the
     * display normalization that makes a rotated/flipped copy hash

@@ -163,6 +163,17 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
   }
 
+  test("tiff strip decoder is total under mutation (all " +
+      "compressions)") {
+    val pix = grad(24, 16)
+    for (comp <- Seq(1, 5, 32773))
+      assertTotal(s"tiff/comp$comp",
+        graft.operators.Tiff.tiffEncodeGray(24, 16, pix, comp,
+          bigEndian = comp == 1, photometric = 1, rowsPerStrip = 5,
+          predictor = if (comp == 5) 2 else 1),
+        graft.operators.Tiff.decodeLuma)
+  }
+
   test("flac pcm decoder is total under mutation (all codings)") {
     val samples = Array.tabulate(300)(i =>
       (((7 * 7919 + i.toLong * 104729) % 65536).toInt - 32768))
