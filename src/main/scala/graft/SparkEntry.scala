@@ -2194,6 +2194,48 @@ object SparkEntry {
         .select(col("doc_id"), col("ahash"))
     }),
 
+    // ----- ANIMATED GIF frame walk: per doc a multi-frame GIF whose
+    // checkerboard phase advances each frame (every 3rd doc
+    // interlaced) — graphic-control parsing + per-frame LZW +
+    // compositing snapshots behind the same analytic hash constants
+    "q_gif_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
+        (lit(90) + col("doc_id") % 100 + col("doc_id") % 50)
+          .cast("int").as("__b"),
+        (col("doc_id") % 2).cast("int").as("__p"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"),
+        (col("doc_id") % 3 === 0).cast("int").as("__il"))
+      val gif = Multimodal.synthCheckerAnimGif(d, "__w", "__h",
+        "__a", "__b", "__p", "__n", "__il", "content")
+      Multimodal.gifFrameHashes(gif, "doc_id", "content")
+        .select(col("doc_id"), col("frame_idx"), col("ahash"))
+    }),
+
+    // ----- duplicate-frame detection ACROSS animated GIFs: the
+    // q_video_frame_dup construction (per-group base pattern, one
+    // distinct high-bit flip per frame) through the GIF container —
+    // meme near-dup pairing, banding vs brute-force hamming oracle
+    "q_gif_frame_dup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        lit(40).as("__a"), lit(200).as("__b"),
+        expr("""transform(sequence(0, CAST(doc_id % 3 AS INT)), f ->
+          (CAST(conv(substring(md5(concat('gd:',
+             CAST(doc_id DIV 2 AS STRING))), 1, 15), 16, 10)
+             AS BIGINT) | 1)
+          ^ shiftleft(CAST(1 AS BIGINT),
+              50 + CAST(doc_id % 2 AS INT) * 3 + f))""")
+          .as("__patterns"))
+      val gif = Multimodal.synthAnimGif(d, "__patterns", "__a",
+        "__b", "content")
+      val hashes = Multimodal.gifFrameHashes(gif, "doc_id", "content")
+        .select((col("doc_id") * 4 + col("frame_idx")).as("fid"),
+          col("ahash"))
+      Multimodal.imageDupPairs(hashes, "fid", "ahash", maxHamming = 3)
+    }),
+
     // ----- REAL TIFF strip decode: the same checkerboards through
     // strips (none/LZW-with-predictor/PackBits cycled, both byte
     // orders, multi-strip layout, one WhiteIsZero variant) — the
@@ -4322,6 +4364,34 @@ object SparkEntry {
          CASE WHEN doc_id % 2 = 0 THEN 6172840429334713770
               ELSE -6172840429334713771 END AS ahash
          FROM documents""",
+
+    // each snapshot's phase advances by one per frame, so the hash
+    // alternates between the two checkerboard constants
+    "q_gif_frames" ->
+      """SELECT doc_id, CAST(t.f AS INT) AS frame_idx,
+         CASE WHEN (doc_id % 2 + t.f) % 2 = 0
+              THEN 6172840429334713770
+              ELSE -6172840429334713771 END AS ahash
+         FROM documents,
+           LATERAL unnest(generate_series(0, doc_id % 3)) AS t(f)""",
+
+    // brute-force hamming over the arithmetically replayed frame
+    // hashes — the GIF twin of q_video_frame_dup's oracle
+    "q_gif_frame_dup" -> {
+      val h60 = sqlHash60(
+        "'gd:' || CAST(doc_id // 2 AS VARCHAR)")
+      s"""WITH fr AS (
+           SELECT CAST(doc_id * 4 + t.f AS BIGINT) AS fid,
+             xor(($h60) | 1, CAST(1 AS BIGINT) <<
+               CAST(50 + (doc_id % 2) * 3 + t.f AS INT)) AS h
+           FROM documents,
+             LATERAL unnest(generate_series(0,
+               CAST(doc_id % 3 AS INT))) AS t(f))
+         SELECT a.fid AS id_a, b.fid AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM fr a JOIN fr b ON a.fid < b.fid
+         WHERE bit_count(xor(a.h, b.h)) <= 3"""
+    },
 
     // the strip walk (LZW early-change, PackBits, predictor, both
     // byte orders, WhiteIsZero) must land on the same checkerboard

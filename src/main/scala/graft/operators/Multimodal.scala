@@ -2322,6 +2322,346 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Animated GIF: multi-frame decode with full compositing semantics
+  // (partial rects, transparency, disposal 0-3) — memes are animated
+  // GIFs and among the most-duplicated crawl content, so frame-level
+  // pairing needs every frame, not just frame 0 (gifDecodeLuma).
+  // ------------------------------------------------------------------
+
+  /** One frame for [[gifEncodeAnimated]]: a gray rect composited at
+    * (left, top). `disposal`: 0/1 leave, 2 restore-to-background,
+    * 3 restore-to-previous. `transparentIndex` ≥ 0 marks that gray
+    * value transparent for this frame.
+    */
+  final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+    pix: Array[Int], disposal: Int, transparentIndex: Int = -1,
+    interlaced: Boolean = false)
+
+  /** Animated-GIF decode: logical-screen-sized luma SNAPSHOTS, one
+    * per frame after compositing (transparency skips pixels,
+    * disposal 2 clears the frame rect to background, disposal 3
+    * restores the pre-frame canvas). None for malformed input,
+    * overflow rects, reserved disposal codes — the untrusted-byte
+    * contract. Returns (screenW, screenH, frames).
+    */
+  def gifDecodeFrames(b: Array[Byte])
+      : Option[(Int, Int, Seq[Array[Int]])] = {
+    if (b == null || b.length < 13) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    try {
+      val sw = gifLe16(b, 6)
+      val sh = gifLe16(b, 8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > 67108864L)
+        throw GifFail
+      val packed = b(10) & 0xff
+      val bgIndex = b(11) & 0xff
+      var p = 13
+      var gct: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 0x07) + 1)
+        gct = readColorTable(b, p, n)
+        p += 3 * n
+      }
+      def lumaOf(c: Int): Int =
+        (77 * ((c >> 16) & 0xff) + 150 * ((c >> 8) & 0xff) +
+          29 * (c & 0xff) + 128) >> 8
+      val bgLuma =
+        if (gct != null && bgIndex < gct.length) lumaOf(gct(bgIndex))
+        else 0
+      val canvas = Array.fill(sw * sh)(bgLuma)
+      val frames = Seq.newBuilder[Array[Int]]
+      var nFrames = 0
+      // pending graphic-control state for the NEXT image
+      var disposal = 0
+      var transIdx = -1
+      while (p < b.length) {
+        (b(p) & 0xff) match {
+          case 0x3b =>
+            return if (nFrames > 0) Some((sw, sh, frames.result()))
+              else None
+          case 0x21 =>
+            if ((b(p + 1) & 0xff) == 0xf9) { // graphic control ext
+              if ((b(p + 2) & 0xff) != 4) throw GifFail
+              val gp = b(p + 3) & 0xff
+              disposal = (gp >> 2) & 0x07
+              if (disposal > 3) throw GifFail
+              transIdx = if ((gp & 1) != 0) b(p + 6) & 0xff else -1
+              if ((b(p + 7) & 0xff) != 0) throw GifFail
+              p += 8
+            } else { // any other extension: skip sub-blocks
+              p += 2
+              while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+              p += 1
+            }
+          case 0x2c =>
+            val left = gifLe16(b, p + 1)
+            val top = gifLe16(b, p + 3)
+            val w = gifLe16(b, p + 5)
+            val h = gifLe16(b, p + 7)
+            if (w <= 0 || h <= 0 || left + w > sw || top + h > sh)
+              throw GifFail
+            val ip = b(p + 9) & 0xff
+            val interlaced = (ip & 0x40) != 0
+            p += 10
+            var table = gct
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 0x07) + 1)
+              table = readColorTable(b, p, n)
+              p += 3 * n
+            }
+            if (table == null) throw GifFail
+            val minCode = b(p) & 0xff
+            if (minCode < 2 || minCode > 8) throw GifFail
+            p += 1
+            val buf = new java.io.ByteArrayOutputStream()
+            while ((b(p) & 0xff) != 0) {
+              val len = b(p) & 0xff
+              if (p + 1 + len > b.length) throw GifFail
+              buf.write(b, p + 1, len)
+              p += 1 + len
+            }
+            p += 1 // sub-block terminator
+            val indices = lzwDecode(buf.toByteArray, minCode, w * h)
+            val saved =
+              if (disposal == 3) canvas.clone() else null
+            val rowOrder =
+              if (!interlaced) null else interlaceRows(h)
+            var k = 0
+            while (k < w * h) {
+              val idx = indices(k)
+              if (idx != transIdx) {
+                val y = if (rowOrder == null) k / w
+                  else rowOrder(k / w)
+                canvas((top + y) * sw + left + k % w) =
+                  lumaOf(table(idx % table.length))
+              }
+              k += 1
+            }
+            frames += canvas.clone()
+            nFrames += 1
+            if (nFrames > 1024) throw GifFail
+            disposal match {
+              case 2 =>
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    canvas((top + y) * sw + left + x) = bgLuma
+                    x += 1
+                  }
+                  y += 1
+                }
+              case 3 => System.arraycopy(saved, 0, canvas, 0,
+                canvas.length)
+              case _ => ()
+            }
+            disposal = 0; transIdx = -1
+          case _ => throw GifFail
+        }
+      }
+      None // missing trailer: corrupt, not short
+    } catch {
+      case GifFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Per-frame aHash rows over animated GIFs — the GIF twin of
+    * [[mp4FrameHashes]]: (id, frame_idx, width, height, ahash), the
+    * hash taken over the full composited SNAPSHOT (what a viewer
+    * sees), null row fields for undecodable content. Map-only
+    * flatMap, nothing shuffles.
+    */
+  def gifFrameHashes(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        gifDecodeFrames(r.getAs[Array[Byte]](ci)) match {
+          case Some((w, h, frames)) => frames.zipWithIndex.map {
+            case (luma, idx) =>
+              Row(id, idx, w, h, averageHash64(luma, w, h))
+          }
+          case None => Seq(Row(id, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** LZW literal image data (min-code byte + sub-blocks) shared by
+    * the still and animated GIF encoders: 9-bit stream held at
+    * constant width by periodic CLEARs.
+    */
+  private def gifWriteImageData(out: java.io.ByteArrayOutputStream,
+      pix: Array[Int], w: Int, h: Int, interlaced: Boolean): Unit = {
+    out.write(8) // LZW min code size
+    val body = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0x1ff) << accBits
+      accBits += 9
+      while (accBits >= 8) {
+        body.write((acc & 0xff).toInt)
+        acc >>>= 8; accBits -= 8
+      }
+    }
+    putCode(256)
+    val rowOrder = if (interlaced) interlaceRows(h) else null
+    var sinceClear = 0
+    var k = 0
+    while (k < w * h) {
+      val y = if (rowOrder == null) k / w else rowOrder(k / w)
+      putCode(pix(y * w + k % w) & 0xff)
+      sinceClear += 1
+      if (sinceClear == 254 && k != w * h - 1) {
+        putCode(256); sinceClear = 0
+      }
+      k += 1
+    }
+    putCode(257)
+    if (accBits > 0) body.write((acc & 0xff).toInt)
+    val bytes = body.toByteArray
+    var o = 0
+    while (o < bytes.length) {
+      val len = math.min(255, bytes.length - o)
+      out.write(len)
+      out.write(bytes, o, len)
+      o += len
+    }
+    out.write(0)
+  }
+
+  /** Animated-GIF encoder for fixtures: GIF89a, 256-gray global
+    * palette, NETSCAPE loop block, one graphic-control extension +
+    * image block per frame (partial rects, per-frame disposal and
+    * transparency honored).
+    */
+  def gifEncodeAnimated(screenW: Int, screenH: Int,
+      frames: Seq[GifFrame], background: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(screenW); w16(screenH)
+    w8(0xf7); w8(background & 0xff); w8(0)
+    var i = 0
+    while (i < 256) { w8(i); w8(i); w8(i); i += 1 }
+    // NETSCAPE 2.0 looping application extension (loop forever)
+    w8(0x21); w8(0xff); w8(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    w8(3); w8(1); w16(0); w8(0)
+    for (f <- frames) {
+      require(f.left >= 0 && f.top >= 0 && f.left + f.w <= screenW &&
+        f.top + f.h <= screenH, "frame rect outside screen")
+      require(f.pix.length == f.w * f.h, "frame pixel count")
+      w8(0x21); w8(0xf9); w8(4)
+      val transFlag = if (f.transparentIndex >= 0) 1 else 0
+      w8(((f.disposal & 7) << 2) | transFlag)
+      w16(4) // delay: 4 centiseconds
+      w8(math.max(f.transparentIndex, 0))
+      w8(0)
+      w8(0x2c)
+      w16(f.left); w16(f.top); w16(f.w); w16(f.h)
+      w8(if (f.interlaced) 0x40 else 0x00)
+      gifWriteImageData(out, f.pix, f.w, f.h, f.interlaced)
+    }
+    w8(0x3b)
+    out.toByteArray
+  }
+
+  /** Animated checkerboard synthesizer: `framesCol` frames whose
+    * cell phase advances by one per frame, so each snapshot hashes
+    * to the analytic constants with alternating sign — multi-frame
+    * LZW + graphic-control parsing behind the plain-SQL oracle.
+    * Every 3rd doc interlaces; frames after the first carry
+    * disposal 1 (leave in place), the meme-typical layout.
+    */
+  def synthCheckerAnimGif(df: DataFrame, wCol: String, hCol: String,
+      aCol: String, bCol: String, phaseCol: String,
+      framesCol: String, ilaceCol: String, outCol: String)
+      : DataFrame = {
+    val (wi, hi, ai, bi, pi, fi, ii) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(phaseCol),
+      df.schema.fieldIndex(framesCol), df.schema.fieldIndex(ilaceCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val ph = r.getInt(pi); val n = r.getInt(fi)
+        val il = r.getInt(ii) == 1
+        val frames = (0 until n).map { f =>
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cell = (8 * x / w) + (8 * y / h) + ph + f
+              pix(y * w + x) = if (cell % 2 == 0) a else b
+              x += 1
+            }
+            y += 1
+          }
+          GifFrame(0, 0, w, h, pix, disposal = 1, interlaced = il)
+        }
+        Row.fromSeq(r.toSeq :+ gifEncodeAnimated(w, h, frames))
+      }
+    }(enc)
+  }
+
+  /** Animated pattern-GIF synthesizer — the GIF twin of
+    * [[synthMjpeg]]: one 64×64 pattern frame per entry of
+    * `patternsCol`, each frame's aHash IS its pattern (a < b), so
+    * frame-level near-dup pairing has an arithmetic oracle.
+    */
+  def synthAnimGif(df: DataFrame, patternsCol: String, aCol: String,
+      bCol: String, outCol: String): DataFrame = {
+    val (pi, ai, bi) = (df.schema.fieldIndex(patternsCol),
+      df.schema.fieldIndex(aCol), df.schema.fieldIndex(bCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getInt(ai); val b = r.getInt(bi)
+        val patterns = r.getSeq[Long](pi)
+        val frames = patterns.map { pattern =>
+          val w = 64; val h = 64
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = 8 * (y / 8) + (x / 8)
+              pix(y * w + x) =
+                if ((pattern >>> bit & 1L) != 0L) b else a
+              x += 1
+            }
+            y += 1
+          }
+          GifFrame(0, 0, w, h, pix, disposal = 1)
+        }
+        Row.fromSeq(r.toSeq :+ gifEncodeAnimated(64, 64, frames))
+      }
+    }(enc)
+  }
+
   /** Deterministic checkerboard-GIF synthesizer — [[synthCheckerPng]]
     * for the GIF path: cell parity plus `phase` picks colorA/colorB,
     * and `ilaceCol` (0/1) toggles the interlaced encoding so both

@@ -163,6 +163,18 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
   }
 
+  test("animated gif decoder is total under mutation") {
+    import graft.operators.Multimodal.GifFrame
+    val mk = (ph: Int) => Array.tabulate(16 * 16) { i =>
+      if (((i % 16) / 2 + (i / 16) / 2 + ph) % 2 == 0) 60 else 200
+    }
+    val anim = Multimodal.gifEncodeAnimated(16, 16, Seq(
+      GifFrame(0, 0, 16, 16, mk(0), 1),
+      GifFrame(2, 2, 8, 8, mk(1).take(64), 2, transparentIndex = 60),
+      GifFrame(0, 0, 16, 16, mk(1), 3, interlaced = true)))
+    assertTotal("gif/anim", anim, Multimodal.gifDecodeFrames)
+  }
+
   test("tiff strip decoder is total under mutation (all " +
       "compressions)") {
     val pix = grad(24, 16)
