@@ -2262,17 +2262,24 @@ object SparkEntry {
     // frame count and exact integer duration read back
     "q_mp3_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
-        lit(0).cast("int").as("__f"),
         (col("doc_id") % 20 + 5).cast("int").as("__a"),
         (col("doc_id") % 14 + 1).cast("int").as("__b"),
         (col("doc_id") % 3).cast("int").as("__c"),
-        (col("doc_id") % 2).cast("int").as("__d"))
-      val mp3 = Multimodal.synthAudioMeta(d, "__f", "__a", "__b",
-        "__c", "__d", "content")
+        (col("doc_id") % 2).cast("int").as("__d"),
+        concat(lit("T-"), substring(md5(col("doc_id")
+          .cast("string")), 1, 6)).as("__t"),
+        concat(lit("A-"), substring(md5(col("doc_id")
+          .cast("string")), 7, 6)).as("__ar"),
+        concat(lit("L-"), substring(md5(col("doc_id")
+          .cast("string")), 13, 6)).as("__al"),
+        (col("doc_id") % 4).cast("int").as("__e"))
+      val mp3 = Multimodal.synthMp3Tagged(d, "__a", "__b", "__c",
+        "__d", "__t", "__ar", "__al", "__e", "content")
       Multimodal.decodeBatches(mp3, "content",
-          Multimodal.mp3MetaSchema)(Multimodal.decodeMp3Meta)
+          Multimodal.mp3MetaTagsSchema)(Multimodal.decodeMp3MetaTags)
         .select(col("doc_id"), col("n_frames"), col("sample_rate"),
-          col("kbps"), col("mono"), col("duration_us"))
+          col("kbps"), col("mono"), col("duration_us"),
+          col("title"), col("artist"), col("album"))
     }),
 
     // ----- REAL FLAC STREAMINFO parse: 20/3/5/36-bit field layout
@@ -4444,7 +4451,13 @@ object SparkEntry {
            (mn = 1) AS mono,
            CAST(fr * 1152 * 1000000 // (CASE si WHEN 0 THEN 44100
              WHEN 1 THEN 48000 ELSE 32000 END) AS BIGINT)
-             AS duration_us
+             AS duration_us,
+           'T-' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+             AS title,
+           'A-' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6)
+             AS artist,
+           'L-' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 6)
+             AS album
          FROM p""",
 
     // the STREAMINFO bit layout must read back the planted fields

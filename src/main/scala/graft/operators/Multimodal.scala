@@ -3620,6 +3620,101 @@ object Multimodal {
     StructField("mono", BooleanType),
     StructField("duration_us", LongType)))
 
+  /** ID3v2 text tags — the curation metadata crawl audio actually
+    * carries: TIT2 (title), TPE1 (artist), TALB (album) from a
+    * v2.3 or v2.4 tag at the stream head. All four ID3 text
+    * encodings handled (ISO-8859-1, UTF-16 with BOM, UTF-16BE,
+    * UTF-8 — the last two v2.4-only but parsed permissively).
+    * Returns empty strings for absent frames; None when there is no
+    * ID3v2 tag or it is structurally corrupt (unsynchronisation is
+    * unsupported and classifies).
+    */
+  def id3TextTags(b: Array[Byte]): Option[(String, String, String)] = {
+    if (b == null || b.length < 10) return None
+    if (!(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return None
+    val major = b(3) & 0xff
+    if (major != 3 && major != 4) return None
+    val flags = b(5) & 0xff
+    if ((flags & 0x80) != 0) return None // unsynchronisation
+    val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val end = 10 + size
+    if (end > b.length) return None
+    var p = 10
+    if ((flags & 0x40) != 0) { // extended header: size-prefixed skip
+      if (p + 4 > end) return None
+      val eh =
+        if (major == 4) ((b(p) & 0x7f) << 21) | ((b(p + 1) & 0x7f) << 14) |
+          ((b(p + 2) & 0x7f) << 7) | (b(p + 3) & 0x7f)
+        else (((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 4
+      if (eh < 4 || p + eh > end) return None
+      p += eh
+    }
+    var title = ""; var artist = ""; var album = ""
+    try {
+      while (p + 10 <= end && b(p) != 0) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val fsz =
+          if (major == 4) ((b(p + 4) & 0x7f) << 21) |
+            ((b(p + 5) & 0x7f) << 14) | ((b(p + 6) & 0x7f) << 7) |
+            (b(p + 7) & 0x7f)
+          else ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+            ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+        if (fsz < 0 || p + 10 + fsz > end) return None
+        if ((id == "TIT2" || id == "TPE1" || id == "TALB") &&
+          fsz >= 1) {
+          val enc = b(p + 10) & 0xff
+          val raw = java.util.Arrays.copyOfRange(b, p + 11,
+            p + 10 + fsz)
+          val text = enc match {
+            case 0 => new String(raw, "ISO-8859-1")
+            case 1 => // UTF-16 with BOM
+              if (raw.length >= 2 && (raw(0) & 0xff) == 0xff &&
+                (raw(1) & 0xff) == 0xfe)
+                new String(raw, 2, raw.length - 2, "UTF-16LE")
+              else if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe &&
+                (raw(1) & 0xff) == 0xff)
+                new String(raw, 2, raw.length - 2, "UTF-16BE")
+              else return None
+            case 2 => new String(raw, "UTF-16BE")
+            case 3 => new String(raw, "UTF-8")
+            case _ => return None
+          }
+          val clean = text.takeWhile(_ != '\u0000')
+          id match {
+            case "TIT2" => title = clean
+            case "TPE1" => artist = clean
+            case _ => album = clean
+          }
+        }
+        p += 10 + fsz
+      }
+      Some((title, artist, album))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  val mp3MetaTagsSchema: StructType = StructType(
+    mp3MetaSchema.fields ++ Seq(
+      StructField("title", StringType),
+      StructField("artist", StringType),
+      StructField("album", StringType)))
+
+  /** Decode kernel: frame-walk metadata PLUS the ID3v2 text tags
+    * (empty strings when the tag carries none).
+    */
+  def decodeMp3MetaTags(bytes: Array[Byte]): Seq[Any] =
+    mp3Meta(bytes) match {
+      case Some(m) =>
+        val (t, a, l) = id3TextTags(bytes).getOrElse(("", "", ""))
+        Seq[Any](m.nFrames, m.sampleRate, m.kbps, m.mono,
+          m.durationUs, t, a, l)
+      case None =>
+        Seq[Any](null, null, null, null, null, null, null, null)
+    }
+
   def decodeMp3Meta(bytes: Array[Byte]): Seq[Any] =
     mp3Meta(bytes) match {
       case Some(m) => Seq[Any](m.nFrames, m.sampleRate, m.kbps,
@@ -3651,6 +3746,88 @@ object Multimodal {
       (4 until frameLen).foreach(_ => out.write(0))
     }
     out.toByteArray
+  }
+
+  /** Tagged twin of [[mp3Encode]]: the same frame stream behind a
+    * REAL ID3v2 tag carrying TIT2/TPE1/TALB. `encSel` cycles the
+    * tag layout: 0 = v2.3 + ISO-8859-1, 1 = v2.3 + UTF-16 BOM,
+    * 2 = v2.4 + UTF-16BE (syncsafe frame sizes), 3 = v2.4 + UTF-8.
+    */
+  def mp3EncodeTagged(frames: Int, brIdx: Int, srIdx: Int,
+      mono: Boolean, title: String, artist: String, album: String,
+      encSel: Int): Array[Byte] = {
+    val sel = math.floorMod(encSel, 4)
+    val major = if (sel >= 2) 4 else 3
+    def encode(s: String): (Int, Array[Byte]) = sel match {
+      case 0 => (0, s.getBytes("ISO-8859-1"))
+      case 1 => (1, Array(0xff.toByte, 0xfe.toByte) ++
+        s.getBytes("UTF-16LE"))
+      case 2 => (2, s.getBytes("UTF-16BE"))
+      case _ => (3, s.getBytes("UTF-8"))
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- Seq(("TIT2", title), ("TPE1", artist),
+        ("TALB", album))) {
+      val (encByte, raw) = encode(text)
+      val fsz = raw.length + 1
+      body.write(id.getBytes("US-ASCII"))
+      if (major == 4) {
+        body.write((fsz >> 21) & 0x7f); body.write((fsz >> 14) & 0x7f)
+        body.write((fsz >> 7) & 0x7f); body.write(fsz & 0x7f)
+      } else {
+        body.write((fsz >> 24) & 0xff); body.write((fsz >> 16) & 0xff)
+        body.write((fsz >> 8) & 0xff); body.write(fsz & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(encByte)
+      body.write(raw, 0, raw.length)
+    }
+    body.write(0); body.write(0) // a little padding
+    val tagBody = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(major); out.write(0); out.write(0)
+    val sz = tagBody.length
+    out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+    out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(tagBody, 0, tagBody.length)
+    // frames identical to mp3Encode's (which writes its own ID3
+    // header, so rebuild them here)
+    val kbps = Mp3Bitrates(brIdx)
+    val sr = Mp3Rates(srIdx)
+    val frameLen = 144 * (kbps * 1000) / sr
+    for (_ <- 0 until frames) {
+      out.write(0xff); out.write(0xfb)
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(if (mono) 0xc0 else 0x00)
+      (4 until frameLen).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  /** Per-row tagged-MP3 synthesizer: frame params + planted
+    * title/artist/album strings, tag layout cycled by `encCol`.
+    */
+  def synthMp3Tagged(df: DataFrame, framesCol: String, brCol: String,
+      srCol: String, monoCol: String, titleCol: String,
+      artistCol: String, albumCol: String, encCol: String,
+      outCol: String): DataFrame = {
+    val (fi, bi, si, mi, ti, ai, li, ei) = (
+      df.schema.fieldIndex(framesCol), df.schema.fieldIndex(brCol),
+      df.schema.fieldIndex(srCol), df.schema.fieldIndex(monoCol),
+      df.schema.fieldIndex(titleCol), df.schema.fieldIndex(artistCol),
+      df.schema.fieldIndex(albumCol), df.schema.fieldIndex(encCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = mp3EncodeTagged(r.getInt(fi), r.getInt(bi),
+          r.getInt(si), r.getInt(mi) == 1, r.getString(ti),
+          r.getString(ai), r.getString(li), r.getInt(ei))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
   }
 
   /** Parsed FLAC STREAMINFO: sample rate, channels, bits/sample,

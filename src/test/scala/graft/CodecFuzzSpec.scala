@@ -125,6 +125,9 @@ class CodecFuzzSpec extends SparkSpec {
       mono = false), Multimodal.mp3Meta)
     assertTotal("flac", Multimodal.flacEncodeMeta(44100, 2, 16,
       88200L), Multimodal.flacMeta)
+    assertTotal("id3tags", Multimodal.mp3EncodeTagged(4, brIdx = 9,
+      srIdx = 1, mono = true, "Fuzz Title", "Fuzz Artist",
+      "Fuzz Album", encSel = 1), Multimodal.id3TextTags)
   }
 
   test("exif parser is total under mutation") {

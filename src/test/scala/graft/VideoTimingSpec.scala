@@ -89,6 +89,29 @@ class VideoTimingSpec extends SparkSpec {
     assert(Multimodal.mp4Timing(manyRuns).isEmpty)
   }
 
+  test("id3v2 text frames read back through all four encodings") {
+    for (sel <- 0 until 4) {
+      val b = Multimodal.mp3EncodeTagged(3, brIdx = 9, srIdx = 1,
+        mono = true, "My Title", "Some Artist", "An Album", sel)
+      // the frame walk still works behind the richer tag
+      assert(Multimodal.mp3Meta(b).exists(_.nFrames == 3L),
+        s"sel=$sel")
+      assert(Multimodal.id3TextTags(b).contains(
+        ("My Title", "Some Artist", "An Album")), s"sel=$sel")
+    }
+    // plain tag with no text frames: empty strings, not None
+    val plain = Multimodal.mp3Encode(2, brIdx = 9, srIdx = 1,
+      mono = false)
+    assert(Multimodal.id3TextTags(plain).contains(("", "", "")))
+    // no tag at all / garbage: None
+    assert(Multimodal.id3TextTags("no tag here".getBytes).isEmpty)
+    assert(Multimodal.id3TextTags(null).isEmpty)
+    // truncated tag body classifies
+    val b0 = Multimodal.mp3EncodeTagged(1, 9, 1, mono = true,
+      "t", "a", "l", 0)
+    assert(Multimodal.id3TextTags(b0.take(20)).isEmpty)
+  }
+
   test("mp3 walk tolerates a trailing ID3v1 'TAG' block") {
     val frames = Multimodal.mp3Encode(5, brIdx = 9, srIdx = 1,
       mono = false)
