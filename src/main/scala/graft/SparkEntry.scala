@@ -2373,6 +2373,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
+    // ----- zstd container walk (RFC 8878 frame layer): per doc a
+    // skippable frame (odd docs) + a content frame in a cycling
+    // header layout (single-segment / fcs widths / dict-id widths /
+    // checksum flag) + one pure-RLE frame — every field read back,
+    // raw+RLE blocks decoded; FSE/Huffman stays honestly unsupported
+    "q_zstd_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 4).cast("int").as("__s"),
+        (col("doc_id") % 2).cast("int").as("__k"),
+        (col("doc_id") % 60 + 8).cast("int").as("__r"))
+      val z = Zstd.synthZstd(d, "doc_id", "__t", "__s", "__k", "__r",
+        "content")
+      Zstd.zstdFrameRows(z, "doc_id", "content")
+        .select(col("doc_id"), col("frame_idx"), col("skippable"),
+          col("content_size"), col("dict_id"), col("n_blocks"),
+          col("n_raw"), col("n_rle"), col("has_checksum"),
+          col("checksum"))
+    }),
+
+    // ----- zstd raw/RLE-subset decompression: the stored-block
+    // stream must hand back text ++ the planted RLE run exactly
+    "q_zstd_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 4).cast("int").as("__s"),
+        (col("doc_id") % 2).cast("int").as("__k"),
+        (col("doc_id") % 60 + 8).cast("int").as("__r"))
+      val z = Zstd.synthZstd(d, "doc_id", "__t", "__s", "__k", "__r",
+        "content")
+      Multimodal.decodeBatches(z, "content",
+          Zstd.zstdTextSchema)(Zstd.decodeZstdText)
+        .select(col("doc_id"), col("zstd_text"))
+    }),
+
     // ----- REAL ustar walk: per-doc tar (checksum-verified 512-byte
     // headers, two-zero-block terminator), every 2nd doc shipped as
     // .tar.gz through the gzip composition — both layouts against
@@ -4533,6 +4568,55 @@ object SparkEntry {
          FROM d
          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '',
            'g'))""",
+
+    // every planted frame field replayed arithmetically: the
+    // skippable row (odd docs), the text frame's layout-dependent
+    // dict-id/checksum fields, and the RLE frame's block counts
+    "q_zstd_meta" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           doc_id % 4 AS sel, doc_id % 2 AS sk,
+           doc_id % 60 + 8 AS rn FROM documents),
+         skipf AS (SELECT doc_id, 0 AS frame_idx, TRUE AS skippable,
+           CAST(8 AS BIGINT) AS content_size,
+           CAST(0 AS BIGINT) AS dict_id, 0 AS n_blocks, 0 AS n_raw,
+           0 AS n_rle, FALSE AS has_checksum,
+           CAST(-1 AS BIGINT) AS checksum
+           FROM p WHERE sk = 1),
+         textf AS (SELECT doc_id, sk AS frame_idx,
+           FALSE AS skippable,
+           CAST(strlen(txt) AS BIGINT) AS content_size,
+           CAST(CASE WHEN sel = 0 THEN 0 ELSE doc_id % 200 + 1 END
+             AS BIGINT) AS dict_id,
+           CAST(GREATEST(1, (strlen(txt) + 95) // 96) AS INT)
+             AS n_blocks,
+           CAST(GREATEST(1, (strlen(txt) + 95) // 96) AS INT)
+             AS n_raw,
+           0 AS n_rle,
+           (sel % 2 = 1) AS has_checksum,
+           CAST(CASE WHEN sel % 2 = 1
+             THEN (doc_id * 2654435761) % 4294967296
+             ELSE -1 END AS BIGINT) AS checksum
+           FROM p),
+         rlef AS (SELECT doc_id, sk + 1 AS frame_idx,
+           FALSE AS skippable, CAST(rn AS BIGINT) AS content_size,
+           CAST(0 AS BIGINT) AS dict_id, 1 AS n_blocks, 0 AS n_raw,
+           1 AS n_rle, FALSE AS has_checksum,
+           CAST(-1 AS BIGINT) AS checksum
+           FROM p)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           skippable, content_size, dict_id,
+           CAST(n_blocks AS INT) AS n_blocks,
+           CAST(n_raw AS INT) AS n_raw, CAST(n_rle AS INT) AS n_rle,
+           has_checksum, checksum
+         FROM (SELECT * FROM skipf UNION ALL
+               SELECT * FROM textf UNION ALL
+               SELECT * FROM rlef)""",
+
+    // stored-block decode must be lossless: text plus the RLE run
+    "q_zstd_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') ||
+           repeat('z', CAST(doc_id % 60 + 8 AS INT)) AS zstd_text
+         FROM documents""",
 
     // the ustar walk must read back the planted member set through
     // both the plain and the gunzip-composed path

@@ -166,6 +166,19 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
   }
 
+  test("zstd container walk is total under mutation") {
+    val text = ("zstd fuzz payload " * 10).getBytes("UTF-8")
+    val stream = graft.operators.Zstd.encodeSkippable(
+      Array.fill[Byte](6)(1)) ++
+      graft.operators.Zstd.encodeFrame(text, blockSize = 48,
+        fcsSel = 1, dictSel = 2, dictId = 9L, withChecksum = true,
+        checksum = 42L) ++
+      graft.operators.Zstd.encodeFrame(Array.fill[Byte](30)('r'))
+    assertTotal("zstd/meta", stream, graft.operators.Zstd.frameMeta)
+    assertTotal("zstd/decode", stream,
+      graft.operators.Zstd.decompress)
+  }
+
   test("animated gif decoder is total under mutation") {
     import graft.operators.Multimodal.GifFrame
     val mk = (ph: Int) => Array.tabulate(16 * 16) { i =>
