@@ -251,6 +251,50 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming CRAWL ingest — the end-to-end composition the batch
+    * q_crawl_curate query runs, as a continuous pipeline: each
+    * micro-batch of raw WARC payloads (plain or .warc.gz, detected
+    * per row by magic) is unwrapped via
+    * [[graft.operators.Archive.warcRecordRows]], response bodies
+    * pass the Gopher-style quality gate, survivors are flagged
+    * against the standing [[graft.operators.BandIndex]] near-dup
+    * index, and then appended so later epochs dedup against earlier
+    * ones. All three pieces are the batch operators verbatim
+    * (foreachBatch), so stream == batch on the same bytes —
+    * StreamingOpsSpec pins the equality epoch by epoch.
+    *
+    * Scale shape: unwrap + quality gate are map-only over the batch;
+    * the increment shuffles only the BATCH's band rows (bucket-
+    * pruned against the index); the append adds one band row per
+    * kept document. Same at-least-once replay contract as
+    * [[neardupIngest]].
+    */
+  def crawlIngest(spark: SparkSession, table: String,
+      warcs: DataFrame, idCol: String, contentCol: String,
+      threshold: Double = 0.5, maxBucket: Long = 10000L,
+      appendToIndex: Boolean = true)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcs.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val gz = expr(s"substring($contentCol, 1, 2) = X'1F8B'")
+        val rows = graft.operators.Archive.warcRecordRows(
+            batch.filter(!gz), idCol, contentCol, gzipped = false)
+          .unionByName(graft.operators.Archive.warcRecordRows(
+            batch.filter(gz), idCol, contentCol, gzipped = true))
+          .filter(col("warc_type") === "response")
+          .select(col(idCol), col("body_text").as("__crawl_text"))
+        val kept = rows.filter(
+          graft.functions.TextFunctions.qualityKeep(
+            col("__crawl_text")))
+        sink(graft.operators.BandIndex.neardupIncrement(spark, table,
+          kept, idCol, "__crawl_text", threshold, maxBucket), epoch)
+        if (appendToIndex)
+          graft.operators.BandIndex.append(spark, table, kept,
+            idCol, "__crawl_text")
+      }
+      .start()
+
   /** Streaming ANN ingest over a persistent [[graft.operators
     * .IvfPqIndex]]: each micro-batch is searched against the standing
     * compressed index (top-k by exact asymmetric distance — dedup

@@ -159,6 +159,72 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming crawl ingest (warc -> quality -> neardup) equals " +
+      "the batch path epoch by epoch on the same bytes") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Archive
+    import graft.functions.{TextFunctions => T}
+    val tS = "crawl_stream_idx"
+    val tB = "crawl_batch_idx"
+    // epoch payloads: real WARCs around doc text, epoch 2 gzipped —
+    // each epoch wraps a different half of the batch docs
+    def epochBytes(parity: Int): Array[(Long, Array[Byte])] = {
+      val d = batch.filter(col("doc_id") % 2 === parity)
+        .select(col("doc_id"), coalesce(col("text"), lit(""))
+          .as("__t"), lit(parity).cast("int").as("__gz"))
+      Archive.synthWarcs(d, "doc_id", "__t", "__gz", "content")
+        .select("doc_id", "content")
+        .as[(Long, Array[Byte])].collect()
+    }
+    def batchPath(table: String, rows: Array[(Long, Array[Byte])],
+        gz: Boolean): Set[(Long, Long, Double)] = {
+      val df = rows.toSeq.toDF("doc_id", "content")
+      val unwrapped = Archive.warcRecordRows(df, "doc_id", "content",
+          gzipped = gz)
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("body_text").as("__crawl_text"))
+        .filter(T.qualityKeep(col("__crawl_text")))
+      val pairs = asSet(BandIndex.neardupIncrement(spark, table,
+        unwrapped, "doc_id", "__crawl_text"))
+      BandIndex.append(spark, table, unwrapped, "doc_id",
+        "__crawl_text")
+      pairs
+    }
+    withIndex(tS) {
+      withIndex(tB) {
+        BandIndex.build(corpus, "doc_id", "text", tS)
+        BandIndex.build(corpus, "doc_id", "text", tB)
+        implicit val sqlc = spark.sqlContext
+        val mem = MemoryStream[(Long, Array[Byte])]
+        val got = new ConcurrentLinkedQueue[(Long, Set[(Long, Long,
+          Double)])]()
+        val q = graft.streaming.StreamingOps.crawlIngest(spark, tS,
+          mem.toDF().toDF("doc_id", "content"), "doc_id",
+          "content") { (pairs, epoch) =>
+          got.add((epoch, pairs.select("id_a", "id_b", "est_jaccard")
+            .as[(Long, Long, Double)].collect().toSet))
+        }
+        try {
+          val e1 = epochBytes(0)
+          mem.addData(e1.toIndexedSeq)
+          q.processAllAvailable()
+          val e2 = epochBytes(1)
+          mem.addData(e2.toIndexedSeq)
+          q.processAllAvailable()
+          val streamed = got.stream().toArray
+            .map(_.asInstanceOf[(Long, Set[(Long, Long, Double)])])
+            .sortBy(_._1).map(_._2)
+          val b1 = batchPath(tB, e1, gz = false)
+          val b2 = batchPath(tB, e2, gz = true)
+          assert(streamed.length == 2)
+          assert(streamed(0) == b1 && b1.nonEmpty)
+          assert(streamed(1) == b2)
+        } finally q.stop()
+      }
+    }
+  }
+
   test("streaming ingest flags each micro-batch against the index " +
       "and later epochs dedup against earlier ones") {
     import java.util.concurrent.ConcurrentLinkedQueue
