@@ -2386,11 +2386,14 @@ object SparkEntry {
         (col("doc_id") % 60 + 8).cast("int").as("__r"))
       val z = Zstd.synthZstd(d, "doc_id", "__t", "__s", "__k", "__r",
         "content")
+      // the stored checksum VALUE is no longer projected: synthZstd
+      // now plants the true XXH64 (verified by the decode path and
+      // pinned by q_zstd_roundtrip/q_zstd_codec + ZstdEntropySpec),
+      // which DuckDB cannot replay arithmetically
       Zstd.zstdFrameRows(z, "doc_id", "content")
         .select(col("doc_id"), col("frame_idx"), col("skippable"),
           col("content_size"), col("dict_id"), col("n_blocks"),
-          col("n_raw"), col("n_rle"), col("has_checksum"),
-          col("checksum"))
+          col("n_raw"), col("n_rle"), col("has_checksum"))
     }),
 
     // ----- zstd raw/RLE-subset decompression: the stored-block
@@ -2402,6 +2405,29 @@ object SparkEntry {
         (col("doc_id") % 2).cast("int").as("__k"),
         (col("doc_id") % 60 + 8).cast("int").as("__r"))
       val z = Zstd.synthZstd(d, "doc_id", "__t", "__s", "__k", "__r",
+        "content")
+      Multimodal.decodeBatches(z, "content",
+          Zstd.zstdTextSchema)(Zstd.decodeZstdText)
+        .select(col("doc_id"), col("zstd_text"))
+    }),
+
+    // ----- FULL zstd entropy decode (FSE + Huffman compressed
+    // blocks, RFC 8878): each doc's text — padded with planted
+    // repetition so the LZ77 stage emits real sequences — goes
+    // through the entropy ENCODER (canonical Huffman literals +
+    // predefined-FSE-coded sequences, XXH64 checksum verified on
+    // decode) and must come back byte-identical. Layouts cycle
+    // block size, 1-/4-stream literals, single-segment headers and
+    // the checksum flag; the same decoder is pinned against
+    // reference-CLI frames in ZstdEntropySpec.
+    "q_zstd_codec" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          substring(coalesce(col("text"), lit("")), 1, 64),
+          repeat(lit("pad "), (col("doc_id") % 17).cast("int")))
+          .as("__t"),
+        (col("doc_id") % 30).cast("int").as("__s"))
+      val z = Zstd.synthZstdEntropy(d, "doc_id", "__t", "__s",
         "content")
       Multimodal.decodeBatches(z, "content",
           Zstd.zstdTextSchema)(Zstd.decodeZstdText)
@@ -4579,8 +4605,7 @@ object SparkEntry {
          skipf AS (SELECT doc_id, 0 AS frame_idx, TRUE AS skippable,
            CAST(8 AS BIGINT) AS content_size,
            CAST(0 AS BIGINT) AS dict_id, 0 AS n_blocks, 0 AS n_raw,
-           0 AS n_rle, FALSE AS has_checksum,
-           CAST(-1 AS BIGINT) AS checksum
+           0 AS n_rle, FALSE AS has_checksum
            FROM p WHERE sk = 1),
          textf AS (SELECT doc_id, sk AS frame_idx,
            FALSE AS skippable,
@@ -4592,22 +4617,18 @@ object SparkEntry {
            CAST(GREATEST(1, (strlen(txt) + 95) // 96) AS INT)
              AS n_raw,
            0 AS n_rle,
-           (sel % 2 = 1) AS has_checksum,
-           CAST(CASE WHEN sel % 2 = 1
-             THEN (doc_id * 2654435761) % 4294967296
-             ELSE -1 END AS BIGINT) AS checksum
+           (sel % 2 = 1) AS has_checksum
            FROM p),
          rlef AS (SELECT doc_id, sk + 1 AS frame_idx,
            FALSE AS skippable, CAST(rn AS BIGINT) AS content_size,
            CAST(0 AS BIGINT) AS dict_id, 1 AS n_blocks, 0 AS n_raw,
-           1 AS n_rle, FALSE AS has_checksum,
-           CAST(-1 AS BIGINT) AS checksum
+           1 AS n_rle, FALSE AS has_checksum
            FROM p)
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            skippable, content_size, dict_id,
            CAST(n_blocks AS INT) AS n_blocks,
            CAST(n_raw AS INT) AS n_raw, CAST(n_rle AS INT) AS n_rle,
-           has_checksum, checksum
+           has_checksum
          FROM (SELECT * FROM skipf UNION ALL
                SELECT * FROM textf UNION ALL
                SELECT * FROM rlef)""",
@@ -4616,6 +4637,14 @@ object SparkEntry {
     "q_zstd_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') ||
            repeat('z', CAST(doc_id % 60 + 8 AS INT)) AS zstd_text
+         FROM documents""",
+
+    // full entropy decode must be lossless: the padded text through
+    // LZ77 + Huffman + FSE and back is the padded text
+    "q_zstd_codec" ->
+      """SELECT doc_id, COALESCE(text, '') || ' ' ||
+           substr(COALESCE(text, ''), 1, 64) ||
+           repeat('pad ', CAST(doc_id % 17 AS INT)) AS zstd_text
          FROM documents""",
 
     // the ustar walk must read back the planted member set through

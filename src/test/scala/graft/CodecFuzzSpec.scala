@@ -172,10 +172,30 @@ class CodecFuzzSpec extends SparkSpec {
       Array.fill[Byte](6)(1)) ++
       graft.operators.Zstd.encodeFrame(text, blockSize = 48,
         fcsSel = 1, dictSel = 2, dictId = 9L, withChecksum = true,
-        checksum = 42L) ++
+        checksum = graft.operators.Zstd.xxhash64(text, 0,
+          text.length) & 0xffffffffL) ++
       graft.operators.Zstd.encodeFrame(Array.fill[Byte](30)('r'))
     assertTotal("zstd/meta", stream, graft.operators.Zstd.frameMeta)
     assertTotal("zstd/decode", stream,
+      graft.operators.Zstd.decompress)
+  }
+
+  test("zstd entropy decoder is total under mutation") {
+    // FSE/Huffman-compressed blocks face the mutants too: the
+    // own-encoder frame (predefined sequences + direct-weight
+    // Huffman) and a reference-CLI frame (fse-compressed weights,
+    // 4-stream literals, repeat modes)
+    val rnd2 = new scala.util.Random(0x25DFL)
+    val words = Seq("fuzz", "entropy", "block", "the", "of", "zstd")
+    val text = Seq.fill(3000)(words(rnd2.nextInt(words.length)))
+      .mkString(" ").getBytes("UTF-8")
+    val own = graft.operators.Zstd.encodeEntropyFrame(text,
+      blockSize = 4096, fourStreams = true)
+    assertTotal("zstd/entropy-own", own,
+      graft.operators.Zstd.decompress)
+    val in = getClass.getResourceAsStream("/zstd/text_l19.zst")
+    val golden = in.readAllBytes(); in.close()
+    assertTotal("zstd/entropy-golden", golden,
       graft.operators.Zstd.decompress)
   }
 

@@ -13,11 +13,13 @@ class ZstdSpec extends SparkSpec {
   private val text = "zstd frame walk fixture payload " * 8
 
   test("every header layout reads back its planted fields") {
+    val data = text.getBytes("UTF-8")
+    val sum = Zstd.xxhash64(data, 0, data.length) & 0xffffffffL
     for (sel <- 0 until 4) {
-      val f = Zstd.encodeFrame(text.getBytes("UTF-8"),
+      val f = Zstd.encodeFrame(data,
         blockSize = 96, singleSegment = sel == 0, fcsSel = sel,
         dictSel = sel, dictId = if (sel == 0) 0L else 77L,
-        withChecksum = sel % 2 == 1, checksum = 0xdeadbeefL)
+        withChecksum = sel % 2 == 1, checksum = sum)
       val m = Zstd.frameMeta(f).get
       assert(m.length == 1, s"sel=$sel")
       val fr = m.head
@@ -25,11 +27,17 @@ class ZstdSpec extends SparkSpec {
         s"sel=$sel")
       assert(fr.dictId == (if (sel == 0) 0L else 77L), s"sel=$sel")
       assert(fr.hasChecksum == (sel % 2 == 1), s"sel=$sel")
-      if (sel % 2 == 1) assert(fr.checksum == 0xdeadbeefL)
+      if (sel % 2 == 1) assert(fr.checksum == sum)
       assert(fr.nRaw == fr.nBlocks && fr.nRle == 0)
-      // and the subset decode is exact
+      // and the stored-block decode is exact
       assert(new String(Zstd.decompress(f).get, "UTF-8") == text)
     }
+    // a planted checksum LIE still walks (surfaced) but the decode
+    // path verifies and refuses
+    val lie = Zstd.encodeFrame(data, withChecksum = true,
+      checksum = sum ^ 0x10000L)
+    assert(Zstd.frameMeta(lie).get.head.checksum == (sum ^ 0x10000L))
+    assert(Zstd.decompress(lie).isEmpty)
   }
 
   test("rle blocks decode and empty input round-trips") {
@@ -54,14 +62,17 @@ class ZstdSpec extends SparkSpec {
     assert(new String(Zstd.decompress(all).get) == "one,two")
   }
 
-  test("entropy-compressed blocks walk but refuse decode") {
+  test("a raw block relabeled compressed walks but fails decode") {
+    // raw text bytes are not a valid entropy block, so the decode
+    // path (which now really decodes FSE/Huffman — ZstdEntropySpec)
+    // must classify the damage while the walk still counts it
     val f = Zstd.encodeFrame(text.getBytes("UTF-8"), blockSize = 96)
     // default layout: magic(4) fhd(1) window(1) fcs(4) -> block at 10
     val patched = f.clone()
     patched(10) = (patched(10) | 0x04).toByte // type raw -> compressed
     val m = Zstd.frameMeta(patched).get.head
     assert(m.nCompressed == 1)
-    assert(Zstd.decompress(patched).isEmpty) // honest: unsupported
+    assert(Zstd.decompress(patched).isEmpty)
     // reserved block type: corrupt for both surfaces
     val bad = f.clone()
     bad(10) = (bad(10) | 0x06).toByte
