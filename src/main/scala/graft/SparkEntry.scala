@@ -2481,6 +2481,25 @@ object SparkEntry {
           col("http_status"), col("body_text"))
     }),
 
+    // ----- .warc.zst + per-row compression SNIFFING: the same
+    // planted record structure with doc_id%3 cycling plain /
+    // gzip-member-per-record / zstd-ENTROPY-frame-per-record
+    // payloads through ONE reader call — the mixed-batch reality of
+    // a crawl ingest now that Common Crawl is moving to zstd; the
+    // zstd leg exercises the full Huffman/FSE decode + XXH64
+    // verification per record
+    "q_warc_zst" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__c"))
+      val warcs = Archive.synthWarcsComp(d, "doc_id", "__t", "__c",
+        "content")
+      Archive.warcRecordRowsAuto(warcs, "doc_id", "content")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("http_status"), col("body_text"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -4663,6 +4682,31 @@ object SparkEntry {
     // response payloads split at the first CRLFCRLF into 200 + body;
     // content lengths are the exact synthesized byte counts
     "q_warc_records" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt
+           FROM documents),
+         req AS (SELECT doc_id,
+           'GET /doc/' || doc_id || ' HTTP/1.1' || chr(13) || chr(10)
+             || 'Host: example.test' || chr(13) || chr(10)
+             || chr(13) || chr(10) AS body
+           FROM p)
+         SELECT p.doc_id, CAST(0 AS INT) AS rec_idx,
+           'request' AS warc_type,
+           'http://example.test/doc/' || p.doc_id AS target_uri,
+           CAST(strlen(req.body) AS BIGINT) AS content_length,
+           CAST(NULL AS INT) AS http_status,
+           req.body AS body_text
+         FROM p JOIN req ON p.doc_id = req.doc_id
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INT), 'response',
+           'http://example.test/doc/' || doc_id,
+           CAST(45 + strlen(txt) AS BIGINT),
+           CAST(200 AS INT), txt
+         FROM p""",
+
+    // the sniffing reader must recover the identical record
+    // structure no matter which of the three compressions wrapped
+    // each row — the oracle is compression-independent by design
+    "q_warc_zst" ->
       """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt
            FROM documents),
          req AS (SELECT doc_id,

@@ -546,6 +546,31 @@ object Archive {
     }
   }
 
+  /** Magic-sniffing unwrap for compressed WARC payloads — the
+    * per-row detection a crawl ingest needs because one archive
+    * batch mixes plain `.warc`, `.warc.gz`, and (Common Crawl's
+    * announced direction) `.warc.zst` files: plain "WARC/" bytes
+    * pass through; a gzip magic routes to [[gunzipMembers]]
+    * (member-per-record concatenation inflated and
+    * trailer-verified); a zstd magic — normal or skippable frame —
+    * routes to [[Zstd.decompress]], which likewise walks
+    * CONCATENATED frames (the frame-per-record seekability layout)
+    * with checksum verification. None for any other magic or any
+    * corrupt member, so one bad file classifies instead of killing
+    * the task.
+    */
+  def unwrapWarcBytes(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length < 4) return None
+    if (b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C')
+      return Some(b)
+    if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      return gunzipMembers(b).map(_.foldLeft(
+        new java.io.ByteArrayOutputStream()) { (acc, m) =>
+          acc.write(m, 0, m.length); acc
+        }.toByteArray)
+    Zstd.decompress(b)
+  }
+
   /** HTTP response payload split: (status code, body bytes) — the
     * header/body boundary is the first CRLFCRLF; a payload that is
     * not an HTTP response yields (null status, whole payload).
@@ -592,7 +617,27 @@ object Archive {
     * content yields no rows. Map-only.
     */
   def warcRecordRows(df: DataFrame, idCol: String,
-      contentCol: String, gzipped: Boolean): DataFrame = {
+      contentCol: String, gzipped: Boolean): DataFrame =
+    warcRows(df, idCol, contentCol) { raw =>
+      if (!gzipped) Option(raw)
+      else gunzipMembers(raw).map(_.foldLeft(
+        new java.io.ByteArrayOutputStream()) { (acc, m) =>
+          acc.write(m, 0, m.length); acc
+        }.toByteArray)
+    }
+
+  /** [[warcRecordRows]] with per-row compression sniffing via
+    * [[unwrapWarcBytes]] — one call handles a batch mixing plain,
+    * .warc.gz, and .warc.zst files. Map-only; a corrupt or foreign
+    * payload yields no rows.
+    */
+  def warcRecordRowsAuto(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    warcRows(df, idCol, contentCol)(unwrapWarcBytes)
+
+  private def warcRows(df: DataFrame, idCol: String,
+      contentCol: String)(unwrap: Array[Byte] => Option[Array[Byte]])
+      : DataFrame = {
     val (ii, ci) = (df.schema.fieldIndex(idCol),
       df.schema.fieldIndex(contentCol))
     val schema = StructType(Seq(
@@ -608,14 +653,8 @@ object Archive {
       it.flatMap { r =>
         val id = r.get(ii)
         val raw = r.getAs[Array[Byte]](ci)
-        val plain: Option[Array[Byte]] =
-          if (!gzipped) Option(raw)
-          else gunzipMembers(raw).map(_.foldLeft(
-            new java.io.ByteArrayOutputStream()) { (acc, m) =>
-              acc.write(m, 0, m.length); acc
-            }.toByteArray)
-        plain.flatMap(warcRecords).toSeq.flatten.zipWithIndex.map {
-          case (rec, idx) =>
+        unwrap(raw).flatMap(warcRecords).toSeq.flatten.zipWithIndex
+          .map { case (rec, idx) =>
             val (status, body) = httpSplit(rec.payload)
             Row(id, idx, rec.warcType, rec.targetUri,
               rec.contentLength, status,
@@ -629,7 +668,16 @@ object Archive {
     * `gzipped` emits one gzip member per record.
     */
   def warcWrite(records: Seq[(String, String, Array[Byte])],
-      gzipped: Boolean): Array[Byte] = {
+      gzipped: Boolean): Array[Byte] =
+    warcWriteComp(records, if (gzipped) 1 else 0)
+
+  /** [[warcWrite]] with a compression selector: 0 plain, 1 one gzip
+    * member per record (.warc.gz), 2 one zstd ENTROPY frame per
+    * record (.warc.zst with real Huffman/FSE blocks and the XXH64
+    * checksum — the frame-per-record seekability layout).
+    */
+  def warcWriteComp(records: Seq[(String, String, Array[Byte])],
+      comp: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for ((wType, uri, payload) <- records) {
       val rec = new java.io.ByteArrayOutputStream()
@@ -644,10 +692,15 @@ object Archive {
       rec.write(payload)
       rec.write("\r\n\r\n".getBytes("UTF-8"))
       val bytes = rec.toByteArray
-      if (gzipped) {
-        val gz = gzipWrite(bytes, "rec")
-        out.write(gz, 0, gz.length)
-      } else out.write(bytes, 0, bytes.length)
+      comp match {
+        case 1 =>
+          val gz = gzipWrite(bytes, "rec")
+          out.write(gz, 0, gz.length)
+        case 2 =>
+          val zs = Zstd.encodeEntropyFrame(bytes)
+          out.write(zs, 0, zs.length)
+        case _ => out.write(bytes, 0, bytes.length)
+      }
     }
     out.toByteArray
   }
@@ -667,14 +720,43 @@ object Archive {
       it.map { r =>
         val id = r.get(ii)
         val text = Option(r.getString(ti)).getOrElse("")
-        val uri = s"http://example.test/doc/$id"
-        val req = s"GET /doc/$id HTTP/1.1\r\nHost: example.test\r\n\r\n"
-          .getBytes("UTF-8")
-        val resp = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
-          "\r\n" + text).getBytes("UTF-8")
-        val bytes = warcWrite(Seq(
-          ("request", uri, req), ("response", uri, resp)),
-          gzipped = r.getInt(gi) == 1)
+        val bytes = synthWarcBytes(id, text, r.getInt(gi))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  /** The [[synthWarcs]] payload for one doc at compression `comp`
+    * (see [[warcWriteComp]]) — shared so the .warc.zst variant
+    * plants byte-identical record structure.
+    */
+  private[graft] def synthWarcBytes(id: Any, text: String,
+      comp: Int): Array[Byte] = {
+    val uri = s"http://example.test/doc/$id"
+    val req = s"GET /doc/$id HTTP/1.1\r\nHost: example.test\r\n\r\n"
+      .getBytes("UTF-8")
+    val resp = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "\r\n" + text).getBytes("UTF-8")
+    warcWriteComp(Seq(
+      ("request", uri, req), ("response", uri, resp)), comp)
+  }
+
+  /** [[synthWarcs]] with the three-way compression selector of
+    * [[warcWriteComp]] in `compCol` — the mixed plain/.gz/.zst batch
+    * the sniffing reader faces in practice.
+    */
+  def synthWarcsComp(df: DataFrame, idCol: String, textCol: String,
+      compCol: String, outCol: String): DataFrame = {
+    val (ii, ti, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(compCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii)
+        val text = Option(r.getString(ti)).getOrElse("")
+        val bytes = synthWarcBytes(id, text, r.getInt(ci))
         Row.fromSeq(r.toSeq :+ bytes)
       }
     }(enc)

@@ -253,9 +253,9 @@ object StreamingOps {
 
   /** Streaming CRAWL ingest — the end-to-end composition the batch
     * q_crawl_curate query runs, as a continuous pipeline: each
-    * micro-batch of raw WARC payloads (plain or .warc.gz, detected
-    * per row by magic) is unwrapped via
-    * [[graft.operators.Archive.warcRecordRows]], response bodies
+    * micro-batch of raw WARC payloads (plain, .warc.gz, or
+    * .warc.zst, detected per row by magic) is unwrapped via
+    * [[graft.operators.Archive.warcRecordRowsAuto]], response bodies
     * pass the Gopher-style quality gate, survivors are flagged
     * against the standing [[graft.operators.BandIndex]] near-dup
     * index, and then appended so later epochs dedup against earlier
@@ -277,11 +277,8 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     warcs.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val gz = expr(s"substring($contentCol, 1, 2) = X'1F8B'")
-        val rows = graft.operators.Archive.warcRecordRows(
-            batch.filter(!gz), idCol, contentCol, gzipped = false)
-          .unionByName(graft.operators.Archive.warcRecordRows(
-            batch.filter(gz), idCol, contentCol, gzipped = true))
+        val rows = graft.operators.Archive.warcRecordRowsAuto(
+            batch, idCol, contentCol)
           .filter(col("warc_type") === "response")
           .select(col(idCol), col("body_text").as("__crawl_text"))
         val kept = rows.filter(

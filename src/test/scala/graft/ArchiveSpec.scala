@@ -140,6 +140,49 @@ class ArchiveSpec extends SparkSpec {
     assert(rows(1) == plain) // gz layout parses to identical rows
   }
 
+  test("warcRecordRowsAuto sniffs plain/.gz/.zst rows to one result") {
+    val docs = Seq((7L, "the body text")).toDF("doc_id", "text")
+    def rows(comp: Int) = {
+      val d = docs.withColumn("__c", lit(comp))
+      Archive.warcRecordRowsAuto(
+        Archive.synthWarcsComp(d, "doc_id", "text", "__c", "content"),
+        "doc_id", "content")
+        .select("doc_id", "rec_idx", "warc_type", "http_status",
+          "body_text")
+        .as[(Long, Int, String, Option[Int], String)].collect().toSet
+    }
+    val plain = rows(0)
+    assert(plain.exists { case (_, _, t, st, b) =>
+      t == "response" && st.contains(200) && b == "the body text" })
+    assert(rows(1) == plain)
+    assert(rows(2) == plain) // the zstd entropy leg is lossless too
+  }
+
+  test("unwrapWarcBytes: zstd frame-per-record layout decodes; " +
+      "corrupt members and foreign magics classify as None") {
+    val recs = Seq(
+      ("request", "http://x.test/a", "GET /a HTTP/1.1\r\n\r\n"
+        .getBytes("UTF-8")),
+      ("response", "http://x.test/a",
+        "HTTP/1.1 200 OK\r\n\r\nbody".getBytes("UTF-8")))
+    val plain = Archive.warcWriteComp(recs, 0)
+    val zst = Archive.warcWriteComp(recs, 2)
+    assert(!zst.sameElements(plain))
+    assert(Archive.unwrapWarcBytes(zst).get.sameElements(plain))
+    assert(Archive.unwrapWarcBytes(plain).get eq plain)
+    assert(Archive.unwrapWarcBytes(Archive.warcWriteComp(recs, 1))
+      .get.sameElements(plain))
+    // flip a byte inside the zstd payload: checksum must refuse
+    val bad = zst.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x41).toByte
+    assert(Archive.unwrapWarcBytes(bad).isEmpty ||
+      !Archive.unwrapWarcBytes(bad).get.sameElements(plain))
+    assert(Archive.unwrapWarcBytes("PKjunk".getBytes)
+      .isEmpty)
+    assert(Archive.unwrapWarcBytes(null).isEmpty)
+    assert(Archive.unwrapWarcBytes(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("zipEntryRows / zipExtractTextRows explode archives map-only") {
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
       .withColumn("__n", lit(2))

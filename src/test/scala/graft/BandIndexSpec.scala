@@ -167,21 +167,22 @@ class BandIndexSpec extends SparkSpec {
     import graft.functions.{TextFunctions => T}
     val tS = "crawl_stream_idx"
     val tB = "crawl_batch_idx"
-    // epoch payloads: real WARCs around doc text, epoch 2 gzipped —
-    // each epoch wraps a different half of the batch docs
-    def epochBytes(parity: Int): Array[(Long, Array[Byte])] = {
-      val d = batch.filter(col("doc_id") % 2 === parity)
+    // epoch payloads: real WARCs around doc text — epoch k wraps
+    // the doc_id%3==k third at compression k (plain / gzip-member /
+    // zstd-entropy-frame), so the stream faces all three layouts
+    def epochBytes(third: Int): Array[(Long, Array[Byte])] = {
+      val d = batch.filter(col("doc_id") % 3 === third)
         .select(col("doc_id"), coalesce(col("text"), lit(""))
-          .as("__t"), lit(parity).cast("int").as("__gz"))
-      Archive.synthWarcs(d, "doc_id", "__t", "__gz", "content")
+          .as("__t"), lit(third).cast("int").as("__c"))
+      Archive.synthWarcsComp(d, "doc_id", "__t", "__c", "content")
         .select("doc_id", "content")
         .as[(Long, Array[Byte])].collect()
     }
-    def batchPath(table: String, rows: Array[(Long, Array[Byte])],
-        gz: Boolean): Set[(Long, Long, Double)] = {
+    def batchPath(table: String, rows: Array[(Long, Array[Byte])])
+        : Set[(Long, Long, Double)] = {
       val df = rows.toSeq.toDF("doc_id", "content")
-      val unwrapped = Archive.warcRecordRows(df, "doc_id", "content",
-          gzipped = gz)
+      val unwrapped = Archive.warcRecordRowsAuto(df, "doc_id",
+          "content")
         .filter(col("warc_type") === "response")
         .select(col("doc_id"), col("body_text").as("__crawl_text"))
         .filter(T.qualityKeep(col("__crawl_text")))
@@ -212,14 +213,19 @@ class BandIndexSpec extends SparkSpec {
           val e2 = epochBytes(1)
           mem.addData(e2.toIndexedSeq)
           q.processAllAvailable()
+          val e3 = epochBytes(2)
+          mem.addData(e3.toIndexedSeq)
+          q.processAllAvailable()
           val streamed = got.stream().toArray
             .map(_.asInstanceOf[(Long, Set[(Long, Long, Double)])])
             .sortBy(_._1).map(_._2)
-          val b1 = batchPath(tB, e1, gz = false)
-          val b2 = batchPath(tB, e2, gz = true)
-          assert(streamed.length == 2)
+          val b1 = batchPath(tB, e1)
+          val b2 = batchPath(tB, e2)
+          val b3 = batchPath(tB, e3)
+          assert(streamed.length == 3)
           assert(streamed(0) == b1 && b1.nonEmpty)
           assert(streamed(1) == b2)
+          assert(streamed(2) == b3)
         } finally q.stop()
       }
     }

@@ -164,6 +164,10 @@ class CodecFuzzSpec extends SparkSpec {
       ("response", "http://x.test/a",
         "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)), gzipped = true)
     assertTotal("warc.gz", warcGz, Archive.gunzipMembers)
+    val warcZst = Archive.warcWriteComp(Seq(
+      ("response", "http://x.test/a",
+        "HTTP/1.1 200 OK\r\n\r\nbody".getBytes)), 2)
+    assertTotal("warc.zst", warcZst, Archive.unwrapWarcBytes)
   }
 
   test("zstd container walk is total under mutation") {
