@@ -2335,13 +2335,14 @@ object SparkEntry {
 
     // ----- REAL PDF text extraction: per doc a genuine PDF (xref
     // table / xref stream / compressed-ObjStm layouts cycled, content
-    // streams through none/Flate/ASCIIHex/ASCII85/chained filters,
-    // literal+hex strings, TJ kerning spaces) — the extracted text
-    // must equal the planted documents.text byte for byte
+    // streams through none/Flate/ASCIIHex/ASCII85/chained/LZW/
+    // RunLength filters, literal+hex strings, TJ kerning spaces) —
+    // the extracted text must equal the planted documents.text byte
+    // for byte
     "q_pdf_text" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 5).cast("int").as("__v"),
+        (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 3).cast("int").as("__x"))
       val pdfs = Pdf.synthPdfs(d, "__t", "__v", "__x", "content")
       Multimodal.decodeBatches(pdfs, "content",
@@ -2359,7 +2360,7 @@ object SparkEntry {
     "q_crawl_pdf" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 5).cast("int").as("__v"),
+        (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 3).cast("int").as("__x"),
         (col("doc_id") % 2).cast("int").as("__gz"))
       val pdfs = Pdf.synthPdfs(d, "__t", "__v", "__x", "__pdf")

@@ -424,6 +424,108 @@ object Pdf {
     out.toByteArray
   }
 
+  /** PDF `/LZWDecode`: the TIFF-style MSB-first variable-width codes
+    * (Clear 256, EOD 257, dictionary from 258, 9→12 bits) but with
+    * UNKNOWN output length — the stream ends at EOD, not at a strip
+    * size, so the output grows until the terminator. `/EarlyChange 1`
+    * (the default, and the only value the fixtures plant) widens one
+    * code before the table fills, same lag rule as the TIFF decoder.
+    */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int)
+      : Array[Byte] = {
+    if (earlyChange != 1) fail(s"earlychange $earlyChange")
+    val Clear = 256
+    val Eod = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream()
+    val seq = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var prev = -1
+    var acc = 0L; var accBits = 0; var bp = 0
+
+    def writeSeq(code: Int, extra: Int): Byte = {
+      var c = code
+      var n = 0
+      while (c >= 258) {
+        seq(n) = suffix(c); n += 1
+        c = prefix(c)
+        if (n >= 4096) fail("lzw chain runaway")
+      }
+      if (c >= 256) fail("lzw bad literal")
+      if (out.size + n + 1 + extra > MaxInflate) fail("lzw bomb")
+      out.write(c)
+      var i = n - 1
+      while (i >= 0) { out.write(seq(i)); i -= 1 }
+      c.toByte
+    }
+
+    var done = false
+    while (!done) {
+      while (accBits < width && bp < data.length) {
+        acc = (acc << 8) | (data(bp) & 0xffL)
+        accBits += 8; bp += 1
+      }
+      if (accBits < width) fail("lzw truncated") // EOD is mandatory
+      val code = ((acc >> (accBits - width)) & ((1L << width) - 1))
+        .toInt
+      accBits -= width
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (code == Eod) done = true
+      else if (prev == -1) {
+        if (code >= 256) fail("lzw first code not literal")
+        if (out.size >= MaxInflate) fail("lzw bomb")
+        out.write(code)
+        prev = code
+      } else {
+        var fb: Byte = 0
+        if (code < next) fb = writeSeq(code, 0)
+        else if (code == next) { // KwKwK
+          fb = writeSeq(prev, 1)
+          out.write(fb)
+        } else fail("lzw code from the future")
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = fb
+          next += 1
+          if (next == (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PDF `/RunLengthDecode`: control 0–127 → the next n+1 bytes
+    * literally, 129–255 → the next byte repeated 257−n times, 128 →
+    * EOD (mandatory — a stream that runs off the end is corrupt).
+    */
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    var done = false
+    while (!done) {
+      if (p >= data.length) fail("runlength truncated")
+      val ctl = data(p) & 0xff; p += 1
+      if (ctl == 128) done = true
+      else if (ctl < 128) {
+        val n = ctl + 1
+        if (p + n > data.length) fail("runlength overrun")
+        if (out.size + n > MaxInflate) fail("runlength bomb")
+        out.write(data, p, n)
+        p += n
+      } else {
+        val n = 257 - ctl
+        if (p >= data.length) fail("runlength overrun")
+        if (out.size + n > MaxInflate) fail("runlength bomb")
+        val v = data(p) & 0xff; p += 1
+        var i = 0
+        while (i < n) { out.write(v); i += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // document
   // ------------------------------------------------------------------
@@ -665,6 +767,15 @@ object Pdf {
             data = asciiHexDecode(data)
           case PName("ASCII85Decode") | PName("A85") =>
             data = ascii85Decode(data)
+          case PName("LZWDecode") | PName("LZW") =>
+            val early = parm match {
+              case PDict(pm) => pm.get("EarlyChange").collect {
+                case PNum(v) => v.toInt }.getOrElse(1)
+              case _ => 1
+            }
+            data = lzwDecode(data, early)
+          case PName("RunLengthDecode") | PName("RL") =>
+            data = runLengthDecode(data)
           case PName(other) => fail(s"unsupported filter $other")
           case _ => fail("filter not a name")
         }
@@ -977,6 +1088,82 @@ object Pdf {
     (data.map(b => f"${b & 0xff}%02X").mkString + ">")
       .getBytes(StandardCharsets.ISO_8859_1)
 
+  /** Fixture LZW encoder for `/LZWDecode` streams: leading Clear,
+    * trailing EOD, early-change at 2^w − 1 (one code AFTER the
+    * decoder's lag-adjusted check — the classic pairing).
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Int, Integer]()
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    put(256)
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (prev == -1) prev = c
+      else {
+        val key = (prev << 8) | c
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next >= 4093) { put(256); reset() }
+          prev = c
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(257)
+    if (accBits > 0)
+      out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Fixture encoder for `/RunLengthDecode`: PackBits-style runs and
+    * literal stretches closed by the mandatory 128 EOD.
+    */
+  private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run)
+        out.write(data(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 && !(
+          i + lit + 2 < data.length &&
+          data(i + lit) == data(i + lit + 1) &&
+          data(i + lit) == data(i + lit + 2))) lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Content-stream ops for one page of `text`, by variant:
     * 0 = one literal-string Tj;
     * 1 = TJ array, hex-string words with -278 kerning for spaces;
@@ -1003,7 +1190,8 @@ object Pdf {
   }
 
   /** Filtered content-stream payload + the /Filter clause, by
-    * variant: none / Flate / ASCIIHex / ASCII85 / ASCII85∘Flate.
+    * variant: none / Flate / ASCIIHex / ASCII85 / ASCII85∘Flate /
+    * LZW / AHx∘RunLength.
     */
   private def encodeContent(ops: String, variant: Int)
       : (Array[Byte], String) = {
@@ -1013,12 +1201,15 @@ object Pdf {
       case 1 => (deflate(raw), " /Filter /FlateDecode")
       case 2 => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
       case 3 => (ascii85Encode(raw), " /Filter /ASCII85Decode")
-      case _ => (ascii85Encode(deflate(raw)),
+      case 4 => (ascii85Encode(deflate(raw)),
         " /Filter [/ASCII85Decode /FlateDecode]")
+      case 5 => (lzwEncode(raw), " /Filter /LZWDecode")
+      case _ => (asciiHexEncode(runLengthEncode(raw)),
+        " /Filter [/ASCIIHexDecode /RunLengthDecode]")
     }
   }
 
-  /** Real single-page PDF synthesizer. `variant` (mod 5) picks the
+  /** Real single-page PDF synthesizer. `variant` (mod 7) picks the
     * content encoding above; `xrefKind` (mod 3) picks the file
     * skeleton: 0 = classic xref table with an indirect /Length,
     * 1 = cross-reference stream (PDF 1.5), 2 = xref stream +
@@ -1037,7 +1228,7 @@ object Pdf {
   def pdfWritePages(pages: Seq[String], variant: Int, xrefKind: Int)
       : Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
-    val v = math.floorMod(variant, 5)
+    val v = math.floorMod(variant, 7)
     val kind = math.floorMod(xrefKind, 3)
     val n = pages.length
     // numbering: 1 catalog, 2 pages, 3..(2+n) page nodes,

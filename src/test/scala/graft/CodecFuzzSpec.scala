@@ -250,5 +250,11 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("pdf/a85+flate",
       graft.operators.Pdf.pdfWrite(text, 4, 2),
       graft.operators.Pdf.pdfText)
+    assertTotal("pdf/lzw",
+      graft.operators.Pdf.pdfWrite(text, 5, 0),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/runlength",
+      graft.operators.Pdf.pdfWrite(text, 6, 1),
+      graft.operators.Pdf.pdfText)
   }
 }
