@@ -2282,6 +2282,34 @@ object SparkEntry {
           col("title"), col("artist"), col("album"))
     }),
 
+    // ----- REAL Ogg container walk (Vorbis + Opus): page CRCs
+    // verified with the spec's unreflected 0x04C11DB7 CRC-32, header
+    // packets reassembled across a page boundary on the vorbis leg
+    // (255-lacing continuation), ident fields + VorbisComment/
+    // OpusTags TITLE/ARTIST read back, and the exact duration from
+    // the EOS granule (PCM samples for vorbis; 48 kHz minus pre-skip
+    // for opus, RFC 7845)
+    "q_ogg_meta" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 2).cast("int").as("__o"),
+        (lit(8000) + (col("doc_id") % 100) * 441).cast("int")
+          .as("__r"),
+        (col("doc_id") % 8 + 1).cast("int").as("__ch"),
+        (lit(312) + col("doc_id") % 100).cast("int").as("__k"),
+        ((col("doc_id") % 50 + 2) * 960 + lit(312) +
+          col("doc_id") % 100).cast("long").as("__g"),
+        concat(lit("T-"), substring(h, 1, 6)).as("__t"),
+        concat(lit("A-"), substring(h, 7, 6)).as("__a"))
+      val ogg = Ogg.synthOggs(d, "__o", "__r", "__ch", "__k", "__g",
+        "__t", "__a", "content")
+      Multimodal.decodeBatches(ogg, "content",
+          Ogg.oggMetaSchema)(Ogg.decodeOggMeta)
+        .select(col("doc_id"), col("codec"), col("sample_rate"),
+          col("channels"), col("pre_skip"), col("duration_us"),
+          col("n_pages"), col("title"), col("artist"))
+    }),
+
     // ----- REAL FLAC STREAMINFO parse: 20/3/5/36-bit field layout
     // straight off the bytes — rate/channels/bits/samples planted
     "q_flac_meta" -> ((s, dir) => {
@@ -4539,6 +4567,33 @@ object SparkEntry {
              AS artist,
            'L-' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 6)
              AS album
+         FROM p""",
+
+    // every planted ident/tag/granule field replayed: vorbis docs
+    // (even) span the comment packet over two pages → 5 pages total,
+    // opus docs (odd) stay at 4; durations are the exact granule
+    // arithmetic of each codec
+    "q_ogg_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS op,
+           8000 + (doc_id % 100) * 441 AS rt,
+           CAST(doc_id % 8 + 1 AS INT) AS ch,
+           312 + doc_id % 100 AS ps,
+           (doc_id % 50 + 2) * 960 + 312 + doc_id % 100 AS gr
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN op = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(rt AS INT) AS sample_rate,
+           ch AS channels,
+           CAST(CASE WHEN op = 1 THEN ps ELSE 0 END AS INT)
+             AS pre_skip,
+           CAST(CASE WHEN op = 1 THEN (gr - ps) * 1000000 // 48000
+                ELSE gr * 1000000 // rt END AS BIGINT) AS duration_us,
+           CAST(CASE WHEN op = 1 THEN 4 ELSE 5 END AS INT)
+             AS n_pages,
+           'T-' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+             AS title,
+           'A-' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6)
+             AS artist
          FROM p""",
 
     // the STREAMINFO bit layout must read back the planted fields

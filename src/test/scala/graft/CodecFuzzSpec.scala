@@ -257,4 +257,17 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Pdf.pdfWrite(text, 6, 1),
       graft.operators.Pdf.pdfText)
   }
+
+  test("ogg container walk is total under mutation (both codecs)") {
+    assertTotal("ogg/vorbis-span",
+      graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
+        channels = 2, preSkip = 0, granule = 44100L, title = "t",
+        artist = "a", spanComment = true),
+      graft.operators.Ogg.oggMeta)
+    assertTotal("ogg/opus",
+      graft.operators.Ogg.oggWrite(opus = true, rate = 48000,
+        channels = 2, preSkip = 312, granule = 4800L, title = "t",
+        artist = "a"),
+      graft.operators.Ogg.oggMeta)
+  }
 }
