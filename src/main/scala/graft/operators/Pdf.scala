@@ -328,10 +328,16 @@ object Pdf {
     if (colors < 1 || colors > 64 || bpc < 1 || bpc > 16 ||
       columns < 1 || columns > (1 << 24)) fail("bad predictor parms")
     val bpp = math.max(1, (colors * bpc + 7) / 8)
-    val rowLen = (colors.toLong * bpc * columns + 7).toInt / 8
-    if (rowLen <= 0 || data.length % (rowLen + 1) != 0)
+    // all in Long: colors*bpc*columns can reach ~2^34 under the caps
+    // above, and truncating to Int BEFORE the division would let a
+    // hostile /DecodeParms misparse instead of failing cleanly
+    val rowLenL = (colors.toLong * bpc * columns + 7) / 8
+    if (rowLenL <= 0 || rowLenL > MaxInflate ||
+      data.length % (rowLenL + 1) != 0)
       fail("predictor row misalignment")
+    val rowLen = rowLenL.toInt
     val nRows = data.length / (rowLen + 1)
+    if (nRows.toLong * rowLen > MaxInflate) fail("predictor bomb")
     val out = new Array[Byte](nRows * rowLen)
     var r = 0
     while (r < nRows) {
@@ -488,7 +494,11 @@ object Pdf {
         if (next < 4096) {
           prefix(next) = prev; suffix(next) = fb
           next += 1
-          if (next == (1 << width) - 2 && width < 12) width += 1
+          // EarlyChange=1 (the PDF default, same convention as TIFF):
+          // decoder widens at next == 2^w - 1 — matches libtiff and
+          // JDK ImageIO, pinned in LzwGoldenSpec via a
+          // reference-encoded stream
+          if (next == (1 << width) - 1 && width < 12) width += 1
         }
         prev = code
       }
@@ -1089,8 +1099,9 @@ object Pdf {
       .getBytes(StandardCharsets.ISO_8859_1)
 
   /** Fixture LZW encoder for `/LZWDecode` streams: leading Clear,
-    * trailing EOD, early-change at 2^w − 1 (one code AFTER the
-    * decoder's lag-adjusted check — the classic pairing).
+    * trailing EOD, early-change at 2^w (one entry AFTER the decoder's
+    * lag-adjusted 2^w − 1 check — the classic pairing, same as
+    * libtiff/ImageIO; cross-pinned in LzwGoldenSpec).
     */
   private def lzwEncode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -1121,7 +1132,7 @@ object Pdf {
           put(prev)
           dict.put(key, Integer.valueOf(next))
           next += 1
-          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next == (1 << width) && width < 12) width += 1
           if (next >= 4093) { put(256); reset() }
           prev = c
         }

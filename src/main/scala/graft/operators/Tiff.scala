@@ -253,12 +253,14 @@ object Tiff {
         if (next < 4096) {
           prefix(next) = prev; suffix(next) = fb
           next += 1
-          // one entry EARLIER than the encoder's check: the decoder
-          // is always one dictionary entry behind the encoder at the
-          // moment it reads the next code (the classic LZW lag), so
-          // its early-change fires at 2^w - 2 where the encoder's
-          // fires at 2^w - 1
-          if (next == (1 << width) - 2 && width < 12) width += 1
+          // TIFF "early change": the decoder widens one code before
+          // the table actually fills (libtiff widens after adding
+          // entry 510/1022/2046, i.e. when next reaches 2^w - 1).
+          // The encoder, one dictionary entry ahead at the moment a
+          // code is read (the classic LZW lag), widens at 2^w.
+          // Pinned bit-exactly against JDK ImageIO's TIFF LZW codec
+          // in LzwGoldenSpec.
+          if (next == (1 << width) - 1 && width < 12) width += 1
         }
         prev = code
       }
@@ -327,7 +329,9 @@ object Tiff {
           put(prev)
           dict.put(key, Integer.valueOf(next))
           next += 1
-          if (next == (1 << width) - 1 && width < 12) width += 1
+          // encoder side of early change: one entry AFTER the
+          // decoder's 2^w - 1 (see decoder comment; ImageIO-pinned)
+          if (next == (1 << width) && width < 12) width += 1
           if (next >= 4093) { put(256); reset() } // stay under cap
           prev = c
         }
