@@ -2529,6 +2529,55 @@ object SparkEntry {
           col("http_status"), col("body_text"))
     }),
 
+    // ----- REAL HTTP payload decode: response bodies framed through
+    // identity/chunked/gzip/chunked+gzip/zlib-deflate/raw-deflate/
+    // zstd Content- and Transfer-Encodings (doc_id%8 cycles), with a
+    // multi-byte UTF-8 marker so chunk boundaries that split a code
+    // point surface; the declared-brotli row (f=5) must refuse with
+    // a NULL body, never echo compressed-looking bytes as text
+    "q_warc_http" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" Ωμé→"))
+          .as("__b"),
+        (col("doc_id") % 8).cast("int").as("__f"),
+        lit(0).cast("int").as("__c"))
+      val warcs = Archive.synthHttpWarcs(d, "doc_id", "__b", "__f",
+        "__c", "content")
+      Archive.warcRecordRowsAuto(warcs, "doc_id", "content")
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("http_status"),
+          col("content_mime"), col("charset"), col("body_text"))
+    }),
+
+    // ----- charset sniffing: windows-1251 via the Content-Type
+    // charset param, Shift_JIS via <meta charset>, EUC-KR via the
+    // http-equiv form, UTF-8 via BOM (stripped) and via explicit
+    // param — each over identity/chunked/gzip framing (doc_id%3);
+    // non-ASCII markers make a wrong-charset decode hash-diverge
+    "q_crawl_charset" -> ((s, dir) => {
+      val ascii = regexp_replace(coalesce(col("text"), lit("")),
+        "[^ -~]", "")
+      val mode = (col("doc_id") % 5).cast("int")
+      val body = when(mode === 0, concat(ascii, lit(" Ωé")))
+        .when(mode === 1, concat(ascii, lit(" Яблоко")))
+        .when(mode === 2, concat(lit("<meta charset=\"shift_jis\">"),
+          ascii, lit(" 日本語")))
+        .when(mode === 3, concat(ascii, lit(" Ωé")))
+        .otherwise(concat(lit("<meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=euc-kr\">"),
+          ascii, lit(" 한국어")))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        body.as("__b"),
+        (col("doc_id") % 3).cast("int").as("__f"),
+        mode.as("__c"))
+      val warcs = Archive.synthHttpWarcs(d, "doc_id", "__b", "__f",
+        "__c", "content")
+      Archive.warcRecordRowsAuto(warcs, "doc_id", "content")
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("content_mime"), col("charset"),
+          col("body_text"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -4782,6 +4831,44 @@ object SparkEntry {
            'http://example.test/doc/' || doc_id,
            CAST(45 + strlen(txt) AS BIGINT),
            CAST(200 AS INT), txt
+         FROM p""",
+
+    // every framing must reproduce the planted body byte-exactly —
+    // except declared-brotli (f=5), which must refuse with NULLs
+    "q_warc_http" ->
+      """SELECT doc_id,
+           CAST(200 AS INT) AS http_status,
+           'text/plain' AS content_mime,
+           CASE WHEN doc_id % 8 = 5 THEN NULL
+                ELSE 'UTF-8' END AS charset,
+           CASE WHEN doc_id % 8 = 5 THEN NULL
+                ELSE COALESCE(text, '') || ' Ωμé→' END AS body_text
+         FROM documents""",
+
+    // the sniffed charset must reconstruct the exact planted string
+    // (ASCII-sanitized text + a marker only representable in that
+    // charset); the charset column pins WHICH decoder fired
+    "q_crawl_charset" ->
+      """WITH p AS (SELECT doc_id,
+           regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g')
+             AS s, doc_id % 5 AS m
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN m IN (0, 3) THEN 'text/plain'
+                ELSE 'text/html' END AS content_mime,
+           CASE m WHEN 0 THEN 'UTF-8'
+                  WHEN 1 THEN 'windows-1251'
+                  WHEN 2 THEN 'Shift_JIS'
+                  WHEN 3 THEN 'UTF-8'
+                  ELSE 'EUC-KR' END AS charset,
+           CASE m WHEN 0 THEN s || ' Ωé'
+                  WHEN 1 THEN s || ' Яблоко'
+                  WHEN 2 THEN '<meta charset="shift_jis">' || s ||
+                    ' 日本語'
+                  WHEN 3 THEN s || ' Ωé'
+                  ELSE '<meta http-equiv="Content-Type" ' ||
+                    'content="text/html; charset=euc-kr">' || s ||
+                    ' 한국어' END AS body_text
          FROM p""",
 
     // three VP8L layouts decode to the same uniform cells -> the PNG

@@ -375,7 +375,7 @@ object Archive {
       oct(124, 12, data.length.toLong)
       oct(136, 12, 0)
       h(156) = '0'
-      System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h, 257, 6)
+      System.arraycopy("ustar\u0000".getBytes("US-ASCII"), 0, h, 257, 6)
       System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)
       var sum = 0L
@@ -571,50 +571,30 @@ object Archive {
     Zstd.decompress(b)
   }
 
-  /** HTTP response payload split: (status code, body bytes) — the
-    * header/body boundary is the first CRLFCRLF; a payload that is
-    * not an HTTP response yields (null status, whole payload).
+  /** HTTP response payload decode for one WARC record: (status,
+    * mime, charset, text). Goes through the full [[Http]] stack —
+    * chunked de-framing, Content-Encoding, charset sniffing. A
+    * payload that is not an HTTP response yields the whole payload
+    * read as UTF-8 (metadata/request records). An HTTP body whose
+    * declared framing or encoding cannot be decoded yields null
+    * text — honest refusal beats chunk-size lines or compressed
+    * bytes masquerading as content.
     */
-  private def httpSplit(payload: Array[Byte])
-      : (Integer, Array[Byte]) = {
-    val isHttp = payload.length >= 8 && payload(0) == 'H' &&
-      payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P' &&
-      payload(4) == '/'
-    if (!isHttp) return (null, payload)
-    var i = 0
-    var boundary = -1
-    while (boundary < 0 && i + 3 < payload.length) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-        payload(i + 2) == '\r' && payload(i + 3) == '\n')
-        boundary = i
-      i += 1
+  private def httpDecode(payload: Array[Byte])
+      : (Integer, String, String, String) =
+    Http.bodyText(payload) match {
+      case Some(bt) => (bt.status, bt.mime, bt.charset, bt.text)
+      case None => (null, null, null, new String(payload, "UTF-8"))
     }
-    val statusLineEnd = {
-      var q = 0
-      while (q + 1 < payload.length &&
-        !(payload(q) == '\r' && payload(q + 1) == '\n')) q += 1
-      q
-    }
-    val parts = new String(payload, 0, statusLineEnd, "UTF-8")
-      .split(" ")
-    val status: Integer =
-      if (parts.length >= 2)
-        try Integer.valueOf(parts(1).toInt)
-        catch { case _: NumberFormatException => null }
-      else null
-    val body =
-      if (boundary < 0) Array.emptyByteArray
-      else java.util.Arrays.copyOfRange(payload, boundary + 4,
-        payload.length)
-    (status, body)
-  }
 
   /** One row per WARC record — the crawl-ingest explode: (id,
     * rec_idx, warc_type, target_uri, content_length, http_status,
-    * body_text). `gzipped` selects the .warc.gz member-per-record
-    * layout. HTTP response payloads split into status + body; other
-    * record types carry the raw payload as body_text. Non-WARC
-    * content yields no rows. Map-only.
+    * content_mime, charset, body_text). `gzipped` selects the
+    * .warc.gz member-per-record layout. HTTP response payloads go
+    * through the full HTTP decode (chunked, Content-Encoding,
+    * charset — see [[Http]]); other record types carry the raw
+    * payload as body_text. Non-WARC content yields no rows.
+    * Map-only.
     */
   def warcRecordRows(df: DataFrame, idCol: String,
       contentCol: String, gzipped: Boolean): DataFrame =
@@ -647,6 +627,8 @@ object Archive {
       StructField("target_uri", StringType),
       StructField("content_length", LongType),
       StructField("http_status", IntegerType),
+      StructField("content_mime", StringType),
+      StructField("charset", StringType),
       StructField("body_text", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { it =>
@@ -655,10 +637,9 @@ object Archive {
         val raw = r.getAs[Array[Byte]](ci)
         unwrap(raw).flatMap(warcRecords).toSeq.flatten.zipWithIndex
           .map { case (rec, idx) =>
-            val (status, body) = httpSplit(rec.payload)
+            val (status, mime, cs, text) = httpDecode(rec.payload)
             Row(id, idx, rec.warcType, rec.targetUri,
-              rec.contentLength, status,
-              new String(body, "UTF-8"))
+              rec.contentLength, status, mime, cs, text)
         }
       }
     }(enc)
@@ -739,6 +720,113 @@ object Archive {
       "\r\n" + text).getBytes("UTF-8")
     warcWriteComp(Seq(
       ("request", uri, req), ("response", uri, resp)), comp)
+  }
+
+  /** Per-row WARC synthesizer exercising the REAL HTTP decode
+    * surface: the response wraps `bodyCol` (a string the caller
+    * built, including any `<meta charset>` prefix) with
+    *
+    * `framingCol`: 0 identity + Content-Length; 1 chunked (chunk
+    * extension on the first size line, trailer header after the 0
+    * chunk); 2 Content-Encoding gzip; 3 chunked + gzip; 4 deflate
+    * (zlib-wrapped); 5 declared `br` over plain bytes — the decoder
+    * must refuse (null body_text), not mis-read; 6 raw deflate
+    * under the `deflate` label (the in-the-wild fallback); 7
+    * Content-Encoding zstd (real entropy frame).
+    *
+    * `charsetModeCol`: 0 `charset=utf-8` in Content-Type; 1
+    * `charset=windows-1251` in Content-Type; 2 bare text/html — the
+    * charset only discoverable from the caller-planted
+    * `<meta charset="shift_jis">`; 3 UTF-8 BOM, no declaration; 4
+    * bare text/html with a caller-planted http-equiv tag naming
+    * euc-kr. Header-name casing alternates by id so the parse stays
+    * case-insensitive.
+    */
+  def synthHttpWarcs(df: DataFrame, idCol: String, bodyCol: String,
+      framingCol: String, charsetModeCol: String, outCol: String)
+      : DataFrame = {
+    val (ii, bi, fi, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(bodyCol), df.schema.fieldIndex(framingCol),
+      df.schema.fieldIndex(charsetModeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii)
+        val body = Option(r.getString(bi)).getOrElse("")
+        val bytes = synthHttpWarcBytes(id, body, r.getInt(fi),
+          r.getInt(ci))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  private[graft] def synthHttpWarcBytes(id: Any, body: String,
+      framing: Int, csMode: Int): Array[Byte] = {
+    val cs = csMode match {
+      case 1 => java.nio.charset.Charset.forName("windows-1251")
+      case 2 => java.nio.charset.Charset.forName("Shift_JIS")
+      case 4 => java.nio.charset.Charset.forName("EUC-KR")
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+    val plain0 = body.getBytes(cs)
+    val plain =
+      if (csMode == 3)
+        Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ plain0
+      else plain0
+    val contentType = csMode match {
+      case 0 => "text/plain; charset=utf-8"
+      case 1 => "text/html; charset=windows-1251"
+      case 3 => "text/plain"
+      case _ => "text/html"
+    }
+    // header-name casing alternates so parsing stays case-blind
+    val upper = (id match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.hashCode.toLong
+    }) % 2 == 0
+    def h(name: String): String =
+      if (upper) name
+      else name.toLowerCase(java.util.Locale.ROOT)
+    val hdr = new StringBuilder("HTTP/1.1 200 OK\r\n")
+    hdr.append(s"${h("Content-Type")}: $contentType\r\n")
+    val framed: Array[Byte] = framing match {
+      case 1 =>
+        hdr.append(s"${h("Transfer-Encoding")}: chunked\r\n")
+        Http.chunkEncode(plain, 100)
+      case 2 =>
+        hdr.append(s"${h("Content-Encoding")}: gzip\r\n")
+        gzipWrite(plain, "body")
+      case 3 =>
+        hdr.append(s"${h("Content-Encoding")}: gzip\r\n")
+        hdr.append(s"${h("Transfer-Encoding")}: chunked\r\n")
+        Http.chunkEncode(gzipWrite(plain, "body"), 77)
+      case 4 =>
+        hdr.append(s"${h("Content-Encoding")}: deflate\r\n")
+        Http.zlibDeflate(plain)
+      case 5 =>
+        hdr.append(s"${h("Content-Encoding")}: br\r\n")
+        plain // declared brotli: the reader must refuse, not echo
+      case 6 =>
+        hdr.append(s"${h("Content-Encoding")}: deflate\r\n")
+        Http.rawDeflate(plain) // the in-the-wild raw variant
+      case 7 =>
+        hdr.append(s"${h("Content-Encoding")}: zstd\r\n")
+        Zstd.encodeEntropyFrame(plain)
+      case _ =>
+        hdr.append(s"${h("Content-Length")}: ${plain.length}\r\n")
+        plain
+    }
+    hdr.append("\r\n")
+    val resp =
+      hdr.toString.getBytes(java.nio.charset.StandardCharsets
+        .ISO_8859_1) ++ framed
+    val uri = s"http://example.test/doc/$id"
+    val req = s"GET /doc/$id HTTP/1.1\r\nHost: example.test\r\n\r\n"
+      .getBytes("UTF-8")
+    warcWriteComp(Seq(
+      ("request", uri, req), ("response", uri, resp)), 0)
   }
 
   /** [[synthWarcs]] with the three-way compression selector of

@@ -1526,9 +1526,10 @@ object Pdf {
     StructField("pdf_text", StringType)))
 
   /** Decode kernel: WARC (plain or .warc.gz) → response record →
-    * HTTP body bytes (split at the first CRLFCRLF) → [[pdfText]].
-    * Null for anything that fails at any stage — the crawl path must
-    * classify, not crash, on damaged payloads.
+    * HTTP body bytes (the full [[Http]] decode: chunked de-framing +
+    * Content-Encoding, so gzipped/chunked PDF responses work) →
+    * [[pdfText]]. Null for anything that fails at any stage — the
+    * crawl path must classify, not crash, on damaged payloads.
     */
   def decodeWarcPdfText(bytes: Array[Byte]): Seq[Any] = {
     val text: Option[String] =
@@ -1541,21 +1542,9 @@ object Pdf {
           else Option(bytes)
         recs <- Archive.warcRecords(plain)
         resp <- recs.find(_.warcType == "response")
-        body <- httpBody(resp.payload)
+        body <- Http.bodyBytes(resp.payload)
         pt <- pdfText(body)
       } yield pt.text
     Seq[Any](text.orNull)
-  }
-
-  /** HTTP payload split: bytes after the first CRLFCRLF. */
-  private def httpBody(b: Array[Byte]): Option[Array[Byte]] = {
-    var i = 0
-    while (i + 3 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
-        b(i + 3) == '\n')
-        return Some(java.util.Arrays.copyOfRange(b, i + 4, b.length))
-      i += 1
-    }
-    None
   }
 }
