@@ -874,17 +874,23 @@ object Pdf {
     }
 
     private def walkPages(node: PVal, depth: Int,
-        out: mutable.ArrayBuffer[PDict]): Unit = {
+        inherited: Option[PVal],
+        out: mutable.ArrayBuffer[(PDict, Option[PVal])]): Unit = {
       if (depth > MaxDepth || out.length > MaxPages)
         fail("page tree bomb")
       resolve(node, 0) match {
         case d @ PDict(m) =>
+          // /Resources is inheritable down the page tree — real
+          // writers routinely hang one Resources dict on the Pages
+          // node for every page under it
+          val res = m.get("Resources").orElse(inherited)
           m.get("Type") match {
-            case Some(PName("Page")) => out += d
+            case Some(PName("Page")) => out += ((d, res))
             case _ => m.get("Kids") match {
               case Some(k) => resolve(k, 0) match {
                 case PArr(kids) =>
-                  for (kid <- kids) walkPages(kid, depth + 1, out)
+                  for (kid <- kids)
+                    walkPages(kid, depth + 1, res, out)
                 case _ => fail("Kids not an array")
               }
               case None => fail("page node without Type or Kids")
@@ -892,6 +898,80 @@ object Pdf {
           }
         case _ => fail("page node not a dict")
       }
+    }
+
+    // ----------------------------------------------------------------
+    // fonts: /Encoding /Differences, /ToUnicode CMaps, Type0
+    // ----------------------------------------------------------------
+
+    /** Effective font map of one page: resource name (e.g. "F1") →
+      * decode info. Shared font objects parse once per document
+      * (cache keyed by the indirect ref).
+      */
+    private val fontCache = mutable.Map[(Int, Int), FontInfo]()
+
+    def pageFonts(resources: Option[PVal]): Map[String, FontInfo] =
+      resources.map(resolve(_, 0)) match {
+        case Some(PDict(rm)) =>
+          rm.get("Font").map(resolve(_, 0)) match {
+            case Some(PDict(fm)) =>
+              fm.flatMap { case (name, fv) =>
+                val info = fv match {
+                  case PRef(n, g) =>
+                    fontCache.getOrElseUpdate((n, g),
+                      fontInfoOf(resolve(fv, 0)))
+                  case other => fontInfoOf(resolve(other, 0))
+                }
+                Some(name -> info)
+              }
+            case _ => Map.empty[String, FontInfo]
+          }
+        case _ => Map.empty[String, FontInfo]
+      }
+
+    private def fontInfoOf(v: PVal): FontInfo = v match {
+      case PDict(m) =>
+        val subtype = m.get("Subtype") match {
+          case Some(PName(s)) => s
+          case _ => ""
+        }
+        val twoByte = subtype == "Type0"
+        val toUni = m.get("ToUnicode").map(resolve(_, 0)) match {
+          case Some(PStream(d, raw)) =>
+            parseToUnicode(decodeStream(d, raw))
+          case _ => Map.empty[Int, String]
+        }
+        var base = 0 // 0 none, 1 WinAnsi, 2 MacRoman
+        var diffs = Map.empty[Int, String]
+        m.get("Encoding").map(resolve(_, 0)) match {
+          case Some(PName("WinAnsiEncoding")) => base = 1
+          case Some(PName("MacRomanEncoding")) => base = 2
+          case Some(PDict(em)) =>
+            em.get("BaseEncoding") match {
+              case Some(PName("WinAnsiEncoding")) => base = 1
+              case Some(PName("MacRomanEncoding")) => base = 2
+              case _ => ()
+            }
+            em.get("Differences").map(resolve(_, 0)) match {
+              case Some(PArr(items)) =>
+                val b = Map.newBuilder[Int, String]
+                var code = 0
+                for (it <- items) it match {
+                  case PNum(n) => code = n.toInt
+                  case PName(glyph) =>
+                    if (code >= 0 && code <= 255) {
+                      glyphToChar(glyph).foreach(s => b += code -> s)
+                      code += 1
+                    }
+                  case _ => ()
+                }
+                diffs = b.result()
+              case _ => ()
+            }
+          case _ => ()
+        }
+        FontInfo(twoByte, toUni, diffs, base)
+      case _ => FontInfo.plain
     }
 
     def extract(): PdfText = {
@@ -902,15 +982,16 @@ object Pdf {
         case _ => fail("Root not a dict")
       }
       val pagesRoot = cat.m.getOrElse("Pages", fail("no Pages"))
-      val pages = mutable.ArrayBuffer[PDict]()
-      walkPages(pagesRoot, 0, pages)
+      val pages = mutable.ArrayBuffer[(PDict, Option[PVal])]()
+      walkPages(pagesRoot, 0, None, pages)
       // per-page buffers: the leading-newline suppression in the
       // operator walk is a page-local rule, pages join with one \n
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < pages.length) {
+        val (page, res) = pages(i)
         val pb = new java.lang.StringBuilder
-        appendContentText(pageContents(pages(i)), pb)
+        appendContentText(pageContents(page), pb, pageFonts(res))
         if (i > 0) sb.append('\n')
         sb.append(pb)
         if (sb.length > MaxText) fail("text bomb")
