@@ -2578,6 +2578,21 @@ object SparkEntry {
           col("body_text"))
     }),
 
+    // ----- PDF font-encoding decode: the show-string bytes are
+    // deliberately code-shifted (Type0/ToUnicode, /Differences over
+    // uniXXXX names, single-byte ToUnicode — doc_id%3), so a
+    // raw-byte decode provably mojibakes; only the font machinery
+    // recovers the planted text byte-for-byte
+    "q_pdf_fonts" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val pdfs = Pdf.synthFontPdfs(d, "__t", "__m", "content")
+      Multimodal.decodeBatches(pdfs, "content",
+          Pdf.pdfTextSchema)(Pdf.decodePdfText)
+        .select(col("doc_id"), col("pdf_text").as("text"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -4870,6 +4885,12 @@ object SparkEntry {
                     'content="text/html; charset=euc-kr">' || s ||
                     ' 한국어' END AS body_text
          FROM p""",
+
+    // the font-decode chain must hand back the planted text exactly;
+    // the oracle replays it verbatim (the code-shifted bytes never
+    // appear — only a correct /ToUnicode//Differences walk matches)
+    "q_pdf_fonts" ->
+      """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
 
     // three VP8L layouts decode to the same uniform cells -> the PNG
     // checkerboard constants verbatim

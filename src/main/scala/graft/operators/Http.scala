@@ -194,10 +194,15 @@ object Http {
           try Some(v.trim.toLong) catch {
             case _: NumberFormatException => None }
         }
-        cl match {
+        val bounded = cl match {
           case Some(n) if n >= 0 && n < r.raw.length =>
-            Some(java.util.Arrays.copyOf(r.raw, n.toInt))
-          case _ => Some(r.raw)
+            java.util.Arrays.copyOf(r.raw, n.toInt)
+          case _ => r.raw
+        }
+        // "TE: gzip" with no chunked: the codings still apply; an
+        // unsupported one must surface as None, not raw passthrough
+        teTokens.reverse.foldLeft(Option(bounded)) { (acc, tok) =>
+          acc.flatMap(contentDecode(tok, _))
         }
       }
     val tokens = r.header("content-encoding").getOrElse("")
@@ -248,6 +253,16 @@ object Http {
     */
   def sniffCharset(contentType: Option[String], body: Array[Byte])
       : (Charset, Int) = {
+    // WHATWG decode: a BOM outranks every declared charset
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+      (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+      return (StandardCharsets.UTF_8, 3)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
+      (body(1) & 0xff) == 0xfe)
+      return (StandardCharsets.UTF_16LE, 2)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+      (body(1) & 0xff) == 0xff)
+      return (StandardCharsets.UTF_16BE, 2)
     for (ct <- contentType) {
       val lower = ct.toLowerCase(java.util.Locale.ROOT)
       val i = lower.indexOf("charset=")
@@ -258,38 +273,23 @@ object Http {
         v = v.stripPrefix("\"").stripSuffix("\"")
           .stripPrefix("'").stripSuffix("'")
         charsetForLabel(v) match {
-          case Some(cs) => return (cs, bomLen(body, cs))
+          case Some(cs) => return (cs, 0)
           case None => // fall through to sniffing
         }
       }
     }
-    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
-      (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
-      return (StandardCharsets.UTF_8, 3)
-    if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
-      (body(1) & 0xff) == 0xfe)
-      return (StandardCharsets.UTF_16LE, 2)
-    if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
-      (body(1) & 0xff) == 0xff)
-      return (StandardCharsets.UTF_16BE, 2)
     // bounded ASCII-compatible prefix rescan for <meta charset=...>
     val n = math.min(body.length, MetaScan)
     val prefix = new String(body, 0, n, StandardCharsets.ISO_8859_1)
     MetaCharsetRe.findFirstMatchIn(prefix) match {
       case Some(m) =>
         charsetForLabel(m.group(1)) match {
-          case Some(cs) => (cs, bomLen(body, cs))
+          case Some(cs) => (cs, 0)
           case None => (StandardCharsets.UTF_8, 0)
         }
       case None => (StandardCharsets.UTF_8, 0)
     }
   }
-
-  private def bomLen(body: Array[Byte], cs: Charset): Int =
-    if (cs == StandardCharsets.UTF_8 && body.length >= 3 &&
-      (body(0) & 0xff) == 0xef && (body(1) & 0xff) == 0xbb &&
-      (body(2) & 0xff) == 0xbf) 3
-    else 0
 
   // ------------------------------------------------------------------
   // the one-call surfaces

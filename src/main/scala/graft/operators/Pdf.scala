@@ -1011,6 +1011,306 @@ object Pdf {
     */
   private val KernSpace = -180.0
 
+  // ------------------------------------------------------------------
+  // font decode info
+  // ------------------------------------------------------------------
+
+  /** How to turn one font's show-string bytes into text.
+    *
+    * Priority per the PDF spec (ISO 32000-1 §9.10.2): a /ToUnicode
+    * CMap is the authoritative text mapping when present; otherwise
+    * /Encoding (/Differences over a base encoding). `base` is
+    * 0 none, 1 WinAnsiEncoding, 2 MacRomanEncoding. `twoByte` marks
+    * Type0 composite fonts whose show strings are 2-byte codes.
+    */
+  private final case class FontInfo(
+      twoByte: Boolean,
+      toUni: Map[Int, String],
+      diffs: Map[Int, String],
+      base: Int) {
+    def hasMap: Boolean =
+      twoByte || toUni.nonEmpty || diffs.nonEmpty || base != 0
+  }
+
+  private object FontInfo {
+    val plain: FontInfo = FontInfo(false, Map.empty, Map.empty, 0)
+  }
+
+  /** 256-entry single-byte decode table for a named JVM charset;
+    * identity (Latin-1) where the charset is absent or the byte is
+    * unmapped. Built once per JVM.
+    */
+  private def byteTable(charsetName: String): Array[String] = {
+    val cs =
+      try java.nio.charset.Charset.forName(charsetName)
+      catch { case NonFatal(_) => null }
+    Array.tabulate(256) { i =>
+      val fallback = i.toChar.toString
+      if (cs == null) fallback
+      else {
+        val s = new String(Array(i.toByte), cs)
+        if (s.isEmpty || s.charAt(0) == '�') fallback else s
+      }
+    }
+  }
+
+  private lazy val winAnsiTable = byteTable("windows-1252")
+  private lazy val macRomanTable = byteTable("x-MacRoman")
+
+  /** Adobe-Glyph-List subset: the names that cover mainstream Latin
+    * subset fonts, plus the algorithmic uniXXXX / uXXXX[XX] forms.
+    */
+  private lazy val aglMap: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    for (c <- 'A' to 'Z') b += c.toString -> c.toString
+    for (c <- 'a' to 'z') b += c.toString -> c.toString
+    val digits = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine")
+    digits.zipWithIndex.foreach { case (n, i) => b += n -> i.toString }
+    val named = Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".",
+      "slash" -> "/", "colon" -> ":", "semicolon" -> ";",
+      "less" -> "<", "equal" -> "=", "greater" -> ">",
+      "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~",
+      "aacute" -> "á", "agrave" -> "à",
+      "acircumflex" -> "â", "adieresis" -> "ä",
+      "aring" -> "å", "atilde" -> "ã", "ae" -> "æ",
+      "ccedilla" -> "ç", "eacute" -> "é",
+      "egrave" -> "è", "ecircumflex" -> "ê",
+      "edieresis" -> "ë", "iacute" -> "í",
+      "igrave" -> "ì", "icircumflex" -> "î",
+      "idieresis" -> "ï", "ntilde" -> "ñ",
+      "oacute" -> "ó", "ograve" -> "ò",
+      "ocircumflex" -> "ô", "odieresis" -> "ö",
+      "otilde" -> "õ", "oslash" -> "ø",
+      "uacute" -> "ú", "ugrave" -> "ù",
+      "ucircumflex" -> "û", "udieresis" -> "ü",
+      "yacute" -> "ý", "ydieresis" -> "ÿ",
+      "germandbls" -> "ß", "thorn" -> "þ",
+      "eth" -> "ð",
+      "Aacute" -> "Á", "Agrave" -> "À",
+      "Acircumflex" -> "Â", "Adieresis" -> "Ä",
+      "Aring" -> "Å", "Atilde" -> "Ã", "AE" -> "Æ",
+      "Ccedilla" -> "Ç", "Eacute" -> "É",
+      "Egrave" -> "È", "Ecircumflex" -> "Ê",
+      "Edieresis" -> "Ë", "Iacute" -> "Í",
+      "Igrave" -> "Ì", "Icircumflex" -> "Î",
+      "Idieresis" -> "Ï", "Ntilde" -> "Ñ",
+      "Oacute" -> "Ó", "Ograve" -> "Ò",
+      "Ocircumflex" -> "Ô", "Odieresis" -> "Ö",
+      "Otilde" -> "Õ", "Oslash" -> "Ø",
+      "Uacute" -> "Ú", "Ugrave" -> "Ù",
+      "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+      "Yacute" -> "Ý", "Thorn" -> "Þ", "Eth" -> "Ð",
+      "emdash" -> "—", "endash" -> "–",
+      "bullet" -> "•", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "quoteleft" -> "‘",
+      "quoteright" -> "’", "quotesinglbase" -> "‚",
+      "quotedblbase" -> "„", "ellipsis" -> "…",
+      "dagger" -> "†", "daggerdbl" -> "‡",
+      "trademark" -> "™", "copyright" -> "©",
+      "registered" -> "®", "degree" -> "°",
+      "Euro" -> "€", "sterling" -> "£",
+      "yen" -> "¥", "cent" -> "¢",
+      "section" -> "§", "paragraph" -> "¶",
+      "plusminus" -> "±", "multiply" -> "×",
+      "divide" -> "÷", "florin" -> "ƒ",
+      "dotlessi" -> "ı", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "ffi" -> "ﬃ", "ffl" -> "ﬄ", "ff" -> "ﬀ",
+      "guillemotleft" -> "«", "guillemotright" -> "»",
+      "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+      "exclamdown" -> "¡", "questiondown" -> "¿",
+      "perthousand" -> "‰", "minus" -> "−",
+      "fraction" -> "⁄", "currency" -> "¤",
+      "brokenbar" -> "¦", "dieresis" -> "¨",
+      "macron" -> "¯", "acute" -> "´",
+      "cedilla" -> "¸", "onesuperior" -> "¹",
+      "twosuperior" -> "²", "threesuperior" -> "³",
+      "onequarter" -> "¼", "onehalf" -> "½",
+      "threequarters" -> "¾", "mu" -> "µ",
+      "periodcentered" -> "·", "logicalnot" -> "¬",
+      "ordfeminine" -> "ª", "ordmasculine" -> "º",
+      "Lslash" -> "Ł", "lslash" -> "ł",
+      "Scaron" -> "Š", "scaron" -> "š",
+      "Zcaron" -> "Ž", "zcaron" -> "ž",
+      "OE" -> "Œ", "oe" -> "œ",
+      "Ydieresis" -> "Ÿ", "circumflex" -> "ˆ",
+      "tilde" -> "˜", "breve" -> "˘",
+      "dotaccent" -> "˙", "ring" -> "˚",
+      "ogonek" -> "˛", "caron" -> "ˇ",
+      "hungarumlaut" -> "˝")
+    b ++= named
+    b.result()
+  }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
+
+  /** Glyph name → text per the Adobe Glyph List conventions: the
+    * algorithmic uniXXXX / uXXXX(XX) forms first, then the named
+    * subset. None for names we cannot map (honest refusal — the
+    * caller keeps the code unmapped rather than guessing).
+    */
+  private def glyphToChar(glyph: String): Option[String] = {
+    if (glyph.length >= 7 && glyph.startsWith("uni") &&
+      (glyph.length - 3) % 4 == 0 &&
+      glyph.drop(3).forall(isHexDigit)) {
+      Some(glyph.drop(3).grouped(4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString)
+    } else if (glyph.length >= 5 && glyph.length <= 7 &&
+      glyph.charAt(0) == 'u' && glyph.drop(1).forall(isHexDigit)) {
+      val cp = Integer.parseInt(glyph.drop(1), 16)
+      if (Character.isValidCodePoint(cp))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } else aglMap.get(glyph)
+  }
+
+  /** Largest number of code points a single /ToUnicode CMap may map —
+    * 2-byte code space is 65536; anything past that is a bomb.
+    */
+  private val MaxCMapEntries = 65536
+
+  /** Parse a /ToUnicode CMap stream: the bfchar and bfrange sections
+    * (ISO 32000-1 §9.10.3). Destinations are UTF-16BE hex strings; a
+    * scalar bfrange destination increments its final code unit across
+    * the range. Malformed sections are skipped, not fatal — a partial
+    * map still beats raw bytes.
+    */
+  private def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val text = new String(data, StandardCharsets.ISO_8859_1)
+    val out = mutable.Map[Int, String]()
+    def hexBytes(h: String): Array[Byte] = {
+      val even = if (h.length % 2 == 0) h else h + "0"
+      Array.tabulate(even.length / 2)(i =>
+        Integer.parseInt(even.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    def utf16(h: String): String =
+      new String(hexBytes(h), StandardCharsets.UTF_16BE)
+    def srcCode(h: String): Int = Integer.parseInt(h, 16)
+    def addUtf16(code: Int, h: String): Unit =
+      if (out.size < MaxCMapEntries) out(code) = utf16(h)
+    // token scanner over one section body: hex strings and brackets
+    val tok = "<([0-9A-Fa-f]+)>|\\[|\\]".r
+    def sections(begin: String, end: String): Iterator[String] = {
+      var from = 0
+      Iterator.continually {
+        val b = text.indexOf(begin, from)
+        if (b < 0) None
+        else {
+          val e = text.indexOf(end, b + begin.length)
+          if (e < 0) { from = text.length; None }
+          else {
+            from = e + end.length
+            Some(text.substring(b + begin.length, e))
+          }
+        }
+      }.takeWhile(_.isDefined).map(_.get)
+    }
+    for (body <- sections("beginbfchar", "endbfchar")) {
+      val hexes = tok.findAllMatchIn(body)
+        .flatMap(m => Option(m.group(1))).toVector
+      var i = 0
+      while (i + 1 < hexes.length) {
+        try addUtf16(srcCode(hexes(i)), hexes(i + 1))
+        catch { case _: NumberFormatException => () }
+        i += 2
+      }
+    }
+    for (body <- sections("beginbfrange", "endbfrange")) {
+      val toks = tok.findAllMatchIn(body)
+        .map(m => Option(m.group(1)).getOrElse(m.matched)).toVector
+      var i = 0
+      while (i < toks.length) {
+        try {
+          if (i + 2 < toks.length && toks(i) != "[" && toks(i) != "]" &&
+            toks(i + 1) != "[" && toks(i + 1) != "]") {
+            val lo = srcCode(toks(i))
+            val hi = srcCode(toks(i + 1))
+            if (toks(i + 2) == "[") {
+              // array form: one destination string per code
+              var code = lo
+              var j = i + 3
+              while (j < toks.length && toks(j) != "]") {
+                if (code <= hi) addUtf16(code, toks(j))
+                code += 1
+                j += 1
+              }
+              i = j + 1
+            } else {
+              // scalar form: increment the final UTF-16 code unit
+              val dst = hexBytes(toks(i + 2))
+              val span = hi - lo
+              if (span >= 0 && span < MaxCMapEntries &&
+                dst.length >= 2) {
+                val baseUnit =
+                  ((dst(dst.length - 2) & 0xff) << 8) |
+                    (dst(dst.length - 1) & 0xff)
+                var k = 0
+                while (k <= span) {
+                  val b2 = dst.clone()
+                  val unit = baseUnit + k
+                  b2(b2.length - 2) = ((unit >> 8) & 0xff).toByte
+                  b2(b2.length - 1) = (unit & 0xff).toByte
+                  if (out.size < MaxCMapEntries)
+                    out(lo + k) =
+                      new String(b2, StandardCharsets.UTF_16BE)
+                  k += 1
+                }
+              }
+              i += 3
+            }
+          } else i += 1
+        } catch { case _: NumberFormatException => i += 1 }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode one show string through its font. No font info at all →
+    * the historical raw-byte path (UTF-8 else Latin-1). A Type0 code
+    * absent from /ToUnicode → U+FFFD, never compressed-CID-as-text.
+    */
+  private def decodeShow(bytes: Array[Byte], f: FontInfo): String = {
+    if (!f.hasMap) strText(bytes)
+    else if (f.twoByte) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+        sb.append(f.toUni.getOrElse(code, "�"))
+        i += 2
+      }
+      if (i < bytes.length) sb.append('�')
+      sb.toString
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < bytes.length) {
+        val code = bytes(i) & 0xff
+        f.toUni.get(code).orElse(f.diffs.get(code)) match {
+          case Some(s) => sb.append(s)
+          case None => f.base match {
+            case 1 => sb.append(winAnsiTable(code))
+            case 2 => sb.append(macRomanTable(code))
+            case _ => sb.append(code.toChar)
+          }
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
   private def strText(bytes: Array[Byte]): String =
     try {
       val dec = StandardCharsets.UTF_8.newDecoder()
@@ -1021,14 +1321,16 @@ object Pdf {
     }
 
   private def appendContentText(data: Array[Byte],
-      sb: java.lang.StringBuilder): Unit = {
+      sb: java.lang.StringBuilder,
+      fonts: Map[String, FontInfo] = Map.empty): Unit = {
     val lex = new Lex(data, 0)
     val operands = mutable.ArrayBuffer[PVal]()
+    var curFont = FontInfo.plain
     def newline(): Unit = if (sb.length > 0) sb.append('\n')
     def lastStr: Option[Array[Byte]] =
       operands.reverseIterator.collectFirst { case PStr(s) => s }
     def show(s: Array[Byte]): Unit = {
-      sb.append(strText(s))
+      sb.append(decodeShow(s, curFont))
       if (sb.length > MaxText) fail("text bomb")
     }
     while ({ lex.skipWs(); !lex.atEnd }) {
@@ -1052,6 +1354,12 @@ object Pdf {
                 }
               case _ => ()
             }
+          case "Tf" =>
+            // /F1 12 Tf — the resource name selects the page's font
+            operands.reverseIterator
+              .collectFirst { case PName(n) => n }
+              .foreach(n =>
+                curFont = fonts.getOrElse(n, FontInfo.plain))
           case "T*" => newline()
           case "Td" | "TD" =>
             operands.lastOption match {
@@ -1534,6 +1842,140 @@ object Pdf {
     val tb = xb.toString.getBytes(StandardCharsets.ISO_8859_1)
     out.write(tb, 0, tb.length)
     out.toByteArray
+  }
+
+  /** Hand-authored fixture with font resources. `ops` is the page
+    * content stream; `fontRes` is the literal /Font dict body (fonts
+    * may be direct dicts or reference the `streams` objects, which
+    * are written as numbered stream objects — e.g. a /ToUnicode
+    * CMap at object 5).
+    */
+  def pdfWriteFontOps(ops: String, fontRes: String,
+      streams: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+    val data = ops.getBytes(StandardCharsets.ISO_8859_1)
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font $fontRes >> /Contents 4 0 R >>"))
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = mutable.Map[Int, Long]()
+    val hdr = "%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1)
+    out.write(hdr, 0, hdr.length)
+    for ((n, body) <- objs) {
+      offsets(n) = out.size.toLong
+      val ob = s"$n 0 obj\n$body\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      out.write(ob, 0, ob.length)
+    }
+    def writeStream(n: Int, bytes: Array[Byte]): Unit = {
+      offsets(n) = out.size.toLong
+      val sb = (s"$n 0 obj\n<< /Length ${bytes.length} >>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1)) ++ bytes ++
+        "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+      out.write(sb, 0, sb.length)
+    }
+    writeStream(4, data)
+    for ((n, bytes) <- streams) writeStream(n, bytes)
+    val maxObj = (Seq(4) ++ streams.map(_._1)).max
+    val xrefOff = out.size.toLong
+    val xb = new StringBuilder(s"xref\n0 ${maxObj + 1}\n" +
+      "0000000000 65535 f \n")
+    for (i <- 1 to maxObj)
+      xb.append(f"${offsets.getOrElse(i, 0L)}%010d 00000 n \n")
+    xb.append(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
+    xb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val tb = xb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(tb, 0, tb.length)
+    out.toByteArray
+  }
+
+  /** Font-remapped fixture: the show-string bytes deliberately
+    * DIFFER from the text (codes are shifted), so a raw-byte decode
+    * provably mojibakes — only the font machinery recovers the
+    * planted text. mode 0: Type0 2-byte codes through a /ToUnicode
+    * CMap; mode 1: simple font with /Encoding /Differences over
+    * uniXXXX glyph names; mode 2: single-byte /ToUnicode. Modes 1/2
+    * need few-enough distinct BMP code points for one byte; rows
+    * that don't fit fall back to mode 0 (Spark-side only — the
+    * decoded text is the original either way).
+    */
+  def pdfWriteFontEncoded(text: String, mode: Int): Array[Byte] = {
+    val cps: Array[Int] = {
+      val it = text.codePoints().iterator()
+      val b = mutable.ArrayBuffer[Int]()
+      while (it.hasNext) b += it.next()
+      b.toArray
+    }
+    val distinct = cps.distinct
+    val singleOk = distinct.length <= 200 && distinct.forall(_ <= 0xffff)
+    val m = if (singleOk) ((mode % 3) + 3) % 3 else 0
+    def hex4(i: Int): String = f"$i%04X"
+    def hex2(i: Int): String = f"$i%02X"
+    def utf16Hex(cp: Int): String =
+      Character.toChars(cp).map(c => f"${c.toInt}%04X").mkString
+    m match {
+      case 1 =>
+        val code = distinct.zipWithIndex
+          .map { case (cp, i) => cp -> (33 + i) }.toMap
+        val diffs = distinct.zipWithIndex
+          .map { case (cp, i) => s"${33 + i} /uni${hex4(cp)}" }
+          .mkString(" ")
+        val show = cps.map(cp => hex2(code(cp))).mkString
+        val res = "<< /F1 << /Type /Font /Subtype /Type1 " +
+          s"/Encoding << /Differences [$diffs] >> >> >>"
+        pdfWriteFontOps(s"BT /F1 11 Tf <$show> Tj ET", res)
+      case 2 =>
+        val code = distinct.zipWithIndex
+          .map { case (cp, i) => cp -> (33 + i) }.toMap
+        val bf = distinct.zipWithIndex
+          .map { case (cp, i) =>
+            s"<${hex2(33 + i)}> <${utf16Hex(cp)}>" }
+          .mkString("\n")
+        val cm = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+          s"${distinct.length} beginbfchar\n$bf\nendbfchar\n" +
+          "endcmap\nend end").getBytes(StandardCharsets.ISO_8859_1)
+        val show = cps.map(cp => hex2(code(cp))).mkString
+        val res = "<< /F1 << /Type /Font /Subtype /Type1 " +
+          "/ToUnicode 5 0 R >> >>"
+        pdfWriteFontOps(s"BT /F1 11 Tf <$show> Tj ET", res,
+          Seq(5 -> cm))
+      case _ =>
+        // 2-byte codes offset to 0x2000+: never identity with the
+        // character, and never valid UTF-8/Latin-1 text bytes
+        val code = distinct.zipWithIndex
+          .map { case (cp, i) => cp -> (0x2000 + i) }.toMap
+        val bf = distinct.zipWithIndex
+          .map { case (cp, i) =>
+            s"<${hex4(0x2000 + i)}> <${utf16Hex(cp)}>" }
+          .mkString("\n")
+        val cm = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+          s"${distinct.length} beginbfchar\n$bf\nendbfchar\n" +
+          "endcmap\nend end").getBytes(StandardCharsets.ISO_8859_1)
+        val show = cps.map(cp => hex4(code(cp))).mkString
+        val res = "<< /F1 << /Type /Font /Subtype /Type0 " +
+          "/ToUnicode 5 0 R >> >>"
+        pdfWriteFontOps(s"BT /F1 11 Tf <$show> Tj ET", res,
+          Seq(5 -> cm))
+    }
+  }
+
+  /** Per-row font-remapped PDF synthesizer (same map-only
+    * mapPartitions idiom as synthPdfs — no shuffle).
+    */
+  def synthFontPdfs(df: DataFrame, textCol: String, modeCol: String,
+      outCol: String): DataFrame = {
+    val (ti, mi) = (df.schema.fieldIndex(textCol),
+      df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+ pdfWriteFontEncoded(text, r.getInt(mi)))
+      }
+    }(enc)
   }
 
   /** Encrypted-PDF fixture: a structurally valid file whose trailer

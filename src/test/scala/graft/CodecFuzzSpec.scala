@@ -258,6 +258,22 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Pdf.pdfText)
   }
 
+  test("pdf font decode (CMap/Differences) is total under mutation") {
+    val text = "font mapped words é→Ω " * 6
+    // Type0 + ToUnicode CMap, /Differences, single-byte ToUnicode —
+    // mutated CMap bodies / font dicts must refuse or decode, never
+    // throw
+    assertTotal("pdf/type0-tounicode",
+      graft.operators.Pdf.pdfWriteFontEncoded(text, 0),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/differences",
+      graft.operators.Pdf.pdfWriteFontEncoded(text, 1),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/single-byte-tounicode",
+      graft.operators.Pdf.pdfWriteFontEncoded(text, 2),
+      graft.operators.Pdf.pdfText)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,

@@ -42,6 +42,22 @@ class HttpSpec extends AnyFunSuite {
     assert(text(b2).text == "0123456\r\n8")
   }
 
+  test("chunk boundaries inside multi-byte code points reassemble") {
+    val s = "edge Ωμé→ done"
+    val plain = s.getBytes("UTF-8")
+    // 1-byte chunks: every boundary lands inside the UTF-8 sequences
+    for (sz <- Seq(1, 2, 3)) {
+      val b = resp("Content-Type: text/plain; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n", Http.chunkEncode(plain, sz))
+      assert(text(b).text == s, s"chunk size $sz")
+    }
+    // gzip layered under chunking with the same hostile boundaries
+    val gz = Archive.gzipWrite(plain, "b")
+    val b2 = resp("Content-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n", Http.chunkEncode(gz, 1))
+    assert(text(b2).text == s)
+  }
+
   test("chunked framing damage refuses instead of emitting partial") {
     def chk(raw: String): Option[String] =
       Option(text(resp("Transfer-Encoding: chunked\r\n",
@@ -132,6 +148,33 @@ class HttpSpec extends AnyFunSuite {
       s.getBytes("UTF-16LE")
     assert(text(resp("Content-Type: text/plain\r\n", utf16le))
       .text == s)
+  }
+
+  test("BOM outranks a wrong declared charset (WHATWG precedence)") {
+    val s = "bommed Ω"
+    val utf16le = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      s.getBytes("UTF-16LE")
+    // declared windows-1251 must lose to the UTF-16LE BOM
+    val bt = text(resp(
+      "Content-Type: text/html; charset=windows-1251\r\n", utf16le))
+    assert(bt.text == s && bt.charset == "UTF-16LE")
+    val utf8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      s.getBytes("UTF-8")
+    assert(text(resp(
+      "Content-Type: text/plain; charset=shift_jis\r\n", utf8))
+      .text == s)
+  }
+
+  test("Transfer-Encoding without chunked still decodes / refuses") {
+    val s = "te-gzip body, no chunked framing at all"
+    val gz = Archive.gzipWrite(s.getBytes("UTF-8"), "b")
+    val b = resp("Content-Type: text/plain\r\n" +
+      "Transfer-Encoding: gzip\r\n", gz)
+    assert(text(b).text == s)
+    // unsupported token (br) must refuse, not pass bytes through
+    val raw = resp("Content-Type: text/plain\r\n" +
+      "Transfer-Encoding: br\r\n", "not-brotli".getBytes("UTF-8"))
+    assert(Option(text(raw).text).isEmpty)
   }
 
   test("latin-1 label maps to windows-1252 (WHATWG rule)") {

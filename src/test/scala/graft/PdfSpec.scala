@@ -74,6 +74,110 @@ class PdfSpec extends SparkSpec {
       "(b) Tj ET") == "ab")
   }
 
+  private def fontText(ops: String, fontRes: String,
+      streams: Seq[(Int, Array[Byte])] = Nil): String =
+    Pdf.pdfText(Pdf.pdfWriteFontOps(ops, fontRes, streams)).get.text
+
+  private def cmap(body: String): Array[Byte] =
+    ("/CIDInit /ProcSet findresource begin\nbegincmap\n" + body +
+      "\nendcmap\nend end").getBytes("ISO-8859-1")
+
+  test("Type0 font decodes 2-byte codes through /ToUnicode bfchar") {
+    val cm = cmap("2 beginbfchar\n<0041> <0058>\n<0042> <0059>\n" +
+      "endbfchar")
+    val res = "<< /F1 << /Type /Font /Subtype /Type0 " +
+      "/ToUnicode 5 0 R >> >>"
+    assert(fontText("BT /F1 12 Tf <00410042> Tj ET", res,
+      Seq(5 -> cm)) == "XY")
+    // a code absent from the CMap is U+FFFD, never raw CID bytes
+    assert(fontText("BT /F1 12 Tf <00410099> Tj ET", res,
+      Seq(5 -> cm)) == "X�")
+    // odd trailing byte of a 2-byte string is also U+FFFD
+    assert(fontText("BT /F1 12 Tf <004141> Tj ET", res,
+      Seq(5 -> cm)) == "X�")
+  }
+
+  test("ToUnicode bfrange: scalar increment and array forms") {
+    val cm = cmap("1 beginbfrange\n<0001> <0003> <0061>\n" +
+      "endbfrange\n1 beginbfrange\n<0005> <0006> [<0058> <0059>]\n" +
+      "endbfrange")
+    val res = "<< /F1 << /Type /Font /Subtype /Type0 " +
+      "/ToUnicode 5 0 R >> >>"
+    assert(fontText("BT /F1 9 Tf <000100020003> Tj ET", res,
+      Seq(5 -> cm)) == "abc")
+    assert(fontText("BT /F1 9 Tf <00050006> Tj ET", res,
+      Seq(5 -> cm)) == "XY")
+  }
+
+  test("ToUnicode multi-unit destinations (ligature expansion)") {
+    // fi ligature: one code maps to two UTF-16 units
+    val cm = cmap("1 beginbfchar\n<0010> <00660069>\nendbfchar")
+    val res = "<< /F1 << /Type /Font /Subtype /Type0 " +
+      "/ToUnicode 5 0 R >> >>"
+    assert(fontText("BT /F1 9 Tf <0010> Tj ET", res,
+      Seq(5 -> cm)) == "fi")
+  }
+
+  test("simple font /Encoding /Differences remaps via glyph names") {
+    val res = "<< /F1 << /Type /Font /Subtype /Type1 /Encoding " +
+      "<< /Differences [65 /eacute /Euro 97 /uni0416] >> >> >>"
+    // 65→é, 66→€ (names consume consecutive codes), 97→Ж
+    assert(fontText("BT /F1 10 Tf (ABa) Tj ET", res) == "é€Ж")
+    // codes outside /Differences keep their byte identity
+    assert(fontText("BT /F1 10 Tf (Az) Tj ET", res) == "éz")
+  }
+
+  test("WinAnsi and MacRoman base encodings decode high bytes") {
+    val win = "<< /F1 << /Type /Font /Subtype /TrueType " +
+      "/Encoding /WinAnsiEncoding >> >>"
+    // 0x92 = right single quote in cp1252
+    assert(fontText("BT /F1 10 Tf (a\\222b) Tj ET", win) == "a’b")
+    val mac = "<< /F1 << /Type /Font /Subtype /TrueType " +
+      "/Encoding /MacRomanEncoding >> >>"
+    // 0xA5 = bullet in MacRoman
+    assert(fontText("BT /F1 10 Tf (a\\245b) Tj ET", mac) == "a•b")
+  }
+
+  test("single-byte /ToUnicode outranks the base encoding") {
+    val cm = cmap("1 beginbfchar\n<41> <0051>\nendbfchar")
+    val res = "<< /F1 << /Type /Font /Subtype /Type1 " +
+      "/Encoding /WinAnsiEncoding /ToUnicode 5 0 R >> >>"
+    assert(fontText("BT /F1 10 Tf (AB) Tj ET", res,
+      Seq(5 -> cm)) == "QB")
+  }
+
+  test("Tf switches fonts mid-stream; unknown name resets to plain") {
+    val res = "<< /F1 << /Type /Font /Subtype /Type1 /Encoding " +
+      "<< /Differences [65 /eacute] >> >> " +
+      "/F2 << /Type /Font /Subtype /Type1 >> >>"
+    assert(fontText("BT /F1 8 Tf (A) Tj /F2 8 Tf (A) Tj " +
+      "/F9 8 Tf (A) Tj ET", res) == "éAA")
+  }
+
+  test("font-encoded fixtures round-trip; raw decode would mojibake") {
+    val s = "Grüße, Ωμέγα → done.\nsecond line 𝄞 clef"
+    for (m <- 0 to 2) {
+      val pdf = Pdf.pdfWriteFontEncoded(s, m)
+      assert(Pdf.pdfText(pdf).get.text == s, s"mode=$m")
+    }
+    // empty text round-trips in every mode
+    for (m <- 0 to 2)
+      assert(Pdf.pdfText(Pdf.pdfWriteFontEncoded("", m)).get.text
+        == "", s"mode=$m")
+    // >200 distinct code points: single-byte modes fall back to
+    // Type0 and still round-trip
+    val wide = (0x100 to 0x3ff).map(_.toChar).mkString
+    for (m <- 0 to 2)
+      assert(Pdf.pdfText(Pdf.pdfWriteFontEncoded(wide, m)).get.text
+        == wide, s"mode=$m wide")
+  }
+
+  test("fontless PDFs keep the historical raw-byte text path") {
+    val ops = "BT (plain bytes stay) Tj ET"
+    assert(Pdf.pdfText(Pdf.pdfWriteOps(ops)).get.text ==
+      "plain bytes stay")
+  }
+
   test("encrypted PDFs refuse extraction") {
     val enc = Pdf.pdfWriteEncrypted(sample)
     assert(Pdf.pdfText(enc).isEmpty)
