@@ -2593,6 +2593,35 @@ object SparkEntry {
         .select(col("doc_id"), col("pdf_text").as("text"))
     }),
 
+    // ----- DOCX text extraction: real OOXML zips (central-dir +
+    // CRC-verified local headers) whose word/document.xml plants the
+    // doc text across paragraph runs — doc_id%3 cycles one-run/
+    // stored, split-runs/deflated, and tab+comment+instrText-decoy
+    // layouts; the w:t walk must hand the text back exactly
+    "q_docx_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val docx = Docx.synthDocx(d, "__t", "__m", "content")
+      Multimodal.decodeBatches(docx, "content",
+          Docx.docxTextSchema)(Docx.decodeDocxText)
+        .select(col("doc_id"), col("docx_text").as("text"),
+          col("n_paras"))
+    }),
+
+    // ----- XLSX shared strings: xl/sharedStrings.xml through plain,
+    // rich-run, and phonetic-decoy layouts — items = the doc text
+    // split on spaces, so the si walk replays as a string transform
+    "q_xlsx_strings" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val xlsx = Docx.synthXlsx(d, "__t", "__m", "content")
+      Multimodal.decodeBatches(xlsx, "content",
+          Docx.xlsxStringsSchema)(Docx.decodeXlsxStrings)
+        .select(col("doc_id"), col("xlsx_text"), col("n_strings"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -4891,6 +4920,25 @@ object SparkEntry {
     // appear — only a correct /ToUnicode//Differences walk matches)
     "q_pdf_fonts" ->
       """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
+
+    // paragraphs split on newline and rejoin with one newline —
+    // identity; n_paras = newline count + 1
+    "q_docx_text" ->
+      """SELECT doc_id, COALESCE(text, '') AS text,
+         CAST(length(COALESCE(text, '')) -
+           length(replace(COALESCE(text, ''), chr(10), '')) + 1
+           AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // split on space + join with newline == replace space->newline;
+    // n_strings = space count + 1
+    "q_xlsx_strings" ->
+      """SELECT doc_id,
+         replace(COALESCE(text, ''), ' ', chr(10)) AS xlsx_text,
+         CAST(length(COALESCE(text, '')) -
+           length(replace(COALESCE(text, ''), ' ', '')) + 1
+           AS INTEGER) AS n_strings
+         FROM documents""",
 
     // three VP8L layouts decode to the same uniform cells -> the PNG
     // checkerboard constants verbatim

@@ -274,6 +274,26 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Pdf.pdfText)
   }
 
+  test("docx/xlsx extractors are total under mutation") {
+    val text = "ooxml planted words é→Ω\nsecond para " * 4
+    assertTotal("docx/stored",
+      graft.operators.Docx.docxWrite(text, 0),
+      graft.operators.Docx.docxText)
+    assertTotal("docx/deflate-runs",
+      graft.operators.Docx.docxWrite(text, 1),
+      graft.operators.Docx.docxText)
+    assertTotal("docx/decoys",
+      graft.operators.Docx.docxWrite(text, 2),
+      graft.operators.Docx.docxText)
+    val items = Seq("shared one", "shared & two", "three")
+    assertTotal("xlsx/plain",
+      graft.operators.Docx.xlsxWrite(items, 0),
+      graft.operators.Docx.xlsxStrings)
+    assertTotal("xlsx/rich",
+      graft.operators.Docx.xlsxWrite(items, 1),
+      graft.operators.Docx.xlsxStrings)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Archive, Docx, Multimodal}
+
+/** OOXML text extraction: DOCX paragraphs/runs/tabs/decoys and XLSX
+  * shared strings must round-trip the planted text exactly; encrypted
+  * and malformed containers classify as None.
+  */
+class DocxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sample = "alpha beta gamma & <delta> \"quoted\" " +
+    "résumé Ωμέγα 𝄞 done"
+
+  test("docx round-trips through all three layouts") {
+    for (m <- 0 to 2) {
+      val got = Docx.docxText(Docx.docxWrite(sample, m))
+      assert(got.contains(Docx.DocxText(sample, 1)), s"m=$m")
+    }
+  }
+
+  test("paragraphs split on newline and rejoin; counts match") {
+    val text = "first para\nsecond para\n\nfourth after empty"
+    for (m <- 0 to 2) {
+      val got = Docx.docxText(Docx.docxWrite(text, m)).get
+      assert(got.text == text && got.nParas == 4, s"m=$m")
+    }
+    // empty doc: one empty paragraph
+    for (m <- 0 to 2)
+      assert(Docx.docxText(Docx.docxWrite("", m))
+        .contains(Docx.DocxText("", 1)), s"m=$m")
+  }
+
+  test("tabs survive both raw-in-w:t and <w:tab/> element routes") {
+    val text = "col1\tcol2\tcol3"
+    for (m <- 0 to 2)
+      assert(Docx.docxText(Docx.docxWrite(text, m)).get.text == text,
+        s"m=$m")
+  }
+
+  test("comment and instrText decoys are never extracted") {
+    val pdf = Docx.docxWrite("visible", 2)
+    val xml = {
+      val es = Archive.zipEntries(pdf).get
+      new String(Archive.zipExtract(pdf,
+        es.find(_.name == "word/document.xml").get).get, "UTF-8")
+    }
+    assert(xml.contains("comment decoy") && xml.contains("PAGE"))
+    assert(Docx.docxText(pdf).get.text == "visible")
+  }
+
+  test("w:br and w:cr emit newlines inside a paragraph") {
+    // hand-authored document.xml through a raw zip
+    val doc = ("<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r><w:t>a</w:t><w:br/><w:t>b</w:t><w:cr/>" +
+      "<w:t>c</w:t></w:r></w:p></w:body></w:document>")
+      .getBytes("UTF-8")
+    val zip = Archive.zipWrite(Seq(("word/document.xml", doc, true)))
+    assert(Docx.docxText(zip).contains(Docx.DocxText("a\nb\nc", 1)))
+  }
+
+  test("entities and CDATA unescape; numeric refs decode") {
+    val doc = ("<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r><w:t>&lt;tag&gt; &amp;amp; &#233;&#x3A9;" +
+      "<![CDATA[ <raw&bytes> ]]></w:t></w:r></w:p>" +
+      "</w:body></w:document>").getBytes("UTF-8")
+    val zip = Archive.zipWrite(Seq(("word/document.xml", doc, false)))
+    assert(Docx.docxText(zip)
+      .contains(Docx.DocxText("<tag> &amp; éΩ <raw&bytes> ", 1)))
+  }
+
+  test("malformed containers and XML classify as None") {
+    assert(Docx.docxText(null).isEmpty)
+    assert(Docx.docxText(Array.emptyByteArray).isEmpty)
+    assert(Docx.docxText("PK not actually a zip".getBytes).isEmpty)
+    // valid zip, no word/document.xml (e.g. an xlsx)
+    val other = Archive.zipWrite(Seq(("readme.txt",
+      "hello".getBytes("UTF-8"), false)))
+    assert(Docx.docxText(other).isEmpty)
+    // unterminated tag inside document.xml
+    val bad = Archive.zipWrite(Seq(("word/document.xml",
+      "<w:document><w:p><w:t>x".getBytes("UTF-8"), false)))
+    assert(Docx.docxText(bad).isEmpty)
+    // truncated zip (CRC/length damage)
+    val good = Docx.docxWrite(sample, 1)
+    assert(Docx.docxText(good.take(good.length / 2)).isEmpty)
+  }
+
+  test("xlsx shared strings round-trip through all three layouts") {
+    val items = Seq("plain words", "ampersand & <esc>", "", "tail")
+    for (m <- 0 to 2) {
+      val got = Docx.xlsxStrings(Docx.xlsxWrite(items, m))
+      assert(got.contains(
+        Docx.XlsxStrings(items.mkString("\n"), 4)), s"m=$m")
+    }
+  }
+
+  test("xlsx phonetic rPh runs are excluded from items") {
+    val b = Docx.xlsxWrite(Seq("base text"), 2)
+    val got = Docx.xlsxStrings(b).get
+    assert(got.text == "base text" && got.nStrings == 1)
+  }
+
+  test("decodeBatches integration extracts per-row docx text") {
+    val df = Seq((1L, "row one text", 0), (2L, "row two\nsecond", 1),
+      (3L, "row three", 2)).toDF("doc_id", "text", "m")
+    val docx = Docx.synthDocx(df, "text", "m", "content")
+    val out = Multimodal.decodeBatches(docx, "content",
+        Docx.docxTextSchema)(Docx.decodeDocxText)
+      .select("doc_id", "docx_text", "n_paras")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "row one text", 1),
+      (2L, "row two\nsecond", 2), (3L, "row three", 1)))
+  }
+}
