@@ -2622,6 +2622,27 @@ object SparkEntry {
         .select(col("doc_id"), col("xlsx_text"), col("n_strings"))
     }),
 
+    // ----- lossy VP8 frame-header metadata (the table-free scope —
+    // see WebP.scala's honest-tables note): planted dims/quantizer/
+    // filter fields ride the real boolean-coded first partition and
+    // must replay arithmetically; pixel decode stays refused
+    "q_vp8_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 100) * 16).cast("int").as("__w"),
+        (lit(16) + (col("doc_id") % 64) * 16).cast("int").as("__h"),
+        (col("doc_id") % 128).cast("int").as("__q"),
+        (col("doc_id") % 64).cast("int").as("__f"),
+        (col("doc_id") % 8).cast("int").as("__s"),
+        (col("doc_id") % 4).cast("int").as("__p"))
+      val webp = WebP.synthVp8(d, "__w", "__h", "__q", "__f", "__s",
+        "__p", "content")
+      Multimodal.decodeBatches(webp, "content",
+          WebP.vp8MetaSchema)(WebP.decodeVp8Meta)
+        .select(col("doc_id"), col("vp8_width"), col("vp8_height"),
+          col("filter_level"), col("sharpness"), col("n_partitions"),
+          col("y_ac_qi"), col("segmentation"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -4938,6 +4959,18 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), ' ', '')) + 1
            AS INTEGER) AS n_strings
+         FROM documents""",
+
+    // every planted table-free header field replayed arithmetically
+    "q_vp8_meta" ->
+      """SELECT doc_id,
+         CAST(16 + (doc_id % 100) * 16 AS INTEGER) AS vp8_width,
+         CAST(16 + (doc_id % 64) * 16 AS INTEGER) AS vp8_height,
+         CAST(doc_id % 64 AS INTEGER) AS filter_level,
+         CAST(doc_id % 8 AS INTEGER) AS sharpness,
+         CAST(1 << (doc_id % 4) AS INTEGER) AS n_partitions,
+         CAST(doc_id % 128 AS INTEGER) AS y_ac_qi,
+         FALSE AS segmentation
          FROM documents""",
 
     // three VP8L layouts decode to the same uniform cells -> the PNG

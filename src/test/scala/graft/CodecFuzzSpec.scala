@@ -294,6 +294,12 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Docx.xlsxStrings)
   }
 
+  test("vp8 lossy header parse is total under mutation") {
+    assertTotal("vp8/meta",
+      graft.operators.WebP.vp8Write(320, 240, 90, 33, 5, 2, 0),
+      graft.operators.WebP.vp8Meta)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,

@@ -109,6 +109,59 @@ class WebPSpec extends SparkSpec {
     assert(Multimodal.tiffDims(evil).isEmpty)
   }
 
+  test("vp8 boolean coder round-trips randomized bit/prob sequences") {
+    val rnd = new scala.util.Random(0xB001L)
+    for (trial <- 0 until 40) {
+      val n = 1 + rnd.nextInt(300)
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val probs = Array.fill(n)(1 + rnd.nextInt(254))
+      val got = WebP.boolCoderCheck(bits, probs)
+      assert(got.sameElements(bits), s"trial=$trial n=$n")
+    }
+    // all-zero and all-one runs at extreme probabilities
+    for (p <- Seq(1, 128, 254); b <- Seq(0, 1)) {
+      val bits = Array.fill(64)(b)
+      val probs = Array.fill(64)(p)
+      assert(WebP.boolCoderCheck(bits, probs).sameElements(bits),
+        s"p=$p b=$b")
+    }
+  }
+
+  test("vp8 lossy header fields round-trip; pixel decode refuses") {
+    for ((w, h, q, f, s, np) <- Seq((16, 16, 0, 0, 0, 0),
+      (1600, 1024, 127, 63, 7, 3), (320, 240, 64, 31, 4, 1))) {
+      val b = WebP.vp8Write(w, h, q, f, s, np, 0)
+      val m = WebP.vp8Meta(b).get
+      assert(m.width == w && m.height == h && m.yAcQi == q &&
+        m.filterLevel == f && m.sharpness == s &&
+        m.nPartitions == (1 << np) && !m.segmentation &&
+        m.showFrame && m.version == 0,
+        s"$m vs ($w,$h,$q,$f,$s,$np)")
+      // the honest-tables scope: pixels stay refused
+      assert(WebP.decodeArgb(b).isEmpty)
+      assert(Multimodal.imageAHash(b).isEmpty)
+    }
+  }
+
+  test("vp8 meta refuses interframes, bad start codes, truncation") {
+    val good = WebP.vp8Write(64, 48, 10, 20, 3, 1, 0)
+    assert(WebP.vp8Meta(good).isDefined)
+    // flip the keyframe bit (frame tag byte 0 bit 0) inside VP8 chunk
+    val inter = good.clone()
+    inter(20) = (inter(20) | 1).toByte
+    assert(WebP.vp8Meta(inter).isEmpty)
+    // damage the 9d 01 2a start code
+    val badSc = good.clone()
+    badSc(23) = 0x42
+    assert(WebP.vp8Meta(badSc).isEmpty)
+    assert(WebP.vp8Meta(good.take(good.length / 3)).isEmpty)
+    assert(WebP.vp8Meta(null).isEmpty)
+    // a VP8L container has no VP8 chunk
+    val lossless = WebP.encodeGraySubtractGreen(8, 8,
+      Array.fill(64)(128))
+    assert(WebP.vp8Meta(lossless).isEmpty)
+  }
+
   test("unified hash path covers webp; all three layouts of the same " +
       "pixels hash identically") {
     val pix = Array.tabulate(16 * 16) { i =>
