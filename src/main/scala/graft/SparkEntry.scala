@@ -2622,6 +2622,32 @@ object SparkEntry {
         .select(col("doc_id"), col("xlsx_text"), col("n_strings"))
     }),
 
+    // ----- PPTX slide text: DrawingML a:t/a:p/a:br through one-run,
+    // split-run, and br-routed layouts; slide 2 carries a footer so
+    // numeric slide ordering is verified too
+    "q_pptx_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val pptx = Docx.synthPptx(d, "doc_id", "__t", "__m", "content")
+      Multimodal.decodeBatches(pptx, "content",
+          Docx.pptxTextSchema)(Docx.decodePptxText)
+        .select(col("doc_id"), col("pptx_text"), col("n_slides"))
+    }),
+
+    // ----- ODT text: OpenDocument content.xml through plain,
+    // heading+annotation-decoy, and tab/space-element layouts
+    "q_odt_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val odt = Docx.synthOdt(d, "__t", "__m", "content")
+      Multimodal.decodeBatches(odt, "content",
+          Docx.odtTextSchema)(Docx.decodeOdtText)
+        .select(col("doc_id"), col("odt_text").as("text"),
+          col("n_paras"))
+    }),
+
     // ----- lossy VP8 frame-header metadata (the table-free scope —
     // see WebP.scala's honest-tables note): planted dims/quantizer/
     // filter fields ride the real boolean-coded first partition and
@@ -4959,6 +4985,22 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), ' ', '')) + 1
            AS INTEGER) AS n_strings
+         FROM documents""",
+
+    // slides join with one newline: doc text then the s2 footer
+    "q_pptx_text" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || chr(10) || 's2 ' || doc_id
+           AS pptx_text,
+         CAST(2 AS INTEGER) AS n_slides
+         FROM documents""",
+
+    // paragraph identity like docx
+    "q_odt_text" ->
+      """SELECT doc_id, COALESCE(text, '') AS text,
+         CAST(length(COALESCE(text, '')) -
+           length(replace(COALESCE(text, ''), chr(10), '')) + 1
+           AS INTEGER) AS n_paras
          FROM documents""",
 
     // every planted table-free header field replayed arithmetically

@@ -93,8 +93,8 @@ object Docx {
     * pass, comments/PIs/CDATA/DOCTYPE handled in place.
     */
   private sealed trait Ev
-  private final case class Open(name: String, selfClose: Boolean)
-    extends Ev
+  private final case class Open(name: String, selfClose: Boolean,
+      attrs: String = "") extends Ev
   private final case class Close(name: String) extends Ev
   private final case class Text(s: String, raw: Boolean = false)
     extends Ev
@@ -147,7 +147,9 @@ object Docx {
             f(Close(name))
           } else {
             if (!selfClose) depth += 1
-            f(Open(name, selfClose))
+            val aEnd = if (selfClose) gt - 1 else gt
+            val attrs = if (e < aEnd) xml.substring(e, aEnd) else ""
+            f(Open(name, selfClose, attrs))
           }
           i = gt + 1
         }
@@ -173,7 +175,7 @@ object Docx {
     var inT = false
     var skipDepth = 0 // inside w:instrText or other excluded spans
     scanXml(xml) {
-      case Open(name, selfClose) =>
+      case Open(name, selfClose, _) =>
         name match {
           case "w:t" if skipDepth == 0 && !selfClose => inT = true
           case "w:tab" if skipDepth == 0 && selfClose =>
@@ -241,7 +243,7 @@ object Docx {
     var phDepth = 0
     var total = 0L
     scanXml(xml) {
-      case Open(name, selfClose) =>
+      case Open(name, selfClose, _) =>
         name match {
           case "si" => inSi = true; cur.setLength(0)
           case "rPh" if !selfClose => phDepth += 1
@@ -280,6 +282,170 @@ object Docx {
         val items =
           sharedStrings(new String(bytes, StandardCharsets.UTF_8))
         XlsxStrings(items.mkString("\n"), items.length)
+      }
+    } catch {
+      case DocxFail(_) => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // PPTX (DrawingML slides)
+  // ------------------------------------------------------------------
+
+  /** Decoded PPTX: slide texts joined with one newline + count. */
+  final case class PptxText(text: String, nSlides: Int)
+
+  private val SlideName = "ppt/slides/slide([0-9]+)\\.xml".r
+
+  /** One slide's DrawingML → text: `<a:t>` runs concatenated,
+    * `<a:p>` paragraphs joined with one newline, `<a:br/>` a newline
+    * inside the paragraph.
+    */
+  private def dmlText(xml: String): String = {
+    val out = new java.lang.StringBuilder
+    val para = new java.lang.StringBuilder
+    var nParas = 0
+    var inT = false
+    scanXml(xml) {
+      case Open(name, selfClose, _) =>
+        name match {
+          case "a:t" if !selfClose => inT = true
+          case "a:br" => para.append('\n')
+          case _ => ()
+        }
+      case Close(name) =>
+        name match {
+          case "a:t" => inT = false
+          case "a:p" =>
+            nParas += 1
+            if (nParas > 1) out.append('\n')
+            out.append(para)
+            para.setLength(0)
+            if (out.length > MaxText) fail("text bomb")
+          case _ => ()
+        }
+      case Text(s, raw) =>
+        if (inT) {
+          para.append(if (raw) s else xmlUnescape(s))
+          if (para.length > MaxText) fail("text bomb")
+        }
+    }
+    out.toString
+  }
+
+  /** PPTX bytes → slide texts in slide-NUMBER order (numeric, not
+    * lexicographic — slide10 sorts after slide9). None for non-zip
+    * bytes, no slides, or malformed slide XML.
+    */
+  def pptxText(b: Array[Byte]): Option[PptxText] = {
+    if (b == null || b.length < 22) return None
+    try {
+      Archive.zipEntries(b).flatMap { entries =>
+        val slides = entries.flatMap { e =>
+          e.name match {
+            case SlideName(n) => Some((n.toInt, e))
+            case _ => None
+          }
+        }.sortBy(_._1)
+        if (slides.isEmpty) None
+        else {
+          val texts = slides.map { case (_, e) =>
+            Archive.zipExtract(b, e) match {
+              case Some(bytes) =>
+                dmlText(new String(bytes, StandardCharsets.UTF_8))
+              case None => return None
+            }
+          }
+          Some(PptxText(texts.mkString("\n"), slides.length))
+        }
+      }
+    } catch {
+      case DocxFail(_) => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // ODT (OpenDocument text)
+  // ------------------------------------------------------------------
+
+  /** Decoded ODT: paragraph-joined text + paragraph count. */
+  final case class OdtText(text: String, nParas: Int)
+
+  /** content.xml → text: `<text:p>`/`<text:h>` paragraphs joined
+    * with one newline; inside them `<text:tab/>` → TAB,
+    * `<text:line-break/>` → newline, `<text:s text:c="n"/>` → n
+    * spaces (default 1); `<office:annotation>` spans excluded. Text
+    * nodes outside paragraphs (styles, metadata) are ignored.
+    */
+  private def odfText(xml: String): (String, Int) = {
+    val out = new java.lang.StringBuilder
+    val para = new java.lang.StringBuilder
+    var nParas = 0
+    var inP = 0
+    var noteDepth = 0
+    // the only attribute we need anywhere: text:c on <text:s>
+    val cAttr = "text:c\\s*=\\s*\"([0-9]{1,4})\"".r
+    scanXml(xml) {
+      case Open(name, selfClose, attrs) =>
+        name match {
+          case "text:p" | "text:h"
+              if !selfClose && noteDepth == 0 => inP += 1
+          case "office:annotation" if !selfClose => noteDepth += 1
+          case "text:tab" if inP > 0 && noteDepth == 0 =>
+            para.append('\t')
+          case "text:line-break" if inP > 0 && noteDepth == 0 =>
+            para.append('\n')
+          case "text:s" if inP > 0 && noteDepth == 0 =>
+            val n = cAttr.findFirstMatchIn(attrs)
+              .map(_.group(1).toInt).getOrElse(1)
+            if (n > 0 && n <= 10000) {
+              var i = 0
+              while (i < n) { para.append(' '); i += 1 }
+            }
+          case _ => ()
+        }
+      case Close(name) =>
+        name match {
+          case "office:annotation" =>
+            if (noteDepth > 0) noteDepth -= 1
+          case "text:p" | "text:h" =>
+            if (inP > 0 && noteDepth == 0) {
+              inP -= 1
+              if (inP == 0) {
+                nParas += 1
+                if (nParas > 1) out.append('\n')
+                out.append(para)
+                para.setLength(0)
+                if (out.length > MaxText) fail("text bomb")
+              }
+            }
+          case _ => ()
+        }
+      case Text(s, raw) =>
+        if (inP > 0 && noteDepth == 0) {
+          para.append(if (raw) s else xmlUnescape(s))
+          if (para.length > MaxText) fail("text bomb")
+        }
+    }
+    (out.toString, nParas)
+  }
+
+  /** ODT bytes → text of `content.xml`. None for non-zip bytes, a
+    * missing content part, or malformed XML.
+    */
+  def odtText(b: Array[Byte]): Option[OdtText] = {
+    if (b == null || b.length < 22) return None
+    try {
+      for {
+        entries <- Archive.zipEntries(b)
+        doc <- entries.find(_.name == "content.xml")
+        bytes <- Archive.zipExtract(b, doc)
+      } yield {
+        val (text, nParas) =
+          odfText(new String(bytes, StandardCharsets.UTF_8))
+        OdtText(text, nParas)
       }
     } catch {
       case DocxFail(_) => None
@@ -437,6 +603,109 @@ object Docx {
         xml.getBytes(StandardCharsets.UTF_8), m != 0)))
   }
 
+  /** Real PPTX fixture: one zip entry per slide (slide numbers can
+    * exceed 9 — the reader must sort numerically). Within a slide,
+    * text paragraphs split on newline. mode 0: one run per
+    * paragraph; mode 1: runs split every 6 chars; mode 2: ONE
+    * paragraph whose newlines route through `<a:br/>`.
+    */
+  def pptxWrite(slides: Seq[String], mode: Int): Array[Byte] = {
+    val m = ((mode % 3) + 3) % 3
+    def run(t: String): String =
+      "<a:r><a:rPr lang=\"en-US\"/><a:t>" + esc(t) + "</a:t></a:r>"
+    def para(p: String): String = {
+      val runs = m match {
+        case 1 =>
+          val gs = p.grouped(6).toSeq
+          (if (gs.isEmpty) Seq("") else gs).map(run).mkString
+        case _ => run(p)
+      }
+      "<a:p><a:pPr/>" + runs + "</a:p>"
+    }
+    def slideXml(s: String): String = {
+      val body = m match {
+        case 2 =>
+          "<a:p>" + s.split("\n", -1).map(run)
+            .mkString("<a:br/>") + "</a:p>"
+        case _ => s.split("\n", -1).map(para).mkString
+      }
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "\n<p:sld xmlns:a=\"http://schemas.openxmlformats.org/" +
+        "drawingml/2006/main\" xmlns:p=\"http://schemas." +
+        "openxmlformats.org/presentationml/2006/main\"><p:cSld>" +
+        "<p:spTree><p:sp><p:txBody><a:bodyPr/>" + body +
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    }
+    val deflate = m != 0
+    val slideEntries = slides.zipWithIndex.map { case (s, i) =>
+      (s"ppt/slides/slide${i + 1}.xml",
+        slideXml(s).getBytes(StandardCharsets.UTF_8), deflate)
+    }
+    Archive.zipWrite(
+      ("[Content_Types].xml",
+        ContentTypes.getBytes(StandardCharsets.UTF_8), false) +:
+        ("ppt/presentation.xml",
+          ("<?xml version=\"1.0\"?><p:presentation xmlns:p=\"http://" +
+            "schemas.openxmlformats.org/presentationml/2006/main\"/>")
+            .getBytes(StandardCharsets.UTF_8), false) +:
+        slideEntries)
+  }
+
+  /** Real ODT fixture. mode 0: plain `<text:p>` paragraphs; mode 1:
+    * odd paragraphs as `<text:h>` headings plus an
+    * `<office:annotation>` decoy; mode 2: TABs via `<text:tab/>`
+    * and space runs of 2+ via `<text:s text:c="n"/>`.
+    */
+  def odtWrite(text: String, mode: Int): Array[Byte] = {
+    val m = ((mode % 3) + 3) % 3
+    def spaceEncode(p: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\t') { sb.append("<text:tab/>"); i += 1 }
+        else if (c == ' ') {
+          var j = i
+          while (j < p.length && p.charAt(j) == ' ') j += 1
+          val n = j - i
+          if (n >= 2) sb.append(s"""<text:s text:c="$n"/>""")
+          else sb.append(' ')
+          i = j
+        } else { sb.append(esc(c.toString)); i += 1 }
+      }
+      sb.toString
+    }
+    val paras = text.split("\n", -1).toSeq.zipWithIndex.map {
+      case (p, i) =>
+        val inner = if (m == 2) spaceEncode(p) else esc(p)
+        val decoy =
+          if (m == 1 && i == 0)
+            "<office:annotation><text:p>reviewer note decoy" +
+              "</text:p></office:annotation>"
+          else ""
+        if (m == 1 && i % 2 == 1)
+          s"""<text:h text:outline-level="1">$decoy$inner</text:h>"""
+        else s"<text:p>$decoy$inner</text:p>"
+    }
+    val content =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "\n<office:document-content xmlns:office=\"urn:oasis:names:" +
+        "tc:opendocument:xmlns:office:1.0\" xmlns:text=\"urn:oasis:" +
+        "names:tc:opendocument:xmlns:text:1.0\"><office:body>" +
+        "<office:text>" + paras.mkString +
+        "</office:text></office:body></office:document-content>"
+    Archive.zipWrite(Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.text"
+          .getBytes(StandardCharsets.UTF_8), false),
+      ("content.xml",
+        content.getBytes(StandardCharsets.UTF_8), m != 0),
+      ("styles.xml",
+        ("<?xml version=\"1.0\"?><office:document-styles " +
+          "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:" +
+          "office:1.0\"/>").getBytes(StandardCharsets.UTF_8), false)))
+  }
+
   // ------------------------------------------------------------------
   // Spark plumbing (map-only mapPartitions, same idiom as Pdf)
   // ------------------------------------------------------------------
@@ -453,6 +722,62 @@ object Docx {
       it.map { r =>
         val text = Option(r.getString(ti)).getOrElse("")
         Row.fromSeq(r.toSeq :+ docxWrite(text, r.getInt(mi)))
+      }
+    }(enc)
+  }
+
+  val pptxTextSchema: StructType = StructType(Seq(
+    StructField("pptx_text", StringType),
+    StructField("n_slides", IntegerType)))
+
+  def decodePptxText(bytes: Array[Byte]): Seq[Any] =
+    pptxText(bytes) match {
+      case Some(PptxText(t, n)) => Seq[Any](t, n)
+      case None => Seq[Any](null, null)
+    }
+
+  val odtTextSchema: StructType = StructType(Seq(
+    StructField("odt_text", StringType),
+    StructField("n_paras", IntegerType)))
+
+  def decodeOdtText(bytes: Array[Byte]): Seq[Any] =
+    odtText(bytes) match {
+      case Some(OdtText(t, n)) => Seq[Any](t, n)
+      case None => Seq[Any](null, null)
+    }
+
+  /** Per-row PPTX synthesizer: slide 1 carries the doc text, slide 2
+    * a deterministic `s2 <id>` footer — multi-slide ordering is part
+    * of what the oracle verifies.
+    */
+  def synthPptx(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val slides = Seq(text, "s2 " + r.get(ii))
+        Row.fromSeq(r.toSeq :+ pptxWrite(slides, r.getInt(mi)))
+      }
+    }(enc)
+  }
+
+  /** Per-row ODT synthesizer. */
+  def synthOdt(df: DataFrame, textCol: String, modeCol: String,
+      outCol: String): DataFrame = {
+    val (ti, mi) = (df.schema.fieldIndex(textCol),
+      df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+ odtWrite(text, r.getInt(mi)))
       }
     }(enc)
   }

@@ -292,6 +292,12 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("xlsx/rich",
       graft.operators.Docx.xlsxWrite(items, 1),
       graft.operators.Docx.xlsxStrings)
+    assertTotal("pptx/slides",
+      graft.operators.Docx.pptxWrite(Seq("one\ntwo", "three"), 1),
+      graft.operators.Docx.pptxText)
+    assertTotal("odt/content",
+      graft.operators.Docx.odtWrite("odt body\ttext  here", 2),
+      graft.operators.Docx.odtText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -103,6 +103,43 @@ class DocxSpec extends SparkSpec {
     assert(got.text == "base text" && got.nStrings == 1)
   }
 
+  test("pptx slides round-trip through all three layouts; numeric " +
+      "slide order") {
+    val slides = Seq("first slide\nwith two paras", "second",
+      "third slide words")
+    for (m <- 0 to 2) {
+      val got = Docx.pptxText(Docx.pptxWrite(slides, m))
+      assert(got.contains(
+        Docx.PptxText(slides.mkString("\n"), 3)), s"m=$m")
+    }
+    // >9 slides: slide10 must come after slide9, not after slide1
+    val many = (1 to 12).map(i => s"slide $i")
+    val got = Docx.pptxText(Docx.pptxWrite(many, 0)).get
+    assert(got.text == many.mkString("\n") && got.nSlides == 12)
+    // no slides at all -> None
+    val noSlides = Archive.zipWrite(Seq(("ppt/presentation.xml",
+      "<p:presentation/>".getBytes("UTF-8"), false)))
+    assert(Docx.pptxText(noSlides).isEmpty)
+  }
+
+  test("odt round-trips through all three layouts") {
+    val text = "plain para\nheading para\ttabbed  double-spaced\n" +
+      "third   wide"
+    for (m <- 0 to 2) {
+      val got = Docx.odtText(Docx.odtWrite(text, m))
+      assert(got.contains(Docx.OdtText(text, 3)), s"m=$m")
+    }
+    for (m <- 0 to 2)
+      assert(Docx.odtText(Docx.odtWrite("", m))
+        .contains(Docx.OdtText("", 1)), s"m=$m empty")
+  }
+
+  test("odt annotation decoys never reach the text or para count") {
+    val b = Docx.odtWrite("real one\nreal two", 1)
+    val got = Docx.odtText(b).get
+    assert(got.text == "real one\nreal two" && got.nParas == 2)
+  }
+
   test("decodeBatches integration extracts per-row docx text") {
     val df = Seq((1L, "row one text", 0), (2L, "row two\nsecond", 1),
       (3L, "row three", 2)).toDF("doc_id", "text", "m")
