@@ -2648,6 +2648,20 @@ object SparkEntry {
           col("n_paras"))
     }),
 
+    // ----- RTF text extraction: control-word parse through plain
+    // \uN escapes, \'hh cp1252 bytes + font/color/style tables, and
+    // starred/pict decoys with \uc2 double-fallback — doc_id%3
+    "q_rtf_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val rtf = Rtf.synthRtf(d, "__t", "__m", "content")
+      Multimodal.decodeBatches(rtf, "content",
+          Rtf.rtfTextSchema)(Rtf.decodeRtfText)
+        .select(col("doc_id"), col("rtf_text").as("text"),
+          col("n_paras"))
+    }),
+
     // ----- lossy VP8 frame-header metadata (the table-free scope —
     // see WebP.scala's honest-tables note): planted dims/quantizer/
     // filter fields ride the real boolean-coded first partition and
@@ -4997,6 +5011,14 @@ object SparkEntry {
 
     // paragraph identity like docx
     "q_odt_text" ->
+      """SELECT doc_id, COALESCE(text, '') AS text,
+         CAST(length(COALESCE(text, '')) -
+           length(replace(COALESCE(text, ''), chr(10), '')) + 1
+           AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // identity text; n_paras = newline count + 1 (as docx/odt)
+    "q_rtf_text" ->
       """SELECT doc_id, COALESCE(text, '') AS text,
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), chr(10), '')) + 1

@@ -298,6 +298,15 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("odt/content",
       graft.operators.Docx.odtWrite("odt body\ttext  here", 2),
       graft.operators.Docx.odtText)
+    assertTotal("rtf/uN",
+      graft.operators.Rtf.rtfWrite("rtf planted é→Ω\nsecond", 0),
+      graft.operators.Rtf.rtfText)
+    assertTotal("rtf/cp1252-tables",
+      graft.operators.Rtf.rtfWrite("rtf planted é\nsecond", 1),
+      graft.operators.Rtf.rtfText)
+    assertTotal("rtf/starred-uc2",
+      graft.operators.Rtf.rtfWrite("rtf planted é→Ω", 2),
+      graft.operators.Rtf.rtfText)
   }
 
   test("vp8 lossy header parse is total under mutation") {
