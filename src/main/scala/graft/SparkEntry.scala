@@ -2648,6 +2648,19 @@ object SparkEntry {
           col("n_paras"))
     }),
 
+    // ----- EPUB text: the container.xml → OPF → spine navigation
+    // chain in READING order (mode 1 stores chapters in reverse zip
+    // order + script/style decoys — spine order must win)
+    "q_epub_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val epub = Docx.synthEpub(d, "doc_id", "__t", "__m", "content")
+      Multimodal.decodeBatches(epub, "content",
+          Docx.epubTextSchema)(Docx.decodeEpubText)
+        .select(col("doc_id"), col("epub_text"), col("n_docs"))
+    }),
+
     // ----- RTF text extraction: control-word parse through plain
     // \uN escapes, \'hh cp1252 bytes + font/color/style tables, and
     // starred/pict decoys with \uc2 double-fallback — doc_id%3
@@ -5015,6 +5028,14 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), chr(10), '')) + 1
            AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // chapters join in spine order: doc text then the c2 footer
+    "q_epub_text" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || chr(10) || 'c2 ' || doc_id
+           AS epub_text,
+         CAST(2 AS INTEGER) AS n_docs
          FROM documents""",
 
     // identity text; n_paras = newline count + 1 (as docx/odt)

@@ -454,6 +454,176 @@ object Docx {
   }
 
   // ------------------------------------------------------------------
+  // EPUB (zip + XHTML spine)
+  // ------------------------------------------------------------------
+
+  /** Decoded EPUB: spine-ordered chapter texts joined with one
+    * newline + chapter count.
+    */
+  final case class EpubText(text: String, nDocs: Int)
+
+  private val AttrRe =
+    "([A-Za-z_:][A-Za-z0-9._:-]*)\\s*=\\s*\"([^\"]*)\"".r
+
+  private def attrMap(attrs: String): Map[String, String] =
+    AttrRe.findAllMatchIn(attrs)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** One XHTML content document → text: text nodes inside `<body>`
+    * excluding `<script>`/`<style>` subtrees; paragraph-level blocks
+    * (p, h1–h6, li, div) break on close, `<br/>` breaks inline;
+    * entity unescape as everywhere else.
+    */
+  private def xhtmlText(xml: String): String = {
+    val paras = Seq.newBuilder[String]
+    val para = new java.lang.StringBuilder
+    var inBody = false
+    var skipDepth = 0
+    def flush(): Unit = {
+      paras += para.toString
+      para.setLength(0)
+    }
+    val blocks = Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+      "div")
+    scanXml(xml) {
+      case Open(name, selfClose, _) =>
+        name match {
+          case "body" => inBody = true
+          case "script" | "style" if !selfClose => skipDepth += 1
+          case "br" if inBody && skipDepth == 0 => para.append('\n')
+          case _ => ()
+        }
+      case Close(name) =>
+        name match {
+          case "body" => inBody = false
+          case "script" | "style" =>
+            if (skipDepth > 0) skipDepth -= 1
+          case b if blocks.contains(b) && inBody && skipDepth == 0 =>
+            flush()
+          case _ => ()
+        }
+      case Text(s, raw) =>
+        if (inBody && skipDepth == 0) {
+          para.append(if (raw) s else xmlUnescape(s))
+          if (para.length > MaxText) fail("text bomb")
+        }
+    }
+    paras.result().mkString("\n")
+  }
+
+  /** EPUB bytes → spine-ordered text: META-INF/container.xml names
+    * the OPF, the OPF's manifest+spine give the content documents IN
+    * READING ORDER (which is not zip order), each read as XHTML.
+    * None for a missing/malformed container chain.
+    */
+  def epubText(b: Array[Byte]): Option[EpubText] = {
+    if (b == null || b.length < 22) return None
+    try {
+      val entries = Archive.zipEntries(b).getOrElse(return None)
+      val byName = entries.map(e => e.name -> e).toMap
+      def read(name: String): Option[String] =
+        byName.get(name).flatMap(Archive.zipExtract(b, _))
+          .map(new String(_, StandardCharsets.UTF_8))
+      // 1. container.xml → OPF path
+      val container = read("META-INF/container.xml")
+        .getOrElse(return None)
+      var opfPath: String = null
+      scanXml(container) {
+        case Open("rootfile", _, attrs) =>
+          if (opfPath == null)
+            attrMap(attrs).get("full-path").foreach(opfPath = _)
+        case _ => ()
+      }
+      if (opfPath == null) return None
+      val opfDir = {
+        val i = opfPath.lastIndexOf('/')
+        if (i < 0) "" else opfPath.substring(0, i + 1)
+      }
+      // 2. OPF: manifest id→href, spine idrefs in order
+      val opf = read(opfPath).getOrElse(return None)
+      val manifest = Map.newBuilder[String, String]
+      val spine = Seq.newBuilder[String]
+      scanXml(opf) {
+        case Open("item", _, attrs) =>
+          val a = attrMap(attrs)
+          for (id <- a.get("id"); href <- a.get("href"))
+            manifest += id -> href
+        case Open("itemref", _, attrs) =>
+          attrMap(attrs).get("idref").foreach(spine += _)
+        case _ => ()
+      }
+      val hrefOf = manifest.result()
+      val docs = spine.result().flatMap(hrefOf.get)
+      if (docs.isEmpty) return None
+      val texts = docs.map { href =>
+        read(opfDir + href) match {
+          case Some(xml) => xhtmlText(xml)
+          case None => return None
+        }
+      }
+      Some(EpubText(texts.mkString("\n"), docs.length))
+    } catch {
+      case DocxFail(_) => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Real EPUB fixture: mimetype + container.xml + OPF + two
+    * chapters — chapter 1 carries `text` as `<p>` paragraphs,
+    * chapter 2 the `footer`. mode 1 stores chapter 2 FIRST in the
+    * zip and adds script/style decoys (spine order must win);
+    * mode 2 routes newlines through `<br/>` in one paragraph.
+    */
+  def epubWrite(text: String, footer: String, mode: Int)
+      : Array[Byte] = {
+    val m = ((mode % 3) + 3) % 3
+    def chapter(s: String): String = {
+      val body = m match {
+        case 2 =>
+          "<p>" + s.split("\n", -1).map(esc).mkString("<br/>") + "</p>"
+        case _ =>
+          s.split("\n", -1).map(p => "<p>" + esc(p) + "</p>").mkString
+      }
+      val decoy =
+        if (m == 1)
+          "<script>var x = 'never extracted';</script>" +
+            "<style>p { color: red }</style>"
+        else ""
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "\n<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>" +
+        "<title>never extracted either</title></head><body>" + decoy +
+        body + "</body></html>"
+    }
+    val container =
+      "<?xml version=\"1.0\"?><container version=\"1.0\" " +
+        "xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+        "media-type=\"application/oebps-package+xml\"/></rootfiles>" +
+        "</container>"
+    val opf =
+      "<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/" +
+        "2007/opf\" version=\"3.0\"><metadata/><manifest>" +
+        "<item id=\"c1\" href=\"ch1.xhtml\" " +
+        "media-type=\"application/xhtml+xml\"/>" +
+        "<item id=\"c2\" href=\"ch2.xhtml\" " +
+        "media-type=\"application/xhtml+xml\"/></manifest>" +
+        "<spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/>" +
+        "</spine></package>"
+    val ch1 = ("OEBPS/ch1.xhtml",
+      chapter(text).getBytes(StandardCharsets.UTF_8), m != 0)
+    val ch2 = ("OEBPS/ch2.xhtml",
+      chapter(footer).getBytes(StandardCharsets.UTF_8), m != 0)
+    val chapters = if (m == 1) Seq(ch2, ch1) else Seq(ch1, ch2)
+    Archive.zipWrite(Seq(
+      ("mimetype", "application/epub+zip"
+        .getBytes(StandardCharsets.UTF_8), false),
+      ("META-INF/container.xml",
+        container.getBytes(StandardCharsets.UTF_8), false),
+      ("OEBPS/content.opf",
+        opf.getBytes(StandardCharsets.UTF_8), m != 0)) ++ chapters)
+  }
+
+  // ------------------------------------------------------------------
   // decode kernels (Multimodal.decodeBatches plumbing)
   // ------------------------------------------------------------------
 
@@ -745,6 +915,37 @@ object Docx {
       case Some(OdtText(t, n)) => Seq[Any](t, n)
       case None => Seq[Any](null, null)
     }
+
+  val epubTextSchema: StructType = StructType(Seq(
+    StructField("epub_text", StringType),
+    StructField("n_docs", IntegerType)))
+
+  def decodeEpubText(bytes: Array[Byte]): Seq[Any] =
+    epubText(bytes) match {
+      case Some(EpubText(t, n)) => Seq[Any](t, n)
+      case None => Seq[Any](null, null)
+    }
+
+  /** Per-row EPUB synthesizer: chapter 1 carries the doc text,
+    * chapter 2 a deterministic `c2 <id>` footer — spine ordering
+    * (vs zip order, which mode 1 scrambles) is part of what the
+    * oracle verifies.
+    */
+  def synthEpub(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+
+          epubWrite(text, "c2 " + r.get(ii), r.getInt(mi)))
+      }
+    }(enc)
+  }
 
   /** Per-row PPTX synthesizer: slide 1 carries the doc text, slide 2
     * a deterministic `s2 <id>` footer — multi-slide ordering is part

@@ -307,6 +307,9 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("rtf/starred-uc2",
       graft.operators.Rtf.rtfWrite("rtf planted é→Ω", 2),
       graft.operators.Rtf.rtfText)
+    assertTotal("epub/spine",
+      graft.operators.Docx.epubWrite("epub chapter\ntwo", "foot", 1),
+      graft.operators.Docx.epubText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -140,6 +140,39 @@ class DocxSpec extends SparkSpec {
     assert(got.text == "real one\nreal two" && got.nParas == 2)
   }
 
+  test("epub round-trips; spine order beats zip order; decoys skip") {
+    val text = "chapter text &<escaped>\nsecond para"
+    for (m <- 0 to 2) {
+      val got = Docx.epubText(Docx.epubWrite(text, "the footer", m))
+      assert(got.contains(
+        Docx.EpubText(text + "\nthe footer", 2)), s"m=$m")
+    }
+    // mode 1 stores ch2 before ch1 in the zip AND has script/style
+    // + <title> decoys: reading order and exclusion both verified
+    val b = Docx.epubWrite("first", "second", 1)
+    val got = Docx.epubText(b).get
+    assert(got.text == "first\nsecond")
+    assert(!got.text.contains("never extracted"))
+  }
+
+  test("epub refuses broken container chains") {
+    // valid zip, no container.xml
+    val noContainer = Archive.zipWrite(Seq(("mimetype",
+      "application/epub+zip".getBytes("UTF-8"), false)))
+    assert(Docx.epubText(noContainer).isEmpty)
+    // container points at a missing OPF
+    val container = ("<?xml version=\"1.0\"?><container><rootfiles>" +
+      "<rootfile full-path=\"missing.opf\"/></rootfiles>" +
+      "</container>").getBytes("UTF-8")
+    val danglingOpf = Archive.zipWrite(Seq(
+      ("META-INF/container.xml", container, false)))
+    assert(Docx.epubText(danglingOpf).isEmpty)
+    // spine references a manifest id with no entry -> empty spine
+    val good = Docx.epubWrite("x", "y", 0)
+    assert(Docx.epubText(good).isDefined)
+    assert(Docx.epubText(good.take(good.length / 2)).isEmpty)
+  }
+
   test("decodeBatches integration extracts per-row docx text") {
     val df = Seq((1L, "row one text", 0), (2L, "row two\nsecond", 1),
       (3L, "row three", 2)).toDF("doc_id", "text", "m")
