@@ -2648,6 +2648,21 @@ object SparkEntry {
           col("n_paras"))
     }),
 
+    // ----- email (RFC 5322 + MIME): planted text through single-part
+    // quoted-printable, multipart/mixed base64 (+ ignored html
+    // sibling), and nested multipart/alternative (last-wins) —
+    // subject through RFC 2047 B/Q encoded-words
+    "q_eml_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val eml = Mime.synthEml(d, "doc_id", "__t", "__m", "content")
+      Multimodal.decodeBatches(eml, "content",
+          Mime.emlTextSchema)(Mime.decodeEmlText)
+        .select(col("doc_id"), col("subject"),
+          col("eml_text").as("text"), col("n_parts"))
+    }),
+
     // ----- EPUB text: the container.xml → OPF → spine navigation
     // chain in READING order (mode 1 stores chapters in reverse zip
     // order + script/style decoys — spine order must win)
@@ -5028,6 +5043,15 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), chr(10), '')) + 1
            AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // subject replays arithmetically; body is identity text;
+    // n_parts = 1 in every mode (alternative picks ONE rendering)
+    "q_eml_text" ->
+      """SELECT doc_id,
+         'Re: doc ' || doc_id || ' résumé' AS subject,
+         COALESCE(text, '') AS text,
+         CAST(1 AS INTEGER) AS n_parts
          FROM documents""",
 
     // chapters join in spine order: doc text then the c2 footer

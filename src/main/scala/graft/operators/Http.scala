@@ -221,7 +221,8 @@ object Http {
     * crawl scale; anything else goes through Charset.forName with a
     * UTF-8 fallback.
     */
-  private def charsetForLabel(label0: String): Option[Charset] = {
+  private[operators] def charsetForLabel(label0: String)
+      : Option[Charset] = {
     val label = label0.trim.toLowerCase(java.util.Locale.ROOT)
     if (label.isEmpty) return None
     val mapped = label match {

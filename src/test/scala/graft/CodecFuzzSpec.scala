@@ -310,6 +310,17 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("epub/spine",
       graft.operators.Docx.epubWrite("epub chapter\ntwo", "foot", 1),
       graft.operators.Docx.epubText)
+    assertTotal("eml/qp",
+      graft.operators.Mime.emlWrite("subj é", "mail body é→Ω", 0),
+      graft.operators.Mime.emlText)
+    assertTotal("eml/nested-multipart",
+      graft.operators.Mime.emlWrite("subj", "mail body two", 2),
+      graft.operators.Mime.emlText)
+    assertTotal("mbox",
+      graft.operators.Mime.mboxWrite(Seq(
+        graft.operators.Mime.emlWrite("a", "first", 0),
+        graft.operators.Mime.emlWrite("b", "second", 1))),
+      graft.operators.Mime.mboxMessages)
   }
 
   test("vp8 lossy header parse is total under mutation") {
