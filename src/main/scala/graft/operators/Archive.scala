@@ -29,13 +29,19 @@ object Archive {
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
+  private def le64(b: Array[Byte], o: Int): Long =
+    le32(b, o) | (le32(b, o + 4) << 32)
+
   /** Central-directory listing via the end-of-central-directory
     * record (scanned backward through a possible trailing comment,
     * the spec-prescribed approach): entry name, method,
     * compressed/uncompressed sizes, CRC32, local-header offset.
-    * None for non-ZIP bytes, truncation, or a corrupt directory —
-    * ZIP64 (>4 GB / >64k entries) is out of scope and classifies as
-    * None via its 0xffffffff sentinels failing the bounds checks.
+    * ZIP64 is fully supported — the EOCD64 locator/record chain when
+    * the EOCD carries 0xffff/0xffffffff sentinels, and per-entry
+    * 0x0001 extended-information extra fields for sentinel
+    * size/offset values (APPNOTE 4.5) — at crawl scale >4 GB
+    * archives are routine. None for non-ZIP bytes, truncation, or a
+    * corrupt directory.
     */
   def zipEntries(b: Array[Byte]): Option[Seq[ZipEntryMeta]] = {
     if (b == null || b.length < 22) return None
@@ -50,26 +56,70 @@ object Archive {
       p -= 1
     }
     if (eocd < 0) return None
-    val nEntries = le16(b, eocd + 10)
-    val cdSize = le32(b, eocd + 12)
-    val cdOff = le32(b, eocd + 16)
-    if (cdOff + cdSize > eocd || nEntries > 65535) return None
+    var nEntries: Long = le16(b, eocd + 10)
+    var cdSize: Long = le32(b, eocd + 12)
+    var cdOff: Long = le32(b, eocd + 16)
+    var cdEnd: Long = eocd
+    if (nEntries == 0xffffL || cdSize == 0xffffffffL ||
+      cdOff == 0xffffffffL) {
+      // ZIP64: the EOCD64 locator sits immediately before the EOCD
+      val loc = eocd - 20
+      if (loc < 0 || le32(b, loc) != 0x07064b50L) return None
+      val rec = le64(b, loc + 8)
+      if (rec < 0 || rec + 56 > loc ||
+        le32(b, rec.toInt) != 0x06064b50L) return None
+      val r = rec.toInt
+      nEntries = le64(b, r + 32)
+      cdSize = le64(b, r + 40)
+      cdOff = le64(b, r + 48)
+      cdEnd = rec
+    }
+    if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > cdEnd ||
+      nEntries > 1000000) return None
     val out = Seq.newBuilder[ZipEntryMeta]
     var q = cdOff.toInt
-    var i = 0
+    var i = 0L
     try {
       while (i < nEntries) {
-        if (q + 46 > eocd || le32(b, q) != 0x02014b50L) return None
+        if (q + 46 > cdEnd || le32(b, q) != 0x02014b50L) return None
         val method = le16(b, q + 10)
         val crc = le32(b, q + 16)
-        val csize = le32(b, q + 20)
-        val usize = le32(b, q + 24)
+        var csize = le32(b, q + 20)
+        var usize = le32(b, q + 24)
         val nameLen = le16(b, q + 28)
         val extraLen = le16(b, q + 30)
         val commentLen = le16(b, q + 32)
-        val lho = le32(b, q + 42)
-        if (q + 46 + nameLen > eocd) return None
+        var lho = le32(b, q + 42)
+        if (q + 46 + nameLen + extraLen > cdEnd) return None
         val name = new String(b, q + 46, nameLen, "UTF-8")
+        // ZIP64 extended info (id 0x0001): 8-byte values replace the
+        // 0xffffffff sentinels, in usize/csize/lho order, present
+        // only for the fields that are sentinels
+        if (csize == 0xffffffffL || usize == 0xffffffffL ||
+          lho == 0xffffffffL) {
+          var x = q + 46 + nameLen
+          val extraEnd = x + extraLen
+          while (x + 4 <= extraEnd) {
+            val id = le16(b, x)
+            val sz = le16(b, x + 2)
+            if (id == 1) {
+              var f = x + 4
+              val fEnd = math.min(x + 4 + sz, extraEnd)
+              if (usize == 0xffffffffL && f + 8 <= fEnd) {
+                usize = le64(b, f); f += 8
+              }
+              if (csize == 0xffffffffL && f + 8 <= fEnd) {
+                csize = le64(b, f); f += 8
+              }
+              if (lho == 0xffffffffL && f + 8 <= fEnd) {
+                lho = le64(b, f); f += 8
+              }
+            }
+            x += 4 + sz
+          }
+          if (csize == 0xffffffffL || usize == 0xffffffffL ||
+            lho == 0xffffffffL) return None
+        }
         out += ZipEntryMeta(name, method, csize, usize, crc, lho)
         q += 46 + nameLen + extraLen + commentLen
         i += 1
@@ -912,6 +962,83 @@ object Archive {
     out.toByteArray
   }
 
+  /** ZIP64 fixture writer: the same entries as [[zipWrite]] but the
+    * central directory carries 0xffffffff sentinels with 0x0001
+    * extended-info extra fields, and the archive ends with the full
+    * EOCD64 record → locator → sentinel-EOCD chain — the exact
+    * layout a >4 GB archive uses, synthesized small so the reader's
+    * ZIP64 path is provable without 4 GB fixtures.
+    */
+  def zipWrite64(entries: Seq[(String, Array[Byte], Boolean)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32(v >>> 32) }
+    val metas = entries.map { case (name, data, deflate) =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val payload =
+        if (!deflate) data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(data); d.finish()
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+            buf.toByteArray
+          } finally d.end()
+        }
+      val nameB = name.getBytes("UTF-8")
+      val off = out.size()
+      w32(0x04034b50L); w16(45); w16(0)
+      w16(if (deflate) 8 else 0)
+      w16(0); w16(0)
+      w32(crc.getValue); w32(payload.length.toLong)
+      w32(data.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(payload)
+      (nameB, if (deflate) 8 else 0, crc.getValue,
+        payload.length.toLong, data.length.toLong, off.toLong)
+    }
+    val cdOff = out.size()
+    metas.foreach { case (nameB, method, crc, csize, usize, off) =>
+      w32(0x02014b50L); w16(45); w16(45); w16(0); w16(method)
+      w16(0); w16(0)
+      w32(crc)
+      w32(0xffffffffL); w32(0xffffffffL) // csize/usize sentinels
+      w16(nameB.length)
+      w16(4 + 24) // extra: header + usize + csize + lho
+      w16(0)
+      w16(0); w16(0); w32(0)
+      w32(0xffffffffL) // lho sentinel
+      out.write(nameB)
+      w16(1); w16(24) // 0x0001 extended info
+      w64(usize); w64(csize); w64(off)
+    }
+    val cdSize = out.size() - cdOff
+    val eocd64Off = out.size()
+    w32(0x06064b50L) // EOCD64 record
+    w64(44) // size of remaining record
+    w16(45); w16(45)
+    w32(0); w32(0) // disk numbers
+    w64(metas.length.toLong); w64(metas.length.toLong)
+    w64(cdSize.toLong); w64(cdOff.toLong)
+    w32(0x07064b50L) // EOCD64 locator
+    w32(0); w64(eocd64Off.toLong); w32(1)
+    w32(0x06054b50L) // sentinel EOCD
+    w16(0); w16(0)
+    w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL)
+    w16(0)
+    out.toByteArray
+  }
+
   /** Real gzip writer for fixtures (FNAME flag set so the decoder's
     * header-skip path runs): JDK Deflater raw stream + RFC 1952
     * header/trailer by hand.
@@ -958,7 +1085,16 @@ object Archive {
         val entries = (0 until n).map { j =>
           (s"f$j.txt", (s"e$j:" + text).getBytes("UTF-8"), j % 2 == 1)
         }
-        Row.fromSeq(r.toSeq :+ zipWrite(entries))
+        // odd docs ride the ZIP64 layout: metadata must come back
+        // identical through the EOCD64 + extended-info path
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.hashCode().toLong
+        }
+        val bytes =
+          if (id % 2 == 1) zipWrite64(entries) else zipWrite(entries)
+        Row.fromSeq(r.toSeq :+ bytes)
       }
     }(enc)
   }

@@ -38,6 +38,40 @@ class ArchiveSpec extends SparkSpec {
     assert(Archive.zipExtract(bad, es.head).isEmpty)
   }
 
+  test("zip64 layout: EOCD64 chain + extended-info extras read back") {
+    val z = Archive.zipWrite64(payloads)
+    val es = Archive.zipEntries(z).get
+    assert(es.map(_.name) == payloads.map(_._1))
+    assert(es.map(_.method) == Seq(0, 8, 8))
+    assert(es.map(_.uncompressedSize) ==
+      payloads.map(_._2.length.toLong))
+    // extraction goes through the zip64-corrected offsets and sizes
+    for ((e, (_, data, _)) <- es.zip(payloads))
+      assert(Archive.zipExtract(z, e).exists(_.sameElements(data)),
+        e.name)
+    // the classic and zip64 layouts list IDENTICAL metadata
+    val classic = Archive.zipEntries(Archive.zipWrite(payloads)).get
+    assert(es.map(e => (e.name, e.method, e.uncompressedSize,
+      e.crc32)) == classic.map(e => (e.name, e.method,
+      e.uncompressedSize, e.crc32)))
+    // damaged EOCD64 locator refuses instead of misreading
+    val bad = z.clone()
+    val loc = bad.length - 22 - 20
+    bad(loc) = 0x00
+    assert(Archive.zipEntries(bad).isEmpty)
+  }
+
+  test("zip64 container composes: a docx through the zip64 layout") {
+    // an OOXML reader must not care which EOCD flavor carried it
+    val docx = graft.operators.Docx.docxWrite("zip64 carried", 0)
+    val es = Archive.zipEntries(docx).get
+    val parts = es.map(e => (e.name,
+      Archive.zipExtract(docx, e).get, false))
+    val z64 = Archive.zipWrite64(parts)
+    assert(graft.operators.Docx.docxText(z64)
+      .contains(graft.operators.Docx.DocxText("zip64 carried", 1)))
+  }
+
   test("zipEntries: malformed inputs classify as None") {
     assert(Archive.zipEntries(null).isEmpty)
     assert(Archive.zipEntries("not a zip".getBytes).isEmpty)
