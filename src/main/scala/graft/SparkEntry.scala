@@ -2648,6 +2648,21 @@ object SparkEntry {
           col("n_paras"))
     }),
 
+    // ----- format sniffing by magic bytes (the dispatch layer —
+    // declared content-types lie at scale): 15 formats through the
+    // repo's own writers, incl. the zip-interior disambiguation of
+    // docx/xlsx/pptx/odt/epub vs plain zip
+    "q_sniff_format" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 15).cast("int").as("__m"))
+      val payloads = Sniff.synthFormats(d, "doc_id", "__t", "__m",
+        "content")
+      Multimodal.decodeBatches(payloads, "content",
+          Sniff.sniffSchema)(Sniff.decodeSniff)
+        .select(col("doc_id"), col("format"))
+    }),
+
     // ----- email (RFC 5322 + MIME): planted text through single-part
     // quoted-printable, multipart/mixed base64 (+ ignored html
     // sibling), and nested multipart/alternative (last-wins) —
@@ -5043,6 +5058,27 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), chr(10), '')) + 1
            AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // the planted mode→label mapping replayed as a CASE
+    "q_sniff_format" ->
+      """SELECT doc_id,
+         CASE doc_id % 15
+           WHEN 0 THEN 'application/pdf'
+           WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+           WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+           WHEN 3 THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+           WHEN 4 THEN 'application/vnd.oasis.opendocument.text'
+           WHEN 5 THEN 'application/epub+zip'
+           WHEN 6 THEN 'application/rtf'
+           WHEN 7 THEN 'message/rfc822'
+           WHEN 8 THEN 'application/gzip'
+           WHEN 9 THEN 'application/x-tar'
+           WHEN 10 THEN 'image/png'
+           WHEN 11 THEN 'image/jpeg'
+           WHEN 12 THEN 'application/zip'
+           WHEN 13 THEN 'application/mbox'
+           ELSE 'text/plain' END AS format
          FROM documents""",
 
     // subject replays arithmetically; body is identity text;

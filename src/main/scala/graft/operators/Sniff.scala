@@ -1,0 +1,216 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Content-format sniffing by magic bytes — the dispatch layer of a
+  * crawl pipeline. Declared content-types lie at scale (servers
+  * mislabel, extensions are wrong, WARC records carry stale
+  * metadata); routing to decoders must go by what the bytes ARE.
+  * One bounded pass: leading magic, then container-interior
+  * disambiguation (a ZIP is a DOCX/XLSX/PPTX/ODT/EPUB/plain-zip by
+  * its directory names — via the shared ZIP64-aware walk), then a
+  * text/binary fallback by UTF-8 validity. Every label corresponds
+  * to a decoder implemented in this repo. Map-only, no allocation
+  * beyond the directory listing for zips.
+  */
+object Sniff {
+
+  /** Best-effort format label for a byte payload. */
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return "empty"
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    def ascii(s: String, off: Int = 0): Boolean = {
+      if (off + s.length > b.length) return false
+      var i = 0
+      while (i < s.length) {
+        if ((b(off + i) & 0xff) != s.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    // --- containers and documents
+    if (ascii("%PDF-")) return "application/pdf"
+    if (ascii("{\\rtf")) return "application/rtf"
+    if (ascii("PK")) {
+      // zip family: disambiguate by directory names
+      Archive.zipEntries(b) match {
+        case Some(es) =>
+          val names = es.map(_.name).toSet
+          if (names.contains("word/document.xml"))
+            return "application/vnd.openxmlformats-officedocument" +
+              ".wordprocessingml.document"
+          if (names.exists(_.startsWith("xl/")))
+            return "application/vnd.openxmlformats-officedocument" +
+              ".spreadsheetml.sheet"
+          if (names.exists(_.startsWith("ppt/")))
+            return "application/vnd.openxmlformats-officedocument" +
+              ".presentationml.presentation"
+          if (names.contains("META-INF/container.xml"))
+            return "application/epub+zip"
+          if (names.contains("content.xml") &&
+            names.contains("mimetype"))
+            return "application/vnd.oasis.opendocument.text"
+          return "application/zip"
+        case None => return "application/zip-damaged"
+      }
+    }
+    if (at(0) == 0xd0 && at(1) == 0xcf && at(2) == 0x11 &&
+      at(3) == 0xe0 && at(4) == 0xa1 && at(5) == 0xb1 &&
+      at(6) == 0x1a && at(7) == 0xe1)
+      return "application/x-cfb" // legacy .doc/.xls/.ppt container
+    if (ascii("WARC/")) return "application/warc"
+    if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
+    if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
+      at(3) == 0xfd) return "application/zstd"
+    // ustar at offset 257
+    if (ascii("ustar", 257)) return "application/x-tar"
+    // --- images
+    if (at(0) == 0x89 && ascii("PNG", 1)) return "image/png"
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff)
+      return "image/jpeg"
+    if (ascii("GIF87a") || ascii("GIF89a")) return "image/gif"
+    if (ascii("BM") && b.length > 14) return "image/bmp"
+    if (ascii("RIFF") && ascii("WEBP", 8)) return "image/webp"
+    if ((ascii("II") && at(2) == 42 && at(3) == 0) ||
+      (ascii("MM") && at(2) == 0 && at(3) == 42)) return "image/tiff"
+    // --- audio / video
+    if (ascii("RIFF") && ascii("WAVE", 8)) return "audio/wav"
+    if (ascii("fLaC")) return "audio/flac"
+    if (ascii("OggS")) return "audio/ogg"
+    if (ascii("ID3") ||
+      (at(0) == 0xff && (at(1) & 0xe0) == 0xe0 && b.length > 4))
+      return "audio/mpeg"
+    if (b.length >= 12 && ascii("ftyp", 4)) return "video/mp4"
+    // --- text-ish
+    if (ascii("HTTP/1.") || ascii("HTTP/2")) return "message/http"
+    if (ascii("From ")) return "application/mbox"
+    // eml: a real header block that the MIME walk accepts
+    if (looksLikeEmail(b)) return "message/rfc822"
+    val head = new String(b, 0,
+      math.min(b.length, 1024), StandardCharsets.ISO_8859_1)
+    val t = head.dropWhile(c => c == ' ' || c == '\t' || c == '\r' ||
+      c == '\n' || c == '﻿')
+    val tl = t.toLowerCase(java.util.Locale.ROOT)
+    if (tl.startsWith("<!doctype html") || tl.startsWith("<html"))
+      return "text/html"
+    if (t.startsWith("<?xml")) return "text/xml"
+    if (looksUtf8(b)) "text/plain" else "application/octet-stream"
+  }
+
+  private def looksLikeEmail(b: Array[Byte]): Boolean = {
+    val head = new String(b, 0,
+      math.min(b.length, 2048), StandardCharsets.ISO_8859_1)
+    val lower = head.toLowerCase(java.util.Locale.ROOT)
+    (lower.startsWith("from:") || lower.startsWith("subject:") ||
+      lower.startsWith("received:") ||
+      lower.startsWith("return-path:")) &&
+      (lower.contains("\nsubject:") || lower.contains("\nfrom:") ||
+        lower.startsWith("subject:") || lower.startsWith("from:")) &&
+      Mime.emlText(b).isDefined
+  }
+
+  /** Strict UTF-8 validity over a bounded prefix, refusing NULs —
+    * the text/binary discriminator.
+    */
+  private def looksUtf8(b: Array[Byte]): Boolean = {
+    val n = math.min(b.length, 8192)
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c == 0) return false
+      if (c < 0x80) i += 1
+      else {
+        val len =
+          if ((c & 0xe0) == 0xc0) 2
+          else if ((c & 0xf0) == 0xe0) 3
+          else if ((c & 0xf8) == 0xf0) 4
+          else return false
+        // sequence split by the window end: accept the prefix
+        if (i + len > n) return true
+        var k = 1
+        while (k < len) {
+          if ((b(i + k) & 0xc0) != 0x80) return false
+          k += 1
+        }
+        i += len
+      }
+    }
+    true
+  }
+
+  // ------------------------------------------------------------------
+  // Spark plumbing
+  // ------------------------------------------------------------------
+
+  val sniffSchema: StructType = StructType(Seq(
+    StructField("format", StringType)))
+
+  def decodeSniff(bytes: Array[Byte]): Seq[Any] =
+    Seq[Any](sniff(bytes))
+
+  /** Fixture: one payload per row, the format selected by `modeCol`
+    * (0..11) — each through the repo's own writer for that format.
+    */
+  def synthFormats(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val id = r.get(ii).toString
+        val pix = Array.tabulate(64)(i => (i * 4) % 256)
+        val bytes: Array[Byte] = r.getInt(mi) match {
+          case 0 => Pdf.pdfWrite(text, 0, 0)
+          case 1 => Docx.docxWrite(text, 0)
+          case 2 => Docx.xlsxWrite(Seq(text), 0)
+          case 3 => Docx.pptxWrite(Seq(text), 0)
+          case 4 => Docx.odtWrite(text, 0)
+          case 5 => Docx.epubWrite(text, "f " + id, 0)
+          case 6 => Rtf.rtfWrite(text, 0)
+          case 7 => Mime.emlWrite("s " + id, text, 0)
+          case 8 => Archive.gzipWrite(text.getBytes("UTF-8"), "d")
+          case 9 => Archive.tarWrite(Seq(("a.txt",
+            text.getBytes("UTF-8"))))
+          case 10 => Multimodal.pngEncodeGray(8, 8, pix)
+          case 11 => Multimodal.jpegEncodeGray(8, 8, pix)
+          case 12 => Archive.zipWrite(Seq(("plain.txt",
+            text.getBytes("UTF-8"), false)))
+          case 13 => ("From x@y Fri Aug 15 00:00:00 2025\n" +
+            "Subject: m\nContent-Type: text/plain\n\nbody\n")
+            .getBytes("UTF-8")
+          case _ => ("t " + id + " " + text).getBytes("UTF-8")
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  /** The expected label for each `synthFormats` mode — the oracle
+    * replays this mapping in SQL.
+    */
+  val modeLabels: Seq[String] = Seq(
+    "application/pdf",
+    "application/vnd.openxmlformats-officedocument" +
+      ".wordprocessingml.document",
+    "application/vnd.openxmlformats-officedocument" +
+      ".spreadsheetml.sheet",
+    "application/vnd.openxmlformats-officedocument" +
+      ".presentationml.presentation",
+    "application/vnd.oasis.opendocument.text",
+    "application/epub+zip",
+    "application/rtf",
+    "message/rfc822",
+    "application/gzip",
+    "application/x-tar",
+    "image/png",
+    "image/jpeg",
+    "application/zip",
+    "application/mbox")
+}

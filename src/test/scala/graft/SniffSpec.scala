@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Archive, Docx, Mime, Multimodal, Pdf, Rtf,
+  Sniff, WebP, Zstd}
+
+/** Magic-byte format sniffing: every label must be reachable through
+  * the repo's own writers, zip-interior disambiguation must tell the
+  * five zip-carried document formats apart, and the text/binary
+  * fallback must be sane.
+  */
+class SniffSpec extends AnyFunSuite {
+
+  private val pix = Array.tabulate(64)(i => (i * 4) % 256)
+
+  test("every container/document writer sniffs to its label") {
+    assert(Sniff.sniff(Pdf.pdfWrite("x", 0, 0)) == "application/pdf")
+    assert(Sniff.sniff(Rtf.rtfWrite("x", 0)) == "application/rtf")
+    assert(Sniff.sniff(Docx.docxWrite("x", 0)) ==
+      "application/vnd.openxmlformats-officedocument" +
+        ".wordprocessingml.document")
+    assert(Sniff.sniff(Docx.xlsxWrite(Seq("x"), 0)) ==
+      "application/vnd.openxmlformats-officedocument" +
+        ".spreadsheetml.sheet")
+    assert(Sniff.sniff(Docx.pptxWrite(Seq("x"), 0)) ==
+      "application/vnd.openxmlformats-officedocument" +
+        ".presentationml.presentation")
+    assert(Sniff.sniff(Docx.odtWrite("x", 0)) ==
+      "application/vnd.oasis.opendocument.text")
+    assert(Sniff.sniff(Docx.epubWrite("x", "f", 0)) ==
+      "application/epub+zip")
+    assert(Sniff.sniff(Archive.zipWrite(Seq(("a.txt",
+      "x".getBytes, false)))) == "application/zip")
+    assert(Sniff.sniff(Archive.zipWrite64(Seq(("a.txt",
+      "x".getBytes, false)))) == "application/zip")
+    assert(Sniff.sniff(Archive.gzipWrite("x".getBytes, "n")) ==
+      "application/gzip")
+    assert(Sniff.sniff(Archive.tarWrite(Seq(("a", "x".getBytes))))
+      == "application/x-tar")
+    assert(Sniff.sniff(Mime.emlWrite("s", "b", 0)) ==
+      "message/rfc822")
+    assert(Sniff.sniff(Mime.mboxWrite(Seq(
+      Mime.emlWrite("s", "b", 0)))) == "application/mbox")
+  }
+
+  test("image, audio, codec and text labels") {
+    assert(Sniff.sniff(Multimodal.pngEncodeGray(8, 8, pix)) ==
+      "image/png")
+    assert(Sniff.sniff(Multimodal.jpegEncodeGray(8, 8, pix)) ==
+      "image/jpeg")
+    assert(Sniff.sniff(WebP.encodeGraySubtractGreen(8, 8, pix)) ==
+      "image/webp")
+    assert(Sniff.sniff(WebP.vp8Write(16, 16, 1, 1, 1, 0, 0)) ==
+      "image/webp")
+    assert(Sniff.sniff(Zstd.encodeFrame("payload".getBytes)) ==
+      "application/zstd")
+    assert(Sniff.sniff("plain words é and Ω".getBytes("UTF-8")) ==
+      "text/plain")
+    assert(Sniff.sniff("<!DOCTYPE html><html></html>".getBytes) ==
+      "text/html")
+    assert(Sniff.sniff("<?xml version=\"1.0\"?><r/>".getBytes) ==
+      "text/xml")
+    assert(Sniff.sniff("HTTP/1.1 200 OK\r\n\r\nx".getBytes) ==
+      "message/http")
+    assert(Sniff.sniff(Array[Byte](0, 1, 2, 3, -1)) ==
+      "application/octet-stream")
+    assert(Sniff.sniff(Array.emptyByteArray) == "empty")
+    assert(Sniff.sniff(null) == "empty")
+    // legacy office CFB magic
+    val cfb = Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
+      0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte) ++
+      new Array[Byte](24)
+    assert(Sniff.sniff(cfb) == "application/x-cfb")
+  }
+
+  test("sniff is total under mutation of a zip container") {
+    val rnd = new scala.util.Random(0x5F1FFL)
+    val valid = Docx.docxWrite("mutate me", 1)
+    for (_ <- 0 until 120) {
+      val m = valid.clone()
+      val k = 1 + rnd.nextInt(4)
+      for (_ <- 0 until k)
+        m(rnd.nextInt(m.length)) =
+          (rnd.nextInt(256) - 128).toByte
+      Sniff.sniff(m) // must never throw
+    }
+    for (cut <- Seq(1, 10, 100, valid.length / 2))
+      Sniff.sniff(valid.take(cut))
+  }
+}
