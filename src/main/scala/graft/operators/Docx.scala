@@ -651,6 +651,22 @@ object Docx {
   // fixture writers — the planted text must come back IDENTICAL
   // ------------------------------------------------------------------
 
+  /** Split into n-char runs without ever cutting a surrogate pair —
+    * `String.grouped` would, and a lone surrogate dies in UTF-8.
+    */
+  private def groupedSafe(s: String, n: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      var e = math.min(i + n, s.length)
+      if (e < s.length && Character.isHighSurrogate(s.charAt(e - 1)) &&
+        Character.isLowSurrogate(s.charAt(e))) e += 1
+      out += s.substring(i, e)
+      i = e
+    }
+    out.result()
+  }
+
   private def esc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 16)
     var i = 0
@@ -702,7 +718,7 @@ object Docx {
     def paraXml(p: String): String = {
       val runs: String = m match {
         case 1 =>
-          val gs = p.grouped(7).toSeq
+          val gs = groupedSafe(p, 7)
           (if (gs.isEmpty) Seq("") else gs).map(run).mkString
         case 2 =>
           // TABs through <w:tab/>; split the rest into runs at tabs
@@ -745,7 +761,7 @@ object Docx {
     val m = ((mode % 3) + 3) % 3
     def si(s: String): String = m match {
       case 1 =>
-        val gs = s.grouped(5).toSeq
+        val gs = groupedSafe(s, 5)
         "<si>" + (if (gs.isEmpty) Seq("") else gs).map(g =>
           "<r><rPr><b/></rPr><t xml:space=\"preserve\">" + esc(g) +
             "</t></r>").mkString + "</si>"
@@ -786,7 +802,7 @@ object Docx {
     def para(p: String): String = {
       val runs = m match {
         case 1 =>
-          val gs = p.grouped(6).toSeq
+          val gs = groupedSafe(p, 6)
           (if (gs.isEmpty) Seq("") else gs).map(run).mkString
         case _ => run(p)
       }

@@ -321,10 +321,19 @@ object Mime {
   def emlWrite(subject: String, text: String, mode: Int)
       : Array[Byte] = {
     val m = ((mode % 3) + 3) % 3
+    // RFC 2047 Q form: space→'_'; '?', '_', '=' and non-printables
+    // MUST be =HH (a bare '?' would terminate the encoded word)
+    def q2047(s: String): String =
+      s.getBytes(StandardCharsets.UTF_8).map { b =>
+        val c = b & 0xff
+        if (c == ' ') "_"
+        else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || "!*+-/".indexOf(c) >= 0)
+          c.toChar.toString
+        else f"=$c%02X"
+      }.mkString
     val encSubj =
-      if (m == 1)
-        "=?utf-8?Q?" + qpEncode(subject).replace(" ", "_")
-          .replace("\n", "") + "?="
+      if (m == 1) "=?utf-8?Q?" + q2047(subject) + "?="
       else "=?utf-8?B?" + java.util.Base64.getEncoder
         .encodeToString(subject.getBytes(StandardCharsets.UTF_8)) +
         "?="

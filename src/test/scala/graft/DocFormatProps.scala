@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.operators.{Docx, Mime, Pdf, Rtf}
+
+/** Property-based round-trips for the document-format writers and
+  * parsers: arbitrary (printable + unicode + control-ish) text
+  * planted through every layout must come back IDENTICAL. These
+  * hunt the escaping/encoding edge cases example tests miss.
+  */
+object DocFormatProps extends Properties("DocFormatProps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  // text generator: ASCII incl. XML/RTF-hostile chars, latin-1,
+  // BMP unicode, astral pairs, tabs and newlines
+  private val hostileChars: Gen[Char] = Gen.frequency(
+    (8, Gen.choose(32.toChar, 126.toChar)),
+    (2, Gen.oneOf('<', '>', '&', '"', '\'', '\\', '{', '}', '=',
+      '?', '-')),
+    (2, Gen.oneOf('\n', '\t')),
+    (2, Gen.choose(0xa0.toChar, 0xff.toChar)),
+    (1, Gen.oneOf('Ω', 'μ', '€', '—', '日', '한', 'ѣ')))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 120)
+    cs <- Gen.listOfN(n, hostileChars)
+    // occasionally append an astral char (surrogate pair)
+    astral <- Gen.oneOf("", "", "𝄞", "😀")
+  } yield cs.mkString + astral
+
+  private val modeGen: Gen[Int] = Gen.chooseNum(0, 2)
+
+  property("docx round-trips arbitrary text in every mode") =
+    Prop.forAll(textGen, modeGen) { (text, m) =>
+      Docx.docxText(Docx.docxWrite(text, m))
+        .contains(Docx.DocxText(text,
+          1 + text.count(_ == '\n')))
+    }
+
+  property("odt round-trips arbitrary text in every mode") =
+    Prop.forAll(textGen, modeGen) { (text, m) =>
+      Docx.odtText(Docx.odtWrite(text, m)).map(_.text)
+        .contains(text)
+    }
+
+  property("pptx round-trips arbitrary slides in every mode") =
+    Prop.forAll(textGen, textGen, modeGen) { (s1, s2, m) =>
+      Docx.pptxText(Docx.pptxWrite(Seq(s1, s2), m))
+        .contains(Docx.PptxText(s1 + "\n" + s2, 2))
+    }
+
+  property("epub round-trips arbitrary text in every mode") =
+    Prop.forAll(textGen, modeGen) { (text, m) =>
+      Docx.epubText(Docx.epubWrite(text, "f", m))
+        .contains(Docx.EpubText(text + "\nf", 2))
+    }
+
+  property("xlsx round-trips arbitrary newline-free items") =
+    Prop.forAll(Gen.listOfN(4,
+      textGen.map(_.replace('\n', ' '))), modeGen) { (items, m) =>
+      Docx.xlsxStrings(Docx.xlsxWrite(items, m))
+        .contains(Docx.XlsxStrings(items.mkString("\n"),
+          items.length))
+    }
+
+  property("rtf round-trips arbitrary text in every mode") =
+    Prop.forAll(textGen, modeGen) { (text, m) =>
+      Rtf.rtfText(Rtf.rtfWrite(text, m)).map(_.text).contains(text)
+    }
+
+  property("eml round-trips arbitrary subject+body in every mode") =
+    Prop.forAll(textGen.map(_.replace('\n', ' ')), textGen, modeGen) {
+      (subj, body, m) =>
+        Mime.emlText(Mime.emlWrite(subj, body, m)) match {
+          case Some(Mime.EmlText(s, t, _)) => s == subj && t == body
+          case None => false
+        }
+    }
+
+  property("pdf font-encoded text round-trips in every mode") =
+    Prop.forAll(textGen, modeGen) { (text, m) =>
+      Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
+        .map(_.text).contains(text)
+    }
+}
