@@ -2648,6 +2648,20 @@ object SparkEntry {
           col("n_paras"))
     }),
 
+    // ----- legacy Office (MS-CFB) container walk: planted streams
+    // through BOTH the miniFAT (even docs) and FAT (odd docs,
+    // NUL-padded past the 4096 cutoff) paths; WordDocument bytes
+    // must round-trip and the msword label must classify
+    "q_cfb_streams" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val cfb = Cfb.synthCfb(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(cfb, "content",
+          Cfb.cfbSchema)(Cfb.decodeCfb)
+        .select(col("doc_id"), col("cfb_label"), col("n_streams"),
+          col("stream_names"), col("word_text").as("text"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 15 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5058,6 +5072,16 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), chr(10), '')) + 1
            AS INTEGER) AS n_paras
+         FROM documents""",
+
+    // label constant, stream census constant, text identity
+    "q_cfb_streams" ->
+      """SELECT doc_id,
+         'application/msword' AS cfb_label,
+         CAST(2 AS INTEGER) AS n_streams,
+         chr(5) || 'SummaryInformation,WordDocument'
+           AS stream_names,
+         COALESCE(text, '') AS text
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

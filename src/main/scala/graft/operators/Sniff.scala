@@ -60,7 +60,9 @@ object Sniff {
     if (at(0) == 0xd0 && at(1) == 0xcf && at(2) == 0x11 &&
       at(3) == 0xe0 && at(4) == 0xa1 && at(5) == 0xb1 &&
       at(6) == 0x1a && at(7) == 0xe1)
-      return "application/x-cfb" // legacy .doc/.xls/.ppt container
+      // legacy Office container: subtype by the directory walk
+      return Cfb.cfbStreams(b).map(_.label)
+        .getOrElse("application/x-cfb-damaged")
     if (ascii("WARC/")) return "application/warc"
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&

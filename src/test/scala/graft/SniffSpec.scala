@@ -67,11 +67,16 @@ class SniffSpec extends AnyFunSuite {
       "application/octet-stream")
     assert(Sniff.sniff(Array.emptyByteArray) == "empty")
     assert(Sniff.sniff(null) == "empty")
-    // legacy office CFB magic
+    // legacy office: the CFB walk resolves the subtype
+    assert(Sniff.sniff(graft.operators.Cfb.cfbWrite(Seq(
+      ("WordDocument", "doc".getBytes)))) == "application/msword")
+    assert(Sniff.sniff(graft.operators.Cfb.cfbWrite(Seq(
+      ("Workbook", "xls".getBytes)))) == "application/vnd.ms-excel")
+    // magic without a valid directory: damaged, never a throw
     val cfb = Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
       0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte) ++
       new Array[Byte](24)
-    assert(Sniff.sniff(cfb) == "application/x-cfb")
+    assert(Sniff.sniff(cfb) == "application/x-cfb-damaged")
   }
 
   test("sniff is total under mutation of a zip container") {
