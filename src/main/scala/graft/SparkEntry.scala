@@ -2662,6 +2662,18 @@ object SparkEntry {
           col("stream_names"), col("word_text").as("text"))
     }),
 
+    // ----- legacy .doc TEXT through the real Word 97 piece table:
+    // FIB → 1Table clx → PlcPcd pieces, cp1252-compressed AND
+    // UTF-16LE paths both exercised by the half-split fixture
+    "q_doc_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val docs = Cfb.synthDoc(d, "__t", "content")
+      Multimodal.decodeBatches(docs, "content",
+          Cfb.docTextSchema)(Cfb.decodeDocText)
+        .select(col("doc_id"), col("doc_text").as("text"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 15 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5083,6 +5095,10 @@ object SparkEntry {
            AS stream_names,
          COALESCE(text, '') AS text
          FROM documents""",
+
+    // identity text through the piece-table reconstruction
+    "q_doc_text" ->
+      """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE
     "q_sniff_format" ->

@@ -17,10 +17,10 @@ import org.apache.spark.sql.types._
   * PowerPoint Document / encryption markers). Truncation, bad
   * magic, cyclic chains → None.
   *
-  * Scope note: full .doc TEXT reconstruction (FIB + piece tables)
-  * is out of scope for now — the container walk surfaces stream
-  * names/sizes/bytes so format identification and triage are real;
-  * the same honest boundary as C166's VP8 pixels.
+  * On top of the walk, [[docText]] reconstructs Word 97+ TEXT via
+  * the real piece-table machinery ([MS-DOC]): FIB → fcClx in the
+  * 0Table/1Table stream → Clx → Pcdt → PlcPcd pieces, each either
+  * cp1252-compressed (fc/2) or UTF-16LE. Encrypted FIBs refuse.
   */
 object Cfb {
 
@@ -367,6 +367,179 @@ object Cfb {
   }
 
   // ------------------------------------------------------------------
+  // .doc text via the Word 97+ piece table ([MS-DOC])
+  // ------------------------------------------------------------------
+
+  /** Decoded .doc: text + piece count. */
+  final case class DocText(text: String, nPieces: Int)
+
+  /** Word 97+ text reconstruction: FIB base (wIdent 0xA5EC) →
+    * fWhichTblStm picks 0Table/1Table → fcClx/lcbClx (FibRgFcLcb97
+    * pair 33) → Clx → Pcdt → PlcPcd: each piece maps a CP range to
+    * an fc in WordDocument, 8-bit cp1252 when fCompressed (fc/2)
+    * else UTF-16LE. Encrypted (fEncrypted) or structurally absent
+    * piece tables → None — never mojibake from guessing.
+    */
+  def docText(b: Array[Byte]): Option[DocText] = {
+    val doc = cfbStreams(b).getOrElse(return None)
+    val word = doc.streams.find(_.name == "WordDocument")
+      .map(_.data).getOrElse(return None)
+    try {
+      if (word.length < 512) throw CfbFail
+      if (le16(word, 0) != 0xa5ec) throw CfbFail
+      val flags = le16(word, 0x0a)
+      if ((flags & 0x0100) != 0) throw CfbFail // fEncrypted
+      val whichTbl = (flags >> 9) & 1
+      val tblName = if (whichTbl == 1) "1Table" else "0Table"
+      val tbl = doc.streams.find(_.name == tblName)
+        .map(_.data).getOrElse(throw CfbFail)
+      // FibRgFcLcb97 blob offset: FibBase(32) + 2 + csw*2 + 2 +
+      // cslw*4 + 2
+      val csw = le16(word, 32)
+      val cslwOff = 32 + 2 + csw * 2
+      val cslw = le16(word, cslwOff)
+      val blobOff = cslwOff + 2 + cslw * 4 + 2
+      val fcClx = le32(word, blobOff + 33 * 8)
+      val lcbClx = le32(word, blobOff + 33 * 8 + 4)
+      if (lcbClx <= 0 || fcClx < 0 ||
+        fcClx + lcbClx > tbl.length) throw CfbFail
+      // Clx: skip Prc entries (clxt=1) to the Pcdt (clxt=2)
+      var p = fcClx.toInt
+      val clxEnd = (fcClx + lcbClx).toInt
+      while (p < clxEnd && (tbl(p) & 0xff) == 1) {
+        val cb = le16(tbl, p + 1)
+        p += 3 + cb
+      }
+      if (p >= clxEnd || (tbl(p) & 0xff) != 2) throw CfbFail
+      val lcbPlc = le32(tbl, p + 1)
+      val plc = p + 5
+      if (lcbPlc < 4 || plc + lcbPlc > clxEnd + 0 ||
+        plc + lcbPlc > tbl.length) throw CfbFail
+      val n = ((lcbPlc - 4) / 12).toInt
+      if (n <= 0 || n > (1 << 20)) throw CfbFail
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        val cpStart = le32(tbl, plc + i * 4)
+        val cpEnd = le32(tbl, plc + (i + 1) * 4)
+        val cpLen = cpEnd - cpStart
+        if (cpLen < 0 || cpLen > MaxStream) throw CfbFail
+        val pcdOff = plc + (n + 1) * 4 + i * 8
+        val fcRaw = le32(tbl, pcdOff + 2)
+        val compressed = (fcRaw & 0x40000000L) != 0
+        val fc = fcRaw & 0x3fffffffL
+        if (compressed) {
+          val off = (fc / 2).toInt
+          if (off + cpLen > word.length) throw CfbFail
+          sb.append(new String(word, off, cpLen.toInt,
+            java.nio.charset.Charset.forName("windows-1252")))
+        } else {
+          if (fc + cpLen * 2 > word.length) throw CfbFail
+          sb.append(new String(word, fc.toInt, cpLen.toInt * 2,
+            StandardCharsets.UTF_16LE))
+        }
+        if (sb.length > MaxStream) throw CfbFail
+        i += 1
+      }
+      // Word stores paragraph marks as CR; normalize to LF
+      Some(DocText(sb.toString.replace('\r', '\n'), n))
+    } catch {
+      case CfbFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Real .doc fixture: FIB + piece table in 1Table + text pieces in
+    * WordDocument. The text is split into two pieces; each piece is
+    * cp1252-compressed when its chars allow, UTF-16LE otherwise —
+    * both decode paths exercised whenever the split allows.
+    */
+  def docWrite(text: String): Array[Byte] = {
+    val cut = {
+      // split near the middle without cutting a surrogate pair
+      var c = text.length / 2
+      if (c > 0 && c < text.length &&
+        Character.isHighSurrogate(text.charAt(c - 1)) &&
+        Character.isLowSurrogate(text.charAt(c))) c += 1
+      c
+    }
+    val pieces0 = Seq(text.substring(0, cut), text.substring(cut))
+      .filter(_.nonEmpty)
+    val pieces = if (pieces0.isEmpty) Seq("") else pieces0
+    val cs1252 = java.nio.charset.Charset.forName("windows-1252")
+    // Word's CR paragraph marks: our \n goes in as \r
+    def wire(s: String): String = s.replace('\n', '\r')
+    def cp1252able(c: Char): Boolean = {
+      if (Character.isSurrogate(c)) return false
+      val bs = c.toString.getBytes(cs1252)
+      bs.length == 1 && new String(bs, cs1252) == c.toString
+    }
+    val word = new java.io.ByteArrayOutputStream()
+    word.write(new Array[Byte](1024), 0, 1024) // FIB area
+    val pieceMeta = pieces.map { p0 =>
+      val p = wire(p0)
+      val canCompress = p.nonEmpty && p.forall(cp1252able)
+      val off = word.size()
+      if (canCompress) {
+        val bytes = p.getBytes(cs1252)
+        word.write(bytes, 0, bytes.length)
+        (off, p.length, true)
+      } else {
+        val bytes = p.getBytes(StandardCharsets.UTF_16LE)
+        word.write(bytes, 0, bytes.length)
+        (off, p.length, false)
+      }
+    }
+    val wordBytes = word.toByteArray
+    // FIB base
+    def p16(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v & 0xff).toByte; a(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(a: Array[Byte], o: Int, v: Long): Unit = {
+      a(o) = (v & 0xff).toByte
+      a(o + 1) = ((v >> 8) & 0xff).toByte
+      a(o + 2) = ((v >> 16) & 0xff).toByte
+      a(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    p16(wordBytes, 0, 0xa5ec)
+    p16(wordBytes, 2, 0x00c1) // nFib: Word 97
+    p16(wordBytes, 0x0a, 1 << 9) // fWhichTblStm = 1
+    val csw = 14
+    val cslw = 22
+    p16(wordBytes, 32, csw)
+    val cslwOff = 32 + 2 + csw * 2
+    p16(wordBytes, cslwOff, cslw)
+    val blobOff = cslwOff + 2 + cslw * 4 + 2
+    p16(wordBytes, blobOff - 2, 93) // cbRgFcLcb
+    // 1Table: Pcdt at offset 0
+    val nP = pieces.length
+    val lcbPlc = 4 + nP * 12
+    val tbl = new Array[Byte](5 + lcbPlc)
+    tbl(0) = 2
+    p32(tbl, 1, lcbPlc.toLong)
+    var cp = 0L
+    for (i <- 0 to nP) {
+      p32(tbl, 5 + i * 4, cp)
+      if (i < nP) cp += pieceMeta(i)._2
+    }
+    for (i <- 0 until nP) {
+      val (off, _, compressed) = pieceMeta(i)
+      val pcdOff = 5 + (nP + 1) * 4 + i * 8
+      val fc =
+        if (compressed) (off.toLong * 2) | 0x40000000L
+        else off.toLong
+      p32(tbl, pcdOff + 2, fc)
+    }
+    p32(wordBytes, blobOff + 33 * 8, 0L) // fcClx
+    p32(wordBytes, blobOff + 33 * 8 + 4, tbl.length.toLong) // lcbClx
+    cfbWrite(Seq(
+      ("WordDocument", wordBytes),
+      ("1Table", tbl),
+      ("SummaryInformation", "meta".getBytes("UTF-8"))))
+  }
+
+  // ------------------------------------------------------------------
   // Spark plumbing
   // ------------------------------------------------------------------
 
@@ -393,6 +566,31 @@ object Cfb {
         Seq[Any](label, streams.length, names, word)
       case None => Seq[Any](null, null, null, null)
     }
+
+  val docTextSchema: StructType = StructType(Seq(
+    StructField("doc_text", StringType),
+    StructField("n_pieces", IntegerType)))
+
+  def decodeDocText(bytes: Array[Byte]): Seq[Any] =
+    docText(bytes) match {
+      case Some(DocText(t, n)) => Seq[Any](t, n)
+      case None => Seq[Any](null, null)
+    }
+
+  /** Per-row Word 97 .doc synthesizer (map-only). */
+  def synthDoc(df: DataFrame, textCol: String, outCol: String)
+      : DataFrame = {
+    val ti = df.schema.fieldIndex(textCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+ docWrite(text))
+      }
+    }(enc)
+  }
 
   /** Per-row CFB synthesizer: a WordDocument stream carrying the doc
     * text (odd docs padded past the 4096 mini-cutoff → FAT path,

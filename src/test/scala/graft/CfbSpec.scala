@@ -62,6 +62,34 @@ class CfbSpec extends AnyFunSuite {
     assert(Cfb.cfbStreams(bad).isEmpty, "cycle must refuse")
   }
 
+  test("doc text reconstructs through the piece table, both " +
+      "encodings") {
+    // pure ASCII: both pieces ride the cp1252-compressed path
+    val ascii = "plain ascii words, first half then second half."
+    assert(Cfb.docText(Cfb.docWrite(ascii))
+      .contains(Cfb.DocText(ascii, 2)))
+    // unicode tail: the second piece must switch to UTF-16LE
+    val mixed = "ascii start half and then Ωμέγα 𝄞 ünïcode"
+    val got = Cfb.docText(Cfb.docWrite(mixed)).get
+    assert(got.text == mixed, got.text)
+    // newlines round-trip through Word's CR paragraph marks
+    val paras = "first para\nsecond para\nthird"
+    assert(Cfb.docText(Cfb.docWrite(paras)).get.text == paras)
+    // empty document
+    assert(Cfb.docText(Cfb.docWrite("")).get.text == "")
+    // a CFB without WordDocument refuses
+    val notDoc = Cfb.cfbWrite(Seq(("Workbook", "x".getBytes)))
+    assert(Cfb.docText(notDoc).isEmpty)
+    // an encrypted FIB refuses
+    val enc = Cfb.docWrite("secret")
+    val doc = Cfb.cfbStreams(enc).get
+    val word = doc.streams.find(_.name == "WordDocument").get.data
+    word(0x0b) = (word(0x0b) | 0x01).toByte // fEncrypted (bit 8)
+    val reEnc = Cfb.cfbWrite(doc.streams.map(s =>
+      (s.name, if (s.name == "WordDocument") word else s.data)))
+    assert(Cfb.docText(reEnc).isEmpty)
+  }
+
   test("cfb walk is total under mutation") {
     val rnd = new scala.util.Random(0xCFBL)
     val valid = Cfb.cfbWrite(Seq(

@@ -321,6 +321,9 @@ class CodecFuzzSpec extends SparkSpec {
         graft.operators.Mime.emlWrite("a", "first", 0),
         graft.operators.Mime.emlWrite("b", "second", 1))),
       graft.operators.Mime.mboxMessages)
+    assertTotal("doc/piece-table",
+      graft.operators.Cfb.docWrite("legacy doc words é→Ω\nsecond"),
+      graft.operators.Cfb.docText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

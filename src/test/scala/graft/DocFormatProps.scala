@@ -80,6 +80,12 @@ object DocFormatProps extends Properties("DocFormatProps") {
         }
     }
 
+  property("legacy .doc piece table round-trips arbitrary text") =
+    Prop.forAll(textGen) { text =>
+      graft.operators.Cfb.docText(graft.operators.Cfb.docWrite(text))
+        .map(_.text).contains(text)
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
