@@ -227,7 +227,11 @@ object Mime {
       }
       val cs = charsetOf(params.getOrElse("charset", "utf-8"))
       val text = new String(bytes, cs).replace("\r\n", "\n")
-      out += stripTrailingLf(text)
+      // line-oriented encodings (qp/7bit) end the body with a
+      // canonical newline the writer added — strip exactly one;
+      // base64 carries the exact bytes, a trailing LF there is
+      // payload, not framing
+      out += (if (cte == "base64") text else stripTrailingLf(text))
       if (out.map(_.length).sum > MaxText) throw MimeFail
     }
     // other leaf types (text/html, images, ...) are not text/plain
