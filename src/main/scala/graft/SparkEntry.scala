@@ -2674,6 +2674,51 @@ object SparkEntry {
         .select(col("doc_id"), col("doc_text").as("text"))
     }),
 
+    // ----- legacy .xls (BIFF8) cells through the real record walk:
+    // SST shared strings with a Continue-straddled string (fresh
+    // fHighByte per fragment — widths can switch mid-string),
+    // LABELSST text identity, and every numeric encoding (RK int,
+    // RK x100, MULRK, NUMBER) summed in exact centi-units
+    "q_xls_cells" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val xls = Xls.synthXls(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(xls, "content",
+          Xls.xlsSchema)(Xls.decodeXls)
+        .select(col("doc_id"), col("xls_text").as("text"),
+          col("sheet_names"), col("rk_centi_sum"))
+    }),
+
+    // ----- legacy .ppt through the real record-tree walk: text
+    // atoms out of the document's SlideListWithText (bytes-atom for
+    // slide 1's latin-1 text, UTF-16LE chars-atom for the fixed
+    // slide-2 closer), slide census from Slide containers, honest
+    // encryption refusal via the Current User headerToken
+    "q_ppt_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val ppt = Ppt.synthPpt(d, "__t", "content")
+      Multimodal.decodeBatches(ppt, "content",
+          Ppt.pptSchema)(Ppt.decodePpt)
+        .select(col("doc_id"), col("ppt_text").as("text"),
+          col("n_slides"), col("n_text_atoms"))
+    }),
+
+    // ----- Jupyter notebooks through the real nbformat structure:
+    // markdown + code sources (string and list-of-lines spellings,
+    // v3 worksheets/input and v4 cells), outputs excluded, language
+    // from language_info/kernelspec — layout rotating on doc_id%3
+    "q_ipynb_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val nb = Ipynb.synthIpynb(d, "doc_id", "__t", "content",
+        "x = 6 * 7\nprint(x)  # Ω")
+      Multimodal.decodeBatches(nb, "content",
+          Ipynb.ipynbSchema)(Ipynb.decodeIpynb)
+        .select(col("doc_id"), col("nb_text").as("text"),
+          col("n_cells"), col("n_code_cells"), col("language"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 15 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5099,6 +5144,29 @@ object SparkEntry {
     // identity text through the piece-table reconstruction
     "q_doc_text" ->
       """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
+
+    // identity text through SST straddle + exact centi arithmetic:
+    // (7d+1)*100 + (13d+3) + (d+5)*100 + (d+6)*100 + 2d*100
+    "q_xls_cells" ->
+      """SELECT doc_id, COALESCE(text, '') AS text,
+         'Data,Numbers' AS sheet_names,
+         CAST(1113 * doc_id + 1203 AS BIGINT) AS rk_centi_sum
+         FROM documents""",
+
+    // slide-1 text + '\n' + the fixed slide-2 closer
+    "q_ppt_text" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || chr(10) || 'fin Ω' AS text,
+         2 AS n_slides, 2 AS n_text_atoms
+         FROM documents""",
+
+    // markdown cell (doc text) + '\n' + the fixed code cell
+    "q_ipynb_text" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || chr(10) ||
+           'x = 6 * 7' || chr(10) || 'print(x)  # Ω' AS text,
+         2 AS n_cells, 1 AS n_code_cells, 'python' AS language
+         FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE
     "q_sniff_format" ->

@@ -324,6 +324,15 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("doc/piece-table",
       graft.operators.Cfb.docWrite("legacy doc words é→Ω\nsecond"),
       graft.operators.Cfb.docText)
+    assertTotal("xls/biff8",
+      graft.operators.Xls.xlsWrite("legacy xls cells é→Ω\nrow", 21L),
+      graft.operators.Xls.xlsCells)
+    assertTotal("ppt/records",
+      graft.operators.Ppt.pptWrite(Seq("legacy ppt é→Ω\nslide", "Ω2")),
+      graft.operators.Ppt.pptText)
+    assertTotal("ipynb/nbformat4",
+      graft.operators.Ipynb.ipynbWrite("md é→Ω\nprose", "code()", 1),
+      graft.operators.Ipynb.ipynbText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -86,6 +86,41 @@ object DocFormatProps extends Properties("DocFormatProps") {
         .map(_.text).contains(text)
     }
 
+  property("legacy .xls SST straddle round-trips arbitrary text") =
+    Prop.forAll(textGen, Gen.chooseNum(0L, 9999L)) { (text, seed) =>
+      graft.operators.Xls.xlsCells(
+          graft.operators.Xls.xlsWrite(text, seed)) match {
+        case Some(doc) =>
+          val got = doc.cells.iterator
+            .filter(_.text != null).map(_.text).mkString
+          val centi = doc.cells.iterator.flatMap(_.centi).sum
+          got == text && centi == 1113L * seed + 1203L
+        case None => false
+      }
+    }
+
+  property("legacy .ppt slides round-trip arbitrary text") =
+    Prop.forAll(textGen, textGen) { (s1, s2) =>
+      graft.operators.Ppt.pptText(
+          graft.operators.Ppt.pptWrite(Seq(s1, s2))) match {
+        case Some(doc) =>
+          doc.text == s1 + "\n" + s2 && doc.nSlides == 2 &&
+            doc.nTextAtoms == 2
+        case None => false
+      }
+    }
+
+  property("ipynb cells round-trip arbitrary text in every mode") =
+    Prop.forAll(textGen, textGen, modeGen) { (md, code, m) =>
+      graft.operators.Ipynb.ipynbText(
+          graft.operators.Ipynb.ipynbWrite(md, code, m)) match {
+        case Some(doc) =>
+          doc.text == md + "\n" + code && doc.nCells == 2 &&
+            doc.nCodeCells == 1 && doc.language == "python"
+        case None => false
+      }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
