@@ -2719,6 +2719,33 @@ object SparkEntry {
           col("n_cells"), col("n_code_cells"), col("language"))
     }),
 
+    // ----- SRT subtitles through the real block parser: index /
+    // timing / text blocks, exact summed cue duration in ms
+    "q_srt_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val srt = Subtitles.synthSubs(d, "doc_id", "__t", "content",
+        vtt = false)
+      Multimodal.decodeBatches(srt, "content",
+          Subtitles.subSchema)(Subtitles.decodeSrt)
+        .select(col("doc_id"), col("sub_text").as("text"),
+          col("n_cues"), col("duration_ms"))
+    }),
+
+    // ----- WebVTT through the real parser: NOTE/STYLE exclusion,
+    // cue identifiers + settings, voice/italic tag stripping and
+    // entity unescape on the way out
+    "q_vtt_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val vtt = Subtitles.synthSubs(d, "doc_id", "__t", "content",
+        vtt = true)
+      Multimodal.decodeBatches(vtt, "content",
+          Subtitles.subSchema)(Subtitles.decodeVtt)
+        .select(col("doc_id"), col("sub_text").as("text"),
+          col("n_cues"), col("duration_ms"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 15 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5166,6 +5193,24 @@ object SparkEntry {
          COALESCE(text, '') || chr(10) ||
            'x = 6 * 7' || chr(10) || 'print(x)  # Ω' AS text,
          2 AS n_cells, 1 AS n_code_cells, 'python' AS language
+         FROM documents""",
+
+    // flattened doc text as cue 1 + the id-derived closer; duration
+    // replays the writer's timing arithmetic
+    "q_srt_text" ->
+      """SELECT doc_id,
+         replace(COALESCE(text, ''), chr(10), ' ') || chr(10) ||
+           'closing cue ' || CAST(doc_id % 10 AS VARCHAR) AS text,
+         2 AS n_cues,
+         CAST(2 * (1500 + (doc_id % 7) * 10) AS BIGINT) AS duration_ms
+         FROM documents""",
+
+    "q_vtt_text" ->
+      """SELECT doc_id,
+         replace(COALESCE(text, ''), chr(10), ' ') || chr(10) ||
+           'closing cue ' || CAST(doc_id % 10 AS VARCHAR) AS text,
+         2 AS n_cues,
+         CAST(2 * (1500 + (doc_id % 7) * 10) AS BIGINT) AS duration_ms
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -333,6 +333,12 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("ipynb/nbformat4",
       graft.operators.Ipynb.ipynbWrite("md é→Ω\nprose", "code()", 1),
       graft.operators.Ipynb.ipynbText)
+    assertTotal("srt/blocks",
+      graft.operators.Subtitles.srtWrite(Seq("cue é→Ω", "two"), 9L),
+      graft.operators.Subtitles.srtText)
+    assertTotal("vtt/cues",
+      graft.operators.Subtitles.vttWrite(Seq("cue é→Ω", "two"), 9L),
+      graft.operators.Subtitles.vttText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

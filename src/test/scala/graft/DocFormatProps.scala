@@ -121,6 +121,38 @@ object DocFormatProps extends Properties("DocFormatProps") {
       }
     }
 
+  // cue lines: newline-free (a blank line would terminate the cue);
+  // an all-whitespace line reads back empty in SRT (the blank-line
+  // block rule), verbatim in VTT (the tag wrap keeps it non-blank)
+  private val cueGen: Gen[String] =
+    textGen.map(_.replace('\n', ' '))
+
+  property("srt cues round-trip with exact durations") =
+    Prop.forAll(cueGen, cueGen, Gen.chooseNum(0L, 9999L)) {
+      (l1, l2, seed) =>
+        val expected = Seq(l1, l2)
+          .map(l => if (l.trim.isEmpty) "" else l).mkString("\n")
+        graft.operators.Subtitles.srtText(
+            graft.operators.Subtitles.srtWrite(Seq(l1, l2), seed)) match {
+          case Some(doc) =>
+            doc.text == expected && doc.nCues == 2 &&
+              doc.durationMs == 2 * (1500 + (seed % 7) * 10)
+          case None => false
+        }
+    }
+
+  property("vtt cues round-trip through tags and entities") =
+    Prop.forAll(cueGen, cueGen, Gen.chooseNum(0L, 9999L)) {
+      (l1, l2, seed) =>
+        graft.operators.Subtitles.vttText(
+            graft.operators.Subtitles.vttWrite(Seq(l1, l2), seed)) match {
+          case Some(doc) =>
+            doc.text == l1 + "\n" + l2 && doc.nCues == 2 &&
+              doc.durationMs == 2 * (1500 + (seed % 7) * 10)
+          case None => false
+        }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
