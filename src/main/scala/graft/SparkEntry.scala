@@ -2746,6 +2746,20 @@ object SparkEntry {
           col("n_cues"), col("duration_ms"))
     }),
 
+    // ----- RSS/Atom feeds over the shared XML scanner: dialect by
+    // root element (namespace-prefix-stripped), feed title only from
+    // the channel/feed's IMMEDIATE child (image/source title traps
+    // planted), item title+body in document order, CDATA bodies raw
+    "q_feed_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val feed = Feed.synthFeed(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(feed, "content",
+          Feed.feedSchema)(Feed.decodeFeed)
+        .select(col("doc_id"), col("feed_title"),
+          col("feed_text").as("text"), col("n_items"), col("kind"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 15 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5211,6 +5225,16 @@ object SparkEntry {
            'closing cue ' || CAST(doc_id % 10 AS VARCHAR) AS text,
          2 AS n_cues,
          CAST(2 * (1500 + (doc_id % 7) * 10) AS BIGINT) AS duration_ms
+         FROM documents""",
+
+    // headline + doc-text body + title-only closer; dialect rotates
+    "q_feed_text" ->
+      """SELECT doc_id,
+         'Feed ' || CAST(doc_id % 10 AS VARCHAR) AS feed_title,
+         'headline' || chr(10) || COALESCE(text, '') || chr(10) ||
+           'closer ' || CAST(doc_id % 5 AS VARCHAR) AS text,
+         2 AS n_items,
+         CASE WHEN doc_id % 3 = 2 THEN 'atom' ELSE 'rss' END AS kind
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -34,7 +34,7 @@ object Docx {
 
   private val MaxText = 64 << 20
 
-  private final case class DocxFail(msg: String)
+  private[operators] final case class DocxFail(msg: String)
     extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw DocxFail(msg)
 
@@ -92,18 +92,18 @@ object Docx {
     * or a text span. The scanner never allocates a tree — one forward
     * pass, comments/PIs/CDATA/DOCTYPE handled in place.
     */
-  private sealed trait Ev
-  private final case class Open(name: String, selfClose: Boolean,
+  private[operators] sealed trait Ev
+  private[operators] final case class Open(name: String, selfClose: Boolean,
       attrs: String = "") extends Ev
-  private final case class Close(name: String) extends Ev
-  private final case class Text(s: String, raw: Boolean = false)
+  private[operators] final case class Close(name: String) extends Ev
+  private[operators] final case class Text(s: String, raw: Boolean = false)
     extends Ev
 
   /** Forward-scan `xml`, invoking `f` per event. Malformed markup
     * (unterminated tag/comment/CDATA) stops the scan via fail — the
     * caller maps that to None.
     */
-  private def scanXml(xml: String)(f: Ev => Unit): Unit = {
+  private[operators] def scanXml(xml: String)(f: Ev => Unit): Unit = {
     val n = xml.length
     var i = 0
     var depth = 0
@@ -465,7 +465,7 @@ object Docx {
   private val AttrRe =
     "([A-Za-z_:][A-Za-z0-9._:-]*)\\s*=\\s*\"([^\"]*)\"".r
 
-  private def attrMap(attrs: String): Map[String, String] =
+  private[operators] def attrMap(attrs: String): Map[String, String] =
     AttrRe.findAllMatchIn(attrs)
       .map(m => m.group(1) -> m.group(2)).toMap
 

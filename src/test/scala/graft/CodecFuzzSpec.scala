@@ -339,6 +339,10 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("vtt/cues",
       graft.operators.Subtitles.vttWrite(Seq("cue é→Ω", "two"), 9L),
       graft.operators.Subtitles.vttText)
+    assertTotal("feed/rss-cdata",
+      graft.operators.Feed.feedWrite("f é→Ω",
+        Seq(("t", "b ]]> c")), 1),
+      graft.operators.Feed.feedText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -153,6 +153,22 @@ object DocFormatProps extends Properties("DocFormatProps") {
         }
     }
 
+  property("feed items round-trip arbitrary text in every mode") =
+    Prop.forAll(textGen, textGen, textGen, modeGen) {
+      (title, it, body, m) =>
+        graft.operators.Feed.feedText(
+            graft.operators.Feed.feedWrite(title,
+              Seq((it, body)), m)) match {
+          case Some(doc) =>
+            val want =
+              if (body.isEmpty) Seq(it).filter(_.nonEmpty).mkString
+              else if (it.isEmpty) body
+              else it + "\n" + body
+            doc.title == title && doc.text == want && doc.nItems == 1
+          case None => false
+        }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
