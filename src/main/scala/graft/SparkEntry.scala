@@ -2761,13 +2761,15 @@ object SparkEntry {
     }),
 
     // ----- format sniffing by magic bytes (the dispatch layer —
-    // declared content-types lie at scale): 15 formats through the
+    // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
-    // docx/xlsx/pptx/odt/epub vs plain zip
+    // docx/xlsx/pptx/odt/epub vs plain zip, the CFB legacy-Office
+    // subtype walk, feed-dialect XML roots, and the magic-less
+    // SRT/notebook shape checks
     "q_sniff_format" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 15).cast("int").as("__m"))
+        (col("doc_id") % 22).cast("int").as("__m"))
       val payloads = Sniff.synthFormats(d, "doc_id", "__t", "__m",
         "content")
       Multimodal.decodeBatches(payloads, "content",
@@ -5240,7 +5242,7 @@ object SparkEntry {
     // the planted mode→label mapping replayed as a CASE
     "q_sniff_format" ->
       """SELECT doc_id,
-         CASE doc_id % 15
+         CASE doc_id % 22
            WHEN 0 THEN 'application/pdf'
            WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
            WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
@@ -5255,6 +5257,13 @@ object SparkEntry {
            WHEN 11 THEN 'image/jpeg'
            WHEN 12 THEN 'application/zip'
            WHEN 13 THEN 'application/mbox'
+           WHEN 15 THEN 'application/x-ipynb+json'
+           WHEN 16 THEN 'application/x-subrip'
+           WHEN 17 THEN 'text/vtt'
+           WHEN 18 THEN 'application/rss+xml'
+           WHEN 19 THEN 'application/atom+xml'
+           WHEN 20 THEN 'application/vnd.ms-excel'
+           WHEN 21 THEN 'application/vnd.ms-powerpoint'
            ELSE 'text/plain' END AS format
          FROM documents""",
 

@@ -98,8 +98,76 @@ object Sniff {
     val tl = t.toLowerCase(java.util.Locale.ROOT)
     if (tl.startsWith("<!doctype html") || tl.startsWith("<html"))
       return "text/html"
-    if (t.startsWith("<?xml")) return "text/xml"
+    if (t.startsWith("<?xml")) {
+      // feed dialects by the first element after decl/comments
+      return xmlRootLocal(t) match {
+        case "rss" => "application/rss+xml"
+        case "feed" => "application/atom+xml"
+        case _ => "text/xml"
+      }
+    }
+    // WebVTT signature: WEBVTT alone or followed by space/tab/newline
+    if (t.startsWith("WEBVTT") &&
+      (t.length == 6 || t.charAt(6) == ' ' || t.charAt(6) == '\t' ||
+        t.charAt(6) == '\n' || t.charAt(6) == '\r'))
+      return "text/vtt"
+    if (looksLikeSrt(t)) return "application/x-subrip"
+    // notebook: a JSON object whose head carries the nbformat shape
+    if (t.startsWith("{") &&
+      (t.contains("\"cells\"") || t.contains("\"worksheets\"")))
+      return "application/x-ipynb+json"
     if (looksUtf8(b)) "text/plain" else "application/octet-stream"
+  }
+
+  /** Local name of the first element after the XML declaration,
+    * comments, PIs, and a DOCTYPE — bounded to the sniffed head.
+    */
+  private def xmlRootLocal(t: String): String = {
+    var i = 0
+    while (i < t.length) {
+      val lt = t.indexOf('<', i)
+      if (lt < 0) return ""
+      if (t.startsWith("<!--", lt)) {
+        val e = t.indexOf("-->", lt + 4)
+        if (e < 0) return ""
+        i = e + 3
+      } else if (t.startsWith("<?", lt)) {
+        val e = t.indexOf("?>", lt + 2)
+        if (e < 0) return ""
+        i = e + 2
+      } else if (t.startsWith("<!", lt)) {
+        val e = t.indexOf('>', lt + 2)
+        if (e < 0) return ""
+        i = e + 1
+      } else {
+        var e = lt + 1
+        while (e < t.length && !Character.isWhitespace(t.charAt(e)) &&
+          t.charAt(e) != '>' && t.charAt(e) != '/') e += 1
+        val name = t.substring(lt + 1, e)
+        val c = name.indexOf(':')
+        return if (c >= 0) name.substring(c + 1) else name
+      }
+    }
+    ""
+  }
+
+  /** SubRip shape over the head: a digits-only cue index line, then
+    * a `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line. No magic exists
+    * for SRT — this is the narrowest honest check.
+    */
+  private def looksLikeSrt(t: String): Boolean = {
+    val nl = t.indexOf('\n')
+    if (nl <= 0) return false
+    val idx = t.substring(0, nl).trim
+    if (idx.isEmpty || idx.length > 6 ||
+      !idx.forall(c => c >= '0' && c <= '9')) return false
+    val e2 = t.indexOf('\n', nl + 1)
+    val timing = t.substring(nl + 1,
+      if (e2 < 0) t.length else e2).trim
+    val arrow = timing.indexOf(" --> ")
+    arrow >= 8 && timing.length >= arrow + 5 + 8 &&
+      timing.take(arrow).count(_ == ':') == 2 &&
+      timing.take(arrow).contains(',')
   }
 
   private def looksLikeEmail(b: Array[Byte]): Boolean = {
@@ -187,6 +255,17 @@ object Sniff {
           case 13 => ("From x@y Fri Aug 15 00:00:00 2025\n" +
             "Subject: m\nContent-Type: text/plain\n\nbody\n")
             .getBytes("UTF-8")
+          case 15 => Ipynb.ipynbWrite(text, "print('x')", 0)
+          case 16 => Subtitles.srtWrite(
+            Seq(text.replace('\n', ' '), "x"), 7L)
+          case 17 => Subtitles.vttWrite(
+            Seq(text.replace('\n', ' '), "x"), 7L)
+          case 18 => Feed.feedWrite("f " + id,
+            Seq(("t", text)), 0)
+          case 19 => Feed.feedWrite("f " + id,
+            Seq(("t", text)), 2)
+          case 20 => Xls.xlsWrite(text, 7L)
+          case 21 => Ppt.pptWrite(Seq(text, "x"))
           case _ => ("t " + id + " " + text).getBytes("UTF-8")
         }
         Row.fromSeq(r.toSeq :+ bytes)
@@ -214,5 +293,13 @@ object Sniff {
     "image/png",
     "image/jpeg",
     "application/zip",
-    "application/mbox")
+    "application/mbox",
+    "text/plain",
+    "application/x-ipynb+json",
+    "application/x-subrip",
+    "text/vtt",
+    "application/rss+xml",
+    "application/atom+xml",
+    "application/vnd.ms-excel",
+    "application/vnd.ms-powerpoint")
 }

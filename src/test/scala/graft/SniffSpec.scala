@@ -79,6 +79,32 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.sniff(cfb) == "application/x-cfb-damaged")
   }
 
+  test("magic-less text formats: notebook, srt, vtt, feed dialects") {
+    import graft.operators.{Feed, Ipynb, Ppt, Subtitles, Xls}
+    assert(Sniff.sniff(Ipynb.ipynbWrite("m", "c", 0)) ==
+      "application/x-ipynb+json")
+    assert(Sniff.sniff(Subtitles.srtWrite(Seq("cue"), 3L)) ==
+      "application/x-subrip")
+    assert(Sniff.sniff(Subtitles.vttWrite(Seq("cue"), 3L)) ==
+      "text/vtt")
+    assert(Sniff.sniff(Feed.feedWrite("f", Seq(("t", "b")), 0)) ==
+      "application/rss+xml")
+    assert(Sniff.sniff(Feed.feedWrite("f", Seq(("t", "b")), 2)) ==
+      "application/atom+xml")
+    assert(Sniff.sniff(Xls.xlsWrite("x", 1L)) ==
+      "application/vnd.ms-excel")
+    assert(Sniff.sniff(Ppt.pptWrite(Seq("x"))) ==
+      "application/vnd.ms-powerpoint")
+    // non-feed xml stays xml; WEBVTT glued to a word does not match
+    assert(Sniff.sniff(
+      "<?xml version=\"1.0\"?><!-- c --><r/>".getBytes) ==
+      "text/xml")
+    assert(Sniff.sniff("WEBVTTY\n".getBytes) == "text/plain")
+    // a numbered list is not an srt (no timing line)
+    assert(Sniff.sniff("1\nfirst thing\n2\nsecond\n".getBytes) ==
+      "text/plain")
+  }
+
   test("sniff is total under mutation of a zip container") {
     val rnd = new scala.util.Random(0x5F1FFL)
     val valid = Docx.docxWrite("mutate me", 1)
