@@ -2760,6 +2760,21 @@ object SparkEntry {
           col("feed_text").as("text"), col("n_items"), col("kind"))
     }),
 
+    // ----- Outlook .msg through the [MS-OXMSG] property streams:
+    // subject/body/sender via __substg1.0_PPPPTTTT with both the
+    // UTF-16LE (001F) and 8-bit (001E) forms rotating on doc_id%3,
+    // the non-latin-1 sender forcing per-field fallback in narrow
+    // modes; properties/decoy streams excluded
+    "q_msg_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val msg = Msg.synthMsg(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(msg, "content",
+          Msg.msgSchema)(Msg.decodeMsg)
+        .select(col("doc_id"), col("subject"),
+          col("msg_body").as("text"), col("sender"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5237,6 +5252,14 @@ object SparkEntry {
            'closer ' || CAST(doc_id % 5 AS VARCHAR) AS text,
          2 AS n_items,
          CASE WHEN doc_id % 3 = 2 THEN 'atom' ELSE 'rss' END AS kind
+         FROM documents""",
+
+    // id-derived subject + doc-text body + the fixed wide sender
+    "q_msg_text" ->
+      """SELECT doc_id,
+         'msg ' || CAST(doc_id % 100 AS VARCHAR) AS subject,
+         COALESCE(text, '') AS text,
+         'Fixture Sender Ω' AS sender
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -187,6 +187,9 @@ object Cfb {
           names.contains("Book")) "application/vnd.ms-excel"
         else if (names.contains("PowerPoint Document"))
           "application/vnd.ms-powerpoint"
+        else if (names.exists(_.startsWith("__substg1.0_")) ||
+          names.contains("__properties_version1.0"))
+          "application/vnd.ms-outlook"
         else if (names.exists(_.toLowerCase(java.util.Locale.ROOT)
           .contains("encrypt"))) "application/x-cfb-encrypted"
         else "application/x-cfb"

@@ -343,6 +343,9 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Feed.feedWrite("f é→Ω",
         Seq(("t", "b ]]> c")), 1),
       graft.operators.Feed.feedText)
+    assertTotal("msg/oxmsg",
+      graft.operators.Msg.msgWrite("s é→Ω", "body é→Ω", "f", 2),
+      graft.operators.Msg.msgText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

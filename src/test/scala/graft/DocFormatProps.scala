@@ -169,6 +169,16 @@ object DocFormatProps extends Properties("DocFormatProps") {
         }
     }
 
+  property("msg properties round-trip arbitrary text in every mode") =
+    Prop.forAll(textGen, textGen, modeGen) { (subj, body, m) =>
+      graft.operators.Msg.msgText(
+          graft.operators.Msg.msgWrite(subj, body, "s", m)) match {
+        case Some(doc) =>
+          doc.subject == subj && doc.body == body && doc.sender == "s"
+        case None => false
+      }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cfb, Msg}
+
+/** Outlook .msg extraction: both string-property forms, per-field
+  * narrow/wide fallback, decoy exclusion, honest refusals.
+  */
+class MsgSpec extends AnyFunSuite {
+
+  test("UTF-16LE properties round-trip (mode 0)") {
+    val doc = Msg.msgText(
+      Msg.msgWrite("Quarterly Ω report", "body\nline two",
+        "Sender Name", 0)).get
+    assert(doc.subject == "Quarterly Ω report")
+    assert(doc.body == "body\nline two")
+    assert(doc.sender == "Sender Name")
+  }
+
+  test("8-bit 001E properties round-trip (mode 1)") {
+    val doc = Msg.msgText(
+      Msg.msgWrite("plain subject", "café body é", "name", 1)).get
+    assert(doc.subject == "plain subject")
+    assert(doc.body == "café body é")
+    assert(doc.sender == "name")
+  }
+
+  test("narrow preference falls back per-field for wide text") {
+    val doc = Msg.msgText(
+      Msg.msgWrite("wide Ω subject", "narrow body", "日本", 1)).get
+    assert(doc.subject == "wide Ω subject")
+    assert(doc.body == "narrow body")
+    assert(doc.sender == "日本")
+  }
+
+  test("decoy properties never leak (mode 2)") {
+    val doc = Msg.msgText(
+      Msg.msgWrite("s", "b", "f", 2)).get
+    assert(doc.subject == "s")
+    assert(doc.body == "b")
+    assert(!doc.body.contains("IPM.Note"))
+    assert(!doc.body.contains("corpus@example.test"))
+  }
+
+  test("absent properties come back empty") {
+    val bytes = Cfb.cfbWrite(Seq(
+      ("__substg1.0_0037001F",
+        "only subject".getBytes("UTF-16LE")),
+      ("__properties_version1.0", new Array[Byte](32))))
+    val doc = Msg.msgText(bytes).get
+    assert(doc.subject == "only subject")
+    assert(doc.body == "")
+    assert(doc.sender == "")
+  }
+
+  test("refusals: non-CFB, non-msg CFB, odd-length UTF-16 stream") {
+    assert(Msg.msgText(null).isEmpty)
+    assert(Msg.msgText("nope".getBytes).isEmpty)
+    assert(Msg.msgText(Cfb.cfbWrite(Seq(
+      ("WordDocument", "x".getBytes)))).isEmpty)
+    val odd = Cfb.cfbWrite(Seq(
+      ("__substg1.0_0037001F", Array[Byte](65, 0, 66))))
+    assert(Msg.msgText(odd).isEmpty)
+  }
+
+  test("cfb label resolves to ms-outlook") {
+    val bytes = Msg.msgWrite("s", "b", "f", 0)
+    assert(Cfb.cfbStreams(bytes).get.label ==
+      "application/vnd.ms-outlook")
+    assert(graft.operators.Sniff.sniff(bytes) ==
+      "application/vnd.ms-outlook")
+  }
+
+  test("decoder is total under mutation") {
+    val base = Msg.msgWrite("mut é→Ω", "body é→Ω", "f", 2)
+    val rnd = new scala.util.Random(321)
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Msg.msgText(b) // must not throw
+    }
+  }
+}
