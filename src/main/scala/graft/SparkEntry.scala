@@ -2775,6 +2775,31 @@ object SparkEntry {
           col("msg_body").as("text"), col("sender"))
     }),
 
+    // ----- iCalendar through the real content-line parser: line
+    // unfolding (folds land inside escape sequences in mode 1),
+    // TEXT unescape, VALARM/parameter decoys, exact summed
+    // DTSTART→DTEND durations in seconds
+    "q_ics_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val ics = Vobject.synthIcs(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(ics, "content",
+          Vobject.icsSchema)(Vobject.decodeIcs)
+        .select(col("doc_id"), col("cal_text").as("text"),
+          col("n_events"), col("duration_s"))
+    }),
+
+    // ----- vCard (4.0 plain / folded / 2.1 quoted-printable)
+    "q_vcf_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val vcf = Vobject.synthVcf(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(vcf, "content",
+          Vobject.vcfSchema)(Vobject.decodeVcf)
+        .select(col("doc_id"), col("card_text").as("text"),
+          col("n_cards"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5260,6 +5285,26 @@ object SparkEntry {
          'msg ' || CAST(doc_id % 100 AS VARCHAR) AS subject,
          COALESCE(text, '') AS text,
          'Fixture Sender Ω' AS sender
+         FROM documents""",
+
+    // event 1: first line as summary + full text as description;
+    // event 2: the id-derived closer; durations replay the writer
+    "q_ics_text" ->
+      """SELECT doc_id,
+         split_part(COALESCE(text, ''), chr(10), 1) || chr(10) ||
+           COALESCE(text, '') || chr(10) ||
+           'closing event ' || CAST(doc_id % 9 AS VARCHAR) AS text,
+         2 AS n_events,
+         CAST(2 * (1800 + (doc_id % 11) * 60) AS BIGINT) AS duration_s
+         FROM documents""",
+
+    // FN = flattened doc text, ORG/EMAIL fixed per id
+    "q_vcf_text" ->
+      """SELECT doc_id,
+         replace(COALESCE(text, ''), chr(10), ' ') || chr(10) ||
+           'Org ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) ||
+           'card@example.test' AS text,
+         1 AS n_cards
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

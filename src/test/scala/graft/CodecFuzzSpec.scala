@@ -346,6 +346,12 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("msg/oxmsg",
       graft.operators.Msg.msgWrite("s é→Ω", "body é→Ω", "f", 2),
       graft.operators.Msg.msgText)
+    assertTotal("ics/vevent",
+      graft.operators.Vobject.icsWrite("s é→Ω", "d é→Ω\nx", 3L, 2),
+      graft.operators.Vobject.icsText)
+    assertTotal("vcf/card",
+      graft.operators.Vobject.vcfWrite("fn é→Ω", "org", 2),
+      graft.operators.Vobject.vcfText)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -179,6 +179,36 @@ object DocFormatProps extends Properties("DocFormatProps") {
       }
     }
 
+  property("ics event text round-trips in every mode") =
+    Prop.forAll(textGen, textGen, Gen.chooseNum(0L, 9999L),
+      modeGen) { (summary, desc, seed, m) =>
+      graft.operators.Vobject.icsText(
+          graft.operators.Vobject.icsWrite(summary, desc, seed,
+            m)) match {
+        case Some(doc) =>
+          val ev1 = Seq(summary, desc).filter(_.nonEmpty)
+            .mkString("\n")
+          val want = Seq(ev1, "closing event " + (seed % 9))
+            .filter(_.nonEmpty).mkString("\n")
+          doc.text == want && doc.nEvents == 2 &&
+            doc.durationS == 2 * (1800 + (seed % 11) * 60)
+        case None => false
+      }
+    }
+
+  property("vcf FN/ORG round-trip in every mode") =
+    Prop.forAll(textGen.map(_.replace('\n', ' ')),
+      textGen.map(_.replace('\n', ' ')), modeGen) { (fn, org, m) =>
+      graft.operators.Vobject.vcfText(
+          graft.operators.Vobject.vcfWrite(fn, org, m)) match {
+        case Some(doc) =>
+          val want = Seq(fn, org, "card@example.test")
+            .filter(_.nonEmpty).mkString("\n")
+          doc.text == want && doc.nCards == 1
+        case None => false
+      }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
