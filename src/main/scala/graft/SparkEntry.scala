@@ -2800,6 +2800,19 @@ object SparkEntry {
           col("n_cards"))
     }),
 
+    // ----- SQLite databases through the real b-tree walk: schema
+    // discovery on page 1, interior→leaf traversal, an overflow
+    // chain on row 3's long body, exact integer-column sums
+    "q_sqlite_rows" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val db = Sqlite.synthSqlite(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(db, "content",
+          Sqlite.sqliteSchema)(Sqlite.decodeSqlite)
+        .select(col("doc_id"), col("db_text").as("text"),
+          col("n_rows"), col("n_tables"), col("int_sum"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5305,6 +5318,15 @@ object SparkEntry {
            'Org ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) ||
            'card@example.test' AS text,
          1 AS n_cards
+         FROM documents""",
+
+    // body cells concatenated (halves + the overflow pad row);
+    // int_sum replays (3d+1)+(3d+2)+(3d+3)
+    "q_sqlite_rows" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || 'pad:' || repeat('x', 600) AS text,
+         3 AS n_rows, 1 AS n_tables,
+         CAST(9 * doc_id + 6 AS BIGINT) AS int_sum
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

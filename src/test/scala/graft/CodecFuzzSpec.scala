@@ -352,6 +352,10 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("vcf/card",
       graft.operators.Vobject.vcfWrite("fn é→Ω", "org", 2),
       graft.operators.Vobject.vcfText)
+    assertTotal("sqlite/btree",
+      graft.operators.Sqlite.sqliteWrite(Seq(
+        (1L, 4L, "fuzz é→Ω"), (2L, 5L, "o" * 900), (3L, 6L, "t"))),
+      graft.operators.Sqlite.sqliteRead)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -209,6 +209,23 @@ object DocFormatProps extends Properties("DocFormatProps") {
       }
     }
 
+  property("sqlite rows round-trip arbitrary text incl. overflow") =
+    Prop.forAll(textGen, Gen.chooseNum(0L, 9999L)) { (text, seed) =>
+      val rows = Seq((1L, seed, text),
+        (2L, seed + 1, "long " + ("q" * 900)),
+        (3L, seed + 2, "tail"))
+      graft.operators.Sqlite.sqliteRead(
+          graft.operators.Sqlite.sqliteWrite(rows)) match {
+        case Some(doc) =>
+          val got = doc.rows("docs")
+          got.map(_._1) == Seq(1L, 2L, 3L) &&
+            got.head._2(1) == text &&
+            got(1)._2(1) == "long " + ("q" * 900) &&
+            got.map(_._2(0)) == Seq(seed, seed + 1, seed + 2)
+        case None => false
+      }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))

@@ -95,6 +95,8 @@ class SniffSpec extends AnyFunSuite {
       "application/vnd.ms-excel")
     assert(Sniff.sniff(Ppt.pptWrite(Seq("x"))) ==
       "application/vnd.ms-powerpoint")
+    assert(Sniff.sniff(graft.operators.Sqlite.sqliteWrite(Seq(
+      (1L, 1L, "a"), (2L, 2L, "b")))) == "application/vnd.sqlite3")
     // non-feed xml stays xml; WEBVTT glued to a word does not match
     assert(Sniff.sniff(
       "<?xml version=\"1.0\"?><!-- c --><r/>".getBytes) ==
