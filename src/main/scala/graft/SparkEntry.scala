@@ -2772,7 +2772,8 @@ object SparkEntry {
       Multimodal.decodeBatches(msg, "content",
           Msg.msgSchema)(Msg.decodeMsg)
         .select(col("doc_id"), col("subject"),
-          col("msg_body").as("text"), col("sender"))
+          col("msg_body").as("text"), col("sender"),
+          col("rtf_text"))
     }),
 
     // ----- iCalendar through the real content-line parser: line
@@ -5292,12 +5293,14 @@ object SparkEntry {
          CASE WHEN doc_id % 3 = 2 THEN 'atom' ELSE 'rss' END AS kind
          FROM documents""",
 
-    // id-derived subject + doc-text body + the fixed wide sender
+    // id-derived subject + doc-text body + the fixed wide sender;
+    // the MELA-wrapped RTF body recovers the same text
     "q_msg_text" ->
       """SELECT doc_id,
          'msg ' || CAST(doc_id % 100 AS VARCHAR) AS subject,
          COALESCE(text, '') AS text,
-         'Fixture Sender Ω' AS sender
+         'Fixture Sender Ω' AS sender,
+         COALESCE(text, '') AS rtf_text
          FROM documents""",
 
     // event 1: first line as summary + full text as description;

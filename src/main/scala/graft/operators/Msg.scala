@@ -40,11 +40,12 @@ object Msg {
 
   private val MaxText = 16 << 20
 
-  /** Decoded message: subject, plain-text body, sender display name
-    * (empty when the property is absent).
+  /** Decoded message: subject, plain-text body, sender display name,
+    * and the text recovered from the wrapped RTF body (each empty
+    * when its property is absent or, for RTF, LZFu-compressed).
     */
   final case class MsgDoc(subject: String, body: String,
-      sender: String)
+      sender: String, rtfBodyText: String)
 
   private val Prefix = "__substg1.0_"
 
@@ -69,6 +70,36 @@ object Msg {
     }
   }
 
+  /** The PidTagRtfCompressed (0x1009) wrapper per [MS-OXRTFCP]:
+    * 16-byte header — COMPSIZE, RAWSIZE, COMPTYPE, CRC (all u32le).
+    * MELA (0x414c454d) is a raw passthrough of RAWSIZE bytes and
+    * decodes here; LZFu (0x75465a4c) refuses honestly — its
+    * normative 207-byte initial dictionary is not in this
+    * environment, and a memory-reconstructed dictionary would
+    * round-trip our own writer while silently desyncing on real
+    * files (the C166 honest-tables rule).
+    */
+  private[graft] def rtfDecompressed(d: Array[Byte])
+      : Option[Array[Byte]] = {
+    if (d.length < 16) return None
+    def le32(o: Int): Long =
+      (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+    val compSize = le32(0)
+    val rawSize = le32(4)
+    val compType = le32(8)
+    if (compSize != d.length - 4) return None
+    if (rawSize > MaxText) return None
+    compType match {
+      case 0x414c454dL => // MELA: uncompressed passthrough
+        if (16 + rawSize > d.length) None
+        else Some(java.util.Arrays.copyOfRange(d, 16,
+          (16 + rawSize).toInt))
+      case 0x75465a4cL => None // LZFu: dictionary not verifiable
+      case _ => None
+    }
+  }
+
   /** Parse a .msg. None for non-CFB bytes, a container without the
     * .msg property streams, or structural damage.
     */
@@ -85,7 +116,12 @@ object Msg {
           case Some(s) => decodeProp(s.name, s.data)
           case None => ""
         }
-      Some(MsgDoc(prop("0037"), prop("1000"), prop("0C1A")))
+      // 0x1009: wrapped RTF → plain text via the real RTF parser
+      val rtf = doc.streams.find(_.name == Prefix + "10090102")
+        .flatMap(s => rtfDecompressed(s.data))
+        .flatMap(Rtf.rtfText)
+        .map(_.text).getOrElse("")
+      Some(MsgDoc(prop("0037"), prop("1000"), prop("0C1A"), rtf))
     } catch {
       case MsgFail => None
     }
@@ -129,19 +165,36 @@ object Msg {
       (Prefix + pid + tpe, propBytes(s, narrow))
     }
     val narrowPref = m != 0
+    // the 0x1009 RTF body: the same text through the real RTF
+    // writer, wrapped in a MELA (uncompressed) [MS-OXRTFCP] header
+    val rtfWrapped = {
+      val rtf = Rtf.rtfWrite(body, m)
+      val out = new Array[Byte](16 + rtf.length)
+      def le32(o: Int, v: Long): Unit = {
+        out(o) = (v & 0xff).toByte
+        out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = ((v >> 16) & 0xff).toByte
+        out(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      le32(0, out.length - 4L) // COMPSIZE excludes its own field
+      le32(4, rtf.length.toLong)
+      le32(8, 0x414c454dL) // MELA
+      le32(12, 0L) // CRC is 0 for uncompressed
+      System.arraycopy(rtf, 0, out, 16, rtf.length)
+      out
+    }
     val base = Seq(
       stream("0037", subject, narrowPref),
       stream("1000", body, narrowPref),
       stream("0C1A", sender, m == 1),
       // display-to: present in real messages, not extracted here
       stream("0E04", "corpus@example.test", narrowPref),
+      (Prefix + "10090102", rtfWrapped),
       ("__properties_version1.0", new Array[Byte](32 + 16 * 4)))
     val extra =
       if (m == 2) Seq(
-        // message class + a binary property: never text
-        stream("001A", "IPM.Note", true),
-        (Prefix + "10090102",
-          Array[Byte](0x1f, 0x2e, 0x3d, 0x4c)))
+        // message class: metadata, never text
+        stream("001A", "IPM.Note", true))
       else Seq.empty
     Cfb.cfbWrite(base ++ extra)
   }
@@ -153,13 +206,14 @@ object Msg {
   val msgSchema: StructType = StructType(Seq(
     StructField("subject", StringType),
     StructField("msg_body", StringType),
-    StructField("sender", StringType)))
+    StructField("sender", StringType),
+    StructField("rtf_text", StringType)))
 
   /** Decode kernel for [[Multimodal.decodeBatches]]. */
   def decodeMsg(bytes: Array[Byte]): Seq[Any] =
     msgText(bytes) match {
-      case Some(MsgDoc(s, b, f)) => Seq[Any](s, b, f)
-      case None => Seq[Any](null, null, null)
+      case Some(MsgDoc(s, b, f, r)) => Seq[Any](s, b, f, r)
+      case None => Seq[Any](null, null, null, null)
     }
 
   /** Per-row .msg synthesizer (map-only): the row's text as the

@@ -43,6 +43,30 @@ class MsgSpec extends AnyFunSuite {
     assert(!doc.body.contains("corpus@example.test"))
   }
 
+  test("the MELA-wrapped RTF body recovers the text in every mode") {
+    for (m <- 0 to 2) {
+      val doc = Msg.msgText(
+        Msg.msgWrite("s", "rtf body é→Ω\nline", "f", m)).get
+      assert(doc.rtfBodyText == "rtf body é→Ω\nline", s"mode $m")
+    }
+  }
+
+  test("an LZFu-compressed RTF body refuses to empty, never garbage") {
+    val good = Msg.msgWrite("s", "b", "f", 0)
+    val doc0 = Cfb.cfbStreams(good).get
+    val rtf = doc0.streams
+      .find(_.name == "__substg1.0_10090102").get.data.clone()
+    // flip COMPTYPE to LZFu
+    rtf(8) = 'L'; rtf(9) = 'Z'; rtf(10) = 'F'; rtf(11) = 'u'
+    val rebuilt = Cfb.cfbWrite(
+      doc0.streams.map(s =>
+        if (s.name == "__substg1.0_10090102") (s.name, rtf)
+        else (s.name, s.data)))
+    val doc = Msg.msgText(rebuilt).get
+    assert(doc.body == "b") // plain body still extracted
+    assert(doc.rtfBodyText == "")
+  }
+
   test("absent properties come back empty") {
     val bytes = Cfb.cfbWrite(Seq(
       ("__substg1.0_0037001F",
