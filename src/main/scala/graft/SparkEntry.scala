@@ -2814,6 +2814,19 @@ object SparkEntry {
           col("n_rows"), col("n_tables"), col("int_sum"))
     }),
 
+    // ----- dBase .dbf tables through the real fixed-width layout:
+    // field descriptors, deleted-row exclusion, trailing-pad trims,
+    // exact integer numerics
+    "q_dbf_rows" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val dbf = Dbf.synthDbf(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(dbf, "content",
+          Dbf.dbfSchema)(Dbf.decodeDbf)
+        .select(col("doc_id"), col("dbf_text").as("text"),
+          col("n_rows"), col("n_deleted"), col("int_sum"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5330,6 +5343,17 @@ object SparkEntry {
          COALESCE(text, '') || 'pad:' || repeat('x', 600) AS text,
          3 AS n_rows, 1 AS n_tables,
          CAST(9 * doc_id + 6 AS BIGINT) AS int_sum
+         FROM documents""",
+
+    // fixed titles + rtrimmed 254-char chunks; int_sum replays
+    // (5d+1)+(5d+2)+(5d+3)
+    "q_dbf_rows" ->
+      """SELECT doc_id,
+         'p1' || rtrim(substr(replace(COALESCE(text, ''), chr(10), ' '), 1, 254)) ||
+         'p2' || rtrim(substr(replace(COALESCE(text, ''), chr(10), ' '), 255, 254)) ||
+         'p3' || rtrim(substr(replace(COALESCE(text, ''), chr(10), ' '), 509, 254)) AS text,
+         3 AS n_rows, 1 AS n_deleted,
+         CAST(15 * doc_id + 6 AS BIGINT) AS int_sum
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -356,6 +356,11 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Sqlite.sqliteWrite(Seq(
         (1L, 4L, "fuzz é→Ω"), (2L, 5L, "o" * 900), (3L, 6L, "t"))),
       graft.operators.Sqlite.sqliteRead)
+    assertTotal("dbf/fixed-width",
+      graft.operators.Dbf.dbfWrite(Seq(
+        ("fuzz title", "fixed width body", 11L),
+        ("second", "row", 12L))),
+      graft.operators.Dbf.dbfRead)
   }
 
   test("vp8 lossy header parse is total under mutation") {

@@ -226,6 +226,29 @@ object DocFormatProps extends Properties("DocFormatProps") {
       }
     }
 
+  property("dbf rows round-trip modulo the format's latin-1 world") =
+    Prop.forAll(cueGen, cueGen, Gen.chooseNum(0L, 99999L)) {
+      (t1, t2, seq) =>
+        // the format is fixed-width latin-1: wider chars become '?',
+        // trailing pads are indistinguishable from trailing spaces
+        def proj(s: String): String = {
+          val p = s.take(254).map(c => if (c < 0x100) c else '?')
+          var e = p.length
+          while (e > 0 && p.charAt(e - 1) == ' ') e -= 1
+          p.substring(0, e)
+        }
+        graft.operators.Dbf.dbfRead(graft.operators.Dbf.dbfWrite(
+            Seq((t1.take(254), "body", seq),
+              (t2.take(254), "b2", seq + 1)))) match {
+          case Some(doc) =>
+            doc.rows.length == 2 && doc.nDeleted == 1 &&
+              doc.rows(0)(0) == proj(t1) &&
+              doc.rows(1)(0) == proj(t2) &&
+              doc.rows(0)(2) == seq && doc.rows(1)(2) == seq + 1
+          case None => false
+        }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
