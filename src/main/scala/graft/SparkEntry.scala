@@ -2827,6 +2827,20 @@ object SparkEntry {
           col("n_rows"), col("n_deleted"), col("int_sum"))
     }),
 
+    // ----- Avro object-container files from the public spec: the
+    // metadata map, zigzag varints, null + deflate codecs rotating
+    // on doc_id%2, the nullable-union idiom, per-block sync checks
+    "q_avro_rows" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val av = Avro.synthAvro(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(av, "content",
+          Avro.avroSchema)(Avro.decodeAvro)
+        .select(col("doc_id"), col("avro_text").as("text"),
+          col("n_records"), col("n_blocks"), col("long_sum"),
+          col("n_null_notes"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5354,6 +5368,16 @@ object SparkEntry {
          'p3' || rtrim(substr(replace(COALESCE(text, ''), chr(10), ' '), 509, 254)) AS text,
          3 AS n_rows, 1 AS n_deleted,
          CAST(15 * doc_id + 6 AS BIGINT) AS int_sum
+         FROM documents""",
+
+    // halves + note string; long_sum replays (2d+1)+(2d+2)+(2d+3)
+    "q_avro_rows" ->
+      """SELECT doc_id,
+         COALESCE(text, '') || 'note ' ||
+           CAST(doc_id % 4 AS VARCHAR) AS text,
+         3 AS n_records, 2 AS n_blocks,
+         CAST(6 * doc_id + 6 AS BIGINT) AS long_sum,
+         2 AS n_null_notes
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

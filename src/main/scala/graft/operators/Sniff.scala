@@ -64,6 +64,7 @@ object Sniff {
       return Cfb.cfbStreams(b).map(_.label)
         .getOrElse("application/x-cfb-damaged")
     if (ascii("SQLite format 3")) return "application/vnd.sqlite3"
+    if (ascii("Obj") && at(3) == 1) return "application/avro"
     if (ascii("WARC/")) return "application/warc"
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&

@@ -361,6 +361,11 @@ class CodecFuzzSpec extends SparkSpec {
         ("fuzz title", "fixed width body", 11L),
         ("second", "row", 12L))),
       graft.operators.Dbf.dbfRead)
+    assertTotal("avro/container",
+      graft.operators.Avro.avroWrite(Seq(
+        (9L, "fuzz é→Ω", true, Some("n")),
+        (10L, "row", false, None)), 1),
+      graft.operators.Avro.avroRead)
   }
 
   test("vp8 lossy header parse is total under mutation") {

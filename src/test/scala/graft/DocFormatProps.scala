@@ -249,6 +249,22 @@ object DocFormatProps extends Properties("DocFormatProps") {
         }
     }
 
+  property("avro records round-trip arbitrary text in both codecs") =
+    Prop.forAll(textGen, textGen, Gen.chooseNum(-99999L, 99999L),
+      Gen.chooseNum(0, 1)) { (b1, b2, id, m) =>
+      val rows = Seq((id, b1, true, Option.empty[String]),
+        (id + 1, b2, false, Some("n")))
+      graft.operators.Avro.avroRead(
+          graft.operators.Avro.avroWrite(rows, m)) match {
+        case Some(doc) =>
+          doc.rows.length == 2 &&
+            doc.rows(0)(0) == id && doc.rows(0)(1) == b1 &&
+            doc.rows(1)(1) == b2 && doc.rows(0)(3) == null &&
+            doc.rows(1)(3) == "n"
+        case None => false
+      }
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))

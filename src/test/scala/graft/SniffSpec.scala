@@ -97,6 +97,8 @@ class SniffSpec extends AnyFunSuite {
       "application/vnd.ms-powerpoint")
     assert(Sniff.sniff(graft.operators.Sqlite.sqliteWrite(Seq(
       (1L, 1L, "a"), (2L, 2L, "b")))) == "application/vnd.sqlite3")
+    assert(Sniff.sniff(graft.operators.Avro.avroWrite(Seq(
+      (1L, "a", true, None)), 0)) == "application/avro")
     // non-feed xml stays xml; WEBVTT glued to a word does not match
     assert(Sniff.sniff(
       "<?xml version=\"1.0\"?><!-- c --><r/>".getBytes) ==
