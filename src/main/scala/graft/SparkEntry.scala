@@ -2841,6 +2841,19 @@ object SparkEntry {
           col("n_null_notes"))
     }),
 
+    // ----- EXIF over JPEG APP1: orientation/timestamp as curation
+    // signals, GPS in exact centi-arc-seconds, and the PII strip
+    // proven per-row (metadata gone, entropy bytes identical)
+    "q_exif_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val img = Exif.synthExif(d, "doc_id", "content")
+      Multimodal.decodeBatches(img, "content",
+          Exif.exifSchema)(Exif.decodeExif)
+        .select(col("doc_id"), col("orientation"),
+          col("date_time"), col("lat_centisec"),
+          col("lon_centisec"), col("strip_clean"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5378,6 +5391,21 @@ object SparkEntry {
          3 AS n_records, 2 AS n_blocks,
          CAST(6 * doc_id + 6 AS BIGINT) AS long_sum,
          2 AS n_null_notes
+         FROM documents""",
+
+    // planted orientation/timestamp/GPS replayed arithmetically;
+    // strip_clean proves the PII removal on every row
+    "q_exif_meta" ->
+      """SELECT doc_id,
+         CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+         '2026:08:15 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':00' AS date_time,
+         CAST((doc_id % 90) * 360000 + (doc_id % 60) * 6000 +
+           (doc_id % 6000) AS BIGINT) AS lat_centisec,
+         CAST((doc_id % 180) * 360000 + (doc_id % 60) * 6000 +
+           (doc_id % 6000) AS BIGINT) AS lon_centisec,
+         TRUE AS strip_clean
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -366,6 +366,12 @@ class CodecFuzzSpec extends SparkSpec {
         (9L, "fuzz é→Ω", true, Some("n")),
         (10L, "row", false, None)), 1),
       graft.operators.Avro.avroRead)
+    assertTotal("exif/app1",
+      graft.operators.Exif.exifWrap(
+        graft.operators.Multimodal.jpegEncodeGray(8, 8,
+          Array.tabulate(64)(i => (i * 4) % 256)),
+        5, "2026:08:15 01:02:03", 123456L, 654321L),
+      graft.operators.Exif.exifMeta)
   }
 
   test("vp8 lossy header parse is total under mutation") {
