@@ -2854,6 +2854,19 @@ object SparkEntry {
           col("lon_centisec"), col("strip_clean"))
     }),
 
+    // ----- Markdown → plain text (a CommonMark subset): heading/
+    // emphasis/link/list/quote unwrapping with escape handling,
+    // fences verbatim, thematic-break/ref-definition/html decoys
+    "q_md_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val md = Markdown.synthMd(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(md, "content",
+          Markdown.mdSchema)(Markdown.decodeMd)
+        .select(col("doc_id"), col("md_text").as("text"),
+          col("n_headings"), col("n_links"), col("n_code_blocks"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5406,6 +5419,21 @@ object SparkEntry {
          CAST((doc_id % 180) * 360000 + (doc_id % 60) * 6000 +
            (doc_id % 6000) AS BIGINT) AS lon_centisec,
          TRUE AS strip_clean
+         FROM documents""",
+
+    // the writer's exact shape replayed: heading + body + break gap
+    // + code + html decoy text; n_links counts the i%4==3 lines
+    "q_md_text" ->
+      """SELECT doc_id,
+         'Doc ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) || chr(10)
+           || COALESCE(text, '') || chr(10) || chr(10) || chr(10)
+           || 'val x = 6 * 7 // fixed' || chr(10) || chr(10)
+           || 'html tag stripped' || chr(10) AS text,
+         1 AS n_headings,
+         CAST((length(COALESCE(text, ''))
+           - length(replace(COALESCE(text, ''), chr(10), ''))
+           + 1) / 4 AS INTEGER) AS n_links,
+         1 AS n_code_blocks
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

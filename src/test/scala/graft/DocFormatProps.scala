@@ -265,6 +265,24 @@ object DocFormatProps extends Properties("DocFormatProps") {
       }
     }
 
+  property("markdown body lines round-trip through wrap+escape") =
+    Prop.forAll(cueGen, textGen) { (title0, body) =>
+      // ATX heading content is whitespace-trimmed per CommonMark —
+      // an edge-padded title cannot round-trip by design
+      val title = title0.trim
+      val lines = body.split("\n", -1).toSeq
+      val got = graft.operators.Markdown.mdText(new String(
+        graft.operators.Markdown.mdWrite(title, lines, "c()"),
+        "UTF-8"))
+      val wantLinks = lines.zipWithIndex.count { case (l, i) =>
+        i % 4 == 3 && l.trim.nonEmpty
+      }
+      got.text == title + "\n\n" + body +
+        "\n\n\nc()\n\nhtml tag stripped\n" &&
+        got.nHeadings == 1 && got.nCodeBlocks == 1 &&
+        got.nLinks == wantLinks
+    }
+
   property("pdf font-encoded text round-trips in every mode") =
     Prop.forAll(textGen, modeGen) { (text, m) =>
       Pdf.pdfText(Pdf.pdfWriteFontEncoded(text, m))
