@@ -2867,6 +2867,20 @@ object SparkEntry {
           col("n_headings"), col("n_links"), col("n_code_blocks"))
     }),
 
+    // ----- PNG ancillary metadata: tEXt/zTXt/iTXt captions (the
+    // iTXt rides deflate on odd densities), pHYs density, tIME —
+    // every chunk CRC-verified
+    "q_png_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val img = PngMeta.synthPngMeta(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(img, "content",
+          PngMeta.pngMetaSchema)(PngMeta.decodePngMeta)
+        .select(col("doc_id"), col("png_text").as("text"),
+          col("n_texts"), col("ppm_x"), col("ppm_y"),
+          col("png_time"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5434,6 +5448,21 @@ object SparkEntry {
            - length(replace(COALESCE(text, ''), chr(10), ''))
            + 1) / 4 AS INTEGER) AS n_links,
          1 AS n_code_blocks
+         FROM documents""",
+
+    // the planted Title/Description/Comment pairs + density + time
+    "q_png_meta" ->
+      """SELECT doc_id,
+         'Title=' || split_part(COALESCE(text, ''), chr(10), 1)
+           || chr(10) || 'Description=' || COALESCE(text, '')
+           || chr(10) || 'Comment=caption Ω '
+           || CAST(doc_id % 6 AS VARCHAR) AS text,
+         3 AS n_texts,
+         CAST(2834 + doc_id % 100 AS BIGINT) AS ppm_x,
+         CAST(2835 + doc_id % 100 AS BIGINT) AS ppm_y,
+         '2026-08-15 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':00' AS png_time
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

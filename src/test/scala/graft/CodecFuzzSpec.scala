@@ -366,6 +366,12 @@ class CodecFuzzSpec extends SparkSpec {
         (9L, "fuzz é→Ω", true, Some("n")),
         (10L, "row", false, None)), 1),
       graft.operators.Avro.avroRead)
+    assertTotal("png/meta-chunks",
+      graft.operators.PngMeta.pngWithMeta(
+        graft.operators.Multimodal.pngEncodeGray(8, 8,
+          Array.tabulate(64)(i => (i * 4) % 256)),
+        "mut é", "desc é→Ω", "c Ω", 43L, (2026, 8, 15, 1, 2, 3)),
+      graft.operators.PngMeta.pngTexts)
     assertTotal("exif/app1",
       graft.operators.Exif.exifWrap(
         graft.operators.Multimodal.jpegEncodeGray(8, 8,
