@@ -49,14 +49,16 @@ object Markdown {
     private val out = new java.lang.StringBuilder(s.length)
     var nLinks = 0
 
+    /** Forward scan with escape skipping — `\\**` is an ESCAPED
+      * backslash followed by a live marker, so a backwards
+      * looks-at-the-previous-char test gets the parity wrong.
+      */
     private def emphClose(from: Int, marker: String): Int = {
       var i = from
-      while (i >= 0) {
-        i = s.indexOf(marker, i)
-        if (i < 0) return -1
-        // an escaped marker is literal
-        if (i > 0 && s.charAt(i - 1) == '\\') i += 1
-        else return i
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) i += 2
+        else if (s.startsWith(marker, i)) return i
+        else i += 1
       }
       -1
     }

@@ -303,14 +303,21 @@ object Vobject {
   }
 
   /** RFC 5545 §3.1 folding at ~72 chars on char boundaries (folds
-    * may split escape sequences — the reader must unfold first).
+    * may split escape sequences — the reader must unfold first —
+    * but never a surrogate pair: the fold happens in char space and
+    * a split pair becomes two unencodable lone surrogates at
+    * UTF-8-write time).
     */
   private def fold(line: String): String = {
     if (line.length <= 72) return line
     val out = new java.lang.StringBuilder(line.length + 16)
     var i = 0
     while (i < line.length) {
-      val take = math.min(72, line.length - i)
+      var take = math.min(72, line.length - i)
+      if (i + take < line.length &&
+        Character.isHighSurrogate(line.charAt(i + take - 1)) &&
+        Character.isLowSurrogate(line.charAt(i + take)))
+        take = if (take > 1) take - 1 else take + 1
       if (i > 0) out.append("\r\n ")
       out.append(line, i, i + take)
       i += take
