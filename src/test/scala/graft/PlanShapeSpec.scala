@@ -36,7 +36,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_ics_text", "q_vcf_text", "q_sqlite_rows", "q_sniff_format",
     "q_docx_text", "q_xlsx_strings", "q_pptx_text", "q_odt_text",
     "q_epub_text", "q_rtf_text", "q_eml_text", "q_cfb_streams",
-    "q_pdf_fonts")
+    "q_pdf_fonts", "q_avro_rows", "q_dbf_rows",
+    "q_exif_meta", "q_png_meta", "q_md_text")
 
   test("format-decode queries compile to shuffle-free plans") {
     for (name <- mapOnlyQueries) {
