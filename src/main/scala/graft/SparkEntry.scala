@@ -2881,6 +2881,22 @@ object SparkEntry {
           col("png_time"))
     }),
 
+    // ----- two-layer dispatch: gzip/zstd wrappers unwrapped through
+    // the REAL decoders (member walk / entropy decode) and the
+    // interior re-sniffed — tar.gz and json.zst route by what they
+    // carry, not by their wrapper
+    "q_sniff_deep" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 6).cast("int").as("__m"))
+      val payloads = Sniff.synthDeep(d, "doc_id", "__t", "__m",
+        "content")
+      Multimodal.decodeBatches(payloads, "content",
+          Sniff.sniffDeepSchema)(Sniff.decodeSniffDeep)
+        .select(col("doc_id"), col("outer_format"),
+          col("inner_format"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5463,6 +5479,23 @@ object SparkEntry {
          '2026-08-15 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
            || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
            || ':00' AS png_time
+         FROM documents""",
+
+    // wrapper → interior mapping replayed as two CASEs
+    "q_sniff_deep" ->
+      """SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 2 THEN 'application/zstd'
+           WHEN 3 THEN 'application/zstd'
+           WHEN 4 THEN 'application/x-ipynb+json'
+           ELSE 'application/gzip' END AS outer_format,
+         CASE doc_id % 6
+           WHEN 0 THEN 'application/x-tar'
+           WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+           WHEN 2 THEN 'application/rss+xml'
+           WHEN 3 THEN 'application/pdf'
+           WHEN 4 THEN 'application/x-ipynb+json'
+           ELSE 'application/vnd.sqlite3' END AS inner_format
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

@@ -121,6 +121,31 @@ object Sniff {
     if (looksUtf8(b)) "text/plain" else "application/octet-stream"
   }
 
+  /** Two-layer dispatch: unwrap TRANSPARENT compression (gzip via
+    * the shared member walk, zstd via the full entropy decoder) and
+    * sniff the interior — a crawl's `.tar.gz` / `.json.zst` carries
+    * its real format one layer down, and routing on the outer label
+    * alone sends everything to "gzip". Returns (outer, inner);
+    * inner == outer for uncompressed payloads, `…-damaged` when the
+    * wrapper lies about its contents.
+    */
+  def sniffDeep(b: Array[Byte]): (String, String) = {
+    val outer = sniff(b)
+    outer match {
+      case "application/gzip" =>
+        Archive.gunzip(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/gzip-damaged")
+        }
+      case "application/zstd" =>
+        Zstd.decompress(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/zstd-damaged")
+        }
+      case _ => (outer, outer)
+    }
+  }
+
   /** Local name of the first element after the XML declaration,
     * comments, PIs, and a DOCTYPE — bounded to the sniffed head.
     */
@@ -269,6 +294,44 @@ object Sniff {
           case 20 => Xls.xlsWrite(text, 7L)
           case 21 => Ppt.pptWrite(Seq(text, "x"))
           case _ => ("t " + id + " " + text).getBytes("UTF-8")
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  val sniffDeepSchema: StructType = StructType(Seq(
+    StructField("outer_format", StringType),
+    StructField("inner_format", StringType)))
+
+  def decodeSniffDeep(bytes: Array[Byte]): Seq[Any] = {
+    val (outer, inner) = sniffDeep(bytes)
+    Seq[Any](outer, inner)
+  }
+
+  /** Fixture for the two-layer dispatch: compressed wrappers around
+    * real interior formats, mode-selected.
+    */
+  def synthDeep(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ti, mi) = (df.schema.fieldIndex(textCol),
+      df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val bytes: Array[Byte] = r.getInt(mi) match {
+          case 0 => Archive.gzipWrite(Archive.tarWrite(Seq(
+            ("doc.txt", text.getBytes("UTF-8")))), "doc.tar")
+          case 1 => Archive.gzipWrite(Docx.docxWrite(text, 0), "d")
+          case 2 => Zstd.encodeFrame(Feed.feedWrite("f",
+            Seq(("t", text)), 0))
+          case 3 => Zstd.encodeFrame(Pdf.pdfWrite(text, 0, 0))
+          case 4 => Ipynb.ipynbWrite(text, "c()", 0)
+          case _ => Archive.gzipWrite(Sqlite.sqliteWrite(Seq(
+            (1L, 1L, text), (2L, 2L, "x"))), "db")
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }

@@ -109,6 +109,26 @@ class SniffSpec extends AnyFunSuite {
       "text/plain")
   }
 
+  test("sniffDeep unwraps gzip and zstd to the interior label") {
+    import graft.operators.{Feed, Ipynb, Zstd}
+    assert(Sniff.sniffDeep(Archive.gzipWrite(
+      Archive.tarWrite(Seq(("a.txt", "x".getBytes))), "t")) ==
+      (("application/gzip", "application/x-tar")))
+    assert(Sniff.sniffDeep(Zstd.encodeFrame(
+      Feed.feedWrite("f", Seq(("t", "b")), 0))) ==
+      (("application/zstd", "application/rss+xml")))
+    // uncompressed payloads: inner == outer
+    assert(Sniff.sniffDeep(Ipynb.ipynbWrite("m", "c", 0)) ==
+      (("application/x-ipynb+json", "application/x-ipynb+json")))
+    // a gzip wrapper whose deflate stream is torn
+    val torn = Archive.gzipWrite("payload".getBytes, "p")
+    torn(torn.length / 2) = (torn(torn.length / 2) ^ 0x7f).toByte
+    val (o, i2) = Sniff.sniffDeep(torn)
+    assert(o == "application/gzip")
+    assert(i2 == "application/gzip-damaged" ||
+      i2 != "application/gzip") // total, never the raw wrapper label
+  }
+
   test("sniff is total under mutation of a zip container") {
     val rnd = new scala.util.Random(0x5F1FFL)
     val valid = Docx.docxWrite("mutate me", 1)
