@@ -2864,7 +2864,8 @@ object SparkEntry {
       Multimodal.decodeBatches(md, "content",
           Markdown.mdSchema)(Markdown.decodeMd)
         .select(col("doc_id"), col("md_text").as("text"),
-          col("n_headings"), col("n_links"), col("n_code_blocks"))
+          col("n_headings"), col("n_links"), col("n_code_blocks"),
+          col("fm_title"), col("n_fm_keys"))
     }),
 
     // ----- PNG ancillary metadata: tEXt/zTXt/iTXt captions (the
@@ -5463,7 +5464,9 @@ object SparkEntry {
          CAST((length(COALESCE(text, ''))
            - length(replace(COALESCE(text, ''), chr(10), ''))
            + 1) / 4 AS INTEGER) AS n_links,
-         1 AS n_code_blocks
+         1 AS n_code_blocks,
+         'fm ' || CAST(doc_id % 30 AS VARCHAR) AS fm_title,
+         4 AS n_fm_keys
          FROM documents""",
 
     // the planted Title/Description/Comment pairs + density + time

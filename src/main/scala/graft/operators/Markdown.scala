@@ -36,10 +36,12 @@ import org.apache.spark.sql.types._
 object Markdown {
 
   /** Extracted document: plain text, heading/link/code-block
-    * censuses.
+    * censuses, and the YAML front-matter pairs (metadata, NOT text —
+    * a Hugo/Jekyll corpus trained raw leaks `title:`/`tags:` lines
+    * into the text distribution).
     */
   final case class MdDoc(text: String, nHeadings: Int, nLinks: Int,
-      nCodeBlocks: Int)
+      nCodeBlocks: Int, frontMatter: Seq[(String, String)])
 
   private def isPunct(c: Char): Boolean =
     "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(c) >= 0
@@ -161,7 +163,36 @@ object Markdown {
     * invalid inputs, only literal text.
     */
   def mdText(md: String): MdDoc = {
-    val lines = Option(md).getOrElse("").split("\n", -1)
+    val allLines = Option(md).getOrElse("").split("\n", -1)
+    // YAML front matter: a leading `---` line, scalar `key: value`
+    // pairs, closed by `---` or `...` — metadata, excluded from text
+    val fm = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val lines: Array[String] =
+      if (allLines.length > 2 && allLines(0).trim == "---") {
+        val close = allLines.indexWhere(
+          l => l.trim == "---" || l.trim == "...", 1)
+        if (close < 0) allLines
+        else {
+          for (j <- 1 until close) {
+            val l = allLines(j)
+            val colon = l.indexOf(':')
+            if (colon > 0) {
+              val key = l.substring(0, colon).trim
+              if (key.nonEmpty &&
+                key.forall(c => c.isLetterOrDigit || c == '_' ||
+                  c == '-')) {
+                var v = l.substring(colon + 1).trim
+                if (v.length >= 2 && ((v.head == '"' &&
+                  v.last == '"') || (v.head == '\'' &&
+                  v.last == '\'')))
+                  v = v.substring(1, v.length - 1)
+                fm += ((key, v))
+              }
+            }
+          }
+          allLines.drop(close + 1)
+        }
+      } else allLines
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var nHeadings = 0
     var nLinks = 0
@@ -233,7 +264,8 @@ object Markdown {
       }
       i += 1
     }
-    MdDoc(out.mkString("\n"), nHeadings, nLinks, nCode)
+    MdDoc(out.mkString("\n"), nHeadings, nLinks, nCode,
+      fm.toSeq)
   }
 
   // ------------------------------------------------------------------
@@ -262,8 +294,23 @@ object Markdown {
     * reference definition, html tag).
     */
   def mdWrite(title: String, lines: Seq[String], code: String)
-      : Array[Byte] = {
+      : Array[Byte] = mdWrite(title, lines, code, fmTitle = null)
+
+  /** As above, with YAML front matter planted when `fmTitle` is
+    * non-null (quoted title, a date, a list-valued tags line the
+    * scalar parser keeps raw, and a boolean).
+    */
+  def mdWrite(title: String, lines: Seq[String], code: String,
+      fmTitle: String): Array[Byte] = {
     val sb = new java.lang.StringBuilder
+    if (fmTitle != null) {
+      sb.append("---\n")
+      sb.append("title: \"").append(fmTitle).append("\"\n")
+      sb.append("date: 2026-08-15\n")
+      sb.append("tags: [docs, corpus]\n")
+      sb.append("draft: false\n")
+      sb.append("---\n")
+    }
     sb.append("# ").append(mdEscape(title)).append("\n\n")
     for ((l, i) <- lines.zipWithIndex) {
       // a wrapped blank would read as emphasis-only markers (or a
@@ -293,13 +340,19 @@ object Markdown {
     StructField("md_text", StringType),
     StructField("n_headings", IntegerType),
     StructField("n_links", IntegerType),
-    StructField("n_code_blocks", IntegerType)))
+    StructField("n_code_blocks", IntegerType),
+    StructField("fm_title", StringType),
+    StructField("n_fm_keys", IntegerType)))
 
   /** Decode kernel for [[Multimodal.decodeBatches]]. */
   def decodeMd(bytes: Array[Byte]): Seq[Any] = {
-    if (bytes == null) return Seq[Any](null, null, null, null)
+    if (bytes == null)
+      return Seq[Any](null, null, null, null, null, null)
     val doc = mdText(new String(bytes, StandardCharsets.UTF_8))
-    Seq[Any](doc.text, doc.nHeadings, doc.nLinks, doc.nCodeBlocks)
+    Seq[Any](doc.text, doc.nHeadings, doc.nLinks, doc.nCodeBlocks,
+      doc.frontMatter.collectFirst {
+        case ("title", v) => v
+      }.getOrElse(""), doc.frontMatter.length)
   }
 
   /** Per-row synthesizer (map-only): the row's text as the body
@@ -321,7 +374,8 @@ object Markdown {
           case x => x.hashCode().toLong
         }
         Row.fromSeq(r.toSeq :+ mdWrite("Doc " + (id % 50),
-          text.split("\n", -1).toSeq, "val x = 6 * 7 // fixed"))
+          text.split("\n", -1).toSeq, "val x = 6 * 7 // fixed",
+          "fm " + (id % 30)))
       }
     }(enc)
   }

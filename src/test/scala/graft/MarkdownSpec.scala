@@ -61,6 +61,36 @@ Some **bold** and *italic* and `code span` text.
     assert(doc.text == "a\n\n\nb")
   }
 
+  test("yaml front matter extracts as metadata, never as text") {
+    val md = """---
+title: "My Post"
+date: 2026-08-15
+tags: [a, b]
+draft: false
+not a pair line
+---
+body starts here
+"""
+    val doc = Markdown.mdText(md)
+    assert(doc.text == "body starts here\n")
+    assert(doc.frontMatter == Seq(
+      ("title", "My Post"), ("date", "2026-08-15"),
+      ("tags", "[a, b]"), ("draft", "false")))
+  }
+
+  test("an unterminated front-matter fence is just a thematic break") {
+    val doc = Markdown.mdText("---\ntitle: x\nbody")
+    assert(doc.frontMatter.isEmpty)
+    assert(doc.text == "title: x\nbody")
+  }
+
+  test("a mid-document --- never starts front matter") {
+    val doc = Markdown.mdText("top\n---\nkey: value\n---\nbottom")
+    assert(doc.frontMatter.isEmpty)
+    // first --- is a setext underline for "top", second a break
+    assert(doc.text.contains("key: value"))
+  }
+
   test("round-trip through the fixture writer") {
     val text = "plain line\nwith *specials* [here](x)\nthird # line\nfourth"
     val got = Markdown.mdText(new String(
