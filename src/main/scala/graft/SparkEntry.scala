@@ -2898,6 +2898,27 @@ object SparkEntry {
           col("inner_format"))
     }),
 
+    // ----- GPS traces (GPX + KML) over the shared XML scanner:
+    // exact micro-degree decimal parsing (never a float
+    // round-trip), point censuses, file-level name decoys excluded
+    "q_gpx_trace" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val gpx = Gpx.synthGeo(d, "doc_id", "content", kml = false)
+      Multimodal.decodeBatches(gpx, "content",
+          Gpx.traceSchema)(Gpx.decodeGpx)
+        .select(col("doc_id"), col("trace_name"), col("n_points"),
+          col("lat_micro_sum"), col("lon_micro_sum"))
+    }),
+
+    "q_kml_trace" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val kml = Gpx.synthGeo(d, "doc_id", "content", kml = true)
+      Multimodal.decodeBatches(kml, "content",
+          Gpx.traceSchema)(Gpx.decodeKml)
+        .select(col("doc_id"), col("trace_name"), col("n_points"),
+          col("lat_micro_sum"), col("lon_micro_sum"))
+    }),
+
     // ----- format sniffing by magic bytes (the dispatch layer —
     // declared content-types lie at scale): 22 formats through the
     // repo's own writers, incl. the zip-interior disambiguation of
@@ -5499,6 +5520,32 @@ object SparkEntry {
            WHEN 3 THEN 'application/pdf'
            WHEN 4 THEN 'application/x-ipynb+json'
            ELSE 'application/vnd.sqlite3' END AS inner_format
+         FROM documents""",
+
+    // the affine point forms replayed in closed form: GPX has the
+    // 3+d%5 trkpts PLUS one wpt
+    "q_gpx_trace" ->
+      """SELECT doc_id,
+         'route ' || CAST(doc_id % 40 AS VARCHAR) AS trace_name,
+         CAST(4 + doc_id % 5 AS INTEGER) AS n_points,
+         CAST((4 + doc_id % 5) * (10000000 + doc_id % 1000000)
+           + 1000 * ((3 + doc_id % 5) * (4 + doc_id % 5) / 2)
+           AS BIGINT) AS lat_micro_sum,
+         CAST(-((4 + doc_id % 5) * (20000000 + doc_id % 2000000)
+           + 1000 * ((3 + doc_id % 5) * (4 + doc_id % 5) / 2))
+           AS BIGINT) AS lon_micro_sum
+         FROM documents""",
+
+    "q_kml_trace" ->
+      """SELECT doc_id,
+         'route ' || CAST(doc_id % 40 AS VARCHAR) AS trace_name,
+         CAST(3 + doc_id % 5 AS INTEGER) AS n_points,
+         CAST((3 + doc_id % 5) * (10000000 + doc_id % 1000000)
+           + 1000 * ((2 + doc_id % 5) * (3 + doc_id % 5) / 2)
+           AS BIGINT) AS lat_micro_sum,
+         CAST(-((3 + doc_id % 5) * (20000000 + doc_id % 2000000)
+           + 1000 * ((2 + doc_id % 5) * (3 + doc_id % 5) / 2))
+           AS BIGINT) AS lon_micro_sum
          FROM documents""",
 
     // the planted mode→label mapping replayed as a CASE

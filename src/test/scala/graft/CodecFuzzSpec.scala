@@ -366,6 +366,12 @@ class CodecFuzzSpec extends SparkSpec {
         (9L, "fuzz é→Ω", true, Some("n")),
         (10L, "row", false, None)), 1),
       graft.operators.Avro.avroRead)
+    assertTotal("gpx/trkpts",
+      graft.operators.Gpx.gpxWrite("fuzz é→Ω", 11L, 3),
+      graft.operators.Gpx.gpxTrace)
+    assertTotal("kml/coordinates",
+      graft.operators.Gpx.kmlWrite("fuzz é→Ω", 11L, 3),
+      graft.operators.Gpx.kmlTrace)
     assertTotal("png/meta-chunks",
       graft.operators.PngMeta.pngWithMeta(
         graft.operators.Multimodal.pngEncodeGray(8, 8,
