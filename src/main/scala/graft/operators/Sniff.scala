@@ -101,13 +101,18 @@ object Sniff {
     if (tl.startsWith("<!doctype html") || tl.startsWith("<html"))
       return "text/html"
     if (t.startsWith("<?xml")) {
-      // feed dialects by the first element after decl/comments
+      // dialects by the first element after decl/comments
       return xmlRootLocal(t) match {
         case "rss" => "application/rss+xml"
         case "feed" => "application/atom+xml"
+        case "gpx" => "application/gpx+xml"
+        case "kml" => "application/vnd.google-earth.kml+xml"
         case _ => "text/xml"
       }
     }
+    // vobject families announce themselves on line one
+    if (t.startsWith("BEGIN:VCALENDAR")) return "text/calendar"
+    if (t.startsWith("BEGIN:VCARD")) return "text/vcard"
     // WebVTT signature: WEBVTT alone or followed by space/tab/newline
     if (t.startsWith("WEBVTT") &&
       (t.length == 6 || t.charAt(6) == ' ' || t.charAt(6) == '\t' ||

@@ -99,6 +99,14 @@ class SniffSpec extends AnyFunSuite {
       (1L, 1L, "a"), (2L, 2L, "b")))) == "application/vnd.sqlite3")
     assert(Sniff.sniff(graft.operators.Avro.avroWrite(Seq(
       (1L, "a", true, None)), 0)) == "application/avro")
+    assert(Sniff.sniff(graft.operators.Vobject.icsWrite(
+      "s", "d", 1L, 0)) == "text/calendar")
+    assert(Sniff.sniff(graft.operators.Vobject.vcfWrite(
+      "f", "o", 0)) == "text/vcard")
+    assert(Sniff.sniff(graft.operators.Gpx.gpxWrite("n", 1L, 2)) ==
+      "application/gpx+xml")
+    assert(Sniff.sniff(graft.operators.Gpx.kmlWrite("n", 1L, 2)) ==
+      "application/vnd.google-earth.kml+xml")
     // non-feed xml stays xml; WEBVTT glued to a word does not match
     assert(Sniff.sniff(
       "<?xml version=\"1.0\"?><!-- c --><r/>".getBytes) ==
