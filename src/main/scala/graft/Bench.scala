@@ -39,13 +39,49 @@ object BenchGate {
   def suspect(best: Double, bar: Option[Double]): Boolean =
     bar.exists(b => best > (b * RegressionFactor).max(RegressionMinSec))
 
+  /** A whole ROUND is an outlier when its total over its own queries
+    * is under this fraction of what the per-query median across all
+    * rounds predicts for the same query set. The r11 history file was
+    * uniformly ~2× faster than every round before and after it (a
+    * machine state, not a code state); taking element-wise mins over
+    * it set an unreachable bar and shipped 47 phantom "regressions"
+    * in BENCH_r13. A faster machine moves every query together, so a
+    * round-level total test catches it; a genuine plan win moves only
+    * the queries whose plans changed and survives this filter.
+    */
+  val OutlierRoundFraction = 0.6
+
+  /** Drop rounds that are anomalously fast as a whole (see
+    * [[OutlierRoundFraction]]). Needs >= 3 rounds for the per-query
+    * median to be meaningful; below that, keep everything.
+    */
+  def rejectOutlierRounds(rounds: Seq[Map[String, Double]])
+      : Seq[Map[String, Double]] = {
+    if (rounds.size < 3) return rounds
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val perQuery = rounds.flatten.groupMap(_._1)(_._2)
+      .map { case (k, vs) => k -> median(vs.toSeq) }
+    rounds.filter { r =>
+      val expected = r.keysIterator.map(perQuery).sum
+      expected <= 0.0 ||
+        r.valuesIterator.sum >= OutlierRoundFraction * expected
+    }
+  }
+
   /** Element-wise MIN across per-round query maps — "best ever
     * recorded" is the right bar; the newest round alone would reset the
-    * bar after any noisy round.
+    * bar after any noisy round. Whole-round outliers (one run on a
+    * faster machine state) are rejected first so they cannot poison
+    * the bar for every future artifact.
     */
   def mergeHistory(rounds: Seq[Map[String, Double]])
       : Map[String, Double] =
-    rounds.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    rejectOutlierRounds(rounds)
+      .flatten.groupMapReduce(_._1)(_._2)(math.min)
 
   /** Parse one bench artifact's `queries` map (Jackson ships in
     * Spark's jars, so no extra dependency).

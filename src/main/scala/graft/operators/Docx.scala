@@ -132,7 +132,20 @@ object Docx {
           if (e < 0) fail("unterminated declaration")
           i = e + 1
         } else {
-          val gt = xml.indexOf('>', lt + 1)
+          // the tag ends at the first '>' OUTSIDE quoted attribute
+          // values: <item title="a>b"> is legal XML, and a bare
+          // indexOf would truncate the tag and re-emit the remainder
+          // as Text for every module riding this scanner
+          var gt = -1
+          var j = lt + 1
+          var quote = ' '
+          while (gt < 0 && j < n) {
+            val c = xml.charAt(j)
+            if (quote != ' ') { if (c == quote) quote = ' ' }
+            else if (c == '"' || c == '\'') quote = c
+            else if (c == '>') gt = j
+            j += 1
+          }
           if (gt < 0) fail("unterminated tag")
           val closing = xml.charAt(lt + 1) == '/'
           val selfClose = xml.charAt(gt - 1) == '/'

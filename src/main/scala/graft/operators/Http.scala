@@ -165,8 +165,11 @@ object Http {
     case "gzip" | "x-gzip" => Archive.gunzip(b)
     case "deflate" => inflateAuto(b)
     case "zstd" => Zstd.decompress(b)
-    case "chunked" => Some(b) // some servers list it here; framing
-    // was already removed by dechunk
+    // buggy servers list "chunked" under Content-Encoding; the TE
+    // path never routes "chunked" here (it is filtered before the
+    // fold), so when we see it the framing has NOT been removed yet —
+    // passthrough would leak raw hex chunk-size lines into the body
+    case "chunked" => dechunk(b)
     case _ => None // br and friends: honest refusal
   }
 

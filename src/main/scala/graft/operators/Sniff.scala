@@ -21,6 +21,21 @@ object Sniff {
   /** Best-effort format label for a byte payload. */
   def sniff(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
+    // BOMs before any magic check: a UTF-8 BOM (EF BB BF) hides every
+    // text-family signature from the prefix tests, and a UTF-16LE BOM
+    // (FF FE) satisfies the MP3 frame-sync heuristic below and would
+    // be labeled audio/mpeg. Strip/transcode and re-sniff the real
+    // content (each step strictly shrinks, so this terminates).
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef &&
+      (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf)
+      return sniff(java.util.Arrays.copyOfRange(b, 3, b.length))
+    if (b.length >= 2 &&
+      (((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) ||
+        ((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff))) {
+      // Java's UTF-16 charset reads the BOM and picks the byte order
+      val text = new String(b, StandardCharsets.UTF_16)
+      return sniff(text.getBytes(StandardCharsets.UTF_8))
+    }
     def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
     def ascii(s: String, off: Int = 0): Boolean = {
       if (off + s.length > b.length) return false
@@ -95,8 +110,10 @@ object Sniff {
     if (looksLikeEmail(b)) return "message/rfc822"
     val head = new String(b, 0,
       math.min(b.length, 1024), StandardCharsets.ISO_8859_1)
+    // BOMs were handled above (ISO-8859-1 decoding can never yield
+    // U+FEFF here), so only whitespace is skipped
     val t = head.dropWhile(c => c == ' ' || c == '\t' || c == '\r' ||
-      c == '\n' || c == '﻿')
+      c == '\n')
     val tl = t.toLowerCase(java.util.Locale.ROOT)
     if (tl.startsWith("<!doctype html") || tl.startsWith("<html"))
       return "text/html"

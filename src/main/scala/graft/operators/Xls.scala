@@ -518,8 +518,16 @@ object Xls {
       dataCells.fold(Array.emptyByteArray)(_ ++ _) ++
       rec(RecEof, Array.emptyByteArray)
 
-    def rkInt(v: Long): Long = ((v << 2) & 0xffffffffL) | 2L
-    def rkCenti(v: Long): Long = ((v << 2) & 0xffffffffL) | 3L
+    // an RK integer holds 30 signed bits; a fixture value beyond that
+    // would silently wrap and stop matching the closed-form SQL oracle
+    // at larger scale factors — fail loudly instead
+    def rk30(v: Long, tag: Long): Long = {
+      require(v >= -(1L << 29) && v < (1L << 29),
+        s"RK fixture value $v exceeds the 30-bit RK integer range")
+      ((v << 2) & 0xffffffffL) | tag
+    }
+    def rkInt(v: Long): Long = rk30(v, 2L)
+    def rkCenti(v: Long): Long = rk30(v, 3L)
     val rk1 = { // RK int: seed*7+1
       val b = new Array[Byte](10)
       p16(b, 0, 0); p16(b, 2, 0); p16(b, 4, 15)

@@ -32,6 +32,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.mergeHistory(Nil).isEmpty)
   }
 
+  test("mergeHistory rejects a uniformly-too-fast outlier round") {
+    // three rounds agree at ~1.0s/query; one anomalous round (the r11
+    // machine-state incident) is uniformly 2x faster. The outlier must
+    // not set the bar, or every later honest run reads as regressed.
+    val normal = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)
+    val outlier = Map("a" -> 0.5, "b" -> 1.0, "c" -> 1.5)
+    val merged = BenchGate.mergeHistory(
+      Seq(normal, Map("a" -> 1.1, "b" -> 2.1, "c" -> 2.9),
+        outlier, Map("a" -> 0.9, "b" -> 2.2, "c" -> 3.1)))
+    assert(merged == Map("a" -> 0.9, "b" -> 2.0, "c" -> 2.9))
+    // a genuine plan win on ONE query is kept: the round total stays
+    // near the median total, so the round survives and lowers one bar
+    val oneWin = Map("a" -> 0.4, "b" -> 2.0, "c" -> 3.0)
+    val m2 = BenchGate.mergeHistory(Seq(normal, normal, oneWin))
+    assert(m2("a") == 0.4)
+    // under 3 rounds there is no meaningful median -> keep everything
+    assert(BenchGate.mergeHistory(Seq(normal, outlier))("a") == 0.5)
+  }
+
   test("parseQueries reads a bench artifact's queries map") {
     val json =
       """{"metric":"total","value":3.0,"queries":{"q_a":1.25,"q_b":1.75},

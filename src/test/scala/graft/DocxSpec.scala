@@ -61,6 +61,17 @@ class DocxSpec extends SparkSpec {
     assert(Docx.docxText(zip).contains(Docx.DocxText("a\nb\nc", 1)))
   }
 
+  test("'>' inside a quoted attribute value does not end the tag") {
+    // legal XML: the scanner must track quote state or the remainder
+    // of the tag leaks into the extracted text
+    val doc = ("<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r w:note=\"a>b\" w:alt='c>d'>" +
+      "<w:t>kept</w:t></w:r></w:p></w:body></w:document>")
+      .getBytes("UTF-8")
+    val zip = Archive.zipWrite(Seq(("word/document.xml", doc, false)))
+    assert(Docx.docxText(zip).contains(Docx.DocxText("kept", 1)))
+  }
+
   test("entities and CDATA unescape; numeric refs decode") {
     val doc = ("<?xml version=\"1.0\"?><w:document><w:body>" +
       "<w:p><w:r><w:t>&lt;tag&gt; &amp;amp; &#233;&#x3A9;" +

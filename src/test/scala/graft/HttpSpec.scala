@@ -107,6 +107,20 @@ class HttpSpec extends AnyFunSuite {
     assert(text(b).text == body)
   }
 
+  test("buggy 'Content-Encoding: chunked' (no TE) still de-frames") {
+    // some servers declare the chunked FRAMING under Content-Encoding;
+    // with no Transfer-Encoding header dechunk never ran, so the token
+    // must trigger it here — passthrough would leak hex size lines
+    val body = "misdeclared " * 100
+    val framed = Http.chunkEncode(body.getBytes("UTF-8"), 48)
+    val b = resp("Content-Encoding: chunked\r\n", framed)
+    assert(text(b).text == body)
+    // and when the bytes are NOT actually chunk-framed, refuse
+    val b2 = resp("Content-Encoding: chunked\r\n",
+      "plain body, no framing".getBytes("UTF-8"))
+    assert(text(b2).text == null)
+  }
+
   test("TE: gzip, chunked — chunked outermost, then TE gzip undone") {
     val body = "te-coded " * 100
     val framed = Http.chunkEncode(

@@ -79,6 +79,33 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.sniff(cfb) == "application/x-cfb-damaged")
   }
 
+  test("BOM-prefixed text sniffs by content, not by BOM bytes") {
+    def bom(bs: Int*)(s: String, cs: String): Array[Byte] =
+      bs.map(_.toByte).toArray ++ s.getBytes(cs)
+    // UTF-8 BOM must not hide the text-family signatures
+    assert(Sniff.sniff(bom(0xef, 0xbb, 0xbf)(
+      "<!doctype html><p>x</p>", "UTF-8")) == "text/html")
+    assert(Sniff.sniff(bom(0xef, 0xbb, 0xbf)(
+      "BEGIN:VCALENDAR\nEND:VCALENDAR", "UTF-8")) == "text/calendar")
+    assert(Sniff.sniff(bom(0xef, 0xbb, 0xbf)(
+      "WEBVTT\n\n00:00.000 --> 00:01.000\ncue", "UTF-8")) ==
+      "text/vtt")
+    // a UTF-16LE BOM (FF FE) satisfies the MP3 frame-sync heuristic;
+    // it must be transcoded and classified as text instead
+    assert(Sniff.sniff("<!doctype html><p>x</p>"
+      .getBytes("UTF-16LE").patch(0, Array[Byte](-1, -2), 0)) ==
+      "text/html")
+    assert(Sniff.sniff("plain utf-16 words here"
+      .getBytes("UTF-16LE").patch(0, Array[Byte](-1, -2), 0)) ==
+      "text/plain")
+    // big-endian BOM variant
+    assert(Sniff.sniff("<?xml version=\"1.0\"?><gpx></gpx>"
+      .getBytes("UTF-16BE").patch(0, Array[Byte](-2, -1), 0)) ==
+      "application/gpx+xml")
+    // a bare BOM is empty content
+    assert(Sniff.sniff(Array[Byte](-17, -69, -65)) == "empty")
+  }
+
   test("magic-less text formats: notebook, srt, vtt, feed dialects") {
     import graft.operators.{Feed, Ipynb, Ppt, Subtitles, Xls}
     assert(Sniff.sniff(Ipynb.ipynbWrite("m", "c", 0)) ==
