@@ -2622,6 +2622,23 @@ object SparkEntry {
         .select(col("doc_id"), col("xlsx_text"), col("n_strings"))
     }),
 
+    // ----- XLSX worksheet cells: shared refs + inline strings +
+    // exact centi-unit numerics through sheet XML (the modern-format
+    // sibling of the BIFF8 RK path). Values are identical across the
+    // three layout modes (plain/rich-run+t="n"/two-sheet+formula-
+    // decoy), so the oracle replays them closed-form from doc_id
+    "q_xlsx_cells" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val xlsx = Docx.synthXlsxCells(d, "doc_id", "__t", "__m",
+        "content")
+      Multimodal.decodeBatches(xlsx, "content",
+          Docx.xlsxCellsSchema)(Docx.decodeXlsxCells)
+        .select(col("doc_id"), col("cell_text"), col("n_cells"),
+          col("num_centi_sum"))
+    }),
+
     // ----- PPTX slide text: DrawingML a:t/a:p/a:br through one-run,
     // split-run, and br-routed layouts; slide 2 carries a footer so
     // numeric slide ordering is verified too
@@ -5315,6 +5332,18 @@ object SparkEntry {
          CAST(length(COALESCE(text, '')) -
            length(replace(COALESCE(text, ''), ' ', '')) + 1
            AS INTEGER) AS n_strings
+         FROM documents""",
+
+    // string cells = words then the inline plant; numerics replay
+    // closed-form: 100·(7s+1) + (13s+3) + 100·(s+5) + (3s+7)
+    "q_xlsx_cells" ->
+      """SELECT doc_id,
+         replace(COALESCE(text, ''), ' ', chr(10)) || chr(10) ||
+           'inline ' || doc_id AS cell_text,
+         CAST(length(COALESCE(text, '')) -
+           length(replace(COALESCE(text, ''), ' ', '')) + 6
+           AS INTEGER) AS n_cells,
+         CAST(816 * doc_id + 610 AS BIGINT) AS num_centi_sum
          FROM documents""",
 
     // slides join with one newline: doc text then the s2 footer

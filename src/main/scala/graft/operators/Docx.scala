@@ -303,6 +303,214 @@ object Docx {
   }
 
   // ------------------------------------------------------------------
+  // XLSX worksheet cells (sheet XML, not just sharedStrings)
+  // ------------------------------------------------------------------
+
+  /** Decoded XLSX cell layer: newline-joined STRING cells (shared
+    * refs resolved + inline strings + cached formula strings) in
+    * document order across numerically-sorted sheets, the count of
+    * value-bearing cells, and the exact centi-unit sum of numeric
+    * cells (the modern-format sibling of the BIFF8 RK path,
+    * Xls.scala).
+    */
+  final case class XlsxCells(cellText: String, nCells: Int,
+      numCentiSum: Long)
+
+  private val SheetName = "xl/worksheets/sheet([0-9]+)\\.xml".r
+
+  /** Decimal cell string → exact centi-units: sign, integer part,
+    * up to 2 fraction digits (further digits truncate toward zero —
+    * the fixed-point read, same contract as [[Gpx.microDeg]]).
+    * Exponent notation or any non-digit refuses: a sum that cannot
+    * be exact must not be produced at all.
+    */
+  private[graft] def centiCell(s0: String): Long = {
+    val s = s0.trim
+    if (s.isEmpty) fail("empty numeric cell")
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-' || s.charAt(0) == '+') {
+      neg = s.charAt(0) == '-'
+      i = 1
+    }
+    var intPart = 0L
+    var sawDigit = false
+    while (i < s.length && s.charAt(i) != '.') {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') fail("non-decimal numeric cell")
+      intPart = intPart * 10 + (c - '0')
+      if (intPart > (1L << 53)) fail("numeric cell out of range")
+      sawDigit = true
+      i += 1
+    }
+    var frac = 0L
+    var digits = 0
+    if (i < s.length && s.charAt(i) == '.') {
+      i += 1
+      while (i < s.length && digits < 2) {
+        val c = s.charAt(i)
+        if (c < '0' || c > '9') fail("non-decimal numeric cell")
+        frac = frac * 10 + (c - '0')
+        digits += 1
+        sawDigit = true
+        i += 1
+      }
+      while (i < s.length) { // sub-centi digits: truncate toward zero
+        val c = s.charAt(i)
+        if (c < '0' || c > '9') fail("non-decimal numeric cell")
+        i += 1
+      }
+    }
+    if (!sawDigit) fail("empty numeric cell")
+    while (digits < 2) { frac *= 10; digits += 1 }
+    val v = intPart * 100L + frac
+    if (neg) -v else v
+  }
+
+  /** One worksheet XML → (string cells, n value cells, centi sum).
+    * Cell dispatch by the `t` attribute ([ECMA-376] 18.18.11 ST_CellType):
+    * `s` shared-string index, `inlineStr` nested `<is><t>` runs
+    * (`<rPh>` phonetic decoys excluded like sharedStrings), `str`
+    * cached formula string, `b`/`e` counted but neither text nor
+    * number, absent/`n` exact centi numeric. `<f>` formula bodies
+    * are never values; cells with no value don't count. Unknown
+    * cell types refuse — a silently mislabeled column is how sums
+    * go wrong at scale.
+    */
+  private def sheetCells(xml: String, shared: IndexedSeq[String],
+      strings: scala.collection.mutable.Builder[String, Seq[String]])
+      : (Int, Long) = {
+    var nCells = 0
+    var centiSum = 0L
+    var inC = false
+    var cType = ""
+    var inV = false
+    var inIs = false
+    var inT = false
+    var inF = false
+    var phDepth = 0
+    var hasV = false
+    var hasIs = false
+    var total = 0L
+    val v = new java.lang.StringBuilder
+    val ist = new java.lang.StringBuilder
+    def endCell(): Unit = {
+      if (inC) {
+        cType match {
+          case "s" =>
+            if (!hasV) fail("shared-string cell without index")
+            val idx =
+              try v.toString.trim.toInt
+              catch {
+                case _: NumberFormatException =>
+                  fail("non-integer shared-string index")
+              }
+            if (idx < 0 || idx >= shared.length)
+              fail("shared-string index out of range")
+            strings += shared(idx)
+            nCells += 1
+          case "inlineStr" =>
+            if (hasIs) { strings += ist.toString; nCells += 1 }
+          case "str" =>
+            if (hasV) { strings += v.toString; nCells += 1 }
+          case "b" | "e" =>
+            if (hasV) nCells += 1
+          case "" | "n" =>
+            if (hasV) { centiSum += centiCell(v.toString); nCells += 1 }
+          case other => fail(s"unknown cell type $other")
+        }
+      }
+      inC = false
+    }
+    scanXml(xml) {
+      case Open(name, selfClose, attrs) =>
+        name match {
+          case "c" =>
+            endCell() // defensive: an unclosed <c> ends at the next
+            inC = true
+            cType = attrMap(attrs).getOrElse("t", "")
+            v.setLength(0); ist.setLength(0)
+            hasV = false; hasIs = false
+            if (selfClose) inC = false // empty cell: no value
+          case "v" if inC && !inF && !selfClose =>
+            inV = true; hasV = true; v.setLength(0)
+          case "is" if inC && !selfClose => inIs = true; hasIs = true
+          case "t" if inIs && phDepth == 0 && !selfClose => inT = true
+          case "rPh" if !selfClose => phDepth += 1
+          case "f" if inC && !selfClose => inF = true
+          case _ => ()
+        }
+      case Close(name) =>
+        name match {
+          case "c" => endCell()
+          case "v" => inV = false
+          case "is" => inIs = false
+          case "t" => inT = false
+          case "rPh" => if (phDepth > 0) phDepth -= 1
+          case "f" => inF = false
+          case "row" | "sheetData" | "worksheet" => endCell()
+          case _ => ()
+        }
+      case Text(s, raw) =>
+        if (inV && !inF) {
+          v.append(if (raw) s else xmlUnescape(s))
+          total += s.length
+        } else if (inT) {
+          ist.append(if (raw) s else xmlUnescape(s))
+          total += s.length
+        }
+        if (total > MaxText) fail("text bomb")
+    }
+    (nCells, centiSum)
+  }
+
+  /** XLSX bytes → the full cell layer: every `xl/worksheets/
+    * sheetN.xml` walked in NUMERIC sheet order (sheet10 after
+    * sheet9), shared-string references resolved against
+    * `xl/sharedStrings.xml` (optional part — absent means any `s`
+    * cell refuses as out-of-range). None for non-zip bytes, no
+    * sheet parts, or malformed XML/cells — never wrong sums.
+    */
+  def xlsxCells(b: Array[Byte]): Option[XlsxCells] = {
+    if (b == null || b.length < 22) return None
+    try {
+      Archive.zipEntries(b).flatMap { entries =>
+        val sheets = entries.flatMap { e =>
+          e.name match {
+            case SheetName(n) => Some((n.toInt, e))
+            case _ => None
+          }
+        }.sortBy(_._1)
+        if (sheets.isEmpty) return None
+        val shared: IndexedSeq[String] =
+          entries.find(_.name == "xl/sharedStrings.xml") match {
+            case Some(ss) => Archive.zipExtract(b, ss) match {
+              case Some(bytes) => sharedStrings(
+                new String(bytes, StandardCharsets.UTF_8)).toIndexedSeq
+              case None => return None
+            }
+            case None => IndexedSeq.empty
+          }
+        val strings = Seq.newBuilder[String]
+        var nCells = 0
+        var centiSum = 0L
+        for ((_, e) <- sheets) {
+          val bytes = Archive.zipExtract(b, e).getOrElse(return None)
+          val (n, c) = sheetCells(
+            new String(bytes, StandardCharsets.UTF_8), shared, strings)
+          nCells += n
+          centiSum += c
+        }
+        Some(XlsxCells(strings.result().mkString("\n"), nCells,
+          centiSum))
+      }
+    } catch {
+      case DocxFail(_) => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
   // PPTX (DrawingML slides)
   // ------------------------------------------------------------------
 
@@ -660,6 +868,17 @@ object Docx {
       case None => Seq[Any](null, null)
     }
 
+  val xlsxCellsSchema: StructType = StructType(Seq(
+    StructField("cell_text", StringType),
+    StructField("n_cells", IntegerType),
+    StructField("num_centi_sum", LongType)))
+
+  def decodeXlsxCells(bytes: Array[Byte]): Seq[Any] =
+    xlsxCells(bytes) match {
+      case Some(XlsxCells(t, n, c)) => Seq[Any](t, n, c)
+      case None => Seq[Any](null, null, null)
+    }
+
   // ------------------------------------------------------------------
   // fixture writers — the planted text must come back IDENTICAL
   // ------------------------------------------------------------------
@@ -800,6 +1019,92 @@ object Docx {
           .getBytes(StandardCharsets.UTF_8), false),
       ("xl/sharedStrings.xml",
         xml.getBytes(StandardCharsets.UTF_8), m != 0)))
+  }
+
+  /** Real XLSX-with-worksheets fixture. Cell VALUES are identical in
+    * every mode (the SQL oracle must be mode-independent); modes vary
+    * only the XML encoding:
+    *  - mode 0 (stored): shared-ref cells + plain `<is><t>` inline +
+    *    minimal decimal forms (trailing zeros stripped);
+    *  - mode 1 (deflated): inline string as rich `<r><t>` runs with
+    *    an `<rPh>` decoy, full 2-decimal forms, explicit `t="n"`;
+    *  - mode 2 (deflated): the numeric row lives in sheet2.xml (the
+    *    numeric-sheet-order path), a `<f>` formula decoy wraps one
+    *    number's cached value, plus empty/self-closed cell decoys
+    *    and a style attribute.
+    * Planted values (seed = doc id): shared cells = `words`, one
+    * inline "inline &lt;seed&gt;", numerics seed·7+1, (seed·13+3)
+    * centi, seed+5, (seed·3+7) centi → centi sum 816·seed + 610 and
+    * n_cells = |words| + 5, both closed-form for the oracle.
+    */
+  def xlsxCellsWrite(words: Seq[String], seed: Long, mode: Int)
+      : Array[Byte] = {
+    val m = ((mode % 3) + 3) % 3
+    require(seed >= 0 && seed < (1L << 40), s"seed $seed out of range")
+    def centiStr(c: Long): String = {
+      val full = s"${c / 100}.${"%02d".format(c % 100)}"
+      if (m == 0) { // minimal form: strip trailing zeros, bare int
+        val t = full.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else full
+    }
+    val tAttr = if (m == 1) " t=\"n\"" else ""
+    val sharedXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "\n<sst xmlns=\"http://schemas.openxmlformats.org/" +
+        "spreadsheetml/2006/main\" count=\"" + words.length +
+        "\" uniqueCount=\"" + words.length + "\">" +
+        words.map(w => "<si><t xml:space=\"preserve\">" + esc(w) +
+          "</t></si>").mkString + "</sst>"
+    val sharedCells = words.indices.map(i =>
+      s"""<c r="A$i" t="s"><v>$i</v></c>""").mkString
+    val inlineCell = m match {
+      case 1 =>
+        "<c t=\"inlineStr\"><is><r><rPr><b/></rPr>" +
+          "<t xml:space=\"preserve\">inline </t></r><r><t>" + seed +
+          "</t></r><rPh sb=\"0\" eb=\"1\"><t>decoy</t></rPh></is></c>"
+      case _ =>
+        "<c t=\"inlineStr\"><is><t xml:space=\"preserve\">inline " +
+          seed + "</t></is></c>"
+    }
+    val n4 = centiStr(seed * 3 + 7)
+    val numCells =
+      s"""<c$tAttr><v>${seed * 7 + 1}</v></c>""" +
+        s"""<c$tAttr><v>${centiStr(seed * 13 + 3)}</v></c>""" +
+        s"""<c s="5"$tAttr><v>${seed + 5}</v></c>""" +
+        (if (m == 2)
+          s"""<c><f>SUM(A1:B1)</f><v>$n4</v></c><c r="Z9"/><c/>"""
+        else s"""<c$tAttr><v>$n4</v></c>""")
+    def sheetXml(rows: String): String =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "\n<worksheet xmlns=\"http://schemas.openxmlformats.org/" +
+        "spreadsheetml/2006/main\"><sheetData>" + rows +
+        "</sheetData></worksheet>"
+    val deflate = m != 0
+    val sheetParts =
+      if (m == 2) Seq(
+        ("xl/worksheets/sheet1.xml",
+          sheetXml("<row r=\"1\">" + sharedCells + inlineCell +
+            "</row>").getBytes(StandardCharsets.UTF_8), deflate),
+        ("xl/worksheets/sheet2.xml",
+          sheetXml("<row r=\"1\">" + numCells + "</row>")
+            .getBytes(StandardCharsets.UTF_8), deflate))
+      else Seq(
+        ("xl/worksheets/sheet1.xml",
+          sheetXml("<row r=\"1\">" + sharedCells + inlineCell +
+            "</row><row r=\"2\">" + numCells + "</row>")
+            .getBytes(StandardCharsets.UTF_8), deflate))
+    Archive.zipWrite(
+      ("[Content_Types].xml",
+        ContentTypes.getBytes(StandardCharsets.UTF_8), deflate) +:
+        ("xl/workbook.xml",
+          ("<?xml version=\"1.0\"?><workbook xmlns=\"http://schemas." +
+            "openxmlformats.org/spreadsheetml/2006/main\"><sheets>" +
+            "<sheet name=\"S1\" sheetId=\"1\"/></sheets></workbook>")
+            .getBytes(StandardCharsets.UTF_8), false) +:
+        ("xl/sharedStrings.xml",
+          sharedXml.getBytes(StandardCharsets.UTF_8), deflate) +:
+        sheetParts)
   }
 
   /** Real PPTX fixture: one zip entry per slide (slide numbers can
@@ -1027,6 +1332,27 @@ object Docx {
         val text = Option(r.getString(ti)).getOrElse("")
         val items = text.split(" ", -1).toSeq
         Row.fromSeq(r.toSeq :+ xlsxWrite(items, r.getInt(mi)))
+      }
+    }(enc)
+  }
+
+  /** Per-row worksheet-bearing XLSX synthesizer: shared cells = the
+    * doc text split on spaces, seed-derived numeric/inline cells
+    * (see [[xlsxCellsWrite]]).
+    */
+  def synthXlsxCells(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val words = text.split(" ", -1).toSeq
+        Row.fromSeq(r.toSeq :+
+          xlsxCellsWrite(words, r.getLong(ii), r.getInt(mi)))
       }
     }(enc)
   }

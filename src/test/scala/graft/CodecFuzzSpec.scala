@@ -292,6 +292,12 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("xlsx/rich",
       graft.operators.Docx.xlsxWrite(items, 1),
       graft.operators.Docx.xlsxStrings)
+    assertTotal("xlsx-cells/plain",
+      graft.operators.Docx.xlsxCellsWrite(items, 11L, 0),
+      graft.operators.Docx.xlsxCells)
+    assertTotal("xlsx-cells/two-sheet",
+      graft.operators.Docx.xlsxCellsWrite(items, 11L, 2),
+      graft.operators.Docx.xlsxCells)
     assertTotal("pptx/slides",
       graft.operators.Docx.pptxWrite(Seq("one\ntwo", "three"), 1),
       graft.operators.Docx.pptxText)

@@ -114,6 +114,86 @@ class DocxSpec extends SparkSpec {
     assert(got.text == "base text" && got.nStrings == 1)
   }
 
+  test("xlsx worksheet cells round-trip through all three layouts") {
+    val words = Seq("alpha", "béta & <esc>", "", "gamma")
+    for (m <- 0 to 2; seed <- Seq(0L, 7L, 12345L)) {
+      val got = Docx.xlsxCells(Docx.xlsxCellsWrite(words, seed, m))
+      assert(got.contains(Docx.XlsxCells(
+        words.mkString("\n") + "\ninline " + seed,
+        words.length + 5, 816 * seed + 610)), s"m=$m seed=$seed")
+    }
+  }
+
+  test("centiCell: exact decimal forms, truncation, refusals") {
+    assert(Docx.centiCell("12.3") == 1230)
+    assert(Docx.centiCell("12.30") == 1230)
+    assert(Docx.centiCell("12") == 1200)
+    assert(Docx.centiCell(" 0.07 ") == 7)
+    assert(Docx.centiCell("-0.07") == -7)
+    assert(Docx.centiCell("+4.5") == 450)
+    // sub-centi digits truncate toward zero (fixed-point read)
+    assert(Docx.centiCell("1.239") == 123)
+    assert(Docx.centiCell("-1.239") == -123)
+    for (bad <- Seq("", ".", "-", "1e3", "1E3", "1.2x", "2,5",
+      "0x10", "NaN"))
+      intercept[RuntimeException](Docx.centiCell(bad))
+  }
+
+  test("xlsx cells: formula bodies are not values; decoys skipped") {
+    // hand-built sheet: <f> content must never reach the sum, empty
+    // and self-closed cells carry no value, b-cells count but add
+    // neither text nor number
+    val sheet = ("<?xml version=\"1.0\"?><worksheet><sheetData>" +
+      "<row><c><f>A1+900</f><v>5</v></c><c r=\"B1\"/>" +
+      "<c t=\"b\"><v>1</v></c><c><v>0.25</v></c></row>" +
+      "</sheetData></worksheet>").getBytes("UTF-8")
+    val zip = Archive.zipWrite(Seq(
+      ("xl/worksheets/sheet1.xml", sheet, false)))
+    assert(Docx.xlsxCells(zip)
+      .contains(Docx.XlsxCells("", 3, 525)))
+  }
+
+  test("xlsx cells: multi-sheet numeric order and str cells") {
+    def sheet(body: String): Array[Byte] =
+      ("<worksheet><sheetData><row>" + body +
+        "</row></sheetData></worksheet>").getBytes("UTF-8")
+    // sheet10 must come AFTER sheet9 (numeric, not lexicographic)
+    val zip = Archive.zipWrite(Seq(
+      ("xl/worksheets/sheet10.xml",
+        sheet("<c t=\"str\"><v>later</v></c>"), false),
+      ("xl/worksheets/sheet9.xml",
+        sheet("<c t=\"str\"><v>first</v></c>"), false)))
+    assert(Docx.xlsxCells(zip)
+      .contains(Docx.XlsxCells("first\nlater", 2, 0)))
+  }
+
+  test("xlsx cells: malformed inputs refuse, never wrong sums") {
+    def zipWith(body: String): Array[Byte] = Archive.zipWrite(Seq(
+      ("xl/worksheets/sheet1.xml",
+        ("<worksheet><sheetData><row>" + body +
+          "</row></sheetData></worksheet>").getBytes("UTF-8"), false)))
+    assert(Docx.xlsxCells(null).isEmpty)
+    assert(Docx.xlsxCells("PK junk".getBytes).isEmpty)
+    // zip with no sheet parts (the strings-only fixture)
+    assert(Docx.xlsxCells(Docx.xlsxWrite(Seq("x"), 0)).isEmpty)
+    // unknown cell type
+    assert(Docx.xlsxCells(
+      zipWith("<c t=\"weird\"><v>1</v></c>")).isEmpty)
+    // shared index with no sharedStrings part / out of range
+    assert(Docx.xlsxCells(
+      zipWith("<c t=\"s\"><v>0</v></c>")).isEmpty)
+    // non-decimal numeric
+    assert(Docx.xlsxCells(zipWith("<c><v>1e9</v></c>")).isEmpty)
+    // torn XML
+    assert(Docx.xlsxCells(Archive.zipWrite(Seq(
+      ("xl/worksheets/sheet1.xml",
+        "<worksheet><sheetData><c><v>1".getBytes("UTF-8"),
+        false)))).isEmpty)
+    // truncated container
+    val good = Docx.xlsxCellsWrite(Seq("a"), 3L, 1)
+    assert(Docx.xlsxCells(good.take(good.length / 2)).isEmpty)
+  }
+
   test("pptx slides round-trip through all three layouts; numeric " +
       "slide order") {
     val slides = Seq("first slide\nwith two paras", "second",
