@@ -2593,6 +2593,22 @@ object SparkEntry {
         .select(col("doc_id"), col("pdf_text").as("text"))
     }),
 
+    // ----- encrypted-PDF extraction (standard security handler,
+    // EMPTY user password — the owner-password-only class any reader
+    // may open): doc_id%3 cycles RC4-40 / RC4-128 / AES-128-CBC; a
+    // correct Algorithm-2 key + per-object key + decrypt-then-
+    // inflate chain is the only way the planted text comes back
+    "q_pdf_encrypted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val pdfs = Pdf.synthPdfsEncrypted(d, "doc_id", "__t", "__m",
+        "content")
+      Multimodal.decodeBatches(pdfs, "content",
+          Pdf.pdfTextSchema)(Pdf.decodePdfText)
+        .select(col("doc_id"), col("pdf_text").as("text"))
+    }),
+
     // ----- DOCX text extraction: real OOXML zips (central-dir +
     // CRC-verified local headers) whose word/document.xml plants the
     // doc text across paragraph runs — doc_id%3 cycles one-run/
@@ -5313,6 +5329,10 @@ object SparkEntry {
     // the oracle replays it verbatim (the code-shifted bytes never
     // appear — only a correct /ToUnicode//Differences walk matches)
     "q_pdf_fonts" ->
+      """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
+
+    // decryption is exact or refused: text identity like q_pdf_text
+    "q_pdf_encrypted" ->
       """SELECT doc_id, COALESCE(text, '') AS text FROM documents""",
 
     // paragraphs split on newline and rejoin with one newline —

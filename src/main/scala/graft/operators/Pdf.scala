@@ -549,6 +549,15 @@ object Pdf {
     private val cache = mutable.Map[Int, PVal]()
     private var root: Option[PVal] = None
     private var encrypted = false
+    // standard-security-handler state: the /Encrypt value and first
+    // file ID from the newest trailer; the stream decryptor is
+    // installed by initDecrypt() AFTER the xref walk (xref streams
+    // are never encrypted, so the ordering is safe)
+    private var encryptVal: Option[PVal] = None
+    private var id0: Array[Byte] = Array.emptyByteArray
+    private var haveId = false
+    private var decryptStm: Option[(Array[Byte], Int, Int) => Array[Byte]] =
+      None
 
     /** `startxref` within the file tail, per spec. */
     private def startXref(): Long = {
@@ -672,7 +681,18 @@ object Pdf {
             if (kw == "xref") loadClassicXref(lex)
             else { lex.pos = save; loadXrefStream(lex) }
           if (root.isEmpty) root = trailer.m.get("Root")
-          if (trailer.m.contains("Encrypt")) encrypted = true
+          if (trailer.m.contains("Encrypt")) {
+            encrypted = true
+            if (encryptVal.isEmpty) encryptVal = trailer.m.get("Encrypt")
+          }
+          if (!haveId) trailer.m.get("ID") match {
+            case Some(PArr(items)) if items.nonEmpty =>
+              items.head match {
+                case PStr(bytes) => id0 = bytes; haveId = true
+                case _ => ()
+              }
+            case _ => ()
+          }
           // hybrid files: /XRefStm before /Prev (spec precedence)
           trailer.m.get("XRefStm") match {
             case Some(PNum(v)) => queue = v.toLong :: queue
@@ -700,8 +720,10 @@ object Pdf {
       */
     private def parseIndirect(lex: Lex,
         resolveLength: Boolean = true): PVal = {
-      lex.int() // object number (lenient: not cross-checked)
-      lex.int() // generation
+      // object number/generation: lenient (not cross-checked against
+      // the xref), but they key the per-object decryption
+      val objNum = lex.int().toInt
+      val objGen = lex.int().toInt
       lex.expect("obj")
       val v = lex.value(0)
       lex.skipWs()
@@ -721,10 +743,17 @@ object Pdf {
           case _ => fail("missing Length")
         }
         if (len < 0 || lex.pos + len > b.length) fail("stream oob")
-        val raw = java.util.Arrays.copyOfRange(b, lex.pos,
+        val raw0 = java.util.Arrays.copyOfRange(b, lex.pos,
           lex.pos + len.toInt)
         lex.pos += len.toInt
         lex.expect("endstream")
+        // decryption happens BEFORE the filter chain (spec order);
+        // xref streams are never encrypted
+        val raw = decryptStm match {
+          case Some(d) if dict.m.get("Type") != Some(PName("XRef")) =>
+            d(raw0, objNum, objGen)
+          case _ => raw0
+        }
         PStream(dict, raw)
       } else { lex.pos = save; v }
     }
@@ -974,9 +1003,102 @@ object Pdf {
       case _ => FontInfo.plain
     }
 
+    /** Install the stream decryptor for a /Filter /Standard dict
+      * openable with the EMPTY user password (verified against /U);
+      * everything else — real user passwords, V5/AES-256, custom
+      * security handlers — keeps the encrypted→None refusal.
+      */
+    private def initDecrypt(): Unit = {
+      if (!encrypted) return
+      val em = resolve(encryptVal.getOrElse(fail("encrypted")), 0) match {
+        case PDict(m) => m
+        case _ => fail("encrypted")
+      }
+      if (em.get("Filter") != Some(PName("Standard")))
+        fail("encrypted") // custom security handler
+      def num(k: String, dflt: Long): Long = em.get(k) match {
+        case Some(v) => resolve(v, 0) match {
+          case PNum(d) => d.toLong
+          case _ => fail("encrypted")
+        }
+        case None => dflt
+      }
+      def str(k: String): Array[Byte] =
+        resolve(em.getOrElse(k, fail("encrypted")), 0) match {
+          case PStr(bytes) => bytes
+          case _ => fail("encrypted")
+        }
+      val v = num("V", 0).toInt
+      val r = num("R", 2).toInt
+      val lenBits = num("Length", 40).toInt
+      if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0)
+        fail("encrypted")
+      val o = str("O")
+      val u = str("U")
+      if (o.length < 32 || u.length < 16) fail("encrypted")
+      val p = num("P", -1).toInt
+      val encryptMetadata = em.get("EncryptMetadata") match {
+        case Some(PBool(x)) => x
+        case _ => true
+      }
+      // cipher + key length by /V (1: RC4-40, 2: RC4-/Length,
+      // 4: crypt filters — StdCF must be V2 (RC4) or AESV2)
+      val (aes, nBytes, identity) = v match {
+        case 1 => (false, 5, false)
+        case 2 => (false, lenBits / 8, false)
+        case 4 =>
+          val stmF = em.get("StmF") match {
+            case Some(PName(s)) => s
+            case None => "Identity"
+            case _ => fail("encrypted")
+          }
+          if (stmF == "Identity") (false, lenBits / 8, true)
+          else {
+            val cf = em.get("CF").map(resolve(_, 0)) match {
+              case Some(PDict(cm)) => cm.get(stmF)
+                .map(resolve(_, 0)) match {
+                case Some(PDict(f)) => f
+                case _ => fail("encrypted")
+              }
+              case _ => fail("encrypted")
+            }
+            val cfLen = cf.get("Length") match {
+              // crypt-filter /Length is in BYTES (some writers use
+              // bits; accept both readings when divisible)
+              case Some(PNum(d)) if d >= 40 =>
+                if (d.toInt % 8 == 0) d.toInt / 8 else fail("encrypted")
+              case Some(PNum(d)) if d >= 5 && d <= 16 => d.toInt
+              case _ => lenBits / 8
+            }
+            cf.get("CFM") match {
+              case Some(PName("V2")) => (false, cfLen, false)
+              case Some(PName("AESV2")) => (true, cfLen, false)
+              case _ => fail("encrypted") // AESV3 etc. → refuse
+            }
+          }
+        case _ => fail("encrypted") // V5/AES-256, V0, V3 → refuse
+      }
+      if (r < 2 || r > 4) fail("encrypted")
+      if (aes && nBytes != 16) fail("encrypted") // AESV2 is 128-bit
+      val key = stdKey(Array.emptyByteArray, o, p, id0, r, nBytes,
+        encryptMetadata)
+      // verify the EMPTY user password against /U: R2 compares all
+      // 32 bytes, R≥3 the first 16 (the rest is arbitrary padding)
+      val expect = userValue(key, id0, r)
+      val ok =
+        if (r == 2) u.length >= 32 &&
+          java.util.Arrays.equals(expect, u.take(32))
+        else java.util.Arrays.equals(expect.take(16), u.take(16))
+      if (!ok) fail("encrypted") // a real user password: refuse
+      if (!identity) decryptStm = Some { (raw, n2, g2) =>
+        val ok2 = objectKey(key, n2, g2, aes)
+        if (aes) aesCbcDecrypt(ok2, raw) else rc4(ok2, raw)
+      }
+    }
+
     def extract(): PdfText = {
       loadXrefs()
-      if (encrypted) fail("encrypted")
+      initDecrypt()
       val cat = resolve(root.getOrElse(fail("no Root")), 0) match {
         case d: PDict => d
         case _ => fail("Root not a dict")
@@ -1387,6 +1509,173 @@ object Pdf {
 
   // ------------------------------------------------------------------
   // public surface
+  // ------------------------------------------------------------------
+  // standard security handler (ISO 32000-1 §7.6.3): RC4-40/128 and
+  // AES-128-CBC with the EMPTY user password — the owner-password-
+  // only "encrypted" PDFs that are legally openable by any reader.
+  // Anything else (a real user password, V5/AES-256, custom
+  // handlers) keeps the honest encrypted→None refusal.
+  // ------------------------------------------------------------------
+
+  /** The 32-byte padding string of Algorithm 2 (ISO 32000-1 Table
+    * 7.6.3.3) — the empty user password IS this pad.
+    */
+  private val StdPad: Array[Byte] = Array(
+    0x28, 0xbf, 0x4e, 0x5e, 0x4e, 0x75, 0x8a, 0x41,
+    0x64, 0x00, 0x4e, 0x56, 0xff, 0xfa, 0x01, 0x08,
+    0x2e, 0x2e, 0x00, 0xb6, 0xd0, 0x68, 0x3e, 0x80,
+    0x2f, 0x0c, 0xa9, 0xfe, 0x64, 0x53, 0x69, 0x7a).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (public algorithm; the JDK's ARCFOUR provider is avoided so
+    * the key schedule is auditable next to the spec text).
+    */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte])
+      : Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Pad/truncate a password to 32 bytes per Algorithm 2 step (a). */
+  private def padPw(pw: Array[Byte]): Array[Byte] =
+    (pw.take(32) ++ StdPad).take(32)
+
+  private def pLe4(p: Int): Array[Byte] = Array(
+    (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+    ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+
+  /** Algorithm 2: the file encryption key from the (empty) user
+    * password, /O, /P, the first file ID, and for R≥4 the
+    * EncryptMetadata flag.
+    */
+  private def stdKey(userPw: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, nBytes: Int,
+      encryptMetadata: Boolean): Array[Byte] = {
+    val extra =
+      if (r >= 4 && !encryptMetadata)
+        Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.emptyByteArray
+    var h = md5(padPw(userPw), o.take(32), pLe4(p), id0, extra)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(nBytes)); i += 1 } // first n only
+    }
+    h.take(if (r == 2) 5 else nBytes)
+  }
+
+  /** Algorithm 4 (R2) / Algorithm 5 (R≥3): the /U value the empty
+    * user password should produce. R2 → 32 bytes compared whole;
+    * R≥3 → 16 significant bytes.
+    */
+  private def userValue(key: Array[Byte], id0: Array[Byte], r: Int)
+      : Array[Byte] = {
+    if (r == 2) rc4(key, StdPad)
+    else {
+      var u = rc4(key, md5(StdPad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u
+    }
+  }
+
+  /** Algorithm 3 (writer side): the /O value from an owner password
+    * (50 full-width MD5 rounds for R≥3 — unlike Algorithm 2's
+    * truncated rounds — then 1/20 RC4 passes over the padded user
+    * password).
+    */
+  private def ownerValue(ownerPw: Array[Byte], userPw: Array[Byte],
+      r: Int, nBytes: Int): Array[Byte] = {
+    var h = md5(padPw(ownerPw))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h); i += 1 }
+    }
+    val rk = h.take(if (r == 2) 5 else nBytes)
+    var o = rc4(rk, padPw(userPw))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(rk.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithm 1's per-object key: MD5(file key ‖ objnum LE3 ‖
+    * gen LE2 ‖ [AES: sAlT]) truncated to min(n+5, 16).
+    */
+  private def objectKey(key: Array[Byte], num: Int, gen: Int,
+      aes: Boolean): Array[Byte] = {
+    val salt =
+      if (aes) Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte)
+      else Array.emptyByteArray
+    val ob = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte)
+    val gb = Array((gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(key, ob, gb, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** AESV2 stream layout: 16-byte IV prefix, AES-128-CBC body,
+    * PKCS#7 padding. Bad framing or padding refuses — decrypted
+    * garbage must never reach the filter chain as "text".
+    */
+  private def aesCbcDecrypt(key: Array[Byte], data: Array[Byte])
+      : Array[Byte] = {
+    if (data.length == 0) return data
+    if (data.length < 32 || data.length % 16 != 0)
+      fail("bad AES stream framing")
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data.take(16)))
+    val plain = c.doFinal(data, 16, data.length - 16)
+    val pad = plain(plain.length - 1) & 0xff
+    if (pad < 1 || pad > 16 || pad > plain.length) fail("bad AES pad")
+    var i = plain.length - pad
+    while (i < plain.length) {
+      if ((plain(i) & 0xff) != pad) fail("bad AES pad")
+      i += 1
+    }
+    java.util.Arrays.copyOf(plain, plain.length - pad)
+  }
+
+  private def aesCbcEncrypt(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val pad = 16 - (data.length % 16)
+    val padded = data ++ Array.fill(pad)(pad.toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
+  }
+
   // ------------------------------------------------------------------
 
   /** Extraction result: full text (pages joined by newline) and the
@@ -1989,6 +2278,105 @@ object Pdf {
     patched.getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** Properly-encrypted single-page fixture through the standard
+    * security handler, owner password "owner", EMPTY user password —
+    * the legally-openable class. `mode` (mod 3) picks the cipher:
+    * 0 = V1/R2 RC4-40, 1 = V2/R3 RC4-128, 2 = V4/R4 AES-128
+    * (/AESV2 crypt filter). Content stream is Flate-compressed THEN
+    * encrypted (spec order: decrypt before the filter chain); the
+    * file ID and the AES IV derive deterministically from `seed`.
+    * `userPw` non-empty writes a really-password-protected file —
+    * the reader must refuse it.
+    */
+  def pdfWriteEncryptedStd(text: String, mode: Int, seed: Long,
+      userPw: String = ""): Array[Byte] = {
+    val m = math.floorMod(mode, 3)
+    val (v, r, lenBits, aes) = m match {
+      case 0 => (1, 2, 40, false)
+      case 1 => (2, 3, 128, false)
+      case _ => (4, 4, 128, true)
+    }
+    val nBytes = lenBits / 8
+    val p = -44 // permission bits: arbitrary but fixed; keyed into P
+    val id0 = md5(s"graft-pdf-id-$seed".getBytes(StandardCharsets.UTF_8))
+    val user = userPw.getBytes(StandardCharsets.ISO_8859_1)
+    val o = ownerValue("owner".getBytes(StandardCharsets.ISO_8859_1),
+      user, r, nBytes)
+    val keyPadded = { // Algorithm 2 with the chosen user password
+      val extra = Array.emptyByteArray
+      var h = md5(padPw(user), o, pLe4(p), id0, extra)
+      if (r >= 3) { var i = 0; while (i < 50) { h = md5(h.take(nBytes)); i += 1 } }
+      h.take(if (r == 2) 5 else nBytes)
+    }
+    val uVal =
+      if (r == 2) rc4(keyPadded, StdPad)
+      else {
+        // Algorithm 5 hashes the CONSTANT pad (the user password
+        // enters only through the key)
+        var u = rc4(keyPadded, md5(StdPad, id0))
+        var i = 1
+        while (i <= 19) { u = rc4(keyPadded.map(b => (b ^ i).toByte), u); i += 1 }
+        u ++ Array.fill[Byte](16)(0)
+      }
+    def hex(bs: Array[Byte]): String =
+      bs.map(b => f"${b & 0xff}%02x").mkString("<", "", ">")
+
+    // page objects: 1 catalog, 2 pages, 3 page, 4 content, 5 font
+    val ops = contentOps(text, 0)
+    val flated = deflate(ops.getBytes(StandardCharsets.UTF_8))
+    val contentKey = objectKey(keyPadded, 4, 0, aes)
+    val encContent =
+      if (aes) aesCbcEncrypt(contentKey,
+        md5(s"graft-pdf-iv-$seed".getBytes(StandardCharsets.UTF_8)),
+        flated)
+      else rc4(contentKey, flated)
+
+    val encDict = m match {
+      case 0 => s"<< /Filter /Standard /V 1 /R 2 /O ${hex(o)} " +
+        s"/U ${hex(uVal)} /P $p >>"
+      case 1 => s"<< /Filter /Standard /V 2 /R 3 /Length $lenBits " +
+        s"/O ${hex(o)} /U ${hex(uVal)} /P $p >>"
+      case _ => s"<< /Filter /Standard /V 4 /R 4 /Length $lenBits " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/O ${hex(o)} /U ${hex(uVal)} /P $p >>"
+    }
+
+    val objs = mutable.LinkedHashMap[Int, Array[Byte]]()
+    def obj(num: Int, body: String): Unit =
+      objs(num) = s"$num 0 obj\n$body\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    objs(4) = (s"4 0 obj\n<< /Length ${encContent.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ encContent ++
+      "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(6, encDict)
+
+    val out = new java.io.ByteArrayOutputStream()
+    val header = "%PDF-1.6\n".getBytes(StandardCharsets.ISO_8859_1)
+    out.write(header, 0, header.length)
+    val offsets = mutable.Map[Int, Long]()
+    for (k <- objs.keys.toSeq.sorted) {
+      offsets(k) = out.size.toLong
+      out.write(objs(k), 0, objs(k).length)
+    }
+    val xrefOff = out.size.toLong
+    val sb = new StringBuilder(s"xref\n0 7\n0000000000 65535 f \n")
+    for (i <- 1 to 6)
+      sb.append(f"${offsets(i)}%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+      s"/ID [${hex(id0)} ${hex(id0)}] >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val tb = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(tb, 0, tb.length)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Spark plumbing
   // ------------------------------------------------------------------
@@ -2009,6 +2397,26 @@ object Pdf {
         val text = Option(r.getString(ti)).getOrElse("")
         val bytes = pdfWrite(text, r.getInt(vi), r.getInt(xi))
         Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  /** Per-row ENCRYPTED-PDF synthesizer (standard security handler,
+    * empty user password): mode cycles RC4-40 / RC4-128 / AES-128,
+    * file ID and AES IV derive from the row id.
+    */
+  def synthPdfsEncrypted(df: DataFrame, idCol: String,
+      textCol: String, modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        Row.fromSeq(r.toSeq :+
+          pdfWriteEncryptedStd(text, r.getInt(mi), r.getLong(ii)))
       }
     }(enc)
   }

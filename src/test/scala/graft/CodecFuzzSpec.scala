@@ -274,6 +274,21 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Pdf.pdfText)
   }
 
+  test("encrypted-pdf decryption is total under mutation") {
+    val text = "sealed words é→Ω " * 6
+    // mutated O/U/P/ID/ciphertext must refuse or decode, never
+    // throw — bad AES padding, short keys, torn Encrypt dicts
+    assertTotal("pdf/rc4-40",
+      graft.operators.Pdf.pdfWriteEncryptedStd(text, 0, 3L),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/rc4-128",
+      graft.operators.Pdf.pdfWriteEncryptedStd(text, 1, 3L),
+      graft.operators.Pdf.pdfText)
+    assertTotal("pdf/aes-128",
+      graft.operators.Pdf.pdfWriteEncryptedStd(text, 2, 3L),
+      graft.operators.Pdf.pdfText)
+  }
+
   test("docx/xlsx extractors are total under mutation") {
     val text = "ooxml planted words é→Ω\nsecond para " * 4
     assertTotal("docx/stored",

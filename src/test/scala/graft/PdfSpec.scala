@@ -185,6 +185,44 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.pdfText(Pdf.pdfWrite(sample, 0, 0)).nonEmpty)
   }
 
+  test("standard-handler encryption with empty user password " +
+      "decrypts: RC4-40, RC4-128, AES-128") {
+    for (m <- 0 to 2; seed <- Seq(0L, 7L, 991L)) {
+      val b = Pdf.pdfWriteEncryptedStd(sample, m, seed)
+      assert(Pdf.pdfText(b).contains(Pdf.PdfText(sample, 1)),
+        s"mode=$m seed=$seed")
+    }
+    // non-ASCII text through the AES path
+    val wide = "résumé Ωμέγα done"
+    assert(Pdf.pdfText(Pdf.pdfWriteEncryptedStd(wide, 2, 3L))
+      .map(_.text).contains(wide))
+  }
+
+  test("a real (non-empty) user password still refuses") {
+    for (m <- 0 to 2)
+      assert(Pdf.pdfText(
+        Pdf.pdfWriteEncryptedStd(sample, m, 1L, userPw = "secret"))
+        .isEmpty, s"mode=$m")
+  }
+
+  test("damaged encrypted files refuse, never emit garbage") {
+    val b = Pdf.pdfWriteEncryptedStd(sample, 2, 5L)
+    // truncation
+    assert(Pdf.pdfText(b.take(b.length / 2)).isEmpty)
+    // corrupt the AES ciphertext body: padding/inflate must refuse
+    val s = new String(b.map(_.toChar))
+    val streamAt = s.indexOf("stream\n") + 7
+    val dam = b.clone()
+    for (i <- streamAt + 20 until streamAt + 28)
+      dam(i) = (dam(i) ^ 0x5a).toByte
+    assert(Pdf.pdfText(dam).isEmpty)
+    // flip the stored /U so the empty-password check fails
+    val uAt = s.indexOf("/U <") + 4
+    val dam2 = b.clone()
+    dam2(uAt) = (if (dam2(uAt) == '0') '1' else '0').toByte
+    assert(Pdf.pdfText(dam2).isEmpty)
+  }
+
   test("malformed inputs classify as None") {
     assert(Pdf.pdfText(null).isEmpty)
     assert(Pdf.pdfText(Array.emptyByteArray).isEmpty)
