@@ -1903,14 +1903,24 @@ object SparkEntry {
         (lit(160) + (col("doc_id") % 12) * 160).cast("int").as("__w"),
         (lit(90) + (col("doc_id") % 12) * 90).cast("int").as("__h"),
         ((col("doc_id") % 600 + 1) * 1000).cast("long").as("__dur"),
-        (col("doc_id") % 2 + 1).cast("int").as("__nt"))
+        (col("doc_id") % 2 + 1).cast("int").as("__nt"),
+        // SPS triage plant: profile cycles Baseline/Main/High (66/
+        // 77/100 — High writes the chroma branch), level 10..50; the
+        // encoder plants mb-aligned dims + exact bottom crop (90-
+        // multiple heights are never mb-aligned), so only a correct
+        // Exp-Golomb walk + crop arithmetic reads __w/__h back
+        when(col("doc_id") % 3 === 0, lit(66))
+          .when(col("doc_id") % 3 === 1, lit(77))
+          .otherwise(lit(100)).cast("int").as("__prof"),
+        (lit(10) + (col("doc_id") % 5) * 10).cast("int").as("__lvl"))
       val mp4 = Multimodal.synthMp4(d, "__brand", "__w", "__h",
-        "__dur", "__nt", "content")
+        "__dur", "__nt", "content", "__prof", "__lvl")
       Multimodal.decodeBatches(mp4, "content",
           Multimodal.videoMetaSchema)(Multimodal.decodeVideoMeta)
         .select(col("doc_id"), col("format"), col("brand"),
           col("width"), col("height"), col("duration_ms"),
-          col("n_tracks"))
+          col("n_tracks"), col("codec"), col("sps_profile"),
+          col("sps_level"), col("sps_width"), col("sps_height"))
     }),
 
     // ----- REAL VIDEO FRAME decode (MJPEG-in-MP4): per-row synthetic
@@ -4738,7 +4748,14 @@ object SparkEntry {
          CAST(160 + (doc_id % 12) * 160 AS INT) AS width,
          CAST(90 + (doc_id % 12) * 90 AS INT) AS height,
          CAST((doc_id % 600 + 1) * 1000 AS BIGINT) AS duration_ms,
-         CAST(doc_id % 2 + 1 AS INT) AS n_tracks
+         CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+         'avc1' AS codec,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 66
+              WHEN doc_id % 3 = 1 THEN 77 ELSE 100 END AS INT)
+           AS sps_profile,
+         CAST(10 + (doc_id % 5) * 10 AS INT) AS sps_level,
+         CAST(160 + (doc_id % 12) * 160 AS INT) AS sps_width,
+         CAST(90 + (doc_id % 12) * 90 AS INT) AS sps_height
          FROM documents""",
 
     // the parser must read back exactly the fields the hex

@@ -103,7 +103,10 @@ object Exif {
     if (r16(2) != 42) throw ExifFail
     def ascii(o: Int, n: Int): String = {
       val a = base + o
-      if (a < base || a + n > end) throw ExifFail
+      // n can arrive negative (a 32-bit count wrapped by .toInt): a
+      // negative length passes the a+n>end test and hands the String
+      // constructor an out-of-range offset with count 0
+      if (n < 0 || a < base || a + n > end) throw ExifFail
       var e = 0
       while (e < n && b(a + e) != 0) e += 1
       new String(b, a, e, StandardCharsets.US_ASCII)

@@ -3939,7 +3939,8 @@ object Multimodal {
     * parsing, same contract as [[wavMeta]]/[[pngDims]].
     */
   final case class VideoMeta(format: String, brand: String,
-      width: Int, height: Int, durationMs: Long, nTracks: Int)
+      width: Int, height: Int, durationMs: Long, nTracks: Int,
+      codec: String = null, sps: Option[H264.SpsInfo] = None)
 
   private def be32u(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -3968,6 +3969,13 @@ object Multimodal {
     var width = 0
     var height = 0
     var nTracks = 0
+    // codec triage: the FIRST stsd's first sample-entry fourcc; for
+    // AVC entries the avcC record's first SPS parses into real coded
+    // dims/profile/level (H264.spsParse — header-only, best-effort:
+    // a damaged avcC degrades to codec-only, never refuses the
+    // container metadata)
+    var codec: String = null
+    var sps: Option[H264.SpsInfo] = None
 
     /** Walk one box list in [from, to); returns false on corruption. */
     def walk(from: Long, to: Long, depth: Int): Boolean = {
@@ -3994,6 +4002,39 @@ object Multimodal {
             if (depth == 1) {
               nTracks += 1
               if (!walk(body, p + size, 2)) return false
+            }
+          case "mdia" if depth == 2 =>
+            if (!walk(body, p + size, 3)) return false
+          case "minf" if depth == 3 =>
+            if (!walk(body, p + size, 4)) return false
+          case "stbl" if depth == 4 =>
+            if (!walk(body, p + size, 5)) return false
+          case "stsd" if depth == 5 =>
+            // version/flags(4) + entry_count(4), then the first
+            // sample entry: size(4) + data_format fourcc(4)
+            if (codec == null && size >= hdr + 16) {
+              val entOff = body + 8
+              val entSize = be32u(b, entOff.toInt)
+              if (entSize >= 8 && entOff + entSize <= p + size) {
+                codec = fourCC(b, entOff.toInt + 4)
+                if (codec == "avc1" || codec == "avc3") {
+                  // visual sample entry: 78 fixed bytes, then child
+                  // boxes — find avcC
+                  var q = entOff + 8 + 78
+                  val chTo = entOff + entSize
+                  while (q + 8 <= chTo && sps.isEmpty) {
+                    val cs = be32u(b, q.toInt)
+                    val ct = fourCC(b, q.toInt + 4)
+                    if (cs < 8 || q + cs > chTo) q = chTo
+                    else {
+                      if (ct == "avcC")
+                        sps = H264.avcCSps(java.util.Arrays
+                          .copyOfRange(b, q.toInt + 8, (q + cs).toInt))
+                      q += cs
+                    }
+                  }
+                }
+              }
             }
           case "mvhd" if depth == 1 =>
             val v = b(body.toInt) & 0xff
@@ -4029,7 +4070,7 @@ object Multimodal {
     if (!walk(0L, b.length.toLong, 0)) return None
     if (brand == null || timescale <= 0 || duration < 0) return None
     Some(VideoMeta("mp4", brand, width, height,
-      duration * 1000L / timescale, nTracks))
+      duration * 1000L / timescale, nTracks, codec, sps))
   }
 
   val videoMetaSchema: StructType = StructType(Seq(
@@ -4038,16 +4079,27 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("duration_ms", LongType),
-    StructField("n_tracks", IntegerType)))
+    StructField("n_tracks", IntegerType),
+    StructField("codec", StringType),
+    StructField("sps_profile", IntegerType),
+    StructField("sps_level", IntegerType),
+    StructField("sps_width", IntegerType),
+    StructField("sps_height", IntegerType)))
 
   /** Decode kernel for [[decodeBatches]]: real MP4 box walk, nulls
-    * for malformed/unrecognized content.
+    * for malformed/unrecognized content; SPS columns null when the
+    * first sample entry is not AVC (or its avcC is damaged).
     */
   def decodeVideoMeta(bytes: Array[Byte]): Seq[Any] =
     mp4Meta(bytes) match {
       case Some(m) => Seq[Any](m.format, m.brand, m.width, m.height,
-        m.durationMs, m.nTracks)
-      case None => Seq[Any](null, null, null, null, null, null)
+        m.durationMs, m.nTracks, m.codec,
+        m.sps.map(s => Integer.valueOf(s.profileIdc)).orNull,
+        m.sps.map(s => Integer.valueOf(s.levelIdc)).orNull,
+        m.sps.map(s => Integer.valueOf(s.width)).orNull,
+        m.sps.map(s => Integer.valueOf(s.height)).orNull)
+      case None => Seq[Any](null, null, null, null, null, null,
+        null, null, null, null, null)
     }
 
   /** Minimal-but-real MP4 synthesizer (the oracle side of
@@ -4057,13 +4109,17 @@ object Multimodal {
     * match on offsets.
     */
   def mp4EncodeMeta(brand: String, timescale: Int, duration: Long,
-      tracks: Seq[(Int, Int)], mdatLen: Int = 16): Array[Byte] = {
+      tracks: Seq[(Int, Int)], mdatLen: Int = 16,
+      avc: Option[(Int, Int)] = None): Array[Byte] = {
     require(brand.length == 4, s"brand must be 4 chars: $brand")
     require(timescale > 0 && duration >= 0 && mdatLen >= 0)
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = {
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
     }
     def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
     def box(typ: String)(body: => Unit): Unit = {
@@ -4092,6 +4148,7 @@ object Multimodal {
         (0 until 6).foreach(_ => u32(0)) // pre_defined
         u32(tracks.length + 1L) // next_track_ID
       }
+      var avcPlanted = false
       tracks.zipWithIndex.foreach { case ((tw, th), ti) =>
         box("trak") {
           box("tkhd") {
@@ -4104,6 +4161,36 @@ object Multimodal {
             Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
               .foreach(v => u32(v.toLong)) // identity matrix
             u32(tw.toLong << 16); u32(th.toLong << 16) // 16.16 fixed
+          }
+          // the first VISUAL track optionally carries a real avc1
+          // sample description whose avcC holds a bit-exact SPS —
+          // the parser must reverse the mb-count + crop arithmetic
+          avc.foreach { case (profile, level) =>
+            if (!avcPlanted && tw > 0 && th > 0) {
+              avcPlanted = true
+              box("mdia") { box("minf") { box("stbl") { box("stsd") {
+                u32(0) // version + flags
+                u32(1) // entry_count
+                box("avc1") {
+                  // VisualSampleEntry fixed fields (78 bytes)
+                  (0 until 6).foreach(_ => out.write(0)) // reserved
+                  u16(1) // data_reference_index
+                  u16(0); u16(0) // pre_defined, reserved
+                  (0 until 3).foreach(_ => u32(0)) // pre_defined
+                  u16(tw); u16(th)
+                  u32(0x00480000); u32(0x00480000) // 72 dpi
+                  u32(0) // reserved
+                  u16(1) // frame_count
+                  (0 until 32).foreach(_ => out.write(0)) // name
+                  u16(0x18) // depth
+                  u16(0xffff) // pre_defined = -1
+                  box("avcC") {
+                    val rec = H264.avcCEncode(profile, level, tw, th)
+                    out.write(rec, 0, rec.length)
+                  }
+                }
+              } } } }
+            }
           }
         }
       }
@@ -4444,10 +4531,15 @@ object Multimodal {
     */
   def synthMp4(df: DataFrame, brandCol: String, wCol: String,
       hCol: String, durMsCol: String, tracksCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, profCol: String = null, levelCol: String = null)
+      : DataFrame = {
     val (bi, wi, hi, di, ti) = (df.schema.fieldIndex(brandCol),
       df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol),
       df.schema.fieldIndex(durMsCol), df.schema.fieldIndex(tracksCol))
+    val avcIdx =
+      if (profCol == null) None
+      else Some((df.schema.fieldIndex(profCol),
+        df.schema.fieldIndex(levelCol)))
     val schema = StructType(df.schema.fields :+
       StructField(outCol, BinaryType))
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -4456,8 +4548,11 @@ object Multimodal {
         val dims = (r.getInt(wi), r.getInt(hi))
         val tracks =
           if (r.getInt(ti) == 2) Seq((0, 0), dims) else Seq(dims)
+        val avc = avcIdx.map { case (pi2, li2) =>
+          (r.getInt(pi2), r.getInt(li2)) }
         Row.fromSeq(r.toSeq :+ mp4EncodeMeta(r.getString(bi),
-          timescale = 1000, duration = r.getLong(di), tracks))
+          timescale = 1000, duration = r.getLong(di), tracks,
+          avc = avc))
       }
     }(enc)
   }

@@ -111,6 +111,10 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("mp4/meta",
       Multimodal.mp4EncodeMeta("mp42", 1000, 700L, Seq((64, 48))),
       Multimodal.mp4Meta)
+    assertTotal("mp4/meta-avc-sps",
+      Multimodal.mp4EncodeMeta("isom", 1000, 700L,
+        Seq((0, 0), (1280, 720)), avc = Some((100, 41))),
+      Multimodal.mp4Meta)
     assertTotal("mp4/timing",
       Multimodal.mp4EncodeTimed("avc1", 1000, Seq((10L, 2L)),
         Some(Seq(1L, 5L)), leadingBareTrack = true),
