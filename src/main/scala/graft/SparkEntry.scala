@@ -2437,6 +2437,27 @@ object SparkEntry {
 
     // ----- zstd raw/RLE-subset decompression: the stored-block
     // stream must hand back text ++ the planted RLE run exactly
+    // ----- FULL brotli decode (RFC 7932): each doc's text — padded
+    // with its own head + repetition so the LZ77 stage emits real
+    // copy commands — goes through the entropy ENCODER (canonical
+    // Huffman literal/command/distance codes via complex prefix-code
+    // descriptions) on even docs and the stored framing on odd, and
+    // must come back byte-identical; the same decoder is pinned
+    // against reference-encoder goldens incl. dictionary-transform
+    // streams in BrotliSpec
+    "q_brotli_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          substring(coalesce(col("text"), lit("")), 1, 64),
+          repeat(lit("pad "), (col("doc_id") % 17).cast("int")))
+          .as("__t"),
+        (col("doc_id") % 2).cast("int").as("__m"))
+      val b = Brotli.synthBrotli(d, "doc_id", "__t", "__m", "content")
+      Multimodal.decodeBatches(b, "content",
+          Brotli.brotliTextSchema)(Brotli.decodeBrotliText)
+        .select(col("doc_id"), col("brotli_text"))
+    }),
+
     "q_zstd_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
@@ -2541,10 +2562,10 @@ object SparkEntry {
 
     // ----- REAL HTTP payload decode: response bodies framed through
     // identity/chunked/gzip/chunked+gzip/zlib-deflate/raw-deflate/
-    // zstd Content- and Transfer-Encodings (doc_id%8 cycles), with a
-    // multi-byte UTF-8 marker so chunk boundaries that split a code
-    // point surface; the declared-brotli row (f=5) must refuse with
-    // a NULL body, never echo compressed-looking bytes as text
+    // zstd/BROTLI Content- and Transfer-Encodings (doc_id%8 cycles),
+    // with a multi-byte UTF-8 marker so chunk boundaries that split
+    // a code point surface; since round 14 the br row (f=5) carries
+    // a real entropy-coded brotli body that must decode exactly
     "q_warc_http" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")), lit(" Ωμé→"))
@@ -5228,6 +5249,14 @@ object SparkEntry {
                SELECT * FROM textf UNION ALL
                SELECT * FROM rlef)""",
 
+    // full brotli decode must be lossless: the padded text through
+    // LZ77 + Huffman (or the stored framing) and back is the text
+    "q_brotli_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') || ' ' ||
+           substr(COALESCE(text, ''), 1, 64) ||
+           repeat('pad ', CAST(doc_id % 17 AS INT)) AS brotli_text
+         FROM documents""",
+
     // stored-block decode must be lossless: text plus the RLE run
     "q_zstd_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') ||
@@ -5310,10 +5339,8 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(200 AS INT) AS http_status,
            'text/plain' AS content_mime,
-           CASE WHEN doc_id % 8 = 5 THEN NULL
-                ELSE 'UTF-8' END AS charset,
-           CASE WHEN doc_id % 8 = 5 THEN NULL
-                ELSE COALESCE(text, '') || ' Ωμé→' END AS body_text
+           'UTF-8' AS charset,
+           COALESCE(text, '') || ' Ωμé→' AS body_text
          FROM documents""",
 
     // the sniffed charset must reconstruct the exact planted string

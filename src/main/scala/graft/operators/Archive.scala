@@ -857,7 +857,7 @@ object Archive {
         Http.zlibDeflate(plain)
       case 5 =>
         hdr.append(s"${h("Content-Encoding")}: br\r\n")
-        plain // declared brotli: the reader must refuse, not echo
+        Brotli.encodeEntropy(plain) // real brotli since round 14
       case 6 =>
         hdr.append(s"${h("Content-Encoding")}: deflate\r\n")
         Http.rawDeflate(plain) // the in-the-wild raw variant

@@ -637,6 +637,11 @@ object Brotli {
         }
       }
     }
+    // the reference decoder's stream-end rule: the unread bits of
+    // the final consumed byte must be zero (trailing whole bytes are
+    // tolerated, matching reference behavior for padded containers)
+    while ((r.pos & 7) != 0)
+      if (r.bit() != 0) fail("nonzero padding")
     out.result()
   }
 
@@ -763,5 +768,475 @@ object Brotli {
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
+  }
+
+  // ------------------------------------------------------------------
+  // encoder (fixture side): real brotli streams for the oracle
+  // queries, pinned against the reference decoder in BrotliSpec
+  // ------------------------------------------------------------------
+
+  private final class Writer {
+    private var buf = new Array[Byte](1024)
+    private var bitPos = 0
+    private def ensure(bits: Int): Unit = {
+      val need = (bitPos + bits + 7) >> 3
+      if (need > buf.length) {
+        var cap = buf.length
+        while (cap < need) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    }
+    def bits(v: Long, n: Int): Unit = { // LSB-first
+      ensure(n)
+      var i = 0
+      while (i < n) {
+        if (((v >> i) & 1L) != 0)
+          buf(bitPos >> 3) = (buf(bitPos >> 3) | (1 << (bitPos & 7))).toByte
+        bitPos += 1
+        i += 1
+      }
+    }
+    def code(c: Int, len: Int): Unit = { // prefix code, MSB first
+      ensure(len)
+      var i = len - 1
+      while (i >= 0) {
+        if (((c >> i) & 1) != 0)
+          buf(bitPos >> 3) = (buf(bitPos >> 3) | (1 << (bitPos & 7))).toByte
+        bitPos += 1
+        i -= 1
+      }
+    }
+    def align(): Unit = bitPos = (bitPos + 7) & ~7
+    def byte(v: Int): Unit = { align(); ensure(8); bits(v & 0xff, 8) }
+    def result(): Array[Byte] =
+      java.util.Arrays.copyOf(buf, (bitPos + 7) >> 3)
+  }
+
+  /** Length-limited canonical Huffman lengths (zlib's halve-and-
+    * rebuild approach for the rare over-limit tree).
+    */
+  private def huffLengths(freq0: Array[Long], maxLen: Int)
+      : Array[Int] = {
+    val n = freq0.length
+    val lens = new Array[Int](n)
+    var freq = freq0.clone()
+    var ok = false
+    while (!ok) {
+      java.util.Arrays.fill(lens, 0)
+      // heap-less O(n log n) huffman via sorted merge
+      val nodes = freq.zipWithIndex.filter(_._1 > 0)
+      if (nodes.length == 0) return lens
+      if (nodes.length == 1) { lens(nodes(0)._2) = 1; return lens }
+      // parent indices
+      val m = nodes.length
+      val w = new Array[Long](2 * m)
+      val parent = new Array[Int](2 * m)
+      val order = nodes.sortBy(_._1)
+      var i = 0
+      while (i < m) { w(i) = order(i)._1; i += 1 }
+      var leaf = 0
+      var internal = m
+      var next = m
+      var produced = 0
+      while (produced < m - 1) {
+        def takeMin(): Int = {
+          if (leaf < m && (internal >= next || w(leaf) <= w(internal))) {
+            leaf += 1; leaf - 1
+          } else { internal += 1; internal - 1 }
+        }
+        val a = takeMin(); val b = takeMin()
+        w(next) = w(a) + w(b)
+        parent(a) = next; parent(b) = next
+        next += 1
+        produced += 1
+      }
+      val depth = new Array[Int](2 * m)
+      var k = next - 2
+      while (k >= 0) {
+        depth(k) = depth(parent(k)) + 1
+        k -= 1
+      }
+      var maxD = 0
+      i = 0
+      while (i < m) {
+        lens(order(i)._2) = depth(i)
+        if (depth(i) > maxD) maxD = depth(i)
+        i += 1
+      }
+      if (maxD <= maxLen) ok = true
+      else freq = freq.map(f => if (f > 0) (f >> 1) + 1 else 0)
+    }
+    lens
+  }
+
+  /** Canonical codes matching the decoder: within a length, codes in
+    * ascending SYMBOL order.
+    */
+  private def canonCodes(lens: Array[Int]): Array[Int] = {
+    val codes = new Array[Int](lens.length)
+    var code = 0
+    var prev = 0
+    var l = 1
+    while (l <= 15) {
+      var s = 0
+      while (s < lens.length) {
+        if (lens(s) == l) {
+          code <<= (l - prev); prev = l
+          codes(s) = code
+          code += 1
+        }
+        s += 1
+      }
+      l += 1
+    }
+    codes
+  }
+
+  /** Write a prefix-code description for `freq` and return the
+    * (lengths, codes) used for payload emission. Simple codes for
+    * ≤4 distinct symbols (the probed ordering rules), complex
+    * descriptions with 17-coded zero runs otherwise.
+    */
+  private def writePrefixCode(w: Writer, freq: Array[Long],
+      alphabet: Int): (Array[Int], Array[Int]) = {
+    val used = freq.zipWithIndex.filter(_._1 > 0).map(_._2)
+    val abits = math.max(1, 32 - Integer.numberOfLeadingZeros(
+      alphabet - 1))
+    val lens = new Array[Int](alphabet)
+    val codes = new Array[Int](alphabet)
+    if (used.length == 0)
+      fail("empty code") // a used tree always has symbols
+    if (used.length <= 4) {
+      w.bits(1, 2) // simple
+      w.bits(used.length - 1, 2)
+      used.length match {
+        case 1 =>
+          w.bits(used(0), abits)
+          lens(used(0)) = 0 // zero bits per symbol
+        case 2 =>
+          val a = used(0); val b = used(1) // ascending already
+          w.bits(a, abits); w.bits(b, abits)
+          lens(a) = 1; lens(b) = 1
+          codes(a) = 0; codes(b) = 1
+        case 3 =>
+          // most frequent first: it owns the 1-bit code
+          val top = used.maxBy(freq(_))
+          val rest = used.filter(_ != top).sorted
+          w.bits(top, abits); w.bits(rest(0), abits)
+          w.bits(rest(1), abits)
+          lens(top) = 1; codes(top) = 0
+          lens(rest(0)) = 2; codes(rest(0)) = 2
+          lens(rest(1)) = 2; codes(rest(1)) = 3
+        case _ =>
+          val ss = used.sorted
+          ss.foreach(s => w.bits(s, abits))
+          w.bits(0, 1) // tree-select 0: 2,2,2,2
+          var i = 0
+          while (i < 4) { lens(ss(i)) = 2; codes(ss(i)) = i; i += 1 }
+      }
+      (lens, codes)
+    } else {
+      val hl = huffLengths(freq, 15)
+      System.arraycopy(hl, 0, lens, 0, alphabet)
+      val cc = canonCodes(lens)
+      System.arraycopy(cc, 0, codes, 0, alphabet)
+      // emit symbol-length sequence with 17-coded zero runs; a
+      // literal 0 separates consecutive 17s so the decoder's
+      // accumulation rule never fires
+      val seq = Seq.newBuilder[(Int, Int, Int)] // (clSym, extra, ebits)
+      var i = 0
+      // trailing zeros are implicit: find the last nonzero length
+      var last = alphabet - 1
+      while (last >= 0 && lens(last) == 0) last -= 1
+      while (i <= last) {
+        if (lens(i) != 0) { seq += ((lens(i), 0, 0)); i += 1 }
+        else {
+          var run = 0
+          while (i + run <= last && lens(i + run) == 0) run += 1
+          i += run
+          var first = true
+          while (run > 0) {
+            if (run >= 3) {
+              if (!first) { seq += ((0, 0, 0)); run -= 1 }
+              if (run >= 3) {
+                val k = math.min(run, 10)
+                seq += ((17, k - 3, 3))
+                run -= k
+                first = false
+              }
+            } else {
+              seq += ((0, 0, 0)); run -= 1
+            }
+          }
+        }
+      }
+      val emitted = seq.result()
+      // code-length code over the emitted symbols
+      val clFreq = new Array[Long](18)
+      emitted.foreach(e => clFreq(e._1) += 1)
+      val clLens = huffLengths(clFreq, 5)
+      val clCodes = canonCodes(clLens)
+      w.bits(0, 2) // complex, HSKIP 0
+      // CL lengths in the fixed order, via the static code; stop
+      // exactly when the code space fills
+      val staticCode: Array[(Int, Int)] = Array( // value → (code,len)
+        (0, 2), (14, 4), (6, 3), (1, 2), (2, 2), (15, 4))
+      var space = 0
+      var numCodes = clLens.count(_ > 0)
+      var oi = 0
+      var done = false
+      while (oi < 18 && !done) {
+        val s = ClcOrder(oi)
+        val v = clLens(s)
+        val (c, l) = staticCode(v)
+        w.code(c, l)
+        if (v != 0) {
+          space += 32 >> v
+          if (space >= 32) done = true
+        }
+        oi += 1
+      }
+      if (numCodes != 1 && space != 32) fail("encoder clc space")
+      // the symbol lengths themselves
+      emitted.foreach { case (s, extra, ebits) =>
+        if (numCodes > 1) w.code(clCodes(s), clLens(s))
+        if (ebits > 0) w.bits(extra, ebits)
+      }
+      (lens, codes)
+    }
+  }
+
+  private def insCodeOf(n: Long): Int = {
+    var i = 23
+    while (InsOff(i) > n) i -= 1
+    i
+  }
+  private def cpCodeOf(n: Long): Int = {
+    var i = 23
+    while (CpOff(i) > n) i -= 1
+    i
+  }
+  private def cmdSymbol(ic: Int, cc: Int): Int = {
+    val ih = ic >> 3
+    val ch = cc >> 3
+    var cell = -1
+    var k = 0
+    while (k < 9 && cell < 0) {
+      if (InsRange(k) == ih * 8 && CpRange(k) == ch * 8) cell = k + 2
+      k += 1
+    }
+    if (cell < 0) fail("no cell")
+    cell * 64 + (ic & 7) * 8 + (cc & 7)
+  }
+  /** dcode ≥ 16 for a raw distance (NPOSTFIX 0, NDIRECT 0). */
+  private def distCodeOf(d: Long): (Int, Long, Int) = {
+    var x = 0
+    while (x < 48) {
+      val nb = 1 + (x >> 1)
+      val off = ((2L + (x & 1)) << nb) - 4L
+      val lo = off + 1
+      val hi = off + ((1L << nb) - 1) + 1
+      if (d >= lo && d <= hi) return (16 + x, d - off - 1, nb)
+      x += 1
+    }
+    fail("distance too large")
+  }
+
+  private final case class Token(insFrom: Int, insLen: Int,
+    copyLen: Int, dist: Int) // copyLen 0 = trailing insert-only
+
+  /** Raw (uncompressed meta-block) brotli stream — the container
+    * framing with zero entropy coding.
+    */
+  def encodeStored(data: Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    w.bits(1, 1); w.bits(5, 3) // WBITS 22
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(65536, data.length - off)
+      w.bits(0, 1) // not last
+      w.bits(0, 2) // 4 nibbles
+      w.bits(n - 1, 16)
+      w.bits(1, 1) // uncompressed
+      w.align()
+      var i = 0
+      while (i < n) { w.byte(data(off + i) & 0xff); i += 1 }
+      off += n
+    }
+    w.bits(1, 1); w.bits(1, 1) // last + empty
+    w.result()
+  }
+
+  // ------------------------------------------------------------------
+  // Spark plumbing (mirrors Zstd's): per-row synth + decode kernel
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types.{BinaryType, StringType,
+    StructField, StructType}
+
+  val brotliTextSchema: StructType = StructType(Seq(
+    StructField("brotli_text", StringType)))
+
+  /** Decode kernel for `Multimodal.decodeBatches`. */
+  def decodeBrotliText(bytes: Array[Byte]): Seq[Any] =
+    decompress(bytes) match {
+      case Some(plain) => Seq[Any](new String(plain,
+        java.nio.charset.StandardCharsets.UTF_8))
+      case None => Seq[Any](null)
+    }
+
+  /** Per-row brotli synthesizer: text (padded with planted
+    * repetition so the LZ77 stage emits real copy commands) through
+    * the entropy encoder on even modes, the stored framing on odd.
+    */
+  def synthBrotli(df: DataFrame, idCol: String, textCol: String,
+      modeCol: String, outCol: String): DataFrame = {
+    val (ii, ti, mi) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(modeCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val bytes = text.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        val out =
+          if (r.getInt(mi) % 2 == 0) encodeEntropy(bytes)
+          else encodeStored(bytes)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Entropy-coded brotli stream: greedy hash-chain LZ77 (window
+    * 4 MiB, min match 4, cross-meta-block references), canonical
+    * Huffman literal/command/distance codes per 64 KiB meta-block,
+    * single block types, LSB6 context mode with one literal tree.
+    */
+  def encodeEntropy(data: Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    w.bits(1, 1); w.bits(5, 3) // WBITS 22
+    if (data.length == 0) {
+      w.bits(1, 1); w.bits(1, 1)
+      return w.result()
+    }
+    val window = (1 << 22) - 16
+    // hash chains over 4-byte prefixes
+    val HashBits = 16
+    val head = Array.fill(1 << HashBits)(-1)
+    val prev = new Array[Int](data.length)
+    def hash4(i: Int): Int = {
+      val h = ((data(i) & 0xff) * 506832829) ^
+        ((data(i + 1) & 0xff) * 16777619) ^
+        ((data(i + 2) & 0xff) * 2654435761L.toInt) ^
+        ((data(i + 3) & 0xff) * 40503)
+      (h >>> (32 - HashBits)) & ((1 << HashBits) - 1)
+    }
+    var off = 0
+    while (off < data.length) {
+      val blockLen = math.min(65536, data.length - off)
+      val blockEnd = off + blockLen
+      // tokenize this meta-block
+      val tokens = Seq.newBuilder[Token]
+      var pos = off
+      var insFrom = off
+      while (pos < blockEnd) {
+        var bestLen = 0
+        var bestDist = 0
+        if (pos + 4 <= data.length && pos + 4 <= blockEnd) {
+          val h = hash4(pos)
+          var cand = head(h)
+          var depth = 0
+          while (cand >= 0 && depth < 48 &&
+            pos - cand <= window) {
+            var l = 0
+            val maxL = math.min(blockEnd - pos, 2118 + 16777216)
+            while (l < maxL && data(cand + l) == data(pos + l)) l += 1
+            if (l > bestLen) { bestLen = l; bestDist = pos - cand }
+            cand = prev(cand)
+            depth += 1
+          }
+        }
+        if (bestLen >= 4) {
+          tokens += Token(insFrom, pos - insFrom, bestLen, bestDist)
+          // index positions inside the match
+          var k = pos
+          val until = math.min(pos + bestLen, data.length - 3)
+          while (k < until) {
+            val h = hash4(k)
+            prev(k) = head(h); head(h) = k
+            k += 1
+          }
+          pos += bestLen
+          insFrom = pos
+        } else {
+          if (pos + 4 <= data.length) {
+            val h = hash4(pos)
+            prev(pos) = head(h); head(h) = pos
+          }
+          pos += 1
+        }
+      }
+      if (insFrom < blockEnd)
+        tokens += Token(insFrom, blockEnd - insFrom, 0, 0)
+      var toks = tokens.result()
+      if (toks.isEmpty)
+        toks = Seq(Token(off, 0, 0, 0)) // cannot happen; guard
+      // meta-block header
+      val isLast = blockEnd == data.length
+      w.bits(if (isLast) 1 else 0, 1)
+      if (isLast) w.bits(0, 1) // not empty
+      w.bits(0, 2) // 4 nibbles
+      w.bits(blockLen - 1, 16)
+      if (!isLast) w.bits(0, 1) // not uncompressed
+      w.bits(0, 1); w.bits(0, 1); w.bits(0, 1) // NBLTYPES 1,1,1
+      w.bits(0, 2); w.bits(0, 4) // NPOSTFIX, NDIRECT
+      w.bits(0, 2) // CMODE LSB6
+      w.bits(0, 1); w.bits(0, 1) // NTREES_L 1, NTREES_D 1
+      // frequencies
+      val litF = new Array[Long](256)
+      val cmdF = new Array[Long](704)
+      val dstF = new Array[Long](64)
+      toks.foreach { t =>
+        var i = t.insFrom
+        while (i < t.insFrom + t.insLen) {
+          litF(data(i) & 0xff) += 1
+          i += 1
+        }
+        val ic = insCodeOf(t.insLen)
+        val cc = cpCodeOf(math.max(t.copyLen, 2))
+        cmdF(cmdSymbol(ic, cc)) += 1
+        if (t.copyLen > 0) dstF(distCodeOf(t.dist)._1) += 1
+      }
+      if (dstF.forall(_ == 0)) dstF(16) = 1 // a tree must exist
+      if (litF.forall(_ == 0)) litF(0) = 1
+      val (litL, litC) = writePrefixCode(w, litF, 256)
+      val (cmdL, cmdC) = writePrefixCode(w, cmdF, 704)
+      val (dstL, dstC) = writePrefixCode(w, dstF, 64)
+      // command stream
+      toks.foreach { t =>
+        val ic = insCodeOf(t.insLen)
+        val cc = cpCodeOf(math.max(t.copyLen, 2))
+        val sym = cmdSymbol(ic, cc)
+        w.code(cmdC(sym), cmdL(sym))
+        w.bits(t.insLen - InsOff(ic), InsEx(ic))
+        w.bits(math.max(t.copyLen, 2) - CpOff(cc), CpEx(cc))
+        var i = t.insFrom
+        while (i < t.insFrom + t.insLen) {
+          val b = data(i) & 0xff
+          w.code(litC(b), litL(b))
+          i += 1
+        }
+        if (t.copyLen > 0) {
+          val (dc, extra, ebits) = distCodeOf(t.dist)
+          w.code(dstC(dc), dstL(dc))
+          w.bits(extra, ebits)
+        }
+      }
+      off = blockEnd
+    }
+    w.result()
   }
 }

@@ -156,8 +156,8 @@ object Http {
   }
 
   /** Undo one `Content-Encoding` token. None = cannot decode
-    * (unsupported like `br`, or corrupt) — the caller must refuse,
-    * not pass bytes through as if decoded.
+    * (unsupported, or corrupt) — the caller must refuse, not pass
+    * bytes through as if decoded.
     */
   private def contentDecode(token: String, b: Array[Byte])
       : Option[Array[Byte]] = token match {
@@ -165,6 +165,7 @@ object Http {
     case "gzip" | "x-gzip" => Archive.gunzip(b)
     case "deflate" => inflateAuto(b)
     case "zstd" => Zstd.decompress(b)
+    case "br" => Brotli.decompress(b)
     // buggy servers list "chunked" under Content-Encoding; the TE
     // path never routes "chunked" here (it is filtered before the
     // fold), so when we see it the framing has NOT been removed yet —

@@ -411,6 +411,17 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Exif.exifMeta)
   }
 
+  test("brotli decoder is total under own-encoder mutation") {
+    val text = ("brotli fuzz content é→Ω with repeated repeated " +
+      "repeated words ") * 8
+    assertTotal("brotli/entropy",
+      graft.operators.Brotli.encodeEntropy(text.getBytes("UTF-8")),
+      graft.operators.Brotli.decompress(_: Array[Byte]))
+    assertTotal("brotli/stored",
+      graft.operators.Brotli.encodeStored(text.getBytes("UTF-8")),
+      graft.operators.Brotli.decompress(_: Array[Byte]))
+  }
+
   test("vp8 lossy header parse is total under mutation") {
     assertTotal("vp8/meta",
       graft.operators.WebP.vp8Write(320, 240, 90, 33, 5, 2, 0),

@@ -83,10 +83,27 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
-  test("declared brotli refuses with null body, keeps status/mime") {
-    val b = resp("Content-Type: text/html\r\n" +
+  test("brotli bodies decode; corrupt brotli refuses with null " +
+      "body, keeps status/mime") {
+    val body = "brotli compressed body with words the dictionary " +
+      "knows: information available technology " * 40
+    for (enc <- Seq[Array[Byte] => Array[Byte]](
+      graft.operators.Brotli.encodeEntropy,
+      graft.operators.Brotli.encodeStored)) {
+      val b = resp("Content-Encoding: br\r\n",
+        enc(body.getBytes("UTF-8")))
+      assert(text(b).text == body)
+    }
+    // chunked + br composes like gzip
+    val framed = Http.chunkEncode(
+      graft.operators.Brotli.encodeEntropy(body.getBytes("UTF-8")), 64)
+    val c = resp("Content-Encoding: br\r\n" +
+      "Transfer-Encoding: chunked\r\n", framed)
+    assert(text(c).text == body)
+    // corrupt/garbage still refuses — never mojibake
+    val b2 = resp("Content-Type: text/html\r\n" +
       "Content-Encoding: br\r\n", "not-brotli".getBytes("UTF-8"))
-    val bt = text(b)
+    val bt = text(b2)
     assert(bt.text == null && bt.charset == null)
     assert(bt.status == 200 && bt.mime == "text/html")
   }
@@ -236,8 +253,7 @@ class HttpSpec extends AnyFunSuite {
       val recs = Archive.warcRecords(warc).get
       val respRec = recs.find(_.warcType == "response").get
       val bt = Http.bodyText(respRec.payload).get
-      if (f == 5) assert(bt.text == null, s"br must refuse (c=$c)")
-      else assert(bt.text == body, s"framing $f charset-mode $c")
+      assert(bt.text == body, s"framing $f charset-mode $c")
     }
   }
 
