@@ -32,16 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Point {
 
-  /** The 25 heaviest queries of the r13 isolated bench. */
-  private val Heavy: Seq[String] = Seq(
+  /** The 25 heaviest queries of the r13 isolated bench. Two swaps,
+    * same rationale as ScaleStress: q_semantic_dedup and q_knn_graph
+    * pin their cluster counts for the SQL oracle, and a FIXED k at
+    * growing n is quadratic by construction (the pinned knn config
+    * OOMs at 10× — measured here in round 14, which is the point of
+    * the harness); the AUTO-scaled variants are what a 100 TB run
+    * would use, so those are what the scale point measures.
+    */
+  private val Heavy: Seq[(String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "q_dedup_keep_best", "q_grouped_robust_z", "q_leakage_safe_split",
     "q_dedup_clean", "q_dedup_components", "q_neardup_increment",
     "q_classify", "q_robust_z", "q_iqr_outliers", "q_grouped_corr",
-    "q_eqfreq_binning", "q_semantic_dedup", "q_describe",
-    "q_knn_graph", "q_winsorize", "q_crawl_pdf", "q_entity_clusters",
+    "q_eqfreq_binning", "q_describe",
+    "q_winsorize", "q_crawl_pdf", "q_entity_clusters",
     "q_video_frame_dup", "q_lang_full", "q_grouped_winsorize",
     "q_char_lm_score", "q_oriented_dup", "q_encode_multi", "q_zorder",
-    "q_ivf_index")
+    "q_ivf_index").map(q => q -> SparkEntry.queries(q)) ++ Seq(
+    "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
+      graft.operators.SemanticDedup.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.4,
+        targetClusterSize = 200L)),
+    "knn_graph_auto" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.knnGraph(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, targetListSize = 200L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -101,18 +118,19 @@ object Sf1Point {
       println(s"[sf1] wrote 10x tables under $outDir")
     } else println(s"[sf1] reusing $outDir")
 
-    def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // warmup
-    try time("q_describe", sfDir) catch { case _: Throwable => () }
-    val rows = Heavy.flatMap { q =>
+    try time(SparkEntry.queries("q_describe"), sfDir)
+    catch { case _: Throwable => () }
+    val rows = Heavy.flatMap { case (q, fn) =>
       try {
-        val t1 = (1 to 2).map(_ => time(q, sfDir)).min
-        val t10 = (1 to 2).map(_ => time(q, outDir)).min
+        val t1 = (1 to 2).map(_ => time(fn, sfDir)).min
+        val t10 = (1 to 2).map(_ => time(fn, outDir)).min
         println(f"[sf1] $q%-24s sf0.1 $t1%7.2f s   sf1 $t10%7.2f s" +
           f"   ratio ${t10 / t1}%5.2f")
         Some((q, t1, t10))
