@@ -740,6 +740,58 @@ object SparkEntry {
         T.normalizeUrl(url).as("canonical"))
     }),
 
+    // ----- crawl politeness: RFC 9309 robots.txt — real files
+    // through three formatting layouts (comments/CRLF/case noise,
+    // decisions mode-invariant): group selection by agent
+    // specificity, longest-pattern rule precedence, the $-anchored
+    // wildcard, crawl-delay millis and the sitemap pointer all
+    // replay closed-form
+    "q_robots" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val r = Robots.synthRobots(d, "doc_id", "__m", "content")
+      Multimodal.decodeBatches(r, "content",
+          Robots.robotsSchema)(Robots.decodeRobots)
+        .select(col("doc_id"), col("n_groups"), col("n_rules"),
+          col("crawl_delay_ms"), col("sitemap"),
+          col("graft_private"), col("graft_ok"), col("graft_pdf"),
+          col("graft_pdfx"), col("graft_public"), col("other_public"))
+    }),
+
+    // ----- crawl frontier: sitemaps.org XML — urlset (plain and
+    // namespace-prefixed/CDATA layouts) and sitemapindex through the
+    // shared XML scanner; lastmod parses to exact epoch days,
+    // priority to exact milli, and the per-doc aggregates replay
+    // closed-form from the planted arithmetic
+    "q_sitemap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 5 + 2).cast("int").as("__n"),
+        (col("doc_id") % 3).cast("int").as("__m"))
+      val sm = Sitemap.synthSitemaps(d, "doc_id", "__n", "__m",
+        "content")
+      Multimodal.decodeBatches(sm, "content",
+          Sitemap.sitemapSchema)(Sitemap.decodeSitemap)
+        .select(col("doc_id"), col("kind"), col("n_urls"),
+          col("first_loc"), col("lastmod_day_sum"),
+          col("priority_milli_sum"), col("n_daily"))
+    }),
+
+    // ----- IDN hosts: the synthesizer converts a Unicode host to
+    // its ACE (xn--) form with the JDK's OWN IDN implementation (an
+    // independent reference), the operator decodes it back via the
+    // from-spec RFC 3492 bootstring, and ALSO re-encodes — so both
+    // directions pin against the reference inside the oracle
+    "q_idn_hosts" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("bücher"), col("doc_id") % 50,
+          lit(".ärger"), col("doc_id") % 7,
+          lit(".例え.org")).as("__uni"))
+      val ace = Idn.synthAceHosts(d, "__uni", "content")
+      Multimodal.decodeBatches(ace, "content",
+          Idn.idnSchema)(Idn.decodeIdnHost)
+        .select(col("doc_id"), col("uni_host"), col("ace_roundtrip"))
+    }),
+
     // ----- text curation: PII redaction. The synthetic corpus has no
     // PII, so the query plants engine-identically-constructed PII
     // (derived from doc_id) and asserts the redaction chain strips it.
@@ -4099,6 +4151,55 @@ object SparkEntry {
     "q_pii_redact" -> piiRedactOracle,
     "q_redact_cards" -> redactCardsOracle,
     "q_redact_iban" -> redactIbanOracle,
+    // every decision/field replays closed-form: the planted rules
+    // are fixed, only delay and the sitemap pointer carry the seed
+    "q_robots" ->
+      """SELECT doc_id,
+         CAST(2 AS INT) AS n_groups, CAST(4 AS INT) AS n_rules,
+         CAST((doc_id % 7 + 1) * 1000 AS BIGINT) AS crawl_delay_ms,
+         'https://example.org/sm' || doc_id || '.xml' AS sitemap,
+         FALSE AS graft_private, TRUE AS graft_ok,
+         FALSE AS graft_pdf, TRUE AS graft_pdfx,
+         TRUE AS graft_public, FALSE AS other_public
+         FROM documents""",
+
+    // per-doc aggregates from the planted arithmetic: lastmod day
+    // 18262 + (seed+i)%1000, priority milli ((seed+i)%10)*100,
+    // daily on even (seed+i); sitemapindex rows carry dates only
+    "q_sitemap" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n,
+           doc_id % 3 AS m FROM documents),
+         e AS (SELECT doc_id, n, m, t.i AS i
+           FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(i))
+         SELECT p.doc_id,
+           CASE WHEN p.m = 2 THEN 'sitemapindex' ELSE 'urlset' END
+             AS kind,
+           CAST(p.n AS INT) AS n_urls,
+           CASE WHEN p.m = 2 THEN 'https://example.org/sm' ||
+               p.doc_id || '_0.xml'
+             ELSE 'https://example.org/p' || p.doc_id || '_0'
+             END AS first_loc,
+           CAST((SELECT SUM(18262 + (e.doc_id + e.i) % 1000) FROM e
+             WHERE e.doc_id = p.doc_id) AS BIGINT) AS lastmod_day_sum,
+           CAST((SELECT CASE WHEN p.m = 2 THEN 0
+             ELSE SUM(((e.doc_id + e.i) % 10) * 100) END FROM e
+             WHERE e.doc_id = p.doc_id) AS BIGINT)
+             AS priority_milli_sum,
+           CAST((SELECT CASE WHEN p.m = 2 THEN 0
+             ELSE SUM(CASE WHEN (e.doc_id + e.i) % 2 = 0 THEN 1
+               ELSE 0 END) END FROM e
+             WHERE e.doc_id = p.doc_id) AS INT) AS n_daily
+         FROM p""",
+
+    // decode is the JDK-encoded ACE back to the planted Unicode
+    // host; ace_roundtrip pins our ENCODER against the JDK's too
+    "q_idn_hosts" ->
+      """SELECT doc_id,
+         'bücher' || (doc_id % 50) || '.ärger' || (doc_id % 7) ||
+           '.例え.org' AS uni_host,
+         TRUE AS ace_roundtrip
+         FROM documents""",
+
     "q_url_domains" -> urlDomainsOracle,
 
     // same plant, same RE2-compatible regexp chain (DuckDB backrefs

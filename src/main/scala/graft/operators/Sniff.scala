@@ -124,6 +124,7 @@ object Sniff {
         case "feed" => "application/atom+xml"
         case "gpx" => "application/gpx+xml"
         case "kml" => "application/vnd.google-earth.kml+xml"
+        case "urlset" | "sitemapindex" => "application/x-sitemap+xml"
         case _ => "text/xml"
       }
     }

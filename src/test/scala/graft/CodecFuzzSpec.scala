@@ -411,6 +411,18 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Exif.exifMeta)
   }
 
+  test("robots/sitemap parsers are total under mutation") {
+    assertTotal("robots",
+      graft.operators.Robots.robotsWrite(17L, 0),
+      graft.operators.Robots.parse)
+    assertTotal("sitemap/urlset",
+      graft.operators.Sitemap.sitemapWrite(17L, 5, 1),
+      graft.operators.Sitemap.parse)
+    assertTotal("sitemap/index",
+      graft.operators.Sitemap.sitemapWrite(17L, 5, 2),
+      graft.operators.Sitemap.parse)
+  }
+
   test("brotli decoder is total under own-encoder mutation") {
     val text = ("brotli fuzz content é→Ω with repeated repeated " +
       "repeated words ") * 8

@@ -144,6 +144,13 @@ class SniffSpec extends AnyFunSuite {
       "text/plain")
   }
 
+  test("sitemap xml dialects sniff to their label") {
+    assert(Sniff.sniff(graft.operators.Sitemap.sitemapWrite(3L, 2, 0))
+      == "application/x-sitemap+xml")
+    assert(Sniff.sniff(graft.operators.Sitemap.sitemapWrite(3L, 2, 2))
+      == "application/x-sitemap+xml")
+  }
+
   test("sniffDeep unwraps gzip and zstd to the interior label") {
     import graft.operators.{Feed, Ipynb, Zstd}
     assert(Sniff.sniffDeep(Archive.gzipWrite(
