@@ -2510,6 +2510,23 @@ object SparkEntry {
         .select(col("doc_id"), col("brotli_text"))
     }),
 
+    // ----- FULL bzip2 codec (the dump-distribution format): padded
+    // doc text through the repo's own BWT+MTF+RLE+Huffman encoder —
+    // whose output the reference bzip2 tool decoded bit-exactly at
+    // generation time (Bzip2Spec pins regeneration) — and back
+    // through the from-spec decoder with both CRC layers verified
+    "q_bzip2_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          repeat(lit("z"), (col("doc_id") % 60 + 8).cast("int")),
+          substring(coalesce(col("text"), lit("")), 1, 48))
+          .as("__t"))
+      val b = Bzip2.synthBzip2(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(b, "content",
+          Bzip2.bzip2TextSchema)(Bzip2.decodeBzip2Text)
+        .select(col("doc_id"), col("bzip2_text"))
+    }),
+
     "q_zstd_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
@@ -5349,6 +5366,14 @@ object SparkEntry {
          FROM (SELECT * FROM skipf UNION ALL
                SELECT * FROM textf UNION ALL
                SELECT * FROM rlef)""",
+
+    // full bzip2 codec must be lossless: padded text (the z-run
+    // exercises RLE1 escapes) through BWT+MTF+RLE+Huffman and back
+    "q_bzip2_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') || ' ' ||
+           repeat('z', CAST(doc_id % 60 + 8 AS INT)) ||
+           substr(COALESCE(text, ''), 1, 48) AS bzip2_text
+         FROM documents""",
 
     // full brotli decode must be lossless: the padded text through
     // LZ77 + Huffman (or the stored framing) and back is the text

@@ -82,6 +82,8 @@ object Sniff {
     if (ascii("Obj") && at(3) == 1) return "application/avro"
     if (ascii("WARC/")) return "application/warc"
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
+    if (ascii("BZh") && at(3) >= '1' && at(3) <= '9')
+      return "application/x-bzip2"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) return "application/zstd"
     // ustar at offset 257
@@ -164,6 +166,11 @@ object Sniff {
         Zstd.decompress(b) match {
           case Some(d) => (outer, sniff(d))
           case None => (outer, "application/zstd-damaged")
+        }
+      case "application/x-bzip2" =>
+        Bzip2.decompress(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/x-bzip2-damaged")
         }
       case _ => (outer, outer)
     }

@@ -423,6 +423,14 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Sitemap.parse)
   }
 
+  test("bzip2 codec is total under own-encoder mutation") {
+    val text = ("bzip2 fuzz content with runs aaaaaa and words " +
+      "words words ") * 8
+    assertTotal("bzip2",
+      graft.operators.Bzip2.compress(text.getBytes("UTF-8")),
+      graft.operators.Bzip2.decompress(_: Array[Byte]))
+  }
+
   test("brotli decoder is total under own-encoder mutation") {
     val text = ("brotli fuzz content é→Ω with repeated repeated " +
       "repeated words ") * 8

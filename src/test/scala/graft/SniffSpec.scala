@@ -151,6 +151,16 @@ class SniffSpec extends AnyFunSuite {
       == "application/x-sitemap+xml")
   }
 
+  test("bzip2 sniffs and sniffDeep unwraps it") {
+    val inner = graft.operators.Docx.docxWrite("bz interior", 0)
+    val bz = graft.operators.Bzip2.compress(inner)
+    assert(Sniff.sniff(bz) == "application/x-bzip2")
+    val (outer, deep) = Sniff.sniffDeep(bz)
+    assert(outer == "application/x-bzip2")
+    assert(deep == "application/vnd.openxmlformats-officedocument" +
+      ".wordprocessingml.document")
+  }
+
   test("sniffDeep unwraps gzip and zstd to the interior label") {
     import graft.operators.{Feed, Ipynb, Zstd}
     assert(Sniff.sniffDeep(Archive.gzipWrite(
