@@ -2510,6 +2510,22 @@ object SparkEntry {
         .select(col("doc_id"), col("brotli_text"))
     }),
 
+    // ----- xz container round-trip: the repo's own encoder (real
+    // xz container, uncompressed LZMA2 chunks — reference-verified
+    // at generation) through the full decoder with the CRC32 check
+    // verified; the LZMA entropy layer itself is pinned by the
+    // reference-liblzma goldens in XzSpec
+    "q_xz_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" xz "),
+          substring(coalesce(col("text"), lit("")), 1, 32))
+          .as("__t"))
+      val x = Xz.synthXz(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(x, "content",
+          Xz.xzTextSchema)(Xz.decodeXzText)
+        .select(col("doc_id"), col("xz_text"))
+    }),
+
     // ----- FULL bzip2 codec (the dump-distribution format): padded
     // doc text through the repo's own BWT+MTF+RLE+Huffman encoder —
     // whose output the reference bzip2 tool decoded bit-exactly at
@@ -5366,6 +5382,12 @@ object SparkEntry {
          FROM (SELECT * FROM skipf UNION ALL
                SELECT * FROM textf UNION ALL
                SELECT * FROM rlef)""",
+
+    // xz container round-trip is lossless
+    "q_xz_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') || ' xz ' ||
+           substr(COALESCE(text, ''), 1, 32) AS xz_text
+         FROM documents""",
 
     // full bzip2 codec must be lossless: padded text (the z-run
     // exercises RLE1 escapes) through BWT+MTF+RLE+Huffman and back

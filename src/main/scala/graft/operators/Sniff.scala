@@ -84,6 +84,8 @@ object Sniff {
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
     if (ascii("BZh") && at(3) >= '1' && at(3) <= '9')
       return "application/x-bzip2"
+    if (at(0) == 0xfd && ascii("7zXZ", 1) && at(5) == 0)
+      return "application/x-xz"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) return "application/zstd"
     // ustar at offset 257
@@ -171,6 +173,11 @@ object Sniff {
         Bzip2.decompress(b) match {
           case Some(d) => (outer, sniff(d))
           case None => (outer, "application/x-bzip2-damaged")
+        }
+      case "application/x-xz" =>
+        Xz.decompress(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/x-xz-damaged")
         }
       case _ => (outer, outer)
     }

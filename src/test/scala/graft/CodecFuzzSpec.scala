@@ -431,6 +431,13 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Bzip2.decompress(_: Array[Byte]))
   }
 
+  test("xz decoder is total under own-encoder mutation") {
+    val text = ("xz fuzz content with words words words é→Ω ") * 10
+    assertTotal("xz/container",
+      graft.operators.Xz.compress(text.getBytes("UTF-8")),
+      graft.operators.Xz.decompress(_: Array[Byte]))
+  }
+
   test("brotli decoder is total under own-encoder mutation") {
     val text = ("brotli fuzz content é→Ω with repeated repeated " +
       "repeated words ") * 8

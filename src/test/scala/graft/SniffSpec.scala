@@ -161,6 +161,15 @@ class SniffSpec extends AnyFunSuite {
       ".wordprocessingml.document")
   }
 
+  test("xz sniffs and sniffDeep unwraps it") {
+    val inner = graft.operators.Archive.tarWrite(Seq(
+      ("a.txt", "xz interior".getBytes)))
+    val x = graft.operators.Xz.compress(inner)
+    assert(Sniff.sniff(x) == "application/x-xz")
+    assert(Sniff.sniffDeep(x) ==
+      (("application/x-xz", "application/x-tar")))
+  }
+
   test("sniffDeep unwraps gzip and zstd to the interior label") {
     import graft.operators.{Feed, Ipynb, Zstd}
     assert(Sniff.sniffDeep(Archive.gzipWrite(
