@@ -166,6 +166,8 @@ object Http {
     case "deflate" => inflateAuto(b)
     case "zstd" => Zstd.decompress(b)
     case "br" => Brotli.decompress(b)
+    case "bzip2" | "x-bzip2" => Bzip2.decompress(b)
+    case "xz" => Xz.decompress(b)
     // buggy servers list "chunked" under Content-Encoding; the TE
     // path never routes "chunked" here (it is filtered before the
     // fold), so when we see it the framing has NOT been removed yet —

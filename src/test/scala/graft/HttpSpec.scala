@@ -68,7 +68,8 @@ class HttpSpec extends AnyFunSuite {
     assert(chk("ffffffffff\r\n\r\n").isEmpty, "size line too long")
   }
 
-  test("content encodings: gzip, zlib deflate, raw deflate, zstd") {
+  test("content encodings: gzip, zlib deflate, raw deflate, zstd, " +
+      "bzip2, xz") {
     val body = "compress me " * 200
     val plain = body.getBytes("UTF-8")
     val cases = Seq(
@@ -76,7 +77,9 @@ class HttpSpec extends AnyFunSuite {
       ("x-gzip", Archive.gzipWrite(plain, "b")),
       ("deflate", Http.zlibDeflate(plain)),
       ("deflate", Http.rawDeflate(plain)), // in-the-wild raw variant
-      ("zstd", Zstd.encodeEntropyFrame(plain)))
+      ("zstd", Zstd.encodeEntropyFrame(plain)),
+      ("bzip2", graft.operators.Bzip2.compress(plain)),
+      ("xz", graft.operators.Xz.compress(plain)))
     for ((enc, bytes) <- cases) {
       val b = resp(s"content-encoding: $enc\r\n", bytes)
       assert(text(b).text == body, s"encoding $enc")
