@@ -758,6 +758,36 @@ object SparkEntry {
           col("graft_pdfx"), col("graft_public"), col("other_public"))
     }),
 
+    // ----- the crawl chain END-TO-END for politeness: robots.txt
+    // bodies arrive inside WARC records under the full HTTP framing
+    // cycle (identity/chunked/gzip/deflate/zstd/BROTLI, doc_id%8) —
+    // WARC walk → framing decode → RFC 9309 evaluation, decisions
+    // replayed closed-form like q_robots
+    "q_crawl_robots" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("User-agent: GraftBot\nDisallow: /private/\n" +
+          "Allow: /private/ok\nDisallow: /*.pdf$\nCrawl-delay: "),
+          (col("doc_id") % 7 + 1).cast("string"),
+          lit("\nUser-agent: *\nDisallow: /\n" +
+            "Sitemap: https://example.org/sm"),
+          col("doc_id"), lit(".xml\n")).as("__b"),
+        (col("doc_id") % 8).cast("int").as("__f"),
+        lit(0).cast("int").as("__c"))
+      val warcs = Archive.synthHttpWarcs(d, "doc_id", "__b", "__f",
+        "__c", "content")
+      val bodies = Archive.warcRecordRowsAuto(warcs, "doc_id",
+          "content")
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"),
+          encode(col("body_text"), "UTF-8").as("robots_bytes"))
+      Multimodal.decodeBatches(bodies, "robots_bytes",
+          Robots.robotsSchema)(Robots.decodeRobots)
+        .select(col("doc_id"), col("n_groups"), col("n_rules"),
+          col("crawl_delay_ms"), col("sitemap"),
+          col("graft_private"), col("graft_ok"), col("graft_pdf"),
+          col("graft_pdfx"), col("graft_public"), col("other_public"))
+    }),
+
     // ----- crawl frontier: sitemaps.org XML — urlset (plain and
     // namespace-prefixed/CDATA layouts) and sitemapindex through the
     // shared XML scanner; lastmod parses to exact epoch days,
@@ -4187,6 +4217,18 @@ object SparkEntry {
     // every decision/field replays closed-form: the planted rules
     // are fixed, only delay and the sitemap pointer carry the seed
     "q_robots" ->
+      """SELECT doc_id,
+         CAST(2 AS INT) AS n_groups, CAST(4 AS INT) AS n_rules,
+         CAST((doc_id % 7 + 1) * 1000 AS BIGINT) AS crawl_delay_ms,
+         'https://example.org/sm' || doc_id || '.xml' AS sitemap,
+         FALSE AS graft_private, TRUE AS graft_ok,
+         FALSE AS graft_pdf, TRUE AS graft_pdfx,
+         TRUE AS graft_public, FALSE AS other_public
+         FROM documents""",
+
+    // identical decisions to q_robots — the WARC + framing chain in
+    // between must be transparent
+    "q_crawl_robots" ->
       """SELECT doc_id,
          CAST(2 AS INT) AS n_groups, CAST(4 AS INT) AS n_rules,
          CAST((doc_id % 7 + 1) * 1000 AS BIGINT) AS crawl_delay_ms,

@@ -195,14 +195,21 @@ object Xz {
         10 + rc.tree(probs, 2 + 128 + posState * 8, 3)
       else 18 + rc.tree(probs, 2 + 256, 8)
 
-    /** Decode exactly `limit` bytes into `out`. `dictStart` is the
-      * output index where the current dictionary window began.
+    /** True once the LZMA end marker (distance 0xFFFFFFFF) was
+      * decoded — only the LZMA_ALONE unknown-size form uses it.
+      */
+    var hitMarker = false
+
+    /** Decode exactly `limit` bytes into `out` (`limit` < 0 = run
+      * until the end marker, the LZMA_ALONE unknown-size form).
+      * `dictStart` is the output index where the current dictionary
+      * window began.
       */
     def run(rc: RC, out: Out, limit: Int, dictStart: Int): Unit = {
       val pbMask = (1 << pb) - 1
       val lpMask = (1 << lp) - 1
-      val end = out.len + limit
-      while (out.len < end) {
+      val end = if (limit < 0) Int.MaxValue else out.len + limit
+      while (out.len < end && !hitMarker) {
         val posState = (out.len - dictStart) & pbMask
         if (rc.bit(isMatch, (state << 4) + posState) == 0) {
           val prev =
@@ -275,8 +282,11 @@ object Xz {
                 dist += rc.rtree(align, 0, 4)
               }
             }
-            if (dist == -1) fail("end marker in lzma2")
-            reps(0) = dist
+            if (dist == -1) {
+              if (limit >= 0) fail("end marker in lzma2")
+              hitMarker = true
+              length = 0
+            } else reps(0) = dist
           }
           if (length > 0) {
             val d = reps(0)
@@ -516,6 +526,40 @@ object Xz {
       fail("footer flags mismatch")
     if (d(pos + 10) != 'Y' || d(pos + 11) != 'Z') fail("footer magic")
     pos + 12
+  }
+
+  /** Decode a legacy `.lzma` (LZMA_ALONE) payload: 1 props byte,
+    * 4-byte LE dict size, 8-byte LE uncompressed size (all-ones =
+    * unknown, terminated by the LZMA end marker), then one raw
+    * LZMA1 stream. None for damage; a declared size is exact.
+    */
+  def decompressAlone(b: Array[Byte], maxOut: Int = MaxOut)
+      : Option[Array[Byte]] = {
+    if (b == null || b.length < 18) return None
+    try {
+      val p = b(0) & 0xff
+      if (p >= 9 * 5 * 5) fail("bad props")
+      val lc = p % 9
+      val rest = p / 9
+      val usize = le64(b, 5)
+      val lz = new Lzma(lc, rest % 5, rest / 5)
+      val out = new Out(maxOut)
+      val rc = new RC(b, 13, b.length)
+      if (usize == -1L) {
+        // unknown size: the stream is end-marker terminated
+        lz.run(rc, out, -1, 0)
+        if (!lz.hitMarker) fail("no end marker")
+      } else {
+        if (usize < 0 || usize > maxOut) fail("bad size")
+        lz.run(rc, out, usize.toInt, 0)
+      }
+      if (!rc.finished) fail("range coder did not settle")
+      Some(java.util.Arrays.copyOf(out.buf, out.len))
+    } catch {
+      case XzFail(_) => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
   }
 
   /** Decode a (possibly multi-stream) xz payload. None for anything

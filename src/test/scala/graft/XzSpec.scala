@@ -55,6 +55,25 @@ class XzSpec extends AnyFunSuite {
         .exists(_.sameElements(data)), s"len ${data.length}")
   }
 
+  test("legacy LZMA_ALONE (.lzma) decodes via the end marker") {
+    assert(Xz.decompressAlone(resource("text_alone.lzma"))
+      .exists(_.sameElements(resource("text.bin"))))
+    assert(Xz.decompressAlone(resource("runs_alone.lzma"))
+      .exists(_.sameElements(resource("runs.bin"))))
+    // damage refuses; never throws
+    assert(Xz.decompressAlone(null).isEmpty)
+    assert(Xz.decompressAlone("too short".getBytes).isEmpty)
+    val good = resource("text_alone.lzma")
+    assert(Xz.decompressAlone(good.take(good.length / 2)).isEmpty)
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) =
+        (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Xz.decompressAlone(m)
+    }
+  }
+
   test("every check type actually rejects corruption") {
     // corrupt ONE payload byte in each golden; the check layer (or
     // the range coder) must refuse — never wrong bytes
