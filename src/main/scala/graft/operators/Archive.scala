@@ -165,6 +165,29 @@ object Archive {
             if (done != out.length) return None
             out
           } finally inf.end()
+        case 12 =>
+          // bzip2-compressed entry (APPNOTE 4.6.x): a whole stream
+          val comp = java.util.Arrays.copyOfRange(b, dataOff,
+            dataOff + e.compressedSize.toInt)
+          Bzip2.decompress(comp) match {
+            case Some(d) if d.length == e.uncompressedSize => d
+            case _ => return None
+          }
+        case 14 =>
+          // LZMA entry (APPNOTE 5.8): version u16, props size u16,
+          // props bytes (lzma props byte + dict size), raw LZMA1
+          if (e.compressedSize < 9) return None
+          val psz = le16(b, dataOff + 2)
+          if (psz < 5 ||
+            dataOff + 4 + psz > dataOff + e.compressedSize)
+            return None
+          val props = b(dataOff + 4) & 0xff
+          Xz.lzma1Raw(b, dataOff + 4 + psz,
+            dataOff + e.compressedSize.toInt, props,
+            e.uncompressedSize.toInt) match {
+            case Some(d) if d.length == e.uncompressedSize => d
+            case _ => return None
+          }
         case _ => return None
       }
       val crc = new java.util.zip.CRC32()

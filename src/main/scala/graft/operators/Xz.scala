@@ -528,6 +528,29 @@ object Xz {
     pos + 12
   }
 
+  /** Raw LZMA1 stream with explicit props and a known output size —
+    * the form ZIP method 14 and other embedded uses carry. `end`
+    * bounds the compressed bytes; trailing end markers are accepted.
+    */
+  private[operators] def lzma1Raw(b: Array[Byte], pos: Int, end: Int,
+      props: Int, outLen: Int): Option[Array[Byte]] = {
+    try {
+      if (props >= 9 * 5 * 5) fail("bad props")
+      if (outLen < 0 || outLen > MaxOut) fail("bad size")
+      val lc = props % 9
+      val rest = props / 9
+      val lz = new Lzma(lc, rest % 5, rest / 5)
+      val out = new Out(MaxOut)
+      val rc = new RC(b, pos, end)
+      lz.run(rc, out, outLen, 0)
+      Some(java.util.Arrays.copyOf(out.buf, out.len))
+    } catch {
+      case XzFail(_) => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
   /** Decode a legacy `.lzma` (LZMA_ALONE) payload: 1 props byte,
     * 4-byte LE dict size, 8-byte LE uncompressed size (all-ones =
     * unknown, terminated by the LZMA end marker), then one raw

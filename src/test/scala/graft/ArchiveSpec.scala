@@ -38,6 +38,35 @@ class ArchiveSpec extends SparkSpec {
     assert(Archive.zipExtract(bad, es.head).isEmpty)
   }
 
+  test("zip methods 12 (bzip2) and 14 (LZMA) extract via the new " +
+      "codecs — reference-writer fixture") {
+    def resource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zipmethods/$name")
+      assert(in != null, s"missing $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val zip = resource("methods.zip")
+    val entries = Archive.zipEntries(zip).get
+    assert(entries.map(e => e.name -> e.method).toMap ==
+      Map("bz.txt" -> 12, "lz.txt" -> 14, "st.txt" -> 0))
+    for ((name, want) <- Seq("bz.txt" -> resource("bz.txt"),
+      "lz.txt" -> resource("lz.txt"),
+      "st.txt" -> "stored sibling".getBytes("UTF-8"))) {
+      val e = entries.find(_.name == name).get
+      val got = Archive.zipExtract(zip, e)
+      assert(got.exists(_.sameElements(want)), name)
+    }
+    // mutated members refuse (codec or CRC), never throw
+    val rnd = new scala.util.Random(12)
+    for (_ <- 0 until 200) {
+      val m = zip.clone()
+      m(rnd.nextInt(m.length)) =
+        (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Archive.zipEntries(m).foreach(_.foreach(e =>
+        Archive.zipExtract(m, e)))
+    }
+  }
+
   test("zip64 layout: EOCD64 chain + extended-info extras read back") {
     val z = Archive.zipWrite64(payloads)
     val es = Archive.zipEntries(z).get
