@@ -2741,13 +2741,14 @@ object SparkEntry {
 
     // ----- encrypted-PDF extraction (standard security handler,
     // EMPTY user password — the owner-password-only class any reader
-    // may open): doc_id%3 cycles RC4-40 / RC4-128 / AES-128-CBC; a
-    // correct Algorithm-2 key + per-object key + decrypt-then-
-    // inflate chain is the only way the planted text comes back
+    // may open): doc_id%4 cycles RC4-40 / RC4-128 / AES-128-CBC /
+    // AES-256-R6 (ISO 32000-2 Algorithm 2.B hardened hash); correct
+    // key derivation + decrypt-then-inflate is the only way the
+    // planted text comes back
     "q_pdf_encrypted" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 3).cast("int").as("__m"))
+        (col("doc_id") % 4).cast("int").as("__m"))
       val pdfs = Pdf.synthPdfsEncrypted(d, "doc_id", "__t", "__m",
         "content")
       Multimodal.decodeBatches(pdfs, "content",

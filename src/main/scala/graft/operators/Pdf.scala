@@ -1030,6 +1030,43 @@ object Pdf {
         }
       val v = num("V", 0).toInt
       val r = num("R", 2).toInt
+      if (v == 5) {
+        // AES-256 (ISO 32000-2): R5 (plain SHA-256) or R6 (the
+        // hardened Algorithm 2.B hash). Empty user password only:
+        // validate against /U's hash+validation-salt, unwrap the
+        // file key from /UE with the key-salt intermediate, then
+        // decrypt every stream AES-256-CBC with the ONE file key
+        // (V5 has no per-object keys).
+        if (r != 5 && r != 6) fail("encrypted")
+        val u = str("U")
+        val ue = str("UE")
+        if (u.length < 48 || ue.length < 32) fail("encrypted")
+        val hash = java.util.Arrays.copyOf(u, 32)
+        val vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
+        val ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
+        val got = hash2B(Array.emptyByteArray, vsalt,
+          Array.emptyByteArray, r6 = r == 6)
+        if (!java.util.Arrays.equals(got, hash))
+          fail("encrypted") // a real user password: refuse
+        val inter = hash2B(Array.emptyByteArray, ksalt,
+          Array.emptyByteArray, r6 = r == 6)
+        val fileKey = aesCbcRaw(encrypt = false, inter,
+          new Array[Byte](16), java.util.Arrays.copyOf(ue, 32))
+        // /Perms cross-check when present: AES-ECB with the file
+        // key must reveal the 'adb' signature
+        em.get("Perms").map(resolve(_, 0)).foreach {
+          case PStr(pb) if pb.length >= 16 =>
+            val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+            val p2 = c.doFinal(java.util.Arrays.copyOf(pb, 16))
+            if (p2(9) != 'a' || p2(10) != 'd' || p2(11) != 'b')
+              fail("encrypted")
+          case _ => fail("encrypted")
+        }
+        decryptStm = Some { (raw, _, _) => aesCbcDecrypt(fileKey, raw) }
+        return
+      }
       val lenBits = num("Length", 40).toInt
       if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0)
         fail("encrypted")
@@ -1676,6 +1713,66 @@ object Pdf {
     iv ++ c.doFinal(padded)
   }
 
+  /** Raw AES-CBC without padding or IV framing (the V5 key-wrap
+    * primitives: /UE//OE decrypt with a zero IV).
+    */
+  private def aesCbcRaw(encrypt: Boolean, key: Array[Byte],
+      iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash: SHA-256 seed,
+    * then rounds of AES-128-CBC over 64 repetitions of
+    * (pw ‖ K ‖ udata) keyed/IV'd from K, the digest algorithm picked
+    * by E's leading 16 bytes mod 3 (≡ byte sum mod 3, since
+    * 256 ≡ 1 mod 3), until round ≥ 64 and E's last byte ≤ round−32.
+    * R5 uses the plain SHA-256 seed only.
+    */
+  private def hash2B(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r6: Boolean): Array[Byte] = {
+    var k = sha("SHA-256", pw, salt, udata)
+    if (!r6) return k
+    var round = 0
+    var done = false
+    var lastE = 0
+    while (!done) {
+      val unit = pw ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(unit, 0, k1, i * unit.length, unit.length)
+        i += 1
+      }
+      val e = aesCbcRaw(encrypt = true,
+        java.util.Arrays.copyOf(k, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      k = sum % 3 match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      lastE = e(e.length - 1) & 0xff
+      round += 1
+      if (round >= 64 && lastE <= round - 32) done = true
+      if (round > 4096) fail("hash2B runaway")
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
   // ------------------------------------------------------------------
 
   /** Extraction result: full text (pages joined by newline) and the
@@ -2290,7 +2387,10 @@ object Pdf {
     */
   def pdfWriteEncryptedStd(text: String, mode: Int, seed: Long,
       userPw: String = ""): Array[Byte] = {
-    val m = math.floorMod(mode, 3)
+    val m0 = math.floorMod(mode, 4)
+    if (m0 == 3)
+      return pdfWriteEncryptedAes256(text, seed, userPw, r6 = true)
+    val m = m0
     val (v, r, lenBits, aes) = m match {
       case 0 => (1, 2, 40, false)
       case 1 => (2, 3, 128, false)
@@ -2399,6 +2499,90 @@ object Pdf {
         Row.fromSeq(r.toSeq :+ bytes)
       }
     }(enc)
+  }
+
+  /** AES-256 (V5) encrypted fixture, ISO 32000-2: R6 by default (the
+    * Algorithm 2.B hardened hash), R5 for the deprecated plain-SHA
+    * revision. Deterministic salts/file-key/IVs from `seed`; owner
+    * password "owner"; a non-empty `userPw` writes a file the reader
+    * must refuse. /Perms carries the real ECB-wrapped 'adb' block.
+    */
+  def pdfWriteEncryptedAes256(text: String, seed: Long,
+      userPw: String = "", r6: Boolean = true): Array[Byte] = {
+    val user = userPw.getBytes(StandardCharsets.UTF_8)
+    val fileKey = md5(s"graft-k1-$seed".getBytes(
+      StandardCharsets.UTF_8)) ++
+      md5(s"graft-k2-$seed".getBytes(StandardCharsets.UTF_8))
+    def salt(tag: String): Array[Byte] =
+      md5(s"graft-$tag-$seed".getBytes(StandardCharsets.UTF_8))
+        .take(8)
+    val vsalt = salt("vs"); val ksalt = salt("ks")
+    val uHash = hash2B(user, vsalt, Array.emptyByteArray, r6)
+    val uStr = uHash ++ vsalt ++ ksalt
+    val ue = aesCbcRaw(encrypt = true,
+      hash2B(user, ksalt, Array.emptyByteArray, r6),
+      new Array[Byte](16), fileKey)
+    val owner = "owner".getBytes(StandardCharsets.UTF_8)
+    val ovsalt = salt("ovs"); val oksalt = salt("oks")
+    val oHash = hash2B(owner, ovsalt, uStr, r6)
+    val oStr = oHash ++ ovsalt ++ oksalt
+    val oe = aesCbcRaw(encrypt = true, hash2B(owner, oksalt, uStr, r6),
+      new Array[Byte](16), fileKey)
+    val p = -44
+    val permsPlain = pLe4(p) ++
+      Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array('T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte) ++
+      md5(s"graft-pr-$seed".getBytes(StandardCharsets.UTF_8)).take(4)
+    val perms = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      c.doFinal(permsPlain)
+    }
+    def hex(bs: Array[Byte]): String =
+      bs.map(b => f"${b & 0xff}%02x").mkString("<", "", ">")
+    val encContent = aesCbcEncrypt(fileKey,
+      md5(s"graft-iv-$seed".getBytes(StandardCharsets.UTF_8)),
+      deflate(contentOps(text, 0).getBytes(StandardCharsets.UTF_8)))
+    val encDict = s"<< /Filter /Standard /V 5 /R ${if (r6) 6 else 5} " +
+      "/Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF " +
+      s"/U ${hex(uStr)} /UE ${hex(ue)} /O ${hex(oStr)} " +
+      s"/OE ${hex(oe)} /Perms ${hex(perms)} /P $p >>"
+    val objs = mutable.LinkedHashMap[Int, Array[Byte]]()
+    def obj(num: Int, body: String): Unit =
+      objs(num) = s"$num 0 obj\n$body\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    objs(4) = (s"4 0 obj\n<< /Length ${encContent.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ encContent ++
+      "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(6, encDict)
+    val out = new java.io.ByteArrayOutputStream()
+    val header = "%PDF-2.0\n".getBytes(StandardCharsets.ISO_8859_1)
+    out.write(header, 0, header.length)
+    val offsets = mutable.Map[Int, Long]()
+    for (k <- objs.keys.toSeq.sorted) {
+      offsets(k) = out.size.toLong
+      out.write(objs(k), 0, objs(k).length)
+    }
+    val xrefOff = out.size.toLong
+    val id0 = md5(s"graft-pdf-id-$seed".getBytes(
+      StandardCharsets.UTF_8))
+    val sb = new StringBuilder(s"xref\n0 7\n0000000000 65535 f \n")
+    for (i <- 1 to 6)
+      sb.append(f"${offsets(i)}%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+      s"/ID [${hex(id0)} ${hex(id0)}] >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val tb = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    out.write(tb, 0, tb.length)
+    out.toByteArray
   }
 
   /** Per-row ENCRYPTED-PDF synthesizer (standard security handler,

@@ -291,6 +291,9 @@ class CodecFuzzSpec extends SparkSpec {
     assertTotal("pdf/aes-128",
       graft.operators.Pdf.pdfWriteEncryptedStd(text, 2, 3L),
       graft.operators.Pdf.pdfText)
+    assertTotal("pdf/aes-256-r6",
+      graft.operators.Pdf.pdfWriteEncryptedStd(text, 3, 3L),
+      graft.operators.Pdf.pdfText)
   }
 
   test("docx/xlsx extractors are total under mutation") {

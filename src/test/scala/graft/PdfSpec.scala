@@ -186,8 +186,8 @@ class PdfSpec extends SparkSpec {
   }
 
   test("standard-handler encryption with empty user password " +
-      "decrypts: RC4-40, RC4-128, AES-128") {
-    for (m <- 0 to 2; seed <- Seq(0L, 7L, 991L)) {
+      "decrypts: RC4-40, RC4-128, AES-128, AES-256") {
+    for (m <- 0 to 3; seed <- Seq(0L, 7L, 991L)) {
       val b = Pdf.pdfWriteEncryptedStd(sample, m, seed)
       assert(Pdf.pdfText(b).contains(Pdf.PdfText(sample, 1)),
         s"mode=$m seed=$seed")
@@ -198,8 +198,26 @@ class PdfSpec extends SparkSpec {
       .map(_.text).contains(wide))
   }
 
+  test("AES-256 R5 (deprecated plain-SHA revision) also decrypts") {
+    val sample5 = "r5 sealed words"
+    assert(Pdf.pdfText(Pdf.pdfWriteEncryptedAes256(sample5, 3L,
+      r6 = false)).map(_.text).contains(sample5))
+    // damaged U hash refuses (wrong "password" per validation salt)
+    val b = Pdf.pdfWriteEncryptedAes256(sample5, 3L)
+    val s2 = new String(b.map(_.toChar))
+    val uAt = s2.indexOf("/U <") + 4
+    val dam = b.clone()
+    dam(uAt) = (if (dam(uAt) == '0') '1' else '0').toByte
+    assert(Pdf.pdfText(dam).isEmpty)
+    // damaged Perms refuses (the 'adb' cross-check)
+    val pAt = s2.indexOf("/Perms <") + 8
+    val dam2 = b.clone()
+    dam2(pAt) = (if (dam2(pAt) == '0') '1' else '0').toByte
+    assert(Pdf.pdfText(dam2).isEmpty)
+  }
+
   test("a real (non-empty) user password still refuses") {
-    for (m <- 0 to 2)
+    for (m <- 0 to 3)
       assert(Pdf.pdfText(
         Pdf.pdfWriteEncryptedStd(sample, m, 1L, userPw = "secret"))
         .isEmpty, s"mode=$m")
