@@ -165,6 +165,14 @@ object Archive {
             if (done != out.length) return None
             out
           } finally inf.end()
+        case 93 =>
+          // zstd entry (APPNOTE 6.3.7): a whole frame sequence
+          val comp = java.util.Arrays.copyOfRange(b, dataOff,
+            dataOff + e.compressedSize.toInt)
+          Zstd.decompress(comp) match {
+            case Some(d) if d.length == e.uncompressedSize => d
+            case _ => return None
+          }
         case 12 =>
           // bzip2-compressed entry (APPNOTE 4.6.x): a whole stream
           val comp = java.util.Arrays.copyOfRange(b, dataOff,

@@ -67,6 +67,35 @@ class ArchiveSpec extends SparkSpec {
     }
   }
 
+  test("zip method 93 (zstd) extracts through the entropy decoder") {
+    val want = ("zstd-in-zip member content " * 30).getBytes("UTF-8")
+    val comp = graft.operators.Zstd.encodeEntropyFrame(want)
+    val crc = { val c = new java.util.zip.CRC32; c.update(want)
+      c.getValue }
+    // hand-built single-entry zip with method 93
+    val name = "z.txt".getBytes("UTF-8")
+    val bb = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bb.write(v & 0xff); bb.write(v >> 8 & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt)
+      u16(((v >> 16) & 0xffff).toInt) }
+    u32(0x04034b50L); u16(63); u16(0); u16(93); u16(0); u16(0)
+    u32(crc); u32(comp.length); u32(want.length)
+    u16(name.length); u16(0); bb.write(name); bb.write(comp)
+    val cdOff = bb.size()
+    u32(0x02014b50L); u16(63); u16(63); u16(0); u16(93); u16(0)
+    u16(0); u32(crc); u32(comp.length); u32(want.length)
+    u16(name.length); u16(0); u16(0); u16(0); u16(0); u32(0); u32(0)
+    bb.write(name)
+    val cdSize = bb.size() - cdOff
+    u32(0x06054b50L); u16(0); u16(0); u16(1); u16(1)
+    u32(cdSize); u32(cdOff); u16(0)
+    val zip = bb.toByteArray
+    val es = Archive.zipEntries(zip).get
+    assert(es.length == 1 && es.head.method == 93)
+    assert(Archive.zipExtract(zip, es.head)
+      .exists(_.sameElements(want)))
+  }
+
   test("zip64 layout: EOCD64 chain + extended-info extras read back") {
     val z = Archive.zipWrite64(payloads)
     val es = Archive.zipEntries(z).get
