@@ -84,7 +84,16 @@ object ScaleStress {
     // archive unwrap: same map-only contract as the codecs — the
     // explode output grows with docs, nothing shuffles
     "q_warc_records" -> SparkEntry.queries("q_warc_records"),
-    "q_zip_entries" -> SparkEntry.queries("q_zip_entries"))
+    "q_zip_entries" -> SparkEntry.queries("q_zip_entries"),
+    // round-14 codec rows: per-row encode+decode through the new
+    // from-spec stacks (brotli LZ77+Huffman, bzip2 BWT+MTF+Huffman,
+    // xz container) — all map-only, so 10x docs must cost ~10x wall
+    "q_brotli_roundtrip" -> SparkEntry.queries("q_brotli_roundtrip"),
+    "q_bzip2_roundtrip" -> SparkEntry.queries("q_bzip2_roundtrip"),
+    "q_xz_roundtrip" -> SparkEntry.queries("q_xz_roundtrip"),
+    // the crawl-politeness chain: WARC walk + framing decode (incl.
+    // brotli) + RFC 9309 evaluation per document
+    "q_crawl_robots" -> SparkEntry.queries("q_crawl_robots"))
     // (q_edit_pairs is deliberately absent: stress replicas repeat
     // the 200 entity-name values, so its OUTPUT pair set grows
     // ~|group|² — a data artifact, not an operator pathology; the
@@ -210,7 +219,11 @@ object ScaleStress {
       "q_audio_signature" -> 10.0,
       "q_gif_phash" -> 10.0,
       "q_warc_records" -> 10.0,
-      "q_zip_entries" -> 10.0)
+      "q_zip_entries" -> 10.0,
+      "q_brotli_roundtrip" -> 10.0,
+      "q_bzip2_roundtrip" -> 10.0,
+      "q_xz_roundtrip" -> 10.0,
+      "q_crawl_robots" -> 10.0)
 
     // shuffle records via task metrics: records WRITTEN to shuffle is
     // the "rows moved" number a super-linear stage would inflate
