@@ -357,6 +357,9 @@ object Archive {
     val out = Seq.newBuilder[TarEntry]
     var p = 0
     var sawOne = false
+    // GNU 'L' / PAX 'x' metadata applying to the NEXT real entry
+    var pendingName: Option[String] = None
+    var pendingSize: Option[Long] = None
     try {
       while (p + 512 <= b.length) {
         var allZero = true
@@ -384,15 +387,74 @@ object Archive {
         if (magic != "ustar" && magic != "ustar ") return None
         val prefix = str(345, 155)
         val name0 = str(0, 100)
-        val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
-        val size = octal(b, p + 124, 12)
+        var name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
+        // GNU base-256 size (>8 GB): high bit of the first byte set
+        val size0 =
+          if ((b(p + 124) & 0x80) != 0) {
+            var v = (b(p + 124) & 0x7f).toLong
+            var k = 1
+            while (k < 12) { v = (v << 8) | (b(p + 124 + k) & 0xffL); k += 1 }
+            v
+          } else octal(b, p + 124, 12)
+        var size = size0
         val tf = (b(p + 156) & 0xff).toChar
         val dataOff = p + 512L
-        val blocks = (size + 511) / 512
         if (dataOff + size > b.length) return None
-        out += TarEntry(name, size,
-          if (tf == 0) '0' else tf, dataOff)
+        tf match {
+          case 'L' =>
+            // GNU longname: the data block is the NEXT entry's name
+            pendingName = Some(new String(b, dataOff.toInt,
+              size.toInt, "UTF-8").takeWhile(_ != '\u0000'))
+          case 'x' | 'g' =>
+            // PAX extended header: "len key=value\n" records; 'x'
+            // overrides the next entry, 'g' (git-archive's
+            // pax_global_header) is consumed and ignored — neither
+            // is a real member
+            if (tf == 'x') {
+              val body = new String(b, dataOff.toInt, size.toInt,
+                "UTF-8")
+              var q = 0
+              while (q < body.length) {
+                val sp = body.indexOf(' ', q)
+                if (sp < 0) q = body.length
+                else {
+                  val recLen =
+                    try body.substring(q, sp).trim.toInt
+                    catch { case _: NumberFormatException => -1 }
+                  if (recLen <= 0 || q + recLen > body.length)
+                    q = body.length
+                  else {
+                    val rec = body.substring(sp + 1, q + recLen - 1)
+                    val eq = rec.indexOf('=')
+                    if (eq > 0) rec.substring(0, eq) match {
+                      case "path" =>
+                        pendingName = Some(rec.substring(eq + 1))
+                      case "size" =>
+                        try pendingSize =
+                          Some(rec.substring(eq + 1).toLong)
+                        catch { case _: NumberFormatException => () }
+                      case _ => ()
+                    }
+                    q += recLen
+                  }
+                }
+              }
+            }
+          case 'K' => () // GNU longlink: link target, not modeled
+          case _ =>
+            // a PAX 'size' override replaces the header size (which
+            // octal cannot represent past 8 GB) — the data blocks on
+            // disk follow the EFFECTIVE size
+            pendingName.foreach(n => name = n)
+            pendingSize.foreach(s2 => size = s2)
+            pendingName = None
+            pendingSize = None
+            if (size < 0 || dataOff + size > b.length) return None
+            out += TarEntry(name, size,
+              if (tf == 0) '0' else tf, dataOff)
+        }
         sawOne = true
+        val blocks = (size + 511) / 512
         p += 512 + (blocks * 512L).toInt
       }
       if (sawOne) Some(out.result()) else None

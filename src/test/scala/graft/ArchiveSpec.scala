@@ -181,6 +181,35 @@ class ArchiveSpec extends SparkSpec {
       .exists(_.map(_.name) == members.map(_._1)))
   }
 
+  test("tar long names: GNU @LongLink, PAX path/size, git-archive " +
+      "global header — reference-tar fixtures") {
+    def resource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zipmethods/$name")
+      assert(in != null, s"missing $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val longName = "deep/" + ("a" * 60) + "/" + ("b" * 60) + "/" +
+      ("c" * 40)
+    for (fixture <- Seq("gnu_long.tar", "pax_long.tar")) {
+      val tar = resource(fixture)
+      val es = Archive.tarEntries(tar).get
+      val files = es.filter(_.typeflag == '0')
+      assert(files.map(_.name).contains(longName), fixture)
+      assert(files.map(_.name).contains("short.txt"), fixture)
+      // no @LongLink / PaxHeader pseudo-members leak through
+      assert(!es.exists(e => e.name.contains("@LongLink") ||
+        e.name.contains("PaxHeader")), fixture)
+      val e = files.find(_.name == longName).get
+      assert(Archive.tarExtract(tar, e).map(b2 =>
+        new String(b2, "UTF-8")).contains("long path content here\n"),
+        fixture)
+    }
+    // git archive prepends a 'g' global header: consumed, not a member
+    val ga = Archive.tarEntries(resource("gitarchive.tar")).get
+    assert(!ga.exists(_.name.contains("pax_global_header")))
+    assert(ga.exists(_.name == "short.txt"))
+  }
+
   test("warcRecords parses concatenated records; truncation and " +
       "junk classify as None") {
     val recs = Seq(
