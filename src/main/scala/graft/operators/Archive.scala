@@ -421,7 +421,12 @@ object Archive {
                   val recLen =
                     try body.substring(q, sp).trim.toInt
                     catch { case _: NumberFormatException => -1 }
-                  if (recLen <= 0 || q + recLen > body.length)
+                  // a valid record spans at least "len key=v\n":
+                  // the value slice [sp+1, q+recLen-1) must be
+                  // non-negative or substring throws on malformed
+                  // bodies like "2 \n"
+                  if (recLen <= 0 || q + recLen > body.length ||
+                      q + recLen - 1 < sp + 1)
                     q = body.length
                   else {
                     val rec = body.substring(sp + 1, q + recLen - 1)
@@ -459,7 +464,9 @@ object Archive {
       }
       if (sawOne) Some(out.result()) else None
     } catch {
-      case _: ArrayIndexOutOfBoundsException => None
+      // IndexOutOfBounds (not just Array-) so malformed PAX record
+      // substrings also refuse instead of killing the task
+      case _: IndexOutOfBoundsException => None
     }
   }
 

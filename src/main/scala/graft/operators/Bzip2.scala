@@ -314,7 +314,11 @@ object Bzip2 {
     if (b == null || b.length < 10) return None
     try {
       val r = new Reader(b)
-      val out = new java.io.ByteArrayOutputStream(b.length * 3)
+      // size HINT only — clamp so inputs past ~715 MB cannot
+      // overflow Int into a negative initial capacity
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(16L, math.min(b.length.toLong * 3, maxOut.toLong))
+          .toInt)
       var streams = 0
       var more = true
       while (more) {

@@ -211,9 +211,14 @@ object Http {
           acc.flatMap(contentDecode(tok, _))
         }
       }
-    val tokens = r.header("content-encoding").getOrElse("")
+    val tokens0 = r.header("content-encoding").getOrElse("")
       .toLowerCase(java.util.Locale.ROOT)
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // buggy servers list "chunked" in BOTH Transfer-Encoding and
+    // Content-Encoding; when the TE path already removed the framing,
+    // a second dechunk here would refuse a body that is fine
+    val tokens =
+      if (chunked) tokens0.filter(_ != "chunked") else tokens0
     tokens.reverse.foldLeft(deframed) { (acc, tok) =>
       acc.flatMap(contentDecode(tok, _))
     }

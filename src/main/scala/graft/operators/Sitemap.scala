@@ -130,10 +130,22 @@ object Sitemap {
             val v = text.toString.trim
             field match {
               case "loc" => loc = v
-              case "lastmod" => lastmod = epochDay(v)
+              case "lastmod" =>
+                // garbage lastmod nulls THIS field, not the document
+                // — matching the header contract
+                lastmod =
+                  try epochDay(v)
+                  catch {
+                    case Docx.DocxFail(_) => -1L
+                    case _: java.time.format.DateTimeParseException =>
+                      -1L
+                  }
               case "changefreq" =>
                 changefreq = v.toLowerCase(java.util.Locale.ROOT)
-              case "priority" => priority = priorityMilli(v)
+              case "priority" =>
+                priority =
+                  try priorityMilli(v)
+                  catch { case Docx.DocxFail(_) => -1L }
               case _ => ()
             }
             field = null

@@ -210,6 +210,44 @@ class ArchiveSpec extends SparkSpec {
     assert(ga.exists(_.name == "short.txt"))
   }
 
+  test("malformed PAX extended-header records refuse instead of " +
+      "throwing (ADVICE r14)") {
+    // bodies whose length prefix is inconsistent with the record
+    // ("2 \n": recLen=2 puts the value slice at substring(2,1))
+    for (evil <- Seq("2 \n", "3 x\n", "1 \n", "4  =\n",
+        "9999999 a=b\n", " 7 k=v\n")) {
+      val tar = Archive.tarWrite(
+        Seq(("after.txt", "payload".getBytes("UTF-8"))))
+      val paxBody = evil.getBytes("UTF-8")
+      // hand-build an 'x' PAX header in front of the real member
+      val h = new Array[Byte](512)
+      val nm = "PaxHeader/after.txt".getBytes("US-ASCII")
+      System.arraycopy(nm, 0, h, 0, nm.length)
+      def oct(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val p = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(p.getBytes("US-ASCII"), 0, h, off, len - 1)
+      }
+      oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+      oct(124, 12, paxBody.length.toLong); oct(136, 12, 0)
+      h(156) = 'x'
+      System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h,
+        257, 6)
+      System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (i <- 0 until 512) sum += h(i) & 0xff
+      oct(148, 8, sum); h(155) = ' '
+      val pad = new Array[Byte]((512 - paxBody.length % 512) % 512)
+      val evilTar = h ++ paxBody ++ pad ++ tar
+      // must not throw; the real member still lists (the broken PAX
+      // body simply contributes no overrides)
+      val got = Archive.tarEntries(evilTar)
+      assert(got.isDefined, s"refused outright for '$evil'")
+      assert(got.get.exists(_.name == "after.txt"), s"'$evil'")
+    }
+  }
+
   test("warcRecords parses concatenated records; truncation and " +
       "junk classify as None") {
     val recs = Seq(

@@ -111,6 +111,21 @@ class HttpSpec extends AnyFunSuite {
     assert(bt.status == 200 && bt.mime == "text/html")
   }
 
+  test("buggy server lists chunked in BOTH TE and CE: dechunk runs " +
+      "once (ADVICE r14)") {
+    val body = "double-listed chunked body " * 8
+    val framed = Http.chunkEncode(body.getBytes("UTF-8"), 32)
+    val b = resp("Content-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      "Content-Encoding: chunked\r\n", framed)
+    assert(text(b).text == body)
+    // CE-only chunked (no TE) still dechunks — the framing was not
+    // removed by the TE path
+    val c = resp("Content-Type: text/plain\r\n" +
+      "Content-Encoding: chunked\r\n", framed)
+    assert(text(c).text == body)
+  }
+
   test("corrupt gzip refuses with null body") {
     val g = Archive.gzipWrite("x".getBytes, "b")
     g(g.length - 3) = (g(g.length - 3) ^ 0x44).toByte // break CRC

@@ -50,15 +50,27 @@ class SitemapSpec extends AnyFunSuite {
       java.time.LocalDate.of(2021, 3, 14).toEpochDay)
   }
 
-  test("foreign roots, torn xml, bad dates refuse") {
+  test("foreign roots and torn xml refuse; bad dates/priorities " +
+      "null just their field (ADVICE r14)") {
     assert(Sitemap.parse(null).isEmpty)
     assert(Sitemap.parse("<rss><channel/></rss>".getBytes).isEmpty)
     assert(Sitemap.parse("<urlset><url><loc>x".getBytes).isEmpty)
-    assert(Sitemap.parse(("<urlset><url><loc>u</loc>" +
-      "<lastmod>not-a-date</lastmod></url></urlset>").getBytes)
-      .isEmpty)
-    assert(Sitemap.parse(("<urlset><url><loc>u</loc>" +
-      "<priority>9.9</priority></url></urlset>").getBytes).isEmpty)
+    // one bad <lastmod>/<priority> must not refuse the whole doc —
+    // the entry survives with that field absent
+    val badDate = Sitemap.parse(("<urlset><url><loc>u</loc>" +
+      "<lastmod>not-a-date</lastmod></url></urlset>").getBytes).get
+    assert(badDate.entries.map(e => (e.loc, e.lastmodDay)) ==
+      Seq(("u", -1L)))
+    val badPri = Sitemap.parse(("<urlset><url><loc>u</loc>" +
+      "<priority>9.9</priority></url></urlset>").getBytes).get
+    assert(badPri.entries.map(e => (e.loc, e.priorityMilli)) ==
+      Seq(("u", -1L)))
+    // a good sibling field on the same entry still parses
+    val mixed = Sitemap.parse(("<urlset><url><loc>u</loc>" +
+      "<lastmod>bogus</lastmod><priority>0.4</priority></url>" +
+      "</urlset>").getBytes).get
+    assert(mixed.entries.head.priorityMilli == 400L)
+    assert(mixed.entries.head.lastmodDay == -1L)
     // entries without a loc are skipped, not fatal
     val d = Sitemap.parse(("<urlset><url><changefreq>daily" +
       "</changefreq></url><url><loc>kept</loc></url></urlset>")
