@@ -2255,6 +2255,22 @@ object SparkEntry {
           col("u_size"))
     }),
 
+    // ----- REAL 7z container walk: per doc a genuine .7z (signature
+    // + CRC-checked headers, one folder per member, true member
+    // CRC32s, store/LZMA2/deflate coders mixed) listed back entry by
+    // entry, with `ok` proving extraction reproduced the declared
+    // CRC — the second archive-unwrap tier after ZIP
+    "q_7z_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val szs = SevenZip.synthSevenZips(d, "doc_id", "__t", "__n",
+        "content")
+      SevenZip.sevenZipEntryRows(szs, "doc_id", "content")
+        .select(col("doc_id"), col("entry_name"), col("method"),
+          col("u_size"), col("ok"))
+    }),
+
     // ----- REAL gzip member decode: header flag walk (FNAME), raw
     // inflate, CRC32 + ISIZE trailer verification — the text must
     // come back byte-identical or the row nulls
@@ -5246,6 +5262,21 @@ object SparkEntry {
            CAST(CASE WHEN t.j % 2 = 1 THEN 8 ELSE 0 END AS INT)
              AS method,
            CAST(strlen('e' || t.j || ':' || txt) AS BIGINT) AS u_size
+         FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the 7z walk must read back exactly the planted member set —
+    // names, coder chain cycling store/lzma2/deflate by (id+j)%3,
+    // byte sizes — and every extraction must CRC-verify (ok = true)
+    "q_7z_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           'm' || t.j || '.dat' AS entry_name,
+           CASE (doc_id + t.j) % 3 WHEN 0 THEN 'store'
+             WHEN 1 THEN 'lzma2' ELSE 'deflate' END AS method,
+           CAST(strlen('s' || t.j || ':' || txt) AS BIGINT)
+             AS u_size,
+           TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
 
     // inflate + trailer verification must reproduce the text exactly

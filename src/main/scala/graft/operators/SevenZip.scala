@@ -1,0 +1,863 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** 7z container walk (the `.7z` archive format, documented in the
+  * public `7zFormat.txt` that ships with the 7-Zip/p7zip sources):
+  * signature + start-header CRC, the property-tagged header tree
+  * (pack/unpack/substreams/files info), variable-length numbers,
+  * folder coder chains with bind pairs, the compressed-header
+  * (`kEncodedHeader`) indirection, and per-stream CRC32
+  * verification on extraction.
+  *
+  * Reference behavior mirrored: trousse has no archive layer at all
+  * (its CSV reader is `src/trousse/dataset.py:60`); this is the
+  * crawl-ingest unwrap tier a 100 TB curation run needs before any
+  * text operator can see bytes. Coders ride the codecs this repo
+  * already implements from spec: Copy, LZMA (Xz.lzma1Raw), LZMA2
+  * (Xz.lzma2Raw), Deflate (`java.util.zip.Inflater`), and BZip2
+  * (Bzip2.decompress). Filter coders (BCJ/Delta) and AES refuse
+  * honestly — a wrong-bytes "success" is worse than a None.
+  *
+  * Totality contract like every untrusted-byte decoder here: `None`
+  * for structural damage, unsupported coders, CRC mismatch, or any
+  * bomb-guard trip; never an exception out of a Spark task.
+  */
+object SevenZip {
+
+  private final case class SzFail(why: String)
+    extends RuntimeException(why)
+  private def fail(why: String): Nothing = throw SzFail(why)
+
+  private val MaxOut = 64 << 20 // per-folder unpack cap
+  private val MaxEntries = 100000
+  private val MaxCoders = 8 // per folder; real chains are 1-3
+  private val MaxHeader = 1 << 22 // decoded-header cap
+
+  /** One archive member. `method` is the folder's coder chain
+    * ("store", "lzma", "lzma2", "deflate", "bzip2", joined by '+'
+    * for chains); empty files carry "empty". `crc` −1 = undeclared.
+    */
+  final case class SzEntry(name: String, size: Long, method: String,
+      crc: Long)
+
+  // ------------------------------------------------------------------
+  // primitive readers
+  // ------------------------------------------------------------------
+
+  private final class In(val b: Array[Byte], var p: Int,
+      val end: Int) {
+    def u8(): Int = {
+      if (p >= end) fail("eof")
+      val v = b(p) & 0xff; p += 1; v
+    }
+    /** 7z variable-length number: the first byte's high bits select
+      * how many little-endian data bytes follow; the remaining low
+      * bits are the value's high part.
+      */
+    def num(): Long = {
+      val first = u8()
+      var mask = 0x80
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0)
+          return v | ((first & (mask - 1)).toLong << (8 * i))
+        v |= u8().toLong << (8 * i)
+        mask >>= 1
+        i += 1
+      }
+      v
+    }
+    def numInt(cap: Int, what: String): Int = {
+      val v = num()
+      if (v < 0 || v > cap) fail(s"$what out of range")
+      v.toInt
+    }
+    def u32(): Long = {
+      val v = (u8().toLong) | (u8().toLong << 8) |
+        (u8().toLong << 16) | (u8().toLong << 24)
+      v
+    }
+    def u64(): Long = u32() | (u32() << 32)
+    def skip(n: Long): Unit = {
+      if (n < 0 || p + n > end) fail("skip oob")
+      p += n.toInt
+    }
+    /** MSB-first bit vector of n bits. */
+    def bits(n: Int): Array[Boolean] = {
+      val out = new Array[Boolean](n)
+      var mask = 0
+      var cur = 0
+      var i = 0
+      while (i < n) {
+        if (mask == 0) { cur = u8(); mask = 0x80 }
+        out(i) = (cur & mask) != 0
+        mask >>= 1
+        i += 1
+      }
+      out
+    }
+    /** "AllAreDefined" byte then per-item bits when partial. */
+    def definedBits(n: Int): Array[Boolean] =
+      if (u8() != 0) Array.fill(n)(true) else bits(n)
+  }
+
+  private def crc32(b: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, from, until - from)
+    c.getValue
+  }
+
+  // ------------------------------------------------------------------
+  // header model
+  // ------------------------------------------------------------------
+
+  private final case class Coder(id: Long, numIn: Int, numOut: Int,
+      props: Array[Byte])
+  private final case class Folder(coders: Seq[Coder],
+      bindPairs: Seq[(Int, Int)], packedIndices: Seq[Int],
+      unpackSizes: Seq[Long], crc: Long) {
+    def totalOut: Int = coders.map(_.numOut).sum
+    /** The folder's final output stream: the out-stream no bind
+      * pair consumes.
+      */
+    def outIndex: Int = {
+      val bound = bindPairs.map(_._1).toSet
+      (0 until totalOut).find(i => !bound.contains(i))
+        .getOrElse(fail("no folder output"))
+    }
+    def unpackSize: Long = unpackSizes(outIndex)
+  }
+  private final case class StreamsInfo(packPos: Long,
+      packSizes: Seq[Long], folders: Seq[Folder],
+      numUnpack: Seq[Int], subSizes: Seq[Seq[Long]],
+      subCrcs: Seq[Seq[Long]])
+
+  // property ids (7zFormat.txt)
+  private val kEnd = 0x00
+  private val kHeader = 0x01
+  private val kArchiveProperties = 0x02
+  private val kAdditionalStreams = 0x03
+  private val kMainStreams = 0x04
+  private val kFilesInfo = 0x05
+  private val kPackInfo = 0x06
+  private val kUnpackInfo = 0x07
+  private val kSubStreams = 0x08
+  private val kSize = 0x09
+  private val kCRC = 0x0a
+  private val kFolder = 0x0b
+  private val kCodersUnpackSize = 0x0c
+  private val kNumUnpackStream = 0x0d
+  private val kEmptyStream = 0x0e
+  private val kEmptyFile = 0x0f
+  private val kName = 0x11
+  private val kEncodedHeader = 0x17
+  private val kDummy = 0x19
+
+  private def readFolder(in: In): Folder = {
+    val numCoders = in.numInt(MaxCoders, "coders")
+    if (numCoders == 0) fail("empty folder")
+    val coders = (0 until numCoders).map { _ =>
+      val flags = in.u8()
+      val idSize = flags & 0x0f
+      if (idSize > 8) fail("coder id size")
+      var id = 0L
+      (0 until idSize).foreach(_ => id = (id << 8) | in.u8())
+      val (nIn, nOut) =
+        if ((flags & 0x10) != 0)
+          (in.numInt(16, "in streams"), in.numInt(16, "out streams"))
+        else (1, 1)
+      if (nOut != 1) fail("multi-output coder")
+      val props =
+        if ((flags & 0x20) != 0) {
+          val n = in.numInt(1 << 16, "props size")
+          val a = new Array[Byte](n)
+          (0 until n).foreach(i => a(i) = in.u8().toByte)
+          a
+        } else Array.emptyByteArray
+      Coder(id, nIn, nOut, props)
+    }
+    val totalIn = coders.map(_.numIn).sum
+    val totalOut = coders.map(_.numOut).sum
+    val numBind = totalOut - 1
+    // spec order: InIndex then OutIndex; stored as (out, in) so the
+    // chain walk reads "out stream o feeds in stream i"
+    val binds = (0 until numBind).map { _ =>
+      val inIdx = in.numInt(totalIn - 1, "bind in")
+      val outIdx = in.numInt(totalOut - 1, "bind out")
+      (outIdx, inIdx)
+    }
+    val numPacked = totalIn - numBind
+    if (numPacked < 1) fail("no packed streams")
+    val packed =
+      if (numPacked == 1) {
+        val bound = binds.map(_._2).toSet
+        Seq((0 until totalIn).find(i => !bound.contains(i))
+          .getOrElse(fail("no packed index")))
+      } else (0 until numPacked).map(_ =>
+        in.numInt(totalIn - 1, "packed index"))
+    Folder(coders, binds, packed, Nil, -1L)
+  }
+
+  private def readStreamsInfo(in: In): StreamsInfo = {
+    var packPos = 0L
+    var packSizes: Seq[Long] = Nil
+    var folders: Seq[Folder] = Nil
+    var numUnpack: Seq[Int] = Nil
+    var subSizes: Seq[Seq[Long]] = Nil
+    var subCrcs: Seq[Seq[Long]] = Nil
+    var sawSub = false
+    var t = in.numInt(0xff, "prop id")
+    while (t != kEnd) {
+      t match {
+        case `kPackInfo` =>
+          packPos = in.num()
+          val n = in.numInt(MaxEntries, "pack streams")
+          var t2 = in.numInt(0xff, "prop id")
+          while (t2 != kEnd) {
+            t2 match {
+              case `kSize` =>
+                packSizes = (0 until n).map(_ => in.num())
+              case `kCRC` =>
+                val d = in.definedBits(n)
+                d.foreach(dd => if (dd) in.u32())
+              case _ => fail("pack info prop")
+            }
+            t2 = in.numInt(0xff, "prop id")
+          }
+          if (packSizes.length != n) fail("missing pack sizes")
+        case `kUnpackInfo` =>
+          if (in.numInt(0xff, "prop id") != kFolder)
+            fail("expected folder block")
+          val n = in.numInt(MaxEntries, "folders")
+          if (in.u8() != 0) fail("external folders")
+          var fs = (0 until n).map(_ => readFolder(in))
+          if (in.numInt(0xff, "prop id") != kCodersUnpackSize)
+            fail("expected unpack sizes")
+          fs = fs.map { f =>
+            f.copy(unpackSizes =
+              (0 until f.totalOut).map(_ => in.num()))
+          }
+          var t2 = in.numInt(0xff, "prop id")
+          while (t2 != kEnd) {
+            t2 match {
+              case `kCRC` =>
+                val d = in.definedBits(n)
+                fs = fs.zip(d.toSeq).map { case (f, dd) =>
+                  if (dd) f.copy(crc = in.u32()) else f
+                }
+              case _ => fail("unpack info prop")
+            }
+            t2 = in.numInt(0xff, "prop id")
+          }
+          folders = fs
+        case `kSubStreams` =>
+          sawSub = true
+          var counts: Seq[Int] = folders.map(_ => 1)
+          var t2 = in.numInt(0xff, "prop id")
+          var sizesRead = false
+          var sizes: Seq[Seq[Long]] = Nil
+          var crcs: Seq[Seq[Long]] = Nil
+          while (t2 != kEnd) {
+            t2 match {
+              case `kNumUnpackStream` =>
+                counts = folders.map(_ =>
+                  in.numInt(MaxEntries, "substreams"))
+              case `kSize` =>
+                // all but the LAST substream of each folder are
+                // explicit; the last is the remainder
+                sizes = folders.zip(counts).map { case (f, c) =>
+                  if (c == 0) Nil
+                  else {
+                    val head = (0 until c - 1).map(_ => in.num())
+                    val rest = f.unpackSize - head.sum
+                    if (rest < 0) fail("substream overflow")
+                    head :+ rest
+                  }
+                }
+                sizesRead = true
+              case `kCRC` =>
+                // digests only for streams lacking one (a 1-stream
+                // folder with a folder CRC already has it)
+                val need = folders.zip(counts).map { case (f, c) =>
+                  if (c == 1 && f.crc >= 0) 0 else c
+                }
+                val total = need.sum
+                if (total > MaxEntries) fail("crc bomb")
+                val d = in.definedBits(total)
+                var di = 0
+                crcs = folders.zip(counts).zip(need).map {
+                  case ((f, c), nd) =>
+                    if (nd == 0) Seq(f.crc)
+                    else (0 until c).map { _ =>
+                      val v = if (d(di)) in.u32() else -1L
+                      di += 1
+                      v
+                    }
+                }
+              case _ => fail("substreams prop")
+            }
+            t2 = in.numInt(0xff, "prop id")
+          }
+          numUnpack = counts
+          subSizes =
+            if (sizesRead) sizes
+            else folders.zip(counts).map { case (f, c) =>
+              if (c == 1) Seq(f.unpackSize)
+              else fail("multi substream without sizes")
+            }
+          subCrcs =
+            if (crcs.nonEmpty) crcs
+            else folders.zip(counts).map { case (f, c) =>
+              Seq.fill(c)(if (c == 1) f.crc else -1L)
+            }
+        case _ => fail("streams info prop")
+      }
+      t = in.numInt(0xff, "prop id")
+    }
+    if (!sawSub) {
+      numUnpack = folders.map(_ => 1)
+      subSizes = folders.map(f => Seq(f.unpackSize))
+      subCrcs = folders.map(f => Seq(f.crc))
+    }
+    StreamsInfo(packPos, packSizes, folders, numUnpack, subSizes,
+      subCrcs)
+  }
+
+  // ------------------------------------------------------------------
+  // folder decode (coder chain over the codecs this repo implements)
+  // ------------------------------------------------------------------
+
+  private def methodName(id: Long): String = id match {
+    case 0x00 => "store"
+    case 0x21 => "lzma2"
+    case 0x030101 => "lzma"
+    case 0x040108 => "deflate"
+    case 0x040202 => "bzip2"
+    case 0x03 => "delta"
+    case 0x04 => "bcj"
+    case 0x03030103 => "bcj"
+    case 0x06f10701L => "aes"
+    case other => f"0x$other%x"
+  }
+
+  private val Supported =
+    Set[Long](0x00, 0x21, 0x030101, 0x040108, 0x040202)
+
+  private def folderMethod(f: Folder): String =
+    f.coders.map(c => methodName(c.id)).mkString("+")
+
+  private def rawInflate(b: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(len.toLong * 4 + 64, maxOut.toLong).toInt)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          // 7z deflate streams have no trailer: a settled inflater
+          // starving for input IS the end of stream
+          if (inf.needsInput() || inf.needsDictionary()) {
+            if (inf.getBytesWritten == 0) return None
+            return Some(out.toByteArray)
+          }
+        } else out.write(buf, 0, n)
+        if (out.size > maxOut) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  private def applyCoder(c: Coder, data: Array[Byte], outLen: Long)
+      : Array[Byte] = {
+    if (outLen < 0 || outLen > MaxOut) fail("unpack size bomb")
+    val out: Option[Array[Byte]] = c.id match {
+      case 0x00 => Some(data)
+      case 0x21 =>
+        Xz.lzma2Raw(data, 0, data.length, MaxOut)
+      case 0x030101 =>
+        // 5-byte props: lclppb byte + LE32 dict size; 7z streams
+        // carry no end marker — decode exactly outLen bytes
+        if (c.props.length < 1) fail("lzma props")
+        Xz.lzma1Raw(data, 0, data.length, c.props(0) & 0xff,
+          outLen.toInt)
+      case 0x040108 => rawInflate(data, 0, data.length, MaxOut)
+      case 0x040202 => Bzip2.decompress(data, MaxOut)
+      case other => fail(s"unsupported coder ${methodName(other)}")
+    }
+    val got = out.getOrElse(fail("coder refused"))
+    if (got.length != outLen) fail("unpack size mismatch")
+    got
+  }
+
+  /** Decode a folder's output bytes. Only linear 1-in/1-out chains
+    * are evaluated (the shapes 7-Zip and libarchive emit for the
+    * supported coders); anything else refuses.
+    */
+  private def decodeFolder(f: Folder, b: Array[Byte],
+      packOffsets: Seq[Long], packSizes: Seq[Long],
+      firstPack: Int): Array[Byte] = {
+    f.coders.foreach(c => if (!Supported.contains(c.id))
+      fail(s"unsupported coder ${methodName(c.id)}"))
+    if (f.coders.exists(c => c.numIn != 1 || c.numOut != 1))
+      fail("non-linear folder")
+    // with 1-in/1-out coders, in-stream i and out-stream i both
+    // belong to coder i; bind pairs chain them linearly
+    val n = f.coders.length
+    if (f.packedIndices.length != 1) fail("multi-packed folder")
+    val packIdx = firstPack // global index of this folder's stream
+    val off = packOffsets(packIdx)
+    val len = packSizes(packIdx)
+    if (off < 0 || len < 0 || off + len > b.length)
+      fail("pack stream oob")
+    var cur = new Array[Byte](len.toInt)
+    System.arraycopy(b, off.toInt, cur, 0, len.toInt)
+    // start at the coder fed by the packed stream, follow bind
+    // pairs (out i -> in j) until the folder output
+    var ci = f.packedIndices.head
+    var steps = 0
+    var done = false
+    while (!done) {
+      if (steps > n) fail("coder cycle")
+      cur = applyCoder(f.coders(ci), cur, f.unpackSizes(ci))
+      f.bindPairs.find(_._1 == ci) match {
+        case Some((_, inIdx)) => ci = inIdx
+        case None => done = true
+      }
+      steps += 1
+    }
+    cur
+  }
+
+  // ------------------------------------------------------------------
+  // archive walk
+  // ------------------------------------------------------------------
+
+  private val Magic =
+    Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)
+
+  private final case class Parsed(streams: Option[StreamsInfo],
+      names: Seq[String], emptyStream: Array[Boolean],
+      emptyFile: Array[Boolean], numFiles: Int)
+
+  private def readFilesInfo(in: In): Parsed = {
+    val numFiles = in.numInt(MaxEntries, "files")
+    var names: Seq[String] = Nil
+    var emptyStream = new Array[Boolean](numFiles)
+    var emptyFile = Array.empty[Boolean]
+    var t = in.numInt(0xff, "prop id")
+    while (t != kEnd) {
+      val size = in.num()
+      if (size < 0 || in.p + size > in.end) fail("files prop oob")
+      val next = in.p + size.toInt
+      t match {
+        case `kEmptyStream` =>
+          emptyStream = in.bits(numFiles)
+        case `kEmptyFile` =>
+          emptyFile = in.bits(emptyStream.count(identity))
+        case `kName` =>
+          if (in.u8() != 0) fail("external names")
+          val sb = new java.lang.StringBuilder
+          val out = Seq.newBuilder[String]
+          while (in.p + 1 < next) {
+            val lo = in.u8(); val hi = in.u8()
+            val ch = (lo | (hi << 8)).toChar
+            if (ch == '\u0000') { out += sb.toString; sb.setLength(0) }
+            else sb.append(ch)
+          }
+          names = out.result()
+          if (names.length != numFiles) fail("name count")
+        case _ => () // times/attributes/dummy: skip
+      }
+      in.p = next
+      t = in.numInt(0xff, "prop id")
+    }
+    Parsed(None, names, emptyStream, emptyFile, numFiles)
+  }
+
+  private def parseHeader(in: In): Parsed = {
+    var streams: Option[StreamsInfo] = None
+    var files = Parsed(None, Nil, Array.empty, Array.empty, 0)
+    var t = in.numInt(0xff, "prop id")
+    while (t != kEnd) {
+      t match {
+        case `kArchiveProperties` =>
+          var pt = in.numInt(0xff, "prop id")
+          while (pt != kEnd) {
+            in.skip(in.num())
+            pt = in.numInt(0xff, "prop id")
+          }
+        case `kAdditionalStreams` =>
+          readStreamsInfo(in) // parsed for position, unused
+        case `kMainStreams` =>
+          streams = Some(readStreamsInfo(in))
+        case `kFilesInfo` =>
+          files = readFilesInfo(in)
+        case _ => fail("header prop")
+      }
+      t = in.numInt(0xff, "prop id")
+    }
+    files.copy(streams = streams)
+  }
+
+  /** Parse the archive: signature, CRC-checked headers (following
+    * the encoded-header indirection when present), entry metadata.
+    * Returns the parsed model + the whole buffer for extraction.
+    */
+  private def parse(b: Array[Byte]): (Parsed, Array[Byte]) = {
+    if (b.length < 32) fail("short")
+    var i = 0
+    while (i < 6) {
+      if (b(i) != Magic(i)) fail("bad magic"); i += 1
+    }
+    // version 0.x; start-header CRC over bytes 12..31
+    if (crc32(b, 12, 32) != le32(b, 8)) fail("start header crc")
+    val nhOff = le64(b, 12)
+    val nhSize = le64(b, 20)
+    val nhCrc = le32(b, 24 + 4)
+    if (nhSize == 0) fail("empty header")
+    if (nhOff < 0 || nhSize < 0 || nhSize > MaxHeader ||
+        32 + nhOff + nhSize > b.length) fail("header oob")
+    val hs = (32 + nhOff).toInt
+    val he = (32 + nhOff + nhSize).toInt
+    if (crc32(b, hs, he) != nhCrc) fail("next header crc")
+    val in0 = new In(b, hs, he)
+    val t0 = in0.numInt(0xff, "prop id")
+    if (t0 == kHeader) (parseHeader(in0), b)
+    else if (t0 == kEncodedHeader) {
+      val si = readStreamsInfo(in0)
+      if (si.folders.length != 1) fail("encoded header folders")
+      val offs = packOffsets(si)
+      val hdr = decodeFolder(si.folders.head, b, offs, si.packSizes,
+        0)
+      if (hdr.length > MaxHeader) fail("decoded header bomb")
+      val f = si.folders.head
+      if (f.crc >= 0 && crc32(hdr, 0, hdr.length) != f.crc)
+        fail("decoded header crc")
+      val in1 = new In(hdr, 0, hdr.length)
+      if (in1.numInt(0xff, "prop id") != kHeader)
+        fail("encoded header payload")
+      (parseHeader(in1), b)
+    } else fail("unknown header kind")
+  }
+
+  private def packOffsets(si: StreamsInfo): Seq[Long] = {
+    var off = 32L + si.packPos
+    si.packSizes.map { s =>
+      if (s < 0) fail("negative pack size")
+      val o = off; off += s; o
+    }
+  }
+
+  private def le32(d: Array[Byte], p: Int): Long =
+    (d(p) & 0xffL) | ((d(p + 1) & 0xffL) << 8) |
+      ((d(p + 2) & 0xffL) << 16) | ((d(p + 3) & 0xffL) << 24)
+  private def le64(d: Array[Byte], p: Int): Long =
+    le32(d, p) | (le32(d, p + 4) << 32)
+
+  /** Zip entries with substreams: (entry, folderIdx, subIdx). */
+  private def layout(p: Parsed): Seq[(SzEntry, Int, Int)] = {
+    val si = p.streams
+    val folders = si.map(_.folders).getOrElse(Nil)
+    val methods = folders.map(folderMethod)
+    // walk files; non-empty-stream files consume substreams in order
+    var fi = 0 // folder index
+    var sj = 0 // substream within folder
+    var ei = 0 // empty-stream file counter
+    val names =
+      if (p.names.nonEmpty) p.names
+      else (0 until p.numFiles).map(i => s"file$i")
+    (0 until p.numFiles).map { k =>
+      val empty = k < p.emptyStream.length && p.emptyStream(k)
+      if (empty) {
+        // kEmptyFile distinguishes empty files from directories;
+        // both have no stream — size 0 either way
+        ei += 1
+        (SzEntry(names(k), 0L, "empty", -1L), -1, -1)
+      } else {
+        val s = si.getOrElse(fail("files without streams"))
+        while (fi < folders.length && s.numUnpack(fi) == 0) fi += 1
+        if (fi >= folders.length) fail("file/stream underrun")
+        val e = SzEntry(names(k), s.subSizes(fi)(sj), methods(fi),
+          s.subCrcs(fi)(sj))
+        val res = (e, fi, sj)
+        sj += 1
+        if (sj >= s.numUnpack(fi)) { sj = 0; fi += 1 }
+        res
+      }
+    }
+  }
+
+  /** List entries (names, sizes, coder chain, declared CRC). None
+    * for anything that is not a structurally sound 7z archive.
+    */
+  def entries(b: Array[Byte]): Option[Seq[SzEntry]] = {
+    if (b == null) return None
+    try Some(layout(parse(b)._1).map(_._1))
+    catch {
+      case SzFail(_) => None
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Extract every member. Entries in folders with unsupported
+    * coders, damaged streams, or failing CRC carry `None` data —
+    * per-member refusal, structural damage refuses the archive.
+    */
+  def extractAll(b: Array[Byte])
+      : Option[Seq[(SzEntry, Option[Array[Byte]])]] = {
+    if (b == null) return None
+    try {
+      val (p, buf) = parse(b)
+      val lay = layout(p)
+      val si = p.streams
+      val folderBytes = si match {
+        case None => Nil
+        case Some(s) =>
+          val offs = packOffsets(s)
+          // first pack-stream index of each folder (folders consume
+          // packedIndices.length streams each, in order)
+          var acc = 0
+          s.folders.map { f =>
+            val first = acc
+            acc += f.packedIndices.length
+            try Some(decodeFolder(f, buf, offs, s.packSizes, first))
+            catch {
+              case SzFail(_) => None
+              case _: IndexOutOfBoundsException => None
+              case _: NegativeArraySizeException => None
+            }
+          }
+      }
+      Some(lay.map { case (e, fi, sj) =>
+        if (fi < 0) (e, Some(Array.emptyByteArray))
+        else folderBytes(fi) match {
+          case None => (e, None)
+          case Some(fb) =>
+            val s = si.get
+            val start = s.subSizes(fi).take(sj).sum
+            if (start < 0 || e.size < 0 ||
+                start + e.size > fb.length) (e, None)
+            else {
+              val d = new Array[Byte](e.size.toInt)
+              System.arraycopy(fb, start.toInt, d, 0, e.size.toInt)
+              if (e.crc >= 0 && crc32(d, 0, d.length) != e.crc)
+                (e, None)
+              else (e, Some(d))
+            }
+        }
+      })
+    } catch {
+      case SzFail(_) => None
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // fixture writer (one folder per member; store / LZMA2-stored /
+  // deflate coders — real container structure, real CRCs; the
+  // entropy-coded LZMA paths are pinned by the libarchive reference
+  // fixtures in SevenZipSpec)
+  // ------------------------------------------------------------------
+
+  /** Build a 7z archive: members as (name, bytes, method) with
+    * method 0 = Copy, 1 = LZMA2 (stored chunks), 2 = Deflate.
+    */
+  def write(members: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
+    val packed = members.map { case (_, data, m) =>
+      m match {
+        case 1 => lzma2Store(data)
+        case 2 => deflateRaw(data)
+        case _ => data
+      }
+    }
+    val h = new java.io.ByteArrayOutputStream()
+    def wnum(v0: Long): Unit = {
+      require(v0 >= 0 && v0 < (1L << 21), s"wnum range: $v0")
+      if (v0 < 0x80) h.write(v0.toInt)
+      else if (v0 < (1L << 14)) {
+        // 0x80 | value-high-bits, then one LE data byte
+        h.write(0x80 | ((v0 >> 8) & 0x3f).toInt)
+        h.write((v0 & 0xff).toInt)
+      } else {
+        h.write(0xc0 | ((v0 >> 16) & 0x1f).toInt)
+        h.write((v0 & 0xff).toInt)
+        h.write(((v0 >> 8) & 0xff).toInt)
+      }
+    }
+    h.write(kHeader)
+    h.write(kMainStreams)
+    h.write(kPackInfo)
+    wnum(0) // pack pos
+    wnum(members.length)
+    h.write(kSize)
+    packed.foreach(pk => wnum(pk.length.toLong))
+    h.write(kEnd)
+    h.write(kUnpackInfo)
+    h.write(kFolder)
+    wnum(members.length)
+    h.write(0) // inline
+    members.foreach { case (_, _, m) =>
+      wnum(1) // one coder
+      m match {
+        case 1 => h.write(0x21); h.write(0x21); wnum(1); h.write(24)
+        case 2 => h.write(0x03); h.write(0x04); h.write(0x01)
+          h.write(0x08)
+        case _ => h.write(0x01); h.write(0x00)
+      }
+    }
+    h.write(kCodersUnpackSize)
+    members.foreach { case (_, d, _) => wnum(d.length.toLong) }
+    h.write(kEnd) // unpack info
+    // member CRCs ride kSubStreamsInfo (the layout libarchive both
+    // writes and reads; folder-level kCRC is spec-legal but less
+    // interoperable)
+    h.write(kSubStreams)
+    h.write(kCRC)
+    h.write(1) // all defined
+    members.foreach { case (_, d, _) =>
+      val c = crc32(d, 0, d.length)
+      h.write((c & 0xff).toInt); h.write(((c >> 8) & 0xff).toInt)
+      h.write(((c >> 16) & 0xff).toInt)
+      h.write(((c >> 24) & 0xff).toInt)
+    }
+    h.write(kEnd) // substreams info
+    h.write(kEnd) // streams info
+    h.write(kFilesInfo)
+    wnum(members.length)
+    val nameBytes = new java.io.ByteArrayOutputStream()
+    nameBytes.write(0) // inline
+    members.foreach { case (n, _, _) =>
+      n.foreach { ch =>
+        nameBytes.write(ch.toInt & 0xff)
+        nameBytes.write((ch.toInt >> 8) & 0xff)
+      }
+      nameBytes.write(0); nameBytes.write(0)
+    }
+    h.write(kName)
+    wnum(nameBytes.size().toLong)
+    nameBytes.writeTo(h)
+    h.write(kEnd) // files info
+    h.write(kEnd) // header
+    val hdr = h.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, 6)
+    out.write(0); out.write(4) // version 0.4
+    val packTotal = packed.map(_.length.toLong).sum
+    val start = new Array[Byte](20)
+    def p64(a: Array[Byte], off: Int, v: Long): Unit =
+      (0 until 8).foreach(i => a(off + i) = ((v >> (8 * i)) & 0xff)
+        .toByte)
+    def p32(a: Array[Byte], off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => a(off + i) = ((v >> (8 * i)) & 0xff)
+        .toByte)
+    p64(start, 0, packTotal)
+    p64(start, 8, hdr.length.toLong)
+    p32(start, 16, crc32(hdr, 0, hdr.length))
+    val shCrc = crc32(start, 0, 20)
+    val crcB = new Array[Byte](4)
+    p32(crcB, 0, shCrc)
+    out.write(crcB, 0, 4)
+    out.write(start, 0, 20)
+    packed.foreach(pk => out.write(pk, 0, pk.length))
+    out.write(hdr, 0, hdr.length)
+    out.toByteArray
+  }
+
+  /** LZMA2 stored-chunk stream (control 1/2 chunks + terminator). */
+  private def lzma2Store(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var p = 0
+    var first = true
+    while (p < data.length) {
+      val n = math.min(1 << 16, data.length - p)
+      out.write(if (first) 1 else 2) // 1 = dict reset
+      out.write(((n - 1) >> 8) & 0xff)
+      out.write((n - 1) & 0xff)
+      out.write(data, p, n)
+      p += n
+      first = false
+    }
+    out.write(0)
+    out.toByteArray
+  }
+
+  private def deflateRaw(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  // ------------------------------------------------------------------
+  // Spark plumbing
+  // ------------------------------------------------------------------
+
+  /** Per-row 7z synthesizer: `nCol` members, member j named
+    * `m<j>.dat` holding `s<j>:` + text, coder cycling
+    * store/LZMA2/deflate by (id + j) % 3.
+    */
+  def synthSevenZips(df: DataFrame, idCol: String, textCol: String,
+      nCol: String, outCol: String): DataFrame = {
+    val (ii, ti, ni) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol), df.schema.fieldIndex(nCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val n = r.getInt(ni)
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case i2: java.lang.Integer => i2.longValue()
+          case other => other.hashCode().toLong
+        }
+        val bytes = write((0 until n).map { j =>
+          (s"m$j.dat", (s"s$j:" + text).getBytes("UTF-8"),
+            ((id + j) % 3).toInt)
+        })
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
+  /** One row per member: name, coder chain, size, and whether real
+    * extraction reproduced the declared CRC (`ok`).
+    */
+  def sevenZipEntryRows(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("entry_name", StringType),
+      StructField("method", StringType),
+      StructField("u_size", LongType),
+      StructField("ok", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        extractAll(r.getAs[Array[Byte]](ci)).toSeq.flatten.map {
+          case (e, data) =>
+            Row(id, e.name, e.method, e.size, data.isDefined)
+        }
+      }
+    }(enc)
+  }
+}

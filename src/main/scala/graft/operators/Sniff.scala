@@ -86,6 +86,9 @@ object Sniff {
       return "application/x-bzip2"
     if (at(0) == 0xfd && ascii("7zXZ", 1) && at(5) == 0)
       return "application/x-xz"
+    if (ascii("7z") && at(2) == 0xbc && at(3) == 0xaf &&
+      at(4) == 0x27 && at(5) == 0x1c)
+      return "application/x-7z-compressed"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) return "application/zstd"
     // ustar at offset 257

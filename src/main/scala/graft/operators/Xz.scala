@@ -532,6 +532,23 @@ object Xz {
     * the form ZIP method 14 and other embedded uses carry. `end`
     * bounds the compressed bytes; trailing end markers are accepted.
     */
+  /** Decode one bare LZMA2 chunk sequence (as stored by a 7z
+    * folder's 0x21 coder: control bytes through the 0x00 terminator,
+    * props carried inside the chunks themselves). None for damage.
+    */
+  private[operators] def lzma2Raw(b: Array[Byte], pos: Int, end: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    try {
+      val out = new Out(maxOut)
+      lzma2(b, pos, end, out)
+      Some(java.util.Arrays.copyOf(out.buf, out.len))
+    } catch {
+      case XzFail(_) => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
   private[operators] def lzma1Raw(b: Array[Byte], pos: Int, end: Int,
       props: Int, outLen: Int): Option[Array[Byte]] = {
     try {

@@ -434,6 +434,19 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Bzip2.decompress(_: Array[Byte]))
   }
 
+  test("7z walk is total under own-writer mutation") {
+    val valid = graft.operators.SevenZip.write(Seq(
+      ("a.txt", ("seven zip fuzz member " * 20).getBytes("UTF-8"),
+        0),
+      ("b.txt", ("lzma2 chunked member " * 40).getBytes("UTF-8"),
+        1),
+      ("c.txt", ("deflate member " * 30).getBytes("UTF-8"), 2)))
+    assertTotal("7z/entries", valid,
+      graft.operators.SevenZip.entries)
+    assertTotal("7z/extract", valid,
+      graft.operators.SevenZip.extractAll)
+  }
+
   test("xz decoder is total under own-encoder mutation") {
     val text = ("xz fuzz content with words words words é→Ω ") * 10
     assertTotal("xz/container",

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Archive, Docx, Mime, Multimodal, Pdf, Rtf,
-  Sniff, WebP, Zstd}
+  SevenZip, Sniff, WebP, Zstd}
 
 /** Magic-byte format sniffing: every label must be reachable through
   * the repo's own writers, zip-interior disambiguation must tell the
@@ -38,6 +38,8 @@ class SniffSpec extends AnyFunSuite {
       "application/gzip")
     assert(Sniff.sniff(Archive.tarWrite(Seq(("a", "x".getBytes))))
       == "application/x-tar")
+    assert(Sniff.sniff(SevenZip.write(Seq(("a.txt",
+      "x".getBytes, 0)))) == "application/x-7z-compressed")
     assert(Sniff.sniff(Mime.emlWrite("s", "b", 0)) ==
       "message/rfc822")
     assert(Sniff.sniff(Mime.mboxWrite(Seq(
