@@ -1748,6 +1748,26 @@ object SparkEntry {
           col("height"), col("channels"))
     }),
 
+    // ----- HEIF/AVIF dims triage over the ISO-BMFF walk: per doc a
+    // meta/iprp/ipco/ipma container with a DECOY thumbnail ispe at
+    // property index 1 — dims must resolve through pitm+ipma to the
+    // primary item's ispe or every aspect filter downstream is
+    // poisoned; brand alternates heic/avif by doc_id%2
+    "q_heif_dims" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 3840 + 1).cast("int").as("__w"),
+        (col("doc_id") % 2160 + 1).cast("int").as("__h"),
+        (col("doc_id") % 2).cast("int").as("__b"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val heifs = Heif.synthHeifs(d, "__w", "__h", "__b", "__n",
+        "content")
+      Multimodal.decodeBatches(heifs, "content",
+          Heif.heifSchema)(Heif.decodeHeif)
+        .select(col("doc_id"), col("brand"), col("item_type"),
+          col("width"), col("height"), col("n_channels"),
+          col("n_items"))
+    }),
+
     // ----- REAL PNG PIXEL decode: per doc a genuine zlib-compressed
     // grayscale PNG (Sub+Up filtered rows) is encoded with a planted
     // checkerboard whose cells align with the 8x8 average-hash grid,
@@ -5104,6 +5124,20 @@ object SparkEntry {
          CAST(doc_id % 1920 + 1 AS INT) AS width,
          CAST(doc_id % 1080 + 1 AS INT) AS height,
          CAST(3 AS INT) AS channels
+         FROM documents""",
+
+    // dims must come from the PRIMARY item's ispe (index 2), never
+    // the decoy thumbnail ispe planted at ipco index 1
+    "q_heif_dims" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'avif' ELSE 'heic' END
+           AS brand,
+         CASE WHEN doc_id % 2 = 1 THEN 'av01' ELSE 'hvc1' END
+           AS item_type,
+         CAST(doc_id % 3840 + 1 AS INT) AS width,
+         CAST(doc_id % 2160 + 1 AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         CAST(doc_id % 3 + 1 AS INT) AS n_items
          FROM documents""",
 
     // the checkerboard construction makes the average hash analytic:

@@ -109,7 +109,18 @@ object Sniff {
     if (ascii("ID3") ||
       (at(0) == 0xff && (at(1) & 0xe0) == 0xe0 && b.length > 4))
       return "audio/mpeg"
-    if (b.length >= 12 && ascii("ftyp", 4)) return "video/mp4"
+    if (b.length >= 12 && ascii("ftyp", 4)) {
+      // ISO-BMFF: still-image brands route to the HEIF walk, the
+      // rest stays video
+      val brand = new String(b, 8, 4, StandardCharsets.US_ASCII)
+      return brand match {
+        case "avif" | "avis" => "image/avif"
+        case "heic" | "heix" | "heim" | "heis" | "hevc" | "hevx" =>
+          "image/heic"
+        case "mif1" | "msf1" => "image/heif"
+        case _ => "video/mp4"
+      }
+    }
     // --- text-ish
     if (ascii("HTTP/1.") || ascii("HTTP/2")) return "message/http"
     if (ascii("From ")) return "application/mbox"

@@ -434,6 +434,12 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Bzip2.decompress(_: Array[Byte]))
   }
 
+  test("heif dims walk is total under own-writer mutation") {
+    val valid = graft.operators.Heif.write("heic", "hvc1", 320, 240,
+      3, 2)
+    assertTotal("heif", valid, graft.operators.Heif.heifMeta)
+  }
+
   test("7z walk is total under own-writer mutation") {
     val valid = graft.operators.SevenZip.write(Seq(
       ("a.txt", ("seven zip fuzz member " * 20).getBytes("UTF-8"),
