@@ -72,12 +72,10 @@ object Msg {
 
   /** The PidTagRtfCompressed (0x1009) wrapper per [MS-OXRTFCP]:
     * 16-byte header — COMPSIZE, RAWSIZE, COMPTYPE, CRC (all u32le).
-    * MELA (0x414c454d) is a raw passthrough of RAWSIZE bytes and
-    * decodes here; LZFu (0x75465a4c) refuses honestly — its
-    * normative 207-byte initial dictionary is not in this
-    * environment, and a memory-reconstructed dictionary would
-    * round-trip our own writer while silently desyncing on real
-    * files (the C166 honest-tables rule).
+    * MELA (0x414c454d) is a raw passthrough of RAWSIZE bytes; LZFu
+    * (0x75465a4c) goes through [[Lzfu.decode]] with the header CRC
+    * verified over the token stream and the decoded length checked
+    * against RAWSIZE — a stream that lies about either refuses.
     */
   private[graft] def rtfDecompressed(d: Array[Byte])
       : Option[Array[Byte]] = {
@@ -95,7 +93,10 @@ object Msg {
         if (16 + rawSize > d.length) None
         else Some(java.util.Arrays.copyOfRange(d, 16,
           (16 + rawSize).toInt))
-      case 0x75465a4cL => None // LZFu: dictionary not verifiable
+      case 0x75465a4cL =>
+        if (Lzfu.crc(d, 16, d.length) != le32(12)) None
+        else Lzfu.decode(d, 16, d.length, MaxText)
+          .filter(_.length.toLong == rawSize)
       case _ => None
     }
   }
@@ -166,22 +167,26 @@ object Msg {
     }
     val narrowPref = m != 0
     // the 0x1009 RTF body: the same text through the real RTF
-    // writer, wrapped in a MELA (uncompressed) [MS-OXRTFCP] header
+    // writer; mode 1 wraps it LZFu-compressed (the form real
+    // Outlook emits), the others MELA — the query cycle covers both
     val rtfWrapped = {
       val rtf = Rtf.rtfWrite(body, m)
-      val out = new Array[Byte](16 + rtf.length)
-      def le32(o: Int, v: Long): Unit = {
-        out(o) = (v & 0xff).toByte
-        out(o + 1) = ((v >> 8) & 0xff).toByte
-        out(o + 2) = ((v >> 16) & 0xff).toByte
-        out(o + 3) = ((v >> 24) & 0xff).toByte
+      if (m == 1) Lzfu.compress(rtf)
+      else {
+        val out = new Array[Byte](16 + rtf.length)
+        def le32(o: Int, v: Long): Unit = {
+          out(o) = (v & 0xff).toByte
+          out(o + 1) = ((v >> 8) & 0xff).toByte
+          out(o + 2) = ((v >> 16) & 0xff).toByte
+          out(o + 3) = ((v >> 24) & 0xff).toByte
+        }
+        le32(0, out.length - 4L) // COMPSIZE excludes its own field
+        le32(4, rtf.length.toLong)
+        le32(8, 0x414c454dL) // MELA
+        le32(12, 0L) // CRC is 0 for uncompressed
+        System.arraycopy(rtf, 0, out, 16, rtf.length)
+        out
       }
-      le32(0, out.length - 4L) // COMPSIZE excludes its own field
-      le32(4, rtf.length.toLong)
-      le32(8, 0x414c454dL) // MELA
-      le32(12, 0L) // CRC is 0 for uncompressed
-      System.arraycopy(rtf, 0, out, 16, rtf.length)
-      out
     }
     val base = Seq(
       stream("0037", subject, narrowPref),
