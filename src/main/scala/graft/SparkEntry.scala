@@ -2530,6 +2530,66 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
+    // ----- the OMNI crawl compose: six formats (html/pdf/docx/rtf/
+    // epub/markdown) cycling by doc_id%6, each wrapped as an HTTP
+    // response in a WARC (odd docs .warc.gz), with LYING declared
+    // Content-Types on every 5th doc — the pipeline must route by
+    // magic-byte sniff, extract per format, quality-filter, and
+    // fingerprint-dedup in ONE query; any byte damage or misroute
+    // anywhere breaks the oracle's hash
+    "q_crawl_omni" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 6).cast("int").as("__f"),
+        (col("doc_id") % 3).cast("int").as("__m"),
+        (col("doc_id") % 7).cast("int").as("__v"),
+        (col("doc_id") % 2).cast("int").as("__gz"))
+      val keep = Seq(col("doc_id"), col("__gz"), col("content"),
+        col("__ct"))
+      // html is built in-column (entity-escaped so extraction is
+      // exactly the whitespace-normalized source text)
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("__t"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = d.filter(col("__f") === 0)
+        .withColumn("content", encode(concat(
+          lit("<html><body><p>"), esc, lit("</p></body></html>")),
+          "UTF-8"))
+        .withColumn("__ct", lit("text/html")).select(keep: _*)
+      val pdf = Pdf.synthPdfs(d.filter(col("__f") === 1), "__t",
+          "__v", "__m", "content")
+        .withColumn("__ct", lit("application/pdf")).select(keep: _*)
+      val docx = Docx.synthDocx(d.filter(col("__f") === 2), "__t",
+          "__m", "content")
+        .withColumn("__ct", lit("application/msword-wrong"))
+        .select(keep: _*)
+      val rtf = Rtf.synthRtf(d.filter(col("__f") === 3), "__t",
+          "__m", "content")
+        .withColumn("__ct", lit("application/rtf")).select(keep: _*)
+      val epub = Docx.synthEpub(d.filter(col("__f") === 4),
+          "doc_id", "__t", "__m", "content")
+        .withColumn("__ct", lit("application/epub+zip"))
+        .select(keep: _*)
+      val md = Markdown.synthMd(d.filter(col("__f") === 5),
+          "doc_id", "__t", "content")
+        .withColumn("__ct", lit("text/markdown")).select(keep: _*)
+      val payloads = html.unionByName(pdf).unionByName(docx)
+        .unionByName(rtf).unionByName(epub).unionByName(md)
+        // every 5th doc's declared type LIES; routing must not care
+        .withColumn("__ct", when(col("doc_id") % 5 === 0,
+          lit("application/octet-stream")).otherwise(col("__ct")))
+      val warcs = OmniCrawl.synthHttpWarcs(payloads, "doc_id",
+        "content", "__ct", "__gz", "warc")
+      val rows = Multimodal.decodeBatches(warcs, "warc",
+          OmniCrawl.omniSchema)(OmniCrawl.decodeOmni)
+        .select(col("doc_id"),
+          when(col("is_html"), T.htmlToText(col("payload")))
+            .otherwise(col("payload")).as("text"))
+      val kept = rows.filter(T.qualityKeep(col("text")))
+      Dedup.byFingerprint(kept, "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
     // ----- zstd container walk (RFC 8878 frame layer): per doc a
     // skippable frame (odd docs) + a content frame in a cycling
     // header layout (single-segment / fcs widths / dict-id widths /
@@ -5453,6 +5513,35 @@ object SparkEntry {
          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '',
            'g'))""",
 
+    // the omni compose replayed closed-form: per-format expected
+    // text (html whitespace-normalized, epub's c2 chapter suffix,
+    // markdown's fixed wrapper, pdf/docx/rtf identity), then the
+    // SAME quality filter + fingerprint grouping as q_crawl_curate
+    "q_crawl_omni" ->
+      s"""WITH src AS (SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN trim(regexp_replace(regexp_replace(
+               COALESCE(text, ''), '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+               '\\s+', ' ', 'g'))
+             WHEN 4 THEN COALESCE(text, '') || chr(10) || 'c2 '
+               || doc_id
+             WHEN 5 THEN 'Doc ' || CAST(doc_id % 50 AS VARCHAR)
+               || chr(10) || chr(10) || COALESCE(text, '')
+               || chr(10) || chr(10) || chr(10)
+               || 'val x = 6 * 7 // fixed' || chr(10) || chr(10)
+               || 'html tag stripped' || chr(10)
+             ELSE COALESCE(text, '')
+           END AS text
+           FROM documents),
+         k AS (SELECT doc_id
+           FROM (${qualityFilterOracleFrom("src")}) WHERE keep),
+         d AS (SELECT doc_id, text FROM src
+           WHERE doc_id IN (SELECT doc_id FROM k))
+         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM d
+         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+           'g'))""",
+
     // every planted frame field replayed arithmetically: the
     // skippable row (odd docs), the text frame's layout-dependent
     // dict-id/checksum fields, and the RLE frame's block counts
@@ -6787,10 +6876,17 @@ object SparkEntry {
          AS quality
          FROM documents"""
 
-  private def qualityFilterOracle: String = {
+  private def qualityFilterOracle: String =
+    qualityFilterOracleFrom("documents")
+
+  /** The quality-filter replay over any (doc_id, text) source —
+    * `src` may be a table name or an outer CTE name (DuckDB scopes
+    * outer CTEs into nested WITH subqueries).
+    */
+  private def qualityFilterOracleFrom(src: String): String = {
     val ts = tokensSql("text")
     s"""WITH t0 AS (SELECT doc_id, text, $ts AS ts,
-         ${tokensSql("lower(text)")} AS lts FROM documents),
+         ${tokensSql("lower(text)")} AS lts FROM $src),
        t1 AS (SELECT doc_id, text, ts,
          ${bigramsSql("ts")} AS grams,
          len(list_filter(lts, t ->

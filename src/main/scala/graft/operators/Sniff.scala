@@ -155,6 +155,19 @@ object Sniff {
         t.charAt(6) == '\n' || t.charAt(6) == '\r'))
       return "text/vtt"
     if (looksLikeSrt(t)) return "application/x-subrip"
+    // markdown: YAML front matter ("---", a key: line, a closing
+    // "---") — the static-site convention; markdown without front
+    // matter stays text/plain (honest triage, not a guess)
+    if (t.startsWith("---\n") || t.startsWith("---\r\n")) {
+      val afterDash = t.indexOf('\n') + 1
+      val keyEnd = t.indexOf(':', afterDash)
+      val lineEnd = t.indexOf('\n', afterDash)
+      if (keyEnd > afterDash && (lineEnd < 0 || keyEnd < lineEnd) &&
+        t.substring(afterDash, keyEnd)
+          .forall(c => c.isLetterOrDigit || c == '_' || c == '-') &&
+        t.indexOf("\n---", afterDash) > 0)
+        return "text/markdown"
+    }
     // notebook: a JSON object whose head carries the nbformat shape
     if (t.startsWith("{") &&
       (t.contains("\"cells\"") || t.contains("\"worksheets\"")))
