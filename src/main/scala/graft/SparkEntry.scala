@@ -3275,6 +3275,24 @@ object SparkEntry {
           col("y_ac_qi"), col("segmentation"))
     }),
 
+    // ----- FULL lossy VP8 PIXEL decode (RFC 6386): the 18 committed
+    // reference fixtures (encoded by libwebp across pattern/size/
+    // quality/filter/segmentation space) cycle by doc_id; each
+    // decodes through the complete keyframe pipeline — boolean
+    // decoder, prob updates, B_PRED/16x16 modes, tokens, IWHT+IDCT,
+    // all intra predictors, both loop filters — and the Y-plane
+    // average hash must equal the literal the REFERENCE decoder's
+    // own YUV output produced at generation time (Vp8Spec pins all
+    // three planes byte-for-byte)
+    "q_vp8_pixels" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val webp = Vp8.synthVp8(d, "doc_id", "content")
+      Multimodal.decodeBatches(webp, "content",
+          Vp8.vp8Schema)(Vp8.decodeVp8AHash)
+        .select(col("doc_id"), col("vp8_w"), col("vp8_h"),
+          col("y_ahash"))
+    }),
+
     // ----- REAL WebP (VP8L) decode: the same checkerboards through
     // the lossless-WebP bitstream — doc_id%3 cycles the encoder
     // layout (subtract-green / predictor transform / delta-coded
@@ -6050,6 +6068,34 @@ object SparkEntry {
          CAST(doc_id % 128 AS INTEGER) AS y_ac_qi,
          FALSE AS segmentation
          FROM documents""",
+
+    // the 18 dims + Y-plane hashes below were computed at fixture
+    // generation from the REFERENCE decoder's own YUV planes (an
+    // independent replay of averageHash64's exact-integer rule) —
+    // matching them proves the full from-spec pixel pipeline
+    "q_vp8_pixels" ->
+      """WITH f(i, w, h, hsh) AS (VALUES
+           (0, 32, 32, CAST(-1130104881152 AS BIGINT)),
+           (1, 32, 32, -6172840429334713771),
+           (2, 32, 32, -2741712144137788797),
+           (3, 48, 32, -1085101488751856976),
+           (4, 17, 13, -1165009879040),
+           (5, 17, 13, -57645415533432013),
+           (6, 64, 48, 8970318305893081312),
+           (7, 33, 33, -7357760474948377973),
+           (8, 16, 16, -3689517697150995661),
+           (9, 80, 64, -1130104881152),
+           (10, 32, 32, -1130104881152),
+           (11, 32, 32, -2741712144137788797),
+           (12, 17, 13, -1130650140672),
+           (13, 64, 48, 8970318305893081312),
+           (14, 33, 33, -7357760474948377973),
+           (15, 16, 16, -1130104881152),
+           (16, 16, 16, -1130104881152),
+           (17, 16, 16, -1130104881152))
+         SELECT d.doc_id, CAST(f.w AS INT) AS vp8_w,
+           CAST(f.h AS INT) AS vp8_h, f.hsh AS y_ahash
+         FROM documents d JOIN f ON f.i = d.doc_id % 18""",
 
     // three VP8L layouts decode to the same uniform cells -> the PNG
     // checkerboard constants verbatim

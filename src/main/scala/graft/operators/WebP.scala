@@ -626,6 +626,17 @@ object WebP {
         i += 1
       }
       (w, h, luma)
+    }.orElse {
+      // lossy frames: the full RFC 6386 pixel decode ([[Vp8]]) — the
+      // Y plane IS the luma, no color conversion needed, which makes
+      // the majority class of real .webp crawl payloads visible to
+      // image near-dup at last
+      Vp8.decodeYuv(b).map { case (w, h, y, _, _) =>
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < luma.length) { luma(i) = y(i) & 0xff; i += 1 }
+        (w, h, luma)
+      }
     }
 
   // ------------------------------------------------------------------
@@ -916,24 +927,16 @@ object WebP {
   }
 
   // ------------------------------------------------------------------
-  // lossy VP8 (RFC 6386) — frame HEADER metadata only
+  // lossy VP8 (RFC 6386) — frame HEADER metadata
   // ------------------------------------------------------------------
   //
-  // Scope decision (the honest-tables rule): full VP8 intra pixel
-  // decode needs RFC 6386's normative data tables (default
-  // coefficient probabilities 4×8×3×11, keyframe B-mode probabilities
-  // 10×10×9, dequantization tables, token trees — ~2,000 entries).
-  // Those tables are not reproducible from first principles: a
-  // memory-reconstructed set would let our own encoder/decoder pair
-  // round-trip while real-world files desync the arithmetic decoder —
-  // the silently-wrong-on-mainstream-input failure mode this repo
-  // refuses everywhere else. Until the tables can be transcribed from
-  // the spec and pinned against a reference decoder, pixel decode
-  // refuses (decodeArgb → None) and the frame HEADER — whose fields
-  // are plain bits and 50/50-probability boolean-decoder literals,
-  // no tables involved — is surfaced for the metadata filters a
-  // curation pipeline actually runs on lossy WebP (dimensions,
-  // quantizer index, loop-filter strength, partition layout).
+  // The C166 honest-tables refusal is RESOLVED (round 15): the
+  // normative tables were extracted from this machine's system
+  // libwebp and golden-pinned, and [[Vp8]] now decodes keyframe
+  // pixels bit-exactly against the reference decoder (Vp8Spec).
+  // [[decodeLuma]] routes lossy frames there; this header parser
+  // stays as the cheap metadata tier (q_vp8_meta) that never needs
+  // full pixel work.
 
   /** Parsed VP8 key-frame header (all table-free fields). */
   final case class Vp8Meta(

@@ -127,7 +127,8 @@ class WebPSpec extends SparkSpec {
     }
   }
 
-  test("vp8 lossy header fields round-trip; pixel decode refuses") {
+  test("vp8 lossy header fields round-trip; pixels route to the " +
+      "full Vp8 decoder") {
     for ((w, h, q, f, s, np) <- Seq((16, 16, 0, 0, 0, 0),
       (1600, 1024, 127, 63, 7, 3), (320, 240, 64, 31, 4, 1))) {
       val b = WebP.vp8Write(w, h, q, f, s, np, 0)
@@ -137,9 +138,12 @@ class WebPSpec extends SparkSpec {
         m.nPartitions == (1 << np) && !m.segmentation &&
         m.showFrame && m.version == 0,
         s"$m vs ($w,$h,$q,$f,$s,$np)")
-      // the honest-tables scope: pixels stay refused
+      // the ARGB path stays VP8L-only (no color conversion for
+      // lossy); LUMA now decodes via the full RFC 6386 pipeline
+      // (real-stream bit-exactness is pinned in Vp8Spec)
       assert(WebP.decodeArgb(b).isEmpty)
-      assert(Multimodal.imageAHash(b).isEmpty)
+      assert(WebP.decodeLuma(b).exists { case (dw, dh, l) =>
+        dw == w && dh == h && l.length == w * h })
     }
   }
 
