@@ -49,7 +49,13 @@ object Sf1Point {
     "q_winsorize", "q_crawl_pdf", "q_entity_clusters",
     "q_video_frame_dup", "q_lang_full", "q_grouped_winsorize",
     "q_char_lm_score", "q_oriented_dup", "q_encode_multi", "q_zorder",
-    "q_ivf_index").map(q => q -> SparkEntry.queries(q)) ++ Seq(
+    "q_ivf_index",
+    // the decode-heavy codec tier (round 15): per-doc KDF/decrypt,
+    // the sniff-routed omni compose, the 7z walk, and the full VP8
+    // pixel decode — all map-only by design; the 10x point turns
+    // that claim into a measurement
+    "q_pdf_encrypted", "q_crawl_omni", "q_7z_entries",
+    "q_vp8_pixels").map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"),
