@@ -3117,6 +3117,22 @@ object SparkEntry {
           col("n_null_notes"))
     }),
 
+    // ----- Avro COMPLEX schemas (closes the C184 refusal): nested
+    // record, array split across item blocks (the NEGATIVE
+    // count+byte-size form on odd ids), map, enum, fixed(8), a
+    // 3-branch union — with the codec cycling null/deflate/SNAPPY
+    // (from-spec decoder + the Avro big-endian CRC32 trailer)
+    "q_avro_complex" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val av = Avro.synthAvroComplex(d, "doc_id", "content")
+      Multimodal.decodeBatches(av, "content",
+          Avro.avroComplexSchema)(Avro.decodeAvroComplex)
+        .select(col("doc_id"), col("n_records"), col("meta_a_sum"),
+          col("meta_b"), col("vals_sum"), col("n_vals"),
+          col("tags_sum"), col("kind"), col("fp_sum"),
+          col("u_repr"))
+    }),
+
     // ----- EXIF over JPEG APP1: orientation/timestamp as curation
     // signals, GPS in exact centi-arc-seconds, and the PII strip
     // proven per-row (metadata gone, entropy bytes identical)
@@ -5913,6 +5929,30 @@ object SparkEntry {
          CAST(6 * doc_id + 6 AS BIGINT) AS long_sum,
          2 AS n_null_notes
          FROM documents""",
+
+    // every planted complex value replayed: nested meta sums, the
+    // array arithmetic series, the map value sum, enum/union cases,
+    // and the mod-251 fixed-byte sum
+    "q_avro_complex" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 1 AS len
+           FROM documents)
+         SELECT doc_id,
+           2 AS n_records,
+           CAST(6 * doc_id + 3 AS BIGINT) AS meta_a_sum,
+           'm' || CAST(doc_id % 100 AS VARCHAR) AS meta_b,
+           CAST(2 * (len * doc_id + len * (len - 1) / 2) AS BIGINT)
+             AS vals_sum,
+           CAST(2 * len AS INT) AS n_vals,
+           CAST(6 * doc_id AS BIGINT) AS tags_sum,
+           CASE doc_id % 3 WHEN 0 THEN 'ALPHA' WHEN 1 THEN 'BETA'
+             ELSE 'GAMMA' END AS kind,
+           CAST((SELECT SUM((doc_id + t.i) % 251)
+             FROM unnest(generate_series(0, 7)) AS t(i)) AS BIGINT)
+             AS fp_sum,
+           CASE doc_id % 3 WHEN 0 THEN NULL
+             WHEN 1 THEN 'l:' || CAST(doc_id * 7 AS VARCHAR)
+             ELSE 's:u' || CAST(doc_id % 10 AS VARCHAR) END AS u_repr
+         FROM p""",
 
     // planted orientation/timestamp/GPS replayed arithmetically;
     // strip_clean proves the PII removal on every row

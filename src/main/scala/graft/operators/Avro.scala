@@ -24,14 +24,19 @@ import graft.sources.MiniJson
   *  - Blocks: zigzag record count + zigzag byte size + payload +
   *    sync, the sync VERIFIED against the header's on every block
   *    (a mismatch means a torn file — refuse, never misaligned
-  *    records). Codecs: `null` and `deflate` (raw zlib per spec);
-  *    `snappy`/`zstandard` refuse honestly.
-  *  - Records: flat record schemas over the primitives — null,
-  *    boolean, int, long (zigzag varints), float/double (LE IEEE),
-  *    bytes/string (length-prefixed), and the nullable idiom
-  *    `["null", T]` (zigzag branch index). Nested records, arrays,
-  *    maps, enums, fixed → refuse: a half-decoded complex schema
-  *    would silently drop data.
+  *    records). Codecs: `null`, `deflate` (raw zlib), and `snappy`
+  *    (round 15: the from-spec [[Snappy]] block decoder, with the
+  *    Avro-specific big-endian CRC32-of-uncompressed trailer
+  *    verified); `zstandard`/`bzip2`/`xz` could ride the in-repo
+  *    codecs but no fixture writer emits them yet — refuse.
+  *  - Records: the FULL recursive schema tree (round 15 — closes the
+  *    C184 half-decode refusal): primitives (null, boolean,
+  *    int/long zigzag varints, float/double LE IEEE, bytes/string),
+  *    nested records, arrays and maps with the spec's negative
+  *    block-count byte-size form, enums, fixed, and general unions.
+  *    Named-type REFERENCES (reuse of an earlier definition by
+  *    name) refuse — supporting them without a registry would
+  *    mis-decode; recursion depth is bounded.
   *
   * Per-row byte work inside [[Multimodal.decodeBatches]] — map-only.
   */
@@ -85,44 +90,107 @@ object Avro {
     def atEnd: Boolean = p >= b.length
   }
 
-  private def parseSchema(json: String): Seq[AvroField] = {
+  // ---- the recursive schema tree (round 15) ----
+
+  private[operators] sealed trait AType
+  private[operators] final case class APrim(tag: Char) extends AType
+  private[operators] final case class ARec(
+      fields: Vector[(String, AType)]) extends AType
+  private[operators] final case class AArr(item: AType) extends AType
+  private[operators] final case class AMapT(value: AType)
+    extends AType
+  private[operators] final case class AEnumT(symbols: Vector[String])
+    extends AType
+  private[operators] final case class AFixedT(size: Int)
+    extends AType
+  private[operators] final case class AUnion(branches: Vector[AType])
+    extends AType
+
+  private def primTag(s: String): Option[Char] = s match {
+    case "null" => Some('n')
+    case "boolean" => Some('b')
+    case "int" => Some('i')
+    case "long" => Some('l')
+    case "float" => Some('f')
+    case "double" => Some('d')
+    case "string" => Some('s')
+    case "bytes" => Some('y')
+    case _ => None
+  }
+
+  private def parseType(t: Any, depth: Int): AType = {
+    if (depth > 16) throw AvroFail
+    t match {
+      case s: String =>
+        primTag(s).map(APrim).getOrElse(throw AvroFail)
+      case u: Vector[_] =>
+        if (u.isEmpty || u.length > 64) throw AvroFail
+        AUnion(u.map(parseType(_, depth + 1)).toVector)
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm.getOrElse("type", null) match {
+          case "record" =>
+            val fs = mm.get("fields") match {
+              case Some(a: Vector[_]) => a
+              case _ => throw AvroFail
+            }
+            ARec(fs.map {
+              case f: Map[_, _] =>
+                val fm = f.asInstanceOf[Map[String, Any]]
+                val name = fm.getOrElse("name", "") match {
+                  case s: String if s.nonEmpty => s
+                  case _ => throw AvroFail
+                }
+                (name, parseType(fm.getOrElse("type", null),
+                  depth + 1))
+              case _ => throw AvroFail
+            }.toVector)
+          case "array" =>
+            AArr(parseType(mm.getOrElse("items", null), depth + 1))
+          case "map" =>
+            AMapT(parseType(mm.getOrElse("values", null), depth + 1))
+          case "enum" =>
+            mm.get("symbols") match {
+              case Some(a: Vector[_])
+                  if a.nonEmpty && a.forall(_.isInstanceOf[String]) =>
+                AEnumT(a.map(_.asInstanceOf[String]).toVector)
+              case _ => throw AvroFail
+            }
+          case "fixed" =>
+            mm.getOrElse("size", null) match {
+              case d: Double
+                  if d >= 0 && d <= (1 << 20) && d.isWhole =>
+                AFixedT(d.toInt)
+              case _ => throw AvroFail
+            }
+          case s: String =>
+            // {"type": "long", ...} annotation form
+            primTag(s).map(APrim).getOrElse(throw AvroFail)
+          case _ => throw AvroFail
+        }
+      case _ => throw AvroFail // named-type references: no registry
+    }
+  }
+
+  private def parseRootRecord(json: String)
+      : Vector[(String, AType)] = {
     val root = MiniJson.parse(json) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => throw AvroFail
     }
-    if (root.getOrElse("type", "") != "record") throw AvroFail
-    val fields = root.get("fields") match {
-      case Some(a: Vector[_]) => a
-      case _ => throw AvroFail
-    }
-    fields.map {
-      case f: Map[_, _] =>
-        val fm = f.asInstanceOf[Map[String, Any]]
-        val name = fm.getOrElse("name", "") match {
-          case s: String if s.nonEmpty => s
-          case _ => throw AvroFail
-        }
-        def tagOf(t: Any): Char = t match {
-          case "null" => 'n'
-          case "boolean" => 'b'
-          case "int" => 'i'
-          case "long" => 'l'
-          case "float" => 'f'
-          case "double" => 'd'
-          case "string" => 's'
-          case "bytes" => 'y'
-          case _ => throw AvroFail // complex types refuse
-        }
-        fm.getOrElse("type", null) match {
-          case u: Vector[_] =>
-            // only the ["null", T] nullable idiom
-            if (u.length != 2 || u(0) != "null") throw AvroFail
-            AvroField(name, tagOf(u(1)), nullable = true)
-          case t => AvroField(name, tagOf(t), nullable = false)
-        }
+    parseType(root, 0) match {
+      case ARec(fields) => fields
       case _ => throw AvroFail
     }
   }
+
+  private def parseSchema(json: String): Seq[AvroField] =
+    parseRootRecord(json).map {
+      case (name, APrim(tag)) => AvroField(name, tag, nullable = false)
+      case (name, AUnion(Vector(APrim('n'), APrim(t)))) =>
+        AvroField(name, t, nullable = true)
+      case _ => throw AvroFail // complex top-level: flat API refuses
+    }
 
   private def inflateRaw(d: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true) // raw per the spec
@@ -143,6 +211,53 @@ object Avro {
       }
       out.toByteArray
     } finally inf.end()
+  }
+
+  /** Array/map block loop: count (negative → abs count + byte size
+    * follows), items via `one`, terminated by a 0 count.
+    */
+  private def readBlocks(c: Cur, one: () => Unit): Unit = {
+    var total = 0L
+    var n = c.zlong()
+    while (n != 0) {
+      val count = if (n < 0) { c.zlong(); -n } else n
+      total += count
+      if (count < 0 || total > MaxRecords) throw AvroFail
+      var i = 0L
+      while (i < count) { one(); i += 1 }
+      n = c.zlong()
+    }
+  }
+
+  /** Recursive typed value read. Records → IndexedSeq[Any], arrays
+    * → Vector[Any], maps → Vector[(String, Any)] (order preserved),
+    * enums → symbol string, fixed → bytes, unions → (branch, value).
+    */
+  private def readTyped(c: Cur, t: AType): Any = t match {
+    case APrim(tag) => readValue(c, tag)
+    case ARec(fields) =>
+      fields.map { case (_, ft) => readTyped(c, ft) }
+    case AArr(item) =>
+      val out = Vector.newBuilder[Any]
+      readBlocks(c, () => out += readTyped(c, item))
+      out.result()
+    case AMapT(value) =>
+      val out = Vector.newBuilder[(String, Any)]
+      readBlocks(c, () => {
+        val k = new String(c.bytes(c.zlong().toInt),
+          StandardCharsets.UTF_8)
+        out += (k -> readTyped(c, value))
+      })
+      out.result()
+    case AEnumT(symbols) =>
+      val i = c.zlong()
+      if (i < 0 || i >= symbols.length) throw AvroFail
+      symbols(i.toInt)
+    case AFixedT(size) => c.bytes(size)
+    case AUnion(branches) =>
+      val i = c.zlong()
+      if (i < 0 || i >= branches.length) throw AvroFail
+      (i.toInt, readTyped(c, branches(i.toInt)))
   }
 
   private def readValue(c: Cur, tag: Char): Any = tag match {
@@ -170,90 +285,154 @@ object Avro {
     case _ => throw AvroFail
   }
 
-  /** Parse a container file. None on a bad magic, complex schemas,
+  /** Undo a block codec. Snappy blocks carry the Avro-specific
+    * 4-byte BIG-endian CRC32 of the UNCOMPRESSED data as a trailer.
+    */
+  private def decodeBlock(codec: String, raw: Array[Byte])
+      : Array[Byte] = codec match {
+    case "null" => raw
+    case "deflate" => inflateRaw(raw)
+    case "snappy" =>
+      if (raw.length < 4) throw AvroFail
+      val data = Snappy.decompress(
+        java.util.Arrays.copyOf(raw, raw.length - 4), MaxBytes)
+        .getOrElse(throw AvroFail)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val want = ((raw(raw.length - 4) & 0xffL) << 24) |
+        ((raw(raw.length - 3) & 0xffL) << 16) |
+        ((raw(raw.length - 2) & 0xffL) << 8) |
+        (raw(raw.length - 1) & 0xffL)
+      if (crc.getValue != want) throw AvroFail
+      data
+    case _ => throw AvroFail // zstandard/bzip2/xz: no fixture writer
+  }
+
+  /** Shared container walk: header, metadata, schema tree, blocks.
+    * Returns top-level (name, type) pairs and per-record typed
+    * value rows. Throws AvroFail internally; callers wrap.
+    */
+  private def readContainer(b: Array[Byte])
+      : (Vector[(String, AType)], Seq[IndexedSeq[Any]], String, Int) = {
+    if (b == null || b.length < 32) throw AvroFail
+    if (b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+      throw AvroFail
+    val c = new Cur(b, 4)
+    var schemaJson: String = null
+    var codec = "null"
+    // file metadata map: blocks until a 0 count
+    var n = c.zlong()
+    while (n != 0) {
+      val count = if (n < 0) { c.zlong(); -n } else n
+      var i = 0L
+      while (i < count) {
+        val key = new String(c.bytes(c.zlong().toInt),
+          StandardCharsets.UTF_8)
+        val value = c.bytes(c.zlong().toInt)
+        key match {
+          case "avro.schema" =>
+            schemaJson = new String(value, StandardCharsets.UTF_8)
+          case "avro.codec" =>
+            codec = new String(value, StandardCharsets.UTF_8)
+          case _ => ()
+        }
+        i += 1
+      }
+      n = c.zlong()
+    }
+    if (schemaJson == null) throw AvroFail
+    // unknown codecs refuse UP FRONT (even for block-less files):
+    // accepting the header and failing later would split the
+    // refusal surface
+    codec match {
+      case "null" | "deflate" | "snappy" => ()
+      case _ => throw AvroFail
+    }
+    val fields =
+      try parseRootRecord(schemaJson)
+      catch {
+        case _: graft.core.MalformedSidecarException => throw AvroFail
+      }
+    val sync = c.bytes(16)
+    val rows = scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]()
+    var nBlocks = 0
+    while (!c.atEnd) {
+      val count = c.zlong()
+      if (count < 0 || count > MaxRecords) throw AvroFail
+      val size = c.zlong()
+      if (size < 0 || size > MaxBytes) throw AvroFail
+      val raw = c.bytes(size.toInt)
+      val blockSync = c.bytes(16)
+      if (!java.util.Arrays.equals(sync, blockSync)) throw AvroFail
+      val data = decodeBlock(codec, raw)
+      val bc = new Cur(data, 0)
+      var i = 0L
+      while (i < count) {
+        val vals = fields.map { case (_, t) => readTyped(bc, t) }
+          .toIndexedSeq
+        rows += vals
+        if (rows.length > MaxRecords) throw AvroFail
+        i += 1
+      }
+      if (!bc.atEnd) throw AvroFail // trailing bytes = torn block
+      nBlocks += 1
+    }
+    (fields, rows.toSeq, codec, nBlocks)
+  }
+
+  /** Parse a container file through the FLAT view (the original API:
+    * primitive / nullable-primitive top-level fields only — complex
+    * schemas go through [[decodeAvroComplex]]). None on a bad magic,
     * unsupported codecs, sync mismatches, or torn blocks.
     */
   def avroRead(b: Array[Byte]): Option[AvroDoc] = {
-    if (b == null || b.length < 32) return None
     try {
-      if (b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
-        return None
-      val c = new Cur(b, 4)
-      var schemaJson: String = null
-      var codec = "null"
-      // file metadata map: blocks until a 0 count
-      var n = c.zlong()
-      while (n != 0) {
-        val count = if (n < 0) { c.zlong(); -n } else n
-        var i = 0L
-        while (i < count) {
-          val key = new String(c.bytes(c.zlong().toInt),
-            StandardCharsets.UTF_8)
-          val value = c.bytes(c.zlong().toInt)
-          key match {
-            case "avro.schema" =>
-              schemaJson = new String(value, StandardCharsets.UTF_8)
-            case "avro.codec" =>
-              codec = new String(value, StandardCharsets.UTF_8)
-            case _ => ()
-          }
-          i += 1
-        }
-        n = c.zlong()
-      }
-      if (schemaJson == null) throw AvroFail
-      val fields =
-        try parseSchema(schemaJson)
+      val flat =
+        try parseSchema(new String(headerSchema(b),
+          StandardCharsets.UTF_8))
         catch {
           case _: graft.core.MalformedSidecarException =>
             throw AvroFail
         }
-      codec match {
-        case "null" | "deflate" => ()
-        case _ => throw AvroFail // snappy/zstandard: not verified here
-      }
-      val sync = c.bytes(16)
-      val rows = scala.collection.mutable
-        .ArrayBuffer[IndexedSeq[Any]]()
-      var nBlocks = 0
-      while (!c.atEnd) {
-        val count = c.zlong()
-        if (count < 0 || count > MaxRecords) throw AvroFail
-        val size = c.zlong()
-        if (size < 0 || size > MaxBytes) throw AvroFail
-        val raw = c.bytes(size.toInt)
-        val blockSync = c.bytes(16)
-        if (!java.util.Arrays.equals(sync, blockSync))
-          throw AvroFail
-        val data = if (codec == "deflate") inflateRaw(raw) else raw
-        val bc = new Cur(data, 0)
-        var i = 0L
-        while (i < count) {
-          val vals = fields.map { f =>
-            val tag =
-              if (f.nullable) {
-                bc.zlong() match {
-                  case 0 => 'n'
-                  case 1 => f.tag
-                  case _ => throw AvroFail
-                }
-              } else f.tag
-            readValue(bc, tag)
-          }.toIndexedSeq
-          rows += vals
-          if (rows.length > MaxRecords) throw AvroFail
-          i += 1
-        }
-        if (!bc.atEnd) throw AvroFail // trailing bytes = torn block
-        nBlocks += 1
-      }
-      Some(AvroDoc(fields, rows.toSeq, codec, nBlocks))
+      val (_, rows, codec, nBlocks) = readContainer(b)
+      // unwrap the nullable-union tuples into plain values
+      val unwrapped = rows.map(_.map {
+        case (_: Int, v) => v
+        case v => v
+      })
+      Some(AvroDoc(flat, unwrapped, codec, nBlocks))
     } catch {
       case AvroFail => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
       case _: OutOfMemoryError => None
     }
+  }
+
+  /** The raw avro.schema bytes from the header metadata (shared by
+    * the flat pre-check).
+    */
+  private def headerSchema(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 32) throw AvroFail
+    if (b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+      throw AvroFail
+    val c = new Cur(b, 4)
+    var out: Array[Byte] = null
+    var n = c.zlong()
+    while (n != 0) {
+      val count = if (n < 0) { c.zlong(); -n } else n
+      var i = 0L
+      while (i < count) {
+        val key = new String(c.bytes(c.zlong().toInt),
+          StandardCharsets.UTF_8)
+        val value = c.bytes(c.zlong().toInt)
+        if (key == "avro.schema") out = value
+        i += 1
+      }
+      n = c.zlong()
+    }
+    if (out == null) throw AvroFail
+    out
   }
 
   // ------------------------------------------------------------------
@@ -367,6 +546,208 @@ object Avro {
         Seq[Any](sb.toString, rows.length, nBlocks, lsum, nulls)
       case None => Seq[Any](null, null, null, null, null)
     }
+
+  // ------------------------------------------------------------------
+  // complex-schema surface (round 15)
+  // ------------------------------------------------------------------
+
+  private val ComplexSchema =
+    """{"type": "record", "name": "doc", "fields": [
+      {"name": "meta", "type": {"type": "record", "name": "m",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": "string"}]}},
+      {"name": "vals", "type": {"type": "array", "items": "long"}},
+      {"name": "tags", "type": {"type": "map", "values": "long"}},
+      {"name": "kind", "type": {"type": "enum", "name": "k",
+        "symbols": ["ALPHA", "BETA", "GAMMA"]}},
+      {"name": "fp", "type": {"type": "fixed", "name": "f",
+        "size": 8}},
+      {"name": "u", "type": ["null", "long", "string"]}
+    ]}"""
+
+  /** A container file over the full complex-type surface: nested
+    * record, array (split across two item blocks, the NEGATIVE
+    * count+byte-size form on odd ids), map (negative form on even
+    * ids), enum, fixed(8), a 3-branch union; two records in two
+    * container blocks; codec cycling null/deflate/snappy by id%3.
+    */
+  def avroWriteComplex(id: Long): Array[Byte] = {
+    val codec = (id % 3) match {
+      case 1 => "deflate"
+      case 2 => "snappy"
+      case _ => "null"
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    def wr(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    wr(wZlong(2L))
+    wr(wStr("avro.schema")); wr(wStr(ComplexSchema))
+    wr(wStr("avro.codec")); wr(wStr(codec))
+    wr(wZlong(0L))
+    val sync = Array.tabulate[Byte](16)(i => (0xc3 ^ i * 11).toByte)
+    wr(sync)
+    def record(k: Long): Array[Byte] = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      def wb(a: Array[Byte]): Unit = b2.write(a, 0, a.length)
+      // meta
+      wb(wZlong(id * 3 + 1 + k)); wb(wStr("m" + (id % 100)))
+      // vals: len = id%4+1, items id..id+len-1, two item blocks
+      val len = (id % 4 + 1).toInt
+      val items = (0 until len).map(i => id + i)
+      def itemBlock(xs: Seq[Long]): Unit = {
+        if (xs.nonEmpty) {
+          val body = xs.flatMap(v => wZlong(v).toSeq).toArray
+          if (id % 2 == 1) { // negative count + byte size form
+            wb(wZlong(-xs.length.toLong))
+            wb(wZlong(body.length.toLong))
+          } else wb(wZlong(xs.length.toLong))
+          wb(body)
+        }
+      }
+      itemBlock(items.take(1)); itemBlock(items.drop(1))
+      wb(wZlong(0L))
+      // tags map: t0 -> id, t1 -> 2id
+      val mapBody = (wStr("t0") ++ wZlong(id) ++
+        wStr("t1") ++ wZlong(2 * id))
+      if (id % 2 == 0) {
+        wb(wZlong(-2L)); wb(wZlong(mapBody.length.toLong))
+      } else wb(wZlong(2L))
+      wb(mapBody); wb(wZlong(0L))
+      // enum
+      wb(wZlong(id % 3))
+      // fixed(8)
+      b2.write((0 until 8).map(i =>
+        ((id + i) % 251).toByte).toArray, 0, 8)
+      // union
+      (id % 3) match {
+        case 0 => wb(wZlong(0L))
+        case 1 => wb(wZlong(1L)); wb(wZlong(id * 7))
+        case _ => wb(wZlong(2L)); wb(wStr("u" + (id % 10)))
+      }
+      b2.toByteArray
+    }
+    for (k <- 0L to 1L) {
+      val raw = record(k)
+      val payload = codec match {
+        case "deflate" =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val n = d.deflate(buf)
+          d.end()
+          java.util.Arrays.copyOf(buf, n)
+        case "snappy" =>
+          val crc = new java.util.zip.CRC32
+          crc.update(raw)
+          val v = crc.getValue
+          Snappy.compressStored(raw) ++ Array[Byte](
+            ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        case _ => raw
+      }
+      wr(wZlong(1L)); wr(wZlong(payload.length.toLong))
+      wr(payload); wr(sync)
+    }
+    out.toByteArray
+  }
+
+  val avroComplexSchema: StructType = StructType(Seq(
+    StructField("n_records", IntegerType),
+    StructField("meta_a_sum", LongType),
+    StructField("meta_b", StringType),
+    StructField("vals_sum", LongType),
+    StructField("n_vals", IntegerType),
+    StructField("tags_sum", LongType),
+    StructField("kind", StringType),
+    StructField("fp_sum", LongType),
+    StructField("u_repr", StringType)))
+
+  /** Decode kernel over the full tree: per-file aggregates the
+    * oracle replays closed-form. Null row for refusals.
+    */
+  def decodeAvroComplex(bytes: Array[Byte]): Seq[Any] = {
+    val res =
+      try {
+        val (fields, rows, _, _) = readContainer(bytes)
+        val idx = fields.map(_._1).zipWithIndex.toMap
+        var metaA = 0L
+        var metaB: String = null
+        var valsSum = 0L
+        var nVals = 0
+        var tagsSum = 0L
+        var kind: String = null
+        var fpSum = 0L
+        var uRepr: String = null
+        var first = true
+        rows.foreach { r =>
+          r(idx("meta")) match {
+            case m: IndexedSeq[_] =>
+              metaA += m(0).asInstanceOf[Long]
+              if (first) metaB = m(1).asInstanceOf[String]
+            case _ => throw AvroFail
+          }
+          r(idx("vals")) match {
+            case v: Vector[_] =>
+              v.foreach { x => valsSum += x.asInstanceOf[Long] }
+              nVals += v.length
+            case _ => throw AvroFail
+          }
+          r(idx("tags")) match {
+            case m: Vector[_] =>
+              m.foreach { case (_, x) =>
+                tagsSum += x.asInstanceOf[Long] }
+            case _ => throw AvroFail
+          }
+          if (first) {
+            kind = r(idx("kind")).asInstanceOf[String]
+            r(idx("fp")) match {
+              case f: Array[Byte] =>
+                f.foreach(b2 => fpSum += b2 & 0xff)
+              case _ => throw AvroFail
+            }
+            uRepr = r(idx("u")) match {
+              case (0, _) => null
+              case (1, l: Long) => "l:" + l
+              case (2, s: String) => "s:" + s
+              case _ => throw AvroFail
+            }
+          }
+          first = false
+        }
+        Some((rows.length, metaA, metaB, valsSum, nVals, tagsSum,
+          kind, fpSum, uRepr))
+      } catch {
+        case AvroFail => None
+        case _: ArrayIndexOutOfBoundsException => None
+        case _: NegativeArraySizeException => None
+        case _: ClassCastException => None
+      }
+    res match {
+      case Some((n, ma, mb, vs, nv, ts, k, fs, u)) =>
+        Seq[Any](n, ma, mb, vs, nv, ts, k, fs, u)
+      case None => Seq[Any](null, null, null, null, null, null,
+        null, null, null)
+    }
+  }
+
+  /** Per-row complex-container synthesizer (map-only). */
+  def synthAvroComplex(df: DataFrame, idCol: String,
+      outCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+ avroWriteComplex(id))
+      }
+    }(enc)
+  }
 
   /** Per-row .avro synthesizer (map-only): the text split over
     * three records (two blocks), notes alternating null/present,

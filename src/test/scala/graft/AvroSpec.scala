@@ -76,11 +76,47 @@ class AvroSpec extends AnyFunSuite {
     val nested = """{"type": "record", "name": "r", "fields": [
       {"name": "inner", "type": {"type": "record", "name": "i",
        "fields": []}}]}"""
+    // the FLAT api refuses complex tops (decodeAvroComplex owns them)
     assert(Avro.avroRead(header(nested, "null")).isEmpty)
     val flat = """{"type": "record", "name": "r", "fields": [
       {"name": "x", "type": "long"}]}"""
-    assert(Avro.avroRead(header(flat, "snappy")).isEmpty)
+    // snappy is a supported codec since round 15
+    assert(Avro.avroRead(header(flat, "snappy")).isDefined)
+    assert(Avro.avroRead(header(flat, "zstandard")).isEmpty)
     assert(Avro.avroRead(header(flat, "null")).isDefined) // sanity
+  }
+
+  test("complex schemas decode: nested/array/map/enum/fixed/union " +
+      "across all three codecs") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 7L, 10L, 23L)) {
+      val b = Avro.avroWriteComplex(id)
+      val r = Avro.decodeAvroComplex(b)
+      assert(r(0) == 2, s"id $id n_records")
+      assert(r(1) == 6 * id + 3, s"id $id meta_a_sum")
+      assert(r(2) == "m" + (id % 100), s"id $id meta_b")
+      val len = id % 4 + 1
+      assert(r(3) == 2 * (len * id + len * (len - 1) / 2),
+        s"id $id vals_sum")
+      assert(r(4) == 2 * len.toInt, s"id $id n_vals")
+      assert(r(5) == 6 * id, s"id $id tags_sum")
+      val kinds = Seq("ALPHA", "BETA", "GAMMA")
+      assert(r(6) == kinds((id % 3).toInt), s"id $id kind")
+      assert(r(7) == (0 until 8).map(i => (id + i) % 251).sum,
+        s"id $id fp_sum")
+      val wantU = (id % 3) match {
+        case 0 => null
+        case 1 => "l:" + (id * 7)
+        case _ => "s:u" + (id % 10)
+      }
+      assert(r(8) == wantU, s"id $id u_repr")
+    }
+    // snappy CRC damage refuses (id 2 selects the snappy codec)
+    val b = Avro.avroWriteComplex(2L)
+    val m = b.clone()
+    // flip a byte in the first block payload region (after header)
+    m(m.length - 20) = (m(m.length - 20) ^ 0x10).toByte
+    val r = Avro.decodeAvroComplex(m)
+    assert(r(0) == null || r != Avro.decodeAvroComplex(b))
   }
 
   test("decoder is total under mutation") {

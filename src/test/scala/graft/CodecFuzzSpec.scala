@@ -434,6 +434,22 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Bzip2.decompress(_: Array[Byte]))
   }
 
+  test("snappy and complex-avro decoders are total under mutation") {
+    assertTotal("snappy",
+      org.xerial.snappy.Snappy.compress(
+        ("snappy fuzz corpus " * 30).getBytes("UTF-8")),
+      graft.operators.Snappy.decompress(_: Array[Byte]))
+    val valid = graft.operators.Avro.avroWriteComplex(14L)
+    assert(graft.operators.Avro.decodeAvroComplex(valid).head != null)
+    for (m <- mutants(valid, 60)) {
+      try graft.operators.Avro.decodeAvroComplex(m)
+      catch {
+        case e: Throwable =>
+          fail(s"avro complex threw ${e.getClass.getSimpleName}")
+      }
+    }
+  }
+
   test("heif dims walk is total under own-writer mutation") {
     val valid = graft.operators.Heif.write("heic", "hvc1", 320, 240,
       3, 2)
