@@ -16,8 +16,12 @@ package graft.operators
   * by the reference tool at generation time.
   *
   * Refusal contract as everywhere: structural damage, any CRC/hash
-  * mismatch, an unfinished range coder, or a non-LZMA2 filter chain
-  * → None, never silently-wrong bytes. Output capped.
+  * mismatch, an unfinished range coder, or an unsupported filter
+  * chain → None, never silently-wrong bytes. Output capped.
+  * Supported chains (round 15): bare LZMA2, and the delta (0x03) or
+  * x86-BCJ (0x04) pre-filters in front of it — the forms real
+  * tar.xz executable/sample drops carry, both pinned bit-exactly
+  * against reference-CLI fixtures.
   *
   * Reference behavior studied: pytrousse has no compression layer
   * (/root/reference/src/trousse/dataset.py:1); beyond-parity
@@ -434,7 +438,32 @@ object Xz {
         var p = pos + 2
         if ((bflags & 0x40) != 0) p = mbint(d, p, pos + hsize)._2
         if ((bflags & 0x80) != 0) p = mbint(d, p, pos + hsize)._2
-        if (nFilters != 1) fail("filter chains unsupported")
+        // supported chains: [lzma2] or [delta|x86-BCJ, lzma2] — the
+        // executable/delta pre-filters real tar.xz drops carry
+        if (nFilters > 2) fail("filter chains unsupported")
+        var preFilter = -1 // 0x03 delta, 0x04 x86
+        var deltaDist = 0
+        if (nFilters == 2) {
+          val (fid0, q1) = mbint(d, p, pos + hsize)
+          fid0 match {
+            case 0x03 =>
+              val (psz0, q2) = mbint(d, q1, pos + hsize)
+              if (psz0 != 1) fail("bad delta props")
+              deltaDist = (d(q2) & 0xff) + 1
+              preFilter = 0x03
+              p = q2 + 1
+            case 0x04 =>
+              val (psz0, q2) = mbint(d, q1, pos + hsize)
+              // x86 BCJ: no props, or a 4-byte start offset we only
+              // accept as zero (nonzero starts are not emitted by
+              // the reference tool for whole streams)
+              if (psz0 == 0) p = q2
+              else if (psz0 == 4 && le32(d, q2) == 0) p = q2 + 4
+              else fail("bad x86 props")
+              preFilter = 0x04
+            case _ => fail("unsupported pre-filter")
+          }
+        }
         val (fid, p2) = mbint(d, p, pos + hsize)
         if (fid != 0x21) fail("not lzma2")
         val (psz, p3) = mbint(d, p2, pos + hsize)
@@ -449,6 +478,11 @@ object Xz {
         val bstart = pos + hsize
         val before = out.len
         val endPos = lzma2(d, bstart, d.length, out)
+        // inverse pre-filter over this block's decoded bytes
+        if (preFilter == 0x03)
+          deltaDecode(out.buf, before, out.len, deltaDist)
+        else if (preFilter == 0x04)
+          x86Decode(out.buf, before, out.len)
         val unpadded = hsize.toLong + (endPos - bstart)
         var cpos = endPos
         while ((cpos - pos0) % 4 != 0) {
@@ -532,6 +566,86 @@ object Xz {
     * the form ZIP method 14 and other embedded uses carry. `end`
     * bounds the compressed bytes; trailing end markers are accepted.
     */
+  /** Inverse delta filter (xz filter 0x03): byte-wise running sum
+    * at the declared distance.
+    */
+  private def deltaDecode(b: Array[Byte], from: Int, until: Int,
+      dist: Int): Unit = {
+    var i = from + dist
+    while (i < until) {
+      b(i) = (b(i) + b(i - dist)).toByte
+      i += 1
+    }
+    // the first `dist` bytes are stored verbatim
+  }
+
+  /** Inverse x86 BCJ filter (xz filter 0x04): converts the
+    * absolute-ized E8/E9 call/jump targets back to relative, with
+    * the reference tool's 5-byte proximity mask — semantics pinned
+    * by xz-CLI goldens in XzSpec (a wrong mask bit breaks them).
+    */
+  private def x86Decode(b: Array[Byte], from: Int, until: Int)
+      : Unit = {
+    val size = until - from
+    if (size < 5) return
+    val allowed = Array(true, true, true, false, true, false, false,
+      false)
+    val bitNum = Array(0, 1, 2, 2, 3, 3, 3, 3)
+    def msb(v: Int): Boolean = v == 0 || v == 0xff
+    var prevMask = 0
+    var prevPos = -5L // fresh-stream init (uint32 -5 in the ref)
+    val limit = size - 5
+    var bp = 0
+    while (bp <= limit) {
+      val b0 = b(from + bp) & 0xff
+      if (b0 != 0xe8 && b0 != 0xe9) bp += 1
+      else {
+        val offset = bp - prevPos
+        prevPos = bp
+        if (offset > 5) prevMask = 0
+        else {
+          var i = 0L
+          while (i < offset) {
+            prevMask &= 0x77
+            prevMask <<= 1
+            i += 1
+          }
+        }
+        val b4 = b(from + bp + 4) & 0xff
+        if (msb(b4) && allowed((prevMask >> 1) & 0x7) &&
+            (prevMask >> 1) < 0x10) {
+          var src = ((b4.toLong << 24) |
+            ((b(from + bp + 3) & 0xffL) << 16) |
+            ((b(from + bp + 2) & 0xffL) << 8) |
+            (b(from + bp + 1) & 0xffL)) & 0xffffffffL
+          var dest = 0L
+          var loop = true
+          while (loop) {
+            dest = (src - (bp.toLong + 5)) & 0xffffffffL
+            if (prevMask == 0) loop = false
+            else {
+              val i = bitNum(prevMask >> 1)
+              val bb = ((dest >> (24 - i * 8)) & 0xff).toInt
+              if (!msb(bb)) loop = false
+              else src = dest ^ ((1L << (32 - i * 8)) - 1)
+            }
+          }
+          b(from + bp + 4) =
+            (if (((dest >> 24) & 1) != 0) 0xff else 0x00).toByte
+          b(from + bp + 3) = ((dest >> 16) & 0xff).toByte
+          b(from + bp + 2) = ((dest >> 8) & 0xff).toByte
+          b(from + bp + 1) = (dest & 0xff).toByte
+          bp += 5
+          prevMask = 0
+        } else {
+          prevMask |= 1
+          if (msb(b4)) prevMask |= 0x10
+          bp += 1
+        }
+      }
+    }
+  }
+
   /** Decode one bare LZMA2 chunk sequence (as stored by a 7z
     * folder's 0x21 coder: control bytes through the 0x00 terminator,
     * props carried inside the chunks themselves). None for damage.

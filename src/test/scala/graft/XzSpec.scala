@@ -42,6 +42,26 @@ class XzSpec extends AnyFunSuite {
       .exists(_.isEmpty))
   }
 
+  test("x86-BCJ and delta filter chains decode the reference CLI's " +
+      "output bit-exactly (round 15)") {
+    val x86 = resource("filters/x86ish.bin")
+    val samples = resource("filters/samples.bin")
+    for ((fx, want) <- Seq(
+        ("filters/x86_bcj.xz", x86),
+        ("filters/x86_bcj9.xz", x86),
+        ("filters/delta1.xz", samples),
+        ("filters/delta4.xz", samples))) {
+      val got = Xz.decompress(resource(fx))
+      assert(got.isDefined, s"$fx refused")
+      assert(java.util.Arrays.equals(got.get, want), s"$fx bytes")
+    }
+    // a flipped payload byte still refuses through the check layer
+    val b = resource("filters/x86_bcj.xz")
+    val m = b.clone()
+    m(40) = (m(40) ^ 0x20).toByte
+    assert(Xz.decompress(m).isEmpty)
+  }
+
   test("own container encoder round-trips and checks verify") {
     val rnd = new scala.util.Random(5)
     val cases = Seq(
