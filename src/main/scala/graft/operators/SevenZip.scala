@@ -16,9 +16,18 @@ import org.apache.spark.sql.types._
   * crawl-ingest unwrap tier a 100 TB curation run needs before any
   * text operator can see bytes. Coders ride the codecs this repo
   * already implements from spec: Copy, LZMA (Xz.lzma1Raw), LZMA2
-  * (Xz.lzma2Raw), Deflate (`java.util.zip.Inflater`), and BZip2
-  * (Bzip2.decompress). Filter coders (BCJ/Delta) and AES refuse
-  * honestly — a wrong-bytes "success" is worse than a None.
+  * (Xz.lzma2Raw), Deflate (`java.util.zip.Inflater`), BZip2
+  * (Bzip2.decompress), and x86-BCJ filter CHAINS (bind-pair
+  * pipelines through Xz's reference-pinned x86 filter — the form
+  * executable-heavy archives use). Validation boundary, stated
+  * honestly: the x86 TRANSFORM is pinned bit-exactly against
+  * xz-CLI fixtures, and the bind-pair chain framing follows
+  * 7zFormat.txt plus writer/reader round-trips — but no reference
+  * implementation ON THIS MACHINE can produce or read a BCJ-chain
+  * .7z (libarchive rejects codec 0x03030103), so the chain framing
+  * has no external pin yet. Other filters (Delta, BCJ2, ARM/PPC
+  * variants) and AES refuse honestly — a wrong-bytes "success" is
+  * worse than a None.
   *
   * Totality contract like every untrusted-byte decoder here: `None`
   * for structural damage, unsupported coders, CRC mismatch, or any
@@ -344,7 +353,8 @@ object SevenZip {
   }
 
   private val Supported =
-    Set[Long](0x00, 0x21, 0x030101, 0x040108, 0x040202)
+    Set[Long](0x00, 0x21, 0x030101, 0x040108, 0x040202,
+      0x03030103L) // x86 BCJ rides Xz's reference-pinned filter
 
   private def folderMethod(f: Folder): String =
     f.coders.map(c => methodName(c.id)).mkString("+")
@@ -390,6 +400,11 @@ object SevenZip {
           outLen.toInt)
       case 0x040108 => rawInflate(data, 0, data.length, MaxOut)
       case 0x040202 => Bzip2.decompress(data, MaxOut)
+      case 0x03030103L =>
+        // x86 BCJ decode: length-preserving in-place transform
+        val copy = data.clone()
+        Xz.x86Decode(copy, 0, copy.length)
+        Some(copy)
       case other => fail(s"unsupported coder ${methodName(other)}")
     }
     val got = out.getOrElse(fail("coder refused"))
@@ -677,6 +692,10 @@ object SevenZip {
       m match {
         case 1 => lzma2Store(data)
         case 2 => deflateRaw(data)
+        case 3 => // BCJ x86 encode, then LZMA2-stored
+          val bcj = data.clone()
+          Xz.x86Encode(bcj, 0, bcj.length)
+          lzma2Store(bcj)
         case _ => data
       }
     }
@@ -707,16 +726,29 @@ object SevenZip {
     wnum(members.length)
     h.write(0) // inline
     members.foreach { case (_, _, m) =>
-      wnum(1) // one coder
       m match {
-        case 1 => h.write(0x21); h.write(0x21); wnum(1); h.write(24)
-        case 2 => h.write(0x03); h.write(0x04); h.write(0x01)
+        case 1 =>
+          wnum(1); h.write(0x21); h.write(0x21); wnum(1); h.write(24)
+        case 2 =>
+          wnum(1); h.write(0x03); h.write(0x04); h.write(0x01)
           h.write(0x08)
-        case _ => h.write(0x01); h.write(0x00)
+        case 3 =>
+          // two-coder chain: BCJ(x86) fed by LZMA2's output
+          wnum(2)
+          h.write(0x04) // coder 0: idSize 4, no attrs
+          h.write(0x03); h.write(0x03); h.write(0x01); h.write(0x03)
+          h.write(0x21); h.write(0x21); wnum(1); h.write(24)
+          // bind pair: InIndex 0 (BCJ.in) <- OutIndex 1 (LZMA2.out)
+          wnum(0); wnum(1)
+        case _ => wnum(1); h.write(0x01); h.write(0x00)
       }
     }
     h.write(kCodersUnpackSize)
-    members.foreach { case (_, d, _) => wnum(d.length.toLong) }
+    members.foreach { case (_, d, m) =>
+      // every out-stream in order: BCJ chains carry two (same size)
+      wnum(d.length.toLong)
+      if (m == 3) wnum(d.length.toLong)
+    }
     h.write(kEnd) // unpack info
     // member CRCs ride kSubStreamsInfo (the layout libarchive both
     // writes and reads; folder-level kCRC is spec-legal but less

@@ -584,8 +584,15 @@ object Xz {
     * the reference tool's 5-byte proximity mask — semantics pinned
     * by xz-CLI goldens in XzSpec (a wrong mask bit breaks them).
     */
-  private def x86Decode(b: Array[Byte], from: Int, until: Int)
-      : Unit = {
+  private[operators] def x86Decode(b: Array[Byte], from: Int,
+      until: Int): Unit = x86Code(b, from, until, encode = false)
+
+  /** Forward x86 BCJ (fixture writers): relative→absolute. */
+  private[operators] def x86Encode(b: Array[Byte], from: Int,
+      until: Int): Unit = x86Code(b, from, until, encode = true)
+
+  private def x86Code(b: Array[Byte], from: Int, until: Int,
+      encode: Boolean): Unit = {
     val size = until - from
     if (size < 5) return
     val allowed = Array(true, true, true, false, true, false, false,
@@ -621,7 +628,9 @@ object Xz {
           var dest = 0L
           var loop = true
           while (loop) {
-            dest = (src - (bp.toLong + 5)) & 0xffffffffL
+            dest =
+              if (encode) (src + (bp.toLong + 5)) & 0xffffffffL
+              else (src - (bp.toLong + 5)) & 0xffffffffL
             if (prevMask == 0) loop = false
             else {
               val i = bitNum(prevMask >> 1)

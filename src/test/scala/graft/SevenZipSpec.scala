@@ -174,4 +174,31 @@ class SevenZipSpec extends AnyFunSuite {
     val v2 = c2.getValue
     for (i <- 0 until 4) b(8 + i) = ((v2 >> (8 * i)) & 0xff).toByte
   }
+
+  test("x86-BCJ + LZMA2 coder chains extract byte-exactly") {
+    // an E8/E9-rich payload the BCJ filter genuinely transforms
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val body = {
+      val out = new java.io.ByteArrayOutputStream()
+      for (i <- 0 until 300) {
+        out.write(0xE8)
+        val v = i * 37 - 5000
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+        out.write(md.digest(("x" + i).getBytes).take(5))
+      }
+      out.toByteArray
+    }
+    val b = SevenZip.write(Seq(("code.bin", body, 3),
+      ("plain.txt", "sibling member".getBytes("UTF-8"), 0)))
+    val got = SevenZip.extractAll(b).get
+    assert(got.head._1.method == "bcj+lzma2")
+    assert(got.head._2.isDefined &&
+      java.util.Arrays.equals(got.head._2.get, body))
+    assert(got(1)._2.isDefined)
+    // the BCJ filter is not a no-op on this payload: the pre-filter
+    // bytes inside the archive differ from the raw body
+    assert(!new String(b, "ISO-8859-1").contains(
+      new String(body.take(64), "ISO-8859-1")))
+  }
 }
