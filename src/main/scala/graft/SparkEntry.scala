@@ -2291,6 +2291,22 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL CAB walk ([MS-CAB]): per doc a genuine cabinet
+    // (header, folder directory, CFFILE records, per-block XOR-fold
+    // checksums, stored + MSZIP folders with the cross-block deflate
+    // window) listed back with extraction verified per member; the
+    // writer's output is extracted byte-exactly by libarchive at
+    // fixture-generation time (CabSpec pins it)
+    "q_cab_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val cabs = Cab.synthCabs(d, "doc_id", "__t", "__n", "content")
+      Cab.cabEntryRows(cabs, "doc_id", "content")
+        .select(col("doc_id"), col("entry_name"),
+          col("compression"), col("u_size"), col("ok"))
+    }),
+
     // ----- REAL gzip member decode: header flag walk (FNAME), raw
     // inflate, CRC32 + ISIZE trailer verification — the text must
     // come back byte-identical or the row nulls
@@ -5403,6 +5419,20 @@ object SparkEntry {
            CASE (doc_id + t.j) % 3 WHEN 0 THEN 'store'
              WHEN 1 THEN 'lzma2' ELSE 'deflate' END AS method,
            CAST(strlen('s' || t.j || ':' || txt) AS BIGINT)
+             AS u_size,
+           TRUE AS ok
+         FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the cabinet walk must read back the planted member set with
+    // the per-member compression choice and real extraction ok
+    "q_cab_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           'c' || t.j || '.dat' AS entry_name,
+           CASE (doc_id + t.j) % 2 WHEN 0 THEN 'none'
+             ELSE 'mszip' END AS compression,
+           CAST(strlen('k' || t.j || ':' || txt) AS BIGINT)
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",

@@ -89,6 +89,9 @@ object Sniff {
     if (ascii("7z") && at(2) == 0xbc && at(3) == 0xaf &&
       at(4) == 0x27 && at(5) == 0x1c)
       return "application/x-7z-compressed"
+    if (ascii("MSCF") && at(4) == 0 && at(5) == 0 && at(6) == 0 &&
+      at(7) == 0)
+      return "application/vnd.ms-cab-compressed"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) return "application/zstd"
     // ustar at offset 257

@@ -40,6 +40,8 @@ class SniffSpec extends AnyFunSuite {
       == "application/x-tar")
     assert(Sniff.sniff(SevenZip.write(Seq(("a.txt",
       "x".getBytes, 0)))) == "application/x-7z-compressed")
+    assert(Sniff.sniff(graft.operators.Cab.write(Seq(("a.txt",
+      "x".getBytes, 0)))) == "application/vnd.ms-cab-compressed")
     assert(Sniff.sniff(Mime.emlWrite("s", "b", 0)) ==
       "message/rfc822")
     assert(Sniff.sniff(Mime.mboxWrite(Seq(
