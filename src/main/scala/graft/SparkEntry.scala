@@ -2546,17 +2546,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
-    // ----- the OMNI crawl compose: six formats (html/pdf/docx/rtf/
-    // epub/markdown) cycling by doc_id%6, each wrapped as an HTTP
-    // response in a WARC (odd docs .warc.gz), with LYING declared
-    // Content-Types on every 5th doc — the pipeline must route by
-    // magic-byte sniff, extract per format, quality-filter, and
-    // fingerprint-dedup in ONE query; any byte damage or misroute
-    // anywhere breaks the oracle's hash
+    // ----- the OMNI crawl compose: TEN formats cycling by
+    // doc_id%10 — six direct (html/pdf/docx/rtf/epub/markdown) and
+    // four ARCHIVE-NESTED (zip-of-pdf, tar.gz-of-rtf, 7z-of-docx,
+    // cab-of-pdf: the recursive unwrap tier) — each wrapped as an
+    // HTTP response in a WARC (odd docs .warc.gz), with LYING
+    // declared Content-Types on every 5th doc; the pipeline must
+    // route by magic-byte sniff at BOTH levels, extract, quality-
+    // filter, and fingerprint-dedup in ONE query; any byte damage
+    // or misroute anywhere breaks the oracle's hash
     "q_crawl_omni" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 6).cast("int").as("__f"),
+        (col("doc_id") % 10).cast("int").as("__f"),
         (col("doc_id") % 3).cast("int").as("__m"),
         (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 2).cast("int").as("__gz"))
@@ -2589,8 +2591,31 @@ object SparkEntry {
       val md = Markdown.synthMd(d.filter(col("__f") === 5),
           "doc_id", "__t", "content")
         .withColumn("__ct", lit("text/markdown")).select(keep: _*)
+      // the archive-nested tier: document bytes wrapped one level
+      // down (zip/tar.gz/7z/cab) — the kernel must unwrap, re-sniff
+      // the member, and route again
+      def nested(f: Int, kind: Int,
+          inner: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+        val base = inner(d.filter(col("__f") === f))
+          .withColumnRenamed("content", "__inner")
+          .withColumn("__k", lit(kind).cast("int"))
+        OmniCrawl.wrapArchive(base, "__inner", "__k",
+            s"member$f.bin", "content")
+          .withColumn("__ct", lit("application/octet-stream"))
+          .select(keep: _*)
+      }
+      val zipPdf = nested(6, 0,
+        dd => Pdf.synthPdfs(dd, "__t", "__v", "__m", "content"))
+      val tgzRtf = nested(7, 1,
+        dd => Rtf.synthRtf(dd, "__t", "__m", "content"))
+      val szDocx = nested(8, 2,
+        dd => Docx.synthDocx(dd, "__t", "__m", "content"))
+      val cabPdf = nested(9, 3,
+        dd => Pdf.synthPdfs(dd, "__t", "__v", "__m", "content"))
       val payloads = html.unionByName(pdf).unionByName(docx)
         .unionByName(rtf).unionByName(epub).unionByName(md)
+        .unionByName(zipPdf).unionByName(tgzRtf)
+        .unionByName(szDocx).unionByName(cabPdf)
         // every 5th doc's declared type LIES; routing must not care
         .withColumn("__ct", when(col("doc_id") % 5 === 0,
           lit("application/octet-stream")).otherwise(col("__ct")))
@@ -5583,7 +5608,7 @@ object SparkEntry {
     // SAME quality filter + fingerprint grouping as q_crawl_curate
     "q_crawl_omni" ->
       s"""WITH src AS (SELECT doc_id,
-           CASE CAST(doc_id % 6 AS INT)
+           CASE CAST(doc_id % 10 AS INT)
              WHEN 0 THEN trim(regexp_replace(regexp_replace(
                COALESCE(text, ''), '[\\x00-\\x1F\\x7F]', ' ', 'g'),
                '\\s+', ' ', 'g'))

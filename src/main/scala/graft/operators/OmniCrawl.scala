@@ -51,6 +51,32 @@ object OmniCrawl {
     }(enc)
   }
 
+  /** Wrap a binary column into an archive for the nested-unwrap
+    * tier: kind 0 = ZIP (deflated member), 1 = tar.gz, 2 = 7z
+    * (LZMA2 member), 3 = CAB (MSZIP member).
+    */
+  def wrapArchive(df: DataFrame, binCol: String, kindCol: String,
+      memberName: String, outCol: String): DataFrame = {
+    val (bi, ki) = (df.schema.fieldIndex(binCol),
+      df.schema.fieldIndex(kindCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](bi)
+        val bytes = r.getInt(ki) match {
+          case 0 => Archive.zipWrite(Seq((memberName, payload, true)))
+          case 1 => Archive.gzipWrite(
+            Archive.tarWrite(Seq((memberName, payload))), memberName)
+          case 2 => SevenZip.write(Seq((memberName, payload, 1)))
+          case _ => Cab.write(Seq((memberName, payload, 1)))
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+
   val omniSchema: StructType = StructType(Seq(
     StructField("fmt", StringType),
     StructField("is_html", BooleanType),
@@ -85,10 +111,25 @@ object OmniCrawl {
   private val DocxLabel = "application/vnd.openxmlformats-" +
     "officedocument.wordprocessingml.document"
 
+  private val MaxArchiveMembers = 256
+
   private def route(label: String, body: Array[Byte])
-      : Option[(Boolean, String)] = label match {
+      : Option[(Boolean, String)] = routeDepth(label, body, 0)
+
+  /** Format dispatch with ARCHIVE RECURSION (depth-bounded): a
+    * zip / tar / tar.gz / 7z / cab payload unwraps and each member
+    * re-sniffs and routes; member texts concatenate in directory
+    * order. Nested html is the one refusal inside archives — its
+    * extraction lives in the Column pipeline, which cannot run
+    * inside the kernel (documented; a crawl corpus routes bare html
+    * at the HTTP layer where the fast path applies).
+    */
+  private def routeDepth(label: String, body: Array[Byte],
+      depth: Int): Option[(Boolean, String)] = label match {
     case "text/html" =>
-      Some((true, new String(body, StandardCharsets.UTF_8)))
+      if (depth == 0)
+        Some((true, new String(body, StandardCharsets.UTF_8)))
+      else None // see scaladoc: no column pipeline inside archives
     case "application/pdf" =>
       Pdf.pdfText(body).map(t => (false, t.text))
     case `DocxLabel` =>
@@ -100,6 +141,45 @@ object OmniCrawl {
     case "text/markdown" =>
       Some((false, Markdown.mdText(
         new String(body, StandardCharsets.UTF_8)).text))
+    case "application/zip" if depth < 2 =>
+      Archive.zipEntries(body).flatMap { es =>
+        members(depth, es.map(e => Archive.zipExtract(body, e)))
+      }
+    case "application/gzip" if depth < 2 =>
+      Archive.gunzipMembers(body)
+        .map(ms => ms.foldLeft(Array.emptyByteArray)(_ ++ _))
+        .flatMap(inner =>
+          routeDepth(Sniff.sniff(inner), inner, depth + 1))
+    case "application/x-tar" if depth < 2 =>
+      Archive.tarEntries(body).flatMap { es =>
+        members(depth, es.filter(_.typeflag == '0')
+          .map(e => Archive.tarExtract(body, e)))
+      }
+    case "application/x-7z-compressed" if depth < 2 =>
+      SevenZip.extractAll(body).flatMap(all =>
+        members(depth, all.filter(_._1.method != "empty")
+          .map(_._2)))
+    case "application/vnd.ms-cab-compressed" if depth < 2 =>
+      Cab.extractAll(body).flatMap(all =>
+        members(depth, all.map(_._2)))
     case _ => None // unroutable: classify, never guess
+  }
+
+  /** Route every member; ANY undecodable member refuses the whole
+    * payload (partial text would silently drop data). Texts join in
+    * directory order with newlines.
+    */
+  private def members(depth: Int,
+      ms: Seq[Option[Array[Byte]]]): Option[(Boolean, String)] = {
+    if (ms.isEmpty || ms.length > MaxArchiveMembers) return None
+    val texts = ms.map {
+      case None => return None
+      case Some(m) =>
+        routeDepth(Sniff.sniff(m), m, depth + 1) match {
+          case Some((false, t)) => t
+          case _ => return None
+        }
+    }
+    Some((false, texts.mkString("\n")))
   }
 }

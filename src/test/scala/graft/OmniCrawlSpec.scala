@@ -48,6 +48,32 @@ class OmniCrawlSpec extends SparkSpec {
     }
   }
 
+  test("archive-nested payloads unwrap, re-sniff and route (zip/" +
+      "tar.gz/7z/cab one level down)") {
+    val text = "the quick brown fox and some more words here"
+    val pdf = pdfOf(text)
+    val rtf = rtfOf(text)
+    val cases = Seq(
+      ("zip", Archive.zipWrite(Seq(("m.pdf", pdf, true)))),
+      ("tgz", Archive.gzipWrite(
+        Archive.tarWrite(Seq(("m.rtf", rtf))), "m")),
+      ("7z", graft.operators.SevenZip.write(Seq(("m.rtf", rtf, 1)))),
+      ("cab", graft.operators.Cab.write(Seq(("m.pdf", pdf, 1)))))
+    for ((name, payload) <- cases; gz <- Seq(false, true)) {
+      val rows = omniRows("application/x-lying-type", payload, gz)
+      assert(rows.length == 1, name)
+      val r = rows.head
+      assert(!r.isNullAt(2), s"$name gz=$gz refused")
+      assert(r.getString(2) == text, s"$name gz=$gz text")
+    }
+    // nested html refuses (no column pipeline inside the kernel)
+    val zHtml = Archive.zipWrite(Seq(("m.html",
+      ("<html><body><p>" + text + "</p></body></html>")
+        .getBytes("UTF-8"), true)))
+    val r2 = omniRows("x", zHtml, gz = false)
+    assert(r2.head.isNullAt(2))
+  }
+
   test("unroutable and damaged payloads classify as null rows") {
     for (payload <- Seq(
         Array.fill[Byte](64)(0x07), // binary junk
