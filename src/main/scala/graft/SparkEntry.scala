@@ -3093,6 +3093,19 @@ object SparkEntry {
           col("rtf_text"))
     }),
 
+    // ----- .msg ATTACHMENTS ([MS-OXMSG] __attach storages over the
+    // CFB directory-tree walk): per message two nested documents —
+    // a text file and a gzip — listed with sniffed formats, sizes,
+    // and the gzip's INNER format after unwrapping
+    "q_msg_attach" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val msg = Msg.synthMsgAttach(d, "doc_id", "__t", "content")
+      Msg.msgAttachRows(msg, "doc_id", "content")
+        .select(col("doc_id"), col("attach_name"), col("label"),
+          col("u_size"), col("inner_label"))
+    }),
+
     // ----- iCalendar through the real content-line parser: line
     // unfolding (folds land inside escape sequences in mode 1),
     // TEXT unescape, VALARM/parameter decoys, exact summed
@@ -5934,6 +5947,22 @@ object SparkEntry {
          'Fixture Sender Ω' AS sender,
          COALESCE(text, '') AS rtf_text
          FROM documents""",
+
+    // two attachments per message: the plain member's byte size and
+    // the gzip's UNWRAPPED size both replay from the text; labels
+    // come from real sniffing, inner label from a real gunzip
+    "q_msg_attach" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt
+           FROM documents)
+         SELECT doc_id, 'a0.txt' AS attach_name,
+           'text/plain' AS label,
+           CAST(strlen('a0:' || txt) AS BIGINT) AS u_size,
+           CAST(NULL AS VARCHAR) AS inner_label
+         FROM p
+         UNION ALL
+         SELECT doc_id, 'a1.gz', 'application/gzip',
+           CAST(strlen('a1:' || txt) AS BIGINT), 'text/plain'
+         FROM p""",
 
     // event 1: first line as summary + full text as description;
     // event 2: the id-derived closer; durations replay the writer

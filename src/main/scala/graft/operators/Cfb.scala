@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   */
 object Cfb {
 
-  /** One directory stream: name, size, bytes. */
+  /** One directory stream: name, size, bytes. `path` is the
+    * "/"-joined STORAGE path above the leaf ("" for root-level
+    * streams) — round 15, for the .msg attachment walk.
+    */
   final case class CfbStream(name: String, size: Long,
-      data: Array[Byte])
+      data: Array[Byte], path: String = "")
 
   /** Parsed container: streams + a coarse content label. */
   final case class CfbDoc(streams: Seq[CfbStream], label: String)
@@ -128,7 +131,8 @@ object Cfb {
       val nEntries = dirBytes.length / 128
       if (nEntries == 0) throw CfbFail
       final case class DirEnt(name: String, objType: Int,
-        startSect: Long, size: Long)
+        startSect: Long, size: Long, left: Long, right: Long,
+        child: Long)
       val ents = (0 until nEntries).map { e =>
         val o = e * 128
         val nameLen = le16(dirBytes, o + 64)
@@ -142,9 +146,29 @@ object Cfb {
         val size =
           if (major == 3) le32(dirBytes, o + 120)
           else le64(dirBytes, o + 120)
-        DirEnt(name, objType, start, size)
+        DirEnt(name, objType, start, size,
+          le32(dirBytes, o + 68), le32(dirBytes, o + 72),
+          le32(dirBytes, o + 76))
       }
       val root = ents.find(_.objType == 5).getOrElse(throw CfbFail)
+      // storage paths: walk the red-black sibling trees from each
+      // storage's child pointer; bounded visits keep cyclic
+      // directories from hanging a task
+      val paths = new Array[String](nEntries)
+      var visits = 0
+      def walkTree(idx: Long, path: String): Unit = {
+        if (idx == FreeSect || idx < 0 || idx >= nEntries) return
+        visits += 1
+        if (visits > nEntries * 2 + 8) throw CfbFail
+        val e = ents(idx.toInt)
+        walkTree(e.left, path)
+        walkTree(e.right, path)
+        paths(idx.toInt) = path
+        if (e.objType == 1) // storage: descend with extended path
+          walkTree(e.child,
+            if (path.isEmpty) e.name else path + "/" + e.name)
+      }
+      walkTree(root.child, "")
       // mini FAT + mini stream
       lazy val miniFat: Array[Byte] =
         if (nMiniFat == 0) Array.emptyByteArray
@@ -171,15 +195,17 @@ object Cfb {
         }
         out.toByteArray
       }
-      val streams = ents.filter(_.objType == 2).map { e =>
-        val raw =
-          if (e.size >= miniCutoff) readChain(e.startSect, e.size)
-          else if (e.size == 0) Array.emptyByteArray
-          else readMiniChain(e.startSect, e.size)
-        if (e.size > raw.length) throw CfbFail
-        CfbStream(e.name, e.size,
-          java.util.Arrays.copyOf(raw, e.size.toInt))
-      }
+      val streams = ents.zipWithIndex
+        .filter(_._1.objType == 2).map { case (e, ei) =>
+          val raw =
+            if (e.size >= miniCutoff) readChain(e.startSect, e.size)
+            else if (e.size == 0) Array.emptyByteArray
+            else readMiniChain(e.startSect, e.size)
+          if (e.size > raw.length) throw CfbFail
+          CfbStream(e.name, e.size,
+            java.util.Arrays.copyOf(raw, e.size.toInt),
+            Option(paths(ei)).getOrElse(""))
+        }
       val names = streams.map(_.name).toSet
       val label =
         if (names.contains("WordDocument")) "application/msword"
@@ -236,7 +262,9 @@ object Cfb {
     val nMiniFatSects =
       if (miniChains.isEmpty) 0
       else (miniChains.length * 4 + ss - 1) / ss
-    val nDirEntries = 1 + streams.length
+    val nStorages = streams.map(_._1).filter(_.contains("/"))
+      .map(n => n.substring(0, n.indexOf('/'))).distinct.length
+    val nDirEntries = 1 + streams.length + nStorages
     val nDirSects = math.max(1, (nDirEntries * 128 + ss - 1) / ss)
     val nMiniStreamSects = (miniBytes.length + ss - 1) / ss
     val bigSectCounts = big.map(e => (e._2.length + ss - 1) / ss)
@@ -297,23 +325,72 @@ object Cfb {
       w32d(o + 116, start)
       w32d(o + 120, size)
     }
-    // root with child = first stream entry; stream entries chained
-    // as a right-leaning list (valid enough for flat readers)
+    // root with child = first top-level entry. Names may carry ONE
+    // "/" level: "storage/leaf" creates an objType-1 storage whose
+    // child chains its members; top-level entries and member lists
+    // are right-leaning (valid enough for tree walkers: every node
+    // reachable, no cycles)
+    val bigStartByName = {
+      var bigIdx = -1
+      streams.map { case (name, data) =>
+        if (data.length >= 4096) { bigIdx += 1
+          name -> bigStarts(bigIdx) }
+        else name -> -1L
+      }.toMap
+    }
+    def startSize(name: String, data: Array[Byte]): (Long, Long) =
+      if (data.length >= 4096) (bigStartByName(name),
+        data.length.toLong)
+      else (miniStarts(name).toLong, data.length.toLong)
+    // entry plan: walk streams in order, grouping consecutive
+    // same-storage members under one storage entry
+    final case class Top(storage: String,
+      members: Seq[(String, Array[Byte])])
+    val tops = scala.collection.mutable.ArrayBuffer[Top]()
+    streams.foreach { case (name, data) =>
+      val slash = name.indexOf('/')
+      if (slash < 0) tops += Top("", Seq((name, data)))
+      else {
+        val st = name.substring(0, slash)
+        if (tops.nonEmpty && tops.last.storage == st)
+          tops(tops.length - 1) = tops.last.copy(
+            members = tops.last.members :+ (name, data))
+        else tops += Top(st, Seq((name, data)))
+      }
+    }
+    // assign directory indices: top-level entries first need their
+    // member indices known; lay out sequentially
+    var nextIdx = 1
+    val topIdx = tops.map { t =>
+      val ti = nextIdx
+      nextIdx += (if (t.storage.isEmpty) 1 else 1 + t.members.length)
+      ti
+    }
     entry(0, "Root Entry", 5, FreeSect, FreeSect,
-      if (streams.isEmpty) FreeSect else 1L,
+      if (tops.isEmpty) FreeSect else topIdx.head.toLong,
       if (miniBytes.isEmpty) EndOfChain else miniStreamStart,
       miniBytes.length.toLong)
-    var bigIdx = 0
-    streams.zipWithIndex.foreach { case ((name, data), si) =>
-      val idx = si + 1
-      val (start, size) =
-        if (data.length >= 4096) {
-          val s = bigStarts(bigIdx); bigIdx += 1
-          (s, data.length.toLong)
-        } else (miniStarts(name).toLong, data.length.toLong)
-      entry(idx, name, 2, FreeSect,
-        if (idx < streams.length) (idx + 1).toLong else FreeSect,
-        FreeSect, if (size == 0) EndOfChain else start, size)
+    tops.zipWithIndex.foreach { case (t, k) =>
+      val ti = topIdx(k)
+      val rightSib =
+        if (k + 1 < tops.length) topIdx(k + 1).toLong else FreeSect
+      if (t.storage.isEmpty) {
+        val (name, data) = t.members.head
+        val (start, size) = startSize(name, data)
+        entry(ti, name, 2, FreeSect, rightSib, FreeSect,
+          if (size == 0) EndOfChain else start, size)
+      } else {
+        entry(ti, t.storage, 1, FreeSect, rightSib,
+          (ti + 1).toLong, EndOfChain, 0L)
+        t.members.zipWithIndex.foreach { case ((full, data), mi) =>
+          val leaf = full.substring(full.indexOf('/') + 1)
+          val (start, size) = startSize(full, data)
+          entry(ti + 1 + mi, leaf, 2, FreeSect,
+            if (mi + 1 < t.members.length) (ti + 2 + mi).toLong
+            else FreeSect,
+            FreeSect, if (size == 0) EndOfChain else start, size)
+        }
+      }
     }
     // header
     val out = new java.io.ByteArrayOutputStream()

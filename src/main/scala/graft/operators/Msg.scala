@@ -157,7 +157,9 @@ object Msg {
     * mixed, with extra decoy properties.
     */
   def msgWrite(subject: String, body: String, sender: String,
-      mode: Int): Array[Byte] = {
+      mode: Int,
+      attachments: Seq[(String, Array[Byte])] = Seq.empty)
+      : Array[Byte] = {
     val m = ((mode % 3) + 3) % 3
     def stream(pid: String, s: String, preferNarrow: Boolean)
         : (String, Array[Byte]) = {
@@ -201,7 +203,44 @@ object Msg {
         // message class: metadata, never text
         stream("001A", "IPM.Note", true))
       else Seq.empty
-    Cfb.cfbWrite(base ++ extra)
+    // attachment storages ([MS-OXMSG] 2.2.2): per attachment a
+    // __attach_version1.0_#NNNNNNNN storage with the data bytes
+    // (PidTagAttachDataBinary 3701, type 0102) and the long
+    // filename (PidTagAttachLongFilename 3707)
+    val attach = attachments.zipWithIndex.flatMap {
+      case ((name, data), i) =>
+        val st = f"__attach_version1.0_#$i%08X"
+        Seq(
+          (s"$st/__substg1.0_37010102", data),
+          (s"$st/__substg1.0_3707001F",
+            name.getBytes(StandardCharsets.UTF_16LE)))
+    }
+    Cfb.cfbWrite(base ++ extra ++ attach)
+  }
+
+  /** Attachment walk: every `__attach_version1.0_#…` storage's
+    * data bytes + long filename, in storage order. Empty for
+    * messages without attachments; None for non-msg bytes.
+    */
+  def msgAttachments(b: Array[Byte])
+      : Option[Seq[(String, Array[Byte])]] = {
+    val doc = Cfb.cfbStreams(b).getOrElse(return None)
+    if (!doc.streams.exists(s => s.name.startsWith(Prefix) ||
+      s.name == "__properties_version1.0")) return None
+    val storages = doc.streams
+      .filter(_.path.startsWith("__attach_version1.0_#"))
+      .groupBy(_.path).toSeq.sortBy(_._1)
+    Some(storages.flatMap { case (_, ss) =>
+      val data = ss.find(_.name == "__substg1.0_37010102")
+      val name = ss.find(_.name == "__substg1.0_3707001F")
+        .map(s2 => new String(s2.data, StandardCharsets.UTF_16LE))
+        .orElse(ss.find(_.name == "__substg1.0_3707001E")
+          .map(s2 => new String(s2.data,
+            StandardCharsets.ISO_8859_1)))
+        .orElse(ss.find(_.name == "__substg1.0_3704001F")
+          .map(s2 => new String(s2.data, StandardCharsets.UTF_16LE)))
+      data.map(d => (name.getOrElse(""), d.data))
+    })
   }
 
   // ------------------------------------------------------------------
@@ -220,6 +259,74 @@ object Msg {
       case Some(MsgDoc(s, b, f, r)) => Seq[Any](s, b, f, r)
       case None => Seq[Any](null, null, null, null)
     }
+
+  /** Per-row synthesizer WITH attachments: same message layout
+    * plus two attachments — `a0.txt` (plain text derived from the
+    * body) and `a1.gz` (the body gzipped) — the nested-document
+    * surface a curation run must unwrap.
+    */
+  def synthMsgAttach(df: DataFrame, idCol: String, textCol: String,
+      outCol: String): DataFrame = {
+    val (ii, ti) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(textCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(ti)).getOrElse("")
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        val attach = Seq(
+          ("a0.txt", (s"a0:" + text).getBytes(StandardCharsets
+            .UTF_8)),
+          ("a1.gz", Archive.gzipWrite(
+            (s"a1:" + text).getBytes(StandardCharsets.UTF_8),
+            "a1")))
+        Row.fromSeq(r.toSeq :+ msgWrite("msg " + (id % 100), text,
+          "Fixture Sender Ω", (id % 3).toInt, attach))
+      }
+    }(enc)
+  }
+
+  /** One row per attachment: filename, sniffed format, size, and —
+    * for gzip attachments — the INNER format after unwrapping (the
+    * sniffDeep discipline applied inside mail).
+    */
+  def msgAttachRows(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("attach_name", StringType),
+      StructField("label", StringType),
+      StructField("u_size", LongType),
+      StructField("inner_label", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        msgAttachments(r.getAs[Array[Byte]](ci)).toSeq.flatten.map {
+          case (name, data) =>
+            val label = Sniff.sniff(data)
+            // u_size = the UNWRAPPED payload size (gzip members
+            // report their decompressed length — the closed-form
+            // quantity; compressed sizes are encoder-dependent)
+            val (size, inner) =
+              if (label == "application/gzip")
+                Archive.gunzip(data) match {
+                  case Some(g2) => (g2.length.toLong, Sniff.sniff(g2))
+                  case None => (-1L, null)
+                }
+              else (data.length.toLong, null)
+            Row(id, name, label, size, inner)
+        }
+      }
+    }(enc)
+  }
 
   /** Per-row .msg synthesizer (map-only): the row's text as the
     * body, id-derived subject, fixed non-latin-1 sender (forces the

@@ -104,4 +104,27 @@ class CfbSpec extends AnyFunSuite {
     for (cut <- Seq(8, 300, 512, 1024, valid.length - 3))
       Cfb.cfbStreams(valid.take(cut))
   }
+
+  test("storage paths: one-level storages round-trip with member " +
+      "paths visible (round 15)") {
+    val b = graft.operators.Cfb.cfbWrite(Seq(
+      ("RootStream", "root data".getBytes),
+      ("__attach_version1.0_#00000000/__substg1.0_37010102",
+        "attach bytes one".getBytes),
+      ("__attach_version1.0_#00000000/__substg1.0_3707001F",
+        "n1".getBytes),
+      ("__attach_version1.0_#00000001/__substg1.0_37010102",
+        ("big " * 2000).getBytes),
+      ("TailStream", "tail".getBytes)))
+    val doc = graft.operators.Cfb.cfbStreams(b).get
+    val byPath = doc.streams.map(s2 =>
+      (s2.path, s2.name) -> new String(s2.data.take(16), "UTF-8"))
+      .toMap
+    assert(byPath(("", "RootStream")) == "root data")
+    assert(byPath(("__attach_version1.0_#00000000",
+      "__substg1.0_37010102")) == "attach bytes one")
+    assert(byPath(("__attach_version1.0_#00000001",
+      "__substg1.0_37010102")) == "big big big big ")
+    assert(byPath(("", "TailStream")) == "tail")
+  }
 }

@@ -106,4 +106,23 @@ class MsgSpec extends AnyFunSuite {
       Msg.msgText(b) // must not throw
     }
   }
+
+  test("attachments walk the CFB directory tree: names, bytes, " +
+      "order (round 15)") {
+    val atts = Seq(
+      ("first.txt", "first attachment".getBytes("UTF-8")),
+      ("deck Ω.bin", Array.tabulate[Byte](5000)(i => (i % 251)
+        .toByte)))
+    val b = Msg.msgWrite("s", "body", "sender", 0, atts)
+    // the message text surface is untouched by attachments
+    assert(Msg.msgText(b).get.body == "body")
+    val got = Msg.msgAttachments(b).get
+    assert(got.map(_._1) == Seq("first.txt", "deck Ω.bin"))
+    for (((_, d), (_, want)) <- got.zip(atts))
+      assert(java.util.Arrays.equals(d, want))
+    // attachment-less messages report an empty walk, not a refusal
+    assert(Msg.msgAttachments(Msg.msgWrite("s", "b", "x", 1))
+      .exists(_.isEmpty))
+    assert(Msg.msgAttachments("junk".getBytes).isEmpty)
+  }
 }
