@@ -72,16 +72,32 @@ object BenchGate {
     }
   }
 
+  /** INTENDED cost changes: query → new baseline floor. A history
+    * bar BELOW the floor predates a deliberate semantic change and
+    * must not flag forever. One entry so far: q_pdf_encrypted's
+    * pre-round-15 history (≈1.6 s) predates the AES-256 R6 handler —
+    * ISO 32000-2's Algorithm 2.B hardened hash is an intentionally
+    * slow KDF (per-document, map-only, linear; both the fixture
+    * writer and the reader run it), measured at ≈8.6–9.0 s. Each
+    * entry documents a design decision, not a tolerance knob.
+    */
+  val IntendedCosts: Map[String, Double] = Map(
+    "q_pdf_encrypted" -> 8.0)
+
   /** Element-wise MIN across per-round query maps — "best ever
     * recorded" is the right bar; the newest round alone would reset the
     * bar after any noisy round. Whole-round outliers (one run on a
     * faster machine state) are rejected first so they cannot poison
-    * the bar for every future artifact.
+    * the bar for every future artifact. Intended-cost floors lift
+    * bars that predate deliberate semantic changes.
     */
   def mergeHistory(rounds: Seq[Map[String, Double]])
       : Map[String, Double] =
     rejectOutlierRounds(rounds)
       .flatten.groupMapReduce(_._1)(_._2)(math.min)
+      .map { case (k, v) =>
+        k -> math.max(v, IntendedCosts.getOrElse(k, 0.0))
+      }
 
   /** Parse one bench artifact's `queries` map (Jackson ships in
     * Spark's jars, so no extra dependency).

@@ -60,4 +60,19 @@ class BenchGateSpec extends AnyFunSuite {
     // artifact without a queries key -> empty, not a throw
     assert(BenchGate.parseQueries("{}".getBytes("UTF-8")).isEmpty)
   }
+
+  test("intended-cost floors lift stale pre-change bars") {
+    import graft.BenchGate
+    val rounds = Seq(
+      Map("q_pdf_encrypted" -> 1.57, "q_other" -> 1.0),
+      Map("q_pdf_encrypted" -> 8.7, "q_other" -> 1.1))
+    val merged = BenchGate.mergeHistory(rounds)
+    // min would say 1.57; the documented AES-256 floor lifts it
+    assert(merged("q_pdf_encrypted") == 8.0)
+    assert(merged("q_other") == 1.0)
+    // the current ~8.6 s measurement must not flag against it
+    assert(!BenchGate.suspect(8.7, merged.get("q_pdf_encrypted")))
+    // a real future regression past the floor still flags
+    assert(BenchGate.suspect(13.0, merged.get("q_pdf_encrypted")))
+  }
 }
