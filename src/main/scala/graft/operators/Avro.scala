@@ -27,8 +27,9 @@ import graft.sources.MiniJson
   *    records). Codecs: `null`, `deflate` (raw zlib), and `snappy`
   *    (round 15: the from-spec [[Snappy]] block decoder, with the
   *    Avro-specific big-endian CRC32-of-uncompressed trailer
-  *    verified); `zstandard`/`bzip2`/`xz` could ride the in-repo
-  *    codecs but no fixture writer emits them yet — refuse.
+  *    verified) and `zstandard` (one frame per block through the
+  *    full in-repo [[Zstd]] decoder); `bzip2`/`xz` have no Avro
+  *    fixture writer yet — refuse.
   *  - Records: the FULL recursive schema tree (round 15 — closes the
   *    C184 half-decode refusal): primitives (null, boolean,
   *    int/long zigzag varints, float/double LE IEEE, bytes/string),
@@ -305,7 +306,10 @@ object Avro {
         (raw(raw.length - 1) & 0xffL)
       if (crc.getValue != want) throw AvroFail
       data
-    case _ => throw AvroFail // zstandard/bzip2/xz: no fixture writer
+    case "zstandard" =>
+      // one zstd frame per block, through the full in-repo decoder
+      Zstd.decompress(raw).getOrElse(throw AvroFail)
+    case _ => throw AvroFail // bzip2/xz: no fixture writer yet
   }
 
   /** Shared container walk: header, metadata, schema tree, blocks.
@@ -345,7 +349,7 @@ object Avro {
     // accepting the header and failing later would split the
     // refusal surface
     codec match {
-      case "null" | "deflate" | "snappy" => ()
+      case "null" | "deflate" | "snappy" | "zstandard" => ()
       case _ => throw AvroFail
     }
     val fields =
@@ -572,9 +576,10 @@ object Avro {
     * container blocks; codec cycling null/deflate/snappy by id%3.
     */
   def avroWriteComplex(id: Long): Array[Byte] = {
-    val codec = (id % 3) match {
+    val codec = (id % 4) match {
       case 1 => "deflate"
       case 2 => "snappy"
+      case 3 => "zstandard"
       case _ => "null"
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -644,6 +649,8 @@ object Avro {
           Snappy.compressStored(raw) ++ Array[Byte](
             ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
             ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        case "zstandard" =>
+          Zstd.encodeFrame(raw, blockSize = 4096)
         case _ => raw
       }
       wr(wZlong(1L)); wr(wZlong(payload.length.toLong))

@@ -80,15 +80,16 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.avroRead(header(nested, "null")).isEmpty)
     val flat = """{"type": "record", "name": "r", "fields": [
       {"name": "x", "type": "long"}]}"""
-    // snappy is a supported codec since round 15
+    // snappy AND zstandard are supported codecs since round 15
     assert(Avro.avroRead(header(flat, "snappy")).isDefined)
-    assert(Avro.avroRead(header(flat, "zstandard")).isEmpty)
+    assert(Avro.avroRead(header(flat, "zstandard")).isDefined)
+    assert(Avro.avroRead(header(flat, "bzip2")).isEmpty)
     assert(Avro.avroRead(header(flat, "null")).isDefined) // sanity
   }
 
   test("complex schemas decode: nested/array/map/enum/fixed/union " +
-      "across all three codecs") {
-    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 7L, 10L, 23L)) {
+      "across all four codecs (incl. zstandard)") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 7L, 10L, 11L, 23L)) {
       val b = Avro.avroWriteComplex(id)
       val r = Avro.decodeAvroComplex(b)
       assert(r(0) == 2, s"id $id n_records")
@@ -110,7 +111,8 @@ class AvroSpec extends AnyFunSuite {
       }
       assert(r(8) == wantU, s"id $id u_repr")
     }
-    // snappy CRC damage refuses (id 2 selects the snappy codec)
+    // zstandard frames decode through the full Zstd path (id 3/7/11
+    // select it above); snappy CRC damage refuses (id 2)
     val b = Avro.avroWriteComplex(2L)
     val m = b.clone()
     // flip a byte in the first block payload region (after header)
