@@ -156,19 +156,31 @@ object Cfb {
       // directories from hanging a task
       val paths = new Array[String](nEntries)
       var visits = 0
-      def walkTree(idx: Long, path: String): Unit = {
-        if (idx == FreeSect || idx < 0 || idx >= nEntries) return
-        visits += 1
-        if (visits > nEntries * 2 + 8) throw CfbFail
-        val e = ents(idx.toInt)
-        walkTree(e.left, path)
-        walkTree(e.right, path)
-        paths(idx.toInt) = path
-        if (e.objType == 1) // storage: descend with extended path
-          walkTree(e.child,
-            if (path.isEmpty) e.name else path + "/" + e.name)
+      // iterative traversal (a linear sibling chain in a hostile or
+      // merely large directory would blow the JVM stack if recursed);
+      // frames marked assign=true fire after both siblings, keeping
+      // the recursive order: left, right, self, then child descent
+      val work = new scala.collection.mutable.ArrayDeque[
+        (Long, String, Boolean)]()
+      work.prepend((root.child, "", false))
+      while (work.nonEmpty) {
+        val (idx, path, assign) = work.removeHead()
+        if (assign) {
+          paths(idx.toInt) = path
+          val e = ents(idx.toInt)
+          if (e.objType == 1) // storage: descend with extended path
+            work.prepend((e.child,
+              if (path.isEmpty) e.name else path + "/" + e.name,
+              false))
+        } else if (idx != FreeSect && idx >= 0 && idx < nEntries) {
+          visits += 1
+          if (visits > nEntries * 2 + 8) throw CfbFail
+          val e = ents(idx.toInt)
+          work.prepend((idx, path, true))
+          work.prepend((e.right, path, false))
+          work.prepend((e.left, path, false))
+        }
       }
-      walkTree(root.child, "")
       // mini FAT + mini stream
       lazy val miniFat: Array[Byte] =
         if (nMiniFat == 0) Array.emptyByteArray

@@ -55,7 +55,9 @@ object Heif {
         size = (be32(b, p.toInt + 8) << 32) | be32(b, p.toInt + 12)
         hdr = 16L
       } else if (size == 0) size = to - p
-      if (size < hdr || p + size > to) return false
+      // overflow-safe: a crafted 64-bit size near 2^63 would wrap
+      // `p + size` negative and slip past both bounds checks
+      if (size < hdr || size > to - p) return false
       if (!f(typ, p + hdr, p + size)) return false
       p += size
     }
@@ -65,7 +67,14 @@ object Heif {
   /** Parse a HEIF-family image. None for non-HEIF brands (an `isom`
     * video should stay a video) or structural damage.
     */
-  def heifMeta(b: Array[Byte]): Option[HeifMeta] = {
+  def heifMeta(b: Array[Byte]): Option[HeifMeta] =
+    try heifMeta0(b)
+    catch { // totality: structural damage refuses, never crashes
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def heifMeta0(b: Array[Byte]): Option[HeifMeta] = {
     if (b == null || b.length < 24) return None
     if (cc(b, 4) != "ftyp") return None
     val brand = cc(b, 8)
@@ -75,8 +84,10 @@ object Heif {
     var itemType: String = null
     // ipco children in order (1-based indices for ipma)
     var props = Vector.empty[(String, Long, Long)]
-    // primary item's property indices (from ipma)
-    var primaryProps = Vector.empty[Int]
+    // ALL ipma associations, keyed by item id — ipma may legally
+    // precede pitm inside meta, so the primary item's properties
+    // are resolved only after the walk completes
+    var assocs = Map.empty[Long, Vector[Int]]
     var sawMeta = false
     var itemTypes = Map.empty[Long, String]
 
@@ -108,7 +119,7 @@ object Heif {
           mine :+= idx
           j += 1
         }
-        if (itemId == primary) primaryProps = mine
+        assocs += (itemId.toLong -> mine)
         i += 1
       }
       true
@@ -182,7 +193,7 @@ object Heif {
     var width = -1
     var height = -1
     var channels = -1
-    primaryProps.foreach { idx =>
+    assocs.getOrElse(primary, Vector.empty).foreach { idx =>
       if (idx >= 1 && idx <= props.length) {
         val (t, f, to) = props(idx - 1)
         if (t == "ispe" && f + 12 <= to) {
@@ -210,7 +221,8 @@ object Heif {
     * resolution logic production files need.
     */
   def write(brand: String, itemType: String, w: Int, h: Int,
-      channels: Int, nItems: Int): Array[Byte] = {
+      channels: Int, nItems: Int, ipmaFirst: Boolean = false)
+      : Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       bb.write(((v >> 24) & 0xff).toInt)
@@ -233,12 +245,9 @@ object Heif {
       raw(at + 3) = (size & 0xff).toByte
       bb.reset(); bb.write(raw, 0, raw.length)
     }
-    box("ftyp") { tag(brand); u32(0); tag("mif1"); tag(brand) }
-    box("meta") {
-      u32(0) // full box version/flags
-      box("hdlr") { u32(0); u32(0); tag("pict"); u32(0); u32(0)
-        u32(0); bb.write(0) }
+    def writePitm(): Unit =
       box("pitm") { u32(0); u16(1) } // primary item_id 1
+    def writeIinf(): Unit =
       box("iinf") {
         u32(0); u16(nItems)
         var i = 0
@@ -252,6 +261,7 @@ object Heif {
           i += 1
         }
       }
+    def writeIprp(): Unit =
       box("iprp") {
         box("ipco") {
           // index 1: DECOY thumbnail ispe — first-wins would be wrong
@@ -270,6 +280,14 @@ object Heif {
           if (nItems > 1) { u16(2); bb.write(1); bb.write(0x80 | 1) }
         }
       }
+    box("ftyp") { tag(brand); u32(0); tag("mif1"); tag(brand) }
+    box("meta") {
+      u32(0) // full box version/flags
+      box("hdlr") { u32(0); u32(0); tag("pict"); u32(0); u32(0)
+        u32(0); bb.write(0) }
+      // both child orders are legal ISO-BMFF; real muxers emit both
+      if (ipmaFirst) { writeIprp(); writePitm(); writeIinf() }
+      else { writePitm(); writeIinf(); writeIprp() }
     }
     box("mdat") { tag("  ") }
     bb.toByteArray

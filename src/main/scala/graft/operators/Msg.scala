@@ -86,16 +86,20 @@ object Msg {
     val compSize = le32(0)
     val rawSize = le32(4)
     val compType = le32(8)
-    if (compSize != d.length - 4) return None
+    // COMPSIZE counts from offset 4: 12 remaining header bytes +
+    // the token stream. Trailing slack beyond 4+COMPSIZE is legal
+    // in real property values; a COMPSIZE past the buffer is not.
+    if (compSize < 12 || 4 + compSize > d.length) return None
     if (rawSize > MaxText) return None
+    val end = (4 + compSize).toInt
     compType match {
       case 0x414c454dL => // MELA: uncompressed passthrough
-        if (16 + rawSize > d.length) None
+        if (16 + rawSize > end) None
         else Some(java.util.Arrays.copyOfRange(d, 16,
           (16 + rawSize).toInt))
       case 0x75465a4cL =>
-        if (Lzfu.crc(d, 16, d.length) != le32(12)) None
-        else Lzfu.decode(d, 16, d.length, MaxText)
+        if (Lzfu.crc(d, 16, end) != le32(12)) None
+        else Lzfu.decode(d, 16, end, MaxText)
           .filter(_.length.toLong == rawSize)
       case _ => None
     }

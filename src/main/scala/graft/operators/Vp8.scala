@@ -1315,7 +1315,7 @@ object Vp8 {
           case l: java.lang.Long => l.longValue()
           case x => x.hashCode().toLong
         }
-        val fx = Fixtures((id % 18).toInt)
+        val fx = Fixtures(java.lang.Math.floorMod(id, 18L).toInt)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ fx)
       }
     }(enc)

@@ -62,6 +62,21 @@ class CfbSpec extends AnyFunSuite {
     assert(Cfb.cfbStreams(bad).isEmpty, "cycle must refuse")
   }
 
+  test("a long right-leaning sibling chain walks iteratively " +
+      "without recursion (round 16)") {
+    // cfbWrite chains top-level entries right-leaning, so N streams
+    // give an N-deep sibling chain — the deepest the one-FAT-sector
+    // fixture cap allows; the walk itself is worklist-based and
+    // would take a 512K-entry chain without growing the JVM stack
+    val n = 470
+    val streams = (0 until n).map(i =>
+      (f"s$i%05d", Array.emptyByteArray))
+    val doc = Cfb.cfbStreams(Cfb.cfbWrite(streams)).get
+    assert(doc.streams.length == n)
+    assert(doc.streams.map(_.name) == streams.map(_._1))
+    assert(doc.streams.forall(_.path == ""))
+  }
+
   test("doc text reconstructs through the piece table, both " +
       "encodings") {
     // pure ASCII: both pieces ride the cp1252-compressed path

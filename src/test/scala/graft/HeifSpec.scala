@@ -54,6 +54,29 @@ class HeifSpec extends AnyFunSuite {
     assert(Heif.heifMeta(c).isEmpty)
   }
 
+  test("ipma before pitm still resolves the primary item " +
+      "(round 16)") {
+    val b = Heif.write("heic", "hvc1", 640, 360, 3, 2,
+      ipmaFirst = true)
+    val m = Heif.heifMeta(b).get
+    assert(m.width == 640 && m.height == 360 && m.nChannels == 3)
+  }
+
+  test("a crafted 64-bit box size near 2^63 refuses instead of " +
+      "wrapping the walk (round 16)") {
+    val good = Heif.write("heic", "hvc1", 10, 10, 3, 1)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(good, 0, 24) // the real ftyp box
+    // box with size==1 → 64-bit size 0x7fff_ffff_ffff_ffff
+    bomb.write(Array[Byte](0, 0, 0, 1))
+    "meta".foreach(c => bomb.write(c.toInt))
+    bomb.write(Array[Byte](0x7f, -1, -1, -1, -1, -1, -1, -1))
+    bomb.write(new Array[Byte](32))
+    assert(Heif.heifMeta(bomb.toByteArray).isEmpty)
+    // and the 64-bit header itself truncated
+    assert(Heif.heifMeta(bomb.toByteArray.take(34)).isEmpty)
+  }
+
   /** Locate the ipma association byte 0x82 (essential | index 2). */
   private def findIpmaProp2(b: Array[Byte]): Int = {
     // the ipma box: 'ipma' fourcc, version/flags, count, then

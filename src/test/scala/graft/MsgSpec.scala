@@ -67,6 +67,25 @@ class MsgSpec extends AnyFunSuite {
     assert(doc.rtfBodyText == "")
   }
 
+  test("LZFu values with trailing slack decode; a lying COMPSIZE " +
+      "refuses (round 16)") {
+    val rtf = "{\\rtf1\\ansi body text par}".getBytes("ISO-8859-1")
+    val v = graft.operators.Lzfu.compress(rtf)
+    assert(Msg.rtfDecompressed(v).exists(_.sameElements(rtf)))
+    // trailing slack beyond 4+COMPSIZE is legal in real properties
+    val slack = v ++ Array[Byte](9, 9, 9, 9, 9)
+    assert(Msg.rtfDecompressed(slack).exists(_.sameElements(rtf)))
+    // COMPSIZE pointing past the buffer refuses
+    val lying = v.clone()
+    lying(0) = (v.length & 0xff).toByte // COMPSIZE := len (> len-4)
+    lying(1) = ((v.length >> 8) & 0xff).toByte
+    assert(Msg.rtfDecompressed(lying).isEmpty)
+    // COMPSIZE smaller than the remaining header refuses
+    val tiny = v.clone()
+    tiny(0) = 4; tiny(1) = 0; tiny(2) = 0; tiny(3) = 0
+    assert(Msg.rtfDecompressed(tiny).isEmpty)
+  }
+
   test("absent properties come back empty") {
     val bytes = Cfb.cfbWrite(Seq(
       ("__substg1.0_0037001F",
