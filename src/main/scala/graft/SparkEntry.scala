@@ -2693,6 +2693,23 @@ object SparkEntry {
         .select(col("doc_id"), col("xz_text"))
     }),
 
+    // ----- LZ4 frame codec (the fast-tier dump/cache format):
+    // padded doc text through the repo's greedy block encoder —
+    // whose frames the reference lz4 CLI extracted byte-exactly at
+    // fixture-generation time (Lz4Spec + Lz4PinGen) — and back
+    // through the from-spec frame decoder with the header HC and
+    // XXH32 content checksum verified
+    "q_lz4_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" lz4 "),
+          substring(coalesce(col("text"), lit("")), 1, 40))
+          .as("__t"))
+      val z = Lz4.synthLz4(d, "__t", "content")
+      Multimodal.decodeBatches(z, "content",
+          Lz4.lz4TextSchema)(Lz4.decodeLz4Text)
+        .select(col("doc_id"), col("lz4_text"))
+    }),
+
     // ----- FULL bzip2 codec (the dump-distribution format): padded
     // doc text through the repo's own BWT+MTF+RLE+Huffman encoder —
     // whose output the reference bzip2 tool decoded bit-exactly at
@@ -5686,6 +5703,12 @@ object SparkEntry {
     "q_xz_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') || ' xz ' ||
            substr(COALESCE(text, ''), 1, 32) AS xz_text
+         FROM documents""",
+
+    // the LZ4 frame round trip must be lossless
+    "q_lz4_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') || ' lz4 ' ||
+           substr(COALESCE(text, ''), 1, 40) AS lz4_text
          FROM documents""",
 
     // full bzip2 codec must be lossless: padded text (the z-run

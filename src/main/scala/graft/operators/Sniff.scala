@@ -94,6 +94,10 @@ object Sniff {
       return "application/vnd.ms-cab-compressed"
     if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
       at(3) == 0xfd) return "application/zstd"
+    if (at(0) == 0x04 && at(1) == 0x22 && at(2) == 0x4d &&
+      at(3) == 0x18) return "application/x-lz4"
+    if (at(0) == 0x02 && at(1) == 0x21 && at(2) == 0x4c &&
+      at(3) == 0x18) return "application/x-lz4" // legacy frame
     // ustar at offset 257
     if (ascii("ustar", 257)) return "application/x-tar"
     // --- images
@@ -208,6 +212,11 @@ object Sniff {
         Xz.decompress(b) match {
           case Some(d) => (outer, sniff(d))
           case None => (outer, "application/x-xz-damaged")
+        }
+      case "application/x-lz4" =>
+        Lz4.decodeFrame(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/x-lz4-damaged")
         }
       case _ => (outer, outer)
     }

@@ -476,6 +476,14 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Xz.decompress(_: Array[Byte]))
   }
 
+  test("lz4 frame decoder is total under own-encoder mutation") {
+    val text = ("lz4 fuzz content with repeated repeated repeated " +
+      "words é→Ω ") * 10
+    assertTotal("lz4/frame",
+      graft.operators.Lz4.encodeFrame(text.getBytes("UTF-8")),
+      graft.operators.Lz4.decodeFrame(_: Array[Byte]))
+  }
+
   test("brotli decoder is total under own-encoder mutation") {
     val text = ("brotli fuzz content é→Ω with repeated repeated " +
       "repeated words ") * 8

@@ -174,6 +174,21 @@ class SniffSpec extends AnyFunSuite {
       (("application/x-xz", "application/x-tar")))
   }
 
+  test("lz4 sniffs (both frame magics) and sniffDeep unwraps it") {
+    val inner = graft.operators.Archive.tarWrite(Seq(
+      ("a.txt", "lz4 interior".getBytes)))
+    val z = graft.operators.Lz4.encodeFrame(inner)
+    assert(Sniff.sniff(z) == "application/x-lz4")
+    assert(Sniff.sniffDeep(z) ==
+      (("application/x-lz4", "application/x-tar")))
+    // legacy magic routes too
+    assert(Sniff.sniff(Array[Byte](0x02, 0x21, 0x4c, 0x18, 0, 0,
+      0, 0)) == "application/x-lz4")
+    // a torn frame reports damaged, not a lie
+    assert(Sniff.sniffDeep(z.take(z.length - 2))._2 ==
+      "application/x-lz4-damaged")
+  }
+
   test("sniffDeep unwraps gzip and zstd to the interior label") {
     import graft.operators.{Feed, Ipynb, Zstd}
     assert(Sniff.sniffDeep(Archive.gzipWrite(
