@@ -2291,6 +2291,21 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL deb(5)/ar walk: per doc a genuine .deb (GNU ar
+    // framing, control+data tars through gzip/xz/zstd cycling by
+    // doc) listed back through the nested codec route; binutils ar
+    // and bsdtar both read the writer's output byte-exactly
+    // (ArSpec + ArPinGen record the pin)
+    "q_deb_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val debs = Ar.synthDebs(d, "doc_id", "__t", "__n", "content")
+      Ar.debEntryRows(debs, "doc_id", "content")
+        .select(col("doc_id"), col("member"), col("codec"),
+          col("entry_name"), col("u_size"))
+    }),
+
     // ----- REAL CAB walk ([MS-CAB]): per doc a genuine cabinet
     // (header, folder directory, CFFILE records, per-block XOR-fold
     // checksums, stored + MSZIP folders with the cross-block deflate
@@ -5477,6 +5492,28 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the deb walk must list both nested tars' planted members
+    // through the right codec
+    "q_deb_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n,
+           CASE doc_id % 3 WHEN 0 THEN 'gz' WHEN 1 THEN 'xz'
+             ELSE 'zst' END AS ext,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+             ELSE 'zstd' END AS cdc
+         FROM documents)
+         SELECT doc_id, 'control.tar.' || ext AS member,
+           cdc AS codec, './control' AS entry_name,
+           CAST(strlen('Package: p' || doc_id) + 1 AS BIGINT)
+             AS u_size
+         FROM p
+         UNION ALL
+         SELECT doc_id, 'data.tar.' || ext, cdc,
+           './usr/share/d' || t.j || '.txt',
+           CAST(strlen('f' || t.j || ':' || txt) AS BIGINT)
+         FROM p, LATERAL unnest(generate_series(0, n - 1))
+           AS t(j)""",
 
     // the cabinet walk must read back the planted member set with
     // the per-member compression choice and real extraction ok

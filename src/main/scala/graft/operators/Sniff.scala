@@ -98,6 +98,13 @@ object Sniff {
       at(3) == 0x18) return "application/x-lz4"
     if (at(0) == 0x02 && at(1) == 0x21 && at(2) == 0x4c &&
       at(3) == 0x18) return "application/x-lz4" // legacy frame
+    if (ascii("!<arch>\n"))
+      return Ar.arEntries(b) match {
+        case Some(es) if Ar.isDeb(es) =>
+          "application/vnd.debian.binary-package"
+        case Some(_) => "application/x-archive"
+        case None => "application/x-archive-damaged"
+      }
     // ustar at offset 257
     if (ascii("ustar", 257)) return "application/x-tar"
     // --- images

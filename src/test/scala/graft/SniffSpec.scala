@@ -174,6 +174,19 @@ class SniffSpec extends AnyFunSuite {
       (("application/x-xz", "application/x-tar")))
   }
 
+  test("ar archives sniff, debs classify by the deb(5) contract") {
+    val plain = graft.operators.Ar.arWrite(Seq(
+      ("m.txt", "member".getBytes)))
+    assert(Sniff.sniff(plain) == "application/x-archive")
+    val deb = graft.operators.Ar.debWrite(
+      Seq(("./control", "Package: s\n".getBytes)),
+      Seq(("./usr/f.txt", "x".getBytes)), 1)
+    assert(Sniff.sniff(deb) ==
+      "application/vnd.debian.binary-package")
+    val torn = java.util.Arrays.copyOf(plain, plain.length - 3)
+    assert(Sniff.sniff(torn) == "application/x-archive-damaged")
+  }
+
   test("lz4 sniffs (both frame magics) and sniffDeep unwraps it") {
     val inner = graft.operators.Archive.tarWrite(Seq(
       ("a.txt", "lz4 interior".getBytes)))
