@@ -2291,6 +2291,20 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL cpio walk (odc + newc + newc-CRC cycling by doc):
+    // the initramfs/rpm payload dialects, the CRC dialect's data
+    // sum verified; bsdtar reads the writer's output byte-exactly
+    // (CpioSpec + CpioPinGen record the pin)
+    "q_cpio_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val cps = Cpio.synthCpios(d, "doc_id", "__t", "__n", "content")
+      Cpio.cpioEntryRows(cps, "doc_id", "content")
+        .select(col("doc_id"), col("entry_name"), col("format"),
+          col("u_size"), col("ok"))
+    }),
+
     // ----- REAL deb(5)/ar walk: per doc a genuine .deb (GNU ar
     // framing, control+data tars through gzip/xz/zstd cycling by
     // doc) listed back through the nested codec route; binutils ar
@@ -5492,6 +5506,22 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the cpio walk must list the planted members with the dialect
+    // each doc cycled to
+    "q_cpio_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n,
+           CASE doc_id % 3 WHEN 0 THEN 'odc' WHEN 1 THEN 'newc'
+             ELSE 'crc' END AS fmt
+         FROM documents)
+         SELECT doc_id, 'p' || t.j || '.dat' AS entry_name,
+           fmt AS format,
+           CAST(strlen('c' || t.j || ':' || txt) AS BIGINT)
+             AS u_size,
+           TRUE AS ok
+         FROM p, LATERAL unnest(generate_series(0, n - 1))
+           AS t(j)""",
 
     // the deb walk must list both nested tars' planted members
     // through the right codec

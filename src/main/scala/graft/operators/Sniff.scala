@@ -105,6 +105,17 @@ object Sniff {
         case Some(_) => "application/x-archive"
         case None => "application/x-archive-damaged"
       }
+    if ((ascii("070707") || ascii("070701") || ascii("070702")) &&
+      b.length >= 76 && {
+        // demand a digit-valid first header, not just the magic —
+        // a text file can open with those six characters
+        val hexOk = (6 until 76).forall { i =>
+          val c = b(i)
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+            (c >= 'A' && c <= 'F')
+        }
+        hexOk
+      }) return "application/x-cpio"
     // ustar at offset 257
     if (ascii("ustar", 257)) return "application/x-tar"
     // --- images
