@@ -2291,6 +2291,22 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL ISO 9660 walk (ECMA-119 + Rock Ridge NM + Joliet
+    // fallback): per doc a genuine image — PVD, L/M path tables,
+    // SUSP SP/ER announcements, RR-named records, odd files in a
+    // subdirectory — listed back with extraction verified; bsdtar
+    // reads the writer's images with real names byte-exactly
+    // (IsoSpec + IsoPinGen record the pin)
+    "q_iso_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val isos = Iso.synthIsos(d, "doc_id", "__t", "__n", "content")
+      Iso.isoEntryRows(isos, "doc_id", "content")
+        .select(col("doc_id"), col("entry_path"), col("u_size"),
+          col("ok"))
+    }),
+
     // ----- REAL cpio walk (odc + newc + newc-CRC cycling by doc):
     // the initramfs/rpm payload dialects, the CRC dialect's data
     // sum verified; bsdtar reads the writer's output byte-exactly
@@ -5506,6 +5522,20 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the iso walk must list the planted paths (odd files nested
+    // in the subdirectory) with Rock Ridge names intact
+    "q_iso_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           CASE WHEN t.j % 2 = 1 THEN 'sub/f' || t.j || '.txt'
+             ELSE 'f' || t.j || '.txt' END AS entry_path,
+           CAST(strlen('i' || t.j || ':' || txt) AS BIGINT)
+             AS u_size,
+           TRUE AS ok
+         FROM p, LATERAL unnest(generate_series(0, n - 1))
+           AS t(j)""",
 
     // the cpio walk must list the planted members with the dialect
     // each doc cycled to

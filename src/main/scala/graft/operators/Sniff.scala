@@ -116,6 +116,9 @@ object Sniff {
         }
         hexOk
       }) return "application/x-cpio"
+    // ISO 9660: a volume descriptor signature at sector 16
+    if (b.length >= 17 * 2048 && ascii("CD001", 16 * 2048 + 1))
+      return "application/x-iso9660-image"
     // ustar at offset 257
     if (ascii("ustar", 257)) return "application/x-tar"
     // --- images

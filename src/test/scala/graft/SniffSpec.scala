@@ -174,6 +174,19 @@ class SniffSpec extends AnyFunSuite {
       (("application/x-xz", "application/x-tar")))
   }
 
+  test("cpio and iso images sniff") {
+    assert(Sniff.sniff(graft.operators.Cpio.cpioWrite(
+      Seq(("f", "x".getBytes)), 1)) == "application/x-cpio")
+    assert(Sniff.sniff(graft.operators.Cpio.cpioWrite(
+      Seq(("f", "x".getBytes)), 0)) == "application/x-cpio")
+    // the magic alone must not catch a text file of digits
+    assert(Sniff.sniff(("070701 is a number, " * 9).getBytes) ==
+      "text/plain")
+    assert(Sniff.sniff(graft.operators.Iso.isoWrite(
+      Seq(("f.txt", "x".getBytes)))) ==
+      "application/x-iso9660-image")
+  }
+
   test("ar archives sniff, debs classify by the deb(5) contract") {
     val plain = graft.operators.Ar.arWrite(Seq(
       ("m.txt", "member".getBytes)))
