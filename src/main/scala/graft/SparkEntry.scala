@@ -2291,6 +2291,26 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL Matroska/WebM EBML walk (RFC 8794 + the public
+    // Matroska element tables): per doc a genuine container —
+    // webm/matroska, sized/streamed (unknown-size Segment) and both
+    // Duration float widths cycling by doc — decoded to doc type,
+    // duration, dims, codecs; clusters skipped, never parsed
+    "q_mkv_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(160) + (col("doc_id") % 8) * 16).cast("int").as("__w"),
+        (lit(120) + (col("doc_id") % 6) * 16).cast("int").as("__h"),
+        (lit(1000) + col("doc_id") % 9000).cast("int").as("__d"))
+      val mkvs = Mkv.synthMkvs(d, "doc_id", "__w", "__h", "__d",
+        "content")
+      Multimodal.decodeBatches(mkvs, "content",
+          Mkv.mkvSchema)(Mkv.decodeMkv)
+        .select(col("doc_id"), col("doc_type"), col("duration_ms"),
+          col("n_tracks"), col("video_codec"), col("width"),
+          col("height"), col("audio_codec"), col("sample_rate"),
+          col("channels"))
+    }),
+
     // ----- REAL ISO 9660 walk (ECMA-119 + Rock Ridge NM + Joliet
     // fallback): per doc a genuine image — PVD, L/M path tables,
     // SUSP SP/ER announcements, RR-named records, odd files in a
@@ -5522,6 +5542,24 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the ebml walk must recover the planted container metadata in
+    // all four layout variants
+    "q_mkv_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'webm' ELSE 'matroska' END
+             AS doc_type,
+           CAST(1000 + doc_id % 9000 AS DOUBLE) AS duration_ms,
+           2 AS n_tracks,
+           CASE doc_id % 2 WHEN 0 THEN 'V_VP9'
+             ELSE 'V_MPEG4/ISO/AVC' END AS video_codec,
+           CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+           CAST(120 + (doc_id % 6) * 16 AS INT) AS height,
+           CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_AAC' END
+             AS audio_codec,
+           CAST(48000 AS DOUBLE) AS sample_rate,
+           2 AS channels
+         FROM documents""",
 
     // the iso walk must list the planted paths (odd files nested
     // in the subdirectory) with Rock Ridge names intact

@@ -116,6 +116,13 @@ object Sniff {
         }
         hexOk
       }) return "application/x-cpio"
+    if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf &&
+      at(3) == 0xa3)
+      return Mkv.mkvMeta(b) match {
+        case Some(m) if m.docType == "webm" => "video/webm"
+        case Some(_) => "video/x-matroska"
+        case None => "video/x-matroska-damaged"
+      }
     // ISO 9660: a volume descriptor signature at sector 16
     if (b.length >= 17 * 2048 && ascii("CD001", 16 * 2048 + 1))
       return "application/x-iso9660-image"

@@ -174,6 +174,17 @@ class SniffSpec extends AnyFunSuite {
       (("application/x-xz", "application/x-tar")))
   }
 
+  test("ebml containers sniff by doc type") {
+    assert(Sniff.sniff(graft.operators.Mkv.mkvWrite(webm = true,
+      1.0, 2, 2, 8000.0, 1, streamed = false, wideFloat = false))
+      == "video/webm")
+    assert(Sniff.sniff(graft.operators.Mkv.mkvWrite(webm = false,
+      1.0, 2, 2, 8000.0, 1, streamed = true, wideFloat = true))
+      == "video/x-matroska")
+    assert(Sniff.sniff(Array[Byte](0x1a, 0x45, 0xdf.toByte,
+      0xa3.toByte, 0, 0, 0, 0)) == "video/x-matroska-damaged")
+  }
+
   test("cpio and iso images sniff") {
     assert(Sniff.sniff(graft.operators.Cpio.cpioWrite(
       Seq(("f", "x".getBytes)), 1)) == "application/x-cpio")
