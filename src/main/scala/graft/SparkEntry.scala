@@ -2611,19 +2611,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
-    // ----- the OMNI crawl compose: TEN formats cycling by
-    // doc_id%10 — six direct (html/pdf/docx/rtf/epub/markdown) and
-    // four ARCHIVE-NESTED (zip-of-pdf, tar.gz-of-rtf, 7z-of-docx,
-    // cab-of-pdf: the recursive unwrap tier) — each wrapped as an
-    // HTTP response in a WARC (odd docs .warc.gz), with LYING
-    // declared Content-Types on every 5th doc; the pipeline must
-    // route by magic-byte sniff at BOTH levels, extract, quality-
-    // filter, and fingerprint-dedup in ONE query; any byte damage
-    // or misroute anywhere breaks the oracle's hash
+    // ----- the OMNI crawl compose: FOURTEEN formats cycling by
+    // doc_id%14 — six direct (html/pdf/docx/rtf/epub/markdown) and
+    // eight ARCHIVE-NESTED (zip-of-pdf, tar.gz-of-rtf, 7z-of-docx,
+    // cab-of-pdf, deb-of-rtf, cpio-of-pdf, iso-of-rtf, lz4-of-pdf:
+    // the recursive unwrap tier) — each wrapped as an HTTP response
+    // in a WARC (odd docs .warc.gz), with LYING declared
+    // Content-Types on every 5th doc; the pipeline must route by
+    // magic-byte sniff at BOTH levels, extract, quality-filter, and
+    // fingerprint-dedup in ONE query; any byte damage or misroute
+    // anywhere breaks the oracle's hash
     "q_crawl_omni" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
-        (col("doc_id") % 10).cast("int").as("__f"),
+        (col("doc_id") % 14).cast("int").as("__f"),
         (col("doc_id") % 3).cast("int").as("__m"),
         (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 2).cast("int").as("__gz"))
@@ -2677,10 +2678,20 @@ object SparkEntry {
         dd => Docx.synthDocx(dd, "__t", "__m", "content"))
       val cabPdf = nested(9, 3,
         dd => Pdf.synthPdfs(dd, "__t", "__v", "__m", "content"))
+      val debRtf = nested(10, 4,
+        dd => Rtf.synthRtf(dd, "__t", "__m", "content"))
+      val cpioPdf = nested(11, 5,
+        dd => Pdf.synthPdfs(dd, "__t", "__v", "__m", "content"))
+      val isoRtf = nested(12, 6,
+        dd => Rtf.synthRtf(dd, "__t", "__m", "content"))
+      val lz4Pdf = nested(13, 7,
+        dd => Pdf.synthPdfs(dd, "__t", "__v", "__m", "content"))
       val payloads = html.unionByName(pdf).unionByName(docx)
         .unionByName(rtf).unionByName(epub).unionByName(md)
         .unionByName(zipPdf).unionByName(tgzRtf)
         .unionByName(szDocx).unionByName(cabPdf)
+        .unionByName(debRtf).unionByName(cpioPdf)
+        .unionByName(isoRtf).unionByName(lz4Pdf)
         // every 5th doc's declared type LIES; routing must not care
         .withColumn("__ct", when(col("doc_id") % 5 === 0,
           lit("application/octet-stream")).otherwise(col("__ct")))
@@ -5773,7 +5784,7 @@ object SparkEntry {
     // SAME quality filter + fingerprint grouping as q_crawl_curate
     "q_crawl_omni" ->
       s"""WITH src AS (SELECT doc_id,
-           CASE CAST(doc_id % 10 AS INT)
+           CASE CAST(doc_id % 14 AS INT)
              WHEN 0 THEN trim(regexp_replace(regexp_replace(
                COALESCE(text, ''), '[\\x00-\\x1F\\x7F]', ' ', 'g'),
                '\\s+', ' ', 'g'))

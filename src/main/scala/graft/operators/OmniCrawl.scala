@@ -53,7 +53,9 @@ object OmniCrawl {
 
   /** Wrap a binary column into an archive for the nested-unwrap
     * tier: kind 0 = ZIP (deflated member), 1 = tar.gz, 2 = 7z
-    * (LZMA2 member), 3 = CAB (MSZIP member).
+    * (LZMA2 member), 3 = CAB (MSZIP member), 4 = .deb (the member
+    * as the data.tar.xz payload), 5 = cpio (newc-CRC), 6 = ISO 9660
+    * (Rock Ridge), 7 = a bare LZ4 frame.
     */
   def wrapArchive(df: DataFrame, binCol: String, kindCol: String,
       memberName: String, outCol: String): DataFrame = {
@@ -70,7 +72,13 @@ object OmniCrawl {
           case 1 => Archive.gzipWrite(
             Archive.tarWrite(Seq((memberName, payload))), memberName)
           case 2 => SevenZip.write(Seq((memberName, payload, 1)))
-          case _ => Cab.write(Seq((memberName, payload, 1)))
+          case 3 => Cab.write(Seq((memberName, payload, 1)))
+          case 4 => Ar.debWrite(
+            Seq(("./control", "Package: omni\n".getBytes)),
+            Seq((s"./usr/$memberName", payload)), 1)
+          case 5 => Cpio.cpioWrite(Seq((memberName, payload)), 2)
+          case 6 => Iso.isoWrite(Seq((memberName, payload)))
+          case _ => Lz4.encodeFrame(payload)
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }
@@ -162,6 +170,24 @@ object OmniCrawl {
     case "application/vnd.ms-cab-compressed" if depth < 2 =>
       Cab.extractAll(body).flatMap(all =>
         members(depth, all.map(_._2)))
+    case "application/vnd.debian.binary-package" if depth < 2 =>
+      // the data.tar payload is the content; control is metadata
+      Ar.debFiles(body).flatMap(fs =>
+        members(depth, fs.map(Option(_))))
+    case "application/x-archive" if depth < 2 =>
+      Ar.arEntries(body).flatMap(es =>
+        members(depth, es.map(e => Option(e.data))))
+    case "application/x-cpio" if depth < 2 =>
+      Cpio.cpioEntries(body).flatMap(es =>
+        members(depth, es.filter(e =>
+          (e.mode & 0xf000L) == 0x8000L || e.mode == 0)
+          .map(e => Option(e.data))))
+    case "application/x-iso9660-image" if depth < 2 =>
+      Iso.isoEntries(body).flatMap(es =>
+        members(depth, es.filter(!_.isDir).map(e => Option(e.data))))
+    case "application/x-lz4" if depth < 2 =>
+      Lz4.decodeFrame(body).flatMap(inner =>
+        routeDepth(Sniff.sniff(inner), inner, depth + 1))
     case _ => None // unroutable: classify, never guess
   }
 

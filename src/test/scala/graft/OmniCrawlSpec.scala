@@ -66,6 +66,23 @@ class OmniCrawlSpec extends SparkSpec {
       assert(!r.isNullAt(2), s"$name gz=$gz refused")
       assert(r.getString(2) == text, s"$name gz=$gz text")
     }
+    // the round-16 nested tier: deb / cpio / iso / bare lz4
+    val cases16 = Seq(
+      ("deb", graft.operators.Ar.debWrite(
+        Seq(("./control", "Package: omni\n".getBytes)),
+        Seq(("./usr/m.rtf", rtf)), 1)),
+      ("cpio", graft.operators.Cpio.cpioWrite(
+        Seq(("m.pdf", pdf)), 2)),
+      ("iso", graft.operators.Iso.isoWrite(Seq(("m.rtf", rtf)))),
+      ("lz4", graft.operators.Lz4.encodeFrame(pdf)),
+      ("ar", graft.operators.Ar.arWrite(Seq(("m.pdf", pdf)))))
+    for ((name, payload) <- cases16; gz <- Seq(false, true)) {
+      val rows = omniRows("application/x-lying-type", payload, gz)
+      assert(rows.length == 1, name)
+      val r = rows.head
+      assert(!r.isNullAt(2), s"$name gz=$gz refused")
+      assert(r.getString(2) == text, s"$name gz=$gz text")
+    }
     // nested html refuses (no column pipeline inside the kernel)
     val zHtml = Archive.zipWrite(Seq(("m.html",
       ("<html><body><p>" + text + "</p></body></html>")
