@@ -2291,6 +2291,36 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL .torrent parse (BEP 3 bencode, canonical form
+    // demanded): planted single-/multi-file metainfo replayed
+    // arithmetically; the infohash (SHA-1 of the info dict's exact
+    // source span) is exercised by q_torrent_dedup and pinned
+    // against a hashlib reference literal in TorrentSpec
+    "q_torrent_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ts = Torrent.synthTorrents(d, "doc_id", "content")
+      Multimodal.decodeBatches(ts, "content",
+          Torrent.torrentSchema)(Torrent.decodeTorrent)
+        .select(col("doc_id"), col("t_name"), col("piece_length"),
+          col("n_pieces"), col("n_files"), col("total_length"))
+    }),
+
+    // ----- infohash dedup: the canonical torrent identity — docs
+    // cycling over 97 planted seeds must cluster exactly by seed
+    // (any infohash nondeterminism or span slip breaks the counts)
+    "q_torrent_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97).cast("int").as("__seed"))
+      val ts = Torrent.synthTorrents(d, "__seed", "content")
+      Multimodal.decodeBatches(ts, "content",
+          Torrent.torrentSchema)(Torrent.decodeTorrent)
+        .select(col("doc_id"), col("infohash"))
+        .groupBy(col("infohash"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
     // ----- REAL Matroska/WebM EBML walk (RFC 8794 + the public
     // Matroska element tables): per doc a genuine container —
     // webm/matroska, sized/streamed (unknown-size Segment) and both
@@ -5553,6 +5583,31 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the torrent parse must replay the planted metainfo fields
+    "q_torrent_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 1
+             ELSE CAST(doc_id % 4 AS INT) + 1 END AS nf,
+           10000 + doc_id % 5000 AS base
+         FROM documents),
+         q AS (SELECT doc_id, nf,
+           CASE WHEN doc_id % 2 = 0 THEN base
+             ELSE nf * base + 77 * (nf * (nf - 1) / 2) END AS total
+         FROM p)
+         SELECT doc_id, 'corpus-' || doc_id AS t_name,
+           CAST(16384 AS BIGINT) AS piece_length,
+           CAST(CEIL(total / 16384.0) AS INT) AS n_pieces,
+           CAST(nf AS INT) AS n_files,
+           CAST(total AS BIGINT) AS total_length
+         FROM q""",
+
+    // identical seeds must produce identical infohashes and
+    // different seeds distinct ones -> clusters are exactly the
+    // doc_id % 97 classes
+    "q_torrent_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY doc_id % 97""",
 
     // the ebml walk must recover the planted container metadata in
     // all four layout variants

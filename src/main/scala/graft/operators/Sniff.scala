@@ -79,6 +79,12 @@ object Sniff {
       return Cfb.cfbStreams(b).map(_.label)
         .getOrElse("application/x-cfb-damaged")
     if (ascii("SQLite format 3")) return "application/vnd.sqlite3"
+    // bencoded torrent: a dict opener with an info key and a valid
+    // full parse (the prefix alone is just text)
+    if (at(0) == 'd' && at(1) >= '0' && at(1) <= '9' &&
+      b.indexOfSlice("4:infod".getBytes) >= 0 &&
+      Torrent.torrentMeta(b).isDefined)
+      return "application/x-bittorrent"
     if (ascii("Obj") && at(3) == 1) return "application/avro"
     if (ascii("WARC/")) return "application/warc"
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
