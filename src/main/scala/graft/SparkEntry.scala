@@ -2291,6 +2291,24 @@ object SparkEntry {
           col("u_size"), col("ok"))
     }),
 
+    // ----- REAL AVI RIFF walk (the OpenDML/Microsoft AVI spec):
+    // per doc a genuine container — avih timing/dims, vids + auds
+    // strl pairs, codec fourcc cycling — with the video stream
+    // clock as the duration authority; movi payload never parsed
+    "q_avi_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (lit(160) + (col("doc_id") % 8) * 16).cast("int").as("__w"),
+        (lit(120) + (col("doc_id") % 6) * 16).cast("int").as("__h"),
+        (lit(50) + col("doc_id") % 500).cast("int").as("__n"))
+      val avis = Avi.synthAvis(d, "doc_id", "__w", "__h", "__n",
+        "content")
+      Multimodal.decodeBatches(avis, "content",
+          Avi.aviSchema)(Avi.decodeAvi)
+        .select(col("doc_id"), col("duration_ms"), col("width"),
+          col("height"), col("n_streams"), col("video_codec"),
+          col("audio_channels"), col("audio_rate"))
+    }),
+
     // ----- REAL .torrent parse (BEP 3 bencode, canonical form
     // demanded): planted single-/multi-file metainfo replayed
     // arithmetically; the infohash (SHA-1 of the info dict's exact
@@ -5583,6 +5601,20 @@ object SparkEntry {
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS t(j)""",
+
+    // the avi walk must replay the planted header fields with the
+    // stream-clock duration
+    "q_avi_meta" ->
+      """SELECT doc_id,
+           CAST((50 + doc_id % 500) * 40 AS DOUBLE) AS duration_ms,
+           CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+           CAST(120 + (doc_id % 6) * 16 AS INT) AS height,
+           2 AS n_streams,
+           CASE doc_id % 3 WHEN 0 THEN 'MJPG' WHEN 1 THEN 'XVID'
+             ELSE 'H264' END AS video_codec,
+           2 AS audio_channels,
+           44100 AS audio_rate
+         FROM documents""",
 
     // the torrent parse must replay the planted metainfo fields
     "q_torrent_meta" ->

@@ -145,6 +145,7 @@ object Sniff {
       (ascii("MM") && at(2) == 0 && at(3) == 42)) return "image/tiff"
     // --- audio / video
     if (ascii("RIFF") && ascii("WAVE", 8)) return "audio/wav"
+    if (ascii("RIFF") && ascii("AVI ", 8)) return "video/x-msvideo"
     if (ascii("fLaC")) return "audio/flac"
     if (ascii("OggS")) return "audio/ogg"
     if (ascii("ID3") ||
