@@ -2834,6 +2834,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lz4_text"))
     }),
 
+    // ----- Unix compress .Z (LZW, the FTP-era dump format): padded
+    // doc text through the repo's LZW encoder — whose streams the
+    // system uncompress decoded byte-exactly across every code-
+    // width crossing at generation time (UnixZSpec + UnixZPinGen)
+    // — and back through the from-spec decoder with the segment-
+    // relative 8-code-group realignment
+    "q_z_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" Z "),
+          substring(coalesce(col("text"), lit("")), 1, 36))
+          .as("__t"))
+      val z = UnixZ.synthZ(d, "__t", "content")
+      Multimodal.decodeBatches(z, "content",
+          UnixZ.zTextSchema)(UnixZ.decodeZText)
+        .select(col("doc_id"), col("z_text"))
+    }),
+
     // ----- FULL bzip2 codec (the dump-distribution format): padded
     // doc text through the repo's own BWT+MTF+RLE+Huffman encoder —
     // whose output the reference bzip2 tool decoded bit-exactly at
@@ -5942,6 +5959,12 @@ object SparkEntry {
     "q_lz4_roundtrip" ->
       """SELECT doc_id, COALESCE(text, '') || ' lz4 ' ||
            substr(COALESCE(text, ''), 1, 40) AS lz4_text
+         FROM documents""",
+
+    // the .Z LZW round trip must be lossless
+    "q_z_roundtrip" ->
+      """SELECT doc_id, COALESCE(text, '') || ' Z ' ||
+           substr(COALESCE(text, ''), 1, 36) AS z_text
          FROM documents""",
 
     // full bzip2 codec must be lossless: padded text (the z-run

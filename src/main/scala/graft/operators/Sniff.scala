@@ -88,6 +88,8 @@ object Sniff {
     if (ascii("Obj") && at(3) == 1) return "application/avro"
     if (ascii("WARC/")) return "application/warc"
     if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
+    if (at(0) == 0x1f && at(1) == 0x9d)
+      return "application/x-compress"
     if (ascii("BZh") && at(3) >= '1' && at(3) <= '9')
       return "application/x-bzip2"
     if (at(0) == 0xfd && ascii("7zXZ", 1) && at(5) == 0)
@@ -252,6 +254,11 @@ object Sniff {
         Lz4.decodeFrame(b) match {
           case Some(d) => (outer, sniff(d))
           case None => (outer, "application/x-lz4-damaged")
+        }
+      case "application/x-compress" =>
+        UnixZ.decompress(b) match {
+          case Some(d) => (outer, sniff(d))
+          case None => (outer, "application/x-compress-damaged")
         }
       case _ => (outer, outer)
     }
