@@ -2375,6 +2375,21 @@ object SparkEntry {
           col("ok"))
     }),
 
+    // ----- REAL RAR5 walk (the public rarlab block grammar):
+    // stored members with verified data CRC32s; libarchive's
+    // independent rar5 reader lists/extracts the writer's archives
+    // byte-exactly (RarSpec + RarPinGen record the pin; no rar
+    // binary exists here — probe recorded)
+    "q_rar_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val rars = Rar.synthRars(d, "doc_id", "__t", "__n", "content")
+      Rar.rarEntryRows(rars, "doc_id", "content")
+        .select(col("doc_id"), col("entry_name"), col("method"),
+          col("u_size"), col("ok"))
+    }),
+
     // ----- REAL cpio walk (odc + newc + newc-CRC cycling by doc):
     // the initramfs/rpm payload dialects, the CRC dialect's data
     // sum verified; bsdtar reads the writer's output byte-exactly
@@ -5685,6 +5700,19 @@ object SparkEntry {
            CASE WHEN t.j % 2 = 1 THEN 'sub/f' || t.j || '.txt'
              ELSE 'f' || t.j || '.txt' END AS entry_path,
            CAST(strlen('i' || t.j || ':' || txt) AS BIGINT)
+             AS u_size,
+           TRUE AS ok
+         FROM p, LATERAL unnest(generate_series(0, n - 1))
+           AS t(j)""",
+
+    // the rar5 walk must list the planted stored members with
+    // extraction CRC-verified
+    "q_rar_entries" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, 'r' || t.j || '.txt' AS entry_name,
+           0 AS method,
+           CAST(strlen('v' || t.j || ':' || txt) AS BIGINT)
              AS u_size,
            TRUE AS ok
          FROM p, LATERAL unnest(generate_series(0, n - 1))

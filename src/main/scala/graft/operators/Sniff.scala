@@ -97,6 +97,8 @@ object Sniff {
     if (ascii("7z") && at(2) == 0xbc && at(3) == 0xaf &&
       at(4) == 0x27 && at(5) == 0x1c)
       return "application/x-7z-compressed"
+    if (ascii("Rar!") && at(4) == 0x1a && at(5) == 0x07)
+      return "application/vnd.rar" // v4 (at(6)=0) and v5 (=1)
     if (ascii("MSCF") && at(4) == 0 && at(5) == 0 && at(6) == 0 &&
       at(7) == 0)
       return "application/vnd.ms-cab-compressed"
