@@ -2309,6 +2309,24 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- schema-less protobuf wire-format census (the public
+    // encoding spec): planted varint/string/repeated/nested/fixed64
+    // fields replay per (field, wire type) with occurrence counts,
+    // payload bytes, varint sums and the every-occurrence nested
+    // flag; the free-text payload is NUL-prefixed so the flag stays
+    // deterministic (a NUL key is field 0 — never a valid message)
+    "q_proto_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val ps = Proto.synthProtos(d, "doc_id", "__t", "__n",
+        "content")
+      Proto.protoCensusRows(ps, "doc_id", "content")
+        .select(col("doc_id"), col("field_no"), col("wire_type"),
+          col("n_occ"), col("n_bytes"), col("varint_sum"),
+          col("nested"))
+    }),
+
     // ----- REAL .torrent parse (BEP 3 bencode, canonical form
     // demanded): planted single-/multi-file metainfo replayed
     // arithmetically; the infohash (SHA-1 of the info dict's exact
@@ -5647,6 +5665,46 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the census must replay every planted field arithmetically
+    // (vlen = protobuf varint byte length)
+    "q_proto_census" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents),
+         f1 AS (SELECT doc_id, 1 AS field_no, 0 AS wire_type,
+           CAST(1 AS BIGINT) AS n_occ,
+           CAST(CASE WHEN doc_id < 128 THEN 1
+             WHEN doc_id < 16384 THEN 2
+             WHEN doc_id < 2097152 THEN 3
+             WHEN doc_id < 268435456 THEN 4 ELSE 5 END AS BIGINT)
+             AS n_bytes,
+           CAST(doc_id AS BIGINT) AS varint_sum, FALSE AS nested
+           FROM p),
+         f2 AS (SELECT doc_id, 2, 2, CAST(1 AS BIGINT),
+           CAST(1 + strlen(txt) AS BIGINT), CAST(0 AS BIGINT),
+           FALSE FROM p),
+         f3 AS (SELECT doc_id, 3, 0, CAST(n AS BIGINT),
+           (SELECT CAST(SUM(CASE WHEN doc_id + t.j < 128 THEN 1
+              WHEN doc_id + t.j < 16384 THEN 2
+              WHEN doc_id + t.j < 2097152 THEN 3
+              WHEN doc_id + t.j < 268435456 THEN 4 ELSE 5 END)
+              AS BIGINT)
+            FROM unnest(generate_series(0, n - 1)) AS t(j)),
+           CAST(n * doc_id + n * (n - 1) / 2 AS BIGINT), FALSE
+           FROM p),
+         f4 AS (SELECT doc_id, 4, 2, CAST(1 AS BIGINT),
+           CAST(14 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT),
+           CAST(0 AS BIGINT), TRUE FROM p),
+         f5 AS (SELECT doc_id, 5, 1, CAST(1 AS BIGINT),
+           CAST(8 AS BIGINT), CAST(0 AS BIGINT), FALSE FROM p)
+         SELECT doc_id, CAST(field_no AS INT) AS field_no,
+           CAST(wire_type AS INT) AS wire_type, n_occ, n_bytes,
+           varint_sum, nested
+         FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+           UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+           UNION ALL SELECT * FROM f5)
+           AS u(doc_id, field_no, wire_type, n_occ, n_bytes,
+             varint_sum, nested)""",
 
     // the torrent parse must replay the planted metainfo fields
     "q_torrent_meta" ->
