@@ -55,7 +55,13 @@ object Sf1Point {
     // pixel decode — all map-only by design; the 10x point turns
     // that claim into a measurement
     "q_pdf_encrypted", "q_crawl_omni", "q_7z_entries",
-    "q_vp8_pixels").map(q => q -> SparkEntry.queries(q)) ++ Seq(
+    "q_vp8_pixels",
+    // the round-16 additions worth a measured point: the LZW
+    // codec (pure CPU, 16-bit widths), the deb walk (three nested
+    // codec chains per doc), and the infohash dedup (the round's
+    // one new shuffle)
+    "q_z_roundtrip", "q_deb_entries",
+    "q_torrent_dedup").map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"),

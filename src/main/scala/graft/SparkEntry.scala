@@ -2309,6 +2309,22 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- parquet FOOTER triage from raw bytes (thrift compact
+    // protocol from the public parquet-format spec): the committed
+    // fixtures are written by Spark's own parquet-mr — the
+    // reference implementation — across five codecs, a nested
+    // schema and a 151-row-group file; the walk must replay what
+    // the reference writer planted, footer-only, never page data
+    "q_parquet_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ps = ParquetMeta.synthParquets(d, "doc_id", "content")
+      Multimodal.decodeBatches(ps, "content",
+          ParquetMeta.pqSchema)(ParquetMeta.decodePq)
+        .select(col("doc_id"), col("pq_version"), col("num_rows"),
+          col("n_row_groups"), col("n_leaf_columns"),
+          col("leaf_names"), col("codecs"))
+    }),
+
     // ----- schema-less protobuf wire-format census (the public
     // encoding spec): planted varint/string/repeated/nested/fixed64
     // fields replay per (field, wire type) with occurrence counts,
@@ -5664,6 +5680,25 @@ object SparkEntry {
              ELSE 'H264' END AS video_codec,
            2 AS audio_channels,
            44100 AS audio_rate
+         FROM documents""",
+
+    // the footer walk must replay the reference writer's metadata
+    "q_parquet_meta" ->
+      """SELECT doc_id, 1 AS pq_version,
+           CASE doc_id % 5 WHEN 0 THEN 100 WHEN 1 THEN 250
+             WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
+             ::BIGINT AS num_rows,
+           CASE doc_id % 5 WHEN 3 THEN 151 ELSE 1 END::INT
+             AS n_row_groups,
+           CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 3
+             WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 2 END::INT
+             AS n_leaf_columns,
+           CASE doc_id % 5 WHEN 0 THEN 'id,name'
+             WHEN 1 THEN 'id,v,s' WHEN 2 THEN 'id,_1,_2,element'
+             WHEN 3 THEN 'id,txt' ELSE 'id,grp' END AS leaf_names,
+           CASE doc_id % 5 WHEN 0 THEN 'uncompressed'
+             WHEN 1 THEN 'snappy' WHEN 2 THEN 'gzip'
+             WHEN 3 THEN 'zstd' ELSE 'lz4' END AS codecs
          FROM documents""",
 
     // the census must replay every planted field arithmetically

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Parquet FOOTER triage from raw bytes (the public parquet-format
+  * spec: `PAR1` magic at both ends, a thrift COMPACT-protocol
+  * FileMetaData before the 4-byte footer length). Data lakes and
+  * crawls carry .parquet blobs as opaque binary columns all the
+  * time; triage needs the footer — row counts, schema shape,
+  * codecs, writer — without launching a read job per blob, and
+  * without trusting the blob enough to hand it to a full reader.
+  *
+  * The thrift compact walk is implemented from the public protocol
+  * spec (field-delta headers, zigzag varints, size-prefixed lists)
+  * with a generic skip for every field this triage does not
+  * surface. Surfaced: format version, total rows, row-group count,
+  * leaf-column count and names (schema elements with no children),
+  * the distinct compression codecs, and created_by.
+  *
+  * Pinning: the fixtures are written by Spark's own parquet-mr —
+  * THE reference implementation, right on this classpath — across
+  * five codecs and a nested schema; the walk must replay exactly
+  * what the reference writer planted.
+  *
+  * Totality: None on damage; depth/size bounds. Scale: per-value,
+  * map-only — footer-only, never touches page data.
+  */
+object ParquetMeta {
+
+  private val MaxList = 100000
+  private val MaxDepth = 24
+
+  final case class PqMeta(version: Int, numRows: Long,
+      nRowGroups: Int, nLeafColumns: Int, leafNames: Seq[String],
+      codecs: Seq[String], createdBy: String)
+
+  private final case class QFail() extends RuntimeException
+
+  private final class Reader(b: Array[Byte], var p: Int,
+      val end: Int) {
+    def u8(): Int = {
+      if (p >= end) throw QFail()
+      val v = b(p) & 0xff
+      p += 1
+      v
+    }
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (true) {
+        if (shift > 63) throw QFail()
+        val x = u8()
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      0L
+    }
+    def zigzag(): Long = {
+      val v = varint()
+      (v >>> 1) ^ -(v & 1)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || n > end - p) throw QFail()
+      val out = java.util.Arrays.copyOfRange(b, p, p + n)
+      p += n
+      out
+    }
+  }
+
+  /** Skip one compact-protocol value of `typ`. */
+  private def skip(r: Reader, typ: Int, depth: Int): Unit = {
+    if (depth > MaxDepth) throw QFail()
+    typ match {
+      case 1 | 2 => () // bool encoded in the field header
+      case 3 | 4 | 5 | 6 => r.varint()
+      case 7 => r.bytes(8)
+      case 8 => r.bytes(r.varint().toInt)
+      case 9 | 10 => // list / set
+        val h = r.u8()
+        var n = (h >>> 4) & 0x0f
+        if (n == 15) n = r.varint().toInt
+        if (n < 0 || n > MaxList) throw QFail()
+        val et = h & 0x0f
+        var i = 0
+        while (i < n) { skip(r, et, depth + 1); i += 1 }
+      case 11 => // map
+        val n = r.varint().toInt
+        if (n < 0 || n > MaxList) throw QFail()
+        if (n > 0) {
+          val kv = r.u8()
+          val kt = (kv >>> 4) & 0x0f
+          val vt = kv & 0x0f
+          var i = 0
+          while (i < n) {
+            skip(r, kt, depth + 1); skip(r, vt, depth + 1)
+            i += 1
+          }
+        }
+      case 12 => skipStruct(r, depth + 1)
+      case _ => throw QFail()
+    }
+  }
+
+  private def skipStruct(r: Reader, depth: Int): Unit = {
+    if (depth > MaxDepth) throw QFail()
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == 0) done = true
+      else {
+        val typ = h & 0x0f
+        if ((h >>> 4) == 0) r.zigzag() // long-form field id
+        skip(r, typ, depth)
+      }
+    }
+  }
+
+  /** Walk one struct invoking `f(fieldId, typ)` per field; `f`
+    * must consume the value (or call skip).
+    */
+  private def struct(r: Reader, depth: Int)(
+      f: (Int, Int) => Unit): Unit = {
+    if (depth > MaxDepth) throw QFail()
+    var fid = 0
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == 0) done = true
+      else {
+        val delta = (h >>> 4) & 0x0f
+        val typ = h & 0x0f
+        fid = if (delta == 0) r.zigzag().toInt else fid + delta
+        f(fid, typ)
+      }
+    }
+  }
+
+  private def list(r: Reader)(f: Int => Unit): Unit = {
+    val h = r.u8()
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.varint().toInt
+    if (n < 0 || n > MaxList) throw QFail()
+    val et = h & 0x0f
+    var i = 0
+    while (i < n) { f(et); i += 1 }
+  }
+
+  private val CodecNames = Map(0 -> "uncompressed", 1 -> "snappy",
+    2 -> "gzip", 3 -> "lzo", 4 -> "brotli", 5 -> "lz4",
+    6 -> "zstd", 7 -> "lz4_raw")
+
+  /** Parse a parquet file's footer. None on damage. */
+  def parquetMeta(b: Array[Byte]): Option[PqMeta] = {
+    if (b == null || b.length < 12) return None
+    def magic(o: Int): Boolean = b(o) == 'P' && b(o + 1) == 'A' &&
+      b(o + 2) == 'R' && b(o + 3) == '1'
+    if (!magic(0) || !magic(b.length - 4)) return None
+    val mdLen = (b(b.length - 8) & 0xff) |
+      ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) |
+      ((b(b.length - 5) & 0xff) << 24)
+    if (mdLen <= 0 || mdLen > b.length - 12) return None
+    val from = b.length - 8 - mdLen
+    try {
+      val r = new Reader(b, from, b.length - 8)
+      var version = -1
+      var numRows = -1L
+      var nRowGroups = 0
+      val leaves = Seq.newBuilder[String]
+      var nLeaves = 0
+      val codecs = scala.collection.mutable.SortedSet[String]()
+      var createdBy = ""
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 1 if typ == 5 => version = r.zigzag().toInt
+          case 2 if typ == 9 => // schema: list<SchemaElement>
+            var first = true
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              var name = ""
+              var children = 0
+              struct(r, 1) { (sf, st) =>
+                sf match {
+                  case 4 if st == 8 =>
+                    name = new String(r.bytes(r.varint().toInt),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                  case 5 if st == 5 =>
+                    children = r.zigzag().toInt
+                  case _ => skip(r, st, 2)
+                }
+              }
+              // the first element is the root; leaves have no
+              // children
+              if (!first && children == 0) {
+                leaves += name
+                nLeaves += 1
+              }
+              first = false
+            }
+          case 3 if typ == 6 => numRows = r.zigzag()
+          case 4 if typ == 9 => // row_groups
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              nRowGroups += 1
+              struct(r, 1) { (rf, rt) =>
+                rf match {
+                  case 1 if rt == 9 => // columns
+                    list(r) { ct =>
+                      if (ct != 12) throw QFail()
+                      struct(r, 2) { (cf, cty) =>
+                        cf match {
+                          case 3 if cty == 12 => // ColumnMetaData
+                            struct(r, 3) { (mf, mt) =>
+                              mf match {
+                                case 4 if mt == 5 =>
+                                  val c = r.zigzag().toInt
+                                  codecs += CodecNames
+                                    .getOrElse(c, s"codec$c")
+                                case _ => skip(r, mt, 4)
+                              }
+                            }
+                          case _ => skip(r, cty, 3)
+                        }
+                      }
+                    }
+                  case _ => skip(r, rt, 2)
+                }
+              }
+            }
+          case 6 if typ == 8 =>
+            createdBy = new String(r.bytes(r.varint().toInt),
+              java.nio.charset.StandardCharsets.UTF_8)
+          case _ => skip(r, typ, 1)
+        }
+      }
+      if (version < 0 || numRows < 0) return None
+      Some(PqMeta(version, numRows, nRowGroups, nLeaves,
+        leaves.result(), codecs.toSeq, createdBy))
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Spark plumbing (fixtures are Spark-written; see PqFixtureGen)
+  // ---------------------------------------------------------------
+
+  val pqSchema: StructType = StructType(Seq(
+    StructField("pq_version", IntegerType),
+    StructField("num_rows", LongType),
+    StructField("n_row_groups", IntegerType),
+    StructField("n_leaf_columns", IntegerType),
+    StructField("leaf_names", StringType),
+    StructField("codecs", StringType)))
+
+  def decodePq(bytes: Array[Byte]): Seq[Any] =
+    parquetMeta(bytes) match {
+      case Some(m) => Seq[Any](m.version, m.numRows, m.nRowGroups,
+        m.nLeafColumns, m.leafNames.mkString(","),
+        m.codecs.mkString(","))
+      case None => Seq[Any](null, null, null, null, null, null)
+    }
+
+  /** The committed reference fixtures, loaded once per executor. */
+  lazy val Fixtures: IndexedSeq[Array[Byte]] = {
+    (0 until 5).map { i =>
+      val in = getClass.getResourceAsStream(s"/parquet/fx$i.parquet")
+      require(in != null, s"missing parquet fixture $i")
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
+  /** Per-row fixture attach: doc_id % 5 selects the Spark-written
+    * reference file (map-only).
+    */
+  def synthParquets(df: DataFrame, idCol: String, outCol: String)
+      : DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+
+          Fixtures(java.lang.Math.floorMod(id, 5L).toInt))
+      }
+    }(enc)
+  }
+}

@@ -79,6 +79,9 @@ object Sniff {
       return Cfb.cfbStreams(b).map(_.label)
         .getOrElse("application/x-cfb-damaged")
     if (ascii("SQLite format 3")) return "application/vnd.sqlite3"
+    if (ascii("PAR1") && b.length >= 12 &&
+      ascii("PAR1", b.length - 4))
+      return "application/vnd.apache.parquet"
     // bencoded torrent: a dict opener with an info key and a valid
     // full parse (the prefix alone is just text)
     if (at(0) == 'd' && at(1) >= '0' && at(1) <= '9' &&

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fixture generator: writes five single-file parquet fixtures
+  * with Spark's parquet-mr — THE reference implementation — across
+  * codecs, schemas and row-group configurations, into
+  * `src/test/resources/parquet/fx{0..4}.parquet`. PqSpec then
+  * cross-checks [[graft.operators.ParquetMeta.parquetMeta]]
+  * against what `spark.read.parquet` itself reports on the same
+  * committed bytes.
+  *
+  * Usage: sbt "Test/runMain graft.PqFixtureGen"
+  */
+object PqFixtureGen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pq-fixture-gen")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val outDir = java.nio.file.Paths.get(
+      "src/main/resources/parquet")
+    java.nio.file.Files.createDirectories(outDir)
+
+    def writeOne(df: org.apache.spark.sql.DataFrame, codec: String,
+        blockSize: Option[Int], idx: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pqfx")
+        .toString
+      var w = df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec)
+      blockSize.foreach(bs =>
+        w = w.option("parquet.block.size", bs.toString))
+      w.parquet(tmp)
+      val part = java.nio.file.Files.list(
+        java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part,
+        outDir.resolve(s"fx$idx.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    writeOne((0L until 100L).map(i => (i, s"name-$i"))
+      .toDF("id", "name"), "uncompressed", None, 0)
+    writeOne((0L until 250L).map(i => (i, i * 0.5, s"s$i"))
+      .toDF("id", "v", "s"), "snappy", None, 1)
+    writeOne((0L until 50L).map(i =>
+        (i, (i * 2, s"b$i"), Seq(i, i + 1)))
+      .toDF("id", "info", "arr"), "gzip", None, 2)
+    // a tiny block size forces multiple row groups
+    writeOne((0L until 20000L).map(i => (i, s"pad-$i-padpadpad"))
+      .toDF("id", "txt"), "zstd", Some(4096), 3)
+    writeOne((0L until 300L).map(i => (i, i % 7))
+      .toDF("id", "grp"), "lz4", None, 4)
+
+    spark.stop()
+    println(s"wrote $outDir")
+  }
+}
