@@ -2309,6 +2309,24 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- REAL git packfile walk (gitformat-pack; code corpora
+    // ship as git repos and the pack is where the bytes live):
+    // per doc a pack of planted blobs — odd docs as genuine
+    // OFS_DELTA chains — with the trailing pack SHA-1 AND every
+    // reconstructed object id verified; pinned BOTH directions
+    // against git 2.39 (its packs walk to its own ids here; our
+    // packs pass `git index-pack --strict` — GitPackPinGen)
+    "q_git_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"),
+        (col("doc_id") % 3 + 1).cast("int").as("__n"))
+      val packs = GitPack.synthPacks(d, "doc_id", "__t", "__n",
+        "content")
+      GitPack.packObjectRows(packs, "doc_id", "content")
+        .select(col("doc_id"), col("obj_type"), col("u_size"),
+          col("delta_depth"), col("blob_text"))
+    }),
+
     // ----- parquet FOOTER triage from raw bytes (thrift compact
     // protocol from the public parquet-format spec): the committed
     // fixtures are written by Spark's own parquet-mr — the
@@ -5681,6 +5699,26 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the pack walk must replay the planted blobs byte-faithfully
+    // with the delta tier engaged exactly when the shared prefix
+    // clears the writer's 16-byte threshold
+    "q_git_pack" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, 'blob' AS obj_type,
+           CAST(strlen(txt) + 10 AS BIGINT) AS u_size,
+           0 AS delta_depth,
+           'base:' || txt || ' tail' AS blob_text
+         FROM p
+         UNION ALL
+         SELECT doc_id, 'blob',
+           CAST(strlen(txt) + 15 AS BIGINT),
+           CASE WHEN doc_id % 2 = 1 AND strlen(txt) >= 10
+             THEN 1 ELSE 0 END,
+           'base:' || txt || ' variant ' || t.j
+         FROM p, LATERAL unnest(generate_series(1, n - 1))
+           AS t(j)""",
 
     // the footer walk must replay the reference writer's metadata
     "q_parquet_meta" ->
