@@ -2309,6 +2309,19 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- ELF binary triage (elf(5)/gABI): planted class/machine/
+    // section census replayed; the committed gcc fixtures pin the
+    // decode against readelf's facts in ElfSpec
+    "q_elf_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 4 + 1).cast("int").as("__n"))
+      val elfs = Elf.synthElfs(d, "doc_id", "__n", "content")
+      Multimodal.decodeBatches(elfs, "content",
+          Elf.elfSchema)(Elf.decodeElf)
+        .select(col("doc_id"), col("is64"), col("e_type"),
+          col("machine"), col("n_sections"), col("section_names"))
+    }),
+
     // ----- REAL git packfile walk (gitformat-pack; code corpora
     // ship as git repos and the pack is where the bytes live):
     // per doc a pack of planted blobs — odd docs as genuine
@@ -5699,6 +5712,20 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the elf triage must replay the planted header facts
+    "q_elf_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, doc_id % 2 = 0 AS is64,
+           'REL' AS e_type,
+           CASE doc_id % 3 WHEN 0 THEN 'x86_64'
+             WHEN 1 THEN 'aarch64' ELSE 'riscv' END AS machine,
+           CAST(n + 1 AS INT) AS n_sections,
+           (SELECT string_agg('.sec' || t.j, ',' ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             || ',.shstrtab' AS section_names
+         FROM p""",
 
     // the pack walk must replay the planted blobs byte-faithfully
     // with the delta tier engaged exactly when the shared prefix

@@ -79,6 +79,8 @@ object Sniff {
       return Cfb.cfbStreams(b).map(_.label)
         .getOrElse("application/x-cfb-damaged")
     if (ascii("SQLite format 3")) return "application/vnd.sqlite3"
+    if (at(0) == 0x7f && at(1) == 'E' && at(2) == 'L' &&
+      at(3) == 'F') return "application/x-elf"
     if (ascii("PAR1") && b.length >= 12 &&
       ascii("PAR1", b.length - 4))
       return "application/vnd.apache.parquet"
