@@ -2309,6 +2309,21 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- WASM module triage (the public wasm binary spec):
+    // planted section/export/custom census replayed; the writer's
+    // modules are validated by Node's production WebAssembly
+    // engine (WasmSpec + WasmPinGen record the pin)
+    "q_wasm_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 4 + 1).cast("int").as("__n"))
+      val ws = Wasm.synthWasms(d, "doc_id", "__n", "content")
+      Multimodal.decodeBatches(ws, "content",
+          Wasm.wasmSchema)(Wasm.decodeWasm)
+        .select(col("doc_id"), col("version"), col("n_sections"),
+          col("section_ids"), col("n_exports"),
+          col("export_names"), col("custom_names"))
+    }),
+
     // ----- ELF binary triage (elf(5)/gABI): planted class/machine/
     // section census replayed; the committed gcc fixtures pin the
     // decode against readelf's facts in ElfSpec
@@ -5712,6 +5727,19 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the wasm census must replay the planted module shape
+    "q_wasm_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, 1 AS version, 5 AS n_sections,
+           '1,3,7,10,0' AS section_ids,
+           CAST(n AS INT) AS n_exports,
+           (SELECT string_agg('fn' || t.j, ',' ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             AS export_names,
+           'meta' || doc_id AS custom_names
+         FROM p""",
 
     // the elf triage must replay the planted header facts
     "q_elf_meta" ->

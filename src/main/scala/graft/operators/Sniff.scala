@@ -81,6 +81,8 @@ object Sniff {
     if (ascii("SQLite format 3")) return "application/vnd.sqlite3"
     if (at(0) == 0x7f && at(1) == 'E' && at(2) == 'L' &&
       at(3) == 'F') return "application/x-elf"
+    if (at(0) == 0x00 && at(1) == 'a' && at(2) == 's' &&
+      at(3) == 'm') return "application/wasm"
     if (ascii("PAR1") && b.length >= 12 &&
       ascii("PAR1", b.length - 4))
       return "application/vnd.apache.parquet"
