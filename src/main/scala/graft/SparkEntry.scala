@@ -2309,6 +2309,22 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- Java .class triage (the JVMS ClassFile grammar): the
+    // full constant-pool walk with planted class/method/field
+    // shapes replayed; javac fixtures pinned against javap in
+    // JavaClassSpec, and javap disassembles the writer's output
+    // (JavaClassPinGen)
+    "q_class_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 4 + 1).cast("int").as("__n"))
+      val cs = JavaClass.synthClasses(d, "doc_id", "__n", "content")
+      Multimodal.decodeBatches(cs, "content",
+          JavaClass.classSchema)(JavaClass.decodeClass)
+        .select(col("doc_id"), col("major"), col("class_name"),
+          col("super_name"), col("n_fields"), col("n_methods"),
+          col("method_names"))
+    }),
+
     // ----- WASM module triage (the public wasm binary spec):
     // planted section/export/custom census replayed; the writer's
     // modules are validated by Node's production WebAssembly
@@ -5727,6 +5743,20 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the class triage must replay the planted pool/member shape
+    "q_class_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, 52 AS major,
+           'corpus.Doc' || doc_id AS class_name,
+           'java.lang.Object' AS super_name,
+           CAST(doc_id % 3 AS INT) AS n_fields,
+           CAST(n AS INT) AS n_methods,
+           (SELECT string_agg('m' || t.j, ',' ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             AS method_names
+         FROM p""",
 
     // the wasm census must replay the planted module shape
     "q_wasm_meta" ->

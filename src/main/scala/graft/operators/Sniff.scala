@@ -83,6 +83,8 @@ object Sniff {
       at(3) == 'F') return "application/x-elf"
     if (at(0) == 0x00 && at(1) == 'a' && at(2) == 's' &&
       at(3) == 'm') return "application/wasm"
+    if (at(0) == 0xca && at(1) == 0xfe && at(2) == 0xba &&
+      at(3) == 0xbe) return "application/java-vm"
     if (ascii("PAR1") && b.length >= 12 &&
       ascii("PAR1", b.length - 4))
       return "application/vnd.apache.parquet"
