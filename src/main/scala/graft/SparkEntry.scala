@@ -2309,6 +2309,20 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- PE/COFF triage (the public Microsoft PE spec — the
+    // Windows half of the executable tier): planted arch/dll/
+    // section shapes replayed; binutils' independent BFD backend
+    // reads the writer's images (PeSpec + PePinGen)
+    "q_pe_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 4 + 1).cast("int").as("__n"))
+      val pes = Pe.synthPes(d, "doc_id", "__n", "content")
+      Multimodal.decodeBatches(pes, "content",
+          Pe.peSchema)(Pe.decodePe)
+        .select(col("doc_id"), col("machine"), col("is64"),
+          col("is_dll"), col("n_sections"), col("section_names"))
+    }),
+
     // ----- Java .class triage (the JVMS ClassFile grammar): the
     // full constant-pool walk with planted class/method/field
     // shapes replayed; javac fixtures pinned against javap in
@@ -5743,6 +5757,21 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the pe triage must replay the planted header facts
+    "q_pe_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'x86_64' ELSE 'i386' END
+             AS machine,
+           doc_id % 2 = 0 AS is64,
+           doc_id % 3 = 0 AS is_dll,
+           CAST(n AS INT) AS n_sections,
+           (SELECT string_agg('.s' || t.j, ',' ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             AS section_names
+         FROM p""",
 
     // the class triage must replay the planted pool/member shape
     "q_class_meta" ->

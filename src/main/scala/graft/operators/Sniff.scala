@@ -85,6 +85,13 @@ object Sniff {
       at(3) == 'm') return "application/wasm"
     if (at(0) == 0xca && at(1) == 0xfe && at(2) == 0xba &&
       at(3) == 0xbe) return "application/java-vm"
+    // PE demands the e_lfanew hop to a real PE signature — a bare
+    // MZ stub (or a DOS-era binary) stays unclassified
+    if (at(0) == 'M' && at(1) == 'Z' && b.length > 0x40 && {
+      val ln = (at(0x3c)) | (at(0x3d) << 8) | (at(0x3e) << 16)
+      ln >= 0x40 && ln + 4 <= b.length && at(ln) == 'P' &&
+        at(ln + 1) == 'E' && at(ln + 2) == 0 && at(ln + 3) == 0
+    }) return "application/vnd.microsoft.portable-executable"
     if (ascii("PAR1") && b.length >= 12 &&
       ascii("PAR1", b.length - 4))
       return "application/vnd.apache.parquet"
