@@ -84,17 +84,46 @@ object BenchGate {
   val IntendedCosts: Map[String, Double] = Map(
     "q_pdf_encrypted" -> 8.0)
 
+  /** A single QUERY's recorded value is an outlier when it falls
+    * under this fraction of that query's own median across rounds —
+    * the per-query analog of [[OutlierRoundFraction]]. Round 16
+    * produced the motivating case: q_brotli_roundtrip recorded
+    * 0.49 s in two consecutive sweeps (run-order file-cache warmth
+    * after ten new queries shifted its neighbors) against a
+    * 1.4–1.9 s history, and an isolated 7-rep forensic run measured
+    * 1.40 s best — taking the min over the warm values would have
+    * flagged every honest future run. A genuine plan win shifts the
+    * MEDIAN as later rounds corroborate it, so the bar follows real
+    * improvements with a lag instead of chasing one-off dips.
+    */
+  val OutlierQueryFraction = 0.6
+
+  private def rejectOutlierValues(vs: Seq[Double]): Seq[Double] = {
+    if (vs.size < 3) return vs
+    val s = vs.sorted
+    val m =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val kept = vs.filter(_ >= OutlierQueryFraction * m)
+    if (kept.isEmpty) vs else kept
+  }
+
   /** Element-wise MIN across per-round query maps — "best ever
     * recorded" is the right bar; the newest round alone would reset the
     * bar after any noisy round. Whole-round outliers (one run on a
     * faster machine state) are rejected first so they cannot poison
-    * the bar for every future artifact. Intended-cost floors lift
-    * bars that predate deliberate semantic changes.
+    * the bar for every future artifact; per-query dips far below the
+    * query's own median (run-order cache warmth) are rejected next.
+    * Intended-cost floors lift bars that predate deliberate semantic
+    * changes.
     */
   def mergeHistory(rounds: Seq[Map[String, Double]])
       : Map[String, Double] =
     rejectOutlierRounds(rounds)
-      .flatten.groupMapReduce(_._1)(_._2)(math.min)
+      .flatten.groupMap(_._1)(_._2)
+      .map { case (k, vs) =>
+        k -> rejectOutlierValues(vs.toSeq).min
+      }
       .map { case (k, v) =>
         k -> math.max(v, IntendedCosts.getOrElse(k, 0.0))
       }

@@ -42,13 +42,32 @@ class BenchGateSpec extends AnyFunSuite {
       Seq(normal, Map("a" -> 1.1, "b" -> 2.1, "c" -> 2.9),
         outlier, Map("a" -> 0.9, "b" -> 2.2, "c" -> 3.1)))
     assert(merged == Map("a" -> 0.9, "b" -> 2.0, "c" -> 2.9))
-    // a genuine plan win on ONE query is kept: the round total stays
-    // near the median total, so the round survives and lowers one bar
+    // a ONE-round dip on a single query is NOT trusted (round 16:
+    // q_brotli_roundtrip read 0.49s twice from run-order cache
+    // warmth against a 1.4-1.9s history; an isolated 7-rep run
+    // measured 1.40s) — the bar follows only once enough rounds
+    // corroborate the win and move the query's median
     val oneWin = Map("a" -> 0.4, "b" -> 2.0, "c" -> 3.0)
     val m2 = BenchGate.mergeHistory(Seq(normal, normal, oneWin))
-    assert(m2("a") == 0.4)
+    assert(m2("a") == 1.0)
+    // corroborated across most rounds -> the median moves, the win
+    // is believed
+    val m3 = BenchGate.mergeHistory(Seq(normal, oneWin, oneWin))
+    assert(m3("a") == 0.4)
     // under 3 rounds there is no meaningful median -> keep everything
     assert(BenchGate.mergeHistory(Seq(normal, outlier))("a") == 0.5)
+  }
+
+  test("mergeHistory rejects a per-query cache-warmth dip " +
+      "(round 16)") {
+    // the exact q_brotli_roundtrip shape: five honest rounds at
+    // ~1.5s, two warm 0.49s artifacts; the bar must stay at the
+    // honest minimum so a 1.46s run does not flag
+    val rounds = Seq(1.87, 1.56, 1.52, 1.65, 0.487, 0.508, 1.458)
+      .map(v => Map("q" -> v, "pad1" -> 1.0, "pad2" -> 1.0))
+    val bar = BenchGate.mergeHistory(rounds)("q")
+    assert(bar == 1.458)
+    assert(!BenchGate.suspect(1.46, Some(bar)))
   }
 
   test("parseQueries reads a bench artifact's queries map") {
