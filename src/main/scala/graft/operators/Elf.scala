@@ -41,7 +41,14 @@ object Elf {
   private val Machines = Map(3 -> "x86", 8 -> "mips", 20 -> "ppc",
     40 -> "arm", 62 -> "x86_64", 183 -> "aarch64", 243 -> "riscv")
 
-  def elfMeta(b: Array[Byte]): Option[ElfMeta] = {
+  def elfMeta(b: Array[Byte]): Option[ElfMeta] =
+    try elfMeta0(b)
+    catch { // totality: damage refuses, never crashes
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def elfMeta0(b: Array[Byte]): Option[ElfMeta] = {
     if (b == null || b.length < 52) return None
     if (!(b(0) == 0x7f && b(1) == 'E' && b(2) == 'L' &&
       b(3) == 'F')) return None

@@ -152,7 +152,14 @@ object Iso {
   /** List an ISO image. Primary tree with Rock Ridge names when
     * present; Joliet tree otherwise (if one exists).
     */
-  def isoEntries(b: Array[Byte]): Option[Seq[IsoEntry]] = {
+  def isoEntries(b: Array[Byte]): Option[Seq[IsoEntry]] =
+    try isoEntries0(b)
+    catch { // totality: structural damage refuses, never crashes
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def isoEntries0(b: Array[Byte]): Option[Seq[IsoEntry]] = {
     if (b == null || b.length < 18 * Sector) return None
     var pvdRoot = -1
     var svdRoot = -1

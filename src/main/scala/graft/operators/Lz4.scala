@@ -170,7 +170,14 @@ object Lz4 {
     * legacy frames, skippable frames. None on damage, checksum or
     * declared-size lies, or output past the 64 MiB guard.
     */
-  def decodeFrame(b: Array[Byte]): Option[Array[Byte]] = {
+  def decodeFrame(b: Array[Byte]): Option[Array[Byte]] =
+    try decodeFrame0(b)
+    catch { // totality: near-2GB inputs could wrap an Int bound
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decodeFrame0(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 7) return None
     val out = new Out(new Array[Byte](1024), 0)
     var p = 0

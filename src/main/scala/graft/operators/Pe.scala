@@ -32,7 +32,14 @@ object Pe {
   private val Machines = Map(0x014c -> "i386", 0x8664 -> "x86_64",
     0x01c0 -> "arm", 0xaa64 -> "arm64", 0x0200 -> "ia64")
 
-  def peMeta(b: Array[Byte]): Option[PeMeta] = {
+  def peMeta(b: Array[Byte]): Option[PeMeta] =
+    try peMeta0(b)
+    catch { // totality: damage refuses, never crashes
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def peMeta0(b: Array[Byte]): Option[PeMeta] = {
     if (b == null || b.length < 0x40) return None
     if (!(b(0) == 'M' && b(1) == 'Z')) return None
     def u16(o: Int): Int =

@@ -31,7 +31,14 @@ object UnixZ {
   private val Clear = 256
 
   /** Decode a .Z stream. None on damage or a non-.Z payload. */
-  def decompress(b: Array[Byte]): Option[Array[Byte]] = {
+  def decompress(b: Array[Byte]): Option[Array[Byte]] =
+    try decompress0(b)
+    catch { // totality: damage refuses, never crashes
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decompress0(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 3) return None
     if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x9d) return None
     val flags = b(2) & 0xff
