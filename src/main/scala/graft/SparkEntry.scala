@@ -2309,6 +2309,21 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- font triage (OpenType/sfnt + WOFF + WOFF2): planted
+    // family/style/glyph facts replayed through all three
+    // containers (WOFF2's brotli layer rides the reference-pinned
+    // codec); the system DejaVu Serif pins the decode against
+    // fc-scan's facts in FontSpec
+    "q_font_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val fs = Font.synthFonts(d, "doc_id", "content")
+      Multimodal.decodeBatches(fs, "content",
+          Font.fontSchema)(Font.decodeFont)
+        .select(col("doc_id"), col("container"), col("family"),
+          col("style"), col("n_tables"), col("n_glyphs"),
+          col("units_per_em"))
+    }),
+
     // ----- PE/COFF triage (the public Microsoft PE spec — the
     // Windows half of the executable tier): planted arch/dll/
     // section shapes replayed; binutils' independent BFD backend
@@ -5756,6 +5771,20 @@ object SparkEntry {
              ELSE 'H264' END AS video_codec,
            2 AS audio_channels,
            44100 AS audio_rate
+         FROM documents""",
+
+    // the font triage must replay the planted facts through every
+    // container
+    "q_font_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'sfnt' WHEN 1 THEN 'woff'
+             ELSE 'woff2' END AS container,
+           'Family ' || doc_id AS family,
+           CASE doc_id % 2 WHEN 0 THEN 'Regular' ELSE 'Bold' END
+             AS style,
+           3 AS n_tables,
+           CAST(100 + doc_id % 900 AS INT) AS n_glyphs,
+           2048 AS units_per_em
          FROM documents""",
 
     // the pe triage must replay the planted header facts

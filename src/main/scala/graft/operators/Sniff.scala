@@ -149,6 +149,13 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    if (ascii("wOFF")) return "font/woff"
+    if (ascii("wOF2")) return "font/woff2"
+    if (ascii("OTTO")) return "font/otf"
+    // the bare sfnt version 1.0 magic is weak (00 01 00 00), so a
+    // TrueType label demands a successful triage parse
+    if (at(0) == 0 && at(1) == 1 && at(2) == 0 && at(3) == 0 &&
+      Font.fontMeta(b).isDefined) return "font/ttf"
     // ISO 9660: a volume descriptor signature at sector 16
     if (b.length >= 17 * 2048 && ascii("CD001", 16 * 2048 + 1))
       return "application/x-iso9660-image"
