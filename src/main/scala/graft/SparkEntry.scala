@@ -2309,6 +2309,21 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- the ARTIFACT omni compose (the binary analog of
+    // q_crawl_omni): eight artifact kinds cycling by doc —
+    // ELF/PE/class/wasm/fonts(3 containers)/parquet/torrent/
+    // git-pack — each magic-sniffed and routed to its reference-
+    // pinned extractor, flattened to one (label, fact, measure)
+    // row shape; a misroute anywhere breaks the oracle
+    "q_artifact_omni" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val as = ArtifactOmni.synthArtifacts(d, "doc_id", "content")
+      Multimodal.decodeBatches(as, "content",
+          ArtifactOmni.artifactSchema)(ArtifactOmni.decodeArtifact)
+        .select(col("doc_id"), col("label"), col("fact"),
+          col("measure"))
+    }),
+
     // ----- font triage (OpenType/sfnt + WOFF + WOFF2): planted
     // family/style/glyph facts replayed through all three
     // containers (WOFF2's brotli layer rides the reference-pinned
@@ -5772,6 +5787,51 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // every artifact kind must route to its extractor and replay
+    // its planted headline fact and measure
+    "q_artifact_omni" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 8 AS INT) AS kind,
+           CAST(doc_id % 3 AS INT) AS k3,
+           CAST(doc_id % 5 AS INT) AS k5 FROM documents)
+         SELECT doc_id,
+           CASE kind
+             WHEN 0 THEN 'application/x-elf'
+             WHEN 1 THEN 'application/vnd.microsoft' ||
+               '.portable-executable'
+             WHEN 2 THEN 'application/java-vm'
+             WHEN 3 THEN 'application/wasm'
+             WHEN 4 THEN CASE k3 WHEN 0 THEN 'font/ttf'
+               WHEN 1 THEN 'font/woff' ELSE 'font/woff2' END
+             WHEN 5 THEN 'application/vnd.apache.parquet'
+             WHEN 6 THEN 'application/x-bittorrent'
+             ELSE 'application/x-git-pack'
+           END AS label,
+           CASE kind
+             WHEN 0 THEN 'x86_64'
+             WHEN 1 THEN 'x86_64'
+             WHEN 2 THEN 'corpus.Doc' || doc_id
+             WHEN 3 THEN 'meta' || doc_id
+             WHEN 4 THEN 'Family ' || doc_id
+             WHEN 5 THEN CASE k5 WHEN 0 THEN 'uncompressed'
+               WHEN 1 THEN 'snappy' WHEN 2 THEN 'gzip'
+               WHEN 3 THEN 'zstd' ELSE 'lz4' END
+             WHEN 6 THEN 'corpus-' || doc_id
+             ELSE 'blob'
+           END AS fact,
+           CAST(CASE kind
+             WHEN 0 THEN k3 + 2
+             WHEN 1 THEN k3 + 1
+             WHEN 2 THEN k3 + 1
+             WHEN 3 THEN k3 + 1
+             WHEN 4 THEN 100 + doc_id % 900
+             WHEN 5 THEN CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 250
+               WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
+             WHEN 6 THEN 10000 + doc_id % 5000
+             ELSE k3 + 1
+           END AS BIGINT) AS measure
+         FROM p""",
 
     // the font triage must replay the planted facts through every
     // container

@@ -149,6 +149,11 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // git packfile: 'PACK' + the version-2 word (bare 'PACK' text
+    // stays text)
+    if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
+      at(5) == 0 && at(6) == 0 && at(7) == 2)
+      return "application/x-git-pack"
     if (ascii("wOFF")) return "font/woff"
     if (ascii("wOF2")) return "font/woff2"
     if (ascii("OTTO")) return "font/otf"
