@@ -2309,6 +2309,33 @@ object SparkEntry {
           col("audio_channels"), col("audio_rate"))
     }),
 
+    // ----- NumPy .npy triage (the public NEP-1 / numpy
+    // lib/format.py layout): six planted array kinds cycling by
+    // doc — i8/f8-matrix/bool/big-endian-i4-v2/fortran-u2/scalar —
+    // replayed with exact integer sums; NpySpec pins the parser
+    // against fixtures numpy 1.26.4 itself wrote
+    "q_npy_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ns = Npy.synthNpys(d, "doc_id", "content")
+      Multimodal.decodeBatches(ns, "content",
+          Npy.npySchema)(Npy.decodeNpy)
+        .select(col("doc_id"), col("npy_version"), col("descr"),
+          col("fortran"), col("ndim"), col("shape"),
+          col("n_elems"), col("item_size"), col("int_sum"))
+    }),
+
+    // ----- .npz member walk (a ZIP of .npy members — numpy stores
+    // for savez, deflates for savez_compressed; the synth plants
+    // both by doc parity): three members per doc, facts replayed
+    // per member through the shared ZIP reader + the npy parser
+    "q_npz_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val zs = Npy.synthNpzs(d, "doc_id", "content")
+      Npy.npzEntryRows(zs, "doc_id", "content")
+        .select(col("doc_id"), col("member"), col("descr"),
+          col("shape"), col("n_elems"), col("int_sum"))
+    }),
+
     // ----- the ARTIFACT omni compose (the binary analog of
     // q_crawl_omni): eight artifact kinds cycling by doc —
     // ELF/PE/class/wasm/fonts(3 containers)/parquet/torrent/
@@ -5787,6 +5814,56 @@ object SparkEntry {
            2 AS audio_channels,
            44100 AS audio_rate
          FROM documents""",
+
+    // the npy walk must replay every planted array kind: version,
+    // descr, order, shape and the exact integer sum
+    "q_npy_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS k
+           FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 3 THEN '2.0' ELSE '1.0' END AS npy_version,
+           CASE k WHEN 0 THEN '<i8' WHEN 1 THEN '<f8'
+             WHEN 2 THEN '|b1' WHEN 3 THEN '>i4'
+             WHEN 4 THEN '<u2' ELSE '<i8' END AS descr,
+           (k = 4) AS fortran,
+           CASE k WHEN 1 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 0
+             ELSE 1 END::INT AS ndim,
+           CASE k
+             WHEN 0 THEN CAST(doc_id % 7 + 3 AS VARCHAR)
+             WHEN 1 THEN '2x' || CAST(doc_id % 5 + 2 AS VARCHAR)
+             WHEN 2 THEN CAST(doc_id % 9 + 4 AS VARCHAR)
+             WHEN 3 THEN CAST(doc_id % 6 + 2 AS VARCHAR)
+             WHEN 4 THEN '2x3' ELSE '' END AS shape,
+           CASE k WHEN 0 THEN doc_id % 7 + 3
+             WHEN 1 THEN 2 * (doc_id % 5 + 2)
+             WHEN 2 THEN doc_id % 9 + 4
+             WHEN 3 THEN doc_id % 6 + 2
+             WHEN 4 THEN 6 ELSE 1 END::BIGINT AS n_elems,
+           CASE k WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 1
+             WHEN 3 THEN 4 WHEN 4 THEN 2 ELSE 8 END::INT
+             AS item_size,
+           CASE k
+             WHEN 0 THEN (doc_id % 7 + 3) * doc_id +
+               (doc_id % 7 + 3) * (doc_id % 7 + 2) / 2
+             WHEN 2 THEN (doc_id % 9 + 4) // 2
+             WHEN 3 THEN 3 * (doc_id % 6 + 2) *
+               (doc_id % 6 + 1) / 2 + (doc_id % 6 + 2)
+             WHEN 4 THEN 6 * (doc_id % 100) + 15
+             WHEN 5 THEN doc_id ELSE NULL END::BIGINT AS int_sum
+         FROM p""",
+
+    // every npz member must extract through the zip layer (stored
+    // AND deflated) and parse to its planted facts
+    "q_npz_entries" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n
+           FROM documents)
+         SELECT doc_id, 'a.npy' AS member, '<i8' AS descr,
+           CAST(n AS VARCHAR) AS shape, n::BIGINT AS n_elems,
+           (n * doc_id + n * (n - 1))::BIGINT AS int_sum FROM p
+         UNION ALL
+         SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
+         UNION ALL
+         SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
 
     // every artifact kind must route to its extractor and replay
     // its planted headline fact and measure

@@ -154,6 +154,9 @@ object Sniff {
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
       at(5) == 0 && at(6) == 0 && at(7) == 2)
       return "application/x-git-pack"
+    // NumPy array: \x93NUMPY + a sane version byte
+    if (at(0) == 0x93 && ascii("NUMPY", 1) && b.length >= 8 &&
+      at(6) >= 1 && at(6) <= 3) return "application/x-npy"
     if (ascii("wOFF")) return "font/woff"
     if (ascii("wOF2")) return "font/woff2"
     if (ascii("OTTO")) return "font/otf"

@@ -501,6 +501,19 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.WebP.vp8Meta)
   }
 
+  test("npy/npz parsers are total under own-writer mutation") {
+    val data = Array.tabulate[Byte](48)(i => (i * 5).toByte)
+    assertTotal("npy",
+      graft.operators.Npy.npyWrite("<i4", fortran = false,
+        Seq(12L), data),
+      graft.operators.Npy.npyMeta)
+    assertTotal("npz",
+      Archive.zipWrite(Seq(("a.npy",
+        graft.operators.Npy.npyWrite("<i8", fortran = false,
+          Seq(6L), data), true))),
+      graft.operators.Npy.npzEntries)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
