@@ -2336,6 +2336,22 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- Python pickle census (the public pickletools opcode
+    // grammar): five planted shapes cycling by doc — proto-2 dict /
+    // proto-4 framed list / tuple3 / a REDUCE with its global /
+    // proto-0 ASCII dict — replayed as structure-only facts (the
+    // machine never constructs objects); PickleSpec pins the census
+    // against fixtures CPython's own pickle wrote at protocols 0-5
+    "q_pickle_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ps = Pickle.synthPickles(d, "doc_id", "content")
+      Multimodal.decodeBatches(ps, "content",
+          Pickle.pickleSchema)(Pickle.decodePickle)
+        .select(col("doc_id"), col("protocol"), col("n_ops"),
+          col("top_kind"), col("n_items"), col("globals_csv"),
+          col("n_memo"), col("n_frames"))
+    }),
+
     // ----- the ARTIFACT omni compose (the binary analog of
     // q_crawl_omni): eight artifact kinds cycling by doc —
     // ELF/PE/class/wasm/fonts(3 containers)/parquet/torrent/
@@ -5864,6 +5880,29 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // the census must replay every planted pickle shape: protocol,
+    // opcode count, top kind, container length, globals, memo,
+    // frames — all closed-form
+    "q_pickle_census" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS k,
+           doc_id % 6 + 2 AS n, doc_id % 4 + 1 AS m,
+           doc_id % 3 + 1 AS n2 FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 1 THEN 4 WHEN 4 THEN 0 ELSE 2 END::INT
+             AS protocol,
+           CASE k WHEN 0 THEN 5 + 2 * n WHEN 1 THEN 7 + m
+             WHEN 2 THEN 6 WHEN 3 THEN 5
+             ELSE 3 + 2 * n2 END::INT AS n_ops,
+           CASE k WHEN 1 THEN 'list' WHEN 2 THEN 'tuple'
+             WHEN 3 THEN 'reduce' ELSE 'dict' END AS top_kind,
+           CASE k WHEN 0 THEN n WHEN 1 THEN m WHEN 2 THEN 3
+             WHEN 3 THEN NULL ELSE n2 END::INT AS n_items,
+           CASE k WHEN 3 THEN 'collections.OrderedDict'
+             ELSE '' END AS globals_csv,
+           CASE k WHEN 1 THEN 1 ELSE 0 END::INT AS n_memo,
+           CASE k WHEN 1 THEN 1 ELSE 0 END::INT AS n_frames
+         FROM p""",
 
     // every artifact kind must route to its extractor and replay
     // its planted headline fact and measure

@@ -154,6 +154,11 @@ object Sniff {
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
       at(5) == 0 && at(6) == 0 && at(7) == 2)
       return "application/x-git-pack"
+    // pickle protocol 2-5: \x80 + version (proto 0/1 has no frame
+    // byte and stays unclassified — '(' alone is far too weak)
+    if (at(0) == 0x80 && at(1) >= 2 && at(1) <= 5 &&
+      Pickle.pickleCensus(b).isDefined)
+      return "application/x-python-pickle"
     // NumPy array: \x93NUMPY + a sane version byte
     if (at(0) == 0x93 && ascii("NUMPY", 1) && b.length >= 8 &&
       at(6) >= 1 && at(6) <= 3) return "application/x-npy"

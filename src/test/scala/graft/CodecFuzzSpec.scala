@@ -514,6 +514,15 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Npy.npzEntries)
   }
 
+  test("pickle census is total under own-writer mutation") {
+    assertTotal("pickle/dict2",
+      graft.operators.Pickle.writeDict2(99L, 5),
+      graft.operators.Pickle.pickleCensus)
+    assertTotal("pickle/list4",
+      graft.operators.Pickle.writeList4(99L, 4),
+      graft.operators.Pickle.pickleCensus)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
