@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- ORC footer triage from raw bytes (the public Apache
+    // ORC spec): the committed fixtures are written by Spark's own
+    // ORC writer across five codecs (none/zlib/snappy/zstd/lz4), a
+    // nested schema and a multi-stripe file; the walk must replay
+    // what the reference writer planted, footer-only
+    "q_orc_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val os = Orc.synthOrcs(d, "doc_id", "content")
+      Multimodal.decodeBatches(os, "content",
+          Orc.orcSchema)(Orc.decodeOrc)
+        .select(col("doc_id"), col("codec"), col("num_rows"),
+          col("n_stripes"), col("stripe_rows"), col("n_types"),
+          col("col_names"), col("kinds"))
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -5880,6 +5895,35 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // the footer walk must replay the reference ORC writer's
+    // metadata across all five codec layouts
+    "q_orc_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+             WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
+             ELSE 'lz4' END AS codec,
+           CASE doc_id % 5 WHEN 0 THEN 100 WHEN 1 THEN 250
+             WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
+             ::BIGINT AS num_rows,
+           CASE doc_id % 5 WHEN 3 THEN 2 ELSE 1 END::INT
+             AS n_stripes,
+           CASE doc_id % 5 WHEN 0 THEN 100 WHEN 1 THEN 250
+             WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
+             ::BIGINT AS stripe_rows,
+           CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
+             WHEN 2 THEN 7 WHEN 3 THEN 3 ELSE 4 END::INT
+             AS n_types,
+           CASE doc_id % 5 WHEN 0 THEN 'id,name'
+             WHEN 1 THEN 'id,v,s' WHEN 2 THEN 'id,info,arr'
+             WHEN 3 THEN 'id,txt' ELSE 'id,flag,sm' END
+             AS col_names,
+           CASE doc_id % 5 WHEN 0 THEN 'long,string'
+             WHEN 1 THEN 'long,double,string'
+             WHEN 2 THEN 'long,struct,list'
+             WHEN 3 THEN 'long,string'
+             ELSE 'long,boolean,short' END AS kinds
+         FROM documents""",
 
     // the census must replay every planted pickle shape: protocol,
     // opcode count, top kind, container length, globals, memo,

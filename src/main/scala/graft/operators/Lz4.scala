@@ -105,6 +105,23 @@ object Lz4 {
     }
   }
 
+  /** Decode one RAW LZ4 block (no frame) — the shape ORC and other
+    * columnar containers embed in their compression chunks. None on
+    * structural damage or output past `maxOut`.
+    */
+  def decodeRawBlock(b: Array[Byte], from: Int, until: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    if (b == null || from < 0 || until > b.length || from >= until)
+      return None
+    try {
+      val out = new Out(new Array[Byte](math.min(maxOut, 1024)), 0)
+      if (!decodeBlock(b, from, until, out) || out.len > maxOut) None
+      else Some(java.util.Arrays.copyOf(out.buf, out.len))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   /** Decode one LZ4 block from `b[from, until)` appending to `out`.
     * Matches may reach back past the block start (linked blocks).
     * False on any structural violation.

@@ -154,6 +154,11 @@ object Sniff {
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
       at(5) == 0 && at(6) == 0 && at(7) == 2)
       return "application/x-git-pack"
+    // ORC: the 3-byte header magic is weak ('ORC' opens plenty of
+    // text), so the label demands a successful postscript+footer
+    // parse, like font/ttf below
+    if (ascii("ORC") && Orc.orcMeta(b).isDefined)
+      return "application/x-orc"
     // pickle protocol 2-5: \x80 + version (proto 0/1 has no frame
     // byte and stays unclassified — '(' alone is far too weak)
     if (at(0) == 0x80 && at(1) >= 2 && at(1) <= 5 &&

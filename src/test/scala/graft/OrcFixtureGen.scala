@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fixture generator: writes five single-file ORC fixtures with
+  * Spark's own ORC writer — the reference implementation on this
+  * classpath — across codecs and schemas, into
+  * `src/main/resources/orc/fx{0..4}.orc`. OrcSpec then cross-checks
+  * [[graft.operators.Orc.orcMeta]] against what `spark.read.orc`
+  * itself reports on the same committed bytes.
+  *
+  * Usage: sbt "Test/runMain graft.OrcFixtureGen"
+  */
+object OrcFixtureGen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("orc-fixture-gen")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val outDir = java.nio.file.Paths.get("src/main/resources/orc")
+    java.nio.file.Files.createDirectories(outDir)
+
+    def writeOne(df: org.apache.spark.sql.DataFrame, codec: String,
+        idx: Int, stripeSize: Option[Long] = None): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("orcfx")
+        .toString
+      var w = df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec)
+      stripeSize.foreach(ss =>
+        w = w.option("orc.stripe.size", ss.toString))
+      w.orc(tmp)
+      val part = java.nio.file.Files.list(
+        java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".orc")).get
+      java.nio.file.Files.copy(part,
+        outDir.resolve(s"fx$idx.orc"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    writeOne((0L until 100L).map(i => (i, s"name-$i"))
+      .toDF("id", "name"), "none", 0)
+    writeOne((0L until 250L).map(i => (i, i * 0.5, s"s$i"))
+      .toDF("id", "v", "s"), "zlib", 1)
+    writeOne((0L until 50L).map(i =>
+        (i, (i * 2, s"b$i"), Seq(i, i + 1)))
+      .toDF("id", "info", "arr"), "snappy", 2)
+    // a tiny stripe size forces multiple stripes
+    writeOne((0L until 20000L).map(i => (i, s"pad-$i-padpadpad"))
+      .toDF("id", "txt"), "zstd", 3, Some(65536L))
+    writeOne((0L until 300L).map(i => (i, i % 7 == 0, i.toShort))
+      .toDF("id", "flag", "sm"), "lz4", 4)
+
+    spark.stop()
+    println(s"wrote $outDir")
+  }
+}
