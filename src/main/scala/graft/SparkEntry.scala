@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- Arrow IPC (Feather v2) triage (the public Arrow
+    // columnar spec, flatbuffers walked from the wire format):
+    // the committed fixtures are written by pyarrow itself across
+    // nested, dictionary-encoded and zstd-compressed layouts; rows
+    // are read from record-batch HEADERS, never the bodies
+    "q_arrow_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val as = ArrowIpc.synthArrows(d, "doc_id", "content")
+      Multimodal.decodeBatches(as, "content",
+          ArrowIpc.arrowSchema)(ArrowIpc.decodeArrow)
+        .select(col("doc_id"), col("version"), col("field_names"),
+          col("field_types"), col("n_batches"), col("n_dicts"),
+          col("total_rows"))
+    }),
+
     // ----- ORC footer triage from raw bytes (the public Apache
     // ORC spec): the committed fixtures are written by Spark's own
     // ORC writer across five codecs (none/zlib/snappy/zstd/lz4), a
@@ -5895,6 +5910,28 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // the flatbuffers walk must replay the reference pyarrow
+    // writer's schema and exact row counts
+    "q_arrow_meta" ->
+      """SELECT doc_id, 4 AS version,
+           CASE doc_id % 5 WHEN 0 THEN 'id,name'
+             WHEN 1 THEN 'v,ok,ts,u' WHEN 2 THEN 'xs,st'
+             WHEN 3 THEN 'cat,n' ELSE 'payload,k' END
+             AS field_names,
+           CASE doc_id % 5 WHEN 0 THEN 'int64,utf8'
+             WHEN 1 THEN 'float64,bool,timestamp,uint32'
+             WHEN 2 THEN 'list,struct'
+             WHEN 3 THEN 'dict:utf8,int32'
+             ELSE 'binary,int64' END AS field_types,
+           CASE doc_id % 5 WHEN 0 THEN 2 WHEN 4 THEN 3 ELSE 1
+             END::INT AS n_batches,
+           CASE doc_id % 5 WHEN 3 THEN 1 ELSE 0 END::INT
+             AS n_dicts,
+           CASE doc_id % 5 WHEN 0 THEN 100 WHEN 1 THEN 25
+             WHEN 2 THEN 30 WHEN 3 THEN 20 ELSE 150 END::BIGINT
+             AS total_rows
+         FROM documents""",
 
     // the footer walk must replay the reference ORC writer's
     // metadata across all five codec layouts

@@ -154,6 +154,9 @@ object Sniff {
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
       at(5) == 0 && at(6) == 0 && at(7) == 2)
       return "application/x-git-pack"
+    // Arrow IPC file: ARROW1\0\0
+    if (ascii("ARROW1") && b.length >= 8 && at(6) == 0 &&
+      at(7) == 0) return "application/vnd.apache.arrow.file"
     // ORC: the 3-byte header magic is weak ('ORC' opens plenty of
     // text), so the label demands a successful postscript+footer
     // parse, like font/ttf below
