@@ -2336,6 +2336,34 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- SafeTensors triage (the public huggingface spec — the
+    // format model weights ship in BECAUSE pickles execute): three
+    // planted manifest shapes cycling by doc, validated exactly as
+    // the reference loader validates (bounds, sizes, gap-free
+    // tiling), facts closed-form
+    "q_safetensors_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ss = SafeTensors.synthSts(d, "doc_id", "content")
+      Multimodal.decodeBatches(ss, "content",
+          SafeTensors.stSchema)(SafeTensors.decodeSt)
+        .select(col("doc_id"), col("n_tensors"),
+          col("total_params"), col("total_bytes"), col("dtypes"),
+          col("max_rank"), col("has_metadata"))
+    }),
+
+    // ----- GGUF triage (the public ggml spec — quantized LLM
+    // distribution files): planted architectures, layer counts and
+    // quant types cycling by doc; exact parameter totals
+    "q_gguf_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val gs = Gguf.synthGgufs(d, "doc_id", "content")
+      Multimodal.decodeBatches(gs, "content",
+          Gguf.ggufSchema)(Gguf.decodeGguf)
+        .select(col("doc_id"), col("version"), col("n_tensors"),
+          col("n_kv"), col("arch"), col("model_name"),
+          col("total_params"), col("qtypes"))
+    }),
+
     // ----- Arrow IPC (Feather v2) triage (the public Arrow
     // columnar spec, flatbuffers walked from the wire format):
     // the committed fixtures are written by pyarrow itself across
@@ -5910,6 +5938,44 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted manifest shape must validate and replay its
+    // exact tensor/parameter/byte counts
+    "q_safetensors_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+           doc_id % 4 + 1 AS n, doc_id % 5 + 2 AS d,
+           doc_id % 7 + 2 AS e, doc_id % 3 + 1 AS i,
+           doc_id % 6 + 1 AS m FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 0 THEN 2 * n WHEN 1 THEN 2 ELSE 3
+             END::INT AS n_tensors,
+           CASE k WHEN 0 THEN 5 * d * n WHEN 1 THEN e * 8 + i
+             ELSE 1 + m END::BIGINT AS total_params,
+           CASE k WHEN 0 THEN 18 * d * n
+             WHEN 1 THEN e * 16 + i * 8
+             ELSE 8 + m END::BIGINT AS total_bytes,
+           CASE k WHEN 0 THEN 'F16,F32' WHEN 1 THEN 'BF16,I64'
+             ELSE 'BOOL,F64,U8' END AS dtypes,
+           2 AS max_rank,
+           (k = 1) AS has_metadata
+         FROM p""",
+
+    // planted architectures, layer counts and quant types must
+    // replay with exact parameter totals
+    "q_gguf_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 1 AS nl,
+           doc_id % 6 + 2 AS d FROM documents)
+         SELECT doc_id, 3 AS version,
+           (2 * nl)::BIGINT AS n_tensors,
+           (2 + doc_id % 3)::BIGINT AS n_kv,
+           CASE doc_id % 3 WHEN 0 THEN 'llama'
+             WHEN 1 THEN 'gptneox' ELSE 'qwen2' END AS arch,
+           'model-' || CAST(doc_id % 10 AS VARCHAR)
+             AS model_name,
+           (32 * d * nl)::BIGINT AS total_params,
+           CASE doc_id % 4 WHEN 0 THEN 'F32' WHEN 1 THEN 'Q8_0'
+             WHEN 2 THEN 'Q4_K' ELSE 'BF16' END AS qtypes
+         FROM p""",
 
     // the flatbuffers walk must replay the reference pyarrow
     // writer's schema and exact row counts

@@ -154,6 +154,16 @@ object Sniff {
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
       at(5) == 0 && at(6) == 0 && at(7) == 2)
       return "application/x-git-pack"
+    // GGUF model file
+    if (ascii("GGUF") && Gguf.ggufMeta(b).isDefined)
+      return "application/x-gguf"
+    // safetensors has NO magic: a u64 header length whose JSON
+    // starts with '{' — classify only on a FULL successful
+    // validation (bounds + sizes + exact tiling), which stray JSON
+    // or random bytes cannot pass
+    if (b.length >= 9 && at(8) == '{' && b(7) == 0 &&
+      SafeTensors.stMeta(b).isDefined)
+      return "application/x-safetensors"
     // Arrow IPC file: ARROW1\0\0
     if (ascii("ARROW1") && b.length >= 8 && at(6) == 0 &&
       at(7) == 0) return "application/vnd.apache.arrow.file"

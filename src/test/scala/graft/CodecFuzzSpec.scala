@@ -523,6 +523,18 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Pickle.pickleCensus)
   }
 
+  test("safetensors/gguf parsers are total under own-writer " +
+      "mutation") {
+    assertTotal("safetensors",
+      graft.operators.SafeTensors.stWrite(Seq(
+        ("w", "F32", Seq(4L, 2L)), ("b", "I8", Seq(4L)))),
+      graft.operators.SafeTensors.stMeta)
+    assertTotal("gguf",
+      graft.operators.Gguf.ggufWrite("llama", "f", 3,
+        Seq(("t", Seq(8L, 2L), 8))),
+      graft.operators.Gguf.ggufMeta)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
