@@ -2336,6 +2336,32 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- CBOR census (RFC 8949, pinned in CborSpec against the
+    // standard's own Appendix A vectors): four planted shapes
+    // cycling by doc — map / nested arrays / tagged text /
+    // indefinite-length array — structure-only facts
+    "q_cbor_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val cs = Cbor.synthCbors(d, "doc_id", "content")
+      Multimodal.decodeBatches(cs, "content",
+          Cbor.cborSchema)(Cbor.decodeCbor)
+        .select(col("doc_id"), col("top_kind"), col("n_items"),
+          col("n_nodes"), col("max_depth"), col("n_tags"),
+          col("has_indefinite"))
+    }),
+
+    // ----- MessagePack census (the public msgpack spec): three
+    // planted shapes cycling by doc — map / nested arrays / a
+    // fixext timestamp — structure-only facts
+    "q_msgpack_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ms = MsgPack.synthMps(d, "doc_id", "content")
+      Multimodal.decodeBatches(ms, "content",
+          MsgPack.mpSchema)(MsgPack.decodeMp)
+        .select(col("doc_id"), col("top_kind"), col("n_items"),
+          col("n_nodes"), col("max_depth"), col("n_exts"))
+    }),
+
     // ----- SafeTensors triage (the public huggingface spec — the
     // format model weights ship in BECAUSE pickles execute): three
     // planted manifest shapes cycling by doc, validated exactly as
@@ -5938,6 +5964,40 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted CBOR shape must replay its structure census
+    "q_cbor_census" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS k,
+           doc_id % 5 + 1 AS n, doc_id % 4 + 1 AS m,
+           doc_id % 3 + 1 AS j FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 0 THEN 'map' WHEN 1 THEN 'array'
+             WHEN 2 THEN 'tag' ELSE 'array' END AS top_kind,
+           CASE k WHEN 0 THEN n WHEN 1 THEN m WHEN 2 THEN NULL
+             ELSE j END::BIGINT AS n_items,
+           CASE k WHEN 0 THEN 1 + 2 * n WHEN 1 THEN 1 + 5 * m
+             WHEN 2 THEN 2 ELSE 1 + j END::BIGINT AS n_nodes,
+           CASE k WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+             ELSE 1 END::INT AS max_depth,
+           CASE k WHEN 2 THEN 1 ELSE 0 END::BIGINT AS n_tags,
+           (k = 3) AS has_indefinite
+         FROM p""",
+
+    // every planted msgpack shape must replay its structure census
+    "q_msgpack_census" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+           doc_id % 6 + 1 AS n, doc_id % 4 + 1 AS m
+           FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 0 THEN 'map' WHEN 1 THEN 'array'
+             ELSE 'map' END AS top_kind,
+           CASE k WHEN 0 THEN n WHEN 1 THEN m ELSE 1
+             END::BIGINT AS n_items,
+           CASE k WHEN 0 THEN 1 + 2 * n WHEN 1 THEN 1 + 4 * m
+             ELSE 3 END::BIGINT AS n_nodes,
+           CASE k WHEN 1 THEN 2 ELSE 1 END::INT AS max_depth,
+           CASE k WHEN 2 THEN 1 ELSE 0 END::BIGINT AS n_exts
+         FROM p""",
 
     // every planted manifest shape must validate and replay its
     // exact tensor/parameter/byte counts

@@ -535,6 +535,18 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.Gguf.ggufMeta)
   }
 
+  test("cbor/msgpack censuses are total under own-writer mutation") {
+    val cw = new graft.operators.Cbor.Writer
+    cw.mapHead(2L).text("a").uint(1L).text("b")
+      .arrayHead(2L).uint(2L).uint(3L)
+    assertTotal("cbor", cw.result(),
+      graft.operators.Cbor.cborCensus)
+    val mw = new graft.operators.MsgPack.Writer
+    mw.mapHead(2).str("a").int(1L).str("b").bool(false)
+    assertTotal("msgpack", mw.result(),
+      graft.operators.MsgPack.mpCensus)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
