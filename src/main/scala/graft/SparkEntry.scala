@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- the ML-ARTIFACT omni compose (the model/array analog
+    // of q_artifact_omni): seven kinds cycling by doc — npy, npz
+    // (routed by the zip walk proving every member is an npy),
+    // pickle, safetensors (validation-routed; no magic), GGUF,
+    // ORC, Arrow — each to its pinned extractor, one (label, fact,
+    // measure) shape; a misroute anywhere breaks the hash
+    "q_ml_omni" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ms = MlOmni.synthMl(d, "doc_id", "content")
+      Multimodal.decodeBatches(ms, "content",
+          MlOmni.mlSchema)(MlOmni.decodeMl)
+        .select(col("doc_id"), col("label"), col("fact"),
+          col("measure"))
+    }),
+
     // ----- CBOR census (RFC 8949, pinned in CborSpec against the
     // standard's own Appendix A vectors): four planted shapes
     // cycling by doc — map / nested arrays / tagged text /
@@ -5964,6 +5979,53 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every ML-artifact kind must route to its extractor and
+    // replay its planted headline fact and measure
+    "q_ml_omni" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS k,
+           CAST(doc_id % 3 AS INT) AS k3,
+           CAST(doc_id % 5 AS INT) AS k5,
+           CAST(doc_id % 6 AS INT) AS k6,
+           CAST(doc_id % 7 AS INT) AS k7 FROM documents)
+         SELECT doc_id,
+           CASE k
+             WHEN 0 THEN 'application/x-npy'
+             WHEN 1 THEN 'application/x-npz'
+             WHEN 2 THEN 'application/x-python-pickle'
+             WHEN 3 THEN 'application/x-safetensors'
+             WHEN 4 THEN 'application/x-gguf'
+             WHEN 5 THEN 'application/x-orc'
+             ELSE 'application/vnd.apache.arrow.file'
+           END AS label,
+           CASE k
+             WHEN 0 THEN '<i8'
+             WHEN 1 THEN '<i8,<f4,|b1'
+             WHEN 2 THEN 'dict'
+             WHEN 3 THEN 'BF16,I64'
+             WHEN 4 THEN CASE k3 WHEN 0 THEN 'llama'
+               WHEN 1 THEN 'gptneox' ELSE 'qwen2' END
+             WHEN 5 THEN CASE k5 WHEN 0 THEN 'none'
+               WHEN 1 THEN 'zlib' WHEN 2 THEN 'snappy'
+               WHEN 3 THEN 'zstd' ELSE 'lz4' END
+             ELSE CASE k5 WHEN 0 THEN 'int64,utf8'
+               WHEN 1 THEN 'float64,bool,timestamp,uint32'
+               WHEN 2 THEN 'list,struct'
+               WHEN 3 THEN 'dict:utf8,int32'
+               ELSE 'binary,int64' END
+           END AS fact,
+           CASE k
+             WHEN 0 THEN k7 + 3
+             WHEN 1 THEN k5 + 2 + 7
+             WHEN 2 THEN 5 + 2 * (k6 + 2)
+             WHEN 3 THEN (k7 + 2) * 8 + (k3 + 1)
+             WHEN 4 THEN (k6 + 2) * 16
+             WHEN 5 THEN CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 250
+               WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
+             ELSE CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 25
+               WHEN 2 THEN 30 WHEN 3 THEN 20 ELSE 150 END
+           END::BIGINT AS measure
+         FROM p""",
 
     // every planted CBOR shape must replay its structure census
     "q_cbor_census" ->
