@@ -2336,6 +2336,20 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- TFRecord triage (TensorFlow's public record framing —
+    // THE classic training-data container): per-doc framed streams
+    // mixing tf.Example-style protos with NUL-led raw payloads;
+    // both masked CRC32Cs verified per record (any lie refuses the
+    // blob, as TF's reader does); the JDK's own CRC32C is the pin
+    "q_tfrecord_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ts = TfRecord.synthTfs(d, "doc_id", "content")
+      Multimodal.decodeBatches(ts, "content",
+          TfRecord.tfSchema)(TfRecord.decodeTf)
+        .select(col("doc_id"), col("n_records"), col("data_bytes"),
+          col("max_record"), col("n_proto"))
+    }),
+
     // ----- the ML-ARTIFACT omni compose (the model/array analog
     // of q_artifact_omni): seven kinds cycling by doc — npy, npz
     // (routed by the zip walk proving every member is an npy),
@@ -5979,6 +5993,18 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every framed record must CRC-verify and replay its planted
+    // sizes and proto flags closed-form
+    "q_tfrecord_census" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n,
+           doc_id % 7 AS s7 FROM documents)
+         SELECT doc_id, n::BIGINT AS n_records,
+           (20 * ((n + 1) // 2) + (8 + s7) * (n // 2))::BIGINT
+             AS data_bytes,
+           CAST(20 AS BIGINT) AS max_record,
+           ((n + 1) // 2)::BIGINT AS n_proto
+         FROM p""",
 
     // every ML-artifact kind must route to its extractor and
     // replay its planted headline fact and measure

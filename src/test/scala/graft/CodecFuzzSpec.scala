@@ -547,6 +547,13 @@ class CodecFuzzSpec extends SparkSpec {
       graft.operators.MsgPack.mpCensus)
   }
 
+  test("tfrecord walk is total under own-writer mutation") {
+    assertTotal("tfrecord",
+      graft.operators.TfRecord.tfWrite(Seq(
+        "alpha payload".getBytes, "beta payload longer".getBytes)),
+      graft.operators.TfRecord.tfFacts)
+  }
+
   test("ogg container walk is total under mutation (both codecs)") {
     assertTotal("ogg/vorbis-span",
       graft.operators.Ogg.oggWrite(opus = false, rate = 44100,
