@@ -2336,6 +2336,34 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- Delta Lake commit-log census (the public Delta
+    // transaction protocol): planted commits with adds/removes/
+    // metaData replayed closed-form; corrupt lines refuse — Delta
+    // readers cannot skip bad commit lines
+    "q_delta_log" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ds = DeltaLog.synthDeltas(d, "doc_id", "content")
+      Multimodal.decodeBatches(ds, "content",
+          DeltaLog.deltaSchema)(DeltaLog.decodeDelta)
+        .select(col("doc_id"), col("n_actions"), col("n_add"),
+          col("n_remove"), col("n_other"), col("add_bytes"),
+          col("n_partition_cols"), col("min_reader"),
+          col("min_writer"), col("provider"))
+    }),
+
+    // ----- JSON-Lines census (training corpora ship as .jsonl):
+    // shape mix, malformed-line rate, key vocabulary — a quality
+    // measure that never refuses, garbage IS its signal
+    "q_jsonl_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val js = Jsonl.synthJsonls(d, "doc_id", "content")
+      Multimodal.decodeBatches(js, "content",
+          Jsonl.jsonlSchema)(Jsonl.decodeJsonl)
+        .select(col("doc_id"), col("n_lines"), col("n_valid"),
+          col("n_invalid"), col("n_objects"), col("n_arrays"),
+          col("n_scalars"), col("n_distinct_keys"))
+    }),
+
     // ----- TFRecord triage (TensorFlow's public record framing —
     // THE classic training-data container): per-doc framed streams
     // mixing tf.Example-style protos with NUL-led raw payloads;
@@ -5993,6 +6021,31 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted commit must replay its action counts, added
+    // bytes and protocol facts closed-form
+    "q_delta_log" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 1 AS a,
+           doc_id % 3 AS r, doc_id % 1000 AS s FROM documents)
+         SELECT doc_id,
+           (3 + a + r)::INT AS n_actions,
+           a::INT AS n_add, r::INT AS n_remove, 1 AS n_other,
+           (a * (100 + s) + a * (a - 1) / 2)::BIGINT AS add_bytes,
+           r::INT AS n_partition_cols,
+           1 AS min_reader, 2 AS min_writer,
+           'parquet' AS provider
+         FROM p""",
+
+    // every planted jsonl mix must replay its shape census
+    "q_jsonl_census" ->
+      """WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS n
+           FROM documents)
+         SELECT doc_id, n::INT AS n_lines,
+           (n - 1)::INT AS n_valid, 1 AS n_invalid,
+           ((n + 1) // 2)::INT AS n_objects,
+           (n // 2 - 1)::INT AS n_arrays, 0 AS n_scalars,
+           ((n + 1) // 2 + 1)::INT AS n_distinct_keys
+         FROM p""",
 
     // every framed record must CRC-verify and replay its planted
     // sizes and proto flags closed-form
