@@ -2336,6 +2336,51 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- parquet ZONE-MAP census (the thrift Statistics field
+    // of the public parquet-format spec): per (row group, leaf
+    // column) min/max/null-count — the facts file-skipping at
+    // 100 TB lives on — replayed against what Spark's parquet-mr
+    // planted in the committed fixtures, footer-only
+    "q_parquet_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ps = ParquetMeta.synthStatsParquets(d, "doc_id",
+        "content")
+      ParquetMeta.statsRows(ps, "doc_id", "content")
+        .select(col("doc_id"), col("rg"), col("col_path"),
+          col("ptype"), col("num_values"), col("null_count"),
+          col("min_long"), col("max_long"), col("min_str"),
+          col("max_str"))
+    }),
+
+    // ----- JAR triage (the public JAR file specification over the
+    // shared ZIP walk): manifest main attributes with 72-byte line
+    // folding, class/package censuses — executable-vs-library and
+    // toolchain facts for a code-lake census
+    "q_jar_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val js = Jar.synthJars(d, "doc_id", "content")
+      Multimodal.decodeBatches(js, "content",
+          Jar.jarSchema)(Jar.decodeJar)
+        .select(col("doc_id"), col("has_manifest"),
+          col("manifest_version"), col("main_class"),
+          col("created_by"), col("n_classes"), col("n_packages"),
+          col("n_members"))
+    }),
+
+    // ----- git LOOSE objects (gitformat-loose: zlib over
+    // "type size NUL content", id = SHA-1 of that span): the raw
+    // .git/objects files crawls carry next to C219's packfiles;
+    // GitLooseSpec pins ids against git hash-object
+    "q_git_loose" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      val ls = GitLoose.synthLooses(d, "doc_id", "__t", "content")
+      Multimodal.decodeBatches(ls, "content",
+          GitLoose.looseSchema)(GitLoose.decodeLoose)
+        .select(col("doc_id"), col("obj_type"), col("u_size"),
+          col("blob_text"))
+    }),
+
     // ----- Delta Lake commit-log census (the public Delta
     // transaction protocol): planted commits with adds/removes/
     // metaData replayed closed-form; corrupt lines refuse — Delta
@@ -6021,6 +6066,60 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every zone-map fact must replay what parquet-mr planted
+    "q_parquet_stats" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS k
+           FROM documents)
+         SELECT doc_id, 0 AS rg, 'id' AS col_path,
+           'int64' AS ptype,
+           CASE k WHEN 0 THEN 100 ELSE 300 END::BIGINT
+             AS num_values,
+           0::BIGINT AS null_count, 0::BIGINT AS min_long,
+           CASE k WHEN 0 THEN 99 ELSE 299 END::BIGINT
+             AS max_long,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str FROM p
+         UNION ALL
+         SELECT doc_id, 0,
+           CASE k WHEN 0 THEN 'name' ELSE 'grp' END,
+           CASE k WHEN 0 THEN 'byte_array' ELSE 'int64' END,
+           CASE k WHEN 0 THEN 100 ELSE 300 END, 0,
+           CASE k WHEN 0 THEN NULL ELSE 0 END,
+           CASE k WHEN 0 THEN NULL ELSE 6 END,
+           CASE k WHEN 0 THEN 'name-0' ELSE NULL END,
+           CASE k WHEN 0 THEN 'name-99' ELSE NULL END FROM p""",
+
+    // the manifest (incl. the folded line) and censuses must
+    // replay closed-form
+    "q_jar_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS np,
+           doc_id % 4 + 1 AS nc FROM documents)
+         SELECT doc_id, TRUE AS has_manifest,
+           '1.0' AS manifest_version,
+           'com.corpus.Main' || CAST(doc_id % 10 AS VARCHAR)
+             AS main_class,
+           'graft-fixture-toolchain-version-' ||
+             CAST(doc_id % 5 AS VARCHAR) ||
+             '-with-a-long-vendor-string' AS created_by,
+           (np * nc)::INT AS n_classes, np::INT AS n_packages,
+           (np * nc + 2)::INT AS n_members
+         FROM p""",
+
+    // loose objects must inflate, validate and replay their
+    // planted type/size/content
+    "q_git_loose" ->
+      """WITH p AS (SELECT doc_id, COALESCE(text, '') AS txt
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'commit' ELSE 'blob' END
+             AS obj_type,
+           CASE WHEN doc_id % 3 = 0
+             THEN 84 + strlen(CAST(doc_id AS VARCHAR))
+             ELSE 4 + strlen(txt) END::BIGINT AS u_size,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+             ELSE 'doc:' || txt END AS blob_text
+         FROM p""",
 
     // every planted commit must replay its action counts, added
     // bytes and protocol facts closed-form

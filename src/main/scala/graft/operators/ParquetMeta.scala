@@ -246,6 +246,178 @@ object ParquetMeta {
   }
 
   // ---------------------------------------------------------------
+  // column statistics (C238): the zone-map tier — per row group and
+  // leaf column, the min/max/null-count facts a lake census uses to
+  // prove file-skipping potential WITHOUT reading page data. Thrift
+  // fields per the public parquet.thrift: ColumnMetaData 1 type /
+  // 3 path_in_schema / 5 num_values / 12 Statistics {3 null_count,
+  // 5 max_value, 6 min_value}.
+  // ---------------------------------------------------------------
+
+  final case class PqColStat(rowGroup: Int, path: String,
+      ptype: String, numValues: Long, nullCount: Long,
+      minLong: Option[Long], maxLong: Option[Long],
+      minStr: Option[String], maxStr: Option[String])
+
+  private val TypeNames = Map(0 -> "boolean", 1 -> "int32",
+    2 -> "int64", 3 -> "int96", 4 -> "float", 5 -> "double",
+    6 -> "byte_array", 7 -> "fixed_len_byte_array")
+
+  private def leLong(b: Array[Byte], n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n && i < b.length) {
+      v |= (b(i) & 0xffL) << (8 * i)
+      i += 1
+    }
+    // sign-extend int32
+    if (n == 4) (v << 32) >> 32 else v
+  }
+
+  /** Per-(row group, leaf column) statistics. None on damage. */
+  def parquetColumnStats(b: Array[Byte]): Option[Seq[PqColStat]] = {
+    if (b == null || b.length < 12) return None
+    def magic(o: Int): Boolean = b(o) == 'P' && b(o + 1) == 'A' &&
+      b(o + 2) == 'R' && b(o + 3) == '1'
+    if (!magic(0) || !magic(b.length - 4)) return None
+    val mdLen = (b(b.length - 8) & 0xff) |
+      ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) |
+      ((b(b.length - 5) & 0xff) << 24)
+    if (mdLen <= 0 || mdLen > b.length - 12) return None
+    try {
+      val r = new Reader(b, b.length - 8 - mdLen, b.length - 8)
+      val out = Seq.newBuilder[PqColStat]
+      var rg = -1
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 4 if typ == 9 => // row_groups
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              rg += 1
+              val rgAt = rg
+              struct(r, 1) { (rf, rt) =>
+                rf match {
+                  case 1 if rt == 9 => // columns
+                    list(r) { ct =>
+                      if (ct != 12) throw QFail()
+                      struct(r, 2) { (cf, cty) =>
+                        cf match {
+                          case 3 if cty == 12 => // ColumnMetaData
+                            var ptype = ""
+                            var path = ""
+                            var numValues = -1L
+                            var nullCount = -1L
+                            var minV: Array[Byte] = null
+                            var maxV: Array[Byte] = null
+                            struct(r, 3) { (mf, mt) =>
+                              mf match {
+                                case 1 if mt == 5 =>
+                                  ptype = TypeNames.getOrElse(
+                                    r.zigzag().toInt, "?")
+                                case 3 if mt == 9 =>
+                                  val parts =
+                                    Seq.newBuilder[String]
+                                  list(r) { pt =>
+                                    if (pt != 8) throw QFail()
+                                    parts += new String(
+                                      r.bytes(r.varint().toInt),
+                                      java.nio.charset
+                                        .StandardCharsets.UTF_8)
+                                  }
+                                  path =
+                                    parts.result().mkString(".")
+                                case 5 if mt == 6 =>
+                                  numValues = r.zigzag()
+                                case 12 if mt == 12 => // Statistics
+                                  struct(r, 4) { (sf, st) =>
+                                    sf match {
+                                      case 3 if st == 6 =>
+                                        nullCount = r.zigzag()
+                                      case 5 if st == 8 =>
+                                        maxV = r.bytes(
+                                          r.varint().toInt)
+                                      case 6 if st == 8 =>
+                                        minV = r.bytes(
+                                          r.varint().toInt)
+                                      case _ => skip(r, st, 5)
+                                    }
+                                  }
+                                case _ => skip(r, mt, 4)
+                              }
+                            }
+                            val isInt = ptype == "int32" ||
+                              ptype == "int64"
+                            val isStr = ptype == "byte_array"
+                            val w = if (ptype == "int32") 4 else 8
+                            out += PqColStat(rgAt, path, ptype,
+                              numValues, nullCount,
+                              if (isInt && minV != null)
+                                Some(leLong(minV, w)) else None,
+                              if (isInt && maxV != null)
+                                Some(leLong(maxV, w)) else None,
+                              if (isStr && minV != null)
+                                Some(new String(minV,
+                                  java.nio.charset
+                                    .StandardCharsets.UTF_8))
+                              else None,
+                              if (isStr && maxV != null)
+                                Some(new String(maxV,
+                                  java.nio.charset
+                                    .StandardCharsets.UTF_8))
+                              else None)
+                          case _ => skip(r, cty, 3)
+                        }
+                      }
+                    }
+                  case _ => skip(r, rt, 2)
+                }
+              }
+            }
+          case _ => skip(r, typ, 1)
+        }
+      }
+      Some(out.result())
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** One row per (row group, leaf column) with its zone-map facts. */
+  def statsRows(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame = {
+    val (ii, ci) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(contentCol))
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("rg", IntegerType),
+      StructField("col_path", StringType),
+      StructField("ptype", StringType),
+      StructField("num_values", LongType),
+      StructField("null_count", LongType),
+      StructField("min_long", LongType),
+      StructField("max_long", LongType),
+      StructField("min_str", StringType),
+      StructField("max_str", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(ii)
+        parquetColumnStats(r.getAs[Array[Byte]](ci)).toSeq.flatten
+          .map { s =>
+            Row(id, s.rowGroup, s.path, s.ptype, s.numValues,
+              s.nullCount,
+              s.minLong.map(java.lang.Long.valueOf).orNull,
+              s.maxLong.map(java.lang.Long.valueOf).orNull,
+              s.minStr.orNull, s.maxStr.orNull)
+          }
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------
   // Spark plumbing (fixtures are Spark-written; see PqFixtureGen)
   // ---------------------------------------------------------------
 
@@ -272,6 +444,30 @@ object ParquetMeta {
       require(in != null, s"missing parquet fixture $i")
       try in.readAllBytes() finally in.close()
     }
+  }
+
+  /** Fixture attach for the stats tier: even docs get fx0
+    * (uncompressed, ints+strings), odd docs fx4 (lz4, two int
+    * columns) — both single-row-group files whose planted contents
+    * make every zone-map fact closed-form.
+    */
+  def synthStatsParquets(df: DataFrame, idCol: String,
+      outCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+
+          Fixtures(if (java.lang.Math.floorMod(id, 2L) == 0L) 0
+          else 4))
+      }
+    }(enc)
   }
 
   /** Per-row fixture attach: doc_id % 5 selects the Spark-written

@@ -53,6 +53,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("column statistics replay the reference writer's zone maps") {
+    val s0 = ParquetMeta.parquetColumnStats(fixture(0)).get
+    assert(s0.map(s => (s.rowGroup, s.path, s.ptype, s.numValues,
+      s.nullCount)) == Seq((0, "id", "int64", 100L, 0L),
+      (0, "name", "byte_array", 100L, 0L)))
+    assert(s0(0).minLong.contains(0L) && s0(0).maxLong.contains(99L))
+    assert(s0(1).minStr.contains("name-0") &&
+      s0(1).maxStr.contains("name-99"))
+    // the 151-row-group zstd file: stats rows for every rg
+    val s3 = ParquetMeta.parquetColumnStats(fixture(3)).get
+    assert(s3.length == 151 * 2)
+    assert(s3.head.path == "id" && s3.head.minLong.contains(0L))
+    assert(s3.map(_.rowGroup).distinct.length == 151)
+    // per-rg min/max tile the full 0..19999 range
+    val idStats = s3.filter(_.path == "id")
+    assert(idStats.map(_.numValues).sum == 20000L)
+    assert(idStats.last.maxLong.contains(19999L))
+    // stats walk is total under footer mutation
+    val base = fixture(1)
+    val rnd = new scala.util.Random(238)
+    for (_ <- 0 until 150) {
+      val m = base.clone()
+      val at = base.length - 1 - rnd.nextInt(
+        math.min(base.length, 600))
+      m(at) = (rnd.nextInt(256) - 128).toByte
+      ParquetMeta.parquetColumnStats(m) // must never throw
+    }
+  }
+
   test("damage refuses: magic, footer length lies, torn thrift") {
     val good = fixture(0)
     assert(ParquetMeta.parquetMeta(null).isEmpty)
