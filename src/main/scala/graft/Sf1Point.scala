@@ -61,7 +61,15 @@ object Sf1Point {
     // codec chains per doc), and the infohash dedup (the round's
     // one new shuffle)
     "q_z_roundtrip", "q_deb_entries",
-    "q_torrent_dedup").map(q => q -> SparkEntry.queries(q)) ++ Seq(
+    "q_torrent_dedup",
+    // the round-16 ML-artifact tier: the sniff-routed compose, the
+    // heaviest synth (per-doc jar = classWrite × zip), the zip-
+    // wrapped npz walk, the validation-routed safetensors parse
+    // and the zone-map flatMap — all map-only by design; the 10×
+    // point turns that claim into a measurement
+    "q_ml_omni", "q_jar_meta", "q_npz_entries",
+    "q_safetensors_meta", "q_parquet_stats")
+    .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"),
@@ -139,7 +147,13 @@ object Sf1Point {
     // warmup
     try time(SparkEntry.queries("q_describe"), sfDir)
     catch { case _: Throwable => () }
-    val rows = Heavy.flatMap { case (q, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (new-tier points
+    // without re-measuring the whole heavy set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val rows = Heavy.filter { case (q, _) =>
+      only.forall(_.contains(q))
+    }.flatMap { case (q, fn) =>
       try {
         val t1 = (1 to 2).map(_ => time(fn, sfDir)).min
         val t10 = (1 to 2).map(_ => time(fn, outDir)).min
