@@ -2336,6 +2336,22 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- Mach-O triage (Apple's public loader.h ABI — the
+    // macOS half of the executable matrix): thin executables and
+    // dylibs cycling cpu/segment/dylib shapes, every third doc a
+    // two-arch FAT binary; the CAFEBABE collision with Java
+    // classes resolves by file(1)'s nfat_arch rule (MachOSpec)
+    "q_macho_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ms = MachO.synthMachs(d, "doc_id", "content")
+      Multimodal.decodeBatches(ms, "content",
+          MachO.machSchema)(MachO.decodeMach)
+        .select(col("doc_id"), col("container"), col("is64"),
+          col("cpu"), col("file_type"), col("n_cmds"),
+          col("n_segments"), col("dylibs"), col("has_uuid"),
+          col("n_archs"), col("archs"))
+    }),
+
     // ----- parquet ZONE-MAP census (the thrift Statistics field
     // of the public parquet-format spec): per (row group, leaf
     // column) min/max/null-count — the facts file-skipping at
@@ -6066,6 +6082,33 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted Mach-O shape must replay; a fat doc carries
+    // its slice-0 facts plus the arch list
+    "q_macho_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 3 AS INT) AS k3,
+           doc_id % 3 + 1 AS ns, doc_id % 2 + 1 AS nd
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN k3 = 0 THEN 'fat' ELSE 'thin' END
+             AS container,
+           TRUE AS is64,
+           CASE WHEN k3 = 0 THEN 'x86_64'
+             WHEN doc_id % 2 = 0 THEN 'x86_64' ELSE 'arm64' END
+             AS cpu,
+           CASE WHEN doc_id % 5 = 0 THEN 'dylib' ELSE 'execute'
+             END AS file_type,
+           (ns + nd + 1)::INT AS n_cmds,
+           ns::INT AS n_segments,
+           CASE nd WHEN 1 THEN '/usr/lib/libfix0.dylib'
+             ELSE '/usr/lib/libfix0.dylib,/usr/lib/libfix1.dylib'
+             END AS dylibs,
+           TRUE AS has_uuid,
+           CASE WHEN k3 = 0 THEN 2 ELSE 0 END::INT AS n_archs,
+           CASE WHEN k3 = 0 THEN 'x86_64,arm64' ELSE '' END
+             AS archs
+         FROM p""",
 
     // every zone-map fact must replay what parquet-mr planted
     "q_parquet_stats" ->

@@ -196,7 +196,9 @@ object MachO {
     cmds.u32(0x1bL).u32(24L).pad(16) // LC_UUID
     val body = cmds.out.toByteArray
     val h = new W(false)
-    h.u32(0xCFFAEDFEL) // MH_MAGIC_64 little-endian on disk
+    // MH_MAGIC_64 in the file's (little-endian) byte order: the
+    // LE writer emits 0xFEEDFACF as the on-disk CF FA ED FE
+    h.u32(0xFEEDFACFL)
     h.u32(cpu.toLong).u32(0L)
     h.u32(fileType.toLong)
     h.u32((nSegs + dylibs.length + 1).toLong)

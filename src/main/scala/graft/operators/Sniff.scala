@@ -84,7 +84,22 @@ object Sniff {
     if (at(0) == 0x00 && at(1) == 'a' && at(2) == 's' &&
       at(3) == 'm') return "application/wasm"
     if (at(0) == 0xca && at(1) == 0xfe && at(2) == 0xba &&
-      at(3) == 0xbe) return "application/java-vm"
+      at(3) == 0xbe) {
+      // the classic CAFEBABE collision: fat Mach-O vs Java class.
+      // A fat header's next word is a tiny nfat_arch and every
+      // slice must parse; a class file's is minor<<16|major with
+      // major >= 45 for every JVM ever shipped.
+      return if (MachO.machMeta(b).isDefined)
+        "application/x-mach-binary"
+      else "application/java-vm"
+    }
+    // thin Mach-O magics, both word sizes and endiannesses
+    if (((at(0) == 0xfe && at(1) == 0xed && at(2) == 0xfa &&
+      (at(3) == 0xce || at(3) == 0xcf)) ||
+      ((at(0) == 0xce || at(0) == 0xcf) && at(1) == 0xfa &&
+        at(2) == 0xed && at(3) == 0xfe)) &&
+      MachO.machMeta(b).isDefined)
+      return "application/x-mach-binary"
     // PE demands the e_lfanew hop to a real PE signature — a bare
     // MZ stub (or a DOS-era binary) stays unclassified
     if (at(0) == 'M' && at(1) == 'Z' && b.length > 0x40 && {
