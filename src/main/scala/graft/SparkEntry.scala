@@ -6398,9 +6398,10 @@ object SparkEntry {
     // its planted headline fact and measure
     "q_artifact_omni" ->
       """WITH p AS (SELECT doc_id,
-           CAST(doc_id % 8 AS INT) AS kind,
+           CAST(doc_id % 11 AS INT) AS kind,
            CAST(doc_id % 3 AS INT) AS k3,
-           CAST(doc_id % 5 AS INT) AS k5 FROM documents)
+           CAST(doc_id % 5 AS INT) AS k5,
+           CAST(doc_id % 2 AS INT) AS k2 FROM documents)
          SELECT doc_id,
            CASE kind
              WHEN 0 THEN 'application/x-elf'
@@ -6412,7 +6413,10 @@ object SparkEntry {
                WHEN 1 THEN 'font/woff' ELSE 'font/woff2' END
              WHEN 5 THEN 'application/vnd.apache.parquet'
              WHEN 6 THEN 'application/x-bittorrent'
-             ELSE 'application/x-git-pack'
+             WHEN 7 THEN 'application/x-git-pack'
+             WHEN 8 THEN 'application/x-mach-binary'
+             WHEN 9 THEN 'application/java-archive'
+             ELSE 'application/x-git-loose-object'
            END AS label,
            CASE kind
              WHEN 0 THEN 'x86_64'
@@ -6424,6 +6428,10 @@ object SparkEntry {
                WHEN 1 THEN 'snappy' WHEN 2 THEN 'gzip'
                WHEN 3 THEN 'zstd' ELSE 'lz4' END
              WHEN 6 THEN 'corpus-' || doc_id
+             WHEN 7 THEN 'blob'
+             WHEN 8 THEN CASE k2 WHEN 0 THEN 'thin:x86_64'
+               ELSE 'fat:x86_64' END
+             WHEN 9 THEN 'com.corpus.Main'
              ELSE 'blob'
            END AS fact,
            CAST(CASE kind
@@ -6435,7 +6443,11 @@ object SparkEntry {
              WHEN 5 THEN CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 250
                WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
              WHEN 6 THEN 10000 + doc_id % 5000
-             ELSE k3 + 1
+             WHEN 7 THEN k3 + 1
+             WHEN 8 THEN k3 + 3 + CASE k2 WHEN 0 THEN 0
+               ELSE 2 END
+             WHEN 9 THEN 2 * (k2 + 1)
+             ELSE 10 + strlen(CAST(doc_id AS VARCHAR))
            END AS BIGINT) AS measure
          FROM p""",
 

@@ -53,6 +53,16 @@ object ArtifactOmni {
         GitPack.packObjects(bytes).map(os =>
           (os.map(_.objType).distinct.sorted.mkString(","),
             os.length.toLong))
+      case "application/x-mach-binary" =>
+        MachO.machMeta(bytes).map(m =>
+          (s"${m.container}:${m.cpu}",
+            m.nCmds.toLong + m.nArchs))
+      case "application/java-archive" =>
+        Jar.jarMeta(bytes).map(m =>
+          (m.mainClass, m.nClasses.toLong))
+      case "application/x-git-loose-object" =>
+        GitLoose.looseObject(bytes).map(o =>
+          (o.objType, o.size))
       case _ => None
     }
     res match {
@@ -76,7 +86,7 @@ object ArtifactOmni {
           case l: java.lang.Long => l.longValue()
           case x => x.hashCode().toLong
         }
-        val bytes = java.lang.Math.floorMod(id, 8L).toInt match {
+        val bytes = java.lang.Math.floorMod(id, 11L).toInt match {
           case 0 => Elf.elfWrite(is64 = true, 62,
             (0 until (java.lang.Math.floorMod(id, 3L).toInt + 1))
               .map(j => s".s$j"))
@@ -101,11 +111,25 @@ object ArtifactOmni {
             java.lang.Math.floorMod(id, 5L).toInt)
           case 6 => Torrent.torrentWrite(s"corpus-$id", 16384L,
             Seq(10000L + java.lang.Math.floorMod(id, 5000L)), id)
-          case _ => GitPack.packWrite(
+          case 7 => GitPack.packWrite(
             (0 until (java.lang.Math.floorMod(id, 3L).toInt + 1))
               .map(j => s"blob $id content $j padded for realism"
                 .getBytes("UTF-8")),
             useDeltas = false)
+          case 8 =>
+            val thinX = MachO.machWrite(0x01000007, 2,
+              java.lang.Math.floorMod(id, 3L).toInt + 1,
+              Seq("/usr/lib/libfix0.dylib"))
+            if (id % 2 == 0) thinX
+            else MachO.fatWrite(Seq((0x01000007, thinX),
+              (0x0100000C, MachO.machWrite(0x0100000C, 2,
+                java.lang.Math.floorMod(id, 3L).toInt + 1,
+                Seq("/usr/lib/libfix0.dylib")))))
+          case 9 => Jar.jarWrite("com.corpus.Main",
+            "omni-created-by",
+            java.lang.Math.floorMod(id, 2L).toInt + 1, 2)
+          case _ => GitLoose.looseWrite("blob",
+            s"omni blob $id".getBytes("UTF-8"))
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }

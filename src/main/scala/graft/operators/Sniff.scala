@@ -68,6 +68,10 @@ object Sniff {
           if (names.contains("content.xml") &&
             names.contains("mimetype"))
             return "application/vnd.oasis.opendocument.text"
+          // a manifest plus class members is a jar, not bare zip
+          if (names.contains("META-INF/MANIFEST.MF") &&
+            names.exists(_.endsWith(".class")))
+            return "application/java-archive"
           return "application/zip"
         case None => return "application/zip-damaged"
       }
@@ -164,6 +168,11 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // git loose object: zlib CMF byte + a full inflate to the
+    // "type size NUL" grammar with a verified size — nothing
+    // weaker, since 0x78 alone opens every zlib stream
+    if (at(0) == 0x78 && GitLoose.looseObject(b).isDefined)
+      return "application/x-git-loose-object"
     // git packfile: 'PACK' + the version-2 word (bare 'PACK' text
     // stays text)
     if (ascii("PACK") && b.length >= 12 && at(4) == 0 &&
