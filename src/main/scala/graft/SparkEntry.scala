@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- Python .pyc census (the public importlib pyc layout +
+    // the CPython 3.11 marshal grammar, tiered honestly: full
+    // census only for the version this environment's CPython can
+    // pin, version-only triage for other known magics): planted
+    // name/const shapes with both invalidation modes cycling
+    "q_pyc_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ps = Pyc.synthPycs(d, "doc_id", "content")
+      Multimodal.decodeBatches(ps, "content",
+          Pyc.pycSchema)(Pyc.decodePyc)
+        .select(col("doc_id"), col("py_version"),
+          col("invalidation"), col("source_size"), col("n_code"),
+          col("top_name"), col("names_csv"), col("n_consts"))
+    }),
+
     // ----- Mach-O triage (Apple's public loader.h ABI — the
     // macOS half of the executable matrix): thin executables and
     // dylibs cycling cpu/segment/dylib shapes, every third doc a
@@ -6082,6 +6097,23 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted pyc shape must replay: version, invalidation
+    // mode, names, const counts
+    "q_pyc_census" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id, '3.11' AS py_version,
+           CASE WHEN doc_id % 2 = 1 THEN 'checked_hash'
+             ELSE 'timestamp' END AS invalidation,
+           CASE WHEN doc_id % 2 = 1 THEN NULL
+             ELSE 100 + doc_id % 900 END::BIGINT AS source_size,
+           1 AS n_code, '<module>' AS top_name,
+           (SELECT string_agg('name' || t.j, ',' ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             AS names_csv,
+           (doc_id % 3 + 1)::INT AS n_consts
+         FROM p""",
 
     // every planted Mach-O shape must replay; a fat doc carries
     // its slice-0 facts plus the arch list
