@@ -2336,6 +2336,20 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- RPM triage (the public rpm.org/LSB package format —
+    // C209's deb sibling): lead + signature/main tag headers, the
+    // payload cpio walked through whichever house codec the header
+    // itself declares (gzip/xz/zstd cycling by doc)
+    "q_rpm_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val rs = Rpm.synthRpms(d, "doc_id", "content")
+      Multimodal.decodeBatches(rs, "content",
+          Rpm.rpmSchema)(Rpm.decodeRpm)
+        .select(col("doc_id"), col("pkg_name"), col("version"),
+          col("release"), col("arch"), col("compressor"),
+          col("n_entries"), col("entry_names"))
+    }),
+
     // ----- Python .pyc census (the public importlib pyc layout +
     // the CPython 3.11 marshal grammar, tiered honestly: full
     // census only for the version this environment's CPython can
@@ -6097,6 +6111,25 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // the tag headers and the codec-declared payload must replay
+    "q_rpm_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 3 + 1 AS INT) AS n FROM documents)
+         SELECT doc_id,
+           'pkg' || CAST(doc_id % 20 AS VARCHAR) AS pkg_name,
+           '1.' || CAST(doc_id % 10 AS VARCHAR) AS version,
+           CAST(doc_id % 5 AS VARCHAR) AS release,
+           CASE WHEN doc_id % 2 = 0 THEN 'x86_64' ELSE 'noarch'
+             END AS arch,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+             ELSE 'zstd' END AS compressor,
+           n AS n_entries,
+           (SELECT string_agg('./usr/share/doc/f' || t.j, ','
+              ORDER BY t.j)
+            FROM unnest(generate_series(0, n - 1)) AS t(j))
+             AS entry_names
+         FROM p""",
 
     // every planted pyc shape must replay: version, invalidation
     // mode, names, const counts

@@ -168,6 +168,10 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // RPM lead magic + a full parse (header structures + payload)
+    if (at(0) == 0xed && at(1) == 0xab && at(2) == 0xee &&
+      at(3) == 0xdb && Rpm.rpmMeta(b).isDefined)
+      return "application/x-rpm"
     // git loose object: zlib CMF byte + a full inflate to the
     // "type size NUL" grammar with a verified size — nothing
     // weaker, since 0x78 alone opens every zlib stream
