@@ -2336,6 +2336,20 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- HDF5 superblock triage (the public HDF5 file-format
+    // spec; lookup3 pinned on the vectors published in lookup3.c):
+    // v0/v3 superblocks cycling by parity, every fifth doc torn so
+    // the EOF-address integrity fact fires
+    "q_hdf5_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val hs = Hdf5.synthH5s(d, "doc_id", "content")
+      Multimodal.decodeBatches(hs, "content",
+          Hdf5.h5Schema)(Hdf5.decodeH5)
+        .select(col("doc_id"), col("sb_version"),
+          col("offset_size"), col("length_size"),
+          col("eof_matches"), col("checksum_ok"))
+    }),
+
     // ----- RPM triage (the public rpm.org/LSB package format —
     // C209's deb sibling): lead + signature/main tag headers, the
     // payload cpio walked through whichever house codec the header
@@ -6111,6 +6125,17 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // versions, geometry and both integrity facts must replay
+    "q_hdf5_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 0 ELSE 3 END::INT
+             AS sb_version,
+           8 AS offset_size, 8 AS length_size,
+           (doc_id % 5 <> 0) AS eof_matches,
+           CASE doc_id % 2 WHEN 0 THEN NULL ELSE TRUE END
+             AS checksum_ok
+         FROM documents""",
 
     // the tag headers and the codec-declared payload must replay
     "q_rpm_meta" ->

@@ -168,6 +168,10 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // HDF5: the 8-byte signature is strong on its own
+    if (at(0) == 0x89 && ascii("HDF", 1) && at(4) == '\r' &&
+      at(5) == '\n' && at(6) == 0x1a && at(7) == '\n')
+      return "application/x-hdf5"
     // RPM lead magic + a full parse (header structures + payload)
     if (at(0) == 0xed && at(1) == 0xab && at(2) == 0xee &&
       at(3) == 0xdb && Rpm.rpmMeta(b).isDefined)
