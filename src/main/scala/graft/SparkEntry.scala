@@ -6294,7 +6294,7 @@ object SparkEntry {
     // every ML-artifact kind must route to its extractor and
     // replay its planted headline fact and measure
     "q_ml_omni" ->
-      """WITH p AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS k,
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS k,
            CAST(doc_id % 3 AS INT) AS k3,
            CAST(doc_id % 5 AS INT) AS k5,
            CAST(doc_id % 6 AS INT) AS k6,
@@ -6307,7 +6307,9 @@ object SparkEntry {
              WHEN 3 THEN 'application/x-safetensors'
              WHEN 4 THEN 'application/x-gguf'
              WHEN 5 THEN 'application/x-orc'
-             ELSE 'application/vnd.apache.arrow.file'
+             WHEN 6 THEN 'application/vnd.apache.arrow.file'
+             WHEN 7 THEN 'application/x-python-bytecode'
+             ELSE 'application/x-hdf5'
            END AS label,
            CASE k
              WHEN 0 THEN '<i8'
@@ -6319,11 +6321,14 @@ object SparkEntry {
              WHEN 5 THEN CASE k5 WHEN 0 THEN 'none'
                WHEN 1 THEN 'zlib' WHEN 2 THEN 'snappy'
                WHEN 3 THEN 'zstd' ELSE 'lz4' END
-             ELSE CASE k5 WHEN 0 THEN 'int64,utf8'
+             WHEN 6 THEN CASE k5 WHEN 0 THEN 'int64,utf8'
                WHEN 1 THEN 'float64,bool,timestamp,uint32'
                WHEN 2 THEN 'list,struct'
                WHEN 3 THEN 'dict:utf8,int32'
                ELSE 'binary,int64' END
+             WHEN 7 THEN CASE doc_id % 2 WHEN 1
+               THEN 'checked_hash' ELSE 'timestamp' END
+             ELSE CASE doc_id % 2 WHEN 0 THEN 'v0' ELSE 'v3' END
            END AS fact,
            CASE k
              WHEN 0 THEN k7 + 3
@@ -6333,8 +6338,10 @@ object SparkEntry {
              WHEN 4 THEN (k6 + 2) * 16
              WHEN 5 THEN CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 250
                WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END
-             ELSE CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 25
+             WHEN 6 THEN CASE k5 WHEN 0 THEN 100 WHEN 1 THEN 25
                WHEN 2 THEN 30 WHEN 3 THEN 20 ELSE 150 END
+             WHEN 7 THEN doc_id % 4 + 1
+             ELSE 1
            END::BIGINT AS measure
          FROM p""",
 

@@ -52,6 +52,14 @@ object MlOmni {
       case "application/vnd.apache.arrow.file" =>
         ArrowIpc.arrowMeta(bytes).map(m =>
           (sniffed, m.types.mkString(","), m.rows))
+      case "application/x-python-bytecode" =>
+        Pyc.pycFacts(bytes).map(f =>
+          (sniffed, f.invalidation,
+            f.nConsts.getOrElse(0).toLong))
+      case "application/x-hdf5" =>
+        Hdf5.h5Meta(bytes).map(m =>
+          (sniffed, s"v${m.version}",
+            if (m.eofMatches) 1L else 0L))
       case _ => None
     }
     res match {
@@ -81,7 +89,7 @@ object MlOmni {
             out.write(((v >> (8 * j)) & 0xff).toInt); j += 1
           }
         }
-        val bytes = java.lang.Math.floorMod(id, 7L).toInt match {
+        val bytes = java.lang.Math.floorMod(id, 9L).toInt match {
           case 0 =>
             val n = (id % 7 + 3).toInt
             val out = new java.io.ByteArrayOutputStream()
@@ -117,8 +125,14 @@ object MlOmni {
               Seq(("t", Seq(id % 6 + 2, 16L), 8)))
           case 5 => Orc.Fixtures(
             java.lang.Math.floorMod(id, 5L).toInt)
-          case _ => ArrowIpc.Fixtures(
+          case 6 => ArrowIpc.Fixtures(
             java.lang.Math.floorMod(id, 5L).toInt)
+          case 7 => Pyc.pycWrite(
+            (0 until (id % 3 + 1).toInt).map(j => s"name$j"),
+            (id % 4 + 1).toInt, hashBased = id % 2 == 1,
+            sourceSize = 100 + id % 50)
+          case _ => Hdf5.h5Write(if (id % 2 == 0) 0 else 3,
+            (id % 40 + 10).toInt)
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }

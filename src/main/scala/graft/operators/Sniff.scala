@@ -168,6 +168,13 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // Python bytecode: a known importlib magic (xx xx 0d 0a) plus
+    // a successful header+marshal walk — the 0d0a pair alone is
+    // far too weak
+    if (b.length >= 4 && at(2) == 0x0d && at(3) == 0x0a &&
+      Pyc.MagicVersions.contains(at(0) | (at(1) << 8)) &&
+      Pyc.pycFacts(b).isDefined)
+      return "application/x-python-bytecode"
     // HDF5: the 8-byte signature is strong on its own
     if (at(0) == 0x89 && ascii("HDF", 1) && at(4) == '\r' &&
       at(5) == '\n' && at(6) == 0x1a && at(7) == '\n')
