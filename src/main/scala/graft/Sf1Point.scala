@@ -68,7 +68,10 @@ object Sf1Point {
     // and the zone-map flatMap — all map-only by design; the 10×
     // point turns that claim into a measurement
     "q_ml_omni", "q_jar_meta", "q_npz_entries",
-    "q_safetensors_meta", "q_parquet_stats")
+    "q_safetensors_meta", "q_parquet_stats",
+    // fifth wave: the three-codec rpm walk (heaviest new synth),
+    // the marshal census, the now-eleven-kind artifact dispatch
+    "q_rpm_meta", "q_pyc_census", "q_artifact_omni")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(

@@ -98,11 +98,21 @@ class IvfIndexSpec extends SparkSpec {
               qe: org.apache.spark.sql.execution.QueryExecution,
               e: Exception): Unit = ()
         }
+        // listener delivery is ASYNC: under full-suite contention
+        // an event can land seconds late, straddling a short
+        // stabilization window and leaking into the next
+        // measurement. Require the count to hold steady across
+        // three consecutive checks before trusting it.
         s.listenerManager.register(l)
         try {
           body
           var seen = -1
-          while (n.get != seen) { seen = n.get; Thread.sleep(300) }
+          var stable = 0
+          while (stable < 3) {
+            Thread.sleep(400)
+            if (n.get == seen) stable += 1
+            else { seen = n.get; stable = 0 }
+          }
           seen
         } finally s.listenerManager.unregister(l)
       }
