@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- X.509 certificate triage (RFC 5280 over strict DER,
+    // pinned against OpenSSL-generated fixtures in X509Spec):
+    // planted identities cycling RSA/EC, SANs every third doc,
+    // PEM armor every fourth
+    "q_x509_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val cs = X509.synthCerts(d, "doc_id", "content")
+      Multimodal.decodeBatches(cs, "content",
+          X509.certSchema)(X509.decodeCert)
+        .select(col("doc_id"), col("version"), col("serial_hex"),
+          col("sig_alg"), col("pubkey_alg"), col("subject_cn"),
+          col("subject_o"), col("self_signed"), col("not_before"),
+          col("not_after"), col("n_san_dns"), col("san_dns"))
+    }),
+
     // ----- HDF5 superblock triage (the public HDF5 file-format
     // spec; lookup3 pinned on the vectors published in lookup3.c):
     // v0/v3 superblocks cycling by parity, every fifth doc torn so
@@ -6125,6 +6140,36 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every planted identity must replay: serial hex exactly as
+    // openssl prints it, algorithms, names, validity, SANs
+    "q_x509_meta" ->
+      """WITH p AS (SELECT doc_id,
+           1000 + doc_id % 9000 AS serial,
+           2024 + doc_id % 3 AS y,
+           CAST(doc_id % 2 AS INT) AS k2 FROM documents)
+         SELECT doc_id, 3 AS version,
+           lpad(upper(to_hex(serial)), 4, '0') AS serial_hex,
+           CASE k2 WHEN 1 THEN 'ecdsa-with-SHA256'
+             ELSE 'sha256WithRSAEncryption' END AS sig_alg,
+           CASE k2 WHEN 1 THEN 'id-ecPublicKey'
+             ELSE 'rsaEncryption' END AS pubkey_alg,
+           'doc' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+             AS subject_cn,
+           'Org ' || CAST(doc_id % 7 AS VARCHAR) AS subject_o,
+           TRUE AS self_signed,
+           CAST(y AS VARCHAR) || '-03-15T12:00:00Z' AS not_before,
+           CAST(y + 1 + k2 AS VARCHAR) || '-03-15T12:00:00Z'
+             AS not_after,
+           CASE WHEN doc_id % 3 = 0 THEN k2 + 1 ELSE 0 END::INT
+             AS n_san_dns,
+           CASE WHEN doc_id % 3 = 0 THEN
+             (SELECT string_agg('alt' || t.j || '.doc' ||
+                CAST(doc_id % 50 AS VARCHAR) || '.example', ','
+                ORDER BY t.j)
+              FROM unnest(generate_series(0, k2)) AS t(j))
+           ELSE '' END AS san_dns
+         FROM p""",
 
     // versions, geometry and both integrity facts must replay
     "q_hdf5_meta" ->

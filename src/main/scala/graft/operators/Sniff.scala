@@ -168,6 +168,15 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // certificates: PEM armor is explicit; bare DER (0x30 0x82
+    // SEQUENCE) is far too weak alone, so it demands a full
+    // RFC 5280 parse
+    if (ascii("-----BEGIN CERTIFICATE-----") &&
+      X509.certMeta(b).isDefined)
+      return "application/x-pem-certificate"
+    if (at(0) == 0x30 && at(1) == 0x82 &&
+      X509.certMeta(b).isDefined)
+      return "application/pkix-cert"
     // Python bytecode: a known importlib magic (xx xx 0d 0a) plus
     // a successful header+marshal walk — the 0d0a pair alone is
     // far too weak
