@@ -2336,6 +2336,21 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- packet-capture triage (the public libpcap format +
+    // the pcapng block grammar): classic/ng cycling by parity,
+    // one truncated packet planted per doc so the truncation
+    // census fires
+    "q_pcap_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ps = Pcap.synthPcaps(d, "doc_id", "content")
+      Multimodal.decodeBatches(ps, "content",
+          Pcap.pcapSchema)(Pcap.decodePcap)
+        .select(col("doc_id"), col("container"),
+          col("little_endian"), col("nanos"), col("linktype"),
+          col("n_packets"), col("cap_bytes"), col("orig_bytes"),
+          col("n_truncated"), col("n_interfaces"))
+    }),
+
     // ----- X.509 certificate triage (RFC 5280 over strict DER,
     // pinned against OpenSSL-generated fixtures in X509Spec):
     // planted identities cycling RSA/EC, SANs every third doc,
@@ -6140,6 +6155,26 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // packet counts, byte totals and the truncation census must
+    // replay closed-form for both containers
+    "q_pcap_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 1 AS n,
+           doc_id % 20 AS s FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'pcap' ELSE 'pcapng' END
+             AS container,
+           TRUE AS little_endian, FALSE AS nanos,
+           CASE WHEN doc_id % 3 = 0 THEN 'linux_sll'
+             ELSE 'ethernet' END AS linktype,
+           (n + 1)::BIGINT AS n_packets,
+           (n * (40 + s) + 5 * n * (n - 1) + 60)::BIGINT
+             AS cap_bytes,
+           (n * (40 + s) + 5 * n * (n - 1) + 120)::BIGINT
+             AS orig_bytes,
+           CAST(1 AS BIGINT) AS n_truncated,
+           1 AS n_interfaces
+         FROM p""",
 
     // every planted identity must replay: serial hex exactly as
     // openssl prints it, algorithms, names, validity, SANs

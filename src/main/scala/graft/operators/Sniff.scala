@@ -168,6 +168,15 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // packet captures: all four classic magics + the pcapng SHB
+    if (b.length >= 12 && {
+      val m = ((at(0).toLong << 24) | (at(1).toLong << 16) |
+        (at(2).toLong << 8) | at(3).toLong)
+      m == 0xA1B2C3D4L || m == 0xD4C3B2A1L ||
+        m == 0xA1B23C4DL || m == 0x4D3CB2A1L ||
+        (m == 0x0A0D0D0AL && Pcap.pcapMeta(b).isDefined)
+    } && Pcap.pcapMeta(b).isDefined)
+      return "application/vnd.tcpdump.pcap"
     // certificates: PEM armor is explicit; bare DER (0x30 0x82
     // SEQUENCE) is far too weak alone, so it demands a full
     // RFC 5280 parse
