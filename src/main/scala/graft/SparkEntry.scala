@@ -6575,7 +6575,7 @@ object SparkEntry {
     // its planted headline fact and measure
     "q_artifact_omni" ->
       """WITH p AS (SELECT doc_id,
-           CAST(doc_id % 11 AS INT) AS kind,
+           CAST(doc_id % 13 AS INT) AS kind,
            CAST(doc_id % 3 AS INT) AS k3,
            CAST(doc_id % 5 AS INT) AS k5,
            CAST(doc_id % 2 AS INT) AS k2 FROM documents)
@@ -6593,7 +6593,9 @@ object SparkEntry {
              WHEN 7 THEN 'application/x-git-pack'
              WHEN 8 THEN 'application/x-mach-binary'
              WHEN 9 THEN 'application/java-archive'
-             ELSE 'application/x-git-loose-object'
+             WHEN 10 THEN 'application/x-git-loose-object'
+             WHEN 11 THEN 'application/pkix-cert'
+             ELSE 'application/vnd.tcpdump.pcap'
            END AS label,
            CASE kind
              WHEN 0 THEN 'x86_64'
@@ -6609,7 +6611,10 @@ object SparkEntry {
              WHEN 8 THEN CASE k2 WHEN 0 THEN 'thin:x86_64'
                ELSE 'fat:x86_64' END
              WHEN 9 THEN 'com.corpus.Main'
-             ELSE 'blob'
+             WHEN 10 THEN 'blob'
+             WHEN 11 THEN 'doc' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example'
+             ELSE 'ethernet'
            END AS fact,
            CAST(CASE kind
              WHEN 0 THEN k3 + 2
@@ -6624,7 +6629,9 @@ object SparkEntry {
              WHEN 8 THEN k3 + 3 + CASE k2 WHEN 0 THEN 0
                ELSE 2 END
              WHEN 9 THEN 2 * (k2 + 1)
-             ELSE 10 + strlen(CAST(doc_id AS VARCHAR))
+             WHEN 10 THEN 10 + strlen(CAST(doc_id AS VARCHAR))
+             WHEN 11 THEN 1000 + doc_id % 9000
+             ELSE 1
            END AS BIGINT) AS measure
          FROM p""",
 

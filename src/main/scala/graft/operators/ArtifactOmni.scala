@@ -63,6 +63,12 @@ object ArtifactOmni {
       case "application/x-git-loose-object" =>
         GitLoose.looseObject(bytes).map(o =>
           (o.objType, o.size))
+      case "application/pkix-cert" |
+           "application/x-pem-certificate" =>
+        X509.certMeta(bytes).map(m =>
+          (m.subjectCn, java.lang.Long.parseLong(m.serialHex, 16)))
+      case "application/vnd.tcpdump.pcap" =>
+        Pcap.pcapMeta(bytes).map(m => (m.linktype, m.nPackets))
       case _ => None
     }
     res match {
@@ -86,7 +92,7 @@ object ArtifactOmni {
           case l: java.lang.Long => l.longValue()
           case x => x.hashCode().toLong
         }
-        val bytes = java.lang.Math.floorMod(id, 11L).toInt match {
+        val bytes = java.lang.Math.floorMod(id, 13L).toInt match {
           case 0 => Elf.elfWrite(is64 = true, 62,
             (0 until (java.lang.Math.floorMod(id, 3L).toInt + 1))
               .map(j => s".s$j"))
@@ -128,8 +134,17 @@ object ArtifactOmni {
           case 9 => Jar.jarWrite("com.corpus.Main",
             "omni-created-by",
             java.lang.Math.floorMod(id, 2L).toInt + 1, 2)
-          case _ => GitLoose.looseWrite("blob",
+          case 10 => GitLoose.looseWrite("blob",
             s"omni blob $id".getBytes("UTF-8"))
+          case 11 => X509.certWrite(1000 + id % 9000,
+            s"doc${id % 50}.example", s"Org ${id % 7}",
+            2024 + (id % 3).toInt, 1, Seq.empty,
+            ecdsa = id % 2 == 1)
+          case _ =>
+            val pkts = Seq((40 + (id % 20).toInt,
+              40 + (id % 20).toInt))
+            if (id % 2 == 0) Pcap.pcapWrite(1, pkts)
+            else Pcap.pcapngWrite(1, pkts)
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }

@@ -183,7 +183,8 @@ object Sniff {
     if (ascii("-----BEGIN CERTIFICATE-----") &&
       X509.certMeta(b).isDefined)
       return "application/x-pem-certificate"
-    if (at(0) == 0x30 && at(1) == 0x82 &&
+    // real certs always exceed 127 bytes → long-form length 81-83
+    if (at(0) == 0x30 && at(1) >= 0x81 && at(1) <= 0x83 &&
       X509.certMeta(b).isDefined)
       return "application/pkix-cert"
     // Python bytecode: a known importlib magic (xx xx 0d 0a) plus
