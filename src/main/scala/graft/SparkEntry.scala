@@ -2336,6 +2336,20 @@ object SparkEntry {
           col("shape"), col("n_elems"), col("int_sum"))
     }),
 
+    // ----- ICO/CUR favicon triage (the public ICONDIR format —
+    // a crawler fetches one per host): BMP and PNG-embedded
+    // entries cycling, cursors every fifth doc; embedded PNG dims
+    // ride the existing PNG parser
+    "q_ico_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val is = Ico.synthIcos(d, "doc_id", "content")
+      Multimodal.decodeBatches(is, "content",
+          Ico.icoSchema)(Ico.decodeIco)
+        .select(col("doc_id"), col("is_cursor"), col("n_entries"),
+          col("max_width"), col("max_height"), col("n_png"),
+          col("bpps"))
+    }),
+
     // ----- packet-capture triage (the public libpcap format +
     // the pcapng block grammar): classic/ng cycling by parity,
     // one truncated packet planted per doc so the truncation
@@ -6155,6 +6169,29 @@ object SparkEntry {
          SELECT doc_id, 'b.npy', '<f4', '2x2', 4, NULL FROM p
          UNION ALL
          SELECT doc_id, 'c.npy', '|b1', '3', 3, 2 FROM p""",
+
+    // every directory entry must bounds-check and replay; the
+    // embedded PNG's true dims override the entry bytes
+    "q_ico_meta" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 3 + 1 AS INT) AS n,
+           CAST(doc_id % 2 AS INT) AS k2 FROM documents),
+         q AS (SELECT doc_id, n, k2,
+           CASE n WHEN 1 THEN 16 WHEN 2 THEN 32 ELSE 64 END
+             AS bmp_max FROM p)
+         SELECT doc_id, (doc_id % 5 = 0) AS is_cursor,
+           (n + CASE k2 WHEN 0 THEN 1 ELSE 0 END)::INT
+             AS n_entries,
+           CASE WHEN k2 = 0 THEN GREATEST(bmp_max, 48)
+             ELSE bmp_max END::INT AS max_width,
+           CASE WHEN k2 = 0 THEN GREATEST(bmp_max, 48)
+             ELSE bmp_max END::INT AS max_height,
+           (1 - k2)::INT AS n_png,
+           CASE WHEN n = 1 AND k2 = 1 THEN '4'
+             WHEN n = 1 AND k2 = 0 THEN '4,32'
+             WHEN k2 = 1 THEN '4,24'
+             ELSE '4,24,32' END AS bpps
+         FROM q""",
 
     // packet counts, byte totals and the truncation census must
     // replay closed-form for both containers

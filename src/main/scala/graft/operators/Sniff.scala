@@ -168,6 +168,11 @@ object Sniff {
         case Some(_) => "video/x-matroska"
         case None => "video/x-matroska-damaged"
       }
+    // ICO/CUR: the 00 00 01|02 00 head is weak — demand a full
+    // bounds-validated directory parse
+    if (at(0) == 0 && at(1) == 0 && (at(2) == 1 || at(2) == 2) &&
+      at(3) == 0 && Ico.icoMeta(b).isDefined)
+      return "image/x-icon"
     // packet captures: all four classic magics + the pcapng SHB
     if (b.length >= 12 && {
       val m = ((at(0).toLong << 24) | (at(1).toLong << 16) |
