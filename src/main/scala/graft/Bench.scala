@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * time little more than a parquet row count). Failures are recorded as
   * failures — never as timings — and make the run exit non-zero.
   *
+  * KILL-SAFETY: the artifact file (SPARK_GRAFT_BENCH_OUT, default
+  * bench_out.json) is REWRITTEN after every completed query with the
+  * partial sweep so far (`"partial":true` until the final write). The
+  * r16 driver sweep was timeout-killed ~5 queries from the end after a
+  * host load spike and, because the old runner emitted once at exit,
+  * the round had NO parseable bench artifact at all. A kill now leaves
+  * the last-written partial record — one valid JSON line, same shape.
+  *
   * Regression gate: timings are compared against the newest
   * `bench_r*.json` history file in the cwd (override with
   * SPARK_GRAFT_BENCH_PREV). Any query slower than REGRESSION_FACTOR ×
@@ -20,8 +28,8 @@ import org.apache.spark.sql.SparkSession
   */
 /** The regression-gate arithmetic, separated from the Spark harness so
   * BenchGateSpec can pin it: history merging (element-wise min across
-  * rounds) and the suspect test (factor over the bar, above the noise
-  * floor).
+  * rounds), the suspect test (factor over the bar, above the noise
+  * floor), and host-offset detection for uniformly-slow sweeps.
   */
 object BenchGate {
   val RegressionFactor = 1.5
@@ -38,6 +46,12 @@ object BenchGate {
     */
   def suspect(best: Double, bar: Option[Double]): Boolean =
     bar.exists(b => best > (b * RegressionFactor).max(RegressionMinSec))
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** A whole ROUND is an outlier when its total over its own queries
     * is under this fraction of what the per-query median across all
@@ -58,11 +72,6 @@ object BenchGate {
   def rejectOutlierRounds(rounds: Seq[Map[String, Double]])
       : Seq[Map[String, Double]] = {
     if (rounds.size < 3) return rounds
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val perQuery = rounds.flatten.groupMap(_._1)(_._2)
       .map { case (k, vs) => k -> median(vs.toSeq) }
     rounds.filter { r =>
@@ -100,10 +109,7 @@ object BenchGate {
 
   private def rejectOutlierValues(vs: Seq[Double]): Seq[Double] = {
     if (vs.size < 3) return vs
-    val s = vs.sorted
-    val m =
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val m = median(vs)
     val kept = vs.filter(_ >= OutlierQueryFraction * m)
     if (kept.isEmpty) vs else kept
   }
@@ -128,6 +134,57 @@ object BenchGate {
         k -> math.max(v, IntendedCosts.getOrElse(k, 0.0))
       }
 
+  // ----- uniformly-slow CURRENT sweep (host offset) ----------------
+  //
+  // rejectOutlierRounds defends the HISTORY against a uniformly-fast
+  // round; nothing defended the CURRENT sweep against a uniformly-
+  // slow host. Round 16's post-reboot sweeps ran a measured uniform
+  // 1.37–1.42× of the pre-reboot artifact across ALL unchanged
+  // queries — including map-only decode tiers whose code did not
+  // change — and element-wise-min history flagged 40–55 phantom
+  // "regressions" per sweep (the r11/r13 poisoning failure mode with
+  // the opposite sign). A host state moves every query together; a
+  // genuine plan regression moves only the query whose plan changed.
+  // So: when the current sweep's per-query ratio vs the merged bars
+  // is UNIFORM (most ratios inside ±15% of the median) and the median
+  // exceeds 1.2×, report ONE round-level host-offset number and judge
+  // each query on best/offset instead of best.
+
+  /** Minimum median ratio before a sweep is called host-offset. */
+  val HostOffsetMin = 1.2
+  /** Uniformity band around the median ratio (±15%). */
+  val HostOffsetBand = 0.15
+  /** Fraction of measured ratios that must sit inside the band. */
+  val HostOffsetUniformFraction = 0.6
+  /** Minimum comparable queries for the median to mean anything,
+    * and the per-query bar floor (seconds) below which a ratio is
+    * scheduler noise rather than offset evidence.
+    */
+  val HostOffsetMinQueries = 8
+  val HostOffsetBarFloor = 0.3
+
+  /** Detect a uniform slow-host offset: Some(median ratio) when the
+    * sweep is uniformly ≥1.2× its bars, None otherwise. `current`
+    * maps query → best-of-reps this sweep; `bars` is mergeHistory's
+    * output. Only queries with a bar above [[HostOffsetBarFloor]]
+    * count — ratios of 0.1 s timings are jitter, not evidence.
+    */
+  def hostOffset(current: Map[String, Double],
+      bars: Map[String, Double]): Option[Double] = {
+    val ratios = current.toSeq.collect {
+      case (k, v) if bars.get(k).exists(_ >= HostOffsetBarFloor) =>
+        v / bars(k)
+    }
+    if (ratios.size < HostOffsetMinQueries) return None
+    val m = median(ratios)
+    if (m <= HostOffsetMin) return None
+    val inBand = ratios.count(r =>
+      r >= m * (1 - HostOffsetBand) && r <= m * (1 + HostOffsetBand))
+    if (inBand.toDouble / ratios.size >= HostOffsetUniformFraction)
+      Some(m)
+    else None
+  }
+
   /** Parse one bench artifact's `queries` map (Jackson ships in
     * Spark's jars, so no extra dependency).
     */
@@ -137,6 +194,37 @@ object BenchGate {
       .readTree(json).path("queries")
     qs.properties().asScala
       .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  }
+
+  // ----- artifact rendering (pure, so BenchSpec can pin it) --------
+
+  /** Render the artifact line. Emitted after EVERY completed query
+    * (partial = true) and once at the end (partial = false): a kill
+    * at any point leaves the last write — one complete JSON object
+    * of the same shape the driver parses, missing only the queries
+    * that never ran.
+    */
+  def renderArtifact(results: Seq[(String, Seq[Double])],
+      regressions: Map[String, Double], failed: Seq[String],
+      sf: String, partial: Boolean,
+      hostOffset: Option[Double]): String = {
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v.min }
+      .mkString("{", ",", "}")
+    // per-rep timings: lets a reader separate plan cost (stable min)
+    // from scheduler/environment contention (wild rep spread)
+    val rs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val regs = regressions.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val fs = failed.map(jstr).mkString("[", ",", "]")
+    val total = results.map(_._2.min).sum
+    val off = hostOffset.map(o => s""","host_offset":$o""")
+      .getOrElse("")
+    val part = if (partial) s""","partial":true""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs$off$part,"sf":"$sf"}"""
   }
 }
 
@@ -170,6 +258,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // survive host load spikes as SLOW timings, not a dead
+      // SparkContext: the r16 driver sweep died to 10 s heartbeat
+      // RPC timeouts under oversubscription (executor and driver
+      // share one JVM here — a timeout can only ever be scheduler
+      // starvation, never a lost node)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one untimed warmup pass: JVM/codegen/parquet-reader init would
@@ -182,10 +278,19 @@ object Bench {
     // under a 32-thread local scheduler swings several× on environment
     // noise; the min of N runs is the stable "cost of the plan" number
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // wall budget (seconds): once the sweep has consumed it, the
+    // remaining queries run ONE rep instead of `reps` — a contended
+    // host degrades to noisier timings instead of an external
+    // timeout kill. Generous by default: a healthy sweep takes
+    // ~4–7 min; the r16 kill came after ~100.
+    val wallBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_WALL_BUDGET_SEC", "2400").toDouble
+    val sweepT0 = System.nanoTime()
+    def overBudget: Boolean =
+      (System.nanoTime() - sweepT0) / 1e9 > wallBudget
     // optional comma-separated query filter for single-query forensics
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val failures = Seq.newBuilder[String]
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
@@ -196,16 +301,46 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try Some(name -> (1 to reps).map(_ => time(fn)))
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failures += name
-            None
-        }
+    // the artifact must survive log-tail truncation AND a mid-sweep
+    // kill: rewrite the file after every completed query
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    def emit(results: Seq[(String, Seq[Double])],
+        regressions: Map[String, Double], failed: Seq[String],
+        partial: Boolean, hostOff: Option[Double]): String = {
+      val line = BenchGate.renderArtifact(results, regressions,
+        failed, sfDir, partial, hostOff)
+      try {
+        val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+        java.nio.file.Files.write(tmp, (line + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(outPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] could not write $outPath: $e")
+      }
+      line
     }
+    val failures = Seq.newBuilder[String]
+    val done = Seq.newBuilder[(String, Seq[Double])]
+    val names = selected.toSeq.sortBy(_._1)
+    names.foreach { case (name, fn) =>
+      val effReps = if (overBudget) 1 else reps
+      try {
+        val ts = (1 to effReps).map(_ => time(fn))
+        done += ((name, ts))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failures += name
+      }
+      emit(done.result(), Map.empty, failures.result(),
+        partial = true, hostOff = None)
+    }
+    val results = done.result()
     // regression gate vs the newest bench_r*.json: suspects get 2
     // extra reps AFTER the full sweep (the end-of-run JVM is the
     // quietest moment) so one noisy timing can't brand a plan
@@ -214,49 +349,40 @@ object Bench {
         System.err.println(s"[bench] could not load history: $e")
         Map.empty[String, Double]
     }
+    // divide out a uniform slow-host offset before judging anything:
+    // r16's post-reboot sweeps were a measured uniform 1.37–1.42×
+    // and shipped 40–55 phantom regressions per artifact
+    val hostOff = BenchGate.hostOffset(
+      results.map { case (k, v) => k -> v.min }.toMap, prev)
+    hostOff.foreach(o => System.err.println(
+      f"[bench] HOST OFFSET: sweep is a uniform $o%.2fx of history " +
+      "(machine state, not code) — judging best/offset"))
+    val scale = hostOff.getOrElse(1.0)
     val fnByName = selected
     val gated = results.map { case (name, times) =>
       val base = prev.get(name)
-      if (!suspect(times.min, base)) (name, times, false)
+      if (!suspect(times.min / scale, base)) (name, times, false)
       else {
         val extra = (1 to 2).flatMap { _ =>
           try Some(time(fnByName(name)))
           catch { case _: Throwable => None }
         }
         val all = times ++ extra
-        val still = suspect(all.min, base)
+        val still = suspect(all.min / scale, base)
         if (still) System.err.println(
           f"[bench] REGRESSION $name: best ${all.min}%.2f s vs " +
-          f"history ${base.get}%.2f s (>${RegressionFactor}x, " +
-          "survived re-measurement)")
+          f"history ${base.get}%.2f s (>${RegressionFactor}x" +
+          (if (scale != 1.0) f" after /$scale%.2f host offset" else "") +
+          ", survived re-measurement)")
         (name, all, still)
       }
     }
-    val qs = gated.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    // per-rep timings: lets a reader separate plan cost (stable min)
-    // from scheduler/environment contention (wild rep spread)
-    val rs = gated.map { case (k, v, _) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val regs = gated.collect { case (k, v, true) =>
-      s"\"" + k + "\":" + v.min }.mkString("{", ",", "}")
     val failed = failures.result()
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = gated.map(_._2.min).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs,"sf":"$sfDir"}"""
+    val line = emit(
+      gated.map { case (k, v, _) => (k, v) },
+      gated.collect { case (k, v, true) => k -> v.min }.toMap,
+      failed, partial = false, hostOff = hostOff)
     println(line)
-    // the artifact must survive log-tail truncation: also write it to a
-    // file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the cwd)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
-      case e: Exception =>
-        System.err.println(s"[bench] could not write $outPath: $e")
-    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -3832,6 +3832,24 @@ object SparkEntry {
           col("u_repr"))
     }),
 
+    // ----- Avro NAMED-TYPE references (round 17): the `pt` record
+    // defined once and reused by two more fields plus the array
+    // items (one reference namespace-qualified), enum and fixed
+    // reuse — over the FULL six-codec matrix (null/deflate/snappy/
+    // zstandard/BZIP2/XZ, the last two through the in-repo coders
+    // both directions); the codec string is an output column so
+    // every codec's decode is oracle-proven
+    "q_avro_named" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val av = Avro.synthAvroNamed(d, "doc_id", "content")
+      Multimodal.decodeBatches(av, "content",
+          Avro.avroNamedSchema)(Avro.decodeAvroNamed)
+        .select(col("doc_id"), col("codec"), col("n_records"),
+          col("px_sum"), col("py_sum"), col("c_pair"),
+          col("h_sum"), col("pts_n"), col("pts_x_sum"),
+          col("pts_y_sum"))
+    }),
+
     // ----- EXIF over JPEG APP1: orientation/timestamp as curation
     // signals, GPS in exact centi-arc-seconds, and the PII strip
     // proven per-row (metadata gone, entropy bytes identical)
@@ -7516,6 +7534,36 @@ object SparkEntry {
            CASE doc_id % 3 WHEN 0 THEN NULL
              WHEN 1 THEN 'l:' || CAST(doc_id * 7 AS VARCHAR)
              ELSE 's:u' || CAST(doc_id % 10 AS VARCHAR) END AS u_repr
+         FROM p""",
+
+    // named-type reuse + the six-codec matrix: every planted value
+    // replayed closed-form; the codec column pins the rotation so a
+    // bzip2/xz refusal (all-null row) breaks the hash
+    "q_avro_named" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS len
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+             WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstandard'
+             WHEN 4 THEN 'bzip2' ELSE 'xz' END AS codec,
+           2 AS n_records,
+           CAST(8 * doc_id + 2 AS BIGINT) AS px_sum,
+           CAST(4 * doc_id + 2 * (doc_id % 7) + 2 AS BIGINT)
+             AS py_sum,
+           (CASE doc_id % 3 WHEN 0 THEN 'R' WHEN 1 THEN 'G'
+              ELSE 'B' END) || '/' ||
+           (CASE (doc_id + 1) % 3 WHEN 0 THEN 'R' WHEN 1 THEN 'G'
+              ELSE 'B' END) AS c_pair,
+           CAST((SELECT SUM(2 * ((doc_id + t.i) % 199) +
+               ((2 * doc_id + t.i) % 211) +
+               ((2 * doc_id + t.i + 1) % 211))
+             FROM unnest(generate_series(0, 3)) AS t(i)) AS BIGINT)
+             AS h_sum,
+           CAST(2 * len AS INT) AS pts_n,
+           CAST(2 * (len * doc_id + len * (len - 1) / 2) AS BIGINT)
+             AS pts_x_sum,
+           CAST(2 * (len * doc_id - len * (len - 1) / 2) AS BIGINT)
+             AS pts_y_sum
          FROM p""",
 
     // planted orientation/timestamp/GPS replayed arithmetically;

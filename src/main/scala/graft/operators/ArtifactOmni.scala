@@ -65,8 +65,12 @@ object ArtifactOmni {
           (o.objType, o.size))
       case "application/pkix-cert" |
            "application/x-pem-certificate" =>
+        // real CA serials are 16-20 random bytes (> 2^63):
+        // BigInteger keeps the dispatch total where parseLong would
+        // throw; longValue() truncation is deterministic either way
         X509.certMeta(bytes).map(m =>
-          (m.subjectCn, java.lang.Long.parseLong(m.serialHex, 16)))
+          (m.subjectCn,
+            new java.math.BigInteger(m.serialHex, 16).longValue()))
       case "application/vnd.tcpdump.pcap" =>
         Pcap.pcapMeta(bytes).map(m => (m.linktype, m.nPackets))
       case _ => None

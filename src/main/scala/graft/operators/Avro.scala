@@ -24,19 +24,23 @@ import graft.sources.MiniJson
   *  - Blocks: zigzag record count + zigzag byte size + payload +
   *    sync, the sync VERIFIED against the header's on every block
   *    (a mismatch means a torn file — refuse, never misaligned
-  *    records). Codecs: `null`, `deflate` (raw zlib), and `snappy`
-  *    (round 15: the from-spec [[Snappy]] block decoder, with the
-  *    Avro-specific big-endian CRC32-of-uncompressed trailer
-  *    verified) and `zstandard` (one frame per block through the
-  *    full in-repo [[Zstd]] decoder); `bzip2`/`xz` have no Avro
-  *    fixture writer yet — refuse.
+  *    records). Codecs — the FULL spec matrix as of round 17:
+  *    `null`, `deflate` (raw zlib), `snappy` (the from-spec
+  *    [[Snappy]] block decoder, with the Avro-specific big-endian
+  *    CRC32-of-uncompressed trailer verified), `zstandard` (one
+  *    frame per block through the full in-repo [[Zstd]] decoder),
+  *    `bzip2` and `xz` (one stream/container per block through the
+  *    in-repo [[Bzip2]]/[[Xz]] decoders).
   *  - Records: the FULL recursive schema tree (round 15 — closes the
   *    C184 half-decode refusal): primitives (null, boolean,
   *    int/long zigzag varints, float/double LE IEEE, bytes/string),
   *    nested records, arrays and maps with the spec's negative
   *    block-count byte-size form, enums, fixed, and general unions.
-  *    Named-type REFERENCES (reuse of an earlier definition by
-  *    name) refuse — supporting them without a registry would
+  *    Named-type REFERENCES resolve against a per-parse registry
+  *    (round 17): a record/enum/fixed registers its short and
+  *    namespace-qualified names once its definition completes, so
+  *    real-world schema reuse decodes while forward references and
+  *    recursive types (data-dependent depth) refuse rather than
   *    mis-decode; recursion depth is bounded.
   *
   * Per-row byte work inside [[Multimodal.decodeBatches]] — map-only.
@@ -119,23 +123,65 @@ object Avro {
     case _ => None
   }
 
-  private def parseType(t: Any, depth: Int): AType = {
+  /** Named-type REGISTRY (round 17): the spec lets a schema define a
+    * record/enum/fixed once and reference it by name everywhere else
+    * — real exported schemas reuse a `Point`/`Timestamp` record
+    * across many fields. A name registers AFTER its definition fully
+    * parses (both the short name and `namespace.name` when a
+    * namespace attribute is present), and a reference resolves
+    * against already-registered names only — so forward references
+    * and RECURSIVE types (a linked-list schema is legal Avro, but
+    * its data-dependent depth has no safe bound here) refuse rather
+    * than mis-decode.
+    */
+  private def parseType(t: Any, depth: Int, ns: String,
+      reg: scala.collection.mutable.Map[String, AType]): AType = {
     if (depth > 16) throw AvroFail
+    // per spec a nested named type INHERITS the enclosing namespace
+    // unless it declares its own (or uses a dotted fullname)
+    def ownNs(mm: Map[String, Any]): String = mm.get("name") match {
+      case Some(n: String) if n.contains('.') =>
+        n.substring(0, n.lastIndexOf('.'))
+      case _ => mm.get("namespace") match {
+        case Some(s: String) if s.nonEmpty => s
+        case _ => ns
+      }
+    }
+    def register(mm: Map[String, Any], at: AType): AType = {
+      mm.get("name") match {
+        case Some(n0: String) if n0.nonEmpty =>
+          val n = if (n0.contains('.'))
+            n0.substring(n0.lastIndexOf('.') + 1) else n0
+          reg(n) = at
+          val effNs = ownNs(mm)
+          if (effNs.nonEmpty) reg(effNs + "." + n) = at
+        case _ => ()
+      }
+      at
+    }
+    // an unqualified reference resolves against the enclosing
+    // namespace first, then the bare short name
+    def ref(s: String): Option[AType] =
+      (if (ns.nonEmpty && !s.contains('.')) reg.get(ns + "." + s)
+       else None).orElse(reg.get(s))
     t match {
       case s: String =>
-        primTag(s).map(APrim).getOrElse(throw AvroFail)
+        primTag(s).map(APrim)
+          .orElse(ref(s)) // named-type reference
+          .getOrElse(throw AvroFail)
       case u: Vector[_] =>
         if (u.isEmpty || u.length > 64) throw AvroFail
-        AUnion(u.map(parseType(_, depth + 1)).toVector)
+        AUnion(u.map(parseType(_, depth + 1, ns, reg)).toVector)
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
+        val childNs = ownNs(mm)
         mm.getOrElse("type", null) match {
           case "record" =>
             val fs = mm.get("fields") match {
               case Some(a: Vector[_]) => a
               case _ => throw AvroFail
             }
-            ARec(fs.map {
+            register(mm, ARec(fs.map {
               case f: Map[_, _] =>
                 val fm = f.asInstanceOf[Map[String, Any]]
                 val name = fm.getOrElse("name", "") match {
@@ -143,33 +189,39 @@ object Avro {
                   case _ => throw AvroFail
                 }
                 (name, parseType(fm.getOrElse("type", null),
-                  depth + 1))
+                  depth + 1, childNs, reg))
               case _ => throw AvroFail
-            }.toVector)
+            }.toVector))
           case "array" =>
-            AArr(parseType(mm.getOrElse("items", null), depth + 1))
+            AArr(parseType(mm.getOrElse("items", null), depth + 1,
+              ns, reg))
           case "map" =>
-            AMapT(parseType(mm.getOrElse("values", null), depth + 1))
+            AMapT(parseType(mm.getOrElse("values", null), depth + 1,
+              ns, reg))
           case "enum" =>
             mm.get("symbols") match {
               case Some(a: Vector[_])
                   if a.nonEmpty && a.forall(_.isInstanceOf[String]) =>
-                AEnumT(a.map(_.asInstanceOf[String]).toVector)
+                register(mm,
+                  AEnumT(a.map(_.asInstanceOf[String]).toVector))
               case _ => throw AvroFail
             }
           case "fixed" =>
             mm.getOrElse("size", null) match {
               case d: Double
                   if d >= 0 && d <= (1 << 20) && d.isWhole =>
-                AFixedT(d.toInt)
+                register(mm, AFixedT(d.toInt))
               case _ => throw AvroFail
             }
           case s: String =>
-            // {"type": "long", ...} annotation form
-            primTag(s).map(APrim).getOrElse(throw AvroFail)
+            // {"type": "long", ...} annotation form, or an annotated
+            // reference to an earlier named definition
+            primTag(s).map(APrim)
+              .orElse(ref(s))
+              .getOrElse(throw AvroFail)
           case _ => throw AvroFail
         }
-      case _ => throw AvroFail // named-type references: no registry
+      case _ => throw AvroFail
     }
   }
 
@@ -179,7 +231,8 @@ object Avro {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => throw AvroFail
     }
-    parseType(root, 0) match {
+    val reg = scala.collection.mutable.Map.empty[String, AType]
+    parseType(root, 0, "", reg) match {
       case ARec(fields) => fields
       case _ => throw AvroFail
     }
@@ -309,7 +362,13 @@ object Avro {
     case "zstandard" =>
       // one zstd frame per block, through the full in-repo decoder
       Zstd.decompress(raw).getOrElse(throw AvroFail)
-    case _ => throw AvroFail // bzip2/xz: no fixture writer yet
+    case "bzip2" =>
+      // one .bz2 stream per block (round 17; in-repo decoder)
+      Bzip2.decompress(raw, MaxBytes).getOrElse(throw AvroFail)
+    case "xz" =>
+      // one .xz container per block (round 17; in-repo decoder)
+      Xz.decompress(raw, MaxBytes).getOrElse(throw AvroFail)
+    case _ => throw AvroFail
   }
 
   /** Shared container walk: header, metadata, schema tree, blocks.
@@ -349,7 +408,8 @@ object Avro {
     // accepting the header and failing later would split the
     // refusal surface
     codec match {
-      case "null" | "deflate" | "snappy" | "zstandard" => ()
+      case "null" | "deflate" | "snappy" | "zstandard" | "bzip2" |
+           "xz" => ()
       case _ => throw AvroFail
     }
     val fields =
@@ -412,6 +472,19 @@ object Avro {
       case _: OutOfMemoryError => None
     }
   }
+
+  /** Top-level field names of a container whose schema parses (any
+    * complexity, named references resolved) — None on refusal. Test
+    * hook for the schema-tree walk independent of a decode kernel.
+    */
+  private[graft] def containerFieldNames(b: Array[Byte])
+      : Option[Seq[String]] =
+    try Some(readContainer(b)._1.map(_._1))
+    catch {
+      case AvroFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
 
   /** The raw avro.schema bytes from the header metadata (shared by
     * the flat pre-check).
@@ -729,6 +802,8 @@ object Avro {
         case _: ArrayIndexOutOfBoundsException => None
         case _: NegativeArraySizeException => None
         case _: ClassCastException => None
+        // a mutated-but-parseable schema may lack expected fields
+        case _: NoSuchElementException => None
       }
     res match {
       case Some((n, ma, mb, vs, nv, ts, k, fs, u)) =>
@@ -736,6 +811,185 @@ object Avro {
       case None => Seq[Any](null, null, null, null, null, null,
         null, null, null)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // named-type references + full codec matrix (round 17)
+  // ------------------------------------------------------------------
+
+  private val NamedSchema =
+    """{"type": "record", "name": "doc", "namespace": "graft.fx",
+      "fields": [
+      {"name": "p1", "type": {"type": "record", "name": "pt",
+        "fields": [{"name": "x", "type": "long"},
+                   {"name": "y", "type": "long"}]}},
+      {"name": "p2", "type": "pt"},
+      {"name": "c1", "type": {"type": "enum", "name": "col",
+        "symbols": ["R", "G", "B"]}},
+      {"name": "c2", "type": "col"},
+      {"name": "h1", "type": {"type": "fixed", "name": "h4",
+        "size": 4}},
+      {"name": "h2", "type": "graft.fx.h4"},
+      {"name": "pts", "type": {"type": "array", "items": "pt"}}
+    ]}"""
+
+  private val NamedCodecs = Vector("null", "deflate", "snappy",
+    "zstandard", "bzip2", "xz")
+
+  /** A container file whose schema REUSES named definitions — the
+    * `pt` record twice more (once namespace-qualified via the array
+    * items), the enum and the fixed once each — with the codec
+    * cycling over the FULL six-codec matrix (bzip2 and xz ride the
+    * in-repo [[Bzip2]]/[[Xz]] coders both directions). Two records,
+    * one per container block.
+    */
+  def avroWriteNamed(id: Long): Array[Byte] = {
+    val codec = NamedCodecs((id % 6).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    def wr(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    wr(wZlong(2L))
+    wr(wStr("avro.schema")); wr(wStr(NamedSchema))
+    wr(wStr("avro.codec")); wr(wStr(codec))
+    wr(wZlong(0L))
+    val sync = Array.tabulate[Byte](16)(i => (0x7e ^ i * 13).toByte)
+    wr(sync)
+    def record(k: Long): Array[Byte] = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      def wb(a: Array[Byte]): Unit = b2.write(a, 0, a.length)
+      // p1 = (id+k, 2id+k), p2 = (3id+k, id%7+k)
+      wb(wZlong(id + k)); wb(wZlong(2 * id + k))
+      wb(wZlong(3 * id + k)); wb(wZlong(id % 7 + k))
+      // c1 = sym[id%3], c2 = sym[(id+2k+1)%3]
+      wb(wZlong(id % 3)); wb(wZlong((id + 2 * k + 1) % 3))
+      // h1 bytes (id+i)%199, h2 bytes (2id+i+k)%211
+      b2.write((0 until 4).map(i =>
+        ((id + i) % 199).toByte).toArray, 0, 4)
+      b2.write((0 until 4).map(i =>
+        ((2 * id + i + k) % 211).toByte).toArray, 0, 4)
+      // pts: len = id%3+1 of pt(id+j, id-j), one item block
+      val len = (id % 3 + 1).toInt
+      wb(wZlong(len.toLong))
+      (0 until len).foreach { j =>
+        wb(wZlong(id + j)); wb(wZlong(id - j))
+      }
+      wb(wZlong(0L))
+      b2.toByteArray
+    }
+    for (k <- 0L to 1L) {
+      val raw = record(k)
+      val payload = codec match {
+        case "deflate" =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val n = d.deflate(buf)
+          d.end()
+          java.util.Arrays.copyOf(buf, n)
+        case "snappy" =>
+          val crc = new java.util.zip.CRC32
+          crc.update(raw)
+          val v = crc.getValue
+          Snappy.compressStored(raw) ++ Array[Byte](
+            ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        case "zstandard" => Zstd.encodeFrame(raw, blockSize = 4096)
+        case "bzip2" => Bzip2.compress(raw)
+        case "xz" => Xz.compress(raw)
+        case _ => raw
+      }
+      wr(wZlong(1L)); wr(wZlong(payload.length.toLong))
+      wr(payload); wr(sync)
+    }
+    out.toByteArray
+  }
+
+  val avroNamedSchema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("n_records", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("py_sum", LongType),
+    StructField("c_pair", StringType),
+    StructField("h_sum", LongType),
+    StructField("pts_n", IntegerType),
+    StructField("pts_x_sum", LongType),
+    StructField("pts_y_sum", LongType)))
+
+  /** Decode kernel over the named-reference tree: the codec string
+    * itself is an output column, so the oracle proves each of the
+    * six codecs actually decoded (a refusal would null the row and
+    * break the hash). Null row for refusals.
+    */
+  def decodeAvroNamed(bytes: Array[Byte]): Seq[Any] = {
+    val res =
+      try {
+        val (fields, rows, codec, _) = readContainer(bytes)
+        val idx = fields.map(_._1).zipWithIndex.toMap
+        def rec2(v: Any): (Long, Long) = v match {
+          case r: IndexedSeq[_] =>
+            (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])
+          case _ => throw AvroFail
+        }
+        var px = 0L; var py = 0L; var hs = 0L
+        var ptsN = 0; var ptsX = 0L; var ptsY = 0L
+        var cPair: String = null
+        var first = true
+        rows.foreach { r =>
+          val (x1, y1) = rec2(r(idx("p1")))
+          val (x2, y2) = rec2(r(idx("p2")))
+          px += x1 + x2; py += y1 + y2
+          if (first) cPair = r(idx("c1")).asInstanceOf[String] +
+            "/" + r(idx("c2")).asInstanceOf[String]
+          Seq(r(idx("h1")), r(idx("h2"))).foreach {
+            case f: Array[Byte] => f.foreach(b2 => hs += b2 & 0xff)
+            case _ => throw AvroFail
+          }
+          r(idx("pts")) match {
+            case v: Vector[_] =>
+              ptsN += v.length
+              v.foreach { p =>
+                val (x, y) = rec2(p)
+                ptsX += x; ptsY += y
+              }
+            case _ => throw AvroFail
+          }
+          first = false
+        }
+        Some((codec, rows.length, px, py, cPair, hs, ptsN, ptsX,
+          ptsY))
+      } catch {
+        case AvroFail => None
+        case _: ArrayIndexOutOfBoundsException => None
+        case _: NegativeArraySizeException => None
+        case _: ClassCastException => None
+        // a mutated-but-parseable schema may lack expected fields
+        case _: NoSuchElementException => None
+      }
+    res match {
+      case Some((c, n, px, py, cp, hs, pn, pxs, pys)) =>
+        Seq[Any](c, n, px, py, cp, hs, pn, pxs, pys)
+      case None => Seq[Any](null, null, null, null, null, null,
+        null, null, null)
+    }
+  }
+
+  /** Per-row named-reference container synthesizer (map-only). */
+  def synthAvroNamed(df: DataFrame, idCol: String,
+      outCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+ avroWriteNamed(id))
+      }
+    }(enc)
   }
 
   /** Per-row complex-container synthesizer (map-only). */

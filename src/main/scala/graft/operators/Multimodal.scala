@@ -4819,6 +4819,24 @@ object Multimodal {
 
   /** Deterministic fake decoder: "resolution" and "n_frames" derived
     * from content bytes. STUB — replace with a real codec call.
+    *
+    * Probe record (2026-08-16, per the Vp8 extract-and-pin
+    * precedent, Vp8.scala header): this machine ships NO generic
+    * video reference to pin against — `ffmpeg`/`ffprobe`/
+    * `gst-launch-1.0` absent, no `libavcodec`/`libopenh264`/
+    * `libx264`/`libvpx` shared objects, no `aomdec`/`dav1d`/`vpxdec`
+    * CLI, no PyAV. The only codec objects present are bare
+    * `libaom.so.3` and `libdav1d.so.6` (AV1) with no callable
+    * front-end, so even an extract-and-pin path has nothing to
+    * generate goldens with. Implementing AV1/H.264 inter+intra frame
+    * reconstruction from spec WITHOUT a reference decoder to pin
+    * against would violate the repo's oracle contract (every pixel
+    * decoder is golden-pinned to an independent implementation:
+    * libwebp for VP8, libpng/PIL lineage for stills). The stub
+    * therefore stays, honest and excluded from oracle claims; the
+    * REAL coverage is: MJPEG frame pixels (q_video_frames), H.264
+    * SPS triage, VP8 keyframe pixels (q_vp8_pixels), and full
+    * container/timing walks (MP4/EBML/RIFF).
     */
   def fakeDecode(bytes: Array[Byte]): Seq[Any] = {
     val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL

@@ -96,6 +96,7 @@ object Pcap {
     var nSections = 0
     var nInterfaces = 0
     var linktype = -1
+    var snaplen = -1L
     var n = 0L
     var cap = 0L
     var orig = 0L
@@ -125,9 +126,10 @@ object Pcap {
       if (u32(b, p + totalLen.toInt - 4, le) != totalLen)
         throw PFail()
       if (!isShb) bt match {
-        case 1L => // IDB: linktype u16 + reserved
+        case 1L => // IDB: linktype u16 + reserved + snaplen u32
           nInterfaces += 1
           if (linktype < 0) linktype = u16(b, p + 8, le)
+          if (snaplen < 0) snaplen = u32(b, p + 12, le)
         case 6L => // EPB: iface, ts hi/lo, caplen, origlen
           val caplen = u32(b, p + 20, le)
           val origlen = u32(b, p + 24, le)
@@ -136,11 +138,18 @@ object Pcap {
           cap += caplen
           orig += origlen
           if (caplen < origlen) trunc += 1
-        case 3L => // SPB: origlen only; captured = block - 16
+        case 3L => // SPB: origlen only. The payload length is NOT
+          // recoverable from totalLen alone (the block pads to a
+          // 4-byte boundary, so totalLen - 16 overcounts by up to 3);
+          // per the pcapng spec the captured length is
+          // min(origlen, section IDB snaplen), snaplen 0 = unlimited.
           val origlen = u32(b, p + 8, le)
           n += 1
-          val c = totalLen - 16
-          cap += math.min(c, origlen)
+          val room = totalLen - 16 // payload + pad upper bound
+          val c =
+            if (snaplen > 0) math.min(math.min(snaplen, origlen), room)
+            else math.min(origlen, room)
+          cap += c
           orig += origlen
           if (c < origlen) trunc += 1
         case _ => () // options/NRB/ISB: counted as blocks only
@@ -232,6 +241,45 @@ object Pcap {
       le32(epb, caplen.toLong); le32(epb, origlen.toLong)
       (0 until caplen).foreach(j => epb.write((i * 3 + j) & 0xff))
       block(6L, epb.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** A little-endian pcapng using Simple Packet Blocks: SHB + one
+    * IDB carrying `snaplen` + SPBs. Per the spec an SPB records only
+    * the ORIGINAL length; the writer stores min(origlen, snaplen)
+    * payload bytes (snaplen 0 = unlimited), then pads to 4 — so the
+    * on-wire block length alone overstates the captured length by up
+    * to 3 bytes, which is exactly what the reader must not do.
+    */
+  def pcapngWriteSpb(linktype: Int, snaplen: Int,
+      origlens: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def block(bt: Long, body: Array[Byte]): Unit = {
+      val pad = (4 - body.length % 4) % 4
+      val total = 12 + body.length + pad
+      le32(out, bt); le32(out, total.toLong)
+      out.write(body)
+      (0 until pad).foreach(_ => out.write(0))
+      le32(out, total.toLong)
+    }
+    val shb = new java.io.ByteArrayOutputStream()
+    le32(shb, 0x1A2B3C4DL)
+    shb.write(1); shb.write(0); shb.write(0); shb.write(0)
+    le32(shb, 0xffffffffL); le32(shb, 0xffffffffL)
+    block(0x0A0D0D0AL, shb.toByteArray)
+    val idb = new java.io.ByteArrayOutputStream()
+    idb.write(linktype & 0xff); idb.write((linktype >> 8) & 0xff)
+    idb.write(0); idb.write(0)
+    le32(idb, snaplen.toLong)
+    block(1L, idb.toByteArray)
+    origlens.zipWithIndex.foreach { case (origlen, i) =>
+      val spb = new java.io.ByteArrayOutputStream()
+      le32(spb, origlen.toLong)
+      val stored =
+        if (snaplen > 0) math.min(origlen, snaplen) else origlen
+      (0 until stored).foreach(j => spb.write((i * 7 + j) & 0xff))
+      block(3L, spb.toByteArray)
     }
     out.toByteArray
   }

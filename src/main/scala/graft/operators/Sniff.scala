@@ -179,7 +179,7 @@ object Sniff {
         (at(2).toLong << 8) | at(3).toLong)
       m == 0xA1B2C3D4L || m == 0xD4C3B2A1L ||
         m == 0xA1B23C4DL || m == 0x4D3CB2A1L ||
-        (m == 0x0A0D0D0AL && Pcap.pcapMeta(b).isDefined)
+        m == 0x0A0D0D0AL // SHB; validated by the single parse below
     } && Pcap.pcapMeta(b).isDefined)
       return "application/vnd.tcpdump.pcap"
     // certificates: PEM armor is explicit; bare DER (0x30 0x82

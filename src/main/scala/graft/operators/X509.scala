@@ -333,6 +333,15 @@ object X509 {
   /** A planted v3 cert: serial, CN/O, validity, optional SAN. */
   def certWrite(serial: Long, cn: String, org: String,
       notBeforeYear: Int, years: Int, sanDns: Seq[String],
+      ecdsa: Boolean): Array[Byte] =
+    certWrite(BigInt(serial), cn, org, notBeforeYear, years,
+      sanDns, ecdsa)
+
+  /** BigInt-serial variant: real CA-issued certs carry 16-20 byte
+    * random serials (RFC 5280 permits up to 20), well past Long.
+    */
+  def certWrite(serial: BigInt, cn: String, org: String,
+      notBeforeYear: Int, years: Int, sanDns: Seq[String],
       ecdsa: Boolean): Array[Byte] = {
     val sigOid =
       if (ecdsa) "1.2.840.10045.4.3.2"
@@ -348,7 +357,7 @@ object X509 {
     val validity = wrap(0x30, utc(notBeforeYear) ++
       utc(notBeforeYear + years))
     val serialBytes = {
-      val raw = BigInt(serial).toByteArray
+      val raw = serial.toByteArray
       wrap(0x02, raw)
     }
     val spki = wrap(0x30, keyAlg ++

@@ -80,11 +80,91 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.avroRead(header(nested, "null")).isEmpty)
     val flat = """{"type": "record", "name": "r", "fields": [
       {"name": "x", "type": "long"}]}"""
-    // snappy AND zstandard are supported codecs since round 15
+    // the full six-codec matrix is supported since round 17; a
+    // genuinely unknown codec still refuses up front
     assert(Avro.avroRead(header(flat, "snappy")).isDefined)
     assert(Avro.avroRead(header(flat, "zstandard")).isDefined)
-    assert(Avro.avroRead(header(flat, "bzip2")).isEmpty)
+    assert(Avro.avroRead(header(flat, "bzip2")).isDefined)
+    assert(Avro.avroRead(header(flat, "xz")).isDefined)
+    assert(Avro.avroRead(header(flat, "lzma")).isEmpty)
     assert(Avro.avroRead(header(flat, "null")).isDefined) // sanity
+  }
+
+  test("named-type references decode across the six-codec matrix; " +
+      "forward and recursive references refuse") {
+    for (id <- 0L to 13L) {
+      val r = Avro.decodeAvroNamed(Avro.avroWriteNamed(id))
+      val codecs = Seq("null", "deflate", "snappy", "zstandard",
+        "bzip2", "xz")
+      assert(r(0) == codecs((id % 6).toInt), s"id $id codec")
+      assert(r(1) == 2, s"id $id n_records")
+      assert(r(2) == 8 * id + 2, s"id $id px_sum")
+      assert(r(3) == 4 * id + 2 * (id % 7) + 2, s"id $id py_sum")
+      val sym = Seq("R", "G", "B")
+      assert(r(4) == sym((id % 3).toInt) + "/" +
+        sym(((id + 1) % 3).toInt), s"id $id c_pair")
+      val wantH = (0 until 4).map(i => 2 * ((id + i) % 199) +
+        (2 * id + i) % 211 + (2 * id + i + 1) % 211).sum
+      assert(r(5) == wantH, s"id $id h_sum")
+      val len = (id % 3 + 1).toInt
+      assert(r(6) == 2 * len, s"id $id pts_n")
+      assert(r(7) == 2 * (len * id + len * (len - 1) / 2),
+        s"id $id pts_x_sum")
+      assert(r(8) == 2 * (len * id - len * (len - 1) / 2),
+        s"id $id pts_y_sum")
+    }
+    // a FORWARD reference (use before definition) must refuse: the
+    // registry only holds completed definitions
+    def headerOnly(schema: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+      def zl(v: Long): Unit = {
+        var z = (v << 1) ^ (v >> 63)
+        while ((z & ~0x7fL) != 0) {
+          out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+        }
+        out.write((z & 0x7f).toInt)
+      }
+      def ws(s: String): Unit = {
+        val u = s.getBytes("UTF-8"); zl(u.length.toLong)
+        out.write(u, 0, u.length)
+      }
+      zl(2L); ws("avro.schema"); ws(schema)
+      ws("avro.codec"); ws("null"); zl(0L)
+      out.write(new Array[Byte](16), 0, 16)
+      out.toByteArray
+    }
+    val forward = """{"type": "record", "name": "r", "fields": [
+      {"name": "a", "type": "pt"},
+      {"name": "b", "type": {"type": "record", "name": "pt",
+       "fields": [{"name": "x", "type": "long"}]}}]}"""
+    assert(Avro.containerFieldNames(headerOnly(forward)).isEmpty)
+    // a RECURSIVE type (legal Avro, unbounded data depth) refuses
+    val recursive = """{"type": "record", "name": "node", "fields": [
+      {"name": "next", "type": ["null", "node"]}]}"""
+    assert(Avro.containerFieldNames(headerOnly(recursive)).isEmpty)
+    // a reuse AFTER definition parses (the registry's whole point),
+    // by short name or namespace-qualified
+    val reuse = """{"type": "record", "name": "r",
+      "namespace": "nsx", "fields": [
+      {"name": "b", "type": {"type": "record", "name": "pt",
+       "namespace": "nsx",
+       "fields": [{"name": "x", "type": "long"}]}},
+      {"name": "a", "type": "pt"},
+      {"name": "c", "type": "nsx.pt"}]}"""
+    assert(Avro.containerFieldNames(headerOnly(reuse)) ==
+      Some(Seq("b", "a", "c")))
+  }
+
+  test("named decoder is total under mutation") {
+    val base = Avro.avroWriteNamed(9L) // deflate-coded variant
+    val rnd = new scala.util.Random(171)
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Avro.decodeAvroNamed(b) // must not throw
+    }
   }
 
   test("complex schemas decode: nested/array/map/enum/fixed/union " +

@@ -94,4 +94,78 @@ class BenchGateSpec extends AnyFunSuite {
     // a real future regression past the floor still flags
     assert(BenchGate.suspect(13.0, merged.get("q_pdf_encrypted")))
   }
+
+  test("hostOffset detects a uniformly-slow sweep (the r16 reboot " +
+      "case) and ignores a genuine single-query regression") {
+    import graft.BenchGate
+    val bars = (1 to 12).map(i => s"q$i" -> (0.5 + i * 0.1)).toMap
+    // every query a uniform 1.4× slower → one round-level offset
+    val slow = bars.map { case (k, v) => k -> v * 1.4 }
+    val off = BenchGate.hostOffset(slow, bars)
+    assert(off.exists(o => math.abs(o - 1.4) < 0.01))
+    // …and dividing it out un-flags the phantom regressions
+    slow.foreach { case (k, v) =>
+      assert(BenchGate.suspect(v / off.get, bars.get(k)) ==
+        BenchGate.suspect(bars(k), bars.get(k)))
+    }
+    // ONE query 3× slower on an otherwise-flat sweep: no offset
+    // (median ≈ 1.0 is under the 1.2 bar), so the real regression
+    // still flags at full strength
+    val oneBad = bars.updated("q9", bars("q9") * 3.0)
+    assert(BenchGate.hostOffset(oneBad, bars).isEmpty)
+    assert(BenchGate.suspect(oneBad("q9"), bars.get("q9")))
+    // a NON-uniform slow sweep (half 1.1×, half 2.2×) is not a host
+    // state — refuse to invent an offset for it
+    val ragged = bars.zipWithIndex.map { case ((k, v), i) =>
+      k -> (if (i % 2 == 0) v * 1.1 else v * 2.2)
+    }.toMap
+    assert(BenchGate.hostOffset(ragged, bars).isEmpty)
+    // under 8 comparable queries the median is meaningless → None
+    assert(BenchGate.hostOffset(
+      slow.take(5), bars).isEmpty)
+    // sub-floor bars (0.1 s jitter territory) carry no evidence
+    val tiny = (1 to 12).map(i => s"t$i" -> 0.1).toMap
+    assert(BenchGate.hostOffset(
+      tiny.map { case (k, v) => k -> v * 1.4 }, tiny).isEmpty)
+    // on the r16 reboot-era case the offset also survives a few
+    // genuinely-regressed queries riding it: 10 uniform 1.38× + 2
+    // at 4× still reports ~1.38 and the 4× pair STILL flags after
+    // division
+    val mixed = bars.map { case (k, v) =>
+      k -> (if (k == "q3" || k == "q7") v * 4.0 else v * 1.38)
+    }
+    val off2 = BenchGate.hostOffset(mixed, bars)
+    assert(off2.exists(o => math.abs(o - 1.38) < 0.05))
+    assert(BenchGate.suspect(mixed("q7") / off2.get, bars.get("q7")))
+  }
+
+  test("renderArtifact: partial emission leaves one parseable JSON " +
+      "object of the final shape (kill-safety)") {
+    import graft.BenchGate
+    val partial = BenchGate.renderArtifact(
+      Seq("q_a" -> Seq(1.5, 1.2), "q_b" -> Seq(0.4)),
+      Map.empty, Seq("q_broken"), "/root/testdata/sf0.1",
+      partial = true, hostOffset = None)
+    // must parse as JSON with the driver's own reader
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(partial)
+    assert(node.path("partial").asBoolean())
+    assert(node.path("value").asDouble() == 1.2 + 0.4)
+    assert(node.path("queries").path("q_a").asDouble() == 1.2)
+    assert(node.path("reps").path("q_a").size() == 2)
+    assert(node.path("failed").get(0).asText() == "q_broken")
+    // the same parser the gate itself uses reads it back
+    assert(BenchGate.parseQueries(partial.getBytes("UTF-8")) ==
+      Map("q_a" -> 1.2, "q_b" -> 0.4))
+    // the final emission drops the partial flag and records the
+    // host offset + surviving regressions
+    val fin = BenchGate.renderArtifact(
+      Seq("q_a" -> Seq(1.5, 1.2)), Map("q_a" -> 1.2), Nil,
+      "sf0.1", partial = false, hostOffset = Some(1.38))
+    val fnode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(fin)
+    assert(fnode.path("partial").isMissingNode)
+    assert(fnode.path("host_offset").asDouble() == 1.38)
+    assert(fnode.path("regressions").path("q_a").asDouble() == 1.2)
+  }
 }

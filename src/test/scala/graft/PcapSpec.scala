@@ -30,6 +30,23 @@ class PcapSpec extends AnyFunSuite {
       m.origBytes == 170 && m.nTruncated == 1)
   }
 
+  test("pcapng SPBs: captured = min(origlen, snaplen), never the " +
+      "padded block length") {
+    // origlen 61 with snaplen 0 (unlimited): payload 61 pads to 64
+    // on the wire; a totalLen-16 reader would overcount cap_bytes by
+    // 3 and call the packet truncated (r16 ADVICE finding).
+    val unlimited = Pcap.pcapMeta(
+      Pcap.pcapngWriteSpb(1, 0, Seq(61, 40))).get
+    assert(unlimited.nPackets == 2 && unlimited.capBytes == 101 &&
+      unlimited.origBytes == 101 && unlimited.nTruncated == 0)
+    // snaplen 48 truncates the 61- and 100-byte packets, not the 30
+    val snapped = Pcap.pcapMeta(
+      Pcap.pcapngWriteSpb(1, 48, Seq(61, 30, 100))).get
+    assert(snapped.nPackets == 3 &&
+      snapped.capBytes == 48 + 30 + 48 &&
+      snapped.origBytes == 191 && snapped.nTruncated == 2)
+  }
+
   test("magic variants map to endianness and resolution") {
     val base = Pcap.pcapWrite(1, Seq((30, 30)))
     // rewrite the magic to the nanosecond little-endian variant
