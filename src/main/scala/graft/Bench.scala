@@ -152,8 +152,16 @@ object BenchGate {
 
   /** Minimum median ratio before a sweep is called host-offset. */
   val HostOffsetMin = 1.2
-  /** Uniformity band around the median ratio (±15%). */
-  val HostOffsetBand = 0.15
+  /** Uniformity band around the median ratio. ±15% was measured too
+    * tight on the first live case: the r17 re-record sweep (median
+    * ratio 1.53 vs the merged bars, the r16 reboot offset still in
+    * force) put only 59.9% of ratios inside ±15% — sub-second
+    * queries carry ±20-30% scheduler noise at best-of-2 reps — and
+    * the gate missed the offset by 0.1% and flagged 54 phantoms.
+    * ±25% captures 84.5% of that same sweep while the synthetic
+    * half-1.1×/half-2.2× ragged case still lands 0% in band.
+    */
+  val HostOffsetBand = 0.25
   /** Fraction of measured ratios that must sit inside the band. */
   val HostOffsetUniformFraction = 0.6
   /** Minimum comparable queries for the median to mean anything,

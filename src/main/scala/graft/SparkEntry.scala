@@ -2625,6 +2625,40 @@ object SparkEntry {
           col("col_names"), col("kinds"))
     }),
 
+    // ----- ORC stripe/column STATISTICS census (round 17 — the
+    // facts that drive stripe skipping at 100 TB): file-level
+    // min/max/sum/nulls from the footer, per-stripe min/max from the
+    // Metadata section, and the PRUNING DECISION ITSELF computed
+    // engine-side with codegen'd array functions (zip_with + filter
+    // over the stripe intervals — zero UDFs): a point probe must hit
+    // exactly one of the five known 1024-row stripes and a planted
+    // 1500-wide range probe a doc-dependent count, both replayed
+    // closed-form by the oracle
+    "q_orc_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val os = Orc.synthOrcStats(d, "content")
+      val dec = Multimodal.decodeBatches(os, "content",
+        Orc.orcStatsSchema)(Orc.decodeOrcStats)
+      val mins = split(col("stripe_mins"), ",")
+        .cast("array<bigint>")
+      val maxs = split(col("stripe_maxs"), ",")
+        .cast("array<bigint>")
+      val probe = col("doc_id") % 5000
+      val lo = col("doc_id") % 4000
+      val hi = lo + 1500
+      dec.select(col("doc_id"), col("n_stripes_stats"),
+        col("file_min"), col("file_max"), col("file_sum"),
+        col("file_nvals"), col("has_null"), col("str_min"),
+        col("str_max"), col("str_len_sum"),
+        probe.as("probe"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= probe && mx >= probe), x => x))
+          .as("n_hit"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= hi && mx >= lo), x => x))
+          .as("n_range_hit"))
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -6602,6 +6636,27 @@ object SparkEntry {
              WHEN 3 THEN 'long,string'
              ELSE 'long,boolean,short' END AS kinds
          FROM documents""",
+
+    // the stats walk must replay what the reference ORC writer
+    // recorded for the deliberately-striped fixture (the writer
+    // rounds to its 1024-row batches: stripe k =
+    // [1024k, min(1024k+1023, 4999)]); the pruning counts are pure
+    // interval arithmetic over those known stripes
+    "q_orc_stats" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5000 AS probe,
+           doc_id % 4000 AS lo FROM documents)
+         SELECT doc_id,
+           5 AS n_stripes_stats,
+           0::BIGINT AS file_min, 4999::BIGINT AS file_max,
+           12497500::BIGINT AS file_sum, 5000::BIGINT AS file_nvals,
+           FALSE AS has_null,
+           's0' AS str_min, 's9' AS str_max,
+           10000::BIGINT AS str_len_sum,
+           CAST(probe AS BIGINT) AS probe,
+           1 AS n_hit,
+           CAST(LEAST(4, (lo + 1500) // 1024) - lo // 1024 + 1
+             AS INT) AS n_range_hit
+         FROM p""",
 
     // the census must replay every planted pickle shape: protocol,
     // opcode count, top kind, container length, globals, memo,

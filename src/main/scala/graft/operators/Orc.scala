@@ -259,6 +259,165 @@ object Orc {
   }
 
   // ---------------------------------------------------------------
+  // stripe/column STATISTICS census (round 17) — the facts that
+  // drive file/stripe skipping at 100 TB: the footer's file-level
+  // ColumnStatistics (field 7) and the Metadata section's per-stripe
+  // StripeStatistics (postscript metadataLength bytes immediately
+  // before the footer, chunk-compressed the same way). A reader that
+  // can answer "which stripes can contain v?" from these never
+  // touches the other stripes' data.
+  // ---------------------------------------------------------------
+
+  /** One column's statistics: counts plus the int/string stat
+    * messages (ORC proto: IntegerStatistics sint64 min/max/sum,
+    * StringStatistics min/max + sint64 total length).
+    */
+  final case class OrcColStat(nVals: Long, hasNull: Boolean,
+      intMin: Option[Long], intMax: Option[Long],
+      intSum: Option[Long], strMin: Option[String],
+      strMax: Option[String], strLenSum: Option[Long])
+
+  /** File-level stats (indexed by type id, 0 = root struct) and the
+    * same per stripe.
+    */
+  final case class OrcStats(fileCols: Vector[OrcColStat],
+      stripes: Vector[Vector[OrcColStat]])
+
+  private def zig(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  /** Parse one ColumnStatistics message over `buf[f, u)`. */
+  private def colStat(buf: Array[Byte], f: Int, u: Int)
+      : OrcColStat = {
+    var nVals = 0L
+    var hasNull = false
+    var iMin, iMax, iSum: Option[Long] = None
+    var sMin, sMax: Option[String] = None
+    var sSum: Option[Long] = None
+    val r = new Reader(buf, f, u)
+    fields(r) { (field, wire) =>
+      field match {
+        case 1 if wire == 0 => nVals = r.varint()
+        case 2 if wire == 2 => // IntegerStatistics
+          val (f2, u2) = r.bytes(r.varint())
+          val ir = new Reader(buf, f2, u2)
+          fields(ir) { (sf, sw) =>
+            if (sw == 0) sf match {
+              case 1 => iMin = Some(zig(ir.varint()))
+              case 2 => iMax = Some(zig(ir.varint()))
+              case 3 => iSum = Some(zig(ir.varint()))
+              case _ => ir.skip(sw)
+            } else ir.skip(sw)
+          }
+        case 4 if wire == 2 => // StringStatistics
+          val (f2, u2) = r.bytes(r.varint())
+          val sr = new Reader(buf, f2, u2)
+          fields(sr) { (sf, sw) =>
+            sf match {
+              case 1 if sw == 2 =>
+                val (a, b2) = sr.bytes(sr.varint())
+                sMin = Some(new String(buf, a, b2 - a,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case 2 if sw == 2 =>
+                val (a, b2) = sr.bytes(sr.varint())
+                sMax = Some(new String(buf, a, b2 - a,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case 3 if sw == 0 => sSum = Some(zig(sr.varint()))
+              case _ => sr.skip(sw)
+            }
+          }
+        case 10 if wire == 0 => hasNull = r.varint() != 0
+        case _ => r.skip(wire)
+      }
+    }
+    OrcColStat(nVals, hasNull, iMin, iMax, iSum, sMin, sMax, sSum)
+  }
+
+  /** Parse the statistics surfaces: footer field 7 (file-level) and
+    * the Metadata section (per-stripe). None on damage or when the
+    * file carries no metadata section.
+    */
+  def orcStats(b: Array[Byte]): Option[OrcStats] = {
+    if (b == null || b.length < 8) return None
+    val psLen = b(b.length - 1) & 0xff
+    if (psLen <= 0 || psLen >= b.length - 1 || psLen > 256)
+      return None
+    try {
+      val psr = new Reader(b, b.length - 1 - psLen, b.length - 1)
+      var footerLen = -1L
+      var codec = 0
+      var metadataLen = 0L
+      var magic = ""
+      fields(psr) { (field, wire) =>
+        field match {
+          case 1 if wire == 0 => footerLen = psr.varint()
+          case 2 if wire == 0 => codec = psr.varint().toInt
+          case 5 if wire == 0 => metadataLen = psr.varint()
+          case 8000 if wire == 2 =>
+            val (f, u) = psr.bytes(psr.varint())
+            magic = new String(b, f, u - f,
+              java.nio.charset.StandardCharsets.US_ASCII)
+          case _ => psr.skip(wire)
+        }
+      }
+      if (magic != "ORC" || footerLen <= 0 ||
+        footerLen > b.length - 1 - psLen) return None
+      val footerStart = b.length - 1 - psLen - footerLen.toInt
+      if (footerStart < 0 || metadataLen < 0 ||
+        metadataLen > footerStart) return None
+      def section(from: Int, len: Int): Option[Array[Byte]] =
+        if (codec == 0)
+          Some(java.util.Arrays.copyOfRange(b, from, from + len))
+        else inflateRegion(b, from, from + len, codec)
+
+      // ---- file-level: footer field 7 (repeated ColumnStatistics)
+      val fb = section(footerStart, footerLen.toInt)
+        .getOrElse(return None)
+      val fileCols = Vector.newBuilder[OrcColStat]
+      val fr = new Reader(fb, 0, fb.length)
+      fields(fr) { (field, wire) =>
+        field match {
+          case 7 if wire == 2 =>
+            val (f, u) = fr.bytes(fr.varint())
+            fileCols += colStat(fb, f, u)
+          case _ => fr.skip(wire)
+        }
+      }
+
+      // ---- per-stripe: the Metadata section
+      val stripes = Vector.newBuilder[Vector[OrcColStat]]
+      if (metadataLen > 0) {
+        val metaStart = footerStart - metadataLen.toInt
+        val mb = section(metaStart, metadataLen.toInt)
+          .getOrElse(return None)
+        val mr = new Reader(mb, 0, mb.length)
+        fields(mr) { (field, wire) =>
+          field match {
+            case 1 if wire == 2 => // StripeStatistics
+              val (f, u) = mr.bytes(mr.varint())
+              val cols = Vector.newBuilder[OrcColStat]
+              val sr = new Reader(mb, f, u)
+              fields(sr) { (sf, sw) =>
+                if (sf == 1 && sw == 2) {
+                  val (cf, cu) = sr.bytes(sr.varint())
+                  cols += colStat(mb, cf, cu)
+                } else sr.skip(sw)
+              }
+              stripes += cols.result()
+            case _ => mr.skip(wire)
+          }
+        }
+      }
+      val fc = fileCols.result()
+      if (fc.isEmpty) return None
+      Some(OrcStats(fc, stripes.result()))
+    } catch {
+      case _: OFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Spark plumbing (fixtures are Spark-written; see OrcFixtureGen)
   // ---------------------------------------------------------------
 
@@ -279,6 +438,46 @@ object Orc {
       case None => Seq[Any](null, null, null, null, null, null, null)
     }
 
+  val orcStatsSchema: StructType = StructType(Seq(
+    StructField("n_stripes_stats", IntegerType),
+    StructField("file_min", LongType),
+    StructField("file_max", LongType),
+    StructField("file_sum", LongType),
+    StructField("file_nvals", LongType),
+    StructField("has_null", BooleanType),
+    StructField("str_min", StringType),
+    StructField("str_max", StringType),
+    StructField("str_len_sum", LongType),
+    StructField("stripe_mins", StringType),
+    StructField("stripe_maxs", StringType)))
+
+  /** Stats decode kernel over a (root, long, string) schema: the
+    * file-level stats of the long column (type id 1) and string
+    * column (id 2), plus the per-stripe long-column min/max as CSV —
+    * the raw material the ENGINE then prunes with (the query does
+    * the interval arithmetic in codegen'd array functions, exactly
+    * the stripe-skipping decision a 100 TB reader makes). Null row
+    * for refusals or schema mismatch.
+    */
+  def decodeOrcStats(bytes: Array[Byte]): Seq[Any] =
+    orcStats(bytes) match {
+      case Some(OrcStats(fc, stripes))
+          if fc.length >= 3 && stripes.forall(_.length >= 3) &&
+            fc(1).intMin.isDefined && fc(2).strMin.isDefined &&
+            stripes.forall(s => s(1).intMin.isDefined &&
+              s(1).intMax.isDefined) =>
+        Seq[Any](stripes.length,
+          fc(1).intMin.get, fc(1).intMax.get,
+          fc(1).intSum.getOrElse(null),
+          fc(1).nVals, fc(1).hasNull,
+          fc(2).strMin.get, fc(2).strMax.get,
+          fc(2).strLenSum.getOrElse(null),
+          stripes.map(_(1).intMin.get).mkString(","),
+          stripes.map(_(1).intMax.get).mkString(","))
+      case _ => Seq[Any](null, null, null, null, null, null, null,
+        null, null, null, null)
+    }
+
   /** The committed reference fixtures, loaded once per executor. */
   lazy val Fixtures: IndexedSeq[Array[Byte]] = {
     (0 until 5).map { i =>
@@ -286,6 +485,26 @@ object Orc {
       require(in != null, s"missing orc fixture $i")
       try in.readAllBytes() finally in.close()
     }
+  }
+
+  /** The deliberately-striped stats fixture (5000 rows, exact
+    * 1000-row stripes via orc.stripe.row.count; see OrcFixtureGen).
+    */
+  lazy val StatsFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/orc/fx5.orc")
+    require(in != null, "missing orc stats fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Per-row stats-fixture attach (map-only). */
+  def synthOrcStats(df: DataFrame, outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val fx = StatsFixture
+      it.map(r => Row.fromSeq(r.toSeq :+ fx))
+    }(enc)
   }
 
   /** Per-row fixture attach: doc_id % 5 selects the Spark-written

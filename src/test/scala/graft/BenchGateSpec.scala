@@ -115,11 +115,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.hostOffset(oneBad, bars).isEmpty)
     assert(BenchGate.suspect(oneBad("q9"), bars.get("q9")))
     // a NON-uniform slow sweep (half 1.1×, half 2.2×) is not a host
-    // state — refuse to invent an offset for it
+    // state — refuse to invent an offset for it (median 1.65, and
+    // neither mode lands inside ±25% of it)
     val ragged = bars.zipWithIndex.map { case ((k, v), i) =>
       k -> (if (i % 2 == 0) v * 1.1 else v * 2.2)
     }.toMap
     assert(BenchGate.hostOffset(ragged, bars).isEmpty)
+    // the first LIVE case (r17 re-record): ratios scattered ±20-30%
+    // around a 1.53 median — scheduler noise on sub-second queries —
+    // must still read as ONE host offset, not 54 regressions
+    val noisy = bars.zipWithIndex.map { case ((k, v), i) =>
+      k -> v * 1.53 * (1.0 + 0.2 * math.sin(i * 2.399))
+    }.toMap
+    val noisyOff = BenchGate.hostOffset(noisy, bars)
+    assert(noisyOff.exists(o => o > 1.3 && o < 1.8))
     // under 8 comparable queries the median is meaningless → None
     assert(BenchGate.hostOffset(
       slow.take(5), bars).isEmpty)

@@ -23,8 +23,13 @@ object OrcFixtureGen {
     val outDir = java.nio.file.Paths.get("src/main/resources/orc")
     java.nio.file.Files.createDirectories(outDir)
 
+    // optional arg: regenerate just one fixture index (committed
+    // fixtures are reference output — avoid churning the others)
+    val onlyIdx: Option[Int] = args.headOption.map(_.toInt)
+
     def writeOne(df: org.apache.spark.sql.DataFrame, codec: String,
         idx: Int, stripeSize: Option[Long] = None): Unit = {
+      if (onlyIdx.exists(_ != idx)) return
       val tmp = java.nio.file.Files.createTempDirectory("orcfx")
         .toString
       var w = df.coalesce(1).write.mode("overwrite")
@@ -53,6 +58,19 @@ object OrcFixtureGen {
       .toDF("id", "txt"), "zstd", 3, Some(65536L))
     writeOne((0L until 300L).map(i => (i, i % 7 == 0, i.toShort))
       .toDF("id", "flag", "sm"), "lz4", 4)
+
+    // fx5: the STATS fixture — 5000 sorted rows forced into small
+    // stripes (orc.stripe.row.count=1000, which the writer rounds
+    // UP to its 1024-row vector batches; scoped to THIS write so
+    // re-running the gen never re-stripes fx0-4) so every stripe's
+    // [min,max] is known closed-form: stripe k covers
+    // [1024k, min(1024k+1023, 4999)]; s cycles s0..s9 (min "s0",
+    // max "s9", total length 10000)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("orc.stripe.row.count", "1000")
+    try writeOne((0L until 5000L).map(i => (i, s"s${i % 10}"))
+      .toDF("id", "s"), "zlib", 5)
+    finally hc.unset("orc.stripe.row.count")
 
     spark.stop()
     println(s"wrote $outDir")
