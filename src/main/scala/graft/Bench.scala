@@ -240,18 +240,26 @@ object Bench {
   import BenchGate.{suspect, RegressionFactor}
 
   /** Per-query historical bar over every `bench_r*.json` in the cwd
-    * (or just the file SPARK_GRAFT_BENCH_PREV points at).
+    * (or just the file SPARK_GRAFT_BENCH_PREV points at). The run's
+    * OWN artifact file is excluded: with streamed partial emission
+    * the current sweep's timings are already on disk when the gate
+    * loads history, and merging them in pins improved queries' bars
+    * to exactly this run's values — which skews the host-offset
+    * uniformity statistic toward 1.0.
     */
-  private def loadPrev(): Map[String, Double] = {
+  private def loadPrev(selfOut: String): Map[String, Double] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val self = Paths.get(selfOut).toAbsolutePath.normalize
     val paths = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
       case Some(p) => Seq(Paths.get(p))
       case None =>
         val rx = "bench_r\\d+[a-z_]*\\.json".r
         scala.util.Using.resource(Files.list(Paths.get("."))) { s =>
           s.iterator().asScala
-            .filter(p => rx.matches(p.getFileName.toString)).toSeq
+            .filter(p => rx.matches(p.getFileName.toString))
+            .filter(p => p.toAbsolutePath.normalize != self)
+            .toSeq
         }
     }
     BenchGate.mergeHistory(paths.filter(Files.exists(_))
@@ -352,7 +360,7 @@ object Bench {
     // regression gate vs the newest bench_r*.json: suspects get 2
     // extra reps AFTER the full sweep (the end-of-run JVM is the
     // quietest moment) so one noisy timing can't brand a plan
-    val prev = try loadPrev() catch {
+    val prev = try loadPrev(outPath) catch {
       case e: Exception =>
         System.err.println(s"[bench] could not load history: $e")
         Map.empty[String, Double]

@@ -2625,6 +2625,41 @@ object SparkEntry {
           col("col_names"), col("kinds"))
     }),
 
+    // ----- Iceberg MANIFEST LIST census (the public Iceberg table
+    // spec v2; round 17): the snapshot's scan-planning tier — Avro
+    // manifest_file records with nested field_summary arrays,
+    // nullable unions and bound bytes — decoded end-to-end through
+    // the in-house Avro surface; every planted count/sequence/spec
+    // fact replays closed-form, so a mis-decode anywhere in the
+    // nested tree breaks the hash
+    "q_iceberg_manifests" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ml = Iceberg.synthManifestLists(d, "doc_id", "content")
+      Multimodal.decodeBatches(ml, "content",
+          Iceberg.manifestListSchema)(Iceberg.decodeManifestList)
+        .select(col("doc_id"), col("n_manifests"),
+          col("total_added_files"), col("total_added_rows"),
+          col("total_deleted_files"), col("max_seq"),
+          col("min_seq"), col("spec_ids"),
+          col("n_null_partitions"), col("n_summaries"),
+          col("n_contains_null"), col("n_missing_upper"),
+          col("first_path"))
+    }),
+
+    // ----- Iceberg MANIFEST FILE census: manifest_entry records
+    // with the nested data_file record, partition tuple, and the
+    // spec's array-of-key/value int-keyed stats maps
+    "q_iceberg_entries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mf = Iceberg.synthManifests(d, "doc_id", "content")
+      Multimodal.decodeBatches(mf, "content",
+          Iceberg.manifestSchema)(Iceberg.decodeManifest)
+        .select(col("doc_id"), col("n_entries"), col("n_existing"),
+          col("n_added"), col("n_deleted"), col("n_null_snap"),
+          col("rows_sum"), col("bytes_sum"), col("formats"),
+          col("bucket_sum"), col("colsize_sum"))
+    }),
+
     // ----- ORC stripe/column STATISTICS census (round 17 — the
     // facts that drive stripe skipping at 100 TB): file-level
     // min/max/sum/nulls from the footer, per-stripe min/max from the
@@ -6636,6 +6671,75 @@ object SparkEntry {
              WHEN 3 THEN 'long,string'
              ELSE 'long,boolean,short' END AS kinds
          FROM documents""",
+
+    // every planted manifest-list fact replayed closed-form over a
+    // two-level unnest (manifests × partition summaries)
+    "q_iceberg_manifests" ->
+      """WITH base AS (SELECT doc_id, doc_id % 3 + 1 AS n,
+             doc_id % 2 + 1 AS np FROM documents),
+         j AS (SELECT doc_id, n, np, t.j FROM base,
+             unnest(generate_series(0, 2)) AS t(j) WHERE t.j < n),
+         jp AS (SELECT doc_id, j.j, u.p FROM j,
+             unnest(generate_series(0, 1)) AS u(p)
+           WHERE u.p < np AND j.j % 3 <> 2),
+         agg_j AS (SELECT doc_id,
+             COUNT(*)::INT AS n_manifests,
+             SUM((doc_id + j) % 10)::BIGINT AS total_added_files,
+             SUM(100 * doc_id + j)::BIGINT AS total_added_rows,
+             SUM((doc_id + j) % 3)::BIGINT AS total_deleted_files,
+             MAX(doc_id + j)::BIGINT AS max_seq,
+             MIN(doc_id)::BIGINT AS min_seq,
+             array_to_string(list_sort(list_distinct(
+               list((doc_id + j) % 4))), ',') AS spec_ids,
+             SUM(CASE WHEN j % 3 = 2 THEN 1 ELSE 0 END)::INT
+               AS n_null_partitions
+           FROM j GROUP BY doc_id),
+         agg_p AS (SELECT doc_id,
+             COUNT(*)::INT AS n_summaries,
+             SUM(CASE WHEN (doc_id + j + p) % 2 = 0 THEN 1 ELSE 0
+               END)::INT AS n_contains_null,
+             SUM(CASE WHEN (doc_id + p) % 3 = 0 THEN 1 ELSE 0
+               END)::INT AS n_missing_upper
+           FROM jp GROUP BY doc_id)
+         SELECT b.doc_id, n_manifests, total_added_files,
+           total_added_rows, total_deleted_files, max_seq, min_seq,
+           spec_ids, n_null_partitions,
+           COALESCE(n_summaries, 0)::INT AS n_summaries,
+           COALESCE(n_contains_null, 0)::INT AS n_contains_null,
+           COALESCE(n_missing_upper, 0)::INT AS n_missing_upper,
+           's3://lake/meta/snap-' || b.doc_id || '-m0.avro'
+             AS first_path
+         FROM base b JOIN agg_j USING (doc_id)
+           LEFT JOIN agg_p USING (doc_id)""",
+
+    // manifest entries: status histogram, nested data_file sums,
+    // the int-keyed stats map total, distinct formats
+    "q_iceberg_entries" ->
+      """WITH base AS (SELECT doc_id, doc_id % 4 + 1 AS m,
+             doc_id % 3 + 1 AS nc FROM documents),
+         e AS (SELECT doc_id, m, nc, t.e FROM base,
+             unnest(generate_series(0, 3)) AS t(e) WHERE t.e < m)
+         SELECT doc_id,
+           COUNT(*)::INT AS n_entries,
+           SUM(CASE WHEN e % 3 = 0 THEN 1 ELSE 0 END)::INT
+             AS n_existing,
+           SUM(CASE WHEN e % 3 = 1 THEN 1 ELSE 0 END)::INT
+             AS n_added,
+           SUM(CASE WHEN e % 3 = 2 THEN 1 ELSE 0 END)::INT
+             AS n_deleted,
+           SUM(CASE WHEN e % 4 = 3 THEN 1 ELSE 0 END)::INT
+             AS n_null_snap,
+           SUM(50 * doc_id + e)::BIGINT AS rows_sum,
+           SUM(1024 * (e + 1))::BIGINT AS bytes_sum,
+           array_to_string(list_sort(list_distinct(list(
+             CASE (doc_id + e) % 3 WHEN 0 THEN 'PARQUET'
+               WHEN 1 THEN 'ORC' ELSE 'AVRO' END))), ',')
+             AS formats,
+           SUM((doc_id + e) % 8)::BIGINT AS bucket_sum,
+           SUM(CASE WHEN e % 2 = 0
+             THEN 10 * doc_id * nc + nc * (nc - 1) / 2
+             ELSE 0 END)::BIGINT AS colsize_sum
+         FROM e GROUP BY doc_id, m, nc""",
 
     // the stats walk must replay what the reference ORC writer
     // recorded for the deliberately-striped fixture (the writer

@@ -473,6 +473,23 @@ object Avro {
     }
   }
 
+  /** Full typed read for sibling operators (the Iceberg census
+    * rides this): top-level (name, type) pairs plus typed rows —
+    * records as IndexedSeq, arrays as Vector, unions as
+    * (branch, value). None on any damage.
+    */
+  private[operators] def readTypedContainer(b: Array[Byte])
+      : Option[(Vector[(String, AType)], Seq[IndexedSeq[Any]])] =
+    try {
+      val (f, r, _, _) = readContainer(b)
+      Some((f, r))
+    } catch {
+      case AvroFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: NoSuchElementException => None
+    }
+
   /** Top-level field names of a container whose schema parses (any
     * complexity, named references resolved) — None on refusal. Test
     * hook for the schema-tree walk independent of a decode kernel.
@@ -516,7 +533,7 @@ object Avro {
   // fixture writer
   // ------------------------------------------------------------------
 
-  private def wZlong(v: Long): Array[Byte] = {
+  private[operators] def wZlong(v: Long): Array[Byte] = {
     var z = (v << 1) ^ (v >> 63)
     val out = scala.collection.mutable.ArrayBuffer[Byte]()
     while ((z & ~0x7fL) != 0) {
@@ -527,7 +544,7 @@ object Avro {
     out.toArray
   }
 
-  private def wStr(s: String): Array[Byte] = {
+  private[operators] def wStr(s: String): Array[Byte] = {
     val u = s.getBytes(StandardCharsets.UTF_8)
     wZlong(u.length.toLong) ++ u
   }

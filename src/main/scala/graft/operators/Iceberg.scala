@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg table-format METADATA census (the public Iceberg
+  * table spec, v2) — the third lakehouse table format next to the
+  * Delta log census (DeltaLog.scala) and the parquet/ORC zone-map
+  * walks. Iceberg's scan-planning layer is two tiers of Avro object
+  * container files:
+  *
+  *  - the MANIFEST LIST (one per snapshot): `manifest_file` records
+  *    — manifest path/length, partition spec id, content kind,
+  *    sequence numbers, added/existing/deleted file and row counts,
+  *    and per-partition-field `field_summary` records
+  *    (contains_null/contains_nan flags, lower/upper bound bytes) —
+  *    the facts that prune whole MANIFESTS before any data file is
+  *    considered;
+  *  - MANIFEST FILES: `manifest_entry` records — status
+  *    (existing/added/deleted), optional snapshot id, and the nested
+  *    `data_file` record (path, format, partition tuple,
+  *    record/byte counts, and the int-keyed stats maps the spec
+  *    encodes as arrays of key/value records).
+  *
+  * Both ride the round-17 Avro surface end-to-end: nested records,
+  * arrays of records, nullable unions, bytes — which is the point:
+  * a census over table metadata at 100 TB is footer-tier map work,
+  * never a data-file read. Fixtures are written from the spec
+  * schemas by [[manifestListWrite]]/[[manifestWrite]] with planted
+  * closed-form facts the DuckDB oracle replays; refusals null the
+  * row (decodeBatches totality contract).
+  */
+object Iceberg {
+
+  import Avro.{wZlong, wStr}
+
+  private object IceFail extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  // ----------------------------------------------------------------
+  // schemas (spec field names, v2 subset)
+  // ----------------------------------------------------------------
+
+  private val ManifestListSchema =
+    """{"type": "record", "name": "manifest_file", "fields": [
+      {"name": "manifest_path", "type": "string"},
+      {"name": "manifest_length", "type": "long"},
+      {"name": "partition_spec_id", "type": "int"},
+      {"name": "content", "type": "int"},
+      {"name": "sequence_number", "type": "long"},
+      {"name": "min_sequence_number", "type": "long"},
+      {"name": "added_snapshot_id", "type": "long"},
+      {"name": "added_files_count", "type": "int"},
+      {"name": "existing_files_count", "type": "int"},
+      {"name": "deleted_files_count", "type": "int"},
+      {"name": "added_rows_count", "type": "long"},
+      {"name": "existing_rows_count", "type": "long"},
+      {"name": "deleted_rows_count", "type": "long"},
+      {"name": "partitions", "type": ["null",
+        {"type": "array", "items": {"type": "record",
+         "name": "field_summary", "fields": [
+          {"name": "contains_null", "type": "boolean"},
+          {"name": "contains_nan", "type": ["null", "boolean"]},
+          {"name": "lower_bound", "type": ["null", "bytes"]},
+          {"name": "upper_bound", "type": ["null", "bytes"]}]}}]}
+    ]}"""
+
+  private val ManifestSchema =
+    """{"type": "record", "name": "manifest_entry", "fields": [
+      {"name": "status", "type": "int"},
+      {"name": "snapshot_id", "type": ["null", "long"]},
+      {"name": "data_file", "type": {"type": "record",
+       "name": "r2", "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": {"type": "record",
+         "name": "r102", "fields": [
+          {"name": "p_bucket", "type": "int"}]}},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "column_sizes", "type": ["null",
+          {"type": "array", "items": {"type": "record",
+           "name": "k127_v128", "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "long"}]}}]}
+      ]}}
+    ]}"""
+
+  // ----------------------------------------------------------------
+  // fixture writers (planted closed-form facts)
+  // ----------------------------------------------------------------
+
+  private def container(schema: String, records: Seq[Array[Byte]])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    def wr(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    wr(wZlong(2L))
+    wr(wStr("avro.schema")); wr(wStr(schema))
+    wr(wStr("avro.codec")); wr(wStr("deflate"))
+    wr(wZlong(0L))
+    val sync = Array.tabulate[Byte](16)(i => (0x1c ^ i * 17).toByte)
+    wr(sync)
+    // all records in ONE block, deflate-coded
+    val raw = records.flatMap(_.toSeq).toArray
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    val payload = java.util.Arrays.copyOf(buf, n)
+    wr(wZlong(records.length.toLong))
+    wr(wZlong(payload.length.toLong))
+    wr(payload); wr(sync)
+    out.toByteArray
+  }
+
+  private def wBytes(b: Array[Byte]): Array[Byte] =
+    wZlong(b.length.toLong) ++ b
+
+  /** A manifest list for snapshot `id`: id%3+1 manifest_file
+    * records; every field is an arithmetic function of (id, j) so
+    * the census replays closed-form; the partitions union exercises
+    * the null branch (j%3==2), nullable bools and bound bytes.
+    */
+  def manifestListWrite(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    val np = (id % 2 + 1).toInt
+    val recs = (0 until n).map { j =>
+      val b = new java.io.ByteArrayOutputStream()
+      def w(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+      w(wStr(s"s3://lake/meta/snap-$id-m$j.avro"))
+      w(wZlong(1000 * id + 13 * j))
+      w(wZlong((id + j) % 4)) // partition_spec_id
+      w(wZlong(j % 2)) // content
+      w(wZlong(id + j)) // sequence_number
+      w(wZlong(id)) // min_sequence_number
+      w(wZlong(7 * id + 1)) // added_snapshot_id
+      w(wZlong((id + j) % 10)) // added_files_count
+      w(wZlong(j.toLong)) // existing_files_count
+      w(wZlong((id + j) % 3)) // deleted_files_count
+      w(wZlong(100 * id + j)) // added_rows_count
+      w(wZlong(10L * j)) // existing_rows_count
+      w(wZlong((id + j) % 5)) // deleted_rows_count
+      if (j % 3 == 2) w(wZlong(0L)) // partitions: null branch
+      else {
+        w(wZlong(1L)) // union branch 1 = array
+        w(wZlong(np.toLong)) // one item block
+        (0 until np).foreach { p =>
+          b.write(if ((id + j + p) % 2 == 0) 1 else 0) // contains_null
+          if (p % 2 == 0) w(wZlong(0L)) // contains_nan: null
+          else {
+            w(wZlong(1L))
+            b.write(if ((id + p) % 2 == 1) 1 else 0)
+          }
+          w(wZlong(1L)) // lower_bound: bytes branch
+          w(wBytes(Array[Byte]((id % 256).toByte, p.toByte)))
+          if ((id + p) % 3 == 0) w(wZlong(0L)) // upper: null
+          else {
+            w(wZlong(1L))
+            w(wBytes(Array[Byte]((id % 256).toByte, (p + 1).toByte)))
+          }
+        }
+        w(wZlong(0L)) // array terminator
+      }
+      b.toByteArray
+    }
+    container(ManifestListSchema, recs)
+  }
+
+  /** A manifest file for table `id`: id%4+1 manifest_entry records
+    * with a nested data_file record, nullable snapshot ids, and the
+    * spec's array-of-key/value encoding for column_sizes.
+    */
+  def manifestWrite(id: Long): Array[Byte] = {
+    val m = (id % 4 + 1).toInt
+    val nc = (id % 3 + 1).toInt
+    val recs = (0 until m).map { e =>
+      val b = new java.io.ByteArrayOutputStream()
+      def w(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+      w(wZlong(e % 3)) // status
+      if (e % 4 == 3) w(wZlong(0L)) // snapshot_id: null
+      else { w(wZlong(1L)); w(wZlong(7 * id + 1)) }
+      // data_file
+      w(wZlong(0L)) // content
+      w(wStr(s"s3://lake/data/f$id-$e.parquet"))
+      w(wStr(Seq("PARQUET", "ORC", "AVRO")(((id + e) % 3).toInt)))
+      w(wZlong((id + e) % 8)) // partition.p_bucket
+      w(wZlong(50 * id + e)) // record_count
+      w(wZlong(1024L * (e + 1))) // file_size_in_bytes
+      if (e % 2 == 1) w(wZlong(0L)) // column_sizes: null
+      else {
+        w(wZlong(1L)); w(wZlong(nc.toLong))
+        (0 until nc).foreach { c =>
+          w(wZlong(c.toLong)); w(wZlong(10 * id + c))
+        }
+        w(wZlong(0L))
+      }
+      b.toByteArray
+    }
+    container(ManifestSchema, recs)
+  }
+
+  // ----------------------------------------------------------------
+  // census kernels
+  // ----------------------------------------------------------------
+
+  val manifestListSchema: StructType = StructType(Seq(
+    StructField("n_manifests", IntegerType),
+    StructField("total_added_files", LongType),
+    StructField("total_added_rows", LongType),
+    StructField("total_deleted_files", LongType),
+    StructField("max_seq", LongType),
+    StructField("min_seq", LongType),
+    StructField("spec_ids", StringType),
+    StructField("n_null_partitions", IntegerType),
+    StructField("n_summaries", IntegerType),
+    StructField("n_contains_null", IntegerType),
+    StructField("n_missing_upper", IntegerType),
+    StructField("first_path", StringType)))
+
+  def decodeManifestList(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          var added = 0L; var addedRows = 0L; var deleted = 0L
+          var maxSeq = Long.MinValue; var minSeq = Long.MaxValue
+          val specs = scala.collection.mutable.SortedSet[Long]()
+          var nullParts = 0; var nSum = 0; var nNull = 0
+          var nMissUp = 0
+          var firstPath: String = null
+          rows.foreach { r =>
+            if (firstPath == null)
+              firstPath = r(idx("manifest_path")).asInstanceOf[String]
+            added += r(idx("added_files_count")).asInstanceOf[Long]
+            addedRows +=
+              r(idx("added_rows_count")).asInstanceOf[Long]
+            deleted +=
+              r(idx("deleted_files_count")).asInstanceOf[Long]
+            maxSeq = math.max(maxSeq,
+              r(idx("sequence_number")).asInstanceOf[Long])
+            minSeq = math.min(minSeq,
+              r(idx("min_sequence_number")).asInstanceOf[Long])
+            specs +=
+              r(idx("partition_spec_id")).asInstanceOf[Long]
+            r(idx("partitions")) match {
+              case (0, _) => nullParts += 1
+              case (1, arr: Vector[_]) =>
+                arr.foreach {
+                  case s: IndexedSeq[_] =>
+                    nSum += 1
+                    if (s(0).asInstanceOf[Boolean]) nNull += 1
+                    s(3) match {
+                      case (0, _) => nMissUp += 1
+                      case _ => ()
+                    }
+                  case _ => throw IceFail
+                }
+              case _ => throw IceFail
+            }
+          }
+          if (rows.isEmpty) None
+          else Some(Seq[Any](rows.length, added, addedRows, deleted,
+            maxSeq, minSeq, specs.mkString(","), nullParts, nSum,
+            nNull, nMissUp, firstPath))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+          case _: IndexOutOfBoundsException => None
+        }
+    }
+    res.getOrElse(nullRow12)
+  }
+
+  private def nullRow12 = Seq[Any](null, null, null, null, null,
+    null, null, null, null, null, null, null)
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("n_entries", IntegerType),
+    StructField("n_existing", IntegerType),
+    StructField("n_added", IntegerType),
+    StructField("n_deleted", IntegerType),
+    StructField("n_null_snap", IntegerType),
+    StructField("rows_sum", LongType),
+    StructField("bytes_sum", LongType),
+    StructField("formats", StringType),
+    StructField("bucket_sum", LongType),
+    StructField("colsize_sum", LongType)))
+
+  def decodeManifest(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          var nExist = 0; var nAdd = 0; var nDel = 0; var nNullSnap = 0
+          var rowsSum = 0L; var bytesSum = 0L; var bucketSum = 0L
+          var colSum = 0L
+          val formats = scala.collection.mutable.SortedSet[String]()
+          rows.foreach { r =>
+            r(idx("status")).asInstanceOf[Long] match {
+              case 0 => nExist += 1
+              case 1 => nAdd += 1
+              case 2 => nDel += 1
+              case _ => throw IceFail
+            }
+            r(idx("snapshot_id")) match {
+              case (0, _) => nNullSnap += 1
+              case _ => ()
+            }
+            r(idx("data_file")) match {
+              case df: IndexedSeq[_] =>
+                // (content, file_path, file_format, partition,
+                //  record_count, file_size_in_bytes, column_sizes)
+                formats += df(2).asInstanceOf[String]
+                df(3) match {
+                  case p: IndexedSeq[_] =>
+                    bucketSum += p(0).asInstanceOf[Long]
+                  case _ => throw IceFail
+                }
+                rowsSum += df(4).asInstanceOf[Long]
+                bytesSum += df(5).asInstanceOf[Long]
+                df(6) match {
+                  case (0, _) => ()
+                  case (1, arr: Vector[_]) =>
+                    arr.foreach {
+                      case kv: IndexedSeq[_] =>
+                        colSum += kv(1).asInstanceOf[Long]
+                      case _ => throw IceFail
+                    }
+                  case _ => throw IceFail
+                }
+              case _ => throw IceFail
+            }
+          }
+          if (rows.isEmpty) None
+          else Some(Seq[Any](rows.length, nExist, nAdd, nDel,
+            nNullSnap, rowsSum, bytesSum, formats.mkString(","),
+            bucketSum, colSum))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+          case _: IndexOutOfBoundsException => None
+        }
+    }
+    res.getOrElse(nullRow10)
+  }
+
+  private def nullRow10 = Seq[Any](null, null, null, null, null,
+    null, null, null, null, null)
+
+  // ----------------------------------------------------------------
+  // Spark plumbing (map-only synth, like every decode tier)
+  // ----------------------------------------------------------------
+
+  private def synth(df: DataFrame, idCol: String, outCol: String)(
+      write: Long => Array[Byte]): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+ write(id))
+      }
+    }(enc)
+  }
+
+  def synthManifestLists(df: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    synth(df, idCol, outCol)(manifestListWrite)
+
+  def synthManifests(df: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    synth(df, idCol, outCol)(manifestWrite)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Iceberg
+
+/** Iceberg metadata census: both Avro tiers (manifest list,
+  * manifest file) replay their planted closed-form facts through
+  * the full nested/union/bytes decode path; damage and non-Avro
+  * payloads null-row; both kernels are total under mutation.
+  */
+class IcebergSpec extends AnyFunSuite {
+
+  test("manifest lists replay planted counts, sequences, spec ids " +
+      "and partition summaries") {
+    for (id <- 0L to 12L) {
+      val r = Iceberg.decodeManifestList(Iceberg.manifestListWrite(id))
+      val n = (id % 3 + 1).toInt
+      val np = (id % 2 + 1).toInt
+      assert(r(0) == n, s"id $id n_manifests")
+      assert(r(1) == (0 until n).map(j => (id + j) % 10).sum,
+        s"id $id added_files")
+      assert(r(2) == 100 * id * n + n * (n - 1) / 2,
+        s"id $id added_rows")
+      assert(r(3) == (0 until n).map(j => (id + j) % 3).sum,
+        s"id $id deleted_files")
+      assert(r(4) == id + n - 1 && r(5) == id, s"id $id seq")
+      assert(r(6) == (0 until n).map(j => (id + j) % 4)
+        .distinct.sorted.mkString(","), s"id $id spec_ids")
+      val withParts = (0 until n).filter(_ % 3 != 2)
+      assert(r(7) == n - withParts.length, s"id $id null_parts")
+      assert(r(8) == withParts.length * np, s"id $id summaries")
+      assert(r(9) == withParts.map(j => (0 until np)
+        .count(p => (id + j + p) % 2 == 0)).sum, s"id $id has_null")
+      assert(r(10) == withParts.map(j => (0 until np)
+        .count(p => (id + p) % 3 == 0)).sum, s"id $id miss_upper")
+      assert(r(11) == s"s3://lake/meta/snap-$id-m0.avro",
+        s"id $id path")
+    }
+  }
+
+  test("manifest entries replay status histogram, nested data_file " +
+      "sums and the int-keyed stats map") {
+    for (id <- 0L to 12L) {
+      val r = Iceberg.decodeManifest(Iceberg.manifestWrite(id))
+      val m = (id % 4 + 1).toInt
+      val nc = (id % 3 + 1).toInt
+      assert(r(0) == m, s"id $id n_entries")
+      assert(r(1) == (0 until m).count(_ % 3 == 0), s"id $id exist")
+      assert(r(2) == (0 until m).count(_ % 3 == 1), s"id $id added")
+      assert(r(3) == (0 until m).count(_ % 3 == 2), s"id $id del")
+      assert(r(4) == (0 until m).count(_ % 4 == 3), s"id $id nsnap")
+      assert(r(5) == (0 until m).map(e => 50 * id + e).sum,
+        s"id $id rows")
+      assert(r(6) == 1024L * m * (m + 1) / 2, s"id $id bytes")
+      assert(r(7) == (0 until m).map(e =>
+        Seq("PARQUET", "ORC", "AVRO")(((id + e) % 3).toInt))
+        .distinct.sorted.mkString(","), s"id $id formats")
+      assert(r(8) == (0 until m).map(e => (id + e) % 8).sum,
+        s"id $id buckets")
+      assert(r(9) == (0 until m).filter(_ % 2 == 0).map(_ =>
+        10 * id * nc + nc.toLong * (nc - 1) / 2).sum,
+        s"id $id colsizes")
+    }
+  }
+
+  test("refusals null-row: damage, non-Avro, wrong schema") {
+    assert(Iceberg.decodeManifestList(null).head == null)
+    assert(Iceberg.decodeManifestList("junk".getBytes).head == null)
+    // the OTHER tier's file has the wrong fields — must null, not
+    // mis-map
+    assert(Iceberg.decodeManifestList(
+      Iceberg.manifestWrite(3L)).head == null)
+    assert(Iceberg.decodeManifest(
+      Iceberg.manifestListWrite(3L)).head == null)
+  }
+
+  test("both kernels are total under mutation") {
+    val bases = Seq(Iceberg.manifestListWrite(7L),
+      Iceberg.manifestWrite(7L))
+    val rnd = new scala.util.Random(1713)
+    bases.foreach { base =>
+      for (_ <- 0 until 250) {
+        val b = base.clone()
+        for (_ <- 0 until 1 + rnd.nextInt(4))
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        Iceberg.decodeManifestList(b) // must not throw
+        Iceberg.decodeManifest(b)
+      }
+    }
+  }
+}
