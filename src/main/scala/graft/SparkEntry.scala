@@ -2625,6 +2625,24 @@ object SparkEntry {
           col("col_names"), col("kinds"))
     }),
 
+    // ----- the LAKEHOUSE-metadata omni compose (round 17): one
+    // sniff-routed dispatch over the scan-planning tier — Delta
+    // commit logs (full action-by-action JSON census, never a
+    // text guess), both Iceberg Avro tiers (told apart by their
+    // spec field names after the Avro magic routes them), and
+    // parquet/ORC footers — flattened to one (label, fact,
+    // measure) shape; the oracle replays every planted fact, so a
+    // misroute anywhere breaks the hash
+    "q_lakehouse_omni" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val lh = LakehouseOmni.synthLakehouse(d, "doc_id", "content")
+      Multimodal.decodeBatches(lh, "content",
+          LakehouseOmni.lakehouseSchema)(
+          LakehouseOmni.decodeLakehouse)
+        .select(col("doc_id"), col("label"), col("fact"),
+          col("measure"))
+    }),
+
     // ----- Iceberg MANIFEST LIST census (the public Iceberg table
     // spec v2; round 17): the snapshot's scan-planning tier — Avro
     // manifest_file records with nested field_summary arrays,
@@ -6671,6 +6689,53 @@ object SparkEntry {
              WHEN 3 THEN 'long,string'
              ELSE 'long,boolean,short' END AS kinds
          FROM documents""",
+
+    // one CASE per routed kind: the delta add-bytes sum, the
+    // iceberg list/manifest aggregates (via per-kind unnest CTEs),
+    // and the parquet/ORC fixture facts keyed by (doc_id//5)%5
+    "q_lakehouse_omni" ->
+      """WITH base AS (SELECT doc_id, doc_id % 5 AS k,
+             (doc_id // 5) % 5 AS fx, doc_id % 3 + 1 AS n,
+             doc_id % 4 + 1 AS m, doc_id % 4 + 1 AS a
+           FROM documents),
+         lst AS (SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list((doc_id + t.j) % 4))), ',') AS spec_ids,
+             SUM(100 * doc_id + t.j)::BIGINT AS added_rows
+           FROM base, unnest(generate_series(0, 2)) AS t(j)
+           WHERE t.j < n AND k = 1 GROUP BY doc_id),
+         mf AS (SELECT doc_id,
+             array_to_string(list_sort(list_distinct(list(
+               CASE (doc_id + t.e) % 3 WHEN 0 THEN 'PARQUET'
+                 WHEN 1 THEN 'ORC' ELSE 'AVRO' END))), ',')
+               AS formats,
+             SUM(50 * doc_id + t.e)::BIGINT AS rows_sum
+           FROM base, unnest(generate_series(0, 3)) AS t(e)
+           WHERE t.e < m AND k = 2 GROUP BY doc_id)
+         SELECT b.doc_id,
+           CASE k WHEN 0 THEN 'application/x-delta-log'
+             WHEN 1 THEN 'application/x-iceberg-manifest-list'
+             WHEN 2 THEN 'application/x-iceberg-manifest'
+             WHEN 3 THEN 'application/vnd.apache.parquet'
+             ELSE 'application/x-orc' END AS label,
+           CASE k WHEN 0 THEN 'parquet'
+             WHEN 1 THEN lst.spec_ids
+             WHEN 2 THEN mf.formats
+             WHEN 3 THEN (CASE fx WHEN 0 THEN 'uncompressed'
+               WHEN 1 THEN 'snappy' WHEN 2 THEN 'gzip'
+               WHEN 3 THEN 'zstd' ELSE 'lz4' END)
+             ELSE (CASE fx WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+               WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
+               ELSE 'lz4' END) END AS fact,
+           CAST(CASE k
+             WHEN 0 THEN a * 100 * b.doc_id + a * (a - 1) / 2
+             WHEN 1 THEN lst.added_rows
+             WHEN 2 THEN mf.rows_sum
+             ELSE (CASE fx WHEN 0 THEN 100 WHEN 1 THEN 250
+               WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END)
+             END AS BIGINT) AS measure
+         FROM base b LEFT JOIN lst USING (doc_id)
+           LEFT JOIN mf USING (doc_id)""",
 
     // every planted manifest-list fact replayed closed-form over a
     // two-level unnest (manifests × partition summaries)
