@@ -3937,6 +3937,22 @@ object SparkEntry {
           col("pts_y_sum"))
     }),
 
+    // ----- Avro LOGICAL types (round 17): the spec's annotations
+    // interpreted, not just carried — decimal(10,2) from two's-
+    // complement bytes with the scale read from the annotation,
+    // date/timestamp-micros/time-millis as ISO strings, uuid
+    // validity, the duration fixed(12) triple — plus the schema's
+    // logical-type inventory; every value closed-form
+    "q_avro_logical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val av = Avro.synthAvroLogical(d, "doc_id", "content")
+      Multimodal.decodeBatches(av, "content",
+          Avro.avroLogicalSchema)(Avro.decodeAvroLogical)
+        .select(col("doc_id"), col("logical_csv"), col("dec_str"),
+          col("date_iso"), col("ts_iso"), col("time_str"),
+          col("uuid_str"), col("uuid_ok"), col("dur_str"))
+    }),
+
     // ----- EXIF over JPEG APP1: orientation/timestamp as curation
     // signals, GPS in exact centi-arc-seconds, and the PII strip
     // proven per-row (metadata gone, entropy bytes identical)
@@ -7788,6 +7804,37 @@ object SparkEntry {
              AS pts_x_sum,
            CAST(2 * (len * doc_id - len * (len - 1) / 2) AS BIGINT)
              AS pts_y_sum
+         FROM p""",
+
+    // every logical value replayed closed-form: manual decimal
+    // string composition, DuckDB's own date/timestamp rendering
+    // (verified char-equal to java.time's ISO forms)
+    "q_avro_logical" ->
+      """WITH p AS (SELECT doc_id,
+           12345 + doc_id AS a,
+           (doc_id * 37) % 86400000 AS v FROM documents)
+         SELECT doc_id,
+           'date,decimal(10,2),duration,time-millis,' ||
+             'timestamp-micros,uuid' AS logical_csv,
+           (CASE WHEN doc_id % 2 = 0 THEN '' ELSE '-' END) ||
+             CAST(a // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(a % 100 AS VARCHAR), 2, '0') AS dec_str,
+           CAST(DATE '1970-01-01' +
+             CAST(19000 + doc_id % 1000 AS INT) AS VARCHAR)
+             AS date_iso,
+           strftime(make_timestamp(1700000000000000 +
+             doc_id * 1000003), '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+             AS ts_iso,
+           lpad(CAST(v // 3600000 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(v // 60000 % 60 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(v // 1000 % 60 AS VARCHAR), 2, '0') || '.' ||
+             lpad(CAST(v % 1000 AS VARCHAR), 3, '0') AS time_str,
+           '00000000-0000-4000-8000-' || printf('%012x',
+             doc_id % 281474976710656) AS uuid_str,
+           TRUE AS uuid_ok,
+           CAST(doc_id % 12 AS VARCHAR) || ':' ||
+             CAST(doc_id % 30 AS VARCHAR) || ':' ||
+             CAST(doc_id % 1000 AS VARCHAR) AS dur_str
          FROM p""",
 
     // planted orientation/timestamp/GPS replayed arithmetically;

@@ -110,6 +110,14 @@ object Avro {
     extends AType
   private[operators] final case class AUnion(branches: Vector[AType])
     extends AType
+  /** A spec `logicalType` annotation over a base type (round 17):
+    * decimal (precision/scale), date, time-millis/micros,
+    * timestamp-millis/micros, uuid, duration. The WIRE format is the
+    * base type's — readTyped unwraps — but the annotation survives
+    * in the tree so kernels can interpret values.
+    */
+  private[operators] final case class ALogical(base: AType,
+    logical: String, precision: Int, scale: Int) extends AType
 
   private def primTag(s: String): Option[Char] = s match {
     case "null" => Some('n')
@@ -175,7 +183,7 @@ object Avro {
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
         val childNs = ownNs(mm)
-        mm.getOrElse("type", null) match {
+        val base = mm.getOrElse("type", null) match {
           case "record" =>
             val fs = mm.get("fields") match {
               case Some(a: Vector[_]) => a
@@ -221,6 +229,20 @@ object Avro {
               .getOrElse(throw AvroFail)
           case _ => throw AvroFail
         }
+        // a logicalType annotation wraps the base (wire format is
+        // the base's; the named registry holds the base)
+        mm.get("logicalType") match {
+          case Some(lt: String) if lt.nonEmpty =>
+            def intAttr(k: String): Int =
+              mm.getOrElse(k, 0.0) match {
+                case d: Double if d.isWhole && d >= 0 && d <= 1e9 =>
+                  d.toInt
+                case _ => 0
+              }
+            ALogical(base, lt, intAttr("precision"),
+              intAttr("scale"))
+          case _ => base
+        }
       case _ => throw AvroFail
     }
   }
@@ -242,6 +264,13 @@ object Avro {
     parseRootRecord(json).map {
       case (name, APrim(tag)) => AvroField(name, tag, nullable = false)
       case (name, AUnion(Vector(APrim('n'), APrim(t)))) =>
+        AvroField(name, t, nullable = true)
+      // logical annotations over primitives stay flat-readable
+      // (the wire format is the base's)
+      case (name, ALogical(APrim(tag), _, _, _)) =>
+        AvroField(name, tag, nullable = false)
+      case (name,
+          AUnion(Vector(APrim('n'), ALogical(APrim(t), _, _, _)))) =>
         AvroField(name, t, nullable = true)
       case _ => throw AvroFail // complex top-level: flat API refuses
     }
@@ -289,6 +318,7 @@ object Avro {
     */
   private def readTyped(c: Cur, t: AType): Any = t match {
     case APrim(tag) => readValue(c, tag)
+    case ALogical(base, _, _, _) => readTyped(c, base)
     case ARec(fields) =>
       fields.map { case (_, ft) => readTyped(c, ft) }
     case AArr(item) =>
@@ -1005,6 +1035,166 @@ object Avro {
           case x => x.hashCode().toLong
         }
         Row.fromSeq(r.toSeq :+ avroWriteNamed(id))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // logical types (round 17): the spec's annotations over base types
+  // ------------------------------------------------------------------
+
+  private val LogicalSchema =
+    """{"type": "record", "name": "ev", "fields": [
+      {"name": "amount", "type": {"type": "bytes",
+        "logicalType": "decimal", "precision": 10, "scale": 2}},
+      {"name": "day", "type": {"type": "int",
+        "logicalType": "date"}},
+      {"name": "at", "type": {"type": "long",
+        "logicalType": "timestamp-micros"}},
+      {"name": "tod", "type": {"type": "int",
+        "logicalType": "time-millis"}},
+      {"name": "uid", "type": {"type": "string",
+        "logicalType": "uuid"}},
+      {"name": "dur", "type": {"type": "fixed", "name": "dur12",
+        "size": 12, "logicalType": "duration"}}
+    ]}"""
+
+  /** One-record container over the spec's logical-type matrix:
+    * decimal(10,2) over two's-complement big-endian bytes, date as
+    * epoch days, timestamp-micros, time-millis, uuid, and the
+    * duration fixed(12) (three LE u32: months/days/millis). Every
+    * value is an arithmetic function of `id`.
+    */
+  def avroWriteLogical(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    def wr(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    wr(wZlong(2L))
+    wr(wStr("avro.schema")); wr(wStr(LogicalSchema))
+    wr(wStr("avro.codec")); wr(wStr("null"))
+    wr(wZlong(0L))
+    val sync = Array.tabulate[Byte](16)(i => (0x33 ^ i * 19).toByte)
+    wr(sync)
+    val b = new java.io.ByteArrayOutputStream()
+    def w(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+    val unscaled = BigInt(12345 + id) *
+      (if (id % 2 == 0) 1 else -1)
+    val decBytes = unscaled.toByteArray
+    w(wZlong(decBytes.length.toLong)); w(decBytes)
+    w(wZlong(19000 + id % 1000)) // date
+    w(wZlong(1700000000000000L + id * 1000003L)) // timestamp-micros
+    w(wZlong((id * 37) % 86400000L)) // time-millis
+    w(wStr(f"00000000-0000-4000-8000-${id % 0x1000000000000L}%012x"))
+    def le32(v: Long): Unit = (0 until 4).foreach(j =>
+      b.write(((v >> (8 * j)) & 0xff).toInt))
+    le32(id % 12); le32(id % 30); le32(id % 1000) // duration
+    val raw = b.toByteArray
+    wr(wZlong(1L)); wr(wZlong(raw.length.toLong))
+    wr(raw); wr(sync)
+    out.toByteArray
+  }
+
+  val avroLogicalSchema: StructType = StructType(Seq(
+    StructField("logical_csv", StringType),
+    StructField("dec_str", StringType),
+    StructField("date_iso", StringType),
+    StructField("ts_iso", StringType),
+    StructField("time_str", StringType),
+    StructField("uuid_str", StringType),
+    StructField("uuid_ok", BooleanType),
+    StructField("dur_str", StringType)))
+
+  /** Walk a type tree collecting logical-type names (decimal gets
+    * its precision/scale).
+    */
+  private def logicalNames(t: AType,
+      out: scala.collection.mutable.SortedSet[String]): Unit =
+    t match {
+      case ALogical(base, lt, p, s) =>
+        out += (if (lt == "decimal") s"decimal($p,$s)" else lt)
+        logicalNames(base, out)
+      case ARec(fs) => fs.foreach { case (_, ft) =>
+        logicalNames(ft, out) }
+      case AArr(item) => logicalNames(item, out)
+      case AMapT(v) => logicalNames(v, out)
+      case AUnion(bs) => bs.foreach(logicalNames(_, out))
+      case _ => ()
+    }
+
+  /** Decode kernel: INTERPRET each logical value — the scaled
+    * decimal string, ISO date/instant, wall-clock time, uuid
+    * validity, months:days:millis duration — plus the schema's
+    * logical-type inventory. Null row for refusals.
+    */
+  def decodeAvroLogical(bytes: Array[Byte]): Seq[Any] = {
+    val res = readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          val byName = fields.toMap
+          val inv = scala.collection.mutable.SortedSet[String]()
+          fields.foreach { case (_, t) => logicalNames(t, inv) }
+          val r = rows.headOption.getOrElse(
+            throw new NoSuchElementException("empty"))
+          // decimal: scale from the annotation, not assumed
+          val scale = byName("amount") match {
+            case ALogical(_, "decimal", _, s) => s
+            case _ => throw new NoSuchElementException("not decimal")
+          }
+          val decStr = scala.math.BigDecimal(
+            BigInt(r(idx("amount")).asInstanceOf[Array[Byte]]),
+            scale).toString
+          val dateIso = java.time.LocalDate
+            .ofEpochDay(r(idx("day")).asInstanceOf[Long]).toString
+          val micros = r(idx("at")).asInstanceOf[Long]
+          val tsIso = java.time.format.DateTimeFormatter
+            .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochSecond(
+              java.lang.Math.floorDiv(micros, 1000000L),
+              java.lang.Math.floorMod(micros, 1000000L) * 1000))
+          val tod = r(idx("tod")).asInstanceOf[Long]
+          val timeStr = f"${tod / 3600000}%02d:" +
+            f"${tod / 60000 % 60}%02d:${tod / 1000 % 60}%02d." +
+            f"${tod % 1000}%03d"
+          val uid = r(idx("uid")).asInstanceOf[String]
+          val uuidOk =
+            try java.util.UUID.fromString(uid).toString == uid
+            catch { case _: IllegalArgumentException => false }
+          val durBytes = r(idx("dur")).asInstanceOf[Array[Byte]]
+          def le32(o: Int): Long = (0 until 4).map(j =>
+            (durBytes(o + j) & 0xffL) << (8 * j)).sum
+          val durStr = s"${le32(0)}:${le32(4)}:${le32(8)}"
+          Some(Seq[Any](inv.mkString(","), decStr, dateIso, tsIso,
+            timeStr, uid, uuidOk, durStr))
+        } catch {
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+          case _: IndexOutOfBoundsException => None
+          case _: java.time.DateTimeException => None
+          case _: ArithmeticException => None
+        }
+    }
+    res.getOrElse(nullRow8)
+  }
+
+  private def nullRow8 = Seq[Any](null, null, null, null, null,
+    null, null, null)
+
+  /** Per-row logical-type container synthesizer (map-only). */
+  def synthAvroLogical(df: DataFrame, idCol: String,
+      outCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+ avroWriteLogical(id))
       }
     }(enc)
   }

@@ -156,6 +156,44 @@ class AvroSpec extends AnyFunSuite {
       Some(Seq("b", "a", "c")))
   }
 
+  test("logical types are interpreted: decimal scale from the " +
+      "annotation, ISO date/instant, time, uuid, duration") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 99L, 1234L)) {
+      val r = Avro.decodeAvroLogical(Avro.avroWriteLogical(id))
+      assert(r(0) == "date,decimal(10,2),duration,time-millis," +
+        "timestamp-micros,uuid", s"id $id inventory")
+      val sign = if (id % 2 == 0) "" else "-"
+      val a = 12345 + id
+      assert(r(1) == f"$sign${a / 100}.${a % 100}%02d",
+        s"id $id decimal")
+      assert(r(2) == java.time.LocalDate
+        .ofEpochDay(19000 + id % 1000).toString, s"id $id date")
+      // spot-pin one instant absolutely (id 0 → the planted epoch)
+      if (id == 0L) assert(r(3) == "2023-11-14T22:13:20.000000Z")
+      val v = (id * 37) % 86400000
+      assert(r(4) == f"${v / 3600000}%02d:${v / 60000 % 60}%02d:" +
+        f"${v / 1000 % 60}%02d.${v % 1000}%03d", s"id $id time")
+      assert(r(6) == true, s"id $id uuid_ok")
+      assert(r(7) == s"${id % 12}:${id % 30}:${id % 1000}",
+        s"id $id duration")
+    }
+    // a flat file whose fields carry logical annotations still
+    // reads through the FLAT api (wire format is the base's)
+    val doc = Avro.avroRead(Avro.avroWriteLogical(5L))
+    assert(doc.isEmpty) // fixed top-level field → complex, refuses
+  }
+
+  test("logical decoder is total under mutation") {
+    val base = Avro.avroWriteLogical(11L)
+    val rnd = new scala.util.Random(719)
+    for (_ <- 0 until 250) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Avro.decodeAvroLogical(b) // must not throw
+    }
+  }
+
   test("named decoder is total under mutation") {
     val base = Avro.avroWriteNamed(9L) // deflate-coded variant
     val rnd = new scala.util.Random(171)
