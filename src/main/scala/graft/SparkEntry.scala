@@ -2625,6 +2625,23 @@ object SparkEntry {
           col("col_names"), col("kinds"))
     }),
 
+    // ----- parquet split-block BLOOM filters (round 17 — the third
+    // skipping mechanism after row-group zone maps and ORC stripe
+    // stats): the skipping-machinery census (bloom + page-index
+    // offsets) plus LIVE membership probes — the filter parses once
+    // per partition, then per-row xxHash64 split-block checks; a
+    // member probe must hit (no false negatives), the absent probe
+    // rides the committed fixture's golden zero-FP range, so a
+    // single hash or salt-table slip breaks 500 rows
+    "q_parquet_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      ParquetMeta.bloomRows(d, "doc_id")
+        .select(col("doc_id"), col("bloom_cols"),
+          col("n_index_cols"), col("bloom_nbytes"), col("algo"),
+          col("member_hit"), col("s_member_hit"),
+          col("absent_hit"), col("s_absent_hit"))
+    }),
+
     // ----- the LAKEHOUSE-metadata omni compose (round 17): one
     // sniff-routed dispatch over the scan-planning tier — Delta
     // commit logs (full action-by-action JSON census, never a
@@ -6704,6 +6721,16 @@ object SparkEntry {
              WHEN 2 THEN 'long,struct,list'
              WHEN 3 THEN 'long,string'
              ELSE 'long,boolean,short' END AS kinds
+         FROM documents""",
+
+    // fixture goldens (8192-byte filters, zero FPs over the probe
+    // range) + the bloom contract (members always hit)
+    "q_parquet_bloom" ->
+      """SELECT doc_id, 'id,s' AS bloom_cols, 2 AS n_index_cols,
+           8192 AS bloom_nbytes,
+           'block/xxhash/uncompressed' AS algo,
+           TRUE AS member_hit, TRUE AS s_member_hit,
+           FALSE AS absent_hit, FALSE AS s_absent_hit
          FROM documents""",
 
     // one CASE per routed kind: the delta add-bytes sum, the

@@ -418,6 +418,272 @@ object ParquetMeta {
   }
 
   // ---------------------------------------------------------------
+  // bloom filters + page indexes (round 17): the THIRD skipping
+  // mechanism after row-group zone maps (above) and ORC stripe
+  // stats — a split-block bloom answers "can this file contain
+  // value v?" for point lookups where min/max ranges are useless
+  // (high-cardinality ids). Thrift fields per parquet.thrift:
+  // ColumnChunk 4/6 offset_index_offset/column_index_offset,
+  // ColumnMetaData 14/15 bloom_filter_offset/length; the filter
+  // itself is a compact-protocol BloomFilterHeader followed by the
+  // raw bitset; membership is the spec's split-block check over
+  // xxHash64(plain-encoded value, seed 0) — the hash rides the
+  // in-repo [[Zstd.xxhash64]].
+  // ---------------------------------------------------------------
+
+  final case class PqBloomCol(path: String, ptype: String,
+      bloomOffset: Option[Long], bloomLength: Option[Long],
+      hasColumnIndex: Boolean, hasOffsetIndex: Boolean)
+
+  /** Per-(first row group) column skipping machinery. None on
+    * damage.
+    */
+  def parquetBloomIndex(b: Array[Byte]): Option[Seq[PqBloomCol]] = {
+    if (b == null || b.length < 12) return None
+    def magic(o: Int): Boolean = b(o) == 'P' && b(o + 1) == 'A' &&
+      b(o + 2) == 'R' && b(o + 3) == '1'
+    if (!magic(0) || !magic(b.length - 4)) return None
+    val mdLen = (b(b.length - 8) & 0xff) |
+      ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) |
+      ((b(b.length - 5) & 0xff) << 24)
+    if (mdLen <= 0 || mdLen > b.length - 12) return None
+    try {
+      val r = new Reader(b, b.length - 8 - mdLen, b.length - 8)
+      val out = Seq.newBuilder[PqBloomCol]
+      var rg = -1
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 4 if typ == 9 => // row_groups
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              rg += 1
+              val rgAt = rg
+              struct(r, 1) { (rf, rt) =>
+                rf match {
+                  case 1 if rt == 9 => // columns: list<ColumnChunk>
+                    list(r) { ct =>
+                      if (ct != 12) throw QFail()
+                      var path = ""
+                      var ptype = ""
+                      var bOff: Option[Long] = None
+                      var bLen: Option[Long] = None
+                      var hasCi = false
+                      var hasOi = false
+                      struct(r, 2) { (cf, cty) =>
+                        cf match {
+                          case 3 if cty == 12 => // ColumnMetaData
+                            struct(r, 3) { (mf, mt) =>
+                              mf match {
+                                case 1 if mt == 5 =>
+                                  ptype = TypeNames.getOrElse(
+                                    r.zigzag().toInt, "?")
+                                case 3 if mt == 9 =>
+                                  val parts = Seq.newBuilder[String]
+                                  list(r) { pt =>
+                                    if (pt != 8) throw QFail()
+                                    parts += new String(
+                                      r.bytes(r.varint().toInt),
+                                      java.nio.charset
+                                        .StandardCharsets.UTF_8)
+                                  }
+                                  path = parts.result()
+                                    .mkString(".")
+                                case 14 if mt == 6 =>
+                                  bOff = Some(r.zigzag())
+                                case 15 if mt == 5 =>
+                                  bLen = Some(r.zigzag())
+                                case _ => skip(r, mt, 4)
+                              }
+                            }
+                          case 4 if cty == 6 =>
+                            r.zigzag(); hasOi = true
+                          case 6 if cty == 6 =>
+                            r.zigzag(); hasCi = true
+                          case _ => skip(r, cty, 3)
+                        }
+                      }
+                      if (rgAt == 0)
+                        out += PqBloomCol(path, ptype, bOff, bLen,
+                          hasCi, hasOi)
+                    }
+                  case _ => skip(r, rt, 2)
+                }
+              }
+            }
+          case _ => skip(r, typ, 1)
+        }
+      }
+      Some(out.result())
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  final case class PqBloom(nBytes: Int, algo: String, hash: String,
+      compression: String, bits: Array[Byte])
+
+  private def unionName(r: Reader, names: Map[Int, String])
+      : String = {
+    var got = "?"
+    struct(r, 2) { (uf, ut) =>
+      if (ut == 12) {
+        skipStruct(r, 3) // the variant structs are empty
+        got = names.getOrElse(uf, s"u$uf")
+      } else skip(r, ut, 3)
+    }
+    got
+  }
+
+  /** Parse one BloomFilterHeader + bitset at `offset`. None on
+    * damage or an uncompressed-length lie.
+    */
+  def readBloom(b: Array[Byte], offset: Long): Option[PqBloom] = {
+    if (b == null || offset < 0 || offset >= b.length) return None
+    try {
+      val r = new Reader(b, offset.toInt, b.length)
+      var nBytes = -1
+      var algo = "?"
+      var hash = "?"
+      var comp = "?"
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 1 if typ == 5 => nBytes = r.zigzag().toInt
+          case 2 if typ == 12 =>
+            algo = unionName(r, Map(1 -> "block"))
+          case 3 if typ == 12 =>
+            hash = unionName(r, Map(1 -> "xxhash"))
+          case 4 if typ == 12 =>
+            comp = unionName(r, Map(1 -> "uncompressed"))
+          case _ => skip(r, typ, 1)
+        }
+      }
+      if (nBytes <= 0 || nBytes % 32 != 0 || nBytes > (16 << 20))
+        return None
+      if (comp != "uncompressed") return None
+      Some(PqBloom(nBytes, algo, hash, comp, r.bytes(nBytes)))
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** The spec's split-block salt constants. */
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91.toInt,
+    0x8824ad5b.toInt, 0xa2b7289d.toInt, 0x705495c7, 0x2df1424b,
+    0x9efc4947.toInt, 0x5c6bfb31)
+
+  /** Split-block membership check over a 64-bit value hash: block
+    * index from the TOP 32 bits scaled by the block count, then
+    * eight 5-bit positions from u32 salt multiplies of the LOW 32
+    * bits — one bit per 32-bit word of the 256-bit block. No false
+    * negatives; ~1% false positives at the writer's default FPP.
+    */
+  def bloomCheck(bits: Array[Byte], valueHash: Long): Boolean = {
+    val z = bits.length / 32
+    if (z <= 0) return false
+    val block = (((valueHash >>> 32) * z) >>> 32).toInt
+    val base = block * 32
+    val key = valueHash.toInt
+    var i = 0
+    while (i < 8) {
+      val idx = (key * BloomSalt(i)) >>> 27
+      val w = base + 4 * i
+      val word = (bits(w) & 0xff) | ((bits(w + 1) & 0xff) << 8) |
+        ((bits(w + 2) & 0xff) << 16) | ((bits(w + 3) & 0xff) << 24)
+      if ((word & (1 << idx)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Hash a long the way parquet-mr does for blooms: xxHash64 at
+    * seed 0 over the 8-byte little-endian plain encoding.
+    */
+  def bloomHashLong(v: Long): Long = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    Zstd.xxhash64(b, 0, 8)
+  }
+
+  /** Hash a byte array (string) value: the raw bytes, no length
+    * prefix, per the spec's plain-encoding rule for BYTE_ARRAY.
+    */
+  def bloomHashBytes(v: Array[Byte]): Long =
+    Zstd.xxhash64(v, 0, v.length)
+
+  /** The committed bloom fixture (fx5: blooms + page indexes on
+    * both columns), loaded once per executor.
+    */
+  lazy val BloomFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/parquet/fx5.parquet")
+    require(in != null, "missing parquet bloom fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** One row per doc: the skipping-machinery census plus LIVE
+    * membership probes derived from the doc id — member probes
+    * (must hit: blooms have no false negatives) and absent probes
+    * from the fixture's golden zero-FP range. The filter is parsed
+    * ONCE per partition and probed per row — the shape a real
+    * point-lookup planner has (parse the footer once, test many
+    * predicate values).
+    */
+  def bloomRows(df: DataFrame, idCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("bloom_cols", StringType),
+      StructField("n_index_cols", IntegerType),
+      StructField("bloom_nbytes", IntegerType),
+      StructField("algo", StringType),
+      StructField("member_hit", BooleanType),
+      StructField("s_member_hit", BooleanType),
+      StructField("absent_hit", BooleanType),
+      StructField("s_absent_hit", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val b = BloomFixture
+      val cols = parquetBloomIndex(b).getOrElse(Seq.empty)
+      val withBloom = cols.filter(_.bloomOffset.isDefined)
+      val bloomCols = withBloom.map(_.path).mkString(",")
+      val nIdx = cols.count(_.hasColumnIndex)
+      val idB = withBloom.find(_.path == "id")
+        .flatMap(c => readBloom(b, c.bloomOffset.get))
+      val sB = withBloom.find(_.path == "s")
+        .flatMap(c => readBloom(b, c.bloomOffset.get))
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        val member = java.lang.Math.floorMod(id, 5000L)
+        val absent = 5000L + java.lang.Math.floorMod(id, 200L)
+        def checkL(bf: Option[PqBloom], v: Long): Any = bf match {
+          case Some(f) => bloomCheck(f.bits, bloomHashLong(v))
+          case None => null
+        }
+        def checkS(bf: Option[PqBloom], v: String): Any = bf match {
+          case Some(f) =>
+            bloomCheck(f.bits, bloomHashBytes(v.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+          case None => null
+        }
+        Row(r.get(ii), bloomCols, nIdx,
+          idB.map(f => Int.box(f.nBytes)).orNull,
+          idB.map(f => s"${f.algo}/${f.hash}/${f.compression}")
+            .orNull,
+          checkL(idB, member), checkS(sB, s"v$member"),
+          checkL(idB, absent), checkS(sB, s"v$absent"))
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------
   // Spark plumbing (fixtures are Spark-written; see PqFixtureGen)
   // ---------------------------------------------------------------
 

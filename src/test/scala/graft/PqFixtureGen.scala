@@ -25,14 +25,21 @@ object PqFixtureGen {
       "src/main/resources/parquet")
     java.nio.file.Files.createDirectories(outDir)
 
+    // optional arg: regenerate just one fixture index (committed
+    // fixtures are reference output — avoid churning the others)
+    val onlyIdx: Option[Int] = args.headOption.map(_.toInt)
+
     def writeOne(df: org.apache.spark.sql.DataFrame, codec: String,
-        blockSize: Option[Int], idx: Int): Unit = {
+        blockSize: Option[Int], idx: Int,
+        extra: Map[String, String] = Map.empty): Unit = {
+      if (onlyIdx.exists(_ != idx)) return
       val tmp = java.nio.file.Files.createTempDirectory("pqfx")
         .toString
       var w = df.coalesce(1).write.mode("overwrite")
         .option("compression", codec)
       blockSize.foreach(bs =>
         w = w.option("parquet.block.size", bs.toString))
+      extra.foreach { case (k, v) => w = w.option(k, v) }
       w.parquet(tmp)
       val part = java.nio.file.Files.list(
         java.nio.file.Paths.get(tmp)).toArray
@@ -55,6 +62,17 @@ object PqFixtureGen {
       .toDF("id", "txt"), "zstd", Some(4096), 3)
     writeOne((0L until 300L).map(i => (i, i % 7))
       .toDF("id", "grp"), "lz4", None, 4)
+
+    // fx5: the BLOOM fixture — split-block bloom filters on both
+    // columns (parquet-mr's own writer, the reference bloom
+    // implementation), 5000 distinct values each so membership
+    // probes are meaningful
+    writeOne((0L until 5000L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), "snappy", None, 5, Map(
+        "parquet.bloom.filter.enabled#id" -> "true",
+        "parquet.bloom.filter.enabled#s" -> "true",
+        "parquet.bloom.filter.expected.ndv#id" -> "5000",
+        "parquet.bloom.filter.expected.ndv#s" -> "5000"))
 
     spark.stop()
     println(s"wrote $outDir")
