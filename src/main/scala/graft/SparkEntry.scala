@@ -2625,6 +2625,49 @@ object SparkEntry {
           col("col_names"), col("kinds"))
     }),
 
+    // ----- compaction planning (round 17 — the small-files problem
+    // every streaming-ingested 100 TB table has): next-fit
+    // bin-packing of a file census into target-sized rewrite
+    // groups, as ONE windowed cumulative sum PARTITIONED by the
+    // table partition (parallel across partitions, never a global
+    // sort) + a hash aggregate
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("p"), (col("doc_id") % 7)).as("part"),
+        ((col("doc_id") * 37) % 900 + 100).cast("bigint")
+          .as("size"))
+      Maintenance.compactionPlan(files, "part", "size", "doc_id",
+          target = 1024L)
+        .select(col("part"), col("bin"), col("n_files"),
+          col("bytes"), col("undersized"))
+    }),
+
+    // ----- orphan-file sweep (round 17): storage listing LEFT ANTI
+    // joined against the paths the Iceberg manifests actually
+    // reference (decoded from the Avro tier, exploded engine-side)
+    // — failed writes and expired snapshots surface as per-table
+    // orphan counts/bytes; the anti join shuffles on the path, no
+    // per-file driver loop anywhere
+    "q_orphan_files" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mf = Iceberg.synthManifests(d, "doc_id", "content")
+      val refPaths = Multimodal.decodeBatches(mf, "content",
+          Iceberg.manifestPathsSchema)(Iceberg.decodeManifestPaths)
+        .select(explode(split(col("paths_csv"), ","))
+          .as("ref_path"))
+      val listing = d.select(col("doc_id"),
+          explode(sequence(lit(0),
+            (col("doc_id") % 5).cast("int"))).as("e"))
+        .select(col("doc_id"),
+          concat(lit("s3://lake/data/f"), col("doc_id"), lit("-"),
+            col("e"), lit(".parquet")).as("path"),
+          (lit(1000) + col("e")).cast("bigint").as("size"))
+      Maintenance.orphanFiles(listing, "path", "size", "doc_id",
+          refPaths, "ref_path")
+        .select(col("doc_id"), col("n_orphans"),
+          col("orphan_bytes"))
+    }),
+
     // ----- parquet split-block BLOOM filters (round 17 — the third
     // skipping mechanism after row-group zone maps and ORC stripe
     // stats): the skipping-machinery census (bloom + page-index
@@ -6722,6 +6765,33 @@ object SparkEntry {
              WHEN 3 THEN 'long,string'
              ELSE 'long,boolean,short' END AS kinds
          FROM documents""",
+
+    // the identical window arithmetic replayed: next-fit bin =
+    // exclusive-prefix bytes DIV target, then per-bin aggregates
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT doc_id,
+             'p' || CAST(doc_id % 7 AS VARCHAR) AS part,
+             (doc_id * 37) % 900 + 100 AS size FROM documents),
+         c AS (SELECT part, size,
+             SUM(size) OVER (PARTITION BY part ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM f)
+         SELECT part, CAST((cum - size) // 1024 AS BIGINT) AS bin,
+           COUNT(*)::INT AS n_files, SUM(size)::BIGINT AS bytes,
+           SUM(size) < 512 AS undersized
+         FROM c GROUP BY part, (cum - size) // 1024""",
+
+    // listed-but-unreferenced arithmetic: listing carries e in
+    // [0, doc_id%5], the manifests reference e in [0, doc_id%4];
+    // docs with no orphans produce no row (anti-join semantics)
+    "q_orphan_files" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 AS lmax,
+             doc_id % 4 + 1 AS m FROM documents)
+         SELECT doc_id, CAST(lmax - m + 1 AS INT) AS n_orphans,
+           CAST((SELECT SUM(1000 + t.e)
+             FROM unnest(generate_series(0, 4)) AS t(e)
+             WHERE t.e >= m AND t.e <= lmax) AS BIGINT)
+             AS orphan_bytes
+         FROM p WHERE lmax >= m""",
 
     // fixture goldens (8192-byte filters, zero FPs over the probe
     // range) + the bloom contract (members always hit)

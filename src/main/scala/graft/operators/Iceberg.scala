@@ -354,6 +354,34 @@ object Iceberg {
   private def nullRow10 = Seq[Any](null, null, null, null, null,
     null, null, null, null, null)
 
+  val manifestPathsSchema: StructType = StructType(Seq(
+    StructField("paths_csv", StringType)))
+
+  /** Just the referenced data-file paths (for the orphan sweep's
+    * anti join). Null on refusal.
+    */
+  def decodeManifestPaths(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          val ps = rows.map { r =>
+            r(idx("data_file")) match {
+              case df: IndexedSeq[_] => df(1).asInstanceOf[String]
+              case _ => throw IceFail
+            }
+          }
+          if (ps.isEmpty) None else Some(Seq[Any](ps.mkString(",")))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+          case _: IndexOutOfBoundsException => None
+        }
+    }
+    res.getOrElse(Seq[Any](null))
+  }
+
   // ----------------------------------------------------------------
   // Spark plumbing (map-only synth, like every decode tier)
   // ----------------------------------------------------------------
