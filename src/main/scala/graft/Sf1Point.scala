@@ -71,7 +71,14 @@ object Sf1Point {
     "q_safetensors_meta", "q_parquet_stats",
     // fifth wave: the three-codec rpm walk (heaviest new synth),
     // the marshal census, the now-eleven-kind artifact dispatch
-    "q_rpm_meta", "q_pyc_census", "q_artifact_omni")
+    "q_rpm_meta", "q_pyc_census", "q_artifact_omni",
+    // round 17, the lakehouse tier: the six-codec avro round-trip
+    // (heaviest new synth), the parse-once-probe-many bloom check
+    // and the metadata dispatch — map-only by design; plus the
+    // round's two new SHUFFLE queries, the partitioned-window
+    // compaction packer and the anti-join orphan sweep
+    "q_avro_named", "q_parquet_bloom", "q_lakehouse_omni",
+    "q_compaction_plan", "q_orphan_files")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
