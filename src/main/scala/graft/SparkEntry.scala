@@ -2668,6 +2668,24 @@ object SparkEntry {
           col("orphan_bytes"))
     }),
 
+    // ----- clustering depth (round 17 — the read-amplification
+    // metric behind Z-order/OPTIMIZE decisions): per partition, the
+    // max number of files a point lookup must read given each
+    // file's [min,max] zone map, via a distributed boundary sweep —
+    // union of +1/-1 events, ONE partitioned-window cumulative sum,
+    // and the exact depth integral kept as two integers so the
+    // result is engine-exact
+    "q_clustering_depth" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        (col("doc_id") % 5).as("part"),
+        ((col("doc_id") * 13) % 1000).as("lo"),
+        ((col("doc_id") * 13) % 1000 + (col("doc_id") * 7) % 200)
+          .as("hi"))
+      Maintenance.clusteringDepth(files, "part", "lo", "hi")
+        .select(col("part"), col("max_depth"), col("depth_area"),
+          col("span_len"), col("n_boundaries"))
+    }),
+
     // ----- parquet split-block BLOOM filters (round 17 — the third
     // skipping mechanism after row-group zone maps and ORC stripe
     // stats): the skipping-machinery census (bloom + page-index
@@ -6792,6 +6810,30 @@ object SparkEntry {
              WHERE t.e >= m AND t.e <= lmax) AS BIGINT)
              AS orphan_bytes
          FROM p WHERE lmax >= m""",
+
+    // the identical boundary-sweep arithmetic replayed in SQL
+    "q_clustering_depth" ->
+      """WITH f AS (SELECT doc_id % 5 AS part,
+             (doc_id * 13) % 1000 AS lo,
+             (doc_id * 13) % 1000 + (doc_id * 7) % 200 AS hi
+           FROM documents),
+         ev AS (SELECT part, k, SUM(d) AS d FROM (
+             SELECT part, lo AS k, 1 AS d FROM f
+             UNION ALL
+             SELECT part, hi + 1 AS k, -1 AS d FROM f)
+           GROUP BY part, k),
+         c AS (SELECT part, k,
+             SUM(d) OVER (PARTITION BY part ORDER BY k
+               ROWS UNBOUNDED PRECEDING) AS depth,
+             LEAD(k) OVER (PARTITION BY part ORDER BY k) AS nk
+           FROM ev)
+         SELECT part, CAST(MAX(depth) AS INT) AS max_depth,
+           CAST(SUM(CASE WHEN nk IS NULL THEN 0
+             ELSE depth * (nk - k) END) AS BIGINT) AS depth_area,
+           CAST(SUM(CASE WHEN nk IS NULL THEN 0 ELSE nk - k END)
+             AS BIGINT) AS span_len,
+           COUNT(*)::INT AS n_boundaries
+         FROM c GROUP BY part""",
 
     // fixture goldens (8192-byte filters, zero FPs over the probe
     // range) + the bloom contract (members always hit)

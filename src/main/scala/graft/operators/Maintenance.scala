@@ -52,6 +52,47 @@ object Maintenance {
       .withColumn("undersized", col("bytes") < lit(target / 2))
   }
 
+  /** Clustering depth — the read-amplification metric that drives
+    * Z-order/OPTIMIZE decisions: given each file's [min, max] on a
+    * sort key (the zone maps of C238/C249), how many files can one
+    * point lookup be forced to read? A perfectly clustered
+    * partition has depth 1; every overlap adds a file to every
+    * lookup in the overlapped range.
+    *
+    * Boundary sweep, fully distributed: each file contributes
+    * (+1 at min) and (-1 at max+1) events; a per-partition windowed
+    * cumulative sum over the merged boundaries IS the depth
+    * profile. Surfaced per partition: max depth, the exact depth
+    * integral (Σ depth × segment length — divide by span_len for
+    * average read amplification; kept as two integers so the
+    * result is engine-exact), span length, boundary count.
+    */
+  def clusteringDepth(files: DataFrame, partCol: String,
+      minCol: String, maxCol: String): DataFrame = {
+    val opens = files.select(col(partCol).as("part"),
+      col(minCol).cast("bigint").as("k"), lit(1L).as("d"))
+    val closes = files.select(col(partCol).as("part"),
+      (col(maxCol) + 1).cast("bigint").as("k"), lit(-1L).as("d"))
+    val ev = opens.unionByName(closes)
+      .groupBy(col("part"), col("k"))
+      .agg(sum(col("d")).as("d"))
+    val byK = Window.partitionBy(col("part")).orderBy(col("k"))
+    val cum = byK.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    ev
+      .withColumn("depth", sum(col("d")).over(cum))
+      .withColumn("nk", lead(col("k"), 1).over(byK))
+      .groupBy(col("part"))
+      .agg(max(col("depth")).cast("int").as("max_depth"),
+        sum(when(col("nk").isNull, 0L)
+          .otherwise(col("depth") * (col("nk") - col("k"))))
+          .cast("bigint").as("depth_area"),
+        sum(when(col("nk").isNull, 0L)
+          .otherwise(col("nk") - col("k")))
+          .cast("bigint").as("span_len"),
+        count(lit(1)).cast("int").as("n_boundaries"))
+  }
+
   /** Orphan sweep: listing MINUS referenced, via left-anti join.
     * Returns per-owner orphan counts and bytes (owner = whatever
     * key the caller carries on the listing, e.g. the table id).

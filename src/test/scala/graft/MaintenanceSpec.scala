@@ -32,6 +32,30 @@ class MaintenanceSpec extends SparkSpec {
       plan(2).getBoolean(4)) // undersized tail
   }
 
+  test("clusteringDepth: the boundary sweep computes exact max " +
+      "depth and the depth integral per partition") {
+    import spark.implicits._
+    // partition a: [0,10], [5,20], [15,30] — depth profile:
+    // [0,5)=1 [5,11)=2 [11,15)=1 [15,21)=2 [21,31)=1
+    // partition b: [0,9], [20,29] — disjoint, depth 1 throughout
+    val files = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 15L, 30L),
+      ("b", 0L, 9L), ("b", 20L, 29L))
+      .toDF("part", "lo", "hi")
+    val got = Maintenance.clusteringDepth(files, "part", "lo", "hi")
+      .orderBy("part").collect()
+    assert(got.length == 2)
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getInt(1) == 2)
+    // area = 5*1 + 6*2 + 4*1 + 6*2 + 10*1 = 43 over span 31
+    assert(a.getLong(2) == 43L && a.getLong(3) == 31L &&
+      a.getInt(4) == 6)
+    val bRow = got(1)
+    assert(bRow.getString(0) == "b" && bRow.getInt(1) == 1)
+    // area = 10 + 10 (the gap [10,20) contributes 0 depth, 10 span)
+    assert(bRow.getLong(2) == 20L && bRow.getLong(3) == 30L)
+  }
+
   test("orphanFiles: anti join keeps exactly the unreferenced; " +
       "fully-referenced owners vanish") {
     import spark.implicits._
