@@ -73,7 +73,12 @@ object Maintenance {
       col(minCol).cast("bigint").as("k"), lit(1L).as("d"))
     val closes = files.select(col(partCol).as("part"),
       (col(maxCol) + 1).cast("bigint").as("k"), lit(-1L).as("d"))
+    // ONE shuffle for the whole sweep: hash-partitioning by part
+    // alone satisfies the (part, k) grouping's clustered
+    // distribution AND the window AND the final per-part aggregate,
+    // so Catalyst reuses this exchange for all three
     val ev = opens.unionByName(closes)
+      .repartition(col("part"))
       .groupBy(col("part"), col("k"))
       .agg(sum(col("d")).as("d"))
     val byK = Window.partitionBy(col("part")).orderBy(col("k"))
