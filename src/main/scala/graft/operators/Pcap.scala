@@ -117,6 +117,9 @@ object Pcap {
           le = false
         else throw PFail()
         nSections += 1
+        // snaplen is per-section state: an SPB's captured length
+        // uses ITS section's IDB, not an earlier section's
+        snaplen = -1L
       }
       val bt = u32(b, p, le)
       val totalLen = u32(b, p + 4, le)

@@ -47,6 +47,20 @@ class PcapSpec extends AnyFunSuite {
       snapped.origBytes == 191 && snapped.nTruncated == 2)
   }
 
+  test("snaplen is per-section state: a second section's SPBs use " +
+      "ITS IDB, not the first section's") {
+    // section 1: snaplen 48; section 2: unlimited. Concatenating
+    // two single-section files IS a valid multi-section capture.
+    val twoSections = Pcap.pcapngWriteSpb(1, 48, Seq(100)) ++
+      Pcap.pcapngWriteSpb(1, 0, Seq(61))
+    val m = Pcap.pcapMeta(twoSections).get
+    assert(m.nSections == 2 && m.nInterfaces == 2)
+    // section 1 truncates 100→48; section 2's 61 is NOT clamped to
+    // 48 (and not padded-overcounted to 64 either)
+    assert(m.nPackets == 2 && m.capBytes == 48 + 61 &&
+      m.origBytes == 161 && m.nTruncated == 1)
+  }
+
   test("magic variants map to endianness and resolution") {
     val base = Pcap.pcapWrite(1, Seq((30, 30)))
     // rewrite the magic to the nanosecond little-endian variant
