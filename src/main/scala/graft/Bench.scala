@@ -172,10 +172,22 @@ object BenchGate {
   val HostOffsetBarFloor = 0.3
 
   /** Detect a uniform slow-host offset: Some(median ratio) when the
-    * sweep is uniformly ≥1.2× its bars, None otherwise. `current`
-    * maps query → best-of-reps this sweep; `bars` is mergeHistory's
-    * output. Only queries with a bar above [[HostOffsetBarFloor]]
-    * count — ratios of 0.1 s timings are jitter, not evidence.
+    * sweep is uniformly ≥1.2× its bars. `current` maps query →
+    * best-of-reps this sweep; `bars` is mergeHistory's output. Only
+    * queries with a bar above [[HostOffsetBarFloor]] count — ratios
+    * of 0.1 s timings are jitter, not evidence.
+    *
+    * RAGGED fallback: the r17 driver host was slow but NON-uniformly
+    * so (per-query ratios median 1.28, IQR 1.02–1.74 — co-tenant
+    * contention hits queries unevenly), the uniformity test failed,
+    * no offset was applied, and dozens of phantom suspects each got
+    * re-measured at 2.6× slow until the external timeout. When the
+    * median clears [[HostOffsetMin]] but the band test fails, the
+    * host IS slow — we just can't trust the median as a single
+    * number — so de-rate by the 25th-percentile ratio instead: at
+    * most a quarter of queries could be genuinely regressed for P25
+    * to be inflated by them, so a real regression still flags after
+    * the division while the bulk of contention phantoms clear.
     */
   def hostOffset(current: Map[String, Double],
       bars: Map[String, Double]): Option[Double] = {
@@ -190,7 +202,11 @@ object BenchGate {
       r >= m * (1 - HostOffsetBand) && r <= m * (1 + HostOffsetBand))
     if (inBand.toDouble / ratios.size >= HostOffsetUniformFraction)
       Some(m)
-    else None
+    else {
+      val sorted = ratios.sorted
+      val p25 = sorted((sorted.size - 1) / 4)
+      if (p25 > 1.0) Some(p25) else None
+    }
   }
 
   /** Parse one bench artifact's `queries` map (Jackson ships in
@@ -216,7 +232,18 @@ object BenchGate {
       regressions: Map[String, Double], failed: Seq[String],
       sf: String, partial: Boolean,
       hostOffset: Option[Double]): String = {
-    def jstr(s: String) = "\"" + s + "\""
+    // full JSON string escaping: a quote/backslash/control char in
+    // the sf path or a query name must not yield an unparseable
+    // artifact line — that would defeat the kill-safety goal
+    def jstr(s: String) = s.foldLeft(new StringBuilder("\"")) {
+      case (b, '"')           => b.append("\\\"")
+      case (b, '\\')          => b.append("\\\\")
+      case (b, '\n')          => b.append("\\n")
+      case (b, '\r')          => b.append("\\r")
+      case (b, '\t')          => b.append("\\t")
+      case (b, c) if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case (b, c)             => b.append(c)
+    }.append('"').toString
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.min }
       .mkString("{", ",", "}")
     // per-rep timings: lets a reader separate plan cost (stable min)
@@ -232,7 +259,7 @@ object BenchGate {
     val off = hostOffset.map(o => s""","host_offset":$o""")
       .getOrElse("")
     val part = if (partial) s""","partial":true""" else ""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs$off$part,"sf":"$sf"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs$off$part,"sf":${jstr(sf)}}"""
   }
 }
 
@@ -252,7 +279,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val self = Paths.get(selfOut).toAbsolutePath.normalize
     val paths = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      // the same self-exclusion as the scan branch: if PREV points at
+      // the live BENCH_OUT file, the streamed partial emission would
+      // re-merge the current sweep into its own bars
       case Some(p) => Seq(Paths.get(p))
+        .filter(_.toAbsolutePath.normalize != self)
       case None =>
         val rx = "bench_r\\d+[a-z_]*\\.json".r
         scala.util.Using.resource(Files.list(Paths.get("."))) { s =>
@@ -353,8 +384,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failures += name
       }
-      emit(done.result(), Map.empty, failures.result(),
-        partial = true, hostOff = None)
+      // stdout AND file: a kill between the last file write and the
+      // driver's log capture still leaves the newest complete line
+      // in stdout for the driver's line-parse to recover
+      println(emit(done.result(), Map.empty, failures.result(),
+        partial = true, hostOff = None))
     }
     val results = done.result()
     // regression gate vs the newest bench_r*.json: suspects get 2
@@ -375,10 +409,33 @@ object Bench {
       "(machine state, not code) — judging best/offset"))
     val scale = hostOff.getOrElse(1.0)
     val fnByName = selected
-    val gated = results.map { case (name, times) =>
+    // GATE PHASE BUDGET: the r17 driver run was killed HERE — the
+    // sweep itself finished (kill-safe partial had all 286 queries)
+    // but a ragged 2.6×-slow host turned dozens of queries suspect
+    // and each got 2 extra reps at 2.6× slow with no budget check,
+    // until the external timeout landed mid-gate (rc=124, third red
+    // official artifact in a row). The re-measure loop now (a) stops
+    // re-measuring once the whole run is over the wall budget OR the
+    // gate phase alone has used 15% of it — surviving suspects keep
+    // their raw flag, honestly labeled, instead of stalling the
+    // artifact — and (b) re-emits the partial artifact after every
+    // re-measured query so a kill inside the gate still leaves the
+    // newest complete record.
+    val gateT0 = System.nanoTime()
+    def gateOverBudget: Boolean = overBudget ||
+      (System.nanoTime() - gateT0) / 1e9 > wallBudget * 0.15
+    val gatedB = Seq.newBuilder[(String, Seq[Double], Boolean)]
+    results.foreach { case (name, times) =>
       val base = prev.get(name)
-      if (!suspect(times.min / scale, base)) (name, times, false)
-      else {
+      if (!suspect(times.min / scale, base))
+        gatedB += ((name, times, false))
+      else if (gateOverBudget) {
+        System.err.println(
+          f"[bench] REGRESSION? $name: best ${times.min}%.2f s vs " +
+          f"history ${base.get}%.2f s — NOT re-measured (gate over " +
+          "wall budget), raw flag kept")
+        gatedB += ((name, times, true))
+      } else {
         val extra = (1 to 2).flatMap { _ =>
           try Some(time(fnByName(name)))
           catch { case _: Throwable => None }
@@ -390,9 +447,16 @@ object Bench {
           f"history ${base.get}%.2f s (>${RegressionFactor}x" +
           (if (scale != 1.0) f" after /$scale%.2f host offset" else "") +
           ", survived re-measurement)")
-        (name, all, still)
+        gatedB += ((name, all, still))
+        val soFar = gatedB.result()
+        println(emit(
+          soFar.map { case (k, v, _) => (k, v) } ++
+            results.drop(soFar.size),
+          soFar.collect { case (k, v, true) => k -> v.min }.toMap,
+          failures.result(), partial = true, hostOff = hostOff))
       }
     }
+    val gated = gatedB.result()
     val failed = failures.result()
     val line = emit(
       gated.map { case (k, v, _) => (k, v) },

@@ -160,18 +160,26 @@ object Avro {
         case Some(n0: String) if n0.nonEmpty =>
           val n = if (n0.contains('.'))
             n0.substring(n0.lastIndexOf('.') + 1) else n0
-          reg(n) = at
           val effNs = ownNs(mm)
-          if (effNs.nonEmpty) reg(effNs + "." + n) = at
+          val full = if (effNs.nonEmpty) effNs + "." + n else n
+          // redefining an existing fullname is invalid Avro —
+          // refuse rather than silently overwrite
+          if (reg.contains(full)) throw AvroFail
+          reg(full) = at
         case _ => ()
       }
       at
     }
-    // an unqualified reference resolves against the enclosing
-    // namespace first, then the bare short name
+    // an unqualified reference resolves against the MOST TIGHTLY
+    // ENCLOSING namespace only (Avro spec "Names"); the bare short
+    // name matches only in the null namespace. A schema referencing
+    // `pt` from namespace b when pt is defined only as a.pt is one
+    // real Avro rejects — binding it would break the
+    // refuse-over-misdecode contract.
     def ref(s: String): Option[AType] =
-      (if (ns.nonEmpty && !s.contains('.')) reg.get(ns + "." + s)
-       else None).orElse(reg.get(s))
+      if (s.contains('.')) reg.get(s)
+      else if (ns.nonEmpty) reg.get(ns + "." + s)
+      else reg.get(s)
     t match {
       case s: String =>
         primTag(s).map(APrim)

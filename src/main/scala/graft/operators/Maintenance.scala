@@ -42,10 +42,12 @@ object Maintenance {
     files
       .withColumn("__cum", sum(col(sizeCol)).over(w))
       // next-fit by bytes: a file belongs to the bin its EXCLUSIVE
-      // prefix fills; integer division keeps it closed-form
+      // prefix fills. EXACT integer division (`div`), not double
+      // division cast back: doubles are exact only while cumulative
+      // bytes stay under 2^53 — at multi-PB per-partition totals,
+      // bins near boundaries would drift off the oracle's `//`
       .withColumn("bin",
-        ((col("__cum") - col(sizeCol)) / lit(target))
-          .cast("bigint"))
+        expr(s"(__cum - `$sizeCol`) div ${target}L"))
       .groupBy(col(partCol), col("bin"))
       .agg(count(lit(1)).cast("int").as("n_files"),
         sum(col(sizeCol)).as("bytes"))

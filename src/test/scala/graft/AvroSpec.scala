@@ -154,6 +154,31 @@ class AvroSpec extends AnyFunSuite {
       {"name": "c", "type": "nsx.pt"}]}"""
     assert(Avro.containerFieldNames(headerOnly(reuse)) ==
       Some(Seq("b", "a", "c")))
+    // an unqualified reference resolves against the ENCLOSING
+    // namespace only (Avro spec "Names"): `pt` referenced from
+    // namespace nsb when pt is defined only as nsa.pt is a schema
+    // real Avro rejects — it must refuse, not silently bind the
+    // other namespace's type
+    val crossNs = """{"type": "record", "name": "r",
+      "namespace": "nsb", "fields": [
+      {"name": "b", "type": {"type": "record", "name": "pt",
+       "namespace": "nsa",
+       "fields": [{"name": "x", "type": "long"}]}},
+      {"name": "a", "type": "pt"}]}"""
+    assert(Avro.containerFieldNames(headerOnly(crossNs)).isEmpty)
+    // …while the fully-qualified reference to the same type parses
+    val crossQual = crossNs.replace("\"type\": \"pt\"",
+      "\"type\": \"nsa.pt\"")
+    assert(Avro.containerFieldNames(headerOnly(crossQual)) ==
+      Some(Seq("b", "a")))
+    // redefining an existing fullname refuses (invalid Avro; the
+    // old registry silently overwrote)
+    val dup = """{"type": "record", "name": "r", "fields": [
+      {"name": "a", "type": {"type": "record", "name": "pt",
+       "fields": [{"name": "x", "type": "long"}]}},
+      {"name": "b", "type": {"type": "record", "name": "pt",
+       "fields": [{"name": "y", "type": "long"}]}}]}"""
+    assert(Avro.containerFieldNames(headerOnly(dup)).isEmpty)
   }
 
   test("logical types are interpreted: decimal scale from the " +

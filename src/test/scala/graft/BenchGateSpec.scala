@@ -114,13 +114,30 @@ class BenchGateSpec extends AnyFunSuite {
     val oneBad = bars.updated("q9", bars("q9") * 3.0)
     assert(BenchGate.hostOffset(oneBad, bars).isEmpty)
     assert(BenchGate.suspect(oneBad("q9"), bars.get("q9")))
-    // a NON-uniform slow sweep (half 1.1×, half 2.2×) is not a host
-    // state — refuse to invent an offset for it (median 1.65, and
-    // neither mode lands inside ±25% of it)
+    // a NON-uniform slow sweep (half 1.1×, half 2.2×): the median
+    // (1.65) can't be trusted as a single offset, but the host IS
+    // slow — the r17 driver ran median 1.28 / IQR 1.02–1.74 ragged,
+    // got NO de-rate, and dozens of phantom suspects blew the
+    // timeout. The fallback de-rates by the conservative P25 (here
+    // 1.1 — the slow mode still flags after division, the fast mode
+    // clears)
     val ragged = bars.zipWithIndex.map { case ((k, v), i) =>
       k -> (if (i % 2 == 0) v * 1.1 else v * 2.2)
     }.toMap
-    assert(BenchGate.hostOffset(ragged, bars).isEmpty)
+    val raggedOff = BenchGate.hostOffset(ragged, bars)
+    assert(raggedOff.exists(o => math.abs(o - 1.1) < 0.01))
+    // a genuinely-regressed query (2.2× > 1.5× even after /1.1)
+    // still flags through the ragged de-rate
+    val slowKey = ragged.collect {
+      case (k, v) if v / bars(k) > 2.0 => k }.head
+    assert(BenchGate.suspect(
+      ragged(slowKey) / raggedOff.get, bars.get(slowKey)))
+    // a ragged sweep whose P25 is ≤1.0 (a quarter of queries at or
+    // under their bars) gets NO offset: nothing safe to divide by
+    val mixedFast = bars.zipWithIndex.map { case ((k, v), i) =>
+      k -> (if (i % 2 == 0) v * 0.9 else v * 2.4)
+    }.toMap
+    assert(BenchGate.hostOffset(mixedFast, bars).isEmpty)
     // the first LIVE case (r17 re-record): ratios scattered ±20-30%
     // around a 1.53 median — scheduler noise on sub-second queries —
     // must still read as ONE host offset, not 54 regressions
@@ -176,5 +193,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(fnode.path("partial").isMissingNode)
     assert(fnode.path("host_offset").asDouble() == 1.38)
     assert(fnode.path("regressions").path("q_a").asDouble() == 1.2)
+  }
+
+  test("renderArtifact escapes quotes/backslashes/control chars " +
+      "in strings (kill-safe artifact must always parse)") {
+    import graft.BenchGate
+    val line = BenchGate.renderArtifact(
+      Seq("q_a" -> Seq(1.0)), Map.empty, Seq("q_\"broken\\\n"),
+      """C:\data\sf "0.1"""", partial = true, hostOffset = None)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(node.path("sf").asText() == """C:\data\sf "0.1"""")
+    assert(node.path("failed").get(0).asText() == "q_\"broken\\\n")
   }
 }
