@@ -2756,6 +2756,27 @@ object SparkEntry {
           col("bucket_sum"), col("colsize_sum"))
     }),
 
+    // ----- Iceberg TABLE-LEVEL metadata census (round 18 — the
+    // entry point of scan planning the manifest tiers root on):
+    // vN.metadata.json with the current-snapshot pointer, the
+    // parent-chain ancestry walk (broken/cyclic chains refuse), the
+    // snapshot log's monotonicity, schema evolution and partition
+    // specs — every planted fact replayed closed-form
+    "q_iceberg_snapshots" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
+      Multimodal.decodeBatches(mj, "content",
+          Iceberg.metadataJsonSchema)(Iceberg.decodeMetadataJson)
+        .select(col("doc_id"), col("format_version"),
+          col("n_snapshots"), col("current_snapshot_id"),
+          col("ancestry_depth"), col("n_log_entries"),
+          col("log_monotonic"), col("ops_csv"),
+          col("added_records_sum"), col("current_manifest_list"),
+          col("n_schemas"), col("current_schema_fields"),
+          col("n_spec_fields"), col("last_sequence_number"),
+          col("format_default"))
+    }),
+
     // ----- ORC stripe/column STATISTICS census (round 17 — the
     // facts that drive stripe skipping at 100 TB): file-level
     // min/max/sum/nulls from the footer, per-stripe min/max from the
@@ -6960,6 +6981,40 @@ object SparkEntry {
              THEN 10 * doc_id * nc + nc * (nc - 1) / 2
              ELSE 0 END)::BIGINT AS colsize_sum
          FROM e GROUP BY doc_id, m, nc""",
+
+    // every planted table-metadata fact replayed closed-form: the
+    // n-deep parent chain makes ancestry_depth = n, the log is
+    // written monotonic, summary operations cycle by (doc_id+k)%4
+    "q_iceberg_snapshots" ->
+      """WITH base AS (SELECT doc_id, doc_id % 4 + 2 AS n,
+             doc_id % 2 + 1 AS ns FROM documents),
+         k AS (SELECT doc_id, n, ns, t.k FROM base,
+             unnest(generate_series(0, 5)) AS t(k) WHERE t.k < n),
+         agg AS (SELECT doc_id,
+             array_to_string(list_sort(list_distinct(list(
+               CASE (doc_id + k) % 4 WHEN 0 THEN 'append'
+                 WHEN 1 THEN 'overwrite' WHEN 2 THEN 'delete'
+                 ELSE 'replace' END))), ',') AS ops_csv,
+             SUM(10 * doc_id + k)::BIGINT AS added_records_sum
+           FROM k GROUP BY doc_id)
+         SELECT b.doc_id,
+           2 AS format_version,
+           n::INT AS n_snapshots,
+           (1000 * b.doc_id + n - 1)::BIGINT AS current_snapshot_id,
+           n::INT AS ancestry_depth,
+           n::INT AS n_log_entries,
+           TRUE AS log_monotonic,
+           ops_csv,
+           added_records_sum,
+           's3://lake/meta/snap-' || (1000 * b.doc_id + n - 1) ||
+             '.avro' AS current_manifest_list,
+           ns::INT AS n_schemas,
+           (b.doc_id % 3 + ns)::INT AS current_schema_fields,
+           (b.doc_id % 3)::INT AS n_spec_fields,
+           n::BIGINT AS last_sequence_number,
+           CASE b.doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc'
+             ELSE 'avro' END AS format_default
+         FROM base b JOIN agg USING (doc_id)""",
 
     // the stats walk must replay what the reference ORC writer
     // recorded for the deliberately-striped fixture (the writer

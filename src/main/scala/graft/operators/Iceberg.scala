@@ -410,4 +410,213 @@ object Iceberg {
   def synthManifests(df: DataFrame, idCol: String,
       outCol: String): DataFrame =
     synth(df, idCol, outCol)(manifestWrite)
+
+  // ----------------------------------------------------------------
+  // TABLE-LEVEL metadata (vN.metadata.json) — round 18
+  // ----------------------------------------------------------------
+  //
+  // Iceberg scan planning starts one tier ABOVE the manifest list:
+  // the table's `vN.metadata.json` holds the current-snapshot
+  // pointer, the snapshot list (each with its parent id, sequence
+  // number, manifest-list path and operation summary), the
+  // snapshot LOG (the time-travel index), schema evolution and
+  // partition specs. Without it the manifest census cannot be
+  // rooted: the manifest list a reader opens IS the one the
+  // current snapshot names here. The census walks the parent chain
+  // from the current snapshot (refusing on a broken or cyclic
+  // chain), checks the log's timestamps are monotonic, and
+  // surfaces the facts a planner reads before touching any Avro.
+
+  /** A planted v2 metadata.json for table `id`: id%4+2 snapshots in
+    * one linear parent chain, every field an arithmetic function of
+    * (id, k) so the census replays closed-form.
+    */
+  def metadataJsonWrite(id: Long): Array[Byte] = {
+    val n = (id % 4 + 2).toInt
+    val ns = (id % 2 + 1).toInt
+    val ops = Seq("append", "overwrite", "delete", "replace")
+    def sid(k: Int): Long = 1000 * id + k
+    def ts(k: Int): Long = 1700000000000L + id * 1000 + k * 7
+    val snaps = (0 until n).map { k =>
+      val parent = if (k == 0) ""
+        else s""""parent-snapshot-id": ${sid(k - 1)}, """
+      s"""{"snapshot-id": ${sid(k)}, $parent""" +
+      s""""sequence-number": ${k + 1}, """ +
+      s""""timestamp-ms": ${ts(k)}, """ +
+      s""""manifest-list": "s3://lake/meta/snap-${sid(k)}.avro", """ +
+      s""""schema-id": ${k % ns}, """ +
+      s""""summary": {"operation": "${ops(((id + k) % 4).toInt)}", """ +
+      s""""added-records": "${10 * id + k}"}}"""
+    }.mkString("[", ", ", "]")
+    val log = (0 until n).map { k =>
+      s"""{"timestamp-ms": ${ts(k)}, "snapshot-id": ${sid(k)}}"""
+    }.mkString("[", ", ", "]")
+    val schemas = (0 until ns).map { s2 =>
+      val nf = (id % 3 + 1).toInt + s2
+      val fs = (0 until nf).map { f =>
+        s"""{"id": ${f + 1}, "name": "c$f", "required": ${f == 0}, """ +
+        s""""type": "${if (f % 2 == 0) "long" else "string"}"}"""
+      }.mkString("[", ", ", "]")
+      s"""{"type": "struct", "schema-id": $s2, "fields": $fs}"""
+    }.mkString("[", ", ", "]")
+    val specFields = (0 until (id % 3).toInt).map { p =>
+      s"""{"name": "p$p", "transform": "bucket[16]", """ +
+      s""""source-id": ${p + 1}, "field-id": ${1000 + p}}"""
+    }.mkString("[", ", ", "]")
+    val fmt = Seq("parquet", "orc", "avro")((id % 3).toInt)
+    val doc =
+      s"""{"format-version": 2, "table-uuid": "uuid-$id", """ +
+      s""""location": "s3://lake/tbl${id % 10}", """ +
+      s""""last-sequence-number": $n, """ +
+      s""""last-updated-ms": ${ts(n - 1)}, """ +
+      s""""current-snapshot-id": ${sid(n - 1)}, """ +
+      s""""schemas": $schemas, "current-schema-id": ${ns - 1}, """ +
+      s""""partition-specs": [{"spec-id": 0, "fields": $specFields}], """ +
+      s""""default-spec-id": 0, """ +
+      s""""properties": {"write.format.default": "$fmt"}, """ +
+      s""""snapshots": $snaps, "snapshot-log": $log}"""
+    doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  val metadataJsonSchema: StructType = StructType(Seq(
+    StructField("format_version", IntegerType),
+    StructField("n_snapshots", IntegerType),
+    StructField("current_snapshot_id", LongType),
+    StructField("ancestry_depth", IntegerType),
+    StructField("n_log_entries", IntegerType),
+    StructField("log_monotonic", BooleanType),
+    StructField("ops_csv", StringType),
+    StructField("added_records_sum", LongType),
+    StructField("current_manifest_list", StringType),
+    StructField("n_schemas", IntegerType),
+    StructField("current_schema_fields", IntegerType),
+    StructField("n_spec_fields", IntegerType),
+    StructField("last_sequence_number", LongType),
+    StructField("format_default", StringType)))
+
+  private def nullRow14 = Seq[Any](null, null, null, null, null,
+    null, null, null, null, null, null, null, null, null)
+
+  /** Census one metadata.json. Refuses (null row) on: malformed
+    * JSON, a format version other than 1/2, a current-snapshot-id
+    * not present in the snapshot list, a broken or cyclic parent
+    * chain, a snapshot-log entry naming an unknown snapshot, or a
+    * non-integral numeric where the spec requires an integer.
+    */
+  def decodeMetadataJson(bytes: Array[Byte]): Seq[Any] = {
+    if (bytes == null) return nullRow14
+    try {
+      val parsed = graft.sources.MiniJson.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val root = parsed match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => return nullRow14
+      }
+      def lng(v: Any): Long = v match {
+        case d: Double if d.isWhole => d.toLong
+        case _ => throw IceFail
+      }
+      def obj(v: Any): Map[String, Any] = v match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => throw IceFail
+      }
+      def arr(v: Any): Vector[Any] = v match {
+        case a: Vector[_] => a.toVector
+        case _ => throw IceFail
+      }
+      val fv = lng(root.getOrElse("format-version", throw IceFail))
+      if (fv != 1 && fv != 2) return nullRow14
+      val snaps = arr(root.getOrElse("snapshots", throw IceFail))
+        .map(obj)
+      if (snaps.isEmpty || snaps.length > 100000) return nullRow14
+      val byId = snaps.map(s =>
+        lng(s.getOrElse("snapshot-id", throw IceFail)) -> s).toMap
+      if (byId.size != snaps.length) return nullRow14 // dup ids
+      val cur = lng(root.getOrElse("current-snapshot-id",
+        throw IceFail))
+      if (!byId.contains(cur)) return nullRow14
+      // ancestry: walk parent ids from the current snapshot; a
+      // parent named but absent, or a cycle, refuses
+      var depth = 0
+      var at: Option[Long] = Some(cur)
+      val seen = scala.collection.mutable.Set[Long]()
+      while (at.isDefined) {
+        val id = at.get
+        if (!seen.add(id)) return nullRow14 // cycle
+        val s = byId.getOrElse(id, return nullRow14)
+        depth += 1
+        at = s.get("parent-snapshot-id").map(lng)
+      }
+      val log = arr(root.getOrElse("snapshot-log", throw IceFail))
+        .map(obj)
+      // every log entry must name a known snapshot
+      val logPairs = log.map { e =>
+        val sid = lng(e.getOrElse("snapshot-id", throw IceFail))
+        if (!byId.contains(sid)) return nullRow14
+        (lng(e.getOrElse("timestamp-ms", throw IceFail)), sid)
+      }
+      val monotonic = logPairs.sliding(2).forall {
+        case Seq((a, _), (b, _)) => a <= b
+        case _ => true
+      }
+      val ops = scala.collection.mutable.SortedSet[String]()
+      var addedSum = 0L
+      snaps.foreach { s =>
+        val sum = obj(s.getOrElse("summary", throw IceFail))
+        sum.get("operation") match {
+          case Some(o: String) => ops += o
+          case _ => throw IceFail
+        }
+        sum.get("added-records") match {
+          case Some(v: String) =>
+            addedSum += java.lang.Long.parseLong(v)
+          case None => ()
+          case _ => throw IceFail
+        }
+      }
+      val curML = byId(cur).getOrElse("manifest-list",
+        throw IceFail) match {
+        case s: String => s
+        case _ => throw IceFail
+      }
+      val schemas = arr(root.getOrElse("schemas", throw IceFail))
+        .map(obj)
+      val curSchemaId = lng(root.getOrElse("current-schema-id",
+        throw IceFail))
+      val curSchema = schemas.find(s =>
+        lng(s.getOrElse("schema-id", throw IceFail)) == curSchemaId)
+        .getOrElse(return nullRow14)
+      val nFields = arr(curSchema.getOrElse("fields",
+        throw IceFail)).length
+      val specs = arr(root.getOrElse("partition-specs",
+        throw IceFail)).map(obj)
+      val defSpecId = lng(root.getOrElse("default-spec-id",
+        throw IceFail))
+      val defSpec = specs.find(s =>
+        lng(s.getOrElse("spec-id", throw IceFail)) == defSpecId)
+        .getOrElse(return nullRow14)
+      val nSpecFields = arr(defSpec.getOrElse("fields",
+        throw IceFail)).length
+      val lastSeq = lng(root.getOrElse("last-sequence-number",
+        throw IceFail))
+      val fmtDefault = root.get("properties").map(obj)
+        .flatMap(_.get("write.format.default")) match {
+        case Some(s: String) => s
+        case _ => ""
+      }
+      Seq[Any](fv.toInt, snaps.length, cur, depth, log.length,
+        monotonic, ops.mkString(","), addedSum, curML,
+        schemas.length, nFields, nSpecFields, lastSeq, fmtDefault)
+    } catch {
+      case IceFail => nullRow14
+      case _: NumberFormatException => nullRow14
+      case _: ClassCastException => nullRow14
+      case _: StackOverflowError => nullRow14
+      case _: Exception => nullRow14
+    }
+  }
+
+  def synthMetadataJsons(df: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    synth(df, idCol, outCol)(metadataJsonWrite)
 }

@@ -89,4 +89,87 @@ class IcebergSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("metadata.json census replays planted table-level facts " +
+      "(round 18)") {
+    for (id <- 0L to 12L) {
+      val r = Iceberg.decodeMetadataJson(
+        Iceberg.metadataJsonWrite(id))
+      val n = (id % 4 + 2).toInt
+      val ns = (id % 2 + 1).toInt
+      assert(r(0) == 2, s"id $id version")
+      assert(r(1) == n, s"id $id n_snapshots")
+      assert(r(2) == 1000 * id + n - 1, s"id $id current")
+      assert(r(3) == n, s"id $id ancestry") // full linear chain
+      assert(r(4) == n, s"id $id log")
+      assert(r(5) == true, s"id $id monotonic")
+      val ops = Seq("append", "overwrite", "delete", "replace")
+      assert(r(6) == (0 until n).map(k => ops(((id + k) % 4).toInt))
+        .distinct.sorted.mkString(","), s"id $id ops")
+      assert(r(7) == 10 * id * n + n.toLong * (n - 1) / 2,
+        s"id $id added_records")
+      assert(r(8) == s"s3://lake/meta/snap-${1000 * id + n - 1}.avro",
+        s"id $id manifest_list")
+      assert(r(9) == ns, s"id $id schemas")
+      assert(r(10) == (id % 3).toInt + ns, s"id $id fields")
+      assert(r(11) == (id % 3).toInt, s"id $id spec_fields")
+      assert(r(12) == n.toLong, s"id $id last_seq")
+      assert(r(13) == Seq("parquet", "orc", "avro")((id % 3).toInt),
+        s"id $id format")
+    }
+  }
+
+  test("metadata.json refusals: broken/cyclic parent chains, " +
+      "unknown current snapshot, log naming unknown snapshots, " +
+      "duplicate snapshot ids") {
+    def doc(s: String) = s.getBytes("UTF-8")
+    val base = new String(Iceberg.metadataJsonWrite(3L), "UTF-8")
+    // current-snapshot-id not in the snapshot list
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"current-snapshot-id\": 3004",
+      "\"current-snapshot-id\": 99"))).head == null)
+    // a parent naming a snapshot that does not exist
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"parent-snapshot-id\": 3000",
+      "\"parent-snapshot-id\": 77"))).head == null)
+    // a CYCLE in the parent chain (current points at itself)
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"parent-snapshot-id\": 3003",
+      "\"parent-snapshot-id\": 3004"))).head == null)
+    // a log entry naming an unknown snapshot
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "{\"timestamp-ms\": 1700000003000, \"snapshot-id\": 3000}",
+      "{\"timestamp-ms\": 1700000003000, \"snapshot-id\": 55}")))
+      .head == null)
+    // duplicate snapshot ids
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"snapshot-id\": 3001,",
+      "\"snapshot-id\": 3000,"))).head == null)
+    // a format version this reader does not know
+    assert(Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"format-version\": 2", "\"format-version\": 9")))
+      .head == null)
+    // non-JSON and null
+    assert(Iceberg.decodeMetadataJson(null).head == null)
+    assert(Iceberg.decodeMetadataJson(doc("not json")).head == null)
+    // a NON-monotonic log surfaces monotonic=false (still censused)
+    val swapped = Iceberg.decodeMetadataJson(doc(base.replace(
+      "\"timestamp-ms\": 1700000003021,", // log entry for k=3
+      "\"timestamp-ms\": 1700000000001,")))
+    // the replace also hits snapshot k=3's own timestamp —
+    // the doc stays censusable and the out-of-order log is reported
+    assert(swapped.head != null)
+    assert(swapped(5) == false)
+  }
+
+  test("metadata.json kernel is total under mutation") {
+    val base = Iceberg.metadataJsonWrite(9L)
+    val rnd = new scala.util.Random(1813)
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Iceberg.decodeMetadataJson(b) // must not throw
+    }
+  }
 }
