@@ -2499,6 +2499,30 @@ object SparkEntry {
           col("min_writer"), col("provider"))
     }),
 
+    // ----- Delta CHECKPOINT parquet (round 18 — how a reader
+    // actually scales past thousands of commits): a planted
+    // checkpointed table is written (JSON commits + a checkpoint
+    // parquet + _last_checkpoint), then the checkpoint-rooted
+    // snapshot (_last_checkpoint → parquet scan → JSON tail) is
+    // reconciled against the full raw-JSON replay with a full
+    // outer join — every file must land in BOTH with equal sizes,
+    // and the oracle replays the planted live set closed-form
+    "q_delta_checkpoint" -> ((s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_delta_ckpt"
+      DeltaLog.writeCheckpointedTable(s, path)
+      val ckpt = DeltaLog.snapshotFiles(s, path)
+        .withColumnRenamed("size", "size_ckpt")
+      val json = DeltaLog.replayFiles(s, path)
+        .withColumnRenamed("size", "size_json")
+      ckpt.join(json, Seq("path"), "full_outer")
+        .select(col("path"), col("size_ckpt"), col("size_json"),
+          when(col("size_ckpt").isNotNull &&
+              col("size_json").isNotNull, lit("both"))
+            .when(col("size_ckpt").isNotNull, lit("ckpt_only"))
+            .otherwise(lit("json_only")).as("status"))
+    }),
+
     // ----- JSON-Lines census (training corpora ship as .jsonl):
     // shape mix, malformed-line rate, key vocabulary — a quality
     // measure that never refuses, garbage IS its signal
@@ -6604,6 +6628,22 @@ object SparkEntry {
            1 AS min_reader, 2 AS min_writer,
            'parquet' AS provider
          FROM p""",
+
+    // the planted checkpointed table's live set, closed-form:
+    // version v adds f-v-j (j <= v%4) of size 100*(v+1)+j; v>=2
+    // removes f-(v-2)-0 — so j=0 files of versions 0..7 are dead
+    // after v9, and both reconciliation paths must agree on the
+    // rest ('both', equal sizes)
+    "q_delta_checkpoint" ->
+      """WITH f AS (SELECT v.v, j.j
+           FROM unnest(generate_series(0, 9)) AS v(v),
+                unnest(generate_series(0, 3)) AS j(j)
+           WHERE j.j <= v.v % 4)
+         SELECT 'f-' || v || '-' || j || '.parquet' AS path,
+           CAST(100 * (v + 1) + j AS BIGINT) AS size_ckpt,
+           CAST(100 * (v + 1) + j AS BIGINT) AS size_json,
+           'both' AS status
+         FROM f WHERE NOT (j = 0 AND v <= 7)""",
 
     // every planted jsonl mix must replay its shape census
     "q_jsonl_census" ->

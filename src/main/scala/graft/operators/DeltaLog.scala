@@ -149,6 +149,218 @@ object DeltaLog {
         null, null, null)
     }
 
+  // ---------------------------------------------------------------
+  // CHECKPOINT parquet (round 18) — at 100 TB nobody replays
+  // thousands of raw JSON commits: a reader starts from
+  // `_last_checkpoint` (a tiny JSON pointer), loads the checkpoint
+  // PARQUET at that version (a distributed columnar scan of the
+  // reconciled action state), and applies only the JSON tail
+  // written since. The protocol is public: checkpoint rows carry
+  // exactly one non-null action struct (add/remove/metaData/
+  // protocol/txn); `_last_checkpoint` holds {version, size}.
+  // ---------------------------------------------------------------
+
+  /** The planted table's action arithmetic, shared by the writer
+    * and the spec: version v adds files j = 0..(v%4) named
+    * `f-v-j.parquet` of size 100*(v+1)+j; from v = 2 on, version v
+    * removes `f-(v-2)-0.parquet`. All closed-form, so the DuckDB
+    * oracle replays the live set exactly.
+    */
+  def plantedAdds(v: Int): Seq[(String, Long)] =
+    (0 to v % 4).map(j => (s"f-$v-$j.parquet", 100L * (v + 1) + j))
+  def plantedRemove(v: Int): Option[String] =
+    if (v >= 2) Some(s"f-${v - 2}-0.parquet") else None
+
+  private def commitJson(v: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""{"commitInfo":{"operation":"WRITE",""")
+      .append(s""""timestamp":${1700000000000L + v}}}""").append('\n')
+    if (v == 0) {
+      sb.append("""{"protocol":{"minReaderVersion":1,""")
+        .append(""""minWriterVersion":2}}""").append('\n')
+      sb.append("""{"metaData":{"id":"planted-ckpt-table",""")
+        .append(""""format":{"provider":"parquet","options":{}},""")
+        .append(""""schemaString":"{}","partitionColumns":[],""")
+        .append(""""configuration":{}}}""").append('\n')
+    }
+    plantedAdds(v).foreach { case (p, size) =>
+      sb.append(s"""{"add":{"path":"$p","partitionValues":{},""")
+        .append(s""""size":$size,"modificationTime":1700000000000,""")
+        .append(s""""dataChange":true}}""").append('\n')
+    }
+    plantedRemove(v).foreach { p =>
+      sb.append(s"""{"remove":{"path":"$p",""")
+        .append(s""""deletionTimestamp":1700000000000,""")
+        .append(s""""dataChange":true}}""").append('\n')
+    }
+    sb.toString
+  }
+
+  /** Live (path, size) set of the planted table after `upTo`. */
+  def plantedLive(upTo: Int): Seq[(String, Long)] = {
+    val removed = (0 to upTo).flatMap(plantedRemove).toSet
+    (0 to upTo).flatMap(plantedAdds).filterNot(f => removed(f._1))
+  }
+
+  private val CkptSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("provider", StringType))))))
+
+  /** Write the planted checkpointed table: JSON commits 0..n-1, a
+    * checkpoint PARQUET at `ckptVersion` holding the reconciled
+    * state (protocol + metaData + one add row per live file), and
+    * `_last_checkpoint`. Idempotent (full rewrite).
+    */
+  def writeCheckpointedTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nVersions: Int = 10, ckptVersion: Int = 6): Unit = {
+    import java.nio.file.{Files, Paths}
+    val log = Paths.get(dir, "_delta_log")
+    if (Files.exists(log))
+      Files.walk(log).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(log)
+    (0 until nVersions).foreach { v =>
+      Files.writeString(log.resolve(f"$v%020d.json"), commitJson(v))
+    }
+    val live = plantedLive(ckptVersion)
+    val rows = Seq(
+      Row(null, null, Row(1, 2), null),
+      Row(null, null, null, Row("planted-ckpt-table", "parquet"))) ++
+      live.map { case (p, size) =>
+        Row(Row(p, size, true), null, null, null)
+      } ++
+      // removes still inside the retention window ride along in a
+      // real checkpoint (tombstones for readers doing vacuum math)
+      (0 to ckptVersion).flatMap(plantedRemove).map(p =>
+        Row(null, Row(p), null, null))
+    val tmp = dir + "/_ckpt_tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), CkptSchema)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    val ckptName = f"$ckptVersion%020d.checkpoint.parquet"
+    Files.move(src, log.resolve(ckptName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(Paths.get(tmp))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    Files.writeString(log.resolve("_last_checkpoint"),
+      s"""{"version":$ckptVersion,"size":${rows.size}}""")
+  }
+
+  /** Map-only line kernel for the JSON tail: (kind, path, size).
+    * Lines whose action carries no path (commitInfo, protocol,
+    * metaData, txn) map to kind-only rows; malformed lines refuse
+    * the WHOLE commit the caller-side way (None → the caller
+    * filters, keeping the census honest).
+    */
+  def actionPathSize(line: String): Option[(String, String, Long)] =
+    try {
+      MiniJson.parse(line) match {
+        case m: Map[_, _] =>
+          val obj = m.asInstanceOf[Map[String, Any]]
+          if (obj.size != 1) return None
+          val (kind, body0) = obj.head
+          val body = body0 match {
+            case b: Map[_, _] => b.asInstanceOf[Map[String, Any]]
+            case _ => return None
+          }
+          val path = body.get("path") match {
+            case Some(p: String) => p
+            case _ => ""
+          }
+          val size = body.get("size") match {
+            case Some(d: Double) if d >= 0 && d == math.floor(d) =>
+              d.toLong
+            case _ => -1L
+          }
+          Some((kind, path, size))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  private def tailVersionsDf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val log = Paths.get(dir, "_delta_log")
+    val rx = "(\\d{20})\\.json".r
+    val files = scala.util.Using.resource(Files.list(log)) { s =>
+      s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case rx(v) if v.toLong >= from => Some(p.toString)
+          case _ => None
+        }
+      }.toSeq
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("kind", StringType),
+        StructField("path", StringType),
+        StructField("size", LongType))))
+    if (files.isEmpty) return empty
+    import spark.implicits._
+    spark.read.textFile(files: _*)
+      .flatMap(l => actionPathSize(l))
+      .toDF("kind", "path", "size")
+  }
+
+  /** The checkpoint-rooted snapshot: `_last_checkpoint` → the
+    * checkpoint parquet (Spark's own columnar scan — this IS how a
+    * lakehouse reader scales past thousands of commits) → the JSON
+    * tail applied on top. Returns the live (path, size) census.
+    */
+  def snapshotFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lc = MiniJson.parseObject(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint")))
+    val v = lc("version") match {
+      case d: Double if d.isWhole && d >= 0 => d.toInt
+      case _ => throw new IllegalStateException(
+        "_last_checkpoint without an integral version")
+    }
+    val ckpt = spark.read.parquet(
+        s"$dir/_delta_log/" + f"$v%020d.checkpoint.parquet")
+      .where(col("add").isNotNull)
+      .select(col("add.path").as("path"), col("add.size").as("size"))
+    val tail = tailVersionsDf(spark, dir, v + 1)
+    val adds = tail.where(col("kind") === "add")
+      .select(col("path"), col("size"))
+    val removes = tail.where(col("kind") === "remove")
+      .select(col("path"))
+    ckpt.unionByName(adds)
+      .join(removes, Seq("path"), "left_anti")
+  }
+
+  /** The full raw JSON replay from version 0 — the reconciliation
+    * oracle the checkpoint path must agree with exactly.
+    */
+  def replayFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = tailVersionsDf(spark, dir, 0)
+    all.where(col("kind") === "add").select(col("path"), col("size"))
+      .join(all.where(col("kind") === "remove").select(col("path")),
+        Seq("path"), "left_anti")
+  }
+
   /** Per-doc synth: planted commits with closed-form facts. */
   def synthDeltas(df: DataFrame, idCol: String, outCol: String)
       : DataFrame = {

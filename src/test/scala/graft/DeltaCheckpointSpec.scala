@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.DeltaLog
+
+/** Delta CHECKPOINT parquet (round 18): the checkpoint-rooted
+  * snapshot (_last_checkpoint → checkpoint parquet → JSON tail)
+  * must reconcile EXACTLY against the full raw-JSON replay on the
+  * planted table, the file layout must match the protocol's naming,
+  * and the tail-line kernel must refuse malformed actions.
+  */
+class DeltaCheckpointSpec extends SparkSpec {
+
+  test("checkpoint-rooted snapshot == full JSON replay == the " +
+      "planted closed-form live set") {
+    val dir = Files.createTempDirectory("graft_dckpt").toString
+    DeltaLog.writeCheckpointedTable(spark, dir)
+    val viaCkpt = DeltaLog.snapshotFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaJson = DeltaLog.replayFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = DeltaLog.plantedLive(9).toSet
+    assert(viaCkpt == want)
+    assert(viaJson == want)
+    // protocol layout: zero-padded commit names, the checkpoint
+    // parquet at its version, the _last_checkpoint pointer
+    val log = Paths.get(dir, "_delta_log")
+    assert(Files.exists(log.resolve("00000000000000000000.json")))
+    assert(Files.exists(log.resolve("00000000000000000009.json")))
+    assert(Files.exists(
+      log.resolve("00000000000000000006.checkpoint.parquet")))
+    val lc = Files.readString(log.resolve("_last_checkpoint"))
+    assert(lc.contains("\"version\":6"))
+    // the checkpoint really is read as PARQUET (not replayed from
+    // JSON): drop the pre-checkpoint commits and the snapshot must
+    // still reconstruct
+    (0 to 6).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    val truncated = DeltaLog.snapshotFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(truncated == want)
+  }
+
+  test("the planted arithmetic: adds, removes, live-set algebra") {
+    assert(DeltaLog.plantedAdds(0) == Seq(("f-0-0.parquet", 100L)))
+    assert(DeltaLog.plantedAdds(5).map(_._1) ==
+      Seq("f-5-0.parquet", "f-5-1.parquet"))
+    assert(DeltaLog.plantedRemove(1).isEmpty)
+    assert(DeltaLog.plantedRemove(9).contains("f-7-0.parquet"))
+    val live = DeltaLog.plantedLive(9).map(_._1).toSet
+    assert(!live("f-3-0.parquet")) // removed by v5
+    assert(live("f-8-0.parquet")) // never removed
+    assert(live("f-3-1.parquet")) // only j=0 files are removed
+  }
+
+  test("tail-line kernel: actions map, junk refuses") {
+    assert(DeltaLog.actionPathSize(
+      """{"add":{"path":"p.parquet","size":10,"dataChange":true}}""")
+      .contains(("add", "p.parquet", 10L)))
+    assert(DeltaLog.actionPathSize(
+      """{"remove":{"path":"p.parquet"}}""")
+      .contains(("remove", "p.parquet", -1L)))
+    assert(DeltaLog.actionPathSize(
+      """{"commitInfo":{"operation":"WRITE"}}""")
+      .contains(("commitInfo", "", -1L)))
+    // two actions on one line / non-object / junk → refuse
+    assert(DeltaLog.actionPathSize(
+      """{"add":{"path":"a"},"remove":{"path":"b"}}""").isEmpty)
+    assert(DeltaLog.actionPathSize("[1,2]").isEmpty)
+    assert(DeltaLog.actionPathSize("not json").isEmpty)
+  }
+}
