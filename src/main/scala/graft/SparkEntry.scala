@@ -2666,6 +2666,40 @@ object SparkEntry {
           col("bytes"), col("undersized"))
     }),
 
+    // ----- compaction EXECUTION (round 18 — plan→act, like
+    // Layout.zorderWrite did for Z-order): the per-file bin
+    // assignment rides a broadcast join onto the data (the census
+    // is metadata-sized at any data scale), ONE hash shuffle
+    // co-locates each (partition, bin), and the partitioned write
+    // makes every bin exactly one file. The read-back proves BOTH
+    // content preservation (row counts and quantity sums per
+    // partition survive the rewrite) and the physical claim
+    // (files written == bins planned, via input_file_name) — the
+    // oracle replays the bin arithmetic in SQL
+    "q_compaction_apply" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_returnflag").as("part"),
+          (col("l_orderkey") % 37).cast("bigint").as("file_id"),
+          col("l_quantity"))
+      val census = d.groupBy(col("part"), col("file_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"))
+      val assign = Maintenance.compactionAssign(census, "part",
+        "n_rows", "file_id", target = 5000L)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_compaction_apply"
+      Maintenance.compactionApply(d, "part", "file_id", assign, path)
+      s.read.parquet(path)
+        .withColumn("__file", input_file_name())
+        .groupBy(col("part"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          countDistinct(col("bin")).cast("int").as("n_bins"),
+          countDistinct(col("__file")).cast("int").as("n_files"))
+        .withColumn("files_eq_bins", col("n_files") === col("n_bins"))
+    }),
+
     // ----- orphan-file sweep (round 17): storage listing LEFT ANTI
     // joined against the paths the Iceberg manifests actually
     // reference (decoded from the Avro tier, exploded engine-side)
@@ -6858,6 +6892,28 @@ object SparkEntry {
            COUNT(*)::INT AS n_files, SUM(size)::BIGINT AS bytes,
            SUM(size) < 512 AS undersized
          FROM c GROUP BY part, (cum - size) // 1024""",
+
+    // the rewrite must preserve content exactly (counts and sums
+    // per partition) and produce one file per planned bin; the bin
+    // count replays via the same next-fit window in SQL
+    "q_compaction_apply" ->
+      """WITH d AS (SELECT l_returnflag AS part,
+             l_orderkey % 37 AS file_id, l_quantity
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         census AS (SELECT part, file_id, COUNT(*) AS n_rows
+           FROM d GROUP BY 1, 2),
+         a AS (SELECT part, file_id,
+             (SUM(n_rows) OVER (PARTITION BY part ORDER BY file_id
+                ROWS UNBOUNDED PRECEDING) - n_rows) // 5000 AS bin
+           FROM census),
+         bins AS (SELECT part, COUNT(DISTINCT bin)::INT AS n_bins
+           FROM a GROUP BY part)
+         SELECT d.part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           b.n_bins, b.n_bins AS n_files, TRUE AS files_eq_bins
+         FROM d JOIN bins b ON d.part = b.part
+         GROUP BY d.part, b.n_bins""",
 
     // listed-but-unreferenced arithmetic: listing carries e in
     // [0, doc_id%5], the manifests reference e in [0, doc_id%4];

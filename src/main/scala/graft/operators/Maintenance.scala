@@ -54,6 +54,43 @@ object Maintenance {
       .withColumn("undersized", col("bytes") < lit(target / 2))
   }
 
+  /** Per-file bin assignment — the same next-fit arithmetic as
+    * [[compactionPlan]] but kept at file grain, so the rewrite can
+    * join it back onto the data. One partitioned window, no
+    * aggregate.
+    */
+  def compactionAssign(files: DataFrame, partCol: String,
+      sizeCol: String, orderCol: String, target: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - `$sizeCol`) div ${target}L"))
+      .drop("__cum")
+  }
+
+  /** Execute the compaction: stamp each data row with its file's
+    * bin (broadcast join — the file census is metadata-sized even
+    * when the data is 100 TB), ONE hash shuffle to co-locate each
+    * (partition, bin), and a partitioned write where every bin
+    * becomes exactly one output file (all rows of a (part, bin) key
+    * land in one task, and each task writes one file per directory;
+    * maxRecordsPerFile guards a runaway bin). No driver loop, no
+    * global sort.
+    */
+  def compactionApply(data: DataFrame, partCol: String,
+      fileCol: String, assign: DataFrame, outPath: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit = {
+    val a = assign.select(col(partCol), col(fileCol), col("bin"))
+    data
+      .join(broadcast(a), Seq(partCol, fileCol))
+      .repartition(col(partCol), col("bin"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol, "bin")
+      .parquet(outPath)
+  }
+
   /** Clustering depth — the read-amplification metric that drives
     * Z-order/OPTIMIZE decisions: given each file's [min, max] on a
     * sort key (the zone maps of C238/C249), how many files can one

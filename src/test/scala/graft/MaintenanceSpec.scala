@@ -32,6 +32,45 @@ class MaintenanceSpec extends SparkSpec {
       plan(2).getBoolean(4)) // undersized tail
   }
 
+  test("compactionApply: content-preserving rewrite, one file " +
+      "per planned bin (round 18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 files in part a (400+400+400 rows, target 500 → bins
+    // 0,0,1), 1 file in part b
+    val data = ((1 to 1200).map(i =>
+        ("a", (i % 3).toLong, i.toLong)) ++
+      (1 to 50).map(i => ("b", 0L, i.toLong)))
+      .toDF("part", "file_id", "v")
+    val census = data.groupBy($"part", $"file_id")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"))
+    val assign = Maintenance.compactionAssign(census, "part",
+      "n_rows", "file_id", target = 500L)
+    val got = assign.orderBy("part", "file_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 0L, 0L), ("a", 1L, 0L),
+      ("a", 2L, 1L), ("b", 0L, 0L)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_capply").toString + "/out"
+    Maintenance.compactionApply(data, "part", "file_id", assign, dir)
+    val rb = spark.read.parquet(dir)
+    // content preserved exactly
+    val sums = rb.groupBy("part")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(sums == Set(("a", 1200L, 1200L * 1201 / 2),
+      ("b", 50L, 50L * 51 / 2)))
+    // one physical file per planned bin
+    val files = rb.withColumn("__f", input_file_name())
+      .groupBy("part")
+      .agg(countDistinct(col("__f")).as("nf"),
+        countDistinct(col("bin")).as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(files == Set(("a", 2L, 2L), ("b", 1L, 1L)))
+  }
+
   test("clusteringDepth: the boundary sweep computes exact max " +
       "depth and the depth integral per partition") {
     import spark.implicits._
