@@ -2869,6 +2869,37 @@ object SparkEntry {
           .as("n_range_hit"))
     }),
 
+    // ----- ORC row-group indexes + BLOOM streams (round 18 — the
+    // intra-stripe skipping tier, parquet-bloom parity): the
+    // committed Spark-written fixture's ROW_INDEX gives per-group
+    // zone maps (pruning counts computed engine-side, zero UDFs)
+    // and the BLOOM_FILTER_UTF8 streams are probed LIVE per doc —
+    // member probes (Thomas-Wang for the long column, Murmur3
+    // hash64 over UTF-8 for the string column) must hit their own
+    // row group; absent probes come from verified zero-FP windows,
+    // so every bloom verdict is deterministic for the oracle
+    "q_orc_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val dec = Orc.orcBloomRows(d, "doc_id")
+      val mins = split(col("ri_mins"), ",").cast("array<bigint>")
+      val maxs = split(col("ri_maxs"), ",").cast("array<bigint>")
+      val probe = col("doc_id") % 5000
+      val lo = col("doc_id") % 4000
+      val hi = lo + 1500
+      dec.select(col("doc_id"), col("n_row_groups"),
+        col("n_hash"), col("bitset_bytes"),
+        col("ri_mins"), col("ri_maxs"),
+        col("member_hit"), col("s_member_hit"),
+        col("absent_hit"), col("s_absent_hit"),
+        probe.as("probe"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= probe && mx >= probe), x => x))
+          .as("ri_n_hit"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= hi && mx >= lo), x => x))
+          .as("ri_range_hit"))
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -7131,6 +7162,27 @@ object SparkEntry {
            1 AS n_hit,
            CAST(LEAST(4, (lo + 1500) // 1024) - lo // 1024 + 1
              AS INT) AS n_range_hit
+         FROM p""",
+
+    // the bloom fixture's constants (5 groups at stride 1000, k=7,
+    // 1200-byte bitsets) are the committed writer output; member
+    // probes must hit (no false negatives) and the absent windows
+    // were exhaustively verified zero-FP per group, so the bloom
+    // verdicts are constants; the row-index prunes are interval
+    // arithmetic over the exact 1000-row groups
+    "q_orc_bloom" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5000 AS probe,
+           doc_id % 4000 AS lo FROM documents)
+         SELECT doc_id,
+           5 AS n_row_groups, 7 AS n_hash, 1200 AS bitset_bytes,
+           '0,1000,2000,3000,4000' AS ri_mins,
+           '999,1999,2999,3999,4999' AS ri_maxs,
+           TRUE AS member_hit, TRUE AS s_member_hit,
+           FALSE AS absent_hit, FALSE AS s_absent_hit,
+           CAST(probe AS BIGINT) AS probe,
+           1 AS ri_n_hit,
+           CAST(LEAST(4, (lo + 1500) // 1000) - lo // 1000 + 1
+             AS INT) AS ri_range_hit
          FROM p""",
 
     // the census must replay every planted pickle shape: protocol,

@@ -478,6 +478,353 @@ object Orc {
         null, null, null, null)
     }
 
+  // ---------------------------------------------------------------
+  // ROW-GROUP indexes + BLOOM streams (round 18) — ORC's third
+  // skipping tier, the parity of the parquet split-block blooms:
+  // per stripe, each column's ROW_INDEX stream carries one
+  // RowIndexEntry per row group (positions + ColumnStatistics — the
+  // zone maps INSIDE a stripe), and opted-in columns carry a
+  // BLOOM_FILTER_UTF8 stream with one BloomFilter per row group.
+  // The hashes are public Hive/ORC algorithms: longs use the
+  // Thomas Wang 64-bit mix, strings use Murmur3 hash64 (the x64
+  // variant's low half, seed 104729) over the UTF-8 bytes; k probe
+  // positions come from the Kirsch-Mitzenmacher combination
+  // h1 + i*h2 (~negated when negative) mod numBits.
+  // ---------------------------------------------------------------
+
+  final case class OrcBloomGroup(k: Int, bits: Array[Byte])
+  final case class OrcIndexInfo(riMins: Vector[Long],
+      riMaxs: Vector[Long], idBlooms: Vector[OrcBloomGroup],
+      sBlooms: Vector[OrcBloomGroup])
+
+  /** Parse the index region of a single-stripe ORC file (the
+    * committed fixture contract; multi-stripe files refuse rather
+    * than silently census one stripe of many): row-group [min,max]
+    * of column 1 from its ROW_INDEX, and the per-row-group blooms
+    * of columns 1 and 2 from their BLOOM_FILTER_UTF8 streams.
+    */
+  def orcIndexInfo(b: Array[Byte]): Option[OrcIndexInfo] = {
+    if (b == null || b.length < 8) return None
+    val psLen = b(b.length - 1) & 0xff
+    if (psLen <= 0 || psLen >= b.length - 1 || psLen > 256)
+      return None
+    try {
+      val psr = new Reader(b, b.length - 1 - psLen, b.length - 1)
+      var footerLen = -1L
+      var codec = 0
+      var magic = ""
+      fields(psr) { (field, wire) =>
+        field match {
+          case 1 if wire == 0 => footerLen = psr.varint()
+          case 2 if wire == 0 => codec = psr.varint().toInt
+          case 8000 if wire == 2 =>
+            val (f, u) = psr.bytes(psr.varint())
+            magic = new String(b, f, u - f,
+              java.nio.charset.StandardCharsets.US_ASCII)
+          case _ => psr.skip(wire)
+        }
+      }
+      if (magic != "ORC" || footerLen <= 0 ||
+        footerLen > b.length - 1 - psLen) return None
+      val footerStart = b.length - 1 - psLen - footerLen.toInt
+      def section(from: Long, len: Long): Option[Array[Byte]] = {
+        if (from < 0 || len < 0 || from + len > b.length) None
+        else if (codec == 0)
+          Some(java.util.Arrays.copyOfRange(b, from.toInt,
+            (from + len).toInt))
+        else inflateRegion(b, from.toInt, (from + len).toInt, codec)
+      }
+      val fb = section(footerStart.toLong, footerLen)
+        .getOrElse(return None)
+      // footer field 3: repeated StripeInformation
+      final case class Si(off: Long, idxLen: Long, dataLen: Long,
+        ftLen: Long)
+      val stripes = Vector.newBuilder[Si]
+      val fr = new Reader(fb, 0, fb.length)
+      fields(fr) { (field, wire) =>
+        if (field == 3 && wire == 2) {
+          val (f, u) = fr.bytes(fr.varint())
+          var off, il, dl, fl = -1L
+          val sr = new Reader(fb, f, u)
+          fields(sr) { (sf, sw) =>
+            if (sw == 0) sf match {
+              case 1 => off = sr.varint()
+              case 2 => il = sr.varint()
+              case 3 => dl = sr.varint()
+              case 4 => fl = sr.varint()
+              case _ => sr.skip(sw)
+            } else sr.skip(sw)
+          }
+          if (off < 0 || il < 0 || dl < 0 || fl < 0) throw OFail()
+          stripes += Si(off, il, dl, fl)
+        } else fr.skip(wire)
+      }
+      val ss = stripes.result()
+      if (ss.length != 1) return None
+      val st = ss.head
+      val sfb = section(st.off + st.idxLen + st.dataLen, st.ftLen)
+        .getOrElse(return None)
+      // stripe footer field 1: repeated Stream {kind, column, len}
+      final case class Strm(kind: Int, column: Int, pos: Long,
+        len: Long)
+      val streams = Vector.newBuilder[Strm]
+      var pos = st.off
+      val tr = new Reader(sfb, 0, sfb.length)
+      fields(tr) { (field, wire) =>
+        if (field == 1 && wire == 2) {
+          val (f, u) = tr.bytes(tr.varint())
+          var kind, column = 0
+          var len = 0L
+          val sr = new Reader(sfb, f, u)
+          fields(sr) { (sf, sw) =>
+            if (sw == 0) sf match {
+              case 1 => kind = sr.varint().toInt
+              case 2 => column = sr.varint().toInt
+              case 3 => len = sr.varint()
+              case _ => sr.skip(sw)
+            } else sr.skip(sw)
+          }
+          streams += Strm(kind, column, pos, len)
+          pos += len
+        } else tr.skip(wire)
+      }
+      val all = streams.result()
+      def streamOf(kind: Int, column: Int): Option[Array[Byte]] =
+        all.find(s => s.kind == kind && s.column == column)
+          .flatMap(s => section(s.pos, s.len))
+      // ROW_INDEX (kind 6) of column 1 → per-group statistics
+      val rib = streamOf(6, 1).getOrElse(return None)
+      val entries = Vector.newBuilder[OrcColStat]
+      val rr = new Reader(rib, 0, rib.length)
+      fields(rr) { (field, wire) =>
+        if (field == 1 && wire == 2) { // RowIndexEntry
+          val (f, u) = rr.bytes(rr.varint())
+          val er = new Reader(rib, f, u)
+          var stat: Option[OrcColStat] = None
+          fields(er) { (ef, ew) =>
+            if (ef == 2 && ew == 2) { // statistics
+              val (cf, cu) = er.bytes(er.varint())
+              stat = Some(colStat(rib, cf, cu))
+            } else er.skip(ew)
+          }
+          entries += stat.getOrElse(throw OFail())
+        } else rr.skip(wire)
+      }
+      val ri = entries.result()
+      if (ri.isEmpty ||
+        ri.exists(s => s.intMin.isEmpty || s.intMax.isEmpty))
+        return None
+      // BLOOM_FILTER_UTF8 (kind 8) → one BloomFilter per row group
+      def blooms(column: Int): Vector[OrcBloomGroup] = {
+        val bb = streamOf(8, column).getOrElse(throw OFail())
+        val out = Vector.newBuilder[OrcBloomGroup]
+        val br = new Reader(bb, 0, bb.length)
+        fields(br) { (field, wire) =>
+          if (field == 1 && wire == 2) { // BloomFilter
+            val (f, u) = br.bytes(br.varint())
+            var k = 0
+            var bits: Array[Byte] = null
+            val longs = Vector.newBuilder[Long]
+            val gr = new Reader(bb, f, u)
+            fields(gr) { (gf, gw) =>
+              (gf, gw) match {
+                case (1, 0) => k = gr.varint().toInt
+                case (3, 2) => // utf8bitset: LE-serialized longs
+                  val (a, b2) = gr.bytes(gr.varint())
+                  bits = java.util.Arrays.copyOfRange(bb, a, b2)
+                case (2, 1) => // repeated fixed64 bitset (old form)
+                  val (a, _) = gr.bytes(8)
+                  var v = 0L
+                  var i = 0
+                  while (i < 8) {
+                    v |= (bb(a + i) & 0xffL) << (8 * i); i += 1
+                  }
+                  longs += v
+                case _ => gr.skip(gw)
+              }
+            }
+            if (bits == null) {
+              val ls = longs.result()
+              if (ls.isEmpty) throw OFail()
+              bits = new Array[Byte](ls.length * 8)
+              var i = 0
+              while (i < ls.length) {
+                var j = 0
+                while (j < 8) {
+                  bits(i * 8 + j) =
+                    ((ls(i) >>> (8 * j)) & 0xff).toByte
+                  j += 1
+                }
+                i += 1
+              }
+            }
+            if (k <= 0 || k > 64 || bits.length == 0) throw OFail()
+            out += OrcBloomGroup(k, bits)
+          } else br.skip(wire)
+        }
+        out.result()
+      }
+      val idB = blooms(1)
+      val sB = blooms(2)
+      if (idB.length != ri.length || sB.length != ri.length)
+        return None
+      Some(OrcIndexInfo(ri.map(_.intMin.get), ri.map(_.intMax.get),
+        idB, sB))
+    } catch {
+      case _: OFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Hive/ORC Murmur3 hash64 (x64 variant low half, seed 104729)
+    * — the string-column bloom hash.
+    */
+  def murmur3Hash64(data: Array[Byte]): Long = {
+    val C1 = 0x87c37b91114253d5L
+    val C2 = 0x4cf5ad432745937fL
+    var h = 104729L
+    val nblocks = data.length >> 3
+    var i = 0
+    while (i < nblocks) {
+      val i8 = i << 3
+      var k = 0L
+      var j = 0
+      while (j < 8) {
+        k |= (data(i8 + j) & 0xffL) << (8 * j); j += 1
+      }
+      k *= C1; k = java.lang.Long.rotateLeft(k, 31); k *= C2
+      h ^= k
+      h = java.lang.Long.rotateLeft(h, 27) * 5 + 0x52dce729L
+      i += 1
+    }
+    val tailStart = nblocks << 3
+    val rem = data.length - tailStart
+    if (rem > 0) {
+      var k1 = 0L
+      var t = rem
+      while (t > 0) {
+        t -= 1
+        k1 ^= (data(tailStart + t) & 0xffL) << (8 * t)
+      }
+      k1 *= C1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= C2
+      h ^= k1
+    }
+    h ^= data.length
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Thomas Wang's 64-bit integer mix — the long-column bloom hash
+    * (ORC hashes longs directly, no byte serialization). NOTE the
+    * SIGNED right shifts: the reference implementation uses `>>`
+    * (verified against the classpath ORC writer's bytecode — lshr,
+    * not lushr), which maps 0 → 0 because the first step's -1
+    * stays -1 under an arithmetic shift; an unsigned variant agrees
+    * on every positive intermediate but diverges exactly there.
+    */
+  def wangHash64(v: Long): Long = {
+    var key = v
+    key = (~key) + (key << 21)
+    key = key ^ (key >> 24)
+    key = (key + (key << 3)) + (key << 8)
+    key = key ^ (key >> 14)
+    key = (key + (key << 2)) + (key << 4)
+    key = key ^ (key >> 28)
+    key = key + (key << 31)
+    key
+  }
+
+  /** Membership probe: k positions from h1 + i*h2 (bitwise-negated
+    * when negative) mod numBits, over the little-endian bitset.
+    */
+  def orcBloomTest(g: OrcBloomGroup, hash64: Long): Boolean = {
+    val m = g.bits.length * 8
+    val h1 = hash64.toInt
+    val h2 = (hash64 >>> 32).toInt
+    var i = 1
+    while (i <= g.k) {
+      var c = h1 + i * h2
+      if (c < 0) c = ~c
+      val pos = c % m
+      if ((g.bits(pos >>> 3) & (1 << (pos & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The committed bloom fixture (fx6: blooms on both columns,
+    * 1000-row index stride), loaded once per executor.
+    */
+  lazy val BloomFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/orc/fx6.orc")
+    require(in != null, "missing orc bloom fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Per-row-group 200-wide absent-probe windows verified (by
+    * exhaustive scan of the committed fixture) to contain ZERO
+    * false positives on BOTH columns' blooms of that group — what
+    * makes the absent checks deterministic for the oracle. A
+    * regenerated fixture re-derives these (OrcBloomSpec pins them).
+    */
+  val BloomAbsentBase: IndexedSeq[Long] =
+    IndexedSeq(5500L, 6300L, 29300L, 19200L, 8600L)
+
+  /** One row per doc: the index-tier census plus LIVE membership
+    * probes derived from the doc id against the probe's OWN row
+    * group — member probes must hit (no false negatives) and
+    * absent probes come from the fixture's verified zero-FP window
+    * for that group ([[BloomAbsentBase]]).
+    * The index is parsed ONCE per partition and probed per row.
+    */
+  def orcBloomRows(df: DataFrame, idCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("n_row_groups", IntegerType),
+      StructField("n_hash", IntegerType),
+      StructField("bitset_bytes", IntegerType),
+      StructField("ri_mins", StringType),
+      StructField("ri_maxs", StringType),
+      StructField("member_hit", BooleanType),
+      StructField("s_member_hit", BooleanType),
+      StructField("absent_hit", BooleanType),
+      StructField("s_absent_hit", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val info = orcIndexInfo(BloomFixture)
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        val member = java.lang.Math.floorMod(id, 5000L)
+        val own = (member / 1000L).toInt
+        val absent = BloomAbsentBase(own) +
+          java.lang.Math.floorMod(id, 200L)
+        info match {
+          case Some(ix) =>
+            def tL(v: Long) =
+              orcBloomTest(ix.idBlooms(own), wangHash64(v))
+            def tS(v: String) = orcBloomTest(ix.sBlooms(own),
+              murmur3Hash64(v.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)))
+            Row(r.get(ii), ix.riMins.length,
+              ix.idBlooms.head.k, ix.idBlooms.head.bits.length,
+              ix.riMins.mkString(","), ix.riMaxs.mkString(","),
+              tL(member), tS(s"v$member"),
+              tL(absent), tS(s"v$absent"))
+          case None =>
+            Row(r.get(ii), null, null, null, null, null, null,
+              null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** The committed reference fixtures, loaded once per executor. */
   lazy val Fixtures: IndexedSeq[Array[Byte]] = {
     (0 until 5).map { i =>

@@ -72,6 +72,21 @@ object OrcFixtureGen {
       .toDF("id", "s"), "zlib", 5)
     finally hc.unset("orc.stripe.row.count")
 
+    // fx6: the BLOOM fixture — 5000 sorted rows, ONE stripe, row
+    // index stride 1000 (exact, unlike stripe.row.count's 1024
+    // rounding) → 5 row groups, each with its own BloomFilterUtf8
+    // on BOTH columns (id long → Thomas-Wang hash; s string →
+    // Murmur3 hash64 of the UTF-8 bytes). Uncompressed so the
+    // committed stream bytes are the writer's own, unwrapped.
+    hc.set("orc.bloom.filter.columns", "id,s")
+    hc.set("orc.row.index.stride", "1000")
+    try writeOne((0L until 5000L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), "none", 6)
+    finally {
+      hc.unset("orc.bloom.filter.columns")
+      hc.unset("orc.row.index.stride")
+    }
+
     spark.stop()
     println(s"wrote $outDir")
   }
