@@ -78,7 +78,14 @@ object Sf1Point {
     // round's two new SHUFFLE queries, the partitioned-window
     // compaction packer and the anti-join orphan sweep
     "q_avro_named", "q_parquet_bloom", "q_lakehouse_omni",
-    "q_compaction_plan", "q_orphan_files")
+    "q_compaction_plan", "q_orphan_files",
+    // round 18: finish the dispatch-tier ask (x509 + pcap had no
+    // measured point) and the round's own additions — the
+    // metadata.json census and the bloom probe tier (map-only by
+    // design) plus the compaction rewrite (broadcast + one
+    // shuffle + partitioned write, deliberately write-bound)
+    "q_x509_meta", "q_pcap_meta",
+    "q_iceberg_snapshots", "q_orc_bloom", "q_compaction_apply")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(

@@ -2835,6 +2835,37 @@ object SparkEntry {
           col("format_default"))
     }),
 
+    // ----- Iceberg v2 POSITION DELETES + merge-on-read (round 18):
+    // the delete payload (an Avro file of (file_path, pos) records)
+    // is decoded through the house Avro surface, exploded into join
+    // rows, and the MOR read path is the real thing — a left-anti
+    // join of the planted data rows on (file_path, pos), the exact
+    // shuffle a 100 TB MOR scan does; live counts and value sums
+    // replay closed-form
+    "q_iceberg_mor" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val pd = Iceberg.synthPosDeletes(d, "doc_id", "content")
+      val deletes = Multimodal.decodeBatches(pd, "content",
+          Iceberg.posDeleteSchema)(Iceberg.decodePosDeletes)
+        .select(explode(split(col("deletes_csv"), ",")).as("kv"))
+        .select(substring_index(col("kv"), "|", 1).as("file_path"),
+          substring_index(col("kv"), "|", -1).cast("bigint")
+            .as("pos"))
+      val data = d
+        .select(col("doc_id"), explode(sequence(lit(0),
+          (col("doc_id") % 4).cast("int"))).as("e"))
+        .select(col("doc_id"),
+          concat(lit("s3://lake/data/f"), col("doc_id"), lit("-"),
+            col("e"), lit(".parquet")).as("file_path"))
+        .select(col("doc_id"), col("file_path"),
+          explode(sequence(lit(0L), lit(9L))).as("pos"))
+      data.join(deletes, Seq("file_path", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_live"),
+          sum(col("doc_id") * 10 + col("pos")).cast("bigint")
+            .as("live_value_sum"))
+    }),
+
     // ----- ORC stripe/column STATISTICS census (round 17 — the
     // facts that drive stripe skipping at 100 TB): file-level
     // min/max/sum/nulls from the footer, per-stripe min/max from the
@@ -7142,6 +7173,20 @@ object SparkEntry {
            CASE b.doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc'
              ELSE 'avro' END AS format_default
          FROM base b JOIN agg USING (doc_id)""",
+
+    // merge-on-read replay: file e in 0..doc_id%4 holds positions
+    // 0..9; the delete file removes every pos with
+    // pos % 3 == (doc_id + e) % 3; the anti join keeps the rest
+    "q_iceberg_mor" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS emax
+           FROM documents),
+         live AS (SELECT doc_id, e.e, g.p FROM p,
+             unnest(generate_series(0, 3)) AS e(e),
+             unnest(generate_series(0, 9)) AS g(p)
+           WHERE e.e <= emax AND g.p % 3 <> (doc_id + e.e) % 3)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(10 * doc_id + p) AS BIGINT) AS live_value_sum
+         FROM live GROUP BY doc_id""",
 
     // the stats walk must replay what the reference ORC writer
     // recorded for the deliberately-striped fixture (the writer

@@ -619,4 +619,83 @@ object Iceberg {
   def synthMetadataJsons(df: DataFrame, idCol: String,
       outCol: String): DataFrame =
     synth(df, idCol, outCol)(metadataJsonWrite)
+
+  // ----------------------------------------------------------------
+  // POSITION DELETES + merge-on-read (round 18)
+  // ----------------------------------------------------------------
+  //
+  // Iceberg v2's row-level deletes: a DELETE writes a position
+  // delete file — an Avro (or parquet) file of (file_path, pos)
+  // records — and the READ path anti-joins data rows against the
+  // delete set (merge-on-read). The delete files ride the same
+  // manifest machinery (content=1 in the manifest list, which the
+  // C250 census already surfaces); here the delete PAYLOAD is
+  // decoded and the MOR join itself is expressed as a Spark
+  // left-anti join on (file_path, pos) — the exact shape a 100 TB
+  // MOR scan shuffles on.
+
+  private val PosDeleteSchema =
+    """{"type": "record", "name": "pos_delete", "fields": [
+      {"name": "file_path", "type": "string"},
+      {"name": "pos", "type": "long"}]}"""
+
+  /** A planted position-delete file for table `id`: for each data
+    * file e in 0..(id%4), delete every pos in 0..9 with
+    * pos % 3 == (id + e) % 3 — all closed-form for the oracle.
+    */
+  def posDeleteWrite(id: Long): Array[Byte] = {
+    val nf = (id % 4 + 1).toInt
+    val recs = for {
+      e <- 0 until nf
+      p <- 0 until 10
+      if p % 3 == ((id + e) % 3).toInt
+    } yield {
+      val b = new java.io.ByteArrayOutputStream()
+      def w(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+      w(wStr(s"s3://lake/data/f$id-$e.parquet"))
+      w(wZlong(p.toLong))
+      b.toByteArray
+    }
+    container(PosDeleteSchema, recs)
+  }
+
+  val posDeleteSchema: StructType = StructType(Seq(
+    StructField("deletes_csv", StringType)))
+
+  /** Decode one position-delete file to `path|pos` CSV (the engine
+    * explodes it into join rows; '|' because URI paths contain
+    * colons). Null on refusal; spec order (sorted by path then
+    * pos) is NOT assumed — the join doesn't need it.
+    */
+  def decodePosDeletes(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          val fpI = idx("file_path")
+          val posI = idx("pos")
+          val ds = rows.map { r =>
+            val fp = r(fpI) match {
+              case s: String => s
+              case _ => throw IceFail
+            }
+            val p = r(posI) match {
+              case l: Long => l
+              case _ => throw IceFail
+            }
+            s"$fp|$p"
+          }
+          if (ds.isEmpty) None else Some(Seq[Any](ds.mkString(",")))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+        }
+    }
+    res.getOrElse(Seq[Any](null))
+  }
+
+  def synthPosDeletes(df: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    synth(df, idCol, outCol)(posDeleteWrite)
 }

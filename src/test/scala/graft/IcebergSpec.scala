@@ -162,6 +162,34 @@ class IcebergSpec extends AnyFunSuite {
     assert(swapped(5) == false)
   }
 
+  test("position-delete files replay planted (file_path, pos) " +
+      "sets; the kernel is total under mutation (round 18)") {
+    for (id <- 0L to 12L) {
+      val r = Iceberg.decodePosDeletes(Iceberg.posDeleteWrite(id))
+      val nf = (id % 4 + 1).toInt
+      val want = (for {
+        e <- 0 until nf
+        p <- 0 until 10
+        if p % 3 == ((id + e) % 3).toInt
+      } yield s"s3://lake/data/f$id-$e.parquet|$p").mkString(",")
+      assert(r.head == want, s"id $id deletes")
+    }
+    assert(Iceberg.decodePosDeletes(null).head == null)
+    assert(Iceberg.decodePosDeletes("junk".getBytes).head == null)
+    // the manifest tier's file has the wrong fields — null, not
+    // a mis-mapped delete set
+    assert(Iceberg.decodePosDeletes(
+      Iceberg.manifestWrite(3L)).head == null)
+    val base = Iceberg.posDeleteWrite(7L)
+    val rnd = new scala.util.Random(1815)
+    for (_ <- 0 until 250) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Iceberg.decodePosDeletes(b) // must not throw
+    }
+  }
+
   test("metadata.json kernel is total under mutation") {
     val base = Iceberg.metadataJsonWrite(9L)
     val rnd = new scala.util.Random(1813)
