@@ -2523,6 +2523,23 @@ object SparkEntry {
             .otherwise(lit("json_only")).as("status"))
     }),
 
+    // ----- Delta DELETION VECTORS (round 18 — row-level deletes
+    // without rewriting data files): the stored DV blob (version +
+    // BE size + CRC32 frame) wraps a 64-bit RoaringBitmapArray in
+    // the portable format; all three 32-bit container kinds
+    // (array / bitmap / run) are planted and censused, and the
+    // live probes ARE the MOR filter decision — a deleted row must
+    // test present, a kept row absent, and live_0_40 counts the
+    // survivors of the table's first 40 positions
+    "q_delta_dv" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      DeletionVectors.dvRows(d, "doc_id")
+        .select(col("doc_id"), col("n_high_keys"),
+          col("cardinality"), col("n_array"), col("n_bitmap"),
+          col("n_run"), col("dv_min"), col("dv_max"),
+          col("member_hit"), col("absent_hit"), col("live_0_40"))
+    }),
+
     // ----- JSON-Lines census (training corpora ship as .jsonl):
     // shape mix, malformed-line rate, key vocabulary — a quality
     // measure that never refuses, garbage IS its signal
@@ -2864,6 +2881,53 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_live"),
           sum(col("doc_id") * 10 + col("pos")).cast("bigint")
             .as("live_value_sum"))
+    }),
+
+    // ----- Iceberg EQUALITY deletes (round 18 — v2's second
+    // row-level delete kind): a file of VALUES on the declared
+    // equality columns, applied as an anti join on (table, key) —
+    // where position deletes key on (file, pos). Same planted data
+    // rows as the MOR query, different delete algebra
+    "q_iceberg_eqdelete" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ed = Iceberg.synthEqDeletes(d, "doc_id", "content")
+      val deletes = Multimodal.decodeBatches(ed, "content",
+          Iceberg.eqDeleteSchema)(Iceberg.decodeEqDeletes)
+        .select(col("doc_id"),
+          explode(split(col("eq_csv"), ",").cast("array<bigint>"))
+            .as("k"))
+      val data = d
+        .select(col("doc_id"), explode(sequence(lit(0),
+          (col("doc_id") % 4).cast("int"))).as("e"))
+        .select(col("doc_id"), col("e"),
+          explode(sequence(lit(0L), lit(9L))).as("k"))
+      data.join(deletes, Seq("doc_id", "k"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_live"),
+          sum(col("k")).cast("bigint").as("live_key_sum"))
+    }),
+
+    // ----- snapshot EXPIRY planning (round 18 — the retention job
+    // every lake schedules): which snapshots fall before the
+    // cutoff, how much history survives, and the invariant that
+    // the CURRENT snapshot is never expirable — the decision
+    // computed engine-side with codegen'd array functions over the
+    // census's timestamp list, zero UDFs
+    "q_snapshot_expire" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
+      val dec = Multimodal.decodeBatches(mj, "content",
+          Iceberg.metadataJsonSchema)(Iceberg.decodeMetadataJson)
+      val ts = split(col("snapshot_ts_csv"), ",")
+        .cast("array<bigint>")
+      val cutoff = lit(1700000000000L) + col("doc_id") * 1000 +
+        (col("doc_id") % col("n_snapshots")) * 7
+      dec.select(col("doc_id"), col("n_snapshots"),
+        cutoff.as("cutoff_ms"),
+        size(filter(ts, x => x < cutoff)).as("n_expired"),
+        (col("n_snapshots") -
+          size(filter(ts, x => x < cutoff))).as("n_retained"),
+        (element_at(ts, -1) < cutoff).as("current_expirable"))
     }),
 
     // ----- ORC stripe/column STATISTICS census (round 17 — the
@@ -6725,6 +6789,30 @@ object SparkEntry {
            'parquet' AS provider
          FROM p""",
 
+    // every planted DV fact replayed closed-form: array card is
+    // count{p<100 : p%7 = doc_id%7}, the run pair always holds
+    // 100, the even-id bitmap holds every even low16 (32768), and
+    // the probes/live counts are pure arithmetic
+    "q_delta_dv" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS hi,
+           doc_id % 1000 AS a, doc_id % 7 AS r7,
+           doc_id % 2 AS even FROM documents)
+         SELECT doc_id, 1 AS n_high_keys,
+           CAST((CASE WHEN r7 <= 1 THEN 15 ELSE 14 END) + 100 +
+             CASE WHEN even = 0 THEN 32768 ELSE 0 END AS BIGINT)
+             AS cardinality,
+           1 AS n_array,
+           CASE WHEN even = 0 THEN 1 ELSE 0 END AS n_bitmap,
+           1 AS n_run,
+           CAST(hi * 4294967296 + r7 AS BIGINT) AS dv_min,
+           CAST(hi * 4294967296 + CASE WHEN even = 0
+             THEN 2 * 65536 + 65534
+             ELSE 65536 + a + 149 END AS BIGINT) AS dv_max,
+           TRUE AS member_hit, FALSE AS absent_hit,
+           CAST(40 - CASE WHEN r7 <= 4 THEN 6 ELSE 5 END AS INT)
+             AS live_0_40
+         FROM p""",
+
     // the planted checkpointed table's live set, closed-form:
     // version v adds f-v-j (j <= v%4) of size 100*(v+1)+j; v>=2
     // removes f-(v-2)-0 — so j=0 files of versions 0..7 are dead
@@ -7187,6 +7275,33 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_live,
            CAST(SUM(10 * doc_id + p) AS BIGINT) AS live_value_sum
          FROM live GROUP BY doc_id""",
+
+    // equality-delete replay: every k in 0..9 with
+    // k % 3 == doc_id % 3 is deleted from every file of the table
+    "q_iceberg_eqdelete" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS emax
+           FROM documents),
+         live AS (SELECT doc_id, e.e, g.k FROM p,
+             unnest(generate_series(0, 3)) AS e(e),
+             unnest(generate_series(0, 9)) AS g(k)
+           WHERE e.e <= emax AND g.k % 3 <> doc_id % 3)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(k) AS BIGINT) AS live_key_sum
+         FROM live GROUP BY doc_id""",
+
+    // expiry replay: snapshot k has ts = base + doc_id*1000 + 7k;
+    // the cutoff at k = doc_id % n expires exactly the k earlier
+    // snapshots, and the current one (k = n-1) never expires
+    "q_snapshot_expire" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS n
+           FROM documents)
+         SELECT doc_id, n::INT AS n_snapshots,
+           CAST(1700000000000 + doc_id * 1000 + (doc_id % n) * 7
+             AS BIGINT) AS cutoff_ms,
+           (doc_id % n)::INT AS n_expired,
+           (n - doc_id % n)::INT AS n_retained,
+           FALSE AS current_expirable
+         FROM p""",
 
     // the stats walk must replay what the reference ORC writer
     // recorded for the deliberately-striped fixture (the writer

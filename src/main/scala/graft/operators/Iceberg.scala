@@ -492,10 +492,11 @@ object Iceberg {
     StructField("current_schema_fields", IntegerType),
     StructField("n_spec_fields", IntegerType),
     StructField("last_sequence_number", LongType),
-    StructField("format_default", StringType)))
+    StructField("format_default", StringType),
+    StructField("snapshot_ts_csv", StringType)))
 
   private def nullRow14 = Seq[Any](null, null, null, null, null,
-    null, null, null, null, null, null, null, null, null)
+    null, null, null, null, null, null, null, null, null, null)
 
   /** Census one metadata.json. Refuses (null row) on: malformed
     * JSON, a format version other than 1/2, a current-snapshot-id
@@ -604,9 +605,13 @@ object Iceberg {
         case Some(s: String) => s
         case _ => ""
       }
+      val tsCsv = snaps.map(s =>
+        lng(s.getOrElse("timestamp-ms", throw IceFail)))
+        .mkString(",")
       Seq[Any](fv.toInt, snaps.length, cur, depth, log.length,
         monotonic, ops.mkString(","), addedSum, curML,
-        schemas.length, nFields, nSpecFields, lastSeq, fmtDefault)
+        schemas.length, nFields, nSpecFields, lastSeq, fmtDefault,
+        tsCsv)
     } catch {
       case IceFail => nullRow14
       case _: NumberFormatException => nullRow14
@@ -698,4 +703,58 @@ object Iceberg {
   def synthPosDeletes(df: DataFrame, idCol: String,
       outCol: String): DataFrame =
     synth(df, idCol, outCol)(posDeleteWrite)
+
+  // ----------------------------------------------------------------
+  // EQUALITY DELETES (round 18) — v2's second row-level delete
+  // kind: a file of VALUES on declared equality field ids; the
+  // read path anti-joins data rows on those columns (scoped to the
+  // table — here the doc id), where position deletes anti-join on
+  // (file, pos). Both kinds ride the same manifest machinery
+  // (content=2 entries).
+  // ----------------------------------------------------------------
+
+  private val EqDeleteSchema =
+    """{"type": "record", "name": "eq_delete", "fields": [
+      {"name": "k", "type": "long"}]}"""
+
+  /** A planted equality-delete file for table `id`: delete every
+    * k in 0..9 with k % 3 == id % 3.
+    */
+  def eqDeleteWrite(id: Long): Array[Byte] = {
+    val recs = (0 until 10).filter(_ % 3 == (id % 3).toInt)
+      .map(k => wZlong(k.toLong))
+    container(EqDeleteSchema, recs)
+  }
+
+  val eqDeleteSchema: StructType = StructType(Seq(
+    StructField("eq_csv", StringType)))
+
+  /** Decode one equality-delete file to a CSV of deleted key
+    * values. Null on refusal.
+    */
+  def decodeEqDeletes(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val kI = fields.map(_._1).zipWithIndex.toMap
+            .getOrElse("k", throw IceFail)
+          val vs = rows.map { r =>
+            r(kI) match {
+              case l: Long => l
+              case _ => throw IceFail
+            }
+          }
+          if (vs.isEmpty) None else Some(Seq[Any](vs.mkString(",")))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: IndexOutOfBoundsException => None
+        }
+    }
+    res.getOrElse(Seq[Any](null))
+  }
+
+  def synthEqDeletes(df: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    synth(df, idCol, outCol)(eqDeleteWrite)
 }

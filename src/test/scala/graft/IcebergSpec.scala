@@ -116,6 +116,29 @@ class IcebergSpec extends AnyFunSuite {
       assert(r(12) == n.toLong, s"id $id last_seq")
       assert(r(13) == Seq("parquet", "orc", "avro")((id % 3).toInt),
         s"id $id format")
+      assert(r(14) == (0 until n).map(k =>
+        1700000000000L + id * 1000 + k * 7).mkString(","),
+        s"id $id ts_csv")
+    }
+  }
+
+  test("equality-delete files replay planted key sets (round 18)") {
+    for (id <- 0L to 8L) {
+      val r = Iceberg.decodeEqDeletes(Iceberg.eqDeleteWrite(id))
+      assert(r.head == (0 until 10)
+        .filter(_ % 3 == (id % 3).toInt).mkString(","),
+        s"id $id keys")
+    }
+    assert(Iceberg.decodeEqDeletes(null).head == null)
+    assert(Iceberg.decodeEqDeletes(
+      Iceberg.posDeleteWrite(4L)).head == null)
+    val base = Iceberg.eqDeleteWrite(5L)
+    val rnd = new scala.util.Random(1816)
+    for (_ <- 0 until 200) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Iceberg.decodeEqDeletes(b) // must not throw
     }
   }
 
