@@ -69,5 +69,13 @@ class DeltaCheckpointSpec extends SparkSpec {
       """{"add":{"path":"a"},"remove":{"path":"b"}}""").isEmpty)
     assert(DeltaLog.actionPathSize("[1,2]").isEmpty)
     assert(DeltaLog.actionPathSize("not json").isEmpty)
+    // protocol forward-compat: an add carrying a deletionVector
+    // descriptor (the DV tier of DeletionVectors.scala) must still
+    // parse — unknown body fields are tolerated, never refused
+    assert(DeltaLog.actionPathSize(
+      """{"add":{"path":"p.parquet","size":10,"dataChange":true,""" +
+      """"deletionVector":{"storageType":"u","pathOrInlineDv":""" +
+      """"ab^-c","offset":1,"sizeInBytes":36,"cardinality":2}}}""")
+      .contains(("add", "p.parquet", 10L)))
   }
 }
