@@ -2995,6 +2995,34 @@ object SparkEntry {
           .as("ri_range_hit"))
     }),
 
+    // ----- parquet PAGE-level column indexes (round 18 — the
+    // intra-row-group skipping tier, PARQUET-1201; ORC row-group
+    // parity): per-page [min,max] from the ColumnIndex and
+    // first_row_index from the OffsetIndex of the committed
+    // parquet-mr fixture, with the page-prune decision computed
+    // engine-side over the decoded bounds — the step a reader
+    // takes before decompressing ANY page
+    "q_parquet_pages" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val dec = ParquetMeta.pageIndexRows(d, "doc_id")
+      val mins = split(col("page_mins"), ",").cast("array<bigint>")
+      val maxs = split(col("page_maxs"), ",").cast("array<bigint>")
+      val probe = col("doc_id") % 5000
+      val lo = col("doc_id") % 4000
+      val hi = lo + 1500
+      dec.select(col("doc_id"), col("n_pages"),
+        col("boundary_order"), col("n_null_pages"),
+        col("page_mins"), col("page_maxs"), col("first_rows"),
+        col("s_first_min"), col("s_last_max"),
+        probe.as("probe"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= probe && mx >= probe), x => x))
+          .as("pg_n_hit"),
+        size(filter(zip_with(mins, maxs,
+            (mn, mx) => mn <= hi && mx >= lo), x => x))
+          .as("pg_range_hit"))
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -7322,6 +7350,25 @@ object SparkEntry {
            1 AS n_hit,
            CAST(LEAST(4, (lo + 1500) // 1024) - lo // 1024 + 1
              AS INT) AS n_range_hit
+         FROM p""",
+
+    // the page-index fixture's constants are the committed
+    // parquet-mr writer output (5 exact 1000-row pages, ascending
+    // bounds); the prune counts are interval arithmetic over the
+    // known pages
+    "q_parquet_pages" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5000 AS probe,
+           doc_id % 4000 AS lo FROM documents)
+         SELECT doc_id, 5 AS n_pages, 1 AS boundary_order,
+           0 AS n_null_pages,
+           '0,1000,2000,3000,4000' AS page_mins,
+           '999,1999,2999,3999,4999' AS page_maxs,
+           '0,1000,2000,3000,4000' AS first_rows,
+           'v0' AS s_first_min, 'v4999' AS s_last_max,
+           CAST(probe AS BIGINT) AS probe,
+           1 AS pg_n_hit,
+           CAST(LEAST(4, (lo + 1500) // 1000) - lo // 1000 + 1
+             AS INT) AS pg_range_hit
          FROM p""",
 
     // the bloom fixture's constants (5 groups at stride 1000, k=7,

@@ -522,6 +522,235 @@ object ParquetMeta {
     }
   }
 
+  // ---------------------------------------------------------------
+  // PAGE-level column indexes (round 18) — parquet's intra-row-
+  // group skipping tier (PARQUET-1201), the parity of ORC's
+  // row-group indexes: per column chunk, a ColumnIndex struct
+  // (null_pages, per-page min/max value bytes, boundary_order,
+  // null_counts) and an OffsetIndex (page_locations with
+  // first_row_index) live OUTSIDE the footer at offsets the
+  // ColumnChunk records. A reader prunes PAGES with these before
+  // decompressing anything — at 100 TB the difference between
+  // reading a row group and reading one page of it.
+  // ---------------------------------------------------------------
+
+  final case class PqPageCol(path: String,
+      nullPages: Vector[Boolean], minBytes: Vector[Array[Byte]],
+      maxBytes: Vector[Array[Byte]], boundaryOrder: Int,
+      firstRows: Vector[Long])
+
+  /** Parse row-group-0 page indexes for every column that carries
+    * them. None on damage or when no column has an index.
+    */
+  def parquetPageIndex(b: Array[Byte]): Option[Seq[PqPageCol]] = {
+    val cols = parquetPageLocs(b).getOrElse(return None)
+    if (cols.isEmpty) return None
+    try {
+      val out = cols.map { case (path, ciOff, ciLen, oiOff, oiLen) =>
+        if (ciOff < 0 || ciLen <= 0 || ciOff + ciLen > b.length ||
+          oiOff < 0 || oiLen <= 0 || oiOff + oiLen > b.length)
+          throw QFail()
+        val cr = new Reader(b, ciOff.toInt, (ciOff + ciLen).toInt)
+        val nulls = Vector.newBuilder[Boolean]
+        val mins = Vector.newBuilder[Array[Byte]]
+        val maxs = Vector.newBuilder[Array[Byte]]
+        var bo = -1
+        struct(cr, 0) { (fid, typ) =>
+          fid match {
+            case 1 if typ == 9 => // null_pages: list<bool>
+              list(cr) { et =>
+                if (et != 1 && et != 2) throw QFail()
+                nulls += (cr.u8() == 1)
+              }
+            case 2 if typ == 9 => // min_values: list<binary>
+              list(cr) { et =>
+                if (et != 8) throw QFail()
+                mins += cr.bytes(cr.varint().toInt)
+              }
+            case 3 if typ == 9 => // max_values
+              list(cr) { et =>
+                if (et != 8) throw QFail()
+                maxs += cr.bytes(cr.varint().toInt)
+              }
+            case 4 if typ == 5 => bo = cr.zigzag().toInt
+            case _ => skip(cr, typ, 1)
+          }
+        }
+        val or = new Reader(b, oiOff.toInt, (oiOff + oiLen).toInt)
+        val firsts = Vector.newBuilder[Long]
+        struct(or, 0) { (fid, typ) =>
+          fid match {
+            case 1 if typ == 9 => // page_locations
+              list(or) { et =>
+                if (et != 12) throw QFail()
+                var first = -1L
+                struct(or, 1) { (pf, pt) =>
+                  pf match {
+                    case 3 if pt == 6 => first = or.zigzag()
+                    case _ => skip(or, pt, 2)
+                  }
+                }
+                if (first < 0) throw QFail()
+                firsts += first
+              }
+            case _ => skip(or, typ, 1)
+          }
+        }
+        val (n, m, x, f) =
+          (nulls.result(), mins.result(), maxs.result(),
+            firsts.result())
+        if (n.isEmpty || n.length != m.length ||
+          m.length != x.length || f.length != n.length)
+          throw QFail()
+        PqPageCol(path, n, m, x, bo, f)
+      }
+      Some(out)
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Footer walk collecting (path, columnIndex off/len,
+    * offsetIndex off/len) for row group 0 columns that have BOTH
+    * indexes.
+    */
+  private def parquetPageLocs(b: Array[Byte])
+      : Option[Seq[(String, Long, Long, Long, Long)]] = {
+    if (b == null || b.length < 12) return None
+    def magic(o: Int): Boolean = b(o) == 'P' && b(o + 1) == 'A' &&
+      b(o + 2) == 'R' && b(o + 3) == '1'
+    if (!magic(0) || !magic(b.length - 4)) return None
+    val mdLen = (b(b.length - 8) & 0xff) |
+      ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) |
+      ((b(b.length - 5) & 0xff) << 24)
+    if (mdLen <= 0 || mdLen > b.length - 12) return None
+    try {
+      val r = new Reader(b, b.length - 8 - mdLen, b.length - 8)
+      val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+      var rg = -1
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 4 if typ == 9 =>
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              rg += 1
+              val rgAt = rg
+              struct(r, 1) { (rf, rt) =>
+                rf match {
+                  case 1 if rt == 9 =>
+                    list(r) { ct =>
+                      if (ct != 12) throw QFail()
+                      var path = ""
+                      var ciO, ciL, oiO, oiL = -1L
+                      struct(r, 2) { (cf, cty) =>
+                        cf match {
+                          case 3 if cty == 12 =>
+                            struct(r, 3) { (mf, mt) =>
+                              mf match {
+                                case 3 if mt == 9 =>
+                                  val parts = Seq.newBuilder[String]
+                                  list(r) { pt =>
+                                    if (pt != 8) throw QFail()
+                                    parts += new String(
+                                      r.bytes(r.varint().toInt),
+                                      java.nio.charset
+                                        .StandardCharsets.UTF_8)
+                                  }
+                                  path = parts.result()
+                                    .mkString(".")
+                                case _ => skip(r, mt, 4)
+                              }
+                            }
+                          case 4 if cty == 6 => oiO = r.zigzag()
+                          case 5 if cty == 5 => oiL = r.zigzag()
+                          case 6 if cty == 6 => ciO = r.zigzag()
+                          case 7 if cty == 5 => ciL = r.zigzag()
+                          case _ => skip(r, cty, 3)
+                        }
+                      }
+                      if (rgAt == 0 && ciO >= 0 && ciL > 0 &&
+                        oiO >= 0 && oiL > 0)
+                        out += ((path, ciO, ciL, oiO, oiL))
+                    }
+                  case _ => skip(r, rt, 2)
+                }
+              }
+            }
+          case _ => skip(r, typ, 1)
+        }
+      }
+      Some(out.result())
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def leLong8(a: Array[Byte]): Long = {
+    if (a.length != 8) throw QFail()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (a(i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** The committed page-index fixture (fx6: exact 1000-row pages,
+    * one row group), loaded once per executor.
+    */
+  lazy val PageFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/parquet/fx6.parquet")
+    require(in != null, "missing parquet page-index fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** One row per doc: the page-index census of the committed
+    * fixture — page count, boundary order, the id column's decoded
+    * per-page [min,max] and the OffsetIndex first-row list as CSVs
+    * (the engine does the pruning arithmetic with codegen'd array
+    * functions), plus the string column's first/last page bounds.
+    * Parsed ONCE per partition.
+    */
+  def pageIndexRows(df: DataFrame, idCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      df.schema.fields(ii),
+      StructField("n_pages", IntegerType),
+      StructField("boundary_order", IntegerType),
+      StructField("n_null_pages", IntegerType),
+      StructField("page_mins", StringType),
+      StructField("page_maxs", StringType),
+      StructField("first_rows", StringType),
+      StructField("s_first_min", StringType),
+      StructField("s_last_max", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val parsed = parquetPageIndex(PageFixture)
+      val idCol0 = parsed.flatMap(_.find(_.path == "id"))
+      val sCol0 = parsed.flatMap(_.find(_.path == "s"))
+      it.map { r =>
+        (idCol0, sCol0) match {
+          case (Some(ic), Some(sc)) =>
+            Row(r.get(ii), ic.minBytes.length, ic.boundaryOrder,
+              ic.nullPages.count(identity),
+              ic.minBytes.map(leLong8).mkString(","),
+              ic.maxBytes.map(leLong8).mkString(","),
+              ic.firstRows.mkString(","),
+              new String(sc.minBytes.head,
+                java.nio.charset.StandardCharsets.UTF_8),
+              new String(sc.maxBytes.last,
+                java.nio.charset.StandardCharsets.UTF_8))
+          case _ =>
+            Row(r.get(ii), null, null, null, null, null, null,
+              null, null)
+        }
+      }
+    }(enc)
+  }
+
   final case class PqBloom(nBytes: Int, algo: String, hash: String,
       compression: String, bits: Array[Byte])
 

@@ -74,6 +74,15 @@ object PqFixtureGen {
         "parquet.bloom.filter.expected.ndv#id" -> "5000",
         "parquet.bloom.filter.expected.ndv#s" -> "5000"))
 
+    // fx6: the PAGE-INDEX fixture — 5000 sorted rows forced into
+    // exact 1000-row pages (parquet.page.row.count.limit), one row
+    // group, so every page's ColumnIndex [min,max] and the
+    // OffsetIndex first_row_index are known closed-form: page k
+    // covers ids [1000k, 1000k+999]
+    writeOne((0L until 5000L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), "snappy", None, 6, Map(
+        "parquet.page.row.count.limit" -> "1000"))
+
     spark.stop()
     println(s"wrote $outDir")
   }
