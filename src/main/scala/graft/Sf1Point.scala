@@ -85,7 +85,11 @@ object Sf1Point {
     // design) plus the compaction rewrite (broadcast + one
     // shuffle + partitioned write, deliberately write-bound)
     "q_x509_meta", "q_pcap_meta",
-    "q_iceberg_snapshots", "q_orc_bloom", "q_compaction_apply")
+    "q_iceberg_snapshots", "q_orc_bloom", "q_compaction_apply",
+    // the round's second wave: the MOR anti join (the round's one
+    // new shuffle family), the roaring DV census and the
+    // page-index probe tier (both map-only by design)
+    "q_iceberg_mor", "q_delta_dv", "q_parquet_pages")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
