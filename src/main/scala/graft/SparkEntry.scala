@@ -2930,6 +2930,47 @@ object SparkEntry {
         (element_at(ts, -1) < cutoff).as("current_expirable"))
     }),
 
+    // ----- Hudi TIMELINE census (round 18 — the third lakehouse
+    // format, completing the big three): `.hoodie/` instants with
+    // the state encoded in the FILE NAME (bare action = completed;
+    // .inflight/.requested ignored by readers), completed commit
+    // bodies' partitionToWriteStats parsed distributed and
+    // censused per partition — every planted fact closed-form
+    "q_hudi_timeline" -> ((s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_hudi"
+      Hudi.writeTimeline(path)
+      Hudi.timelineCensus(s, path)
+        .select(col("partition"), col("n_commits"), col("writes"),
+          col("bytes"), col("n_inflight"), col("n_cleans"),
+          col("latest_ts"))
+    }),
+
+    // ----- Iceberg INCREMENTAL scan (round 18 — the CDC read
+    // pattern: "what changed since snapshot X?"): from the
+    // metadata census's ordered snapshot facts, the engine slices
+    // the per-snapshot added-records between the from-snapshot and
+    // the current one and folds them with codegen'd array
+    // functions — the planning arithmetic of an incremental
+    // consumer, zero UDFs
+    "q_iceberg_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
+      val dec = Multimodal.decodeBatches(mj, "content",
+          Iceberg.metadataJsonSchema)(Iceberg.decodeMetadataJson)
+      val added = split(col("added_records_csv"), ",")
+        .cast("array<bigint>")
+      val n = col("n_snapshots")
+      val from = col("doc_id") % n // snapshot index consumed so far
+      val inc = slice(added, (from + 2).cast("int"),
+        (n - from - 1).cast("int"))
+      dec.select(col("doc_id"), n.as("n_snapshots"),
+        from.cast("int").as("from_idx"),
+        (n - from - 1).cast("int").as("n_incremental"),
+        aggregate(inc, lit(0L), (acc, x) => acc + x)
+          .as("inc_added_records"))
+    }),
+
     // ----- ORC stripe/column STATISTICS census (round 17 — the
     // facts that drive stripe skipping at 100 TB): file-level
     // min/max/sum/nulls from the footer, per-stripe min/max from the
@@ -7289,6 +7330,36 @@ object SparkEntry {
            CASE b.doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc'
              ELSE 'avro' END AS format_default
          FROM base b JOIN agg USING (doc_id)""",
+
+    // the planted timeline closed-form: completed commits
+    // v in {0,1,3,4,6,7,9} (v%3==2 inflight), p0 in all seven,
+    // p1 only in odd completed commits {1,3,7,9}; cleans at
+    // v%4==0; the latest completed ts is commit v=9
+    "q_hudi_timeline" ->
+      """SELECT 'p0' AS partition, 7 AS n_commits,
+           100::BIGINT AS writes, 30000::BIGINT AS bytes,
+           3 AS n_inflight, 3 AS n_cleans,
+           20240101000009::BIGINT AS latest_ts
+         UNION ALL
+         SELECT 'p1', 4, 64::BIGINT, 20004::BIGINT, 3, 3,
+           20240101000009::BIGINT""",
+
+    // incremental replay: snapshot k adds 10*doc_id+k records; the
+    // consumer at from-index f = doc_id % n reads snapshots
+    // f+1 .. n-1
+    "q_iceberg_incremental" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS n
+           FROM documents),
+         b AS (SELECT doc_id, n, doc_id % n AS f FROM p),
+         inc AS (SELECT b.doc_id,
+             SUM(10 * b.doc_id + t.k) AS s
+           FROM b, unnest(generate_series(0, 5)) AS t(k)
+           WHERE t.k > f AND t.k < n GROUP BY b.doc_id)
+         SELECT b.doc_id, n::INT AS n_snapshots,
+           f::INT AS from_idx,
+           (n - f - 1)::INT AS n_incremental,
+           CAST(COALESCE(s, 0) AS BIGINT) AS inc_added_records
+         FROM b LEFT JOIN inc USING (doc_id)""",
 
     // merge-on-read replay: file e in 0..doc_id%4 holds positions
     // 0..9; the delete file removes every pos with

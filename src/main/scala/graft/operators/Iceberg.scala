@@ -493,10 +493,12 @@ object Iceberg {
     StructField("n_spec_fields", IntegerType),
     StructField("last_sequence_number", LongType),
     StructField("format_default", StringType),
-    StructField("snapshot_ts_csv", StringType)))
+    StructField("snapshot_ts_csv", StringType),
+    StructField("added_records_csv", StringType)))
 
   private def nullRow14 = Seq[Any](null, null, null, null, null,
-    null, null, null, null, null, null, null, null, null, null)
+    null, null, null, null, null, null, null, null, null, null,
+    null)
 
   /** Census one metadata.json. Refuses (null row) on: malformed
     * JSON, a format version other than 1/2, a current-snapshot-id
@@ -608,10 +610,17 @@ object Iceberg {
       val tsCsv = snaps.map(s =>
         lng(s.getOrElse("timestamp-ms", throw IceFail)))
         .mkString(",")
+      val addedCsv = snaps.map { s =>
+        obj(s.getOrElse("summary", throw IceFail))
+          .get("added-records") match {
+          case Some(v: String) => v
+          case _ => "0"
+        }
+      }.mkString(",")
       Seq[Any](fv.toInt, snaps.length, cur, depth, log.length,
         monotonic, ops.mkString(","), addedSum, curML,
         schemas.length, nFields, nSpecFields, lastSeq, fmtDefault,
-        tsCsv)
+        tsCsv, addedCsv)
     } catch {
       case IceFail => nullRow14
       case _: NumberFormatException => nullRow14

@@ -119,6 +119,8 @@ class IcebergSpec extends AnyFunSuite {
       assert(r(14) == (0 until n).map(k =>
         1700000000000L + id * 1000 + k * 7).mkString(","),
         s"id $id ts_csv")
+      assert(r(15) == (0 until n).map(k => 10 * id + k)
+        .mkString(","), s"id $id added_csv")
     }
   }
 
