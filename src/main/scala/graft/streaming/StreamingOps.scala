@@ -149,6 +149,58 @@ object StreamingOps {
         })
   }
 
+  final case class TableState(version: Long, nLive: Long,
+      bytes: Long)
+  final case class TableSnapshot(table: String, version: Long,
+      n_live: Long, live_bytes: Long)
+
+  /** Streaming LAKEHOUSE TAIL — fold a live stream of commit-log
+    * actions (table, version, kind, size) into a per-table running
+    * snapshot (version high-water mark, live file count, live
+    * bytes), emitted in Update mode after every micro-batch. The
+    * batch analog is q_delta_checkpoint's reconciliation; this is
+    * what a lake-health dashboard tails.
+    *
+    * State is O(1) PER TABLE — three counters — never a path set:
+    * at 100 TB a table holds millions of live files and a path-set
+    * state would eat the state store. The counter design leans on
+    * the commit-log invariant that a remove names a previously
+    * added file (and, like Delta's remove action, carries its
+    * size); a malformed stream shows up as a negative counter —
+    * surfaced, not hidden.
+    */
+  def commitTail(spark: SparkSession, actions: DataFrame)
+      : Dataset[TableSnapshot] = {
+    import spark.implicits._
+    actions
+      .select(col("table").cast("string"),
+        col("version").cast("long"),
+        col("kind").cast("string"), col("size").cast("long"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (table: String,
+            rows: Iterator[(String, Long, String, Long)],
+            state: GroupState[TableState]) => {
+          var st = state.getOption
+            .getOrElse(TableState(-1L, 0L, 0L))
+          rows.foreach { case (_, v, kind, size) =>
+            kind match {
+              case "add" =>
+                st = TableState(math.max(st.version, v),
+                  st.nLive + 1, st.bytes + size)
+              case "remove" =>
+                st = TableState(math.max(st.version, v),
+                  st.nLive - 1, st.bytes - size)
+              case _ => // commitInfo/protocol/metaData: version only
+                st = st.copy(version = math.max(st.version, v))
+            }
+          }
+          state.update(st)
+          TableSnapshot(table, st.version, st.nLive, st.bytes)
+        })
+  }
+
   final case class FillState(last: Double)
   final case class FillOut(user_id: Long, ts: Timestamp,
       value: java.lang.Double)

@@ -323,4 +323,33 @@ class StreamingOpsSpec extends SparkSpec {
       assert(kept.toSet == Set(11L, 12L))
     } finally q.stop()
   }
+
+  test("commitTail folds a live commit stream into per-table " +
+      "snapshots with O(1) state (round 18)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, Long)]
+    val out = StreamingOps.commitTail(spark,
+      mem.toDF().toDF("table", "version", "kind", "size"))
+    val q = out.writeStream.format("memory").queryName("tail_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: t1 adds two files, t2 adds one
+      mem.addData(("t1", 0L, "add", 100L), ("t1", 0L, "add", 50L),
+        ("t1", 0L, "commitInfo", 0L), ("t2", 0L, "add", 7L))
+      q.processAllAvailable()
+      val b1 = spark.table("tail_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(b1 == Set(("t1", 0L, 2L, 150L), ("t2", 0L, 1L, 7L)))
+      // batch 2: t1 removes one of them and adds another; t2 idle
+      mem.addData(("t1", 1L, "remove", 50L),
+        ("t1", 1L, "add", 30L))
+      q.processAllAvailable()
+      val b2 = spark.table("tail_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // update mode: t1's NEW snapshot appears; t2 not re-emitted
+      assert(b2.contains(("t1", 1L, 2L, 130L)))
+      assert(!b2.contains(("t2", 1L, 1L, 7L)))
+    } finally q.stop()
+  }
 }
