@@ -2750,6 +2750,36 @@ object SparkEntry {
     // union of +1/-1 events, ONE partitioned-window cumulative sum,
     // and the exact depth integral kept as two integers so the
     // result is engine-exact
+    // ----- OPTIMIZE planner (round 18 — the maintenance DECISION,
+    // composing the file-size census with the clustering-depth
+    // sweep): per partition, too many undersized files → compact;
+    // healthy sizes but deep zone-map overlap → recluster; else
+    // nothing. The decision a table service makes before spending
+    // a rewrite — both inputs are existing plans, one broadcast
+    // join (7 partition rows) stitches them
+    "q_optimize_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        concat(lit("p"), col("doc_id") % 7).as("part"),
+        ((col("doc_id") * 37) % 900 + 100 +
+          (col("doc_id") % 7) * 80).as("size"),
+        ((col("doc_id") * 13) % 1000).as("lo"),
+        ((col("doc_id") * 13) % 1000 + (col("doc_id") * 7) % 200)
+          .as("hi"))
+      val sizes = files.groupBy(col("part"))
+        .agg(count(lit(1)).cast("int").as("n_files"),
+          sum(when(col("size") < 512, 1).otherwise(0)).cast("int")
+            .as("n_small"))
+      val depth = Maintenance.clusteringDepth(files, "part", "lo",
+          "hi")
+        .select(col("part"), col("max_depth"))
+      sizes.join(depth, Seq("part"))
+        .select(col("part"), col("n_files"), col("n_small"),
+          col("max_depth"),
+          when(col("n_small") * 3 > col("n_files"), lit("compact"))
+            .when(col("max_depth") > 8, lit("recluster"))
+            .otherwise(lit("none")).as("action"))
+    }),
+
     "q_clustering_depth" -> ((s, dir) => {
       val files = t(s, dir, "documents").select(
         (col("doc_id") % 5).as("part"),
@@ -7170,6 +7200,37 @@ object SparkEntry {
              AS BIGINT) AS span_len,
            COUNT(*)::INT AS n_boundaries
          FROM c GROUP BY part""",
+
+    // the decision replayed: the same size census + boundary
+    // sweep, stitched per partition
+    "q_optimize_plan" ->
+      """WITH f AS (SELECT 'p' || CAST(doc_id % 7 AS VARCHAR)
+             AS part,
+             (doc_id * 37) % 900 + 100 + (doc_id % 7) * 80
+               AS size,
+             (doc_id * 13) % 1000 AS lo,
+             (doc_id * 13) % 1000 + (doc_id * 7) % 200 AS hi
+           FROM documents),
+         sz AS (SELECT part, COUNT(*)::INT AS n_files,
+             SUM(CASE WHEN size < 512 THEN 1 ELSE 0 END)::INT
+               AS n_small
+           FROM f GROUP BY part),
+         ev AS (SELECT part, k, SUM(d) AS d FROM (
+             SELECT part, lo AS k, 1 AS d FROM f
+             UNION ALL
+             SELECT part, hi + 1 AS k, -1 AS d FROM f)
+           GROUP BY part, k),
+         c AS (SELECT part,
+             SUM(d) OVER (PARTITION BY part ORDER BY k
+               ROWS UNBOUNDED PRECEDING) AS depth
+           FROM ev),
+         dp AS (SELECT part, CAST(MAX(depth) AS INT) AS max_depth
+           FROM c GROUP BY part)
+         SELECT sz.part, n_files, n_small, max_depth,
+           CASE WHEN n_small * 3 > n_files THEN 'compact'
+             WHEN max_depth > 8 THEN 'recluster'
+             ELSE 'none' END AS action
+         FROM sz JOIN dp ON sz.part = dp.part""",
 
     // fixture goldens (8192-byte filters, zero FPs over the probe
     // range) + the bloom contract (members always hit)
