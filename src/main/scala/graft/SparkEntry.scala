@@ -2540,6 +2540,32 @@ object SparkEntry {
           col("member_hit"), col("absent_hit"), col("live_0_40"))
     }),
 
+    // ----- Delta TIME TRAVEL (round 18): the table state AS OF
+    // every version — removes resolve their sizes against the add
+    // records (one join, as a real reader does), then ONE
+    // cumulative window over the per-version deltas; the window
+    // frame is log-length (versions), metadata-sized at any data
+    // scale
+    "q_delta_time_travel" -> ((s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_delta_ckpt"
+      DeltaLog.writeCheckpointedTable(s, path)
+      DeltaLog.timeTravel(s, path)
+        .select(col("version"), col("n_live"), col("live_bytes"))
+    }),
+
+    // ----- VACUUM planning (round 18): remove tombstones older
+    // than the retention cutoff are physically deletable; younger
+    // ones must stay for time travel — the split a vacuum job
+    // computes before touching storage
+    "q_vacuum_plan" -> ((s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_delta_ckpt"
+      DeltaLog.writeCheckpointedTable(s, path)
+      DeltaLog.vacuumPlan(s, path, cutoffMs = 1700000005500L)
+        .select(col("deletable"), col("n_files"), col("bytes"))
+    }),
+
     // ----- JSON-Lines census (training corpora ship as .jsonl):
     // shape mix, malformed-line rate, key vocabulary — a quality
     // measure that never refuses, garbage IS its signal
@@ -6911,6 +6937,34 @@ object SparkEntry {
            CAST(40 - CASE WHEN r7 <= 4 THEN 6 ELSE 5 END AS INT)
              AS live_0_40
          FROM p""",
+
+    // state-as-of replay: version w adds files j <= w%4 of size
+    // 100(w+1)+j; w >= 2 removes f-(w-2)-0 (size 100(w-1))
+    "q_delta_time_travel" ->
+      """WITH v AS (SELECT t.v FROM
+             unnest(generate_series(0, 9)) AS t(v)),
+         adds AS (SELECT w.v AS w, j.j FROM
+             unnest(generate_series(0, 9)) AS w(v),
+             unnest(generate_series(0, 3)) AS j(j)
+           WHERE j.j <= w.v % 4)
+         SELECT CAST(v.v AS BIGINT) AS version,
+           CAST((SELECT COUNT(*) FROM adds WHERE w <= v.v)
+             - GREATEST(0, v.v - 1) AS BIGINT) AS n_live,
+           CAST((SELECT SUM(100 * (w + 1) + j) FROM adds
+               WHERE w <= v.v)
+             - (SELECT COALESCE(SUM(100 * (r.v - 1)), 0) FROM
+                unnest(generate_series(2, 9)) AS r(v)
+                WHERE r.v <= v.v) AS BIGINT) AS live_bytes
+         FROM v""",
+
+    // retention split at cutoff 1700000005500: removes (versions
+    // 2..9, ts = 1.7e12 + 1000v) from v in 2..5 are deletable —
+    // files f-0-0..f-3-0 of sizes 100..400 — v in 6..9 retained
+    "q_vacuum_plan" ->
+      """SELECT TRUE AS deletable, 4 AS n_files,
+           1000::BIGINT AS bytes
+         UNION ALL
+         SELECT FALSE, 4, 2600::BIGINT""",
 
     // the planted checkpointed table's live set, closed-form:
     // version v adds f-v-j (j <= v%4) of size 100*(v+1)+j; v>=2

@@ -190,7 +190,7 @@ object DeltaLog {
     }
     plantedRemove(v).foreach { p =>
       sb.append(s"""{"remove":{"path":"$p",""")
-        .append(s""""deletionTimestamp":1700000000000,""")
+        .append(s""""deletionTimestamp":${1700000000000L + v * 1000},""")
         .append(s""""dataChange":true}}""").append('\n')
     }
     sb.toString
@@ -319,6 +319,111 @@ object DeltaLog {
     spark.read.textFile(files: _*)
       .flatMap(l => actionPathSize(l))
       .toDF("kind", "path", "size")
+  }
+
+  /** Map-only remove-tombstone kernel: (path, deletionTimestamp)
+    * from a remove action line; anything else → None.
+    */
+  def removeTombstone(line: String): Option[(String, Long)] =
+    try {
+      MiniJson.parse(line) match {
+        case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].get("remove") match {
+            case Some(b: Map[_, _]) =>
+              val body = b.asInstanceOf[Map[String, Any]]
+              (body.get("path"), body.get("deletionTimestamp")) match {
+                case (Some(p: String), Some(d: Double))
+                    if d.isWhole =>
+                  Some((p, d.toLong))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** All commit lines WITH their version (parsed from the
+    * zero-padded file name) — the raw material of time travel.
+    */
+  def versionedActions(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tailVersionsDfWithVersion(spark, dir, 0)
+  }
+
+  private def tailVersionsDfWithVersion(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tailVersionsDf(spark, dir, from)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("bigint"))
+  }
+
+  /** TIME TRAVEL: the table state AS OF every version — one row
+    * per version with the live file count and bytes after
+    * replaying commits 0..v. Removes don't carry sizes in the log;
+    * the real reader resolves them against the add records, so
+    * this does too (one join), then a single cumulative window
+    * over versions folds the per-version deltas.
+    */
+  def timeTravel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val acts = versionedActions(spark, dir)
+    val adds = acts.where(col("kind") === "add")
+      .select(col("version"), col("path"), col("size"))
+    val removes = acts.where(col("kind") === "remove")
+      .select(col("version").as("rv"), col("path"))
+      .join(adds.select(col("path"), col("size")), Seq("path"))
+    val perV = adds.groupBy(col("version"))
+      .agg(count(lit(1)).as("n_add"), sum(col("size")).as("b_add"))
+      .join(removes.groupBy(col("rv").as("version"))
+          .agg(count(lit(1)).as("n_rem"),
+            sum(col("size")).as("b_rem")),
+        Seq("version"), "full_outer")
+      .na.fill(0L, Seq("n_add", "b_add", "n_rem", "b_rem"))
+    val w = Window.orderBy(col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV.select(col("version"),
+      sum(col("n_add") - col("n_rem")).over(w).as("n_live"),
+      sum(col("b_add") - col("b_rem")).over(w).as("live_bytes"))
+  }
+
+  /** VACUUM planning: remove tombstones older than the cutoff are
+    * physically deletable (their retention window has passed);
+    * younger ones must be retained for time travel. Sizes resolve
+    * against the add records, same as [[timeTravel]].
+    */
+  def vacuumPlan(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cutoffMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val log = Paths.get(dir, "_delta_log")
+    val rx = "\\d{20}\\.json".r
+    val files = scala.util.Using.resource(Files.list(log)) { s =>
+      s.iterator().asScala
+        .filter(p => rx.matches(p.getFileName.toString))
+        .map(_.toString).toSeq
+    }
+    import spark.implicits._
+    val tombs = spark.read.textFile(files: _*)
+      .flatMap(l => removeTombstone(l))
+      .toDF("path", "del_ts")
+    val adds = versionedActions(spark, dir)
+      .where(col("kind") === "add")
+      .select(col("path"), col("size"))
+    tombs.join(adds, Seq("path"))
+      .select(
+        (col("del_ts") < cutoffMs).as("deletable"),
+        col("size"))
+      .groupBy(col("deletable"))
+      .agg(count(lit(1)).cast("int").as("n_files"),
+        sum(col("size")).as("bytes"))
   }
 
   /** The checkpoint-rooted snapshot: `_last_checkpoint` → the

@@ -54,6 +54,28 @@ class DeltaCheckpointSpec extends SparkSpec {
     assert(live("f-3-1.parquet")) // only j=0 files are removed
   }
 
+  test("time travel replays the state as of every version; " +
+      "vacuum splits tombstones at the retention cutoff " +
+      "(round 18)") {
+    val dir = Files.createTempDirectory("graft_dtt").toString
+    DeltaLog.writeCheckpointedTable(spark, dir)
+    val tt = DeltaLog.timeTravel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // hand-computed anchors: v0 = one file of 100 bytes; v2 adds
+    // 3 files (300+301+302) and removes f-0-0 (100)
+    assert(tt(0L) == ((1L, 100L)))
+    assert(tt(1L) == ((3L, 100L + 200L + 201L)))
+    assert(tt(2L) == ((5L, 200L + 201L + 300L + 301L + 302L)))
+    // the final version equals the live reconciliation
+    val live = DeltaLog.plantedLive(9)
+    assert(tt(9L) == ((live.length.toLong, live.map(_._2).sum)))
+    val vac = DeltaLog.vacuumPlan(spark, dir, 1700000005500L)
+      .collect().map(r => (r.getBoolean(0), r.getInt(1),
+        r.getLong(2))).toSet
+    assert(vac == Set((true, 4, 1000L), (false, 4, 2600L)))
+  }
+
   test("tail-line kernel: actions map, junk refuses") {
     assert(DeltaLog.actionPathSize(
       """{"add":{"path":"p.parquet","size":10,"dataChange":true}}""")
@@ -69,6 +91,16 @@ class DeltaCheckpointSpec extends SparkSpec {
       """{"add":{"path":"a"},"remove":{"path":"b"}}""").isEmpty)
     assert(DeltaLog.actionPathSize("[1,2]").isEmpty)
     assert(DeltaLog.actionPathSize("not json").isEmpty)
+    // the tombstone kernel: removes with integral timestamps map,
+    // everything else refuses
+    assert(DeltaLog.removeTombstone(
+      """{"remove":{"path":"p","deletionTimestamp":1700000002000,""" +
+      """"dataChange":true}}""").contains(("p", 1700000002000L)))
+    assert(DeltaLog.removeTombstone(
+      """{"add":{"path":"p","size":1}}""").isEmpty)
+    assert(DeltaLog.removeTombstone(
+      """{"remove":{"path":"p"}}""").isEmpty)
+    assert(DeltaLog.removeTombstone("junk").isEmpty)
     // protocol forward-compat: an add carrying a deletionVector
     // descriptor (the DV tier of DeletionVectors.scala) must still
     // parse — unknown body fields are tolerated, never refused
