@@ -7300,8 +7300,8 @@ object SparkEntry {
     // iceberg list/manifest aggregates (via per-kind unnest CTEs),
     // and the parquet/ORC fixture facts keyed by (doc_id//5)%5
     "q_lakehouse_omni" ->
-      """WITH base AS (SELECT doc_id, doc_id % 5 AS k,
-             (doc_id // 5) % 5 AS fx, doc_id % 3 + 1 AS n,
+      """WITH base AS (SELECT doc_id, doc_id % 8 AS k,
+             (doc_id // 8) % 5 AS fx, doc_id % 3 + 1 AS n,
              doc_id % 4 + 1 AS m, doc_id % 4 + 1 AS a
            FROM documents),
          lst AS (SELECT doc_id,
@@ -7317,31 +7317,51 @@ object SparkEntry {
                AS formats,
              SUM(50 * doc_id + t.e)::BIGINT AS rows_sum
            FROM base, unnest(generate_series(0, 3)) AS t(e)
-           WHERE t.e < m AND k = 2 GROUP BY doc_id)
+           WHERE t.e < m AND k = 2 GROUP BY doc_id),
+         pd AS (SELECT doc_id,
+             SUM(3 + CASE WHEN (doc_id + t.e) % 3 = 0 THEN 1
+               ELSE 0 END)::BIGINT AS n_del
+           FROM base, unnest(generate_series(0, 3)) AS t(e)
+           WHERE t.e < m AND k = 7 GROUP BY doc_id)
          SELECT b.doc_id,
            CASE k WHEN 0 THEN 'application/x-delta-log'
              WHEN 1 THEN 'application/x-iceberg-manifest-list'
              WHEN 2 THEN 'application/x-iceberg-manifest'
              WHEN 3 THEN 'application/vnd.apache.parquet'
-             ELSE 'application/x-orc' END AS label,
+             WHEN 4 THEN 'application/x-orc'
+             WHEN 5 THEN 'application/x-iceberg-metadata'
+             WHEN 6 THEN 'application/x-delta-dv'
+             ELSE 'application/x-iceberg-pos-delete' END AS label,
            CASE k WHEN 0 THEN 'parquet'
              WHEN 1 THEN lst.spec_ids
              WHEN 2 THEN mf.formats
              WHEN 3 THEN (CASE fx WHEN 0 THEN 'uncompressed'
                WHEN 1 THEN 'snappy' WHEN 2 THEN 'gzip'
                WHEN 3 THEN 'zstd' ELSE 'lz4' END)
-             ELSE (CASE fx WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
-               WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
-               ELSE 'lz4' END) END AS fact,
+             WHEN 4 THEN (CASE fx WHEN 0 THEN 'none'
+               WHEN 1 THEN 'zlib' WHEN 2 THEN 'snappy'
+               WHEN 3 THEN 'zstd' ELSE 'lz4' END)
+             WHEN 5 THEN (CASE b.doc_id % 3 WHEN 0 THEN 'parquet'
+               WHEN 1 THEN 'orc' ELSE 'avro' END)
+             WHEN 6 THEN 'maps=1'
+             ELSE 'pos-delete' END AS fact,
            CAST(CASE k
              WHEN 0 THEN a * 100 * b.doc_id + a * (a - 1) / 2
              WHEN 1 THEN lst.added_rows
              WHEN 2 THEN mf.rows_sum
-             ELSE (CASE fx WHEN 0 THEN 100 WHEN 1 THEN 250
+             WHEN 3 THEN (CASE fx WHEN 0 THEN 100 WHEN 1 THEN 250
                WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END)
+             WHEN 4 THEN (CASE fx WHEN 0 THEN 100 WHEN 1 THEN 250
+               WHEN 2 THEN 50 WHEN 3 THEN 20000 ELSE 300 END)
+             WHEN 5 THEN 1000 * b.doc_id + b.doc_id % 4 + 1
+             WHEN 6 THEN (CASE WHEN b.doc_id % 7 <= 1 THEN 15
+                 ELSE 14 END) + 100 +
+               (CASE WHEN b.doc_id % 2 = 0 THEN 32768 ELSE 0 END)
+             ELSE pd.n_del
              END AS BIGINT) AS measure
          FROM base b LEFT JOIN lst USING (doc_id)
-           LEFT JOIN mf USING (doc_id)""",
+           LEFT JOIN mf USING (doc_id)
+           LEFT JOIN pd USING (doc_id)""",
 
     // every planted manifest-list fact replayed closed-form over a
     // two-level unnest (manifests × partition summaries)

@@ -55,6 +55,15 @@ object LakehouseOmni {
                   rowsSum.asInstanceOf[Long]))
               case _ => None
             }
+          } else if (names == Seq("file_path", "pos")) {
+            // v2 position-delete payload (round 18)
+            Iceberg.decodePosDeletes(bytes) match {
+              case Seq(csv: String) =>
+                Some(("application/x-iceberg-pos-delete",
+                  "pos-delete",
+                  (csv.count(_ == ',') + 1).toLong))
+              case _ => None
+            }
           } else None
         }
       case "application/vnd.apache.parquet" =>
@@ -64,11 +73,30 @@ object LakehouseOmni {
         Orc.orcMeta(bytes).map(m =>
           (sniffed, m.compression, m.numRows))
       case "text/plain" =>
-        // a Delta commit log is newline-delimited single-action
-        // JSON objects — demand the full census, never a guess
-        DeltaLog.deltaFacts(new String(bytes,
-          java.nio.charset.StandardCharsets.UTF_8)).map(f =>
-          ("application/x-delta-log", f.provider, f.addBytes))
+        val text = new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        // Iceberg table metadata FIRST (one JSON object with the
+        // spec's format-version + snapshot machinery — the full
+        // census must parse, never a key sniff); a multi-line
+        // commit log fails that parse and falls through to the
+        // Delta branch, whose one-action-per-line rule a
+        // metadata.json fails symmetrically
+        (Iceberg.decodeMetadataJson(bytes) match {
+          case Seq(fv: Any, _, cur: Any, _, _, _, _, _, _, _, _, _,
+              _, fmt: Any, _, _) if fv != null =>
+            Some(("application/x-iceberg-metadata",
+              fmt.asInstanceOf[String], cur.asInstanceOf[Long]))
+          case _ => None
+        }).orElse(
+          DeltaLog.deltaFacts(text).map(f =>
+            ("application/x-delta-log", f.provider, f.addBytes)))
+      case "application/octet-stream" =>
+        // a Delta deletion-vector blob (round 18): version byte +
+        // BE size + CRC-framed portable roaring — the checksum
+        // must verify or the payload stays unclassified
+        DeletionVectors.parseDvBlob(bytes).map(rb =>
+          ("application/x-delta-dv",
+            s"maps=${rb.maps.length}", rb.cardinality))
       case _ => None
     }
     res match {
@@ -78,9 +106,10 @@ object LakehouseOmni {
     }
   }
 
-  /** Per-row synth: the kind cycles by id over the five branches;
-    * the parquet/ORC fixture index rides id/5 so it varies
-    * independently of the kind.
+  /** Per-row synth: the kind cycles by id over the eight branches
+    * (round 18 adds metadata.json, the DV blob and the
+    * position-delete payload); the parquet/ORC fixture index rides
+    * id/8 so it varies independently of the kind.
     */
   def synthLakehouse(df: DataFrame, idCol: String, outCol: String)
       : DataFrame = {
@@ -94,8 +123,8 @@ object LakehouseOmni {
           case l: java.lang.Long => l.longValue()
           case x => x.hashCode().toLong
         }
-        val fxIdx = java.lang.Math.floorMod(id / 5, 5L).toInt
-        val bytes = java.lang.Math.floorMod(id, 5L).toInt match {
+        val fxIdx = java.lang.Math.floorMod(id / 8, 5L).toInt
+        val bytes = java.lang.Math.floorMod(id, 8L).toInt match {
           case 0 =>
             val a = (id % 4 + 1).toInt
             DeltaLog.deltaWrite(
@@ -106,7 +135,10 @@ object LakehouseOmni {
           case 1 => Iceberg.manifestListWrite(id)
           case 2 => Iceberg.manifestWrite(id)
           case 3 => ParquetMeta.Fixtures(fxIdx)
-          case _ => Orc.Fixtures(fxIdx)
+          case 4 => Orc.Fixtures(fxIdx)
+          case 5 => Iceberg.metadataJsonWrite(id)
+          case 6 => DeletionVectors.dvWrite(id)
+          case _ => Iceberg.posDeleteWrite(id)
         }
         Row.fromSeq(r.toSeq :+ bytes)
       }

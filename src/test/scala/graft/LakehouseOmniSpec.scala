@@ -38,6 +38,24 @@ class LakehouseOmniSpec extends AnyFunSuite {
     val r4 = LakehouseOmni.decodeLakehouse(Orc.Fixtures(3))
     assert(r4(0) == "application/x-orc" && r4(1) == "zstd" &&
       r4(2) == 20000L)
+    // round 18: table-level metadata.json routes BEFORE the delta
+    // branch (both are text/plain)
+    val r5 = LakehouseOmni.decodeLakehouse(
+      Iceberg.metadataJsonWrite(5L))
+    assert(r5(0) == "application/x-iceberg-metadata")
+    assert(r5(1) == "avro") // format_default for id 5 (5 % 3 == 2)
+    assert(r5(2) == 1000 * 5L + (5 % 4) + 1) // current snapshot id
+    // the DV blob routes off octet-stream via the CRC-framed parse
+    val r6 = LakehouseOmni.decodeLakehouse(
+      graft.operators.DeletionVectors.dvWrite(6L))
+    assert(r6(0) == "application/x-delta-dv" && r6(1) == "maps=1")
+    assert(r6(2) == 14L + 100L + 32768L) // id 6: r7=6→14, even
+    // the position-delete payload is a THIRD Avro schema
+    val r7 = LakehouseOmni.decodeLakehouse(
+      Iceberg.posDeleteWrite(7L))
+    assert(r7(0) == "application/x-iceberg-pos-delete")
+    assert(r7(2) == (0 until 4).map(e =>
+      (0 until 10).count(_ % 3 == ((7 + e) % 3))).sum.toLong)
   }
 
   test("non-metadata payloads null-row, never guess") {
@@ -60,7 +78,10 @@ class LakehouseOmniSpec extends AnyFunSuite {
       DeltaLog.deltaWrite(Seq(100L, 200L), 1, Seq("dt"))
         .getBytes("UTF-8"),
       Iceberg.manifestListWrite(7L), Iceberg.manifestWrite(7L),
-      ParquetMeta.Fixtures(2), Orc.Fixtures(2))
+      ParquetMeta.Fixtures(2), Orc.Fixtures(2),
+      Iceberg.metadataJsonWrite(7L),
+      graft.operators.DeletionVectors.dvWrite(7L),
+      Iceberg.posDeleteWrite(7L))
     val rnd = new scala.util.Random(1717)
     bases.foreach { base =>
       for (_ <- 0 until 120) {
