@@ -2986,6 +2986,21 @@ object SparkEntry {
         (element_at(ts, -1) < cutoff).as("current_expirable"))
     }),
 
+    // ----- Avro SCHEMA RESOLUTION (round 18 — the spec's "Schema
+    // Resolution" rules: schema EVOLUTION on read): old-schema
+    // files consumed through today's reader — a dropped field, a
+    // long→double promotion, a defaulted new field — with
+    // narrowing / cross-domain promotions and missing-without-
+    // default fields refusing; the resolved rows replay closed-form
+    "q_avro_evolution" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val av = Avro.synthEvolves(d, "doc_id", "content")
+      Multimodal.decodeBatches(av, "content",
+          Avro.evolveSchema)(Avro.decodeEvolve)
+        .select(col("doc_id"), col("n_rows"), col("b_first"),
+          col("c_sum"), col("d_sum"))
+    }),
+
     // ----- Hudi TIMELINE census (round 18 — the third lakehouse
     // format, completing the big three): `.hoodie/` instants with
     // the state encoded in the FILE NAME (bare action = completed;
@@ -7465,6 +7480,18 @@ object SparkEntry {
            CASE b.doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc'
              ELSE 'avro' END AS format_default
          FROM base b JOIN agg USING (doc_id)""",
+
+    // resolution replay: n = doc_id%3+1 rows; c promoted
+    // long→double sums exactly (integers), d defaults to 7 per row
+    "q_avro_evolution" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS n
+           FROM documents)
+         SELECT doc_id, n::INT AS n_rows,
+           's' || CAST(doc_id % 10 AS VARCHAR) || '-0' AS b_first,
+           CAST(n * 100 * doc_id + n * (n - 1) / 2 AS DOUBLE)
+             AS c_sum,
+           CAST(7 * n AS BIGINT) AS d_sum
+         FROM p""",
 
     // the planted timeline closed-form: completed commits
     // v in {0,1,3,4,6,7,9} (v%3==2 inflight), p0 in all seven,

@@ -1259,4 +1259,157 @@ object Avro {
       }
     }(enc)
   }
+
+  // ----------------------------------------------------------------
+  // SCHEMA RESOLUTION (round 18) — the Avro spec's "Schema
+  // Resolution" section: a reader consumes data written with an
+  // OLDER (or newer) schema by matching fields by name, DROPPING
+  // writer-only fields, filling reader-only fields from their
+  // DEFAULTS (a reader field with no default and no writer match
+  // is an error, not a null), and applying the directed numeric
+  // promotion lattice int → long → float → double. This is what
+  // schema evolution on a 100 TB lake IS: yesterday's files read
+  // with today's schema, resolved per file at plan time.
+  // ----------------------------------------------------------------
+
+  /** One reader field: name, kind tag ('l' integral, 'd' floating,
+    * 's' string), and an optional default for writer-missing
+    * fields.
+    */
+  final case class ReaderField(name: String, kind: Char,
+      default: Option[Any])
+
+  /** May a writer primitive feed a reader kind? The spec lattice:
+    * int/long promote to float/double; nothing narrows; strings
+    * and numbers never cross.
+    */
+  private def promotable(writer: Char, reader: Char): Boolean =
+    (writer, reader) match {
+      case ('i', 'l') | ('l', 'l') => true
+      case ('i', 'd') | ('l', 'd') | ('f', 'd') | ('d', 'd') => true
+      case ('s', 's') => true
+      case _ => false
+    }
+
+  /** Resolve a container's rows onto a reader schema. None when a
+    * reader field has neither a writer match nor a default, or a
+    * match requires a narrowing / cross-domain promotion — the
+    * spec calls both errors, and refusing beats misreading.
+    */
+  def resolveRead(b: Array[Byte], reader: Seq[ReaderField])
+      : Option[Seq[IndexedSeq[Any]]] =
+    readTypedContainer(b).flatMap { case (fields, rows) =>
+      try {
+        val idx = fields.map(_._1).zipWithIndex.toMap
+        val plan: Seq[Either[Any, (Int, Char)]] = reader.map { rf =>
+          idx.get(rf.name) match {
+            case Some(i) => fields(i)._2 match {
+              case APrim(wk) if promotable(wk, rf.kind) =>
+                Right((i, rf.kind))
+              case _ => throw AvroFail
+            }
+            case None => rf.default match {
+              case Some(v) => Left(v)
+              case None => throw AvroFail
+            }
+          }
+        }
+        Some(rows.map { r =>
+          plan.map {
+            case Left(v) => v
+            case Right((i, rk)) => (r(i), rk) match {
+              case (l: Long, 'd') => l.toDouble
+              case (v, _) => v
+            }
+          }.toIndexedSeq
+        })
+      } catch { case AvroFail => None }
+    }
+
+  private val EvolveWriterSchema =
+    """{"type": "record", "name": "ev", "fields": [
+      {"name": "a", "type": "int"},
+      {"name": "b", "type": "string"},
+      {"name": "c", "type": "long"}]}"""
+
+  /** The planted OLD-schema file: n = id%3+1 rows of
+    * (a = id + r, b = "s<id%10>-<r>", c = 100*id + r).
+    */
+  def avroWriteEvolve(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    def wr(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    wr(wZlong(2L))
+    wr(wStr("avro.schema")); wr(wStr(EvolveWriterSchema))
+    wr(wStr("avro.codec")); wr(wStr("null"))
+    wr(wZlong(0L))
+    val sync = Array.tabulate[Byte](16)(i => (0x47 ^ i * 23).toByte)
+    wr(sync)
+    val n = (id % 3 + 1).toInt
+    val b = new java.io.ByteArrayOutputStream()
+    def w(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+    (0 until n).foreach { r =>
+      w(wZlong(id + r))
+      w(wStr(s"s${id % 10}-$r"))
+      w(wZlong(100 * id + r))
+    }
+    val raw = b.toByteArray
+    wr(wZlong(n.toLong)); wr(wZlong(raw.length.toLong))
+    wr(raw); wr(sync)
+    out.toByteArray
+  }
+
+  /** TODAY'S reader schema for the planted evolution file: `a`
+    * dropped, `c` promoted long→double, `d` new with default 7.
+    */
+  val EvolveReader: Seq[ReaderField] = Seq(
+    ReaderField("b", 's', None),
+    ReaderField("c", 'd', None),
+    ReaderField("d", 'l', Some(7L)))
+
+  val evolveSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b_first",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_sum",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("d_sum",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Census kernel: read the old-schema file through
+    * [[EvolveReader]] and fold the resolved rows.
+    */
+  def decodeEvolve(bytes: Array[Byte]): Seq[Any] =
+    resolveRead(bytes, EvolveReader) match {
+      case Some(rows) if rows.nonEmpty =>
+        var cSum = 0.0
+        var dSum = 0L
+        rows.foreach { r =>
+          cSum += r(1).asInstanceOf[Double]
+          dSum += r(2).asInstanceOf[Long]
+        }
+        Seq[Any](rows.length, rows.head(0).asInstanceOf[String],
+          cSum, dSum)
+      case _ => Seq[Any](null, null, null, null)
+    }
+
+  def synthEvolves(df: DataFrame, idCol: String, outCol: String)
+      : DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.get(ii) match {
+          case l: java.lang.Long => l.longValue()
+          case x => x.hashCode().toLong
+        }
+        Row.fromSeq(r.toSeq :+ avroWriteEvolve(id))
+      }
+    }(enc)
+  }
 }

@@ -208,6 +208,46 @@ class AvroSpec extends AnyFunSuite {
     assert(doc.isEmpty) // fixed top-level field → complex, refuses
   }
 
+  test("schema resolution: field drop, numeric promotion, " +
+      "defaults; narrowing and missing-without-default refuse " +
+      "(round 18)") {
+    import Avro.ReaderField
+    for (id <- 0L to 8L) {
+      val r = Avro.decodeEvolve(Avro.avroWriteEvolve(id))
+      val n = (id % 3 + 1).toInt
+      assert(r(0) == n, s"id $id rows")
+      assert(r(1) == s"s${id % 10}-0", s"id $id b_first")
+      assert(r(2) == (n * 100 * id + n.toLong * (n - 1) / 2)
+        .toDouble, s"id $id c_sum")
+      assert(r(3) == 7L * n, s"id $id d_sum")
+    }
+    val b = Avro.avroWriteEvolve(4L)
+    // identity + widening resolve
+    assert(Avro.resolveRead(b, Seq(ReaderField("a", 'l', None)))
+      .isDefined) // int → long widens
+    assert(Avro.resolveRead(b, Seq(ReaderField("a", 'd', None)))
+      .isDefined) // int → double widens
+    // a reader field missing from the writer with NO default
+    assert(Avro.resolveRead(b, Seq(ReaderField("z", 'l', None)))
+      .isEmpty)
+    // cross-domain: a string can never feed a number (or back)
+    assert(Avro.resolveRead(b, Seq(ReaderField("b", 'l', None)))
+      .isEmpty)
+    assert(Avro.resolveRead(b, Seq(ReaderField("c", 's', None)))
+      .isEmpty)
+    // damage refuses
+    assert(Avro.decodeEvolve(null).head == null)
+    assert(Avro.decodeEvolve("junk".getBytes).head == null)
+    // totality under mutation
+    val rnd = new scala.util.Random(1821)
+    for (_ <- 0 until 200) {
+      val m = b.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Avro.decodeEvolve(m) // must not throw
+    }
+  }
+
   test("logical decoder is total under mutation") {
     val base = Avro.avroWriteLogical(11L)
     val rnd = new scala.util.Random(719)
