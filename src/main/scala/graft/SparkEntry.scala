@@ -2887,6 +2887,34 @@ object SparkEntry {
           col("bucket_sum"), col("colsize_sum"))
     }),
 
+    // ----- Iceberg v2 SEQUENCE-NUMBER pairing (round 18 — the
+    // rule that decides which delete manifests APPLY to which data
+    // manifests at scan time: a delete applies to data at or below
+    // its own sequence number): per-manifest (content, seq) pairs
+    // from the manifest list, the pairing count computed
+    // engine-side with nested array lambdas — zero UDFs, zero
+    // joins (the per-table manifest list is array-sized)
+    "q_iceberg_seq_pairing" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ml = Iceberg.synthManifestLists(d, "doc_id", "content")
+      val dec = Multimodal.decodeBatches(ml, "content",
+          Iceberg.manifestPairsSchema)(Iceberg.decodeManifestPairs)
+      val pairs = split(col("pairs_csv"), ",")
+      val dataSeqs = transform(
+        filter(pairs, p => substring_index(p, ":", 1) === "0"),
+        p => substring_index(p, ":", -1).cast("bigint"))
+      val delSeqs = transform(
+        filter(pairs, p => substring_index(p, ":", 1) === "1"),
+        p => substring_index(p, ":", -1).cast("bigint"))
+      dec.select(col("doc_id"),
+        size(pairs).as("n_manifests"),
+        size(dataSeqs).as("n_data"),
+        size(delSeqs).as("n_delete"),
+        aggregate(dataSeqs, lit(0),
+          (acc, s) => acc + size(filter(delSeqs, dd => dd >= s)))
+          .as("applied_pairs"))
+    }),
+
     // ----- Iceberg TABLE-LEVEL metadata census (round 18 — the
     // entry point of scan planning the manifest tiers root on):
     // vN.metadata.json with the current-snapshot pointer, the
@@ -7446,6 +7474,20 @@ object SparkEntry {
              THEN 10 * doc_id * nc + nc * (nc - 1) / 2
              ELSE 0 END)::BIGINT AS colsize_sum
          FROM e GROUP BY doc_id, m, nc""",
+
+    // pairing replay over the planted list: manifest j has
+    // content j%2 and seq doc_id+j, so data js are {0} ∪ {2 if
+    // n=3}, the only delete is j=1 (when n>=2), and it applies
+    // only to data j=0
+    "q_iceberg_seq_pairing" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS n
+           FROM documents)
+         SELECT doc_id, n::INT AS n_manifests,
+           (1 + CASE WHEN n = 3 THEN 1 ELSE 0 END)::INT AS n_data,
+           (CASE WHEN n >= 2 THEN 1 ELSE 0 END)::INT AS n_delete,
+           (CASE WHEN n >= 2 THEN 1 ELSE 0 END)::INT
+             AS applied_pairs
+         FROM p""",
 
     // every planted table-metadata fact replayed closed-form: the
     // n-deep parent chain makes ancestry_depth = n, the log is

@@ -354,6 +354,38 @@ object Iceberg {
   private def nullRow10 = Seq[Any](null, null, null, null, null,
     null, null, null, null, null)
 
+  val manifestPairsSchema: StructType = StructType(Seq(
+    StructField("pairs_csv", StringType)))
+
+  /** Per-manifest (content, sequence_number) pairs as
+    * `content:seq` CSV — the raw material of the v2 SEQUENCING
+    * rule (a delete manifest applies to data manifests with
+    * sequence numbers at or below its own); the pairing decision
+    * itself runs engine-side. Null on refusal.
+    */
+  def decodeManifestPairs(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          val cI = idx("content")
+          val sI = idx("sequence_number")
+          val ps = rows.map { r =>
+            (r(cI), r(sI)) match {
+              case (c: Long, s: Long) => s"$c:$s"
+              case _ => throw IceFail
+            }
+          }
+          if (ps.isEmpty) None else Some(Seq[Any](ps.mkString(",")))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+        }
+    }
+    res.getOrElse(Seq[Any](null))
+  }
+
   val manifestPathsSchema: StructType = StructType(Seq(
     StructField("paths_csv", StringType)))
 

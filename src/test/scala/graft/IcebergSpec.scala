@@ -187,6 +187,20 @@ class IcebergSpec extends AnyFunSuite {
     assert(swapped(5) == false)
   }
 
+  test("per-manifest (content, seq) pairs surface for the v2 " +
+      "sequencing rule (round 18)") {
+    for (id <- 0L to 8L) {
+      val r = Iceberg.decodeManifestPairs(
+        Iceberg.manifestListWrite(id))
+      val n = (id % 3 + 1).toInt
+      assert(r.head == (0 until n).map(j => s"${j % 2}:${id + j}")
+        .mkString(","), s"id $id pairs")
+    }
+    assert(Iceberg.decodeManifestPairs(null).head == null)
+    assert(Iceberg.decodeManifestPairs(
+      Iceberg.manifestWrite(3L)).head == null)
+  }
+
   test("position-delete files replay planted (file_path, pos) " +
       "sets; the kernel is total under mutation (round 18)") {
     for (id <- 0L to 12L) {
