@@ -89,7 +89,8 @@ object Sf1Point {
     // the round's second wave: the MOR anti join (the round's one
     // new shuffle family), the roaring DV census and the
     // page-index probe tier (both map-only by design)
-    "q_iceberg_mor", "q_delta_dv", "q_parquet_pages")
+    "q_iceberg_mor", "q_delta_dv", "q_parquet_pages",
+    "q_avro_evolution", "q_iceberg_seq_pairing")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
