@@ -378,7 +378,10 @@ object DeltaLog {
       .select(col("version"), col("path"), col("size"))
     val removes = acts.where(col("kind") === "remove")
       .select(col("version").as("rv"), col("path"))
-      .join(adds.select(col("path"), col("size")), Seq("path"))
+      // a path re-added across versions must not double-resolve
+      // the tombstone's size: one size per path
+      .join(adds.select(col("path"), col("size"))
+        .dropDuplicates("path"), Seq("path"))
     val perV = adds.groupBy(col("version"))
       .agg(count(lit(1)).as("n_add"), sum(col("size")).as("b_add"))
       .join(removes.groupBy(col("rv").as("version"))
@@ -417,6 +420,7 @@ object DeltaLog {
     val adds = versionedActions(spark, dir)
       .where(col("kind") === "add")
       .select(col("path"), col("size"))
+      .dropDuplicates("path")
     tombs.join(adds, Seq("path"))
       .select(
         (col("del_ts") < cutoffMs).as("deletable"),
