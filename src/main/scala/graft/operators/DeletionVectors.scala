@@ -408,7 +408,11 @@ object DeletionVectors {
     parseDvBlob(bytes) match {
       case Some(rb) =>
         val cs = rb.maps.flatMap(_._2.containers)
-        if (cs.isEmpty) return nullRow10
+        // an EMPTY 32-bit map is legal roaring (the empty set) but
+        // has no min/max — census it as a refusal rather than
+        // letting containers.head throw in the executor
+        if (cs.isEmpty || rb.maps.exists(_._2.containers.isEmpty))
+          return nullRow10
         val mins = rb.maps.map { case (hi, m) =>
           (hi.toLong << 32) |
             ((m.containers.head.key.toLong << 16) |

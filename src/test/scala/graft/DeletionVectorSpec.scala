@@ -116,6 +116,14 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty 32-bit map (legal roaring, empty set) censuses " +
+      "as a refusal, not an executor throw") {
+    // magic + count 1 + key 0 + an empty no-run bitmap
+    val empty = writeDvBlob(writeRb64(Seq((0, Seq.empty))))
+    assert(parseDvBlob(empty).isDefined) // the PARSE is fine...
+    assert(decodeDv(empty, 0L, 1L, 0L).head == null) // ...census refuses
+  }
+
   test("frame refusals: bad version, lying CRC, size lies, " +
       "truncation; totality under mutation") {
     val good = dvWrite(6L)
