@@ -78,18 +78,25 @@ object Maintenance {
     * maxRecordsPerFile guards a runaway bin). No driver loop, no
     * global sort.
     */
-  def compactionApply(data: DataFrame, partCol: String,
-      fileCol: String, assign: DataFrame, outPath: String,
-      maxRecordsPerFile: Long = 1L << 22): Unit = {
+  /** The rewrite's read-side plan (exposed so the spec can pin its
+    * shuffle shape: ONE broadcast join + ONE hash exchange).
+    */
+  def compactionRewrite(data: DataFrame, partCol: String,
+      fileCol: String, assign: DataFrame): DataFrame = {
     val a = assign.select(col(partCol), col(fileCol), col("bin"))
     data
       .join(broadcast(a), Seq(partCol, fileCol))
       .repartition(col(partCol), col("bin"))
+  }
+
+  def compactionApply(data: DataFrame, partCol: String,
+      fileCol: String, assign: DataFrame, outPath: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit =
+    compactionRewrite(data, partCol, fileCol, assign)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCol, "bin")
       .parquet(outPath)
-  }
 
   /** Clustering depth — the read-amplification metric that drives
     * Z-order/OPTIMIZE decisions: given each file's [min, max] on a

@@ -69,6 +69,22 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getLong(2))).toSet
     assert(files == Set(("a", 2L, 2L), ("b", 1L, 1L)))
+    // the rewrite's shuffle shape at any scale: with the (tiny)
+    // assignment materialized — as a table service would — the
+    // data path is a BROADCAST join plus exactly ONE hash exchange
+    // co-locating the bins; a sort-merge join or a second exchange
+    // here would be the 100 TB bottleneck
+    val assignRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        assign.select("part", "file_id", "bin").collect().toSeq, 1),
+      assign.select("part", "file_id", "bin").schema)
+    val plan = Maintenance.compactionRewrite(data, "part",
+      "file_id", assignRows).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val nExchanges = "(?<!Broadcast)Exchange".r
+      .findAllIn(plan).length
+    assert(nExchanges == 1,
+      s"expected ONE hash exchange, got $nExchanges:\n$plan")
   }
 
   test("clusteringDepth: the boundary sweep computes exact max " +
