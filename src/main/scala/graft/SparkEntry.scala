@@ -3163,6 +3163,25 @@ object SparkEntry {
           .as("pg_range_hit"))
     }),
 
+    // ----- parquet DATA-PAGE decode (round 18 — actually reading
+    // VALUES with house code end-to-end: page headers, all five
+    // fixture codecs, the PLAIN and RLE_DICTIONARY encodings): the
+    // committed page fixture's id column decodes fully (cross-
+    // verified against its own footer statistics) and the
+    // low-cardinality grp column exercises the dictionary +
+    // RLE/bit-packed hybrid path; per doc a LIVE point lookup —
+    // value[doc_id % n] — makes every doc prove a different slice
+    // of the decode
+    "q_parquet_read" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      ParquetMeta.pageReadRows(d, "doc_id")
+        .select(col("doc_id"), col("n_values"),
+          col("n_data_pages"), col("n_dict_entries"),
+          col("values_sum"), col("v_min"), col("v_max"),
+          col("sum_matches_stats"), col("probe_value"),
+          col("g_n_dict"), col("g_sum"), col("g_probe_value"))
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -7626,6 +7645,19 @@ object SparkEntry {
            CAST(LEAST(4, (lo + 1500) // 1024) - lo // 1024 + 1
              AS INT) AS n_range_hit
          FROM p""",
+
+    // the decode replays the planted data exactly: sorted ids make
+    // value[k] = k, and the dictionary column is i % 7 over 300
+    // rows (sum 897, 7 dictionary entries)
+    "q_parquet_read" ->
+      """SELECT doc_id, 5000 AS n_values, 5 AS n_data_pages,
+           0 AS n_dict_entries, 12497500::BIGINT AS values_sum,
+           0::BIGINT AS v_min, 4999::BIGINT AS v_max,
+           TRUE AS sum_matches_stats,
+           CAST(doc_id % 5000 AS BIGINT) AS probe_value,
+           7 AS g_n_dict, 897::BIGINT AS g_sum,
+           CAST((doc_id % 300) % 7 AS BIGINT) AS g_probe_value
+         FROM documents""",
 
     // the page-index fixture's constants are the committed
     // parquet-mr writer output (5 exact 1000-row pages, ascending

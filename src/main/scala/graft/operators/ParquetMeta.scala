@@ -751,6 +751,354 @@ object ParquetMeta {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // DATA-PAGE decode (round 18) — actually reading VALUES from a
+  // parquet column chunk with house code end-to-end: page headers
+  // (compact thrift), snappy decompression, the dictionary page
+  // (PLAIN), and the RLE/bit-packed hybrid of dictionary indices —
+  // the wire format every parquet reader speaks (format spec
+  // "Data Pages" + "Encodings"). Scoped to REQUIRED flat INT64
+  // columns (no definition/repetition levels on the wire — the
+  // spec omits both when max level is 0); anything else refuses.
+  // ---------------------------------------------------------------
+
+  final case class PqColumnRead(values: Array[Long], nDataPages: Int,
+      nDictEntries: Int)
+
+  /** Locate (codec, numValues, firstPageOffset) for a named column
+    * of row group 0.
+    */
+  private def chunkInfo(b: Array[Byte], wantPath: String)
+      : Option[(Int, Long, Long)] = {
+    if (b == null || b.length < 12) return None
+    def magic(o: Int): Boolean = b(o) == 'P' && b(o + 1) == 'A' &&
+      b(o + 2) == 'R' && b(o + 3) == '1'
+    if (!magic(0) || !magic(b.length - 4)) return None
+    val mdLen = (b(b.length - 8) & 0xff) |
+      ((b(b.length - 7) & 0xff) << 8) |
+      ((b(b.length - 6) & 0xff) << 16) |
+      ((b(b.length - 5) & 0xff) << 24)
+    if (mdLen <= 0 || mdLen > b.length - 12) return None
+    try {
+      val r = new Reader(b, b.length - 8 - mdLen, b.length - 8)
+      var found: Option[(Int, Long, Long)] = None
+      var rg = -1
+      struct(r, 0) { (fid, typ) =>
+        fid match {
+          case 4 if typ == 9 =>
+            list(r) { et =>
+              if (et != 12) throw QFail()
+              rg += 1
+              val rgAt = rg
+              struct(r, 1) { (rf, rt) =>
+                rf match {
+                  case 1 if rt == 9 =>
+                    list(r) { ct =>
+                      if (ct != 12) throw QFail()
+                      var path = ""
+                      var codec = -1
+                      var nVals = -1L
+                      var dataOff = -1L
+                      var dictOff = -1L
+                      struct(r, 2) { (cf, cty) =>
+                        cf match {
+                          case 3 if cty == 12 =>
+                            struct(r, 3) { (mf, mt) =>
+                              mf match {
+                                case 3 if mt == 9 =>
+                                  val parts = Seq.newBuilder[String]
+                                  list(r) { pt =>
+                                    if (pt != 8) throw QFail()
+                                    parts += new String(
+                                      r.bytes(r.varint().toInt),
+                                      java.nio.charset
+                                        .StandardCharsets.UTF_8)
+                                  }
+                                  path = parts.result().mkString(".")
+                                case 4 if mt == 5 =>
+                                  codec = r.zigzag().toInt
+                                case 5 if mt == 6 =>
+                                  nVals = r.zigzag()
+                                case 9 if mt == 6 =>
+                                  dataOff = r.zigzag()
+                                case 11 if mt == 6 =>
+                                  dictOff = r.zigzag()
+                                case _ => skip(r, mt, 4)
+                              }
+                            }
+                          case _ => skip(r, cty, 3)
+                        }
+                      }
+                      if (rgAt == 0 && path == wantPath &&
+                        codec >= 0 && nVals > 0 && dataOff >= 0) {
+                        val first = if (dictOff >= 0 &&
+                          dictOff < dataOff) dictOff else dataOff
+                        found = Some((codec, nVals, first))
+                      }
+                    }
+                  case _ => skip(r, rt, 2)
+                }
+              }
+            }
+          case _ => skip(r, typ, 1)
+        }
+      }
+      found
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** RLE/bit-packed hybrid of `n` non-negative ints at `bitWidth`
+    * (the dictionary-index encoding).
+    */
+  private def readHybrid(data: Array[Byte], from: Int, until: Int,
+      bitWidth: Int, n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var got = 0
+    val r = new Reader(data, from, until)
+    val byteW = (bitWidth + 7) / 8
+    while (got < n) {
+      val h = r.varint()
+      if ((h & 1) == 0) { // RLE run
+        val count = (h >>> 1).toInt
+        if (count < 0 || count > n - got) throw QFail()
+        var v = 0
+        var i = 0
+        while (i < byteW) { v |= (r.u8() << (8 * i)); i += 1 }
+        java.util.Arrays.fill(out, got, got + count, v)
+        got += count
+      } else { // bit-packed groups of 8
+        val groups = (h >>> 1).toInt
+        if (groups < 0 || groups > (n - got) / 8 + 1) throw QFail()
+        var bitBuf = 0L
+        var bits = 0
+        var i = 0
+        val total = groups * 8
+        while (i < total) {
+          while (bits < bitWidth) {
+            bitBuf |= (r.u8().toLong << bits)
+            bits += 8
+          }
+          val v = (bitBuf & ((1L << bitWidth) - 1)).toInt
+          bitBuf >>>= bitWidth
+          bits -= bitWidth
+          if (got < n) { out(got) = v; got += 1 }
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  /** Decode every value of a required flat INT64 column from the
+    * raw bytes. None on refusal (nullable columns, unknown
+    * encodings, codec or structural lies).
+    */
+  def readLongColumn(b: Array[Byte], path: String)
+      : Option[PqColumnRead] = {
+    val (codec, nVals, firstOff) = chunkInfo(b, path)
+      .getOrElse(return None)
+    try {
+      var dict: Array[Long] = null
+      val values = new Array[Long](nVals.toInt)
+      var got = 0
+      var nDataPages = 0
+      var p = firstOff.toInt
+      while (got < nVals) {
+        val r = new Reader(b, p, b.length)
+        var pType = -1
+        var uncomp = -1
+        var comp = -1
+        var numV = -1
+        var enc = -1
+        struct(r, 0) { (fid, typ) =>
+          fid match {
+            case 1 if typ == 5 => pType = r.zigzag().toInt
+            case 2 if typ == 5 => uncomp = r.zigzag().toInt
+            case 3 if typ == 5 => comp = r.zigzag().toInt
+            case 5 if typ == 12 => // data_page_header
+              struct(r, 1) { (df, dt) =>
+                df match {
+                  case 1 if dt == 5 => numV = r.zigzag().toInt
+                  case 2 if dt == 5 => enc = r.zigzag().toInt
+                  case _ => skip(r, dt, 2)
+                }
+              }
+            case 7 if typ == 12 => // dictionary_page_header
+              struct(r, 1) { (df, dt) =>
+                df match {
+                  case 1 if dt == 5 => numV = r.zigzag().toInt
+                  case 2 if dt == 5 => enc = r.zigzag().toInt
+                  case _ => skip(r, dt, 2)
+                }
+              }
+            case _ => skip(r, typ, 1)
+          }
+        }
+        if (comp < 0 || uncomp < 0 || numV < 0) throw QFail()
+        val payloadAt = r.p
+        if (payloadAt + comp > b.length) throw QFail()
+        val raw = java.util.Arrays.copyOfRange(b, payloadAt,
+          payloadAt + comp)
+        def be32(a: Array[Byte], o: Int): Int =
+          ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+            ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+        val data = codec match {
+          case 0 => raw
+          case 1 => Snappy.decompress(raw, uncomp + 8)
+            .getOrElse(throw QFail())
+          case 2 => // gzip rides the JDK's inflater
+            try {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(raw))
+              try in.readAllBytes() finally in.close()
+            } catch { case _: java.io.IOException => throw QFail() }
+          case 5 => // Hadoop-framed LZ4: [be32 usize][be32 csize][block]*
+            val o = new java.io.ByteArrayOutputStream()
+            var q = 0
+            while (q < raw.length) {
+              if (q + 8 > raw.length) throw QFail()
+              val ul = be32(raw, q)
+              val cl = be32(raw, q + 4)
+              if (ul < 0 || cl <= 0 || q + 8 + cl > raw.length)
+                throw QFail()
+              val blk = Lz4.decodeRawBlock(raw, q + 8, q + 8 + cl,
+                ul).getOrElse(throw QFail())
+              if (blk.length != ul) throw QFail()
+              o.write(blk, 0, blk.length)
+              q += 8 + cl
+            }
+            o.toByteArray
+          case 6 => Zstd.decompress(raw).getOrElse(throw QFail())
+          case 7 => Lz4.decodeRawBlock(raw, 0, raw.length, uncomp)
+            .getOrElse(throw QFail())
+          case _ => throw QFail()
+        }
+        if (data.length != uncomp) throw QFail()
+        pType match {
+          case 2 => // dictionary page: PLAIN longs
+            if (enc != 0 && enc != 2) throw QFail()
+            if (numV * 8 > data.length) throw QFail()
+            dict = Array.tabulate(numV) { i =>
+              var v = 0L
+              var j = 0
+              while (j < 8) {
+                v |= (data(i * 8 + j) & 0xffL) << (8 * j); j += 1
+              }
+              v
+            }
+          case 0 => // data page v1
+            nDataPages += 1
+            enc match {
+              case 0 => // PLAIN longs
+                if (numV * 8 > data.length) throw QFail()
+                var i = 0
+                while (i < numV) {
+                  var v = 0L
+                  var j = 0
+                  while (j < 8) {
+                    v |= (data(i * 8 + j) & 0xffL) << (8 * j)
+                    j += 1
+                  }
+                  values(got) = v; got += 1; i += 1
+                }
+              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY
+                if (dict == null || data.length < 1) throw QFail()
+                val bw = data(0) & 0xff
+                if (bw > 32) throw QFail()
+                val idxs =
+                  if (bw == 0) new Array[Int](numV)
+                  else readHybrid(data, 1, data.length, bw, numV)
+                var i = 0
+                while (i < numV) {
+                  val ix = idxs(i)
+                  if (ix < 0 || ix >= dict.length) throw QFail()
+                  values(got) = dict(ix); got += 1; i += 1
+                }
+              case _ => throw QFail()
+            }
+          case _ => throw QFail() // v2 pages out of scope
+        }
+        p = payloadAt + comp
+      }
+      if (got != nVals) return None
+      Some(PqColumnRead(values, nDataPages,
+        if (dict == null) 0 else dict.length))
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  val pageReadSchema: StructType = StructType(Seq(
+    StructField("n_values", IntegerType),
+    StructField("n_data_pages", IntegerType),
+    StructField("n_dict_entries", IntegerType),
+    StructField("values_sum", LongType),
+    StructField("v_min", LongType),
+    StructField("v_max", LongType),
+    StructField("sum_matches_stats", BooleanType),
+    StructField("probe_value", LongType),
+    StructField("g_n_dict", IntegerType),
+    StructField("g_sum", LongType),
+    StructField("g_probe_value", LongType)))
+
+  /** One row per doc: the full id-column decode of the committed
+    * page fixture (parsed ONCE per partition) cross-verified
+    * against the footer statistics, plus a LIVE per-doc point
+    * lookup — value[doc_id % 5000] must equal doc_id % 5000 (the
+    * planted sorted ids), so a mis-decode anywhere in the
+    * header/snappy/dictionary/hybrid chain breaks the hash.
+    */
+  def pageReadRows(df: DataFrame, idCol: String): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = StructType(df.schema.fields(ii) +:
+      pageReadSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val read = readLongColumn(PageFixture, "id")
+      val grp = readLongColumn(Fixtures(4), "grp")
+      val idStats = parquetColumnStats(PageFixture)
+        .flatMap(_.find(s => s.path == "id" && s.rowGroup == 0))
+      val summary = for { c <- read; g <- grp } yield {
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        c.values.foreach { v =>
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        val statsOk = idStats.exists(s =>
+          s.minLong.contains(mn) && s.maxLong.contains(mx))
+        (c, sum, mn, mx, statsOk, g)
+      }
+      it.map { r =>
+        summary match {
+          case Some((c, sum, mn, mx, statsOk, g)) =>
+            val id = r.get(ii) match {
+              case l: java.lang.Long => l.longValue()
+              case x => x.hashCode().toLong
+            }
+            val probe = java.lang.Math
+              .floorMod(id, c.values.length.toLong).toInt
+            val gProbe = java.lang.Math
+              .floorMod(id, g.values.length.toLong).toInt
+            Row(r.get(ii), c.values.length, c.nDataPages,
+              c.nDictEntries, sum, mn, mx, statsOk,
+              c.values(probe), g.nDictEntries, g.values.sum,
+              g.values(gProbe))
+          case None =>
+            Row(r.get(ii), null, null, null, null, null, null,
+              null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   final case class PqBloom(nBytes: Int, algo: String, hash: String,
       compression: String, bits: Array[Byte])
 
