@@ -90,7 +90,7 @@ object Sf1Point {
     // new shuffle family), the roaring DV census and the
     // page-index probe tier (both map-only by design)
     "q_iceberg_mor", "q_delta_dv", "q_parquet_pages",
-    "q_avro_evolution", "q_iceberg_seq_pairing")
+    "q_avro_evolution", "q_iceberg_seq_pairing", "q_parquet_read")
     .map(q => q -> SparkEntry.queries(q)) ++ Seq(
     "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
       graft.operators.SemanticDedup.semanticDedup(
