@@ -3179,7 +3179,9 @@ object SparkEntry {
           col("n_data_pages"), col("n_dict_entries"),
           col("values_sum"), col("v_min"), col("v_max"),
           col("sum_matches_stats"), col("probe_value"),
-          col("g_n_dict"), col("g_sum"), col("g_probe_value"))
+          col("g_n_dict"), col("g_sum"), col("g_probe_value"),
+          col("s_probe_value"), col("t_n_nulls"),
+          col("t_n_dict"), col("t_probe_value"))
     }),
 
     // ----- Python pickle census (the public pickletools opcode
@@ -7656,7 +7658,12 @@ object SparkEntry {
            TRUE AS sum_matches_stats,
            CAST(doc_id % 5000 AS BIGINT) AS probe_value,
            7 AS g_n_dict, 897::BIGINT AS g_sum,
-           CAST((doc_id % 300) % 7 AS BIGINT) AS g_probe_value
+           CAST((doc_id % 300) % 7 AS BIGINT) AS g_probe_value,
+           'v' || CAST(doc_id % 5000 AS VARCHAR) AS s_probe_value,
+           58 AS t_n_nulls, 5 AS t_n_dict,
+           CASE WHEN (doc_id % 400) % 7 = 0 THEN NULL
+             ELSE 't' || CAST((doc_id % 400) % 5 AS VARCHAR)
+             END AS t_probe_value
          FROM documents""",
 
     // the page-index fixture's constants are the committed

@@ -707,6 +707,16 @@ object ParquetMeta {
     try in.readAllBytes() finally in.close()
   }
 
+  /** The committed nullable low-cardinality fixture (fx7: every
+    * 7th tag NULL, 5 distinct values → dictionary + definition
+    * levels on the wire).
+    */
+  lazy val NullableFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/parquet/fx7.parquet")
+    require(in != null, "missing parquet nullable fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** One row per doc: the page-index census of the committed
     * fixture — page count, boundary order, the id column's decoded
     * per-page [min,max] and the OffsetIndex first-row list as CSVs
@@ -1033,6 +1043,146 @@ object ParquetMeta {
     }
   }
 
+  final case class PqStrRead(values: Array[String],
+      nNulls: Int, nDictEntries: Int)
+
+  /** Decode every value of a flat BYTE_ARRAY column — NULLABLE
+    * columns included: v1 data pages carry definition levels as a
+    * 4-byte-length-prefixed RLE/bit-packed hybrid at max level 1,
+    * then the defined values as PLAIN ([le32 len][bytes]) or
+    * dictionary indices. None on refusal.
+    */
+  def readStringColumn(b: Array[Byte], path: String)
+      : Option[PqStrRead] = {
+    val (codec, nVals, firstOff) = chunkInfo(b, path)
+      .getOrElse(return None)
+    try {
+      var dict: Array[String] = null
+      val values = new Array[String](nVals.toInt)
+      var got = 0
+      var nNulls = 0
+      var p = firstOff.toInt
+      def le32(a: Array[Byte], o: Int): Int =
+        (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+          ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+      while (got < nVals) {
+        val r = new Reader(b, p, b.length)
+        var pType = -1
+        var uncomp = -1
+        var comp = -1
+        var numV = -1
+        var enc = -1
+        struct(r, 0) { (fid, typ) =>
+          fid match {
+            case 1 if typ == 5 => pType = r.zigzag().toInt
+            case 2 if typ == 5 => uncomp = r.zigzag().toInt
+            case 3 if typ == 5 => comp = r.zigzag().toInt
+            case 5 if typ == 12 =>
+              struct(r, 1) { (df, dt) =>
+                df match {
+                  case 1 if dt == 5 => numV = r.zigzag().toInt
+                  case 2 if dt == 5 => enc = r.zigzag().toInt
+                  case _ => skip(r, dt, 2)
+                }
+              }
+            case 7 if typ == 12 =>
+              struct(r, 1) { (df, dt) =>
+                df match {
+                  case 1 if dt == 5 => numV = r.zigzag().toInt
+                  case 2 if dt == 5 => enc = r.zigzag().toInt
+                  case _ => skip(r, dt, 2)
+                }
+              }
+            case _ => skip(r, typ, 1)
+          }
+        }
+        if (comp < 0 || uncomp < 0 || numV < 0) throw QFail()
+        val payloadAt = r.p
+        if (payloadAt + comp > b.length) throw QFail()
+        val raw = java.util.Arrays.copyOfRange(b, payloadAt,
+          payloadAt + comp)
+        val data = codec match {
+          case 0 => raw
+          case 1 => Snappy.decompress(raw, uncomp + 8)
+            .getOrElse(throw QFail())
+          case _ => throw QFail() // string scope: none + snappy
+        }
+        if (data.length != uncomp) throw QFail()
+        pType match {
+          case 2 => // dictionary page: PLAIN byte arrays
+            if (enc != 0 && enc != 2) throw QFail()
+            val ds = Vector.newBuilder[String]
+            var q = 0
+            var i = 0
+            while (i < numV) {
+              if (q + 4 > data.length) throw QFail()
+              val len = le32(data, q)
+              if (len < 0 || q + 4 + len > data.length)
+                throw QFail()
+              ds += new String(data, q + 4, len,
+                java.nio.charset.StandardCharsets.UTF_8)
+              q += 4 + len
+              i += 1
+            }
+            dict = ds.result().toArray
+          case 0 => // data page v1: [le32 defLen][def hybrid][values]
+            if (data.length < 4) throw QFail()
+            val defLen = le32(data, 0)
+            if (defLen < 0 || 4 + defLen > data.length)
+              throw QFail()
+            val defs = readHybrid(data, 4, 4 + defLen, 1, numV)
+            val nDef = defs.count(_ == 1)
+            var q = 4 + defLen
+            val defined = new Array[String](nDef)
+            enc match {
+              case 0 => // PLAIN
+                var i = 0
+                while (i < nDef) {
+                  if (q + 4 > data.length) throw QFail()
+                  val len = le32(data, q)
+                  if (len < 0 || q + 4 + len > data.length)
+                    throw QFail()
+                  defined(i) = new String(data, q + 4, len,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  q += 4 + len
+                  i += 1
+                }
+              case 2 | 8 => // dictionary indices
+                if (dict == null || q >= data.length) throw QFail()
+                val bw = data(q) & 0xff
+                if (bw > 32) throw QFail()
+                val idxs =
+                  if (bw == 0) new Array[Int](nDef)
+                  else readHybrid(data, q + 1, data.length, bw, nDef)
+                var i = 0
+                while (i < nDef) {
+                  val ix = idxs(i)
+                  if (ix < 0 || ix >= dict.length) throw QFail()
+                  defined(i) = dict(ix)
+                  i += 1
+                }
+              case _ => throw QFail()
+            }
+            var di = 0
+            defs.foreach { d =>
+              if (d == 1) { values(got) = defined(di); di += 1 }
+              else { values(got) = null; nNulls += 1 }
+              got += 1
+            }
+          case _ => throw QFail()
+        }
+        p = payloadAt + comp
+      }
+      if (got != nVals) return None
+      Some(PqStrRead(values, nNulls,
+        if (dict == null) 0 else dict.length))
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
   val pageReadSchema: StructType = StructType(Seq(
     StructField("n_values", IntegerType),
     StructField("n_data_pages", IntegerType),
@@ -1044,7 +1194,11 @@ object ParquetMeta {
     StructField("probe_value", LongType),
     StructField("g_n_dict", IntegerType),
     StructField("g_sum", LongType),
-    StructField("g_probe_value", LongType)))
+    StructField("g_probe_value", LongType),
+    StructField("s_probe_value", StringType),
+    StructField("t_n_nulls", IntegerType),
+    StructField("t_n_dict", IntegerType),
+    StructField("t_probe_value", StringType)))
 
   /** One row per doc: the full id-column decode of the committed
     * page fixture (parsed ONCE per partition) cross-verified
@@ -1061,6 +1215,8 @@ object ParquetMeta {
     df.mapPartitions { it =>
       val read = readLongColumn(PageFixture, "id")
       val grp = readLongColumn(Fixtures(4), "grp")
+      val sCol = readStringColumn(PageFixture, "s")
+      val tCol = readStringColumn(NullableFixture, "tag")
       val idStats = parquetColumnStats(PageFixture)
         .flatMap(_.find(s => s.path == "id" && s.rowGroup == 0))
       val summary = for { c <- read; g <- grp } yield {
@@ -1077,8 +1233,9 @@ object ParquetMeta {
         (c, sum, mn, mx, statsOk, g)
       }
       it.map { r =>
-        summary match {
-          case Some((c, sum, mn, mx, statsOk, g)) =>
+        (summary, sCol, tCol) match {
+          case (Some((c, sum, mn, mx, statsOk, g)), Some(sc),
+              Some(tc)) =>
             val id = r.get(ii) match {
               case l: java.lang.Long => l.longValue()
               case x => x.hashCode().toLong
@@ -1087,13 +1244,17 @@ object ParquetMeta {
               .floorMod(id, c.values.length.toLong).toInt
             val gProbe = java.lang.Math
               .floorMod(id, g.values.length.toLong).toInt
+            val tProbe = java.lang.Math
+              .floorMod(id, tc.values.length.toLong).toInt
             Row(r.get(ii), c.values.length, c.nDataPages,
               c.nDictEntries, sum, mn, mx, statsOk,
               c.values(probe), g.nDictEntries, g.values.sum,
-              g.values(gProbe))
-          case None =>
+              g.values(gProbe), sc.values(probe), tc.nNulls,
+              tc.nDictEntries, tc.values(tProbe))
+          case _ =>
             Row(r.get(ii), null, null, null, null, null, null,
-              null, null, null, null, null)
+              null, null, null, null, null, null, null, null,
+              null)
         }
       }
     }(enc)

@@ -74,6 +74,19 @@ object PqFixtureGen {
         "parquet.bloom.filter.expected.ndv#id" -> "5000",
         "parquet.bloom.filter.expected.ndv#s" -> "5000"))
 
+    // fx7: the NULLABLE low-cardinality string fixture — 400 rows
+    // where every 7th tag is NULL (definition levels on the wire)
+    // and the 5 distinct values force dictionary encoding; ids
+    // planted 0..399 so every fact is closed-form
+    {
+      import org.apache.spark.sql.functions.{col, expr}
+      val df = spark.range(0, 400).toDF("id")
+        .withColumn("tag", expr(
+          "CASE WHEN id % 7 = 0 THEN CAST(NULL AS STRING) " +
+          "ELSE concat('t', CAST(id % 5 AS STRING)) END"))
+      writeOne(df, "snappy", None, 7)
+    }
+
     // fx6: the PAGE-INDEX fixture — 5000 sorted rows forced into
     // exact 1000-row pages (parquet.page.row.count.limit), one row
     // group, so every page's ColumnIndex [min,max] and the

@@ -41,6 +41,27 @@ class PqReadSpec extends AnyFunSuite {
     assert(g.values.zipWithIndex.forall { case (v, i) => v == i % 7 })
   }
 
+  test("string columns decode with definition levels: nulls, the " +
+      "string dictionary, and PLAIN byte arrays") {
+    // fx7: every 7th tag NULL, 5 distinct values → dictionary
+    val t = ParquetMeta.readStringColumn(
+      ParquetMeta.NullableFixture, "tag").get
+    assert(t.values.length == 400 && t.nNulls == 58 &&
+      t.nDictEntries == 5)
+    assert(t.values.zipWithIndex.forall { case (v, i) =>
+      if (i % 7 == 0) v == null else v == s"t${i % 5}" })
+    // fx6.s: 5000 all-defined PLAIN strings across 5 pages
+    val s = ParquetMeta.readStringColumn(
+      ParquetMeta.PageFixture, "s").get
+    assert(s.nNulls == 0 &&
+      s.values.zipWithIndex.forall { case (v, i) => v == s"v$i" })
+    // fx0.name: PLAIN, uncompressed
+    val n = ParquetMeta.readStringColumn(
+      ParquetMeta.Fixtures(0), "name").get
+    assert(n.values.zipWithIndex.forall { case (v, i) =>
+      v == s"name-$i" })
+  }
+
   test("refusals: unknown columns, non-parquet, truncation; " +
       "totality under mutation") {
     assert(ParquetMeta.readLongColumn(
@@ -56,6 +77,14 @@ class PqReadSpec extends AnyFunSuite {
       for (_ <- 0 until 1 + rnd.nextInt(4))
         b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       ParquetMeta.readLongColumn(b, "id") // must not throw
+      ParquetMeta.readStringColumn(b, "name")
+    }
+    val base7 = ParquetMeta.NullableFixture
+    for (_ <- 0 until 200) {
+      val b = base7.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(4))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ParquetMeta.readStringColumn(b, "tag") // must not throw
     }
   }
 }
