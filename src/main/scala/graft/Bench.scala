@@ -209,6 +209,23 @@ object BenchGate {
     }
   }
 
+  /** Fraction of the wall budget the regression-gate phase may
+    * spend on re-measurement before surviving suspects keep their
+    * raw flags un-re-measured (the r17 driver kill happened in an
+    * UNBOUNDED gate phase: dozens of phantom suspects × 2 reps ×
+    * a 2.6×-slow host ran past the external timeout).
+    */
+  val GateBudgetFraction = 0.15
+
+  /** May the gate phase still re-measure? False once the whole
+    * run is over the wall budget OR the gate phase alone has used
+    * its fraction of it.
+    */
+  def gateMayRemeasure(runElapsedSec: Double, gateElapsedSec: Double,
+      wallBudgetSec: Double): Boolean =
+    runElapsedSec <= wallBudgetSec &&
+      gateElapsedSec <= wallBudgetSec * GateBudgetFraction
+
   /** Parse one bench artifact's `queries` map (Jackson ships in
     * Spark's jars, so no extra dependency).
     */
@@ -422,8 +439,9 @@ object Bench {
     // re-measured query so a kill inside the gate still leaves the
     // newest complete record.
     val gateT0 = System.nanoTime()
-    def gateOverBudget: Boolean = overBudget ||
-      (System.nanoTime() - gateT0) / 1e9 > wallBudget * 0.15
+    def gateOverBudget: Boolean = !BenchGate.gateMayRemeasure(
+      (System.nanoTime() - sweepT0) / 1e9,
+      (System.nanoTime() - gateT0) / 1e9, wallBudget)
     val gatedB = Seq.newBuilder[(String, Seq[Double], Boolean)]
     results.foreach { case (name, times) =>
       val base = prev.get(name)

@@ -195,6 +195,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(fnode.path("regressions").path("q_a").asDouble() == 1.2)
   }
 
+  test("the gate phase is budget-bound: no re-measurement past " +
+      "the wall budget or its own 15% slice (the r17 driver kill)") {
+    // healthy run, young gate → re-measure
+    assert(BenchGate.gateMayRemeasure(600, 10, 2400))
+    // the whole run is over budget → stop, keep raw flags
+    assert(!BenchGate.gateMayRemeasure(2500, 10, 2400))
+    // the gate alone ate its slice (15% of 2400 = 360 s) → stop
+    assert(!BenchGate.gateMayRemeasure(600, 361, 2400))
+    assert(BenchGate.gateMayRemeasure(600, 359, 2400))
+  }
+
   test("renderArtifact escapes quotes/backslashes/control chars " +
       "in strings (kill-safe artifact must always parse)") {
     import graft.BenchGate
