@@ -47,6 +47,22 @@ object BenchGate {
   def suspect(best: Double, bar: Option[Double]): Boolean =
     bar.exists(b => best > (b * RegressionFactor).max(RegressionMinSec))
 
+  /** A flagged query whose best exceeds this factor over its bar is
+    * a host STALL, not a regression: a genuine plan change does not
+    * produce 10–189× (the r18 driver artifact recorded q_xlsx_strings
+    * at 206 s vs a 1.09 s local best on code the round never
+    * touched). Stalls are reported under a separate artifact key so
+    * an official sweep on a stalling host stops reading as dozens of
+    * regressions.
+    */
+  val StallFactor = 10.0
+
+  /** Classify a surviving suspect: true = host stall (over
+    * [[StallFactor]] × bar), false = genuine regression candidate.
+    */
+  def isStall(best: Double, bar: Option[Double]): Boolean =
+    bar.exists(b => best > (b * StallFactor).max(RegressionMinSec))
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -248,7 +264,9 @@ object BenchGate {
   def renderArtifact(results: Seq[(String, Seq[Double])],
       regressions: Map[String, Double], failed: Seq[String],
       sf: String, partial: Boolean,
-      hostOffset: Option[Double]): String = {
+      hostOffset: Option[Double],
+      stalls: Map[String, Double] = Map.empty,
+      compact: Boolean = false): String = {
     // full JSON string escaping: a quote/backslash/control char in
     // the sf path or a query name must not yield an unparseable
     // artifact line — that would defeat the kill-safety goal
@@ -271,12 +289,19 @@ object BenchGate {
     val regs = regressions.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val sts = stalls.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val fs = failed.map(jstr).mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
     val off = hostOffset.map(o => s""","host_offset":$o""")
       .getOrElse("")
     val part = if (partial) s""","partial":true""" else ""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"regressions":$regs,"failed":$fs$off$part,"sf":${jstr(sf)}}"""
+    // compact mode drops the per-rep arrays — they dominate the
+    // line's length, and the driver's tail-window parse has missed
+    // the full line four rounds running
+    val reps = if (compact) "" else s""","reps":$rs"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$reps,"regressions":$regs,"stalls":$sts,"failed":$fs$off$part,"sf":${jstr(sf)}}"""
   }
 }
 
@@ -371,9 +396,10 @@ object Bench {
       "bench_out.json")
     def emit(results: Seq[(String, Seq[Double])],
         regressions: Map[String, Double], failed: Seq[String],
-        partial: Boolean, hostOff: Option[Double]): String = {
+        partial: Boolean, hostOff: Option[Double],
+        stalls: Map[String, Double] = Map.empty): String = {
       val line = BenchGate.renderArtifact(results, regressions,
-        failed, sfDir, partial, hostOff)
+        failed, sfDir, partial, hostOff, stalls)
       try {
         val tmp = java.nio.file.Paths.get(outPath + ".tmp")
         java.nio.file.Files.write(tmp, (line + "\n").getBytes(
@@ -442,17 +468,21 @@ object Bench {
     def gateOverBudget: Boolean = !BenchGate.gateMayRemeasure(
       (System.nanoTime() - sweepT0) / 1e9,
       (System.nanoTime() - gateT0) / 1e9, wallBudget)
-    val gatedB = Seq.newBuilder[(String, Seq[Double], Boolean)]
+    // flag: 0 = clean, 1 = regression, 2 = host stall (>=10x bar —
+    // a plan change does not produce 189x; see BenchGate.StallFactor)
+    val gatedB = Seq.newBuilder[(String, Seq[Double], Int)]
+    def classify(best: Double, base: Option[Double]): Int =
+      if (BenchGate.isStall(best / scale, base)) 2 else 1
     results.foreach { case (name, times) =>
       val base = prev.get(name)
       if (!suspect(times.min / scale, base))
-        gatedB += ((name, times, false))
+        gatedB += ((name, times, 0))
       else if (gateOverBudget) {
         System.err.println(
           f"[bench] REGRESSION? $name: best ${times.min}%.2f s vs " +
           f"history ${base.get}%.2f s — NOT re-measured (gate over " +
           "wall budget), raw flag kept")
-        gatedB += ((name, times, true))
+        gatedB += ((name, times, classify(times.min, base)))
       } else {
         val extra = (1 to 2).flatMap { _ =>
           try Some(time(fnByName(name)))
@@ -460,28 +490,45 @@ object Bench {
         }
         val all = times ++ extra
         val still = suspect(all.min / scale, base)
+        val flag = if (!still) 0 else classify(all.min, base)
         if (still) System.err.println(
-          f"[bench] REGRESSION $name: best ${all.min}%.2f s vs " +
+          f"[bench] ${if (flag == 2) "STALL" else "REGRESSION"} " +
+          f"$name: best ${all.min}%.2f s vs " +
           f"history ${base.get}%.2f s (>${RegressionFactor}x" +
           (if (scale != 1.0) f" after /$scale%.2f host offset" else "") +
           ", survived re-measurement)")
-        gatedB += ((name, all, still))
+        gatedB += ((name, all, flag))
         val soFar = gatedB.result()
         println(emit(
           soFar.map { case (k, v, _) => (k, v) } ++
             results.drop(soFar.size),
-          soFar.collect { case (k, v, true) => k -> v.min }.toMap,
-          failures.result(), partial = true, hostOff = hostOff))
+          soFar.collect { case (k, v, 1) => k -> v.min }.toMap,
+          failures.result(), partial = true, hostOff = hostOff,
+          stalls = soFar.collect { case (k, v, 2) => k -> v.min }
+            .toMap))
       }
     }
     val gated = gatedB.result()
     val failed = failures.result()
+    val regs = gated.collect { case (k, v, 1) => k -> v.min }.toMap
+    val stalls = gated.collect { case (k, v, 2) => k -> v.min }.toMap
     val line = emit(
       gated.map { case (k, v, _) => (k, v) },
-      gated.collect { case (k, v, true) => k -> v.min }.toMap,
-      failed, partial = false, hostOff = hostOff)
+      regs, failed, partial = false, hostOff = hostOff,
+      stalls = stalls)
     println(line)
     spark.stop()
+    // the COMPACT artifact line is the process's very last stdout —
+    // after Spark's shutdown noise — so any driver tail-window parse
+    // finds a complete line (`parsed: null` persisted four rounds
+    // while the full line sat mid-log). Same shape minus the
+    // per-rep arrays that dominate its length.
+    System.out.flush()
+    println(BenchGate.renderArtifact(
+      gated.map { case (k, v, _) => (k, v) }, regs, failed, sfDir,
+      partial = false, hostOffset = hostOff, stalls = stalls,
+      compact = true))
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

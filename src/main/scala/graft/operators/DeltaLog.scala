@@ -378,16 +378,27 @@ object DeltaLog {
       .select(col("version"), col("path"), col("size"))
     val removes = acts.where(col("kind") === "remove")
       .select(col("version").as("rv"), col("path"))
-      // a path re-added across versions must not double-resolve
-      // the tombstone's size: one size per path
-      .join(adds.select(col("path"), col("size"))
-        .dropDuplicates("path"), Seq("path"))
-    val perV = adds.groupBy(col("version"))
-      .agg(count(lit(1)).as("n_add"), sum(col("size")).as("b_add"))
+      // the log carries no size on a remove: resolve against the
+      // LATEST add at or before the removing version (a re-added
+      // path has several add sizes — the tombstone cancels the
+      // most recent one, not an arbitrary one)
+      .join(adds.select(col("path"), col("version").as("av"),
+        col("size")), Seq("path"))
+      .where(col("av") <= col("rv"))
+      .groupBy(col("path"), col("rv"))
+      .agg(max_by(col("size"), col("av")).as("size"))
+    // seed from EVERY parsed commit version — a commit carrying
+    // only commitInfo/metaData/protocol still advances the table
+    // version and must appear in the AS OF listing (r18 ADVICE)
+    val allVersions = acts.select(col("version")).distinct()
+    val perV = allVersions
+      .join(adds.groupBy(col("version"))
+          .agg(count(lit(1)).as("n_add"), sum(col("size")).as("b_add")),
+        Seq("version"), "left_outer")
       .join(removes.groupBy(col("rv").as("version"))
           .agg(count(lit(1)).as("n_rem"),
             sum(col("size")).as("b_rem")),
-        Seq("version"), "full_outer")
+        Seq("version"), "left_outer")
       .na.fill(0L, Seq("n_add", "b_add", "n_rem", "b_rem"))
     val w = Window.orderBy(col("version"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -448,14 +459,12 @@ object DeltaLog {
     val ckpt = spark.read.parquet(
         s"$dir/_delta_log/" + f"$v%020d.checkpoint.parquet")
       .where(col("add").isNotNull)
-      .select(col("add.path").as("path"), col("add.size").as("size"))
-    val tail = tailVersionsDf(spark, dir, v + 1)
-    val adds = tail.where(col("kind") === "add")
-      .select(col("path"), col("size"))
-    val removes = tail.where(col("kind") === "remove")
-      .select(col("path"))
-    ckpt.unionByName(adds)
-      .join(removes, Seq("path"), "left_anti")
+      .select(col("add.path").as("path"), col("add.size").as("size"),
+        lit(v.toLong).as("version"), lit("add").as("kind"))
+    val tail = tailVersionsDfWithVersion(spark, dir, v + 1)
+      .where(col("kind").isin("add", "remove"))
+      .select(col("path"), col("size"), col("version"), col("kind"))
+    lastActionWins(ckpt.unionByName(tail))
   }
 
   /** The full raw JSON replay from version 0 — the reconciliation
@@ -464,10 +473,28 @@ object DeltaLog {
   def replayFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val all = tailVersionsDf(spark, dir, 0)
-    all.where(col("kind") === "add").select(col("path"), col("size"))
-      .join(all.where(col("kind") === "remove").select(col("path")),
-        Seq("path"), "left_anti")
+    lastActionWins(tailVersionsDfWithVersion(spark, dir, 0)
+      .where(col("kind").isin("add", "remove"))
+      .select(col("path"), col("size"), col("version"), col("kind")))
+  }
+
+  /** Versioned last-action-wins reconciliation (the Delta
+    * protocol's replay rule): a path is live iff its LATEST action
+    * is an add — a remove followed by a later re-add keeps the
+    * path, which a bare anti join gets wrong (r18 ADVICE). Within
+    * one version, add outranks remove (a same-commit remove+add is
+    * a rewrite that leaves the path live). One hash shuffle on
+    * path; no window.
+    */
+  private def lastActionWins(acts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    acts.groupBy(col("path"))
+      .agg(max_by(
+        struct(col("kind"), col("size")),
+        struct(col("version"),
+          when(col("kind") === "add", 1).otherwise(0))).as("last"))
+      .where(col("last.kind") === "add")
+      .select(col("path"), col("last.size").as("size"))
   }
 
   /** Per-doc synth: planted commits with closed-form facts. */

@@ -206,6 +206,52 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.gateMayRemeasure(600, 359, 2400))
   }
 
+  test("stall classification: a >=10x-bar survivor is a host " +
+      "stall, not a regression (r18's 206 s vs 1.09 s artifact); " +
+      "the artifact splits the two keys") {
+    import graft.BenchGate
+    // 2x the bar: suspect, but NOT a stall — genuine plan change
+    assert(BenchGate.suspect(2.2, Some(1.0)))
+    assert(!BenchGate.isStall(2.2, Some(1.0)))
+    // 189x the bar: a plan change does not do that
+    assert(BenchGate.isStall(189.0, Some(1.09)))
+    // boundary: exactly 10x is not over
+    assert(!BenchGate.isStall(10.0, Some(1.0)))
+    assert(BenchGate.isStall(10.1, Some(1.0)))
+    // no history → never a stall
+    assert(!BenchGate.isStall(500.0, None))
+    // sub-noise-floor bars don't stall-flag jitter
+    assert(!BenchGate.isStall(0.7, Some(0.05)))
+    val line = BenchGate.renderArtifact(
+      Seq("q_a" -> Seq(2.2), "q_b" -> Seq(206.0)),
+      Map("q_a" -> 2.2), Nil, "sf0.1", partial = false,
+      hostOffset = None, stalls = Map("q_b" -> 206.0))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(node.path("regressions").path("q_a").asDouble() == 2.2)
+    assert(node.path("regressions").path("q_b").isMissingNode)
+    assert(node.path("stalls").path("q_b").asDouble() == 206.0)
+  }
+
+  test("compact artifact mode drops the per-rep arrays but keeps " +
+      "every other key (the driver's tail-window parse)") {
+    import graft.BenchGate
+    val line = BenchGate.renderArtifact(
+      Seq("q_a" -> Seq(1.5, 1.2)), Map.empty, Nil, "sf0.1",
+      partial = false, hostOffset = Some(1.4),
+      stalls = Map.empty, compact = true)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(node.path("reps").isMissingNode)
+    assert(node.path("queries").path("q_a").asDouble() == 1.2)
+    assert(node.path("value").asDouble() == 1.2)
+    assert(node.path("host_offset").asDouble() == 1.4)
+    assert(node.path("stalls").isObject)
+    // and the gate's own history parser still reads it
+    assert(BenchGate.parseQueries(line.getBytes("UTF-8")) ==
+      Map("q_a" -> 1.2))
+  }
+
   test("renderArtifact escapes quotes/backslashes/control chars " +
       "in strings (kill-safe artifact must always parse)") {
     import graft.BenchGate

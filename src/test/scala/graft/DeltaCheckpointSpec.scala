@@ -76,6 +76,76 @@ class DeltaCheckpointSpec extends SparkSpec {
     assert(vac == Set((true, 4, 1000L), (false, 4, 2600L)))
   }
 
+  test("last-action-wins replay: a remove followed by a later " +
+      "re-add keeps the path (the protocol's versioned " +
+      "reconciliation, r18 ADVICE); kind-only commits still " +
+      "appear in the AS OF listing") {
+    val dir = Files.createTempDirectory("graft_dreadd").toString
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    def w(v: Int, lines: String*): Unit =
+      Files.writeString(log.resolve(f"$v%020d.json"),
+        lines.mkString("\n") + "\n")
+    val ci = """{"commitInfo":{"operation":"WRITE","timestamp":1}}"""
+    def add(p: String, sz: Long) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":$sz,""" +
+        s""""modificationTime":1,"dataChange":true}}"""
+    def rem(p: String) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":2,""" +
+        s""""dataChange":true}}"""
+    w(0, ci, add("a.parquet", 10), add("b.parquet", 20))
+    w(1, ci, rem("a.parquet"))
+    w(2, ci, add("a.parquet", 30)) // the re-add a bare anti join kills
+    w(3, ci)                       // kind-only commit (metadata only)
+    val live = DeltaLog.replayFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(live == Set(("a.parquet", 30L), ("b.parquet", 20L)))
+    // the checkpoint-rooted path agrees: checkpoint at v1 (state =
+    // {b}), tail v2..3 re-adds a
+    val ckptRows = Seq(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("b.parquet", 20L, true),
+        null, null, null),
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row("a.parquet"), null, null))
+    import org.apache.spark.sql.types._
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType))))))
+    val tmp = dir + "/_ckpt_tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ckptRows, 1), ckptSchema)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part,
+      log.resolve("00000000000000000001.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":2}""")
+    val viaCkpt = DeltaLog.snapshotFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaCkpt == Set(("a.parquet", 30L), ("b.parquet", 20L)))
+    // time travel lists ALL four versions — v3 carries no add or
+    // remove but still advances the table state unchanged
+    val tt = DeltaLog.timeTravel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(tt.keySet == Set(0L, 1L, 2L, 3L))
+    assert(tt(0L) == ((2L, 30L)))
+    assert(tt(1L) == ((1L, 20L)))
+    assert(tt(2L) == ((2L, 50L)))
+    assert(tt(3L) == ((2L, 50L)))
+  }
+
   test("tail-line kernel: actions map, junk refuses") {
     assert(DeltaLog.actionPathSize(
       """{"add":{"path":"p.parquet","size":10,"dataChange":true}}""")
