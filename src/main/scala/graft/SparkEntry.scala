@@ -3184,6 +3184,20 @@ object SparkEntry {
           col("t_n_dict"), col("t_probe_value"))
     }),
 
+    // ----- parquet TYPED data-page decode (round 19 — the FULL
+    // physical-type matrix: bool/int32/int64/float/double/
+    // byte_array/FLBA-decimal/date/timestamp, v1 AND v2 pages,
+    // PLAIN + dictionary + RLE booleans + the three delta
+    // encodings, def levels driven by the footer schema's declared
+    // repetition): the same planted 3000-row table is read back
+    // through three wire paths (v1+dict+snappy, v2+delta+zstd,
+    // v1+PLAIN) and every per-doc probe must replay closed-form —
+    // the gate on the end-to-end lakehouse table read
+    "q_parquet_typed" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      ParquetTyped.typedReadRows(d, "doc_id")
+    }),
+
     // ----- Python pickle census (the public pickletools opcode
     // grammar): five planted shapes cycling by doc — proto-2 dict /
     // proto-4 framed list / tuple3 / a REDUCE with its global /
@@ -7665,6 +7679,43 @@ object SparkEntry {
              ELSE 't' || CAST((doc_id % 400) % 5 AS VARCHAR)
              END AS t_probe_value
          FROM documents""",
+
+    // the typed matrix replays closed-form: every probe value is a
+    // pure function of p = doc_id % 3000 (the planted 3000-row
+    // table), identical through all three wire paths; decimals
+    // render at their declared scale, dates as epoch days
+    // (2020-01-01 = 18262), timestamps as epoch micros
+    "q_parquet_typed" ->
+      """WITH q AS (SELECT doc_id, doc_id % 3000 AS p
+           FROM documents)
+         SELECT doc_id,
+           CAST(p % 1000 AS INT) AS a_i32,
+           CASE WHEN p % 7 = 0 THEN NULL
+             ELSE CAST(p % 1000 - 500 AS INT) END AS a_i32n,
+           p * CAST(0.25 AS DOUBLE) AS a_d,
+           (p % 64) * CAST(0.5 AS DOUBLE) AS a_f,
+           p % 3 = 0 AS a_bl,
+           CASE WHEN p % 13 = 0 THEN NULL
+             ELSE 't' || CAST(p % 17 AS VARCHAR) END AS a_sn,
+           CAST(CAST(p AS DECIMAL(9,2)) AS VARCHAR) AS a_dec9,
+           CAST(18262 + p % 700 AS INT) AS a_dt_days,
+           CAST(1600000000000000 + p * 1000 AS BIGINT)
+             AS a_ts_micros,
+           CAST(p % 1000 AS INT) AS b_i32,
+           'x' || CAST(p AS VARCHAR) AS b_s,
+           CAST(CAST(p AS DECIMAL(25,4)) AS VARCHAR) AS b_dec25,
+           CASE WHEN p % 5 = 0 THEN NULL
+             ELSE p % 2 = 1 END AS b_bln,
+           CASE WHEN p % 11 = 0 THEN NULL
+             ELSE (p % 32) * CAST(0.25 AS DOUBLE) END AS b_fn,
+           CAST(p % 1000 AS INT) AS c_i32,
+           p * CAST(0.25 AS DOUBLE) AS c_d,
+           'x' || CAST(p AS VARCHAR) AS c_s,
+           CAST(CAST(p AS DECIMAL(18,3)) AS VARCHAR) AS c_dec18,
+           429 AS n_nulls_i32n,
+           CAST(1498500 AS BIGINT) AS sum_i32,
+           TRUE AS all3_agree
+         FROM q""",
 
     // the page-index fixture's constants are the committed
     // parquet-mr writer output (5 exact 1000-row pages, ascending

@@ -35,9 +35,9 @@ object ParquetMeta {
       nRowGroups: Int, nLeafColumns: Int, leafNames: Seq[String],
       codecs: Seq[String], createdBy: String)
 
-  private final case class QFail() extends RuntimeException
+  private[operators] final case class QFail() extends RuntimeException
 
-  private final class Reader(b: Array[Byte], var p: Int,
+  private[operators] final class Reader(b: Array[Byte], var p: Int,
       val end: Int) {
     def u8(): Int = {
       if (p >= end) throw QFail()
@@ -70,7 +70,7 @@ object ParquetMeta {
   }
 
   /** Skip one compact-protocol value of `typ`. */
-  private def skip(r: Reader, typ: Int, depth: Int): Unit = {
+  private[operators] def skip(r: Reader, typ: Int, depth: Int): Unit = {
     if (depth > MaxDepth) throw QFail()
     typ match {
       case 1 | 2 => () // bool encoded in the field header
@@ -103,7 +103,7 @@ object ParquetMeta {
     }
   }
 
-  private def skipStruct(r: Reader, depth: Int): Unit = {
+  private[operators] def skipStruct(r: Reader, depth: Int): Unit = {
     if (depth > MaxDepth) throw QFail()
     var done = false
     while (!done) {
@@ -120,7 +120,7 @@ object ParquetMeta {
   /** Walk one struct invoking `f(fieldId, typ)` per field; `f`
     * must consume the value (or call skip).
     */
-  private def struct(r: Reader, depth: Int)(
+  private[operators] def struct(r: Reader, depth: Int)(
       f: (Int, Int) => Unit): Unit = {
     if (depth > MaxDepth) throw QFail()
     var fid = 0
@@ -137,7 +137,7 @@ object ParquetMeta {
     }
   }
 
-  private def list(r: Reader)(f: Int => Unit): Unit = {
+  private[operators] def list(r: Reader)(f: Int => Unit): Unit = {
     val h = r.u8()
     var n = (h >>> 4) & 0x0f
     if (n == 15) n = r.varint().toInt
@@ -863,7 +863,7 @@ object ParquetMeta {
   /** RLE/bit-packed hybrid of `n` non-negative ints at `bitWidth`
     * (the dictionary-index encoding).
     */
-  private def readHybrid(data: Array[Byte], from: Int, until: Int,
+  private[operators] def readHybrid(data: Array[Byte], from: Int, until: Int,
       bitWidth: Int, n: Int): Array[Int] = {
     val out = new Array[Int](n)
     var got = 0
@@ -908,6 +908,12 @@ object ParquetMeta {
     */
   def readLongColumn(b: Array[Byte], path: String)
       : Option[PqColumnRead] = {
+    // the footer schema must declare what this reader assumes
+    // (REQUIRED flat INT64 — no def levels on the wire): an
+    // OPTIONAL chunk's def-level prefix would otherwise be
+    // misdecoded as values (r18 ADVICE)
+    if (!ParquetTyped.leafInfo(b, path).exists(l =>
+      l.ptype == 2 && l.maxDef == 0)) return None
     val (codec, nVals, firstOff) = chunkInfo(b, path)
       .getOrElse(return None)
     try {
@@ -1054,6 +1060,11 @@ object ParquetMeta {
     */
   def readStringColumn(b: Array[Byte], path: String)
       : Option[PqStrRead] = {
+    // mirror check: this reader always parses a def-level prefix,
+    // so the footer must declare OPTIONAL BYTE_ARRAY — a REQUIRED
+    // chunk has no prefix and would misparse (r18 ADVICE)
+    if (!ParquetTyped.leafInfo(b, path).exists(l =>
+      l.ptype == 6 && l.maxDef == 1)) return None
     val (codec, nVals, firstOff) = chunkInfo(b, path)
       .getOrElse(return None)
     try {

@@ -96,6 +96,54 @@ object PqFixtureGen {
       .toDF("id", "s"), "snappy", None, 6, Map(
         "parquet.page.row.count.limit" -> "1000"))
 
+    // fx8/fx9/fx10: the TYPED matrix (round 19) — one planted
+    // 3000-row table cycling every flat physical type a Spark
+    // table carries (bool/int32/int64/float/double/byte_array/
+    // FLBA-decimal/date/timestamp, REQUIRED and OPTIONAL both),
+    // written three ways by the reference writer so every
+    // (type × encoding × page-version) cell has committed bytes:
+    //   fx8  = v1 pages, dictionary on, snappy
+    //   fx9  = v2 pages, dictionary OFF → the delta encodings
+    //          (DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY / RLE
+    //          booleans), zstd
+    //   fx10 = v1 pages, dictionary OFF → PLAIN everything,
+    //          uncompressed
+    // Every value is closed-form in id so the DuckDB oracle
+    // replays probes exactly.
+    {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      val typed = spark.range(0, 3000).toDF("id")
+        .withColumn("i32", (col("id") % 1000).cast("int"))
+        .withColumn("i32n", when(col("id") % 7 === 0, lit(null))
+          .otherwise((col("id") % 1000) - 500).cast("int"))
+        .withColumn("d", col("id") * 0.25)
+        .withColumn("f", ((col("id") % 64) * 0.5).cast("float"))
+        .withColumn("fn", when(col("id") % 11 === 0, lit(null))
+          .otherwise((col("id") % 32) * 0.25).cast("float"))
+        .withColumn("bl", col("id") % 3 === 0)
+        .withColumn("bln", when(col("id") % 5 === 0, lit(null))
+          .otherwise(col("id") % 2 === 1))
+        .withColumn("s", concat(lit("x"), col("id")))
+        .withColumn("sn", when(col("id") % 13 === 0, lit(null))
+          .otherwise(concat(lit("t"), col("id") % 17)))
+        .withColumn("dec9", (col("id") % 9999).cast("decimal(9,2)"))
+        .withColumn("dec18",
+          (col("id") % 123457).cast("decimal(18,3)"))
+        .withColumn("dec25", col("id").cast("decimal(25,4)"))
+        .withColumn("dt", date_add(to_date(lit("2020-01-01")),
+          (col("id") % 700).cast("int")))
+        .withColumn("ts", timestamp_micros(
+          lit(1600000000000000L) + col("id") * 1000))
+      writeOne(typed, "snappy", None, 8)
+      writeOne(typed, "zstd", None, 9, Map(
+        "parquet.writer.version" -> "PARQUET_2_0",
+        "parquet.enable.dictionary" -> "false"))
+      writeOne(typed, "uncompressed", None, 10, Map(
+        "parquet.enable.dictionary" -> "false"))
+    }
+
     spark.stop()
     println(s"wrote $outDir")
   }
