@@ -3184,6 +3184,34 @@ object SparkEntry {
           col("t_n_dict"), col("t_probe_value"))
     }),
 
+    // ----- END-TO-END Iceberg table READ (round 19 — the
+    // composition of every lakehouse tier): metadata.json →
+    // current snapshot → manifest list → manifest entries → typed
+    // parquet data-page decode → sequence-gated position-delete
+    // anti join → row values, on a planted multi-file table. The
+    // planted seams: a stale snapshot whose manifest list must NOT
+    // be read, and a position delete at sequence 3 carrying rows
+    // against a sequence-4 data file that the gate must drop
+    "q_iceberg_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_ice_scan"
+      TableScan.plantIcebergTable(s, path)
+      TableScan.icebergScan(s, path)
+    }),
+
+    // ----- END-TO-END Delta table READ (round 19 — the DV twin):
+    // _last_checkpoint → checkpoint parquet → JSON tail
+    // (last-action-wins with the deletionVector descriptor) →
+    // typed parquet decode → DV bitmap probe INSIDE the scan task
+    // (no join — the reason deletion vectors win at 100 TB) →
+    // row values
+    "q_delta_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_delta_scan"
+      TableScan.plantDeltaTable(s, path)
+      TableScan.deltaScan(s, path)
+    }),
+
     // ----- parquet TYPED data-page decode (round 19 — the FULL
     // physical-type matrix: bool/int32/int64/float/double/
     // byte_array/FLBA-decimal/date/timestamp, v1 AND v2 pages,
@@ -7679,6 +7707,38 @@ object SparkEntry {
              ELSE 't' || CAST((doc_id % 400) % 5 AS VARCHAR)
              END AS t_probe_value
          FROM documents""",
+
+    // the end-to-end Iceberg read replays closed-form: file k
+    // holds ids 1000k+j (j<200, val=3*id); pd0 (seq 3) deletes
+    // j%10==0 from k<=4 but only k<=3 pass the sequence gate
+    // (f4 has data seq 4); pd1 (seq 6) deletes j%9==0 from
+    // k in {0,4,5}
+    "q_iceberg_scan" ->
+      """WITH r AS (SELECT k.k, j.j FROM
+             unnest(generate_series(0, 5)) AS k(k),
+             unnest(generate_series(0, 199)) AS j(j)),
+         live AS (SELECT k, j FROM r WHERE NOT (
+           (k <= 3 AND j % 10 = 0) OR
+           (k IN (0, 4, 5) AND j % 9 = 0)))
+         SELECT CAST(k AS INT) AS file_k,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(3 * (1000 * k + j)) AS BIGINT) AS sum_val
+         FROM live GROUP BY k""",
+
+    // the end-to-end Delta read replays closed-form: live files
+    // k in {0,2,3} hold ids 1000k+j (j<250, val=2*id+1); part-0's
+    // DV deletes j%10==0, part-2's deletes j%7==0, part-1 was
+    // removed at v2 (before the checkpoint)
+    "q_delta_scan" ->
+      """WITH r AS (SELECT k.k, j.j FROM
+             (VALUES (0), (2), (3)) AS k(k),
+             unnest(generate_series(0, 249)) AS j(j)),
+         live AS (SELECT k, j FROM r WHERE NOT (
+           (k = 0 AND j % 10 = 0) OR (k = 2 AND j % 7 = 0)))
+         SELECT CAST(k AS INT) AS file_k,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(2 * (1000 * k + j) + 1) AS BIGINT) AS sum_val
+         FROM live GROUP BY k""",
 
     // the typed matrix replays closed-form: every probe value is a
     // pure function of p = doc_id % 3000 (the planted 3000-row

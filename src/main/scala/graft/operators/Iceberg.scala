@@ -92,7 +92,7 @@ object Iceberg {
   // fixture writers (planted closed-form facts)
   // ----------------------------------------------------------------
 
-  private def container(schema: String, records: Seq[Array[Byte]])
+  private[operators] def container(schema: String, records: Seq[Array[Byte]])
       : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
