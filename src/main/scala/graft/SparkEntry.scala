@@ -3104,6 +3104,22 @@ object SparkEntry {
           .as("n_range_hit"))
     }),
 
+    // ----- ORC stripe DATA decode (round 19 — the read-path
+    // parity the metadata tier lacked): house code reads VALUES
+    // from ORC stripes — present streams, integer RLEv2, string
+    // dictionaries — across the 5-stripe stats fixture and the
+    // nullable fixture; per doc a LIVE point lookup
+    // (value[doc_id % n]) makes every doc prove a different slice
+    // of the decode, exactly the q_parquet_read pattern
+    "q_orc_read" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      OrcRead.orcReadRows(d, "doc_id")
+        .select(col("doc_id"), col("n_values"), col("n_stripes"),
+          col("id_sum"), col("id_probe"), col("s_probe"),
+          col("s_dict"), col("t_n_nulls"), col("t_probe"),
+          col("d_probe"))
+    }),
+
     // ----- ORC row-group indexes + BLOOM streams (round 18 — the
     // intra-stripe skipping tier, parquet-bloom parity): the
     // committed Spark-written fixture's ROW_INDEX gives per-group
@@ -7667,6 +7683,26 @@ object SparkEntry {
            (doc_id % n)::INT AS n_expired,
            (n - doc_id % n)::INT AS n_retained,
            FALSE AS current_expirable
+         FROM p""",
+
+    // the stripe decode replays the planted data exactly: sorted
+    // ids make value[p] = p (sum 12497500 over 5 stripes), the
+    // dictionary string cycles s0..s9, and the nullable fixture's
+    // planted null cadence (tag %7, dbl %11) must weave back
+    // through the present streams
+    "q_orc_read" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5000 AS p,
+           doc_id % 400 AS q FROM documents)
+         SELECT doc_id, 5000 AS n_values, 5 AS n_stripes,
+           CAST(12497500 AS BIGINT) AS id_sum,
+           CAST(p AS BIGINT) AS id_probe,
+           's' || CAST(p % 10 AS VARCHAR) AS s_probe,
+           TRUE AS s_dict,
+           58 AS t_n_nulls,
+           CASE WHEN q % 7 = 0 THEN NULL
+             ELSE 't' || CAST(q % 5 AS VARCHAR) END AS t_probe,
+           CASE WHEN q % 11 = 0 THEN NULL
+             ELSE q * CAST(0.25 AS DOUBLE) END AS d_probe
          FROM p""",
 
     // the stats walk must replay what the reference ORC writer

@@ -36,9 +36,9 @@ object Orc {
       nStripes: Int, stripeRows: Long, nTypes: Int,
       colNames: Seq[String], kinds: Seq[String])
 
-  private final case class OFail() extends RuntimeException
+  private[operators] final case class OFail() extends RuntimeException
 
-  private final class Reader(val b: Array[Byte], var p: Int,
+  private[operators] final class Reader(val b: Array[Byte], var p: Int,
       val end: Int) {
     def varint(): Long = {
       var v = 0L
@@ -72,7 +72,7 @@ object Orc {
   /** Walk fields of one message span, calling f(fieldNo, wire,
     * reader); f must consume the value or call skip.
     */
-  private def fields(r: Reader)(f: (Int, Int) => Unit): Unit = {
+  private[operators] def fields(r: Reader)(f: (Int, Int) => Unit): Unit = {
     var guard = 0
     while (r.p < r.end) {
       guard += 1
@@ -99,7 +99,7 @@ object Orc {
   /** Decompress the chunked footer region per the ORC framing:
     * 3-byte LE headers, low bit = stored-original.
     */
-  private def inflateRegion(b: Array[Byte], from: Int, until: Int,
+  private[operators] def inflateRegion(b: Array[Byte], from: Int, until: Int,
       codec: Int): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream()
     var p = from

@@ -87,6 +87,22 @@ object OrcFixtureGen {
       hc.unset("orc.row.index.stride")
     }
 
+    // fx7: the NULLABLE fixture (round 19 — present streams on the
+    // wire): 400 rows where every 7th tag is NULL (5 distinct
+    // values force dictionary), every 11th dbl is NULL; ids
+    // planted 0..399 so every fact is closed-form
+    {
+      import org.apache.spark.sql.functions.{col, expr}
+      val df = spark.range(0, 400).toDF("id")
+        .withColumn("tag", expr(
+          "CASE WHEN id % 7 = 0 THEN CAST(NULL AS STRING) " +
+          "ELSE concat('t', CAST(id % 5 AS STRING)) END"))
+        .withColumn("dbl", expr(
+          "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE id * 0.25 END"))
+      writeOne(df, "snappy", 7)
+    }
+
     spark.stop()
     println(s"wrote $outDir")
   }
