@@ -3228,6 +3228,32 @@ object SparkEntry {
       TableScan.deltaScan(s, path)
     }),
 
+    // ----- Delta COLUMN MAPPING (round 19): a column-mapped
+    // table's parquet files carry PHYSICAL names; the logical
+    // schema lives only in metaData.schemaString's
+    // delta.columnMapping annotations. The scan resolves
+    // logical→physical before decoding, and the planted mapped
+    // table must census identically to its unmapped twin — a
+    // reader that ignores the mapping reads wrong columns
+    "q_delta_colmap" -> ((s, dir) => {
+      val mapped = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_delta_colmap"
+      val twin = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_delta_colmap_twin"
+      TableScan.plantDeltaMappedTable(s, mapped, "name")
+      TableScan.plantDeltaMappedTable(s, twin, "plain")
+      val m = TableScan.deltaScan(s, mapped)
+      val t = TableScan.deltaScan(s, twin)
+        .withColumnRenamed("n_live", "twin_n_live")
+        .withColumnRenamed("sum_val", "twin_sum_val")
+      m.join(t, Seq("file_k"))
+        .select(col("file_k"), col("n_live"), col("sum_val"),
+          col("twin_n_live"), col("twin_sum_val"),
+          (col("n_live") === col("twin_n_live") &&
+            col("sum_val") === col("twin_sum_val"))
+            .as("mapped_matches_twin"))
+    }),
+
     // ----- parquet TYPED data-page decode (round 19 — the FULL
     // physical-type matrix: bool/int32/int64/float/double/
     // byte_array/FLBA-decimal/date/timestamp, v1 AND v2 pages,
@@ -7775,6 +7801,22 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_live,
            CAST(SUM(2 * (1000 * k + j) + 1) AS BIGINT) AS sum_val
          FROM live GROUP BY k""",
+
+    // the column-mapped read replays closed-form: 3 files of 150
+    // rows, id = 1000k+j, val = 5*id+2 — and the mapped census
+    // must equal the unmapped twin's exactly
+    "q_delta_colmap" ->
+      """WITH r AS (SELECT k.k, j.j FROM
+             unnest(generate_series(0, 2)) AS k(k),
+             unnest(generate_series(0, 149)) AS j(j))
+         SELECT CAST(k AS INT) AS file_k,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(5 * (1000 * k + j) + 2) AS BIGINT) AS sum_val,
+           CAST(COUNT(*) AS BIGINT) AS twin_n_live,
+           CAST(SUM(5 * (1000 * k + j) + 2) AS BIGINT)
+             AS twin_sum_val,
+           TRUE AS mapped_matches_twin
+         FROM r GROUP BY k""",
 
     // the typed matrix replays closed-form: every probe value is a
     // pure function of p = doc_id % 3000 (the planted 3000-row

@@ -263,6 +263,93 @@ object DeltaLog {
       s"""{"version":$ckptVersion,"size":${rows.size}}""")
   }
 
+  /** The V2-checkpoint twin of [[writeCheckpointedTable]]: same
+    * planted commits and arithmetic, but the checkpoint at
+    * `ckptVersion` uses the V2 layout — a top
+    * `<v>.checkpoint.<uuid>.parquet` holding protocol + metaData +
+    * checkpointMetadata + `sidecar` pointers, with the add/remove
+    * FILE actions split across two sidecar parquets under
+    * `_delta_log/_sidecars/`. A reader that only speaks the
+    * classic layout reads zero files from this table.
+    */
+  def writeCheckpointedTableV2(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nVersions: Int = 10, ckptVersion: Int = 6): Unit = {
+    import java.nio.file.{Files, Paths}
+    val log = Paths.get(dir, "_delta_log")
+    if (Files.exists(log))
+      Files.walk(log).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(log.resolve("_sidecars"))
+    (0 until nVersions).foreach { v =>
+      Files.writeString(log.resolve(f"$v%020d.json"), commitJson(v))
+    }
+    val live = plantedLive(ckptVersion)
+    val tombs = (0 to ckptVersion).flatMap(plantedRemove)
+    def writeOne(df: DataFrame, target: java.nio.file.Path): Unit = {
+      val tmp = dir + "/_ckpt_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val fileSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    // file actions split across two sidecars (the layout's point:
+    // checkpoint writes parallelize per sidecar)
+    val (liveA, liveB) = live.splitAt(live.length / 2)
+    def fileRows(adds: Seq[(String, Long)],
+        removes: Seq[String]): Seq[Row] =
+      adds.map { case (p, size) => Row(Row(p, size, true), null) } ++
+        removes.map(p => Row(null, Row(p)))
+    val sidecarNames = Seq("sc-0001.parquet", "sc-0002.parquet")
+    writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          fileRows(liveA, tombs), 1), fileSchema),
+      log.resolve("_sidecars").resolve(sidecarNames(0)))
+    writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          fileRows(liveB, Nil), 1), fileSchema),
+      log.resolve("_sidecars").resolve(sidecarNames(1)))
+    val topSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("provider", StringType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val topRows = Seq(
+      Row(Row(3, 7), null, null, null),
+      Row(null, Row("planted-ckpt-table-v2", "parquet"), null,
+        null),
+      Row(null, null, Row(ckptVersion.toLong), null)) ++
+      sidecarNames.map { n =>
+        Row(null, null, null, Row(n,
+          Files.size(log.resolve("_sidecars").resolve(n))))
+      }
+    val uuid = "0f0e0d0c-1234-5678-9abc-def012345678"
+    writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows, 1), topSchema),
+      log.resolve(f"$ckptVersion%020d.checkpoint.$uuid.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"),
+      s"""{"version":$ckptVersion,"size":${topRows.size}}""")
+  }
+
   /** Map-only line kernel for the JSON tail: (kind, path, size).
     * Lines whose action carries no path (commitInfo, protocol,
     * metaData, txn) map to kind-only rows; malformed lines refuse
@@ -456,8 +543,7 @@ object DeltaLog {
       case _ => throw new IllegalStateException(
         "_last_checkpoint without an integral version")
     }
-    val ckpt = spark.read.parquet(
-        s"$dir/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    val ckpt = checkpointActions(spark, dir, v)
       .where(col("add").isNotNull)
       .select(col("add.path").as("path"), col("add.size").as("size"),
         lit(v.toLong).as("version"), lit("add").as("kind"))
@@ -465,6 +551,46 @@ object DeltaLog {
       .where(col("kind").isin("add", "remove"))
       .select(col("path"), col("size"), col("version"), col("kind"))
     lastActionWins(ckpt.unionByName(tail))
+  }
+
+  /** The FILE actions of the checkpoint at version `v`, across
+    * both public layouts:
+    *  - classic: one `<v>.checkpoint.parquet` holding every action
+    *  - V2: `<v>.checkpoint.<uuid>.parquet` holding the non-file
+    *    actions plus `sidecar` rows whose paths (resolved under
+    *    `_delta_log/_sidecars/`) hold the add/remove actions — the
+    *    layout that lets a writer parallelize checkpointing, and a
+    *    reader scan file actions without the metadata rows
+    * Returns a frame with at least an `add` struct column; sidecar
+    * scans stay distributed columnar reads (Spark's own parquet
+    * scan — this IS how a reader handles a million-file table).
+    */
+  def checkpointActions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val log = Paths.get(dir, "_delta_log")
+    val classic = log.resolve(f"$v%020d.checkpoint.parquet")
+    if (Files.exists(classic))
+      return spark.read.parquet(classic.toString)
+    // V2: <v>.checkpoint.<uuid>.parquet
+    val rx = (f"$v%020d" + "\\.checkpoint\\.[0-9a-f-]+\\.parquet").r
+    val top = scala.util.Using.resource(Files.list(log)) { s =>
+      s.iterator().asScala
+        .find(p => rx.matches(p.getFileName.toString))
+        .getOrElse(throw new IllegalStateException(
+          s"no checkpoint at version $v"))
+    }
+    val topDf = spark.read.parquet(top.toString)
+    if (!topDf.columns.contains("sidecar")) return topDf
+    // resolve sidecar file names under _delta_log/_sidecars/
+    val sidecars = topDf.where(col("sidecar").isNotNull)
+      .select(col("sidecar.path")).collect()
+      .map(r => log.resolve("_sidecars").resolve(r.getString(0))
+        .toString)
+    if (sidecars.isEmpty) topDf
+    else spark.read.parquet(sidecars.toSeq: _*)
   }
 
   /** The full raw JSON replay from version 0 — the reconciliation

@@ -40,7 +40,8 @@ object ParquetTyped {
     * nested leaves are refused by [[leafInfo]].
     */
   final case class PqLeaf(name: String, ptype: Int, typeLength: Int,
-      repetition: Int, converted: Int, scale: Int, precision: Int) {
+      repetition: Int, converted: Int, scale: Int, precision: Int,
+      fieldId: Int = -1) {
     def maxDef: Int = if (repetition == 1) 1 else 0
     def isUtf8: Boolean = converted == 0
     def isDecimal: Boolean = converted == 5
@@ -48,7 +49,7 @@ object ParquetTyped {
 
   private final case class SchemaEl(name: String, ptype: Int,
       typeLength: Int, repetition: Int, numChildren: Int,
-      converted: Int, scale: Int, precision: Int)
+      converted: Int, scale: Int, precision: Int, fieldId: Int)
 
   /** Parse the footer's schema-element list (FileMetaData field 2,
     * pre-order). None on damage.
@@ -79,6 +80,7 @@ object ParquetTyped {
               var conv = -1
               var sc = 0
               var prec = 0
+              var fid = -1
               struct(r, 1) { (sf, st) =>
                 sf match {
                   case 1 if st == 5 => pt = r.zigzag().toInt
@@ -91,10 +93,12 @@ object ParquetTyped {
                   case 6 if st == 5 => conv = r.zigzag().toInt
                   case 7 if st == 5 => sc = r.zigzag().toInt
                   case 8 if st == 5 => prec = r.zigzag().toInt
+                  case 9 if st == 5 => fid = r.zigzag().toInt
                   case _ => skip(r, st, 2)
                 }
               }
-              els += SchemaEl(name, pt, tl, rep, nc, conv, sc, prec)
+              els += SchemaEl(name, pt, tl, rep, nc, conv, sc,
+                prec, fid)
             }
           case _ => skip(r, typ, 1)
         }
@@ -139,7 +143,7 @@ object ParquetTyped {
           return if (e.numChildren == 0 && e.repetition != 2 &&
             e.ptype >= 0)
             Some(PqLeaf(e.name, e.ptype, e.typeLength, e.repetition,
-              e.converted, e.scale, e.precision))
+              e.converted, e.scale, e.precision, e.fieldId))
           else None
         }
         i += subtreeSize(i)
@@ -147,6 +151,43 @@ object ParquetTyped {
       }
       None
     } catch { case _: QFail => None }
+  }
+
+  /** The NAME of the top-level leaf whose parquet field_id is
+    * `fid` — the resolution step of Delta's id-mode column mapping
+    * (a reader must find columns by id, not name, when
+    * delta.columnMapping.mode = "id"). None when absent.
+    */
+  def leafNameByFieldId(b: Array[Byte], fid: Int): Option[String] = {
+    val els = schemaElements(b).getOrElse(return None)
+    def subtreeSize(at: Int): Int = {
+      var size = 1
+      var kids = els(at).numChildren
+      var j = at + 1
+      while (kids > 0) {
+        if (j >= els.length) throw QFail()
+        val s = subtreeSize(j)
+        size += s
+        j += s
+        kids -= 1
+      }
+      size
+    }
+    try {
+      var i = 1
+      var remaining = els.head.numChildren
+      while (remaining > 0 && i < els.length) {
+        val e = els(i)
+        if (e.fieldId == fid && e.numChildren == 0)
+          return Some(e.name)
+        i += subtreeSize(i) // flat-only resolution, like leafInfo
+        remaining -= 1
+      }
+      None
+    } catch {
+      case _: QFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
   }
 
   // ---------------------------------------------------------------

@@ -490,6 +490,193 @@ object TableScan {
   // DELTA: the scan
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // DELTA: column mapping (round 19)
+  // ---------------------------------------------------------------
+  //
+  // A column-mapped table stores PHYSICAL column names (or field
+  // ids) in its parquet files; the logical schema lives only in
+  // metaData.schemaString, whose per-field metadata carries
+  // delta.columnMapping.physicalName / .id, with the mode in the
+  // table configuration. A reader that ignores the mapping reads
+  // physical (wrong) names — current Databricks-written tables use
+  // this routinely.
+
+  /** How to find one logical column inside a data file. */
+  sealed trait ColRef
+  final case class ByName(physical: String) extends ColRef
+  final case class ById(fieldId: Int) extends ColRef
+
+  /** metaData tail-line kernel: (schemaString, configuration). */
+  def metaDataAction(line: String)
+      : Option[(String, Map[String, String])] =
+    try {
+      MiniJson.parse(line) match {
+        case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].get("metaData") match {
+            case Some(md: Map[_, _]) =>
+              val body = md.asInstanceOf[Map[String, Any]]
+              val ss = body.get("schemaString") match {
+                case Some(s: String) => s
+                case _ => return None
+              }
+              val conf = body.get("configuration") match {
+                case Some(c: Map[_, _]) =>
+                  c.asInstanceOf[Map[String, Any]].collect {
+                    case (k, v: String) => k -> v
+                  }
+                case _ => Map.empty[String, String]
+              }
+              Some((ss, conf))
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Resolve the logical columns from a parsed metaData. Identity
+    * when the table is unmapped; physicalName lookups when mode =
+    * "name"; field-id lookups when mode = "id". Refuses (throws)
+    * a mapped table whose schema lacks the annotations — reading
+    * physical names as logical would silently return wrong
+    * columns.
+    */
+  def columnMapping(schemaString: String,
+      conf: Map[String, String], logical: Seq[String])
+      : Map[String, ColRef] = {
+    val mode = conf.getOrElse("delta.columnMapping.mode", "none")
+    if (mode == "none")
+      return logical.map(c => c -> ByName(c)).toMap
+    val fieldsByName = MiniJson.parseObject(schemaString)
+      .get("fields") match {
+      case Some(xs: Vector[_]) => xs.collect {
+        case f: Map[_, _] =>
+          val fm = f.asInstanceOf[Map[String, Any]]
+          val name = fm.get("name") match {
+            case Some(s: String) => s
+            case _ => throw new IllegalStateException(
+              "schemaString field without a name")
+          }
+          val meta = fm.get("metadata") match {
+            case Some(m: Map[_, _]) =>
+              m.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty[String, Any]
+          }
+          name -> meta
+      }.toMap
+      case _ => throw new IllegalStateException(
+        "schemaString without fields")
+    }
+    logical.map { c =>
+      val meta = fieldsByName.getOrElse(c,
+        throw new IllegalStateException(s"no schema field $c"))
+      val ref = mode match {
+        case "name" => meta.get("delta.columnMapping.physicalName")
+          match {
+          case Some(p: String) => ByName(p)
+          case _ => throw new IllegalStateException(
+            s"mapped table without physicalName for $c")
+        }
+        case "id" => meta.get("delta.columnMapping.id") match {
+          case Some(d: Double) if d.isWhole => ById(d.toInt)
+          case _ => throw new IllegalStateException(
+            s"mapped table without column id for $c")
+        }
+        case other => throw new IllegalStateException(
+          s"unknown columnMapping mode $other")
+      }
+      c -> ref
+    }.toMap
+  }
+
+  /** Decode one logical column from file bytes via its ColRef. */
+  private def decodeRef(bytes: Array[Byte], ref: ColRef)
+      : Option[ParquetTyped.PqTyped] = ref match {
+    case ByName(p) => ParquetTyped.readTypedColumn(bytes, p)
+    case ById(fid) => ParquetTyped.leafNameByFieldId(bytes, fid)
+      .flatMap(n => ParquetTyped.readTypedColumn(bytes, n))
+  }
+
+  /** Write a column-mapped planted Delta table: 3 files of 150
+    * rows (file k row j: id = 1000k + j, val = 5*id + 2) whose
+    * parquet columns carry PHYSICAL names (and, in id mode, field
+    * ids); the logical schema lives only in metaData.schemaString.
+    */
+  def plantDeltaMappedTable(spark: SparkSession, dir: String,
+      mapMode: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    // "plain" = the unmapped twin: same planted content, logical
+    // names in the files, no mapping — the identity baseline
+    require(mapMode == "name" || mapMode == "id" || mapMode == "plain")
+    val root = Paths.get(dir)
+    val marker = root.resolve("_planted_v1")
+    if (Files.exists(marker)) return
+    rmrf(root)
+    Files.createDirectories(root.resolve("_delta_log"))
+    val (physId, physVal) = mapMode match {
+      case "name" => ("col-9f8a1b2c", "col-3c47e2d9")
+      case "id" => ("pc1", "pc2")
+      case _ => ("id", "val")
+    }
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+      "true")
+    (0 until 3).foreach { k =>
+      var df = spark.range(0, 150L).toDF("j")
+        .select((col("j") + 1000L * k).as(physId),
+          ((col("j") + 1000L * k) * 5 + 2).as(physVal))
+      if (mapMode == "id") {
+        // field ids ride the Spark schema metadata into parquet
+        val fields = df.schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(f.metadata)
+              .putLong("parquet.field.id", 101L + i).build())
+        }
+        df = spark.createDataFrame(df.rdd,
+          StructType(fields))
+      }
+      writeOneParquet(spark, df, root.resolve(s"part-$k.parquet"))
+    }
+    def fieldJson(logical: String, idx: Int, phys: String)
+        : String = {
+      val mapping =
+        if (mapMode == "name")
+          s""""delta.columnMapping.id":${101 + idx},""" +
+            s""""delta.columnMapping.physicalName":"$phys""""
+        else s""""delta.columnMapping.id":${101 + idx}"""
+      s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"long\\",""" +
+        s"""\\"nullable\\":true,\\"metadata\\":{${mapping
+          .replace("\"", "\\\"")}}}"""
+    }
+    val schemaString =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+        fieldJson("id", 0, physId) + "," +
+        fieldJson("val", 1, physVal) + "]}"
+    val ci = """{"commitInfo":{"operation":"WRITE",""" +
+      """"timestamp":1700000000000}}"""
+    def addJson(k: Int): String =
+      s"""{"add":{"path":"part-$k.parquet","partitionValues":{},""" +
+        s""""size":1024,"modificationTime":1700000000000,""" +
+        s""""dataChange":true}}"""
+    def w(v: Int, lines: String*): Unit =
+      Files.writeString(root.resolve("_delta_log")
+        .resolve(f"$v%020d.json"), lines.mkString("\n") + "\n")
+    val conf =
+      if (mapMode == "plain") "{}"
+      else s"""{"delta.columnMapping.mode":"$mapMode",""" +
+        s""""delta.columnMapping.maxColumnId":"102"}"""
+    w(0, ci,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"planted-delta-colmap-$mapMode",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaString",""" +
+        s""""partitionColumns":[],"configuration":$conf}}""",
+      addJson(0), addJson(1))
+    w(1, ci, addJson(2))
+    Files.createFile(marker)
+  }
+
   /** Tail-line kernel with the DV descriptor: (kind, path, dvPath)
     * — dvPath empty when the add carries no deletionVector or the
     * storage type is not a path.
@@ -534,37 +721,64 @@ object TableScan {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     // reconcile tier (driver, metadata-sized): checkpoint adds at
-    // the checkpoint version + versioned JSON tail, per-path
-    // last-action-wins keeping the newest DV descriptor
-    val lc = MiniJson.parseObject(Files.readString(
-      Paths.get(dir, "_delta_log", "_last_checkpoint")))
-    val ckptV = lc("version") match {
-      case d: Double if d.isWhole && d >= 0 => d.toInt
-      case _ => throw new IllegalStateException(
-        "_last_checkpoint without an integral version")
-    }
-    val ckpt = spark.read.parquet(
-        s"$dir/_delta_log/" + f"$ckptV%020d.checkpoint.parquet")
-      .where(col("add").isNotNull)
-      .select(col("add.path")).collect()
-      .map(r => (r.getString(0), ckptV.toLong, "add", ""))
+    // the checkpoint version (when one exists) + versioned JSON
+    // tail, per-path last-action-wins keeping the newest DV
+    // descriptor
+    val lcPath = Paths.get(dir, "_delta_log", "_last_checkpoint")
+    val ckptV: Int =
+      if (!Files.exists(lcPath)) -1
+      else MiniJson.parseObject(Files.readString(lcPath))("version")
+        match {
+        case d: Double if d.isWhole && d >= 0 => d.toInt
+        case _ => throw new IllegalStateException(
+          "_last_checkpoint without an integral version")
+      }
+    val ckpt =
+      if (ckptV < 0) Array.empty[(String, Long, String, String)]
+      else spark.read.parquet(
+          s"$dir/_delta_log/" + f"$ckptV%020d.checkpoint.parquet")
+        .where(col("add").isNotNull)
+        .select(col("add.path")).collect()
+        .map(r => (r.getString(0), ckptV.toLong, "add", ""))
     val rx = "(\\d{20})\\.json".r
+    var metaData: Option[(Long, (String, Map[String, String]))] =
+      None
     val tail = scala.util.Using.resource(
       Files.list(Paths.get(dir, "_delta_log"))) { s =>
       s.iterator().asScala.flatMap { p =>
         p.getFileName.toString match {
-          case rx(v) if v.toLong > ckptV =>
-            Files.readAllLines(p).asScala
+          case rx(v) =>
+            val lines = Files.readAllLines(p).asScala
               .filter(_.trim.nonEmpty)
-              .flatMap(actionWithDv)
-              .collect { case (k, path, dv)
-                if k == "add" || k == "remove" =>
-                (path, v.toLong, k, dv)
-              }
+            // latest metaData wins (schema + mapping mode); read
+            // from EVERY commit, not just the tail — the mapping
+            // must resolve even when the metaData predates the
+            // checkpoint
+            lines.flatMap(metaDataAction).lastOption.foreach { md =>
+              if (!metaData.exists(_._1 > v.toLong))
+                metaData = Some((v.toLong, md))
+            }
+            if (v.toLong > ckptV)
+              lines.flatMap(actionWithDv)
+                .collect { case (k, path, dv)
+                  if k == "add" || k == "remove" =>
+                  (path, v.toLong, k, dv)
+                }
+            else Iterator.empty
           case _ => Iterator.empty
         }
       }.toSeq
     }
+    // logical -> physical column resolution (identity when the
+    // table is unmapped)
+    val refs = metaData.map(_._2) match {
+      case Some((ss, conf)) =>
+        columnMapping(ss, conf, Seq("id", "val"))
+      case None => Map[String, ColRef]("id" -> ByName("id"),
+        "val" -> ByName("val"))
+    }
+    val idRef = refs("id")
+    val valRef = refs("val")
     val live = (ckpt ++ tail).groupBy(_._1).toSeq.flatMap {
       case (path, acts) =>
         // within a version an add outranks its paired remove
@@ -590,7 +804,12 @@ object TableScan {
         val bytes = r.getAs[Array[Byte]](1)
         val dv = dvB.value.get(path)
           .flatMap(DeletionVectors.parseDvBlob)
-        decodeDataFile(bytes) match {
+        val decoded = for {
+          ids <- decodeRef(bytes, idRef)
+          vals <- decodeRef(bytes, valRef)
+          if ids.values.length == vals.values.length
+        } yield (ids.values, vals.values)
+        decoded match {
           case Some((ids, vals)) =>
             ids.indices.iterator
               .filter(i => !dv.exists(_.contains(i.toLong)))

@@ -76,6 +76,29 @@ class DeltaCheckpointSpec extends SparkSpec {
     assert(vac == Set((true, 4, 1000L), (false, 4, 2600L)))
   }
 
+  test("V2 checkpoint (sidecar layout, round 19): the top file " +
+      "carries only non-file actions + sidecar pointers; the " +
+      "adds/removes live in _sidecars/ parquets — and the " +
+      "snapshot still reconstructs the planted live set") {
+    val dir = Files.createTempDirectory("graft_dckpt2").toString
+    DeltaLog.writeCheckpointedTableV2(spark, dir)
+    val log = Paths.get(dir, "_delta_log")
+    // layout: no classic checkpoint, a uuid-named top, 2 sidecars
+    assert(!Files.exists(
+      log.resolve("00000000000000000006.checkpoint.parquet")))
+    assert(Files.list(log.resolve("_sidecars")).count() == 2)
+    val viaCkpt = DeltaLog.snapshotFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaCkpt == DeltaLog.plantedLive(9).toSet)
+    // the sidecars really are read as PARQUET (not replayed from
+    // JSON): drop the pre-checkpoint commits, snapshot holds
+    (0 to 6).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    val truncated = DeltaLog.snapshotFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(truncated == DeltaLog.plantedLive(9).toSet)
+  }
+
   test("last-action-wins replay: a remove followed by a later " +
       "re-add keeps the path (the protocol's versioned " +
       "reconciliation, r18 ADVICE); kind-only commits still " +

@@ -84,6 +84,52 @@ class TableScanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("column mapping (name mode): physical parquet names " +
+      "resolve from schemaString; the census equals the unmapped " +
+      "twin's") {
+    val mapped = tmp("graft_cmname")
+    val twin = tmp("graft_cmplain")
+    TableScan.plantDeltaMappedTable(spark, mapped, "name")
+    TableScan.plantDeltaMappedTable(spark, twin, "plain")
+    def scan(d: String) = TableScan.deltaScan(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val m = scan(mapped)
+    val t = scan(twin)
+    assert(m == t)
+    assert(m(1) == ((150L,
+      (0 until 150).map(j => 5L * (1000 + j) + 2).sum)))
+    // the files really carry physical names — reading the logical
+    // name directly refuses
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mapped, "part-0.parquet"))
+    assert(graft.operators.ParquetTyped
+      .readTypedColumn(bytes, "id").isEmpty)
+    assert(graft.operators.ParquetTyped
+      .readTypedColumn(bytes, "col-9f8a1b2c").isDefined)
+  }
+
+  test("column mapping (id mode): columns resolve by parquet " +
+      "field id, not by any name") {
+    val dir = tmp("graft_cmid")
+    TableScan.plantDeltaMappedTable(spark, dir, "id")
+    val got = TableScan.deltaScan(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == Set(0, 1, 2))
+    assert(got(2) == ((150L,
+      (0 until 150).map(j => 5L * (2000 + j) + 2).sum)))
+    // the parquet footer really carries the field ids
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-0.parquet"))
+    assert(graft.operators.ParquetTyped
+      .leafNameByFieldId(bytes, 101).contains("pc1"))
+    assert(graft.operators.ParquetTyped
+      .leafNameByFieldId(bytes, 102).contains("pc2"))
+    assert(graft.operators.ParquetTyped
+      .leafNameByFieldId(bytes, 999).isEmpty)
+  }
+
   test("actionWithDv: the descriptor kernel maps adds with and " +
       "without DVs, path storage only; junk refuses") {
     assert(TableScan.actionWithDv(
