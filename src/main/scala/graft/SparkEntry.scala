@@ -3045,6 +3045,27 @@ object SparkEntry {
           col("latest_ts"))
     }),
 
+    // ----- Hudi MOR FILE GROUPS + log blocks (round 19 — the
+    // read depth Hudi lacked while Delta/Iceberg got theirs): per
+    // file group the LATEST completed base file (a base at an
+    // inflight instant is ignored; older versions counted stale),
+    // its ordered HoodieLogFormat log files walked block by block
+    // (magic / block length / version / type / header map /
+    // content), data vs delete blocks censused and records
+    // counted — with a stale log rooted at a replaced base that
+    // must NOT attach
+    "q_hudi_filegroups" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_q_hudi_mor"
+      Hudi.writeMorTable(path)
+      Hudi.fileGroups(s, path)
+        .select(col("file_group"), col("partition"),
+          col("base_instant"), col("n_stale_bases"),
+          col("n_logs"), col("n_data_blocks"),
+          col("n_delete_blocks"), col("n_corrupt_blocks"),
+          col("log_records"))
+    }),
+
     // ----- Iceberg INCREMENTAL scan (round 18 — the CDC read
     // pattern: "what changed since snapshot X?"): from the
     // metadata census's ordered snapshot facts, the engine slices
@@ -7639,6 +7660,22 @@ object SparkEntry {
              AS c_sum,
            CAST(7 * n AS BIGINT) AS d_sum
          FROM p""",
+
+    // the planted MOR table replays closed-form: fg-a resolves to
+    // base 5 (base 1 stale, base 9 inflight-ignored) with logs
+    // v1+v2 = 2 data blocks (7+4 records) + 1 delete block; the
+    // stale log rooted at base 1 never attaches
+    "q_hudi_filegroups" ->
+      """SELECT * FROM (VALUES
+           ('fg-a', 'p0', CAST(5 AS BIGINT), 1, 2, 2, 1, 0,
+             CAST(11 AS BIGINT)),
+           ('fg-b', 'p0', CAST(3 AS BIGINT), 0, 1, 1, 0, 0,
+             CAST(5 AS BIGINT)),
+           ('fg-c', 'p1', CAST(5 AS BIGINT), 0, 0, 0, 0, 0,
+             CAST(0 AS BIGINT)))
+         AS t(file_group, partition, base_instant, n_stale_bases,
+           n_logs, n_data_blocks, n_delete_blocks,
+           n_corrupt_blocks, log_records)""",
 
     // the planted timeline closed-form: completed commits
     // v in {0,1,3,4,6,7,9} (v%3==2 inflight), p0 in all seven,
