@@ -3045,6 +3045,33 @@ object SparkEntry {
           col("latest_ts"))
     }),
 
+    // ----- Iceberg REFS + partition-spec application (round 19):
+    // named branches/tags resolve to snapshot ids (main must be a
+    // branch at the current snapshot; a dangling ref refuses), and
+    // the default spec's partition transforms apply to the
+    // manifest entries' partition tuples so the census answers
+    // "which files does partition P touch at branch B" engine-side
+    "q_iceberg_refs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
+      val refs = Multimodal.decodeBatches(mj, "content",
+        Iceberg.refsSchema)(Iceberg.decodeRefs)
+      val mf = Iceberg.synthManifests(d, "doc_id", "content")
+      val bks = Multimodal.decodeBatches(mf, "content",
+          Iceberg.bucketsSchema)(Iceberg.decodeManifestBuckets)
+        .select(col("doc_id"), split(col("buckets_csv"), ",")
+          .cast("array<bigint>").as("buckets"))
+      refs.join(bks, Seq("doc_id"))
+        .select(col("doc_id"), col("n_refs"), col("n_branches"),
+          col("n_tags"), col("main_is_current"),
+          col("b1_snapshot"), col("t1_snapshot"),
+          col("spec_transforms"),
+          ((col("doc_id") + 1) % 8).cast("int").as("probe_bucket"),
+          size(filter(col("buckets"),
+            b => b === (col("doc_id") + 1) % 8))
+            .as("files_at_probe"))
+    }),
+
     // ----- Hudi MOR FILE GROUPS + log blocks (round 19 — the
     // read depth Hudi lacked while Delta/Iceberg got theirs): per
     // file group the LATEST completed base file (a base at an
@@ -7659,6 +7686,28 @@ object SparkEntry {
            CAST(n * 100 * doc_id + n * (n - 1) / 2 AS DOUBLE)
              AS c_sum,
            CAST(7 * n AS BIGINT) AS d_sum
+         FROM p""",
+
+    // the refs replay closed-form: main at the head snapshot, b1
+    // parked at snapshot id%n, t1 pinning the first; the default
+    // spec carries id%3 bucket[16] fields; the probe bucket
+    // (doc_id+1)%8 touches one manifest entry iff the table has
+    // at least two
+    "q_iceberg_refs" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS n
+           FROM documents)
+         SELECT doc_id, 3 AS n_refs, 2 AS n_branches, 1 AS n_tags,
+           TRUE AS main_is_current,
+           CAST(1000 * doc_id + doc_id % n AS BIGINT)
+             AS b1_snapshot,
+           CAST(1000 * doc_id AS BIGINT) AS t1_snapshot,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN ''
+             WHEN 1 THEN 'bucket[16]'
+             ELSE 'bucket[16],bucket[16]' END AS spec_transforms,
+           CAST((doc_id + 1) % 8 AS INT) AS probe_bucket,
+           CASE WHEN doc_id % 4 >= 1 THEN 1 ELSE 0 END
+             AS files_at_probe
          FROM p""",
 
     // the planted MOR table replays closed-form: fg-a resolves to

@@ -506,6 +506,17 @@ object Iceberg {
       s""""partition-specs": [{"spec-id": 0, "fields": $specFields}], """ +
       s""""default-spec-id": 0, """ +
       s""""properties": {"write.format.default": "$fmt"}, """ +
+      // refs (round 19): named branches/tags → snapshot ids —
+      // main at the head, branch b1 parked mid-history, tag t1
+      // pinning the first snapshot
+      s""""refs": {""" +
+      s""""main": {"snapshot-id": ${sid(n - 1)}, """ +
+      s""""type": "branch"}, """ +
+      s""""b1": {"snapshot-id": ${sid((id % n).toInt)}, """ +
+      s""""type": "branch", """ +
+      s""""min-snapshots-to-keep": ${id % 3 + 1}}, """ +
+      s""""t1": {"snapshot-id": ${sid(0)}, "type": "tag", """ +
+      s""""max-ref-age-ms": 86400000}}, """ +
       s""""snapshots": $snaps, "snapshot-log": $log}"""
     doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
@@ -660,6 +671,137 @@ object Iceberg {
       case _: StackOverflowError => nullRow14
       case _: Exception => nullRow14
     }
+  }
+
+  // ----------------------------------------------------------------
+  // REFS + partition-spec application (round 19)
+  // ----------------------------------------------------------------
+
+  val refsSchema: StructType = StructType(Seq(
+    StructField("n_refs", IntegerType),
+    StructField("n_branches", IntegerType),
+    StructField("n_tags", IntegerType),
+    StructField("main_is_current", BooleanType),
+    StructField("b1_snapshot", LongType),
+    StructField("t1_snapshot", LongType),
+    StructField("spec_transforms", StringType)))
+
+  /** Census the `refs` map (branches/tags → snapshot ids, the v2
+    * spec's named-ref tier) plus the default partition spec's
+    * transform list. Refuses (null row) when a ref lacks a
+    * snapshot-id/type, names an unknown snapshot, or `main` is
+    * not a branch — the invariants a ref-aware reader relies on.
+    */
+  def decodeRefs(bytes: Array[Byte]): Seq[Any] = {
+    val nulls = Seq[Any](null, null, null, null, null, null, null)
+    if (bytes == null) return nulls
+    try {
+      val doc = graft.sources.MiniJson.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => return nulls
+      }
+      def lng(v: Any): Long = v match {
+        case d: Double if d.isWhole => d.toLong
+        case _ => throw IceFail
+      }
+      val snapIds = doc.get("snapshots") match {
+        case Some(xs: Vector[_]) => xs.map {
+          case s: Map[_, _] => lng(
+            s.asInstanceOf[Map[String, Any]]("snapshot-id"))
+          case _ => throw IceFail
+        }.toSet
+        case _ => return nulls
+      }
+      val current = lng(doc.getOrElse("current-snapshot-id",
+        throw IceFail))
+      val refs = doc.get("refs") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].map {
+            case (name, body: Map[_, _]) =>
+              val bm = body.asInstanceOf[Map[String, Any]]
+              val sid = lng(bm.getOrElse("snapshot-id",
+                throw IceFail))
+              val typ = bm.get("type") match {
+                case Some(t: String)
+                  if t == "branch" || t == "tag" => t
+                case _ => throw IceFail
+              }
+              if (!snapIds(sid)) throw IceFail // dangling ref
+              (name, sid, typ)
+            case _ => throw IceFail
+          }.toSeq
+        case _ => return nulls
+      }
+      val main = refs.find(_._1 == "main")
+      if (main.exists(_._3 != "branch")) throw IceFail
+      val transforms = doc.get("partition-specs") match {
+        case Some(xs: Vector[_]) => xs.collectFirst {
+          case s: Map[_, _]
+            if s.asInstanceOf[Map[String, Any]].get("spec-id")
+              .contains(0.0) =>
+            s.asInstanceOf[Map[String, Any]].get("fields") match {
+              case Some(fs: Vector[_]) => fs.map {
+                case f: Map[_, _] =>
+                  f.asInstanceOf[Map[String, Any]]
+                    .get("transform") match {
+                    case Some(t: String) => t
+                    case _ => throw IceFail
+                  }
+                case _ => throw IceFail
+              }.mkString(",")
+              case _ => ""
+            }
+        }.getOrElse(throw IceFail)
+        case _ => throw IceFail
+      }
+      Seq[Any](refs.length, refs.count(_._3 == "branch"),
+        refs.count(_._3 == "tag"),
+        main.exists(_._2 == current),
+        refs.find(_._1 == "b1").map(_._2).orNull,
+        refs.find(_._1 == "t1").map(_._2).orNull,
+        transforms)
+    } catch {
+      case IceFail => nulls
+      case _: Exception => nulls // incl. malformed-JSON parse
+    }
+  }
+
+  val bucketsSchema: StructType = StructType(Seq(
+    StructField("buckets_csv", StringType)))
+
+  /** The manifest entries' PARTITION TUPLES under the spec — the
+    * values a partition-pruning census compares against a probe
+    * bucket ("which files does partition P touch"). Null on
+    * refusal.
+    */
+  def decodeManifestBuckets(bytes: Array[Byte]): Seq[Any] = {
+    val res = Avro.readTypedContainer(bytes).flatMap {
+      case (fields, rows) =>
+        try {
+          val idx = fields.map(_._1).zipWithIndex.toMap
+          val bs = rows.map { r =>
+            r(idx("data_file")) match {
+              case df: IndexedSeq[_] => df(3) match {
+                case part: IndexedSeq[_] => part(0) match {
+                  case b: Long => b
+                  case _ => throw IceFail
+                }
+                case _ => throw IceFail
+              }
+              case _ => throw IceFail
+            }
+          }
+          if (bs.isEmpty) None else Some(Seq[Any](bs.mkString(",")))
+        } catch {
+          case IceFail => None
+          case _: ClassCastException => None
+          case _: NoSuchElementException => None
+          case _: IndexOutOfBoundsException => None
+        }
+    }
+    res.getOrElse(Seq[Any](null))
   }
 
   def synthMetadataJsons(df: DataFrame, idCol: String,

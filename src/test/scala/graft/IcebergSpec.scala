@@ -239,4 +239,41 @@ class IcebergSpec extends AnyFunSuite {
       Iceberg.decodeMetadataJson(b) // must not throw
     }
   }
+
+  test("refs (round 19): branches/tags resolve to snapshot ids; " +
+      "invariants refuse — dangling refs, a non-branch main") {
+    val id = 7L // n = 5 snapshots, sids 7000..7004; b1 at 7%5=2
+    val r = Iceberg.decodeRefs(Iceberg.metadataJsonWrite(id))
+    assert(r == Seq[Any](3, 2, 1, true, 7002L, 7000L,
+      "bucket[16]"))
+    def doc(refs: String): Array[Byte] =
+      (s"""{"format-version": 2, "current-snapshot-id": 10,
+         "snapshots": [{"snapshot-id": 10}],
+         "partition-specs": [{"spec-id": 0, "fields": []}],
+         "refs": $refs}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // minimal well-formed refs
+    assert(Iceberg.decodeRefs(doc(
+      """{"main": {"snapshot-id": 10, "type": "branch"}}""")) ==
+      Seq[Any](1, 1, 0, true, null, null, ""))
+    // a ref naming an unknown snapshot refuses
+    assert(Iceberg.decodeRefs(doc(
+      """{"main": {"snapshot-id": 99, "type": "branch"}}"""))
+      .forall(_ == null))
+    // main must be a branch
+    assert(Iceberg.decodeRefs(doc(
+      """{"main": {"snapshot-id": 10, "type": "tag"}}"""))
+      .forall(_ == null))
+    // a ref without a type refuses
+    assert(Iceberg.decodeRefs(doc(
+      """{"b": {"snapshot-id": 10}}""")).forall(_ == null))
+    assert(Iceberg.decodeRefs(null).forall(_ == null))
+    assert(Iceberg.decodeRefs("junk".getBytes("UTF-8"))
+      .forall(_ == null))
+    // manifest partition tuples surface for the spec application
+    val bks = Iceberg.decodeManifestBuckets(
+      Iceberg.manifestWrite(id))
+    assert(bks == Seq[Any]((0 until (7 % 4 + 1))
+      .map(e => (7 + e) % 8).mkString(",")))
+  }
 }
