@@ -22,6 +22,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] plus a fan-out for queries whose cost is a per-row KERNEL
+    * (synth+decode, signatures, text scoring), not the scan itself.
+    *
+    * The bench tables are single-row-group parquet files — ONE scan
+    * split — so a map-only kernel tier would otherwise run on one core
+    * regardless of the master's core count (measured: q_pdf_encrypted
+    * spent 13.8 s in a single task on local[32]; with the fan-out the
+    * same work runs as 32 tasks in 1.2 s). Guarded by input size so it
+    * is scale-adaptive, not a local-mode constant: when the file is
+    * large enough that the scan itself yields at least
+    * defaultParallelism splits (any real at-scale input), this is a
+    * plain [[t]] — the exchange exists exactly when the input
+    * under-fills the cluster. The round-robin exchange carries only
+    * the narrow columns the query projects (Catalyst prunes through
+    * it), never synthesized payloads — the guide-§8 discipline of
+    * shuffling light rows and fanning the heavy kernel out.
+    */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame = {
+    val base = t(s, dir, name)
+    val p = s.sparkContext.defaultParallelism
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getFileStatus(path).getLen
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes / maxSplit >= p) base else base.repartition(p)
+  }
+
   /** Shared entity-name synthesis for the entity-resolution queries:
     * 200 md5-derived base names, four deterministic typo variants
     * (deletion / insertion / substitution / clean) keyed by
@@ -303,7 +332,7 @@ object SparkEntry {
     // ----- dedup: incremental batch-vs-corpus (every-5th doc plays the
     // incoming crawl increment; the rest is the standing corpus)
     "q_dedup_increment" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.dedupIncrement(
         d.filter(col("doc_id") % 5 === 0),
         d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
@@ -313,14 +342,14 @@ object SparkEntry {
     // ----- dedup: exact substring (repeated-span) exposure — positional
     // 8-gram inverted index, cross-doc repeats only
     "q_substring_rep" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       SubstringDedup.repeatedSpanStats(d, "doc_id", "text", n = 8)
     }),
 
     // ----- dedup: the span DELETE — scrub every cross-doc repeated
     // 8-gram from all but the smallest-id (keeper) document
     "q_substring_scrub" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", n = 8)
     }),
 
@@ -598,7 +627,7 @@ object SparkEntry {
     // else und-<Script> from script detection (same plants as
     // q_script_id so every branch is exercised)
     "q_lang_full" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val sample = when(col("doc_id") % 7 === 1,
           lit("Привет мир, это проверка кириллицы"))
         .when(col("doc_id") % 7 === 2, lit("你好世界这是中文测试文本"))
@@ -617,7 +646,7 @@ object SparkEntry {
     // ----- feature hashing: model-free text embedding, nonzero
     // coordinates exploded so the oracle replays buckets and signs
     "q_hash_vectorize" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       d.select(col("doc_id"),
           posexplode(T.hashingVector(col("text"), 256))
             .as(Seq("__b", "__w")))
@@ -659,7 +688,7 @@ object SparkEntry {
 
     // ----- text analysis: composite quality score
     "q_quality_score" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       d.select(col("doc_id"),
         T.qualityScore(col("text")).as("quality"))
     }),
@@ -667,7 +696,7 @@ object SparkEntry {
     // ----- operating-point selection: exact confusion counts for
     // the rule label vs the quality score at pinned thresholds
     "q_threshold_metrics" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val scored = d.select(
         T.qualityScore(col("text")).as("score"),
         T.qualityKeep(col("text")).cast("double").as("label"))
@@ -700,7 +729,7 @@ object SparkEntry {
     // ----- text curation: URL -> registrable domain + blocklist flag
     // (URLs planted engine-identically from doc_id, like q_pii_redact)
     "q_url_domains" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val withUrls = concat(col("text"),
         lit(" see https://sub"), col("doc_id") % 7,
         lit(".site"), col("doc_id") % 13,
@@ -764,7 +793,7 @@ object SparkEntry {
     // WARC walk → framing decode → RFC 9309 evaluation, decisions
     // replayed closed-form like q_robots
     "q_crawl_robots" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         concat(lit("User-agent: GraftBot\nDisallow: /private/\n" +
           "Allow: /private/ok\nDisallow: /*.pdf$\nCrawl-delay: "),
           (col("doc_id") % 7 + 1).cast("string"),
@@ -826,7 +855,7 @@ object SparkEntry {
     // PII, so the query plants engine-identically-constructed PII
     // (derived from doc_id) and asserts the redaction chain strips it.
     "q_pii_redact" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val withPii = concat(col("text"),
         lit(" reach user"), col("doc_id"),
         lit("@mail.example.org or host "),
@@ -842,7 +871,7 @@ object SparkEntry {
     // is exactly the claimed semantic (regexes can't tell cards from
     // long numbers; the checksum can)
     "q_redact_cards" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 3 === 0,
           lit(" pay 4111 1111 1111 1111 now"))
@@ -891,7 +920,7 @@ object SparkEntry {
     // ----- text curation: composite keep/drop filter with per-rule
     // reasons (Gopher-style heuristics)
     "q_quality_filter" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       d.select(col("doc_id"),
         T.qualityKeep(col("text")).as("keep"),
         T.qualityReasons(col("text")).as("reasons"))
@@ -916,7 +945,7 @@ object SparkEntry {
     // ----- benchmark decontamination: flag docs sharing a 5-gram with
     // the simulated eval set (every 50th doc)
     "q_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val bench = d.filter(col("doc_id") % 50 === 0)
       Decontaminate.flagContaminated(d, "doc_id", "text",
         bench, "text", n = 5)
@@ -927,7 +956,7 @@ object SparkEntry {
     // kills the false positives) but corpus grams are pruned MAP-SIDE
     // before any exchange — the big-benchmark scale path
     "q_bloom_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val bench = d.filter(col("doc_id") % 50 === 0)
       Decontaminate.flagContaminatedBloom(d, "doc_id", "text",
         bench, "text", n = 5, expectedGrams = 1L << 16)
@@ -937,7 +966,7 @@ object SparkEntry {
     // more than maxRepeats times across the WHOLE corpus (word-level
     // here — the synthetic docs are single-paragraph)
     "q_corpus_scrub" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       CorpusScrub.removeRepeatedSegments(d, "doc_id", "text",
         sep = " ", maxRepeats = 1000L)
     }),
@@ -957,7 +986,7 @@ object SparkEntry {
     // second paragraphs in fr/de/es; dominance ties (1 seg vs 1 seg)
     // break to the lexicographically smallest tag
     "q_lang_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 4 === 0,
           lit("\n\nle chat est sur une table et les autres"))
@@ -974,7 +1003,7 @@ object SparkEntry {
     // tail, so its grams' corpus df jumps; originals stay near
     // df 1 — mean-df and shared-fraction in exact integer milli
     "q_template_score" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 6 === 0,
           lit(" standard footer boilerplate block common to many" +
@@ -986,14 +1015,14 @@ object SparkEntry {
     // ----- per-doc OOV rate vs the corpus's own df>=50 vocabulary:
     // word-salad/off-domain screen, exact integer milli fraction
     "q_oov_rate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       CorpusScrub.oovRate(d, "doc_id", "text", minDf = 50L)
     }),
 
     // ----- per-doc characteristic terms (exact-rational idf variant —
     // ln's last ulp is libm-specific, see topTfidfTerms)
     "q_tfidf_terms" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       CorpusScrub.topTfidfTerms(d, "doc_id", "text", k = 3,
         logIdf = false)
     }),
@@ -1002,7 +1031,7 @@ object SparkEntry {
     // Retrieval), queries = first 6 tokens of docs 0-2, top 10 docs
     // per query; the source doc itself must surface
     "q_bm25_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val qs = d.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(
@@ -1016,7 +1045,7 @@ object SparkEntry {
     // (build bucketed-by-term postings, then serve): the oracle is
     // q_bm25_topk's VERBATIM — the hash match proves serve == scan
     "q_text_index_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       TextIndex.build(d, "doc_id", "text", "g_q_text_index",
         buckets = 16)
       val qs = d.filter(col("doc_id") < 3)
@@ -1172,7 +1201,7 @@ object SparkEntry {
     // ----- sequence packing: chunks -> ~256-token training packs,
     // shard-parallel deterministic contiguous fill
     "q_pack_chunks" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val chunks = Chunking.chunkByTokens(d, "doc_id", "text",
         maxTokens = 32)
       Chunking.packChunks(chunks, "doc_id", "chunk_id",
@@ -1199,7 +1228,7 @@ object SparkEntry {
     // ----- embedding outliers: vectors far from their own label's
     // centroid, thresholded at the label's p95 distance quantile
     "q_centroid_outliers" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = tp(s, dir, "embeddings")
       VectorStats.centroidOutliers(e, "label", "embedding", p = 0.95)
     }),
 
@@ -1213,7 +1242,7 @@ object SparkEntry {
 
     // ----- tokenizer prep: overlapped token-window chunking
     "q_chunk_tokens" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Chunking.chunkByTokens(d, "doc_id", "text",
           maxTokens = 64, overlap = 16)
         .select(col("doc_id"), col("chunk_id").cast("long"),
@@ -1233,7 +1262,7 @@ object SparkEntry {
 
     // ----- near-dup: MinHash + LSH banding over char shingles
     "q_minhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.minhashDupPairs(d, "doc_id", "text")
     }),
 
@@ -1252,7 +1281,7 @@ object SparkEntry {
     // components -> one representative per document (the key a
     // "keep one per cluster" delete actually uses)
     "q_dedup_components" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
@@ -1262,7 +1291,7 @@ object SparkEntry {
     // ----- the delete itself: minhash pairs -> clusters -> keep the
     // smallest id per cluster, drop the rest
     "q_dedup_clean" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.dedupCorpus(d, "doc_id", pairs)
@@ -1274,7 +1303,7 @@ object SparkEntry {
     // mirror each other through those fingerprints; natural text
     // never collides across sources at this SF
     "q_source_overlap" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = when(col("doc_id") % 17 === 0,
           concat(lit("Shared boilerplate block "),
             (col("doc_id") % 7).cast("string")))
@@ -1308,7 +1337,7 @@ object SparkEntry {
     // clusters, but keep the LONGEST member (n_chars, ties → smallest
     // doc_id) instead of the arbitrary smallest id
     "q_dedup_keep_best" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.dedupCorpusKeepBest(d, "doc_id", "n_chars", pairs)
@@ -1318,7 +1347,7 @@ object SparkEntry {
     // ----- leakage-safe split: near-dup cluster members always land
     // in the SAME split (a per-id split contaminates eval)
     "q_leakage_safe_split" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Sampling.leakageSafeSplit(d, "doc_id", pairs,
@@ -1330,7 +1359,7 @@ object SparkEntry {
     // distinct docs (the planted footer hits every 3rd / 4th doc)
     // vanish from ALL docs; text rebuilt in original order
     "q_boilerplate_scrub" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = d.select(col("doc_id"), concat(
         regexp_replace(col("text"), " table ", "|"),
         when(col("doc_id") % 3 === 0,
@@ -1347,7 +1376,7 @@ object SparkEntry {
     // first occurrence (by doc_id, then position) of each segment
     // survives
     "q_segment_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val planted = d.select(col("doc_id"),
         regexp_replace(col("text"), " value ", "|").as("t2"))
       SegmentDedup.dedupSegments(planted, "doc_id", "t2", "|")
@@ -1369,13 +1398,13 @@ object SparkEntry {
     // only ~100 buckets each and candidate generation inflates ~25x,
     // so the headline query keeps the tight radius.
     "q_simhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.simhashDupPairs(d, "doc_id", "text", maxDist = 3)
     }),
 
     // ----- near-dup: word-3-gram Jaccard, df-capped inverted index
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
         threshold = 0.8)
     }),
@@ -1383,14 +1412,14 @@ object SparkEntry {
     // ----- asymmetric containment: |A∩B|/min(|A|,|B|) — the
     // short-doc-quoted-in-long-doc catch Jaccard misses
     "q_ngram_containment" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.ngramContainmentPairs(d, "doc_id", "text", n = 3,
         threshold = 0.8)
     }),
 
     // ----- the delete half: drop each pair's CONTAINED side
     "q_scrub_contained" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       Dedup.scrubContained(d, "doc_id", "text", n = 3,
           threshold = 0.8)
         .select("doc_id")
@@ -1398,7 +1427,7 @@ object SparkEntry {
 
     // ----- ANN: brute-force quantized-cosine top-10 over embeddings
     "q_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
         .withColumn("rank", col("rank").cast("long"))
@@ -1415,7 +1444,7 @@ object SparkEntry {
 
     // ----- ANN: IVF inverted lists, 4-of-16 probes, exact rerank
     "q_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
@@ -1438,7 +1467,7 @@ object SparkEntry {
     // ----- SQ8 serving: integer code-dot candidate scan, exact
     // quantized-cosine rerank over the candidate set only
     "q_sq8_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       val m = ScalarQuant.fit(emb, "embedding")
       ScalarQuant.topK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", m, k = 10, rerank = 50)
@@ -1470,7 +1499,7 @@ object SparkEntry {
     // ----- IVF-PQ: coarse-list pruning (same deterministic k-means
     // as q_ivf_topk) + ADC scoring over the probed lists' codes
     "q_ivf_pq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       ProductQuant.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", pinnedPq, k = 10, nCentroids = 16,
           nProbe = 4, kmeansIters = 2)
@@ -1480,7 +1509,7 @@ object SparkEntry {
     // ----- near-dup: banded hyperplane-LSH cosine pairs (recall-tuned
     // band shape for this corpus; scale defaults documented on the op)
     "q_cosine_dup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Similarity.cosineDupPairs(emb, "vec_id", "embedding", dim = 64,
         threshold = 0.4, bands = 8, planesPerBand = 4)
     }),
@@ -1491,7 +1520,7 @@ object SparkEntry {
     // cosine, IVF-probe-scoped self-join (pinned k-means, oracle
     // replays the fit + probes + ranking)
     "q_knn_graph" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 2)
     }),
@@ -1500,12 +1529,12 @@ object SparkEntry {
     // bit-exactly, so k is part of the contract here (the operator's
     // default is corpus-scaled auto-k)
     "q_semantic_pairs" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, nCentroids = 16)
     }),
     "q_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       SemanticDedup.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.4, nCentroids = 16).select("vec_id")
     }),
@@ -1516,13 +1545,13 @@ object SparkEntry {
     // max cosines sit at 0.33-0.43 on this corpus, so threshold 0.8
     // flags exactly the plants. Oracle replays the brute-force scan.
     "q_semantic_decontaminate" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Decontaminate.semanticOverlap(
         emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
         semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
     }),
     "q_semantic_scrub" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       Decontaminate.semanticScrubTrain(
         emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
         semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
@@ -1533,7 +1562,7 @@ object SparkEntry {
     // doc_id class; the oracle counts the same \x{...} ranges and
     // replays the first-match dominance chain
     "q_script_id" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val sample = when(col("doc_id") % 7 === 1,
           lit("Привет мир, это проверка кириллицы"))
         .when(col("doc_id") % 7 === 2, lit("你好世界这是中文测试文本"))
@@ -1578,7 +1607,7 @@ object SparkEntry {
     // (fixed == clean) rather than replaying the replace chain, so a
     // wrong repair pair cannot cancel out on both sides
     "q_fix_encoding" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val damaged = concat(col("text"), lit(FixProbeDamaged))
       val fixed = T.fixEncoding(damaged)
       d.select(col("doc_id"), fixed.as("fixed"),
@@ -1591,7 +1620,7 @@ object SparkEntry {
     // exercise the dangling/no-out-edge path; 5 exact-integer
     // iterations, every one unrolled as a CTE on the oracle side
     "q_domain_pagerank" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       def node(c: Column) = concat(lit("d"), c.cast("string"))
       val e1 = d.select(node(col("doc_id") % 31).as("src"),
         node((col("doc_id") * 13 + 5) % 37).as("dst"))
@@ -1604,7 +1633,7 @@ object SparkEntry {
     // ----- TrustRank: the same 37-node graph with all teleport mass
     // on seeds d0/d5 — unreachable nodes decay to exactly 0
     "q_trust_rank" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       def node(c: Column) = concat(lit("d"), c.cast("string"))
       val e1 = d.select(node(col("doc_id") % 31).as("src"),
         node((col("doc_id") * 13 + 5) % 37).as("dst"))
@@ -1620,7 +1649,7 @@ object SparkEntry {
     // no cross-island edges by construction, so the component map
     // must recover exactly the islands' internal connectivity
     "q_domain_components" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       def node(c: Column) = concat(lit("n"), c.cast("string"))
       val g = col("doc_id") % 10
       val edges = d.select(
@@ -1633,7 +1662,7 @@ object SparkEntry {
     // ----- collocation mining: integer counts, one fixed-shape
     // double ratio (no logs), deterministic top-k by total order
     "q_collocations" -> ((s, dir) =>
-      Collocations.collocations(t(s, dir, "documents"), "text",
+      Collocations.collocations(tp(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
     // ----- mergeable histogram quantile sketch: the query fits TWO
@@ -1658,7 +1687,7 @@ object SparkEntry {
     // style, comments, entities, one double- and one single-quoted
     // href — the link pattern must harvest BOTH quote styles)
     "q_html_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val html = concat(
         lit("<html><head><title> Doc "), col("doc_id"),
         lit(" </title><script>var x=1; if (x<2) {}</script>" +
@@ -1783,7 +1812,7 @@ object SparkEntry {
     // banding must find EXACTLY the brute-force pairs (pigeonhole
     // completeness, g%5 = 4 pairs excluded)
     "q_image_dup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         expr("doc_id DIV 2").as("__g"))
       val base = graft.functions.HashFunctions
         .stableHash60(col("__g").cast("string")).bitwiseOR(lit(1L))
@@ -1844,7 +1873,7 @@ object SparkEntry {
     // so one query drives every supported Huffman+IDCT path; the
     // oracle replays the planted pattern arithmetically
     "q_jpeg_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
         (lit(120) + col("doc_id") % 100).cast("int").as("__b"),
         graft.functions.HashFunctions
@@ -1865,7 +1894,7 @@ object SparkEntry {
     // refinement scans), so the hash only matches if the full
     // progressive coefficient accumulation is bit-exact
     "q_progressive_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(35) + col("doc_id") % 70).cast("int").as("__a"),
         (lit(115) + col("doc_id") % 110).cast("int").as("__b"),
         graft.functions.HashFunctions
@@ -1915,7 +1944,7 @@ object SparkEntry {
     // replaces over the SEP-bracketed stream (Bpe.scala) — the
     // oracle rebuilds the identical stream with DuckDB's replace
     "q_bpe_encode" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"))
       Bpe.encode(d, "text", BpeFixedMerges)
         .select(col("doc_id"), col("token_stream"), col("n_tokens"))
     }),
@@ -1926,7 +1955,7 @@ object SparkEntry {
     // pairs are md5-far; the full chain runs sample-table walk ->
     // JPEG decode -> aHash -> banded near-dup pairing
     "q_video_frame_dup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         lit(40).as("__a"), lit(200).as("__b"),
         expr("""transform(sequence(0, CAST(doc_id % 3 AS INT)), f ->
           (CAST(conv(substring(md5(concat('vd:',
@@ -1947,7 +1976,7 @@ object SparkEntry {
     // at most 64 BPE tokens — the unit a training pipeline actually
     // packs by; chunk text is the exact token concatenation
     "q_bpe_chunk" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"))
       Bpe.chunk(d, "doc_id", "text", BpeFixedMerges, maxTokens = 64)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
           col("n_tokens"))
@@ -1956,7 +1985,7 @@ object SparkEntry {
     // ----- sliding-window chunking: 64-token windows every 48
     // tokens — consecutive chunks share 16 tokens of context
     "q_bpe_chunk_overlap" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"))
       Bpe.chunkOverlap(d, "doc_id", "text", BpeFixedMerges,
           maxTokens = 64, stride = 48)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
@@ -1967,7 +1996,7 @@ object SparkEntry {
     // report — BPE token mass, document count and character mass per
     // source, one map-only encode + one small aggregation
     "q_token_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       Bpe.encode(d, "text", BpeFixedMerges)
         .groupBy(col("source"))
@@ -1982,7 +2011,7 @@ object SparkEntry {
     // with the counts broadcast — integer micro-probabilities keep
     // it bit-replayable (no cross-libm ln)
     "q_char_lm_score" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val model = CharLm.fit(d, "text")
       CharLm.score(d.select(col("doc_id"), col("text")), "doc_id",
           "text", model)
@@ -2031,7 +2060,7 @@ object SparkEntry {
     // walks the table, slices each frame, runs the real JPEG decoder
     // and hashes — one row per frame, map-only
     "q_video_frames" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         lit(40).as("__a"), lit(200).as("__b"),
         transform(
           sequence(lit(0), (col("doc_id") % 3).cast("int")),
@@ -2086,7 +2115,7 @@ object SparkEntry {
     // energy/silence/clip sums; the oracle recomputes them
     // arithmetically from the same formula — no WAV on the SQL side
     "q_audio_features" -> ((s, dir) => {
-      val media = synthWavs(t(s, dir, "documents"))
+      val media = synthWavs(tp(s, dir, "documents"))
       Multimodal.decodeBatches(media, "content",
           Multimodal.audioFeatureSchema)(Multimodal.decodeAudioFeatures)
         .select(col("doc_id"), col("n_samples"), col("sum_abs"),
@@ -2098,7 +2127,7 @@ object SparkEntry {
     // pattern JPEGs with a spliced orientation tag — both byte
     // orders exercised; every 9th doc carries NO EXIF → null
     "q_exif_orientation" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
         (lit(120) + col("doc_id") % 100).cast("int").as("__b"),
         graft.functions.HashFunctions
@@ -2123,7 +2152,7 @@ object SparkEntry {
     // the first-pass audio dedup key; oracle recomputes the LCG
     // samples arithmetically — no WAV on the SQL side
     "q_audio_signature" -> ((s, dir) => {
-      val media = synthWavs(t(s, dir, "documents"))
+      val media = synthWavs(tp(s, dir, "documents"))
       Multimodal.decodeBatches(media, "content",
           Multimodal.audioSignatureSchema)(
           Multimodal.decodeAudioSignature)
@@ -2196,7 +2225,7 @@ object SparkEntry {
     // reproduce ivfTopK exactly, so the oracle is the same fit+probe
     // replay as q_ivf_topk
     "q_ivf_index" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings")
       IvfIndex.build(emb, "vec_id", "embedding", "g_q_ivf_index",
         nCentroids = 16, kmeansIters = 2, buckets = 16)
       IvfIndex.query(s, "g_q_ivf_index",
@@ -2210,7 +2239,7 @@ object SparkEntry {
     // a single Catalyst plan, and the oracle is the three ops'
     // existing replays joined on doc_id
     "q_curation_pipeline" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val withPii = d.withColumn("pii_text", concat(col("text"),
         lit(" reach user"), col("doc_id"),
         lit("@mail.example.org or host "),
@@ -2245,7 +2274,7 @@ object SparkEntry {
     // same analytic average-hash constants as the PNG checkerboards —
     // a third real image codec behind one oracle family
     "q_gif_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
         (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
         (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
@@ -2281,7 +2310,7 @@ object SparkEntry {
     // entry, with `ok` proving extraction reproduced the declared
     // CRC — the second archive-unwrap tier after ZIP
     "q_7z_entries" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3 + 1).cast("int").as("__n"))
       val szs = SevenZip.synthSevenZips(d, "doc_id", "__t", "__n",
@@ -2460,7 +2489,7 @@ object SparkEntry {
     // folding, class/package censuses — executable-vs-library and
     // toolchain facts for a code-lake census
     "q_jar_meta" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val js = Jar.synthJars(d, "doc_id", "content")
       Multimodal.decodeBatches(js, "content",
           Jar.jarSchema)(Jar.decodeJar)
@@ -2532,7 +2561,7 @@ object SparkEntry {
     // test present, a kept row absent, and live_0_40 counts the
     // survivors of the table's first 40 positions
     "q_delta_dv" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       DeletionVectors.dvRows(d, "doc_id")
         .select(col("doc_id"), col("n_high_keys"),
           col("cardinality"), col("n_array"), col("n_bitmap"),
@@ -2750,7 +2779,7 @@ object SparkEntry {
     // orphan counts/bytes; the anti join shuffles on the path, no
     // per-file driver loop anywhere
     "q_orphan_files" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val mf = Iceberg.synthManifests(d, "doc_id", "content")
       val refPaths = Multimodal.decodeBatches(mf, "content",
           Iceberg.manifestPathsSchema)(Iceberg.decodeManifestPaths)
@@ -2843,7 +2872,7 @@ object SparkEntry {
     // measure) shape; the oracle replays every planted fact, so a
     // misroute anywhere breaks the hash
     "q_lakehouse_omni" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val lh = LakehouseOmni.synthLakehouse(d, "doc_id", "content")
       Multimodal.decodeBatches(lh, "content",
           LakehouseOmni.lakehouseSchema)(
@@ -2877,7 +2906,7 @@ object SparkEntry {
     // with the nested data_file record, partition tuple, and the
     // spec's array-of-key/value int-keyed stats maps
     "q_iceberg_entries" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val mf = Iceberg.synthManifests(d, "doc_id", "content")
       Multimodal.decodeBatches(mf, "content",
           Iceberg.manifestSchema)(Iceberg.decodeManifest)
@@ -2895,7 +2924,7 @@ object SparkEntry {
     // engine-side with nested array lambdas — zero UDFs, zero
     // joins (the per-table manifest list is array-sized)
     "q_iceberg_seq_pairing" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val ml = Iceberg.synthManifestLists(d, "doc_id", "content")
       val dec = Multimodal.decodeBatches(ml, "content",
           Iceberg.manifestPairsSchema)(Iceberg.decodeManifestPairs)
@@ -2944,7 +2973,7 @@ object SparkEntry {
     // shuffle a 100 TB MOR scan does; live counts and value sums
     // replay closed-form
     "q_iceberg_mor" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val pd = Iceberg.synthPosDeletes(d, "doc_id", "content")
       val deletes = Multimodal.decodeBatches(pd, "content",
           Iceberg.posDeleteSchema)(Iceberg.decodePosDeletes)
@@ -2998,7 +3027,7 @@ object SparkEntry {
     // computed engine-side with codegen'd array functions over the
     // census's timestamp list, zero UDFs
     "q_snapshot_expire" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
       val dec = Multimodal.decodeBatches(mj, "content",
           Iceberg.metadataJsonSchema)(Iceberg.decodeMetadataJson)
@@ -3052,7 +3081,7 @@ object SparkEntry {
     // manifest entries' partition tuples so the census answers
     // "which files does partition P touch at branch B" engine-side
     "q_iceberg_refs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
       val refs = Multimodal.decodeBatches(mj, "content",
         Iceberg.refsSchema)(Iceberg.decodeRefs)
@@ -3101,7 +3130,7 @@ object SparkEntry {
     // functions — the planning arithmetic of an incremental
     // consumer, zero UDFs
     "q_iceberg_incremental" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val mj = Iceberg.synthMetadataJsons(d, "doc_id", "content")
       val dec = Multimodal.decodeBatches(mj, "content",
           Iceberg.metadataJsonSchema)(Iceberg.decodeMetadataJson)
@@ -3339,7 +3368,7 @@ object SparkEntry {
     // pinned extractor, flattened to one (label, fact, measure)
     // row shape; a misroute anywhere breaks the oracle
     "q_artifact_omni" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val as = ArtifactOmni.synthArtifacts(d, "doc_id", "content")
       Multimodal.decodeBatches(as, "content",
           ArtifactOmni.artifactSchema)(ArtifactOmni.decodeArtifact)
@@ -3428,7 +3457,7 @@ object SparkEntry {
     // against git 2.39 (its packs walk to its own ids here; our
     // packs pass `git index-pack --strict` — GitPackPinGen)
     "q_git_pack" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3 + 1).cast("int").as("__n"))
       val packs = GitPack.synthPacks(d, "doc_id", "__t", "__n",
@@ -3573,7 +3602,7 @@ object SparkEntry {
     // and bsdtar both read the writer's output byte-exactly
     // (ArSpec + ArPinGen record the pin)
     "q_deb_entries" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3 + 1).cast("int").as("__n"))
       val debs = Ar.synthDebs(d, "doc_id", "__t", "__n", "content")
@@ -3589,7 +3618,7 @@ object SparkEntry {
     // writer's output is extracted byte-exactly by libarchive at
     // fixture-generation time (CabSpec pins it)
     "q_cab_entries" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3 + 1).cast("int").as("__n"))
       val cabs = Cab.synthCabs(d, "doc_id", "__t", "__n", "content")
@@ -3634,7 +3663,7 @@ object SparkEntry {
     // interlaced) — graphic-control parsing + per-frame LZW +
     // compositing snapshots behind the same analytic hash constants
     "q_gif_frames" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
         (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
         (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
@@ -3654,7 +3683,7 @@ object SparkEntry {
     // distinct high-bit flip per frame) through the GIF container —
     // meme near-dup pairing, banding vs brute-force hamming oracle
     "q_gif_frame_dup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         lit(40).as("__a"), lit(200).as("__b"),
         expr("""transform(sequence(0, CAST(doc_id % 3 AS INT)), f ->
           (CAST(conv(substring(md5(concat('gd:',
@@ -3696,7 +3725,7 @@ object SparkEntry {
     // behind an ID3v2 tag — every frame's sync/bitrate/rate checked,
     // frame count and exact integer duration read back
     "q_mp3_meta" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (col("doc_id") % 20 + 5).cast("int").as("__a"),
         (col("doc_id") % 14 + 1).cast("int").as("__b"),
         (col("doc_id") % 3).cast("int").as("__c"),
@@ -3768,7 +3797,7 @@ object SparkEntry {
     // duplicate mass, quality-fail rate — all exact integers in ONE
     // aggregation pass, so two runs diff meaningfully
     "q_corpus_report" -> ((s, dir) => {
-      CorpusScrub.corpusReport(t(s, dir, "documents"), "doc_id",
+      CorpusScrub.corpusReport(tp(s, dir, "documents"), "doc_id",
         "text", "lang")
     }),
 
@@ -3778,7 +3807,7 @@ object SparkEntry {
     // same filter + grouping on the documents table directly, so any
     // byte damage in the unwrap breaks the hash)
     "q_crawl_curate" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 2).cast("int").as("__gz"))
       val warcs = Archive.synthWarcs(d, "doc_id", "__t", "__gz",
@@ -3803,7 +3832,7 @@ object SparkEntry {
     // the extracted text must equal the planted documents.text byte
     // for byte
     "q_pdf_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 3).cast("int").as("__x"))
@@ -3821,7 +3850,7 @@ object SparkEntry {
     // documents.text directly, so ANY byte damage through
     // warc→gzip→http→pdf breaks the hash
     "q_crawl_pdf" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 7).cast("int").as("__v"),
         (col("doc_id") % 3).cast("int").as("__x"),
@@ -3848,7 +3877,7 @@ object SparkEntry {
     // fingerprint-dedup in ONE query; any byte damage or misroute
     // anywhere breaks the oracle's hash
     "q_crawl_omni" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 14).cast("int").as("__f"),
         (col("doc_id") % 3).cast("int").as("__m"),
@@ -3967,7 +3996,7 @@ object SparkEntry {
     // against reference-encoder goldens incl. dictionary-transform
     // streams in BrotliSpec
     "q_brotli_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")), lit(" "),
           substring(coalesce(col("text"), lit("")), 1, 64),
           repeat(lit("pad "), (col("doc_id") % 17).cast("int")))
@@ -4019,7 +4048,7 @@ object SparkEntry {
     // — and back through the from-spec decoder with the segment-
     // relative 8-code-group realignment
     "q_z_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")), lit(" Z "),
           substring(coalesce(col("text"), lit("")), 1, 36))
           .as("__t"))
@@ -4035,7 +4064,7 @@ object SparkEntry {
     // generation time (Bzip2Spec pins regeneration) — and back
     // through the from-spec decoder with both CRC layers verified
     "q_bzip2_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")), lit(" "),
           repeat(lit("z"), (col("doc_id") % 60 + 8).cast("int")),
           substring(coalesce(col("text"), lit("")), 1, 48))
@@ -4087,7 +4116,7 @@ object SparkEntry {
     // .tar.gz through the gzip composition — both layouts against
     // one arithmetic oracle
     "q_tar_entries" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3 + 1).cast("int").as("__n"),
         (col("doc_id") % 2).cast("int").as("__gz"))
@@ -4137,7 +4166,7 @@ object SparkEntry {
     // zstd leg exercises the full Huffman/FSE decode + XXH64
     // verification per record
     "q_warc_zst" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__c"))
       val warcs = Archive.synthWarcsComp(d, "doc_id", "__t", "__c",
@@ -4155,7 +4184,7 @@ object SparkEntry {
     // a code point surface; since round 14 the br row (f=5) carries
     // a real entropy-coded brotli body that must decode exactly
     "q_warc_http" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")), lit(" Ωμé→"))
           .as("__b"),
         (col("doc_id") % 8).cast("int").as("__f"),
@@ -4185,7 +4214,7 @@ object SparkEntry {
         .otherwise(concat(lit("<meta http-equiv=\"Content-Type\" " +
           "content=\"text/html; charset=euc-kr\">"),
           ascii, lit(" 한국어")))
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         body.as("__b"),
         (col("doc_id") % 3).cast("int").as("__f"),
         mode.as("__c"))
@@ -4203,7 +4232,7 @@ object SparkEntry {
     // raw-byte decode provably mojibakes; only the font machinery
     // recovers the planted text byte-for-byte
     "q_pdf_fonts" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val pdfs = Pdf.synthFontPdfs(d, "__t", "__m", "content")
@@ -4219,7 +4248,7 @@ object SparkEntry {
     // key derivation + decrypt-then-inflate is the only way the
     // planted text comes back
     "q_pdf_encrypted" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 4).cast("int").as("__m"))
       val pdfs = Pdf.synthPdfsEncrypted(d, "doc_id", "__t", "__m",
@@ -4235,7 +4264,7 @@ object SparkEntry {
     // stored, split-runs/deflated, and tab+comment+instrText-decoy
     // layouts; the w:t walk must hand the text back exactly
     "q_docx_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val docx = Docx.synthDocx(d, "__t", "__m", "content")
@@ -4249,7 +4278,7 @@ object SparkEntry {
     // rich-run, and phonetic-decoy layouts — items = the doc text
     // split on spaces, so the si walk replays as a string transform
     "q_xlsx_strings" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val xlsx = Docx.synthXlsx(d, "__t", "__m", "content")
@@ -4264,7 +4293,7 @@ object SparkEntry {
     // three layout modes (plain/rich-run+t="n"/two-sheet+formula-
     // decoy), so the oracle replays them closed-form from doc_id
     "q_xlsx_cells" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val xlsx = Docx.synthXlsxCells(d, "doc_id", "__t", "__m",
@@ -4279,7 +4308,7 @@ object SparkEntry {
     // split-run, and br-routed layouts; slide 2 carries a footer so
     // numeric slide ordering is verified too
     "q_pptx_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val pptx = Docx.synthPptx(d, "doc_id", "__t", "__m", "content")
@@ -4419,7 +4448,7 @@ object SparkEntry {
     // the non-latin-1 sender forcing per-field fallback in narrow
     // modes; properties/decoy streams excluded
     "q_msg_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val msg = Msg.synthMsg(d, "doc_id", "__t", "content")
       Multimodal.decodeBatches(msg, "content",
@@ -4434,7 +4463,7 @@ object SparkEntry {
     // a text file and a gzip — listed with sniffed formats, sizes,
     // and the gzip's INNER format after unwrapping
     "q_msg_attach" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val msg = Msg.synthMsgAttach(d, "doc_id", "__t", "content")
       Msg.msgAttachRows(msg, "doc_id", "content")
@@ -4447,7 +4476,7 @@ object SparkEntry {
     // TEXT unescape, VALARM/parameter decoys, exact summed
     // DTSTART→DTEND durations in seconds
     "q_ics_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val ics = Vobject.synthIcs(d, "doc_id", "__t", "content")
       Multimodal.decodeBatches(ics, "content",
@@ -4458,7 +4487,7 @@ object SparkEntry {
 
     // ----- vCard (4.0 plain / folded / 2.1 quoted-printable)
     "q_vcf_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val vcf = Vobject.synthVcf(d, "doc_id", "__t", "content")
       Multimodal.decodeBatches(vcf, "content",
@@ -4471,7 +4500,7 @@ object SparkEntry {
     // discovery on page 1, interior→leaf traversal, an overflow
     // chain on row 3's long body, exact integer-column sums
     "q_sqlite_rows" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val db = Sqlite.synthSqlite(d, "doc_id", "__t", "content")
       Multimodal.decodeBatches(db, "content",
@@ -4531,7 +4560,7 @@ object SparkEntry {
     // both directions); the codec string is an output column so
     // every codec's decode is oracle-proven
     "q_avro_named" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val av = Avro.synthAvroNamed(d, "doc_id", "content")
       Multimodal.decodeBatches(av, "content",
           Avro.avroNamedSchema)(Avro.decodeAvroNamed)
@@ -4588,7 +4617,7 @@ object SparkEntry {
     // iTXt rides deflate on odd densities), pHYs density, tIME —
     // every chunk CRC-verified
     "q_png_meta" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"))
       val img = PngMeta.synthPngMeta(d, "doc_id", "__t", "content")
       Multimodal.decodeBatches(img, "content",
@@ -4603,7 +4632,7 @@ object SparkEntry {
     // interior re-sniffed — tar.gz and json.zst route by what they
     // carry, not by their wrapper
     "q_sniff_deep" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 6).cast("int").as("__m"))
       val payloads = Sniff.synthDeep(d, "doc_id", "__t", "__m",
@@ -4618,7 +4647,7 @@ object SparkEntry {
     // exact micro-degree decimal parsing (never a float
     // round-trip), point censuses, file-level name decoys excluded
     "q_gpx_trace" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val gpx = Gpx.synthGeo(d, "doc_id", "content", kml = false)
       Multimodal.decodeBatches(gpx, "content",
           Gpx.traceSchema)(Gpx.decodeGpx)
@@ -4671,7 +4700,7 @@ object SparkEntry {
     // chain in READING order (mode 1 stores chapters in reverse zip
     // order + script/style decoys — spine order must win)
     "q_epub_text" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 3).cast("int").as("__m"))
       val epub = Docx.synthEpub(d, "doc_id", "__t", "__m", "content")
@@ -4725,7 +4754,7 @@ object SparkEntry {
     // own YUV output produced at generation time (Vp8Spec pins all
     // three planes byte-for-byte)
     "q_vp8_pixels" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = tp(s, dir, "documents").select(col("doc_id"))
       val webp = Vp8.synthVp8(d, "doc_id", "content")
       Multimodal.decodeBatches(webp, "content",
           Vp8.vp8Schema)(Vp8.decodeVp8AHash)
@@ -4739,7 +4768,7 @@ object SparkEntry {
     // palette with sub-byte pixel bundling), so the full huffman +
     // transform decode chain faces one analytic oracle
     "q_webp_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("__w"),
         (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("__h"),
         (lit(50) + col("doc_id") % 100).cast("int").as("__a"),
@@ -4760,7 +4789,7 @@ object SparkEntry {
     // the planted pattern PERMUTED by the display transform — the
     // correctness-of-intent gap the r9 verdict ranked #1
     "q_oriented_phash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
         (lit(40) + col("doc_id") % 60).cast("int").as("__a"),
         (lit(120) + col("doc_id") % 100).cast("int").as("__b"),
         H.stableHash60(concat(lit("orient:"),
@@ -4787,7 +4816,7 @@ object SparkEntry {
     // oracle brute-forces the display hashes — without the
     // normalization every rotated pair would be invisible
     "q_oriented_dup" -> ((s, dir) => {
-      val d0 = t(s, dir, "documents").select(col("doc_id"),
+      val d0 = tp(s, dir, "documents").select(col("doc_id"),
         expr("doc_id DIV 2").as("__g"))
       val base = H.stableHash60(concat(lit("odup:"),
           col("__g").cast("string"))).bitwiseOR(lit(1L))
@@ -4857,7 +4886,7 @@ object SparkEntry {
     // the replayed signatures — the consumer the r9 verdict said the
     // audio signature was missing
     "q_audio_dup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = tp(s, dir, "documents").select(col("doc_id"),
           expr("doc_id DIV 2").as("__g"),
           (col("doc_id") % 2).cast("int").as("__odd"))
         .withColumn("__ch", (col("__g") % 2 + 1).cast("int"))

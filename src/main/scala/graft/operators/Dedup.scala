@@ -28,11 +28,33 @@ private[operators] object BucketPairs {
 
   /** Bucket `df` by `key`, cap bucket size, and emit one row per
     * in-bucket pair of `payload` structs (columns `a` and `b`).
+    *
+    * `fanOut = true` pins the key exchange with an EXPLICIT partition
+    * count (which the window AND the groupBy both reuse — still
+    * exactly one exchange) so AQE's byte-based coalescing cannot
+    * serialize it. It is for callers whose in-bucket pair work is
+    * heavy compute per shuffled byte — the vector-similarity tiers,
+    * where each pair pays an O(dim) dot product and the coalescer
+    * (sized for byte-bound stages) folded q_knn_graph's whole scoring
+    * stage into ONE task (measured 2.8 s single-task on local[32]).
+    * Partition count = the session's configured shuffle parallelism
+    * floor-ed at defaultParallelism, both cluster-derived, so the pin
+    * scales with the deployment rather than encoding a local
+    * constant. Cheap-verify callers (hash/id payloads) keep the
+    * default: for them AQE's coalescing is the right call and the pin
+    * only adds task overhead.
     */
   def bucketedPairs(df: DataFrame, key: Column, payload: Column,
-      maxBucket: Long): DataFrame = {
+      maxBucket: Long, fanOut: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__key")
-    df.select(key.as("__key"), payload.as("__p"))
+    val keyed = df.select(key.as("__key"), payload.as("__p"))
+    val part = if (fanOut) {
+      val s = df.sparkSession
+      val n = math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      keyed.repartition(n, col("__key"))
+    } else keyed
+    part
       .withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
       .groupBy("__key").agg(collect_list(col("__p")).as("__ps"))
@@ -464,7 +486,13 @@ object Dedup {
       // stats: an accumulator fed by a pass-through map stage inside
       // the checkpointed plan. Task retries can only inflate a
       // NONZERO count (a retried stable partition re-adds 0), so
-      // `== 0` stays exact.
+      // `== 0` stays exact. (The r19 optimization round tried fusing
+      // this job into the edge-production job — one job per round —
+      // and measured it SLOWER: the materialized stats frame gives
+      // the rewiring join a size-known build side AQE broadcasts,
+      // where the fused plan recomputes the stats subtree inside a
+      // size-unknown join. Two small materialized jobs beat one deep
+      // one here; kept.)
       val unstable = sc.longAccumulator(s"graft_cc_unstable_$iter")
       val stats = statsPlan.mapPartitions { it =>
         it.map { r => if (r.getBoolean(2)) unstable.add(1L); r }

@@ -98,7 +98,8 @@ object SemanticDedup {
       } finally cached.unpersist(blocking = false)
     val listed = cq.withColumn("__list", listCol)
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
-      struct(col("id"), col("__cv"), col("__cn")), maxCluster)
+      struct(col("id"), col("__cv"), col("__cn")), maxCluster,
+      fanOut = true)
     p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
         greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
         (Similarity.dotQ(col("p.a.__cv"), col("p.b.__cv"))

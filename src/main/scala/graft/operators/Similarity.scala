@@ -304,7 +304,8 @@ object Similarity {
       } finally cached.unpersist(blocking = false)
     val listed = cq.withColumn("__list", explode(probeCol))
     val p = BucketPairs.bucketedPairs(listed, col("__list"),
-      struct(col("id"), col("__qv"), col("__qn")), maxList)
+      struct(col("id"), col("__qv"), col("__qn")), maxList,
+      fanOut = true)
     val cos = dotQ(col("p.a.__qv"), col("p.b.__qv")).cast("double") /
       sqrt(col("p.a.__qn").cast("double") *
         col("p.b.__qn").cast("double"))
@@ -551,7 +552,8 @@ object Similarity {
     }: _*)
     val exploded = b.withColumn("__bkey", explode(bandKeys))
     val p = BucketPairs.bucketedPairs(exploded, col("__bkey"),
-      struct(col("id"), col("qv"), col("__n")), maxBucket)
+      struct(col("id"), col("qv"), col("__n")), maxBucket,
+      fanOut = true)
     // same value as cosineQ(quantize(va), quantize(vb)) — the dots are
     // exact int64, just computed once per doc instead of per pair
     p.select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
