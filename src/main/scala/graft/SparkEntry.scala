@@ -228,7 +228,7 @@ object SparkEntry {
 
     // ----- §1.2/§2.4: the classification pass as a queryable frame
     "q_classify" -> ((s, dir) => {
-      val li  = t(s, dir, "lineitem")
+      val li  = tp(s, dir, "lineitem")
       val cls = Inference.classify(li, exact = true)
       val rows = li.columns.toSeq.sorted.map { c =>
         val st = cls.stats(c)
@@ -1073,14 +1073,14 @@ object SparkEntry {
     // ----- Pearson correlation matrix: one aggregation, exact
     // decimal sums, one exact int->double conversion per sum
     "q_feature_corr" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem")
       ColumnStats.correlationMatrix(li, corrCols)
     }),
 
     // ----- the same exact-sum correlations PER GROUP (one keyed
     // aggregation; cells explode from each group's row)
     "q_grouped_corr" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem")
       ColumnStats.groupedCorrelationMatrix(li, "l_returnflag",
         corrCols)
     }),

@@ -46,6 +46,15 @@ object ColumnStats {
     val spark = counts.sparkSession
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // per-partition totals ride OUT OF the checkpoint job through an
+    // accumulator (one (pid, total) pair per task, emitted after the
+    // partition's last row) instead of a separate groupBy+collect job
+    // that re-read the whole checkpointed frame. Idempotent under
+    // retries/speculation: a pid's total is deterministic, duplicates
+    // collapse in the toMap below. Empty partitions record 0 so the
+    // offsets cover every pid.
+    val totalsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("graft_part_totals")
     val local = counts
       .repartitionByRange(parts, col("v"))
       .sortWithinPartitions("v")
@@ -53,13 +62,25 @@ object ColumnStats {
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var run = 0L
-        it.map { case (v, c) => run += c; (pid, v, c, run) }
+        new Iterator[(Int, Double, Long, Long)] {
+          private var reported = false
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !reported) { totalsAcc.add((pid, run)); reported = true }
+            h
+          }
+          def next(): (Int, Double, Long, Long) = {
+            val (v, c) = it.next(); run += c; (pid, v, c, run)
+          }
+        }
       }.toDF("pid", "v", "c", "lcum")
       .localCheckpoint() // materialize ONCE; all later passes are cheap
-    // per-partition totals → prefix offsets, on the driver: |partitions|
-    // rows, a hard bound independent of data volume
-    val partTotals = local.groupBy("pid").agg(max("lcum").as("pc"))
-      .as[(Int, Long)].collect().sortBy(_._1)
+    // |partitions| pairs on the driver: a hard bound independent of
+    // data volume (same bound as the groupBy+collect this replaces)
+    val partTotals = {
+      import scala.jdk.CollectionConverters._
+      totalsAcc.value.asScala.toMap.toArray.sortBy(_._1)
+    }
     val totalN = partTotals.map(_._2).sum
     val offsets = partTotals
       .scanLeft((0, 0L)) { case ((_, acc), (pid, pc)) => (pid, acc + pc) }

@@ -18,7 +18,7 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * The size filter runs BEFORE collect_list, so a degenerate bucket is
   * dropped without ever materializing its array.
   */
-private[operators] object BucketPairs {
+private[graft] object BucketPairs {
 
   /** All pairs (i < j in array order) of `arr`, as structs (a, b). */
   def pairs(arr: Column): Column =

@@ -193,4 +193,81 @@ class ColumnStatsSpec extends SparkSpec {
       .as[(Double, Double, Long)].collect().toSet
     assert(run(1) == run(17))
   }
+
+  test("robustZScore: single-scan MAD equals the two-pass reference") {
+    // the r19 optimization derives the MAD chain's value counts from
+    // the median chain's (v, c) frame instead of rescanning the
+    // corpus; the score must be bit-identical to the literal two-pass
+    // definition (x - median) / median(|x - median|)
+    val df = Seq[java.lang.Double](1.0, 2.0, 2.0, 3.0, 100.0, null)
+      .toDF("x")
+    val got = ColumnStats.robustZScore(df, "x")
+      .select("x", "robust_z")
+      .as[(Option[Double], Option[Double])].collect().toMap
+    val med = 2.0
+    val mad = 1.0 // |x-2| = 1,0,0,1,98 -> median 1
+    for (x <- Seq(1.0, 2.0, 3.0, 100.0))
+      assert(got(Some(x)) == Some((x - med) / mad), s"x=$x")
+    assert(got(None).isEmpty)
+  }
+
+  test("robustZScore: degenerate MAD scores null") {
+    val df = Seq(5.0, 5.0, 5.0, 9.0).toDF("x")
+    // median 5, deviations 0,0,0,4 -> MAD 0 -> undefined
+    val z = ColumnStats.robustZScore(df, "x")
+      .select("robust_z").as[Option[Double]].collect()
+    assert(z.forall(_.isEmpty))
+  }
+
+  test("groupedRobustZScore: single-scan MAD equals per-group " +
+      "robustZScore") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 50.0),
+      ("b", 10.0), ("b", 20.0), ("b", 20.0), ("b", 30.0)
+    ).toDF("g", "x")
+    val got = ColumnStats.groupedRobustZScore(df, "g", "x")
+      .select("g", "x", "robust_z")
+      .as[(String, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (g <- Seq("a", "b")) {
+      val ref = ColumnStats
+        .robustZScore(df.filter(col("g") === g), "x")
+        .select("x", "robust_z")
+        .as[(Double, Option[Double])].collect().toMap
+      ref.foreach { case (x, want) =>
+        assert(got((g, x)) == want, s"g=$g x=$x")
+      }
+    }
+  }
+
+  test("quantile rank lookups broadcast the rank frame (no " +
+      "CartesianProduct)") {
+    // without the broadcast hint the non-equi rank joins planned as a
+    // CartesianProduct of the two 32-partition sides (1024 tasks
+    // re-reading the checkpointed value frame; measured 3.6 GB of
+    // re-scan inside q_winsorize). Pin the join strategy.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (1 to 20000).map(i => (i * 6101 % 9973) / 7.0).toDF("x")
+        .repartition(8)
+      ColumnStats.exactQuantiles(df, "x", Seq(0.5, 0.9)).collect()
+      var seen = -1
+      while (plans.size != seen) { seen = plans.size; Thread.sleep(500) }
+      val offending = plans.toArray(Array.empty[String])
+        .filter(_.contains("CartesianProduct"))
+      assert(offending.isEmpty,
+        "rank lookup planned as CartesianProduct:\n" +
+          offending.headOption.getOrElse(""))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -264,4 +264,16 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(best == plain)
   }
+
+  test("bucketedPairs fanOut=true returns the same pairs as the " +
+      "default (only the exchange partitioning differs)") {
+    val docs = (1L to 200L).map(i => (i, s"k${i % 13}"))
+      .toDF("id", "k")
+    def run(fo: Boolean) = graft.operators.BucketPairs
+      .bucketedPairs(docs, col("k"), col("id"), 1000L, fanOut = fo)
+      .select(least(col("p.a"), col("p.b")).as("a"),
+        greatest(col("p.a"), col("p.b")).as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(run(true) == run(false))
+  }
 }
