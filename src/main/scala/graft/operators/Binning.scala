@@ -158,13 +158,26 @@ final case class CombineCategoricalColumns(
       DictionaryFit.sortedDistinct(df, col(c))
         .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toMap
     }
+    df.withColumn(derivedColumns.head,
+      CombineCategoricalColumns.idColumn(columns, dicts))
+  }
+}
+
+object CombineCategoricalColumns {
+  /** The combo-id projection over PRE-FITTED dictionaries:
+    * id = Σ ordinal_i(value_i) · stride_i with stride_i the product of
+    * later columns' cardinalities — shared by the single-combo
+    * transform above and [[MultipleCombinations]], which fits each
+    * source column once for ALL prefixes.
+    */
+  private[operators] def idColumn(columns: Seq[String],
+      dicts: Seq[Map[String, Long]]): Column = {
     val strides = dicts.map(_.size.toLong)
       .scanRight(1L)(_ * _).tail // stride_i = Π_{j>i} |dict_j|
-    val id = columns.zip(dicts).zip(strides).map {
+    columns.zip(dicts).zip(strides).map {
       case ((c, dict), stride) =>
         element_at(typedlit(dict), col(c).cast("string")) * lit(stride)
     }.reduce(_ + _)
-    df.withColumn(derivedColumns.head, id)
   }
 }
 
@@ -176,10 +189,28 @@ final case class MultipleCombinations(columns: Seq[String])
   def derivedColumns: Seq[String] =
     (1 to columns.size).map(k => columns.take(k).mkString("-") + "_enc")
       .filter(_ => columns.size >= 2)
-  protected def transform(df: DataFrame): DataFrame =
+  protected def transform(df: DataFrame): DataFrame = {
+    if (columns.size < 2) return df
+    // fit each SOURCE column's dictionary exactly once, concurrently —
+    // the per-prefix fold re-fit every shared column per prefix (k
+    // prefixes over n columns cost n(n+1)/2 − 1 distinct-collect jobs,
+    // run sequentially; now n, overlapped). The prefixes' combo ids
+    // are pure arithmetic over those shared dictionaries, so the
+    // output is bit-identical to folding CombineCategoricalColumns.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dicts: Map[String, Map[String, Long]] = Await.result(
+      Future.sequence(columns.map(c => Future(c ->
+        DictionaryFit.sortedDistinct(df, col(c))
+          .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toMap))),
+      Duration.Inf).toMap
     (2 to columns.size).foldLeft(df) { (d, k) =>
-      CombineCategoricalColumns(columns.take(k))(d)
+      val cs = columns.take(k)
+      d.withColumn(cs.mkString("-") + "_enc",
+        CombineCategoricalColumns.idColumn(cs, cs.map(dicts)))
     }
+  }
 }
 
 /** Per-group binning (reference: breed_specific_bin_splitting.py — the

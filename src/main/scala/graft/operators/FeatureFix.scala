@@ -141,6 +141,18 @@ final case class EncodeSingleCategorical(
     if (categoriesOut.nonEmpty || shouldSkip(df)) this
     else copy(categoriesOut = fit(df))
 
+  /** The fit step alone, returning the op with its dictionary
+    * attached — lets [[FeatureFix.encodeMultiCategorical]] run the
+    * per-column distinct-collect jobs CONCURRENTLY (they are
+    * independent job chains the scheduler overlaps) instead of one
+    * per sequential apply. Applying the returned op reuses the
+    * dictionary (same [[applied]] copy the sequential path records),
+    * so history and output are bit-identical to the unprefit flow.
+    */
+  private[operators] def prefit(df: DataFrame): EncodeSingleCategorical =
+    if (categoriesOut.nonEmpty || shouldSkip(df)) this
+    else copy(categoriesOut = fit(df))
+
   /** Skipped encodes return the dataset UNCHANGED — no history entry
     * (the reference returns the input object, feature_fix.py:286-298).
     */
@@ -176,8 +188,20 @@ object FeatureFix {
           s"non-categorical columns requested: ${nonCateg.toSeq.sorted}")
         columns
       }
-    targets.foldLeft(ds) { (d, c) =>
-      EncodeSingleCategorical(c, method, caseSensitive)(d)
-    }
+    // Prefit every column's dictionary CONCURRENTLY: each fit is an
+    // independent distinct+collect chain, and the sequential foldLeft
+    // ran them back to back (measured: the fits, not the final
+    // projection, dominate q_encode_multi). The prefit op carries
+    // categoriesOut, so the fold below applies without re-fitting and
+    // records the exact op copy the sequential flow recorded.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val prefitted = Await.result(
+      Future.sequence(targets.map(c => Future(
+        EncodeSingleCategorical(c, method, caseSensitive)
+          .prefit(ds.data)))),
+      Duration.Inf)
+    prefitted.foldLeft(ds)((d, op) => op(d))
   }
 }
