@@ -3877,7 +3877,13 @@ object SparkEntry {
     // fingerprint-dedup in ONE query; any byte damage or misroute
     // anywhere breaks the oracle's hash
     "q_crawl_omni" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"),
+      // plain read ON PURPOSE (A/B'd r19): the 14 format branches
+      // below each re-materialize a tp() fan-out (Catalyst pushes the
+      // branch filter under the exchange — 14 exchanges, 448 confetti
+      // tasks, 1.5 s → 2.9 s); unfanned, the 14 single-task branch
+      // stages run CONCURRENTLY inside the one union job and fill the
+      // cores by themselves (1.53 s vs 1.75 s for a p/14 fan-out).
+      val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 14).cast("int").as("__f"),
         (col("doc_id") % 3).cast("int").as("__m"),
