@@ -49,7 +49,7 @@ object TextIndex {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = corpus.sparkSession
     val toks = tokenized(corpus, idCol, textCol)
-    val posts = postings(toks)
+    val posts = postings(toks, pinParts = Some(buckets))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("__ts")).cast("long")).as("total_tokens"))
     Seq(table, s"${table}_stats", s"${table}_delta")
@@ -71,15 +71,32 @@ object TextIndex {
   /** (term, doc_id, tf, dl, df) — df is the batch-local window count
     * (rides the term exchange the write needs anyway; serving
     * recomputes the global value from the pruned scan).
+    *
+    * `pinParts` pins the term exchange at an explicit partition count
+    * (the window reuses it — hashpartitioning(term, n) satisfies its
+    * required distribution, so still exactly one term exchange).
+    * [[build]] pins at its bucket count: AQE's byte-based coalescing
+    * otherwise folded the post-window side to ONE task that wrote
+    * every bucket file serially (measured 0.5 s of
+    * q_text_index_topk's build); pinned, the bucketed write runs
+    * `buckets` tasks and emits exactly one file per bucket instead of
+    * (write tasks × buckets). Appends leave it unpinned — delta
+    * batches are small and unbucketed, so AQE's coalescing is right
+    * there.
     */
-  private def postings(toks: DataFrame): DataFrame =
-    toks
+  private def postings(toks: DataFrame,
+      pinParts: Option[Int] = None): DataFrame = {
+    val grouped = toks
       .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
         explode(col("__ts")).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("term")))
+    val pinned = pinParts
+      .map(n => grouped.repartition(n, col("term")))
+      .getOrElse(grouped)
+    pinned.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+  }
 
   /** O(batch) exact append: the batch's postings land in
     * `<table>_delta` (plain parquet append — no base rewrite), and
