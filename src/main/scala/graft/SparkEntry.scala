@@ -332,7 +332,7 @@ object SparkEntry {
     // ----- dedup: incremental batch-vs-corpus (every-5th doc plays the
     // incoming crawl increment; the rest is the standing corpus)
     "q_dedup_increment" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       Dedup.dedupIncrement(
         d.filter(col("doc_id") % 5 === 0),
         d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
@@ -871,7 +871,7 @@ object SparkEntry {
     // is exactly the claimed semantic (regexes can't tell cards from
     // long numbers; the checksum can)
     "q_redact_cards" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 3 === 0,
           lit(" pay 4111 1111 1111 1111 now"))
@@ -945,7 +945,7 @@ object SparkEntry {
     // ----- benchmark decontamination: flag docs sharing a 5-gram with
     // the simulated eval set (every 50th doc)
     "q_decontaminate" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val bench = d.filter(col("doc_id") % 50 === 0)
       Decontaminate.flagContaminated(d, "doc_id", "text",
         bench, "text", n = 5)
@@ -956,7 +956,7 @@ object SparkEntry {
     // kills the false positives) but corpus grams are pruned MAP-SIDE
     // before any exchange — the big-benchmark scale path
     "q_bloom_decontaminate" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val bench = d.filter(col("doc_id") % 50 === 0)
       Decontaminate.flagContaminatedBloom(d, "doc_id", "text",
         bench, "text", n = 5, expectedGrams = 1L << 16)
@@ -966,7 +966,7 @@ object SparkEntry {
     // more than maxRepeats times across the WHOLE corpus (word-level
     // here — the synthetic docs are single-paragraph)
     "q_corpus_scrub" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       CorpusScrub.removeRepeatedSegments(d, "doc_id", "text",
         sep = " ", maxRepeats = 1000L)
     }),
@@ -986,7 +986,7 @@ object SparkEntry {
     // second paragraphs in fr/de/es; dominance ties (1 seg vs 1 seg)
     // break to the lexicographically smallest tag
     "q_lang_mix" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 4 === 0,
           lit("\n\nle chat est sur une table et les autres"))
@@ -1003,7 +1003,7 @@ object SparkEntry {
     // tail, so its grams' corpus df jumps; originals stay near
     // df 1 — mean-df and shared-fraction in exact integer milli
     "q_template_score" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = concat(col("text"),
         when(col("doc_id") % 6 === 0,
           lit(" standard footer boilerplate block common to many" +
@@ -1022,7 +1022,7 @@ object SparkEntry {
     // ----- per-doc characteristic terms (exact-rational idf variant —
     // ln's last ulp is libm-specific, see topTfidfTerms)
     "q_tfidf_terms" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       CorpusScrub.topTfidfTerms(d, "doc_id", "text", k = 3,
         logIdf = false)
     }),
@@ -1031,7 +1031,7 @@ object SparkEntry {
     // Retrieval), queries = first 6 tokens of docs 0-2, top 10 docs
     // per query; the source doc itself must surface
     "q_bm25_topk" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val qs = d.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(
@@ -1045,7 +1045,7 @@ object SparkEntry {
     // (build bucketed-by-term postings, then serve): the oracle is
     // q_bm25_topk's VERBATIM — the hash match proves serve == scan
     "q_text_index_topk" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       TextIndex.build(d, "doc_id", "text", "g_q_text_index",
         buckets = 16)
       val qs = d.filter(col("doc_id") < 3)
@@ -1228,7 +1228,7 @@ object SparkEntry {
     // ----- embedding outliers: vectors far from their own label's
     // centroid, thresholded at the label's p95 distance quantile
     "q_centroid_outliers" -> ((s, dir) => {
-      val e = tp(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings")
       VectorStats.centroidOutliers(e, "label", "embedding", p = 0.95)
     }),
 
@@ -1262,7 +1262,7 @@ object SparkEntry {
 
     // ----- near-dup: MinHash + LSH banding over char shingles
     "q_minhash_pairs" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       Dedup.minhashDupPairs(d, "doc_id", "text")
     }),
 
@@ -1281,7 +1281,7 @@ object SparkEntry {
     // components -> one representative per document (the key a
     // "keep one per cluster" delete actually uses)
     "q_dedup_components" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
@@ -1291,7 +1291,7 @@ object SparkEntry {
     // ----- the delete itself: minhash pairs -> clusters -> keep the
     // smallest id per cluster, drop the rest
     "q_dedup_clean" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.dedupCorpus(d, "doc_id", pairs)
@@ -1303,7 +1303,7 @@ object SparkEntry {
     // mirror each other through those fingerprints; natural text
     // never collides across sources at this SF
     "q_source_overlap" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = when(col("doc_id") % 17 === 0,
           concat(lit("Shared boilerplate block "),
             (col("doc_id") % 7).cast("string")))
@@ -1337,7 +1337,7 @@ object SparkEntry {
     // clusters, but keep the LONGEST member (n_chars, ties → smallest
     // doc_id) instead of the arbitrary smallest id
     "q_dedup_keep_best" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Dedup.dedupCorpusKeepBest(d, "doc_id", "n_chars", pairs)
@@ -1347,7 +1347,7 @@ object SparkEntry {
     // ----- leakage-safe split: near-dup cluster members always land
     // in the SAME split (a per-id split contaminates eval)
     "q_leakage_safe_split" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(d, "doc_id", "text")
         .select("id_a", "id_b")
       Sampling.leakageSafeSplit(d, "doc_id", pairs,
@@ -1359,7 +1359,7 @@ object SparkEntry {
     // distinct docs (the planted footer hits every 3rd / 4th doc)
     // vanish from ALL docs; text rebuilt in original order
     "q_boilerplate_scrub" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = d.select(col("doc_id"), concat(
         regexp_replace(col("text"), " table ", "|"),
         when(col("doc_id") % 3 === 0,
@@ -1376,7 +1376,7 @@ object SparkEntry {
     // first occurrence (by doc_id, then position) of each segment
     // survives
     "q_segment_dedup" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       val planted = d.select(col("doc_id"),
         regexp_replace(col("text"), " value ", "|").as("t2"))
       SegmentDedup.dedupSegments(planted, "doc_id", "t2", "|")
@@ -1419,7 +1419,7 @@ object SparkEntry {
 
     // ----- the delete half: drop each pair's CONTAINED side
     "q_scrub_contained" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       Dedup.scrubContained(d, "doc_id", "text", n = 3,
           threshold = 0.8)
         .select("doc_id")
@@ -1444,7 +1444,7 @@ object SparkEntry {
 
     // ----- ANN: IVF inverted lists, 4-of-16 probes, exact rerank
     "q_ivf_topk" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
@@ -1499,7 +1499,7 @@ object SparkEntry {
     // ----- IVF-PQ: coarse-list pruning (same deterministic k-means
     // as q_ivf_topk) + ADC scoring over the probed lists' codes
     "q_ivf_pq_topk" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       ProductQuant.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", pinnedPq, k = 10, nCentroids = 16,
           nProbe = 4, kmeansIters = 2)
@@ -1509,7 +1509,7 @@ object SparkEntry {
     // ----- near-dup: banded hyperplane-LSH cosine pairs (recall-tuned
     // band shape for this corpus; scale defaults documented on the op)
     "q_cosine_dup" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       Similarity.cosineDupPairs(emb, "vec_id", "embedding", dim = 64,
         threshold = 0.4, bands = 8, planesPerBand = 4)
     }),
@@ -1520,7 +1520,7 @@ object SparkEntry {
     // cosine, IVF-probe-scoped self-join (pinned k-means, oracle
     // replays the fit + probes + ranking)
     "q_knn_graph" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 2)
     }),
@@ -1529,12 +1529,12 @@ object SparkEntry {
     // bit-exactly, so k is part of the contract here (the operator's
     // default is corpus-scaled auto-k)
     "q_semantic_pairs" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, nCentroids = 16)
     }),
     "q_semantic_dedup" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       SemanticDedup.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.4, nCentroids = 16).select("vec_id")
     }),
@@ -1545,13 +1545,13 @@ object SparkEntry {
     // max cosines sit at 0.33-0.43 on this corpus, so threshold 0.8
     // flags exactly the plants. Oracle replays the brute-force scan.
     "q_semantic_decontaminate" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       Decontaminate.semanticOverlap(
         emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
         semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
     }),
     "q_semantic_scrub" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       Decontaminate.semanticScrubTrain(
         emb.filter(col("vec_id") % 50 =!= 0), "vec_id",
         semanticEvalSet(emb), "eval_id", "embedding", threshold = 0.8)
@@ -1620,7 +1620,7 @@ object SparkEntry {
     // exercise the dangling/no-out-edge path; 5 exact-integer
     // iterations, every one unrolled as a CTE on the oracle side
     "q_domain_pagerank" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       def node(c: Column) = concat(lit("d"), c.cast("string"))
       val e1 = d.select(node(col("doc_id") % 31).as("src"),
         node((col("doc_id") * 13 + 5) % 37).as("dst"))
@@ -1633,7 +1633,7 @@ object SparkEntry {
     // ----- TrustRank: the same 37-node graph with all teleport mass
     // on seeds d0/d5 — unreachable nodes decay to exactly 0
     "q_trust_rank" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       def node(c: Column) = concat(lit("d"), c.cast("string"))
       val e1 = d.select(node(col("doc_id") % 31).as("src"),
         node((col("doc_id") * 13 + 5) % 37).as("dst"))
@@ -1649,7 +1649,7 @@ object SparkEntry {
     // no cross-island edges by construction, so the component map
     // must recover exactly the islands' internal connectivity
     "q_domain_components" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
+      val d = t(s, dir, "documents")
       def node(c: Column) = concat(lit("n"), c.cast("string"))
       val g = col("doc_id") % 10
       val edges = d.select(
@@ -1662,7 +1662,7 @@ object SparkEntry {
     // ----- collocation mining: integer counts, one fixed-shape
     // double ratio (no logs), deterministic top-k by total order
     "q_collocations" -> ((s, dir) =>
-      Collocations.collocations(tp(s, dir, "documents"), "text",
+      Collocations.collocations(t(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
     // ----- mergeable histogram quantile sketch: the query fits TWO
@@ -1812,7 +1812,7 @@ object SparkEntry {
     // banding must find EXACTLY the brute-force pairs (pigeonhole
     // completeness, g%5 = 4 pairs excluded)
     "q_image_dup" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"),
+      val d = t(s, dir, "documents").select(col("doc_id"),
         expr("doc_id DIV 2").as("__g"))
       val base = graft.functions.HashFunctions
         .stableHash60(col("__g").cast("string")).bitwiseOR(lit(1L))
@@ -2225,7 +2225,7 @@ object SparkEntry {
     // reproduce ivfTopK exactly, so the oracle is the same fit+probe
     // replay as q_ivf_topk
     "q_ivf_index" -> ((s, dir) => {
-      val emb = tp(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings")
       IvfIndex.build(emb, "vec_id", "embedding", "g_q_ivf_index",
         nCentroids = 16, kmeansIters = 2, buckets = 16)
       IvfIndex.query(s, "g_q_ivf_index",
@@ -2779,7 +2779,7 @@ object SparkEntry {
     // orphan counts/bytes; the anti join shuffles on the path, no
     // per-file driver loop anywhere
     "q_orphan_files" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"))
+      val d = t(s, dir, "documents").select(col("doc_id"))
       val mf = Iceberg.synthManifests(d, "doc_id", "content")
       val refPaths = Multimodal.decodeBatches(mf, "content",
           Iceberg.manifestPathsSchema)(Iceberg.decodeManifestPaths)
@@ -2973,7 +2973,7 @@ object SparkEntry {
     // shuffle a 100 TB MOR scan does; live counts and value sums
     // replay closed-form
     "q_iceberg_mor" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"))
+      val d = t(s, dir, "documents").select(col("doc_id"))
       val pd = Iceberg.synthPosDeletes(d, "doc_id", "content")
       val deletes = Multimodal.decodeBatches(pd, "content",
           Iceberg.posDeleteSchema)(Iceberg.decodePosDeletes)
@@ -3797,7 +3797,7 @@ object SparkEntry {
     // duplicate mass, quality-fail rate — all exact integers in ONE
     // aggregation pass, so two runs diff meaningfully
     "q_corpus_report" -> ((s, dir) => {
-      CorpusScrub.corpusReport(tp(s, dir, "documents"), "doc_id",
+      CorpusScrub.corpusReport(t(s, dir, "documents"), "doc_id",
         "text", "lang")
     }),
 
@@ -3807,7 +3807,7 @@ object SparkEntry {
     // same filter + grouping on the documents table directly, so any
     // byte damage in the unwrap breaks the hash)
     "q_crawl_curate" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"),
+      val d = t(s, dir, "documents").select(col("doc_id"),
         coalesce(col("text"), lit("")).as("__t"),
         (col("doc_id") % 2).cast("int").as("__gz"))
       val warcs = Archive.synthWarcs(d, "doc_id", "__t", "__gz",
@@ -4892,7 +4892,7 @@ object SparkEntry {
     // the replayed signatures — the consumer the r9 verdict said the
     // audio signature was missing
     "q_audio_dup" -> ((s, dir) => {
-      val d = tp(s, dir, "documents").select(col("doc_id"),
+      val d = t(s, dir, "documents").select(col("doc_id"),
           expr("doc_id DIV 2").as("__g"),
           (col("doc_id") % 2).cast("int").as("__odd"))
         .withColumn("__ch", (col("__g") % 2 + 1).cast("int"))
