@@ -61,7 +61,8 @@ object Layout {
     * boundary exceeds the value equals the count of boundaries ≤
     * value (duplicates included on both forms).
     */
-  private def bucketRank(c: Column, boundaries: Array[Double]): Column = {
+  private[graft] def bucketRank(c: Column,
+      boundaries: Array[Double]): Column = {
     def tree(lo: Int, hi: Int): Column = // rank within bnds[lo, hi)
       if (lo >= hi) lit(lo.toLong)
       else {

@@ -120,4 +120,22 @@ class BinningSpec extends SparkSpec {
     // allow +-1)
     assert(counts.values.forall(c => c >= 24 && c <= 26), counts)
   }
+
+  test("MultipleCombinations shared-dictionary path == folding " +
+      "CombineCategoricalColumns per prefix, nulls included") {
+    // r19: MultipleCombinations fits each source column once for all
+    // prefixes; this pins bit-equality against the definitional fold
+    val df = Seq(
+      ("a", "x", "1"), ("b", "y", "2"), ("a", "y", "1"),
+      ("b", "x", "3"), (null, "x", "1"), ("a", null, "2"),
+      ("b", "y", null)
+    ).toDF("c1", "c2", "c3")
+    val got = MultipleCombinations(Seq("c1", "c2", "c3"))(df)
+    val want = (2 to 3).foldLeft(df) { (d, k) =>
+      CombineCategoricalColumns(Seq("c1", "c2", "c3").take(k))(d)
+    }
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq)
+  }
 }

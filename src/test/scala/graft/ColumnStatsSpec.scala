@@ -270,4 +270,26 @@ class ColumnStatsSpec extends SparkSpec {
           offending.headOption.getOrElse(""))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("percentileRank: broadcast and shuffled join paths are " +
+      "bit-identical, and the small-distinct path broadcasts") {
+    val df = (1 to 4000).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "x")
+      .unionByName(Seq((0L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "x"))
+    // small-distinct (101 values): must take the broadcast join
+    val bc = ColumnStats.percentileRank(df, "x")
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "small-distinct rank frame not broadcast")
+    // forcing the fallback must not change a single value
+    val sh = ColumnStats.percentileRank(df, "x",
+      maxBroadcastDistinct = 0L)
+    val a = bc.select("id", "pct_rank")
+      .as[(Long, Option[Double])].collect().toMap
+    val b = sh.select("id", "pct_rank")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(a == b)
+    assert(a(0L).isEmpty) // null value ranks null on both paths
+  }
 }

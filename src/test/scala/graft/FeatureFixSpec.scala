@@ -119,4 +119,29 @@ class FeatureFixSpec extends SparkSpec {
     assert(ds2.data.columns.toSeq == ds.data.columns.toSeq)
     assert(ds2.history.size == ds.history.size)
   }
+
+  test("encodeMultiCategorical concurrent prefit: one fit per column, " +
+      "history and output identical to the sequential fold") {
+    // r19: the per-column dictionary fits run concurrently via
+    // prefit; this pins the fit count and bit-equality vs applying
+    // the encoders one by one
+    val d = Seq(("a", "x", 1.0), ("B", "y", 2.0), ("a", null, 3.0),
+      (null, "x", 4.0)).toDF("c1", "c2", "num")
+    val before = DictionaryFit.fitCount.get()
+    val out = FeatureFix.encodeMultiCategorical(GraftDataset(d),
+      Seq("c1", "c2"))
+    out.data.collect() // execution must not re-fit either
+    assert(DictionaryFit.fitCount.get() - before == 2L)
+    val seq = EncodeSingleCategorical("c2")(
+      EncodeSingleCategorical("c1")(GraftDataset(d)))
+    assert(out.data.columns.toSeq == seq.data.columns.toSeq)
+    assert(out.data.collect().map(_.toSeq).toSet ==
+      seq.data.collect().map(_.toSeq).toSet)
+    // the recorded ops carry the fitted dictionaries like the
+    // sequential applied copies do
+    assert(out.history.ops.map(_.asInstanceOf[EncodeSingleCategorical]
+        .categoriesOut).toSet ==
+      seq.history.ops.map(_.asInstanceOf[EncodeSingleCategorical]
+        .categoriesOut).toSet)
+  }
 }

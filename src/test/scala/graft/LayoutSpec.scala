@@ -137,4 +137,23 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.length == 2)
     assert(ranges(0)._3 <= ranges(1)._2) // disjoint min/max -> pruning
   }
+
+  test("bucketRank binary-search tree == count of boundaries <= value, " +
+      "including duplicates, nulls and NaN") {
+    // the r19 optimization replaced the interpreted aggregate-fold
+    // with a codegen when-tree; this pins the definitional equality
+    // rank(v) = |{ b in boundaries : b <= v }| on the tricky inputs
+    val bnds = Array(1.0, 2.0, 2.0, 5.0, 7.5, 7.5, 7.5) // duplicates
+    def refRank(v: java.lang.Double): Long =
+      if (v == null) 0L
+      else if (v.isNaN) bnds.length.toLong // Spark: NaN > any double
+      else bnds.count(b => b <= v).toLong
+    val vals: Seq[java.lang.Double] =
+      Seq(0.0, 1.0, 1.5, 2.0, 2.5, 5.0, 7.5, 99.0, Double.NaN, null)
+    val df = vals.toDF("v")
+    val got = df.select(Layout.bucketRank(col("v"), bnds).as("r"))
+      .as[Long].collect().toSeq
+    assert(got == vals.map(refRank),
+      s"got $got want ${vals.map(refRank)}")
+  }
 }

@@ -143,4 +143,26 @@ class TextIndexSpec extends SparkSpec {
         s"${t}_compacting")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
+
+  test("build's pinned term exchange writes exactly one file per " +
+      "bucket") {
+    // r19: the term exchange is pinned at the bucket count so the
+    // bucketed write spreads across bucket tasks — and emits one file
+    // per bucket instead of (write tasks × buckets)
+    val t = "g_textindex_pin_spec"
+    try {
+      val docs = (1 to 200).map(i =>
+        (i.toLong, s"alpha beta w$i gamma w${i % 7}"))
+        .toDF("doc_id", "text")
+      TextIndex.build(docs, "doc_id", "text", t, buckets = 8)
+      val loc = spark.sql(s"DESCRIBE FORMATTED $t")
+        .filter(col("col_name") === "Location")
+        .select("data_type").as[String].head()
+      val dir = new java.io.File(new java.net.URI(loc))
+      val files = dir.listFiles.filter(f =>
+        f.getName.startsWith("part-")).toSeq
+      assert(files.size == 8, s"want 8 bucket files, got ${files.size}")
+    } finally Seq(t, s"${t}_stats", s"${t}_delta")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }
