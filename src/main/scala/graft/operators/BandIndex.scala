@@ -82,6 +82,13 @@ object BandIndex {
     import spark.implicits._
     Seq(table, s"${table}_stats", s"${table}_meta")
       .foreach(Warehouse.dropManaged(spark, _))
+    // A/B'd r19 and kept as-is: fanning the signature kernel off the
+    // one-split scan (guarded corpus.repartition) + hashing by band
+    // for the write measured FLAT-to-worse (q_neardup_increment
+    // 2.61–2.73 → 2.83) — the two added exchanges and the extra plan
+    // materialization cost more than the 0.95 s single-task build
+    // they spread. At scale the scan splits on its own and the
+    // map-side bucketed write is already the minimal shape.
     bandRows(corpus, idCol, textCol, k, shingleLen, bands, seed)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band").sortBy("band").saveAsTable(table)
